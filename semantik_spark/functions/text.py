@@ -1,0 +1,67 @@
+"""Text Column-expression helpers (all JVM-side, codegen-friendly).
+
+Tokenizer semantics mirror the reference BM25 tokenizer
+(bm25_sparse_indexer.py:516-543): lowercase, regex ``\\b\\w+(?:-\\w+)*\\b``,
+min token length 2, 88-word English stopword removal. Everything here is
+a pure Column expression — no UDFs — so Catalyst folds it into
+whole-stage codegen and the same logic is expressible in the DuckDB
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from semantik_spark.config import ENGLISH_STOPWORDS, MIN_TOKEN_LENGTH, TOKEN_PATTERN
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def raw_tokens(c: Column | str) -> Column:
+    """Lowercased regex tokens (before length/stopword filtering)."""
+    return F.regexp_extract_all(F.lower(_col(c)), F.lit(TOKEN_PATTERN), 0)
+
+
+def bm25_tokens(c: Column | str) -> Column:
+    """Reference-parity BM25 token stream: len>=2, stopwords removed.
+
+    Duplicates are preserved (term frequency matters) — so this is a
+    ``filter``, not ``array_except`` (which dedups).
+    """
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    return F.filter(
+        raw_tokens(c),
+        lambda t: (F.length(t) >= MIN_TOKEN_LENGTH) & ~F.array_contains(stop, t),
+    )
+
+
+def whitespace_tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (for word counts / shingles)."""
+    return F.filter(F.split(F.lower(_col(c)), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) over whitespace tokens.
+
+    1 doc row → array of shingle strings; the dedup/minhash operators
+    explode this. Pure expression: slice+concat over a sequence.
+    """
+    toks = whitespace_tokens(c)
+    # for i in 0 .. size-n: join(toks[i:i+n])
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # when fewer than n tokens, fall back to whole-text single shingle
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def token_estimate(c: Column | str) -> Column:
+    """chars/4 token estimate (reference character_strategy.py:270)."""
+    return F.ceil(F.length(_col(c)) / F.lit(4.0)).cast("bigint")

@@ -1,0 +1,75 @@
+"""Vector Column-expression helpers — dot/cosine/normalize on
+ARRAY<FLOAT|DOUBLE> columns, plus the reference's deterministic mock
+embedder (vecpipe/search/dense_search.py:19-44) as a pure expression.
+
+All JVM-side higher-order functions (zip_with/aggregate/transform) — no
+Python in the scoring hot path; at 100 TB the brute-force cosine top-k
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ a_i * b_i as double."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_col(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either norm is 0."""
+    d = dot(a, b)
+    nn = norm(a) * norm(b)
+    return F.when(nn > 0, d / nn).otherwise(F.lit(0.0))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    n = norm(a)
+    return F.when(n > 0, F.transform(_col(a), lambda x: x.cast("double") / n)).otherwise(_col(a).cast("array<double>"))
+
+
+def mock_embedding(c: Column | str) -> Column:
+    """Deterministic 8-dim mock embedding, reference-identical math
+    (dense_search.py:19-44): sha256(text) → 8 big-endian uint32 →
+    v/2^32*2-1 → L2 normalize. Pure expression (sha2+conv+substr), so
+    the DuckDB oracle can reproduce it bit-for-bit.
+
+    The reference pads with zeros up to the model dim; zero padding does
+    not change cosine ranking, so we keep the 8 informative dims.
+    """
+    hexs = F.sha2(_col(c).cast("string"), 256)
+    vals = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: (
+            F.conv(hexs.substr(i * 8 + 1, F.lit(8)), 16, 10).cast("double")
+            / F.lit(4294967296.0) * 2.0 - 1.0
+        ),
+    )
+    n = F.sqrt(F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(vals, lambda x: x / n)
+
+
+def mock_embedding_sql(expr: str) -> str:
+    """DuckDB SQL string computing the same mock embedding for ``expr``."""
+    return (
+        "list_transform("
+        f"[(('0x'||substr(sha256(cast({expr} as varchar)), i*8+1, 8))::bigint / 4294967296.0)*2.0-1.0 "
+        "for i in range(0, 8)], "
+        f"x -> x / sqrt(list_sum(list_transform("
+        f"[(('0x'||substr(sha256(cast({expr} as varchar)), j*8+1, 8))::bigint / 4294967296.0)*2.0-1.0 "
+        "for j in range(0, 8)], y -> y*y))))"
+    )

@@ -1,0 +1,170 @@
+"""BM25 sparse indexing + retrieval as pure DataFrame algebra.
+
+Reference math (bm25_sparse_indexer.py):
+  tokenizer  :516-543  lowercase, \\b\\w+(?:-\\w+)*\\b, len>=2, stopwords
+  IDF        :593-617  idf = max(0, ln((N - df + 0.5)/(df + 0.5) + 1))
+  doc weight :619-670  idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+  query enc  :414-464  weight = tf_q * idf (no length normalization)
+  defaults   :54-55    k1=1.5, b=0.75
+
+The reference mutates in-memory stats per chunk; here corpus stats are a
+recomputed table (SURVEY §7 "stateful incremental BM25"): snapshot at
+index-build, refreshed on reindex — same staleness semantics.
+
+Scale notes (100 TB):
+  - term_stats is groupBy(term) over exploded distinct-terms — map-side
+    partial aggregation keeps the shuffle at |vocab| rows, not |tokens|.
+  - postings (chunk_id, term, weight) is the index table; partitioned by
+    collection on write, bucketable by term for shuffle-free query joins.
+  - query-side joins broadcast the (tiny) query-term table into the
+    postings scan, so scoring is one shuffle (the groupBy per query,doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantik_spark.config import BM25_B, BM25_K1
+from semantik_spark.functions.text import bm25_tokens
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, tokens ARRAY<STRING>, doc_len INT."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bm25_tokens(text_col).alias("tokens"),
+    ).withColumn("doc_len", F.size("tokens"))
+
+
+def corpus_stats(tokenized: DataFrame) -> DataFrame:
+    """Single-row: n_docs BIGINT, avgdl DOUBLE (bm25 A1)."""
+    return tokenized.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+
+
+def term_stats(tokenized: DataFrame) -> DataFrame:
+    """term, term_id (dense, ordered by term — deterministic, unlike the
+    reference's insertion order), df BIGINT, idf DOUBLE (A2).
+
+    Window without partition is fine: |vocab| rows, driver-size bounded
+    at test SF; at 100 TB swap for zipWithIndex-style rank if vocab is
+    huge (term_id is only needed for sparse-vector array encoding).
+    """
+    from pyspark.sql import Window
+
+    n_avg = corpus_stats(tokenized)
+    terms = (
+        tokenized.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    w = Window.orderBy("term")
+    return (
+        terms.crossJoin(F.broadcast(n_avg))
+        .withColumn(
+            "idf",
+            F.greatest(
+                F.lit(0.0),
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            ),
+        )
+        .withColumn("term_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("term", "term_id", "df", "idf")
+    )
+
+
+def postings(tokenized: DataFrame, terms: DataFrame, stats: DataFrame) -> DataFrame:
+    """The sparse index as a postings table: doc_id, term, term_id, tf,
+    weight (A3). Equivalent to the reference's per-chunk (indices,
+    values) arrays, kept relational so scoring is a join+agg.
+    """
+    tf = (
+        tokenized.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    return (
+        tf.join(terms, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "weight",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .where(F.col("weight") > 0)
+        .select("doc_id", "term", "term_id", "tf", "weight")
+    )
+
+
+def sparse_vectors(post: DataFrame) -> DataFrame:
+    """Collapse postings to the reference's Qdrant sparse-point shape:
+    doc_id, sparse_indices ARRAY<BIGINT> (ascending), sparse_values
+    ARRAY<DOUBLE> — ordering per bm25_sparse_indexer.py:664-670.
+    """
+    return (
+        post.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term_id", "weight"))).alias("pairs"))
+        .select(
+            "doc_id",
+            F.col("pairs.term_id").alias("sparse_indices"),
+            F.col("pairs.weight").alias("sparse_values"),
+        )
+    )
+
+
+def encode_queries(queries: DataFrame, terms: DataFrame,
+                   id_col: str = "query_id", text_col: str = "query_text") -> DataFrame:
+    """query_id, term, q_weight = tf_q * idf; unknown terms drop out via
+    the inner join (reference :444-452 skips unknown terms)."""
+    qtf = (
+        tokenize(queries, id_col=id_col, text_col=text_col)
+        .select(F.col("doc_id").alias("query_id"), F.explode("tokens").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf_q"))
+    )
+    return (
+        qtf.join(terms.select("term", "idf"), "term")
+        .where(F.col("idf") > 0)
+        .withColumn("q_weight", F.col("tf_q") * F.col("idf"))
+        .select("query_id", "term", "q_weight")
+    )
+
+
+def score(post: DataFrame, encoded_queries: DataFrame) -> DataFrame:
+    """Sparse dot-product scores: query_id, doc_id, score.
+
+    Broadcast the (small) query-term table into the postings scan — one
+    shuffle total (the groupBy), no matter the corpus size.
+    """
+    return (
+        post.join(F.broadcast(encoded_queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("q_weight")).alias("score"))
+    )
+
+
+def search(docs: DataFrame, queries: DataFrame, k: int = 10,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """End-to-end BM25 top-k: query_id, doc_id, score, rank (1-based,
+    ties broken by doc_id for determinism)."""
+    from pyspark.sql import Window
+
+    tok = tokenize(docs, id_col=id_col, text_col=text_col)
+    stats = corpus_stats(tok)
+    terms = term_stats(tok)
+    post = postings(tok, terms, stats)
+    enc = encode_queries(queries, terms)
+    scored = score(post, enc)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

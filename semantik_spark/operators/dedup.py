@@ -1,0 +1,198 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Five strategies, all deterministic and oracle-checkable (the portable
+hash60 makes minhash/simhash reproducible in DuckDB):
+
+  exact          — sha256 content hash groupBy (reference change-detect
+                   semantics: models.py:345, executor.py:713-744)
+  ngram_jaccard  — exact n-gram (word-shingle) Jaccard via shingle
+                   self-join; the exact baseline the LSH variants
+                   approximate
+  minhash_lsh    — minhash signatures + banded LSH candidate generation
+                   + exact verification of candidates only
+  simhash        — 60-bit simhash + hamming-distance pairs
+  embedding      — cosine near-dup over an embedding column
+
+Scale notes (100 TB):
+  - exact: one shuffle on the hash — the cheapest possible dedup.
+  - ngram_jaccard self-joins on shingle: at scale restrict to
+    minhash-LSH candidates (that is exactly `minhash_lsh_pairs`, which
+    only exact-verifies docs sharing an LSH band bucket).
+  - band buckets are the classic skew risk (stopword-ish shingles);
+    verification joins run under AQE skew splitting.
+  - simhash pairs here are a broadcast self-join at test SF; the scale
+    path blocks on bit-bands (same LSH trick) before hamming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantik_spark.functions.hashing import content_hash, hash60
+from semantik_spark.functions.text import whitespace_tokens, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: content_hash, n_docs, keep_doc_id
+    (min id = survivor), duplicate_ids (sorted array of the rest)."""
+    h = docs.select(F.col(id_col).alias("doc_id"), content_hash(text_col).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "content_hash", "n_docs", "keep_doc_id",
+            F.slice(F.col("all_ids"), 2, F.size("all_ids") - 1).alias("duplicate_ids"),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, shingle (exploded distinct n-word shingles), n_shingles."""
+    s = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    return s.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing ≥1 shingle:
+    doc_a, doc_b (a<b), jaccard. |A∩B| from the shingle equi-join;
+    |A∪B| = |A|+|B|−|A∩B|."""
+    s = shingle_sets(docs, n, id_col, text_col)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, seed (0..num_hashes-1), minhash BIGINT.
+
+    minhash_i(doc) = min over shingles of hash60(i || ':' || shingle) —
+    k independent permutations approximated by k salted hashes. One
+    explode (|shingles|×k rows) then a map-side-combined min aggregate.
+    """
+    s = shingle_sets(docs, n, id_col, text_col)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return (
+        s.select("doc_id", F.explode(seeds).alias("seed"), "shingle")
+        .withColumn("h", hash60(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, threshold: float = 0.2,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Banded-LSH candidate pairs + exact Jaccard verification.
+
+    Signatures are split into ``bands`` bands of num_hashes/bands rows;
+    docs agreeing on any full band become candidates; candidates (only)
+    are exactly verified. Output: doc_a, doc_b, jaccard — a subset of
+    ngram_jaccard_pairs, with P[miss] = (1−j^r)^b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("seed"), F.col("minhash"))
+        ))).alias("band_key"))
+    )
+    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    candidates = (
+        ca.join(cb, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold=0.0, id_col=id_col, text_col=text_col)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 60,
+            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, simhash BIGINT: per-token hash60; bit b of the signature
+    is 1 iff Σ_tokens tf·(±1 for bit b of hash) > 0."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(whitespace_tokens(text_col)).alias("token")
+    ).groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    tok = tok.withColumn("h", hash60("token"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        tok.select("doc_id", "tf", "h", bit)
+        .withColumn(
+            "contrib",
+            F.when(F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit").cast("int")))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_a, doc_b, hamming — near-dup pairs by simhash distance."""
+    sig = simhash(docs, bits, id_col, text_col)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """vec_a, vec_b, cos — embedding-cosine near-duplicates.
+
+    Brute-force self-join at test SF; at scale the LSH-bucketed variant
+    in operators.similarity restricts candidates first.
+    """
+    from semantik_spark.functions.vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,121 @@
+"""IR evaluation metrics as window/aggregate expressions.
+
+Formula parity with shared/benchmarks/metrics.py:
+  collapse chunks→docs first-hit  :12-41
+  P@k = |relevant ∩ top-k| / k    :44-72   (missing slots count against)
+  R@k = |relevant ∩ top-k| / |relevant|  :75-103
+  MRR = 1 / rank of first relevant        :106-134
+  DCG discount log2(i+2), nDCG = DCG/IDCG :137-199
+  AP = mean of precision@hit over |relevant|  :202-240
+  binary relevance = grade > 0            :276
+
+Input contract: ``retrieved`` = (query_id, doc_id, rank) with rank
+1-based dense per query; ``qrels`` = (query_id, doc_id, grade 0-3).
+All pure SQL — the whole benchmark harness (§3.3) is one query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse_chunks(retrieved_chunks: DataFrame) -> DataFrame:
+    """First-hit chunk→doc collapse (metrics.py:12-41): keep each doc's
+    best-ranked chunk, then re-rank densely per query."""
+    w_first = Window.partitionBy("query_id", "doc_id").orderBy("rank")
+    w_rerank = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        retrieved_chunks.withColumn("_fh", F.row_number().over(w_first))
+        .where(F.col("_fh") == 1)
+        .withColumn("rank", F.row_number().over(w_rerank))
+        .drop("_fh")
+    )
+
+
+def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] = (5, 10)) -> DataFrame:
+    """Per-query metric table: query_id, metric, k (NULL for mrr/ap),
+    value — mirroring BenchmarkRunMetric (models.py:1669-1689)."""
+    j = (
+        retrieved.join(qrels, ["query_id", "doc_id"], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+        .withColumn("rel", (F.col("grade") > 0).cast("int"))
+    )
+    n_rel = qrels.where(F.col("grade") > 0).groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_relevant")
+    )
+
+    per_k = []
+    for k in k_values:
+        topk = j.where(F.col("rank") <= k)
+        # ideal DCG from the full qrels, not just retrieved (metrics.py:193-196)
+        w_ideal = Window.partitionBy("query_id").orderBy(F.desc("grade"), F.asc("doc_id"))
+        ideal = (
+            qrels.withColumn("irank", F.row_number().over(w_ideal))
+            .where((F.col("irank") <= k) & (F.col("grade") > 0))
+            .groupBy("query_id")
+            .agg(F.sum(F.col("grade") / F.log2(F.col("irank") + 1)).alias("idcg"))
+        )
+        base = (
+            topk.groupBy("query_id")
+            .agg(
+                (F.sum("rel") / F.lit(k)).alias("precision"),
+                F.sum("rel").alias("hits"),
+                F.sum(
+                    F.when(F.col("grade") > 0, F.col("grade") / F.log2(F.col("rank") + 1)).otherwise(0.0)
+                ).alias("dcg"),
+            )
+            .join(n_rel, "query_id", "left")
+            .join(ideal, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(k).alias("k"),
+                F.col("precision"),
+                F.when(F.col("n_relevant") > 0, F.col("hits") / F.col("n_relevant"))
+                .otherwise(0.0).alias("recall"),
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+                .otherwise(0.0).alias("ndcg"),
+            )
+        )
+        per_k.append(
+            base.selectExpr("query_id", "'precision' as metric", "k", "precision as value")
+            .unionByName(base.selectExpr("query_id", "'recall' as metric", "k", "recall as value"))
+            .unionByName(base.selectExpr("query_id", "'ndcg' as metric", "k", "ndcg as value"))
+        )
+
+    w_cum = (
+        Window.partitionBy("query_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unk = (
+        j.withColumn("cum_hits", F.sum("rel").over(w_cum))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rel") == 1, 1.0 / F.col("rank"))).alias("mrr_raw"),
+            F.sum(
+                F.when(F.col("rel") == 1, F.col("cum_hits") / F.col("rank"))
+            ).alias("ap_num"),
+        )
+        .join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("mrr_raw", F.lit(0.0)).alias("mrr"),
+            F.when(
+                F.col("n_relevant") > 0, F.coalesce(F.col("ap_num"), F.lit(0.0)) / F.col("n_relevant")
+            ).otherwise(0.0).alias("ap"),
+        )
+    )
+    per_q = per_k[0]
+    for p in per_k[1:]:
+        per_q = per_q.unionByName(p)
+    per_q = per_q.unionByName(
+        unk.selectExpr("query_id", "'mrr' as metric", "cast(null as int) as k", "mrr as value")
+    ).unionByName(
+        unk.selectExpr("query_id", "'ap' as metric", "cast(null as int) as k", "ap as value")
+    )
+    return per_q
+
+
+def aggregate_metrics(per_query: DataFrame) -> DataFrame:
+    """Run-level means per (metric, k) — evaluator.py:271-307."""
+    return per_query.groupBy("metric", "k").agg(F.avg("value").alias("value"))

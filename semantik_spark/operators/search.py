@@ -1,0 +1,113 @@
+"""Dense search, RRF hybrid fusion, and the composed query path.
+
+Mirrors the reference's perform_search operator tree
+(vecpipe/search/service.py:73-408):
+  dense branch  — embed query → cosine top-search_k      (here: mock or
+                  model embedder; brute-force exact kNN v1, ANN later)
+  sparse branch — BM25 encode → dot-product top-search_k
+  fuse          — RRF full-outer rank join, rrf_k=60
+                  (sparse_search.py:21-63)
+  filters       — score_threshold (service.py:337-347), doc_id guard
+
+Scale notes: the query side is always tiny → broadcast; the corpus scan
+is one pass, filter/projection pushed to parquet; top-k per query is a
+window over the scored subset (scores are sparse: only docs sharing a
+term / all docs for dense). Rank ties break on doc_id so results are
+deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantik_spark.config import RRF_K
+from semantik_spark.functions.vectors import cosine, mock_embedding
+from semantik_spark.operators import bm25
+
+
+def _topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def dense_search(index: DataFrame, queries: DataFrame, k: int = 10,
+                 embedding_col: str = "embedding",
+                 query_vec_col: str = "query_vec") -> DataFrame:
+    """Brute-force exact cosine kNN: query_id, doc_id, score, rank.
+
+    ``index`` carries (doc_id, embedding); ``queries`` carries
+    (query_id, query_vec). Queries are broadcast; scoring is
+    whole-stage-codegen zip_with/aggregate — no shuffle until top-k.
+    """
+    scored = (
+        index.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "doc_id",
+            cosine(embedding_col, query_vec_col).alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def mock_dense_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      query_id_col: str = "query_id",
+                      query_text_col: str = "query_text") -> DataFrame:
+    """Dense search with the reference's deterministic mock embedder
+    (dense_search.py:19-44) applied to both sides — the model-free test
+    mode, fully reproducible in the DuckDB oracle."""
+    index = docs.select(
+        F.col(id_col).alias("doc_id"), mock_embedding(text_col).alias("embedding")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        mock_embedding(query_text_col).alias("query_vec"),
+    )
+    return dense_search(index, q, k)
+
+
+def rrf_fuse(dense: DataFrame, sparse: DataFrame, k: int = 10, rrf_k: int = RRF_K) -> DataFrame:
+    """Reciprocal Rank Fusion (sparse_search.py:21-63): full outer join
+    of the two ranked lists on (query_id, doc_id);
+    score = Σ 1/(rrf_k + rank_branch); keeps per-branch diagnostics."""
+    d = dense.select(
+        "query_id", "doc_id",
+        F.col("rank").alias("dense_rank"), F.col("score").alias("dense_score"),
+    )
+    s = sparse.select(
+        "query_id", "doc_id",
+        F.col("rank").alias("sparse_rank"), F.col("score").alias("sparse_score"),
+    )
+    fused = (
+        d.join(s, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "score",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sparse_rank")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank",
+                "dense_rank", "sparse_rank", "dense_score", "sparse_score")
+    )
+
+
+def hybrid_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                  search_k: int | None = None,
+                  score_threshold: float | None = None,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The composed hybrid query path (service.py:73-408) in test mode:
+    mock-dense + BM25-sparse → RRF → optional threshold filter."""
+    if search_k is None:
+        search_k = max(k * 2, 20)
+    dense = mock_dense_search(docs, queries, k=search_k, id_col=id_col, text_col=text_col)
+    sparse = bm25.search(docs, queries, k=search_k, id_col=id_col, text_col=text_col)
+    fused = rrf_fuse(dense, sparse, k=k)
+    if score_threshold is not None:
+        fused = fused.where(F.col("score") >= score_threshold)  # F3
+    return fused.where(F.col("doc_id").isNotNull())  # F5 guard

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, oracle-checkable). These extend
+the reference's content sniffers (shared/pipeline/sniff.py:478-766 —
+is_code / is_structured probes) into the columns a 100 TB text pipeline
+filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantik_spark.config import ENGLISH_STOPWORDS, LANG_STOPWORDS
+from semantik_spark.functions.hashing import hash60
+from semantik_spark.functions.text import raw_tokens, whitespace_tokens, word_shingles
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+
+
+def language_scores(text_col: str) -> dict[str, Column]:
+    toks = raw_tokens(text_col)
+    return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, lang_pred, lang_hits — function-word-hit language ID.
+
+    argmax over per-language function-word hit counts; ties and
+    zero-hit docs resolve to 'unknown' < alphabetical order via the
+    sort on (hits desc, lang asc) with a minimum-hits floor of 1.
+    """
+    scores = language_scores(text_col)
+    pairs = F.array(*[
+        F.struct(scores[lang].cast("bigint").alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ])
+    # max by (hits, then reverse-alpha so earlier alphabet wins ties)
+    best = F.array_max(F.transform(
+        pairs, lambda p: F.struct(p["hits"].alias("hits"), p["lang"].alias("lang"))
+    ))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc quality columns: n_chars, n_words, avg_word_len,
+    punct_ratio, digit_ratio, stopword_ratio, quality_score ∈ [0,1].
+
+    The score is a deterministic heuristic blend (Gopher/C4-style rule
+    features): penalize too-short docs, punctuation/digit soup, and
+    stopword-free word salad.
+    """
+    t = F.col(text_col)
+    toks = whitespace_tokens(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_words = F.size(toks).cast("bigint")
+    avg_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0)
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("bigint")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("bigint")
+    stop_hits = _stopword_hits(raw_tokens(text_col), ENGLISH_STOPWORDS)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, digits.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0)
+    length_ok = F.when(n_words >= 10, 1.0).otherwise(n_words.cast("double") / 10.0)
+    wordlen_ok = F.when((avg_wl >= 3.0) & (avg_wl <= 12.0), 1.0).otherwise(0.5)
+    score = (
+        0.4 * length_ok
+        + 0.2 * wordlen_ok
+        + 0.2 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0)))
+        + 0.1 * (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0)))
+        + 0.1 * F.least(stop_ratio * 2.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, n_chars, ws_tokens (whitespace), re_tokens (word-regex,
+    BPE-ish pre-tokenization), est_tokens (chars/4 heuristic — the
+    reference's count_tokens estimate, character_strategy.py:270)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(whitespace_tokens(text_col)).cast("bigint").alias("ws_tokens"),
+        F.size(raw_tokens(text_col)).cast("bigint").alias("re_tokens"),
+        F.ceil(F.length(text_col) / 4.0).cast("bigint").alias("est_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, n: int = 4,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, fingerprint BIGINT — min-hash over n-word shingles
+    (winnowing-style representative hash): equal fingerprints ⇒ very
+    likely near-identical prefix content; used as a cheap pre-cluster
+    key before exact dedup."""
+    sh = word_shingles(text_col, n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(sh, lambda s: hash60(s))).alias("fingerprint"),
+    )
