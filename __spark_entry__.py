@@ -1,38 +1,610 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
+the training-data-pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible operator. Entries
+without an oracle (mapInPandas chunking strategies, array-valued sparse
+vectors) get the driver's rows-only check.
+
+All float outputs are rounded to 6 decimals on BOTH sides; ranks use
+deterministic id tie-breaks; large money sums go through decimal casts
+— so the driver's order-insensitive value-hash comparison is stable
+across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from semantik_spark import oracles
+from semantik_spark.functions.hashing import content_hash
+from semantik_spark.operators import bm25, chunking, dedup, metrics, search, similarity, textanalysis
+from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
+from semantik_spark.plans.predicates import compile_predicate
+from semantik_spark.streaming.windows import sessionize, tumbling_counts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has a TIMESTAMP(NANOS) column, which Spark 4 refuses by
+    default — read nanos as long and floor to microseconds (the same
+    ns→µs floor DuckDB's ::TIMESTAMP cast applies)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _queries_df(spark: SparkSession, pairs) -> DataFrame:
+    return spark.createDataFrame(pairs, ["query_id", "query_text"])
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-keyed copies of every 5th doc — the deterministic
+    duplicate corpus used by the dedup operators (oracle: AUGMENTED_DOCS_CTE)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    return docs.unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Money sums go through
+    decimal(18,x) casts so the double result is order-independent."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # all money columns are exact 2-decimal values: do the arithmetic in
+    # decimal (exact, engine-independent), never round a double product
+    dec2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+    tax_f = (F.lit(1).cast("decimal(8,2)") + F.col("l_tax").cast("decimal(8,2)"))
+    disc = (dec2 * disc_f).cast("decimal(30,4)")
+    charge = (dec2 * disc_f * tax_f).cast("decimal(30,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(dec2).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(dec2).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation — broadcast the dimension tables (customer,
+    nation) into the fact scan: zero shuffle on the build side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = tumbling_counts(ev, minutes=5)
+    return out.select(
+        F.unix_micros("window_start").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# search engine (sparse / dense / hybrid / metrics)
+# ---------------------------------------------------------------------------
+
+def q_bm25_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    return bm25.corpus_stats(tok).select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+
+
+def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    return bm25.term_stats(tok).select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
+
+
+def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    post = bm25.postings(tok, bm25.term_stats(tok), bm25.corpus_stats(tok))
+    return post.select("doc_id", "term", "tf", F.round("weight", 6).alias("weight"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = bm25.search(_t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10)
+    return _r6(res, "score")
+
+
+def q_dense_mock_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = search.mock_dense_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10
+    ).select("query_id", "doc_id", "score", "rank")
+    return _r6(res, "score")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = search.hybrid_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10, search_k=20
+    )
+    return _r6(res, "score", "dense_score", "sparse_score")
+
+
+def _ir_inputs(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents")
+    qdf = _queries_df(spark, IR_QUERY_TERMS)
+    retrieved = bm25.search(docs, qdf, k=10).select("query_id", "doc_id", "rank")
+    tok = bm25.tokenize(docs)
+    tf = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    qterms = qdf.select("query_id", F.col("query_text").alias("term"))
+    qrels = tf.join(qterms, "term").select(
+        "query_id", "doc_id", F.least(F.lit(3), F.col("tf")).alias("grade")
+    )
+    return retrieved, qrels
+
+
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    retrieved, qrels = _ir_inputs(spark, sf_dir)
+    return _r6(metrics.evaluate(retrieved, qrels, (5, 10)), "value")
+
+
+def q_ir_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    retrieved, qrels = _ir_inputs(spark, sf_dir)
+    return _r6(metrics.aggregate_metrics(metrics.evaluate(retrieved, qrels, (5, 10))), "value")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_aug_docs(spark, sf_dir)).select(
+        "content_hash", "n_docs", "keep_doc_id"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = dedup.ngram_jaccard_pairs(_aug_docs(spark, sf_dir), n=3, threshold=0.5)
+    return _r6(res, "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = dedup.minhash_lsh_pairs(_aug_docs(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.5)
+    return _r6(res, "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    res = dedup.embedding_dup_pairs(emb.unionByName(dups), threshold=0.99)
+    return _r6(res, "cos")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _emb_split(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return corpus, queries
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.knn_bruteforce(corpus, queries, k=5), "cos")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8), "cos")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = textanalysis.quality_features(_t(spark, sf_dir, "documents"))
+    return _r6(res, "avg_word_len", "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score")
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textanalysis.fingerprint(_t(spark, sf_dir, "documents"), n=4)
+
+
+# ---------------------------------------------------------------------------
+# chunking / pipeline ops
+# ---------------------------------------------------------------------------
+
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.fixed_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=200, overlap=50
+    ).select("doc_id", "chunk_id", "chunk_index", "content",
+             "start_offset", "end_offset", "token_count", "total_chunks")
+
+
+def q_chunk_character(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.character_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=200, overlap=50
+    ).select("doc_id", "chunk_id", "chunk_index", "content",
+             "start_offset", "end_offset", "token_count", "total_chunks")
+
+
+def q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.recursive_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=200
+    ).select("doc_id", "chunk_id", "chunk_index", "content", "token_count", "total_chunks")
+
+
+def q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.markdown_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=400
+    ).select("doc_id", "chunk_id", "chunk_index", "content", "token_count", "total_chunks")
+
+
+def q_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    post = bm25.postings(tok, bm25.term_stats(tok), bm25.corpus_stats(tok))
+    sv = bm25.sparse_vectors(post)
+    return sv.select(
+        "doc_id", "sparse_indices",
+        F.transform("sparse_values", lambda v: F.round(v, 6)).alias("sparse_values"),
+    )
+
+
+def q_predicate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = {"lang": ["en", "de"], "n_chars": ">300", "source": "src1*"}
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(compile_predicate(pred)).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_incremental_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 change-detection anti-join: re-enumeration vs catalog by
+    content_hash (executor.py:713-744)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", content_hash("text").alias("old_hash")
+    )
+    new = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text2"),
+    ).select("doc_id", content_hash("text2").alias("new_hash"))
+    return (
+        new.join(old, "doc_id", "left")
+        .where(F.col("old_hash").isNull() | (F.col("new_hash") != F.col("old_hash")))
+        .select(
+            "doc_id",
+            F.when(F.col("old_hash").isNull(), F.lit("new")).otherwise(F.lit("modified")).alias("change_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
+    return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "join_revenue": q_join_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "rollup_agg": q_rollup_agg,
+        "events_tumbling": q_events_tumbling,
+        "user_sessions": q_user_sessions,
+        # search engine
+        "bm25_corpus_stats": q_bm25_corpus_stats,
+        "bm25_term_stats": q_bm25_term_stats,
+        "bm25_postings": q_bm25_postings,
+        "bm25_search": q_bm25_search,
+        "dense_mock_search": q_dense_mock_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "ir_metrics": q_ir_metrics,
+        "ir_metrics_agg": q_ir_metrics_agg,
+        # dedup family
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        # text analysis
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        # chunking / pipeline
+        "chunk_fixed": q_chunk_fixed,
+        "chunk_character": q_chunk_character,
+        "chunk_recursive": q_chunk_recursive,
+        "chunk_markdown": q_chunk_markdown,
+        "sparse_vectors": q_sparse_vectors,
+        "predicate_route": q_predicate_route,
+        "incremental_changed": q_incremental_changed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE AS sum_disc_price,
+       sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)) * (1::DECIMAL(8,2) + l_tax::DECIMAL(8,2)))::DECIMAL(30,6))::DOUBLE AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price,
+       round(sum(l_discount::DECIMAL(18,4))::DOUBLE / count(*), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "topk_per_group": """
+SELECT p_brand, p_partkey, p_retailprice, rn::INT AS rn FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part) WHERE rn <= 3""",
+        "join_revenue": """
+SELECT n_name, count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "rollup_agg": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "events_tumbling": """
+SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP))::BIGINT AS bucket_us,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id""",
+        "bm25_corpus_stats": oracles.q_bm25_corpus_stats(),
+        "bm25_term_stats": oracles.q_bm25_term_stats(),
+        "bm25_postings": oracles.q_bm25_postings(),
+        "bm25_search": oracles.q_bm25_search(10),
+        "dense_mock_search": oracles.q_dense_mock_search(10),
+        "hybrid_rrf": oracles.q_hybrid_rrf(10, 20),
+        "ir_metrics": oracles.q_ir_metrics((5, 10), 10),
+        "ir_metrics_agg": oracles.q_ir_metrics_agg((5, 10), 10),
+        "dedup_exact": oracles.q_dedup_exact(),
+        "dedup_ngram_jaccard": oracles.q_ngram_jaccard(3, 0.5),
+        "dedup_minhash_lsh": oracles.q_minhash_lsh(16, 4, 3, 0.5),
+        "dedup_simhash": oracles.q_simhash_signatures(60),
+        "dedup_embedding": oracles.q_embedding_dups(0.99),
+        "knn_bruteforce": oracles.q_knn_bruteforce(5),
+        "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
+        "text_lang_id": _ORACLE_LANG_ID,
+        "text_quality": _ORACLE_QUALITY,
+        "text_token_counts": _ORACLE_TOKEN_COUNTS,
+        "text_fingerprint": _ORACLE_FINGERPRINT,
+        "chunk_fixed": _ORACLE_CHUNK_FIXED,
+        "predicate_route": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang IN ('en', 'de') AND n_chars > 300 AND regexp_matches(source, '^src1.*$')""",
+        "incremental_changed": """
+WITH old AS (
+  SELECT doc_id, sha256(text) AS old_hash FROM documents WHERE doc_id % 7 <> 0
+), new_enum AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END) AS new_hash
+  FROM documents
+)
+SELECT n.doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'new' ELSE 'modified' END AS change_type
+FROM new_enum n LEFT JOIN old o USING (doc_id)
+WHERE o.old_hash IS NULL OR n.new_hash <> o.old_hash""",
+        # chunk_character / chunk_recursive / chunk_markdown / sparse_vectors:
+        # intentionally no oracle (mapInPandas kernels & array-valued output)
+        # → driver rows-only check.
+    }
+
+
+from semantik_spark.config import LANG_STOPWORDS  # noqa: E402
+
+_LANGSETS = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in LANG_STOPWORDS.items()
+}
+
+_ORACLE_LANG_ID = f"""
+WITH rt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{oracles.TOKEN_PATTERN}') AS toks FROM documents
+), hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> list_contains({_LANGSETS['de']}, t)))::BIGINT AS h_de,
+         len(list_filter(toks, t -> list_contains({_LANGSETS['en']}, t)))::BIGINT AS h_en,
+         len(list_filter(toks, t -> list_contains({_LANGSETS['es']}, t)))::BIGINT AS h_es,
+         len(list_filter(toks, t -> list_contains({_LANGSETS['fr']}, t)))::BIGINT AS h_fr
+  FROM rt
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unknown'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       greatest(h_de, h_en, h_es, h_fr) AS lang_hits
+FROM hits"""
+
+_PUNCT = oracles.PUNCT_CLASS
+
+_ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^{_PUNCT}]', '', 'g'))::BIGINT AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digits,
+         len(list_filter(regexp_extract_all(lower(text), '{oracles.TOKEN_PATTERN}'),
+                         t -> list_contains({oracles.STOPLIST_SQL}, t)))::BIGINT AS stop_hits
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, n_words,
+         CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END AS avg_word_len,
+         CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN digits::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_words,
+       round(avg_word_len, 6) AS avg_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(
+         0.4 * (CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words::DOUBLE / 10.0 END)
+         + 0.2 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 12.0 THEN 1.0 ELSE 0.5 END)
+         + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))
+         + 0.1 * (1.0 - least(digit_ratio * 4.0, 1.0))
+         + 0.1 * least(stopword_ratio * 2.0, 1.0), 6) AS quality_score
+FROM feat"""
+
+_ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{oracles.TOKEN_PATTERN}'))::BIGINT AS re_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS est_tokens
+FROM documents"""
+
+_ORACLE_FINGERPRINT = f"""
+WITH {oracles.shingle_ctes('documents', 4).lstrip()}
+SELECT doc_id, min({oracles.hash60_expr('shingle')}) AS fingerprint
+FROM sh GROUP BY doc_id"""
+
+_ORACLE_CHUNK_FIXED = """
+WITH starts AS (
+  SELECT doc_id::VARCHAR AS doc_id, length(text)::INT AS doc_len, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS start_offset
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         (start_offset // 150)::INT AS chunk_index,
+         substr(text, start_offset + 1, 200) AS content,
+         start_offset::INT AS start_offset,
+         least(start_offset + 200, doc_len)::INT AS end_offset
+  FROM starts
+)
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
+       start_offset, end_offset,
+       ceil((end_offset - start_offset) / 4.0)::INT AS token_count,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
+FROM c"""

@@ -39,9 +39,11 @@ def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 def corpus_stats(tokenized: DataFrame) -> DataFrame:
     """Single-row: n_docs BIGINT, avgdl DOUBLE (bm25 A1)."""
+    # sum/count instead of avg(): integer sum is exact, so the double
+    # result is independent of partition merge order (oracle parity).
     return tokenized.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
+        (F.sum("doc_len").cast("double") / F.count("*")).alias("avgdl"),
     )
 
 

@@ -149,15 +149,14 @@ def simhash(docs: DataFrame, bits: int = 60,
         tok.select("doc_id", "tf", "h", bit)
         .withColumn(
             "contrib",
-            F.when(F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) == 1,
-                   F.col("tf")).otherwise(-F.col("tf")),
+            F.when(F.expr("(h >> cast(bit as int)) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
         )
         .groupBy("doc_id", "bit")
         .agg(F.sum("contrib").alias("s"))
     )
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit").cast("int")))
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
             .otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )

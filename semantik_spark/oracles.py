@@ -1,0 +1,482 @@
+"""DuckDB oracle SQL fragments mirroring the Spark operators.
+
+Every fragment reproduces the corresponding DataFrame operator's math
+exactly (same expression shapes, same tie-breaks, portable hash60 /
+mock-embedding definitions verified bit-identical across engines), so
+the driver's value-hash comparison holds. Float outputs are rounded to
+6 decimals on BOTH sides.
+
+Tables are referenced by the driver's pre-registered view names
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+"""
+
+from __future__ import annotations
+
+from semantik_spark.config import BM25_B, BM25_K1, ENGLISH_STOPWORDS, TOKEN_PATTERN
+
+STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+
+# ASCII punctuation class — identical meaning in Java regex and RE2
+# (Java's \p{Punct} is ASCII-only but RE2's \pP is Unicode, so we spell
+# the class out explicitly on both sides).
+PUNCT_CLASS = r"!-/:-@\[-`{-~"
+
+SEARCH_QUERIES: list[tuple[str, str]] = [
+    ("q1", "fast sort merge join"),
+    ("q2", "customer order data stream"),
+    ("q3", "window partition batch query"),
+    ("q4", "slow filter scan table"),
+]
+
+IR_QUERY_TERMS: list[tuple[str, str]] = [
+    ("m1", "merge"),
+    ("m2", "stream"),
+    ("m3", "filter"),
+    ("m4", "batch"),
+]
+
+
+def queries_values_sql(pairs: list[tuple[str, str]], id_name: str = "query_id",
+                       text_name: str = "query_text") -> str:
+    rows = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in pairs)
+    return f"(SELECT * FROM (VALUES {rows}) AS _q({id_name}, {text_name}))"
+
+
+# --- BM25 pipeline CTE block (documents table) -----------------------------
+
+def bm25_ctes(doc_table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """CTE chain: tokd → bstats → terms → tf → post (postings w/ weight).
+
+    Expression shapes match operators/bm25.py exactly:
+      idf    = greatest(0, ln((n - df + 0.5)/(df + 0.5) + 1))
+      weight = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b*doc_len/avgdl))
+    """
+    return f"""
+tokd AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM {doc_table}
+), tokl AS (
+  SELECT doc_id, tokens, len(tokens)::INT AS doc_len FROM tokd
+), bstats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::DOUBLE / count(*) AS avgdl FROM tokl
+), terms0 AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM tokl)
+  GROUP BY term
+), terms AS (
+  SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id, df,
+         greatest(0.0, ln(((SELECT n_docs FROM bstats) - df + 0.5) / (df + 0.5) + 1.0)) AS idf
+  FROM terms0
+), tf AS (
+  SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, doc_len, unnest(tokens) AS term FROM tokl)
+  GROUP BY doc_id, doc_len, term
+), post AS (
+  SELECT tf.doc_id, tf.term, terms.term_id, tf.tf,
+         terms.idf * (tf.tf * {BM25_K1 + 1.0}) /
+           (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.doc_len / (SELECT avgdl FROM bstats))) AS weight
+  FROM tf JOIN terms USING (term)
+  WHERE terms.idf * (tf.tf * {BM25_K1 + 1.0}) /
+          (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.doc_len / (SELECT avgdl FROM bstats))) > 0
+)"""
+
+
+def bm25_search_ctes(query_pairs: list[tuple[str, str]], k: int) -> str:
+    """Extends bm25_ctes with query encoding + top-k ranking:
+    adds qtok → qtf → qenc → scored → ranked(query_id, doc_id, score, rank)."""
+    return f"""{bm25_ctes()},
+qsrc AS (SELECT * FROM {queries_values_sql(query_pairs)}),
+qtok AS (
+  SELECT query_id,
+         list_filter(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM qsrc
+), qtf AS (
+  SELECT query_id, term, count(*)::BIGINT AS tf_q
+  FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
+  GROUP BY query_id, term
+), qenc AS (
+  SELECT qtf.query_id, qtf.term, qtf.tf_q * terms.idf AS q_weight
+  FROM qtf JOIN terms USING (term)
+  WHERE terms.idf > 0
+), scored AS (
+  SELECT qenc.query_id, post.doc_id, sum(post.weight * qenc.q_weight) AS score
+  FROM post JOIN qenc USING (term)
+  GROUP BY qenc.query_id, post.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)"""
+
+
+# --- mock dense search -----------------------------------------------------
+
+def mock_embed_expr(expr: str) -> str:
+    """8-dim reference mock embedding of a string expression (verified
+    bit-identical to functions.vectors.mock_embedding)."""
+    raw = (
+        f"[(('0x'||substr(sha256(cast({expr} as varchar)), i*8+1, 8))::bigint"
+        " / 4294967296.0)*2.0-1.0 for i in range(0, 8)]"
+    )
+    return raw
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """dot/(norm*norm) with the same guard as functions.vectors.cosine."""
+    return (
+        f"CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+        f"THEN list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) ELSE 0.0 END"
+    )
+
+
+def mock_dense_ctes(query_pairs: list[tuple[str, str]], k: int) -> str:
+    """CTEs: dindex (mock doc embeddings) × dquer → dscored → dranked."""
+    return f"""
+dindex AS (
+  SELECT doc_id, {mock_embed_expr('text')} AS e FROM documents
+), dquer AS (
+  SELECT query_id, {mock_embed_expr('query_text')} AS qe
+  FROM {queries_values_sql(query_pairs)}
+), dscored AS (
+  SELECT query_id, doc_id, {cosine_expr('e', 'qe')} AS score
+  FROM dindex CROSS JOIN dquer
+), dranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM dscored
+)"""
+
+
+# --- shingles / minhash / simhash ------------------------------------------
+
+def hash60_expr(expr: str) -> str:
+    return f"(('0x'||substr(md5(cast({expr} as varchar)),1,15))::bigint)"
+
+
+def shingle_ctes(doc_table_cte: str = "documents", n: int = 3) -> str:
+    """wtok → sh (doc_id, n_shingles, shingle exploded distinct n-gram
+    word shingles) — mirrors functions.text.word_shingles +
+    operators.dedup.shingle_sets."""
+    return f"""
+wtok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM {doc_table_cte}
+), shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN list_distinct([array_to_string(toks[i+1:i+{n}], ' ')
+                                  for i in range(0, greatest(len(toks)-{n}, 0)+1)])
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM wtok
+), sh AS (
+  SELECT doc_id, len(shingles)::INT AS n_shingles, unnest(shingles) AS shingle FROM shl
+)"""
+
+
+AUGMENTED_DOCS_CTE = """
+aug_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)"""
+
+AUGMENTED_EMB_CTE = """
+aug_emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+)"""
+
+
+# --- composed oracle queries ----------------------------------------------
+
+def q_bm25_corpus_stats() -> str:
+    return f"WITH {bm25_ctes()} SELECT n_docs, round(avgdl, 6) AS avgdl FROM bstats"
+
+
+def q_bm25_term_stats() -> str:
+    return (
+        f"WITH {bm25_ctes()} "
+        "SELECT term, term_id, df, round(idf, 6) AS idf FROM terms"
+    )
+
+
+def q_bm25_postings() -> str:
+    return (
+        f"WITH {bm25_ctes()} "
+        "SELECT doc_id, term, tf, round(weight, 6) AS weight FROM post"
+    )
+
+
+def q_bm25_search(k: int = 10) -> str:
+    return (
+        f"WITH {bm25_search_ctes(SEARCH_QUERIES, k)} "
+        f"SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def q_dense_mock_search(k: int = 10) -> str:
+    return (
+        f"WITH {mock_dense_ctes(SEARCH_QUERIES, k)} "
+        f"SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank "
+        f"FROM dranked WHERE rank <= {k}"
+    )
+
+
+def q_hybrid_rrf(k: int = 10, search_k: int = 20, rrf_k: int = 60) -> str:
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, search_k)},
+{mock_dense_ctes(SEARCH_QUERIES, search_k).lstrip()},
+dtop AS (SELECT query_id, doc_id, score AS dense_score, rank AS dense_rank
+         FROM dranked WHERE rank <= {search_k}),
+stop_ AS (SELECT query_id, doc_id, score AS sparse_score, rank AS sparse_rank
+          FROM ranked WHERE rank <= {search_k}),
+fused AS (
+  SELECT query_id, doc_id,
+         coalesce(1.0 / ({rrf_k} + dense_rank), 0.0) + coalesce(1.0 / ({rrf_k} + sparse_rank), 0.0) AS score,
+         dense_rank, sparse_rank, dense_score, sparse_score
+  FROM dtop FULL OUTER JOIN stop_ USING (query_id, doc_id)
+),
+franked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank,
+       dense_rank::INT AS dense_rank, sparse_rank::INT AS sparse_rank,
+       round(dense_score, 6) AS dense_score, round(sparse_score, 6) AS sparse_score
+FROM franked WHERE rank <= {k}"""
+
+
+def q_ir_metrics(k_values: tuple[int, ...] = (5, 10), k: int = 10) -> str:
+    per_k_blocks = []
+    for kk in k_values:
+        per_k_blocks.append(f"""
+ideal_{kk} AS (
+  SELECT query_id, sum(grade / log2(irank + 1)) AS idcg
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS irank
+        FROM qrels)
+  WHERE irank <= {kk} AND grade > 0
+  GROUP BY query_id
+),
+base_{kk} AS (
+  SELECT j.query_id,
+         sum(rel)::DOUBLE / {kk} AS precision,
+         sum(rel)::BIGINT AS hits,
+         sum(CASE WHEN grade > 0 THEN grade / log2(rank + 1) ELSE 0.0 END) AS dcg
+  FROM j WHERE rank <= {kk} GROUP BY j.query_id
+),
+m_{kk} AS (
+  SELECT b.query_id, {kk}::INT AS k, b.precision,
+         CASE WHEN n.n_relevant > 0 THEN b.hits::DOUBLE / n.n_relevant ELSE 0.0 END AS recall,
+         CASE WHEN i.idcg > 0 THEN b.dcg / i.idcg ELSE 0.0 END AS ndcg
+  FROM base_{kk} b LEFT JOIN nrel n USING (query_id) LEFT JOIN ideal_{kk} i USING (query_id)
+)""")
+    unions = []
+    for kk in k_values:
+        unions.append(f"SELECT query_id, 'precision' AS metric, k, round(precision, 6) AS value FROM m_{kk}")
+        unions.append(f"SELECT query_id, 'recall' AS metric, k, round(recall, 6) AS value FROM m_{kk}")
+        unions.append(f"SELECT query_id, 'ndcg' AS metric, k, round(ndcg, 6) AS value FROM m_{kk}")
+    unions.append("SELECT query_id, 'mrr' AS metric, CAST(NULL AS INT) AS k, round(mrr, 6) AS value FROM unk")
+    unions.append("SELECT query_id, 'ap' AS metric, CAST(NULL AS INT) AS k, round(ap, 6) AS value FROM unk")
+    union_sql = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH {bm25_search_ctes(IR_QUERY_TERMS, k)},
+retrieved AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {k}),
+qrels AS (
+  SELECT q.query_id, tf.doc_id, least(3, tf.tf) AS grade
+  FROM tf JOIN (SELECT query_id, query_text AS term FROM {queries_values_sql(IR_QUERY_TERMS)}) q USING (term)
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_relevant FROM qrels WHERE grade > 0 GROUP BY query_id),
+j AS (
+  SELECT r.query_id, r.doc_id, r.rank, coalesce(qr.grade, 0) AS grade,
+         CASE WHEN coalesce(qr.grade, 0) > 0 THEN 1 ELSE 0 END AS rel
+  FROM retrieved r LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+),
+jc AS (
+  SELECT *, sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+  FROM j
+),
+unk AS (
+  SELECT a.query_id,
+         coalesce(a.mrr_raw, 0.0) AS mrr,
+         CASE WHEN n.n_relevant > 0 THEN coalesce(a.ap_num, 0.0) / n.n_relevant ELSE 0.0 END AS ap
+  FROM (SELECT query_id,
+               max(CASE WHEN rel = 1 THEN 1.0 / rank END) AS mrr_raw,
+               sum(CASE WHEN rel = 1 THEN cum_hits::DOUBLE / rank END) AS ap_num
+        FROM jc GROUP BY query_id) a
+  LEFT JOIN nrel n USING (query_id)
+),{",".join(per_k_blocks)}
+{union_sql}"""
+
+
+def q_ir_metrics_agg(k_values: tuple[int, ...] = (5, 10), k: int = 10) -> str:
+    inner = q_ir_metrics(k_values, k)
+    return (
+        "SELECT metric, k, round(avg(value), 6) AS value FROM ("
+        + inner.replace("round(precision, 6) AS value", "precision AS value")
+               .replace("round(recall, 6) AS value", "recall AS value")
+               .replace("round(ndcg, 6) AS value", "ndcg AS value")
+               .replace("round(mrr, 6) AS value", "mrr AS value")
+               .replace("round(ap, 6) AS value", "ap AS value")
+        + ") GROUP BY metric, k"
+    )
+
+
+def q_dedup_exact() -> str:
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()}
+SELECT sha256(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+FROM aug_docs GROUP BY sha256(text) HAVING count(*) > 1"""
+
+
+def q_ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{shingle_ctes("aug_docs", n).lstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_shingles AS na, b.n_shingles AS nb,
+         count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+)
+SELECT doc_a, doc_b, round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}"""
+
+
+def q_minhash_lsh(num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{shingle_ctes("aug_docs", n).lstrip()},
+sig AS (
+  SELECT doc_id, seed, min({hash60_expr("seed || ':' || shingle")}) AS minhash
+  FROM (SELECT doc_id, shingle, unnest(range(0, {num_hashes})) AS seed FROM sh)
+  GROUP BY doc_id, seed
+),
+banded AS (
+  SELECT doc_id, (seed // {rows_per_band})::INT AS band,
+         array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash::VARCHAR)), ',') AS band_key
+  FROM sig GROUP BY doc_id, (seed // {rows_per_band})::INT
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_shingles AS na, b.n_shingles AS nb,
+         count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, i.n_common::DOUBLE / (i.na + i.nb - i.n_common) AS jaccard
+  FROM candidates c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def q_simhash_signatures(bits: int = 60) -> str:
+    return f"""
+WITH wtok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+),
+tokf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf,
+         {hash60_expr("token")} AS h
+  FROM (SELECT doc_id, unnest(toks) AS token FROM wtok)
+  GROUP BY doc_id, token
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM (SELECT doc_id, tf, h, unnest(range(0, {bits})) AS bit FROM tokf)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM per_bit GROUP BY doc_id"""
+
+
+def q_embedding_dups(threshold: float = 0.99) -> str:
+    return f"""
+WITH {AUGMENTED_EMB_CTE.lstrip()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cosine_expr("a.v", "b.v")}, 6) AS cos
+FROM aug_emb a CROSS JOIN aug_emb b
+WHERE a.vec_id < b.vec_id AND {cosine_expr("a.v", "b.v")} >= {threshold}"""
+
+
+def q_knn_bruteforce(k: int = 5) -> str:
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, corpus.vec_id, {cosine_expr("corpus.v", "q.qv")} AS cos
+  FROM corpus CROSS JOIN q
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
+def _hyperplane_literals(dim: int, nbits: int) -> list[str]:
+    """Python-side replay of similarity._hyperplane: hash60('hp:b:j')
+    scaled by /2^59 - 1. md5 is identical everywhere, so these literals
+    equal the Spark-computed values bit-for-bit."""
+    import hashlib
+
+    planes = []
+    for b in range(nbits):
+        comps = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"hp:{b}:{j}".encode()).hexdigest()[:15], 16)
+            comps.append(repr(h / float(2 ** 59) - 1.0))
+        planes.append("[" + ", ".join(comps) + "]")
+    return planes
+
+
+def q_knn_lsh(k: int = 5, dim: int = 64, nbits: int = 8) -> str:
+    planes = _hyperplane_literals(dim, nbits)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[b]}) > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    qsig_terms = sig_terms.replace("list_dot_product(v,", "list_dot_product(qv,")
+    probes = "[qbucket] || [xor(qbucket, (1::BIGINT << b)) for b in range(0, %d)]" % nbits
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10
+),
+cb AS (SELECT vec_id, v, ({sig_terms})::BIGINT AS bucket FROM corpus),
+q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+qb AS (SELECT query_id, qv, ({qsig_terms})::BIGINT AS qbucket FROM q0),
+qp AS (SELECT query_id, qv, unnest({probes}) AS bucket FROM qb),
+scored AS (
+  SELECT qp.query_id, cb.vec_id, {cosine_expr("cb.v", "qp.qv")} AS cos
+  FROM cb JOIN qp USING (bucket)
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""

@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every entry in __spark_entry__.queries() at a given SF and compares
+against oracle_sql() via DuckDB: row count, column names, and exact
+sorted-row equality (with a small float report). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from semantik_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"SCHEMA cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        problems.append(f"ROWS spark={len(sdf)} oracle={len(odf)}")
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) == len(o):
+        for c in s.columns:
+            sc, oc = s[c], o[c]
+            try:
+                if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(oc):
+                    a = pd.to_numeric(sc, errors="coerce")
+                    b = pd.to_numeric(oc, errors="coerce")
+                    diff = (a - b).abs().max()
+                    if not ((a.isna() == b.isna()).all()):
+                        problems.append(f"col {c}: NULL pattern differs")
+                    elif diff and diff > 0:
+                        problems.append(f"col {c}: max |diff|={diff}")
+                else:
+                    eq = (sc.astype(str).fillna("\0") == oc.astype(str).fillna("\0")).all()
+                    if not eq:
+                        bad = (sc.astype(str) != oc.astype(str)).idxmax()
+                        problems.append(f"col {c}: mismatch e.g. row {bad}: {sc[bad]!r} vs {oc[bad]!r}")
+            except Exception as e:
+                problems.append(f"col {c}: compare error {e}")
+    return "; ".join(problems) if problems else ""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not a.startswith("/")]
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = entrymod.queries()
+    oqs = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc(limit=8)
+            n_fail += 1
+            continue
+        if name not in oqs:
+            print(f"pass {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            odf = con.sql(oqs[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR {str(e)[:300]}")
+            n_fail += 1
+            continue
+        msg = compare(name, sdf, odf)
+        if msg:
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"pass {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+
+
+if __name__ == "__main__":
+    main()
