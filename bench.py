@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query numbers are full-action wall times (plan + execute + count),
+cache dropped between queries. BASELINE.md comparable: amortized
+per-query search latency = hybrid_rrf wall / 4 queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from semantik_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "join_revenue",
+    "events_tumbling",
+    "user_sessions",
+    "bm25_postings",
+    "bm25_search",
+    "dense_mock_search",
+    "hybrid_rrf",
+    "ir_metrics",
+    "knn_bruteforce",
+    "knn_lsh",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "chunk_character",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/parquet-footer caches with one tiny action so the
+    # first measured query doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        results[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     """Exact pairwise Jaccard over docs sharing ≥1 shingle:
     doc_a, doc_b (a<b), jaccard. |A∩B| from the shingle equi-join;
     |A∪B| = |A|+|B|−|A∩B|."""
-    s = shingle_sets(docs, n, id_col, text_col)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
     inter = (
@@ -112,14 +113,27 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     ngram_jaccard_pairs, with P[miss] = (1−j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # the exploded shingle set feeds three consumers (signatures + both
+    # verification sides) — materialize it once; at cluster scale this
+    # would be a checkpointed intermediate table. Repartition the *docs*
+    # (before the CPU-bound shingle/hash expressions) so every core
+    # works even when the input is a single small file.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    s = shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = (
+        s.select("doc_id", F.explode(seeds).alias("seed"), "shingle")
+        .withColumn("h", hash60(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
     banded = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.concat_ws(",", F.array_sort(F.collect_list(
             F.concat_ws(":", F.col("seed"), F.col("minhash"))
         ))).alias("band_key"))
-    )
+    ).persist()  # feeds both sides of the candidate self-join
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     candidates = (
@@ -128,9 +142,25 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold=0.0, id_col=id_col, text_col=text_col)
+    # exact-verify ONLY the candidate pairs (this is the entire point of
+    # LSH): restrict both shingle-set sides to candidate docs via
+    # semi-joins, then equi-join on shingle within the candidate pairs.
+    sa = s.join(candidates.select("doc_a").distinct(),
+                s.doc_id == F.col("doc_a"), "left_semi") \
+        .select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
+    sb = s.join(candidates.select("doc_b").distinct(),
+                s.doc_id == F.col("doc_b"), "left_semi") \
+        .select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        inter.withColumn(
+            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from semantik_spark.functions.hashing import hash60
 from semantik_spark.functions.vectors import cosine
 
 
@@ -47,9 +46,14 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _hyperplane(dim: int, bit: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j of plane b is
-    hash60('hp:b:j') scaled to [-1,1]. Replayable in SQL."""
+    hash60('hp:b:j') scaled to [-1,1] — computed driver-side with
+    hashlib.md5 (bit-identical to the SQL hash60, so the DuckDB oracle
+    replays it) and emitted as a literal array, keeping the plan small."""
+    import hashlib
+
     return F.array(*[
-        (hash60(F.lit(f"hp:{bit}:{j}")) / F.lit(float(2 ** 59)) - 1.0)
+        F.lit(int(hashlib.md5(f"hp:{bit}:{j}".encode()).hexdigest()[:15], 16)
+              / float(2 ** 59) - 1.0)
         for j in range(dim)
     ])
 
