@@ -203,18 +203,29 @@ def markdown_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[
 
     out: list[dict[str, Any]] = []
     buf_crumb, buf = "", ""
+
+    def emit(content: str, crumb: str) -> None:
+        # a single section over budget falls back to the recursive
+        # splitter (markdown_strategy.py groups sections to the token
+        # budget and re-splits oversized ones)
+        if len(content) > chunk_size:
+            for piece in recursive_chunk_doc(content, chunk_size):
+                out.append({"content": piece, "breadcrumb": crumb})
+        else:
+            out.append({"content": content, "breadcrumb": crumb})
+
     for crumb, sec in sections:
         block = (f"[{crumb}]\n{sec}" if crumb else sec).strip()
         if not block:
             continue
         if buf and len(buf) + len(block) + 1 > chunk_size:
-            out.append({"content": buf, "breadcrumb": buf_crumb})
+            emit(buf, buf_crumb)
             buf, buf_crumb = block, crumb
         else:
             buf = f"{buf}\n{block}" if buf else block
             buf_crumb = buf_crumb or crumb
     if buf:
-        out.append({"content": buf, "breadcrumb": buf_crumb})
+        emit(buf, buf_crumb)
     for i, c in enumerate(out):
         c["chunk_index"] = i
         c["token_count"] = (len(c["content"]) + 3) // 4

@@ -1,0 +1,89 @@
+"""BM25 math parity — hand-computed values for the reference formulas
+(bm25_sparse_indexer.py: idf :593-617, doc weight :619-670, query
+encode :414-464, tokenizer :516-543, k1=1.5 b=0.75 :54-55)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from semantik_spark.config import BM25_B, BM25_K1
+from semantik_spark.operators import bm25
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # After stopword removal ("the", "over", "a" are stopwords):
+    #   d1: quick brown fox jumps lazy dog            (len 6)
+    #   d2: quick brown fox                           (len 3)
+    #   d3: databases storage engines                 (len 3)
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox"),
+            (3, "databases storage engines"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_tokenizer_stopwords_and_minlen(spark):
+    df = spark.createDataFrame([(1, "The cat-dog sat on a mat I x7")], ["doc_id", "text"])
+    toks = bm25.tokenize(df).collect()[0]["tokens"]
+    # "the","on","a" stopped; "i" below min length 2; hyphenated kept whole
+    assert toks == ["cat-dog", "sat", "mat", "x7"]
+
+
+def test_corpus_stats(corpus):
+    row = bm25.corpus_stats(bm25.tokenize(corpus)).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["avgdl"] == pytest.approx((6 + 3 + 3) / 3)
+
+
+def test_idf_formula(corpus):
+    tok = bm25.tokenize(corpus)
+    idf = {r["term"]: r["idf"] for r in bm25.term_stats(tok).collect()}
+    # df(quick)=2, N=3 → ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    assert idf["quick"] == pytest.approx(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1))
+    # df(jumps)=1 → ln((3-1+0.5)/(1+0.5)+1) = ln(8/3)
+    assert idf["jumps"] == pytest.approx(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1))
+
+
+def test_doc_weight_formula(corpus):
+    tok = bm25.tokenize(corpus)
+    stats = bm25.corpus_stats(tok)
+    terms = bm25.term_stats(tok)
+    post = bm25.postings(tok, terms, stats)
+    w = {(r["doc_id"], r["term"]): r["weight"] for r in post.collect()}
+    avgdl = 4.0
+    idf_jumps = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    # d1 len 6, tf(jumps)=1
+    expect = idf_jumps * (1 * (BM25_K1 + 1)) / (1 + BM25_K1 * (1 - BM25_B + BM25_B * 6 / avgdl))
+    assert w[(1, "jumps")] == pytest.approx(expect)
+
+
+def test_query_weight_is_tf_times_idf(spark, corpus):
+    tok = bm25.tokenize(corpus)
+    terms = bm25.term_stats(tok)
+    q = spark.createDataFrame([("q1", "quick quick unknownterm")], ["query_id", "query_text"])
+    enc = {r["term"]: r["q_weight"] for r in bm25.encode_queries(q, terms).collect()}
+    idf_quick = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    assert enc["quick"] == pytest.approx(2 * idf_quick)
+    assert "unknownterm" not in enc  # unknown terms skipped (:444-452)
+
+
+def test_search_ranks_matching_doc_first(spark, corpus):
+    q = spark.createDataFrame([("q1", "databases storage")], ["query_id", "query_text"])
+    rows = bm25.search(corpus, q, k=5).collect()
+    assert rows[0]["doc_id"] == 3 and rows[0]["rank"] == 1
+    assert all(r["query_id"] == "q1" for r in rows)
+
+
+def test_sparse_vector_ordering(corpus):
+    tok = bm25.tokenize(corpus)
+    post = bm25.postings(tok, bm25.term_stats(tok), bm25.corpus_stats(tok))
+    sv = bm25.sparse_vectors(post).collect()
+    for r in sv:
+        assert r["sparse_indices"] == sorted(r["sparse_indices"])  # :664-670
+        assert len(r["sparse_indices"]) == len(r["sparse_values"])

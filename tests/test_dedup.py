@@ -1,0 +1,86 @@
+"""Dedup family: exact hash groups, n-gram Jaccard, MinHash-LSH recall
+vs exact, SimHash hamming, embedding cosine dups."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantik_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+
+def test_exact_duplicates_groups(docs):
+    groups = exact_duplicates(docs).collect()
+    # docs 1 and 2 are byte-identical → one group of 2, keeper = min id
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 2 and g["keep_doc_id"] == 1
+
+
+def test_ngram_jaccard_finds_neardup_pair(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # identical text
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] < 1  # near-dup overlaps
+    assert (1, 4) not in pairs  # no shared shingles → never a candidate
+
+
+def test_jaccard_value_hand_computed(spark):
+    # shingles(a) = {"x y z","y z w"}; shingles(b) = {"x y z","y z q"}
+    # intersection 1, union 3 → jaccard 1/3
+    df = spark.createDataFrame([(1, "x y z w"), (2, "x y z q")], ["doc_id", "text"])
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_minhash_lsh_catches_exact_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3, threshold=0.9).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+
+
+def test_minhash_lsh_jaccard_matches_exact(docs):
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3, threshold=0.2).collect()}
+    # LSH verifies candidates with the SAME exact jaccard — any pair it
+    # emits must carry the exact value (it may miss pairs, never invent)
+    for pair, j in lsh.items():
+        assert exact[pair] == pytest.approx(j)
+
+
+def test_simhash_identical_docs_equal_signature(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_pairs_hamming(docs):
+    rows = simhash_pairs(docs, max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert found[(1, 2)] == 0
+
+
+def test_embedding_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),       # identical → cos 1
+            (3, [0.999, 0.04, 0.0]),    # near-identical
+            (4, [0.0, 1.0, 0.0]),       # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+             embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs
+    assert all(b != 4 and a != 4 for a, b in pairs)

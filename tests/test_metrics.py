@@ -1,0 +1,113 @@
+"""IR metric goldens — the reference's docstring examples are the spec
+(shared/benchmarks/metrics.py:64-65 P@5=0.6, :124-125 MRR=1/3,
+:182-183 nDCG=0.936, :218-219 AP=0.75, recall example :95-96)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from semantik_spark.operators.metrics import aggregate_metrics, collapse_chunks, evaluate
+
+
+def _retrieved(spark, docs):
+    return spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate(docs, start=1)],
+        ["query_id", "doc_id", "rank"],
+    )
+
+
+def _qrels(spark, grades: dict[str, int]):
+    return spark.createDataFrame(
+        [("q1", d, g) for d, g in grades.items()], ["query_id", "doc_id", "grade"]
+    )
+
+
+def _metric(rows, metric, k=None):
+    for r in rows:
+        if r["metric"] == metric and (k is None or r["k"] == k):
+            return r["value"]
+    raise KeyError((metric, k))
+
+
+def test_precision_at_5(spark):
+    # metrics.py:64-65 — ['a','b','c','d','e'] vs {'a','c','e'} → P@5 = 0.6
+    ret = _retrieved(spark, ["a", "b", "c", "d", "e"])
+    qrels = _qrels(spark, {"a": 1, "c": 1, "e": 1})
+    rows = evaluate(ret, qrels, (5,)).collect()
+    assert _metric(rows, "precision", 5) == pytest.approx(0.6)
+
+
+def test_recall_at_5(spark):
+    # metrics.py:95-96 — {'a','c','f'} relevant, 2 of 3 found → 0.667
+    ret = _retrieved(spark, ["a", "b", "c", "d", "e"])
+    qrels = _qrels(spark, {"a": 1, "c": 1, "f": 1})
+    rows = evaluate(ret, qrels, (5,)).collect()
+    assert _metric(rows, "recall", 5) == pytest.approx(2 / 3)
+
+
+def test_mrr_first_relevant_rank3(spark):
+    # metrics.py:124-125 — first relevant at rank 3 → 1/3
+    ret = _retrieved(spark, ["a", "b", "c"])
+    qrels = _qrels(spark, {"c": 1})
+    rows = evaluate(ret, qrels, (3,)).collect()
+    assert _metric(rows, "mrr") == pytest.approx(1 / 3)
+
+
+def test_ndcg_golden(spark):
+    # metrics.py:182-183 example; NOTE the reference docstring says 0.936
+    # but its own code returns 0.97250449 (verified by executing
+    # ndcg_at_k(['a','b','c'], {'a':3,'b':1,'c':2}, k=3)) — we match the
+    # code, not the stale docstring.
+    ret = _retrieved(spark, ["a", "b", "c"])
+    qrels = _qrels(spark, {"a": 3, "b": 1, "c": 2})
+    rows = evaluate(ret, qrels, (3,)).collect()
+    dcg = 3 / math.log2(2) + 1 / math.log2(3) + 2 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert _metric(rows, "ndcg", 3) == pytest.approx(dcg / idcg)
+    assert _metric(rows, "ndcg", 3) == pytest.approx(0.9725044904464192)
+
+
+def test_average_precision(spark):
+    # metrics.py:218-219 example — docstring says 0.75 but the math it
+    # quotes ((1/1 + 2/3) / 2) and the reference's executed code both
+    # give 0.8333…; we match the code.
+    ret = _retrieved(spark, ["a", "b", "c", "d"])
+    qrels = _qrels(spark, {"a": 1, "c": 1})
+    rows = evaluate(ret, qrels, (4,)).collect()
+    assert _metric(rows, "ap") == pytest.approx(5 / 6)
+
+
+def test_no_relevant_docs_all_zero(spark):
+    ret = _retrieved(spark, ["a", "b"])
+    qrels = _qrels(spark, {"z": 1}).where("doc_id = 'never'")  # empty qrels
+    rows = evaluate(ret, qrels, (5,)).collect()
+    for m in ("precision", "recall", "ndcg"):
+        assert _metric(rows, m, 5) == 0.0
+    assert _metric(rows, "mrr") == 0.0
+    assert _metric(rows, "ap") == 0.0
+
+
+def test_collapse_chunks_first_hit(spark):
+    # W4 (metrics.py:12-41): best chunk per doc survives, dense re-rank
+    chunks = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d1", 3), ("q1", "d3", 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    out = {r["doc_id"]: r["rank"] for r in collapse_chunks(chunks).collect()}
+    assert out == {"d1": 1, "d2": 2, "d3": 3}
+
+
+def test_aggregate_means(spark):
+    ret = spark.createDataFrame(
+        [("q1", "a", 1), ("q2", "b", 1)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1), ("q2", "zzz", 1)], ["query_id", "doc_id", "grade"]
+    )
+    agg = aggregate_metrics(evaluate(ret, qrels, (1,))).collect()
+    vals = {(r["metric"], r["k"]): r["value"] for r in agg}
+    # q1 P@1=1, q2 P@1=0 → mean 0.5
+    assert vals[("precision", 1)] == pytest.approx(0.5)
+    assert vals[("mrr", None)] == pytest.approx(0.5)

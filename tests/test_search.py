@@ -1,0 +1,73 @@
+"""Dense/hybrid search: RRF formula parity (sparse_search.py:21-63,
+rrf_k=60), mock embedder determinism (dense_search.py:19-44), filters
+F3/F5, top-k tie-breaking."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantik_spark.config import RRF_K
+from semantik_spark.functions.vectors import mock_embedding
+from semantik_spark.operators.search import (
+    dense_search,
+    hybrid_search,
+    mock_dense_search,
+    rrf_fuse,
+)
+from pyspark.sql import functions as F
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "doc_id", "score", "rank"])
+
+
+def test_rrf_formula_both_branches(spark):
+    dense = _ranked(spark, [("q", "a", 0.9, 1), ("q", "b", 0.8, 2)])
+    sparse = _ranked(spark, [("q", "b", 5.0, 1), ("q", "c", 4.0, 2)])
+    out = {r["doc_id"]: r for r in rrf_fuse(dense, sparse, k=10).collect()}
+    assert out["a"]["score"] == pytest.approx(1 / (RRF_K + 1))
+    assert out["b"]["score"] == pytest.approx(1 / (RRF_K + 2) + 1 / (RRF_K + 1))
+    assert out["c"]["score"] == pytest.approx(1 / (RRF_K + 2))
+    # b appears in both branches → highest fused score
+    assert out["b"]["rank"] == 1
+    # branch diagnostics survive the join (sparse_search.py:50-57)
+    assert out["a"]["sparse_rank"] is None and out["a"]["dense_rank"] == 1
+    assert out["c"]["dense_score"] is None and out["c"]["sparse_score"] == pytest.approx(4.0)
+
+
+def test_mock_embedding_deterministic_and_normalized(spark):
+    df = spark.createDataFrame([("hello",), ("hello",), ("world",)], ["text"])
+    vecs = df.select(mock_embedding("text").alias("v")).collect()
+    assert vecs[0]["v"] == vecs[1]["v"]
+    assert vecs[0]["v"] != vecs[2]["v"]
+    norm = sum(x * x for x in vecs[0]["v"])
+    assert norm == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dense_search_self_match(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame([("q1", "gamma delta")], ["query_id", "query_text"])
+    rows = mock_dense_search(docs, queries, k=3).collect()
+    # identical text → identical mock vector → cosine 1.0 at rank 1
+    assert rows[0]["doc_id"] == 2
+    assert rows[0]["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dense_search_topk_and_tiebreak(spark):
+    vec = [1.0, 0.0]
+    index = spark.createDataFrame([(i, vec) for i in range(5)], ["doc_id", "embedding"])
+    q = spark.createDataFrame([("q", vec)], ["query_id", "query_vec"])
+    rows = dense_search(index, q, k=3).collect()
+    # all scores tie at 1.0 → doc_id ascending tie-break, exactly k rows
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+
+
+def test_hybrid_threshold_filter(spark, docs):
+    queries = spark.createDataFrame([("q1", "quick brown fox")], ["query_id", "query_text"])
+    all_rows = hybrid_search(docs, queries, k=10).collect()
+    thr = sorted((r["score"] for r in all_rows), reverse=True)[1]
+    kept = hybrid_search(docs, queries, k=10, score_threshold=thr + 1e-12).collect()
+    assert len(kept) == 1  # F3: strictly-below-threshold rows dropped
+    assert all(r["doc_id"] is not None for r in kept)  # F5 guard

@@ -1,0 +1,57 @@
+"""Similarity search: brute-force kNN exactness, LSH recall bound."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from semantik_spark.functions.vectors import cosine, l2_normalize
+from semantik_spark.operators.similarity import knn_bruteforce, knn_lsh
+from pyspark.sql import functions as F
+
+
+def test_cosine_function(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    vals = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert vals[0] == pytest.approx(0.0)
+    assert vals[1] == pytest.approx(1.0)
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    v = df.select(l2_normalize("v").alias("n")).collect()[0]["n"]
+    assert v == pytest.approx([0.6, 0.8])
+
+
+def test_knn_bruteforce_exact(spark):
+    # corpus on axes; query near the x axis → nearest is doc 0
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7]), (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(100, [0.9, 0.1])], ["query_id", "query_vec"])
+    rows = knn_bruteforce(corpus, q, k=2).collect()
+    assert [r["vec_id"] for r in rows] == [0, 2]
+    expected = (0.9) / (math.hypot(0.9, 0.1) * 1.0)
+    assert rows[0]["cos"] == pytest.approx(expected)
+
+
+def test_knn_lsh_subset_of_bruteforce(spark):
+    import random
+
+    rng = random.Random(42)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(dim)])], ["query_id", "query_vec"]
+    )
+    exact = {(r["query_id"], r["vec_id"]): r["cos"] for r in knn_bruteforce(corpus, q, k=50).collect()}
+    lsh = knn_lsh(corpus, q, k=5, dim=dim, nbits=4).collect()
+    assert 0 < len(lsh) <= 5
+    # every LSH hit carries the true cosine (scores never invented)
+    for r in lsh:
+        assert exact[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"])

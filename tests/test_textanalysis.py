@@ -1,0 +1,60 @@
+"""Text-analysis operators: language ID, quality features, token counts,
+fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantik_spark.operators.textanalysis import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in that garden for sure"),
+            (2, "der Hund und die Katze ist von dem Haus mit für auf ein"),
+            (3, "el perro y la casa de los árboles que en las por del"),
+            (4, "le chien et la maison de les arbres est un une pour des"),
+            (5, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "unknown"}
+
+
+def test_quality_features_values(spark):
+    text = "the cat sat on the mat"  # 22 chars, 6 words
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["n_chars"] == 22 and r["n_words"] == 6
+    assert r["avg_word_len"] == pytest.approx(22 / 6)
+    assert r["punct_ratio"] == 0.0 and r["digit_ratio"] == 0.0
+    # stopwords: the, on, the → 3/6
+    assert r["stopword_ratio"] == pytest.approx(0.5)
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_quality_empty_doc_is_zeroish(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = quality_features(df).collect()[0]
+    assert r["n_words"] == 0 and r["quality_score"] < 0.75
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This has five tokens")], ["doc_id", "text"])
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 6
+    assert r["re_tokens"] == 6
+    assert r["est_tokens"] == -(-r["n_chars"] // 4)
+
+
+def test_fingerprint_equal_for_identical_docs(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, n=3).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
