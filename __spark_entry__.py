@@ -20,11 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantik_spark import oracles
-from semantik_spark.functions.hashing import content_hash
-from semantik_spark.operators import bm25, chunking, dedup, metrics, search, similarity, textanalysis
+from semantik_spark.functions.hashing import content_hash, hash60
+from semantik_spark.operators import bm25, chunking, dedup, metrics, rerank, search, similarity, textanalysis
+from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
 from semantik_spark.plans.predicates import compile_predicate
-from semantik_spark.streaming.windows import sessionize, tumbling_counts
+from semantik_spark.streaming.windows import sessionize, sliding_counts, tumbling_counts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -372,6 +373,111 @@ def q_incremental_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+W3: hybrid first stage at candidate_k, token-overlap mock
+    cross-encoder rerank back to k."""
+    res = rerank.search_with_rerank(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10
+    )
+    return _r6(res, "rerank_score")
+
+
+def q_multi_collection_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: per-collection mock-dense search → union → global top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    colls = {
+        "colA": docs.where(F.col("doc_id") % 2 == 0),
+        "colB": docs.where(F.col("doc_id") % 2 == 1),
+    }
+    res = rerank.multi_collection_search(
+        colls, _queries_df(spark, SEARCH_QUERIES), k=10,
+        search_fn=lambda d, q, kk: search.mock_dense_search(d, q, k=kk),
+    )
+    return _r6(res, "score")
+
+
+def q_chunk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 first-hit chunk→doc collapse over a deterministic pseudo
+    retrieval (hash-ranked fixed chunks)."""
+    chunks = chunking.fixed_chunks(_t(spark, sf_dir, "documents"), chunk_size=200, overlap=50)
+    qs = _queries_df(spark, IR_QUERY_TERMS).select("query_id")
+    scored = chunks.select("doc_id", "chunk_id").crossJoin(F.broadcast(qs)).withColumn(
+        "h", hash60(F.concat_ws("#", "query_id", "chunk_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("chunk_id"))
+    retrieved = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "chunk_id", "rank")
+    )
+    return metrics.collapse_chunks(retrieved).select(
+        "query_id", "doc_id", "chunk_id", "rank"
+    )
+
+
+def q_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 content sniffers as derived columns."""
+    return sniff_columns(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "is_code", "is_json", "is_xml", "is_yaml", "is_csv", "detected_format"
+    )
+
+
+def q_config_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 benchmark config-matrix expansion: cartesian of literal axes
+    (models.py:1570-1576). Built as explode chains on a single row —
+    a crossJoin of three 32-partition literal DataFrames would schedule
+    32^3 tasks for 12 rows."""
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit("modelA"), F.lit("modelB"))).alias("model"))
+        .select("model", F.explode(F.array(
+            F.lit("float32"), F.lit("float16"), F.lit("int8"))).alias("quantization"))
+        .select("model", "quantization", F.explode(F.array(F.lit(5), F.lit(10))).alias("k"))
+    )
+
+
+def q_collection_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 collection counters refresh: per-source document_count /
+    total_size_bytes (models.py:281-287)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("document_count"),
+            F.sum("n_chars").cast("bigint").alias("total_size_bytes"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = sliding_counts(ev, length_minutes=10, slide_minutes=5)
+    return out.select(
+        F.unix_micros("window_start").alias("bucket_us"), "event_type", "n"
+    )
+
+
+def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.semantic_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=300
+    ).select("doc_id", "chunk_id", "chunk_index", "content",
+             "start_offset", "end_offset", "token_count", "total_chunks")
+
+
+def q_chunk_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.hierarchical_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=400, levels=2
+    ).select("doc_id", "chunk_id", "chunk_index", "content", "level",
+             "parent_index", "parent_chunk_id", "token_count")
+
+
+def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.hybrid_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=300, overlap=60
+    ).select("doc_id", "chunk_id", "chunk_index", "content", "strategy",
+             "token_count", "total_chunks")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -414,14 +520,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        # rerank / composition
+        "rerank_search": q_rerank_search,
+        "multi_collection_dense": q_multi_collection_dense,
+        "chunk_collapse": q_chunk_collapse,
         # chunking / pipeline
         "chunk_fixed": q_chunk_fixed,
         "chunk_character": q_chunk_character,
         "chunk_recursive": q_chunk_recursive,
         "chunk_markdown": q_chunk_markdown,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_hierarchical": q_chunk_hierarchical,
+        "chunk_hybrid": q_chunk_hybrid,
         "sparse_vectors": q_sparse_vectors,
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
+        "sniff_formats": q_sniff_formats,
+        # ops / bookkeeping
+        "config_matrix": q_config_matrix,
+        "collection_counters": q_collection_counters,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -491,6 +609,30 @@ FROM sess GROUP BY user_id, session_id""",
         "dedup_embedding": oracles.q_embedding_dups(0.99),
         "knn_bruteforce": oracles.q_knn_bruteforce(5),
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
+        "rerank_search": oracles.q_rerank_search(10),
+        "multi_collection_dense": oracles.q_multi_collection_dense(10),
+        "chunk_collapse": oracles.q_chunk_collapse(20),
+        "sniff_formats": _ORACLE_SNIFF,
+        "config_matrix": """
+SELECT model, quantization, k FROM (VALUES ('modelA'), ('modelB')) m(model)
+CROSS JOIN (VALUES ('float32'), ('float16'), ('int8')) q(quantization)
+CROSS JOIN (VALUES (5), (10)) kk(k)""",
+        "collection_counters": """
+SELECT source, count(*)::BIGINT AS document_count,
+       sum(n_chars)::BIGINT AS total_size_bytes
+FROM documents GROUP BY source""",
+        "events_sliding": """
+WITH slid AS (
+  SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP))::BIGINT AS b0,
+         event_type, ts
+  FROM events
+), expanded AS (
+  SELECT b0 AS bucket_us, event_type FROM slid
+  UNION ALL
+  SELECT b0 - 300000000 AS bucket_us, event_type FROM slid
+)
+SELECT bucket_us, event_type, count(*)::BIGINT AS n
+FROM expanded GROUP BY bucket_us, event_type""",
         "text_lang_id": _ORACLE_LANG_ID,
         "text_quality": _ORACLE_QUALITY,
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
@@ -576,6 +718,46 @@ SELECT doc_id, n_chars, n_words,
          + 0.1 * (1.0 - least(digit_ratio * 4.0, 1.0))
          + 0.1 * least(stopword_ratio * 2.0, 1.0), 6) AS quality_score
 FROM feat"""
+
+# regex strings shared verbatim with operators/sniff.py (Java regex and
+# RE2 agree on these constructs; no lookaround, no multiline flags)
+_SNIFF_SHEBANG = r"^#!(/usr)?/bin/"
+_SNIFF_CODE = (
+    r"(^|\n)\s*(def |class |import |from \w+ import |function |const |var |let )"
+    r"|(;\s*\n.*;\s*\n)|(\{\s*\n[^}]*\n\s*\})"
+)
+
+_ORACLE_SNIFF = f"""
+WITH s AS (
+  SELECT doc_id, text, trim(text) AS tt,
+         string_split(text, chr(10)) AS all_lines
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         (regexp_matches(text, '{_SNIFF_SHEBANG}')
+          OR regexp_matches(text, '{_SNIFF_CODE}')) AS is_code,
+         (regexp_matches(tt, '^[[{{]') AND regexp_matches(tt, '[\\]}}]$')
+          AND json_valid(tt)) AS is_json,
+         (regexp_matches(tt, '^<\\??[A-Za-z!]') AND regexp_matches(tt, '>$')) AS is_xml,
+         len(list_filter(all_lines,
+             ln -> regexp_matches(ln, '^\\s*([A-Za-z_][\\w\\-]*:\\s|- )')))::DOUBLE AS yamlish,
+         len(list_filter(all_lines, ln -> length(trim(ln)) > 0))::DOUBLE AS nonempty,
+         list_filter(all_lines, ln -> length(trim(ln)) > 0) AS lines
+  FROM s
+), p2 AS (
+  SELECT doc_id, is_code, is_json, is_xml,
+         (nonempty > 0 AND yamlish / nonempty >= 0.5 AND NOT is_json) AS is_yaml,
+         (len(lines) >= 2
+          AND list_min(list_transform(lines, ln -> len(string_split(ln, ',')) - 1)) >= 1
+          AND list_min(list_transform(lines, ln -> len(string_split(ln, ',')) - 1))
+            = list_max(list_transform(lines, ln -> len(string_split(ln, ',')) - 1))) AS is_csv
+  FROM p
+)
+SELECT doc_id, is_code, is_json, is_xml, is_yaml, is_csv,
+       CASE WHEN is_json THEN 'json' WHEN is_xml THEN 'xml'
+            WHEN is_csv THEN 'csv' WHEN is_yaml THEN 'yaml'
+            WHEN is_code THEN 'code' ELSE 'text' END AS detected_format
+FROM p2"""
 
 _ORACLE_TOKEN_COUNTS = f"""
 SELECT doc_id,

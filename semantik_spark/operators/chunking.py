@@ -232,9 +232,212 @@ def markdown_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[
     return out
 
 
+_SENTENCE_SPLIT_MARKS = (". ", "! ", "? ", "\n")
+
+
+def _split_sentences(text: str) -> list[dict[str, Any]]:
+    """Sentence segmentation with offsets (semantic_strategy.py:520-565
+    behavior: split on terminal punctuation + newline)."""
+    out: list[dict[str, Any]] = []
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        hit = None
+        for mark in _SENTENCE_SPLIT_MARKS:
+            if text.startswith(mark, i):
+                hit = mark
+                break
+        if hit:
+            end = i + len(hit)
+            seg = text[start:end]
+            if seg.strip():
+                out.append({"text": seg, "start_offset": start, "end_offset": end})
+            start = end
+            i = end
+        else:
+            i += 1
+    if start < n and text[start:].strip():
+        out.append({"text": text[start:], "start_offset": start, "end_offset": n})
+    return out
+
+
+def _word_jaccard(a: str, b: str) -> float:
+    """Word-overlap similarity (semantic_strategy.py:703-728 — the
+    deterministic Jaccard placeholder for the embedding splitter)."""
+    wa, wb = set(a.lower().split()), set(b.lower().split())
+    if not wa or not wb:
+        return 0.0
+    return len(wa & wb) / len(wa | wb)
+
+
+def semantic_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                       similarity_threshold: float = 0.3) -> list[dict[str, Any]]:
+    """K4 semantic strategy kernel: sentences → greedy clustering while
+    adjacent similarity ≥ threshold and budget holds
+    (semantic_strategy.py:566-701); oversized sentences hard-split by
+    words; small trailing clusters merge back (:730-790)."""
+    sentences = _split_sentences(text)
+    if not sentences:
+        return []
+    clusters: list[list[dict[str, Any]]] = []
+    cur: list[dict[str, Any]] = []
+    cur_len = 0
+    for s in sentences:
+        s_len = len(s["text"])
+        if s_len > chunk_size:  # oversized sentence: flush + word-split
+            if cur:
+                clusters.append(cur)
+                cur, cur_len = [], 0
+            words = s["text"].split(" ")
+            buf: list[str] = []
+            off = s["start_offset"]
+            for w in words:
+                cand = (" ".join(buf + [w])) if buf else w
+                if len(cand) > chunk_size and buf:
+                    seg = " ".join(buf)
+                    clusters.append([{"text": seg, "start_offset": off,
+                                      "end_offset": off + len(seg)}])
+                    off += len(seg) + 1
+                    buf = [w]
+                else:
+                    buf.append(w)
+            if buf:
+                seg = " ".join(buf)
+                clusters.append([{"text": seg, "start_offset": off,
+                                  "end_offset": s["end_offset"]}])
+            continue
+        if not cur:
+            cur, cur_len = [s], s_len
+            continue
+        sim = _word_jaccard(cur[-1]["text"], s["text"])
+        if sim >= similarity_threshold and cur_len + s_len <= chunk_size:
+            cur.append(s)
+            cur_len += s_len
+        else:
+            clusters.append(cur)
+            cur, cur_len = [s], s_len
+    if cur:
+        clusters.append(cur)
+    # merge small adjacent clusters up to budget (min cluster ~10% budget)
+    min_len = max(1, chunk_size // 10)
+    merged: list[list[dict[str, Any]]] = []
+    for cl in clusters:
+        cl_len = sum(len(s["text"]) for s in cl)
+        if merged:
+            prev_len = sum(len(s["text"]) for s in merged[-1])
+            if (cl_len < min_len or prev_len < min_len) and prev_len + cl_len <= chunk_size:
+                merged[-1].extend(cl)
+                continue
+        merged.append(cl)
+    out = []
+    for i, cl in enumerate(merged):
+        start, end = cl[0]["start_offset"], cl[-1]["end_offset"]
+        content = text[start:end]
+        out.append({
+            "chunk_index": i, "content": content,
+            "start_offset": start, "end_offset": end,
+            "token_count": (len(content) + 3) // 4,
+        })
+    return out
+
+
+def hierarchical_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                           levels: int = 2) -> list[dict[str, Any]]:
+    """K5 hierarchical strategy kernel: level-0 parents at full budget,
+    each deeper level at budget/2^level (floor 200 chars ≈ 50 tokens,
+    hierarchical_strategy.py:396-428), children linked to the parent
+    whose span contains them. Rows carry level + parent_index."""
+    out: list[dict[str, Any]] = []
+    parents = character_chunk_doc(text, chunk_size=chunk_size, overlap=0)
+    idx = 0
+    parent_ids: list[tuple[int, int, int]] = []  # (chunk_index, start, end)
+    for p in parents:
+        p2 = dict(p, chunk_index=idx, level=0, parent_index=-1)
+        parent_ids.append((idx, p["start_offset"], p["end_offset"]))
+        out.append(p2)
+        idx += 1
+    for level in range(1, levels):
+        size = max(200, chunk_size // (2 ** level))
+        prev_level_ids = [(i, s, e) for (i, s, e) in parent_ids]
+        for (pi, ps, pe) in prev_level_ids:
+            seg = text[ps:pe]
+            for c in character_chunk_doc(seg, chunk_size=size, overlap=0):
+                out.append({
+                    "chunk_index": idx,
+                    "content": c["content"],
+                    "start_offset": ps + c["start_offset"],
+                    "end_offset": ps + c["end_offset"],
+                    "token_count": c["token_count"],
+                    "level": level,
+                    "parent_index": pi,
+                })
+                idx += 1
+        # next level nests under this level's chunks
+        parent_ids = [(r["chunk_index"], r["start_offset"], r["end_offset"])
+                      for r in out if r.get("level") == level]
+    return out
+
+
+_CODE_FENCE = "```"
+
+
+def analyze_content(text: str) -> dict[str, Any]:
+    """K6 content analysis (hybrid_strategy.py:197-315): markdown
+    headers, code fences, structure ratio, avg sentence length."""
+    lines = text.split("\n")
+    n_lines = max(1, len(lines))
+    header_lines = sum(1 for ln in lines if ln.lstrip().startswith("#"))
+    list_lines = sum(1 for ln in lines if ln.lstrip()[:2] in ("- ", "* ", "1."))
+    has_markdown = header_lines >= 2 or (header_lines >= 1 and list_lines >= 2)
+    has_code = text.count(_CODE_FENCE) >= 2
+    structure_ratio = (header_lines + list_lines) / n_lines
+    sentences = _split_sentences(text)
+    avg_sentence_len = (sum(len(s["text"]) for s in sentences) / len(sentences)) if sentences else 0.0
+    return {
+        "has_markdown": has_markdown,
+        "has_code": has_code,
+        "structure_ratio": structure_ratio,
+        "avg_sentence_len": avg_sentence_len,
+    }
+
+
+def hybrid_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                     overlap: int = DEFAULT_CHUNK_OVERLAP) -> list[dict[str, Any]]:
+    """K6 hybrid strategy kernel: analyze → route (markdown/code →
+    markdown strategy; narrative (long sentences) → semantic; else
+    character), per hybrid_strategy.py:316-383's strategy map. Each
+    chunk row records the routed strategy."""
+    a = analyze_content(text)
+    if a["has_markdown"] or a["has_code"]:
+        routed = "markdown"
+        chunks = markdown_chunk_doc(text, chunk_size=chunk_size)
+        # markdown kernel has no offsets; leave -1 sentinels
+        for c in chunks:
+            c.setdefault("start_offset", -1)
+            c.setdefault("end_offset", -1)
+            c.pop("breadcrumb", None)
+    elif a["avg_sentence_len"] > 50:
+        routed = "semantic"
+        chunks = semantic_chunk_doc(text, chunk_size=chunk_size)
+    else:
+        routed = "character"
+        chunks = character_chunk_doc(text, chunk_size=chunk_size, overlap=overlap)
+    for c in chunks:
+        c["strategy"] = routed
+    return chunks
+
+
 def _strategy_to_df(docs: DataFrame, kernel, id_col: str, text_col: str,
+                    extra_cols: list[tuple[str, str, Any]] | None = None,
                     **kw) -> DataFrame:
-    """Run a per-document kernel via mapInPandas, emitting CHUNK_SCHEMA."""
+    """Run a per-document kernel via mapInPandas, emitting CHUNK_SCHEMA
+    (+ optional extra columns as (name, sql_type, default) triples)."""
+    extra = extra_cols or []
+    schema = CHUNK_SCHEMA + "".join(f", {n} {t}" for n, t, _ in extra)
+    base_cols = ["doc_id", "chunk_index", "content",
+                 "start_offset", "end_offset", "token_count"]
+    all_cols = base_cols + [n for n, _, _ in extra]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,24 +460,23 @@ def _strategy_to_df(docs: DataFrame, kernel, id_col: str, text_col: str,
                         off = start + len(c)
                     chunks = norm
                 for c in chunks:
-                    rows.append({
+                    row = {
                         "doc_id": str(doc_id),
                         "chunk_index": c["chunk_index"],
                         "content": c["content"],
                         "start_offset": c.get("start_offset", -1),
                         "end_offset": c.get("end_offset", -1),
                         "token_count": c["token_count"],
-                    })
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "chunk_index", "content",
-                         "start_offset", "end_offset", "token_count"],
-            )
+                    }
+                    for n, _, default in extra:
+                        row[n] = c.get(n, default)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=all_cols)
 
     prepared = docs.select(
         F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_text")
     )
-    out = prepared.mapInPandas(run, CHUNK_SCHEMA)
+    out = prepared.mapInPandas(run, schema)
     w = Window.partitionBy("doc_id")
     return out.withColumn("total_chunks", F.count("*").over(w).cast("int")).withColumn(
         "chunk_id", F.concat_ws("#", "doc_id", "chunk_index")
@@ -298,3 +500,40 @@ def markdown_chunks(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return _strategy_to_df(docs, markdown_chunk_doc, id_col, text_col,
                            chunk_size=chunk_size)
+
+
+def semantic_chunks(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                    similarity_threshold: float = 0.3,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return _strategy_to_df(docs, semantic_chunk_doc, id_col, text_col,
+                           chunk_size=chunk_size,
+                           similarity_threshold=similarity_threshold)
+
+
+def hierarchical_chunks(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                        levels: int = 2,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Multi-level chunks with parent linkage: extra columns
+    level INT, parent_index INT (-1 for roots); parent_chunk_id derived."""
+    out = _strategy_to_df(
+        docs, hierarchical_chunk_doc, id_col, text_col,
+        extra_cols=[("level", "int", 0), ("parent_index", "int", -1)],
+        chunk_size=chunk_size, levels=levels,
+    )
+    return out.withColumn(
+        "parent_chunk_id",
+        F.when(F.col("parent_index") >= 0,
+               F.concat_ws("#", "doc_id", "parent_index")),
+    )
+
+
+def hybrid_chunks(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                  overlap: int = DEFAULT_CHUNK_OVERLAP,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-routed chunking; extra column strategy STRING records the
+    route taken (markdown|semantic|character)."""
+    return _strategy_to_df(
+        docs, hybrid_chunk_doc, id_col, text_col,
+        extra_cols=[("strategy", "string", "character")],
+        chunk_size=chunk_size, overlap=overlap,
+    )

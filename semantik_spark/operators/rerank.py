@@ -1,0 +1,120 @@
+"""Cross-encoder reranking (M4) + candidate expansion (W3) + payload
+hydration (J2/J3) + multi-collection merge (J7).
+
+Reference behavior:
+  candidate k   = clamp(k*5, 20, 200)      vecpipe/qwen3_search_config.py:91-105
+  rerank        = score (query, content) pairs, keep top_k
+                                            vecpipe/reranker.py:24-379
+  hydration     = fetch payload/content for winner chunk_ids
+                                            vecpipe/search/payloads.py, service.py:248-277
+  multi-collection = per-collection search → tag → union → global sort
+                     → limit k              webui/services/search_service.py:505-585
+
+The real cross-encoder is a pandas_udf over candidate rows only (the
+W3 clamp keeps it ≤200 rows/query regardless of corpus size). The
+test-mode scorer here is a deterministic token-overlap cosine — fully
+SQL-expressible, so the whole rerank path is oracle-checkable; swap
+`mock_rerank_score` for the model UDF at deploy time (same contract:
+(query_text, content) → double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantik_spark.config import (
+    RERANK_CANDIDATE_MAX,
+    RERANK_CANDIDATE_MIN,
+    RERANK_CANDIDATE_MULTIPLIER,
+)
+from semantik_spark.functions.text import bm25_tokens
+
+
+def candidate_k(k: int) -> int:
+    """W3: search_k = clamp(k·5, 20, 200) (qwen3_search_config.py:91-105)."""
+    return max(RERANK_CANDIDATE_MIN, min(RERANK_CANDIDATE_MAX, k * RERANK_CANDIDATE_MULTIPLIER))
+
+
+def hydrate(results: DataFrame, docs: DataFrame,
+            id_col: str = "doc_id", payload_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """J2/J3 payload hydration: broadcast-join payload columns onto hit
+    rows. Late materialization — scoring ran on narrow columns; content
+    is fetched only for winners (service.py:248-277 two-phase fetch)."""
+    payload = docs.select(F.col(id_col).alias("doc_id"), *payload_cols)
+    # results (hits) are small post-top-k; the payload side is the big
+    # table — broadcast the HITS into its scan, not the other way round.
+    return F.broadcast(results).join(payload, "doc_id", "left")
+
+
+def mock_rerank_score(query_text: Column | str, content: Column | str) -> Column:
+    """Deterministic test-mode 'cross-encoder': token-set cosine
+    |q∩d| / sqrt(|q|·|d|). Same contract as the model scorer
+    (reranker.py:193-305 returns P('yes') per pair)."""
+    q = F.array_distinct(bm25_tokens(query_text))
+    d = F.array_distinct(bm25_tokens(content))
+    inter = F.size(F.array_intersect(q, d)).cast("double")
+    denom = F.sqrt(F.size(q).cast("double") * F.size(d).cast("double"))
+    return F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+
+
+def rerank(candidates: DataFrame, queries: DataFrame, docs: DataFrame, k: int = 10,
+           score_fn=mock_rerank_score) -> DataFrame:
+    """M4 rerank path: hydrate content (J3) → score (query, content)
+    pairs → top-k by rerank score (ties: doc_id).
+
+    ``candidates`` = (query_id, doc_id, rank) from first-stage search,
+    already clamped to candidate_k(k) rows per query.
+    Output: query_id, doc_id, rerank_score, rank.
+    """
+    with_content = hydrate(candidates.select("query_id", "doc_id"), docs)
+    with_q = with_content.join(
+        F.broadcast(queries.select("query_id", "query_text")), "query_id"
+    )
+    scored = with_q.withColumn("rerank_score", score_fn(F.col("query_text"), F.col("text")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rerank_score", "rank")
+    )
+
+
+def search_with_rerank(docs: DataFrame, queries: DataFrame, k: int = 10,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """First-stage hybrid search widened to candidate_k(k) (W3), then
+    mock-cross-encoder rerank back down to k — the full reranked query
+    path (service.py:349-358 → rerank.py:37-126)."""
+    from semantik_spark.operators.search import hybrid_search
+
+    ck = candidate_k(k)
+    first = hybrid_search(docs, queries, k=ck, search_k=ck * 2,
+                          id_col=id_col, text_col=text_col)
+    return rerank(first, queries, docs.select(F.col(id_col).alias("doc_id"),
+                                              F.col(text_col).alias("text")), k=k)
+
+
+def multi_collection_search(collections: dict[str, DataFrame], queries: DataFrame,
+                            k: int = 10, search_fn=None) -> DataFrame:
+    """J7: run the search per collection, tag rows, union, global top-k
+    by score (search_service.py:505-585). ``search_fn(docs, queries,
+    k)`` defaults to hybrid_search."""
+    from semantik_spark.operators.search import hybrid_search
+
+    fn = search_fn or (lambda d, q, kk: hybrid_search(d, q, k=kk))
+    parts = []
+    for name, docs in sorted(collections.items()):
+        parts.append(
+            fn(docs, queries, k).withColumn("collection_id", F.lit(name))
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p, allowMissingColumns=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("collection_id"), F.asc("doc_id")
+    )
+    return (
+        merged.withColumn("merged_rank", F.row_number().over(w))
+        .where(F.col("merged_rank") <= k)
+        .select("query_id", "collection_id", "doc_id", "score", "merged_rank")
+    )

@@ -256,6 +256,135 @@ SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank,
 FROM franked WHERE rank <= {k}"""
 
 
+def hybrid_rrf_ctes(query_pairs: list[tuple[str, str]], search_k: int, rrf_k: int = 60) -> str:
+    """Full hybrid CTE chain ending in franked(query_id, doc_id, score,
+    rank, dense/sparse diagnostics)."""
+    return f"""{bm25_search_ctes(query_pairs, search_k)},
+{mock_dense_ctes(query_pairs, search_k).lstrip()},
+dtop AS (SELECT query_id, doc_id, score AS dense_score, rank AS dense_rank
+         FROM dranked WHERE rank <= {search_k}),
+stop_ AS (SELECT query_id, doc_id, score AS sparse_score, rank AS sparse_rank
+          FROM ranked WHERE rank <= {search_k}),
+fused AS (
+  SELECT query_id, doc_id,
+         coalesce(1.0 / ({rrf_k} + dense_rank), 0.0) + coalesce(1.0 / ({rrf_k} + sparse_rank), 0.0) AS score,
+         dense_rank, sparse_rank, dense_score, sparse_score
+  FROM dtop FULL OUTER JOIN stop_ USING (query_id, doc_id)
+),
+franked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)"""
+
+
+def q_rerank_search(k: int = 10) -> str:
+    """search_with_rerank oracle: hybrid first stage at candidate_k(k)
+    (clamp(k*5,20,200)), then token-set-cosine rerank to k."""
+    ck = max(20, min(200, k * 5))
+    return f"""
+WITH {hybrid_rrf_ctes(SEARCH_QUERIES, ck * 2)},
+cand AS (SELECT query_id, doc_id FROM franked WHERE rank <= {ck}),
+qts AS (SELECT query_id, list_distinct(tokens) AS qt FROM qtok),
+dts AS (SELECT doc_id, list_distinct(tokens) AS dt FROM tokl),
+rr AS (
+  SELECT c.query_id, c.doc_id,
+         CASE WHEN sqrt(len(qt)::DOUBLE * len(dt)) > 0
+              THEN len(list_intersect(qt, dt))::DOUBLE / sqrt(len(qt)::DOUBLE * len(dt))
+              ELSE 0.0 END AS rerank_score
+  FROM cand c JOIN qts USING (query_id) JOIN dts USING (doc_id)
+),
+rrk AS (
+  SELECT query_id, doc_id, rerank_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, doc_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, doc_id, round(rerank_score, 6) AS rerank_score, rank::INT AS rank
+FROM rrk WHERE rank <= {k}"""
+
+
+def q_multi_collection_dense(k: int = 10) -> str:
+    """multi_collection_search oracle with mock-dense per-collection
+    search; collections = even/odd doc_id split of documents."""
+    return f"""
+WITH di AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'colA' ELSE 'colB' END AS collection_id,
+         {mock_embed_expr('text')} AS e
+  FROM documents
+),
+dq AS (
+  SELECT query_id, {mock_embed_expr('query_text')} AS qe
+  FROM {queries_values_sql(SEARCH_QUERIES)}
+),
+scored AS (
+  SELECT query_id, collection_id, doc_id, {cosine_expr('e', 'qe')} AS score
+  FROM di CROSS JOIN dq
+),
+per_col AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, collection_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+),
+merged AS (
+  SELECT query_id, collection_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, collection_id ASC, doc_id ASC) AS merged_rank
+  FROM per_col WHERE rank <= {k}
+)
+SELECT query_id, collection_id, doc_id, round(score, 6) AS score, merged_rank::INT AS merged_rank
+FROM merged WHERE merged_rank <= {k}"""
+
+
+def fixed_chunk_ctes(chunk_size: int = 200, overlap: int = 50) -> str:
+    """CTE chain ending in fchunks(doc_id, chunk_id, chunk_index, content,
+    start_offset, end_offset) — mirrors operators.chunking.fixed_chunks."""
+    stride = chunk_size - overlap
+    return f"""
+cstarts AS (
+  SELECT doc_id::VARCHAR AS doc_id, length(text)::INT AS doc_len, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {stride})) AS start_offset
+  FROM documents
+),
+fchunks AS (
+  SELECT doc_id,
+         doc_id || '#' || (start_offset // {stride})::INT AS chunk_id,
+         (start_offset // {stride})::INT AS chunk_index,
+         substr(text, start_offset + 1, {chunk_size}) AS content,
+         start_offset::INT AS start_offset,
+         least(start_offset + {chunk_size}, doc_len)::INT AS end_offset
+  FROM cstarts
+)"""
+
+
+def q_chunk_collapse(k: int = 20) -> str:
+    """W4 first-hit chunk→doc collapse oracle: deterministic pseudo
+    retrieval (hash60 of query||chunk) over fixed chunks, then collapse."""
+    return f"""
+WITH {fixed_chunk_ctes().lstrip()},
+qs AS (SELECT query_id FROM {queries_values_sql(IR_QUERY_TERMS)}),
+scored AS (
+  SELECT query_id, doc_id, chunk_id,
+         {hash60_expr("query_id || '#' || chunk_id")} AS h
+  FROM fchunks CROSS JOIN qs
+),
+rk AS (
+  SELECT query_id, doc_id, chunk_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY h ASC, chunk_id ASC) AS rank
+  FROM scored
+),
+topc AS (SELECT * FROM rk WHERE rank <= {k}),
+fh AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id ORDER BY rank) AS _fh
+  FROM topc
+),
+collapsed AS (
+  SELECT query_id, doc_id, chunk_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank
+  FROM fh WHERE _fh = 1
+)
+SELECT query_id, doc_id, chunk_id, rank::INT AS rank FROM collapsed"""
+
+
 def q_ir_metrics(k_values: tuple[int, ...] = (5, 10), k: int = 10) -> str:
     per_k_blocks = []
     for kk in k_values:

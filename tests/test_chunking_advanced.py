@@ -1,0 +1,94 @@
+"""Semantic (K4), hierarchical (K5), hybrid (K6) chunking strategies."""
+
+from __future__ import annotations
+
+from semantik_spark.operators.chunking import (
+    analyze_content,
+    hierarchical_chunk_doc,
+    hierarchical_chunks,
+    hybrid_chunk_doc,
+    hybrid_chunks,
+    semantic_chunk_doc,
+    semantic_chunks,
+)
+
+NARRATIVE = (
+    "The spark engine reads data from parquet files quickly. "
+    "The spark engine writes data to parquet files quickly. "
+    "Cats are animals that sleep most of the day. "
+    "Dogs are animals that play most of the day. "
+)
+
+
+def test_semantic_kernel_clusters_similar_sentences():
+    chunks = semantic_chunk_doc(NARRATIVE, chunk_size=200, similarity_threshold=0.3)
+    assert len(chunks) >= 2
+    # the two spark sentences share >0.3 Jaccard → same cluster;
+    # the cats sentence starts a new one
+    assert "reads" in chunks[0]["content"] and "writes" in chunks[0]["content"]
+    assert "Cats" not in chunks[0]["content"]
+    # offsets index into the original text
+    for c in chunks:
+        assert NARRATIVE[c["start_offset"]:c["end_offset"]] == c["content"]
+
+
+def test_semantic_kernel_oversized_sentence_splits():
+    text = "word " * 100  # one 'sentence' of 500 chars, no terminators
+    chunks = semantic_chunk_doc(text, chunk_size=120)
+    assert len(chunks) > 1
+    assert all(len(c["content"]) <= 120 for c in chunks)
+
+
+def test_hierarchical_kernel_levels_and_linkage():
+    text = "Sentence one is here. " * 40  # ~880 chars
+    chunks = hierarchical_chunk_doc(text, chunk_size=400, levels=2)
+    roots = [c for c in chunks if c["level"] == 0]
+    kids = [c for c in chunks if c["level"] == 1]
+    assert roots and kids
+    root_idx = {c["chunk_index"] for c in roots}
+    for k in kids:
+        assert k["parent_index"] in root_idx
+        parent = next(c for c in roots if c["chunk_index"] == k["parent_index"])
+        # child span nested inside parent span
+        assert parent["start_offset"] <= k["start_offset"]
+        assert k["end_offset"] <= parent["end_offset"]
+        # child content is smaller than parent budget
+        assert len(k["content"]) <= max(200, 400 // 2)
+
+
+def test_hierarchical_dataframe_parent_ids(spark):
+    df = spark.createDataFrame([(1, "Sentence one is here. " * 40)], ["doc_id", "text"])
+    rows = hierarchical_chunks(df, chunk_size=400, levels=2).collect()
+    kids = [r for r in rows if r["level"] == 1]
+    assert kids and all(r["parent_chunk_id"].startswith("1#") for r in kids)
+    assert all(r["parent_chunk_id"] is None for r in rows if r["level"] == 0)
+
+
+def test_analyze_content_detection():
+    md = "# Header\n- item one\n- item two\n## Sub\ntext"
+    assert analyze_content(md)["has_markdown"]
+    code = "intro\n```python\nprint('x')\n```\noutro"
+    assert analyze_content(code)["has_code"]
+    plain = "Short words. Tiny bits. Nothing else."
+    a = analyze_content(plain)
+    assert not a["has_markdown"] and not a["has_code"]
+
+
+def test_hybrid_kernel_routing():
+    md = "# Header\n- item\n- item\n## Sub\nbody text here"
+    assert {c["strategy"] for c in hybrid_chunk_doc(md, chunk_size=100)} == {"markdown"}
+    narrative = ("This sentence is quite long and meanders onward with many words in it. " * 5)
+    assert {c["strategy"] for c in hybrid_chunk_doc(narrative, chunk_size=150)} == {"semantic"}
+    terse = "a b. c d. e f."
+    assert {c["strategy"] for c in hybrid_chunk_doc(terse, chunk_size=100)} == {"character"}
+
+
+def test_hybrid_dataframe_strategy_column(spark):
+    df = spark.createDataFrame(
+        [(1, "# T\n- a\n- b\n## S\nbody"), (2, "short plain. text here.")],
+        ["doc_id", "text"],
+    )
+    rows = hybrid_chunks(df, chunk_size=100).collect()
+    strat = {r["doc_id"]: r["strategy"] for r in rows}
+    assert strat["1"] == "markdown"
+    assert strat["2"] == "character"
