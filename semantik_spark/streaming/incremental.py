@@ -1,0 +1,102 @@
+"""Structured Streaming incremental ingest + streaming window forms.
+
+The reference's "continuous sync" is periodic re-enumeration with
+content-hash change detection (Collection.sync_mode models.py:291-294,
+executor.py:713-744). Spark expresses it as a file-source stream +
+foreachBatch running the SAME batch pipeline (SURVEY §2.12) — one code
+path for batch and streaming, checkpointed exactly-once sinks.
+
+Streaming window twins of streaming/windows.py batch forms:
+  tumbling_counts_stream — window() + watermark for late data
+  session_windows_stream — session_window(ts, gap): the engine-native
+                           stateful sessionization
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_files(spark: SparkSession, root: str, schema: str,
+                 fmt: str = "json", max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a drop directory (Auto-Loader-style
+    incremental batch: each trigger picks up newly arrived files)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(root)
+
+
+def incremental_ingest(stream: DataFrame, catalog_path: str, checkpoint: str,
+                       transform: Callable[[DataFrame], DataFrame] | None = None,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """foreachBatch incremental ingest with change-detection (J4):
+    each micro-batch anti-joins the persisted catalog on
+    (id, content_hash) so unchanged re-deliveries are skipped, then
+    appends the new/changed rows (+ optional transform) to the catalog.
+
+    Returns the StreamingQuery (caller awaits/stops). Exactly-once via
+    the checkpoint + idempotent append of hash-new rows.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hashed = batch.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        try:
+            old = spark.read.parquet(catalog_path).select(
+                F.col(id_col).alias("_old_id"), F.col("content_hash").alias("_old_hash")
+            )
+            changed = hashed.join(
+                old,
+                (hashed[id_col] == F.col("_old_id"))
+                & (F.col("content_hash") == F.col("_old_hash")),
+                "left_anti",
+            )
+        except Exception:  # first batch: no catalog yet
+            changed = hashed
+        if transform is not None:
+            changed = transform(changed)
+        changed.write.mode("append").parquet(catalog_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, minutes: int = 5,
+                           watermark_minutes: int = 10,
+                           ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:
+    """Streaming tumbling windows with a watermark for late data —
+    identical plan shape to windows.tumbling_counts, plus state expiry."""
+    return (
+        events.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(F.window(F.col(ts_col), f"{minutes} minutes").alias("w"), F.col(key_col))
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "sum_value")
+    )
+
+
+def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
+                           watermark_minutes: int = 60,
+                           ts_col: str = "ts", user_col: str = "user_id") -> DataFrame:
+    """Stateful gap sessionization via session_window — the streaming
+    twin of windows.sessionize (same output contract minus session_id
+    numbering, which requires total order and is a batch concept)."""
+    return (
+        events.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("w"),
+                 F.col(user_col))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

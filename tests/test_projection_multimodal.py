@@ -1,0 +1,111 @@
+"""PCA projection (M7) + multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantik_spark.operators.multimodal import (
+    artifact_table,
+    image_features,
+    media_near_dups,
+    sample_frames,
+)
+from semantik_spark.operators.projection import (
+    explained_variance,
+    label_categories,
+    pca_project,
+    sample_for_driver,
+    umap_project,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # points on a plane embedded in 4-D: PCA must capture ~all variance in 2 comps
+    rows = [(i, [float(i), float(2 * i), 0.001 * (i % 3), 0.0]) for i in range(30)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_pca_projects_to_2d(emb):
+    out = pca_project(emb, k=2)
+    rows = out.collect()
+    assert set(out.columns) == {"vec_id", "x", "y"}
+    assert len(rows) == 30
+    xs = sorted(r["x"] for r in rows)
+    assert xs[0] != xs[-1]  # non-degenerate spread
+
+
+def test_explained_variance_concentrated(emb):
+    ev = explained_variance(emb, k=2)
+    assert ev[0] > 0.99  # the line dominates
+
+
+def test_label_categories(spark):
+    docs = spark.createDataFrame(
+        [(1, "src1", 100), (2, None, 500), (3, "src2", 5000)],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: (r["category_source"], r["category_size"])
+           for r in label_categories(docs).collect()}
+    assert out[1] == ("src1", "small")
+    assert out[2] == ("unknown", "medium")
+    assert out[3] == ("src2", "large")
+
+
+def test_sample_cap(spark):
+    big = spark.range(1000).selectExpr("id as vec_id", "array(cast(id as double)) as embedding")
+    sampled = sample_for_driver(big, cap=100)
+    assert sampled.count() < 1000
+
+
+def test_umap_is_stubbed(emb):
+    with pytest.raises(NotImplementedError):
+        umap_project(emb)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("m1", "image/png", b"\x89PNG-fake-bytes-1"),
+        ("m2", "image/png", b"\x89PNG-fake-bytes-1"),   # identical to m1
+        ("m3", "image/jpeg", b"\xff\xd8-other-bytes"),
+        ("m4", "image/png", None),                        # null content
+    ]
+    return spark.createDataFrame(rows, "media_id string, mime_type string, content binary")
+
+
+def test_artifact_table_validates(media):
+    rows = artifact_table(media).collect()
+    ids = {r["media_id"] for r in rows}
+    assert ids == {"m1", "m2", "m3"}  # null content dropped (check constraint)
+    by = {r["media_id"]: r for r in rows}
+    assert by["m1"]["content_hash"] == by["m2"]["content_hash"]
+    assert by["m1"]["size_bytes"] == len(b"\x89PNG-fake-bytes-1")
+
+
+def test_image_features_deterministic_shape(media):
+    feats = image_features(artifact_table(media), feature_dim=8).collect()
+    by = {r["media_id"]: r for r in feats}
+    assert by["m1"]["feature"] == by["m2"]["feature"]  # same bytes → same features
+    assert by["m1"]["feature"] != by["m3"]["feature"]
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert 64 <= r["width"] <= 255 and r["n_channels"] in (1, 3)
+        norm = sum(x * x for x in r["feature"])
+        assert norm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_sample_frames_flatmap_shape(media):
+    frames = sample_frames(artifact_table(media), every_ms=500).collect()
+    m1 = sorted([r for r in frames if r["media_id"] == "m1"], key=lambda r: r["frame_index"])
+    assert m1[0]["ts_ms"] == 0
+    if len(m1) > 1:
+        assert m1[1]["ts_ms"] == 500
+    # identical media → identical frame decomposition
+    m2 = [r for r in frames if r["media_id"] == "m2"]
+    assert len(m1) == len(m2)
+
+
+def test_media_near_dups(media):
+    pairs = media_near_dups(artifact_table(media), threshold=0.999).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [("m1", "m2")]

@@ -1,0 +1,69 @@
+"""Local file source (S1/S4/S5): enumerate, filter, hash, decode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from semantik_spark.sources.local import enumerate_files, files_to_documents, parse_text
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    (root / "a.txt").write_text("hello world")
+    (root / "b.md").write_text("# title\nbody")
+    (root / "big.txt").write_text("x" * 10_000)
+    (root / "skip.bin").write_bytes(b"\x00\x01\x02")
+    (root / ".hidden.txt").write_text("secret")
+    sub = root / "sub"
+    sub.mkdir()
+    (sub / "c.py").write_text("print('hi')")
+    hidden_dir = root / ".git"
+    hidden_dir.mkdir()
+    (hidden_dir / "d.txt").write_text("vcs file")
+    return str(root)
+
+
+def test_enumerate_filters(spark, tree):
+    rows = enumerate_files(spark, tree).collect()
+    names = sorted(r["file_name"] for r in rows)
+    assert names == ["a.txt", "b.md", "big.txt", "c.py"]
+    # .hidden.txt, .git/d.txt excluded; skip.bin not in extension set
+
+
+def test_enumerate_hidden_always_excluded_and_size_cap(spark, tree):
+    # Hadoop's listing filters dot-files before Spark sees them — the
+    # hidden-skip is structural, matching the reference default
+    rows = enumerate_files(spark, tree).collect()
+    names = {r["file_name"] for r in rows}
+    assert ".hidden.txt" not in names and "d.txt" not in names
+    small = enumerate_files(spark, tree, max_size_bytes=100).collect()
+    assert "big.txt" not in {r["file_name"] for r in small}
+    assert "a.txt" in {r["file_name"] for r in small}
+
+
+def test_content_hash_and_mime(spark, tree):
+    import hashlib
+
+    rows = {r["file_name"]: r for r in enumerate_files(spark, tree).collect()}
+    assert rows["a.txt"]["content_hash"] == hashlib.sha256(b"hello world").hexdigest()
+    assert rows["a.txt"]["mime_type"] == "text/plain"
+    assert rows["b.md"]["mime_type"] == "text/markdown"
+    assert rows["a.txt"]["size_bytes"] == 11
+
+
+def test_parse_text_decodes(spark, tree):
+    parsed = {r["file_name"]: r for r in parse_text(enumerate_files(spark, tree)).collect()}
+    assert parsed["a.txt"]["text"] == "hello world"
+    assert parsed["a.txt"]["parse_status"] == "parsed"
+    assert parsed["b.md"]["text"].startswith("# title")
+
+
+def test_files_to_documents_contract(spark, tree):
+    docs = files_to_documents(enumerate_files(spark, tree), "coll1")
+    rows = docs.collect()
+    assert all(r["collection_id"] == "coll1" for r in rows)
+    cols = set(docs.columns)
+    assert {"uri", "content_hash", "text", "last_seen_at", "mime_type"} <= cols

@@ -1,0 +1,96 @@
+"""Structured Streaming: incremental ingest with change detection,
+watermarked tumbling windows, session_window sessionization."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from semantik_spark.streaming.incremental import (
+    incremental_ingest,
+    session_windows_stream,
+    stream_files,
+    tumbling_counts_stream,
+)
+
+
+def _write_json(path, rows):
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_incremental_ingest_change_detection(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    catalog = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_json(drop / "batch1.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+    ])
+    stream = stream_files(spark, str(drop), "doc_id bigint, text string")
+    assert stream.isStreaming
+    q = incremental_ingest(stream, catalog, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(catalog)
+    assert got.count() == 2
+
+    # second delivery: one unchanged doc (skipped), one changed, one new
+    _write_json(drop / "batch2.json", [
+        {"doc_id": 1, "text": "alpha"},          # same hash → skipped
+        {"doc_id": 2, "text": "beta CHANGED"},   # new hash → appended
+        {"doc_id": 3, "text": "gamma"},          # new → appended
+    ])
+    q2 = incremental_ingest(
+        stream_files(spark, str(drop), "doc_id bigint, text string"),
+        catalog, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(catalog).collect()
+    assert len(rows) == 4  # 2 + changed + new, unchanged doc1 NOT duplicated
+    assert sum(1 for r in rows if r["doc_id"] == 1) == 1
+    assert sum(1 for r in rows if r["doc_id"] == 2) == 2  # old + changed version
+
+
+def test_tumbling_counts_stream_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_json(src / "e.json", [
+        {"ts": "2026-01-01T10:00:00", "event_type": "click", "value": 1.0},
+        {"ts": "2026-01-01T10:02:00", "event_type": "click", "value": 2.0},
+        {"ts": "2026-01-01T10:06:00", "event_type": "view", "value": 3.0},
+    ])
+    stream = stream_files(spark, str(src), "ts timestamp, event_type string, value double")
+    agg = tumbling_counts_stream(stream, minutes=5, watermark_minutes=10)
+    q = (agg.writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tumbling_test").collect()
+    out = {(r["window_start"].minute, r["event_type"]): r["n"] for r in rows}
+    assert out[(0, "click")] == 2
+    assert out[(5, "view")] == 1
+
+
+def test_session_windows_stream(spark, tmp_path):
+    src = tmp_path / "sess"
+    src.mkdir()
+    _write_json(src / "e.json", [
+        {"ts": "2026-01-01T10:00:00", "user_id": "u1", "value": 1.0},
+        {"ts": "2026-01-01T10:10:00", "user_id": "u1", "value": 1.0},
+        {"ts": "2026-01-01T12:00:00", "user_id": "u1", "value": 1.0},  # gap > 30m
+        {"ts": "2026-01-01T10:00:00", "user_id": "u2", "value": 1.0},
+    ])
+    stream = stream_files(spark, str(src), "ts timestamp, user_id string, value double")
+    agg = session_windows_stream(stream, gap_minutes=30, watermark_minutes=240)
+    q = (agg.writeStream.format("memory").queryName("session_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from session_test").collect()
+    u1 = sorted([r for r in rows if r["user_id"] == "u1"], key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+    assert len([r for r in rows if r["user_id"] == "u2"]) == 1
