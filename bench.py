@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "chunk_character",
+    "rerank_search",
+    "multi_collection_dense",
+    "sniff_formats",
+    "gc_orphans",
+    "pca_projection",
 ]
 
 
