@@ -43,15 +43,12 @@ def whitespace_tokens(c: Column | str) -> Column:
     return F.filter(F.split(F.lower(_col(c)), r"\s+"), lambda t: F.length(t) > 0)
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (space-joined) over whitespace tokens.
-
-    1 doc row → array of shingle strings; the dedup/minhash operators
-    explode this. Pure expression: slice+concat over a sequence.
-    """
-    toks = whitespace_tokens(c)
-    # for i in 0 .. size-n: join(toks[i], ..., toks[i+n-1]) — direct
-    # element indexing is ~3.6× faster than slice() inside transform
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED token array
+    column. ``toks`` must be a bound column, not an inline tokenizer
+    expression — Catalyst does not common-subexpression-eliminate inside
+    lambda bodies, so an inline expression would re-run the full regex
+    split for every F.get (O(words²) per document)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
         idx,
@@ -61,6 +58,16 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) over whitespace tokens.
+
+    1 doc row → array of shingle strings; the dedup/minhash operators
+    explode this. NOTE: embeds the tokenizer inline — fine for one-shot
+    expressions, but hot paths should materialize the tokens column and
+    call shingles_from_tokens (see that docstring for why)."""
+    return shingles_from_tokens(whitespace_tokens(c), n)
 
 
 def token_estimate(c: Column | str) -> Column:

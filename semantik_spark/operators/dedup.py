@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from semantik_spark.functions.hashing import content_hash, hash60
-from semantik_spark.functions.text import whitespace_tokens, word_shingles
+from semantik_spark.functions.text import shingles_from_tokens, whitespace_tokens
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -53,11 +53,23 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id, shingle (exploded distinct n-word shingles), n_shingles."""
-    s = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-    return s.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    """doc_id, shingle (exploded distinct n-word shingles), n_shingles.
+
+    Tokens are materialized into a column BEFORE shingling — inlining
+    the tokenizer into the shingle transform re-runs the regex split
+    per element (no CSE inside lambdas): ~10× slower at sf0.1.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    # Explode the expression DIRECTLY (not a named column from a prior
+    # select): naming it makes InferFiltersFromGenerate infer
+    # size(sh) > 0 and push the whole collapsed shingle+tokenizer
+    # expression into a Filter below the shuffle — ~6× slower.
+    sh = shingles_from_tokens(F.col("_toks"), n)
+    return toks.select(
+        "doc_id", F.size(sh).alias("n_shingles"), F.explode(sh).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
@@ -84,21 +96,47 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     )
 
 
+def minhash_mix_constants(num_hashes: int) -> list[int]:
+    """Per-permutation 60-bit XOR constants: hash60('mh:<i>') computed
+    driver-side (md5 is identical everywhere, so the DuckDB oracle
+    replays them as literals)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:15], 16)
+        for i in range(num_hashes)
+    ]
+
+
+def _minhash_wide(s: DataFrame, num_hashes: int) -> DataFrame:
+    """doc_id, mh0..mh{k-1}: minhash_i = min over shingles of
+    (hash60(shingle) XOR C_i).
+
+    ONE md5 per shingle (not per shingle×seed) and ONE shuffle of
+    |shingles| rows (not ×k): the k permutations are XOR bijections of
+    the same base hash — a weaker hash family than k independent
+    hashes, which only affects candidate recall marginally since every
+    candidate is exact-verified downstream.
+    """
+    consts = minhash_mix_constants(num_hashes)
+    h = s.withColumn("h", hash60("shingle"))
+    return h.groupBy("doc_id").agg(
+        *[F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"mh{i}")
+          for i, c in enumerate(consts)]
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id, seed (0..num_hashes-1), minhash BIGINT.
-
-    minhash_i(doc) = min over shingles of hash60(i || ':' || shingle) —
-    k independent permutations approximated by k salted hashes. One
-    explode (|shingles|×k rows) then a map-side-combined min aggregate.
-    """
-    s = shingle_sets(docs, n, id_col, text_col)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return (
-        s.select("doc_id", F.explode(seeds).alias("seed"), "shingle")
-        .withColumn("h", hash60(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """doc_id, seed (0..num_hashes-1), minhash BIGINT (long form of
+    _minhash_wide, kept for the operator's public row contract)."""
+    wide = _minhash_wide(shingle_sets(docs, n, id_col, text_col), num_hashes)
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"), F.col(f"mh{i}").alias("minhash"))
+        for i in range(num_hashes)
+    ])
+    return wide.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.seed", "p.minhash"
     )
 
 
@@ -120,20 +158,22 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     # works even when the input is a single small file.
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     s = shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = (
-        s.select("doc_id", F.explode(seeds).alias("seed"), "shingle")
-        .withColumn("h", hash60(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed"), F.col("minhash"))
-        ))).alias("band_key"))
-    ).persist()  # feeds both sides of the candidate self-join
+    wide = _minhash_wide(s, num_hashes)
+    # band key = comma-joined minhashes of the band — built from the
+    # wide row, so banding adds NO extra shuffle
+    banded = wide.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[
+                    F.col(f"mh{b * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ]).alias("band_key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key").persist()
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     candidates = (

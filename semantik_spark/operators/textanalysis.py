@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from semantik_spark.config import ENGLISH_STOPWORDS, LANG_STOPWORDS
 from semantik_spark.functions.hashing import hash60
-from semantik_spark.functions.text import raw_tokens, whitespace_tokens, word_shingles
+from semantik_spark.functions.text import (
+    raw_tokens,
+    shingles_from_tokens,
+    whitespace_tokens,
+)
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
@@ -109,8 +113,11 @@ def fingerprint(docs: DataFrame, n: int = 4,
     (winnowing-style representative hash): equal fingerprints ⇒ very
     likely near-identical prefix content; used as a cheap pre-cluster
     key before exact dedup."""
-    sh = word_shingles(text_col, n)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    sh = shingles_from_tokens(F.col("_toks"), n)
+    return toks.select(
+        "doc_id",
         F.array_min(F.transform(sh, lambda s: hash60(s))).alias("fingerprint"),
     )

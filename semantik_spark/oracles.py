@@ -485,19 +485,33 @@ FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}"""
 
 
 def q_minhash_lsh(num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5) -> str:
+    from semantik_spark.operators.dedup import minhash_mix_constants
+
     rows_per_band = num_hashes // bands
+    consts = minhash_mix_constants(num_hashes)
+    mh_cols = ", ".join(
+        f"min(xor(h, {c}::BIGINT)) AS mh{i}" for i, c in enumerate(consts)
+    )
+    band_rows = ", ".join(
+        "({b}, {key})".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return f"""
 WITH {AUGMENTED_DOCS_CTE.lstrip()},
 {shingle_ctes("aug_docs", n).lstrip()},
-sig AS (
-  SELECT doc_id, seed, min({hash60_expr("seed || ':' || shingle")}) AS minhash
-  FROM (SELECT doc_id, shingle, unnest(range(0, {num_hashes})) AS seed FROM sh)
-  GROUP BY doc_id, seed
+sigw AS (
+  SELECT doc_id, {mh_cols}
+  FROM (SELECT doc_id, {hash60_expr("shingle")} AS h FROM sh)
+  GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, (seed // {rows_per_band})::INT AS band,
-         array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash::VARCHAR)), ',') AS band_key
-  FROM sig GROUP BY doc_id, (seed // {rows_per_band})::INT
+  SELECT doc_id, b.band, b.band_key
+  FROM sigw, LATERAL (VALUES {band_rows}) AS b(band, band_key)
 ),
 candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
