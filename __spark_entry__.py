@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark import oracles
 from semantik_spark.functions.hashing import content_hash, hash60
-from semantik_spark.operators import bm25, chunking, dedup, metrics, rerank, search, similarity, textanalysis
+from semantik_spark.operators import bm25, chunking, dedup, metrics, rerank, search, similarity, splade, textanalysis
 from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
 from semantik_spark.plans.predicates import compile_predicate
@@ -181,6 +181,18 @@ def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25.search(_t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10)
     return _r6(res, "score")
+
+
+def q_splade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 SPLADE (test-mode encoder): learned-sparse dot-product top-k."""
+    return splade.search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10
+    )
+
+
+def q_splade_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 sparse-vector contract rows: (indices, values) sorted by index."""
+    return splade.doc_vectors(_t(spark, sf_dir, "documents"))
 
 
 def q_dense_mock_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "bm25_postings": q_bm25_postings,
         "bm25_search": q_bm25_search,
+        "splade_search": q_splade_search,
+        "splade_vectors": q_splade_vectors,
         "dense_mock_search": q_dense_mock_search,
         "hybrid_rrf": q_hybrid_rrf,
         "ir_metrics": q_ir_metrics,
@@ -637,6 +651,7 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_term_stats": oracles.q_bm25_term_stats(),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
+        "splade_search": oracles.q_splade_search(k=10),
         "dense_mock_search": oracles.q_dense_mock_search(10),
         "hybrid_rrf": oracles.q_hybrid_rrf(10, 20),
         "ir_metrics": oracles.q_ir_metrics((5, 10), 10),

@@ -1,0 +1,146 @@
+"""SPLADE sparse encoding + retrieval (M2) — learned-sparse contract
+with a deterministic test-mode encoder.
+
+Reference parity (packages/shared/plugins/builtins/splade_indexer.py):
+  encode      :294-345  MLM logits -> log(1 + ReLU(x)) -> mask padding
+                        -> max-pool over sequence -> nonzero (indices,
+                        values), optional top-k tokens
+  doc encode  :470-535  batched document encoding
+  query enc   :536-     same path for queries
+  output      sorted (indices, values) pairs -- sparse vector contract
+              shared with BM25 (bm25_sparse_indexer.py:455-464)
+
+The real model is a transformer MLM (pandas_udf slot, see
+``splade_model_udf``); this container ships no model libs, so the
+engine's documented *test-mode* encoder reproduces SPLADE's output
+SHAPE and algebra deterministically:
+
+  vocab_id(term)     = hash60(term) % VOCAB_SIZE          (tokenizer id)
+  expansion_id(term) = hash60(term || '#exp') % VOCAB_SIZE
+      -- SPLADE's signature behavior is activating related terms the
+         surface text never mentions; test-mode activates exactly one
+         latent term per surface term at half weight.
+  activation(tf)     = ln(1 + tf)                          (log-saturation,
+                        the log(1+relu) shape)
+  max-pool           = MAX(weight) per (doc, vocab_id)     (over sequence)
+
+Everything is explode -> groupBy -> max: pure Catalyst, no UDF, and
+bit-identical in the DuckDB oracle via ``hash60_sql`` (see
+oracles.splade_ctes). Retrieval is the sparse dot product
+sum(w_doc * w_query) over matching vocab ids -- the same posting-join
+shape as BM25 scoring, so the 100 TB notes there apply unchanged
+(broadcast tiny query vectors into the postings scan; one shuffle for
+the per-(query,doc) sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantik_spark.functions.hashing import hash60
+from semantik_spark.operators.bm25 import tokenize
+
+# BERT WordPiece vocabulary size — the id space SPLADE activations live in.
+VOCAB_SIZE = 30522
+EXPANSION_WEIGHT = 0.5
+EXPANSION_SUFFIX = "#exp"
+
+
+def encode(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Test-mode SPLADE encode: doc_id, vocab_id BIGINT, weight DOUBLE.
+
+    One row per activated vocab id, max-pooled. Surface terms activate
+    ln(1+tf); each also activates its expansion id at half weight;
+    collisions resolve by MAX (the sequence max-pool, splade_indexer
+    :321-332).
+    """
+    tf = (
+        tokenize(docs, id_col=id_col, text_col=text_col)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    act = F.log(F.lit(1.0) + F.col("tf").cast("double"))
+    pairs = tf.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (hash60(F.col("term")) % VOCAB_SIZE).alias("vocab_id"),
+                    act.alias("weight"),
+                ),
+                F.struct(
+                    (hash60(F.concat(F.col("term"), F.lit(EXPANSION_SUFFIX)))
+                     % VOCAB_SIZE).alias("vocab_id"),
+                    (act * EXPANSION_WEIGHT).alias("weight"),
+                ),
+            )
+        ).alias("a"),
+    ).select("doc_id", "a.vocab_id", "a.weight")
+    return pairs.groupBy("doc_id", "vocab_id").agg(F.max("weight").alias("weight"))
+
+
+def doc_vectors(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Sparse-vector rows: doc_id, indices ARRAY<BIGINT> (ascending),
+    values ARRAY<DOUBLE> — the (indices, values) contract of
+    splade_indexer.py:334-345 / bm25_sparse_indexer.py:455-464."""
+    enc = encode(docs, id_col=id_col, text_col=text_col)
+    sorted_pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("vocab_id"), F.round("weight", 6).alias("weight")))
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(sorted_pairs, lambda p: p.vocab_id).alias("indices"),
+        F.transform(sorted_pairs, lambda p: p.weight).alias("values"),
+    )
+
+
+def encode_queries(queries: DataFrame, id_col: str = "query_id",
+                   text_col: str = "query_text") -> DataFrame:
+    """Queries ride the same MLM path as documents (splade_indexer
+    :536-): query_id, vocab_id, weight."""
+    return (
+        encode(queries, id_col=id_col, text_col=text_col)
+        .withColumnRenamed("doc_id", "query_id")
+    )
+
+
+def search(docs: DataFrame, queries: DataFrame, k: int = 10,
+           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sparse dot-product top-k: query_id, doc_id, score (6dp), rank.
+
+    score = sum(w_doc * w_query) over matching vocab ids. The encoded
+    query set is tiny (#queries x ~2 x query terms) — broadcast it into
+    the document-activation scan so scoring needs no shuffle of the big
+    side before the per-(query,doc) aggregation.
+    """
+    enc_d = encode(docs, id_col=id_col, text_col=text_col)
+    enc_q = encode_queries(queries)
+    scored = (
+        enc_d.join(
+            F.broadcast(enc_q.withColumnRenamed("weight", "q_weight")),
+            "vocab_id",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("q_weight")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def splade_model_udf():
+    """Slot for the real SPLADE model (naver/splade-*): an
+    iterator-form pandas_udf returning (indices, values) structs, one
+    model load per executor. The transformer stack is not in this
+    image; test-mode `encode` above is the deterministic stand-in with
+    the same output contract."""
+    raise NotImplementedError(
+        "real SPLADE model UDF requires transformers/torch; "
+        "use splade.encode (test mode) instead"
+    )

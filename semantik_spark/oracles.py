@@ -623,3 +623,67 @@ rk AS (
   FROM scored
 )
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
+# --- SPLADE (test-mode encoder, operators/splade.py) -----------------------
+
+def splade_doc_ctes(doc_table: str = "documents", vocab: int = 30522) -> str:
+    """stok → stf → sact (doc_id, vocab_id, max-pooled weight) — mirrors
+    splade.encode exactly: vocab_id = hash60(term) % V, expansion id =
+    hash60(term||'#exp') % V at half weight, activation ln(1+tf),
+    max-pool per (doc, vocab_id)."""
+    return f"""
+stok AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM {doc_table}
+), stf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM stok)
+  GROUP BY doc_id, term
+), sact AS (
+  SELECT doc_id, vocab_id, max(weight) AS weight FROM (
+    SELECT doc_id, {hash60_expr('term')} % {vocab} AS vocab_id,
+           ln(1.0 + tf) AS weight FROM stf
+    UNION ALL
+    SELECT doc_id, {hash60_expr("term || '#exp'")} % {vocab} AS vocab_id,
+           0.5 * ln(1.0 + tf) AS weight FROM stf
+  ) GROUP BY doc_id, vocab_id
+)"""
+
+
+def q_splade_search(query_pairs: list[tuple[str, str]] | None = None,
+                    k: int = 10, vocab: int = 30522) -> str:
+    pairs = query_pairs if query_pairs is not None else SEARCH_QUERIES
+    return f"""
+WITH {splade_doc_ctes()},
+sqsrc AS (SELECT * FROM {queries_values_sql(pairs)}),
+sqtok AS (
+  SELECT query_id,
+         list_filter(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM sqsrc
+), sqtf AS (
+  SELECT query_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT query_id, unnest(tokens) AS term FROM sqtok)
+  GROUP BY query_id, term
+), sqact AS (
+  SELECT query_id, vocab_id, max(weight) AS weight FROM (
+    SELECT query_id, {hash60_expr('term')} % {vocab} AS vocab_id,
+           ln(1.0 + tf) AS weight FROM sqtf
+    UNION ALL
+    SELECT query_id, {hash60_expr("term || '#exp'")} % {vocab} AS vocab_id,
+           0.5 * ln(1.0 + tf) AS weight FROM sqtf
+  ) GROUP BY query_id, vocab_id
+), sscored AS (
+  SELECT sqact.query_id, sact.doc_id,
+         round(sum(sact.weight * sqact.weight), 6) AS score
+  FROM sact JOIN sqact USING (vocab_id)
+  GROUP BY sqact.query_id, sact.doc_id
+), sranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sscored
+)
+SELECT query_id, doc_id, score, rank::INT AS rank FROM sranked WHERE rank <= {k}"""
