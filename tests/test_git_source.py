@@ -1,0 +1,79 @@
+"""Git connector (S2): clone, glob filters, blob-SHA change hints."""
+
+from __future__ import annotations
+
+import subprocess
+
+import pytest
+
+from semantik_spark.sources.git import changed_files, clone_or_fetch, enumerate_repo
+
+
+def _git(args, cwd):
+    subprocess.run(
+        ["git", *args], cwd=cwd, check=True, capture_output=True,
+        env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+             "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+             "HOME": cwd, "PATH": "/usr/bin:/bin"},
+    )
+
+
+@pytest.fixture(scope="module")
+def origin(tmp_path_factory):
+    repo = tmp_path_factory.mktemp("origin")
+    (repo / "README.md").write_text("# demo repo")
+    (repo / "main.py").write_text("print('v1')")
+    sub = repo / "docs"
+    sub.mkdir()
+    (sub / "guide.md").write_text("guide text")
+    (repo / "binary.dat").write_bytes(b"\x00\x01")
+    _git(["init", "-q", "-b", "main"], str(repo))
+    _git(["add", "-A"], str(repo))
+    _git(["commit", "-q", "-m", "v1"], str(repo))
+    return str(repo)
+
+
+def test_enumerate_repo_with_hints(spark, origin, tmp_path):
+    df = enumerate_repo(spark, origin, str(tmp_path / "work"))
+    rows = {r.rel_path: r for r in df.collect()}
+    assert set(rows) == {"README.md", "main.py", "docs/guide.md", "binary.dat"}
+    r = rows["main.py"]
+    assert r.source_type == "git"
+    assert len(r.change_hint) == 40  # blob SHA hex
+    assert bytes(r.content) == b"print('v1')"
+
+
+def test_glob_include_exclude(spark, origin, tmp_path):
+    only_md = enumerate_repo(
+        spark, origin, str(tmp_path / "w1"), include_globs=("*.md", "docs/*")
+    )
+    assert {r.rel_path for r in only_md.collect()} == {"README.md", "docs/guide.md"}
+    no_docs = enumerate_repo(
+        spark, origin, str(tmp_path / "w2"), exclude_globs=("docs/*", "*.dat")
+    )
+    assert {r.rel_path for r in no_docs.collect()} == {"README.md", "main.py"}
+
+
+def test_refetch_and_change_detection(spark, origin, tmp_path):
+    work = str(tmp_path / "w3")
+    first = enumerate_repo(spark, origin, work)
+    catalog = first.select("rel_path", "change_hint")
+    # amend the origin: one file changes, one is new
+    import pathlib
+
+    repo = pathlib.Path(origin)
+    (repo / "main.py").write_text("print('v2')")
+    (repo / "new.txt").write_text("fresh")
+    _git(["add", "-A"], origin)
+    _git(["commit", "-q", "-m", "v2"], origin)
+
+    second = enumerate_repo(spark, origin, work)  # fetch+reset path
+    delta = {r.rel_path for r in changed_files(second, catalog).collect()}
+    assert delta == {"main.py", "new.txt"}
+
+
+def test_clone_or_fetch_idempotent(origin, tmp_path):
+    w = str(tmp_path / "w4")
+    p1 = clone_or_fetch(origin, w)
+    p2 = clone_or_fetch(origin, w)
+    assert p1 == p2
