@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark import oracles
 from semantik_spark.functions.hashing import content_hash, hash60
-from semantik_spark.operators import bm25, chunking, dedup, metrics, rerank, search, similarity, splade, textanalysis
+from semantik_spark.operators import bm25, chunking, dedup, hyde, metrics, rerank, search, similarity, splade, textanalysis
 from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
 from semantik_spark.plans.predicates import compile_predicate
@@ -181,6 +181,16 @@ def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25.search(_t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10)
     return _r6(res, "score")
+
+
+def q_hyde_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 HyDE: dense branch embeds the hypothetical passage, sparse
+    branch the original query, RRF fuses (deterministic generator)."""
+    res = hyde.hyde_hybrid_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=10, search_k=20,
+    )
+    return _r6(res, "score", "dense_score", "sparse_score")
 
 
 def q_splade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "bm25_postings": q_bm25_postings,
         "bm25_search": q_bm25_search,
+        "hyde_hybrid": q_hyde_hybrid,
         "splade_search": q_splade_search,
         "splade_vectors": q_splade_vectors,
         "dense_mock_search": q_dense_mock_search,
@@ -652,6 +663,7 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_search": oracles.q_splade_search(k=10),
+        "hyde_hybrid": oracles.q_hyde_hybrid(k=10, search_k=20),
         "dense_mock_search": oracles.q_dense_mock_search(10),
         "hybrid_rrf": oracles.q_hybrid_rrf(10, 20),
         "ir_metrics": oracles.q_ir_metrics((5, 10), 10),

@@ -687,3 +687,35 @@ sqtok AS (
   FROM sscored
 )
 SELECT query_id, doc_id, score, rank::INT AS rank FROM sranked WHERE rank <= {k}"""
+
+
+# --- HyDE hybrid (operators/hyde.py, deterministic generator) --------------
+
+def q_hyde_hybrid(k: int = 10, search_k: int = 20, rrf_k: int = 60) -> str:
+    """Hybrid RRF with the dense branch driven by the deterministic
+    HyDE passage (template inlined — apostrophe-free) and the sparse
+    branch by the original query."""
+    from semantik_spark.operators.hyde import deterministic_generate
+
+    hyde_pairs = [(qid, deterministic_generate(qt)) for qid, qt in SEARCH_QUERIES]
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, search_k)},
+{mock_dense_ctes(hyde_pairs, search_k).lstrip()},
+dtop AS (SELECT query_id, doc_id, score AS dense_score, rank AS dense_rank
+         FROM dranked WHERE rank <= {search_k}),
+stop_ AS (SELECT query_id, doc_id, score AS sparse_score, rank AS sparse_rank
+          FROM ranked WHERE rank <= {search_k}),
+fused AS (
+  SELECT query_id, doc_id,
+         coalesce(1.0 / ({rrf_k} + dense_rank), 0.0) + coalesce(1.0 / ({rrf_k} + sparse_rank), 0.0) AS score,
+         dense_rank, sparse_rank, dense_score, sparse_score
+  FROM dtop FULL OUTER JOIN stop_ USING (query_id, doc_id)
+),
+franked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank,
+       dense_rank::INT AS dense_rank, sparse_rank::INT AS sparse_rank,
+       round(dense_score, 6) AS dense_score, round(sparse_score, 6) AS sparse_score
+FROM franked WHERE rank <= {k}"""
