@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark import oracles
 from semantik_spark.functions.hashing import content_hash, hash60
-from semantik_spark.operators import bm25, chunking, dedup, hyde, metrics, rerank, search, similarity, splade, textanalysis
+from semantik_spark.operators import bm25, chunking, dedup, extract, hyde, metrics, rerank, search, similarity, splade, textanalysis
 from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
 from semantik_spark.plans.predicates import compile_predicate
@@ -181,6 +181,27 @@ def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25.search(_t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10)
     return _r6(res, "score")
+
+
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 extractor: TF-IDF top-5 keywords per document."""
+    return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 extractor: regex entity mentions per document. The synthetic
+    corpus text is entity-free, so a deterministic entity-bearing
+    suffix (same expression in the oracle) is appended — the check
+    exercises every pattern class on real rows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Reported By Agent Smith user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com on 2026-01-15 rev 42 see https://docs.example/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return extract.entities(docs)
 
 
 def q_hyde_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_postings": q_bm25_postings,
         "bm25_search": q_bm25_search,
         "hyde_hybrid": q_hyde_hybrid,
+        "extract_keywords": q_keywords,
+        "extract_entities": q_entities,
         "splade_search": q_splade_search,
         "splade_vectors": q_splade_vectors,
         "dense_mock_search": q_dense_mock_search,
@@ -664,6 +687,8 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_search": oracles.q_bm25_search(10),
         "splade_search": oracles.q_splade_search(k=10),
         "hyde_hybrid": oracles.q_hyde_hybrid(k=10, search_k=20),
+        "extract_keywords": oracles.q_keywords(top_k=5),
+        "extract_entities": oracles.q_entities(),
         "dense_mock_search": oracles.q_dense_mock_search(10),
         "hybrid_rrf": oracles.q_hybrid_rrf(10, 20),
         "ir_metrics": oracles.q_ir_metrics((5, 10), 10),

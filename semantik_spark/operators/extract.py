@@ -1,0 +1,108 @@
+"""Extractor operators (M8) — keyword + entity extraction stages.
+
+Reference parity: EXTRACTOR is a first-class pipeline node type
+(shared/pipeline/types.py:28) with per-collection extraction_config
+(models.py:304-306); implementations are plugins
+(shared/plugins/builtins/). The engine ships two REAL pure-Spark
+extractors (no model, fully oracle-checkable) plus the plugin slot for
+model-bound ones:
+
+  keywords   TF-IDF top-k terms per document — the classic statistical
+             keyword extractor. Reuses the BM25 corpus machinery
+             (tokenize → df → idf), score = tf * idf, ranked per doc
+             with deterministic term tie-break.
+  entities   regex entity extraction: emails, urls, numbers, dates,
+             capitalized multi-word names — `regexp_extract_all` per
+             class + explode, one row per (doc, entity_type, entity).
+
+Both are explode/groupBy/window algebra — they inherit Catalyst
+pushdown and stay JVM-side. Model-bound extractors (NER transformers)
+plug in as pandas_udf slots with the same output contract
+(doc_id, entity_type, entity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantik_spark.operators import bm25
+
+# entity classes: name → extraction regex (Java + RE2 compatible)
+ENTITY_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "number": r"\b\d+(?:\.\d+)?\b",
+    "date_iso": r"\b\d{4}-\d{2}-\d{2}\b",
+    # Two+ capitalized words in sequence — the heuristic "proper name"
+    "proper_name": r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b",
+}
+
+
+def keywords(docs: DataFrame, top_k: int = 5, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """TF-IDF keyword extraction: doc_id, keyword, tfidf (6dp), kw_rank.
+
+    Per-doc top_k terms by tf*idf with (score desc, term asc) tie-break.
+    Stats come from the same single tokenize pass BM25 uses; at scale
+    the idf table is |vocab|-sized and broadcastable.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col)
+    terms = bm25.term_stats(tok)
+    tf = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(terms.select("term", "idf")), "term").where(
+        F.col("idf") > 0
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") * F.col("idf")), F.asc("term")
+    )
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= top_k)
+        .select(
+            "doc_id",
+            F.col("term").alias("keyword"),
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+            "kw_rank",
+        )
+    )
+
+
+def entities(docs: DataFrame, entity_types: tuple[str, ...] | None = None,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Regex entity extraction: doc_id, entity_type, entity, n_mentions.
+
+    One regexp_extract_all per class unioned via a stacked explode —
+    single scan of the text column, no UDF.
+    """
+    types = entity_types or tuple(ENTITY_PATTERNS)
+    # F.lit(pattern) keeps the regex out of SQL string-literal escaping
+    # (expr('...\\b...') would eat the backslashes)
+    per_class = F.array(*[
+        F.struct(
+            F.lit(t).alias("entity_type"),
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(ENTITY_PATTERNS[t]), F.lit(0)
+            ).alias("mentions"),
+        )
+        for t in types
+    ])
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), per_class.alias("classes"))
+        .select("doc_id", F.explode("classes").alias("c"))
+        .select("doc_id", "c.entity_type", F.explode("c.mentions").alias("entity"))
+        .groupBy("doc_id", "entity_type", "entity")
+        .agg(F.count("*").cast("bigint").alias("n_mentions"))
+    )
+
+
+def ner_model_udf():
+    """Slot for a transformer NER extractor (same contract: doc_id,
+    entity_type, entity). Model libs not in this image."""
+    raise NotImplementedError(
+        "transformer NER requires model libs; use `entities` (regex) instead"
+    )

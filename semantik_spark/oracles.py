@@ -719,3 +719,43 @@ SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank,
        dense_rank::INT AS dense_rank, sparse_rank::INT AS sparse_rank,
        round(dense_score, 6) AS dense_score, round(sparse_score, 6) AS sparse_score
 FROM franked WHERE rank <= {k}"""
+
+
+# --- extractors (operators/extract.py) -------------------------------------
+
+def q_keywords(top_k: int = 5) -> str:
+    """TF-IDF keywords over the bm25 CTE chain (same tokenizer/idf)."""
+    return f"""
+WITH {bm25_ctes()},
+kw AS (
+  SELECT tf.doc_id, tf.term, tf.tf * terms.idf AS tfidf
+  FROM tf JOIN terms USING (term)
+  WHERE terms.idf > 0
+), kwr AS (
+  SELECT doc_id, term AS keyword, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS kw_rank
+  FROM kw
+)
+SELECT doc_id, keyword, round(tfidf, 6) AS tfidf, kw_rank::INT AS kw_rank
+FROM kwr WHERE kw_rank <= {top_k}"""
+
+
+def q_entities() -> str:
+    from semantik_spark.operators.extract import ENTITY_PATTERNS
+
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS entity_type, "
+        f"unnest(regexp_extract_all(text, '{p}', 0)) AS entity FROM aug"
+        for t, p in ENTITY_PATTERNS.items()
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Reported By Agent Smith user' || doc_id::VARCHAR ||
+         '@example.com on 2026-01-15 rev 42 see https://docs.example/' ||
+         doc_id::VARCHAR AS text
+  FROM documents
+),
+mentions AS ({branches})
+SELECT doc_id, entity_type, entity, count(*)::BIGINT AS n_mentions
+FROM mentions GROUP BY doc_id, entity_type, entity"""
