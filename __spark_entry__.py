@@ -327,6 +327,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8), "cos")
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -521,6 +526,40 @@ def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              "token_count", "total_chunks")
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents' text bytes as opaque media BLOBs — the multimodal
+    column contract (BinaryType content + typed metadata). The string →
+    binary cast is UTF-8 on both engines, so sha256-derived fake decodes
+    replay exactly in the DuckDB oracle."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image/png").alias("mime_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: mapInPandas kernel over binary
+    content → width/height/channels. The deterministic fake decoder is
+    sha256-derived (operators/multimodal.py), hence oracle-checkable;
+    a real codec swaps only the kernel body."""
+    from semantik_spark.operators import multimodal
+
+    return multimodal.image_features(_media(spark, sf_dir)).select(
+        "media_id", "width", "height", "n_channels"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: 1 media row → N frame rows
+    (flatMap shape through mapInPandas)."""
+    from semantik_spark.operators import multimodal
+
+    return multimodal.sample_frames(_media(spark, sf_dir), every_ms=1000, max_frames=8).select(
+        "media_id", "frame_index", "ts_ms"
+    )
+
+
 def q_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 GC: index points whose document was removed (anti-join,
     maintenance.py:175-238). Index = fixed chunks; live docs = docs with
@@ -599,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         # text analysis
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -627,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
         "pca_projection": q_pca_projection,
+        # multimodal plumbing
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -700,6 +743,22 @@ FROM sess GROUP BY user_id, session_id""",
         "dedup_embedding": oracles.q_embedding_dups(0.99),
         "knn_bruteforce": oracles.q_knn_bruteforce(5),
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
+        "knn_ivf": oracles.q_knn_ivf(5, 16, 4),
+        "multimodal_features": """
+WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id,
+       (64 + (('0x' || substr(hx, 1, 2))::INT % 192))::INT AS width,
+       (64 + (('0x' || substr(hx, 3, 2))::INT % 192))::INT AS height,
+       (1 + ((('0x' || substr(hx, 5, 2))::INT % 2) * 2))::INT AS n_channels
+FROM h""",
+        "multimodal_frames": """
+WITH h AS (
+  SELECT doc_id::VARCHAR AS media_id,
+         1 + (('0x' || substr(sha256(text), 1, 2))::INT % 8) AS n
+  FROM documents
+)
+SELECT media_id, f::INT AS frame_index, (f * 1000)::BIGINT AS ts_ms
+FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),

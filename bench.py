@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "ir_metrics",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",

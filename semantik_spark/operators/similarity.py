@@ -17,6 +17,15 @@ Two physical strategies for the same logical top-k-by-cosine:
                    partition/bucketing key — probes prune to a handful
                    of buckets instead of the full scan.
 
+  knn_ivf        — approximate: IVF coarse quantization. Every corpus
+                   vector is assigned to its nearest centroid by a
+                   per-row array fold over broadcast centroid literals
+                   (NO shuffle — the assignment is a narrow map over
+                   the scan); queries probe the nprobe nearest cells
+                   and exact-rank inside them. At 100 TB centroid_id
+                   is the partition key of the index table, so a probe
+                   reads nprobe/n_centroids of the corpus.
+
 The reference's dense retrieval is Qdrant HNSW (service.py:209-218);
 brute-force gives identical results to exhaustive search, LSH is the
 scale path (SURVEY §4: ANN is a physical-plan swap, not a semantic
@@ -38,6 +47,70 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
     scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine("v", "qv").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Deterministic IVF seeding: the ``n_centroids`` corpus vectors
+    with the smallest ids, collected to the driver (tiny — this is the
+    'coarse codebook'). A k-means refinement is a drop-in replacement
+    at scale; seeded selection keeps the index bit-reproducible, which
+    is what makes the DuckDB oracle able to replay it."""
+    return sorted(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.asc("cid")).limit(n_centroids).collect(),
+        key=lambda r: r["cid"],
+    )
+
+
+def _nearest_centroids(vec: str, cent_rows: list) -> F.Column:
+    """ARRAY<STRUCT<cos,negcid>> of centroid scores for a vector column,
+    one element per centroid — evaluated per row with NO shuffle and NO
+    explode. max = nearest (tie → smallest centroid id via negcid)."""
+    cents = F.array(*[
+        F.struct(
+            F.lit(int(r["cid"])).cast("bigint").alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+        )
+        for r in cent_rows
+    ])
+    return F.transform(
+        cents,
+        lambda ct: F.struct(
+            cosine(F.col(vec), ct["cv"]).alias("cos"),
+            (-ct["cid"]).alias("negcid"),
+        ),
+    )
+
+
+def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            n_centroids: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) cell probing.
+
+    Corpus vectors are assigned to their nearest centroid by a per-row
+    fold over the broadcast codebook — a narrow map, so at 100 TB the
+    assignment costs one scan and the index table is written
+    partitionBy(centroid_id). Queries probe their ``nprobe`` nearest
+    cells; exact cosine ranks inside the probed cells only, reading
+    ~nprobe/n_centroids of the corpus instead of all of it.
+    """
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    assigned = c.withColumn(
+        "centroid_id", -F.array_max(_nearest_centroids("v", cent_rows))["negcid"]
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    top_cells = F.slice(F.reverse(F.array_sort(_nearest_centroids("qv", cent_rows))), 1, nprobe)
+    probes = q.withColumn(
+        "centroid_id", F.explode(F.transform(top_cells, lambda s: -s["negcid"]))
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         "query_id", "vec_id", cosine("v", "qv").alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))

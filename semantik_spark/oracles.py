@@ -581,6 +581,36 @@ rk AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
 
 
+def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    """Twin of similarity.knn_ivf: centroids = n smallest-id corpus
+    vectors; nearest-centroid assignment (tie → smaller cid), nprobe
+    cells probed per query, exact cosine rank inside probed cells."""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
+assigned AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, cent.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM corpus CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid AS centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cosine_expr("q.qv", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cosine_expr("a.v", "p.qv")} AS cos
+  FROM assigned a JOIN probes p USING (centroid_id)),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
 def _hyperplane_literals(dim: int, nbits: int) -> list[str]:
     """Python-side replay of similarity._hyperplane: hash60('hp:b:j')
     scaled by /2^59 - 1. md5 is identical everywhere, so these literals

@@ -55,3 +55,50 @@ def test_knn_lsh_subset_of_bruteforce(spark):
     # every LSH hit carries the true cosine (scores never invented)
     for r in lsh:
         assert exact[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"])
+
+
+def test_knn_ivf_probes_cells(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(dim)])], ["query_id", "query_vec"]
+    )
+    from semantik_spark.operators.similarity import knn_ivf
+
+    exact = {(r["query_id"], r["vec_id"]): r["cos"]
+             for r in knn_bruteforce(corpus, q, k=40).collect()}
+    ivf = knn_ivf(corpus, q, k=5, n_centroids=4, nprobe=2).collect()
+    assert 0 < len(ivf) <= 5
+    # IVF hits carry the true cosine and ranks are consecutive from 1
+    assert [r["rank"] for r in ivf] == list(range(1, len(ivf) + 1))
+    for r in ivf:
+        assert exact[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"])
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids → every cell probed → identical to exact."""
+    import random
+
+    rng = random.Random(11)
+    dim = 6
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(j, [rng.uniform(-1, 1) for _ in range(dim)]) for j in range(3)],
+        ["query_id", "query_vec"],
+    )
+    from semantik_spark.operators.similarity import knn_ivf
+
+    exact = sorted((r["query_id"], r["vec_id"], r["rank"])
+                   for r in knn_bruteforce(corpus, q, k=5).collect())
+    ivf = sorted((r["query_id"], r["vec_id"], r["rank"])
+                 for r in knn_ivf(corpus, q, k=5, n_centroids=4, nprobe=4).collect())
+    assert ivf == exact
