@@ -526,6 +526,27 @@ def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              "token_count", "total_chunks")
 
 
+def q_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 ingest slice as ONE declarative plan: enumerate (documents
+    table) → K1 chunk → S4 content-hash → C3 mock-embed (M1 test mode)
+    → S8 index-row shape. The whole reference executor path
+    (executor.py:359-571) compiles to a single narrow Spark plan — no
+    shuffle until the (optional) index write. Embedding is summarized
+    as (dim, 6dp component sum) so the oracle compares scalars."""
+    from semantik_spark.functions.vectors import mock_embedding
+
+    chunks = chunking.fixed_chunks(_t(spark, sf_dir, "documents"), chunk_size=200, overlap=50)
+    idx = chunks.withColumn("embedding", mock_embedding(F.col("content")))
+    return idx.select(
+        "doc_id", "chunk_id", "chunk_index",
+        content_hash("content").alias("chunk_hash"),
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("emb_checksum"),
+    )
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents' text bytes as opaque media BLOBs — the multimodal
     column contract (BinaryType content + typed metadata). The string →
@@ -670,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # end-to-end ingest slice
+        "ingest_index": q_ingest_index,
     }
 
 
@@ -759,6 +782,7 @@ WITH h AS (
 )
 SELECT media_id, f::INT AS frame_index, (f * 1000)::BIGINT AS ts_ms
 FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
+        "ingest_index": _ORACLE_INGEST_INDEX,
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),
@@ -927,6 +951,21 @@ _ORACLE_FINGERPRINT = f"""
 WITH {oracles.shingle_ctes('documents', 4).lstrip()}
 SELECT doc_id, min({oracles.hash60_expr('shingle')}) AS fingerprint
 FROM sh GROUP BY doc_id"""
+
+from semantik_spark.functions.vectors import mock_embedding_sql  # noqa: E402
+
+_ORACLE_INGEST_INDEX = f"""
+WITH {oracles.fixed_chunk_ctes().lstrip()},
+emb AS (
+  SELECT doc_id, chunk_id, chunk_index, content,
+         {mock_embedding_sql('content')} AS e
+  FROM fchunks
+)
+SELECT doc_id, chunk_id, chunk_index,
+       sha256(content) AS chunk_hash,
+       len(e)::INT AS dim,
+       round(list_sum(e), 6) AS emb_checksum
+FROM emb"""
 
 _ORACLE_CHUNK_FIXED = """
 WITH starts AS (

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "chunk_character",
+    "ingest_index",
     "rerank_search",
     "multi_collection_dense",
     "sniff_formats",
