@@ -33,13 +33,31 @@ def collapse_chunks(retrieved_chunks: DataFrame) -> DataFrame:
     )
 
 
+def _unpivot(df: DataFrame, cols: list[str], k_expr) -> DataFrame:
+    """(query_id, metric, k, value) rows from metric columns via ONE
+    explode — N selectExpr+union branches would re-execute the whole
+    upstream N times (measured 2× wall on the bench ir_metrics)."""
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("metric"), F.col(c).cast("double").alias("value"))
+        for c in cols
+    ])
+    return df.select(
+        "query_id", k_expr.alias("k"), F.explode(pairs).alias("m")
+    ).select("query_id", F.col("m.metric").alias("metric"), "k", F.col("m.value").alias("value"))
+
+
 def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] = (5, 10)) -> DataFrame:
     """Per-query metric table: query_id, metric, k (NULL for mrr/ap),
-    value — mirroring BenchmarkRunMetric (models.py:1669-1689)."""
+    value — mirroring BenchmarkRunMetric (models.py:1669-1689).
+
+    ``j`` and ``qrels`` feed every per-k branch plus mrr/ap — persist
+    both so the retrieval pipeline runs once, not once per metric."""
+    qrels = qrels.persist()
     j = (
         retrieved.join(qrels, ["query_id", "doc_id"], "left")
         .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
         .withColumn("rel", (F.col("grade") > 0).cast("int"))
+        .persist()
     )
     n_rel = qrels.where(F.col("grade") > 0).groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_relevant")
@@ -77,11 +95,7 @@ def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] =
                 .otherwise(0.0).alias("ndcg"),
             )
         )
-        per_k.append(
-            base.selectExpr("query_id", "'precision' as metric", "k", "precision as value")
-            .unionByName(base.selectExpr("query_id", "'recall' as metric", "k", "recall as value"))
-            .unionByName(base.selectExpr("query_id", "'ndcg' as metric", "k", "ndcg as value"))
-        )
+        per_k.append(_unpivot(base, ["precision", "recall", "ndcg"], F.lit(k)))
 
     w_cum = (
         Window.partitionBy("query_id").orderBy("rank")
@@ -108,12 +122,9 @@ def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] =
     per_q = per_k[0]
     for p in per_k[1:]:
         per_q = per_q.unionByName(p)
-    per_q = per_q.unionByName(
-        unk.selectExpr("query_id", "'mrr' as metric", "cast(null as int) as k", "mrr as value")
-    ).unionByName(
-        unk.selectExpr("query_id", "'ap' as metric", "cast(null as int) as k", "ap as value")
+    return per_q.unionByName(
+        _unpivot(unk, ["mrr", "ap"], F.lit(None).cast("int"))
     )
-    return per_q
 
 
 def aggregate_metrics(per_query: DataFrame) -> DataFrame:
