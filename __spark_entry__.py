@@ -526,6 +526,29 @@ def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
              "token_count", "total_chunks")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 quantization level int8 (Collection.quantization,
+    models.py:261) + M6 dim validation: per-vector scale, exact integer
+    code checksum, and max dequantization error — all scalars so the
+    oracle compares values, not float arrays."""
+    from semantik_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = quantize_int8(F.col("v"))
+    err = F.array_max(F.zip_with(dequantize_int8(q), F.col("v"),
+                                 lambda a, b: F.abs(a - b)))
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(q["scale"], 6).alias("scale"),
+        F.aggregate(q["codes"], F.lit(0).cast("bigint"),
+                    lambda acc, c: acc + c).alias("code_sum"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
 def q_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 ingest slice as ONE declarative plan: enumerate (documents
     table) → K1 chunk → S4 content-hash → C3 mock-embed (M1 test mode)
@@ -693,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # end-to-end ingest slice
         "ingest_index": q_ingest_index,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -783,6 +807,25 @@ WITH h AS (
 SELECT media_id, f::INT AS frame_index, (f * 1000)::BIGINT AS ts_ms
 FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "ingest_index": _ORACLE_INGEST_INDEX,
+        "embedding_quantize": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x * scale + 0.5)::INT) AS codes
+  FROM s
+)
+SELECT vec_id, len(v)::INT AS dim, round(scale, 6) AS scale,
+       list_sum(codes)::BIGINT AS code_sum,
+       round(list_max(list_transform(range(len(v)),
+             i -> abs(codes[i + 1] / scale - v[i + 1]))), 6) AS max_err
+FROM c""",
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),

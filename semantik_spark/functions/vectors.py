@@ -73,3 +73,21 @@ def mock_embedding_sql(expr: str) -> str:
         f"[(('0x'||substr(sha256(cast({expr} as varchar)), j*8+1, 8))::bigint / 4294967296.0)*2.0-1.0 "
         "for j in range(0, 8)], y -> y*y))))"
     )
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric linear int8 quantization of a vector (the reference's
+    Collection.quantization='int8' level, models.py:261): scale =
+    127/max|x|, code = floor(x*scale + 0.5). floor(+0.5) instead of
+    round() so Spark and the DuckDB oracle share exact half-way
+    semantics. Returns STRUCT<codes ARRAY<INT>, scale DOUBLE>."""
+    v = _col(a)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_int8(q: Column) -> Column:
+    """Inverse of quantize_int8: codes/scale as ARRAY<DOUBLE>."""
+    return F.transform(q["codes"], lambda c: c.cast("double") / q["scale"])

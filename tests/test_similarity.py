@@ -102,3 +102,24 @@ def test_knn_ivf_full_probe_equals_bruteforce(spark):
     ivf = sorted((r["query_id"], r["vec_id"], r["rank"])
                  for r in knn_ivf(corpus, q, k=5, n_centroids=4, nprobe=4).collect())
     assert ivf == exact
+
+
+def test_quantize_int8_roundtrip(spark):
+    from semantik_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])], ["vec_id", "v"]
+    )
+    q = quantize_int8(F.col("v"))
+    rows = df.select(
+        "vec_id", q.alias("q"), dequantize_int8(q).alias("deq")
+    ).collect()
+    r1 = {r["vec_id"]: r for r in rows}
+    # max|x|=1.0 → scale=127; codes = [64, -127, 32] (floor(x*127+0.5))
+    assert r1[1]["q"]["codes"] == [64, -127, 32]
+    assert r1[1]["q"]["scale"] == pytest.approx(127.0)
+    for a, b in zip(r1[1]["deq"], [0.5, -1.0, 0.25]):
+        assert abs(a - b) <= 0.5 / 127.0 + 1e-12
+    # zero vector: scale falls back to 1, codes all zero
+    assert r1[2]["q"]["codes"] == [0, 0, 0]
+    assert r1[2]["q"]["scale"] == pytest.approx(1.0)
