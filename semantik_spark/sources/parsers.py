@@ -35,8 +35,8 @@ PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
     ".rst": ("text",), ".py": ("text",), ".js": ("text",),
     ".ts": ("text",), ".java": ("text",), ".json": ("text",),
     ".yaml": ("text",), ".yml": ("text",), ".xml": ("text",),
-    ".csv": ("text",), ".html": ("unstructured", "text"),
-    ".htm": ("unstructured", "text"),
+    ".csv": ("text",), ".html": ("html", "text"),
+    ".htm": ("html", "text"),
     ".eml": ("email", "text"), ".msg": ("email",),
     ".pdf": ("unstructured",), ".docx": ("unstructured",),
     ".doc": ("unstructured",), ".pptx": ("unstructured",),
@@ -138,6 +138,81 @@ def parse_email(files: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=_EMAIL_SCHEMA)
 
 
+# --- html parser (REAL — stdlib) -------------------------------------------
+
+_HTML_SCHEMA = "uri string, title string, text string, parse_status string"
+
+_SKIP_TAGS = {"script", "style", "head", "template", "noscript"}
+_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+               "h6", "section", "article", "blockquote", "pre"}
+
+
+def _html_to_row(uri: str, raw: bytes) -> dict:
+    """Text extraction via the stdlib HTMLParser: skip script/style,
+    newline on block boundaries, entity decode (the parser handles
+    charrefs), <title> captured separately — the text layer the
+    reference gets from unstructured.partition for .html
+    (unstructured.py:39-69)."""
+    from html.parser import HTMLParser
+
+    class Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.title: list[str] = []
+            self._skip = 0
+            self._in_title = False
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag in _SKIP_TAGS:
+                self._skip += 1
+            if tag == "title":
+                self._in_title = True
+            if tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag in _SKIP_TAGS and self._skip:
+                self._skip -= 1
+            if tag == "title":
+                self._in_title = False
+            if tag in _BLOCK_TAGS:
+                self.parts.append("\n")
+
+        def handle_data(self, data: str) -> None:
+            if self._in_title:
+                self.title.append(data)
+            elif not self._skip:
+                self.parts.append(data)
+
+    try:
+        p = Extract()
+        p.feed(raw.decode("utf-8", errors="replace"))
+        p.close()
+        text = "\n".join(
+            ln.strip() for ln in "".join(p.parts).splitlines() if ln.strip()
+        )
+        return {"uri": uri, "title": "".join(p.title).strip(),
+                "text": text, "parse_status": "ok"}
+    except Exception as exc:  # noqa: BLE001 — registry falls through on failure
+        return {"uri": uri, "title": "", "text": "",
+                "parse_status": f"error: {type(exc).__name__}"}
+
+
+def parse_html(files: DataFrame) -> DataFrame:
+    """S6 html family: mapInPandas over (uri, content) → title + visible
+    text rows. Arrow-batched, one Python pass per partition."""
+    src = files.select("uri", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([
+                _html_to_row(u, bytes(c)) for u, c in zip(pdf["uri"], pdf["content"])
+            ], columns=["uri", "title", "text", "parse_status"])
+
+    return src.mapInPandas(run, schema=_HTML_SCHEMA)
+
+
 # --- unstructured parser (slot — libs not in image) ------------------------
 
 def unstructured_available() -> bool:
@@ -180,8 +255,17 @@ def parse(files: DataFrame) -> DataFrame:
         .join(parse_email(email_in).select("uri", "text", "parse_status"), "uri")
         .select("uri", "extension", "text", "parse_status", "parser")
     )
-    rest = routed.where(~F.col("parser").isin("text", "email")).select(
+    html_in = routed.where(F.col("parser") == "html")
+    html_part = (
+        html_in.select("uri", "extension", "parser")
+        .join(parse_html(html_in).select("uri", "text", "parse_status"), "uri")
+        .select("uri", "extension", "text", "parse_status", "parser")
+    )
+    rest = routed.where(~F.col("parser").isin("text", "email", "html")).select(
         "uri", "extension", F.lit(None).cast("string").alias("text"),
         F.lit("needs_binary_parser").alias("parse_status"), "parser",
     )
-    return text_part.unionByName(email_part).unionByName(rest)
+    return (
+        text_part.unionByName(email_part)
+        .unionByName(html_part).unionByName(rest)
+    )

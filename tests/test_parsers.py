@@ -74,3 +74,43 @@ def test_malformed_email_dead_letters(spark, tmp_path):
     row = parse_email(files).collect()[0]
     # stdlib parser is lenient: worst case empty text, never a crash
     assert row.parse_status.startswith(("parsed", "error"))
+
+
+def test_parse_html_extracts_visible_text(spark):
+    from semantik_spark.sources.parsers import parse_html
+
+    html = b"""<html><head><title>My Doc</title>
+    <style>body { color: red }</style>
+    <script>var x = 1;</script></head>
+    <body><h1>Header</h1><p>First &amp; second.</p>
+    <div>Nested <b>bold</b> text</div></body></html>"""
+    files = spark.createDataFrame([("a.html", html)], "uri string, content binary")
+    rows = parse_html(files).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["parse_status"] == "ok"
+    assert r["title"] == "My Doc"
+    assert "Header" in r["text"]
+    assert "First & second." in r["text"]       # entity decoded
+    assert "Nested bold text" in r["text"].replace("\n", " ")
+    assert "color: red" not in r["text"]        # style skipped
+    assert "var x" not in r["text"]             # script skipped
+
+
+def test_parse_routes_html_through_real_parser(spark):
+    from semantik_spark.sources.parsers import parse
+
+    files = spark.createDataFrame(
+        [
+            ("p.html", ".html", b"<html><body><p>hello</p></body></html>"),
+            ("p.txt", ".txt", b"plain"),
+            ("p.pdf", ".pdf", b"%PDF-"),
+        ],
+        "uri string, extension string, content binary",
+    )
+    out = {r["uri"]: r for r in parse(files).collect()}
+    assert out["p.html"]["parser"] == "html"
+    assert out["p.html"]["text"].strip() == "hello"
+    assert out["p.html"]["parse_status"] == "ok"
+    assert out["p.txt"]["text"] == "plain"
+    assert out["p.pdf"]["parse_status"] == "needs_binary_parser"
