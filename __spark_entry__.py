@@ -631,6 +631,37 @@ def q_stale_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_projection_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 category labeling (projection.py:141-263): plot-facet columns
+    for the embedding atlas."""
+    from semantik_spark.operators.projection import label_categories
+
+    return label_categories(_t(spark, sf_dir, "documents"))
+
+
+def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 composed: config-matrix expansion (A7) × aggregated IR
+    metrics (A6/J5) — one row per (run config, metric). Rank-k metrics
+    attach to the run with the matching k; k-independent metrics
+    (mrr/ap) attach to every run. The reference loops this per run
+    (benchmark_executor.py:399-549); here the whole matrix is one
+    plan with the metric table broadcast into the 12-row matrix."""
+    retrieved, qrels = _ir_inputs(spark, sf_dir)
+    agg = metrics.aggregate_metrics(metrics.evaluate(retrieved, qrels, (5, 10))) \
+        .withColumnRenamed("k", "mk")
+    matrix = q_config_matrix(spark, sf_dir)
+    return (
+        matrix.join(
+            F.broadcast(agg),
+            F.col("mk").isNull() | (F.col("mk") == F.col("k")),
+        )
+        .select(
+            "model", "quantization", F.col("k").alias("run_k"),
+            "metric", F.round("value", 6).alias("value"),
+        )
+    )
+
+
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: distributed PCA of the embeddings table to 2-D (rows-only
     check — component signs are SVD-implementation-specific)."""
@@ -711,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
         "pca_projection": q_pca_projection,
+        "projection_labels": q_projection_labels,
+        "benchmark_matrix": q_benchmark_matrix,
         # multimodal plumbing
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -783,6 +816,21 @@ FROM sess GROUP BY user_id, session_id""",
         "hybrid_rrf": oracles.q_hybrid_rrf(10, 20),
         "ir_metrics": oracles.q_ir_metrics((5, 10), 10),
         "ir_metrics_agg": oracles.q_ir_metrics_agg((5, 10), 10),
+        "projection_labels": """
+SELECT doc_id, coalesce(source, 'unknown') AS category_source,
+       CASE WHEN n_chars < 200 THEN 'small'
+            WHEN n_chars < 1000 THEN 'medium'
+            ELSE 'large' END AS category_size
+FROM documents""",
+        "benchmark_matrix": f"""
+SELECT m.model, m.quantization, m.k AS run_k, a.metric,
+       round(a.value, 6) AS value
+FROM (SELECT model, quantization, k
+      FROM (VALUES ('modelA'), ('modelB')) m(model)
+      CROSS JOIN (VALUES ('float32'), ('float16'), ('int8')) q(quantization)
+      CROSS JOIN (VALUES (5), (10)) kk(k)) m
+JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
+  ON a.k IS NULL OR a.k = m.k""",
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_ngram_jaccard(3, 0.5),
         "dedup_minhash_lsh": oracles.q_minhash_lsh(16, 4, 3, 0.5),
