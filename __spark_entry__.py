@@ -1030,11 +1030,14 @@ SELECT doc_id, is_code, is_json, is_xml, is_yaml, is_csv,
             WHEN is_code THEN 'code' ELSE 'text' END AS detected_format
 FROM p2"""
 
+from semantik_spark.operators.textanalysis import BPE_ISH_PATTERN  # noqa: E402
+
 _ORACLE_TOKEN_COUNTS = f"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0))::BIGINT AS ws_tokens,
        len(regexp_extract_all(lower(text), '{oracles.TOKEN_PATTERN}'))::BIGINT AS re_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT AS bpe_tokens,
        ceil(length(text) / 4.0)::BIGINT AS est_tokens
 FROM documents"""
 

@@ -94,15 +94,25 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+# GPT-2-style pre-tokenization, simplified to constructs Java regex and
+# RE2 share (no lookahead): contractions, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id, n_chars, ws_tokens (whitespace), re_tokens (word-regex,
-    BPE-ish pre-tokenization), est_tokens (chars/4 heuristic — the
-    reference's count_tokens estimate, character_strategy.py:270)."""
+    """doc_id, n_chars, ws_tokens (whitespace), re_tokens (word regex),
+    bpe_tokens (GPT-2-style pre-tokenizer segment count — the unit a
+    real BPE would start merging from), est_tokens (chars/4 heuristic —
+    the reference's count_tokens estimate, character_strategy.py:270)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("bigint").alias("n_chars"),
         F.size(whitespace_tokens(text_col)).cast("bigint").alias("ws_tokens"),
         F.size(raw_tokens(text_col)).cast("bigint").alias("re_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).cast("bigint").alias("bpe_tokens"),
         F.ceil(F.length(text_col) / 4.0).cast("bigint").alias("est_tokens"),
     )
 
