@@ -67,19 +67,26 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     )
 
 
-def _nearest_centroids(vec: str, cent_rows: list) -> F.Column:
-    """ARRAY<STRUCT<cos,negcid>> of centroid scores for a vector column,
-    one element per centroid — evaluated per row with NO shuffle and NO
-    explode. max = nearest (tie → smallest centroid id via negcid)."""
-    cents = F.array(*[
-        F.struct(
-            F.lit(int(r["cid"])).cast("bigint").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
-        )
-        for r in cent_rows
-    ])
+def _codebook_df(spark, cent_rows: list):
+    """One-row DataFrame holding the codebook as ARRAY<STRUCT<cid,cv>>.
+    Cross-joined (broadcast) onto corpus/query rows so centroid values
+    travel as DATA, not as plan literals — inlining n_centroids×dim
+    doubles into the expression tree blows up codegen compile time
+    (measured ~2s at 16×64) and would not survive a real 1024-cell
+    codebook at all."""
+    data = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    return spark.createDataFrame(
+        [(data,)], "cents array<struct<cid:bigint,cv:array<double>>>"
+    )
+
+
+def _nearest_centroids(vec: str) -> F.Column:
+    """ARRAY<STRUCT<cos,negcid>> of centroid scores for a vector column
+    against the joined ``cents`` column — evaluated per row with NO
+    shuffle and NO explode. max = nearest (tie → smallest centroid id
+    via negcid)."""
     return F.transform(
-        cents,
+        F.col("cents"),
         lambda ct: F.struct(
             cosine(F.col(vec), ct["cv"]).alias("cos"),
             (-ct["cid"]).alias("negcid"),
@@ -101,15 +108,16 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ~nprobe/n_centroids of the corpus instead of all of it.
     """
     cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    assigned = c.withColumn(
-        "centroid_id", -F.array_max(_nearest_centroids("v", cent_rows))["negcid"]
-    )
+    assigned = c.crossJoin(codebook).withColumn(
+        "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
+    ).drop("cents")
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
-    top_cells = F.slice(F.reverse(F.array_sort(_nearest_centroids("qv", cent_rows))), 1, nprobe)
-    probes = q.withColumn(
+    top_cells = F.slice(F.reverse(F.array_sort(_nearest_centroids("qv"))), 1, nprobe)
+    probes = q.crossJoin(codebook).withColumn(
         "centroid_id", F.explode(F.transform(top_cells, lambda s: -s["negcid"]))
-    )
+    ).drop("cents")
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         "query_id", "vec_id", cosine("v", "qv").alias("cos")
     )
