@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark import oracles
 from semantik_spark.functions.hashing import content_hash, hash60
-from semantik_spark.operators import bm25, chunking, dedup, extract, hyde, metrics, rerank, search, similarity, splade, textanalysis
+from semantik_spark.operators import bm25, chunking, dedup, extract, hyde, metrics, rerank, search, similarity, splade, textanalysis, timeseries
 from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
 from semantik_spark.plans.predicates import compile_predicate
@@ -675,6 +675,115 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# time-series operators (engine-native; absent in reference, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the user's most
+    recent click at-or-before it. Union-then-window plan: one shuffle on
+    user_id, no range explosion (operators/timeseries.py)."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", us.alias("us"), "value")
+    )
+    # reduce clicks to one row per (user, ts) so the as-of match is
+    # deterministic even with timestamp collisions
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", us.alias("us"))
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("click_us", F.col("us"))
+    )
+    out = timeseries.asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="us",
+        right_cols=["click_event_id", "click_us"],
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.col("us").alias("purchase_us"),
+        "value", "click_event_id", "click_us",
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+    )
+
+
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute RANGE window per user: event count and value
+    sum over the preceding 600s including the current row — one sort per
+    user partition, no self-join."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = timeseries.preceding_range_window(["user_id"], "us", 600_000_000)
+    return base.select(
+        "user_id", "event_id", "us",
+        F.count("*").over(w).cast("bigint").alias("n_10m"),
+        F.round(F.sum("value").over(w), 4).alias("sum_10m"),
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap for
+    ``approx_percentile`` — same plan shape, sketch-mergeable."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 50-char buckets — the corpus
+    profiling pass a training-data pipeline runs before filtering."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token bigrams by document frequency (per-doc distinct →
+    explode → count). The n-gram census over a 100 TB corpus is exactly
+    this plan: map-side distinct keeps the shuffle at one row per
+    (doc, distinct bigram)."""
+    from semantik_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(bm25_tokens("text").alias("toks"))
+    sz = F.size("toks")
+    width = sz - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width))
+    bigrams = F.when(
+        sz >= 2,
+        F.array_distinct(F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+        .select(
+            "ngram", "n_docs",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_docs"), F.asc("ngram"))
+            ).alias("rank"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -690,6 +799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "events_tumbling": q_events_tumbling,
         "user_sessions": q_user_sessions,
+        # time-series (engine-native additions)
+        "events_asof": q_events_asof,
+        "events_range_window": q_events_range_window,
+        "value_percentiles": q_value_percentiles,
+        "doc_length_histogram": q_doc_length_histogram,
+        "ngram_topk": q_ngram_topk,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -924,6 +1039,52 @@ SELECT n.doc_id,
        CASE WHEN o.old_hash IS NULL THEN 'new' ELSE 'modified' END AS change_type
 FROM new_enum n LEFT JOIN old o USING (doc_id)
 WHERE o.old_hash IS NULL OR n.new_hash <> o.old_hash""",
+        "events_asof": """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us,
+         max(event_id)::BIGINT AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.event_id, p.us AS purchase_us, p.value,
+       c.click_event_id, c.us AS click_us, p.us - c.us AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us""",
+        "events_range_window": """
+SELECT user_id, event_id, us,
+       count(*) OVER w::BIGINT AS n_10m,
+       round(sum(value) OVER w, 4) AS sum_10m
+FROM (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""",
+        "value_percentiles": """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type""",
+        "doc_length_histogram": """
+SELECT (floor(n_chars / 50) * 50)::BIGINT AS bucket,
+       count(*)::BIGINT AS n, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1""",
+        "ngram_topk": f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{oracles.TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({oracles.STOPLIST_SQL}, t)) AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1]))) AS ngram
+  FROM tokd WHERE len(toks) >= 2
+), cnt AS (
+  SELECT ngram, count(*)::BIGINT AS n_docs FROM big GROUP BY ngram
+)
+SELECT ngram, n_docs,
+       row_number() OVER (ORDER BY n_docs DESC, ngram ASC)::INT AS rank
+FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         # chunk_character / chunk_recursive / chunk_markdown / sparse_vectors:
         # intentionally no oracle (mapInPandas kernels & array-valued output)
         # → driver rows-only check.

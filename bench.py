@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "join_revenue",
     "events_tumbling",
     "user_sessions",
+    "events_asof",
+    "events_range_window",
     "bm25_postings",
     "bm25_search",
     "dense_mock_search",
