@@ -349,6 +349,12 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-line / dup-n-gram fractions)
+    — map-only per-doc array expressions, no shuffle."""
+    return textanalysis.repetition_features(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprint(_t(spark, sf_dir, "documents"), n=4)
 
@@ -834,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         # rerank / composition
         "rerank_search": q_rerank_search,
         "multi_collection_dense": q_multi_collection_dense,
@@ -1021,6 +1028,32 @@ SELECT bucket_us, event_type, count(*)::BIGINT AS n
 FROM expanded GROUP BY bucket_us, event_type""",
         "text_lang_id": _ORACLE_LANG_ID,
         "text_quality": _ORACLE_QUALITY,
+        "text_repetition": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '\\n'), x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE []::VARCHAR[] END AS g2,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE []::VARCHAR[] END AS g3
+  FROM base
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN len(g2) > 0
+             THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+       round(CASE WHEN len(g3) > 0
+             THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
+FROM g""",
         "text_token_counts": _ORACLE_TOKEN_COUNTS,
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "chunk_fixed": _ORACLE_CHUNK_FIXED,

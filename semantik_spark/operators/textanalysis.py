@@ -117,6 +117,53 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Non-distinct word n-grams from a materialized token array (the
+    arrays_zip-of-shifted-slices shape from functions.text, kept
+    non-distinct because repetition counting needs duplicates)."""
+    sz = F.size(toks)
+    width = sz - n + 1
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, width) for j in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: fraction of
+    duplicate non-empty lines and of duplicate word 2-/3-grams
+    (1 − distinct/total; 0 for docs below the gram width). All linear
+    per-doc array expressions — no explode, no shuffle, so the pass
+    stays map-only at any corpus size. (Gopher counts duplicate
+    *characters*; we count duplicate units, the deterministic
+    oracle-checkable variant.)"""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_lines"),
+        whitespace_tokens(text_col).alias("_toks"),
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / total,
+        ).otherwise(0.0)
+
+    return base.select(
+        "doc_id",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.round(dup_frac(F.col("_lines")), 6).alias("dup_line_frac"),
+        F.round(dup_frac(_word_ngrams(F.col("_toks"), 2)), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(_word_ngrams(F.col("_toks"), 3)), 6).alias("dup_3gram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame, n: int = 4,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id, fingerprint BIGINT — min-hash over n-word shingles

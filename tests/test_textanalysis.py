@@ -9,6 +9,7 @@ from semantik_spark.operators.textanalysis import (
     fingerprint,
     language_id,
     quality_features,
+    repetition_features,
     token_counts,
 )
 
@@ -52,6 +53,31 @@ def test_token_counts(spark):
     assert r["ws_tokens"] == 6
     assert r["re_tokens"] == 6
     assert r["est_tokens"] == -(-r["n_chars"] // 4)
+
+
+def test_repetition_duplicate_lines_and_ngrams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nother line"),
+            (2, "buy now buy now buy now"),
+            (3, "all words are different here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x["doc_id"]: x for x in repetition_features(df).collect()}
+    # doc 1: 3 non-empty lines, one duplicated -> 1 - 2/3
+    assert r[1]["n_lines"] == 3
+    assert abs(r[1]["dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    # doc 2: 2-grams = [buy now, now buy, buy now, now buy, buy now] -> 1 - 2/5
+    assert abs(r[2]["dup_2gram_frac"] - (1 - 2 / 5)) < 1e-6
+    assert r[2]["dup_3gram_frac"] > 0
+    # doc 3: no repetition at all
+    assert r[3]["dup_line_frac"] == 0.0
+    assert r[3]["dup_2gram_frac"] == 0.0
+    # doc 4: empty doc -> all zeros, not null/NaN
+    assert r[4]["n_lines"] == 0
+    assert r[4]["dup_2gram_frac"] == 0.0
 
 
 def test_fingerprint_equal_for_identical_docs(docs):
