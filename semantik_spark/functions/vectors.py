@@ -42,6 +42,15 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n > 0, F.transform(_col(a), lambda x: x.cast("double") / n)).otherwise(_col(a).cast("array<double>"))
 
 
+def _bind(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE and pass it
+    to ``body`` as a lambda variable. Catalyst does not CSE repeated
+    subexpressions (each reference re-evaluates), so any expression used
+    more than once should go through here: transform over a 1-element
+    array binds the computed value, get(..., 0) unwraps the result."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def mock_embedding(c: Column | str) -> Column:
     """Deterministic 8-dim mock embedding, reference-identical math
     (dense_search.py:19-44): sha256(text) → 8 big-endian uint32 →
@@ -50,6 +59,10 @@ def mock_embedding(c: Column | str) -> Column:
 
     The reference pads with zeros up to the model dim; zero padding does
     not change cosine ranking, so we keep the 8 informative dims.
+
+    The sha2→conv chain is let-bound so it evaluates once per row —
+    naively referencing ``vals`` from both the norm and the final
+    transform doubles the hash work (no CSE in Catalyst).
     """
     hexs = F.sha2(_col(c).cast("string"), 256)
     vals = F.transform(
@@ -59,8 +72,10 @@ def mock_embedding(c: Column | str) -> Column:
             / F.lit(4294967296.0) * 2.0 - 1.0
         ),
     )
-    n = F.sqrt(F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.transform(vals, lambda x: x / n)
+    return _bind(vals, lambda v: _bind(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)),
+        lambda n: F.transform(v, lambda x: x / n),
+    ))
 
 
 def mock_embedding_sql(expr: str) -> str:
