@@ -29,6 +29,7 @@ from semantik_spark.config import (
     RERANK_CANDIDATE_MULTIPLIER,
 )
 from semantik_spark.functions.text import bm25_tokens
+from semantik_spark.functions.vectors import _bind
 
 
 def candidate_k(k: int) -> int:
@@ -51,11 +52,15 @@ def mock_rerank_score(query_text: Column | str, content: Column | str) -> Column
     """Deterministic test-mode 'cross-encoder': token-set cosine
     |q∩d| / sqrt(|q|·|d|). Same contract as the model scorer
     (reranker.py:193-305 returns P('yes') per pair)."""
-    q = F.array_distinct(bm25_tokens(query_text))
-    d = F.array_distinct(bm25_tokens(content))
-    inter = F.size(F.array_intersect(q, d)).cast("double")
-    denom = F.sqrt(F.size(q).cast("double") * F.size(d).cast("double"))
-    return F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
+    # let-bind both token arrays: each is referenced twice below, and
+    # Catalyst would re-run the full tokenizer per reference (no CSE)
+    return _bind(F.array_distinct(bm25_tokens(query_text)), lambda q: _bind(
+        F.array_distinct(bm25_tokens(content)), lambda d: F.when(
+            F.sqrt(F.size(q).cast("double") * F.size(d).cast("double")) > 0,
+            F.size(F.array_intersect(q, d)).cast("double")
+            / F.sqrt(F.size(q).cast("double") * F.size(d).cast("double")),
+        ).otherwise(F.lit(0.0)),
+    ))
 
 
 def rerank(candidates: DataFrame, queries: DataFrame, docs: DataFrame, k: int = 10,

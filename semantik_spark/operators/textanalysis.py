@@ -19,6 +19,7 @@ from semantik_spark.functions.text import (
     shingles_from_tokens,
     whitespace_tokens,
 )
+from semantik_spark.functions.vectors import _bind
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
@@ -38,19 +39,30 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     zero-hit docs resolve to 'unknown' < alphabetical order via the
     sort on (hits desc, lang asc) with a minimum-hits floor of 1.
     """
-    scores = language_scores(text_col)
-    pairs = F.array(*[
-        F.struct(scores[lang].cast("bigint").alias("hits"), F.lit(lang).alias("lang"))
-        for lang in sorted(scores)
-    ])
+    # let-bind the token array: every language's hit count references it,
+    # and Catalyst would re-run the regex tokenizer once per language
+    def _pairs(toks: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                _stopword_hits(toks, LANG_STOPWORDS[lang]).cast("bigint").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ])
+
     # max by (hits, then reverse-alpha so earlier alphabet wins ties)
-    best = F.array_max(F.transform(
-        pairs, lambda p: F.struct(p["hits"].alias("hits"), p["lang"].alias("lang"))
-    ))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")).alias("lang_pred"),
-        best["hits"].alias("lang_hits"),
+    best = _bind(raw_tokens(text_col), lambda t: F.array_max(F.transform(
+        _pairs(t), lambda p: F.struct(p["hits"].alias("hits"), p["lang"].alias("lang"))
+    )))
+    # materialize the argmax struct once: the final projection references
+    # it three times, and CollapseProject keeps non-cheap multi-referenced
+    # aliases in their own Project instead of re-inlining them
+    base = docs.select(F.col(id_col).alias("doc_id"), best.alias("_best"))
+    return base.select(
+        "doc_id",
+        F.when(F.col("_best")["hits"] > 0, F.col("_best")["lang"])
+        .otherwise(F.lit("unknown")).alias("lang_pred"),
+        F.col("_best")["hits"].alias("lang_hits"),
     )
 
 
