@@ -287,6 +287,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "jaccard")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components (iterative min-label
+    propagation) → per-cluster survivor selection."""
+    return dedup.duplicate_clusters(
+        _aug_docs(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.5
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -829,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         # similarity search
@@ -956,6 +965,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "dedup_exact": oracles.q_dedup_exact(),
         "dedup_ngram_jaccard": oracles.q_ngram_jaccard(3, 0.5),
         "dedup_minhash_lsh": oracles.q_minhash_lsh(16, 4, 3, 0.5),
+        "dedup_clusters": oracles.q_dedup_clusters(16, 4, 3, 0.5),
         "dedup_simhash": oracles.q_simhash_signatures(60),
         "dedup_embedding": oracles.q_embedding_dups(0.99),
         "knn_bruteforce": oracles.q_knn_bruteforce(5),

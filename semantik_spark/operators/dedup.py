@@ -236,6 +236,67 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
 
 
+def connected_components(edges: DataFrame, node_a: str = "doc_a",
+                         node_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """node, component — connected components over an undirected edge
+    list by iterative min-label propagation: each round every node takes
+    the min label among itself and its neighbors; converges in
+    graph-diameter rounds (near-dup clusters are near-cliques, so 2-4).
+
+    Scale notes: each round is one shuffle join + one aggregation;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Convergence is a driver-side count of
+    changed labels between rounds (an O(nodes) action, not a collect).
+    For adversarial long-chain graphs swap in the large-star/small-star
+    algorithm — same join shapes, fewer rounds.
+    """
+    sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(sym["src"].alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "_old")
+            .join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("label"),
+                F.col("_old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def duplicate_clusters(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                       n: int = 3, threshold: float = 0.5,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup pairs → connected components → cluster
+    assignment: doc_id, cluster_id (min doc in the component),
+    cluster_size, is_keeper (the survivor a dedup pass retains).
+    Singleton docs (no near-dup edge) are not emitted — they are
+    implicitly their own cluster."""
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, threshold, id_col, text_col)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 60,
             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id, simhash BIGINT: per-token hash60; bit b of the signature

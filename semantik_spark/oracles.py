@@ -484,7 +484,9 @@ SELECT doc_a, doc_b, round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccar
 FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}"""
 
 
-def q_minhash_lsh(num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5) -> str:
+def _minhash_verified_ctes(num_hashes: int, bands: int, n: int) -> str:
+    """CTE chain aug_docs → … → verified (doc_a, doc_b, jaccard) shared
+    by the pair-list and cluster oracles."""
     from semantik_spark.operators.dedup import minhash_mix_constants
 
     rows_per_band = num_hashes // bands
@@ -501,8 +503,7 @@ def q_minhash_lsh(num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: f
         )
         for b in range(bands)
     )
-    return f"""
-WITH {AUGMENTED_DOCS_CTE.lstrip()},
+    return f"""{AUGMENTED_DOCS_CTE.lstrip()},
 {shingle_ctes("aug_docs", n).lstrip()},
 sigw AS (
   SELECT doc_id, {mh_cols}
@@ -528,8 +529,42 @@ inter AS (
 verified AS (
   SELECT c.doc_a, c.doc_b, i.n_common::DOUBLE / (i.na + i.nb - i.n_common) AS jaccard
   FROM candidates c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-)
+)"""
+
+
+def q_minhash_lsh(num_hashes: int = 16, bands: int = 4, n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_verified_ctes(num_hashes, bands, n)}
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+def q_dedup_clusters(num_hashes: int = 16, bands: int = 4, n: int = 3,
+                     threshold: float = 0.5) -> str:
+    """Near-dup pairs → connected components via recursive transitive
+    closure; cluster label = min doc_id reachable (matches the Spark
+    min-label propagation fixpoint exactly)."""
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM cc"""
 
 
 def q_simhash_signatures(bits: int = 60) -> str:

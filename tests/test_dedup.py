@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 
 from semantik_spark.operators.dedup import (
+    connected_components,
+    duplicate_clusters,
     embedding_dup_pairs,
     exact_duplicates,
     minhash_lsh_pairs,
@@ -84,3 +86,23 @@ def test_embedding_dup_pairs(spark):
     assert pairs[(1, 2)] == pytest.approx(1.0)
     assert (1, 3) in pairs
     assert all(b != 4 and a != 4 for a, b in pairs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3 → needs >1 propagation round) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_survivors(docs):
+    # conftest docs: 1==2 exact dup, 3 near-dup of 1 → one cluster {1,2,3}
+    out = duplicate_clusters(docs, num_hashes=16, bands=8, n=3, threshold=0.2).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[1]["cluster_id"] == 1 and by_doc[2]["cluster_id"] == 1
+    assert by_doc[1]["is_keeper"] and not by_doc[2]["is_keeper"]
+    assert by_doc[2]["cluster_size"] >= 2
+    # non-dup docs don't appear
+    assert 5 not in by_doc
