@@ -1,0 +1,96 @@
+"""Physical-plan assertions for the scale-critical operators.
+
+Correctness tests prove the math; these prove the PLAN — that the
+properties the 100 TB design depends on actually hold in the optimized
+physical plan, so a refactor that silently turns a broadcast join into
+a sort-merge shuffle (or un-pushes a filter) fails CI, not production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantik_spark.operators import bm25, search
+from semantik_spark.operators.rerank import hydrate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("token stream merge filter doc "), F.col("id")).alias("text"),
+    )
+
+
+def _mk_queries(spark):
+    return spark.createDataFrame(
+        [("q1", "merge stream"), ("q2", "filter scan")], ["query_id", "query_text"]
+    )
+
+
+def test_bm25_scoring_broadcasts_query_terms(spark):
+    """The query-term table must broadcast into the postings scan —
+    scoring adds exactly one shuffle (the groupBy), corpus-size
+    independent."""
+    docs, qs = _mk_docs(spark), _mk_queries(spark)
+    tok = bm25.tokenize(docs)
+    stats = bm25.corpus_stats(tok)
+    terms = bm25.term_stats(tok, stats)
+    post = bm25.postings(tok, terms, stats)
+    scored = bm25.score(post, bm25.encode_queries(qs, terms))
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    # the postings->query join itself must not be a shuffle join
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_dense_search_no_shuffle_before_topk(spark):
+    """Dense scoring = scan + broadcast nested loop vs the tiny query
+    side; the ONLY exchange allowed below the rank window is the
+    hash-partition for the window itself."""
+    docs, qs = _mk_docs(spark), _mk_queries(spark)
+    df = search.mock_dense_search(docs, qs, k=5)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # one exchange for the window partitionBy(query_id); no others
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hydrate_broadcasts_hits_not_corpus(spark):
+    """Late materialization: the small post-top-k hit list broadcasts
+    into the big payload table's scan, never the reverse."""
+    docs = _mk_docs(spark)
+    hits = spark.createDataFrame([(3, "q1")], ["doc_id", "query_id"])
+    out = hydrate(hits, docs)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_parquet_filter_and_projection_pushdown(spark, tmp_path):
+    """Filters and column pruning must reach the parquet scan for every
+    narrow-read operator (the reference's with_vector=False / payload
+    filter parity, dense_search.py:88-98)."""
+    path = str(tmp_path / "docs")
+    _mk_docs(spark, 50).write.parquet(path)
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("doc_id") > 10)
+        .select("doc_id")
+    )
+    plan = _plan(scan)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_rrf_join_stays_on_topk_rows(spark):
+    """RRF fuses two ALREADY-truncated rank lists; the full-outer join
+    runs on ≤2·search_k rows per query, so whatever join strategy AQE
+    picks, no full-corpus exchange may appear above the rank filters."""
+    docs, qs = _mk_docs(spark), _mk_queries(spark)
+    fused = search.hybrid_search(docs, qs, k=5, search_k=10)
+    # both branches were rank-filtered before the join
+    plan = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("rank#") >= 2  # rank filters survive into the join inputs
