@@ -69,6 +69,19 @@ def incremental_ingest(stream: DataFrame, catalog_path: str, checkpoint: str,
     )
 
 
+def streaming_dedup(stream: DataFrame, key_cols: list[str],
+                    ts_col: str = "ts", watermark_minutes: int = 10) -> DataFrame:
+    """Streaming exact dedup on ``key_cols`` (e.g. content_hash): the
+    streaming twin of the batch dedup family. State is bounded by the
+    watermark — duplicates arriving within the watermark horizon are
+    dropped, older state is expired (dropDuplicatesWithinWatermark), so
+    memory stays O(keys-per-horizon) instead of O(corpus) on an
+    unbounded stream."""
+    return stream.withWatermark(
+        ts_col, f"{watermark_minutes} minutes"
+    ).dropDuplicatesWithinWatermark(key_cols)
+
+
 def tumbling_counts_stream(events: DataFrame, minutes: int = 5,
                            watermark_minutes: int = 10,
                            ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:

@@ -94,3 +94,25 @@ def test_session_windows_stream(spark, tmp_path):
     assert len(u1) == 2
     assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
     assert len([r for r in rows if r["user_id"] == "u2"]) == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from semantik_spark.streaming.incremental import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    _write_json(src / "d.json", [
+        {"ts": "2026-01-01T10:00:00", "content_hash": "h1", "doc_id": 1},
+        {"ts": "2026-01-01T10:01:00", "content_hash": "h1", "doc_id": 2},  # dup of h1
+        {"ts": "2026-01-01T10:02:00", "content_hash": "h2", "doc_id": 3},
+    ])
+    stream = stream_files(
+        spark, str(src), "ts timestamp, content_hash string, doc_id bigint"
+    )
+    deduped = streaming_dedup(stream, ["content_hash"], watermark_minutes=10)
+    q = (deduped.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_test").collect()
+    hashes = sorted(r["content_hash"] for r in rows)
+    assert hashes == ["h1", "h2"]  # second h1 within the watermark is dropped
