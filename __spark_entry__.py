@@ -243,8 +243,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ir_inputs(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents")
     qdf = _queries_df(spark, IR_QUERY_TERMS)
-    retrieved = bm25.search(docs, qdf, k=10).select("query_id", "doc_id", "rank")
-    tok = bm25.tokenize(docs)
+    # one tokenization pass shared by the retrieval pipeline and the
+    # synthetic qrels below (bm25.search would otherwise re-tokenize)
+    tok = bm25.tokenize(docs).persist()
+    retrieved = bm25.search(docs, qdf, k=10, tokenized=tok).select(
+        "query_id", "doc_id", "rank"
+    )
     tf = (
         tok.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")

@@ -155,7 +155,8 @@ def score(post: DataFrame, encoded_queries: DataFrame) -> DataFrame:
 
 
 def search(docs: DataFrame, queries: DataFrame, k: int = 10,
-           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+           id_col: str = "doc_id", text_col: str = "text",
+           tokenized: DataFrame | None = None) -> DataFrame:
     """End-to-end BM25 top-k: query_id, doc_id, score, rank (1-based,
     ties broken by doc_id for determinism).
 
@@ -164,10 +165,13 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
     doc instead of 3×. In a deployed index the postings table is
     persisted parquet and this whole prefix disappears; the persist
     mirrors that materialization for build-and-query-in-one runs.
+    Callers that also tokenize for their own purposes pass ``tokenized``
+    (an already-persisted tokenize() output) to share the single pass.
     """
     from pyspark.sql import Window
 
-    tok = tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = tokenized if tokenized is not None \
+        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = postings(tok, terms, stats)
