@@ -339,6 +339,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8), "cos")
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase int8-quantized search: approximate rank on the narrow
+    reconstructed codes, exact rescore of survivors only."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.knn_quantized(corpus, queries, k=5, rescore_k=20), "cos")
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _emb_split(spark, sf_dir)
     return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
@@ -848,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_quantized": q_knn_quantized,
         # text analysis
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -975,6 +983,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_bruteforce": oracles.q_knn_bruteforce(5),
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
         "knn_ivf": oracles.q_knn_ivf(5, 16, 4),
+        "knn_quantized": oracles.q_knn_quantized(5, 20),
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
 SELECT media_id,

@@ -125,6 +125,45 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def knn_quantized(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  rescore_k: int = 20,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """Two-phase quantized search: rank on int8-reconstructed vectors,
+    then exact-rescore the ``rescore_k`` survivors per query.
+
+    The reference stores collections at quantization float32/16/int8
+    (models.py:261); this is that storage trade applied to retrieval:
+    at scale phase 1 scans the int8 codes column (¼ the bytes of
+    float32), and phase 2 hydrates full-precision vectors for the
+    survivors only (late materialization, same two-phase shape as the
+    reference's id-then-payload fetch, service.py:248-277).
+    """
+    from semantik_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    deq = c.withColumn("q", quantize_int8("v")).select(
+        "vec_id", dequantize_int8(F.col("q")).alias("dv")
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    approx = deq.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine("dv", "qv").alias("acos")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= rescore_k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        F.broadcast(cand).join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
 def _hyperplane(dim: int, bit: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j of plane b is
     hash60('hp:b:j') scaled to [-1,1] — computed driver-side with

@@ -662,6 +662,46 @@ def _hyperplane_literals(dim: int, nbits: int) -> list[str]:
     return planes
 
 
+def q_knn_quantized(k: int = 5, rescore_k: int = 20) -> str:
+    """Twin of similarity.knn_quantized: int8 quantize/reconstruct
+    (scale = 127/max|x|, code = floor(x*scale + 0.5)), approximate rank
+    on reconstructed vectors, exact rescore of the top rescore_k."""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+qz AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM corpus
+),
+deq AS (
+  SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dv FROM qz
+),
+approx AS (
+  SELECT q.query_id, deq.vec_id, {cosine_expr("deq.dv", "q.qv")} AS acos
+  FROM deq CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {rescore_k}
+),
+exact AS (
+  SELECT c2.query_id, c2.vec_id, {cosine_expr("corpus.v", "q.qv")} AS cos
+  FROM cand c2 JOIN corpus ON c2.vec_id = corpus.vec_id JOIN q ON c2.query_id = q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
 def q_knn_lsh(k: int = 5, dim: int = 64, nbits: int = 8) -> str:
     planes = _hyperplane_literals(dim, nbits)
     sig_terms = " + ".join(

@@ -123,3 +123,27 @@ def test_quantize_int8_roundtrip(spark):
     # zero vector: scale falls back to 1, codes all zero
     assert r1[2]["q"]["codes"] == [0, 0, 0]
     assert r1[2]["q"]["scale"] == pytest.approx(1.0)
+
+
+def test_knn_quantized_matches_bruteforce_topk(spark):
+    """With a generous rescore_k the quantized two-phase search must
+    return exactly the brute-force exact top-k (rescore uses full
+    precision, so only candidate recall can differ)."""
+    from semantik_spark.operators.similarity import knn_quantized
+
+    import random
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3)],
+        ["query_id", "query_vec"],
+    )
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in knn_bruteforce(corpus, queries, k=5).collect()}
+    quant = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in knn_quantized(corpus, queries, k=5, rescore_k=40).collect()}
+    assert quant == exact
