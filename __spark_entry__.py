@@ -629,6 +629,47 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic pipeline-run results over documents:
+    doc_id%10==0 → failed (alternating transient/permanent message),
+    %10==1 → skipped, else succeeded."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("failed"))
+        .when(F.col("doc_id") % 10 == 1, F.lit("skipped"))
+        .otherwise(F.lit("succeeded")).alias("status"),
+        F.when(
+            F.col("doc_id") % 20 == 0, F.lit("connection timeout to vecpipe")
+        ).otherwise(F.lit("parse error: bad header")).alias("error_message"),
+        (F.col("doc_id") % 4).cast("int").alias("retry_count"),
+    )
+
+
+def q_run_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 failure accounting: one-row processed/succeeded/failed/skipped
+    counters (executor.py:188-200 parity)."""
+    from semantik_spark.operators import runlog
+
+    return runlog.status_counts(_run_results(spark, sf_dir))
+
+
+def q_run_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dead-letter rows with transient/permanent categorization and
+    the retryable subset flag (models.py:373-375, failure_tracker)."""
+    from semantik_spark.operators import runlog
+
+    dead = runlog.dead_letter(_run_results(spark, sf_dir))
+    retry = runlog.retry_candidates(dead, max_retries=3).select(
+        "doc_id", F.lit(True).alias("will_retry")
+    )
+    return dead.join(retry, "doc_id", "left").select(
+        "doc_id", "status", "error_message", "retry_count",
+        "error_category", "retryable",
+        F.coalesce("will_retry", F.lit(False)).alias("will_retry"),
+    )
+
+
 def q_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 GC: index points whose document was removed (anti-join,
     maintenance.py:175-238). Index = fixed chunks; live docs = docs with
@@ -884,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
+        "run_status_counts": q_run_status_counts,
+        "run_dead_letter": q_run_dead_letter,
         "pca_projection": q_pca_projection,
         "projection_labels": q_projection_labels,
         "benchmark_matrix": q_benchmark_matrix,
@@ -1037,6 +1080,42 @@ SELECT chunk_id, doc_id::BIGINT AS doc_id FROM fchunks
 WHERE doc_id::BIGINT % 10 = 0""",
         "stale_marking": """
 SELECT d.doc_id, d.source, (d.doc_id % 7 = 0) AS is_stale FROM documents d""",
+        "run_status_counts": """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'failed'
+              WHEN doc_id % 10 = 1 THEN 'skipped'
+              ELSE 'succeeded' END AS status
+  FROM documents
+)
+SELECT count(*)::BIGINT AS files_processed,
+       sum(CASE WHEN status = 'succeeded' THEN 1 ELSE 0 END)::BIGINT AS files_succeeded,
+       sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)::BIGINT AS files_failed,
+       sum(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END)::BIGINT AS files_skipped
+FROM r""",
+        "run_dead_letter": """
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'failed'
+              WHEN doc_id % 10 = 1 THEN 'skipped'
+              ELSE 'succeeded' END AS status,
+         CASE WHEN doc_id % 20 = 0 THEN 'connection timeout to vecpipe'
+              ELSE 'parse error: bad header' END AS error_message,
+         (doc_id % 4)::INT AS retry_count
+  FROM documents
+), dead AS (
+  SELECT doc_id, status, error_message, retry_count,
+         CASE WHEN lower(error_message) LIKE '%timeout%'
+                OR lower(error_message) LIKE '%connection%'
+                OR lower(error_message) LIKE '%throttled%'
+                OR lower(error_message) LIKE '%oom%'
+              THEN 'transient' ELSE 'permanent' END AS error_category
+  FROM r WHERE status = 'failed'
+)
+SELECT doc_id, status, error_message, retry_count, error_category,
+       error_category = 'transient' AS retryable,
+       (error_category = 'transient' AND retry_count < 3) AS will_retry
+FROM dead""",
         "events_sliding": """
 WITH slid AS (
   SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP))::BIGINT AS b0,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_quantized",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
