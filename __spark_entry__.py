@@ -374,6 +374,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.repetition_features(_t(spark, sf_dir, "documents"))
 
 
+def q_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style keep/drop verdict: length + quality +
+    repetition rules, first-failing-rule reason."""
+    return textanalysis.curation_decision(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprint(_t(spark, sf_dir, "documents"), n=4)
 
@@ -903,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_curation": q_text_curation,
         # rerank / composition
         "rerank_search": q_rerank_search,
         "multi_collection_dense": q_multi_collection_dense,
@@ -1130,6 +1137,7 @@ SELECT bucket_us, event_type, count(*)::BIGINT AS n
 FROM expanded GROUP BY bucket_us, event_type""",
         "text_lang_id": _ORACLE_LANG_ID,
         "text_quality": _ORACLE_QUALITY,
+        "text_curation": _ORACLE_CURATION.format(quality=_ORACLE_QUALITY),
         "text_repetition": """
 WITH base AS (
   SELECT doc_id,
@@ -1285,6 +1293,41 @@ SELECT doc_id, n_chars, n_words,
          + 0.1 * (1.0 - least(digit_ratio * 4.0, 1.0))
          + 0.1 * least(stopword_ratio * 2.0, 1.0), 6) AS quality_score
 FROM feat"""
+
+# composed curation verdict: quality oracle as a sub-CTE + the 2-gram
+# repetition chain + first-failing-rule decision (thresholds mirror
+# textanalysis.curation_decision defaults)
+_ORACLE_CURATION = f"""
+WITH qual AS ({{quality}}),
+rtok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+), rg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE []::VARCHAR[] END AS g2
+  FROM rtok
+), rep AS (
+  SELECT doc_id,
+         round(CASE WHEN len(g2) > 0
+               THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac
+  FROM rg
+), j AS (
+  SELECT q.doc_id, q.n_chars, q.quality_score, rep.dup_2gram_frac
+  FROM qual q JOIN rep USING (doc_id)
+), d AS (
+  SELECT doc_id, n_chars, quality_score, dup_2gram_frac,
+         CASE WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 10000 THEN 'too_long'
+              WHEN quality_score < 0.5 THEN 'low_quality'
+              WHEN dup_2gram_frac > 0.3 THEN 'repetitive'
+              ELSE 'ok' END AS reason
+  FROM j
+)
+SELECT doc_id, n_chars, quality_score, dup_2gram_frac, reason, reason = 'ok' AS keep
+FROM d"""
 
 # regex strings shared verbatim with operators/sniff.py (Java regex and
 # RE2 agree on these constructs; no lookaround, no multiline flags)

@@ -176,6 +176,41 @@ def repetition_features(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def curation_decision(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_chars: int = 100, max_chars: int = 10000,
+                      min_quality: float = 0.5,
+                      max_dup_2gram: float = 0.3) -> DataFrame:
+    """The composed keep/drop verdict a C4/Gopher-style curation pass
+    applies per document: doc_id, keep BOOLEAN, reason (first failing
+    rule in fixed order: too_short → too_long → low_quality →
+    repetitive → 'ok'). One join of the quality and repetition feature
+    passes — both map-only, so the decision costs two scans and one
+    doc_id-key join at any corpus size."""
+    q = quality_features(docs, id_col, text_col).select(
+        "doc_id", "n_chars", "quality_score"
+    )
+    r = repetition_features(docs, id_col, text_col).select(
+        "doc_id", "dup_2gram_frac"
+    )
+    j = q.join(r, "doc_id")
+    reason = (
+        F.when(F.col("n_chars") < min_chars, F.lit("too_short"))
+        .when(F.col("n_chars") > max_chars, F.lit("too_long"))
+        .when(F.round(F.col("quality_score"), 6) < min_quality, F.lit("low_quality"))
+        .when(F.col("dup_2gram_frac") > max_dup_2gram, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.round("quality_score", 6).alias("quality_score"),
+        F.col("dup_2gram_frac"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 def fingerprint(docs: DataFrame, n: int = 4,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id, fingerprint BIGINT — min-hash over n-word shingles

@@ -84,3 +84,21 @@ def test_fingerprint_equal_for_identical_docs(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, n=3).collect()}
     assert fp[1] == fp[2]
     assert fp[1] != fp[4]
+
+
+def test_curation_decision_reasons(spark):
+    from semantik_spark.operators.textanalysis import curation_decision
+
+    df = spark.createDataFrame(
+        [
+            (1, "short"),                                      # too_short
+            (2, "the quick brown fox " * 40),                  # repetitive (dup 2-grams)
+            (3, "the quick brown fox jumps over a lazy dog and keeps running "
+                "through wide fields of tall green grass under an open sky"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation_decision(df, min_chars=20).collect()}
+    assert out[1]["reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["reason"] == "repetitive" and not out[2]["keep"]
+    assert out[3]["keep"] and out[3]["reason"] == "ok"
