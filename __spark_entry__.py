@@ -222,8 +222,20 @@ def q_splade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_splade_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 sparse-vector contract rows: (indices, values) sorted by index."""
-    return splade.doc_vectors(_t(spark, sf_dir, "documents"))
+    """M2 sparse-vector contract rows, flattened for verification:
+    doc_id, pos (position in the ascending-vocab_id array), vocab_id,
+    weight. Exercises doc_vectors' array-sort contract via posexplode —
+    arrays themselves aren't hashable by the driver's canonicalizer."""
+    sv = splade.doc_vectors(_t(spark, sf_dir, "documents"))
+    return sv.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("indices", "values")).alias("pos", "iv"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("iv.indices").alias("vocab_id"),
+        F.col("iv.values").alias("weight"),
+    )
 
 
 def q_dense_mock_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,12 +427,21 @@ def q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 sparse sink rows, flattened: doc_id, pos (position in the
+    ascending-term_id array), term_id, weight (6dp). posexplode of the
+    array form verifies sparse_vectors' sort order hash-exactly."""
     tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
-    post = bm25.postings(tok, bm25.term_stats(tok), bm25.corpus_stats(tok))
+    stats = bm25.corpus_stats(tok)
+    post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     sv = bm25.sparse_vectors(post)
     return sv.select(
-        "doc_id", "sparse_indices",
-        F.transform("sparse_values", lambda v: F.round(v, 6)).alias("sparse_values"),
+        "doc_id",
+        F.posexplode(F.arrays_zip("sparse_indices", "sparse_values")).alias("pos", "iv"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("iv.sparse_indices").alias("term_id"),
+        F.round(F.col("iv.sparse_values"), 6).alias("weight"),
     )
 
 
@@ -862,21 +883,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the correctness driver evaluates only the first
+    # 50 entries, so every oracle-backed query must precede every
+    # no-oracle (rows-only) query. Within the oracle-backed block, the
+    # operational slice that was never driver-evaluated in round 1 goes
+    # first; the r1-green relational/time-series core sits last so it is
+    # what absorbs the past-50 overflow (those rows stay anchored by
+    # CORRECTNESS_r01).
     return {
-        # relational core
-        "pricing_summary": q_pricing_summary,
-        "topk_per_group": q_topk_per_group,
-        "join_revenue": q_join_revenue,
-        "customers_without_orders": q_customers_without_orders,
-        "rollup_agg": q_rollup_agg,
-        "events_tumbling": q_events_tumbling,
-        "user_sessions": q_user_sessions,
-        # time-series (engine-native additions)
-        "events_asof": q_events_asof,
-        "events_range_window": q_events_range_window,
-        "value_percentiles": q_value_percentiles,
-        "doc_length_histogram": q_doc_length_histogram,
-        "ngram_topk": q_ngram_topk,
+        # ops / bookkeeping / pipeline slice (unevaluated in r1)
+        "predicate_route": q_predicate_route,
+        "incremental_changed": q_incremental_changed,
+        "sniff_formats": q_sniff_formats,
+        "config_matrix": q_config_matrix,
+        "collection_counters": q_collection_counters,
+        "events_sliding": q_events_sliding,
+        "gc_orphans": q_gc_orphans,
+        "stale_marking": q_stale_marking,
+        "run_status_counts": q_run_status_counts,
+        "run_dead_letter": q_run_dead_letter,
+        "projection_labels": q_projection_labels,
+        "benchmark_matrix": q_benchmark_matrix,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "ingest_index": q_ingest_index,
+        "embedding_quantize": q_embedding_quantize,
+        # newly-oracled flat sparse-vector contracts
+        "splade_vectors": q_splade_vectors,
+        "sparse_vectors": q_sparse_vectors,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -886,7 +920,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
         "splade_search": q_splade_search,
-        "splade_vectors": q_splade_vectors,
         "dense_mock_search": q_dense_mock_search,
         "hybrid_rrf": q_hybrid_rrf,
         "ir_metrics": q_ir_metrics,
@@ -910,39 +943,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_curation": q_text_curation,
-        # rerank / composition
+        # rerank / composition / chunking
         "rerank_search": q_rerank_search,
         "multi_collection_dense": q_multi_collection_dense,
         "chunk_collapse": q_chunk_collapse,
-        # chunking / pipeline
         "chunk_fixed": q_chunk_fixed,
+        # relational + time-series core (r1-green, stable)
+        "pricing_summary": q_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "join_revenue": q_join_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        "rollup_agg": q_rollup_agg,
+        "events_tumbling": q_events_tumbling,
+        "user_sessions": q_user_sessions,
+        "events_asof": q_events_asof,
+        "events_range_window": q_events_range_window,
+        "value_percentiles": q_value_percentiles,
+        "doc_length_histogram": q_doc_length_histogram,
+        "ngram_topk": q_ngram_topk,
+        # no-oracle (rows-only) tail — MUST stay last
         "chunk_character": q_chunk_character,
         "chunk_recursive": q_chunk_recursive,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
         "chunk_hybrid": q_chunk_hybrid,
-        "sparse_vectors": q_sparse_vectors,
-        "predicate_route": q_predicate_route,
-        "incremental_changed": q_incremental_changed,
-        "sniff_formats": q_sniff_formats,
-        # ops / bookkeeping
-        "config_matrix": q_config_matrix,
-        "collection_counters": q_collection_counters,
-        "events_sliding": q_events_sliding,
-        "gc_orphans": q_gc_orphans,
-        "stale_marking": q_stale_marking,
-        "run_status_counts": q_run_status_counts,
-        "run_dead_letter": q_run_dead_letter,
         "pca_projection": q_pca_projection,
-        "projection_labels": q_projection_labels,
-        "benchmark_matrix": q_benchmark_matrix,
-        # multimodal plumbing
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        # end-to-end ingest slice
-        "ingest_index": q_ingest_index,
-        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -1002,6 +1028,8 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_search": oracles.q_splade_search(k=10),
+        "splade_vectors": _ORACLE_SPLADE_VECTORS,
+        "sparse_vectors": _ORACLE_SPARSE_VECTORS,
         "hyde_hybrid": oracles.q_hyde_hybrid(k=10, search_k=20),
         "extract_keywords": oracles.q_keywords(top_k=5),
         "extract_entities": oracles.q_entities(),
@@ -1399,6 +1427,20 @@ SELECT doc_id, chunk_id, chunk_index,
        len(e)::INT AS dim,
        round(list_sum(e), 6) AS emb_checksum
 FROM emb"""
+
+_ORACLE_SPLADE_VECTORS = f"""
+WITH {oracles.splade_doc_ctes().lstrip()}
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY vocab_id) - 1)::INT AS pos,
+       vocab_id, round(weight, 6) AS weight
+FROM sact"""
+
+_ORACLE_SPARSE_VECTORS = f"""
+WITH {oracles.bm25_ctes().lstrip()}
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY term_id) - 1)::INT AS pos,
+       term_id, round(weight, 6) AS weight
+FROM post"""
 
 _ORACLE_CHUNK_FIXED = """
 WITH starts AS (
