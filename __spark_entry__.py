@@ -315,6 +315,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-blocked simhash near-dup pairs over the augmented duplicate
+    corpus. Banding (max_hamming+1 bit-bands) is exactly complete by
+    pigeonhole, so the all-pairs DuckDB oracle agrees row-for-row."""
+    return dedup.simhash_pairs(_aug_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -908,9 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "ingest_index": q_ingest_index,
         "embedding_quantize": q_embedding_quantize,
-        # newly-oracled flat sparse-vector contracts
+        # newly-oracled flat sparse-vector contracts + blocked dedup pairs
         "splade_vectors": q_splade_vectors,
         "sparse_vectors": q_sparse_vectors,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -1057,6 +1065,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "dedup_minhash_lsh": oracles.q_minhash_lsh(16, 4, 3, 0.5),
         "dedup_clusters": oracles.q_dedup_clusters(16, 4, 3, 0.5),
         "dedup_simhash": oracles.q_simhash_signatures(60),
+        "dedup_simhash_pairs": oracles.q_simhash_pairs(max_hamming=3),
         "dedup_embedding": oracles.q_embedding_dups(0.99),
         "knn_bruteforce": oracles.q_knn_bruteforce(5),
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),

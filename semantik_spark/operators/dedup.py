@@ -323,15 +323,58 @@ def simhash(docs: DataFrame, bits: int = 60,
     )
 
 
+def simhash_band_plan(bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band, lo_bit, width) splits of a ``bits``-bit signature into
+    ``max_hamming + 1`` contiguous bands. Pigeonhole: two signatures
+    within ``max_hamming`` differing bits cannot disagree in ALL
+    max_hamming+1 bands, so joining on any-band-equal has PERFECT recall
+    — banding is a physical optimization, not an approximation."""
+    nbands = min(max_hamming + 1, bits)
+    base, rem = divmod(bits, nbands)
+    plan, lo = [], 0
+    for i in range(nbands):
+        w = base + (1 if i < rem else 0)
+        plan.append((i, lo, w))
+        lo += w
+    return plan
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_a, doc_b, hamming — near-dup pairs by simhash distance."""
-    sig = simhash(docs, bits, id_col, text_col)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    """doc_a, doc_b, hamming — near-dup pairs by simhash distance.
+
+    Band-blocked, not all-pairs: the signature splits into
+    max_hamming+1 bit-bands; docs equal on any band become candidates
+    (exactly complete by pigeonhole — see simhash_band_plan); candidates
+    only are hamming-verified. At 100 TB the (band, band_key) join is
+    the one shuffle and band_key is a well-distributed partition key;
+    the old corpus×corpus crossJoin is gone. Narrower max_hamming →
+    wider bands → smaller buckets, so prefer max_hamming ≤ 3 at scale
+    (4×15-bit bands over a 60-bit signature).
+    """
+    sig = simhash(docs, bits, id_col, text_col).persist()
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("band_key"),
+            )
+            for band, lo, w in simhash_band_plan(bits, max_hamming)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .where(F.col("doc_a") < F.col("doc_b"))
+        candidates
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")), "doc_b")
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -339,19 +382,48 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
 
 
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = 64, nbits: int = 8,
+                        probe_hamming: int = 1) -> DataFrame:
     """vec_a, vec_b, cos — embedding-cosine near-duplicates.
 
-    Brute-force self-join at test SF; at scale the LSH-bucketed variant
-    in operators.similarity restricts candidates first.
+    LSH-bucketed, not all-pairs: vectors get an ``nbits``-bit
+    hyperplane signature (similarity.lsh_signature — deterministic, so
+    the oracle can replay the blocking); side A probes its own bucket
+    plus every signature within ``probe_hamming`` bit-flips, side B
+    stays at its own bucket, and only same-bucket candidates are
+    exact-cosine verified. The bucket column is the one shuffle key —
+    at 100 TB it's the partition key of a signature table and each
+    vector touches nbits+1 buckets instead of the whole corpus.
+
+    Unlike simhash banding this blocking is probabilistic: a true pair
+    at cos ≥ t collides with probability ≥ 1-(1-(1-θ/π)^nbits) per
+    probe; identical vectors always collide. Raise probe_hamming or
+    lower nbits for more recall; the cosine verify keeps precision
+    exact either way.
     """
     from semantik_spark.functions.vectors import cosine
+    from semantik_spark.operators.similarity import lsh_signature
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
+           .withColumn("bucket", lsh_signature("v", dim, nbits)).persist()
+    flips = [F.col("bucket")] + ([
+        F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), b))
+        for b in range(nbits)
+    ] if probe_hamming >= 1 else [])
+    probes = v.select(
+        F.col("vec_id").alias("vec_a"), F.explode(F.array(*flips)).alias("bucket")
+    )
+    candidates = (
+        probes.join(v.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return (
+        candidates
+        .join(v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
         .withColumn("cos", cosine("va", "vb"))
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")

@@ -115,4 +115,4 @@ def media_near_dups(media: DataFrame, feature_dim: int = 8,
         F.col("media_id").alias("vec_id"),
         F.col("feature").cast("array<double>").alias("embedding"),
     )
-    return embedding_dup_pairs(feats, threshold=threshold)
+    return embedding_dup_pairs(feats, threshold=threshold, dim=feature_dim)

@@ -567,12 +567,14 @@ SELECT doc_id, cluster_id,
 FROM cc"""
 
 
-def q_simhash_signatures(bits: int = 60) -> str:
+def simhash_sig_ctes(doc_table: str = "documents", bits: int = 60) -> str:
+    """wtok → tokf → per_bit → ssig(doc_id, simhash) — mirrors
+    dedup.simhash exactly."""
     return f"""
-WITH wtok AS (
+wtok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
-  FROM documents
+  FROM {doc_table}
 ),
 tokf AS (
   SELECT doc_id, token, count(*)::BIGINT AS tf,
@@ -585,10 +587,31 @@ per_bit AS (
          sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
   FROM (SELECT doc_id, tf, h, unnest(range(0, {bits})) AS bit FROM tokf)
   GROUP BY doc_id, bit
-)
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
-FROM per_bit GROUP BY doc_id"""
+),
+ssig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM per_bit GROUP BY doc_id
+)"""
+
+
+def q_simhash_signatures(bits: int = 60) -> str:
+    return f"""
+WITH {simhash_sig_ctes('documents', bits).lstrip()}
+SELECT doc_id, simhash FROM ssig"""
+
+
+def q_simhash_pairs(max_hamming: int = 3, bits: int = 60) -> str:
+    """All-pairs in DuckDB (fine at oracle SF); the Spark side is
+    band-blocked, which pigeonhole makes exactly complete, so the two
+    agree row-for-row."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{simhash_sig_ctes('aug_docs', bits).lstrip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 def q_embedding_dups(threshold: float = 0.99) -> str:

@@ -85,6 +85,31 @@ def test_parquet_filter_and_projection_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
+def test_simhash_pairs_not_all_pairs(spark):
+    """Simhash near-dup pairs must candidate-generate via the bit-band
+    equi-join — a corpus×corpus CartesianProduct/BroadcastNestedLoopJoin
+    would be the 100 TB scale-killer the banding exists to avoid."""
+    from semantik_spark.operators.dedup import simhash_pairs
+
+    plan = _plan(simhash_pairs(_mk_docs(spark), max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dup_pairs_not_all_pairs(spark):
+    """Embedding near-dups must candidate-generate via the LSH bucket
+    equi-join, never a corpus×corpus product."""
+    from semantik_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (j + 1) % 97).cast("double") for j in range(8)]).alias("embedding"),
+    )
+    plan = _plan(embedding_dup_pairs(emb, threshold=0.99, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_rrf_join_stays_on_topk_rows(spark):
     """RRF fuses two ALREADY-truncated rank lists; the full-outer join
     runs on ≤2·search_k rows per query, so whatever join strategy AQE
