@@ -919,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splade_vectors": q_splade_vectors,
         "sparse_vectors": q_sparse_vectors,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "chunk_character": q_chunk_character,
+        "chunk_recursive": q_chunk_recursive,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -970,8 +972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
         # no-oracle (rows-only) tail — MUST stay last
-        "chunk_character": q_chunk_character,
-        "chunk_recursive": q_chunk_recursive,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
@@ -1265,9 +1265,11 @@ WITH tokd AS (
 SELECT ngram, n_docs,
        row_number() OVER (ORDER BY n_docs DESC, ngram ASC)::INT AS rank
 FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
-        # chunk_character / chunk_recursive / chunk_markdown / sparse_vectors:
-        # intentionally no oracle (mapInPandas kernels & array-valued output)
-        # → driver rows-only check.
+        "chunk_character": oracles.q_chunk_character(chunk_size=200, overlap=50),
+        "chunk_recursive": oracles.q_chunk_recursive(chunk_size=200),
+        # chunk_markdown / chunk_semantic / chunk_hierarchical /
+        # chunk_hybrid / pca_projection: intentionally no oracle
+        # (mapInPandas kernels with non-SQL semantics) → rows-only check.
     }
 
 

@@ -131,48 +131,78 @@ def character_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
     return out
 
 
-_RECURSIVE_SEPARATORS = ["\n\n\n", "\n\n", "\n", ". ", "! ", "? ", "; ", ", ", " ", ""]
+_RECURSIVE_SEPARATORS = ["\n\n\n", "\n\n", "\n", ". ", "! ", "? ", "; ", ", ", " "]
 
 
-def recursive_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
-                        _seps: list[str] | None = None) -> list[str]:
-    """K2 recursive strategy kernel: descend the separator hierarchy
-    (recursive_strategy.py:63-74) splitting any piece over budget, then
-    greedily merge adjacent small pieces back up to the budget
-    (:94-123). Returns chunk texts in order."""
-    seps = _RECURSIVE_SEPARATORS if _seps is None else _seps
-    if len(text) <= chunk_size:
-        return [text] if text else []
-    if not seps:
-        return [text[i:i + chunk_size] for i in range(0, len(text), chunk_size)]
-    sep, rest = seps[0], seps[1:]
-    if sep == "":
-        return [text[i:i + chunk_size] for i in range(0, len(text), chunk_size)]
-    parts = text.split(sep)
-    if len(parts) == 1:
-        return recursive_chunk_doc(text, chunk_size, rest)
-    pieces: list[str] = []
-    for j, p in enumerate(parts):
-        frag = p + sep if j < len(parts) - 1 else p
-        if not frag:
-            continue
-        if len(frag) > chunk_size:
-            pieces.extend(recursive_chunk_doc(frag, chunk_size, rest))
+def recursive_chunk_spans(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[tuple[int, int]]:
+    """K2 recursive strategy kernel, flat formulation: (start, len)
+    spans of the final chunks.
+
+    Semantics (recursive_strategy.py:63-74,423-517, reformulated):
+      1. descend the separator hierarchy level by level, splitting only
+         pieces over budget (separator kept attached to the left part);
+      2. hard-slice anything still over budget after the last level
+         (the reference's "" separator);
+      3. one greedy left-to-right merge of adjacent pieces up to budget.
+    The single final merge (vs the reference's per-level merge) is the
+    one deviation; it makes the algorithm level-iterative instead of
+    nested-recursive, which is what lets BOTH the Spark kernel and the
+    DuckDB oracle (oracles.q_chunk_recursive: unrolled level CTEs + a
+    recursive merge CTE) express it exactly. Chunks are contiguous,
+    in order, lossless, and ≤ chunk_size.
+    """
+    if not text:
+        return []
+    pieces = [(0, len(text))]
+    for sep in _RECURSIVE_SEPARATORS:
+        out: list[tuple[int, int]] = []
+        for off, ln in pieces:
+            if ln <= chunk_size:
+                out.append((off, ln))
+                continue
+            parts = text[off:off + ln].split(sep)
+            if len(parts) == 1:
+                out.append((off, ln))
+                continue
+            o = off
+            for j, part in enumerate(parts):
+                fl = len(part) + (len(sep) if j < len(parts) - 1 else 0)
+                if fl:
+                    out.append((o, fl))
+                o += fl
+        pieces = out
+    out = []
+    for off, ln in pieces:
+        if ln <= chunk_size:
+            out.append((off, ln))
         else:
-            pieces.append(frag)
-    # merge small adjacent pieces
-    merged: list[str] = []
-    buf = ""
-    for p in pieces:
-        if len(buf) + len(p) <= chunk_size:
-            buf += p
+            out += [(off + i, min(chunk_size, ln - i)) for i in range(0, ln, chunk_size)]
+    pieces = out
+    chunks: list[tuple[int, int]] = []
+    cs, cl = pieces[0]
+    for off, ln in pieces[1:]:
+        if cl + ln <= chunk_size:
+            cl += ln
         else:
-            if buf:
-                merged.append(buf)
-            buf = p
-    if buf:
-        merged.append(buf)
-    return merged
+            chunks.append((cs, cl))
+            cs, cl = off, ln
+    chunks.append((cs, cl))
+    return chunks
+
+
+def recursive_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[dict[str, Any]]:
+    """Chunk-dict form of recursive_chunk_spans (offsets exact, not
+    re-derived by substring search)."""
+    return [
+        {
+            "chunk_index": i,
+            "content": text[s:s + ln],
+            "start_offset": s,
+            "end_offset": s + ln,
+            "token_count": (ln + 3) // 4,
+        }
+        for i, (s, ln) in enumerate(recursive_chunk_spans(text, chunk_size))
+    ]
 
 
 def markdown_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[dict[str, Any]]:
@@ -209,8 +239,8 @@ def markdown_chunk_doc(text: str, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[
         # splitter (markdown_strategy.py groups sections to the token
         # budget and re-splits oversized ones)
         if len(content) > chunk_size:
-            for piece in recursive_chunk_doc(content, chunk_size):
-                out.append({"content": piece, "breadcrumb": crumb})
+            for s, ln in recursive_chunk_spans(content, chunk_size):
+                out.append({"content": content[s:s + ln], "breadcrumb": crumb})
         else:
             out.append({"content": content, "breadcrumb": crumb})
 

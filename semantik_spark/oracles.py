@@ -356,6 +356,136 @@ fchunks AS (
 )"""
 
 
+def q_chunk_character(chunk_size: int = 200, overlap: int = 50,
+                      window: int = 50) -> str:
+    """K1 character chunking oracle: a recursive CTE replays the
+    boundary-snapping loop of chunking.character_chunk_doc exactly —
+    each step computes raw_end = min(start+size, n), snaps to the last
+    sentence end (". ", "! ", "? ", "\\n") within ``window`` chars (else
+    last word boundary, else hard cut), emits the chunk, and advances to
+    max(end - overlap, start + 1). rfind is expressed as
+    position(reverse(mark) IN reverse(window_text))."""
+    marks = [("' .'", 2), ("' !'", 2), ("' ?'", 2), ("chr(10)", 1)]
+
+    def cand(rsub: str) -> str:
+        return ", ".join(
+            f"CASE WHEN position({rev} IN {rsub}) > 0 "
+            f"THEN r.raw_end - position({rev} IN {rsub}) + 1 ELSE -1 END"
+            for rev, _ in marks
+        )
+
+    def step(tbl: str, start: str) -> str:
+        """LATERAL chain computing end_offset for chunk starting at ``start``."""
+        return f"""
+       LATERAL (SELECT least({start} + {chunk_size}, {tbl}.n) AS raw_end) r,
+       LATERAL (SELECT greatest(0, r.raw_end - {window}) AS lo) l,
+       LATERAL (SELECT reverse(substr({tbl}.text, l.lo + 1, r.raw_end - l.lo)) AS rsub) rs,
+       LATERAL (SELECT greatest({cand('rs.rsub')}) AS best) b,
+       LATERAL (SELECT CASE WHEN position(' ' IN rs.rsub) > 0
+                            THEN r.raw_end - position(' ' IN rs.rsub) ELSE -1 END AS wi) wp,
+       LATERAL (SELECT CASE WHEN r.raw_end >= {tbl}.n THEN r.raw_end
+                            WHEN b.best > l.lo THEN b.best
+                            WHEN wp.wi > l.lo THEN wp.wi + 1
+                            ELSE r.raw_end END AS bnd) bb,
+       LATERAL (SELECT CASE WHEN bb.bnd <= {start} THEN r.raw_end ELSE bb.bnd END AS end_offset) e"""
+
+    return f"""
+WITH RECURSIVE cbase AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, length(text)::INT AS n
+  FROM documents WHERE length(text) > 0
+),
+cch AS (
+  SELECT cbase.doc_id, cbase.text, cbase.n, 0::INT AS start_offset,
+         e.end_offset::INT AS end_offset, 0::INT AS chunk_index
+  FROM cbase,{step('cbase', '0')}
+  UNION ALL
+  SELECT cch.doc_id, cch.text, cch.n, s.ns::INT, e.end_offset::INT, cch.chunk_index + 1
+  FROM cch,
+       LATERAL (SELECT greatest(cch.end_offset - {overlap}, cch.start_offset + 1) AS ns) s,{step('cch', 's.ns')}
+  WHERE cch.end_offset < cch.n
+)
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index,
+       substr(text, start_offset + 1, end_offset - start_offset) AS content,
+       start_offset, end_offset,
+       ((end_offset - start_offset + 3) // 4)::INT AS token_count,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
+FROM cch"""
+
+
+def q_chunk_recursive(chunk_size: int = 200) -> str:
+    """K2 recursive chunking oracle: unrolled separator-level CTEs
+    (split only over-budget pieces, separator attached left) + hard
+    slice + a recursive greedy-merge CTE — mirrors
+    chunking.recursive_chunk_spans exactly."""
+    sep_sql = [
+        ("chr(10)||chr(10)||chr(10)", 3), ("chr(10)||chr(10)", 2), ("chr(10)", 1),
+        ("'. '", 2), ("'! '", 2), ("'? '", 2), ("'; '", 2), ("', '", 2), ("' '", 1),
+    ]
+    lvls = []
+    for k, (s, slen) in enumerate(sep_sql):
+        prev = f"rl{k - 1}" if k else "rl_base"
+        lvls.append(f"""rs{k} AS (
+  SELECT doc_id, text, off, len,
+         CASE WHEN len > {chunk_size}
+              THEN string_split(substr(text, off + 1, len), {s}) END AS parts
+  FROM {prev}),
+rl{k} AS (
+  SELECT doc_id, text, off, len FROM rs{k} WHERE parts IS NULL OR len(parts) = 1
+  UNION ALL
+  SELECT doc_id, text, off, len FROM (
+    SELECT doc_id, text,
+           poff + sum(fl) OVER (PARTITION BY doc_id, poff ORDER BY j) - fl AS off,
+           fl AS len
+    FROM (
+      SELECT doc_id, text, off AS poff,
+             unnest(parts) AS part, unnest(range(1, len(parts) + 1)) AS j,
+             len(parts) AS np
+      FROM rs{k} WHERE parts IS NOT NULL AND len(parts) > 1
+    ), LATERAL (SELECT length(part) + CASE WHEN j < np THEN {slen} ELSE 0 END AS fl)
+  ) WHERE len > 0
+)""")
+        last = f"rl{len(sep_sql) - 1}"
+    levels = ",\n".join(lvls)
+    return f"""
+WITH RECURSIVE rl_base AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, 0::BIGINT AS off, length(text)::BIGINT AS len
+  FROM documents WHERE length(text) > 0
+),
+{levels},
+ratoms0 AS (
+  SELECT doc_id, text, off, len FROM {last} WHERE len <= {chunk_size}
+  UNION ALL
+  SELECT doc_id, text, off + i AS off, least({chunk_size}, len - i) AS len
+  FROM {last}, LATERAL (SELECT unnest(range(0, len, {chunk_size})) AS i)
+  WHERE len > {chunk_size}
+),
+ratoms AS (
+  SELECT doc_id, text, off, len,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS idx
+  FROM ratoms0
+),
+rm AS (
+  SELECT doc_id, text, idx, 0::BIGINT AS chunk_no, off AS cs, len AS cl
+  FROM ratoms WHERE idx = 1
+  UNION ALL
+  SELECT a.doc_id, a.text, a.idx,
+         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.chunk_no ELSE rm.chunk_no + 1 END,
+         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.cs ELSE a.off END,
+         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.cl + a.len ELSE a.len END
+  FROM rm JOIN ratoms a ON a.doc_id = rm.doc_id AND a.idx = rm.idx + 1
+),
+rfinal AS (
+  SELECT doc_id, text, chunk_no, cs, cl,
+         row_number() OVER (PARTITION BY doc_id, chunk_no ORDER BY idx DESC) AS rn
+  FROM rm
+)
+SELECT doc_id, doc_id || '#' || chunk_no::INT AS chunk_id, chunk_no::INT AS chunk_index,
+       substr(text, cs + 1, cl) AS content,
+       ((cl + 3) // 4)::INT AS token_count,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
+FROM rfinal WHERE rn = 1"""
+
+
 def q_chunk_collapse(k: int = 20) -> str:
     """W4 first-hit chunk→doc collapse oracle: deterministic pseudo
     retrieval (hash60 of query||chunk) over fixed chunks, then collapse."""

@@ -67,8 +67,9 @@ def test_character_chunks_dataframe(spark):
 def test_recursive_kernel_respects_budget_and_order():
     text = "para one.\n\npara two is a bit longer here.\n\n" + "x" * 500 + "\n\nlast para."
     chunks = recursive_chunk_doc(text, chunk_size=120)
-    assert all(len(c) <= 120 for c in chunks)
-    assert "".join(chunks) == text  # lossless in-order reassembly
+    assert all(len(c["content"]) <= 120 for c in chunks)
+    assert "".join(c["content"] for c in chunks) == text  # lossless in-order reassembly
+    assert all(c["content"] == text[c["start_offset"]:c["end_offset"]] for c in chunks)
 
 
 def test_recursive_chunks_dataframe(spark):
