@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# cached frames from the most recent evaluate() call, released on the
+# next call (see evaluate docstring)
+_live_caches: list[DataFrame] = []
+
 
 def collapse_chunks(retrieved_chunks: DataFrame) -> DataFrame:
     """First-hit chunk→doc collapse (metrics.py:12-41): keep each doc's
@@ -51,14 +55,22 @@ def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] =
     value — mirroring BenchmarkRunMetric (models.py:1669-1689).
 
     ``j`` and ``qrels`` feed every per-k branch plus mrr/ap — persist
-    both so the retrieval pipeline runs once, not once per metric."""
+    both so the retrieval pipeline runs once, not once per metric.
+    Each call releases the previous call's cached frames (repeated
+    evaluations in one session would otherwise accumulate cached blocks
+    for the session's lifetime); a prior result materialized after a
+    newer evaluate() call simply recomputes."""
+    while _live_caches:
+        _live_caches.pop().unpersist()
     qrels = qrels.persist()
+    _live_caches.append(qrels)
     j = (
         retrieved.join(qrels, ["query_id", "doc_id"], "left")
         .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
         .withColumn("rel", (F.col("grade") > 0).cast("int"))
         .persist()
     )
+    _live_caches.append(j)
     n_rel = qrels.where(F.col("grade") > 0).groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_relevant")
     )

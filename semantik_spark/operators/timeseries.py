@@ -44,6 +44,15 @@ def asof_join(
     names; right rows with null ``right_cols`` values are treated as
     gaps (last *non-null* wins).
     """
+    # fail fast on contract violations that would otherwise produce
+    # silently-wrong joins (left values feeding the carry-forward)
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
+    missing = [c for c in (*keys, ts_col) if c not in left.columns] \
+        + [c for c in (*keys, ts_col, *right_cols) if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join: missing required columns: {missing}")
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(*keys, ts_col, *right_cols).withColumn("__side", F.lit(0))
     u = lt.unionByName(rt, allowMissingColumns=True)

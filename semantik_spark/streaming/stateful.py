@@ -60,7 +60,11 @@ def running_source_stats(docs: DataFrame, key_col: str = "source",
             n_docs += len(pdf)
             total_bytes += int(pdf[size_col].fillna(0).sum())
             if len(pdf) and hash_col in pdf.columns:
-                last_hash = pdf[hash_col].iloc[-1]
+                # row order inside a micro-batch group is partition-order
+                # dependent — sort on a stable column so "last hash" is
+                # deterministic across runs
+                order_col = "doc_id" if "doc_id" in pdf.columns else hash_col
+                last_hash = pdf.sort_values(order_col)[hash_col].iloc[-1]
         state.update((n_docs, total_bytes, last_hash))
         yield pd.DataFrame([{
             "source": key[0], "n_docs": n_docs,
@@ -120,7 +124,11 @@ def session_tracker(events: DataFrame, gap_minutes: int = 30,
                                "session_end_us": e, "n_events": n})
                 s, e, n = t, t, 1
             else:
-                e, n = t, n + 1
+                # late-but-within-watermark events (possible whenever
+                # watermark_delay > 0) may only WIDEN the open session —
+                # an out-of-order t must never rewind session_end or the
+                # timeout deadline, nor clip session_start
+                s, e, n = min(s, t), max(e, t), n + 1
         if s is not None:
             state.update((s, e, n))
             # close when the watermark passes session_end + gap (ms epoch)
