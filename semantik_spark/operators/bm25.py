@@ -47,13 +47,20 @@ def corpus_stats(tokenized: DataFrame) -> DataFrame:
     )
 
 
-def term_stats(tokenized: DataFrame, stats: DataFrame | None = None) -> DataFrame:
+def term_stats(tokenized: DataFrame, stats: DataFrame | None = None,
+               bucket_chars: int = 2) -> DataFrame:
     """term, term_id (dense, ordered by term — deterministic, unlike the
     reference's insertion order), df BIGINT, idf DOUBLE (A2).
 
-    Window without partition is fine: |vocab| rows, driver-size bounded
-    at test SF; at 100 TB swap for zipWithIndex-style rank if vocab is
-    huge (term_id is only needed for sparse-vector array encoding).
+    term_id is assigned WITHOUT a global single-partition sort: terms
+    rank within ``bucket_chars``-prefix buckets (hash exchange on the
+    bucket — parallel), and each bucket's rank offset is the summed
+    count of lexicographically-smaller buckets, computed by a broadcast
+    self-join over the tiny bucket-count table. offset + local_rank
+    equals the global ORDER BY term rank exactly, with no sampling and
+    no run-to-run nondeterminism (unlike repartitionByRange, whose
+    sampled boundaries differ across executions). At a 100 TB vocab
+    raise ``bucket_chars`` to 3 to tighten the skew bound.
     Pass ``stats`` (corpus_stats output) to avoid a second scan of
     ``tokenized``.
     """
@@ -65,8 +72,7 @@ def term_stats(tokenized: DataFrame, stats: DataFrame | None = None) -> DataFram
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
     )
-    w = Window.orderBy("term")
-    return (
+    bucketed = (
         terms.crossJoin(F.broadcast(n_avg))
         .withColumn(
             "idf",
@@ -75,7 +81,19 @@ def term_stats(tokenized: DataFrame, stats: DataFrame | None = None) -> DataFram
                 F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
             ),
         )
-        .withColumn("term_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .withColumn("bucket", F.substring("term", 1, bucket_chars))
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("bigint").alias("_off"))
+    )
+    w = Window.partitionBy("bucket").orderBy("term")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn("term_id", (F.col("_off") + F.row_number().over(w) - 1).cast("bigint"))
         .select("term", "term_id", "df", "idf")
     )
 

@@ -85,7 +85,25 @@ def test_parquet_filter_and_projection_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<doc_id:bigint>" in plan
 
 
-def test_simhash_pairs_not_all_pairs(spark):
+def test_term_stats_no_single_partition_exchange(spark):
+    """term_id assignment must stay distributed — the prefix-bucket
+    rank + broadcast offset scheme replaces the old global
+    Window.orderBy(term), so no stage may collapse the vocabulary onto
+    one partition."""
+    docs = _mk_docs(spark)
+    tok = bm25.tokenize(docs)
+    plan = _plan(bm25.term_stats(tok, bm25.corpus_stats(tok)))
+    # the rank window must partition by the prefix bucket…
+    assert "windowspecdefinition(bucket" in plan
+    # …and no operator may globally sort the vocabulary ("true" = global
+    # sort, which requires a single-partition/range exchange underneath)
+    assert ", true, 0" not in plan
+    # the only SinglePartition exchanges allowed are the 1-row
+    # corpus_stats aggregates feeding broadcasts
+    for ln in plan.splitlines():
+        if "Exchange SinglePartition" in ln:
+            assert "plan_id" in ln  # exists under broadcast of 1-row agg
+    assert plan.count("Exchange SinglePartition") <= plan.count("BroadcastExchange")
     """Simhash near-dup pairs must candidate-generate via the bit-band
     equi-join — a corpus×corpus CartesianProduct/BroadcastNestedLoopJoin
     would be the 100 TB scale-killer the banding exists to avoid."""
