@@ -50,6 +50,42 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_serving(spark, sf_dir: str, results: dict[str, float]) -> None:
+    """Build-vs-serve split (SURVEY §6 deployed shape): index build is
+    measured once; the serve queries run against the persisted parquet
+    index, which is what BASELINE.md's service latencies describe.
+    Amortized per-query serve latency = wall / len(SEARCH_QUERIES)."""
+    import shutil
+    import tempfile
+
+    from semantik_spark.operators import serving
+    from semantik_spark.oracles import SEARCH_QUERIES
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qdf = spark.createDataFrame(SEARCH_QUERIES, ["query_id", "query_text"])
+        t0 = time.time()
+        serving.build_index(docs, idx_dir)
+        results["index_build"] = round(time.time() - t0, 3)
+        print(f"# index_build: {results['index_build']:.3f}s", file=sys.stderr)
+        serves = [
+            ("bm25_serve", lambda: serving.bm25_serve(spark, idx_dir, qdf, k=10)),
+            ("dense_serve", lambda: serving.dense_serve(spark, idx_dir, qdf, k=10)),
+            ("hybrid_serve", lambda: serving.hybrid_serve(spark, idx_dir, qdf, k=10, search_k=20)),
+        ]
+        for name, fn in serves:
+            t0 = time.time()
+            n = fn().count()
+            dt = time.time() - t0
+            results[name] = round(dt, 3)
+            per_q = dt / len(SEARCH_QUERIES)
+            print(f"# {name}: {dt:.3f}s ({n} rows, {per_q * 1000:.0f} ms/query)",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -67,6 +103,8 @@ def main() -> None:
         dt = time.time() - t0
         results[name] = round(dt, 3)
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    _bench_serving(spark, sf_dir, results)
 
     total = round(sum(results.values()), 3)
     print(json.dumps({

@@ -1,0 +1,64 @@
+"""Build/serve split: serving against the persisted index must return
+exactly what the build-and-query-in-one-run operators return."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantik_spark.operators import bm25, search, serving
+
+QUERIES = [("q1", "stream merge"), ("q2", "filter token")]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("token stream merge filter scan doc "), F.col("id"),
+            F.lit(" with shared vocabulary terms"),
+        ).alias("text"),
+    )
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("serve") / "index")
+    serving.build_index(corpus, path)
+    return path
+
+
+def _rows(df, cols=("query_id", "doc_id", "rank")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_bm25_serve_matches_inline_search(spark, corpus, index_path):
+    qdf = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    inline = bm25.search(corpus, qdf, k=10)
+    served = serving.bm25_serve(spark, index_path, qdf, k=10)
+    assert _rows(served) == _rows(inline)
+
+
+def test_dense_serve_matches_inline_search(spark, corpus, index_path):
+    qdf = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    inline = search.mock_dense_search(corpus, qdf, k=10)
+    served = serving.dense_serve(spark, index_path, qdf, k=10)
+    assert _rows(served) == _rows(inline)
+
+
+def test_hybrid_serve_matches_inline_search(spark, corpus, index_path):
+    qdf = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    inline = search.hybrid_search(corpus, qdf, k=10, search_k=20)
+    served = serving.hybrid_serve(spark, index_path, qdf, k=10, search_k=20)
+    assert _rows(served) == _rows(inline)
+
+
+def test_serve_reads_prune_columns(spark, index_path):
+    """The dense serve scan must read only (doc_id, embedding) — column
+    pruning reaching the parquet scan is what makes late
+    materialization real at 100 TB."""
+    qdf = spark.createDataFrame(QUERIES, ["query_id", "query_text"])
+    plan = serving.dense_serve(spark, index_path, qdf, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query side
