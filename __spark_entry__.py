@@ -586,11 +586,14 @@ def q_chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 quantization level int8 (Collection.quantization,
-    models.py:261) + M6 dim validation: per-vector scale, exact integer
-    code checksum, and max dequantization error — all scalars so the
-    oracle compares values, not float arrays."""
-    from semantik_spark.functions.vectors import dequantize_int8, quantize_int8
+    """M1 quantization levels float32/float16/int8 (the
+    Collection.quantization triple, models.py:261) + M6 dim validation:
+    per-vector int8 scale, exact integer code checksum, and per-tier
+    checksums / max reconstruction errors — all scalars so the oracle
+    compares values, not float arrays."""
+    from semantik_spark.functions.vectors import (
+        dequantize_int8, quantize_float16, quantize_float32, quantize_int8,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -598,6 +601,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quantize_int8(F.col("v"))
     err = F.array_max(F.zip_with(dequantize_int8(q), F.col("v"),
                                  lambda a, b: F.abs(a - b)))
+    f16 = quantize_float16(F.col("v"))
+    f32 = quantize_float32(F.col("v"))
     return emb.select(
         "vec_id",
         F.size("v").alias("dim"),
@@ -605,6 +610,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q["codes"], F.lit(0).cast("bigint"),
                     lambda acc, c: acc + c).alias("code_sum"),
         F.round(err, 6).alias("max_err"),
+        F.round(F.aggregate(f16, F.lit(0.0), lambda acc, x: acc + x), 6).alias("f16_checksum"),
+        F.round(F.array_max(F.zip_with(f16, F.col("v"), lambda a, b: F.abs(a - b))), 8)
+         .alias("f16_max_err"),
+        F.round(F.array_max(F.zip_with(f32, F.col("v"), lambda a, b: F.abs(a - b))), 10)
+         .alias("f32_max_err"),
     )
 
 
@@ -1087,25 +1097,7 @@ WITH h AS (
 SELECT media_id, f::INT AS frame_index, (f * 1000)::BIGINT AS ts_ms
 FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "ingest_index": _ORACLE_INGEST_INDEX,
-        "embedding_quantize": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-s AS (
-  SELECT vec_id, v,
-         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
-              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
-              ELSE 1.0 END AS scale
-  FROM e
-),
-c AS (
-  SELECT vec_id, v, scale,
-         list_transform(v, x -> floor(x * scale + 0.5)::INT) AS codes
-  FROM s
-)
-SELECT vec_id, len(v)::INT AS dim, round(scale, 6) AS scale,
-       list_sum(codes)::BIGINT AS code_sum,
-       round(list_max(list_transform(range(len(v)),
-             i -> abs(codes[i + 1] / scale - v[i + 1]))), 6) AS max_err
-FROM c""",
+        "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),
@@ -1438,6 +1430,35 @@ SELECT doc_id, chunk_id, chunk_index,
        len(e)::INT AS dim,
        round(list_sum(e), 6) AS emb_checksum
 FROM emb"""
+
+from semantik_spark.functions.vectors import float16_sql  # noqa: E402
+
+_ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x * scale + 0.5)::INT) AS codes,
+         {float16_sql('v')} AS f16,
+         list_transform(v, x -> x::REAL::DOUBLE) AS f32
+  FROM s
+)
+SELECT vec_id, len(v)::INT AS dim, round(scale, 6) AS scale,
+       list_sum(codes)::BIGINT AS code_sum,
+       round(list_max(list_transform(range(len(v)),
+             i -> abs(codes[i + 1] / scale - v[i + 1]))), 6) AS max_err,
+       round(list_sum(f16), 6) AS f16_checksum,
+       round(list_max(list_transform(range(len(v)),
+             i -> abs(f16[i + 1] - v[i + 1]))), 8) AS f16_max_err,
+       round(list_max(list_transform(range(len(v)),
+             i -> abs(f32[i + 1] - v[i + 1]))), 10) AS f32_max_err
+FROM c"""
 
 _ORACLE_SPLADE_VECTORS = f"""
 WITH {oracles.splade_doc_ctes().lstrip()}

@@ -90,6 +90,68 @@ def mock_embedding_sql(expr: str) -> str:
     )
 
 
+FP16_MAX = 65504.0  # largest finite IEEE-754 half
+
+
+def quantize_float16(a: Column | str) -> Column:
+    """float16 storage tier (Collection.quantization='float16',
+    models.py:261): round every component to the nearest representable
+    half-precision value, returned as ARRAY<DOUBLE>.
+
+    Portable formulation (bit-identical in the DuckDB oracle, see
+    float16_sql): exponent e = floor(log2|x|) with an exact power-of-two
+    correction step (so a ±1-ULP log2 between engines cannot change e),
+    quantum = 2^(max(e,-14) - 10) (normals have 10 mantissa bits,
+    subnormals flush to the fixed 2^-24 quantum), value =
+    floor(x/quantum + 0.5) * quantum (ties toward +inf on both
+    engines), clamped to ±65504. All arithmetic on exact powers of two,
+    so the only rounding is the intended mantissa truncation."""
+    def one(x: Column) -> Column:
+        return _bind(F.abs(x), lambda ax: _bind(
+            F.floor(F.log2(ax)), lambda e0: _bind(
+                F.pow(F.lit(2.0), e0), lambda p: _bind(
+                    e0 + F.when(p > ax, F.lit(-1.0))
+                          .when(p * 2.0 <= ax, F.lit(1.0))
+                          .otherwise(F.lit(0.0)),
+                    lambda e: _bind(
+                        F.pow(F.lit(2.0), F.greatest(e, F.lit(-14.0)) - 10.0),
+                        lambda step: _bind(
+                            F.floor(x / step + 0.5) * step,
+                            lambda q: F.least(F.greatest(q, F.lit(-FP16_MAX)),
+                                              F.lit(FP16_MAX)),
+                        ),
+                    ),
+                )
+            )
+        ))
+
+    return F.transform(
+        _col(a),
+        lambda x0: _bind(
+            x0.cast("double"),
+            lambda x: F.when(x == 0.0, F.lit(0.0)).otherwise(one(x)),
+        ),
+    )
+
+
+def float16_sql(expr: str) -> str:
+    """DuckDB twin of quantize_float16 over a DOUBLE[] expression."""
+    e = ("(floor(log2(abs(x))) + CASE WHEN pow(2.0, floor(log2(abs(x)))) > abs(x) THEN -1.0 "
+         "WHEN pow(2.0, floor(log2(abs(x)))) * 2.0 <= abs(x) THEN 1.0 ELSE 0.0 END)")
+    step = f"pow(2.0, greatest({e}, -14.0) - 10.0)"
+    q = f"(floor(x / {step} + 0.5) * {step})"
+    clamped = f"least(greatest({q}, {-FP16_MAX}), {FP16_MAX})"
+    return (f"list_transform({expr}, x -> CASE WHEN x = 0 THEN 0.0 "
+            f"ELSE {clamped} END)")
+
+
+def quantize_float32(a: Column | str) -> Column:
+    """float32 storage tier: IEEE single rounding via a float
+    round-trip (exact and engine-portable — both Spark and DuckDB use
+    round-half-even hardware casts)."""
+    return F.transform(_col(a), lambda x: x.cast("double").cast("float").cast("double"))
+
+
 def quantize_int8(a: Column | str) -> Column:
     """Symmetric linear int8 quantization of a vector (the reference's
     Collection.quantization='int8' level, models.py:261): scale =

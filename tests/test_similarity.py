@@ -147,3 +147,25 @@ def test_knn_quantized_matches_bruteforce_topk(spark):
     quant = {(r["query_id"], r["rank"]): r["vec_id"]
              for r in knn_quantized(corpus, queries, k=5, rescore_k=40).collect()}
     assert quant == exact
+
+
+def test_quantize_float16_matches_ieee_half(spark):
+    """quantize_float16's portable formula must agree with true IEEE
+    half-precision rounding (numpy float16) on non-tie inputs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from semantik_spark.functions.vectors import quantize_float16
+
+    rng = np.random.default_rng(7)
+    vecs = [[float(x) for x in rng.uniform(-2, 2, 16)] for _ in range(50)]
+    vecs.append([0.0, 1.0, -1.0, 0.5, 65504.0, 70000.0, 1e-8, -3e-5])
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], ["i", "v"])
+    got = {r["i"]: r["q"] for r in
+           df.select("i", quantize_float16("v").alias("q")).collect()}
+    for i, v in enumerate(vecs):
+        expect = np.array(v, dtype=np.float64).astype(np.float16).astype(np.float64)
+        # the engine saturates overflow to ±65504 (storage semantics)
+        # where IEEE would produce ±inf
+        expect = np.clip(expect, -65504.0, 65504.0)
+        assert np.allclose(got[i], expect, rtol=0, atol=0), (i, got[i], list(expect))
