@@ -772,6 +772,52 @@ def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 dataset→collection doc-ref resolution with mapping_status
+    (benchmark_dataset_service.py:49-117,781-787; models.py:1451-1482):
+    synthetic refs exercise all five identifier priorities plus
+    not_found / ambiguous / all-resolved / none-resolved mappings."""
+    from semantik_spark.operators import benchmark
+
+    docs = _t(spark, sf_dir, "documents")
+    uri = F.concat_ws("/", "source", F.col("doc_id").cast("string"))
+    chash = F.sha2(F.col("text").cast("string"), 256)
+    fname = F.concat(F.lit("f"), (F.col("doc_id") % 300).cast("string"))
+    catalog = docs.select(
+        "doc_id", uri.alias("uri"), chash.alias("content_hash"), fname.alias("file_name")
+    )
+    r = F.floor(F.col("doc_id") / 3).cast("bigint") % 6
+    nolong = F.lit(None).cast("bigint")
+    nostr = F.lit(None).cast("string")
+    refs_main = docs.select(
+        F.col("doc_id").alias("ref_id"),
+        F.lit("ds1").alias("dataset_id"),
+        F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")).alias("collection_id"),
+        F.when(r == 0, F.col("doc_id")).when(r == 1, F.col("doc_id") + 500000)
+         .alias("document_id"),
+        F.when(r == 2, uri).alias("uri"),
+        F.when(r == 3, chash).alias("content_hash"),
+        F.when(r == 4, uri).alias("path"),
+        F.when(r == 5, fname).alias("file_name"),
+    )
+    refs_pending = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("ref_id"), F.lit("ds1").alias("dataset_id"),
+        F.lit("c3").alias("collection_id"),
+        (F.col("doc_id") + 900000).alias("document_id"),
+        nostr.alias("uri"), nostr.alias("content_hash"),
+        nostr.alias("path"), nostr.alias("file_name"),
+    )
+    refs_resolved = docs.where(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2000000).alias("ref_id"), F.lit("ds1").alias("dataset_id"),
+        F.lit("c4").alias("collection_id"), F.col("doc_id").alias("document_id"),
+        nostr.alias("uri"), nostr.alias("content_hash"),
+        nostr.alias("path"), nostr.alias("file_name"),
+    )
+    refs = refs_main.unionByName(refs_pending).unionByName(refs_resolved)
+    res = benchmark.resolve_doc_refs(refs, catalog)
+    return benchmark.mapping_status(res)
+
+
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7: distributed PCA of the embeddings table to 2-D (rows-only
     check — component signs are SVD-implementation-specific)."""
@@ -931,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "chunk_character": q_chunk_character,
         "chunk_recursive": q_chunk_recursive,
+        "benchmark_mapping": q_benchmark_mapping,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -1098,6 +1145,7 @@ SELECT media_id, f::INT AS frame_index, (f * 1000)::BIGINT AS ts_ms
 FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "ingest_index": _ORACLE_INGEST_INDEX,
         "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
+        "benchmark_mapping": _ORACLE_BENCHMARK_MAPPING,
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),
@@ -1430,6 +1478,74 @@ SELECT doc_id, chunk_id, chunk_index,
        len(e)::INT AS dim,
        round(list_sum(e), 6) AS emb_checksum
 FROM emb"""
+
+_ORACLE_BENCHMARK_MAPPING = """
+WITH cat AS (
+  SELECT doc_id, source || '/' || doc_id AS uri, sha256(text) AS content_hash,
+         'f' || (doc_id % 300) AS file_name
+  FROM documents
+),
+by_hash AS (SELECT content_hash, count(*) AS hc, min(doc_id) AS hd FROM cat GROUP BY content_hash),
+by_name AS (SELECT file_name, count(*) AS nc, min(doc_id) AS nd FROM cat GROUP BY file_name),
+refs AS (
+  SELECT doc_id AS ref_id, 'ds1' AS dataset_id, 'c' || (doc_id % 3) AS collection_id,
+         CASE WHEN (doc_id // 3) % 6 = 0 THEN doc_id
+              WHEN (doc_id // 3) % 6 = 1 THEN doc_id + 500000 END AS document_id,
+         CASE WHEN (doc_id // 3) % 6 = 2 THEN source || '/' || doc_id END AS uri,
+         CASE WHEN (doc_id // 3) % 6 = 3 THEN sha256(text) END AS content_hash,
+         CASE WHEN (doc_id // 3) % 6 = 4 THEN source || '/' || doc_id END AS path,
+         CASE WHEN (doc_id // 3) % 6 = 5 THEN 'f' || (doc_id % 300) END AS file_name
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'ds1', 'c3', doc_id + 900000, NULL, NULL, NULL, NULL
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'ds1', 'c4', doc_id, NULL, NULL, NULL, NULL
+  FROM documents WHERE doc_id % 50 = 1
+),
+j AS (
+  SELECT refs.*, cid.doc_id AS id_hit, cu.doc_id AS uri_hit, bh.hc, bh.hd,
+         cp.doc_id AS path_hit, bn.nc, bn.nd
+  FROM refs
+  LEFT JOIN cat cid ON refs.document_id = cid.doc_id
+  LEFT JOIN cat cu ON refs.uri = cu.uri
+  LEFT JOIN by_hash bh ON refs.content_hash = bh.content_hash
+  LEFT JOIN cat cp ON refs.path = cp.uri
+  LEFT JOIN by_name bn ON refs.file_name = bn.file_name
+),
+res AS (
+  SELECT *,
+    CASE WHEN document_id IS NOT NULL THEN id_hit
+         WHEN uri IS NOT NULL THEN uri_hit
+         WHEN content_hash IS NOT NULL THEN CASE WHEN hc = 1 THEN hd END
+         WHEN path IS NOT NULL THEN path_hit
+         WHEN file_name IS NOT NULL THEN CASE WHEN nc = 1 THEN nd END
+    END AS resolved_doc_id
+  FROM j
+),
+res2 AS (
+  SELECT *,
+    CASE WHEN resolved_doc_id IS NOT NULL THEN NULL
+         WHEN content_hash IS NOT NULL AND hc > 1 THEN 'ambiguous'
+         WHEN file_name IS NOT NULL AND document_id IS NULL AND uri IS NULL
+              AND content_hash IS NULL AND path IS NULL AND nc > 1 THEN 'ambiguous'
+         WHEN document_id IS NOT NULL OR uri IS NOT NULL OR content_hash IS NOT NULL
+              OR path IS NOT NULL OR file_name IS NOT NULL THEN 'not_found'
+         ELSE 'no_identifiers' END AS failure_reason
+  FROM res
+)
+SELECT dataset_id, collection_id,
+       count(*)::BIGINT AS total_count,
+       sum(CASE WHEN resolved_doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS mapped_count,
+       sum(CASE WHEN failure_reason = 'ambiguous' THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+       sum(CASE WHEN failure_reason = 'not_found' THEN 1 ELSE 0 END)::BIGINT AS n_not_found,
+       CASE WHEN sum(CASE WHEN resolved_doc_id IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+                 THEN 'resolved'
+            WHEN sum(CASE WHEN resolved_doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 THEN 'partial'
+            ELSE 'pending' END AS mapping_status
+FROM res2
+GROUP BY dataset_id, collection_id"""
 
 from semantik_spark.functions.vectors import float16_sql  # noqa: E402
 
