@@ -100,9 +100,13 @@ def entities(docs: DataFrame, entity_types: tuple[str, ...] | None = None,
     )
 
 
-def ner_model_udf():
-    """Slot for a transformer NER extractor (same contract: doc_id,
-    entity_type, entity). Model libs not in this image."""
-    raise NotImplementedError(
-        "transformer NER requires model libs; use `entities` (regex) instead"
-    )
+def ner_model_udf(model_factory, batch_size: int = 32):
+    """Transformer NER slot (same row contract as `entities`: the UDF
+    returns ARRAY<STRUCT<entity_type, entity>> to explode). Model libs
+    are not in this image — ``model_factory`` injects the model (object
+    with extract(texts) -> list[list[(entity_type, entity)]]); the
+    iterator-form pandas_udf loads it once per partition iterator with
+    OOM-adaptive batching."""
+    from semantik_spark.functions.model_udfs import ner_udf
+
+    return ner_udf(model_factory, batch_size=batch_size)

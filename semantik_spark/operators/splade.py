@@ -134,13 +134,16 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def splade_model_udf():
-    """Slot for the real SPLADE model (naver/splade-*): an
-    iterator-form pandas_udf returning (indices, values) structs, one
-    model load per executor. The transformer stack is not in this
-    image; test-mode `encode` above is the deterministic stand-in with
-    the same output contract."""
-    raise NotImplementedError(
-        "real SPLADE model UDF requires transformers/torch; "
-        "use splade.encode (test mode) instead"
-    )
+def splade_model_udf(model_factory, batch_size: int = 32):
+    """Real-model SPLADE slot (naver/splade-*): an iterator-form
+    pandas_udf returning the (indices, values) struct contract, one
+    model load per partition iterator, OOM-adaptive batching
+    (splade_indexer.py:294-345 semantics). The transformer stack is not
+    in this image, so the model arrives via ``model_factory`` — a
+    closure returning an object with encode(texts) ->
+    list[(indices, values)]; production wraps the HF model, tests
+    inject a fake. Test-mode `encode` above remains the deterministic
+    oracle-checkable stand-in."""
+    from semantik_spark.functions.model_udfs import splade_encode_udf
+
+    return splade_encode_udf(model_factory, batch_size=batch_size)

@@ -1,0 +1,132 @@
+"""Model-UDF skeletons (M1/M2/M4/M8): iterator-form pandas_udf with
+injected fake models — one model init per partition iterator, adaptive
+OOM batch halving, contract-shaped outputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantik_spark.functions.model_udfs import (
+    AdaptiveBatcher,
+    ModelOOMError,
+    apply_instruction,
+    cross_encoder_udf,
+    dense_embedding_udf,
+)
+from semantik_spark.operators.extract import ner_model_udf
+from semantik_spark.operators.splade import splade_model_udf
+
+
+# --- AdaptiveBatcher (pure python, mirrors dense_local.py:437-551) ---------
+
+def test_batcher_halves_on_oom_and_recovers():
+    calls: list[int] = []
+
+    def fn(batch):
+        calls.append(len(batch))
+        if len(batch) > 4:
+            raise ModelOOMError("too big")
+        return [x * 2 for x in batch]
+
+    b = AdaptiveBatcher(batch_size=32, min_batch_size=1, increase_threshold=2)
+    out = b.run(list(range(20)), fn)
+    assert out == [x * 2 for x in range(20)]
+    # first slice is the 20 remaining items, then halving 16 -> 8 -> 4
+    assert calls[:4] == [20, 16, 8, 4]
+    # after 2 successes at 4 it doubles back toward the original (and
+    # re-halves when the bigger batch OOMs again)
+    assert 8 in calls[4:]
+    assert b.oom_events >= 3
+
+
+def test_batcher_raises_below_min():
+    def fn(batch):
+        raise ModelOOMError("always")
+
+    b = AdaptiveBatcher(batch_size=4, min_batch_size=2)
+    with pytest.raises(RuntimeError, match="min batch size"):
+        b.run([1, 2, 3, 4], fn)
+
+
+def test_batcher_rejects_wrong_cardinality():
+    b = AdaptiveBatcher(batch_size=8)
+    with pytest.raises(ValueError, match="results for"):
+        b.run([1, 2, 3], lambda batch: batch[:-1])
+
+
+def test_instruction_transform():
+    assert apply_instruction(["a"], None) == ["a"]
+    assert apply_instruction(["a"], "find docs") == ["Instruct: find docs\nQuery:a"]
+
+
+# --- Spark-side fakes ------------------------------------------------------
+
+def test_dense_udf_one_init_per_partition_and_halving(spark):
+    # fakes are defined inside the test so cloudpickle ships them by
+    # value (the tests package is not importable on executor workers)
+    class FakeDense:
+        """vec[0] encodes the batch size the item was processed in, so
+        the driver can observe halving. OOMs on batches over 4."""
+
+        def encode(self, texts):
+            if len(texts) > 4:
+                raise ModelOOMError("fake OOM")
+            return [[float(len(texts)), float(len(t))] for t in texts]
+
+    inits = spark.sparkContext.accumulator(0)
+    udf = dense_embedding_udf(FakeDense, batch_size=32,
+                              on_init=lambda: inits.add(1))
+    df = spark.range(40).repartition(2).select(
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    rows = df.select(udf("text").alias("v")).collect()
+    assert len(rows) == 40
+    # every item was ultimately processed in a batch of <= 4 (halving hit)
+    assert all(r["v"][0] <= 4.0 for r in rows)
+    # factory ran once per partition iterator, not per batch/row
+    assert inits.value == 2
+
+
+def test_splade_model_udf_contract(spark):
+    class FakeSplade:
+        def encode(self, texts):
+            out = []
+            for t in texts:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:6], 16)
+                out.append(([h % 100, h % 100 + 7], [1.5, 0.5]))
+            return out
+
+    udf = splade_model_udf(FakeSplade, batch_size=8)
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["sv"] for r in
+            df.select("doc_id", udf("text").alias("sv")).collect()}
+    assert sorted(rows) == [1, 2]
+    for sv in rows.values():
+        assert len(sv["indices"]) == 2 and len(sv["values"]) == 2
+        assert sv["values"] == [1.5, 0.5]
+
+
+def test_cross_encoder_udf(spark):
+    class FakeReranker:
+        def score(self, pairs):
+            return [float(len(set(q.split()) & set(d.split()))) for q, d in pairs]
+
+    udf = cross_encoder_udf(FakeReranker, batch_size=16)
+    df = spark.createDataFrame(
+        [("cat dog", "dog house"), ("cat dog", "fish")], ["q", "d"])
+    scores = [r["s"] for r in df.select(udf("q", "d").alias("s")).collect()]
+    assert scores == [1.0, 0.0]
+
+
+def test_ner_model_udf(spark):
+    class FakeNER:
+        def extract(self, texts):
+            return [[("ORG", w) for w in t.split() if w.isupper()] for t in texts]
+
+    udf = ner_model_udf(FakeNER, batch_size=16)
+    df = spark.createDataFrame([(1, "join ACME and NASA now")], ["doc_id", "text"])
+    ents = df.select("doc_id", F.explode(udf("text")).alias("e")) \
+             .select("doc_id", "e.entity_type", "e.entity").collect()
+    assert {(r["entity_type"], r["entity"]) for r in ents} == {("ORG", "ACME"), ("ORG", "NASA")}
