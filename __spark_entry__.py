@@ -772,6 +772,46 @@ def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 routed parse over a mixed-format corpus: documents are
+    re-encoded as .txt/.json/.html/.eml/.pdf files (deterministic
+    constructions the oracle can invert), routed through the registry,
+    and parsed by the real stdlib parser families. Verifies routing,
+    per-family dispatch, and text-layer round-trips in one plan."""
+    from semantik_spark.sources import parsers as P
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("("), F.lit("\\("),
+        ),
+        F.lit(")"), F.lit("\\)"),
+    )
+    content = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.to_json(F.struct(title.alias("title"),
+                                         F.col("text").alias("body"))))
+        .when(m == 2, F.concat(F.lit("<html><head><title>"), title,
+                               F.lit("</title></head><body><p>"), F.col("text"),
+                               F.lit("</p></body></html>")))
+        .when(m == 3, F.concat(F.lit("Subject: "), title, F.lit("\n\n"), F.col("text")))
+        .otherwise(F.concat(F.lit("%PDF-1.4\nBT ("), esc, F.lit(") Tj ET\n%%EOF")))
+    )
+    ext = (
+        F.when(m == 0, ".txt").when(m == 1, ".json").when(m == 2, ".html")
+        .when(m == 3, ".eml").otherwise(".pdf")
+    )
+    files = d.select(
+        F.concat(F.lit("mixed/doc_"), F.col("doc_id").cast("string"), ext).alias("uri"),
+        ext.alias("extension"),
+        F.encode(content, "UTF-8").alias("content"),
+    )
+    return P.parse(files).select("uri", "extension", "parser", "parse_status", "text")
+
+
 def q_benchmark_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 dataset→collection doc-ref resolution with mapping_status
     (benchmark_dataset_service.py:49-117,781-787; models.py:1451-1482):
@@ -978,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_character": q_chunk_character,
         "chunk_recursive": q_chunk_recursive,
         "benchmark_mapping": q_benchmark_mapping,
+        "parse_routed": q_parse_routed,
         # search engine
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "bm25_term_stats": q_bm25_term_stats,
@@ -1146,6 +1187,7 @@ FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "ingest_index": _ORACLE_INGEST_INDEX,
         "embedding_quantize": _ORACLE_EMBEDDING_QUANTIZE,
         "benchmark_mapping": _ORACLE_BENCHMARK_MAPPING,
+        "parse_routed": _ORACLE_PARSE_ROUTED,
         "rerank_search": oracles.q_rerank_search(10),
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),
@@ -1478,6 +1520,30 @@ SELECT doc_id, chunk_id, chunk_index,
        len(e)::INT AS dim,
        round(list_sum(e), 6) AS emb_checksum
 FROM emb"""
+
+# the mixed-format constructions in q_parse_routed are invertible, so
+# the oracle predicts each parser family's text layer directly
+_ORACLE_PARSE_ROUTED = """
+WITH d AS (
+  SELECT doc_id, text, doc_id % 5 AS m, 'Doc ' || doc_id AS title,
+         CASE doc_id % 5 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+              WHEN 2 THEN '.html' WHEN 3 THEN '.eml' ELSE '.pdf' END AS ext
+  FROM documents
+)
+SELECT 'mixed/doc_' || doc_id || ext AS uri,
+       ext AS extension,
+       CASE m WHEN 0 THEN 'text' WHEN 1 THEN 'structured'
+              WHEN 2 THEN 'html' WHEN 3 THEN 'email' ELSE 'pdf' END AS parser,
+       CASE m WHEN 0 THEN 'parsed' WHEN 3 THEN 'parsed' ELSE 'ok' END AS parse_status,
+       CASE m
+         WHEN 0 THEN text
+         WHEN 1 THEN 'title: ' || title || chr(10) || 'body: ' || text
+         WHEN 2 THEN array_to_string(
+                list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                            s -> length(s) > 0), chr(10))
+         WHEN 3 THEN text
+         ELSE text END AS text
+FROM d"""
 
 _ORACLE_BENCHMARK_MAPPING = """
 WITH cat AS (

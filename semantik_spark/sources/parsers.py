@@ -13,10 +13,13 @@ Reference parity:
 Spark-first shape: the registry compiles to a literal routing column
 (`when/otherwise` over the extension — no UDF), and each parser family
 is a `mapInPandas` stage applied only to its routed subset, so a PDF
-parser never touches a .txt row. The `.eml` parser is REAL (stdlib
-`email` package — header decode, multipart walk, text/plain extraction);
-the `unstructured`/pypdf family is a documented slot gated behind
-import-try because those libs are not in this image.
+parser never touches a .txt row. REAL stdlib parsers: email (header
+decode, multipart walk), html (HTMLParser text layer), pdf (FlateDecode
+streams + BT/ET literal strings), office OOXML (.docx/.pptx/.xlsx zip +
+ElementTree), structured data (.json/.yaml/.csv/.xml rendered to text
+with plain-decode fall-through). Only the legacy pre-OOXML binaries
+(.doc/.ppt/.odt/.epub) remain a documented `unstructured` slot gated
+behind import-try, because that library is not in this image.
 """
 
 from __future__ import annotations
@@ -33,14 +36,15 @@ from pyspark.sql.types import StructType
 PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
     ".txt": ("text",), ".md": ("text",), ".markdown": ("text",),
     ".rst": ("text",), ".py": ("text",), ".js": ("text",),
-    ".ts": ("text",), ".java": ("text",), ".json": ("text",),
-    ".yaml": ("text",), ".yml": ("text",), ".xml": ("text",),
-    ".csv": ("text",), ".html": ("html", "text"),
-    ".htm": ("html", "text"),
+    ".ts": ("text",), ".java": ("text",),
+    ".json": ("structured", "text"), ".yaml": ("structured", "text"),
+    ".yml": ("structured", "text"), ".xml": ("structured", "text"),
+    ".csv": ("structured", "text"),
+    ".html": ("html", "text"), ".htm": ("html", "text"),
     ".eml": ("email", "text"), ".msg": ("email",),
-    ".pdf": ("unstructured",), ".docx": ("unstructured",),
-    ".doc": ("unstructured",), ".pptx": ("unstructured",),
-    ".ppt": ("unstructured",), ".xlsx": ("unstructured",),
+    ".pdf": ("pdf",),
+    ".docx": ("office",), ".pptx": ("office",), ".xlsx": ("office",),
+    ".doc": ("unstructured",), ".ppt": ("unstructured",),
     ".odt": ("unstructured",), ".epub": ("unstructured",),
 }
 DEFAULT_CANDIDATES: tuple[str, ...] = ("text",)
@@ -213,6 +217,263 @@ def parse_html(files: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=_HTML_SCHEMA)
 
 
+# --- pdf parser (REAL — stdlib re + zlib) ----------------------------------
+
+_PDF_SCHEMA = "uri string, text string, parse_status string"
+
+_PDF_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+                "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(s: str) -> str:
+    """Literal-string unescape (PDF 32000-1 §7.3.4.2): named escapes,
+    octal \\ddd, line continuations."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        i += 1
+        if i >= len(s):
+            break
+        nxt = s[i]
+        if nxt in _PDF_ESCAPES:
+            out.append(_PDF_ESCAPES[nxt])
+            i += 1
+        elif nxt.isdigit():
+            j = i
+            while j < len(s) and j < i + 3 and s[j].isdigit():
+                j += 1
+            out.append(chr(int(s[i:j], 8) % 256))
+            i = j
+        elif nxt == "\n":
+            i += 1  # line continuation
+        else:
+            out.append(nxt)
+            i += 1
+    return "".join(out)
+
+
+def _pdf_text(raw: bytes) -> str:
+    """Best-effort text extraction without pypdf: FlateDecode content
+    streams (stdlib zlib) else the raw body, then every literal string
+    shown by Tj / ' / TJ inside BT…ET text blocks. Covers
+    machine-generated text PDFs — the dominant corpus case the
+    reference handles via unstructured.partition
+    (unstructured.py:39-69); scanned/CFF-subset PDFs need the real
+    library and surface as empty text here."""
+    import re
+    import zlib
+
+    sources: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", raw, re.S):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except Exception:  # noqa: BLE001 — already-plain stream
+            pass
+        sources.append(data.decode("latin-1", errors="replace"))
+    if not sources:
+        sources = [raw.decode("latin-1", errors="replace")]
+    lit = r"\((?:[^()\\]|\\.)*\)"
+    blocks: list[str] = []
+    for src in sources:
+        for bt in re.finditer(r"BT(.*?)ET", src, re.S):
+            shown = [
+                _pdf_unescape(sm.group(0)[1:-1])
+                for sm in re.finditer(lit, bt.group(1))
+            ]
+            if shown:
+                blocks.append("".join(shown))
+    return "\n".join(blocks)
+
+
+def parse_pdf(files: DataFrame) -> DataFrame:
+    """S6 pdf family: mapInPandas over (uri, content) → extracted text."""
+    src = files.select("uri", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for u, c in zip(pdf["uri"], pdf["content"]):
+                try:
+                    text = _pdf_text(bytes(c))
+                    status = "ok" if text else "empty"
+                except Exception as exc:  # noqa: BLE001
+                    text, status = "", f"error: {type(exc).__name__}"
+                rows.append({"uri": u, "text": text, "parse_status": status})
+            yield pd.DataFrame(rows, columns=["uri", "text", "parse_status"])
+            rows = []
+
+    return src.mapInPandas(run, schema=_PDF_SCHEMA)
+
+
+# --- office zip-XML parsers (REAL — stdlib zipfile + ElementTree) ----------
+
+_OFFICE_SCHEMA = "uri string, text string, parse_status string"
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _docx_text(zf) -> str:
+    """w:p paragraphs → lines, w:t runs concatenated (the text layer
+    unstructured's docx partition emits)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(zf.read("word/document.xml"))
+    lines = []
+    for p in root.iter(f"{_W}p"):
+        run = "".join(t.text or "" for t in p.iter(f"{_W}t"))
+        if run:
+            lines.append(run)
+    return "\n".join(lines)
+
+
+def _pptx_text(zf) -> str:
+    """Slides in order, a:t runs per paragraph."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    slides = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+    )
+    lines = []
+    for name in slides:
+        root = ET.fromstring(zf.read(name))
+        for para in root.iter(f"{_A}p"):
+            run = "".join(t.text or "" for t in para.iter(f"{_A}t"))
+            if run:
+                lines.append(run)
+    return "\n".join(lines)
+
+
+def _xlsx_text(zf) -> str:
+    """Shared-string table + inline strings — the textual cells."""
+    import xml.etree.ElementTree as ET
+
+    lines = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.iter(f"{_S}si"):
+            run = "".join(t.text or "" for t in si.iter(f"{_S}t"))
+            if run:
+                lines.append(run)
+    return "\n".join(lines)
+
+
+def _office_to_row(uri: str, raw: bytes, ext: str) -> dict:
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+            if ext == ".docx":
+                text = _docx_text(zf)
+            elif ext == ".pptx":
+                text = _pptx_text(zf)
+            else:
+                text = _xlsx_text(zf)
+        return {"uri": uri, "text": text,
+                "parse_status": "ok" if text else "empty"}
+    except Exception as exc:  # noqa: BLE001 — registry falls through
+        return {"uri": uri, "text": "",
+                "parse_status": f"error: {type(exc).__name__}"}
+
+
+def parse_office(files: DataFrame) -> DataFrame:
+    """S6 office family (.docx/.pptx/.xlsx): zip + XML text extraction,
+    Arrow-batched."""
+    src = files.select("uri", "extension", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([
+                _office_to_row(u, bytes(c), e)
+                for u, e, c in zip(pdf["uri"], pdf["extension"], pdf["content"])
+            ], columns=["uri", "text", "parse_status"])
+
+    return src.mapInPandas(run, schema=_OFFICE_SCHEMA)
+
+
+# --- structured-data parsers (REAL — stdlib json/csv/ET + pyyaml) ----------
+
+_STRUCTURED_SCHEMA = "uri string, text string, parse_status string"
+
+
+def _render_data(obj, prefix: str = "") -> list[str]:
+    """Deterministic 'key: value' text rendering of parsed structured
+    data — insertion order preserved, dotted paths for nesting."""
+    lines: list[str] = []
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if isinstance(v, (dict, list)):
+                lines += _render_data(v, f"{prefix}{k}.")
+            else:
+                lines.append(f"{prefix}{k}: {v}")
+    elif isinstance(obj, list):
+        for i, v in enumerate(obj):
+            if isinstance(v, (dict, list)):
+                lines += _render_data(v, f"{prefix}{i}.")
+            else:
+                lines.append(f"{prefix}{i}: {v}")
+    else:
+        lines.append(f"{prefix}{obj}" if not prefix else f"{prefix[:-1]}: {obj}")
+    return lines
+
+
+def _structured_to_row(uri: str, raw: bytes, ext: str) -> dict:
+    """JSON/YAML → key-path lines, CSV → comma-joined rows, XML →
+    stripped text content. Failure falls through to the plain-text
+    decode (registry fall-through, registry.py:74-215)."""
+    import csv
+    import io
+    import json
+    import xml.etree.ElementTree as ET
+
+    decoded = raw.decode("utf-8", errors="replace")
+    try:
+        if ext == ".json":
+            text = "\n".join(_render_data(json.loads(decoded)))
+        elif ext in (".yaml", ".yml"):
+            import yaml
+
+            text = "\n".join(_render_data(yaml.safe_load(decoded)))
+        elif ext == ".csv":
+            text = "\n".join(
+                ", ".join(cells) for cells in csv.reader(io.StringIO(decoded))
+            )
+        else:  # .xml
+            root = ET.fromstring(decoded)
+            text = "\n".join(
+                s.strip() for s in root.itertext() if s and s.strip()
+            )
+        return {"uri": uri, "text": text, "parse_status": "ok"}
+    except Exception:  # noqa: BLE001 — fall through to plain text
+        return {"uri": uri, "text": decoded, "parse_status": "fallback:text"}
+
+
+def parse_structured(files: DataFrame) -> DataFrame:
+    """S6 structured-data family (.json/.yaml/.csv/.xml): parse +
+    render to text, plain-decode fallback on malformed input."""
+    src = files.select("uri", "extension", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([
+                _structured_to_row(u, bytes(c), e)
+                for u, e, c in zip(pdf["uri"], pdf["extension"], pdf["content"])
+            ], columns=["uri", "text", "parse_status"])
+
+    return src.mapInPandas(run, schema=_STRUCTURED_SCHEMA)
+
+
 # --- unstructured parser (slot — libs not in image) ------------------------
 
 def unstructured_available() -> bool:
@@ -225,13 +486,15 @@ def unstructured_available() -> bool:
 
 
 def parse_unstructured(files: DataFrame) -> DataFrame:
-    """S6 slot: pandas-batched `unstructured.partition.auto` over binary
-    content (unstructured.py:160-170). The library stack is not in this
-    image; the Spark-side plumbing (schema, routing, batch shape) is the
-    engine's work and is exercised by `route_parsers` + `parse` tests."""
+    """S6 slot for the LEGACY binary formats (.doc/.ppt/.odt/.epub):
+    pandas-batched `unstructured.partition.auto` over binary content
+    (unstructured.py:160-170). PDF/DOCX/PPTX/XLSX/HTML/eml/structured
+    formats all have REAL stdlib parsers above; only these pre-OOXML
+    formats genuinely need the library stack, which is not in this
+    image."""
     if not unstructured_available():
         raise NotImplementedError(
-            "unstructured/pypdf not installed in this image; "
+            "unstructured not installed in this image; "
             "route_parsers marks these rows parse_status='needs_binary_parser'"
         )
     raise NotImplementedError("real unstructured wiring pending model image")
@@ -239,33 +502,36 @@ def parse_unstructured(files: DataFrame) -> DataFrame:
 
 def parse(files: DataFrame) -> DataFrame:
     """Registry-dispatched parse: text rows decode JVM-side
-    (sources.local.parse_text), email rows through the stdlib parser,
-    unstructured-family rows pass through flagged for the binary-parser
-    slot. Output: uri, extension, text, parse_status, parser."""
+    (sources.local.parse_text); email/html/structured/pdf/office rows
+    run through their stdlib mapInPandas parsers on their routed subset
+    only (a PDF parser never touches a .txt row); remaining legacy
+    binary formats (.doc/.ppt/.odt/.epub) pass through flagged for the
+    unstructured slot. Output: uri, extension, text, parse_status,
+    parser."""
     from semantik_spark.sources.local import parse_text
 
     routed = route_parsers(files)
-    text_part = (
+    parts = [
         parse_text(routed.where(F.col("parser") == "text"))
         .select("uri", "extension", "text", "parse_status", "parser")
-    )
-    email_in = routed.where(F.col("parser") == "email")
-    email_part = (
-        email_in.select("uri", "extension", "parser")
-        .join(parse_email(email_in).select("uri", "text", "parse_status"), "uri")
-        .select("uri", "extension", "text", "parse_status", "parser")
-    )
-    html_in = routed.where(F.col("parser") == "html")
-    html_part = (
-        html_in.select("uri", "extension", "parser")
-        .join(parse_html(html_in).select("uri", "text", "parse_status"), "uri")
-        .select("uri", "extension", "text", "parse_status", "parser")
-    )
-    rest = routed.where(~F.col("parser").isin("text", "email", "html")).select(
+    ]
+    families = {
+        "email": parse_email, "html": parse_html,
+        "structured": parse_structured, "pdf": parse_pdf,
+        "office": parse_office,
+    }
+    for name, fn in families.items():
+        fam_in = routed.where(F.col("parser") == name)
+        parts.append(
+            fam_in.select("uri", "extension", "parser")
+            .join(fn(fam_in).select("uri", "text", "parse_status"), "uri")
+            .select("uri", "extension", "text", "parse_status", "parser")
+        )
+    rest = routed.where(~F.col("parser").isin("text", *families)).select(
         "uri", "extension", F.lit(None).cast("string").alias("text"),
         F.lit("needs_binary_parser").alias("parse_status"), "parser",
     )
-    return (
-        text_part.unionByName(email_part)
-        .unionByName(html_part).unionByName(rest)
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(rest)

@@ -43,7 +43,7 @@ def test_route_parsers(spark, mail_tree):
     assert routed["m1.eml"].parser == "email"
     assert list(routed["m1.eml"].parser_candidates) == ["email", "text"]
     assert routed["note.txt"].parser == "text"
-    assert routed["deck.pdf"].parser == "unstructured"
+    assert routed["deck.pdf"].parser == "pdf"
 
 
 def test_parse_email_headers_and_body(spark, mail_tree):
@@ -64,8 +64,10 @@ def test_parse_dispatch(spark, mail_tree):
     assert out["note.txt"].parse_status == "parsed"
     assert out["m1.eml"].parse_status == "parsed"
     assert "café" in out["m1.eml"].text
-    assert out["deck.pdf"].parse_status == "needs_binary_parser"
-    assert out["deck.pdf"].text is None
+    # content-free pdf bytes parse to empty text via the real pdf family
+    assert out["deck.pdf"].parser == "pdf"
+    assert out["deck.pdf"].parse_status == "empty"
+    assert out["deck.pdf"].text == ""
 
 
 def test_malformed_email_dead_letters(spark, tmp_path):
@@ -113,4 +115,126 @@ def test_parse_routes_html_through_real_parser(spark):
     assert out["p.html"]["text"].strip() == "hello"
     assert out["p.html"]["parse_status"] == "ok"
     assert out["p.txt"]["text"] == "plain"
-    assert out["p.pdf"]["parse_status"] == "needs_binary_parser"
+    assert out["p.pdf"]["parser"] == "pdf"
+    assert out["p.pdf"]["parse_status"] == "empty"
+
+
+# --- round-2 parser families (pdf / office / structured) -------------------
+
+def _mk_pdf(text: str, compress: bool = False) -> bytes:
+    import zlib
+
+    esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+    if compress:
+        body = zlib.compress(content)
+        return (b"%PDF-1.4\n4 0 obj<</Length " + str(len(body)).encode()
+                + b"/Filter/FlateDecode>>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF")
+    return (b"%PDF-1.4\n4 0 obj<</Length " + str(len(content)).encode()
+            + b">>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+
+
+def _mk_docx(paragraphs) -> bytes:
+    import io
+    import zipfile
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs)
+    doc = f'<?xml version="1.0"?><w:document xmlns:w="{w}"><w:body>{body}</w:body></w:document>'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _mk_pptx(slides) -> bytes:
+    import io
+    import zipfile
+
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i, lines in enumerate(slides, 1):
+            paras = "".join(f"<a:p><a:r><a:t>{ln}</a:t></a:r></a:p>" for ln in lines)
+            zf.writestr(f"ppt/slides/slide{i}.xml",
+                        f'<?xml version="1.0"?><p:sld xmlns:a="{a}" '
+                        f'xmlns:p="x"><p:txBody>{paras}</p:txBody></p:sld>')
+    return buf.getvalue()
+
+
+def _mk_xlsx(strings) -> bytes:
+    import io
+    import zipfile
+
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    items = "".join(f"<si><t>{x}</t></si>" for x in strings)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml",
+                    f'<?xml version="1.0"?><sst xmlns="{s}">{items}</sst>')
+    return buf.getvalue()
+
+
+def test_pdf_text_plain_and_flate():
+    from semantik_spark.sources.parsers import _pdf_text
+
+    assert _pdf_text(_mk_pdf("Hello (quoted) world")) == "Hello (quoted) world"
+    assert _pdf_text(_mk_pdf("line one", compress=True)) == "line one"
+
+
+def test_parse_pdf_dataframe(spark):
+    from semantik_spark.sources.parsers import parse_pdf
+
+    df = spark.createDataFrame(
+        [("a.pdf", _mk_pdf("alpha beta")), ("bad.pdf", b"not a pdf")],
+        ["uri", "content"])
+    rows = {r["uri"]: r for r in parse_pdf(df).collect()}
+    assert rows["a.pdf"]["text"] == "alpha beta"
+    assert rows["a.pdf"]["parse_status"] == "ok"
+    assert rows["bad.pdf"]["parse_status"] == "empty"
+
+
+def test_parse_office_formats(spark):
+    from semantik_spark.sources.parsers import parse_office
+
+    df = spark.createDataFrame([
+        ("d.docx", ".docx", _mk_docx(["para one", "para two"])),
+        ("p.pptx", ".pptx", _mk_pptx([["slide one"], ["slide two a", "slide two b"]])),
+        ("x.xlsx", ".xlsx", _mk_xlsx(["cell a", "cell b"])),
+        ("broken.docx", ".docx", b"PK garbage"),
+    ], ["uri", "extension", "content"])
+    rows = {r["uri"]: r for r in parse_office(df).collect()}
+    assert rows["d.docx"]["text"] == "para one\npara two"
+    assert rows["p.pptx"]["text"] == "slide one\nslide two a\nslide two b"
+    assert rows["x.xlsx"]["text"] == "cell a\ncell b"
+    assert rows["broken.docx"]["parse_status"].startswith("error")
+
+
+def test_parse_structured_formats(spark):
+    from semantik_spark.sources.parsers import parse_structured
+
+    df = spark.createDataFrame([
+        ("a.json", ".json", b'{"title": "T", "tags": ["x", "y"], "meta": {"n": 3}}'),
+        ("b.yaml", ".yaml", b"name: test\nitems:\n  - 1\n  - 2\n"),
+        ("c.csv", ".csv", b"h1,h2\nv1,v2\n"),
+        ("d.xml", ".xml", b"<root><a>alpha</a><b>beta</b></root>"),
+        ("bad.json", ".json", b"{not json"),
+    ], ["uri", "extension", "content"])
+    rows = {r["uri"]: r for r in parse_structured(df).collect()}
+    assert rows["a.json"]["text"] == "title: T\ntags.0: x\ntags.1: y\nmeta.n: 3"
+    assert rows["b.yaml"]["text"] == "name: test\nitems.0: 1\nitems.1: 2"
+    assert rows["c.csv"]["text"] == "h1, h2\nv1, v2"
+    assert rows["d.xml"]["text"] == "alpha\nbeta"
+    assert rows["bad.json"]["parse_status"] == "fallback:text"
+    assert rows["bad.json"]["text"] == "{not json"
+
+
+def test_registry_routes_new_families(spark):
+    from semantik_spark.sources.parsers import route_parsers
+
+    df = spark.createDataFrame(
+        [("a.pdf", ".pdf"), ("b.docx", ".docx"), ("c.json", ".json"),
+         ("d.doc", ".doc")], ["uri", "extension"])
+    routed = {r["uri"]: r["parser"] for r in route_parsers(df).collect()}
+    assert routed == {"a.pdf": "pdf", "b.docx": "office",
+                      "c.json": "structured", "d.doc": "unstructured"}
