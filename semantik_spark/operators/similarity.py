@@ -94,8 +94,52 @@ def _nearest_centroids(vec: str) -> F.Column:
     )
 
 
+def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_dp: int = 6) -> list:
+    """Deterministic Lloyd refinement of the seeded codebook: assign
+    every corpus vector to its nearest centroid (cosine, tie → smaller
+    cid), recompute each cell as the per-dimension mean ROUNDED to
+    ``round_dp`` decimals, keep the seed vector for empty cells.
+
+    The rounding is what makes refinement oracle-replayable: float sums
+    accumulate in engine-specific order, but sum/count rounded to 6 dp
+    is identical in Spark and DuckDB away from knife-edge ties, and
+    every downstream distance then computes from identical centroid
+    bits. Each iteration is one distributed assign (broadcast codebook,
+    narrow map) + one groupBy((cell, dim)) mean — at 100 TB this is the
+    standard scalable k-means step, and the collected codebook stays
+    n_centroids×dim tiny."""
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    rows = [{"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
+            for r in cent_rows]
+    for _ in range(iters):
+        codebook = F.broadcast(_codebook_df(spark, rows))
+        assigned = c.crossJoin(codebook).withColumn(
+            "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
+        ).drop("cents")
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.sum("val") / F.count("*"), round_dp).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = float(r["m"])
+        rows = [
+            {"cid": row["cid"],
+             "cv": [by_cid[row["cid"]][i] for i in range(len(by_cid[row["cid"]]))]
+             if row["cid"] in by_cid else row["cv"]}
+            for row in rows
+        ]
+    return rows
+
+
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
-            n_centroids: int = 16, nprobe: int = 4,
+            n_centroids: int = 16, nprobe: int = 4, refine_iters: int = 1,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) cell probing.
@@ -108,6 +152,9 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ~nprobe/n_centroids of the corpus instead of all of it.
     """
     cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     assigned = c.crossJoin(codebook).withColumn(

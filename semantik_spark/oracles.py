@@ -769,14 +769,42 @@ rk AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
 
 
-def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+              refine_iters: int = 1) -> str:
     """Twin of similarity.knn_ivf: centroids = n smallest-id corpus
-    vectors; nearest-centroid assignment (tie → smaller cid), nprobe
-    cells probed per query, exact cosine rank inside probed cells."""
+    vectors refined by ``refine_iters`` Lloyd steps (assignment by
+    cosine, per-dim mean rounded to 6 dp — the rounding is what makes
+    the refinement engine-portable, see similarity.ivf_refine); then
+    nearest-centroid assignment (tie → smaller cid), nprobe cells
+    probed per query, exact cosine rank inside probed cells."""
+    refine = []
+    prev = "cent0"
+    for i in range(refine_iters):
+        nxt = "cent" if i == refine_iters - 1 else f"cent{i + 1}"
+        refine.append(f"""
+rassign{i} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, {prev}.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM corpus CROSS JOIN {prev}) WHERE rn = 1),
+rmeans{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign{i})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+{nxt} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN rmeans{i} m USING (cid))""")
+        prev = nxt
+    refine_sql = ",".join(refine)
+    alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
     return f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-cent AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
 assigned AS (
   SELECT vec_id, v, cid AS centroid_id FROM (
     SELECT corpus.vec_id, corpus.v, cent.cid,
