@@ -107,20 +107,54 @@ _TEXT_EXTENSIONS = (
 
 
 def parse_text(files: DataFrame) -> DataFrame:
-    """S5 text parser: decode bytes → text for text-family extensions;
-    BOM stripped; non-text rows pass through with text NULL (their
-    parser — S6 unstructured — is a pandas_udf slot, stubbed until the
-    parsing libs exist in the image).
+    """S5 text parser with the reference's BOM-detection + binary-sniff
+    chain (text_processing/parsers/text.py:13-58,220-231), as pure
+    Column expressions:
 
-    Spark decode() handles utf-8; the reference's latin-1 fallback
-    chain collapses to a regexp cleanup of replacement chars.
+      1. BOM detect, longest first (UTF-32 before UTF-16 — FF FE 00 00
+         must not read as UTF-16-LE): UTF-16 BOMs decode via the JVM
+         UTF-16 charset (BOM-consuming); UTF-8 BOM strips then decodes;
+         UTF-32 has no JVM charset in Spark's decode() and is flagged
+         unsupported_encoding rather than mis-decoded.
+      2. No BOM → binary sniff: a NUL byte anywhere, or >30%
+         non-printable bytes in the first 8 KiB (tab/LF/CR excluded),
+         rejects the row as binary_rejected (text.py:34-58).
+      3. Else UTF-8 with replacement — the reference's default path.
+
+    Non-text extensions pass through with text NULL for the registry's
+    binary families.
     """
     is_text = F.col("extension").isin(list(_TEXT_EXTENSIONS))
-    decoded = F.decode(F.col("content"), "UTF-8")
-    no_bom = F.regexp_replace(decoded, "^﻿", "")
-    return files.withColumn("text", F.when(is_text, no_bom)).withColumn(
+    c = F.col("content")
+    pfx4, pfx3, pfx2 = c.substr(1, 4), c.substr(1, 3), c.substr(1, 2)
+    is32 = (pfx4 == F.lit(b"\xff\xfe\x00\x00")) | (pfx4 == F.lit(b"\x00\x00\xfe\xff"))
+    is16 = (pfx2 == F.lit(b"\xff\xfe")) | (pfx2 == F.lit(b"\xfe\xff"))
+    is8sig = pfx3 == F.lit(b"\xef\xbb\xbf")
+    has_bom = is32 | is16 | is8sig
+    # binary sniff on BOM-less content: NUL byte, or non-printable
+    # ratio > 0.30 over the first 8 KiB (ISO-8859-1 maps bytes 1:1 to
+    # chars, so the byte-class count is a regexp over the decoded head)
+    head = F.decode(c.substr(1, 8192), "ISO-8859-1")
+    nonprint = F.length(
+        F.regexp_replace(head, "[^\\x00-\\x08\\x0e-\\x1f]", "")
+    )
+    is_binary = ~has_bom & (
+        F.contains(c, F.lit(b"\x00"))
+        | ((F.length(head) > 0) & (nonprint / F.length(head) > 0.30))
+    )
+    decoded = (
+        F.when(is16, F.decode(c, "UTF-16"))  # JVM charset consumes the BOM
+        .when(is8sig, F.decode(F.expr("substring(content, 4)"), "UTF-8"))
+        .otherwise(F.decode(c, "UTF-8"))
+    )
+    return files.withColumn(
+        "text", F.when(is_text & ~is_binary & ~is32, decoded)
+    ).withColumn(
         "parse_status",
-        F.when(is_text, F.lit("parsed")).otherwise(F.lit("needs_binary_parser")),
+        F.when(~is_text, F.lit("needs_binary_parser"))
+        .when(is32, F.lit("unsupported_encoding:utf-32"))
+        .when(is_binary, F.lit("binary_rejected"))
+        .otherwise(F.lit("parsed")),
     )
 
 

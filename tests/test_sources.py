@@ -67,3 +67,28 @@ def test_files_to_documents_contract(spark, tree):
     assert all(r["collection_id"] == "coll1" for r in rows)
     cols = set(docs.columns)
     assert {"uri", "content_hash", "text", "last_seen_at", "mime_type"} <= cols
+
+
+def test_parse_text_encoding_chain(spark):
+    """BOM-driven decode + binary sniff (reference text.py:13-58)."""
+    from semantik_spark.sources.local import parse_text
+
+    rows = [
+        ("u8.txt", ".txt", "héllo utf8".encode("utf-8")),
+        ("u8sig.txt", ".txt", "﻿héllo sig".encode("utf-8")[0:0] + b"\xef\xbb\xbf" + "héllo sig".encode("utf-8")),
+        ("u16le.txt", ".txt", "héllo 16le".encode("utf-16")),  # includes BOM
+        ("u16be.txt", ".txt", "﻿héllo 16be".encode("utf-16-be")),
+        ("u32.txt", ".txt", "x".encode("utf-32")),
+        ("nul.txt", ".txt", b"looks\x00binary"),
+        ("hi.txt", ".txt", bytes(range(1, 8)) * 40 + b"ab"),  # >30% non-printable
+    ]
+    df = spark.createDataFrame(rows, "uri string, extension string, content binary")
+    out = {r["uri"]: r for r in parse_text(df).collect()}
+    assert out["u8.txt"].text == "héllo utf8" and out["u8.txt"].parse_status == "parsed"
+    assert out["u8sig.txt"].text == "héllo sig"
+    assert out["u16le.txt"].text == "héllo 16le"
+    assert out["u16be.txt"].text == "héllo 16be"
+    assert out["u32.txt"].parse_status == "unsupported_encoding:utf-32"
+    assert out["u32.txt"].text is None
+    assert out["nul.txt"].parse_status == "binary_rejected"
+    assert out["hi.txt"].parse_status == "binary_rejected"
