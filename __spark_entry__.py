@@ -168,13 +168,16 @@ def q_bm25_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    # persist: the prefix-bucket term_id scheme aggregates the vocab
+    # twice (ranks + bucket counts) — tokenization must run once
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
     return bm25.term_stats(tok).select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
 
 
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
-    post = bm25.postings(tok, bm25.term_stats(tok), bm25.corpus_stats(tok))
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
+    stats = bm25.corpus_stats(tok)
+    post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     return post.select("doc_id", "term", "tf", F.round("weight", 6).alias("weight"))
 
 
@@ -437,7 +440,7 @@ def q_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 sparse sink rows, flattened: doc_id, pos (position in the
     ascending-term_id array), term_id, weight (6dp). posexplode of the
     array form verifies sparse_vectors' sort order hash-exactly."""
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents"))
+    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
     stats = bm25.corpus_stats(tok)
     post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     sv = bm25.sparse_vectors(post)
