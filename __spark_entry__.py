@@ -1352,9 +1352,10 @@ SELECT ngram, n_docs,
 FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "chunk_character": oracles.q_chunk_character(chunk_size=200, overlap=50),
         "chunk_recursive": oracles.q_chunk_recursive(chunk_size=200),
-        # chunk_markdown / chunk_semantic / chunk_hierarchical /
-        # chunk_hybrid / pca_projection: intentionally no oracle
-        # (mapInPandas kernels with non-SQL semantics) → rows-only check.
+        "chunk_hierarchical": oracles.q_chunk_hierarchical(chunk_size=400),
+        # chunk_markdown / chunk_semantic / chunk_hybrid / pca_projection:
+        # intentionally no oracle (mapInPandas kernels with non-SQL
+        # semantics) → rows-only check.
     }
 
 

@@ -356,31 +356,24 @@ fchunks AS (
 )"""
 
 
-def q_chunk_character(chunk_size: int = 200, overlap: int = 50,
-                      window: int = 50) -> str:
-    """K1 character chunking oracle: a recursive CTE replays the
-    boundary-snapping loop of chunking.character_chunk_doc exactly —
-    each step computes raw_end = min(start+size, n), snaps to the last
-    sentence end (". ", "! ", "? ", "\\n") within ``window`` chars (else
-    last word boundary, else hard cut), emits the chunk, and advances to
-    max(end - overlap, start + 1). rfind is expressed as
+def _snap_step(tbl: str, start: str, chunk_size: int, window: int = 50) -> str:
+    """LATERAL chain computing the snapped end_offset for the chunk of
+    ``tbl`` starting at ``start`` — the SQL replay of
+    chunking._find_boundary: raw_end = min(start+size, n); last sentence
+    end (". ", "! ", "? ", "\\n") within ``window`` chars back (else last
+    word boundary, else hard cut). rfind is expressed as
     position(reverse(mark) IN reverse(window_text))."""
     marks = [("' .'", 2), ("' !'", 2), ("' ?'", 2), ("chr(10)", 1)]
-
-    def cand(rsub: str) -> str:
-        return ", ".join(
-            f"CASE WHEN position({rev} IN {rsub}) > 0 "
-            f"THEN r.raw_end - position({rev} IN {rsub}) + 1 ELSE -1 END"
-            for rev, _ in marks
-        )
-
-    def step(tbl: str, start: str) -> str:
-        """LATERAL chain computing end_offset for chunk starting at ``start``."""
-        return f"""
+    cand = ", ".join(
+        f"CASE WHEN position({rev} IN rs.rsub) > 0 "
+        f"THEN r.raw_end - position({rev} IN rs.rsub) + 1 ELSE -1 END"
+        for rev, _ in marks
+    )
+    return f"""
        LATERAL (SELECT least({start} + {chunk_size}, {tbl}.n) AS raw_end) r,
        LATERAL (SELECT greatest(0, r.raw_end - {window}) AS lo) l,
        LATERAL (SELECT reverse(substr({tbl}.text, l.lo + 1, r.raw_end - l.lo)) AS rsub) rs,
-       LATERAL (SELECT greatest({cand('rs.rsub')}) AS best) b,
+       LATERAL (SELECT greatest({cand}) AS best) b,
        LATERAL (SELECT CASE WHEN position(' ' IN rs.rsub) > 0
                             THEN r.raw_end - position(' ' IN rs.rsub) ELSE -1 END AS wi) wp,
        LATERAL (SELECT CASE WHEN r.raw_end >= {tbl}.n THEN r.raw_end
@@ -388,6 +381,17 @@ def q_chunk_character(chunk_size: int = 200, overlap: int = 50,
                             WHEN wp.wi > l.lo THEN wp.wi + 1
                             ELSE r.raw_end END AS bnd) bb,
        LATERAL (SELECT CASE WHEN bb.bnd <= {start} THEN r.raw_end ELSE bb.bnd END AS end_offset) e"""
+
+
+def q_chunk_character(chunk_size: int = 200, overlap: int = 50,
+                      window: int = 50) -> str:
+    """K1 character chunking oracle: a recursive CTE replays the
+    boundary-snapping loop of chunking.character_chunk_doc exactly —
+    each step snaps via _snap_step, emits the chunk, and advances to
+    max(end - overlap, start + 1)."""
+
+    def step(tbl: str, start: str) -> str:
+        return _snap_step(tbl, start, chunk_size, window)
 
     return f"""
 WITH RECURSIVE cbase AS (
@@ -484,6 +488,74 @@ SELECT doc_id, doc_id || '#' || chunk_no::INT AS chunk_id, chunk_no::INT AS chun
        ((cl + 3) // 4)::INT AS token_count,
        (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
 FROM rfinal WHERE rn = 1"""
+
+
+def q_chunk_hierarchical(chunk_size: int = 400, window: int = 50) -> str:
+    """K5 hierarchical chunking oracle (levels=2): replays
+    chunking.hierarchical_chunk_doc — level-0 parents are
+    character_chunk_doc(text, chunk_size, overlap=0) (with overlap=0 the
+    advance is simply start=end, so the recursion carries end_offset
+    straight through); level-1 children re-chunk each parent's substring
+    at max(200, chunk_size//2) with overlap=0. Child chunk_index
+    continues globally from the parent count, in (parent, child) order,
+    exactly like the kernel's single running ``idx``."""
+    child_size = max(200, chunk_size // 2)
+
+    def pstep(tbl: str, start: str) -> str:
+        return _snap_step(tbl, start, chunk_size, window)
+
+    def cstep(tbl: str, start: str) -> str:
+        return _snap_step(tbl, start, child_size, window)
+
+    return f"""
+WITH RECURSIVE hbase AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, length(text)::INT AS n
+  FROM documents WHERE length(text) > 0
+),
+hp AS (
+  SELECT hbase.doc_id, hbase.text, hbase.n, 0::INT AS start_offset,
+         e.end_offset::INT AS end_offset, 0::INT AS chunk_index
+  FROM hbase,{pstep('hbase', '0')}
+  UNION ALL
+  SELECT hp.doc_id, hp.text, hp.n, hp.end_offset, e.end_offset::INT, hp.chunk_index + 1
+  FROM hp,{pstep('hp', 'hp.end_offset')}
+  WHERE hp.end_offset < hp.n
+),
+hcb AS (
+  SELECT doc_id, chunk_index AS parent_index,
+         substr(text, start_offset + 1, end_offset - start_offset) AS text,
+         (end_offset - start_offset)::INT AS n
+  FROM hp
+),
+hc AS (
+  SELECT hcb.doc_id, hcb.parent_index, hcb.text, hcb.n, 0::INT AS start_offset,
+         e.end_offset::INT AS end_offset, 0::INT AS child_index
+  FROM hcb,{cstep('hcb', '0')}
+  UNION ALL
+  SELECT hc.doc_id, hc.parent_index, hc.text, hc.n, hc.end_offset, e.end_offset::INT, hc.child_index + 1
+  FROM hc,{cstep('hc', 'hc.end_offset')}
+  WHERE hc.end_offset < hc.n
+),
+hpc AS (SELECT doc_id, count(*)::INT AS pcount FROM hp GROUP BY doc_id)
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
+       0 AS level, -1 AS parent_index, NULL::VARCHAR AS parent_chunk_id,
+       ((length(content) + 3) // 4)::INT AS token_count
+FROM (
+  SELECT doc_id, chunk_index,
+         substr(text, start_offset + 1, end_offset - start_offset) AS content
+  FROM hp
+)
+UNION ALL
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
+       1 AS level, parent_index, doc_id || '#' || parent_index AS parent_chunk_id,
+       ((length(content) + 3) // 4)::INT AS token_count
+FROM (
+  SELECT hc.doc_id, hc.parent_index,
+         (hpc.pcount + row_number() OVER (
+            PARTITION BY hc.doc_id ORDER BY hc.parent_index, hc.child_index) - 1)::INT AS chunk_index,
+         substr(hc.text, hc.start_offset + 1, hc.end_offset - hc.start_offset) AS content
+  FROM hc JOIN hpc USING (doc_id)
+)"""
 
 
 def q_chunk_collapse(k: int = 20) -> str:
