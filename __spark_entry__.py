@@ -1353,9 +1353,9 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "chunk_character": oracles.q_chunk_character(chunk_size=200, overlap=50),
         "chunk_recursive": oracles.q_chunk_recursive(chunk_size=200),
         "chunk_hierarchical": oracles.q_chunk_hierarchical(chunk_size=400),
-        # chunk_markdown / chunk_semantic / chunk_hybrid / pca_projection:
-        # intentionally no oracle (mapInPandas kernels with non-SQL
-        # semantics) → rows-only check.
+        "chunk_semantic": oracles.q_chunk_semantic(chunk_size=300),
+        # chunk_markdown / chunk_hybrid / pca_projection: intentionally
+        # no oracle yet (mapInPandas kernels) → rows-only check.
     }
 
 

@@ -558,6 +558,179 @@ FROM (
 )"""
 
 
+_PYWS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def semantic_chunk_ctes(base: str, chunk_size: int = 300,
+                        threshold: float = 0.3, p: str = "se") -> str:
+    """CTE chain replaying chunking.semantic_chunk_doc over ``base``
+    (doc_id, text): sentinel-split sentence segmentation with offsets,
+    adjacent-sentence word-Jaccard, a recursive greedy clustering fold
+    (oversized sentences flush the cluster and word-pack into standalone
+    clusters via a nested word fold), and the small-cluster merge fold.
+    Ends in {p}chunks(doc_id, chunk_index, c_start, c_end, c_len).
+
+    The folds are per-document recursive CTEs stepping one sentence /
+    word / cluster per iteration — depth is bounded by sentences-per-doc,
+    so the oracle stays cheap at oracle SFs."""
+    B = chunk_size
+    minlen = max(1, chunk_size // 10)
+    return f"""
+{p}sraw AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(text, '([.!?] |' || chr(10) || ')',
+                                     '\\1' || chr(1), 'g'), chr(1)) AS pieces
+  FROM {base}
+),
+{p}sseg AS (
+  SELECT doc_id, j, piece,
+         sum(length(piece)) OVER (PARTITION BY doc_id ORDER BY j) - length(piece) AS s_start
+  FROM (SELECT doc_id, unnest(pieces) AS piece,
+               unnest(range(1, len(pieces) + 1)) AS j
+        FROM {p}sraw)
+),
+{p}sent AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY j) AS sidx,
+         s_start, s_start + length(piece) AS s_end,
+         length(piece) AS s_len, piece AS s_text
+  FROM {p}sseg
+  WHERE trim(piece, {_PYWS}) <> ''
+),
+{p}pre AS (
+  SELECT doc_id, sidx, s_start, s_end, s_len, s_text,
+         sum(s_len) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum
+  FROM {p}sent
+),
+{p}jac AS (
+  SELECT b.doc_id, b.sidx,
+         CASE WHEN len(w.wa) = 0 OR len(w.wb) = 0 THEN 0.0
+              ELSE len(list_intersect(w.wa, w.wb))::DOUBLE
+                   / len(list_distinct(w.wa || w.wb)) END AS jac
+  FROM {p}sent a JOIN {p}sent b ON a.doc_id = b.doc_id AND b.sidx = a.sidx + 1,
+       LATERAL (SELECT
+         list_distinct(list_filter(string_split_regex(lower(a.s_text), '\\s+'), x -> x <> '')) AS wa,
+         list_distinct(list_filter(string_split_regex(lower(b.s_text), '\\s+'), x -> x <> '')) AS wb) w
+),
+{p}cf AS (
+  SELECT s.doc_id, s.sidx,
+         CASE WHEN s.s_len > {B} THEN NULL ELSE s.sidx END AS cstart,
+         CASE WHEN s.s_len > {B} THEN 0 ELSE s.s_len END AS clen,
+         NULL::BIGINT AS fs, NULL::BIGINT AS fe
+  FROM {p}pre s WHERE s.sidx = 1
+  UNION ALL
+  SELECT s.doc_id, s.sidx,
+         CASE WHEN s.s_len > {B} THEN NULL
+              WHEN f.cstart IS NULL THEN s.sidx
+              WHEN a.admit THEN f.cstart ELSE s.sidx END,
+         CASE WHEN s.s_len > {B} THEN 0
+              WHEN f.cstart IS NULL THEN s.s_len
+              WHEN a.admit THEN f.clen + s.s_len ELSE s.s_len END,
+         CASE WHEN f.cstart IS NOT NULL AND (s.s_len > {B} OR NOT a.admit)
+              THEN f.cstart END,
+         CASE WHEN f.cstart IS NOT NULL AND (s.s_len > {B} OR NOT a.admit)
+              THEN s.sidx - 1 END
+  FROM {p}cf f
+  JOIN {p}pre s ON s.doc_id = f.doc_id AND s.sidx = f.sidx + 1
+  LEFT JOIN {p}jac j ON j.doc_id = s.doc_id AND j.sidx = s.sidx,
+       LATERAL (SELECT coalesce(j.jac >= {threshold}, FALSE)
+                       AND f.clen + s.s_len <= {B} AS admit) a
+),
+{p}cmax AS (SELECT doc_id, max(sidx) AS m FROM {p}sent GROUP BY doc_id),
+{p}ow AS (
+  SELECT doc_id, sidx, s_start, s_end, widx, w, length(w) AS wl, nw
+  FROM (SELECT doc_id, sidx, s_start, s_end,
+               unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS widx, len(ws) AS nw
+        FROM (SELECT doc_id, sidx, s_start, s_end, string_split(s_text, ' ') AS ws
+              FROM {p}pre WHERE s_len > {B}))
+),
+{p}wf AS (
+  SELECT doc_id, sidx, widx, nw, s_end, wl AS buf_len, s_start AS off,
+         NULL::BIGINT AS es, NULL::BIGINT AS ee
+  FROM {p}ow WHERE widx = 1
+  UNION ALL
+  SELECT w.doc_id, w.sidx, w.widx, w.nw, w.s_end,
+         CASE WHEN fl.flush THEN w.wl ELSE f.buf_len + 1 + w.wl END,
+         CASE WHEN fl.flush THEN f.off + f.buf_len + 1 ELSE f.off END,
+         CASE WHEN fl.flush THEN f.off END,
+         CASE WHEN fl.flush THEN f.off + f.buf_len END
+  FROM {p}wf f
+  JOIN {p}ow w ON w.doc_id = f.doc_id AND w.sidx = f.sidx AND w.widx = f.widx + 1,
+       LATERAL (SELECT f.buf_len + 1 + w.wl > {B} AS flush) fl
+),
+{p}clraw AS (
+  SELECT f.doc_id, p1.s_start AS c_start, p2.s_end AS c_end,
+         p2.cum - p1.cum + p1.s_len AS c_len,
+         f.sidx * 4 AS ord1, 0::BIGINT AS ord2
+  FROM {p}cf f
+  JOIN {p}pre p1 ON p1.doc_id = f.doc_id AND p1.sidx = f.fs
+  JOIN {p}pre p2 ON p2.doc_id = f.doc_id AND p2.sidx = f.fe
+  WHERE f.fs IS NOT NULL
+  UNION ALL
+  SELECT doc_id, es, ee, ee - es, sidx * 4 + 1, widx
+  FROM {p}wf WHERE es IS NOT NULL
+  UNION ALL
+  SELECT f.doc_id, f.off, f.s_end, f.buf_len, f.sidx * 4 + 1, f.nw + 1
+  FROM {p}wf f WHERE f.widx = f.nw
+  UNION ALL
+  SELECT f.doc_id, p1.s_start, p2.s_end, p2.cum - p1.cum + p1.s_len,
+         (f.sidx + 1) * 4, 0
+  FROM {p}cf f
+  JOIN {p}cmax x ON x.doc_id = f.doc_id AND f.sidx = x.m
+  JOIN {p}pre p1 ON p1.doc_id = f.doc_id AND p1.sidx = f.cstart
+  JOIN {p}pre p2 ON p2.doc_id = f.doc_id AND p2.sidx = f.sidx
+  WHERE f.cstart IS NOT NULL
+),
+{p}cl AS (
+  SELECT doc_id, c_start, c_end, c_len,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord1, ord2) AS ck
+  FROM {p}clraw
+),
+{p}mf AS (
+  SELECT doc_id, ck, c_start AS m_start, c_end AS m_end, c_len AS m_len,
+         NULL::BIGINT AS es, NULL::BIGINT AS ee
+  FROM {p}cl WHERE ck = 1
+  UNION ALL
+  SELECT c.doc_id, c.ck,
+         CASE WHEN mg.merge THEN f.m_start ELSE c.c_start END,
+         CASE WHEN mg.merge THEN c.c_end ELSE c.c_end END,
+         CASE WHEN mg.merge THEN f.m_len + c.c_len ELSE c.c_len END,
+         CASE WHEN mg.merge THEN NULL ELSE f.m_start END,
+         CASE WHEN mg.merge THEN NULL ELSE f.m_end END
+  FROM {p}mf f
+  JOIN {p}cl c ON c.doc_id = f.doc_id AND c.ck = f.ck + 1,
+       LATERAL (SELECT (c.c_len < {minlen} OR f.m_len < {minlen})
+                       AND f.m_len + c.c_len <= {B} AS merge) mg
+),
+{p}kmax AS (SELECT doc_id, max(ck) AS mk FROM {p}cl GROUP BY doc_id),
+{p}emit AS (
+  SELECT doc_id, es AS c_start, ee AS c_end, ck * 2 AS ord
+  FROM {p}mf WHERE es IS NOT NULL
+  UNION ALL
+  SELECT f.doc_id, f.m_start, f.m_end, (f.ck + 1) * 2
+  FROM {p}mf f JOIN {p}kmax x ON x.doc_id = f.doc_id AND f.ck = x.mk
+),
+{p}chunks AS (
+  SELECT doc_id, c_start, c_end,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INT AS chunk_index
+  FROM {p}emit
+)"""
+
+
+def q_chunk_semantic(chunk_size: int = 300, threshold: float = 0.3) -> str:
+    """K4 semantic chunking oracle — see semantic_chunk_ctes."""
+    return f"""
+WITH RECURSIVE sebase AS (
+  SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE length(text) > 0
+),
+{semantic_chunk_ctes('sebase', chunk_size, threshold).lstrip()}
+SELECT c.doc_id, c.doc_id || '#' || c.chunk_index AS chunk_id, c.chunk_index,
+       substr(b.text, c.c_start + 1, c.c_end - c.c_start) AS content,
+       c.c_start::INT AS start_offset, c.c_end::INT AS end_offset,
+       ((c.c_end - c.c_start + 3) // 4)::INT AS token_count,
+       (count(*) OVER (PARTITION BY c.doc_id))::INT AS total_chunks
+FROM sechunks c JOIN sebase b USING (doc_id)"""
+
+
 def q_chunk_collapse(k: int = 20) -> str:
     """W4 first-hit chunk→doc collapse oracle: deterministic pseudo
     retrieval (hash60 of query||chunk) over fixed chunks, then collapse."""
