@@ -1354,8 +1354,9 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "chunk_recursive": oracles.q_chunk_recursive(chunk_size=200),
         "chunk_hierarchical": oracles.q_chunk_hierarchical(chunk_size=400),
         "chunk_semantic": oracles.q_chunk_semantic(chunk_size=300),
-        # chunk_markdown / chunk_hybrid / pca_projection: intentionally
-        # no oracle yet (mapInPandas kernels) → rows-only check.
+        "chunk_markdown": oracles.q_chunk_markdown(chunk_size=400),
+        # chunk_hybrid / pca_projection: rows-only check (hybrid routing
+        # composes the three strategy oracles — next; PCA is ML-bound).
     }
 
 

@@ -416,78 +416,196 @@ SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index,
 FROM cch"""
 
 
-def q_chunk_recursive(chunk_size: int = 200) -> str:
-    """K2 recursive chunking oracle: unrolled separator-level CTEs
-    (split only over-budget pieces, separator attached left) + hard
-    slice + a recursive greedy-merge CTE — mirrors
-    chunking.recursive_chunk_spans exactly."""
+def recursive_split_ctes(base: str, chunk_size: int,
+                         keys: tuple[str, ...] = ("doc_id",),
+                         p: str = "r") -> str:
+    """CTE chain replaying chunking.recursive_chunk_spans over ``base``
+    ({keys...}, text, off, len): unrolled separator-level CTEs (split
+    only over-budget pieces, separator attached left) + hard slice + a
+    recursive greedy-merge fold. Ends in {p}final({keys...}, text,
+    chunk_no, cs, cl) — one row per final span. Inputs with len <=
+    chunk_size pass through as a single span, matching the kernel."""
+    kl = ", ".join(keys)
     sep_sql = [
         ("chr(10)||chr(10)||chr(10)", 3), ("chr(10)||chr(10)", 2), ("chr(10)", 1),
-        ("'. '", 2), ("'! '", 2), ("'? '", 2), ("'; '", 2), ("', '", 2), ("' '", 1),
+        ("\'. \'", 2), ("\'! \'", 2), ("\'? \'", 2), ("\'; \'", 2), ("\', \'", 2), ("\' \'", 1),
     ]
     lvls = []
     for k, (s, slen) in enumerate(sep_sql):
-        prev = f"rl{k - 1}" if k else "rl_base"
-        lvls.append(f"""rs{k} AS (
-  SELECT doc_id, text, off, len,
+        prev = f"{p}l{k - 1}" if k else base
+        lvls.append(f"""{p}s{k} AS MATERIALIZED (
+  SELECT {kl}, text, off, len,
          CASE WHEN len > {chunk_size}
               THEN string_split(substr(text, off + 1, len), {s}) END AS parts
   FROM {prev}),
-rl{k} AS (
-  SELECT doc_id, text, off, len FROM rs{k} WHERE parts IS NULL OR len(parts) = 1
+{p}l{k} AS (
+  SELECT {kl}, text, off, len FROM {p}s{k} WHERE parts IS NULL OR len(parts) = 1
   UNION ALL
-  SELECT doc_id, text, off, len FROM (
-    SELECT doc_id, text,
-           poff + sum(fl) OVER (PARTITION BY doc_id, poff ORDER BY j) - fl AS off,
+  SELECT {kl}, text, off, len FROM (
+    SELECT {kl}, text,
+           poff + sum(fl) OVER (PARTITION BY {kl}, poff ORDER BY j) - fl AS off,
            fl AS len
     FROM (
-      SELECT doc_id, text, off AS poff,
+      SELECT {kl}, text, off AS poff,
              unnest(parts) AS part, unnest(range(1, len(parts) + 1)) AS j,
              len(parts) AS np
-      FROM rs{k} WHERE parts IS NOT NULL AND len(parts) > 1
+      FROM {p}s{k} WHERE parts IS NOT NULL AND len(parts) > 1
     ), LATERAL (SELECT length(part) + CASE WHEN j < np THEN {slen} ELSE 0 END AS fl)
   ) WHERE len > 0
 )""")
-        last = f"rl{len(sep_sql) - 1}"
+        last = f"{p}l{len(sep_sql) - 1}"
     levels = ",\n".join(lvls)
-    return f"""
-WITH RECURSIVE rl_base AS (
-  SELECT doc_id::VARCHAR AS doc_id, text, 0::BIGINT AS off, length(text)::BIGINT AS len
-  FROM documents WHERE length(text) > 0
-),
-{levels},
-ratoms0 AS (
-  SELECT doc_id, text, off, len FROM {last} WHERE len <= {chunk_size}
+    on = " AND ".join(f"a.{c} = {p}m.{c}" for c in keys)
+    akeys = ", ".join(f"a.{c}" for c in keys)
+    return f"""{levels},
+{p}atoms0 AS (
+  SELECT {kl}, text, off, len FROM {last} WHERE len <= {chunk_size}
   UNION ALL
-  SELECT doc_id, text, off + i AS off, least({chunk_size}, len - i) AS len
+  SELECT {kl}, text, off + i AS off, least({chunk_size}, len - i) AS len
   FROM {last}, LATERAL (SELECT unnest(range(0, len, {chunk_size})) AS i)
   WHERE len > {chunk_size}
 ),
-ratoms AS (
-  SELECT doc_id, text, off, len,
-         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS idx
-  FROM ratoms0
+{p}atoms AS MATERIALIZED (
+  SELECT {kl}, text, off, len,
+         row_number() OVER (PARTITION BY {kl} ORDER BY off) AS idx
+  FROM {p}atoms0
 ),
-rm AS (
-  SELECT doc_id, text, idx, 0::BIGINT AS chunk_no, off AS cs, len AS cl
-  FROM ratoms WHERE idx = 1
+{p}m AS (
+  SELECT {kl}, text, idx, 0::BIGINT AS chunk_no, off AS cs, len AS cl
+  FROM {p}atoms WHERE idx = 1
   UNION ALL
-  SELECT a.doc_id, a.text, a.idx,
-         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.chunk_no ELSE rm.chunk_no + 1 END,
-         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.cs ELSE a.off END,
-         CASE WHEN rm.cl + a.len <= {chunk_size} THEN rm.cl + a.len ELSE a.len END
-  FROM rm JOIN ratoms a ON a.doc_id = rm.doc_id AND a.idx = rm.idx + 1
+  SELECT {akeys}, a.text, a.idx,
+         CASE WHEN {p}m.cl + a.len <= {chunk_size} THEN {p}m.chunk_no ELSE {p}m.chunk_no + 1 END,
+         CASE WHEN {p}m.cl + a.len <= {chunk_size} THEN {p}m.cs ELSE a.off END,
+         CASE WHEN {p}m.cl + a.len <= {chunk_size} THEN {p}m.cl + a.len ELSE a.len END
+  FROM {p}m JOIN {p}atoms a ON {on} AND a.idx = {p}m.idx + 1
 ),
-rfinal AS (
-  SELECT doc_id, text, chunk_no, cs, cl,
-         row_number() OVER (PARTITION BY doc_id, chunk_no ORDER BY idx DESC) AS rn
-  FROM rm
-)
-SELECT doc_id, doc_id || '#' || chunk_no::INT AS chunk_id, chunk_no::INT AS chunk_index,
+{p}fin0 AS (
+  SELECT {kl}, text, chunk_no, cs, cl,
+         row_number() OVER (PARTITION BY {kl}, chunk_no ORDER BY idx DESC) AS rn
+  FROM {p}m
+),
+{p}final AS (
+  SELECT {kl}, text, chunk_no, cs, cl FROM {p}fin0 WHERE rn = 1
+)"""
+
+
+def q_chunk_recursive(chunk_size: int = 200) -> str:
+    """K2 recursive chunking oracle — see recursive_split_ctes."""
+    return f"""
+WITH RECURSIVE rbase AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, 0::BIGINT AS off, length(text)::BIGINT AS len
+  FROM documents WHERE length(text) > 0
+),
+{recursive_split_ctes('rbase', chunk_size)}
+SELECT doc_id, doc_id || \'#\' || chunk_no::INT AS chunk_id, chunk_no::INT AS chunk_index,
        substr(text, cs + 1, cl) AS content,
        ((cl + 3) // 4)::INT AS token_count,
        (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
-FROM rfinal WHERE rn = 1"""
+FROM rfinal"""
+
+
+def markdown_chunk_ctes(base: str, chunk_size: int, p: str = "md") -> str:
+    """CTE chain replaying chunking.markdown_chunk_doc over ``base``
+    (doc_id, text): line split, ATX header detection (lstrip, 1-6 '#'s,
+    non-empty title), a recursive breadcrumb-stack fold
+    (crumbs[:level-1] + [title]), section assembly (body = lines between
+    consecutive valid headers, flushed with the stack BEFORE the
+    header), '[crumb]\\n'-prefixed blocks, a greedy packing fold, and
+    the recursive-split fallback for over-budget buffers. Ends in
+    {p}chunks(doc_id, chunk_index, content)."""
+    B = chunk_size
+    split = recursive_split_ctes(f"{p}eb", B, keys=("doc_id", "emit_no"), p=f"{p}r")
+    return f"""
+{p}lines AS MATERIALIZED (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {base})
+),
+{p}h AS (
+  SELECT doc_id, ln, level, title,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS hno
+  FROM (
+    SELECT doc_id, ln, lv.level, t.title
+    FROM {p}lines,
+         LATERAL (SELECT ltrim(line, {_PYWS}) AS stripped) s,
+         LATERAL (SELECT length(s.stripped) - length(ltrim(s.stripped, '#')) AS level) lv,
+         LATERAL (SELECT trim(substr(s.stripped, lv.level + 1), {_PYWS}) AS title) t
+    WHERE lv.level BETWEEN 1 AND 6 AND t.title <> ''
+  )
+),
+{p}stack AS (
+  SELECT doc_id, 0::BIGINT AS hno, []::VARCHAR[] AS crumbs, 0::BIGINT AS hln
+  FROM {base}
+  UNION ALL
+  SELECT h.doc_id, h.hno, list_slice(st.crumbs, 1, h.level - 1) || [h.title], h.ln
+  FROM {p}stack st JOIN {p}h h ON h.doc_id = st.doc_id AND h.hno = st.hno + 1
+),
+{p}sec AS (
+  SELECT st.doc_id, st.hno + 1 AS k, st.crumbs, st.hln AS lo, h.ln AS hi
+  FROM {p}stack st
+  LEFT JOIN {p}h h ON h.doc_id = st.doc_id AND h.hno = st.hno + 1
+),
+{p}body AS (
+  SELECT s.doc_id, s.k, any_value(s.crumbs) AS crumbs, count(l.ln) AS nlines,
+         coalesce(string_agg(l.line, chr(10) ORDER BY l.ln), '') AS body
+  FROM {p}sec s LEFT JOIN {p}lines l
+    ON l.doc_id = s.doc_id AND l.ln > s.lo AND (s.hi IS NULL OR l.ln < s.hi)
+  GROUP BY s.doc_id, s.k
+),
+{p}blk AS (
+  SELECT doc_id, k,
+         trim(CASE WHEN c.crumb <> '' THEN '[' || c.crumb || ']' || chr(10) || body
+                   ELSE body END, {_PYWS}) AS block
+  FROM {p}body, LATERAL (SELECT array_to_string(crumbs, ' > ') AS crumb) c
+  WHERE len(crumbs) > 0 OR nlines > 0
+),
+{p}blkf AS (
+  SELECT doc_id, block, row_number() OVER (PARTITION BY doc_id ORDER BY k) AS bidx
+  FROM {p}blk WHERE block <> ''
+),
+{p}bmax AS (SELECT doc_id, max(bidx) AS mb FROM {p}blkf GROUP BY doc_id),
+{p}pf AS (
+  SELECT doc_id, bidx, block AS buf, NULL::VARCHAR AS emitted
+  FROM {p}blkf WHERE bidx = 1
+  UNION ALL
+  SELECT b.doc_id, b.bidx,
+         CASE WHEN fl.flush THEN b.block ELSE f.buf || chr(10) || b.block END,
+         CASE WHEN fl.flush THEN f.buf END
+  FROM {p}pf f JOIN {p}blkf b ON b.doc_id = f.doc_id AND b.bidx = f.bidx + 1,
+       LATERAL (SELECT length(f.buf) + length(b.block) + 1 > {B} AS flush) fl
+),
+{p}emit AS (
+  SELECT doc_id, emitted AS buf, bidx * 2 AS ord FROM {p}pf WHERE emitted IS NOT NULL
+  UNION ALL
+  SELECT f.doc_id, f.buf, (f.bidx + 1) * 2
+  FROM {p}pf f JOIN {p}bmax x ON x.doc_id = f.doc_id AND f.bidx = x.mb
+),
+{p}eb AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS emit_no,
+         buf AS text, 0::BIGINT AS off, length(buf)::BIGINT AS len
+  FROM {p}emit
+),
+{split},
+{p}chunks AS (
+  SELECT doc_id,
+         (row_number() OVER (PARTITION BY doc_id ORDER BY emit_no, chunk_no) - 1)::INT AS chunk_index,
+         substr(text, cs + 1, cl) AS content,
+         cl AS clen
+  FROM {p}rfinal
+)"""
+
+
+def q_chunk_markdown(chunk_size: int = 400) -> str:
+    """K3 markdown chunking oracle — see markdown_chunk_ctes."""
+    return f"""
+WITH RECURSIVE mdbase AS (
+  SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE length(text) > 0
+),
+{markdown_chunk_ctes('mdbase', chunk_size).lstrip()}
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
+       ((clen + 3) // 4)::INT AS token_count,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
+FROM mdchunks"""
 
 
 def q_chunk_hierarchical(chunk_size: int = 400, window: int = 50) -> str:
