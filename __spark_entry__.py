@@ -1355,8 +1355,9 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "chunk_hierarchical": oracles.q_chunk_hierarchical(chunk_size=400),
         "chunk_semantic": oracles.q_chunk_semantic(chunk_size=300),
         "chunk_markdown": oracles.q_chunk_markdown(chunk_size=400),
-        # chunk_hybrid / pca_projection: rows-only check (hybrid routing
-        # composes the three strategy oracles — next; PCA is ML-bound).
+        "chunk_hybrid": oracles.q_chunk_hybrid(chunk_size=300, overlap=60),
+        # pca_projection: rows-only check (distributed ML, not
+        # SQL-expressible).
     }
 
 

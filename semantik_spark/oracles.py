@@ -849,6 +849,88 @@ SELECT c.doc_id, c.doc_id || '#' || c.chunk_index AS chunk_id, c.chunk_index,
 FROM sechunks c JOIN sebase b USING (doc_id)"""
 
 
+def q_chunk_hybrid(chunk_size: int = 300, overlap: int = 60,
+                   threshold: float = 0.3, window: int = 50) -> str:
+    """K6 hybrid chunking oracle: replays chunking.analyze_content
+    routing in SQL (header/list line counts, code-fence count, average
+    sentence length over the sentinel-split sentences), then runs the
+    routed strategy per document — markdown_chunk_ctes /
+    semantic_chunk_ctes / the character snap fold (overlap>0) — and
+    unions the three with a strategy tag."""
+    B = chunk_size
+
+    def cstep(tbl: str, start: str) -> str:
+        return _snap_step(tbl, start, B, window)
+
+    return f"""
+WITH RECURSIVE hybase AS MATERIALIZED (
+  SELECT doc_id::VARCHAR AS doc_id, text FROM documents WHERE length(text) > 0
+),
+hyl AS MATERIALIZED (
+  SELECT doc_id, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM hybase)
+),
+hylc AS (
+  SELECT doc_id,
+         sum(CASE WHEN s.stripped LIKE '#%' THEN 1 ELSE 0 END) AS header_lines,
+         sum(CASE WHEN substr(s.stripped, 1, 2) IN ('- ', '* ', '1.') THEN 1 ELSE 0 END) AS list_lines
+  FROM hyl, LATERAL (SELECT ltrim(line, {_PYWS}) AS stripped) s
+  GROUP BY doc_id
+),
+hysl AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN trim(piece, {_PYWS}) <> '' THEN length(piece) END), 0)
+           ::DOUBLE AS s_sum,
+         coalesce(sum(CASE WHEN trim(piece, {_PYWS}) <> '' THEN 1 END), 0) AS s_cnt
+  FROM (SELECT doc_id, unnest(string_split(regexp_replace(text, '([.!?] |' || chr(10) || ')',
+                                           '\\1' || chr(1), 'g'), chr(1))) AS piece
+        FROM hybase)
+  GROUP BY doc_id
+),
+hyroute AS MATERIALIZED (
+  SELECT b.doc_id, b.text,
+         CASE WHEN c.header_lines >= 2 OR (c.header_lines >= 1 AND c.list_lines >= 2)
+                   OR (length(b.text) - length(replace(b.text, '```', ''))) // 3 >= 2
+              THEN 'markdown'
+              WHEN CASE WHEN s.s_cnt = 0 THEN 0.0 ELSE s.s_sum / s.s_cnt END > 50
+              THEN 'semantic'
+              ELSE 'character' END AS route
+  FROM hybase b JOIN hylc c USING (doc_id) JOIN hysl s USING (doc_id)
+),
+hymd AS MATERIALIZED (SELECT doc_id, text FROM hyroute WHERE route = 'markdown'),
+hysem AS MATERIALIZED (SELECT doc_id, text FROM hyroute WHERE route = 'semantic'),
+hych AS MATERIALIZED (
+  SELECT doc_id, text, length(text)::INT AS n FROM hyroute WHERE route = 'character'
+),
+{markdown_chunk_ctes('hymd', B, p='hm').lstrip()},
+{semantic_chunk_ctes('hysem', B, threshold, p='hs').lstrip()},
+hcch AS (
+  SELECT hych.doc_id, hych.text, hych.n, 0::INT AS start_offset,
+         e.end_offset::INT AS end_offset, 0::INT AS chunk_index
+  FROM hych,{cstep('hych', '0')}
+  UNION ALL
+  SELECT hcch.doc_id, hcch.text, hcch.n, s.ns::INT, e.end_offset::INT, hcch.chunk_index + 1
+  FROM hcch,
+       LATERAL (SELECT greatest(hcch.end_offset - {overlap}, hcch.start_offset + 1) AS ns) s,{cstep('hcch', 's.ns')}
+  WHERE hcch.end_offset < hcch.n
+),
+hyall AS (
+  SELECT doc_id, chunk_index, content, clen, 'markdown' AS strategy FROM hmchunks
+  UNION ALL
+  SELECT c.doc_id, c.chunk_index, substr(b.text, c.c_start + 1, c.c_end - c.c_start),
+         c.c_end - c.c_start, 'semantic'
+  FROM hschunks c JOIN hysem b USING (doc_id)
+  UNION ALL
+  SELECT doc_id, chunk_index, substr(text, start_offset + 1, end_offset - start_offset),
+         end_offset - start_offset, 'character'
+  FROM hcch
+)
+SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index::INT AS chunk_index,
+       content, strategy, ((clen + 3) // 4)::INT AS token_count,
+       (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
+FROM hyall"""
+
+
 def q_chunk_collapse(k: int = 20) -> str:
     """W4 first-hit chunk→doc collapse oracle: deterministic pseudo
     retrieval (hash60 of query||chunk) over fixed chunks, then collapse."""
