@@ -406,6 +406,25 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.fingerprint(_t(spark, sf_dir, "documents"), n=4)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over a deterministically PII-augmented
+    corpus (the synthetic tables carry none) — per-doc hit counts per
+    pattern family plus the placeholder-redacted text."""
+    from semantik_spark.operators import pii
+    return pii.pii_report(pii.inject_synthetic_pii(_t(spark, sf_dir, "documents")))
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score (CCNet/Gopher perplexity-filter
+    shape): per-doc avg token log-probability."""
+    return textanalysis.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicated-sentence fractions."""
+    return dedup.sentence_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -997,6 +1016,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # what absorbs the past-50 overflow (those rows stay anchored by
     # CORRECTNESS_r01).
     return {
+        # round-2 additions, never driver-evaluated: curation ops +
+        # newly-oracled chunking kernels
+        "pii_redact": q_pii_redact,
+        "lm_quality": q_lm_quality,
+        "dedup_sentences": q_dedup_sentences,
+        "chunk_markdown": q_chunk_markdown,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_hierarchical": q_chunk_hierarchical,
+        "chunk_hybrid": q_chunk_hybrid,
         # ops / bookkeeping / pipeline slice (unevaluated in r1)
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
@@ -1045,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        # --- driver window boundary (~50): everything below is r1-green
+        # or covered by pytest; it absorbs the past-50 overflow
         "knn_ivf": q_knn_ivf,
         "knn_quantized": q_knn_quantized,
         # text analysis
@@ -1073,10 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
         # no-oracle (rows-only) tail — MUST stay last
-        "chunk_markdown": q_chunk_markdown,
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_hierarchical": q_chunk_hierarchical,
-        "chunk_hybrid": q_chunk_hybrid,
         "pca_projection": q_pca_projection,
     }
 
@@ -1356,6 +1382,9 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "chunk_semantic": oracles.q_chunk_semantic(chunk_size=300),
         "chunk_markdown": oracles.q_chunk_markdown(chunk_size=400),
         "chunk_hybrid": oracles.q_chunk_hybrid(chunk_size=300, overlap=60),
+        "pii_redact": oracles.q_pii_redact(),
+        "lm_quality": oracles.q_lm_quality(),
+        "dedup_sentences": oracles.q_dedup_sentences(),
         # pca_projection: rows-only check (distributed ML, not
         # SQL-expressible).
     }

@@ -428,3 +428,45 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def sentence_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", min_docs: int = 2) -> DataFrame:
+    """C4-style cross-document sentence dedup signal: per document, how
+    many of its sentences also appear (normalized) in other documents.
+
+    Sentences are regex-split on terminal punctuation + space, trimmed
+    and lower-cased, then hashed (hash60). A sentence is "duplicated"
+    when its hash occurs in >= min_docs distinct documents. Returns
+    doc_id, n_sentences, n_dup_sentences, dup_frac (6dp).
+
+    Scale: explode -> one groupBy on the 60-bit sentence hash (the only
+    wide shuffle, with map-side combine) -> hash-join back. The dup-set
+    is a tiny fraction of the corpus; AQE will usually broadcast it.
+    C4's line-level dedup (Raffel et al. 2020) is this exact shape with
+    '\\n' as the splitter.
+    """
+    sents = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"[.!?] ")).alias("s"),
+        )
+        .select("doc_id", F.lower(F.trim(F.col("s"))).alias("s"))
+        .where(F.col("s") != "")
+        .withColumn("h", hash60("s"))
+    )
+    dup = (
+        sents.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        sents.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sentences"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("int").alias("n_dup_sentences"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_sentences") / F.col("n_sentences"), 6))
+    )

@@ -225,3 +225,44 @@ def fingerprint(docs: DataFrame, n: int = 4,
         "doc_id",
         F.array_min(F.transform(sh, lambda s: hash60(s))).alias("fingerprint"),
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model quality score: per document, the
+    average log-probability of its tokens under the corpus unigram
+    distribution — the cheap end of the perplexity-filter family
+    (CCNet / Gopher quality signals use a KenLM score of the same
+    shape). Low avg_logprob = rare-token-heavy documents.
+
+    Returns doc_id, n_tokens, avg_logprob (6dp).
+
+    Float parity: per-term ln(tf/total) is rounded to 9dp and summed as
+    DECIMAL(28,9) — exact, order-independent — so Spark's parallel
+    aggregation matches DuckDB bit-for-bit regardless of sum order.
+
+    Scale: one vocab groupBy (map-side combined) + one term->logprob
+    join (vocab is tiny vs corpus — broadcast) + one doc groupBy. No
+    Python, no all-pairs anything.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(raw_tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = counts.agg(F.sum("tf").cast("double").alias("total"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("tf") / F.col("total")), 9).cast("decimal(20,9)").alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("lp").cast("decimal(28,9)").alias("_slp"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("_slp").cast("double") / F.col("n_tokens"), 6).alias("avg_logprob"),
+        )
+    )

@@ -1490,3 +1490,88 @@ WITH aug AS (
 mentions AS ({branches})
 SELECT doc_id, entity_type, entity, count(*)::BIGINT AS n_mentions
 FROM mentions GROUP BY doc_id, entity_type, entity"""
+
+
+def q_pii_redact() -> str:
+    """PII scan+redact oracle: rebuilds the doc_id-derived synthetic
+    PII augmentation, then replays operators.pii.PII_PATTERNS counts
+    (regexp_extract_all) and the ordered regexp_replace chain (RE2 and
+    Java regex agree on this pattern subset)."""
+    from semantik_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{p}'))::INT AS n_{k}" for k, p in PII_PATTERNS
+    )
+    red = "text"
+    for k, p in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
+    total = " + ".join(f"n_{k}" for k, _ in PII_PATTERNS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || (doc_id % 1000)::VARCHAR || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0')
+         || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0')
+         || '-' || lpad((doc_id % 90 + 10)::VARCHAR, 2, '0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         || ' host 10.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+         || '.' || ((doc_id * 13) % 256)::VARCHAR ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' card ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         || '-' || lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0')
+         || '-' || lpad(((doc_id * 11) % 10000)::VARCHAR, 4, '0')
+         || '-' || lpad(((doc_id * 17) % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id,
+         {counts},
+         {red} AS redacted
+  FROM aug
+)
+SELECT doc_id, {", ".join(f"n_{k}" for k, _ in PII_PATTERNS)},
+       ({total})::INT AS n_pii, ({total}) > 0 AS has_pii, redacted
+FROM scanned"""
+
+
+def q_lm_quality() -> str:
+    """Unigram-LM oracle: per-term round(ln(tf/total), 9) summed as
+    DECIMAL(28,9) (order-independent), matching
+    textanalysis.unigram_logprob."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+tc AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT sum(tf)::DOUBLE AS total FROM tc),
+lp AS (
+  SELECT term, round(ln(tf / total), 9)::DECIMAL(20,9) AS lp FROM tc, tot
+),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_tokens, sum(lp)::DECIMAL(28,9) AS slp
+  FROM tok JOIN lp USING (term) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(slp::DOUBLE / n_tokens, 6) AS avg_logprob FROM agg"""
+
+
+def q_dedup_sentences(min_docs: int = 2) -> str:
+    """Cross-document sentence-dedup oracle: regex sentence split,
+    trim+lower normalize, hash60, dup set at >= min_docs distinct docs,
+    per-doc dup fractions — matches dedup.sentence_dedup_stats."""
+    return f"""
+WITH s1 AS (
+  SELECT doc_id, s, {hash60_expr('s')} AS h
+  FROM (SELECT doc_id, trim(lower(s)) AS s
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?] ')) AS s
+              FROM documents))
+  WHERE s <> ''
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM s1 GROUP BY h)
+  WHERE nd >= {min_docs}
+)
+SELECT s1.doc_id, count(*)::INT AS n_sentences,
+       sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_dup_sentences,
+       round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+FROM s1 LEFT JOIN dup ON s1.h = dup.h
+GROUP BY s1.doc_id"""
