@@ -39,7 +39,10 @@ BENCH_QUERIES = [
     "knn_quantized",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_sentences",
     "text_quality",
+    "pii_redact",
+    "lm_quality",
     "chunk_character",
     "ingest_index",
     "rerank_search",

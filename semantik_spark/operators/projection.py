@@ -69,11 +69,105 @@ def sample_for_driver(emb: DataFrame, cap: int = 50_000,
     return emb.sample(fraction=cap / n, seed=seed)
 
 
+def _tsne_fit(X, perplexity: float = 30.0, n_iter: int = 300,
+              early_exaggeration: float = 4.0, lr: float = 200.0):
+    """Exact (O(n²)) t-SNE on a numpy array — van der Maaten & Hinton
+    2008, the algorithm behind the reference's t-SNE variant
+    (projection.py:315-415). Deterministic: PCA initialization (no
+    RNG), fixed iteration schedule. Intended for driver-side samples
+    (reference caps at 50k; exact t-SNE is practical to ~5k)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    perplexity = min(perplexity, max(1.0, (n - 1) / 3.0))
+
+    # pairwise squared distances
+    ss = (X ** 2).sum(1)
+    D = np.maximum(ss[:, None] + ss[None, :] - 2.0 * (X @ X.T), 0.0)
+
+    # per-point binary search for the Gaussian bandwidth matching the
+    # target entropy log(perplexity)
+    target = np.log(perplexity)
+    P = np.zeros((n, n))
+    for i in range(n):
+        di = np.delete(D[i], i)
+        beta, lo, hi = 1.0, 0.0, np.inf
+        for _ in range(50):
+            w = np.exp(-di * beta)
+            sw = max(w.sum(), 1e-12)
+            h = np.log(sw) + beta * (di * w).sum() / sw
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo = beta
+                beta = beta * 2.0 if hi == np.inf else (beta + hi) / 2.0
+            else:
+                hi = beta
+                beta = (beta + lo) / 2.0
+        row = np.exp(-D[i] * beta)
+        row[i] = 0.0
+        P[i] = row / max(row.sum(), 1e-12)
+
+    P = (P + P.T) / (2.0 * n)
+    P = np.maximum(P, 1e-12)
+
+    # deterministic PCA init, scaled small as in the standard algorithm
+    Xc = X - X.mean(0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    Y = (Xc @ vt[:2].T) * 1e-4
+
+    dY = np.zeros_like(Y)
+    gains = np.ones_like(Y)
+    Pe = P * early_exaggeration
+    for it in range(n_iter):
+        num = 1.0 / (1.0 + np.maximum(
+            (Y ** 2).sum(1)[:, None] + (Y ** 2).sum(1)[None, :] - 2.0 * (Y @ Y.T), 0.0))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        PQ = (Pe if it < 100 else P) - Q
+        W = PQ * num
+        grad = 4.0 * (W.sum(1)[:, None] * Y - W @ Y)
+        momentum = 0.5 if it < 250 else 0.8
+        gains = np.where(np.sign(grad) != np.sign(dY), gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
+        dY = momentum * dY - lr * gains * grad
+        Y = Y + dY
+        Y = Y - Y.mean(0)
+    return Y
+
+
+def tsne_project(emb: DataFrame, cap: int = 2000, perplexity: float = 30.0,
+                 n_iter: int = 300, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """M7 t-SNE: sample to the driver cap, collect, fit the exact
+    t-SNE, and parallelize (vec_id, x, y) back — the same
+    driver-side-sample shape the reference uses (its UMAP/t-SNE also
+    collect a capped sample; projection.py:91,315-415). Deterministic
+    for a fixed input set: rows are sorted by id before the fit and the
+    optimizer has no RNG."""
+    spark = emb.sparkSession
+    pdf = (
+        sample_for_driver(emb, cap=cap, vec_col=vec_col, seed=seed)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    import numpy as np
+
+    Y = _tsne_fit(np.vstack(pdf["v"].to_numpy()), perplexity=perplexity, n_iter=n_iter)
+    out = pdf[["vec_id"]].copy()
+    out["x"] = Y[:, 0]
+    out["y"] = Y[:, 1]
+    return spark.createDataFrame(out)
+
+
 def umap_project(emb: DataFrame, **_kw) -> DataFrame:
     """UMAP is a driver-side iterative algorithm; the umap-learn package
     is not in this image. The Spark-side contract (sampled collect →
-    fit → parallelize back) is real; the fit is stubbed."""
+    fit → parallelize back) is real — identical to tsne_project's — and
+    the fit slot is stubbed. Use tsne_project or pca_project."""
     raise NotImplementedError(
-        "UMAP requires umap-learn; use pca_project, or plug the fitted "
-        "reducer into sample_for_driver(emb).toPandas() driver-side"
+        "UMAP requires umap-learn; use tsne_project/pca_project, or plug "
+        "the fitted reducer into sample_for_driver(emb).toPandas()"
     )

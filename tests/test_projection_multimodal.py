@@ -63,6 +63,26 @@ def test_umap_is_stubbed(emb):
         umap_project(emb)
 
 
+def test_tsne_separates_clusters_and_is_deterministic(spark):
+    import numpy as np
+
+    from semantik_spark.operators.projection import tsne_project
+
+    rng = np.random.RandomState(0)
+    pts = np.vstack([rng.randn(40, 8) + c for c in (0.0, 10.0)])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = tsne_project(df, perplexity=15, n_iter=200).orderBy("vec_id").collect()
+    assert len(out) == 80 and {c for c in out[0].asDict()} == {"vec_id", "x", "y"}
+    Y = np.array([[r.x, r.y] for r in out])
+    c0, c1 = Y[:40].mean(0), Y[40:].mean(0)
+    intra = max(np.linalg.norm(Y[:40] - c0, axis=1).mean(),
+                np.linalg.norm(Y[40:] - c1, axis=1).mean())
+    assert np.linalg.norm(c0 - c1) > 2 * intra
+    out2 = tsne_project(df, perplexity=15, n_iter=200).orderBy("vec_id").collect()
+    assert [(r.x, r.y) for r in out] == [(r.x, r.y) for r in out2]
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
