@@ -119,7 +119,11 @@ def parse_text(files: DataFrame) -> DataFrame:
       2. No BOM → binary sniff: a NUL byte anywhere, or >30%
          non-printable bytes in the first 8 KiB (tab/LF/CR excluded),
          rejects the row as binary_rejected (text.py:34-58).
-      3. Else UTF-8 with replacement — the reference's default path.
+      3. Else the charset fallback chain (text.py:22-58): UTF-8 first;
+         if the decode produced replacement chars (invalid UTF-8), fall
+         back to Latin-1, which maps every byte — same terminal
+         fallback as the reference's encoding list. The chosen charset
+         is surfaced in the ``encoding`` column.
 
     Non-text extensions pass through with text NULL for the registry's
     binary families.
@@ -142,13 +146,23 @@ def parse_text(files: DataFrame) -> DataFrame:
         F.contains(c, F.lit(b"\x00"))
         | ((F.length(head) > 0) & (nonprint / F.length(head) > 0.30))
     )
+    utf8 = F.decode(c, "UTF-8")
+    utf8_bad = F.contains(utf8, F.lit("�"))
     decoded = (
         F.when(is16, F.decode(c, "UTF-16"))  # JVM charset consumes the BOM
         .when(is8sig, F.decode(F.expr("substring(content, 4)"), "UTF-8"))
-        .otherwise(F.decode(c, "UTF-8"))
+        .when(utf8_bad, F.decode(c, "ISO-8859-1"))  # terminal fallback
+        .otherwise(utf8)
     )
     return files.withColumn(
         "text", F.when(is_text & ~is_binary & ~is32, decoded)
+    ).withColumn(
+        "encoding",
+        F.when(~is_text | is_binary | is32, F.lit(None).cast("string"))
+        .when(is16, F.lit("utf-16"))
+        .when(is8sig, F.lit("utf-8-sig"))
+        .when(utf8_bad, F.lit("latin-1"))
+        .otherwise(F.lit("utf-8")),
     ).withColumn(
         "parse_status",
         F.when(~is_text, F.lit("needs_binary_parser"))
