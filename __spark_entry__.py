@@ -425,6 +425,19 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sentence_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible content-hash train/val/test split."""
+    from semantik_spark.operators import training
+    return training.dataset_split(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (two-level distributed prefix
+    sum; the oracle checks it equals the serial concat order)."""
+    from semantik_spark.operators import training
+    return training.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256)
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1021,6 +1034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
@@ -1385,6 +1400,8 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "pii_redact": oracles.q_pii_redact(),
         "lm_quality": oracles.q_lm_quality(),
         "dedup_sentences": oracles.q_dedup_sentences(),
+        "dataset_split": oracles.q_dataset_split(),
+        "pack_sequences": oracles.q_pack_sequences(seq_len=256),
         # pca_projection: rows-only check (distributed ML, not
         # SQL-expressible).
     }

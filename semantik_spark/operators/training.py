@@ -1,0 +1,98 @@
+"""Training-set preparation operators: deterministic dataset splits and
+concat-and-chunk sequence packing.
+
+These are the two ops that sit between a curated corpus and an LLM
+training run:
+
+* ``dataset_split`` — reproducible train/val/test assignment by content
+  hash, so the split is stable across re-runs and machines (no RNG, no
+  sampling state).
+* ``pack_sequences`` — the standard pretraining prep: documents are
+  laid out on one global token axis in a deterministic order and cut
+  into fixed-length sequences; each document row reports its token span
+  and the sequence ids it lands in.
+
+Scale note (pack_sequences): the naive layout is a global
+``Window.orderBy`` cumulative sum — a single-partition sort, the exact
+serialization point the BM25 term_id fix removed. Instead the global
+prefix sum is two-level: per-bucket token totals (tiny aggregate) are
+turned into bucket base offsets and broadcast back, and the within-
+bucket running sum is a window partitioned by bucket — every partition
+works in parallel, no global sort. With doc_id-range buckets the
+layout is identical to the serial concat order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from semantik_spark.functions.hashing import hash60
+from semantik_spark.functions.text import raw_tokens
+
+
+def dataset_split(docs: DataFrame, weights: tuple[int, int, int] = (80, 10, 10),
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc_id, bucket (0-99), split — stable hash split on the CONTENT
+    hash (not the id), so re-ingesting the same document under a new id
+    cannot move it across the train/test boundary (leakage guard).
+
+    Pure per-row expressions; no shuffle.
+    """
+    train, val, _ = weights
+    bucket = (hash60(F.col(text_col)) % 100).cast("int")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bucket_size: int = 1024) -> DataFrame:
+    """Concat-and-chunk packing: documents ordered by doc_id form one
+    token stream; sequences are the ``seq_len``-sized slices of it.
+
+    Returns one row per document: doc_id, n_tokens, tok_start, tok_end
+    (global token offsets), seq_first, seq_last (sequence ids the doc
+    spans — a doc crossing a boundary appears in both, which is what
+    concat-and-chunk training does), n_seqs_spanned.
+
+    The global prefix sum is two-level (see module docstring):
+    ``doc_id // bucket_size`` buckets give per-bucket totals, their
+    running total (tiny window over ~n_docs/bucket_size rows) is
+    broadcast back as each bucket's base offset, and the intra-bucket
+    cumsum runs partitioned by bucket.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(raw_tokens(text_col)).cast("bigint").alias("n_tokens"),
+    ).withColumn("bucket", (F.col("doc_id") / bucket_size).cast("bigint"))
+
+    per_bucket = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_toks"))
+    # running offset over buckets: the window is over n_docs/bucket_size
+    # rows only — driver-scale, not corpus-scale
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bucket_toks").over(wb), F.lit(0)).alias("base")
+    )
+    wi = Window.partitionBy("bucket").orderBy("doc_id") \
+               .rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        toks.join(F.broadcast(bases), "bucket")
+        .withColumn("tok_start", F.col("base") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0)))
+        .withColumn("tok_end", F.col("tok_start") + F.col("n_tokens"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "tok_start", "tok_end",
+        F.floor(F.col("tok_start") / seq_len).cast("bigint").alias("seq_first"),
+        F.floor((F.col("tok_end") - 1) / seq_len).cast("bigint").alias("seq_last"),
+    ).withColumn(
+        "n_seqs_spanned",
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.col("seq_last") - F.col("seq_first") + 1
+        ).cast("int"),
+    )

@@ -1575,3 +1575,40 @@ SELECT s1.doc_id, count(*)::INT AS n_sentences,
        round(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
 FROM s1 LEFT JOIN dup ON s1.h = dup.h
 GROUP BY s1.doc_id"""
+
+
+def q_dataset_split(weights: tuple[int, int, int] = (80, 10, 10)) -> str:
+    """Content-hash dataset split oracle — matches
+    training.dataset_split."""
+    train, val, _ = weights
+    return f"""
+SELECT doc_id, ({hash60_expr('text')} % 100)::INT AS bucket,
+       CASE WHEN {hash60_expr('text')} % 100 < {train} THEN 'train'
+            WHEN {hash60_expr('text')} % 100 < {train + val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_pack_sequences(seq_len: int = 256) -> str:
+    """Concat-and-chunk packing oracle: the two-level Spark prefix sum
+    equals a plain doc_id-ordered cumulative sum — matches
+    training.pack_sequences."""
+    return f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
+       floor(tok_start / {seq_len})::BIGINT AS seq_first,
+       floor((tok_start + n_tokens - 1) / {seq_len})::BIGINT AS seq_last,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE floor((tok_start + n_tokens - 1) / {seq_len})
+                  - floor(tok_start / {seq_len}) + 1 END)::INT AS n_seqs_spanned
+FROM c"""

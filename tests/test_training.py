@@ -1,0 +1,69 @@
+"""Tests for training-set prep: dataset_split and pack_sequences."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantik_spark.operators.training import dataset_split, pack_sequences
+
+
+def test_dataset_split_is_content_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text body")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dataset_split(df).collect()}
+    # identical content -> identical bucket/split regardless of id (leakage guard)
+    assert rows[1].bucket == rows[2].bucket and rows[1].split == rows[2].split
+    assert all(0 <= r.bucket < 100 for r in rows.values())
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+
+
+def test_dataset_split_weights_roughly_hold(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id").cast("string")).alias("text"),
+    )
+    frac = {r.split: r.n for r in dataset_split(df).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert 0.05 < frac["val"] / 2000 < 0.15
+    assert 0.05 < frac["test"] / 2000 < 0.15
+
+
+def test_pack_sequences_matches_serial_concat(spark):
+    rows = [(i, " ".join(f"tok{j}" for j in range((i * 7) % 13 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pack_sequences(df, seq_len=16, bucket_size=32).collect()}
+    # serial reference: cumulative token offsets in doc_id order
+    off = 0
+    for i in range(200):
+        n = (i * 7) % 13 + 1
+        r = out[i]
+        assert r.n_tokens == n
+        assert r.tok_start == off and r.tok_end == off + n
+        assert r.seq_first == off // 16 and r.seq_last == (off + n - 1) // 16
+        assert r.n_seqs_spanned == (off + n - 1) // 16 - off // 16 + 1
+        off += n
+
+
+def test_pack_sequences_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "four five")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, seq_len=4).collect()}
+    assert rows[2].n_tokens == 0 and rows[2].n_seqs_spanned == 0
+    assert rows[2].tok_start == rows[2].tok_end == 3
+    assert rows[3].tok_start == 3 and rows[3].tok_end == 5
+
+
+def test_pack_sequences_big_window_is_bucket_partitioned(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = pack_sequences(df, seq_len=8, bucket_size=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the per-document running sum must be partitioned by bucket; only
+    # the tiny per-bucket base window may be single-partition
+    assert "windowspecdefinition(bucket" in plan.replace("#", "").lower() or \
+           "partitionspec: [bucket" in plan.lower() or "bucket" in plan.lower()
+    assert plan.lower().count("singlepartition") <= 1
