@@ -137,3 +137,32 @@ def test_rrf_join_stays_on_topk_rows(spark):
     # both branches were rank-filtered before the join
     plan = fused._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("rank#") >= 2  # rank filters survive into the join inputs
+
+
+def test_lm_quality_broadcasts_vocab(spark):
+    """The term->logprob join must broadcast the vocab side — the doc
+    token stream (corpus-scale) must never shuffle on term."""
+    from semantik_spark.operators.textanalysis import unigram_logprob
+
+    plan = _plan(unigram_logprob(_mk_docs(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sentence_dedup_single_wide_shuffle(spark):
+    """Sentence dedup = hash groupBy + join back; no cartesian, no
+    corpus x corpus nested loop."""
+    from semantik_spark.operators.dedup import sentence_dedup_stats
+
+    plan = _plan(sentence_dedup_stats(_mk_docs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_report_is_map_only(spark):
+    """PII scan/redact is a narrow projection: no exchange at all."""
+    from semantik_spark.operators.pii import inject_synthetic_pii, pii_report
+
+    plan = _plan(pii_report(inject_synthetic_pii(_mk_docs(spark))))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
