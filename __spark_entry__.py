@@ -438,6 +438,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test overlap scrub: bigram collisions vs the eval query
+    set (tiny side broadcast)."""
+    from semantik_spark.operators import training
+    return training.decontaminate(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), n=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1036,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": q_dedup_sentences,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
@@ -1402,6 +1412,7 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "dedup_sentences": oracles.q_dedup_sentences(),
         "dataset_split": oracles.q_dataset_split(),
         "pack_sequences": oracles.q_pack_sequences(seq_len=256),
+        "decontaminate": oracles.q_decontaminate(n=2),
         # pca_projection: rows-only check (distributed ML, not
         # SQL-expressible).
     }

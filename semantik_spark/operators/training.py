@@ -96,3 +96,43 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
             F.col("seq_last") - F.col("seq_first") + 1
         ).cast("int"),
     )
+
+
+def decontaminate(docs: DataFrame, eval_set: DataFrame, n: int = 2,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str = "query_text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-word shingle with the evaluation set (the train-test overlap
+    scrub every LLM data pipeline runs before training; GPT-3 appendix
+    C / PaLM-style n-gram collision rule).
+
+    Returns doc_id, n_contaminated_ngrams (distinct overlapping
+    shingles), is_contaminated.
+
+    Scale: the eval side is tiny by definition — its distinct shingle
+    set broadcasts; the corpus side is explode + broadcast-hash
+    semi-join + one groupBy(doc_id). No corpus-vs-corpus anything.
+    """
+    from semantik_spark.functions.text import word_shingles
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    eval_sh = eval_set.select(
+        F.explode(word_shingles(eval_text_col, n)).alias("shingle")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("int").alias("n_contaminated_ngrams"),
+        )
+        .withColumn("is_contaminated", F.col("n_contaminated_ngrams") > 0)
+    )

@@ -1612,3 +1612,31 @@ SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
              ELSE floor((tok_start + n_tokens - 1) / {seq_len})
                   - floor(tok_start / {seq_len}) + 1 END)::INT AS n_seqs_spanned
 FROM c"""
+
+
+def q_decontaminate(n: int = 2) -> str:
+    """Benchmark-decontamination oracle: distinct n-word shingle
+    overlap between each document and the SEARCH_QUERIES eval set —
+    matches training.decontaminate."""
+    return f"""
+WITH {shingle_ctes('documents', n).lstrip()},
+ev AS (
+  SELECT list_filter(regexp_split_to_array(lower(query_text), '\\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM {queries_values_sql(SEARCH_QUERIES)}
+),
+evsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(toks) >= {n}
+         THEN list_distinct([array_to_string(toks[i+1:i+{n}], ' ')
+                             for i in range(0, greatest(len(toks)-{n}, 0)+1)])
+         ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM ev
+),
+hits AS (
+  SELECT sh.doc_id, count(*)::INT AS n_contaminated_ngrams
+  FROM sh JOIN evsh USING (shingle) GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_contaminated_ngrams, 0)::INT AS n_contaminated_ngrams,
+       coalesce(h.n_contaminated_ngrams, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""

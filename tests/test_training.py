@@ -67,3 +67,32 @@ def test_pack_sequences_big_window_is_bucket_partitioned(spark):
     assert "windowspecdefinition(bucket" in plan.replace("#", "").lower() or \
            "partitionspec: [bucket" in plan.lower() or "bucket" in plan.lower()
     assert plan.lower().count("singlepartition") <= 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    from semantik_spark.operators.training import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this mentions fast sort merge right here"),
+            (2, "completely clean document body text"),
+            (3, "sort merge"),  # exact bigram of the eval set
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([("q1", "fast sort merge join")], ["query_id", "query_text"])
+    rows = {r.doc_id: r for r in decontaminate(docs, ev, n=2).collect()}
+    assert rows[1].is_contaminated and rows[1].n_contaminated_ngrams == 2  # 'fast sort', 'sort merge'
+    assert not rows[2].is_contaminated and rows[2].n_contaminated_ngrams == 0
+    assert rows[3].is_contaminated
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    from semantik_spark.operators.training import decontaminate
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+    )
+    ev = spark.createDataFrame([("q1", "a b")], ["query_id", "query_text"])
+    plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
