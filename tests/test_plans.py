@@ -166,3 +166,33 @@ def test_pii_report_is_map_only(spark):
     plan = _plan(pii_report(inject_synthetic_pii(_mk_docs(spark))))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-identical to the unsalted join while
+    splitting each key across salt partitions."""
+    from semantik_spark.functions.skew import salted_join
+
+    skewed = spark.range(500).select(
+        # 90% of rows share key 'hot'
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k3", "A"), ("missing", "Z")], ["k", "label"]
+    )
+    plain = sorted(skewed.join(dim, "k").select("k", "payload", "label").collect())
+    salted = sorted(salted_join(skewed, dim, "k", salt=8).select("k", "payload", "label").collect())
+    assert plain == salted
+    left_plain = sorted(skewed.join(dim, "k", "left").select("k", "payload", "label").collect())
+    left_salted = sorted(salted_join(skewed, dim, "k", salt=8, how="left")
+                         .select("k", "payload", "label").collect())
+    assert left_plain == left_salted
+    # the hot key really is spread across multiple salt values
+    from semantik_spark.functions.hashing import hash60
+    n_salts = (
+        skewed.where(F.col("k") == "hot")
+        .select((hash60(F.col("payload").cast("string")) % 8).alias("s"))
+        .distinct().count()
+    )
+    assert n_salts > 1
