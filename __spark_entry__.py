@@ -447,6 +447,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted importance sampling (integer
+    hash-residue vs integer-scaled keep probability)."""
+    from semantik_spark.operators import training
+    return training.quality_sample(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1046,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
@@ -1413,6 +1421,14 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "dataset_split": oracles.q_dataset_split(),
         "pack_sequences": oracles.q_pack_sequences(seq_len=256),
         "decontaminate": oracles.q_decontaminate(n=2),
+        "quality_sample": """
+WITH q AS ({q})
+SELECT doc_id, quality_score,
+       round(0.1 + 0.9 * quality_score, 6) AS keep_prob,
+       ({h} % 1000000)
+         < floor(round(0.1 + 0.9 * quality_score, 6) * 1e6)::BIGINT AS kept
+FROM q""".format(q=_ORACLE_QUALITY,
+                 h=oracles.hash60_expr("doc_id::VARCHAR || '#sample'")),
         # pca_projection: rows-only check (distributed ML, not
         # SQL-expressible).
     }

@@ -136,3 +136,34 @@ def decontaminate(docs: DataFrame, eval_set: DataFrame, n: int = 2,
         )
         .withColumn("is_contaminated", F.col("n_contaminated_ngrams") > 0)
     )
+
+
+def quality_sample(docs: DataFrame, floor_prob: float = 0.1,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-weighted importance sampling (RefinedWeb/FineWeb-style):
+    each document is kept with probability floor_prob + (1-floor_prob)
+    * quality_score — but deterministically, by comparing a content-hash
+    residue against the integer-scaled probability instead of drawing
+    randoms. Re-runs and engines agree bit-for-bit: the score is
+    rounded to 6 dp first and the comparison is integer vs integer
+    (floor(p*1e6) vs hash60 % 1e6), so no float-boundary flips.
+
+    Returns doc_id, quality_score, keep_prob, kept.
+
+    Scale: map-only — the quality features and the hash are per-row
+    expressions; sampling 100 TB needs no coordination at all.
+    """
+    from semantik_spark.operators.textanalysis import quality_features
+
+    q = quality_features(docs, id_col=id_col, text_col=text_col)
+    qs = F.round(F.col("quality_score"), 6)
+    p = F.round(F.lit(floor_prob) + (1.0 - floor_prob) * qs, 6)
+    residue = hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))) % 1000000
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(q, "doc_id")
+        .select(
+            "doc_id", qs.alias("quality_score"), p.alias("keep_prob"),
+            (residue < F.floor(p * 1e6).cast("bigint")).alias("kept"),
+        )
+    )

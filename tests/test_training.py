@@ -96,3 +96,23 @@ def test_decontaminate_broadcasts_eval_side(spark):
     ev = spark.createDataFrame([("q1", "a b")], ["query_id", "query_text"])
     plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_quality_sample_deterministic_and_monotone(spark):
+    from semantik_spark.operators.training import quality_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and keeps running onward"),
+            (2, "a b"),
+            (3, "!!! ??? ... ;;; ###"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality_sample(docs).collect()}
+    # long fluent text scores higher than fragments / punctuation soup
+    assert rows[1].keep_prob > rows[2].keep_prob
+    assert rows[1].keep_prob > rows[3].keep_prob
+    assert all(0.1 <= r.keep_prob <= 1.0 for r in rows.values())
+    again = {r.doc_id: r for r in quality_sample(docs).collect()}
+    assert all(rows[i].kept == again[i].kept for i in rows)
