@@ -1600,12 +1600,15 @@ WITH t AS (
   FROM documents
 ),
 c AS (
+  -- ::BIGINT matters: DuckDB's sum(BIGINT) window is HUGEINT, which
+  -- pandas renders as float64 and the driver's value-hash then differs
+  -- from Spark's int64 even when every value is equal
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
   FROM t
 )
-SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
+SELECT doc_id, n_tokens, tok_start, (tok_start + n_tokens)::BIGINT AS tok_end,
        floor(tok_start / {seq_len})::BIGINT AS seq_first,
        floor((tok_start + n_tokens - 1) / {seq_len})::BIGINT AS seq_last,
        (CASE WHEN n_tokens = 0 THEN 0

@@ -43,6 +43,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     if len(s) == len(o):
         for c in s.columns:
             sc, oc = s[c], o[c]
+            # the driver's value-hash is dtype-sensitive: an int64 Spark
+            # column vs a float64 oracle column (e.g. DuckDB HUGEINT sums)
+            # hash-mismatches even when every value is equal
+            if pd.api.types.is_integer_dtype(sc) != pd.api.types.is_integer_dtype(oc):
+                problems.append(
+                    f"col {c}: DTYPE kind differs spark={sc.dtype} oracle={oc.dtype}"
+                )
+                continue
             try:
                 if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(oc):
                     a = pd.to_numeric(sc, errors="coerce")
