@@ -33,12 +33,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events has a TIMESTAMP(NANOS) column, which Spark 4 refuses by
-    default — read nanos as long and floor to microseconds (the same
-    ns→µs floor DuckDB's ::TIMESTAMP cast applies)."""
+    """events.parquet's ts physical type has varied across testdata
+    generations: TIMESTAMP(NANOS) (Spark 4 refuses by default — read
+    nanos as long, floor to µs like DuckDB's ::TIMESTAMP cast does),
+    plain TIMESTAMP(MICROS) read as TIMESTAMP_NTZ, or already LTZ.
+    Normalize every shape to a session-UTC TIMESTAMP column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _queries_df(spark: SparkSession, pairs) -> DataFrame:
