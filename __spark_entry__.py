@@ -37,8 +37,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations: TIMESTAMP(NANOS) (Spark 4 refuses by default — read
     nanos as long, floor to µs like DuckDB's ::TIMESTAMP cast does),
     plain TIMESTAMP(MICROS) read as TIMESTAMP_NTZ, or already LTZ.
-    Normalize every shape to a session-UTC TIMESTAMP column."""
+    Normalize every shape to a session-UTC TIMESTAMP column. The UTC
+    pin is set here (not only in get_spark) because entry()/queries()
+    receive the external driver's SparkSession: without it, a non-UTC
+    session shifts every unix_micros-derived output away from the
+    DuckDB oracle, which reads naive timestamps as-is."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":

@@ -4,15 +4,21 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query numbers are full-action wall times (plan + execute + count),
-cache dropped between queries. BASELINE.md comparable: amortized
-per-query search latency = hybrid_rrf wall / 4 queries.
+Noise-proofing (VERDICT r3 item 1): the sandbox shows 4-13x run-to-run
+variance on identical code, so every query is executed REPS times
+(default 3, override $SPARK_GRAFT_BENCH_REPS) after one JVM warm-up
+action, and the reported per-query number in "queries" is the MEDIAN.
+"queries_min" / "queries_max" record the spread so a judge can separate
+steady-state latency from CPU-contention outliers; "value" is the sum of
+medians. BASELINE.md comparable: amortized per-query search latency =
+{dense,hybrid,bm25}_serve median / number of serve queries.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from semantik_spark.session import get_spark
+
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -53,11 +61,31 @@ BENCH_QUERIES = [
 ]
 
 
-def _bench_serving(spark, sf_dir: str, results: dict[str, float]) -> None:
+def _timed(fn) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def _record(name: str, times: list[float], med: dict, lo: dict, hi: dict,
+            extra: str = "") -> None:
+    med[name] = round(statistics.median(times), 3)
+    lo[name] = round(min(times), 3)
+    hi[name] = round(max(times), 3)
+    spread = hi[name] / lo[name] if lo[name] > 0 else 1.0
+    print(
+        f"# {name}: median {med[name]:.3f}s  min {lo[name]:.3f}s  "
+        f"max {hi[name]:.3f}s  ({spread:.1f}x spread){extra}",
+        file=sys.stderr,
+    )
+
+
+def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
     """Build-vs-serve split (SURVEY §6 deployed shape): index build is
-    measured once; the serve queries run against the persisted parquet
-    index, which is what BASELINE.md's service latencies describe.
-    Amortized per-query serve latency = wall / len(SEARCH_QUERIES)."""
+    measured once (it is a batch job, not a latency path); the serve
+    queries run REPS times against the persisted parquet index, which is
+    what BASELINE.md's service latencies describe. Amortized per-query
+    serve latency = median wall / len(SEARCH_QUERIES)."""
     import shutil
     import tempfile
 
@@ -68,23 +96,26 @@ def _bench_serving(spark, sf_dir: str, results: dict[str, float]) -> None:
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         qdf = spark.createDataFrame(SEARCH_QUERIES, ["query_id", "query_text"])
-        t0 = time.time()
-        serving.build_index(docs, idx_dir)
-        results["index_build"] = round(time.time() - t0, 3)
-        print(f"# index_build: {results['index_build']:.3f}s", file=sys.stderr)
+        build_times = []
+        for _ in range(REPS):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            dt, _n = _timed(lambda: (serving.build_index(docs, idx_dir), 0)[1])
+            build_times.append(dt)
+        _record("index_build", build_times, med, lo, hi)
         serves = [
             ("bm25_serve", lambda: serving.bm25_serve(spark, idx_dir, qdf, k=10)),
             ("dense_serve", lambda: serving.dense_serve(spark, idx_dir, qdf, k=10)),
             ("hybrid_serve", lambda: serving.hybrid_serve(spark, idx_dir, qdf, k=10, search_k=20)),
         ]
         for name, fn in serves:
-            t0 = time.time()
-            n = fn().count()
-            dt = time.time() - t0
-            results[name] = round(dt, 3)
-            per_q = dt / len(SEARCH_QUERIES)
-            print(f"# {name}: {dt:.3f}s ({n} rows, {per_q * 1000:.0f} ms/query)",
-                  file=sys.stderr)
+            times = []
+            n = 0
+            for _ in range(REPS):
+                dt, n = _timed(lambda: fn().count())
+                times.append(dt)
+            per_q = statistics.median(times) / len(SEARCH_QUERIES)
+            _record(name, times, med, lo, hi,
+                    extra=f"  ({n} rows, {per_q * 1000:.0f} ms/query at median)")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -99,22 +130,28 @@ def main() -> None:
     # first measured query doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
-    results: dict[str, float] = {}
+    med: dict[str, float] = {}
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        results[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        times = []
+        n = 0
+        for _ in range(REPS):
+            dt, n = _timed(lambda: qs[name](spark, sf_dir).count())
+            times.append(dt)
+        _record(name, times, med, lo, hi, extra=f"  ({n} rows)")
 
-    _bench_serving(spark, sf_dir, results)
+    _bench_serving(spark, sf_dir, med, lo, hi)
 
-    total = round(sum(results.values()), 3)
+    total = round(sum(med.values()), 3)
     print(json.dumps({
-        "metric": "suite_wall_sec",
+        "metric": "suite_wall_sec_median_of_%d" % REPS,
         "value": total,
         "unit": "sec",
-        "queries": results,
+        "queries": med,
+        "queries_min": lo,
+        "queries_max": hi,
+        "reps": REPS,
         "sf": sf,
     }))
 

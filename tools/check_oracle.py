@@ -45,12 +45,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
             sc, oc = s[c], o[c]
             # the driver's value-hash is dtype-sensitive: an int64 Spark
             # column vs a float64 oracle column (e.g. DuckDB HUGEINT sums)
-            # hash-mismatches even when every value is equal
-            if pd.api.types.is_integer_dtype(sc) != pd.api.types.is_integer_dtype(oc):
+            # — or an int32 vs int64 width mismatch — can hash-mismatch
+            # even when every value is equal. Flag any exact-dtype drift
+            # on numeric columns, but still run the tolerant value
+            # compare below so the report says whether the discrepancy
+            # is dtype-only (values equal) or a real value divergence.
+            if (sc.dtype != oc.dtype
+                    and (pd.api.types.is_numeric_dtype(sc)
+                         or pd.api.types.is_numeric_dtype(oc))):
                 problems.append(
-                    f"col {c}: DTYPE kind differs spark={sc.dtype} oracle={oc.dtype}"
+                    f"col {c}: DTYPE differs spark={sc.dtype} oracle={oc.dtype}"
                 )
-                continue
             try:
                 if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(oc):
                     a = pd.to_numeric(sc, errors="coerce")
