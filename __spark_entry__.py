@@ -383,6 +383,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
 
 
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality: recall@5 of each approximate method against the
+    exhaustive top-5 — one aggregated row per method, so a parameter
+    regression in lsh/ivf/quantized shows up as a value change."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    exact = similarity.knn_bruteforce(corpus, queries, k=5)
+    methods = [
+        ("ivf", similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4)),
+        ("lsh", similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8)),
+        ("quantized", similarity.knn_quantized(corpus, queries, k=5, rescore_k=20)),
+    ]
+    out = None
+    for name, approx in methods:
+        r = similarity.recall_at_k(exact, approx, name)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -920,12 +938,36 @@ def q_benchmark_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7: distributed PCA of the embeddings table to 2-D (rows-only
-    check — component signs are SVD-implementation-specific)."""
+    """M7: distributed PCA of the embeddings table to 2-D, verified via
+    sign/rotation-invariant spectrum scalars (component signs are
+    SVD-implementation-specific, so raw x/y can't be hash-compared):
+    var_samp of each score column equals the corresponding eigenvalue
+    of the sample covariance regardless of eigenvector sign, and
+    total/residual variance come from a per-dimension variance sum.
+    Oracle: deterministic matrix-squaring power iteration in pure SQL
+    (oracles.q_pca_spectrum)."""
     from semantik_spark.operators.projection import pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca_project(emb, k=2)
+    proj = pca_project(emb, k=2)
+    ev = proj.agg(F.var_samp("x").alias("l1"), F.var_samp("y").alias("l2"))
+    tot = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"))
+        .groupBy("i").agg(F.var_samp("v").alias("dv"))
+        .agg(F.sum("dv").alias("total_var"))
+    )
+    comps = ev.crossJoin(tot).select(
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("component"), F.col("l1").alias("eig")),
+            F.struct(F.lit(2).alias("component"), F.col("l2").alias("eig")),
+        )).alias("c"), "l1", "l2", "total_var")
+    return comps.select(
+        F.col("c.component").cast("int").alias("component"),
+        F.round(F.col("c.eig"), 6).alias("eigenvalue"),
+        F.round(F.col("c.eig") / F.col("total_var"), 6).alias("explained"),
+        F.round("total_var", 6).alias("total_var"),
+        F.round(F.col("total_var") - F.col("l1") - F.col("l2"), 6).alias("resid_var"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1116,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_recall": q_knn_recall,
         # --- driver window boundary (~50): everything below is r1-green
         # or covered by pytest; it absorbs the past-50 overflow
         "knn_ivf": q_knn_ivf,
@@ -1241,6 +1284,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
         "knn_ivf": oracles.q_knn_ivf(5, 16, 4),
         "knn_quantized": oracles.q_knn_quantized(5, 20),
+        "knn_recall": oracles.q_knn_recall(5),
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
 SELECT media_id,
@@ -1439,8 +1483,7 @@ SELECT doc_id, quality_score,
          < floor(round(0.1 + 0.9 * quality_score, 6) * 1e6)::BIGINT AS kept
 FROM q""".format(q=_ORACLE_QUALITY,
                  h=oracles.hash60_expr("doc_id::VARCHAR || '#sample'")),
-        # pca_projection: rows-only check (distributed ML, not
-        # SQL-expressible).
+        "pca_projection": oracles.q_pca_spectrum(),
     }
 
 

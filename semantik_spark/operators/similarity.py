@@ -265,3 +265,26 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
+    """One-row ANN quality measurement: recall@k of ``approx`` against
+    the exhaustive ``exact`` result (both (query_id, vec_id) sets from
+    the same k). The reference's benchmark harness treats retrieval
+    quality as a first-class metric (shared/benchmarks/evaluator.py:
+    49-117); without this, ANN parameter regressions are invisible.
+
+    Shape: |exact| is n_queries*k rows — tiny — so the hit join is a
+    broadcast and the output a single aggregated row. At 100 TB the
+    exact side comes from a sampled query set, never the full corpus.
+    """
+    ex = exact.select("query_id", "vec_id")
+    hits = ex.join(approx.select("query_id", "vec_id"),
+                   ["query_id", "vec_id"]).agg(F.count("*").alias("n_hit"))
+    den = ex.agg(F.count("*").alias("n_exact"))
+    return hits.crossJoin(den).select(
+        F.lit(method).alias("method"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+    )

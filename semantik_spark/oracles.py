@@ -1643,3 +1643,92 @@ hits AS (
 SELECT d.doc_id, coalesce(h.n_contaminated_ngrams, 0)::INT AS n_contaminated_ngrams,
        coalesce(h.n_contaminated_ngrams, 0) > 0 AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
+def q_pca_spectrum(squarings: int = 14) -> str:
+    """PCA spectrum oracle (M7 value check, VERDICT r3 item 3).
+
+    Verifies the distributed PCA solve through sign/rotation-invariant
+    scalars: top-2 eigenvalues of the sample covariance of the 64-dim
+    embeddings, explained-variance ratios, total variance (trace), and
+    top-2 reconstruction residual. The eigensolve is done in pure SQL
+    with deterministic power iteration via repeated matrix squaring:
+    C^(2^squarings) applied to the all-ones vector gives the dominant
+    eigenvector to ~(l2/l1)^(2^squarings) relative error (measured
+    spectra have l2/l1 <= 0.988, so 2^14 drives the error below 1e-90);
+    the second component comes from one Hotelling deflation and the
+    same squaring ladder. Every CTE is MATERIALIZED — DuckDB inlines
+    CTEs by default, and a chained-squaring tree would otherwise expand
+    to 2^squarings copies of the base scan.
+    """
+    ctes = ["""
+xs AS MATERIALIZED (SELECT row_number() OVER () AS rid, embedding FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+el AS MATERIALIZED (SELECT rid, idx.i, embedding[idx.i]::DOUBLE AS v FROM xs, idx),
+cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, covar_samp(a.v, b.v) AS c
+  FROM el a JOIN el b ON a.rid = b.rid GROUP BY a.i, b.i
+),
+tot AS MATERIALIZED (SELECT sum(c) AS total_var FROM cov WHERE i = j),
+m0 AS MATERIALIZED (SELECT i, j, c / (SELECT total_var FROM tot) AS c FROM cov)"""]
+    prev = "m0"
+    for k in range(1, squarings + 1):
+        ctes.append(f"""
+s{k} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, sum(a.c * b.c) AS c
+        FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j),
+m{k} AS MATERIALIZED (SELECT i, j, c / (SELECT sum(c) FROM s{k} WHERE i = j) AS c FROM s{k})""")
+        prev = f"m{k}"
+    ctes.append(f"""
+u1 AS MATERIALIZED (SELECT i, sum(c) AS u FROM {prev} GROUP BY i),
+v1 AS MATERIALIZED (SELECT i, u / sqrt((SELECT sum(u * u) FROM u1)) AS v FROM u1),
+l1 AS MATERIALIZED (SELECT sum(va.v * c.c * vb.v) AS l
+       FROM cov c JOIN v1 va ON va.i = c.i JOIN v1 vb ON vb.i = c.j),
+d0 AS MATERIALIZED (SELECT c.i, c.j,
+              (c.c - (SELECT l FROM l1) * va.v * vb.v)
+                / (SELECT total_var - (SELECT l FROM l1) FROM tot) AS c
+       FROM cov c JOIN v1 va ON va.i = c.i JOIN v1 vb ON vb.i = c.j)""")
+    prev = "d0"
+    for k in range(1, squarings + 1):
+        ctes.append(f"""
+t{k} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, sum(a.c * b.c) AS c
+        FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j),
+d{k} AS MATERIALIZED (SELECT i, j, c / (SELECT sum(c) FROM t{k} WHERE i = j) AS c FROM t{k})""")
+        prev = f"d{k}"
+    ctes.append(f"""
+u2 AS MATERIALIZED (SELECT i, sum(c) AS u FROM {prev} GROUP BY i),
+v2 AS MATERIALIZED (SELECT i, u / sqrt((SELECT sum(u * u) FROM u2)) AS v FROM u2),
+l2 AS MATERIALIZED (SELECT sum(va.v * c.c * vb.v) AS l
+       FROM cov c JOIN v2 va ON va.i = c.i JOIN v2 vb ON vb.i = c.j)""")
+    return "WITH " + ",".join(ctes) + """
+SELECT 1 AS component, round(l1.l, 6) AS eigenvalue,
+       round(l1.l / tot.total_var, 6) AS explained,
+       round(tot.total_var, 6) AS total_var,
+       round(tot.total_var - l1.l - l2.l, 6) AS resid_var
+FROM l1, l2, tot
+UNION ALL
+SELECT 2, round(l2.l, 6), round(l2.l / tot.total_var, 6),
+       round(tot.total_var, 6), round(tot.total_var - l1.l - l2.l, 6)
+FROM l1, l2, tot"""
+
+
+def q_knn_recall(k: int = 5) -> str:
+    """ANN recall@k oracle: per-method hit count of lsh/ivf/quantized
+    against the exhaustive top-k, as one aggregated row per method
+    (twin of similarity.recall_at_k; VERDICT r3 item 4)."""
+    branches = []
+    for method, sub in (
+        ("ivf", q_knn_ivf(k=k)),
+        ("lsh", q_knn_lsh(k=k)),
+        ("quantized", q_knn_quantized(k=k)),
+    ):
+        branches.append(f"""
+SELECT '{method}' AS method, n_hit, n_exact,
+       round(n_hit::DOUBLE / n_exact, 6) AS recall
+FROM (
+  SELECT (SELECT count(*)::BIGINT FROM bf b
+          JOIN ({sub}) a ON b.query_id = a.query_id AND b.vec_id = a.vec_id) AS n_hit,
+         (SELECT count(*)::BIGINT FROM bf) AS n_exact
+) s""")
+    return f"""
+WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
+{" UNION ALL ".join(branches)}"""

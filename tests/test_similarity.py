@@ -169,3 +169,72 @@ def test_quantize_float16_matches_ieee_half(spark):
         # where IEEE would produce ±inf
         expect = np.clip(expect, -65504.0, 65504.0)
         assert np.allclose(got[i], expect, rtol=0, atol=0), (i, got[i], list(expect))
+
+
+def test_recall_floor_on_testdata(spark):
+    """ANN regression tripwires (VERDICT r3 item 4) on the real sf0.001
+    embeddings. The synthetic corpus is near-ISOTROPIC (measured
+    covariance spectrum lambda2/lambda1 = 0.987 — a flat spectrum means
+    no preferred directions), which is the theoretical worst case for
+    hyperplane LSH and coarse IVF: top-5 neighbors sit at cos ~0.35, so
+    P(bit agreement) ~0.61 and an 8-bit signature match is ~2%. The
+    floors below are therefore calibrated to MEASURED quality on this
+    corpus (minus margin) so parameter regressions trip, not to an
+    absolute target; test_recall_high_on_clustered_data shows the same
+    operators reach >=0.9 when the data has cluster structure (the
+    realistic embedding case)."""
+    from semantik_spark.operators.similarity import knn_ivf, knn_quantized, recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_bruteforce(corpus, queries, k=5)
+    # (method, df, floor): measured at sf0.001 = ivf 0.56, lsh 0.06,
+    # quantized 1.0
+    approx = [
+        ("ivf", knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), 0.5),
+        ("lsh", knn_lsh(corpus, queries, k=5, dim=64, nbits=8), 0.05),
+        ("quantized", knn_quantized(corpus, queries, k=5, rescore_k=20), 0.95),
+    ]
+    for method, df, floor in approx:
+        row = recall_at_k(exact, df, method).collect()[0]
+        assert row["n_exact"] == 50, row
+        assert row["recall"] >= floor, (method, row["recall"], floor)
+
+
+def test_recall_high_on_clustered_data(spark):
+    """On clustered data — the shape real text embeddings have — LSH
+    and IVF must reach recall@5 >= 0.9: cluster-mates share signature
+    bits/cells, so bucket probing finds the true neighbors."""
+    import random
+
+    from semantik_spark.operators.similarity import knn_ivf, knn_quantized, recall_at_k
+
+    rng = random.Random(13)
+    dim, n_clusters, per_cluster = 64, 8, 40
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in c]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(1000 + i, [x + rng.uniform(-0.05, 0.05) for x in centers[i]])
+         for i in range(n_clusters)],
+        ["query_id", "query_vec"],
+    )
+    exact = knn_bruteforce(corpus, queries, k=5)
+    approx = {
+        "ivf": knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4),
+        "lsh": knn_lsh(corpus, queries, k=5, dim=dim, nbits=8),
+        "quantized": knn_quantized(corpus, queries, k=5, rescore_k=20),
+    }
+    for method, df in approx.items():
+        row = recall_at_k(exact, df, method).collect()[0]
+        assert row["recall"] >= 0.9, (method, row["recall"])
