@@ -602,10 +602,34 @@ def q_chunk_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 content sniffers as derived columns."""
-    return sniff_columns(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "is_code", "is_json", "is_xml", "is_yaml", "is_csv", "detected_format"
+    """F7 content sniffers as derived columns, plus the scanned-PDF
+    probe: each doc is re-encoded as a deterministic PDF (1 + doc_id%3
+    pages; every 4th doc gets NO text layer — the scanned case) and
+    sniff_pdf's chars/page verdict must reproduce the construction."""
+    from semantik_spark.operators.sniff import sniff_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+    n_pages = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+            F.lit("("), F.lit("\\("),
+        ),
+        F.lit(")"), F.lit("\\)"),
     )
+    body = F.when(F.col("doc_id") % 4 == 0, F.lit("")) \
+        .otherwise(F.concat(F.lit("BT ("), esc, F.lit(") Tj ET\n")))
+    pdf_bytes = F.encode(F.concat(
+        F.lit("%PDF-1.4\n"),
+        F.repeat(F.lit("/Type /Page\n"), n_pages),
+        body, F.lit("%%EOF")), "UTF-8")
+    pdfs = docs.select(F.col("doc_id").cast("string").alias("uri"),
+                       pdf_bytes.alias("content"))
+    scanned = sniff_pdf(pdfs).select(
+        F.col("uri").cast("bigint").alias("doc_id"), "is_scanned_pdf")
+    return sniff_columns(docs).select(
+        "doc_id", "is_code", "is_json", "is_xml", "is_yaml", "is_csv", "detected_format"
+    ).join(scanned, "doc_id")
 
 
 def q_config_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,14 +877,18 @@ def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7 routed parse over a mixed-format corpus: documents are
-    re-encoded as .txt/.json/.html/.eml/.pdf files (deterministic
-    constructions the oracle can invert), routed through the registry,
-    and parsed by the real stdlib parser families. Verifies routing,
-    per-family dispatch, and text-layer round-trips in one plan."""
+    re-encoded as .txt/.json/.html/.eml/.pdf/.odt/.epub files
+    (deterministic constructions the oracle can invert), routed through
+    the registry, and parsed by the real stdlib parser families. The
+    two zip+XML families (.odt/.epub) are built in an Arrow-batched
+    mapInPandas stage (zip bytes can't be a Column expression) with
+    pinned zip metadata so the corpus is bit-deterministic. Verifies
+    routing, per-family dispatch, and text-layer round-trips in one
+    plan."""
     from semantik_spark.sources import parsers as P
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 7
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     esc = F.replace(
         F.replace(
@@ -881,13 +909,67 @@ def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ext = (
         F.when(m == 0, ".txt").when(m == 1, ".json").when(m == 2, ".html")
-        .when(m == 3, ".eml").otherwise(".pdf")
+        .when(m == 3, ".eml").when(m == 4, ".pdf")
+        .when(m == 5, ".odt").otherwise(".epub")
     )
-    files = d.select(
+    flat = d.where(m <= 4).select(
         F.concat(F.lit("mixed/doc_"), F.col("doc_id").cast("string"), ext).alias("uri"),
         ext.alias("extension"),
         F.encode(content, "UTF-8").alias("content"),
     )
+    zipped_src = d.where(m >= 5).select(
+        F.concat(F.lit("mixed/doc_"), F.col("doc_id").cast("string"), ext).alias("uri"),
+        ext.alias("extension"), "text",
+    )
+
+    def build_zips(batches):
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        import pandas as pd
+
+        def zip_bytes(members: list[tuple[str, str]]) -> bytes:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                for name, data in members:
+                    zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, data)
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for uri, e, text in zip(pdf["uri"], pdf["extension"], pdf["text"]):
+                body = escape(text)
+                if e == ".odt":
+                    raw = zip_bytes([("content.xml",
+                        '<office:document-content'
+                        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+                        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+                        f'<office:body><office:text><text:p>{body}</text:p>'
+                        '</office:text></office:body></office:document-content>')])
+                else:
+                    raw = zip_bytes([
+                        ("mimetype", "application/epub+zip"),
+                        ("META-INF/container.xml",
+                         '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+                         ' version="1.0"><rootfiles><rootfile full-path="OEBPS/content.opf"'
+                         ' media-type="application/oebps-package+xml"/></rootfiles></container>'),
+                        ("OEBPS/content.opf",
+                         '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+                         '<manifest><item id="ch1" href="chapter1.xhtml"'
+                         ' media-type="application/xhtml+xml"/></manifest>'
+                         '<spine><itemref idref="ch1"/></spine></package>'),
+                        ("OEBPS/chapter1.xhtml",
+                         '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+                         f'<p>{body}</p></body></html>'),
+                    ])
+                rows.append({"uri": uri, "extension": e, "content": raw})
+            yield pd.DataFrame(rows, columns=["uri", "extension", "content"])
+
+    zipped = zipped_src.mapInPandas(
+        build_zips, schema="uri string, extension string, content binary")
+    files = flat.unionByName(zipped)
     return P.parse(files).select("uri", "extension", "parser", "parse_status", "text")
 
 
@@ -1616,11 +1698,16 @@ WITH s AS (
             = list_max(list_transform(lines, ln -> len(string_split(ln, ',')) - 1))) AS is_csv
   FROM p
 )
-SELECT doc_id, is_code, is_json, is_xml, is_yaml, is_csv,
+SELECT p2.doc_id, is_code, is_json, is_xml, is_yaml, is_csv,
        CASE WHEN is_json THEN 'json' WHEN is_xml THEN 'xml'
             WHEN is_csv THEN 'csv' WHEN is_yaml THEN 'yaml'
-            WHEN is_code THEN 'code' ELSE 'text' END AS detected_format
-FROM p2"""
+            WHEN is_code THEN 'code' ELSE 'text' END AS detected_format,
+       -- scanned-PDF probe on the invertible construction in
+       -- q_sniff_formats: every 4th doc has no text layer (0 chars);
+       -- otherwise chars = length(text); pages = 1 + doc_id % 3
+       (CASE WHEN d.doc_id % 4 = 0 THEN 0 ELSE length(d.text) END)::DOUBLE
+         / (1 + d.doc_id % 3) < 50.0 AS is_scanned_pdf
+FROM p2 JOIN documents d ON p2.doc_id = d.doc_id"""
 
 from semantik_spark.operators.textanalysis import BPE_ISH_PATTERN  # noqa: E402
 
@@ -1657,23 +1744,27 @@ FROM emb"""
 # the oracle predicts each parser family's text layer directly
 _ORACLE_PARSE_ROUTED = """
 WITH d AS (
-  SELECT doc_id, text, doc_id % 5 AS m, 'Doc ' || doc_id AS title,
-         CASE doc_id % 5 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
-              WHEN 2 THEN '.html' WHEN 3 THEN '.eml' ELSE '.pdf' END AS ext
+  SELECT doc_id, text, doc_id % 7 AS m, 'Doc ' || doc_id AS title,
+         CASE doc_id % 7 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+              WHEN 2 THEN '.html' WHEN 3 THEN '.eml' WHEN 4 THEN '.pdf'
+              WHEN 5 THEN '.odt' ELSE '.epub' END AS ext
   FROM documents
 )
 SELECT 'mixed/doc_' || doc_id || ext AS uri,
        ext AS extension,
        CASE m WHEN 0 THEN 'text' WHEN 1 THEN 'structured'
-              WHEN 2 THEN 'html' WHEN 3 THEN 'email' ELSE 'pdf' END AS parser,
-       CASE m WHEN 0 THEN 'parsed' WHEN 3 THEN 'parsed' ELSE 'ok' END AS parse_status,
+              WHEN 2 THEN 'html' WHEN 3 THEN 'email' WHEN 4 THEN 'pdf'
+              ELSE 'office' END AS parser,
+       CASE m WHEN 0 THEN 'parsed' WHEN 3 THEN 'parsed'
+              WHEN 5 THEN CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
+              WHEN 6 THEN CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
+              ELSE 'ok' END AS parse_status,
        CASE m
          WHEN 0 THEN text
          WHEN 1 THEN 'title: ' || title || chr(10) || 'body: ' || text
          WHEN 2 THEN array_to_string(
                 list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
                             s -> length(s) > 0), chr(10))
-         WHEN 3 THEN text
          ELSE text END AS text
 FROM d"""
 

@@ -3,9 +3,12 @@
 Parity with shared/pipeline/sniff.py:
   is_code           :530-556  (shebang / common syntax probes)
   is_structured + format detection (JSON/XML/YAML/CSV) :557-766
-  is_scanned_pdf    :478-529  (pypdf text-layer probe — model/library
-                    bound, stubbed behind a deterministic size heuristic
-                    here; the real pandas_udf slots in unchanged)
+  is_scanned_pdf    :478-529  (text-layer chars/page below threshold
+                    :305 → scanned; the text layer comes from the
+                    stdlib extractor in sources.parsers._pdf_text, so
+                    no pypdf is needed — sniff_pdf computes page count
+                    + char count in one Arrow-batched pass and the
+                    verdict itself is a pure Column expression)
 
 All pure Column expressions: `rlike` probes + `try_parse` checks run
 JVM-side inside whole-stage codegen, and — unlike the reference's
@@ -65,6 +68,64 @@ def is_csv(text: Column | str, min_lines: int = 2) -> Column:
         (F.size(lines) >= min_lines)
         & (F.array_min(commas) >= 1)
         & (F.array_min(commas) == F.array_max(commas))
+    )
+
+
+# reference sniff.py:305 — a page with a real text layer has far more
+# than 50 chars; below this the PDF is treated as image-only (scanned)
+PDF_MIN_CHARS_PER_PAGE = 50
+
+
+def is_scanned_pdf(text_chars: Column, n_pages: Column,
+                   min_chars_per_page: int = PDF_MIN_CHARS_PER_PAGE) -> Column:
+    """Scanned-PDF verdict from extracted-text size (sniff.py:478-529):
+    empty PDF → scanned; else average chars/page under the threshold →
+    scanned. The reference samples the first 3 pages as an IO
+    optimization; here the text layer is already a column, so the
+    average is over all pages — same verdict on machine-generated PDFs,
+    one less parameter."""
+    return (n_pages == 0) | (
+        text_chars.cast("double") / F.greatest(n_pages, F.lit(1)) <
+        F.lit(float(min_chars_per_page))
+    )
+
+
+def sniff_pdf(pdfs: DataFrame, uri_col: str = "uri",
+              content_col: str = "content",
+              min_chars_per_page: int = PDF_MIN_CHARS_PER_PAGE) -> DataFrame:
+    """PDF text-layer probe over binary content: one mapInPandas pass
+    emits n_pages (count of /Type /Page objects) and text_chars
+    (stripped length of the stdlib-extracted text layer), then the
+    is_scanned_pdf verdict is a plain Column on top. At 100 TB this is
+    a map-only scan of the binary column — no shuffle, no Python in
+    any later stage."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from semantik_spark.sources.parsers import _pdf_text
+
+    src = pdfs.select(F.col(uri_col).alias("uri"), F.col(content_col).alias("content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        for pdf in batches:
+            rows = []
+            for u, c in zip(pdf["uri"], pdf["content"]):
+                raw = bytes(c)
+                n_pages = len(re.findall(rb"/Type\s*/Page\b", raw))
+                try:
+                    chars = len(_pdf_text(raw).strip())
+                except Exception:  # noqa: BLE001 — unparseable → no text layer
+                    chars = 0
+                rows.append({"uri": u, "n_pages": n_pages, "text_chars": chars})
+            yield pd.DataFrame(rows, columns=["uri", "n_pages", "text_chars"])
+
+    stats = src.mapInPandas(run, schema="uri string, n_pages int, text_chars int")
+    return stats.withColumn(
+        "is_scanned_pdf",
+        is_scanned_pdf(F.col("text_chars"), F.col("n_pages"), min_chars_per_page),
     )
 
 

@@ -17,8 +17,9 @@ parser never touches a .txt row. REAL stdlib parsers: email (header
 decode, multipart walk), html (HTMLParser text layer), pdf (FlateDecode
 streams + BT/ET literal strings), office OOXML (.docx/.pptx/.xlsx zip +
 ElementTree), structured data (.json/.yaml/.csv/.xml rendered to text
-with plain-decode fall-through). Only the legacy pre-OOXML binaries
-(.doc/.ppt/.odt/.epub) remain a documented `unstructured` slot gated
+with plain-decode fall-through), OpenDocument + EPUB (.odt content.xml,
+.epub container→OPF→spine, both zip+XML). Only the legacy pre-OOXML
+OLE binaries (.doc/.ppt) remain a documented `unstructured` slot gated
 behind import-try, because that library is not in this image.
 """
 
@@ -44,8 +45,8 @@ PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
     ".eml": ("email", "text"), ".msg": ("email",),
     ".pdf": ("pdf",),
     ".docx": ("office",), ".pptx": ("office",), ".xlsx": ("office",),
+    ".odt": ("office",), ".epub": ("office",),
     ".doc": ("unstructured",), ".ppt": ("unstructured",),
-    ".odt": ("unstructured",), ".epub": ("unstructured",),
 }
 DEFAULT_CANDIDATES: tuple[str, ...] = ("text",)
 
@@ -368,6 +369,56 @@ def _xlsx_text(zf) -> str:
     return "\n".join(lines)
 
 
+_ODT_TEXT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def _odt_text(zf) -> str:
+    """OpenDocument text: content.xml text:p / text:h paragraphs in
+    document order (.odt is zip+XML exactly like OOXML — reference
+    routes it through unstructured.partition.auto, unstructured.py:
+    39-69, but no library is needed)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(zf.read("content.xml"))
+    lines = []
+    for p in root.iter():
+        if p.tag in (f"{_ODT_TEXT_NS}p", f"{_ODT_TEXT_NS}h"):
+            run = "".join(p.itertext())
+            if run:
+                lines.append(run)
+    return "\n".join(lines)
+
+
+def _epub_text(zf) -> str:
+    """EPUB: META-INF/container.xml → OPF rootfile → spine order →
+    XHTML chapter text layers (zip + XML throughout; the spine is what
+    makes chapter order deterministic)."""
+    import posixpath
+    import xml.etree.ElementTree as ET
+
+    cont = ET.fromstring(zf.read("META-INF/container.xml"))
+    cns = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+    rootfile = cont.find(f".//{cns}rootfile").get("full-path")
+    opf = ET.fromstring(zf.read(rootfile))
+    ons = "{http://www.idpf.org/2007/opf}"
+    hrefs = {
+        item.get("id"): item.get("href")
+        for item in opf.iter(f"{ons}item")
+    }
+    base = posixpath.dirname(rootfile)
+    lines = []
+    for itemref in opf.iter(f"{ons}itemref"):
+        href = hrefs.get(itemref.get("idref"))
+        if not href:
+            continue
+        path = posixpath.join(base, href) if base else href
+        chap = ET.fromstring(zf.read(path))
+        run = "".join(chap.itertext())
+        if run:
+            lines.append(run)
+    return "\n".join(lines)
+
+
 def _office_to_row(uri: str, raw: bytes, ext: str) -> dict:
     import io
     import zipfile
@@ -378,6 +429,10 @@ def _office_to_row(uri: str, raw: bytes, ext: str) -> dict:
                 text = _docx_text(zf)
             elif ext == ".pptx":
                 text = _pptx_text(zf)
+            elif ext == ".odt":
+                text = _odt_text(zf)
+            elif ext == ".epub":
+                text = _epub_text(zf)
             else:
                 text = _xlsx_text(zf)
         return {"uri": uri, "text": text,
@@ -388,8 +443,8 @@ def _office_to_row(uri: str, raw: bytes, ext: str) -> dict:
 
 
 def parse_office(files: DataFrame) -> DataFrame:
-    """S6 office family (.docx/.pptx/.xlsx): zip + XML text extraction,
-    Arrow-batched."""
+    """S6 office family (.docx/.pptx/.xlsx/.odt/.epub): zip + XML text
+    extraction, Arrow-batched."""
     src = files.select("uri", "extension", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,12 +541,12 @@ def unstructured_available() -> bool:
 
 
 def parse_unstructured(files: DataFrame) -> DataFrame:
-    """S6 slot for the LEGACY binary formats (.doc/.ppt/.odt/.epub):
-    pandas-batched `unstructured.partition.auto` over binary content
-    (unstructured.py:160-170). PDF/DOCX/PPTX/XLSX/HTML/eml/structured
-    formats all have REAL stdlib parsers above; only these pre-OOXML
-    formats genuinely need the library stack, which is not in this
-    image."""
+    """S6 slot for the LEGACY binary formats (.doc/.ppt): pandas-batched
+    `unstructured.partition.auto` over binary content
+    (unstructured.py:160-170). PDF/DOCX/PPTX/XLSX/ODT/EPUB/HTML/eml/
+    structured formats all have REAL stdlib parsers above; only the two
+    pre-OOXML OLE formats genuinely need the library stack, which is
+    not in this image."""
     if not unstructured_available():
         raise NotImplementedError(
             "unstructured not installed in this image; "
@@ -505,7 +560,7 @@ def parse(files: DataFrame) -> DataFrame:
     (sources.local.parse_text); email/html/structured/pdf/office rows
     run through their stdlib mapInPandas parsers on their routed subset
     only (a PDF parser never touches a .txt row); remaining legacy
-    binary formats (.doc/.ppt/.odt/.epub) pass through flagged for the
+    binary formats (.doc/.ppt) pass through flagged for the
     unstructured slot. Output: uri, extension, text, parse_status,
     parser."""
     from semantik_spark.sources.local import parse_text

@@ -238,3 +238,109 @@ def test_registry_routes_new_families(spark):
     routed = {r["uri"]: r["parser"] for r in route_parsers(df).collect()}
     assert routed == {"a.pdf": "pdf", "b.docx": "office",
                       "c.json": "structured", "d.doc": "unstructured"}
+
+
+def _zip_bytes(members):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_parse_odt_paragraphs_and_escapes(spark):
+    """.odt (zip + content.xml): text:p/text:h paragraphs in order,
+    XML entities unescaped, nested spans flattened."""
+    from semantik_spark.sources.parsers import parse_office
+
+    odt = _zip_bytes([("content.xml",
+        '<office:document-content'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        '<office:body><office:text>'
+        '<text:h>Title &amp; more</text:h>'
+        '<text:p>first <text:span>inner</text:span> tail</text:p>'
+        '<text:p></text:p>'
+        '<text:p>&lt;second&gt;</text:p>'
+        '</office:text></office:body></office:document-content>')])
+    df = spark.createDataFrame([("a.odt", ".odt", odt)],
+                               ["uri", "extension", "content"])
+    row = parse_office(df).collect()[0]
+    assert row["parse_status"] == "ok"
+    assert row["text"] == "Title & more\nfirst inner tail\n<second>"
+
+
+def test_parse_epub_spine_order(spark):
+    """.epub: chapters are concatenated in SPINE order, not zip order."""
+    from semantik_spark.sources.parsers import parse_office
+
+    opf = ('<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+           '<manifest>'
+           '<item id="c2" href="two.xhtml" media-type="application/xhtml+xml"/>'
+           '<item id="c1" href="one.xhtml" media-type="application/xhtml+xml"/>'
+           '</manifest><spine>'
+           '<itemref idref="c1"/><itemref idref="c2"/>'
+           '</spine></package>')
+    epub = _zip_bytes([
+        ("mimetype", "application/epub+zip"),
+        ("META-INF/container.xml",
+         '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+         ' version="1.0"><rootfiles><rootfile full-path="OEBPS/content.opf"'
+         ' media-type="application/oebps-package+xml"/></rootfiles></container>'),
+        ("OEBPS/two.xhtml",
+         '<html xmlns="http://www.w3.org/1999/xhtml"><body><p>chapter two</p></body></html>'),
+        ("OEBPS/content.opf", opf),
+        ("OEBPS/one.xhtml",
+         '<html xmlns="http://www.w3.org/1999/xhtml"><body><p>chapter one</p></body></html>'),
+    ])
+    df = spark.createDataFrame([("b.epub", ".epub", epub)],
+                               ["uri", "extension", "content"])
+    row = parse_office(df).collect()[0]
+    assert row["parse_status"] == "ok"
+    assert row["text"] == "chapter one\nchapter two"
+
+
+def test_parse_odt_epub_corrupt_zip_errors(spark):
+    from semantik_spark.sources.parsers import parse_office
+
+    df = spark.createDataFrame(
+        [("bad.odt", ".odt", b"not a zip"), ("bad.epub", ".epub", b"PK\x03\x04junk")],
+        ["uri", "extension", "content"])
+    rows = {r["uri"]: r for r in parse_office(df).collect()}
+    assert rows["bad.odt"]["parse_status"].startswith("error:")
+    assert rows["bad.epub"]["parse_status"].startswith("error:")
+
+
+def test_registry_routes_odt_epub_to_office(spark):
+    from semantik_spark.sources.parsers import PARSER_REGISTRY
+
+    assert PARSER_REGISTRY[".odt"] == ("office",)
+    assert PARSER_REGISTRY[".epub"] == ("office",)
+    assert PARSER_REGISTRY[".doc"] == ("unstructured",)
+
+
+def test_sniff_pdf_scanned_detection(spark):
+    """is_scanned_pdf (F7, reference sniff.py:478-529): empty PDF and
+    image-only pages are scanned; a real text layer is not; threshold
+    is average chars/page < 50."""
+    from semantik_spark.operators.sniff import sniff_pdf
+
+    long_text = "x" * 200
+    cases = [
+        ("empty", b"%PDF-1.4\n%%EOF", True),                     # 0 pages
+        ("scanned", b"%PDF-1.4\n/Type /Page\n%%EOF", True),      # no text
+        ("text1p", ("%PDF-1.4\n/Type /Page\nBT (" + long_text
+                    + ") Tj ET\n%%EOF").encode(), False),        # 200/1
+        ("thin5p", ("%PDF-1.4\n" + "/Type /Page\n" * 5
+                    + "BT (" + long_text + ") Tj ET\n%%EOF").encode(), True),  # 200/5=40
+        ("corrupt", b"\x00\x01 not a pdf", True),                # 0 pages
+    ]
+    df = spark.createDataFrame([(n, c) for n, c, _ in cases], ["uri", "content"])
+    rows = {r["uri"]: r for r in sniff_pdf(df).collect()}
+    for name, _, expect in cases:
+        assert rows[name]["is_scanned_pdf"] == expect, (name, rows[name])
+    assert rows["thin5p"]["n_pages"] == 5
+    assert rows["text1p"]["text_chars"] == 200
