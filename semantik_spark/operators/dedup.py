@@ -384,40 +384,50 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int = 64, nbits: int = 8,
-                        probe_hamming: int = 1) -> DataFrame:
+                        max_hamming: int = 1) -> DataFrame:
     """vec_a, vec_b, cos — embedding-cosine near-duplicates.
 
-    LSH-bucketed, not all-pairs: vectors get an ``nbits``-bit
-    hyperplane signature (similarity.lsh_signature — deterministic, so
-    the oracle can replay the blocking); side A probes its own bucket
-    plus every signature within ``probe_hamming`` bit-flips, side B
-    stays at its own bucket, and only same-bucket candidates are
-    exact-cosine verified. The bucket column is the one shuffle key —
-    at 100 TB it's the partition key of a signature table and each
-    vector touches nbits+1 buckets instead of the whole corpus.
+    LSH-banded, not all-pairs: vectors get an ``nbits``-bit hyperplane
+    signature (similarity.lsh_signature — deterministic, so the oracle
+    can replay the blocking), which splits into ``max_hamming + 1``
+    contiguous bit-bands exactly like simhash_pairs; vectors equal on
+    ANY band become candidates, and only candidates are exact-cosine
+    verified. Pigeonhole: two signatures within ``max_hamming``
+    differing bits agree on at least one band, so this has the same
+    recall guarantee as hamming-``max_hamming`` probing while writing
+    only ``max_hamming + 1`` shuffle rows per vector — the earlier
+    probe-side design exploded nbits+1 buckets per vector (9× row
+    amplification at nbits=8) into the same join. The (band, band_key)
+    pair is the one shuffle key; at 100 TB it's the partition key of a
+    signature table.
 
-    Unlike simhash banding this blocking is probabilistic: a true pair
-    at cos ≥ t collides with probability ≥ 1-(1-(1-θ/π)^nbits) per
-    probe; identical vectors always collide. Raise probe_hamming or
-    lower nbits for more recall; the cosine verify keeps precision
-    exact either way.
+    Signature collision is still probabilistic w.r.t. cosine: a true
+    pair at cos ≥ t flips each bit with probability θ/π; identical
+    vectors always collide. Raise nbits for smaller buckets (precision
+    of the blocking) — the cosine verify keeps result precision exact
+    either way.
     """
     from semantik_spark.functions.vectors import cosine
     from semantik_spark.operators.similarity import lsh_signature
 
     v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
-           .withColumn("bucket", lsh_signature("v", dim, nbits)).persist()
-    flips = [F.col("bucket")] + ([
-        F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), b))
-        for b in range(nbits)
-    ] if probe_hamming >= 1 else [])
-    probes = v.select(
-        F.col("vec_id").alias("vec_a"), F.explode(F.array(*flips)).alias("bucket")
-    )
+           .withColumn("sig", lsh_signature("v", dim, nbits)).persist()
+    banded = v.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("sig"), lo)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("band_key"),
+            )
+            for band, lo, w in simhash_band_plan(nbits, max_hamming)
+        ])).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_key")
     candidates = (
-        probes.join(v.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
     return (
