@@ -116,3 +116,34 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("select * from dedup_test").collect()
     hashes = sorted(r["content_hash"] for r in rows)
     assert hashes == ["h1", "h2"]  # second h1 within the watermark is dropped
+
+def test_incremental_ingest_checkpoint_no_reprocess(spark, tmp_path):
+    """Hardening (VERDICT r3 item 8): a rerun against the same
+    checkpoint with NO new files must append nothing — the file-source
+    checkpoint, not the anti-join, is what guarantees re-read-free
+    restarts — and a transform hook must run the batch pipeline inside
+    foreachBatch."""
+    from pyspark.sql import functions as F
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    catalog = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    def add_len(df):
+        return df.withColumn("n_chars", F.length("text").cast("bigint"))
+
+    _write_json(drop / "b1.json", [{"doc_id": 1, "text": "alpha"},
+                                   {"doc_id": 2, "text": "beta"}])
+    q = incremental_ingest(stream_files(spark, str(drop), schema),
+                           catalog, ckpt, transform=add_len)
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(catalog).collect()}
+    assert rows[1]["n_chars"] == 5 and rows[2]["n_chars"] == 4  # transform ran
+
+    # rerun, same checkpoint, drop dir unchanged -> zero new rows
+    q2 = incremental_ingest(stream_files(spark, str(drop), schema),
+                            catalog, ckpt, transform=add_len)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(catalog).count() == 2
