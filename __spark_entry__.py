@@ -2,9 +2,10 @@
 
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
 the training-data-pipeline extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible operator. Entries
-without an oracle (mapInPandas chunking strategies, array-valued sparse
-vectors) get the driver's rows-only check.
+DuckDB-equivalent SQL for EVERY entry — since round 4 all 80 queries
+are value-checked (the last rows-only entry, pca_projection, now emits
+sign/rotation-invariant spectrum scalars with a pure-SQL eigensolve
+oracle).
 
 All float outputs are rounded to 6 decimals on BOTH sides; ranks use
 deterministic id tie-breaks; large money sums go through decimal casts
@@ -1171,93 +1172,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT: the correctness driver evaluates only the first
-    # 50 entries, so every oracle-backed query must precede every
-    # no-oracle (rows-only) query. Within the oracle-backed block, the
-    # operational slice that was never driver-evaluated in round 1 goes
-    # first; the r1-green relational/time-series core sits last so it is
-    # what absorbs the past-50 overflow (those rows stay anchored by
-    # CORRECTNESS_r01).
+    # ORDERING CONTRACT (rotated for round 4 — VERDICT r3 item 2): the
+    # correctness driver evaluates only the first 50 entries, so the
+    # window rotates each round to give every query a fresh green row
+    # within two rounds. Round-4 window = the 30 entries never evaluated
+    # in round 3 (they ride on r1/r2 rows: similarity, text analysis,
+    # rerank/composition, relational + time-series core, plus the new
+    # knn_recall and the now-value-checked pca_projection) + the three
+    # queries whose code changed this round (parse_routed,
+    # sniff_formats, events_sliding — a changed query MUST sit in the
+    # window) + 17 highest-complexity r3-green entries. The 30 demoted
+    # entries are unchanged since round 3 and stay anchored by their
+    # CORRECTNESS_r03 green rows. See README "Correctness window
+    # rotation".
     return {
-        # round-2 additions, never driver-evaluated: curation ops +
-        # newly-oracled chunking kernels
-        "pii_redact": q_pii_redact,
-        "lm_quality": q_lm_quality,
-        "dedup_sentences": q_dedup_sentences,
-        "dataset_split": q_dataset_split,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "quality_sample": q_quality_sample,
-        "chunk_markdown": q_chunk_markdown,
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_hierarchical": q_chunk_hierarchical,
-        "chunk_hybrid": q_chunk_hybrid,
-        # ops / bookkeeping / pipeline slice (unevaluated in r1)
-        "predicate_route": q_predicate_route,
-        "incremental_changed": q_incremental_changed,
-        "sniff_formats": q_sniff_formats,
-        "config_matrix": q_config_matrix,
-        "collection_counters": q_collection_counters,
-        "events_sliding": q_events_sliding,
-        "gc_orphans": q_gc_orphans,
-        "stale_marking": q_stale_marking,
-        "run_status_counts": q_run_status_counts,
-        "run_dead_letter": q_run_dead_letter,
-        "projection_labels": q_projection_labels,
-        "benchmark_matrix": q_benchmark_matrix,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "ingest_index": q_ingest_index,
-        "embedding_quantize": q_embedding_quantize,
-        # newly-oracled flat sparse-vector contracts + blocked dedup pairs
-        "splade_vectors": q_splade_vectors,
-        "sparse_vectors": q_sparse_vectors,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "chunk_character": q_chunk_character,
-        "chunk_recursive": q_chunk_recursive,
-        "benchmark_mapping": q_benchmark_mapping,
-        "parse_routed": q_parse_routed,
-        # search engine
-        "bm25_corpus_stats": q_bm25_corpus_stats,
-        "bm25_term_stats": q_bm25_term_stats,
-        "bm25_postings": q_bm25_postings,
-        "bm25_search": q_bm25_search,
-        "hyde_hybrid": q_hyde_hybrid,
-        "extract_keywords": q_keywords,
-        "extract_entities": q_entities,
-        "splade_search": q_splade_search,
-        "dense_mock_search": q_dense_mock_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "ir_metrics": q_ir_metrics,
-        "ir_metrics_agg": q_ir_metrics_agg,
-        # dedup family
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        # similarity search
+        # --- r4 window: similarity + ANN quality (r2-anchored + new)
+        "knn_recall": q_knn_recall,
+        "pca_projection": q_pca_projection,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
-        "knn_recall": q_knn_recall,
-        # --- driver window boundary (~50): everything below is r1-green
-        # or covered by pytest; it absorbs the past-50 overflow
         "knn_ivf": q_knn_ivf,
         "knn_quantized": q_knn_quantized,
-        # text analysis
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        # changed this round — must be in-window
+        "parse_routed": q_parse_routed,
+        "sniff_formats": q_sniff_formats,
+        "events_sliding": q_events_sliding,
+        # text analysis (r1/r2-anchored, rotated in)
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_curation": q_text_curation,
-        # rerank / composition / chunking
+        # rerank / composition / chunking (r1/r2-anchored, rotated in)
         "rerank_search": q_rerank_search,
         "multi_collection_dense": q_multi_collection_dense,
         "chunk_collapse": q_chunk_collapse,
         "chunk_fixed": q_chunk_fixed,
-        # relational + time-series core (r1-green, stable)
+        # relational + time-series core (r1-anchored, rotated in;
+        # events_* also took the session-UTC pin this round)
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_revenue": q_join_revenue,
@@ -1270,8 +1225,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
-        # no-oracle (rows-only) tail — MUST stay last
-        "pca_projection": q_pca_projection,
+        # r3-green refresh picks (highest plan complexity first)
+        "bm25_postings": q_bm25_postings,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "ir_metrics": q_ir_metrics,
+        "ir_metrics_agg": q_ir_metrics_agg,
+        "hyde_hybrid": q_hyde_hybrid,
+        "splade_search": q_splade_search,
+        "dense_mock_search": q_dense_mock_search,
+        "splade_vectors": q_splade_vectors,
+        "sparse_vectors": q_sparse_vectors,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ingest_index": q_ingest_index,
+        "chunk_character": q_chunk_character,
+        # --- driver window boundary (50): everything below is
+        # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "pii_redact": q_pii_redact,
+        "lm_quality": q_lm_quality,
+        "dedup_sentences": q_dedup_sentences,
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "quality_sample": q_quality_sample,
+        "chunk_markdown": q_chunk_markdown,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_hierarchical": q_chunk_hierarchical,
+        "chunk_hybrid": q_chunk_hybrid,
+        "chunk_recursive": q_chunk_recursive,
+        "predicate_route": q_predicate_route,
+        "incremental_changed": q_incremental_changed,
+        "config_matrix": q_config_matrix,
+        "collection_counters": q_collection_counters,
+        "gc_orphans": q_gc_orphans,
+        "stale_marking": q_stale_marking,
+        "run_status_counts": q_run_status_counts,
+        "run_dead_letter": q_run_dead_letter,
+        "projection_labels": q_projection_labels,
+        "benchmark_matrix": q_benchmark_matrix,
+        "benchmark_mapping": q_benchmark_mapping,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "embedding_quantize": q_embedding_quantize,
+        "bm25_corpus_stats": q_bm25_corpus_stats,
+        "bm25_term_stats": q_bm25_term_stats,
+        "extract_keywords": q_keywords,
+        "extract_entities": q_entities,
     }
 
 
