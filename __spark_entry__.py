@@ -389,7 +389,10 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive top-5 — one aggregated row per method, so a parameter
     regression in lsh/ivf/quantized shows up as a value change."""
     corpus, queries = _emb_split(spark, sf_dir)
-    exact = similarity.knn_bruteforce(corpus, queries, k=5)
+    # n_queries*k rows, but each reference costs a full corpus scan —
+    # persist so the hit-join and denominator branches of all three
+    # methods reuse one exhaustive pass instead of six
+    exact = similarity.knn_bruteforce(corpus, queries, k=5).persist()
     methods = [
         ("ivf", similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4)),
         ("lsh", similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8)),

@@ -211,27 +211,30 @@ def knn_quantized(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
 
-def _hyperplane(dim: int, bit: int) -> F.Column:
+def _hyperplane(dim: int, bit: int, table: int = 0) -> F.Column:
     """Deterministic pseudo-random hyperplane: component j of plane b is
     hash60('hp:b:j') scaled to [-1,1] — computed driver-side with
     hashlib.md5 (bit-identical to the SQL hash60, so the DuckDB oracle
-    replays it) and emitted as a literal array, keeping the plan small."""
+    replays it) and emitted as a literal array, keeping the plan small.
+    Table 0 keeps the original seed string so single-table results (and
+    their oracles) are unchanged; extra tables salt the seed."""
     import hashlib
 
+    prefix = "hp" if table == 0 else f"hp:t{table}"
     return F.array(*[
-        F.lit(int(hashlib.md5(f"hp:{bit}:{j}".encode()).hexdigest()[:15], 16)
+        F.lit(int(hashlib.md5(f"{prefix}:{bit}:{j}".encode()).hexdigest()[:15], 16)
               / float(2 ** 59) - 1.0)
         for j in range(dim)
     ])
 
 
-def lsh_signature(vec_col: str, dim: int, nbits: int = 8) -> F.Column:
+def lsh_signature(vec_col: str, dim: int, nbits: int = 8, table: int = 0) -> F.Column:
     """nbits-bit sign signature of ``vec_col`` against the deterministic
     hyperplanes, packed into a BIGINT bucket id."""
     sig = F.lit(0).cast("bigint")
     for b in range(nbits):
         d = F.aggregate(
-            F.zip_with(F.col(vec_col), _hyperplane(dim, b),
+            F.zip_with(F.col(vec_col), _hyperplane(dim, b, table),
                        lambda x, h: x.cast("double") * h),
             F.lit(0.0), lambda acc, x: acc + x,
         )
@@ -240,29 +243,56 @@ def lsh_signature(vec_col: str, dim: int, nbits: int = 8) -> F.Column:
 
 
 def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
-            nbits: int = 8, probe_hamming: int = 1,
+            nbits: int = 8, probe_hamming: int = 1, n_tables: int = 1,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
     """Approximate cosine top-k via hyperplane-LSH bucket probing.
 
     Queries probe all buckets within ``probe_hamming`` of their own
-    signature (probe_hamming=1 → nbits+1 buckets), then exact-cosine
-    re-rank inside the candidate set.
+    signature (probe_hamming=1 → nbits+1 buckets) in EACH of
+    ``n_tables`` independent hash tables (standard E2LSH recall
+    amplification: a true neighbor colliding with probability q per
+    table is found with 1-(1-q)^L over L tables), then exact-cosine
+    re-rank inside the union candidate set. n_tables=1 reproduces the
+    original single-table results bit-for-bit.
+
+    Scale shape: the (table, bucket) pair is the equi-join key — at
+    100 TB the corpus signature table is written partitionBy(table,
+    bucket) once and each query touches L*(nbits+1) buckets; candidate
+    growth is the recall price, the join never degenerates to a scan.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
-              .withColumn("bucket", lsh_signature("v", dim, nbits))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")) \
-               .withColumn("qbucket", lsh_signature("qv", dim, nbits))
-    # probe set: own bucket + flip each single bit (hamming ≤ 1)
-    flips = [F.col("qbucket")] + [
-        F.col("qbucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), b))
-        for b in range(nbits)
-    ][: (nbits if probe_hamming >= 1 else 0)]
-    q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    c_tab = c.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table"),
+                     lsh_signature("v", dim, nbits, t).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("vec_id", "v", "tb.table", "tb.bucket")
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    probe_structs = []
+    for t in range(n_tables):
+        qsig = lsh_signature("qv", dim, nbits, t)
+        flips = [qsig] + [
+            qsig.bitwiseXOR(F.shiftleft(F.lit(1).cast("bigint"), b))
+            for b in range(nbits)
+        ][: (nbits if probe_hamming >= 1 else 0)]
+        probe_structs += [
+            F.struct(F.lit(t).alias("table"), fl.alias("bucket")) for fl in flips
+        ]
+    q_tab = q.select(
+        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("query_id", "qv", "tb.table", "tb.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c_tab.join(F.broadcast(q_tab), ["table", "bucket"])
         .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
     )
+    if n_tables > 1:
+        # the same (query, vec) pair can collide in several tables;
+        # within one table the probe buckets are distinct so no dedup
+        # (and no extra exchange) is needed in the single-table plan
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
