@@ -486,6 +486,25 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training.quality_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source cap sampling: stratum rate = min(1,
+    target/n_s), deterministic hash-residue keep (training-mix
+    balancing; operators/training.py stratified_sample)."""
+    from semantik_spark.operators import training
+    return training.stratified_sample(_t(spark, sf_dir, "documents"),
+                                      target_per_stratum=50)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection over the augmented dup corpus:
+    MinHash clusters + quality scores → one canonical doc per cluster
+    (highest quality, tie → min doc_id)."""
+    from semantik_spark.operators.textanalysis import quality_features
+
+    aug = _aug_docs(spark, sf_dir)
+    return dedup.canonical_docs(aug, quality_features(aug))
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1198,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": q_knn_quantized,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        # new this round — must be in-window
+        "dedup_canonical": q_dedup_canonical,
+        "stratified_sample": q_stratified_sample,
         # changed this round — must be in-window
         "parse_routed": q_parse_routed,
         "sniff_formats": q_sniff_formats,
@@ -1244,10 +1266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ingest_index": q_ingest_index,
-        "chunk_character": q_chunk_character,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "ingest_index": q_ingest_index,
+        "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
@@ -1572,6 +1594,15 @@ SELECT doc_id, quality_score,
 FROM q""".format(q=_ORACLE_QUALITY,
                  h=oracles.hash60_expr("doc_id::VARCHAR || '#sample'")),
         "pca_projection": oracles.q_pca_spectrum(),
+        "stratified_sample": """
+WITH c AS (SELECT source, count(*)::BIGINT AS stratum_size FROM documents GROUP BY source)
+SELECT doc_id, source AS stratum, stratum_size,
+       round(least(1.0, 50.0 / stratum_size), 6) AS sample_rate,
+       ({h} % 1000000)
+         < floor(round(least(1.0, 50.0 / stratum_size), 6) * 1e6)::BIGINT AS kept
+FROM documents JOIN c USING (source)""".format(
+            h=oracles.hash60_expr("doc_id::VARCHAR || '#strat'")),
+        "dedup_canonical": _ORACLE_DEDUP_CANONICAL.format(q=_ORACLE_QUALITY),
     }
 
 
@@ -1669,6 +1700,45 @@ rtok AS (
 )
 SELECT doc_id, n_chars, quality_score, dup_2gram_frac, reason, reason = 'ok' AS keep
 FROM d"""
+
+# cluster-representative selection: MinHash clusters (same recursive
+# transitive closure as q_dedup_clusters) + quality over the augmented
+# corpus (a re-keyed dup copies its source doc's score — same text)
+# → rank within cluster by (quality DESC, doc_id ASC)
+_ORACLE_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {oracles._minhash_verified_ctes(16, 4, 3)},
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id FROM reach GROUP BY a
+),
+qbase AS (SELECT doc_id, quality_score FROM ({{q}})),
+aq AS (
+  SELECT d.doc_id, qb.quality_score
+  FROM aug_docs d JOIN qbase qb
+    ON qb.doc_id = CASE WHEN d.doc_id >= 10000 THEN d.doc_id - 10000 ELSE d.doc_id END
+),
+f AS (
+  SELECT a.doc_id, coalesce(cc.cluster_id, a.doc_id) AS cluster_id, a.quality_score
+  FROM aq a LEFT JOIN cc ON a.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+       quality_score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality_score DESC, doc_id ASC) = 1 AS is_canonical
+FROM f"""
 
 # regex strings shared verbatim with operators/sniff.py (Java regex and
 # RE2 agree on these constructs; no lookaround, no multiline flags)

@@ -480,3 +480,49 @@ def sentence_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
         )
         .withColumn("dup_frac", F.round(F.col("n_dup_sentences") / F.col("n_sentences"), 6))
     )
+
+
+def canonical_docs(docs: DataFrame, quality: DataFrame,
+                   num_hashes: int = 16, bands: int = 4, n: int = 3,
+                   threshold: float = 0.5,
+                   id_col: str = "doc_id",
+                   quality_col: str = "quality_score") -> DataFrame:
+    """Cluster-representative selection — the dedup pass a training
+    pipeline actually ships: every document mapped to its near-dup
+    cluster (MinHash-LSH pairs → connected components; singletons are
+    their own cluster), and ONE canonical doc chosen per cluster by
+    highest quality score (tie → smallest doc_id). Keep the canonical
+    rows, drop the rest, and the corpus is deduplicated without losing
+    the best-written copy.
+
+    ``quality`` is any (doc_id, quality_score) DataFrame — typically
+    textanalysis.quality_features output — so the selection criterion
+    is pluggable. Scores are rounded to 6 dp BEFORE ranking so the
+    winner is engine-portable.
+
+    Returns doc_id, cluster_id, cluster_size, quality_score, is_canonical.
+
+    Scale: reuses the banded MinHash pairs + min-label propagation
+    (each round one shuffle, lineage-truncated); the final ranking is
+    one window over cluster_id — clusters are near-dup groups, so
+    partitions are tiny and skew-free.
+    """
+    clusters = duplicate_clusters(docs, num_hashes, bands, n, threshold,
+                                  id_col, "text")
+    q = quality.select(F.col(id_col).alias("doc_id"),
+                       F.round(F.col(quality_col), 6).alias("quality_score"))
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        base.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.row_number().over(wr) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality_score", "is_canonical")
+    )

@@ -167,3 +167,42 @@ def quality_sample(docs: DataFrame, floor_prob: float = 0.1,
             (residue < F.floor(p * 1e6).cast("bigint")).alias("kept"),
         )
     )
+
+
+def stratified_sample(docs: DataFrame, stratum_col: str = "source",
+                      target_per_stratum: int = 50,
+                      id_col: str = "doc_id", salt: str = "strat") -> DataFrame:
+    """Balanced per-stratum cap sampling — the "even out the training
+    mix across sources/languages" op every large-corpus pipeline runs:
+    each stratum is downsampled to ~``target_per_stratum`` docs with
+    rate min(1, target/n_s), so dominant sources stop swamping the mix.
+
+    Deterministic like quality_sample: the keep decision compares a
+    content-hash residue against the integer-scaled rounded rate
+    (floor(rate*1e6) vs hash60 % 1e6) — re-runs and engines agree
+    bit-for-bit, no RNG.
+
+    Returns doc_id, stratum, stratum_size, sample_rate, kept.
+
+    Scale: stratum sizes come from a groupBy count (map-side combined,
+    |strata| rows) broadcast back onto the scan — NOT a window over the
+    stratum, which would shuffle the full corpus by a skewed key. The
+    kept-decision itself is map-only.
+    """
+    sizes = (
+        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.count("*").cast("bigint").alias("stratum_size"))
+    )
+    rate = F.round(
+        F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("stratum_size")), 6
+    )
+    residue = hash60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))) % 1000000
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum"))
+        .join(F.broadcast(sizes), "stratum")
+        .select(
+            "doc_id", "stratum", "stratum_size",
+            rate.alias("sample_rate"),
+            (residue < F.floor(rate * 1e6).cast("bigint")).alias("kept"),
+        )
+    )

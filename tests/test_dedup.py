@@ -106,3 +106,33 @@ def test_duplicate_clusters_survivors(docs):
     assert by_doc[2]["cluster_size"] >= 2
     # non-dup docs don't appear
     assert 5 not in by_doc
+
+
+def test_canonical_docs_picks_best_quality(spark):
+    """Canonical = highest quality in the cluster even when it is NOT
+    the smallest doc_id; singletons are their own canonical cluster."""
+    from semantik_spark.operators.dedup import canonical_docs
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, dup_text), (2, dup_text), (3, "something entirely different here")],
+        ["doc_id", "text"],
+    )
+    # doc 2 (larger id) gets the higher score — it must win the cluster
+    quality = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.7)], ["doc_id", "quality_score"])
+    rows = {r["doc_id"]: r for r in canonical_docs(docs, quality).collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 2
+    assert not rows[1]["is_canonical"] and rows[2]["is_canonical"]
+    assert rows[3]["cluster_size"] == 1 and rows[3]["is_canonical"]
+
+
+def test_canonical_docs_tie_breaks_on_doc_id(spark):
+    from semantik_spark.operators.dedup import canonical_docs
+
+    dup_text = "identical words repeated identical words repeated enough times"
+    docs = spark.createDataFrame([(5, dup_text), (9, dup_text)], ["doc_id", "text"])
+    quality = spark.createDataFrame([(5, 0.5), (9, 0.5)], ["doc_id", "quality_score"])
+    rows = {r["doc_id"]: r for r in canonical_docs(docs, quality).collect()}
+    assert rows[5]["is_canonical"] and not rows[9]["is_canonical"]

@@ -116,3 +116,25 @@ def test_quality_sample_deterministic_and_monotone(spark):
     assert all(0.1 <= r.keep_prob <= 1.0 for r in rows.values())
     again = {r.doc_id: r for r in quality_sample(docs).collect()}
     assert all(rows[i].kept == again[i].kept for i in rows)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from semantik_spark.operators.training import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(5)],
+        ["doc_id", "source"],
+    )
+    out = stratified_sample(docs, target_per_stratum=10).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(out) == 105
+    # small stratum under the cap: rate 1.0, everything kept
+    assert all(rows[1000 + i]["sample_rate"] == 1.0 and rows[1000 + i]["kept"]
+               for i in range(5))
+    # big stratum: rate 0.1, kept count near 10, deterministic across runs
+    assert rows[0]["sample_rate"] == 0.1 and rows[0]["stratum_size"] == 100
+    kept_big = sorted(r["doc_id"] for r in out if r["stratum"] == "big" and r["kept"])
+    out2 = stratified_sample(docs, target_per_stratum=10).collect()
+    kept_big2 = sorted(r["doc_id"] for r in out2 if r["stratum"] == "big" and r["kept"])
+    assert kept_big == kept_big2
+    assert 2 <= len(kept_big) <= 25  # hash-residue binomial around 10
