@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_sentences",
+    "dedup_canonical",
+    "stratified_sample",
     "text_quality",
     "pii_redact",
     "lm_quality",

@@ -196,3 +196,43 @@ def test_salted_join_matches_plain_join(spark):
         .distinct().count()
     )
     assert n_salts > 1
+
+
+def test_stratified_sample_broadcasts_stratum_sizes(spark):
+    """The |strata|-row count side must broadcast onto the corpus scan —
+    shuffling 100 TB of docs by a skewed stratum key would be the
+    scale-killer the groupBy-count+broadcast design avoids."""
+    from semantik_spark.operators.training import stratified_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    plan = _plan(stratified_sample(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonical_docs_no_cartesian(spark):
+    """Cluster-representative selection rides the banded MinHash pairs;
+    no corpus×corpus product may appear anywhere in the plan."""
+    from semantik_spark.operators.dedup import canonical_docs
+
+    docs = _mk_docs(spark, 60)
+    quality = docs.select("doc_id", (F.col("doc_id") % 7 / 10.0).alias("quality_score"))
+    plan = _plan(canonical_docs(docs, quality))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sniff_pdf_is_map_only(spark):
+    """The PDF text-layer probe is one mapInPandas pass over the binary
+    column — zero Exchange in the plan."""
+    from semantik_spark.operators.sniff import sniff_pdf
+
+    pdfs = spark.range(20).select(
+        F.col("id").cast("string").alias("uri"),
+        F.encode(F.lit("%PDF-1.4\n/Type /Page\nBT (x) Tj ET\n%%EOF"), "UTF-8").alias("content"),
+    )
+    plan = _plan(sniff_pdf(pdfs))
+    assert "Exchange" not in plan
