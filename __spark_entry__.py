@@ -505,6 +505,13 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_docs(aug, quality_features(aug))
 
 
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination (Lee et al. 2022 k-gram
+    fingerprints): per-doc duplicated-k-token-window fractions over the
+    augmented dup corpus."""
+    return dedup.repeated_passages(_aug_docs(spark, sf_dir), k=10)
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1219,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         # new this round — must be in-window
         "dedup_canonical": q_dedup_canonical,
+        "dedup_passages": q_dedup_passages,
         "stratified_sample": q_stratified_sample,
         # changed this round — must be in-window
         "parse_routed": q_parse_routed,
@@ -1265,9 +1273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
@@ -1603,6 +1611,7 @@ SELECT doc_id, source AS stratum, stratum_size,
 FROM documents JOIN c USING (source)""".format(
             h=oracles.hash60_expr("doc_id::VARCHAR || '#strat'")),
         "dedup_canonical": _ORACLE_DEDUP_CANONICAL.format(q=_ORACLE_QUALITY),
+        "dedup_passages": oracles.q_repeated_passages(k=10, min_docs=2),
     }
 
 

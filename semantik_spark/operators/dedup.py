@@ -526,3 +526,65 @@ def canonical_docs(docs: DataFrame, quality: DataFrame,
         .withColumn("is_canonical", F.row_number().over(wr) == 1)
         .select("doc_id", "cluster_id", "cluster_size", "quality_score", "is_canonical")
     )
+
+
+def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-substring contamination signal — the k-gram-fingerprint
+    formulation of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022): every k-token window of every document
+    is hashed (hash60 of the space-joined window), and a window is
+    REPEATED when its hash occurs in >= ``min_docs`` distinct
+    documents. Catches copied passages that document-level near-dup
+    misses (boilerplate, licenses, quoted blocks).
+
+    Returns per-doc: doc_id, n_windows, n_dup_windows, dup_frac (6dp);
+    docs shorter than k tokens have 0 windows and dup_frac 0.
+
+    Scale: windows are built map-side from one materialized token
+    array (no re-tokenize per window), so the single wide shuffle is
+    the groupBy on the 60-bit window hash — O(total corpus tokens)
+    rows with map-side combine, the canonical distributed substitute
+    for Lee et al.'s suffix array. The repeated-hash set is a small
+    fraction of windows; AQE broadcasts it for the join back.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    width = n - F.lit(k) + 1
+    windows = F.when(
+        width >= 1,
+        F.transform(F.sequence(F.lit(1), width),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    wh = tok.select("doc_id", F.explode(windows).alias("w")) \
+            .select("doc_id", hash60("w").alias("h"))
+    dup = (
+        wh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("_dup"))
+    )
+    per_doc = (
+        wh.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.round(
+                F.when(F.coalesce("n_windows", F.lit(0)) > 0,
+                       F.coalesce("n_dup_windows", F.lit(0))
+                       / F.col("n_windows").cast("double")).otherwise(0.0), 6
+            ).alias("dup_frac"),
+        )
+    )

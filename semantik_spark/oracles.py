@@ -1732,3 +1732,41 @@ FROM (
     return f"""
 WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
 {" UNION ALL ".join(branches)}"""
+
+
+def q_repeated_passages(k: int = 10, min_docs: int = 2) -> str:
+    """Twin of dedup.repeated_passages over the augmented dup corpus:
+    k-token sliding-window hashes, repeated = present in >= min_docs
+    distinct docs, per-doc duplicated-window fractions."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM aug_docs
+),
+w AS (
+  SELECT doc_id, {hash60_expr("w")} AS h
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= {k}
+           THEN list_transform(range(0, greatest(len(toks) - {k}, 0) + 1),
+                               i -> array_to_string(toks[i + 1:i + {k}], ' '))
+           ELSE []::VARCHAR[] END) AS w
+    FROM t) s
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+per AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM w LEFT JOIN dup d ON w.h = d.h
+  GROUP BY w.doc_id
+)
+SELECT a.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(per.n_dup, 0)::BIGINT AS n_dup_windows,
+       round(CASE WHEN coalesce(per.n_windows, 0) > 0
+                  THEN per.n_dup::DOUBLE / per.n_windows ELSE 0.0 END, 6) AS dup_frac
+FROM aug_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""

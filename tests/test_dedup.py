@@ -136,3 +136,70 @@ def test_canonical_docs_tie_breaks_on_doc_id(spark):
     quality = spark.createDataFrame([(5, 0.5), (9, 0.5)], ["doc_id", "quality_score"])
     rows = {r["doc_id"]: r for r in canonical_docs(docs, quality).collect()}
     assert rows[5]["is_canonical"] and not rows[9]["is_canonical"]
+
+
+def test_band_plan_pigeonhole_property():
+    """Pure-math guard for the banding recall guarantee both
+    simhash_pairs and embedding_dup_pairs depend on: the bands
+    partition [0, bits) exactly, and ANY two signatures within
+    max_hamming differing bits agree on at least one band (pigeonhole:
+    max_hamming flips cannot hit all max_hamming+1 bands)."""
+    import itertools
+
+    from semantik_spark.operators.dedup import simhash_band_plan
+
+    for bits, max_hamming in [(8, 1), (8, 3), (12, 2), (60, 3), (60, 8), (5, 7)]:
+        plan = simhash_band_plan(bits, max_hamming)
+        covered = sorted(
+            b for _, lo, w in plan for b in range(lo, lo + w))
+        assert covered == list(range(bits)), (bits, max_hamming)
+        # brute-force the guarantee on the small cases. The pigeonhole
+        # holds for pairs within min(max_hamming, nbands-1) flips —
+        # when max_hamming >= bits the bands degrade to single bits and
+        # the guarantee caps at bits-1 (production params 60/<=8 and
+        # 8/1 are far inside the valid regime).
+        nbands = len(plan)
+        guaranteed = min(max_hamming, nbands - 1)
+        if bits <= 12:
+            masks = [((1 << w) - 1) << lo for _, lo, w in plan]
+            base = 0b0
+            for nf in range(1, guaranteed + 1):
+                for flips in itertools.combinations(range(bits), nf):
+                    other = base
+                    for f in flips:
+                        other ^= 1 << f
+                    agrees = any((base & m) == (other & m) for m in masks)
+                    assert agrees, (bits, max_hamming, flips)
+
+
+def test_repeated_passages_window_semantics(spark):
+    """Exact k-gram windows: identical passages across docs are flagged,
+    unique text is not, sub-k docs get zero windows."""
+    from semantik_spark.operators.dedup import repeated_passages
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame([
+        (1, shared + " alpha beta"),     # 7 tokens: 3 windows of 5
+        (2, shared + " gamma delta"),    # shares exactly the first window
+        (3, "totally different words here now and then"),
+        (4, "tiny doc"),                 # < k tokens
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in repeated_passages(docs, k=5).collect()}
+    assert rows[1]["n_windows"] == 3
+    assert rows[1]["n_dup_windows"] == 1   # only the shared prefix window
+    assert rows[2]["n_dup_windows"] == 1
+    assert rows[3]["n_dup_windows"] == 0
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_frac"] == 0.0
+    assert rows[1]["dup_frac"] == round(1 / 3, 6)
+
+
+def test_repeated_passages_within_doc_repeat_needs_min_docs(spark):
+    """A passage repeated only WITHIN one doc does not count at
+    min_docs=2 (distinct-doc semantics, like sentence dedup)."""
+    from semantik_spark.operators.dedup import repeated_passages
+
+    rep = "a b c d e"
+    docs = spark.createDataFrame(
+        [(1, rep + " x " + rep)], ["doc_id", "text"])
+    row = repeated_passages(docs, k=5).collect()[0]
+    assert row["n_dup_windows"] == 0
