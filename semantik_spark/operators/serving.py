@@ -35,20 +35,30 @@ from semantik_spark.functions.vectors import mock_embedding
 from semantik_spark.operators import bm25, search
 
 
-def build_index(docs: DataFrame, path: str,
-                id_col: str = "doc_id", text_col: str = "text") -> None:
-    """Materialize the search index under ``path``: terms/, postings/,
-    dense/ parquet tables. One tokenization pass feeds all three."""
+def build_sparse(docs: DataFrame, path: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Materialize the sparse half of the index (terms/ + postings/)
+    from the current corpus. Split out because BM25 idf/avgdl are
+    corpus-global: an exact refresh after document changes must rerun
+    this whole pass, while the dense half can stay append-only (see
+    streaming.incremental.incremental_index)."""
     tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
     stats = bm25.corpus_stats(tok)
     terms = bm25.term_stats(tok, stats)
     post = bm25.postings(tok, terms, stats)
     terms.write.mode("overwrite").parquet(f"{path}/terms")
     post.write.mode("overwrite").parquet(f"{path}/postings")
+    tok.unpersist()
+
+
+def build_index(docs: DataFrame, path: str,
+                id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Materialize the search index under ``path``: terms/, postings/,
+    dense/ parquet tables."""
+    build_sparse(docs, path, id_col=id_col, text_col=text_col)
     docs.select(
         F.col(id_col).alias("doc_id"), mock_embedding(text_col).alias("embedding")
     ).write.mode("overwrite").parquet(f"{path}/dense")
-    tok.unpersist()
 
 
 def bm25_serve(spark: SparkSession, path: str, queries: DataFrame,

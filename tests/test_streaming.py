@@ -147,3 +147,60 @@ def test_incremental_ingest_checkpoint_no_reprocess(spark, tmp_path):
                             catalog, ckpt, transform=add_len)
     q2.awaitTermination(120)
     assert spark.read.parquet(catalog).count() == 2
+
+def test_incremental_index_updates_serving_tables(spark, tmp_path):
+    """Streaming index maintenance e2e: two availableNow runs through
+    one checkpoint must leave (a) an append-only dense log whose
+    read-time upsert returns the NEWEST embedding per doc, and (b) an
+    exactly-rebuilt sparse index that scores terms that only exist in
+    the second batch."""
+    from semantik_spark.functions.vectors import mock_embedding
+    from semantik_spark.operators import serving
+    from semantik_spark.streaming.incremental import dense_latest, incremental_index
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx = str(tmp_path / "idx")
+    catalog = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    _write_json(drop / "b1.json", [
+        {"doc_id": 1, "text": "alpha bravo charlie"},
+        {"doc_id": 2, "text": "delta echo foxtrot"},
+    ])
+    q = incremental_index(stream_files(spark, str(drop), schema), idx, catalog, ckpt)
+    q.awaitTermination(120)
+    assert dense_latest(spark, idx).count() == 2
+
+    _write_json(drop / "b2.json", [
+        {"doc_id": 2, "text": "delta echo foxtrot"},           # unchanged → skipped
+        {"doc_id": 1, "text": "alpha bravo REWRITTEN"},        # changed → re-embedded
+        {"doc_id": 3, "text": "zulu yankee xray"},             # new
+    ])
+    q2 = incremental_index(stream_files(spark, str(drop), schema), idx, catalog, ckpt)
+    q2.awaitTermination(120)
+
+    latest = {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}
+    assert set(latest) == {1, 2, 3}
+    expect_new = spark.createDataFrame([("alpha bravo REWRITTEN",)], ["t"]) \
+        .select(mock_embedding("t").alias("e")).collect()[0]["e"]
+    assert list(latest[1]) == list(expect_new)  # upsert took the rewrite
+    # the log kept history: doc 1 has two entries, doc 2 only one
+    log = spark.read.parquet(f"{idx}/dense_log")
+    assert log.where("doc_id = 1").count() == 2
+    assert log.where("doc_id = 2").count() == 1
+
+    # sparse rebuild is exact over the latest corpus: a term that only
+    # exists in batch 2 must be servable, and the rewritten doc must
+    # rank for its new term, not its old one
+    qdf = spark.createDataFrame(
+        [("qz", "zulu"), ("qr", "rewritten"), ("qc", "charlie")],
+        ["query_id", "query_text"])
+    hits = serving.bm25_serve(spark, idx, qdf, k=3).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert by_q.get("qz") == [3]
+    assert by_q.get("qr") == [1]
+    assert "qc" not in by_q  # 'charlie' was overwritten away
