@@ -907,18 +907,18 @@ def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S7 routed parse over a mixed-format corpus: documents are
-    re-encoded as .txt/.json/.html/.eml/.pdf/.odt/.epub files
-    (deterministic constructions the oracle can invert), routed through
-    the registry, and parsed by the real stdlib parser families. The
-    two zip+XML families (.odt/.epub) are built in an Arrow-batched
-    mapInPandas stage (zip bytes can't be a Column expression) with
-    pinned zip metadata so the corpus is bit-deterministic. Verifies
-    routing, per-family dispatch, and text-layer round-trips in one
-    plan."""
+    re-encoded as .txt/.json/.html/.eml/.pdf/.odt/.epub/.doc/.ppt
+    files (deterministic constructions the oracle can invert), routed
+    through the registry, and parsed by the real stdlib parser
+    families. The zip+XML (.odt/.epub) and OLE-CFB (.doc/.ppt)
+    families are built in an Arrow-batched mapInPandas stage (binary
+    container bytes can't be a Column expression) with pinned metadata
+    so the corpus is bit-deterministic. Verifies routing, per-family
+    dispatch, and text-layer round-trips in one plan."""
     from semantik_spark.sources import parsers as P
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 9
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     esc = F.replace(
         F.replace(
@@ -940,7 +940,8 @@ def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = (
         F.when(m == 0, ".txt").when(m == 1, ".json").when(m == 2, ".html")
         .when(m == 3, ".eml").when(m == 4, ".pdf")
-        .when(m == 5, ".odt").otherwise(".epub")
+        .when(m == 5, ".odt").when(m == 6, ".epub")
+        .when(m == 7, ".doc").otherwise(".ppt")
     )
     flat = d.where(m <= 4).select(
         F.concat(F.lit("mixed/doc_"), F.col("doc_id").cast("string"), ext).alias("uri"),
@@ -959,6 +960,8 @@ def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
+        from semantik_spark.sources.parsers import make_doc_bytes, make_ppt_bytes
+
         def zip_bytes(members: list[tuple[str, str]]) -> bytes:
             buf = io.BytesIO()
             with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
@@ -971,7 +974,11 @@ def q_parse_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for uri, e, text in zip(pdf["uri"], pdf["extension"], pdf["text"]):
                 body = escape(text)
-                if e == ".odt":
+                if e == ".doc":
+                    raw = make_doc_bytes(text)
+                elif e == ".ppt":
+                    raw = make_ppt_bytes(text)
+                elif e == ".odt":
                     raw = zip_bytes([("content.xml",
                         '<office:document-content'
                         ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
@@ -1829,21 +1836,23 @@ FROM emb"""
 # the oracle predicts each parser family's text layer directly
 _ORACLE_PARSE_ROUTED = """
 WITH d AS (
-  SELECT doc_id, text, doc_id % 7 AS m, 'Doc ' || doc_id AS title,
-         CASE doc_id % 7 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
+  SELECT doc_id, text, doc_id % 9 AS m, 'Doc ' || doc_id AS title,
+         CASE doc_id % 9 WHEN 0 THEN '.txt' WHEN 1 THEN '.json'
               WHEN 2 THEN '.html' WHEN 3 THEN '.eml' WHEN 4 THEN '.pdf'
-              WHEN 5 THEN '.odt' ELSE '.epub' END AS ext
+              WHEN 5 THEN '.odt' WHEN 6 THEN '.epub'
+              WHEN 7 THEN '.doc' ELSE '.ppt' END AS ext
   FROM documents
 )
 SELECT 'mixed/doc_' || doc_id || ext AS uri,
        ext AS extension,
        CASE m WHEN 0 THEN 'text' WHEN 1 THEN 'structured'
               WHEN 2 THEN 'html' WHEN 3 THEN 'email' WHEN 4 THEN 'pdf'
-              ELSE 'office' END AS parser,
+              WHEN 5 THEN 'office' WHEN 6 THEN 'office'
+              ELSE 'ole' END AS parser,
        CASE m WHEN 0 THEN 'parsed' WHEN 3 THEN 'parsed'
-              WHEN 5 THEN CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
-              WHEN 6 THEN CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
-              ELSE 'ok' END AS parse_status,
+              WHEN 1 THEN 'ok' WHEN 2 THEN 'ok' WHEN 4 THEN 'ok'
+              ELSE CASE WHEN length(text) > 0 THEN 'ok' ELSE 'empty' END
+              END AS parse_status,
        CASE m
          WHEN 0 THEN text
          WHEN 1 THEN 'title: ' || title || chr(10) || 'body: ' || text

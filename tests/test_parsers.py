@@ -237,7 +237,7 @@ def test_registry_routes_new_families(spark):
          ("d.doc", ".doc")], ["uri", "extension"])
     routed = {r["uri"]: r["parser"] for r in route_parsers(df).collect()}
     assert routed == {"a.pdf": "pdf", "b.docx": "office",
-                      "c.json": "structured", "d.doc": "unstructured"}
+                      "c.json": "structured", "d.doc": "ole"}
 
 
 def _zip_bytes(members):
@@ -319,7 +319,7 @@ def test_registry_routes_odt_epub_to_office(spark):
 
     assert PARSER_REGISTRY[".odt"] == ("office",)
     assert PARSER_REGISTRY[".epub"] == ("office",)
-    assert PARSER_REGISTRY[".doc"] == ("unstructured",)
+    assert PARSER_REGISTRY[".doc"] == ("ole", "unstructured")
 
 
 def test_sniff_pdf_scanned_detection(spark):
@@ -344,3 +344,151 @@ def test_sniff_pdf_scanned_detection(spark):
         assert rows[name]["is_scanned_pdf"] == expect, (name, rows[name])
     assert rows["thin5p"]["n_pages"] == 5
     assert rows["text1p"]["text_chars"] == 200
+
+
+def _build_cfb(streams):
+    """Minimal MS-CFB writer for tests: 512-byte sectors, v3 header,
+    single FAT sector, miniFAT for streams under 4096 bytes. Sibling
+    pointers are left unset (readers walking the flat directory, like
+    ours, don't need the red-black tree)."""
+    import struct
+
+    SSZ, MSZ, CUTOFF = 512, 64, 4096
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+    small = {n: d for n, d in streams.items() if len(d) < CUTOFF}
+    big = {n: d for n, d in streams.items() if len(d) >= CUTOFF}
+
+    # mini stream: concat small streams padded to 64B sectors
+    mini_data, mini_starts, minifat = b"", {}, []
+    for n, d in small.items():
+        nsec = max(1, -(-len(d) // MSZ))
+        mini_starts[n] = len(minifat)
+        for i in range(nsec):
+            minifat.append(len(minifat) + 1 if i < nsec - 1 else END)
+        mini_data += d + b"\0" * (nsec * MSZ - len(d))
+
+    sectors = []          # payload sectors in order; FAT entries parallel
+    fat = []
+
+    def add_chain(data):
+        start = len(sectors)
+        nsec = max(1, -(-len(data) // SSZ))
+        for i in range(nsec):
+            sectors.append(data[i * SSZ:(i + 1) * SSZ].ljust(SSZ, b"\0"))
+            fat.append(len(sectors) if i < nsec - 1 else END)
+        return start
+
+    # directory entries
+    def dirent(name, etype, start, size):
+        raw = name.encode("utf-16-le")
+        e = raw.ljust(64, b"\0")[:64]
+        e += struct.pack("<HBB", len(raw) + 2, etype, 1)
+        e += struct.pack("<III", FREE, FREE, FREE)
+        e += b"\0" * 16 + b"\0" * 4 + b"\0" * 16
+        e += struct.pack("<IQ", start, size)
+        assert len(e) == 128
+        return e
+
+    # reserve layout: dir, minifat, ministream, big streams — build in
+    # dependency order using add_chain bookkeeping
+    entries = [None]  # root placeholder
+    body_chains = {}
+    # big streams first so their starts are known
+    for n, d in big.items():
+        body_chains[n] = add_chain(d)
+    minifat_start = END
+    if minifat:
+        mf = b"".join(struct.pack("<I", v) for v in minifat)
+        minifat_start = add_chain(mf)
+    mini_start = add_chain(mini_data) if mini_data else END
+    entries[0] = dirent("Root Entry", 5, mini_start, len(mini_data))
+    for n in streams:
+        if n in big:
+            entries.append(dirent(n, 2, body_chains[n], len(streams[n])))
+        else:
+            entries.append(dirent(n, 2, mini_starts[n], len(streams[n])))
+    dirdata = b"".join(entries)
+    dir_start = add_chain(dirdata)
+
+    # FAT sector itself
+    fat_sector_index = len(sectors)
+    fat_full = fat + [FATSECT]
+    fat_full += [FREE] * (SSZ // 4 - len(fat_full))
+    sectors.append(b"".join(struct.pack("<I", v) for v in fat_full))
+
+    header = _CFB_HEADER(dir_start, minifat_start, len(minifat),
+                         fat_sector_index)
+    return header + b"".join(sectors)
+
+
+def _CFB_HEADER(dir_start, minifat_start, n_minifat, fat_sector):
+    import struct
+
+    FREE, END = 0xFFFFFFFF, 0xFFFFFFFE
+    h = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\0" * 16
+    h += struct.pack("<HHHH", 0x003E, 0x0003, 0xFFFE, 9)
+    h += struct.pack("<H", 6) + b"\0" * 6
+    h += struct.pack("<IIIIIIIII", 0, 1, dir_start, 0, 4096,
+                     minifat_start if n_minifat else END,
+                     1 if n_minifat else 0, END, 0)
+    difat = [fat_sector] + [FREE] * 108
+    h += b"".join(struct.pack("<I", v) for v in difat)
+    assert len(h) == 512
+    return h
+
+
+def test_parse_doc_fib_window_small_stream(spark):
+    """.doc via the miniFAT path (stream < 4096): FIB fcMin/fcMac
+    window decodes the clear text; \\r becomes a paragraph break."""
+    import struct
+
+    from semantik_spark.sources.parsers import parse_ole
+
+    text = "Legacy Word line one.\rAnd line two."
+    wd = bytearray(1024)
+    wd[0:2] = struct.pack("<H", 0xA5EC)          # wIdent
+    struct.pack_into("<H", wd, 0x0A, 0)          # flags: not complex, cp1252
+    struct.pack_into("<II", wd, 0x18, 1024, 1024 + len(text))
+    doc = _build_cfb({"WordDocument": bytes(wd) + text.encode("cp1252")})
+    df = spark.createDataFrame([("a.doc", ".doc", doc)],
+                               ["uri", "extension", "content"])
+    row = parse_ole(df).collect()[0]
+    assert row["parse_status"] == "ok"
+    assert row["text"] == "Legacy Word line one.\nAnd line two."
+
+
+def test_parse_ppt_record_walk_regular_stream(spark):
+    """.ppt via the regular-FAT path (stream >= 4096): TextBytesAtom +
+    nested-container TextCharsAtom both surface, in record order."""
+    import struct
+
+    from semantik_spark.sources.parsers import parse_ole
+
+    def rec(rtype, body, container=False):
+        ver = 0x000F if container else 0
+        return struct.pack("<HHI", ver, rtype, len(body)) + body
+
+    inner = rec(0x0FA0, "Título dos".encode("utf-16-le"))
+    stream = rec(0x0FA8, b"Slide one text") + rec(0x03E8, inner, container=True)
+    stream += b"\0" * (4608 - len(stream))  # force regular FAT chain
+    ppt = _build_cfb({"PowerPoint Document": stream})
+    df = spark.createDataFrame([("b.ppt", ".ppt", ppt)],
+                               ["uri", "extension", "content"])
+    row = parse_ole(df).collect()[0]
+    assert row["parse_status"] == "ok"
+    assert row["text"] == "Slide one text\nTítulo dos"
+
+
+def test_parse_ole_corrupt_and_dispatch(spark):
+    from semantik_spark.sources.parsers import PARSER_REGISTRY, parse
+
+    assert PARSER_REGISTRY[".doc"][0] == "ole"
+    assert PARSER_REGISTRY[".ppt"][0] == "ole"
+    df = spark.createDataFrame(
+        [("x.doc", ".doc", b"garbage"), ("y.txt", ".txt", b"plain text")],
+        ["uri", "extension", "content"])
+    rows = {r["uri"]: r for r in parse(df).collect()}
+    assert rows["x.doc"]["parser"] == "ole"
+    assert rows["x.doc"]["parse_status"].startswith("error:")
+    assert rows["y.txt"]["text"] == "plain text"
