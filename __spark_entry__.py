@@ -512,6 +512,21 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_passages(_aug_docs(spark, sf_dir), k=10)
 
 
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab induction: top-200 tokens by collection
+    frequency with contiguous (freq DESC, term ASC) ids."""
+    return textanalysis.build_vocab(_t(spark, sf_dir, "documents"), size=200)
+
+
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash shard assignment + per-doc token counts —
+    the terminal sharded-output step of the training pipeline
+    (training.write_shards writes these partitions; the assignment is
+    the oracle-checkable part)."""
+    from semantik_spark.operators import training
+    return training.shard_assignments(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # chunking / pipeline ops
 # ---------------------------------------------------------------------------
@@ -1235,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_passages": q_dedup_passages,
         "stratified_sample": q_stratified_sample,
+        "text_vocab": q_text_vocab,
+        "corpus_shards": q_corpus_shards,
         # changed this round — must be in-window
         "parse_routed": q_parse_routed,
         "sniff_formats": q_sniff_formats,
@@ -1276,12 +1293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_mock_search": q_dense_mock_search,
         "splade_vectors": q_splade_vectors,
         "sparse_vectors": q_sparse_vectors,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
@@ -1619,6 +1636,26 @@ FROM documents JOIN c USING (source)""".format(
             h=oracles.hash60_expr("doc_id::VARCHAR || '#strat'")),
         "dedup_canonical": _ORACLE_DEDUP_CANONICAL.format(q=_ORACLE_QUALITY),
         "dedup_passages": oracles.q_repeated_passages(k=10, min_docs=2),
+        "text_vocab": """
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\s+'), x -> length(x) > 0)) AS term
+  FROM documents
+),
+fr AS (
+  SELECT term, count(*)::BIGINT AS freq, count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM tk GROUP BY term
+  ORDER BY freq DESC, term ASC LIMIT 200
+)
+SELECT term, freq, doc_freq,
+       (row_number() OVER (ORDER BY freq DESC, term ASC) - 1)::BIGINT AS vocab_id
+FROM fr""",
+        "corpus_shards": """
+SELECT doc_id,
+       ({h} % 16)::INT AS shard,
+       len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> length(x) > 0))::BIGINT AS n_tokens
+FROM documents""".format(h=oracles.hash60_expr("doc_id::VARCHAR || '#shard'")),
     }
 
 

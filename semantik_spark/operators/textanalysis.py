@@ -9,7 +9,7 @@ filters on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.config import ENGLISH_STOPWORDS, LANG_STOPWORDS
@@ -265,4 +265,37 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             "doc_id", "n_tokens",
             F.round(F.col("_slp").cast("double") / F.col("n_tokens"), 6).alias("avg_logprob"),
         )
+    )
+
+
+def build_vocab(docs: DataFrame, size: int = 1000,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Tokenizer-vocabulary induction: the top-``size`` whitespace
+    tokens by total collection frequency, with contiguous ids assigned
+    in (freq DESC, term ASC) order — the frequency-vocab step of
+    training-tokenizer pipelines (and the deterministic baseline a BPE
+    trainer starts from).
+
+    Returns term, freq, doc_freq, vocab_id (0-based).
+
+    Scale: one explode + groupBy(term) with map-side combine is the
+    wide shuffle; the top-N is TakeOrdered (no global sort
+    materialization), and the id window runs on the N surviving rows
+    only — a deliberate driver-scale single partition, same class as
+    the IVF codebook."""
+    from semantik_spark.functions.text import whitespace_tokens
+
+    freqs = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(whitespace_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("freq"),
+             F.count_distinct("doc_id").cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return freqs.select(
+        "term", "freq", "doc_freq",
+        (F.row_number().over(w) - 1).cast("bigint").alias("vocab_id"),
     )

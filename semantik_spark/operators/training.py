@@ -206,3 +206,41 @@ def stratified_sample(docs: DataFrame, stratum_col: str = "source",
             (residue < F.floor(rate * 1e6).cast("bigint")).alias("kept"),
         )
     )
+
+
+def shard_assignments(docs: DataFrame, n_shards: int = 16,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic hash sharding for training-corpus output: shard =
+    hash60(doc_id) % n_shards (balanced in expectation, stable across
+    runs/engines), with per-doc token counts carried for manifesting.
+    Returns doc_id, shard, n_tokens."""
+    from semantik_spark.functions.text import whitespace_tokens
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (hash60(F.concat(F.col(id_col).cast("string"), F.lit("#shard")))
+         % n_shards).cast("int").alias("shard"),
+        F.size(whitespace_tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def write_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Write the curated corpus as ``n_shards`` hash-assigned parquet
+    shards (partitionBy(shard) — one directory per shard, the layout
+    data-loader fleets expect) and return the manifest: shard, n_docs,
+    n_tokens. At 100 TB this is the terminal one-shuffle write of the
+    pipeline; hash assignment avoids the global sort a size-balanced
+    bin-packing would need while staying balanced in expectation."""
+    assign = shard_assignments(docs, n_shards, id_col, text_col)
+    out = docs.join(assign.select("doc_id", "shard", "n_tokens"),
+                    docs[id_col] == assign["doc_id"]).drop(assign["doc_id"])
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+        .orderBy("shard")
+    )

@@ -102,3 +102,13 @@ def test_curation_decision_reasons(spark):
     assert out[1]["reason"] == "too_short" and not out[1]["keep"]
     assert out[2]["reason"] == "repetitive" and not out[2]["keep"]
     assert out[3]["keep"] and out[3]["reason"] == "ok"
+
+
+def test_build_vocab_order_and_ids(spark):
+    from semantik_spark.operators.textanalysis import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd"), (3, "aa")], ["doc_id", "text"])
+    rows = build_vocab(docs, size=3).collect()
+    assert [(r["term"], r["freq"], r["doc_freq"], r["vocab_id"]) for r in rows] == [
+        ("aa", 4, 3, 0), ("bb", 2, 2, 1), ("cc", 1, 1, 2)]

@@ -138,3 +138,25 @@ def test_stratified_sample_rates_and_determinism(spark):
     kept_big2 = sorted(r["doc_id"] for r in out2 if r["stratum"] == "big" and r["kept"])
     assert kept_big == kept_big2
     assert 2 <= len(kept_big) <= 25  # hash-residue binomial around 10
+
+
+def test_write_shards_layout_and_manifest(spark, tmp_path):
+    """write_shards: partitionBy(shard) layout, manifest totals match
+    the corpus, assignment deterministic across runs."""
+    import os
+
+    from semantik_spark.operators.training import shard_assignments, write_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * (1 + i % 5)) for i in range(200)], ["doc_id", "text"])
+    out = str(tmp_path / "shards")
+    manifest = write_shards(docs, out, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in manifest) == 200
+    assert sum(r["n_tokens"] for r in manifest) == sum(1 + i % 5 for i in range(200))
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert 1 <= len(shard_dirs) <= 8
+    # hash balance: no shard takes more than half the corpus
+    assert max(r["n_docs"] for r in manifest) <= 100
+    a1 = {r["doc_id"]: r["shard"] for r in shard_assignments(docs, 8).collect()}
+    a2 = {r["doc_id"]: r["shard"] for r in shard_assignments(docs, 8).collect()}
+    assert a1 == a2
