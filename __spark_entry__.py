@@ -1158,6 +1158,44 @@ def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than
+    2.5 sample standard deviations from the event-type mean. Moments
+    are accumulated in DECIMAL (exact, order-independent) and only then
+    converted to double, so Spark and DuckDB derive bit-identical
+    mean/std and the |z| threshold can't flip on summation order. Plan:
+    one groupBy for the per-type moments (tiny), broadcast back onto
+    the scan — map-only flagging, the shape a 100 TB anomaly scan
+    needs."""
+    ev = _events(spark, sf_dir)
+    dv = F.col("value").cast("decimal(28,8)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum((dv * dv).cast("decimal(38,10)")).alias("s2"),
+    ).select(
+        "event_type", "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("n") >= 2) & (F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("mean", 6).alias("mean"),
+            F.round("sd", 6).alias("sd"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap for
@@ -1279,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "events_asof": q_events_asof,
         "events_range_window": q_events_range_window,
+        "events_anomaly": q_events_anomaly,
         "value_percentiles": q_value_percentiles,
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
@@ -1294,9 +1333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splade_vectors": q_splade_vectors,
         "sparse_vectors": q_sparse_vectors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1656,6 +1695,24 @@ SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                        x -> length(x) > 0))::BIGINT AS n_tokens
 FROM documents""".format(h=oracles.hash60_expr("doc_id::VARCHAR || '#shard'")),
+        "events_anomaly": """
+WITH st AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(value::DECIMAL(28,8)) AS s1,
+         sum((value::DECIMAL(28,8) * value::DECIMAL(28,8))::DECIMAL(38,10)) AS s2
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n, s1::DOUBLE / n AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)) AS sd
+  FROM st
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(m.mean, 6) AS mean,
+       round(m.sd, 6) AS sd,
+       round((e.value - m.mean) / m.sd, 6) AS z
+FROM events e JOIN m USING (event_type)
+WHERE m.n >= 2 AND m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 2.5""",
     }
 
 
