@@ -49,7 +49,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_sentences",
     "dedup_canonical",
+    "dedup_passages",
     "stratified_sample",
+    "events_anomaly",
     "text_quality",
     "pii_redact",
     "lm_quality",

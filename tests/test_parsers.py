@@ -492,3 +492,27 @@ def test_parse_ole_corrupt_and_dispatch(spark):
     assert rows["x.doc"]["parser"] == "ole"
     assert rows["x.doc"]["parse_status"].startswith("error:")
     assert rows["y.txt"]["text"] == "plain text"
+
+
+def test_cfb_reader_bounded_on_corruption():
+    """Seeded fuzz: random byte flips in a valid CFB file must either
+    parse or raise promptly — never hang (the chain walkers are
+    length-bounded) and never crash the worker loop (parse_ole maps
+    any exception to an error row)."""
+    import random
+    import struct
+
+    from semantik_spark.sources.parsers import _cfb_streams, make_doc_bytes
+
+    base = bytearray(make_doc_bytes("fuzz corpus text " * 40))
+    rng = random.Random(99)
+    for _ in range(60):
+        raw = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            raw[rng.randrange(len(raw))] = rng.randrange(256)
+        try:
+            out = _cfb_streams(bytes(raw))
+            assert isinstance(out, dict)
+        except (ValueError, struct.error, IndexError, KeyError,
+                MemoryError, OverflowError):
+            pass
