@@ -236,3 +236,51 @@ def test_sniff_pdf_is_map_only(spark):
     )
     plan = _plan(sniff_pdf(pdfs))
     assert "Exchange" not in plan
+
+
+def test_events_anomaly_broadcasts_stats(spark):
+    """The per-type moments (|event types| rows) must broadcast onto
+    the events scan — map-only flagging, no corpus shuffle on the
+    skewed event_type key."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_events_anomaly(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_shards_assignment_is_map_only(spark):
+    """Hash shard assignment is a pure per-row expression — zero
+    Exchange before the write."""
+    from semantik_spark.operators.training import shard_assignments
+
+    docs = _mk_docs(spark, 100)
+    plan = _plan(shard_assignments(docs, 16))
+    assert "Exchange" not in plan
+
+
+def test_build_vocab_uses_take_ordered(spark):
+    """Top-N vocab must be TakeOrdered (bounded), not a global sort of
+    the full term table."""
+    from semantik_spark.operators.textanalysis import build_vocab
+
+    docs = _mk_docs(spark, 100)
+    plan = _plan(build_vocab(docs, size=50))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_lsh_multi_table_no_cartesian(spark):
+    """Multi-table LSH must stay a (table, bucket) equi-join."""
+    from semantik_spark.operators.similarity import knn_lsh
+
+    emb = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (j + 2) % 89).cast("double") for j in range(8)]).alias("embedding"),
+    )
+    q = spark.range(3).select(
+        (F.col("id") + 1000).alias("query_id"),
+        F.array(*[(F.col("id") * (j + 3) % 83).cast("double") for j in range(8)]).alias("query_vec"),
+    )
+    plan = _plan(knn_lsh(emb, q, k=3, dim=8, nbits=6, n_tables=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
