@@ -45,7 +45,7 @@ PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
     ".yml": ("structured", "text"), ".xml": ("structured", "text"),
     ".csv": ("structured", "text"),
     ".html": ("html", "text"), ".htm": ("html", "text"),
-    ".eml": ("email", "text"), ".msg": ("email",),
+    ".eml": ("email", "text"), ".msg": ("msg", "email"),
     ".pdf": ("pdf",),
     ".docx": ("office",), ".pptx": ("office",), ".xlsx": ("office",),
     ".odt": ("office",), ".epub": ("office",),
@@ -576,7 +576,7 @@ def parse(files: DataFrame) -> DataFrame:
     families = {
         "email": parse_email, "html": parse_html,
         "structured": parse_structured, "pdf": parse_pdf,
-        "office": parse_office, "ole": parse_ole,
+        "office": parse_office, "ole": parse_ole, "msg": parse_msg,
     }
     for name, fn in families.items():
         fam_in = routed.where(F.col("parser") == name)
@@ -623,7 +623,9 @@ def _cfb_streams(raw: bytes) -> dict[str, bytes]:
         struct.unpack_from("<IIIIIIII", raw, 44)
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # sector 0 starts right after the header, which occupies one
+        # full sector: offset 512 in v3, 4096 in v4 — (i+1)*ssz both
+        off = (i + 1) * ssz
         return raw[off:off + ssz]
 
     # DIFAT: 109 entries in the header + continuation sectors
@@ -862,3 +864,51 @@ def make_ppt_bytes(text: str) -> bytes:
     body = text.encode("cp1252")
     stream = struct.pack("<HHI", 0, 0x0FA8, len(body)) + body
     return build_cfb({"PowerPoint Document": stream})
+
+
+def _msg_prop(streams: dict[str, bytes], tag: str) -> str:
+    """Outlook MSG property lookup: '__substg1.0_<tag><type>' streams,
+    type 001F = UTF-16LE, 001E = 8-bit."""
+    for suffix, enc in (("001F", "utf-16-le"), ("001E", "cp1252")):
+        data = streams.get(f"__substg1.0_{tag}{suffix}")
+        if data is not None:
+            return data.decode(enc, errors="replace")
+    return ""
+
+
+def parse_msg(files: DataFrame) -> DataFrame:
+    """S6/C11 Outlook .msg family: the MSG container is an OLE
+    compound file whose properties live in '__substg1.0_<tag><type>'
+    streams (public MS-OXMSG layout) — subject 0037, sender name/email
+    0C1A/0C1F, display-to 0E04, plain body 1000. Same output schema as
+    the RFC-2822 email family, CFB-decoded with stdlib only (the
+    registry previously fell through to the text parser on these)."""
+    src = files.select("uri", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for u, c in zip(pdf["uri"], pdf["content"]):
+                try:
+                    st = _cfb_streams(bytes(c))
+                    sender = _msg_prop(st, "0C1A") or _msg_prop(st, "0C1F")
+                    rows.append({
+                        "uri": u,
+                        "subject": _msg_prop(st, "0037"),
+                        "from_addr": sender,
+                        "to_addr": _msg_prop(st, "0E04"),
+                        "sent_at": "",
+                        "text": _msg_prop(st, "1000"),
+                        "parse_status": "parsed",
+                    })
+                except Exception as exc:  # noqa: BLE001
+                    rows.append({
+                        "uri": u, "subject": "", "from_addr": "", "to_addr": "",
+                        "sent_at": "", "text": "",
+                        "parse_status": f"error: {type(exc).__name__}",
+                    })
+            yield pd.DataFrame(rows, columns=["uri", "subject", "from_addr",
+                                              "to_addr", "sent_at", "text",
+                                              "parse_status"])
+
+    return src.mapInPandas(run, schema=_EMAIL_SCHEMA)

@@ -516,3 +516,36 @@ def test_cfb_reader_bounded_on_corruption():
         except (ValueError, struct.error, IndexError, KeyError,
                 MemoryError, OverflowError):
             pass
+
+
+def test_parse_msg_property_streams(spark):
+    """Outlook .msg: properties decoded from __substg1.0_* streams,
+    UTF-16 (001F) preferred, 8-bit (001E) fallback; registry routes
+    .msg to the CFB-backed family, falling back to email."""
+    from semantik_spark.sources.parsers import (
+        PARSER_REGISTRY, build_cfb, parse, parse_msg,
+    )
+
+    msg = build_cfb({
+        "__substg1.0_0037001F": "Quarterly report".encode("utf-16-le"),
+        "__substg1.0_0C1A001E": b"Alice Sender",
+        "__substg1.0_0E04001F": "Bob Recipient".encode("utf-16-le"),
+        "__substg1.0_1000001F": "Body line one\r\nBody line two".encode("utf-16-le"),
+    })
+    assert PARSER_REGISTRY[".msg"] == ("msg", "email")
+    df = spark.createDataFrame([("m.msg", ".msg", msg)],
+                               ["uri", "extension", "content"])
+    row = parse_msg(df).collect()[0]
+    assert row["parse_status"] == "parsed"
+    assert row["subject"] == "Quarterly report"
+    assert row["from_addr"] == "Alice Sender"
+    assert row["to_addr"] == "Bob Recipient"
+    assert "Body line one" in row["text"]
+
+    out = {r["uri"]: r for r in parse(df).collect()}
+    assert out["m.msg"]["parser"] == "msg"
+    assert out["m.msg"]["parse_status"] == "parsed"
+
+    bad = spark.createDataFrame([("z.msg", ".msg", b"not ole")],
+                                ["uri", "extension", "content"])
+    assert parse_msg(bad).collect()[0]["parse_status"].startswith("error:")
