@@ -179,3 +179,37 @@ def real_rerank_udf(model_name: str = RERANK_DEFAULT, batch_size: int = 32,
 
     return cross_encoder_udf(reranker_model_factory(model_name, device),
                              batch_size=batch_size)
+
+
+HYDE_DEFAULT = "distilgpt2"
+
+
+def hyde_generator_factory(model_name: str = HYDE_DEFAULT,
+                           device: str | None = None,
+                           max_new_tokens: int = 64):
+    """M5 slot: a real causal-LM hypothetical-document generator for
+    operators.hyde.expand_queries — greedy decoding (do_sample=False)
+    so expansion stays deterministic for a given model version, like
+    every other oracle-adjacent path. Returns a ``generator(str) ->
+    str`` callable; raises early when transformers/torch are absent
+    (use hyde.deterministic_generate there)."""
+    _require(transformers_available, "hyde_generator_factory")
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    dev = device or _pick_device()
+    tok = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModelForCausalLM.from_pretrained(model_name).to(dev).eval()
+
+    def generate(query: str) -> str:
+        prompt = f"Write a short passage answering: {query}\n"
+        with torch.no_grad():
+            ids = tok(prompt, return_tensors="pt").to(dev)
+            out = model.generate(**ids, max_new_tokens=max_new_tokens,
+                                 do_sample=False,
+                                 pad_token_id=tok.eos_token_id)
+        text = tok.decode(out[0][ids["input_ids"].shape[1]:],
+                          skip_special_tokens=True)
+        return f"{query} {text.strip()}"
+
+    return generate

@@ -90,3 +90,25 @@ def test_real_rerank_udf_orders_relevance(spark):
     rows = df.withColumn("s", real_rerank_udf(batch_size=2)(F.col("q"), F.col("d"))).collect()
     scores = {r["d"]: r["s"] for r in rows}
     assert scores["paris is the capital of france"] > scores["bananas are rich in potassium"]
+
+
+@pytest.mark.skipif(transformers_available(),
+                    reason="libs present — absence path not reachable")
+def test_hyde_factory_raises_clear_error_when_libs_absent():
+    from semantik_spark.functions.realmodels import hyde_generator_factory
+
+    with pytest.raises(ImportError, match="mock"):
+        hyde_generator_factory()
+
+
+@pytest.mark.skipif(not transformers_available(),
+                    reason="transformers/torch not in this image")
+def test_hyde_real_generator_expands_queries(spark):
+    from semantik_spark.functions.realmodels import hyde_generator_factory
+    from semantik_spark.operators.hyde import expand_queries
+
+    gen = hyde_generator_factory(max_new_tokens=8)
+    qdf = spark.createDataFrame([("q1", "what is bm25")], ["query_id", "query_text"])
+    row = expand_queries(qdf, generator=gen).collect()[0]
+    assert row["dense_query_text"].startswith("what is bm25 ")
+    assert len(row["dense_query_text"]) > len("what is bm25 ")
