@@ -518,6 +518,14 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.build_vocab(_t(spark, sf_dir, "documents"), size=200)
 
 
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-50 adjacent bigrams by PMI (Church &
+    Hanks 1990), min pair count 5; ranked on the rounded PMI so the
+    cut is engine-identical."""
+    return textanalysis.collocations(_t(spark, sf_dir, "documents"),
+                                     min_count=5, top_k=50)
+
+
 def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash shard assignment + per-doc token counts —
     the terminal sharded-output step of the training pipeline
@@ -1289,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": q_dedup_passages,
         "stratified_sample": q_stratified_sample,
         "text_vocab": q_text_vocab,
+        "text_collocations": q_text_collocations,
         "corpus_shards": q_corpus_shards,
         # changed this round — must be in-window
         "parse_routed": q_parse_routed,
@@ -1330,11 +1339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyde_hybrid": q_hyde_hybrid,
         "splade_search": q_splade_search,
         "dense_mock_search": q_dense_mock_search,
-        "splade_vectors": q_splade_vectors,
         "sparse_vectors": q_sparse_vectors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
+        "splade_vectors": q_splade_vectors,
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1713,6 +1722,36 @@ SELECT e.event_id, e.event_type,
        round((e.value - m.mean) / m.sd, 6) AS z
 FROM events e JOIN m USING (event_type)
 WHERE m.n >= 2 AND m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 2.5""",
+        "text_collocations": """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS n_w
+  FROM (SELECT unnest(toks) AS w FROM tk) s GROUP BY w
+),
+bg AS (
+  SELECT word_a, word_b, count(*)::BIGINT AS n_pair FROM (
+    SELECT toks[r.i] AS word_a, toks[r.i + 1] AS word_b
+    FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)
+    WHERE len(toks) >= 2
+  ) s GROUP BY word_a, word_b HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT sum(n_w)::DOUBLE FROM uni) AS t_uni,
+         (SELECT sum(n_pair)::DOUBLE FROM bg) AS t_big
+),
+sc AS (
+  SELECT word_a, word_b, n_pair, a.n_w AS n_a, b.n_w AS n_b,
+         log2((n_pair / t_big) / ((a.n_w / t_uni) * (b.n_w / t_uni))) AS pmi_raw
+  FROM bg JOIN uni a ON bg.word_a = a.w JOIN uni b ON bg.word_b = b.w, tot
+)
+SELECT word_a, word_b, n_pair, n_a, n_b, round(pmi_raw, 6) AS pmi
+FROM sc
+ORDER BY round(pmi_raw, 6) DESC, word_a ASC, word_b ASC
+LIMIT 50""",
     }
 
 

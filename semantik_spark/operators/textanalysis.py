@@ -299,3 +299,65 @@ def build_vocab(docs: DataFrame, size: int = 1000,
         "term", "freq", "doc_freq",
         (F.row_number().over(w) - 1).cast("bigint").alias("vocab_id"),
     )
+
+
+def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 50,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): PMI(a,b) = log2(P(ab) / (P(a)P(b))) over adjacent
+    token bigrams, keeping pairs seen at least ``min_count`` times and
+    returning the ``top_k`` by (PMI DESC, bigram ASC).
+
+    Returns word_a, word_b, n_pair, n_a, n_b, pmi (6dp).
+
+    Scale: unigram and bigram counts are two groupBys with map-side
+    combine; the count joins shuffle on the word key (vocab-scale, not
+    corpus-scale, after aggregation); totals broadcast; top-k is
+    TakeOrdered. PMI inputs are exact integers, so both engines derive
+    the same doubles."""
+    from semantik_spark.functions.text import whitespace_tokens
+
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      whitespace_tokens(text_col).alias("toks")).persist()
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    sz = F.size("toks")
+    width = sz - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width))
+    pairs = F.when(
+        sz >= 2,
+        F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = (
+        tok.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("double").alias("t_uni")
+    ).crossJoin(
+        big.agg(F.sum("n_pair").cast("double").alias("t_big"))
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("word_a"), F.col("n_w").alias("n_a")), "word_a")
+        .join(uni.select(F.col("w").alias("word_b"), F.col("n_w").alias("n_b")), "word_b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.log2((F.col("n_pair") / F.col("t_big"))
+                   / ((F.col("n_a") / F.col("t_uni")) * (F.col("n_b") / F.col("t_uni")))),
+        )
+    )
+    # rank on the ROUNDED pmi so the top-k cut is identical across
+    # engines even when raw doubles differ in the last ulp
+    return (
+        scored.orderBy(F.desc(F.round(F.col("pmi"), 6)),
+                       F.asc("word_a"), F.asc("word_b"))
+        .limit(top_k)
+        .select("word_a", "word_b", "n_pair", "n_a", "n_b",
+                F.round("pmi", 6).alias("pmi"))
+    )

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-EXPECTED_TOTAL = 86
+EXPECTED_TOTAL = 87
 
 
 def test_every_query_has_an_oracle():
@@ -34,7 +34,8 @@ def test_window_holds_rotation_invariants():
     for must in ("knn_recall", "pca_projection", "parse_routed",
                  "sniff_formats", "events_sliding", "dedup_embedding",
                  "dedup_canonical", "dedup_passages", "stratified_sample",
-                 "text_vocab", "corpus_shards", "events_anomaly",
+                 "text_vocab", "text_collocations", "corpus_shards",
+                 "events_anomaly",
                  "events_tumbling", "user_sessions", "events_asof",
                  "events_range_window"):
         assert must in window, f"{must} fell out of the driver window"

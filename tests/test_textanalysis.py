@@ -112,3 +112,20 @@ def test_build_vocab_order_and_ids(spark):
     rows = build_vocab(docs, size=3).collect()
     assert [(r["term"], r["freq"], r["doc_freq"], r["vocab_id"]) for r in rows] == [
         ("aa", 4, 3, 0), ("bb", 2, 2, 1), ("cc", 1, 1, 2)]
+
+
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    from semantik_spark.operators.textanalysis import collocations
+
+    # "new york" appears 5x; unigrams: new=5, york=5, other fillers
+    docs = spark.createDataFrame(
+        [(i, "new york is a big city and a busy city") for i in range(5)],
+        ["doc_id", "text"])
+    rows = collocations(docs, min_count=5, top_k=3).collect()
+    top = rows[0]
+    assert (top["word_a"], top["word_b"]) == ("new", "york")
+    # totals: 50 unigrams, 45 bigrams; p(ab)=5/45, p(a)=p(b)=5/50
+    expect = math.log2((5 / 45) / ((5 / 50) * (5 / 50)))
+    assert abs(top["pmi"] - round(expect, 6)) < 1e-9
