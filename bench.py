@@ -106,9 +106,14 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
             dt, _n = _timed(lambda: (serving.build_index(docs, idx_dir), 0)[1])
             build_times.append(dt)
         _record("index_build", build_times, med, lo, hi)
+        t0 = time.time()
+        serving.build_dense_ivf(docs, idx_dir, n_centroids=16)
+        med["index_build_ivf"] = lo["index_build_ivf"] = hi["index_build_ivf"] = \
+            round(time.time() - t0, 3)
         serves = [
             ("bm25_serve", lambda: serving.bm25_serve(spark, idx_dir, qdf, k=10)),
             ("dense_serve", lambda: serving.dense_serve(spark, idx_dir, qdf, k=10)),
+            ("dense_ivf_serve", lambda: serving.dense_serve_ivf(spark, idx_dir, qdf, k=10, nprobe=4)),
             ("hybrid_serve", lambda: serving.hybrid_serve(spark, idx_dir, qdf, k=10, search_k=20)),
         ]
         for name, fn in serves:

@@ -95,3 +95,75 @@ def hybrid_serve(spark: SparkSession, path: str, queries: DataFrame,
     dense = dense_serve(spark, path, queries, k=search_k)
     sparse = bm25_serve(spark, path, queries, k=search_k)
     return search.rrf_fuse(dense, sparse, k=k).where(F.col("doc_id").isNotNull())
+
+
+def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
+                    refine_iters: int = 1,
+                    id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Materialize the ANN-serving shape of the dense index: embeddings
+    written ``partitionBy(centroid_id)`` (one directory per IVF cell)
+    plus the codebook as a tiny parquet table. A probe then reads only
+    its cells from disk — real partition pruning, not a post-scan
+    filter — which is the 100 TB difference between scanning
+    nprobe/n_centroids of the corpus and scanning all of it."""
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _nearest_centroids, ivf_centroids, ivf_refine,
+    )
+
+    emb = docs.select(F.col(id_col).alias("doc_id"),
+                      mock_embedding(text_col).cast("array<double>").alias("embedding"))
+    cent_rows = ivf_centroids(emb, n_centroids, "doc_id", "embedding")
+    if refine_iters:
+        cent_rows = ivf_refine(emb, cent_rows, iters=refine_iters,
+                               id_col="doc_id", vec_col="embedding")
+    spark = docs.sparkSession
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    assigned = emb.crossJoin(codebook).withColumn(
+        "centroid_id", -F.array_max(_nearest_centroids("embedding"))["negcid"]
+    ).drop("cents")
+    assigned.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/dense_ivf")
+    spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
+        "cid bigint, cv array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
+                    k: int = 10, nprobe: int = 4,
+                    query_id_col: str = "query_id",
+                    query_text_col: str = "query_text") -> DataFrame:
+    """Dense top-k against the partitioned IVF index: queries pick
+    their ``nprobe`` nearest cells from the (collected, tiny) codebook,
+    the scan is restricted to those cells with an isin predicate that
+    Catalyst turns into PartitionFilters (asserted in
+    tests/test_plans.py), and exact cosine ranks inside the probed
+    cells only."""
+    from semantik_spark.functions.vectors import cosine
+    from semantik_spark.operators.similarity import _codebook_df, _nearest_centroids
+
+    cent_rows = [
+        {"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    ]
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        mock_embedding(query_text_col).cast("array<double>").alias("qv"),
+    )
+    top_cells = F.slice(F.reverse(F.array_sort(_nearest_centroids("qv"))), 1, nprobe)
+    probes = q.crossJoin(codebook).withColumn(
+        "centroid_id", F.explode(F.transform(top_cells, lambda s: -s["negcid"]))
+    ).drop("cents")
+    probed_cells = sorted({int(r["centroid_id"])
+                           for r in probes.select("centroid_id").distinct().collect()})
+    index = spark.read.parquet(f"{path}/dense_ivf").where(
+        F.col("centroid_id").isin(probed_cells)
+    )
+    scored = index.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "doc_id", cosine("embedding", "qv").alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -284,3 +284,22 @@ def test_knn_lsh_multi_table_no_cartesian(spark):
     plan = _plan(knn_lsh(emb, q, k=3, dim=8, nbits=6, n_tables=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dense_serve_ivf_prunes_partitions(spark, tmp_path):
+    """The probed-cell isin predicate must reach the scan as a
+    PartitionFilter on the centroid_id directory layout — disk-level
+    pruning, not a post-scan filter. This is the 100 TB serve shape:
+    a probe reads nprobe/n_centroids of the index."""
+    from semantik_spark.operators.serving import build_dense_ivf, dense_serve_ivf
+
+    docs = _mk_docs(spark, 120)
+    idx = str(tmp_path / "idx")
+    build_dense_ivf(docs, idx, n_centroids=8)
+    qdf = spark.createDataFrame([("q1", "token stream")], ["query_id", "query_text"])
+    out = dense_serve_ivf(spark, idx, qdf, k=5, nprobe=2)
+    plan = _plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "dense_ivf" in ln or "PartitionFilters" in ln]
+    assert any("PartitionFilters: [centroid_id" in ln.replace("#", " ")
+               or "PartitionFilters" in ln and "centroid_id" in ln
+               for ln in scan_lines), plan[:2000]

@@ -62,3 +62,34 @@ def test_serve_reads_prune_columns(spark, index_path):
     plan = serving.dense_serve(spark, index_path, qdf, k=10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # broadcast query side
+
+
+def test_dense_serve_ivf_full_probe_equals_exact(spark, tmp_path):
+    """nprobe == n_centroids → every cell read → identical to the
+    exact dense_serve ranking."""
+    from semantik_spark.operators.serving import (
+        build_dense_ivf, build_index, dense_serve, dense_serve_ivf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document about topic {i % 7} item {i}") for i in range(80)],
+        ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [("q1", "topic 3 item"), ("q2", "document about")],
+        ["query_id", "query_text"])
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    build_dense_ivf(docs, idx, n_centroids=8)
+    exact = sorted((r["query_id"], r["rank"], r["doc_id"])
+                   for r in dense_serve(spark, idx, qdf, k=5).collect())
+    ivf = sorted((r["query_id"], r["rank"], r["doc_id"])
+                 for r in dense_serve_ivf(spark, idx, qdf, k=5, nprobe=8).collect())
+    assert ivf == exact
+
+    # partial probe: a subset with TRUE cosine scores (never invented)
+    escore = {(r["query_id"], r["doc_id"]): r["score"]
+              for r in dense_serve(spark, idx, qdf, k=80).collect()}
+    part = dense_serve_ivf(spark, idx, qdf, k=5, nprobe=2).collect()
+    assert 0 < len(part) <= 10
+    for r in part:
+        assert abs(escore[(r["query_id"], r["doc_id"])] - r["score"]) < 1e-9
