@@ -204,3 +204,32 @@ def test_incremental_index_updates_serving_tables(spark, tmp_path):
     assert by_q.get("qz") == [3]
     assert by_q.get("qr") == [1]
     assert "qc" not in by_q  # 'charlie' was overwritten away
+
+def test_incremental_index_sparse_refresh_cadence(spark, tmp_path):
+    """sparse_refresh=False (the 100 TB cadence mode) must append to
+    the dense log without touching the sparse tables; a later
+    refresh=True run brings sparse up to date."""
+    import os
+
+    from semantik_spark.streaming.incremental import dense_latest, incremental_index
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx = str(tmp_path / "idx")
+    catalog = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    _write_json(drop / "b1.json", [{"doc_id": 1, "text": "alpha bravo"}])
+    q = incremental_index(stream_files(spark, str(drop), schema),
+                          idx, catalog, ckpt, sparse_refresh=False)
+    q.awaitTermination(120)
+    assert dense_latest(spark, idx).count() == 1
+    assert not os.path.exists(f"{idx}/postings")  # sparse deferred
+
+    _write_json(drop / "b2.json", [{"doc_id": 2, "text": "charlie delta"}])
+    q2 = incremental_index(stream_files(spark, str(drop), schema),
+                           idx, catalog, ckpt, sparse_refresh=True)
+    q2.awaitTermination(120)
+    assert dense_latest(spark, idx).count() == 2
+    assert spark.read.parquet(f"{idx}/postings").count() > 0  # caught up
