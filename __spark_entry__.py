@@ -1204,6 +1204,29 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view→click→purchase: per-step user
+    counts where each step strictly follows the user's earliest valid
+    chain through the previous steps. Join-chain plan — one filtered
+    aggregate + one user_id equi-join per step, no per-user event
+    arrays (operators/timeseries.py funnel)."""
+    return timeseries.funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-active-day cohorts × day offsets
+    0..7, fraction of cohort active at each offset."""
+    return timeseries.retention_cohorts(_events(spark, sf_dir), max_offset=7)
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract props.$.k with
+    get_json_object (JVM Jackson, no UDF) and aggregate per type."""
+    return timeseries.props_stats(_events(spark, sf_dir), "$.k")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap for
@@ -1327,6 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_window": q_events_range_window,
         "events_anomaly": q_events_anomaly,
+        # new in round 5 — must be in-window
+        "events_funnel": q_events_funnel,
+        "user_retention": q_user_retention,
+        "events_props_json": q_events_props_json,
         "value_percentiles": q_value_percentiles,
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
@@ -1338,11 +1365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics_agg": q_ir_metrics_agg,
         "hyde_hybrid": q_hyde_hybrid,
         "splade_search": q_splade_search,
+        # --- driver window boundary (50): everything below is
+        # UNCHANGED since round 3 and anchored by CORRECTNESS_r03 (the
+        # three demoted refresh picks dense_mock_search/sparse_vectors/
+        # dedup_minhash_lsh likewise)
         "dense_mock_search": q_dense_mock_search,
         "sparse_vectors": q_sparse_vectors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # --- driver window boundary (50): everything below is
-        # UNCHANGED since round 3 and anchored by CORRECTNESS_r03
         "splade_vectors": q_splade_vectors,
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
@@ -1418,6 +1447,46 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 SELECT epoch_us(time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP))::BIGINT AS bucket_us,
        event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "events_funnel": """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+),
+r0 AS (SELECT u, min(us) AS t FROM e WHERE et = 'view' GROUP BY u),
+r1 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r0 USING (u)
+       WHERE e.et = 'click' AND e.us > r0.t GROUP BY e.u),
+r2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r1 USING (u)
+       WHERE e.et = 'purchase' AND e.us > r1.t GROUP BY e.u),
+c AS (
+  SELECT 0 AS step_index, 'view' AS step, count(*)::BIGINT AS n_users FROM r0
+  UNION ALL
+  SELECT 1, 'click', count(*)::BIGINT FROM r1
+  UNION ALL
+  SELECT 2, 'purchase', count(*)::BIGINT FROM r2
+)
+SELECT step_index::INT AS step_index, step, n_users,
+       round(n_users / (SELECT n_users FROM c WHERE step_index = 0), 6) AS conversion
+FROM c""",
+        "user_retention": """
+WITH ud AS (SELECT DISTINCT user_id AS u, ts::TIMESTAMP::DATE AS d FROM events),
+f AS (SELECT u, min(d) AS cohort_day FROM ud GROUP BY u),
+sz AS (SELECT cohort_day, count(*)::BIGINT AS n_cohort FROM f GROUP BY cohort_day),
+act AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, ud.d)::INT AS day_offset,
+         count(*)::BIGINT AS n_active
+  FROM ud JOIN f USING (u)
+  WHERE date_diff('day', f.cohort_day, ud.d) <= 7
+  GROUP BY 1, 2
+)
+SELECT act.cohort_day::VARCHAR AS cohort_day, day_offset, n_active, n_cohort,
+       round(n_active / n_cohort, 6) AS retention
+FROM act JOIN sz USING (cohort_day)""",
+        "events_props_json": """
+WITH e AS (
+  SELECT event_type, try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type, count(k)::BIGINT AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+       sum(k)::BIGINT AS sum_k, round(avg(k), 6) AS avg_k
+FROM e GROUP BY event_type""",
         "user_sessions": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events

@@ -81,3 +81,119 @@ def preceding_range_window(keys: list[str], us_col: str, preceding_us: int) -> W
         .orderBy(F.col(us_col).cast("long"))
         .rangeBetween(-preceding_us, 0)
     )
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel conversion: for each step i, the number of users
+    with an ordered occurrence chain step_0 < step_1 < ... < step_i
+    (strictly increasing timestamps; the earliest valid chain is used,
+    which maximizes reach — picking min(t_i) subject to t_i > t_{i-1}
+    greedily is optimal for "did the user ever complete the prefix").
+
+    Shape: step i is one filter on ``type_col`` (a tiny fraction of the
+    stream) + one groupBy(user).min + one equi-join on ``user_col``
+    back to the previous stage. All k-1 joins and aggregations share
+    the user_col hash partitioning, so AQE reuses one exchange per
+    side; nothing here is quadratic and no per-user event array is ever
+    materialized (whale-user safe at 100 TB, unlike collect_list
+    formulations).
+
+    Returns (step_index, step, n_users, conversion) where conversion is
+    n_users / n_users(step_0) rounded to 6dp.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    stage = (
+        e.where(F.col("et") == steps[0])
+        .groupBy("u").agg(F.min("us").alias("t"))
+    )
+    counts = stage.agg(
+        F.lit(0).alias("step_index"), F.lit(steps[0]).alias("step"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            e.where(F.col("et") == s)
+            .join(stage, "u")
+            .where(F.col("us") > F.col("t"))
+            .groupBy("u").agg(F.min("us").alias("t2"))
+            .select("u", F.col("t2").alias("t"))
+        )
+        counts = counts.unionByName(nxt.agg(
+            F.lit(i).alias("step_index"), F.lit(s).alias("step"),
+            F.count("*").cast("bigint").alias("n_users"),
+        ))
+        stage = nxt
+    base = counts.where(F.col("step_index") == 0).select(
+        F.col("n_users").alias("n_base")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step_index", "step", "n_users",
+        F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
+    )
+
+
+def retention_cohorts(events: DataFrame, max_offset: int = 7,
+                      user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users are grouped by first-active day;
+    for each day offset 0..max_offset, the fraction of the cohort with
+    any activity exactly ``offset`` days after its cohort day.
+
+    Shape: one (user, day) distinct (map-side combinable), one
+    groupBy(user).min for cohort assignment, one broadcast-free
+    equi-join on user (both sides already hash-partitioned by user),
+    one final groupBy(cohort_day, offset). No window over per-user
+    event arrays, so skewed users cost nothing beyond their distinct
+    active days.
+    """
+    ud = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    first = ud.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    act = (
+        ud.join(first, "u")
+        .select("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"), "u")
+        .where(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return act.join(sizes, "cohort_day").select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_active", "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+def props_stats(events: DataFrame, json_path: str = "$.k",
+                type_col: str = "event_type",
+                props_col: str = "props") -> DataFrame:
+    """Semi-structured payload extraction: pull a numeric field out of
+    the JSON ``props_col`` with get_json_object (JVM-side Jackson path
+    evaluation — no Python, no UDF) and aggregate it per event type.
+    Null-safe: rows where the path is absent or non-numeric fall out of
+    the aggregates as SQL nulls. Map + one groupBy — at 100 TB the JSON
+    parse is the scan cost and the aggregation is map-side combined.
+    """
+    k = F.get_json_object(F.col(props_col), json_path).cast("bigint")
+    return (
+        events.select(F.col(type_col).alias("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

@@ -82,3 +82,82 @@ def test_preceding_range_window_includes_ts_peers(spark):
     w = preceding_range_window(["user"], "us", 1)
     ns = [r["n"] for r in ev.select(F.count("*").over(w).alias("n")).collect()]
     assert ns == [3, 3, 3]  # RANGE frames include all peers at the boundary
+
+
+def _funnel_events(spark):
+    # u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    # first view (out-of-order steps must not count); u3 views only;
+    # u4 has click at the exact view timestamp (strict > excludes it).
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 150),
+        (3, "view", 100),
+        (4, "view", 100), (4, "click", 100),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "us"]).select(
+        "user_id", "event_type", F.timestamp_micros("us").alias("ts")
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    from semantik_spark.operators.timeseries import funnel
+
+    out = funnel(_funnel_events(spark), ["view", "click", "purchase"])
+    got = {r["step"]: (r["n_users"], r["conversion"]) for r in out.collect()}
+    # u2's click precedes its view and u4's click ties the view ts, so
+    # only u1 advances past step 0
+    assert got == {"view": (4, 1.0), "click": (1, 0.25), "purchase": (1, 0.25)}
+
+
+def test_funnel_uses_earliest_chain(spark):
+    from semantik_spark.operators.timeseries import funnel
+
+    # user re-views after clicking: the EARLIEST view anchors the chain,
+    # so the later click still counts
+    rows = [(1, "view", 100), (1, "view", 900), (1, "click", 500)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "us"]).select(
+        "user_id", "event_type", F.timestamp_micros("us").alias("ts")
+    )
+    out = funnel(ev, ["view", "click"])
+    got = {r["step"]: r["n_users"] for r in out.collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_retention_cohorts(spark):
+    from semantik_spark.operators.timeseries import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (1, day), (1, 3 * day),        # cohort d0: active offsets 0,1,3
+        (2, 0), (2, day),                      # cohort d0: offsets 0,1
+        (3, day), (3, 2 * day),                # cohort d1: offsets 0,1
+        (4, 10 * day),                         # beyond max_offset from no one; own cohort
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "us"]).select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    out = retention_cohorts(ev, max_offset=7)
+    got = {(r["cohort_day"], r["day_offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+           for r in out.collect()}
+    assert got[("1970-01-01", 0)] == (2, 2, 1.0)
+    assert got[("1970-01-01", 1)] == (2, 2, 1.0)
+    assert got[("1970-01-01", 3)] == (1, 2, 0.5)
+    assert got[("1970-01-02", 0)] == (1, 1, 1.0)
+    assert got[("1970-01-02", 1)] == (1, 1, 1.0)
+    assert got[("1970-01-11", 0)] == (1, 1, 1.0)
+    assert ("1970-01-01", 2) not in got
+
+
+def test_props_stats_null_safe(spark):
+    from semantik_spark.operators.timeseries import props_stats
+
+    ev = spark.createDataFrame(
+        [("a", '{"k": 5}'), ("a", '{"k": 7}'), ("a", '{"x": 1}'),
+         ("b", None), ("b", '{"k": 2}')],
+        ["event_type", "props"],
+    )
+    out = props_stats(ev, "$.k")
+    got = {r["event_type"]: (r["n_with_k"], r["min_k"], r["max_k"], r["sum_k"], r["avg_k"])
+           for r in out.collect()}
+    assert got["a"] == (2, 5, 7, 12, 6.0)
+    assert got["b"] == (1, 2, 2, 2, 2.0)
