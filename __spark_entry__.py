@@ -1227,6 +1227,20 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.props_stats(_events(spark, sf_dir), "$.k")
 
 
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality/domain classifier stage (fastText-style):
+    multinomial naive Bayes over BM25 tokens, trained on the 4/5 split
+    of documents by doc_id, scored on the held-out 1/5. Exact-decimal
+    log-posteriors make the argmax engine-portable
+    (operators/classify.py)."""
+    from semantik_spark.operators.classify import naive_bayes_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(train, test, label_col="lang")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap for
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "user_retention": q_user_retention,
         "events_props_json": q_events_props_json,
+        "nb_classify": q_nb_classify,
         "value_percentiles": q_value_percentiles,
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
@@ -1364,11 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_metrics": q_ir_metrics,
         "ir_metrics_agg": q_ir_metrics_agg,
         "hyde_hybrid": q_hyde_hybrid,
-        "splade_search": q_splade_search,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03 (the
-        # three demoted refresh picks dense_mock_search/sparse_vectors/
-        # dedup_minhash_lsh likewise)
+        # demoted refresh picks splade_search/dense_mock_search/
+        # sparse_vectors/dedup_minhash_lsh likewise)
+        "splade_search": q_splade_search,
         "dense_mock_search": q_dense_mock_search,
         "sparse_vectors": q_sparse_vectors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1487,6 +1502,7 @@ WITH e AS (
 SELECT event_type, count(k)::BIGINT AS n_with_k, min(k) AS min_k, max(k) AS max_k,
        sum(k)::BIGINT AS sum_k, round(avg(k), 6) AS avg_k
 FROM e GROUP BY event_type""",
+        "nb_classify": oracles.q_nb_classify(5, "lang"),
         "user_sessions": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events

@@ -1770,3 +1770,66 @@ SELECT a.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
        round(CASE WHEN coalesce(per.n_windows, 0) > 0
                   THEN per.n_dup::DOUBLE / per.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM aug_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
+
+
+def q_nb_classify(holdout_mod: int = 5, label_col: str = "lang") -> str:
+    """Twin of classify.naive_bayes_classify: multinomial NB trained on
+    doc_id % holdout_mod != 0, scored on the held-out rest. Per-token
+    log-likelihoods and priors are round(ln(..), 6)::DECIMAL(12,6) so
+    the per-doc score is an exact decimal sum — argmax cannot flip on
+    float summation order in either engine."""
+    tokenize = (
+        f"list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), "
+        f"t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t))"
+    )
+    return f"""
+WITH tr AS (
+  SELECT doc_id, {label_col} AS label, {tokenize} AS toks
+  FROM documents WHERE doc_id % {holdout_mod} != 0
+),
+te AS (
+  SELECT doc_id, {label_col} AS label, {tokenize} AS toks
+  FROM documents WHERE doc_id % {holdout_mod} = 0
+),
+trtok AS (SELECT label, unnest(toks) AS term FROM tr),
+tc AS (SELECT label, term, count(*)::BIGINT AS cnt FROM trtok GROUP BY label, term),
+lt AS (SELECT label, sum(cnt)::BIGINT AS n_tok FROM tc GROUP BY label),
+voc AS (SELECT DISTINCT term FROM tc),
+vs AS (SELECT count(*)::BIGINT AS v FROM voc),
+cls AS (SELECT label, count(*)::BIGINT AS n_docs FROM tr GROUP BY label),
+model AS (
+  SELECT c.label, voc.term,
+         round(ln((coalesce(tc.cnt, 0) + 1)::DOUBLE / (lt.n_tok + vs.v)), 6)::DECIMAL(12,6) AS loglik
+  FROM voc
+  CROSS JOIN (SELECT label FROM cls) c
+  LEFT JOIN tc ON tc.label = c.label AND tc.term = voc.term
+  JOIN lt ON lt.label = c.label
+  CROSS JOIN vs
+),
+priors AS (
+  SELECT label,
+         round(ln(n_docs::DOUBLE / (SELECT sum(n_docs) FROM cls)), 6)::DECIMAL(12,6) AS prior
+  FROM cls
+),
+tetf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM te) s
+  GROUP BY doc_id, term
+),
+sc AS (
+  SELECT t.doc_id, m.label AS cand, p.prior + sum(t.tf * m.loglik) AS score_dec
+  FROM tetf t
+  JOIN model m USING (term)
+  JOIN priors p ON p.label = m.label
+  GROUP BY t.doc_id, m.label, p.prior
+),
+rk AS (
+  SELECT doc_id, cand, score_dec,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_dec DESC, cand ASC) AS rn
+  FROM sc
+)
+SELECT te.doc_id, te.label AS label, rk.cand AS predicted,
+       round(rk.score_dec::DOUBLE, 4) AS score,
+       (CASE WHEN rk.cand = te.label THEN 1 ELSE 0 END)::INT AS correct
+FROM rk JOIN te ON rk.doc_id = te.doc_id
+WHERE rk.rn = 1"""
