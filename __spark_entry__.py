@@ -384,19 +384,34 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: m=8 one-byte codes per vector (32×
+    storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
+    rescore of 20 survivors per query (operators/similarity.py knn_pq,
+    Jégou et al. 2011 PQ)."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(
+        similarity.knn_pq(corpus, queries, k=5, dim=64, m=8,
+                          n_centroids=16, rescore_k=20),
+        "cos",
+    )
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality: recall@5 of each approximate method against the
     exhaustive top-5 — one aggregated row per method, so a parameter
-    regression in lsh/ivf/quantized shows up as a value change."""
+    regression in lsh/ivf/quantized/pq shows up as a value change."""
     corpus, queries = _emb_split(spark, sf_dir)
     # n_queries*k rows, but each reference costs a full corpus scan —
-    # persist so the hit-join and denominator branches of all three
-    # methods reuse one exhaustive pass instead of six
+    # persist so the hit-join and denominator branches of all four
+    # methods reuse one exhaustive pass instead of eight
     exact = similarity.knn_bruteforce(corpus, queries, k=5).persist()
     methods = [
         ("ivf", similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4)),
         ("lsh", similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8)),
         ("quantized", similarity.knn_quantized(corpus, queries, k=5, rescore_k=20)),
+        ("pq", similarity.knn_pq(corpus, queries, k=5, dim=64, m=8,
+                                 n_centroids=16, rescore_k=20)),
     ]
     out = None
     for name, approx in methods:
@@ -1322,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r4 window: similarity + ANN quality (r2-anchored + new)
         "knn_recall": q_knn_recall,
+        "knn_pq": q_knn_pq,
         "pca_projection": q_pca_projection,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1378,11 +1394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "ir_metrics": q_ir_metrics,
         "ir_metrics_agg": q_ir_metrics_agg,
-        "hyde_hybrid": q_hyde_hybrid,
         # --- driver window boundary (50): everything below is
         # UNCHANGED since round 3 and anchored by CORRECTNESS_r03 (the
-        # demoted refresh picks splade_search/dense_mock_search/
-        # sparse_vectors/dedup_minhash_lsh likewise)
+        # demoted refresh picks hyde_hybrid/splade_search/
+        # dense_mock_search/sparse_vectors/dedup_minhash_lsh likewise)
+        "hyde_hybrid": q_hyde_hybrid,
         "splade_search": q_splade_search,
         "dense_mock_search": q_dense_mock_search,
         "sparse_vectors": q_sparse_vectors,
@@ -1559,6 +1575,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_lsh": oracles.q_knn_lsh(5, 64, 8),
         "knn_ivf": oracles.q_knn_ivf(5, 16, 4),
         "knn_quantized": oracles.q_knn_quantized(5, 20),
+        "knn_pq": oracles.q_knn_pq(5, 64, 8, 16, 20),
         "knn_recall": oracles.q_knn_recall(5),
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)

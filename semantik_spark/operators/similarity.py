@@ -297,6 +297,157 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _l2(a, b) -> F.Column:
+    """Squared L2 distance as an elementwise fold — the SAME algebraic
+    form as the oracle's list_zip sum, so both engines accumulate the
+    identical term sequence (only association order differs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(corpus: DataFrame, dim: int = 64, m: int = 8,
+                 n_centroids: int = 16, refine_iters: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_dp: int = 6) -> list:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    dim/m dimensions, each with ``n_centroids`` centroids seeded from
+    the smallest-id corpus vectors' subvectors and refined by
+    ``refine_iters`` Lloyd steps (squared-L2 assignment, per-dim means
+    ROUNDED to ``round_dp`` — the same rounding contract as ivf_refine,
+    which is what lets the DuckDB oracle replay training bit-for-bit).
+
+    Each refine step is ONE distributed job: the corpus explodes into
+    (vec_id, subspace, subvector) rows (m× row count, but d/m-wide
+    arrays — same total bytes), assigns against the broadcast codebook,
+    and aggregates groupBy(subspace, cid, dim) means. The collected
+    codebook is m·n_centroids·(dim/m) doubles = dim·n_centroids — tiny.
+
+    Returns [{"s": subspace, "cid": centroid id, "cv": [floats]}].
+    """
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    d = dim // m
+    spark = corpus.sparkSession
+    seed_rows = sorted(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.asc("cid")).limit(n_centroids).collect(),
+        key=lambda r: r["cid"],
+    )
+    book = [
+        {"s": s, "cid": int(r["cid"]),
+         "cv": [float(x) for x in r["cv"][s * d:(s + 1) * d]]}
+        for s in range(m) for r in seed_rows
+    ]
+    subs = F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            F.slice(F.col("v"), s * d + 1, d).alias("sv"),
+        )
+        for s in range(m)
+    ])).alias("sub")
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    exploded = c.select("vec_id", subs).select("vec_id", "sub.s", "sub.sv")
+    for _ in range(refine_iters):
+        cb = F.broadcast(spark.createDataFrame(
+            [([(b["s"], b["cid"], b["cv"]) for b in book],)],
+            "cents array<struct<s:int,cid:bigint,cv:array<double>>>",
+        ))
+        assigned = exploded.crossJoin(cb).withColumn(
+            "cid",
+            F.array_min(F.transform(
+                F.filter(F.col("cents"), lambda ct: ct["s"] == F.col("s")),
+                lambda ct: F.struct(_l2(F.col("sv"), ct["cv"]).alias("dist"),
+                                    ct["cid"].alias("cid")),
+            ))["cid"],
+        ).drop("cents")
+        means = (
+            assigned.select("s", "cid", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("s", "cid", "dim")
+            .agg(F.round(F.sum("val") / F.count("*"), round_dp).alias("mv"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((int(r["s"]), int(r["cid"])), {})[int(r["dim"])] = float(r["mv"])
+        book = [
+            {"s": b["s"], "cid": b["cid"],
+             "cv": [by_key[(b["s"], b["cid"])][i] for i in range(d)]
+             if (b["s"], b["cid"]) in by_key else b["cv"]}
+            for b in book
+        ]
+    return book
+
+
+def knn_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+           dim: int = 64, m: int = 8, n_centroids: int = 16,
+           rescore_k: int = 20, refine_iters: int = 1,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate cosine top-k via product quantization + exact
+    rescore. Every corpus vector is encoded as ``m`` centroid codes
+    (one byte each at n_centroids<=256 — a 32× storage cut vs float32
+    at dim=64/m=8); phase 1 ranks on the RECONSTRUCTED vector, which is
+    algebraically the ADC table-lookup score (dot(q, recon) = sum over
+    subspaces of dot(q_s, centroid_s)) normalized to cosine; phase 2
+    exact-rescores the ``rescore_k`` survivors per query (same late
+    materialization as knn_quantized).
+
+    100 TB shape: codes are computed in a narrow map over the scan
+    (broadcast codebook, no shuffle); the stored index is (vec_id,
+    codes) at ~m bytes/vector, and phase 2 hydrates full vectors for
+    rescore_k rows per query only.
+    """
+    d = dim // m
+    book = pq_codebooks(corpus, dim=dim, m=m, n_centroids=n_centroids,
+                        refine_iters=refine_iters, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    cb = F.broadcast(spark.createDataFrame(
+        [([(b["s"], b["cid"], b["cv"]) for b in book],)],
+        "cents array<struct<s:int,cid:bigint,cv:array<double>>>",
+    ))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+
+    def best_cv(s: int) -> F.Column:
+        cands = F.filter(F.col("cents"), lambda ct: ct["s"] == F.lit(s))
+        best_cid = F.array_min(F.transform(
+            cands,
+            lambda ct: F.struct(
+                _l2(F.slice(F.col("v"), s * d + 1, d), ct["cv"]).alias("dist"),
+                ct["cid"].alias("cid"),
+            ),
+        ))["cid"]
+        return F.element_at(
+            F.filter(cands, lambda ct: ct["cid"] == best_cid), 1
+        )["cv"]
+
+    recon = c.crossJoin(cb).select(
+        "vec_id", "v",
+        F.flatten(F.array(*[best_cv(s) for s in range(m)])).alias("rv"),
+    ).drop("cents")
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    approx = recon.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine("rv", "qv").alias("acos")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= rescore_k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        F.broadcast(cand).join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     """One-row ANN quality measurement: recall@k of ``approx`` against
     the exhaustive ``exact`` result (both (query_id, vec_id) sets from

@@ -1712,7 +1712,7 @@ FROM l1, l2, tot"""
 
 
 def q_knn_recall(k: int = 5) -> str:
-    """ANN recall@k oracle: per-method hit count of lsh/ivf/quantized
+    """ANN recall@k oracle: per-method hit count of lsh/ivf/quantized/pq
     against the exhaustive top-k, as one aggregated row per method
     (twin of similarity.recall_at_k; VERDICT r3 item 4)."""
     branches = []
@@ -1720,6 +1720,7 @@ def q_knn_recall(k: int = 5) -> str:
         ("ivf", q_knn_ivf(k=k)),
         ("lsh", q_knn_lsh(k=k)),
         ("quantized", q_knn_quantized(k=k)),
+        ("pq", q_knn_pq(k=k)),
     ):
         branches.append(f"""
 SELECT '{method}' AS method, n_hit, n_exact,
@@ -1833,3 +1834,77 @@ SELECT te.doc_id, te.label AS label, rk.cand AS predicted,
        (CASE WHEN rk.cand = te.label THEN 1 ELSE 0 END)::INT AS correct
 FROM rk JOIN te ON rk.doc_id = te.doc_id
 WHERE rk.rn = 1"""
+
+
+def _l2_expr(a: str, b: str) -> str:
+    """Squared L2 as an elementwise zip-sum (same term sequence as
+    similarity._l2's fold)."""
+    return (f"list_aggregate(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')")
+
+
+def q_knn_pq(k: int = 5, dim: int = 64, m: int = 8, n_centroids: int = 16,
+             rescore_k: int = 20, refine_iters: int = 1) -> str:
+    """Twin of similarity.knn_pq: per-subspace codebooks seeded from the
+    smallest-id corpus vectors' subvectors, refined by squared-L2 Lloyd
+    steps with 6dp-rounded means, codes by L2 argmin (tie -> smaller
+    cid), reconstruct, approximate-cosine rank, exact rescore."""
+    d = dim // m
+    refine = []
+    prev = "seed"
+    for i in range(refine_iters):
+        nxt = "cb" if i == refine_iters - 1 else f"cb{i + 1}"
+        refine.append(f"""
+passign{i} AS (
+  SELECT vec_id, s, sv, cid FROM (
+    SELECT subv.vec_id, subv.s, subv.sv, {prev}.cid,
+           row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                              ORDER BY {_l2_expr("subv.sv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
+    FROM subv JOIN {prev} ON {prev}.s = subv.s) WHERE rn = 1),
+pmeans{i} AS (
+  SELECT s, cid, list(mv ORDER BY dim) AS cv FROM (
+    SELECT s, cid, dim, round(sum(val) / count(*), 6) AS mv
+    FROM (SELECT s, cid, unnest(sv) AS val,
+                 unnest(range(1, len(sv) + 1)) AS dim FROM passign{i})
+    GROUP BY s, cid, dim) GROUP BY s, cid),
+{nxt} AS (
+  SELECT sd.s, sd.cid, coalesce(p.cv, sd.cv) AS cv
+  FROM {prev} sd LEFT JOIN pmeans{i} p ON p.s = sd.s AND p.cid = sd.cid)""")
+        prev = nxt
+    refine_sql = ",".join(refine)
+    alias = "" if refine_iters else ",\ncb AS (SELECT * FROM seed)"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+subv AS (
+  SELECT vec_id, s, list_slice(v, s * {d} + 1, (s + 1) * {d}) AS sv
+  FROM corpus CROSS JOIN (SELECT unnest(range({m})) AS s) ss),
+seed AS (
+  SELECT s, vec_id AS cid, sv AS cv FROM subv
+  WHERE vec_id IN (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT {n_centroids})){"," if refine_sql else ""}{refine_sql}{alias},
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT subv.vec_id, subv.s, cb.cid,
+           row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                              ORDER BY {_l2_expr("subv.sv", "cb.cv")} ASC, cb.cid ASC) AS rn
+    FROM subv JOIN cb ON cb.s = subv.s) WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id, flatten(list(cb.cv ORDER BY codes.s)) AS rv
+  FROM codes JOIN cb ON cb.s = codes.s AND cb.cid = codes.cid
+  GROUP BY codes.vec_id),
+approx AS (
+  SELECT q.query_id, recon.vec_id, {cosine_expr("recon.rv", "q.qv")} AS acos
+  FROM recon CROSS JOIN q),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
+    FROM approx) WHERE arank <= {rescore_k}),
+exact AS (
+  SELECT c2.query_id, c2.vec_id, {cosine_expr("corpus.v", "q.qv")} AS cos
+  FROM cand c2 JOIN corpus ON c2.vec_id = corpus.vec_id JOIN q ON c2.query_id = q.query_id),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM exact)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""

@@ -280,3 +280,62 @@ def test_knn_lsh_multi_table_improves_recall(spark):
                                     n_tables=8), "t8").collect()[0]["recall"]
     assert r8 >= r1
     assert r8 >= 0.3, (r1, r8)
+
+
+def test_knn_pq_recall_floor_on_testdata(spark):
+    """PQ regression tripwire on the real sf0.001 embeddings: measured
+    recall@5 = 0.40 at (m=8, 16 centroids, rescore 20) on this
+    isotropic 490-vector corpus (0.58 at sf0.01 — quality grows with
+    corpus density); floor set with margin so parameter regressions
+    trip."""
+    from semantik_spark.operators.similarity import knn_pq, recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_bruteforce(corpus, queries, k=5)
+    approx = knn_pq(corpus, queries, k=5, dim=64, m=8, n_centroids=16, rescore_k=20)
+    row = recall_at_k(exact, approx, "pq").collect()[0]
+    assert row["n_exact"] == 50, row
+    assert row["recall"] >= 0.35, row["recall"]
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    """m subspaces × n_centroids cells × dim/m dims; training twice
+    yields bit-identical codebooks (seeded + rounded Lloyd)."""
+    from semantik_spark.operators.similarity import pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).where(F.col("vec_id") >= 10)
+    b1 = pq_codebooks(emb, dim=64, m=8, n_centroids=16)
+    b2 = pq_codebooks(emb, dim=64, m=8, n_centroids=16)
+    assert b1 == b2
+    assert len(b1) == 8 * 16
+    assert all(len(b["cv"]) == 8 for b in b1)
+    # refinement actually moved centroids off their seeds
+    seeds = pq_codebooks(emb, dim=64, m=8, n_centroids=16, refine_iters=0)
+    assert b1 != seeds
+
+
+def test_knn_pq_rescore_scores_are_exact(spark):
+    """Phase-2 scores must equal the brute-force cosine for the same
+    (query, vec) pairs — PQ approximates the CANDIDATE SET, never the
+    returned score (late-materialization contract, like knn_quantized)."""
+    from semantik_spark.operators.similarity import knn_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"]): r["cos"]
+             for r in knn_bruteforce(corpus, queries, k=200).collect()}
+    for r in knn_pq(corpus, queries, k=5).collect():
+        assert abs(exact[(r["query_id"], r["vec_id"])] - r["cos"]) < 1e-9
