@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "knn_ivf",
     "knn_quantized",
+    "knn_pq",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_sentences",
@@ -52,6 +53,10 @@ BENCH_QUERIES = [
     "dedup_passages",
     "stratified_sample",
     "events_anomaly",
+    "events_funnel",
+    "user_retention",
+    "events_props_json",
+    "nb_classify",
     "text_quality",
     "pii_redact",
     "lm_quality",

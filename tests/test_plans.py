@@ -303,3 +303,73 @@ def test_dense_serve_ivf_prunes_partitions(spark, tmp_path):
     assert any("PartitionFilters: [centroid_id" in ln.replace("#", " ")
                or "PartitionFilters" in ln and "centroid_id" in ln
                for ln in scan_lines), plan[:2000]
+
+
+def test_funnel_no_cartesian_shared_user_partitioning(spark):
+    """Funnel's step joins are user_id equi-joins — never a nested-loop
+    product — and the only nested-loop in the plan is the broadcast of
+    the one-row base count onto the 3-row output."""
+    from semantik_spark.operators.timeseries import funnel
+
+    ev = spark.createDataFrame(
+        [(i % 7, ["view", "click", "purchase"][i % 3], i * 1000) for i in range(200)],
+        ["user_id", "event_type", "us"],
+    ).select("user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan
+    # step joins must be hash equi-joins on user
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_nb_scoring_single_aggregation_no_cartesian(spark):
+    """NB scoring: the model joins test tokens on term (equi-join), the
+    priors broadcast, and nothing degenerates to a cartesian product.
+    The vocab-size and totals cross-joins are 1-row broadcasts
+    (BroadcastNestedLoopJoin is expected for those, CartesianProduct is
+    not)."""
+    from semantik_spark.operators.classify import naive_bayes_classify
+
+    train = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"tok{i % 5} tok{i % 3} filler") for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100 + i, "a", f"tok{i % 5} filler") for i in range(10)],
+        ["doc_id", "lang", "text"],
+    )
+    plan = _plan(naive_bayes_classify(train, test))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_pq_phase1_no_shuffle_before_window(spark):
+    """PQ phase 1 (encode + reconstruct + approximate score) must be a
+    narrow map over the corpus scan — broadcast codebook and broadcast
+    query batch, with the ONLY exchanges being the two rank windows
+    (candidate + rescore) on query_id."""
+    from semantik_spark.operators.similarity import knn_pq
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) - 6.0 for j in range(16)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 16), (101, [-1.0] * 16)], ["query_id", "query_vec"]
+    )
+    plan = _plan(knn_pq(corpus, queries, k=3, dim=16, m=4, n_centroids=4, rescore_k=10))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_props_stats_map_side_aggregation(spark):
+    """JSON extraction is a pure map; the aggregate is one partial+final
+    pair (exactly one exchange, on event_type)."""
+    from semantik_spark.operators.timeseries import props_stats
+
+    ev = spark.createDataFrame(
+        [("t%d" % (i % 3), '{"k": %d}' % i) for i in range(100)],
+        ["event_type", "props"],
+    )
+    plan = _plan(props_stats(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
