@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "events_range_window",
     "bm25_postings",
     "bm25_search",
+    "more_like_this",
     "dense_mock_search",
     "hybrid_rrf",
     "ir_metrics",

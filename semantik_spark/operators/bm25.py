@@ -201,3 +201,44 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def more_like_this(docs: DataFrame, seed_pred, k: int = 10, top_terms: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokenized: DataFrame | None = None) -> DataFrame:
+    """Sparse "more-like-this": for every seed document (rows matching
+    ``seed_pred``), the top-k most similar documents by BM25-vector dot
+    product — the classic MLT query (Lucene MoreLikeThis; the
+    reference's find-similar UX rides its Qdrant recommend API), here
+    expressed as a postings self-join.
+
+    Each seed keeps only its ``top_terms`` strongest terms (weight
+    desc, term asc) — standard MLT term selection, and the scale
+    guard: the probe side is |seeds|·top_terms rows, broadcast into
+    the postings scan, so hot corpus terms never amplify the shuffle
+    beyond the one groupBy((seed, doc)). Self-pairs are excluded.
+
+    Returns (seed_id, doc_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    tok = tokenized if tokenized is not None \
+        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    stats = corpus_stats(tok)
+    post = postings(tok, term_stats(tok, stats), stats)
+    wt = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    seed_terms = (
+        post.where(seed_pred)
+        .withColumn("trank", F.row_number().over(wt))
+        .where(F.col("trank") <= top_terms)
+        .select(F.col("doc_id").alias("seed_id"), "term",
+                F.col("weight").alias("seed_weight"))
+    )
+    scored = (
+        post.join(F.broadcast(seed_terms), "term")
+        .where(F.col("doc_id") != F.col("seed_id"))
+        .groupBy("seed_id", "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("seed_weight")).alias("score"))
+    )
+    w = Window.partitionBy("seed_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1908,3 +1908,30 @@ rk AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
   FROM exact)
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
+def q_more_like_this(seed_mod: int = 100, k: int = 10, top_terms: int = 16) -> str:
+    """Twin of bm25.more_like_this: seeds = doc_id % seed_mod == 0,
+    each seed keeps its top_terms strongest postings (weight desc, term
+    asc), similarity = BM25-vector dot product over shared terms,
+    self-pairs excluded, top-k per seed (ties -> doc_id asc)."""
+    return f"""
+WITH {bm25_ctes().lstrip()},
+seed_terms AS (
+  SELECT doc_id AS seed_id, term, weight AS seed_weight FROM (
+    SELECT doc_id, term, weight,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY weight DESC, term ASC) AS trank
+    FROM post WHERE doc_id % {seed_mod} = 0) s
+  WHERE trank <= {top_terms}),
+scored AS (
+  SELECT st.seed_id, post.doc_id, sum(post.weight * st.seed_weight) AS score
+  FROM post JOIN seed_terms st USING (term)
+  WHERE post.doc_id != st.seed_id
+  GROUP BY st.seed_id, post.doc_id),
+rk AS (
+  SELECT seed_id, doc_id, score,
+         row_number() OVER (PARTITION BY seed_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT seed_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+FROM rk WHERE rank <= {k}"""

@@ -87,3 +87,47 @@ def test_sparse_vector_ordering(corpus):
     for r in sv:
         assert r["sparse_indices"] == sorted(r["sparse_indices"])  # :664-670
         assert len(r["sparse_indices"]) == len(r["sparse_values"])
+
+
+def test_more_like_this_excludes_self_and_ranks_duplicates_first(spark):
+    from pyspark.sql import functions as F
+    from semantik_spark.operators.bm25 import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle join executor memory"),
+            (1, "spark shuffle join executor memory"),   # near-dup of seed
+            (2, "spark shuffle different topic words"),
+            (3, "fruit apple banana melon orchard"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = more_like_this(docs, F.col("doc_id") == 0, k=3).collect()
+    assert all(r["doc_id"] != 0 for r in out)          # self excluded
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    assert by_rank[1] == 1                             # duplicate wins
+    # doc 3 shares no terms with the seed -> absent entirely
+    assert 3 not in {r["doc_id"] for r in out}
+
+
+def test_more_like_this_top_terms_pruning(spark):
+    from pyspark.sql import functions as F
+    """With top_terms=1 only the seed's strongest term drives matching:
+    neighbors sharing just weaker terms drop out."""
+    from semantik_spark.operators.bm25 import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            # 'zebra' is rare (high idf, tf 2 in seed) => seed's top term;
+            # 'common' appears everywhere => weak
+            (0, "zebra zebra common"),
+            (1, "zebra common common"),
+            (2, "common filler words"),
+            (3, "unrelated text entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = more_like_this(docs, F.col("doc_id") == 0, k=5)
+    pruned = more_like_this(docs, F.col("doc_id") == 0, k=5, top_terms=1)
+    assert {r["doc_id"] for r in full.collect()} == {1, 2}
+    assert {r["doc_id"] for r in pruned.collect()} == {1}
