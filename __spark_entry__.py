@@ -462,6 +462,43 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile over the embedding corpus — the same
+    deterministic Lloyd codebook the IVF index trains, surfaced as a
+    per-cluster coherence report (operators/similarity.py
+    cluster_profile)."""
+    corpus, _ = _emb_split(spark, sf_dir)
+    return similarity.cluster_profile(corpus, n_centroids=16, refine_iters=1)
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) approximate distinct users per event
+    type, with the exact count and relative error alongside
+    (operators/sketches.py kmv_distinct — the bounded-state estimator a
+    100 TB engine needs where exact COUNT(DISTINCT) shuffles every
+    value)."""
+    from semantik_spark.operators import sketches
+
+    return sketches.kmv_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", k=64, n_salts=32
+    )
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + CEFR-ish band per document — pure regexp
+    aggregates, zero shuffle (operators/textanalysis.py readability)."""
+    return textanalysis.readability(_t(spark, sf_dir, "documents"))
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing planner: per-source share vs a uniform target and
+    the down-sampling rates that realize it (operators/training.py
+    source_mix_plan)."""
+    from semantik_spark.operators import training
+
+    return training.source_mix_plan(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1433,15 +1470,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "doc_length_histogram": q_doc_length_histogram,
         "ngram_topk": q_ngram_topk,
-        # r3-green refresh picks (highest plan complexity first)
+        # new in round 4 (late additions) — must be in-window
+        "doc_clusters": q_doc_clusters,
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+        # --- driver window boundary (50): everything below is
+        # UNCHANGED since round 3 and anchored by CORRECTNESS_r03 (the
+        # demoted refresh picks bm25_postings/bm25_search/hybrid_rrf/
+        # ir_metrics/ir_metrics_agg/hyde_hybrid/splade_search/
+        # dense_mock_search/sparse_vectors/dedup_minhash_lsh likewise)
         "bm25_postings": q_bm25_postings,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
-        # --- driver window boundary (50): everything below is
-        # UNCHANGED since round 3 and anchored by CORRECTNESS_r03 (the
-        # demoted refresh picks ir_metrics/ir_metrics_agg/hyde_hybrid/
-        # splade_search/dense_mock_search/sparse_vectors/
-        # dedup_minhash_lsh likewise)
         "ir_metrics": q_ir_metrics,
         "ir_metrics_agg": q_ir_metrics_agg,
         "hyde_hybrid": q_hyde_hybrid,
@@ -1486,6 +1525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
+        # new in round 4 after the window filled — will rotate into the
+        # round-5 window for their first driver evaluation
+        "text_readability": q_text_readability,
+        "source_mix": q_source_mix,
     }
 
 
@@ -1638,6 +1681,10 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_quantized": oracles.q_knn_quantized(5, 20),
         "knn_pq": oracles.q_knn_pq(5, 64, 8, 16, 20),
         "knn_recall": oracles.q_knn_recall(5),
+        "doc_clusters": oracles.q_doc_clusters(16, 1),
+        "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
+        "text_readability": oracles.Q_TEXT_READABILITY,
+        "source_mix": oracles.Q_SOURCE_MIX,
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
 SELECT media_id,

@@ -481,3 +481,45 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
         F.col("n_exact").cast("bigint").alias("n_exact"),
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
     )
+
+
+def cluster_profile(corpus: DataFrame, n_centroids: int = 16,
+                    refine_iters: int = 1, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster corpus profile from the same deterministic k-means
+    the IVF index uses: seed with the ``n_centroids`` smallest-id
+    vectors, Lloyd-refine ``refine_iters`` times (ivf_refine — per-dim
+    means rounded to 6 dp so the codebook is engine-portable), assign
+    every vector to its nearest centroid (cosine, tie → smaller cid),
+    then aggregate per cluster.
+
+    This is the "document clustering" view the reference's projection
+    atlas colors by (webui/tasks/projection.py builds per-cluster
+    labels client-side); here it is a first-class distributed operator:
+    one broadcast codebook cross-join (narrow map), one groupBy on
+    centroid_id — no shuffle of vectors beyond the final tiny
+    aggregation. At 100 TB the assignment is the scan and the profile
+    is map-side combined.
+
+    Returns (centroid_id, n_vectors, avg_cos, min_vec_id, max_vec_id)
+    where avg_cos is the mean assignment cosine — a cluster-coherence
+    score (higher = tighter cluster).
+    """
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
+    codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    best = F.array_max(_nearest_centroids("v"))
+    assigned = c.crossJoin(codebook).select(
+        "vec_id",
+        (-best["negcid"]).alias("centroid_id"),
+        best["cos"].alias("cos"),
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

@@ -361,3 +361,47 @@ def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 50,
         .select("word_a", "word_b", "n_pair", "n_a", "n_b",
                 F.round("pmi", 6).alias("pmi"))
     )
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease scoring — the classic surface-statistics
+    readability measure used as a cheap quality/complexity signal in
+    corpus curation (alongside quality_features' length/punct ratios).
+
+    Counts are pure regexp aggregates so the whole operator is one
+    narrow JVM-side projection (WholeStageCodegen, zero shuffle, zero
+    Python): words = latin letter runs, sentences = terminal
+    punctuation runs (floored at 1), syllables = vowel-group runs
+    floored at one per word. flesch = 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words); docs with no words score null. A coarse
+    CEFR-ish band is derived from the score for group-by consumption.
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), words)
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            6,
+        ),
+    )
+    band = (
+        F.when(flesch.isNull(), F.lit("empty"))
+        .when(flesch >= 80, F.lit("easy"))
+        .when(flesch >= 60, F.lit("standard"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return docs.select(
+        F.col(id_col),
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        flesch.alias("flesch"),
+        band.alias("band"),
+    )

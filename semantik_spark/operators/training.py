@@ -244,3 +244,42 @@ def write_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
              F.sum("n_tokens").cast("bigint").alias("n_tokens"))
         .orderBy("shard")
     )
+
+
+def source_mix_plan(docs: DataFrame, source_col: str = "source",
+                    token_col: str | None = None) -> DataFrame:
+    """Domain-mixing planner: given the corpus's per-source composition,
+    compute the sampling rate each source needs to hit a UNIFORM target
+    mix (the degenerate but fully deterministic case of the weighted
+    domain mixes used for LLM pretraining data — the planner's algebra
+    is identical for any externally supplied weight vector).
+
+    Per source: its current document share, the uniform target share,
+    the mix weight target/current, and the down-sampling plan that
+    realizes the target without up-sampling — the largest achievable
+    uniform mix keeps min_source_count docs from every source, so
+    planned_n = min over sources of n_docs and sample_rate =
+    planned_n / n_docs (1.0 for the smallest source, <1 for the rest).
+
+    Shape: one groupBy(source) over the corpus (map-side combined),
+    then a broadcast of the tiny per-source table against its own
+    1-row global aggregate — the 100 TB cost is the single scan.
+    """
+    weight_col = F.count("*") if token_col is None else F.sum(token_col)
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        weight_col.cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.min("n_docs").cast("bigint").alias("planned_n"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round((F.col("n_total") / F.col("n_sources")) / F.col("n_docs"), 6).alias("mix_weight"),
+        F.col("planned_n"),
+        F.round(F.col("planned_n") / F.col("n_docs"), 6).alias("sample_rate"),
+    )

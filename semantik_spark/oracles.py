@@ -1935,3 +1935,106 @@ rk AS (
   FROM scored)
 SELECT seed_id, doc_id, round(score, 6) AS score, rank::INT AS rank
 FROM rk WHERE rank <= {k}"""
+
+
+def q_doc_clusters(n_centroids: int = 16, refine_iters: int = 1) -> str:
+    """Twin of similarity.cluster_profile: identical centroid seeding +
+    Lloyd refinement as q_knn_ivf (per-dim means rounded 6 dp), then
+    nearest-centroid assignment with its cosine kept, aggregated per
+    cluster."""
+    refine = []
+    prev = "cent0"
+    for i in range(refine_iters):
+        nxt = "cent" if i == refine_iters - 1 else f"cent{i + 1}"
+        refine.append(f"""
+rassign{i} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, {prev}.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM corpus CROSS JOIN {prev}) WHERE rn = 1),
+rmeans{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign{i})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+{nxt} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN rmeans{i} m USING (cid))""")
+        prev = nxt
+    refine_sql = ",".join(refine)
+    alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
+assigned AS (
+  SELECT vec_id, cid AS centroid_id, cos FROM (
+    SELECT corpus.vec_id, cent.cid, {cosine_expr("corpus.v", "cent.cv")} AS cos,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM corpus CROSS JOIN cent) WHERE rn = 1)
+SELECT centroid_id, count(*)::BIGINT AS n_vectors, round(avg(cos), 6) AS avg_cos,
+       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+FROM assigned GROUP BY centroid_id"""
+
+
+def q_approx_distinct_kmv(k: int = 64) -> str:
+    """Twin of sketches.kmv_distinct: k smallest distinct hash60-based
+    values per group; estimate (k-1)/u_k, exact count alongside. The
+    salted two-phase Spark plan merges to exactly the global k-smallest
+    distinct hash set, which is what this single-pass SQL computes."""
+    h = hash60_expr("user_id")
+    space = float(2**60)
+    est = f"CASE WHEN sk.n_sketch < {k} THEN sk.n_sketch::DOUBLE ELSE {float(k - 1)} / sk.u_k END"
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, user_id AS val,
+         ({h} + 1) / {space!r} AS u
+  FROM events),
+du AS (SELECT DISTINCT g, u FROM base),
+rk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn FROM du),
+sk AS (SELECT g, count(*) AS n_sketch, max(u) AS u_k FROM rk WHERE rn <= {k} GROUP BY g),
+ex AS (SELECT g, count(*) AS n_exact FROM du GROUP BY g)
+SELECT ex.g AS event_type, ex.n_exact::BIGINT AS n_exact, sk.n_sketch::INT AS n_sketch,
+       round({est}, 6) AS kmv_estimate,
+       round(abs({est} - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM sk JOIN ex ON sk.g = ex.g"""
+
+
+Q_TEXT_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                  len(regexp_extract_all(text, '[A-Za-z]+'))) AS y
+  FROM documents),
+f AS (
+  SELECT doc_id, w, s, y,
+         CASE WHEN w > 0
+              THEN round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+         END AS flesch
+  FROM c)
+SELECT doc_id, w::INT AS n_words, s::INT AS n_sentences, y::INT AS n_syllables,
+       flesch,
+       CASE WHEN flesch IS NULL THEN 'empty'
+            WHEN flesch >= 80 THEN 'easy'
+            WHEN flesch >= 60 THEN 'standard'
+            WHEN flesch >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM f"""
+
+
+Q_SOURCE_MIX = """
+WITH per AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs)::BIGINT AS n_total, count(*)::BIGINT AS n_sources,
+               min(n_docs)::BIGINT AS planned_n FROM per)
+SELECT source, n_docs,
+       round(n_docs / n_total, 6) AS share,
+       round(1.0 / n_sources, 6) AS target_share,
+       round((n_total / n_sources) / n_docs, 6) AS mix_weight,
+       planned_n,
+       round(planned_n / n_docs, 6) AS sample_rate
+FROM per CROSS JOIN tot"""

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-EXPECTED_TOTAL = 87
+EXPECTED_TOTAL = 99
 
 
 def test_every_query_has_an_oracle():
@@ -37,7 +37,11 @@ def test_window_holds_rotation_invariants():
                  "text_vocab", "text_collocations", "corpus_shards",
                  "events_anomaly",
                  "events_tumbling", "user_sessions", "events_asof",
-                 "events_range_window"):
+                 "events_range_window",
+                 "nb_classify", "more_like_this", "cube_agg",
+                 "order_priority", "value_percentiles",
+                 "doc_length_histogram", "ngram_topk", "knn_pq",
+                 "doc_clusters", "approx_distinct_kmv"):
         assert must in window, f"{must} fell out of the driver window"
 
 

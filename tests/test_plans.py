@@ -373,3 +373,55 @@ def test_props_stats_map_side_aggregation(spark):
     plan = _plan(props_stats(ev))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_bounded_state_two_exchanges(spark):
+    """KMV distinct: exactly the two aggregation exchanges of the
+    salted two-phase merge — no window (which would sort every distinct
+    value of a group on one task) and no Python."""
+    from semantik_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 97).alias("v")
+    )
+    plan = _plan(kmv_distinct(df, "g", "v", k=16, n_salts=8))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_readability_is_map_only(spark):
+    """Flesch scoring is a narrow regexp projection: zero exchange,
+    zero Python, inside WholeStageCodegen."""
+    from semantik_spark.operators.textanalysis import readability
+
+    plan = _plan(readability(_mk_docs(spark)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # single whole-stage-codegen span
+
+
+def test_cluster_profile_single_aggregation(spark):
+    """doc_clusters: the only real shuffle is the final per-cluster
+    groupBy — the codebook join must be broadcast, never a shuffled
+    cartesian."""
+    from semantik_spark.operators.similarity import cluster_profile
+
+    corpus = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") for i in range(8)]).alias("embedding"),
+    )
+    plan = _plan(cluster_profile(corpus, n_centroids=4, refine_iters=1))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_source_mix_broadcasts_global_agg(spark):
+    """source_mix: per-source agg joined to its own 1-row global
+    aggregate — the join side must broadcast."""
+    from semantik_spark.operators.training import source_mix_plan
+
+    df = _mk_docs(spark).withColumn("source", (F.col("doc_id") % 4).cast("string"))
+    plan = _plan(source_mix_plan(df, "source"))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

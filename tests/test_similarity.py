@@ -339,3 +339,29 @@ def test_knn_pq_rescore_scores_are_exact(spark):
              for r in knn_bruteforce(corpus, queries, k=200).collect()}
     for r in knn_pq(corpus, queries, k=5).collect():
         assert abs(exact[(r["query_id"], r["vec_id"])] - r["cos"]) < 1e-9
+
+
+def test_cluster_profile_partitions_corpus(spark):
+    """cluster_profile: every vector lands in exactly one cluster, ids
+    come from the seeded codebook, and clustered data yields coherent
+    clusters (avg assignment cosine near 1)."""
+    import random
+
+    from semantik_spark.operators.similarity import cluster_profile
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 4, 25
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.uniform(-0.02, 0.02) for x in c]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    prof = cluster_profile(corpus, n_centroids=8, refine_iters=1).collect()
+    assert sum(r["n_vectors"] for r in prof) == len(rows)
+    assert all(0 <= r["centroid_id"] < 8 for r in prof)  # seeded from smallest ids
+    # tight synthetic clusters → mean assignment cosine high everywhere
+    assert all(r["avg_cos"] > 0.95 for r in prof)
+    assert all(r["min_vec_id"] <= r["max_vec_id"] for r in prof)

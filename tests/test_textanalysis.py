@@ -129,3 +129,21 @@ def test_collocations_pmi_hand_computed(spark):
     # totals: 50 unigrams, 45 bigrams; p(ab)=5/45, p(a)=p(b)=5/50
     expect = math.log2((5 / 45) / ((5 / 50) * (5 / 50)))
     assert abs(top["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_readability_known_text(spark):
+    from semantik_spark.operators.textanalysis import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "Antidisestablishmentarianism notwithstanding, heterogeneous methodologies proliferate.")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # all six words are monosyllabic vowel-group-wise
+    assert r1["n_syllables"] == 6
+    assert r1["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    assert r1["band"] == "easy"
+    assert out[2]["flesch"] is None and out[2]["band"] == "empty"
+    assert out[3]["band"] in ("difficult", "very_difficult")

@@ -160,3 +160,16 @@ def test_write_shards_layout_and_manifest(spark, tmp_path):
     a1 = {r["doc_id"]: r["shard"] for r in shard_assignments(docs, 8).collect()}
     a2 = {r["doc_id"]: r["shard"] for r in shard_assignments(docs, 8).collect()}
     assert a1 == a2
+
+
+def test_source_mix_plan(spark):
+    from semantik_spark.operators.training import source_mix_plan
+
+    rows = [("a", i) for i in range(60)] + [("b", i) for i in range(30)] + [("c", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {r["source"]: r for r in source_mix_plan(df).collect()}
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+    assert out["c"]["sample_rate"] == 1.0  # smallest source keeps everything
+    assert out["a"]["planned_n"] == 10 and out["a"]["sample_rate"] == round(10 / 60, 6)
+    assert out["b"]["mix_weight"] == round((100 / 3) / 30, 6)
+    assert all(r["target_share"] == round(1 / 3, 6) for r in out.values())
