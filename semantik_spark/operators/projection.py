@@ -162,12 +162,128 @@ def tsne_project(emb: DataFrame, cap: int = 2000, perplexity: float = 30.0,
     return spark.createDataFrame(out)
 
 
-def umap_project(emb: DataFrame, **_kw) -> DataFrame:
-    """UMAP is a driver-side iterative algorithm; the umap-learn package
-    is not in this image. The Spark-side contract (sampled collect →
-    fit → parallelize back) is real — identical to tsne_project's — and
-    the fit slot is stubbed. Use tsne_project or pca_project."""
-    raise NotImplementedError(
-        "UMAP requires umap-learn; use tsne_project/pca_project, or plug "
-        "the fitted reducer into sample_for_driver(emb).toPandas()"
+def _umap_fit(X, n_neighbors: int = 15, n_iter: int = 200,
+              min_dist: float = 0.1, lr: float = 1.0):
+    """Deterministic full-batch UMAP (McInnes, Healy & Melville 2018)
+    on a numpy array — self-contained replacement for the umap-learn
+    dependency the reference uses (webui/tasks/projection.py:315-339).
+
+    Faithful to the paper's construction: exact kNN graph; smooth-kNN
+    fuzzy membership (rho = nearest-neighbor distance, per-point sigma
+    binary-searched so the membership sum is log2(k)); probabilistic
+    t-conorm symmetrization P + Pᵀ - P∘Pᵀ; spectral initialization from
+    the symmetric-normalized graph Laplacian; the standard low-dim
+    kernel 1/(1 + a·d^{2b}) with (a, b) fitted for min_dist = 0.1.
+
+    One deliberate deviation, for determinism: the paper optimizes
+    cross-entropy by negative-sampling SGD (RNG-dependent); here the
+    same objective is minimized by FULL-BATCH gradient descent — every
+    attractive edge and every repulsive pair evaluated each step with a
+    linearly decaying learning rate. O(n²) per iteration, which is
+    exactly the regime the driver-side sample cap (reference's 50k SVD
+    cap, here default 1-2k) exists for. No RNG anywhere: identical
+    input ⇒ identical layout.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if n <= 3:  # too few points for a graph; trivial stable layout
+        return np.zeros((n, 2))
+    k = min(n_neighbors, n - 1)
+    # (a, b) for min_dist=0.1 per the umap-learn curve fit; other
+    # min_dist values re-fit offline the same way
+    a, b = (1.577, 0.8951) if abs(min_dist - 0.1) < 1e-9 else (1.929, 0.7915)
+
+    ss = (X ** 2).sum(1)
+    D = np.sqrt(np.maximum(ss[:, None] + ss[None, :] - 2.0 * (X @ X.T), 0.0))
+    np.fill_diagonal(D, np.inf)
+    knn_idx = np.argsort(D, axis=1)[:, :k]  # argsort ties → smallest index, deterministic
+    knn_d = np.take_along_axis(D, knn_idx, axis=1)
+
+    # smooth-kNN calibration: rho = distance to nearest neighbor,
+    # sigma_i solves sum_j exp(-max(0, d_ij - rho_i)/sigma_i) = log2(k)
+    rho = knn_d[:, 0]
+    target = np.log2(k) if k > 1 else 1.0
+    sigma = np.ones(n)
+    for i in range(n):
+        lo, hi, s = 0.0, np.inf, 1.0
+        di = np.maximum(knn_d[i] - rho[i], 0.0)
+        for _ in range(64):
+            v = np.exp(-di / s).sum()
+            if abs(v - target) < 1e-5:
+                break
+            if v > target:
+                hi = s
+                s = (lo + s) / 2.0
+            else:
+                lo = s
+                s = s * 2.0 if hi == np.inf else (s + hi) / 2.0
+        sigma[i] = s
+
+    P = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), k)
+    P[rows, knn_idx.ravel()] = np.exp(
+        -np.maximum(knn_d - rho[:, None], 0.0) / sigma[:, None]
+    ).ravel()
+    P = P + P.T - P * P.T  # fuzzy-union t-conorm
+
+    # spectral init: leading nontrivial eigenvectors of D^-1/2 A D^-1/2
+    deg = np.maximum(P.sum(1), 1e-12)
+    Dn = 1.0 / np.sqrt(deg)
+    M = P * Dn[:, None] * Dn[None, :]
+    vals, vecs = np.linalg.eigh(M)  # ascending; top = trivial component
+    Y = vecs[:, [-2, -3]] * Dn[:, None]
+    Y = (Y - Y.mean(0)) / max(Y.std(), 1e-12) * 10.0
+
+    # Full-batch analogue of umap-learn's SGD epoch: each pair's update
+    # is the CLIPPED per-sample gradient (±4/coord — the clip is what
+    # keeps close-range repulsion from exploding) times the frequency
+    # the sampler would draw it: attractive edges ∝ membership P_ij,
+    # repulsive pairs ∝ neg_rate·k/n (k edges/point, neg_rate negatives
+    # per edge, n candidate partners).
+    eps = 1e-3
+    neg_rate = 5.0
+    rep_freq = neg_rate * k / max(n - 1, 1)
+    for it in range(n_iter):
+        alpha = lr * (1.0 - it / n_iter)
+        dy = Y[:, None, :] - Y[None, :, :]
+        d2 = (dy ** 2).sum(-1)
+        denom = 1.0 + a * d2 ** b
+        att_coef = (-2.0 * a * b * np.maximum(d2, eps) ** (b - 1.0)) / denom
+        rep_coef = (2.0 * b) / ((eps + d2) * denom)
+        np.fill_diagonal(att_coef, 0.0)
+        np.fill_diagonal(rep_coef, 0.0)
+        upd = (
+            P[:, :, None] * np.clip(att_coef[:, :, None] * dy, -4.0, 4.0)
+            + rep_freq * np.clip(rep_coef[:, :, None] * dy, -4.0, 4.0)
+        ).sum(1)
+        Y = Y + alpha * upd
+        Y = Y - Y.mean(0)
+    return Y
+
+
+def umap_project(emb: DataFrame, cap: int = 1000, n_neighbors: int = 15,
+                 n_iter: int = 200, min_dist: float = 0.1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """M7 UMAP: sample to the driver cap, collect, fit the
+    deterministic full-batch UMAP (_umap_fit), and parallelize
+    (vec_id, x, y) back — identical contract and shape to
+    tsne_project. Deterministic for a fixed input set: rows sorted by
+    id before the fit, no RNG in the optimizer."""
+    spark = emb.sparkSession
+    pdf = (
+        sample_for_driver(emb, cap=cap, vec_col=vec_col, seed=seed)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .toPandas()
     )
+    import numpy as np
+
+    Y = _umap_fit(np.vstack(pdf["v"].to_numpy()), n_neighbors=n_neighbors,
+                  n_iter=n_iter, min_dist=min_dist)
+    out = pdf[["vec_id"]].copy()
+    out["x"] = Y[:, 0]
+    out["y"] = Y[:, 1]
+    return spark.createDataFrame(out)

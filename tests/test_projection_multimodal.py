@@ -58,9 +58,30 @@ def test_sample_cap(spark):
     assert sampled.count() < 1000
 
 
-def test_umap_is_stubbed(emb):
-    with pytest.raises(NotImplementedError):
-        umap_project(emb)
+def test_umap_separates_clusters_and_is_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = np.vstack([rng.randn(40, 8) + c for c in (0.0, 10.0)])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = umap_project(df, n_neighbors=10, n_iter=150).orderBy("vec_id").collect()
+    assert len(out) == 80 and set(out[0].asDict()) == {"vec_id", "x", "y"}
+    Y = np.array([[r.x, r.y] for r in out])
+    c0, c1 = Y[:40].mean(0), Y[40:].mean(0)
+    intra = max(np.linalg.norm(Y[:40] - c0, axis=1).mean(),
+                np.linalg.norm(Y[40:] - c1, axis=1).mean())
+    assert np.linalg.norm(c0 - c1) > 2 * intra
+    out2 = umap_project(df, n_neighbors=10, n_iter=150).orderBy("vec_id").collect()
+    assert [(r.x, r.y) for r in out] == [(r.x, r.y) for r in out2]
+
+
+def test_umap_tiny_input_stable(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    out = umap_project(df).collect()
+    assert len(out) == 3  # degenerate graph → trivial zero layout, no crash
 
 
 def test_tsne_separates_clusters_and_is_deterministic(spark):
