@@ -1260,6 +1260,46 @@ def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ROWS-frame smoothing per user: mean/min/max of the
+    last 3 events ordered by (ts, event_id) — the tick-data companion
+    to the RANGE-frame query above (operators/timeseries.py
+    rolling_stats)."""
+    return timeseries.rolling_stats(_events(spark, sf_dir), n_rows=3)
+
+
+def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics: Pearson correlation, sample
+    covariance and stddev per return flag. Moments are accumulated in
+    exact DECIMAL (same trick as events_anomaly) and the double math on
+    top is written identically in the oracle, so the 6-dp rounded
+    outputs cannot drift on summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(8,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+    )
+    n = F.col("n")
+    varx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vary = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return agg.select(
+        "l_returnflag", "n",
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(F.sqrt((F.col("sdd") - F.col("sd") * F.col("sd") / n) / (n - 1)), 6).alias("stddev_disc"),
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers: events whose value sits more than
     2.5 sample standard deviations from the event-type mean. Moments
@@ -1529,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 window for their first driver evaluation
         "text_readability": q_text_readability,
         "source_mix": q_source_mix,
+        "events_rolling": q_events_rolling,
+        "value_correlation": q_value_correlation,
     }
 
 
@@ -1685,6 +1727,32 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
         "text_readability": oracles.Q_TEXT_READABILITY,
         "source_mix": oracles.Q_SOURCE_MIX,
+        "events_rolling": """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS roll_avg,
+       round(min(value) OVER w, 6) AS roll_min,
+       round(max(value) OVER w, 6) AS roll_max,
+       (count(*) OVER w)::INT AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        "value_correlation": """
+WITH agg AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n,
+         sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+         sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+         sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sxx,
+         sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS syy,
+         sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS sxy,
+         sum(l_discount::DECIMAL(8,2))::DOUBLE AS sd,
+         sum(l_discount::DECIMAL(8,2) * l_discount::DECIMAL(8,2))::DOUBLE AS sdd
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round(((sxy - sx * sy / n) / (n - 1))
+             / sqrt(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+       round(sqrt((sdd - sd * sd / n) / (n - 1)), 6) AS stddev_disc
+FROM agg""",
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
 SELECT media_id,

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "user_retention",
     "events_props_json",
     "nb_classify",
+    "doc_clusters",
+    "approx_distinct_kmv",
+    "events_rolling",
+    "value_correlation",
     "text_quality",
     "pii_redact",
     "lm_quality",

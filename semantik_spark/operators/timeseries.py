@@ -197,3 +197,28 @@ def props_stats(events: DataFrame, json_path: str = "$.k",
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+def rolling_stats(events: DataFrame, n_rows: int = 3,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  val_col: str = "value") -> DataFrame:
+    """ROWS-frame rolling aggregates per user: mean/min/max of the
+    current + previous ``n_rows - 1`` events, ordered by (ts, event_id)
+    for a total, deterministic order. Complements
+    preceding_range_window (RANGE frame): ROWS frames are the
+    fixed-width smoothing used for tick data. One sort per user
+    partition, no self-join; whale users cost one in-memory frame of
+    ``n_rows`` values."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        F.col(user_col).alias("user_id"),
+        F.round(F.avg(val_col).over(w), 6).alias("roll_avg"),
+        F.round(F.min(val_col).over(w), 6).alias("roll_min"),
+        F.round(F.max(val_col).over(w), 6).alias("roll_max"),
+        F.count("*").over(w).cast("int").alias("roll_n"),
+    )

@@ -161,3 +161,22 @@ def test_props_stats_null_safe(spark):
            for r in out.collect()}
     assert got["a"] == (2, 5, 7, 12, 6.0)
     assert got["b"] == (1, 2, 2, 2, 2.0)
+
+
+def test_rolling_stats_rows_frame(spark):
+    import datetime
+
+    from semantik_spark.operators.timeseries import rolling_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + datetime.timedelta(seconds=i), float(v))
+        for i, v in enumerate([10.0, 20.0, 60.0, 2.0])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {r["event_id"]: r for r in rolling_stats(df, n_rows=3).collect()}
+    assert out[0]["roll_avg"] == 10.0 and out[0]["roll_n"] == 1
+    assert out[1]["roll_avg"] == 15.0 and out[1]["roll_n"] == 2
+    assert out[2]["roll_avg"] == 30.0 and out[2]["roll_n"] == 3
+    assert out[3]["roll_avg"] == round((20 + 60 + 2) / 3, 6)  # frame slides
+    assert out[3]["roll_min"] == 2.0 and out[3]["roll_max"] == 60.0
