@@ -490,6 +490,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.readability(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per-doc mean smoothed conditional
+    log-prob + perplexity under the corpus's own bigram model
+    (operators/textanalysis.py bigram_logprob)."""
+    return textanalysis.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing planner: per-source share vs a uniform target and
     the down-sampling rates that realize it (operators/training.py
@@ -1571,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "events_rolling": q_events_rolling,
         "value_correlation": q_value_correlation,
+        "lm_bigram": q_lm_bigram,
     }
 
 
@@ -1752,6 +1760,29 @@ SELECT l_returnflag, n,
              / sqrt(((sxx - sx * sx / n) / (n - 1)) * ((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price,
        round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
        round(sqrt((sdd - sd * sd / n) / (n - 1)), 6) AS stddev_disc
+FROM agg""",
+        "lm_bigram": """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents),
+dbg AS (
+  SELECT doc_id, toks[r.i] AS wa, toks[r.i] || ' ' || toks[r.i + 1] AS gram
+  FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2),
+bgc AS (SELECT gram, any_value(wa) AS wa, count(*)::BIGINT AS c12 FROM dbg GROUP BY gram),
+uni AS (SELECT w, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(toks) AS w FROM tk) s GROUP BY w),
+v AS (SELECT count(*)::BIGINT AS vsz FROM uni),
+model AS (
+  SELECT gram, round(ln((c12 + 0.5) / (c1 + 0.5 * vsz)), 9)::DECIMAL(20,9) AS lp
+  FROM bgc JOIN uni ON bgc.wa = uni.w, v),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_bigrams, sum(lp)::DECIMAL(28,9) AS slp
+  FROM dbg JOIN model USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(slp::DOUBLE / n_bigrams, 6) AS avg_logprob,
+       round(exp(-(slp::DOUBLE / n_bigrams)), 6) AS ppl
 FROM agg""",
         "multimodal_features": """
 WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)

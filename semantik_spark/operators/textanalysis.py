@@ -405,3 +405,80 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
         flesch.alias("flesch"),
         band.alias("band"),
     )
+
+
+def bigram_logprob(docs: DataFrame, alpha: float = 0.5,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Bigram language-model quality score — the CCNet-style "perplexity
+    under a corpus LM" filter one level up from unigram_logprob: per
+    document, the mean add-alpha-smoothed conditional log-probability
+    ln P(w_i | w_{i-1}) of its adjacent whitespace bigrams, and the
+    corresponding perplexity. Low-probability (incoherent, shuffled,
+    boilerplate-stitched) text scores far below fluent text even when
+    its unigram mix looks normal.
+
+    Engine-portable determinism, same recipe as unigram_logprob: each
+    bigram's log-prob is rounded to 9 dp and summed as DECIMAL(28,9)
+    (order-independent), only the final mean/perplexity are doubles.
+
+    Scale: bigram extraction is map-side (slice+zip on the materialized
+    token array); the model is vocab²-bounded after aggregation, joined
+    back on the bigram key (sort-merge at scale — every doc bigram hits
+    the model by construction since the model came from the corpus);
+    V travels as a broadcast 1-row aggregate. Docs with < 2 tokens have
+    no bigrams and drop out (mirrored in the oracle).
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      whitespace_tokens(text_col).alias("toks"))
+    sz = F.size("toks")
+    width = sz - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width))
+    pairs = F.when(
+        sz >= 2,
+        F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    dbg = (
+        tok.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.a").alias("wa"),
+            F.concat_ws(" ", "p.a", "p.b").alias("gram"),
+        )
+        .persist()
+    )
+    bgc = dbg.groupBy("gram").agg(
+        F.first("wa").alias("wa"),  # gram determines wa
+        F.count("*").cast("bigint").alias("c12"),
+    )
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    v = uni.agg(F.count("*").cast("bigint").alias("vsz"))
+    model = (
+        bgc.join(uni, bgc["wa"] == uni["w"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            F.round(
+                F.log((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("vsz"))),
+                9,
+            ).cast("decimal(20,9)").alias("lp"),
+        )
+    )
+    agg = (
+        dbg.join(model, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("lp").cast("decimal(28,9)").alias("slp"),
+        )
+    )
+    avg = F.col("slp").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id", "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )

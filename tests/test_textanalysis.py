@@ -147,3 +147,23 @@ def test_readability_known_text(spark):
     assert r1["band"] == "easy"
     assert out[2]["flesch"] is None and out[2]["band"] == "empty"
     assert out[3]["band"] in ("difficult", "very_difficult")
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    from semantik_spark.operators.textanalysis import bigram_logprob
+
+    # "the cat" appears 3x in-corpus; the shuffled doc uses bigrams the
+    # corpus never repeats, so its conditional log-prob must be lower
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the cat ran to the mat"),
+        (4, "mat the on sat cat the"),  # shuffled
+        (5, "x"),                        # 1 token -> no bigrams, drops out
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 5 not in out
+    assert out[1]["n_bigrams"] == 5
+    assert out[4]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[4]["ppl"] > out[1]["ppl"] > 0
