@@ -104,6 +104,9 @@ def test_term_stats_no_single_partition_exchange(spark):
         if "Exchange SinglePartition" in ln:
             assert "plan_id" in ln  # exists under broadcast of 1-row agg
     assert plan.count("Exchange SinglePartition") <= plan.count("BroadcastExchange")
+
+
+def test_simhash_pairs_band_blocked(spark):
     """Simhash near-dup pairs must candidate-generate via the bit-band
     equi-join — a corpus×corpus CartesianProduct/BroadcastNestedLoopJoin
     would be the 100 TB scale-killer the banding exists to avoid."""
@@ -425,3 +428,15 @@ def test_source_mix_broadcasts_global_agg(spark):
     plan = _plan(source_mix_plan(df, "source"))
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_lm_bigram_broadcasts_vocab_size_no_cartesian(spark):
+    """lm_bigram: the 1-row V aggregate must broadcast; the model join
+    back onto doc bigrams is an equi-join on the bigram key, never a
+    cartesian."""
+    from semantik_spark.operators.textanalysis import bigram_logprob
+
+    plan = _plan(bigram_logprob(_mk_docs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan
