@@ -115,24 +115,29 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
                       F.col(vec_col).cast("array<double>").alias("v"))
     rows = [{"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
             for r in cent_rows]
+    dim = len(rows[0]["cv"]) if rows else 0
     for _ in range(iters):
         codebook = F.broadcast(_codebook_df(spark, rows))
         assigned = c.crossJoin(codebook).withColumn(
             "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
         ).drop("cents")
+        # per-dim means as ``dim`` column aggregates in ONE groupBy — no
+        # posexplode (which would amplify the scan n×dim rows before the
+        # shuffle); map-side combine reduces each partition to
+        # n_centroids×dim partial sums
         means = (
-            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
-            .groupBy("centroid_id", "dim")
-            .agg(F.round(F.sum("val") / F.count("*"), round_dp).alias("m"))
+            assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("n"),
+                 *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)])
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = float(r["m"])
+        by_cid = {
+            int(r["centroid_id"]):
+                [round(float(r[f"s{i}"]) / int(r["n"]), round_dp) for i in range(dim)]
+            for r in means
+        }
         rows = [
-            {"cid": row["cid"],
-             "cv": [by_cid[row["cid"]][i] for i in range(len(by_cid[row["cid"]]))]
-             if row["cid"] in by_cid else row["cv"]}
+            {"cid": row["cid"], "cv": by_cid.get(row["cid"], row["cv"])}
             for row in rows
         ]
     return rows
