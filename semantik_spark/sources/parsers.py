@@ -41,12 +41,22 @@ PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
     ".txt": ("text",), ".md": ("text",), ".markdown": ("text",),
     ".rst": ("text",), ".py": ("text",), ".js": ("text",),
     ".ts": ("text",), ".java": ("text",),
+    # remaining code/markup extensions of the reference's detector
+    # (file_type_detector.py:14-75) — all route to the text parser
+    **{e: ("text",) for e in (
+        ".mdown", ".mkd", ".mdx", ".tex", ".latex", ".asciidoc", ".org",
+        ".cpp", ".c", ".h", ".hpp", ".cs", ".rb", ".go", ".rs", ".php",
+        ".swift", ".kt", ".scala", ".r", ".m", ".mm", ".lua", ".dart",
+        ".jsx", ".tsx", ".vue", ".sql", ".sh", ".bash", ".zsh", ".ps1",
+        ".toml", ".ini", ".cfg", ".conf", ".css", ".scss", ".sass", ".less",
+    )},
     ".json": ("structured", "text"), ".yaml": ("structured", "text"),
     ".yml": ("structured", "text"), ".xml": ("structured", "text"),
     ".csv": ("structured", "text"),
     ".html": ("html", "text"), ".htm": ("html", "text"),
     ".eml": ("email", "text"), ".msg": ("msg", "email"),
     ".pdf": ("pdf",),
+    ".rtf": ("rtf", "text"),
     ".docx": ("office",), ".pptx": ("office",), ".xlsx": ("office",),
     ".odt": ("office",), ".epub": ("office",),
     ".doc": ("ole", "unstructured"), ".ppt": ("ole", "unstructured"),
@@ -577,6 +587,7 @@ def parse(files: DataFrame) -> DataFrame:
         "email": parse_email, "html": parse_html,
         "structured": parse_structured, "pdf": parse_pdf,
         "office": parse_office, "ole": parse_ole, "msg": parse_msg,
+        "rtf": parse_rtf,
     }
     for name, fn in families.items():
         fam_in = routed.where(F.col("parser") == name)
@@ -912,3 +923,111 @@ def parse_msg(files: DataFrame) -> DataFrame:
                                               "parse_status"])
 
     return src.mapInPandas(run, schema=_EMAIL_SCHEMA)
+
+
+# --- RTF parser (REAL — stdlib control-word stripper) ----------------------
+#
+# Reference routes .rtf through unstructured.partition.auto
+# (text_processing/file_type_detector.py:68 lists it as a supported
+# document extension); here it is a real stdlib parser: RTF 1.9 control
+# words are stripped, destinations (fonttbl/stylesheet/pict/...) are
+# skipped as groups, \'hh and \uN escapes are decoded, \par/\line/\tab
+# become whitespace.
+
+_RTF_DESTINATIONS = frozenset({
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata",
+    "colorschememapping", "listtable", "listoverridetable", "generator",
+    "header", "footer", "headerl", "headerr", "headerf",
+    "footerl", "footerr", "footerf",
+})
+
+import re as _re  # noqa: E402 — local convention: parsers import re lazily
+
+_RTF_CW = _re.compile(r"\\([a-zA-Z]{1,32})(-?\d{1,10})?[ ]?|\\'([0-9a-fA-F]{2})|\\([^a-zA-Z])")
+
+
+def _rtf_to_text(data: bytes) -> str:
+    """Plain text from RTF bytes. Group-aware single pass: a stack
+    tracks destination groups to skip; control words map to whitespace
+    or are dropped; \\uN consumes its single fallback character (the
+    \\ucN convention at its default of 1)."""
+    s = data.decode("latin-1", errors="replace")
+    if not s.startswith("{\\rtf"):
+        raise ValueError("not an RTF file")
+    out: list[str] = []
+    i, n = 0, len(s)
+    depth = 0
+    skip_above: int | None = None  # skip while depth >= this
+    pending_group = False  # just entered a group: next cw may be a destination
+    while i < n:
+        c = s[i]
+        if c == "{":
+            depth += 1
+            pending_group = True
+            i += 1
+            continue
+        if c == "}":
+            depth -= 1
+            if skip_above is not None and depth < skip_above:
+                skip_above = None
+            pending_group = False
+            i += 1
+            continue
+        if c == "\\":
+            if i + 1 < n and s[i + 1] == "*":  # \* → ignorable destination
+                if skip_above is None:
+                    skip_above = depth
+                i += 2
+                pending_group = False
+                continue
+            m = _RTF_CW.match(s, i)
+            if m:
+                word, _param, hexc, escch = m.group(1), m.group(2), m.group(3), m.group(4)
+                i = m.end()
+                if skip_above is not None:
+                    continue
+                if word:
+                    if pending_group and word in _RTF_DESTINATIONS:
+                        skip_above = depth
+                    elif word in ("par", "line", "sect", "page"):
+                        out.append("\n")
+                    elif word == "tab":
+                        out.append("\t")
+                    elif word == "u" and _param is not None:
+                        cp = int(_param)
+                        out.append(chr(cp + 65536 if cp < 0 else cp))
+                        if i < n and s[i] not in "\\{}":
+                            i += 1  # consume the \uc1 fallback char
+                elif hexc:
+                    out.append(bytes([int(hexc, 16)]).decode("cp1252", errors="replace"))
+                elif escch:
+                    out.append({"~": "\u00a0", "-": "", "_": "-"}.get(escch, escch))
+                pending_group = False
+                continue
+            i += 1  # lone backslash at EOF
+            continue
+        if skip_above is None and c not in "\r\n":
+            out.append(c)
+        pending_group = False
+        i += 1
+    return "".join(out).strip()
+
+
+def parse_rtf(files: DataFrame) -> DataFrame:
+    """S6 rtf family: mapInPandas over (uri, content) → stripped text."""
+    src = files.select("uri", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for u, c in zip(pdf["uri"], pdf["content"]):
+                try:
+                    text = _rtf_to_text(bytes(c))
+                    status = "ok" if text else "empty"
+                except Exception as exc:  # noqa: BLE001
+                    text, status = "", f"error: {type(exc).__name__}"
+                rows.append({"uri": u, "text": text, "parse_status": status})
+            yield pd.DataFrame(rows, columns=["uri", "text", "parse_status"])
+            rows = []
+
+    return src.mapInPandas(run, schema=_PDF_SCHEMA)

@@ -549,3 +549,51 @@ def test_parse_msg_property_streams(spark):
     bad = spark.createDataFrame([("z.msg", ".msg", b"not ole")],
                                 ["uri", "extension", "content"])
     assert parse_msg(bad).collect()[0]["parse_status"].startswith("error:")
+
+
+def _mk_rtf() -> bytes:
+    parts = [
+        "{\\rtf1\\ansi\\deff0",
+        "{\\fonttbl{\\f0 Times New Roman;}}",
+        "{\\colortbl;\\red0\\green0\\blue0;}",
+        "{\\info{\\title Secret}}",
+        "\\pard Hello \\b bold\\b0  world\\par ",
+        "Second \\'e9 line \\u8364? euro\\par ",
+        "{\\*\\generator Riched20}",
+        "Tab:\\tab done\\par}",
+    ]
+    return "".join(parts).encode("ascii")
+
+
+def test_rtf_to_text_strips_control_words():
+    from semantik_spark.sources.parsers import _rtf_to_text
+
+    text = _rtf_to_text(_mk_rtf())
+    assert text == "Hello bold world\nSecond é line € euro\nTab:\tdone"
+    # destination groups (fonttbl/info/\*generator) must not leak
+    assert "Times" not in text and "Secret" not in text and "Riched" not in text
+
+
+def test_rtf_rejects_non_rtf():
+    import pytest as _pytest
+
+    from semantik_spark.sources.parsers import _rtf_to_text
+
+    with _pytest.raises(ValueError):
+        _rtf_to_text(b"plain text, no rtf header")
+
+
+def test_parse_rtf_family_and_routing(spark):
+    from semantik_spark.sources.parsers import parse_rtf, route_parsers
+
+    files = spark.createDataFrame(
+        [("a.rtf", ".rtf", bytearray(_mk_rtf())),
+         ("b.rtf", ".rtf", bytearray(b"broken"))],
+        "uri string, extension string, content binary",
+    )
+    routed = {r["uri"]: r["parser"] for r in route_parsers(files).collect()}
+    assert routed["a.rtf"] == "rtf"
+    out = {r["uri"]: r for r in parse_rtf(files).collect()}
+    assert out["a.rtf"]["parse_status"] == "ok"
+    assert out["a.rtf"]["text"].startswith("Hello bold world")
+    assert out["b.rtf"]["parse_status"].startswith("error:")
