@@ -1,0 +1,64 @@
+"""Bucketed-table storage layout — shuffle-free co-located joins.
+
+The reference's storage engines (Postgres + Qdrant) co-locate by
+primary key / shard implicitly; the Spark-native equivalent for a
+100 TB lake is BUCKETING: write both sides of a recurring join
+pre-hash-partitioned AND pre-sorted on the join key
+(``bucketBy(n, key).sortBy(key)``), and every later equi-join on that
+key needs NO exchange on either side — the single biggest
+recurring-cost lever for index/payload joins that run on every query
+batch (doc hydration, postings∪payload, chunk→doc rollups).
+
+Rules this module encodes (and tests/test_plans.py asserts):
+- both tables bucketed on the JOIN key with the SAME bucket count;
+- ``sortBy`` the same key: since Spark 3.0 the scan no longer
+  *advertises* bucket-file order (SPARK-28554's multi-file hazard), so
+  a per-bucket Sort node remains in-plan — but it runs over
+  already-sorted single-file buckets (linear verify, no spill) and,
+  crucially, with NO Exchange before it; deployments that accept the
+  single-file-per-bucket invariant can flip
+  ``spark.sql.legacy.bucketedTableScan.outputOrdering`` to elide it;
+- the bucket count is a storage-time decision: pick
+  ``total_size / target_partition_size`` at the largest consumer, and
+  keep it a power of two so a future re-bucket can split/merge evenly.
+
+Bucketed tables must go through the session catalog
+(``saveAsTable`` — plain ``parquet(path)`` writes lose the bucket
+spec); the catalog entry is what lets the planner trust the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist ``df`` hash-bucketed and sorted on ``key`` as a catalog
+    table. ``path`` makes it an external table (parquet files live
+    there); omit it for the session warehouse.
+
+    The pre-write ``repartition(n_buckets, key)`` matters: it aligns
+    task partitioning with the bucket function so each bucket is ONE
+    file — Spark only elides the join-side Sort when files-per-bucket
+    is 1, and it caps the file count at n_buckets instead of
+    tasks×buckets."""
+    w = (df.repartition(n_buckets, F.col(key))
+         .write.format("parquet").mode(mode).bucketBy(n_buckets, key).sortBy(key))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def co_located_join(spark: SparkSession, left_table: str, right_table: str,
+                    key: str, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key. With
+    matching bucket counts the physical plan is a SortMergeJoin with
+    ZERO Exchange and zero per-side Sort — reading n_buckets co-located
+    file groups. (Broadcast is disabled per-join via hints being absent
+    and AQE honoring the bucket layout; the plan assertion in
+    tests/test_plans.py is the contract.)"""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, key, how)

@@ -440,3 +440,31 @@ def test_lm_bigram_broadcasts_vocab_size_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
+    """Co-located bucketed tables must join with zero Exchange and zero
+    Sort on either side — the storage-layout contract that makes the
+    recurring index/payload joins shuffle-free at 100 TB."""
+    from semantik_spark.operators.storage import co_located_join, write_bucketed
+
+    docs = _mk_docs(spark, 100)
+    payload = docs.select("doc_id", F.length("text").alias("n_chars"))
+    # autoBroadcast would hide the layout win on tiny test tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(docs, "t_docs_b", "doc_id", 4, path=str(tmp_path / "docs"))
+        write_bucketed(payload, "t_payload_b", "doc_id", 4, path=str(tmp_path / "pay"))
+        joined = co_located_join(spark, "t_docs_b", "t_payload_b", "doc_id")
+        assert joined.count() == 100
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # the whole point: no shuffle either side
+        # and the layout is recorded: bucketed scan on both sides
+        assert plan.count("Bucketed: true") == 2
+        assert plan.count("SelectedBucketsCount: 4 out of 4") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_payload_b")
