@@ -994,8 +994,11 @@ def _rtf_to_text(data: bytes) -> str:
                     elif word == "tab":
                         out.append("\t")
                     elif word == "u" and _param is not None:
-                        cp = int(_param)
-                        out.append(chr(cp + 65536 if cp < 0 else cp))
+                        # \uN is a SIGNED 16-bit code unit; wrap malformed
+                        # params and replace lone surrogates (which Arrow
+                        # string conversion rejects batch-wide)
+                        cp = int(_param) % 65536
+                        out.append("�" if 0xD800 <= cp <= 0xDFFF else chr(cp))
                         if i < n and s[i] not in "\\{}":
                             i += 1  # consume the \uc1 fallback char
                 elif hexc:

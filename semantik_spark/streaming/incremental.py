@@ -194,3 +194,52 @@ def dense_latest(spark: SparkSession, idx_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "embedding")
     )
+
+
+def compact_dense_log(spark: SparkSession, idx_dir: str) -> dict:
+    """Maintenance compaction for the append-only dense log: collapse
+    every doc to its newest (_batch_id) version and atomically swap the
+    compacted segment in, so read-time upsert cost (dense_latest's
+    window) returns to O(live docs) after heavy churn.
+
+    Local-FS swap is staging-dir + rename (POSIX-atomic at the dir
+    entry); on an object store the same job writes a new segment and
+    flips a manifest pointer instead — the blue/green shape
+    operators/maintenance.BlueGreenIndex already implements for the
+    full index. Appends that land between the snapshot read and the
+    swap are the same race every log+compact store has; schedule
+    compaction from the single writer (the foreachBatch loop is
+    serialized per stream, so triggering it every Nth batch is safe).
+
+    Returns {"rows_before", "rows_after", "batches_merged"}.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    log_dir = f"{idx_dir}/dense_log"
+    log = spark.read.parquet(log_dir)
+    stats = log.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+        F.count_distinct("_batch_id").alias("nb"),
+    ).collect()[0]
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_batch_id"))
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = f"{idx_dir}/dense_log__compacting"
+    latest.write.mode("overwrite").parquet(tmp)
+    old = f"{idx_dir}/dense_log__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(log_dir, old)
+    os.rename(tmp, log_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows_before": int(stats["n"]),
+        "rows_after": int(stats["nd"]),
+        "batches_merged": int(stats["nb"]),
+    }

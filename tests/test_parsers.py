@@ -597,3 +597,22 @@ def test_parse_rtf_family_and_routing(spark):
     assert out["a.rtf"]["parse_status"] == "ok"
     assert out["a.rtf"]["text"].startswith("Hello bold world")
     assert out["b.rtf"]["parse_status"].startswith("error:")
+
+
+def test_rtf_fuzz_never_crashes_or_emits_surrogates():
+    """Arbitrary bytes after a valid RTF magic must produce a str (no
+    exception, no lone surrogates — Arrow rejects those batch-wide)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from semantik_spark.sources.parsers import _rtf_to_text
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(payload):
+        text = _rtf_to_text(b"{\\rtf1" + payload)
+        assert isinstance(text, str)
+        assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in text)
+        text.encode("utf-8")  # must be Arrow-encodable
+
+    run()

@@ -233,3 +233,27 @@ def test_incremental_index_sparse_refresh_cadence(spark, tmp_path):
     q2.awaitTermination(120)
     assert dense_latest(spark, idx).count() == 2
     assert spark.read.parquet(f"{idx}/postings").count() > 0  # caught up
+
+
+def test_compact_dense_log_preserves_latest_state(spark, tmp_path):
+    """Compaction must collapse the log to one row per doc (the newest
+    batch's), leave dense_latest's answer identical, and stay
+    append-compatible afterwards."""
+    from semantik_spark.streaming.incremental import compact_dense_log, dense_latest
+
+    idx = str(tmp_path / "idx")
+    rows1 = [(i, [float(i), 0.0], 0) for i in range(10)]
+    rows2 = [(i, [float(i), 1.0], 1) for i in range(5)]  # docs 0-4 updated
+    schema = "doc_id bigint, embedding array<double>, _batch_id bigint"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(f"{idx}/dense_log")
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(f"{idx}/dense_log")
+    before = {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}
+    stats = compact_dense_log(spark, idx)
+    assert stats == {"rows_before": 15, "rows_after": 10, "batches_merged": 2}
+    after = {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}
+    assert after == before
+    assert after[3] == [3.0, 1.0]  # updated version survived
+    assert spark.read.parquet(f"{idx}/dense_log").count() == 10
+    # appends still work post-swap and win over compacted rows
+    spark.createDataFrame([(3, [9.0, 9.0], 2)], schema).write.mode("append").parquet(f"{idx}/dense_log")
+    assert {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}[3] == [9.0, 9.0]
