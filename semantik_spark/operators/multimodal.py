@@ -116,3 +116,78 @@ def media_near_dups(media: DataFrame, feature_dim: int = 8,
         F.col("feature").cast("array<double>").alias("embedding"),
     )
     return embedding_dup_pairs(feats, threshold=threshold, dim=feature_dim)
+
+
+AUDIO_SEGMENT_SCHEMA = (
+    "media_id string, segment_index int, start_ms bigint, end_ms bigint, "
+    "samples binary"
+)
+
+
+def audio_segments(media: DataFrame, segment_ms: int = 5000,
+                   fake_bytes_per_ms: int = 16) -> DataFrame:
+    """Audio segmentation plumbing: 1 audio row → N fixed-duration
+    segment rows, the shape every downstream audio stage (VAD,
+    transcription, speaker turns) consumes. Duration comes from the
+    fake decoder (byte length / bytes-per-ms — a real codec reads the
+    container header instead); segment payloads are deterministic
+    digests standing in for resampled PCM. flatMap-shaped mapInPandas:
+    bytes never leave the executor, output rows re-partition freely for
+    the per-segment model stage."""
+    src = media.select("media_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                duration_ms = max(1, len(content) // fake_bytes_per_ms)
+                n = max(1, -(-duration_ms // segment_ms))  # ceil
+                for i in range(n):
+                    start = i * segment_ms
+                    rows.append({
+                        "media_id": str(mid), "segment_index": i,
+                        "start_ms": start,
+                        "end_ms": min(start + segment_ms, duration_ms),
+                        "samples": hashlib.sha256(
+                            content + b"seg" + i.to_bytes(4, "big")
+                        ).digest(),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "segment_index", "start_ms", "end_ms", "samples"]
+            )
+            rows = []
+
+    return src.mapInPandas(run, schema=AUDIO_SEGMENT_SCHEMA)
+
+
+def transcribe_segments(segments: DataFrame, model_factory=None) -> DataFrame:
+    """Transcription slot over audio segments — same injected-factory
+    contract as functions/model_udfs.py (one model init per partition
+    iterator, Arrow batches): ``model_factory() -> callable`` mapping a
+    list of sample-bytes to a list of strings. The default fake is a
+    deterministic digest-text so the plumbing is testable without an
+    ASR model in the image; a real factory returns e.g. a whisper
+    pipeline and changes only the kernel body."""
+    src = segments.select("media_id", "segment_index", "samples")
+
+    def default_factory():
+        return lambda batch: [
+            "asr:" + hashlib.sha256(bytes(b)).hexdigest()[:12] for b in batch
+        ]
+
+    factory = model_factory or default_factory
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = factory()  # once per partition iterator
+        for pdf in batches:
+            texts = model(list(pdf["samples"]))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "segment_index": pdf["segment_index"],
+                "text": texts,
+            })
+
+    return src.mapInPandas(
+        run, schema="media_id string, segment_index int, text string"
+    )

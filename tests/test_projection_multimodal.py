@@ -150,3 +150,32 @@ def test_sample_frames_flatmap_shape(media):
 def test_media_near_dups(media):
     pairs = media_near_dups(artifact_table(media), threshold=0.999).collect()
     assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [("m1", "m2")]
+
+
+def test_audio_segments_and_transcribe(media):
+    from semantik_spark.operators.multimodal import (
+        artifact_table, audio_segments, transcribe_segments,
+    )
+
+    segs = audio_segments(artifact_table(media), segment_ms=5,
+                          fake_bytes_per_ms=1)
+    rows = segs.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # m1 content is 17 bytes → 17 ms fake duration → ceil(17/5) = 4 segments
+    m1 = sorted(by_media["m1"], key=lambda r: r["segment_index"])
+    assert len(m1) == 4
+    assert m1[0]["start_ms"] == 0 and m1[0]["end_ms"] == 5
+    assert m1[-1]["start_ms"] == 15 and m1[-1]["end_ms"] == 17  # clamped tail
+    # identical bytes → identical segment payloads (m1 == m2)
+    assert [r["samples"] for r in m1] == [
+        r["samples"] for r in sorted(by_media["m2"], key=lambda r: r["segment_index"])]
+    out = transcribe_segments(segs).collect()
+    assert len(out) == len(rows)
+    assert all(r["text"].startswith("asr:") for r in out)
+    # injected factory overrides the fake
+    upper = transcribe_segments(
+        segs, model_factory=lambda: (lambda batch: ["X"] * len(batch))
+    ).collect()
+    assert {r["text"] for r in upper} == {"X"}
