@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark.functions.vectors import mock_embedding
 from semantik_spark.operators import bm25, search
+from semantik_spark.plans.predicates import compile_predicate
 
 
 def build_sparse(docs: DataFrame, path: str,
@@ -52,12 +53,18 @@ def build_sparse(docs: DataFrame, path: str,
 
 
 def build_index(docs: DataFrame, path: str,
-                id_col: str = "doc_id", text_col: str = "text") -> None:
+                id_col: str = "doc_id", text_col: str = "text",
+                payload_cols: tuple[str, ...] = ()) -> None:
     """Materialize the search index under ``path``: terms/, postings/,
-    dense/ parquet tables."""
+    dense/ parquet tables. ``payload_cols`` are carried into the dense
+    table so payload-filtered serving (dense_serve_filtered) can push
+    its predicate into the parquet scan instead of joining the catalog
+    per query — the reference's Qdrant payload-index trade
+    (models.py:419-472 payload, dense_search.py:88-98 filters)."""
     build_sparse(docs, path, id_col=id_col, text_col=text_col)
     docs.select(
-        F.col(id_col).alias("doc_id"), mock_embedding(text_col).alias("embedding")
+        F.col(id_col).alias("doc_id"), mock_embedding(text_col).alias("embedding"),
+        *payload_cols,
     ).write.mode("overwrite").parquet(f"{path}/dense")
 
 
@@ -79,6 +86,24 @@ def dense_serve(spark: SparkSession, path: str, queries: DataFrame,
                 query_text_col: str = "query_text") -> DataFrame:
     """Dense top-k against the persisted embedding table."""
     index = spark.read.parquet(f"{path}/dense")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        mock_embedding(query_text_col).alias("query_vec"),
+    )
+    return search.dense_search(index, q, k)
+
+
+def dense_serve_filtered(spark: SparkSession, path: str, queries: DataFrame,
+                         predicate: dict | None = None, k: int = 10,
+                         query_id_col: str = "query_id",
+                         query_text_col: str = "query_text") -> DataFrame:
+    """Payload-filtered dense top-k (F2 ∘ W2): the predicate compiles
+    to a Column (plans/predicates.py) applied to the index scan BEFORE
+    scoring, so equality/range terms on payload columns reach the
+    parquet reader as PushedFilters (plan-asserted) — candidate ranking
+    then runs on the filtered subset only, never post-filtering a
+    top-k (which under-fills k, the classic filtered-ANN bug)."""
+    index = spark.read.parquet(f"{path}/dense").where(compile_predicate(predicate))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         mock_embedding(query_text_col).alias("query_vec"),

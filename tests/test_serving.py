@@ -93,3 +93,25 @@ def test_dense_serve_ivf_full_probe_equals_exact(spark, tmp_path):
     assert 0 < len(part) <= 10
     for r in part:
         assert abs(escore[(r["query_id"], r["doc_id"])] - r["score"]) < 1e-9
+
+
+def test_dense_serve_filtered_pushes_predicate(spark, tmp_path):
+    """Payload-filtered dense serving: the predicate must reach the
+    parquet scan as a pushed filter (pre-ranking), and ranking must run
+    on the filtered subset so k is filled from eligible docs only."""
+    from semantik_spark.operators.serving import build_index, dense_serve_filtered
+
+    docs = spark.range(60).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta doc ', id) as text",
+        "case when id % 3 = 0 then 'en' else 'de' end as lang",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx, payload_cols=("lang",))
+    qs = spark.createDataFrame([("q1", "alpha beta")], ["query_id", "query_text"])
+    hits = dense_serve_filtered(spark, idx, qs, predicate={"lang": "en"}, k=5)
+    rows = hits.collect()
+    assert len(rows) == 5
+    assert all(r["doc_id"] % 3 == 0 for r in rows)  # only eligible docs ranked
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
