@@ -490,6 +490,13 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.readability(_t(spark, sf_dir, "documents"))
 
 
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate fractions (operators/textanalysis.py
+    boilerplate_stats): sentences appearing in >= 30% of their source's
+    docs are template text, counted per document."""
+    return textanalysis.boilerplate_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring: per-doc mean smoothed conditional
     log-prob + perplexity under the corpus's own bigram model
@@ -1602,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_correlation": q_value_correlation,
         "lm_bigram": q_lm_bigram,
         "events_transitions": q_events_transitions,
+        "text_boilerplate": q_text_boilerplate,
     }
 
 
@@ -1796,6 +1804,25 @@ pairs AS (
 SELECT prev_event, next_event, n,
        round(n / (sum(n) OVER (PARTITION BY prev_event)), 6) AS p_next
 FROM pairs""",
+        "text_boilerplate": """
+WITH sents AS (
+  SELECT doc_id, source AS src, lower(trim(s)) AS s
+  FROM (SELECT doc_id, source, unnest(regexp_split_to_array(text, '[.!?] ')) AS s
+        FROM documents)
+  WHERE lower(trim(s)) != ''),
+hs AS (SELECT doc_id, src, (('0x'||substr(md5(cast(lower(trim(s)) as varchar)),1,15))::bigint) AS h
+       FROM (SELECT doc_id, src, s FROM sents) t),
+sizes AS (SELECT source AS src, count(DISTINCT doc_id) AS n_src_docs FROM documents GROUP BY source),
+bp AS (
+  SELECT src, h FROM (
+    SELECT hs.src, hs.h, count(DISTINCT hs.doc_id) AS n_with, any_value(sizes.n_src_docs) AS n_src_docs
+    FROM hs JOIN sizes USING (src) GROUP BY hs.src, hs.h)
+  WHERE n_with >= 2 AND n_with / n_src_docs >= 0.3)
+SELECT doc_id, count(*)::INT AS n_sentences,
+       sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END)::INT AS n_boilerplate,
+       round(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS bp_frac
+FROM hs LEFT JOIN bp ON hs.src = bp.src AND hs.h = bp.h
+GROUP BY doc_id""",
         "lm_bigram": """
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),

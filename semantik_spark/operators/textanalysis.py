@@ -482,3 +482,58 @@ def bigram_logprob(docs: DataFrame, alpha: float = 0.5,
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("ppl"),
     )
+
+
+def boilerplate_stats(docs: DataFrame, min_frac: float = 0.3,
+                      min_docs: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Per-SOURCE boilerplate detection — the template/navigation/legal
+    text that web extraction leaves behind: a normalized sentence is
+    boilerplate for a source when it appears in >= ``min_frac`` of that
+    source's documents (and >= ``min_docs`` absolute). Complements
+    dedup.sentence_dedup_stats, whose threshold is corpus-global and
+    absolute: a footer on 30% of one domain's pages is boilerplate even
+    if globally rare, while a popular quote repeated across sources is
+    NOT (jusText/Trafilatura make this same per-site distinction).
+
+    Returns doc_id, n_sentences, n_boilerplate, bp_frac (6dp).
+
+    Scale: explode → one groupBy on (source, sentence-hash) with
+    map-side combine, per-source doc counts broadcast back (|sources|
+    rows), hash-join of the boilerplate set onto the sentence stream on
+    (source, h) — co-partitioned with the groupBy that produced it, so
+    AQE reuses the exchange.
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    sents = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.col(text_col), r"[.!?] ")).alias("s"),
+        )
+        .select("doc_id", "src", F.lower(F.trim(F.col("s"))).alias("s"))
+        .where(F.col("s") != "")
+        .withColumn("h", hash60("s"))
+    )
+    src_sizes = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count_distinct(F.col(id_col)).alias("n_src_docs")
+    )
+    bp = (
+        sents.groupBy("src", "h")
+        .agg(F.count_distinct("doc_id").alias("n_with"))
+        .join(F.broadcast(src_sizes), "src")
+        .where((F.col("n_with") >= min_docs)
+               & (F.col("n_with") / F.col("n_src_docs") >= min_frac))
+        .select("src", "h", F.lit(1).alias("is_bp"))
+    )
+    return (
+        sents.join(bp, ["src", "h"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sentences"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0))).cast("int").alias("n_boilerplate"),
+        )
+        .withColumn("bp_frac", F.round(F.col("n_boilerplate") / F.col("n_sentences"), 6))
+    )

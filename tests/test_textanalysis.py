@@ -167,3 +167,22 @@ def test_bigram_logprob_orders_fluency(spark):
     assert out[1]["n_bigrams"] == 5
     assert out[4]["avg_logprob"] < out[1]["avg_logprob"]
     assert out[4]["ppl"] > out[1]["ppl"] > 0
+
+
+def test_boilerplate_per_source_threshold(spark):
+    from semantik_spark.operators.textanalysis import boilerplate_stats
+
+    footer = "All rights reserved."
+    rows = (
+        # source A: 4 docs, 3 share the footer (75% >= 30% → boilerplate)
+        [(i, "A", f"Unique body {i}. {footer}") for i in range(3)]
+        + [(3, "A", "Unique body 3. Something else.")]
+        # source B: footer appears once only → NOT boilerplate for B
+        + [(4, "B", f"Other text four. {footer}"), (5, "B", "Other text five. Bye.")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_stats(df).collect()}
+    assert out[0]["n_boilerplate"] == 1 and out[0]["bp_frac"] == 0.5
+    assert out[3]["n_boilerplate"] == 0
+    # same sentence in B stays clean: per-source, not global
+    assert out[4]["n_boilerplate"] == 0 and out[5]["n_boilerplate"] == 0
