@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "text_quality",
     "pii_redact",
     "lm_quality",
+    "lm_bigram",
+    "text_boilerplate",
     "chunk_character",
     "ingest_index",
     "rerank_search",

@@ -124,7 +124,8 @@ def hybrid_serve(spark: SparkSession, path: str, queries: DataFrame,
 
 def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
                     refine_iters: int = 1,
-                    id_col: str = "doc_id", text_col: str = "text") -> None:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    payload_cols: tuple[str, ...] = ()) -> None:
     """Materialize the ANN-serving shape of the dense index: embeddings
     written ``partitionBy(centroid_id)`` (one directory per IVF cell)
     plus the codebook as a tiny parquet table. A probe then reads only
@@ -136,7 +137,8 @@ def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
     )
 
     emb = docs.select(F.col(id_col).alias("doc_id"),
-                      mock_embedding(text_col).cast("array<double>").alias("embedding"))
+                      mock_embedding(text_col).cast("array<double>").alias("embedding"),
+                      *payload_cols)
     cent_rows = ivf_centroids(emb, n_centroids, "doc_id", "embedding")
     if refine_iters:
         cent_rows = ivf_refine(emb, cent_rows, iters=refine_iters,
@@ -192,7 +194,7 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
 
 
 def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
-                    k: int = 10, nprobe: int = 4,
+                    k: int = 10, nprobe: int = 4, predicate: dict | None = None,
                     query_id_col: str = "query_id",
                     query_text_col: str = "query_text") -> DataFrame:
     """Dense top-k against the partitioned IVF index.
@@ -228,9 +230,12 @@ def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
         probe_rows, "query_id string, qv array<double>, centroid_id bigint"
     )
     probed_cells = sorted({cid for _, _, cid in probe_rows})
+    # filtered ANN (F2 ∘ probe pruning): partition pruning on
+    # centroid_id AND payload PushedFilters compose on the same scan,
+    # pre-ranking — k fills from eligible docs inside probed cells only
     index = spark.read.parquet(f"{path}/dense_ivf").where(
         F.col("centroid_id").isin(probed_cells)
-    )
+    ).where(compile_predicate(predicate))
     scored = index.join(F.broadcast(probes), "centroid_id").select(
         "query_id", "doc_id", cosine("embedding", "qv").alias("score")
     )

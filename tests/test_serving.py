@@ -115,3 +115,25 @@ def test_dense_serve_filtered_pushes_predicate(spark, tmp_path):
     assert all(r["doc_id"] % 3 == 0 for r in rows)  # only eligible docs ranked
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_dense_serve_ivf_filtered_composes_pruning(spark, tmp_path):
+    """Filtered IVF serving: partition pruning on probed cells AND the
+    payload predicate pushdown must compose on one scan."""
+    from semantik_spark.operators.serving import build_dense_ivf, dense_serve_ivf
+
+    docs = spark.range(60).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta doc ', id) as text",
+        "case when id % 3 = 0 then 'en' else 'de' end as lang",
+    )
+    idx = str(tmp_path / "ivf")
+    build_dense_ivf(docs, idx, n_centroids=4, payload_cols=("lang",))
+    qs = spark.createDataFrame([("q1", "alpha beta")], ["query_id", "query_text"])
+    hits = dense_serve_ivf(spark, idx, qs, k=3, nprobe=2, predicate={"lang": "en"})
+    rows = hits.collect()
+    assert 1 <= len(rows) <= 3
+    assert all(r["doc_id"] % 3 == 0 for r in rows)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "PartitionFilters: [centroid_id" in plan
