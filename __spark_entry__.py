@@ -587,6 +587,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination view: per eval item, shingle hit counts
+    and distinct colliding corpus docs (operators/training.py
+    contamination_report — the report you act on when dropping eval
+    items; decontaminate is the per-train-doc view)."""
+    from semantik_spark.operators import training
+    return training.contamination_report(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), n=2
+    )
+
+
 def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted importance sampling (integer
     hash-residue vs integer-scaled keep probability)."""
@@ -1610,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,
         "events_transitions": q_events_transitions,
         "text_boilerplate": q_text_boilerplate,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -2036,6 +2048,7 @@ FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20""",
         "dataset_split": oracles.q_dataset_split(),
         "pack_sequences": oracles.q_pack_sequences(seq_len=256),
         "decontaminate": oracles.q_decontaminate(n=2),
+        "contamination_report": oracles.q_contamination_report(n=2),
         "quality_sample": """
 WITH q AS ({q})
 SELECT doc_id, quality_score,

@@ -283,3 +283,55 @@ def source_mix_plan(docs: DataFrame, source_col: str = "source",
         F.col("planned_n"),
         F.round(F.col("planned_n") / F.col("n_docs"), 6).alias("sample_rate"),
     )
+
+
+def contamination_report(docs: DataFrame, eval_set: DataFrame, n: int = 2,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         eval_id_col: str = "query_id",
+                         eval_text_col: str = "query_text") -> DataFrame:
+    """The eval-side view of decontaminate: per evaluation item, how
+    much of the training corpus collides with it — the report you act
+    on when deciding whether to drop an eval item (vs decontaminate's
+    per-train-doc view for dropping documents).
+
+    Returns eval_id, n_eval_ngrams, n_hit_ngrams (eval shingles found
+    anywhere in the corpus), hit_frac, n_docs_hit (distinct corpus docs
+    sharing >= 1 shingle).
+
+    Scale: identical shape to decontaminate reversed — the eval shingle
+    set is still the broadcast side; the corpus explode is the scan;
+    the two aggregates are map-side combined. n_docs_hit intentionally
+    counts from the JOINED stream (corpus-side weight), never a
+    corpus-wide distinct.
+    """
+    from semantik_spark.functions.text import word_shingles
+
+    eval_sh = eval_set.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(word_shingles(eval_text_col, n)).alias("shingle"),
+    ).distinct()
+    totals = eval_sh.groupBy("eval_id").agg(
+        F.count("*").cast("int").alias("n_eval_ngrams")
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("shingle").cast("int").alias("n_hit_ngrams"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs_hit"),
+        )
+    )
+    return (
+        totals.join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_eval_ngrams",
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("int").alias("n_hit_ngrams"),
+            F.round(F.coalesce("n_hit_ngrams", F.lit(0)) / F.col("n_eval_ngrams"), 6).alias("hit_frac"),
+            F.coalesce("n_docs_hit", F.lit(0)).cast("bigint").alias("n_docs_hit"),
+        )
+    )

@@ -2038,3 +2038,39 @@ SELECT source, n_docs,
        planned_n,
        round(planned_n / n_docs, 6) AS sample_rate
 FROM per CROSS JOIN tot"""
+
+
+def q_contamination_report(n: int = 2) -> str:
+    """Eval-side contamination oracle: per SEARCH_QUERIES item, its
+    shingle count, how many of its shingles occur anywhere in the
+    corpus, and how many distinct corpus docs collide — matches
+    training.contamination_report."""
+    return f"""
+WITH {shingle_ctes('documents', n).lstrip()},
+ev AS (
+  SELECT query_id AS eval_id,
+         list_filter(regexp_split_to_array(lower(query_text), '\\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM {queries_values_sql(SEARCH_QUERIES)}
+),
+evsh AS (
+  SELECT DISTINCT eval_id, unnest(
+    CASE WHEN len(toks) >= {n}
+         THEN list_distinct([array_to_string(toks[i+1:i+{n}], ' ')
+                             for i in range(0, greatest(len(toks)-{n}, 0)+1)])
+         ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM ev
+),
+totals AS (SELECT eval_id, count(*)::INT AS n_eval_ngrams FROM evsh GROUP BY eval_id),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+hits AS (
+  SELECT evsh.eval_id,
+         count(DISTINCT evsh.shingle)::INT AS n_hit_ngrams,
+         count(DISTINCT dsh.doc_id)::BIGINT AS n_docs_hit
+  FROM dsh JOIN evsh USING (shingle)
+  GROUP BY evsh.eval_id)
+SELECT t.eval_id, t.n_eval_ngrams,
+       coalesce(h.n_hit_ngrams, 0)::INT AS n_hit_ngrams,
+       round(coalesce(h.n_hit_ngrams, 0) / t.n_eval_ngrams, 6) AS hit_frac,
+       coalesce(h.n_docs_hit, 0)::BIGINT AS n_docs_hit
+FROM totals t LEFT JOIN hits h USING (eval_id)"""

@@ -173,3 +173,21 @@ def test_source_mix_plan(spark):
     assert out["a"]["planned_n"] == 10 and out["a"]["sample_rate"] == round(10 / 60, 6)
     assert out["b"]["mix_weight"] == round((100 / 3) / 30, 6)
     assert all(r["target_share"] == round(1 / 3, 6) for r in out.values())
+
+
+def test_contamination_report_eval_side(spark):
+    from semantik_spark.operators.training import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta something"), (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [("e1", "alpha beta"), ("e2", "never seen words")], ["query_id", "query_text"]
+    )
+    out = {r["eval_id"]: r for r in contamination_report(docs, evals, n=2).collect()}
+    # e1's single bigram hits docs 1 and 2
+    assert out["e1"]["n_eval_ngrams"] == 1 and out["e1"]["n_hit_ngrams"] == 1
+    assert out["e1"]["hit_frac"] == 1.0 and out["e1"]["n_docs_hit"] == 2
+    # e2 collides with nothing
+    assert out["e2"]["n_hit_ngrams"] == 0 and out["e2"]["n_docs_hit"] == 0
