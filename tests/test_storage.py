@@ -1,0 +1,63 @@
+"""Z-order layout (operators/storage.py): file-level min/max envelopes
+must enable skipping on EVERY z-ordered column, which a single-column
+sort cannot do. Bucketed-join plan assertions live in test_plans.py."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from semantik_spark.operators.storage import zorder_write
+
+
+def _file_envelopes(path: str, col_a: str, col_b: str):
+    """(min, max) of both columns per parquet file, from footer stats."""
+    envs = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins = {col_a: None, col_b: None}
+        maxs = {col_a: None, col_b: None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mn, mx = col.statistics.min, col.statistics.max
+                    mins[name] = mn if mins[name] is None else min(mins[name], mn)
+                    maxs[name] = mx if maxs[name] is None else max(maxs[name], mx)
+        envs.append({c: (mins[c], maxs[c]) for c in (col_a, col_b)})
+    return envs
+
+
+def _files_overlapping(envs, col, lo, hi) -> int:
+    return sum(1 for e in envs if not (e[col][1] < lo or e[col][0] > hi))
+
+
+def test_zorder_skips_files_on_both_columns(spark, tmp_path):
+    # two independent uniform columns — the adversarial case for any
+    # single-column sort
+    df = spark.range(40_000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 48271) % 40_000).alias("b"),
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted_a")
+    zorder_write(df, zpath, ["a", "b"], n_files=64)
+    # baseline: sort by a only, same file count
+    (df.repartitionByRange(64, "a").sortWithinPartitions("a")
+       .write.mode("overwrite").parquet(spath))
+
+    z = _file_envelopes(zpath, "a", "b")
+    s = _file_envelopes(spath, "a", "b")
+    assert len(z) == 64 and len(s) == 64
+    # a 2.5% range query on each column
+    lo, hi = 10_000, 11_000
+    for col in ("a", "b"):
+        # z-order: both columns skip a clear majority of files
+        assert _files_overlapping(z, col, lo, hi) <= 24, col
+    assert _files_overlapping(s, "a", lo, hi) <= 4          # sort wins on its column…
+    assert _files_overlapping(s, "b", lo, hi) == 64         # …and prunes NOTHING on the other
+    # round-trip integrity
+    assert spark.read.parquet(zpath).count() == 40_000
