@@ -484,6 +484,25 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed KMV: distinct users per (event_type, day) — the
+    sketch composed with an event-time bucket, i.e. the daily-uniques
+    dashboard query whose per-day sketches also merge upward to weekly/
+    monthly uniques for free (KMV union = re-truncated k-smallest)."""
+    from semantik_spark.operators import sketches
+
+    ev = _events(spark, sf_dir).withColumn(
+        "type_day",
+        F.concat_ws("|", F.col("event_type"), F.to_date("ts").cast("string")),
+    )
+    out = sketches.kmv_distinct(ev, "type_day", "user_id", k=64, n_salts=32)
+    sp = F.split(F.col("type_day"), r"\|")
+    return out.select(
+        sp[0].alias("event_type"), sp[1].alias("day"),
+        "n_exact", "n_sketch", "kmv_estimate", "rel_error",
+    )
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease + CEFR-ish band per document — pure regexp
     aggregates, zero shuffle (operators/textanalysis.py readability)."""
@@ -1622,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "text_boilerplate": q_text_boilerplate,
         "contamination_report": q_contamination_report,
+        "approx_distinct_daily": q_approx_distinct_daily,
     }
 
 
@@ -1776,6 +1796,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_recall": oracles.q_knn_recall(5),
         "doc_clusters": oracles.q_doc_clusters(16, 1),
         "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
+        "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
         "text_readability": oracles.Q_TEXT_READABILITY,
         "source_mix": oracles.Q_SOURCE_MIX,
         "events_rolling": """

@@ -2074,3 +2074,28 @@ SELECT t.eval_id, t.n_eval_ngrams,
        round(coalesce(h.n_hit_ngrams, 0) / t.n_eval_ngrams, 6) AS hit_frac,
        coalesce(h.n_docs_hit, 0)::BIGINT AS n_docs_hit
 FROM totals t LEFT JOIN hits h USING (eval_id)"""
+
+
+def q_approx_distinct_daily(k: int = 64) -> str:
+    """Time-bucketed twin of q_approx_distinct_kmv: group =
+    event_type || '|' || day. The day string comes from the naive
+    timestamp's date — identical to Spark's to_date under the
+    session-UTC pin."""
+    h = hash60_expr("user_id")
+    space = float(2**60)
+    est = f"CASE WHEN sk.n_sketch < {k} THEN sk.n_sketch::DOUBLE ELSE {float(k - 1)} / sk.u_k END"
+    return f"""
+WITH base AS (
+  SELECT event_type || '|' || strftime(ts::TIMESTAMP, '%Y-%m-%d') AS g,
+         ({h} + 1) / {space!r} AS u
+  FROM events),
+du AS (SELECT DISTINCT g, u FROM base),
+rk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn FROM du),
+sk AS (SELECT g, count(*) AS n_sketch, max(u) AS u_k FROM rk WHERE rn <= {k} GROUP BY g),
+ex AS (SELECT g, count(*) AS n_exact FROM du GROUP BY g)
+SELECT split_part(ex.g, '|', 1) AS event_type,
+       split_part(ex.g, '|', 2) AS day,
+       ex.n_exact::BIGINT AS n_exact, sk.n_sketch::INT AS n_sketch,
+       round({est}, 6) AS kmv_estimate,
+       round(abs({est} - ex.n_exact) / ex.n_exact, 6) AS rel_error
+FROM sk JOIN ex ON sk.g = ex.g"""
