@@ -243,3 +243,25 @@ def compact_dense_log(spark: SparkSession, idx_dir: str) -> dict:
         "rows_after": int(stats["nd"]),
         "batches_merged": int(stats["nb"]),
     }
+
+
+def dense_as_of(spark: SparkSession, idx_dir: str, batch_id: int) -> DataFrame:
+    """Time travel over the append-only dense log: the index state as
+    of ``batch_id`` (inclusive) — newest version per doc among rows
+    with ``_batch_id <= batch_id``. Because the log is append-only and
+    batch-stamped, every historical serving state stays reproducible
+    until compaction collapses versions (compact_dense_log keeps only
+    the newest; run it with a retention floor if as-of queries must
+    reach further back). One pushed-down range filter + the same
+    per-doc window as dense_latest."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(f"{idx_dir}/dense_log").where(
+        F.col("_batch_id") <= batch_id
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_batch_id"))
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "embedding")
+    )

@@ -257,3 +257,22 @@ def test_compact_dense_log_preserves_latest_state(spark, tmp_path):
     # appends still work post-swap and win over compacted rows
     spark.createDataFrame([(3, [9.0, 9.0], 2)], schema).write.mode("append").parquet(f"{idx}/dense_log")
     assert {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}[3] == [9.0, 9.0]
+
+
+def test_dense_as_of_time_travel(spark, tmp_path):
+    from semantik_spark.streaming.incremental import dense_as_of, dense_latest
+
+    idx = str(tmp_path / "idx")
+    schema = "doc_id bigint, embedding array<double>, _batch_id bigint"
+    spark.createDataFrame([(1, [1.0], 0), (2, [2.0], 0)], schema) \
+        .write.mode("append").parquet(f"{idx}/dense_log")
+    spark.createDataFrame([(1, [1.5], 1), (3, [3.0], 1)], schema) \
+        .write.mode("append").parquet(f"{idx}/dense_log")
+    at0 = {r["doc_id"]: r["embedding"] for r in dense_as_of(spark, idx, 0).collect()}
+    assert at0 == {1: [1.0], 2: [2.0]}  # batch-1 update and insert invisible
+    at1 = {r["doc_id"]: r["embedding"] for r in dense_as_of(spark, idx, 1).collect()}
+    assert at1 == {1: [1.5], 2: [2.0], 3: [3.0]}
+    assert at1 == {r["doc_id"]: r["embedding"] for r in dense_latest(spark, idx).collect()}
+    # the batch filter reaches the parquet scan
+    plan = dense_as_of(spark, idx, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(_batch_id), LessThanOrEqual(_batch_id,0)]" in plan
