@@ -1312,6 +1312,14 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_stats(_events(spark, sf_dir), n_rows=3)
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view->click->purchase
+    funnel (operators/timeseries.py funnel_latency)."""
+    return timeseries.funnel_latency(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-transition matrix: per (prev_event, event)
     pair, occurrence count and conditional probability P(next | prev)
@@ -1642,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "contamination_report": q_contamination_report,
         "approx_distinct_daily": q_approx_distinct_daily,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -1714,6 +1723,21 @@ c AS (
 SELECT step_index::INT AS step_index, step, n_users,
        round(n_users / (SELECT n_users FROM c WHERE step_index = 0), 6) AS conversion
 FROM c""",
+        "funnel_latency": """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+),
+r0 AS (SELECT u, min(us) AS t FROM e WHERE et = 'view' GROUP BY u),
+r1 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r0 USING (u)
+       WHERE e.et = 'click' AND e.us > r0.t GROUP BY e.u),
+r2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r1 USING (u)
+       WHERE e.et = 'purchase' AND e.us > r1.t GROUP BY e.u),
+lat AS (SELECT (r2.t - r0.t) / 1000000.0 AS s FROM r2 JOIN r0 USING (u))
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(s, 0.5), 6) AS p50_s,
+       round(quantile_cont(s, 0.9), 6) AS p90_s,
+       round(max(s), 6) AS max_s
+FROM lat""",
         "user_retention": """
 WITH ud AS (SELECT DISTINCT user_id AS u, ts::TIMESTAMP::DATE AS d FROM events),
 f AS (SELECT u, min(d) AS cohort_day FROM ud GROUP BY u),

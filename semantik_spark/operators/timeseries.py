@@ -222,3 +222,46 @@ def rolling_stats(events: DataFrame, n_rows: int = 3,
         F.round(F.max(val_col).over(w), 6).alias("roll_max"),
         F.count("*").over(w).cast("int").alias("roll_n"),
     )
+
+
+def funnel_latency(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", type_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Conversion-time distribution for users completing the whole
+    funnel: per converting user, the time from their step-0 anchor to
+    the earliest valid completion of the last step (same greedy chain
+    as ``funnel``), aggregated to one row of latency percentiles.
+
+    Shape: the same per-step filter + groupBy(user).min + user
+    equi-join chain as funnel, carrying the step-0 timestamp through
+    (constant per user, so min() under the groupBy); one final global
+    aggregate. Percentiles are exact-interpolated (``percentile`` ≡
+    DuckDB ``quantile_cont``); at 100 TB swap for approx_percentile.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latency: need at least 2 steps")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    stage = (
+        e.where(F.col("et") == steps[0])
+        .groupBy("u").agg(F.min("us").alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+    for s in steps[1:]:
+        stage = (
+            e.where(F.col("et") == s)
+            .join(stage, "u")
+            .where(F.col("us") > F.col("t"))
+            .groupBy("u")
+            .agg(F.min("us").alias("t"), F.min("t0").alias("t0"))
+        )
+    lat = stage.select(((F.col("t") - F.col("t0")) / F.lit(1000000.0)).alias("s"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("s"), 6).alias("max_s"),
+    )

@@ -180,3 +180,29 @@ def test_rolling_stats_rows_frame(spark):
     assert out[2]["roll_avg"] == 30.0 and out[2]["roll_n"] == 3
     assert out[3]["roll_avg"] == round((20 + 60 + 2) / 3, 6)  # frame slides
     assert out[3]["roll_min"] == 2.0 and out[3]["roll_max"] == 60.0
+
+
+def test_funnel_latency_earliest_valid_chain(spark):
+    import datetime
+
+    from semantik_spark.operators.timeseries import funnel_latency
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, et, s):
+        return (eid, u, et, t0 + datetime.timedelta(seconds=s))
+
+    rows = [
+        # user 1 converts: view@0 -> click@10 -> purchase@30 => 30s
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 30),
+        # user 2: purchase BEFORE click -> not a valid chain
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 5), ev(6, 2, "click", 10),
+        # user 3 converts: 60s end to end (second view ignored; first anchors)
+        ev(7, 3, "view", 0), ev(8, 3, "view", 40), ev(9, 3, "click", 50),
+        ev(10, 3, "purchase", 60),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    r = funnel_latency(df, ["view", "click", "purchase"]).collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 45.0  # interpolated between 30 and 60
+    assert r["max_s"] == 60.0
