@@ -516,6 +516,15 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textanalysis.boilerplate_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_source_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain-mixing plan (operators/training.py
+    source_mix_temperature — the multilingual-LM up-weighting of small
+    sources)."""
+    from semantik_spark.operators import training
+
+    return training.source_mix_temperature(_t(spark, sf_dir, "documents"), 0.5)
+
+
 def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring: per-doc mean smoothed conditional
     log-prob + perplexity under the corpus's own bigram model
@@ -1651,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "approx_distinct_daily": q_approx_distinct_daily,
         "funnel_latency": q_funnel_latency,
+        "source_mix_temp": q_source_mix_temp,
     }
 
 
@@ -1880,6 +1890,17 @@ SELECT doc_id, count(*)::INT AS n_sentences,
        round(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS bp_frac
 FROM hs LEFT JOIN bp ON hs.src = bp.src AND hs.h = bp.h
 GROUP BY doc_id""",
+        "source_mix_temp": """
+WITH per AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+wtd AS (SELECT source, n_docs, pow(n_docs::DOUBLE, 0.5) AS w FROM per),
+tot AS (SELECT sum(w) AS w_total FROM wtd),
+sh AS (SELECT source, n_docs, w / w_total AS target_share FROM wtd, tot),
+sc AS (SELECT min(n_docs / target_share) AS scale FROM sh)
+SELECT source, n_docs,
+       round(target_share, 6) AS target_share,
+       floor(scale * target_share)::BIGINT AS planned_n,
+       round(floor(scale * target_share) / n_docs, 6) AS sample_rate
+FROM sh, sc""",
         "lm_bigram": """
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),

@@ -335,3 +335,37 @@ def contamination_report(docs: DataFrame, eval_set: DataFrame, n: int = 2,
             F.coalesce("n_docs_hit", F.lit(0)).cast("bigint").alias("n_docs_hit"),
         )
     )
+
+
+def source_mix_temperature(docs: DataFrame, temperature: float = 0.5,
+                           source_col: str = "source") -> DataFrame:
+    """Temperature-weighted domain mixing: target share of source i is
+    n_i^tau / sum_j n_j^tau — tau=1 keeps the natural mix, tau=0 is the
+    uniform mix of source_mix_plan, and intermediate tau (0.5 here, the
+    multilingual-LM convention) up-weights small sources without
+    flattening completely. The down-sampling realization picks the
+    largest feasible total: scale = min_i(n_i / target_share_i), so the
+    binding source keeps 100% and every planned_n_i = round(scale *
+    target_share_i) <= n_i.
+
+    Same shape as source_mix_plan: one groupBy(source) + a broadcast of
+    the tiny per-source table's own aggregate.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    weighted = per.withColumn("w", w)
+    tot = weighted.agg(F.sum("w").alias("w_total"))
+    shared = weighted.crossJoin(F.broadcast(tot)).withColumn(
+        "target_share", F.col("w") / F.col("w_total")
+    )
+    scale = shared.agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("scale")
+    )
+    return shared.crossJoin(F.broadcast(scale)).select(
+        "source", "n_docs",
+        F.round("target_share", 6).alias("target_share"),
+        F.floor(F.col("scale") * F.col("target_share")).cast("bigint").alias("planned_n"),
+        F.round(F.floor(F.col("scale") * F.col("target_share")) / F.col("n_docs"), 6).alias("sample_rate"),
+    )

@@ -191,3 +191,18 @@ def test_contamination_report_eval_side(spark):
     assert out["e1"]["hit_frac"] == 1.0 and out["e1"]["n_docs_hit"] == 2
     # e2 collides with nothing
     assert out["e2"]["n_hit_ngrams"] == 0 and out["e2"]["n_docs_hit"] == 0
+
+
+def test_source_mix_temperature(spark):
+    from semantik_spark.operators.training import source_mix_temperature
+
+    rows = [("a", i) for i in range(90)] + [("b", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = {r["source"]: r for r in source_mix_temperature(df, 0.5).collect()}
+    # sqrt weights: 90^.5 : 10^.5 => shares ~0.75 / 0.25 (vs 0.9/0.1 natural)
+    assert 0.24 < out["b"]["target_share"] < 0.26
+    assert abs(sum(r["target_share"] for r in out.values()) - 1.0) < 1e-6
+    # the small source binds: it keeps everything, the big one downsamples
+    assert out["b"]["sample_rate"] >= 0.99
+    assert out["a"]["sample_rate"] < 0.5
+    assert all(r["planned_n"] <= r["n_docs"] for r in out.values())
