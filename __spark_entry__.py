@@ -1533,7 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # MUST sit in the window), and every query ADDED this round up to
     # the 50-slot capacity. The entries past the boundary are
     # unchanged since their last green round (most: CORRECTNESS_r03);
-    # the five late round-4 additions at the very end of this dict
+    # the late round-4 additions at the very end of this dict
     # rotate into the round-5 window. See README "Correctness window
     # rotation".
     return {
