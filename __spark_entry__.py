@@ -1321,6 +1321,13 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_stats(_events(spark, sf_dir), n_rows=3)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: most frequent ordered event-type paths
+    per 30-min-gap session, truncated to 8 steps (operators/
+    timeseries.py session_paths)."""
+    return timeseries.session_paths(_events(spark, sf_dir))
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution for the view->click->purchase
     funnel (operators/timeseries.py funnel_latency)."""
@@ -1661,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_daily": q_approx_distinct_daily,
         "funnel_latency": q_funnel_latency,
         "source_mix_temp": q_source_mix_temp,
+        "session_paths": q_session_paths,
     }
 
 
@@ -1733,6 +1741,30 @@ c AS (
 SELECT step_index::INT AS step_index, step, n_users,
        round(n_users / (SELECT n_users FROM c WHERE step_index = 0), 6) AS conversion
 FROM c""",
+        "session_paths": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sid
+  FROM flagged
+), capped AS (
+  SELECT * FROM (
+    SELECT user_id, sid, event_type, us, event_id,
+           row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+    FROM sess) WHERE rn <= 8
+), p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM capped GROUP BY user_id, sid
+)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20""",
         "funnel_latency": """
 WITH e AS (
   SELECT user_id AS u, event_type AS et, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events

@@ -265,3 +265,49 @@ def funnel_latency(events: DataFrame, steps: list[str],
         F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90_s"),
         F.round(F.max("s"), 6).alias("max_s"),
     )
+
+
+def session_paths(events: DataFrame, gap_minutes: int = 30, max_len: int = 8,
+                  top_k: int = 20, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts") -> DataFrame:
+    """Top user journeys: the most frequent ordered event-type paths
+    per gap-based session (truncated to the first ``max_len`` events —
+    the cap is applied BEFORE any aggregation, so whale sessions cost
+    max_len rows, never their full history). The sequence-mining
+    counterpart of the pairwise transition matrix.
+
+    Shape: the sessionize lag+cumsum windows (shared user partitioning),
+    one row_number cap, one per-session ordered aggregation, one path
+    groupBy, TakeOrdered top-k.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.lit(gap_minutes * 60)
+    sess = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double") > gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ws = Window.partitionBy(user_col, "_sid").orderBy(ts_col, "event_id")
+    capped = sess.withColumn("_rn", F.row_number().over(ws)).where(F.col("_rn") <= max_len)
+    paths = (
+        capped.groupBy(user_col, "_sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", F.col(type_col).alias("et")))),
+                    lambda s: s["et"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_k)
+    )

@@ -206,3 +206,30 @@ def test_funnel_latency_earliest_valid_chain(spark):
     assert r["n_converted"] == 2
     assert r["p50_s"] == 45.0  # interpolated between 30 and 60
     assert r["max_s"] == 60.0
+
+
+def test_session_paths_orders_and_caps(spark):
+    import datetime
+
+    from semantik_spark.operators.timeseries import session_paths
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, et, minutes):
+        return (eid, u, et, t0 + datetime.timedelta(minutes=minutes))
+
+    rows = [
+        # user 1 session 1: view>click ; session 2 (90-min gap): view
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "view", 95),
+        # user 2: one view>click session
+        ev(4, 2, "view", 0), ev(5, 2, "click", 2),
+        # user 3: 10 events, path truncated to max_len=3
+        *[ev(10 + i, 3, f"e{i}", i) for i in range(10)],
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    out = session_paths(df, gap_minutes=30, max_len=3, top_k=10).collect()
+    by = {r["path"]: r["n_sessions"] for r in out}
+    assert by["view>click"] == 2
+    assert by["view"] == 1
+    assert by["e0>e1>e2"] == 1  # capped at 3 steps
+    assert out[0]["path"] == "view>click"  # most frequent first
