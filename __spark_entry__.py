@@ -471,6 +471,52 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_profile(corpus, n_centroids=16, refine_iters=1)
 
 
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the projection atlas's per-cluster keyword
+    labels (reference webui/tasks/projection.py builds these client-
+    side) as a distributed operator: assign docs to seeded mock-
+    embedding centroids, count BM25 tokens per cluster, rank terms by
+    the distinctiveness score tf·ln(1 + n_clusters/ncw) (tf weighted by
+    inverse cluster frequency) and keep the top 5 per cluster."""
+    from semantik_spark.functions.vectors import mock_embedding
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _nearest_centroids, ivf_centroids,
+    )
+
+    n_clusters, top_terms = 8, 5
+    docs = _t(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", mock_embedding("text").cast("array<double>").alias("embedding")
+    )
+    cent_rows = ivf_centroids(emb, n_clusters, "doc_id", "embedding")
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    best = F.array_max(_nearest_centroids("v"))
+    assigned = (
+        emb.select("doc_id", F.col("embedding").alias("v"))
+        .crossJoin(codebook)
+        .select("doc_id", (-best["negcid"]).alias("centroid_id"))
+    )
+    terms = bm25.tokenize(docs).select("doc_id", F.explode("tokens").alias("term"))
+    ct = (
+        terms.join(assigned, "doc_id")
+        .groupBy("centroid_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    cw = ct.groupBy("term").agg(
+        F.count_distinct("centroid_id").cast("bigint").alias("n_clusters_with_term")
+    )
+    sc = ct.join(cw, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_clusters)) / F.col("n_clusters_with_term")), 6),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_terms)
+        .select("centroid_id", "term", "tf", "n_clusters_with_term", "score", "rank")
+    )
+
+
 def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) approximate distinct users per event
     type, with the exact count and relative error alongside
@@ -1669,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "source_mix_temp": q_source_mix_temp,
         "session_paths": q_session_paths,
+        "cluster_keywords": q_cluster_keywords,
     }
 
 
@@ -1863,6 +1910,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "doc_clusters": oracles.q_doc_clusters(16, 1),
         "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
         "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
+        "cluster_keywords": oracles.q_cluster_keywords(8, 5),
         "text_readability": oracles.Q_TEXT_READABILITY,
         "source_mix": oracles.Q_SOURCE_MIX,
         "events_rolling": """

@@ -2099,3 +2099,37 @@ SELECT split_part(ex.g, '|', 1) AS event_type,
        round({est}, 6) AS kmv_estimate,
        round(abs({est} - ex.n_exact) / ex.n_exact, 6) AS rel_error
 FROM sk JOIN ex ON sk.g = ex.g"""
+
+
+def q_cluster_keywords(n_clusters: int = 8, top_terms: int = 5) -> str:
+    """Cluster labeling oracle: seeded (smallest-doc_id) mock-embedding
+    centroids, nearest-centroid assignment (cosine, tie → smaller cid),
+    BM25-tokenized term counts per cluster, distinctiveness score
+    tf·ln(1 + n_clusters/ncw), top terms per cluster — matches
+    __spark_entry__.q_cluster_keywords."""
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM documents
+),
+dindex AS (SELECT doc_id, {mock_embed_expr('text')} AS e FROM documents),
+cent0 AS (SELECT doc_id AS cid, e AS cv FROM dindex ORDER BY doc_id LIMIT {n_clusters}),
+assigned AS (
+  SELECT doc_id, cid AS centroid_id FROM (
+    SELECT dindex.doc_id, cent0.cid,
+           row_number() OVER (PARTITION BY dindex.doc_id
+                              ORDER BY {cosine_expr('dindex.e', 'cent0.cv')} DESC, cent0.cid ASC) AS rn
+    FROM dindex CROSS JOIN cent0) WHERE rn = 1),
+tterm AS (SELECT doc_id, unnest(tokens) AS term FROM tokd),
+ct AS (SELECT centroid_id, term, count(*)::BIGINT AS tf
+       FROM tterm JOIN assigned USING (doc_id) GROUP BY 1, 2),
+cw AS (SELECT term, count(DISTINCT centroid_id)::BIGINT AS ncw FROM ct GROUP BY term),
+sc AS (SELECT centroid_id, term, tf, ncw,
+              round(tf * ln(1.0 + {float(n_clusters)} / ncw), 6) AS score
+       FROM ct JOIN cw USING (term)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
+                                    ORDER BY score DESC, term ASC) AS rank FROM sc)
+SELECT centroid_id, term, tf, ncw AS n_clusters_with_term, score, rank::INT AS rank
+FROM rk WHERE rank <= {top_terms}"""
