@@ -265,3 +265,83 @@ def dense_as_of(spark: SparkSession, idx_dir: str, batch_id: int) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "embedding")
     )
+
+
+def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
+                  group_col: str, value_col: str, k: int = 64):
+    """Streaming distinct-count sketching: each micro-batch's KMV
+    partial (k smallest distinct hash values per group) is merged into
+    a tiny persisted state table — union, re-deduplicate, re-truncate
+    to k — and the state after N batches is EXACTLY the sketch a batch
+    job would compute over all N batches' rows (the k-smallest-union
+    property; asserted in tests/test_streaming.py). This is the
+    sketch-as-state pattern HLL pipelines use, with KMV's advantage
+    that the state is plain sorted doubles any engine can verify.
+
+    State is one parquet table (group, us array<double>) of at most
+    k doubles per group — driver-trivial at any corpus scale; the swap
+    is staging-dir + rename like compact_dense_log. Returns the
+    StreamingQuery (availableNow semantics are up to the caller's
+    trigger via stream source options; this uses the default
+    foreachBatch trigger wiring of incremental_ingest).
+    """
+    import os
+    import shutil
+
+    from semantik_spark.functions.hashing import hash60
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        u = (hash60(F.col(value_col)) + F.lit(1)) / F.lit(float(2**60))
+        partial = (
+            batch.select(F.col(group_col).alias("g"), u.alias("u"))
+            .groupBy("g")
+            .agg(F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("us"))
+        )
+        try:
+            old = spark.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            old = None
+        if old is not None:
+            merged = (
+                old.unionByName(partial)
+                .groupBy("g")
+                .agg(
+                    F.slice(
+                        F.array_sort(F.array_distinct(F.flatten(F.collect_list("us")))),
+                        1, k,
+                    ).alias("us")
+                )
+            )
+        else:
+            merged = partial
+        tmp = state_path + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_state_estimates(spark: SparkSession, state_path: str, k: int = 64) -> DataFrame:
+    """Read the streaming KMV state into (group, n_sketch,
+    kmv_estimate) — the serving view of streaming_kmv."""
+    st = spark.read.parquet(state_path)
+    n_sketch = F.size("us")
+    est = F.when(n_sketch < k, n_sketch.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.array_max("us")
+    )
+    return st.select(
+        F.col("g").alias("group"),
+        n_sketch.cast("int").alias("n_sketch"),
+        F.round(est, 6).alias("kmv_estimate"),
+    )

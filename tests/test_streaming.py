@@ -276,3 +276,38 @@ def test_dense_as_of_time_travel(spark, tmp_path):
     # the batch filter reaches the parquet scan
     plan = dense_as_of(spark, idx, 0)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(_batch_id), LessThanOrEqual(_batch_id,0)]" in plan
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """The mergeability contract: the KMV state after two micro-batch
+    deliveries must be VALUE-IDENTICAL to the batch sketch over the
+    union of all rows."""
+    from semantik_spark.operators.sketches import kmv_distinct
+    from semantik_spark.streaming.incremental import (
+        kmv_state_estimates, streaming_kmv, stream_files,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "g string, v bigint"
+    b1 = [{"g": "a", "v": i} for i in range(120)] + [{"g": "b", "v": i} for i in range(5)]
+    b2 = [{"g": "a", "v": i} for i in range(60, 180)] + [{"g": "b", "v": 99}]
+    _write_json(drop / "b1.json", b1)
+    q = streaming_kmv(stream_files(spark, str(drop), schema), state, ckpt, "g", "v", k=32)
+    q.awaitTermination(120)
+    _write_json(drop / "b2.json", b2)
+    q2 = streaming_kmv(stream_files(spark, str(drop), schema), state, ckpt, "g", "v", k=32)
+    q2.awaitTermination(120)
+
+    streamed = {r["group"]: r for r in kmv_state_estimates(spark, state, k=32).collect()}
+    all_rows = spark.createDataFrame(
+        [(d["g"], d["v"]) for d in b1 + b2], ["g", "v"]
+    )
+    batch = {r["g"]: r for r in kmv_distinct(all_rows, "g", "v", k=32).collect()}
+    for g in ("a", "b"):
+        assert streamed[g]["kmv_estimate"] == batch[g]["kmv_estimate"], g
+        assert streamed[g]["n_sketch"] == batch[g]["n_sketch"], g
+    # group b has 6 distinct values < k → exact
+    assert streamed["b"]["kmv_estimate"] == 6.0
