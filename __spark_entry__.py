@@ -471,6 +471,18 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_profile(corpus, n_centroids=16, refine_iters=1)
 
 
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scan: vectors more than 1 sample stddev
+    BELOW their own cluster's mean assignment cosine (operators/
+    similarity.py embedding_outliers — the mis-embedded/garbage-vector
+    curation pass; the synthetic uniform embeddings have thin tails, so
+    the demo threshold sits at -1.0 where production text corpora use
+    -2to -3)."""
+    corpus, _ = _emb_split(spark, sf_dir)
+    return similarity.embedding_outliers(corpus, n_centroids=16,
+                                         refine_iters=1, z_threshold=-1.0)
+
+
 def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster labeling — the projection atlas's per-cluster keyword
     labels (reference webui/tasks/projection.py builds these client-
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_temp": q_source_mix_temp,
         "session_paths": q_session_paths,
         "cluster_keywords": q_cluster_keywords,
+        "doc_outliers": q_doc_outliers,
     }
 
 
@@ -1911,6 +1924,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
         "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
         "cluster_keywords": oracles.q_cluster_keywords(8, 5),
+        "doc_outliers": oracles.q_doc_outliers(16, 1, -1.0),
         "text_readability": oracles.Q_TEXT_READABILITY,
         "source_mix": oracles.Q_SOURCE_MIX,
         "events_rolling": """

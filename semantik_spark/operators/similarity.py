@@ -531,3 +531,69 @@ def cluster_profile(corpus: DataFrame, n_centroids: int = 16,
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
+
+
+def embedding_outliers(corpus: DataFrame, n_centroids: int = 16,
+                       refine_iters: int = 1, z_threshold: float = -2.0,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space outlier scan — the curation pass that catches
+    mis-embedded/garbage vectors: assign every vector to its nearest
+    k-means centroid (the shared deterministic codebook), z-score its
+    assignment cosine against its OWN cluster's distribution, and flag
+    vectors sitting more than ``|z_threshold|`` sample standard
+    deviations BELOW the cluster mean (unusually far from everything
+    like them).
+
+    Determinism: the cosine is rounded to 6 dp — the precision every
+    green knn oracle already proves engine-stable — before entering the
+    exact-DECIMAL moment sums (the events_anomaly recipe), so mean/sd
+    and the threshold comparison are bit-identical across engines.
+    Plan: broadcast-codebook assignment (narrow map) + one tiny
+    per-cluster moment groupBy broadcast back — map-only flagging.
+    """
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
+    codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
+    best = F.array_max(_nearest_centroids("v"))
+    assigned = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(codebook)
+        .select(
+            "vec_id",
+            (-best["negcid"]).alias("centroid_id"),
+            F.round(best["cos"], 6).alias("cos8"),
+        )
+    )
+    # decimal(16,6): narrow enough that the square decimal(33,12) stays
+    # under Spark's precision-38 cap WITHOUT scale truncation — a wider
+    # operand would make Spark silently round the product to 6 decimals
+    # and diverge from the oracle's exact 12-decimal squares
+    dv = F.col("cos8").cast("decimal(16,6)")
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum((dv * dv).cast("decimal(38,12)")).alias("s2"),
+    ).select(
+        "centroid_id", "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    z = (F.col("cos8") - F.col("mean")) / F.col("sd")
+    return (
+        assigned.join(F.broadcast(stats), "centroid_id")
+        .where((F.col("n") >= 2) & (F.col("sd") > 0) & (z < z_threshold))
+        .select(
+            "vec_id", "centroid_id",
+            F.round("cos8", 6).alias("cos"),
+            F.round("mean", 6).alias("mean"),
+            F.round("sd", 6).alias("sd"),
+            F.round(z, 6).alias("z"),
+        )
+    )

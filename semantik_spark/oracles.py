@@ -2133,3 +2133,57 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
                                     ORDER BY score DESC, term ASC) AS rank FROM sc)
 SELECT centroid_id, term, tf, ncw AS n_clusters_with_term, score, rank::INT AS rank
 FROM rk WHERE rank <= {top_terms}"""
+
+
+def q_doc_outliers(n_centroids: int = 16, refine_iters: int = 1,
+                   z_threshold: float = -2.0) -> str:
+    """Twin of similarity.embedding_outliers: same centroid chain as
+    q_doc_clusters, cosine rounded to 6 dp into exact-DECIMAL moments,
+    z-scored per cluster, flagged below z_threshold."""
+    refine = []
+    prev = "cent0"
+    for i in range(refine_iters):
+        nxt = "cent" if i == refine_iters - 1 else f"cent{i + 1}"
+        refine.append(f"""
+rassign{i} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, {prev}.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM corpus CROSS JOIN {prev}) WHERE rn = 1),
+rmeans{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign{i})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+{nxt} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN rmeans{i} m USING (cid))""")
+        prev = nxt
+    refine_sql = ",".join(refine)
+    alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
+assigned AS (
+  SELECT vec_id, cid AS centroid_id, round(cos, 6) AS cos8 FROM (
+    SELECT corpus.vec_id, cent.cid, {cosine_expr("corpus.v", "cent.cv")} AS cos,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM corpus CROSS JOIN cent) WHERE rn = 1),
+stats AS (
+  SELECT centroid_id, count(*)::BIGINT AS n,
+         sum(cos8::DECIMAL(28,6)) AS s1,
+         sum((cos8::DECIMAL(28,6) * cos8::DECIMAL(28,6))::DECIMAL(38,12)) AS s2
+  FROM assigned GROUP BY centroid_id),
+st2 AS (
+  SELECT centroid_id, n, s1::DOUBLE / n AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)) AS sd
+  FROM stats)
+SELECT a.vec_id, a.centroid_id,
+       round(a.cos8, 6) AS cos, round(mean, 6) AS mean, round(sd, 6) AS sd,
+       round((a.cos8 - mean) / sd, 6) AS z
+FROM assigned a JOIN st2 USING (centroid_id)
+WHERE n >= 2 AND sd > 0 AND (a.cos8 - mean) / sd < {z_threshold}"""

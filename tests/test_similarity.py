@@ -365,3 +365,26 @@ def test_cluster_profile_partitions_corpus(spark):
     # tight synthetic clusters → mean assignment cosine high everywhere
     assert all(r["avg_cos"] > 0.95 for r in prof)
     assert all(r["min_vec_id"] <= r["max_vec_id"] for r in prof)
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    """A vector pointing away from its tight cluster must be the one
+    flagged; cluster-typical vectors must not be."""
+    import random
+
+    from semantik_spark.operators.similarity import embedding_outliers
+
+    rng = random.Random(11)
+    dim = 8
+    center = [rng.uniform(0.5, 1.0) for _ in range(dim)]
+    rows = [(i, [x + rng.uniform(-0.01, 0.01) for x in center]) for i in range(30)]
+    rows.append((99, [-x for x in center]))  # planted outlier: opposite direction
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(corpus, n_centroids=2, refine_iters=1,
+                             z_threshold=-2.0).collect()
+    by = {r["vec_id"]: r for r in out}
+    assert 99 in by  # the planted outlier is flagged…
+    # …and is by far the most anomalous (ultra-tight clusters can edge
+    # a borderline normal vector past z<-2; the planted one dominates)
+    assert by[99]["z"] == min(r["z"] for r in out)
+    assert by[99]["z"] < -2.0 and by[99]["cos"] < by[99]["mean"]
