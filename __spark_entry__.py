@@ -471,6 +471,17 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_profile(corpus, n_centroids=16, refine_iters=1)
 
 
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max weighted hybrid fusion (w=0.5) over the same dense+BM25
+    branch searches hybrid_rrf uses (operators/search.py
+    weighted_fusion) — the calibrated-score alternative to RRF."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = _queries_df(spark, SEARCH_QUERIES)
+    dense = search.mock_dense_search(docs, qs, k=20)
+    sparse_df = bm25.search(docs, qs, k=20)
+    return search.weighted_fusion(dense, sparse_df, k=10, w_dense=0.5)
+
+
 def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier scan: vectors more than 1 sample stddev
     BELOW their own cluster's mean assignment cosine (operators/
@@ -1729,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "cluster_keywords": q_cluster_keywords,
         "doc_outliers": q_doc_outliers,
+        "hybrid_weighted": q_hybrid_weighted,
     }
 
 
@@ -1925,6 +1937,7 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
         "cluster_keywords": oracles.q_cluster_keywords(8, 5),
         "doc_outliers": oracles.q_doc_outliers(16, 1, -1.0),
+        "hybrid_weighted": oracles.q_hybrid_weighted(10, 20, 0.5),
         "text_readability": oracles.Q_TEXT_READABILITY,
         "source_mix": oracles.Q_SOURCE_MIX,
         "events_rolling": """

@@ -111,3 +111,45 @@ def hybrid_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     if score_threshold is not None:
         fused = fused.where(F.col("score") >= score_threshold)  # F3
     return fused.where(F.col("doc_id").isNotNull())  # F5 guard
+
+
+def weighted_fusion(dense: DataFrame, sparse: DataFrame, k: int = 10,
+                    w_dense: float = 0.5) -> DataFrame:
+    """Min-max weighted score fusion — the standard alternative to RRF
+    when calibrated score magnitudes matter: each branch's scores are
+    normalized to [0, 1] over its own per-query candidate list
+    (degenerate all-equal lists normalize to 1.0), then fused as
+    w·dense + (1-w)·sparse with absent-branch scores contributing 0.
+    Ranking happens on the 6-dp-ROUNDED fused score (doc_id tiebreak)
+    so the cut is engine-portable.
+
+    Same plan shape as rrf_fuse: two candidate-list windows (top-k-
+    sized partitions), one full-outer join, one rank window — nothing
+    corpus-scale after the branch searches."""
+    wq = Window.partitionBy("query_id")
+
+    def _norm(df: DataFrame, prefix: str) -> DataFrame:
+        mx = F.max("score").over(wq)
+        mn = F.min("score").over(wq)
+        nrm = F.when(mx > mn, (F.col("score") - mn) / (mx - mn)).otherwise(F.lit(1.0))
+        return df.select("query_id", "doc_id", "score").withColumn(f"{prefix}_norm", nrm)
+
+    d = _norm(dense, "dense").withColumnRenamed("score", "dense_score")
+    s = _norm(sparse, "sparse").withColumnRenamed("score", "sparse_score")
+    fused = (
+        d.join(s, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(w_dense) * F.coalesce("dense_norm", F.lit(0.0))
+                + F.lit(1.0 - w_dense) * F.coalesce("sparse_norm", F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -2187,3 +2187,38 @@ SELECT a.vec_id, a.centroid_id,
        round((a.cos8 - mean) / sd, 6) AS z
 FROM assigned a JOIN st2 USING (centroid_id)
 WHERE n >= 2 AND sd > 0 AND (a.cos8 - mean) / sd < {z_threshold}"""
+
+
+def q_hybrid_weighted(k: int = 10, search_k: int = 20, w_dense: float = 0.5) -> str:
+    """Twin of search.weighted_fusion over the hybrid_rrf branch
+    searches: per-branch min-max normalization over each query's
+    candidate list (all-equal lists → 1.0), weighted sum with absent
+    branches contributing 0, rank on the 6-dp-rounded fused score."""
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, search_k)},
+{mock_dense_ctes(SEARCH_QUERIES, search_k).lstrip()},
+dtop AS (SELECT query_id, doc_id, score FROM dranked WHERE rank <= {search_k}),
+stop_ AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= {search_k}),
+dn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) > min(score) OVER (PARTITION BY query_id)
+              THEN (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS dnorm
+  FROM dtop),
+sn AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id) > min(score) OVER (PARTITION BY query_id)
+              THEN (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id) - min(score) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS snorm
+  FROM stop_),
+fused AS (
+  SELECT query_id, doc_id,
+         round({w_dense} * coalesce(dnorm, 0.0) + {1.0 - w_dense} * coalesce(snorm, 0.0), 6) AS score
+  FROM dn FULL OUTER JOIN sn USING (query_id, doc_id)),
+franked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused)
+SELECT query_id, doc_id, score, rank::INT AS rank FROM franked WHERE rank <= {k}"""

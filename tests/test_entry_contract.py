@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-EXPECTED_TOTAL = 111
+EXPECTED_TOTAL = 112
 
 
 def test_every_query_has_an_oracle():

@@ -71,3 +71,27 @@ def test_hybrid_threshold_filter(spark, docs):
     kept = hybrid_search(docs, queries, k=10, score_threshold=thr + 1e-12).collect()
     assert len(kept) == 1  # F3: strictly-below-threshold rows dropped
     assert all(r["doc_id"] is not None for r in kept)  # F5 guard
+
+
+def test_weighted_fusion_normalizes_and_weights(spark):
+    from semantik_spark.operators.search import weighted_fusion
+
+    dense = spark.createDataFrame(
+        [("q1", 1, 0.9, 1), ("q1", 2, 0.5, 2), ("q1", 3, 0.1, 3)],
+        ["query_id", "doc_id", "score", "rank"],
+    )
+    sparse = spark.createDataFrame(
+        [("q1", 2, 10.0, 1), ("q1", 4, 10.0, 2)],  # all-equal → norm 1.0
+        ["query_id", "doc_id", "score", "rank"],
+    )
+    out = {r["doc_id"]: r for r in weighted_fusion(dense, sparse, k=10, w_dense=0.5).collect()}
+    # doc 2: dense norm (0.5-0.1)/0.8 = 0.5, sparse norm 1.0 → 0.75
+    assert out[2]["score"] == 0.75 and out[2]["rank"] == 1
+    # doc 1: dense-only max → 0.5*1.0
+    assert out[1]["score"] == 0.5
+    # doc 4: sparse-only, degenerate list → 0.5*1.0
+    assert out[4]["score"] == 0.5
+    # doc 3: dense min → 0
+    assert out[3]["score"] == 0.0
+    # tie between doc 1 and 4 broken by doc_id
+    assert out[1]["rank"] == 2 and out[4]["rank"] == 3
