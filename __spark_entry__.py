@@ -308,13 +308,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score", "dense_score", "sparse_score")
 
 
-def _ir_inputs(spark: SparkSession, sf_dir: str):
+def _ir_inputs(spark: SparkSession, sf_dir: str, k: int = 10):
     docs = _t(spark, sf_dir, "documents")
     qdf = _queries_df(spark, IR_QUERY_TERMS)
     # one tokenization pass shared by the retrieval pipeline and the
     # synthetic qrels below (bm25.search would otherwise re-tokenize)
     tok = bm25.tokenize(docs).persist()
-    retrieved = bm25.search(docs, qdf, k=10, tokenized=tok).select(
+    retrieved = bm25.search(docs, qdf, k=k, tokenized=tok).select(
         "query_id", "doc_id", "rank"
     )
     tf = (
@@ -1592,6 +1592,57 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of lineitem (nulls / cardinality / extent /
+    mean) — one aggregate scan, stack-unpivoted to a row per column."""
+    from semantik_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"],
+    )
+
+
+def q_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding of per-user event-type
+    streams (SCD-2-style interval history)."""
+    return timeseries.state_islands(_events(spark, sf_dir))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept/r2 of the top-1000 token frequencies."""
+    return textanalysis.zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
+def q_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth token-length bucketing (16 ntiles) with per-bucket
+    padding waste — the length-bucketed batching planner."""
+    from semantik_spark.operators.training import length_bins
+
+    return length_bins(_t(spark, sf_dir, "documents"), n_bins=16)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-retrieved hard negatives for contrastive training: retrieve
+    DEEP (k=50), treat only saturated-grade docs (grade >= 3, i.e.
+    tf >= 3) as positives, and emit the top-5 retrieved-but-weak docs
+    per query — the classic BM25-negatives construction."""
+    retrieved, qrels = _ir_inputs(spark, sf_dir, k=50)
+    return metrics.hard_negatives(retrieved, qrels, n=5, min_grade=3)
+
+
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the directed 5-NN cosine graph of the
+    embedding corpus (LexRank-style representative-document scoring);
+    5 power iterations from the uniform start."""
+    from semantik_spark.operators.graph import knn_graph_edges, pagerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # persist: all 5 iterations re-join the same edge table
+    edges = knn_graph_edges(emb, k=5).persist()
+    return pagerank(edges, damping=0.85, iterations=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1741,6 +1792,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": q_cluster_keywords,
         "doc_outliers": q_doc_outliers,
         "hybrid_weighted": q_hybrid_weighted,
+        # late round-4 additions (after the window rotation was fixed):
+        # checked locally via tools/check_oracle.py; rotate into the
+        # round-5 driver window
+        "profile_table": q_profile_table,
+        "state_islands": q_state_islands,
+        "zipf_fit": q_zipf_fit,
+        "length_bins": q_length_bins,
+        "hard_negatives": q_hard_negatives,
+        "knn_pagerank": q_knn_pagerank,
     }
 
 
@@ -2309,6 +2369,12 @@ SELECT word_a, word_b, n_pair, n_a, n_b, round(pmi_raw, 6) AS pmi
 FROM sc
 ORDER BY round(pmi_raw, 6) DESC, word_a ASC, word_b ASC
 LIMIT 50""",
+        "profile_table": oracles.q_profile_table(),
+        "state_islands": oracles.q_state_islands(),
+        "zipf_fit": oracles.q_zipf_fit(1000),
+        "length_bins": oracles.q_length_bins(16),
+        "hard_negatives": oracles.q_hard_negatives(50, 5, 3),
+        "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
     }
 
 

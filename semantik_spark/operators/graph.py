@@ -1,0 +1,89 @@
+"""Graph operators over similarity graphs — PageRank centrality.
+
+The reference's duplicate handling stops at connected components
+(re-expressed in dedup.duplicate_clusters); centrality over the
+embedding kNN graph is the natural next step a curation pipeline uses
+for coreset selection / representative-document picking (PageRank over
+a kNN graph is the classic 'LexRank' construction, Erkan & Radev 2004).
+
+Iteration model (Spark-first): ranks live in a DataFrame keyed by node
+id; each power-iteration step is
+
+    contribs = edges ⋈ ranks (shuffle on src)  →  groupBy(dst) sum
+
+— two hash shuffles per iteration, both on the graph's natural keys.
+Edges are re-used across iterations, so at 100 TB you persist (or
+bucket) the edge table by src once and every iteration's first join is
+shuffle-free on the edge side; only the rank table (|V| rows, tiny
+next to |E|) moves. A fixed iteration count (default 5) keeps the
+whole thing one deterministic lineage — no driver-side convergence
+loop reading counts per step.
+
+Floating determinism: damping < 1 makes the iteration a contraction,
+so cross-engine summation-order noise (~1e-16) does not amplify;
+outputs round to 6 dp after scaling by |V|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 5,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """id, pr — PageRank after ``iterations`` power steps from the
+    uniform start. pr is scaled by |V| (so a 'random' node scores ~1.0)
+    and rounded to 6 dp. Nodes = src ∪ dst; dangling nodes (no
+    out-edges) leak their mass, the standard simple formulation.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()  # one driver scalar, same class as the IVF codebook
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("out_deg"))
+    ed = e.join(deg, "src")
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("pr"),
+        )
+    return ranks.select("id", F.round(F.col("pr") * n, 6).alias("pr"))
+
+
+def knn_graph_edges(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """src, dst — directed kNN graph: each vector points at its k
+    nearest (cosine, ties → smaller id), self excluded.
+
+    Exact all-pairs construction — the documented oracle baseline, same
+    class as similarity.knn_bruteforce. At 100 TB build the edge list
+    with similarity.knn_lsh / knn_ivf instead (bucketed candidate
+    generation); pagerank() is agnostic to how edges were produced.
+    """
+    from semantik_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    scored = (
+        a.join(F.broadcast(b), a.src != b.dst)
+        .select("src", "dst", cosine("va", "vb").alias("cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst")
+    )

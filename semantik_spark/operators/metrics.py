@@ -142,3 +142,32 @@ def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] =
 def aggregate_metrics(per_query: DataFrame) -> DataFrame:
     """Run-level means per (metric, k) — evaluator.py:271-307."""
     return per_query.groupBy("metric", "k").agg(F.avg("value").alias("value"))
+
+
+def hard_negatives(retrieved: DataFrame, qrels: DataFrame,
+                   n: int = 5, min_grade: int = 1) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-n retrieved documents whose relevance grade is below
+    ``min_grade`` — the standard
+    construction for training dense retrievers / cross-encoders
+    (retrieved-but-not-relevant beats random negatives; Karpukhin et
+    al. 2020). The reference evaluates retrieval quality against
+    qrels (shared/benchmarks/evaluator.py:49-117); this reuses the
+    same two inputs to EMIT training data instead of metrics.
+
+    query_id, doc_id, rank, neg_rank — ``rank`` is the retrieval rank,
+    ``neg_rank`` renumbers the survivors 1..n per query.
+
+    Shape: one left-anti hash join on (query_id, doc_id) — qrels'
+    positive slice broadcasts (it is per-query-tiny) — then a per-query
+    window on the already-small retrieved set. No extra shuffle beyond
+    what retrieval already did.
+    """
+    pos = qrels.where(F.col("grade") >= min_grade).select("query_id", "doc_id")
+    neg = retrieved.join(F.broadcast(pos), ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= n)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "neg_rank")
+    )

@@ -537,3 +537,35 @@ def boilerplate_stats(docs: DataFrame, min_frac: float = 0.3,
         )
         .withColumn("bp_frac", F.round(F.col("n_boilerplate") / F.col("n_sentences"), 6))
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """One-row corpus health check: least-squares fit of log(freq) on
+    log(rank) over the top_n raw tokens — natural corpora follow
+    Zipf's law with slope ≈ -1; a slope far off it flags synthetic,
+    truncated, or boilerplate-heavy data before it reaches training.
+
+    n_terms, slope, intercept, r2 (6 dp). Uses the SQL regression
+    aggregates (regr_slope / regr_intercept / regr_r2 — identical
+    definitions in Spark and DuckDB), so the fit is one partial-
+    aggregable pass: tokenize → term count (one shuffle with map-side
+    combine) → global top_n (TakeOrdered) → single-row regression agg.
+    """
+    counts = (
+        docs.select(F.explode(raw_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    # TakeOrdered top_n FIRST (distributed, no global sort), then rank the
+    # tiny survivor set — the single-partition row_number window only ever
+    # sees top_n rows, not the full vocabulary
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(cnt), ln(rank))"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rank))"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rank))"), 6).alias("r2"),
+    )

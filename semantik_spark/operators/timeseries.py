@@ -311,3 +311,41 @@ def session_paths(events: DataFrame, gap_minutes: int = 30, max_len: int = 8,
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def state_islands(events: DataFrame, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id") -> DataFrame:
+    """Gaps-and-islands run-length encoding of each user's event-type
+    stream: consecutive same-type events collapse into one 'island'
+    row with its extent and size — the SCD-2-style interval form of the
+    raw event log (what a warehouse calls a type-2 state history).
+
+    user_id, island, event_type, n_events, start_us, end_us, where
+    ``island`` is the 1-based run index within the user's stream.
+
+    Shape: one window partitioning (user, ordered ts+event_id) shared
+    by the lag-change flag and the running-sum island id, then one
+    groupBy on (user, island) — a single shuffle on user_id carries
+    the whole computation, and the groupBy re-uses that partitioning
+    (Catalyst sees the child distribution satisfies it). Ordering ties
+    on ts break by event_id on both engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    flagged = events.withColumn(
+        "_chg",
+        F.when(
+            F.lag(F.col(type_col)).over(w).isNull()
+            | (F.lag(F.col(type_col)).over(w) != F.col(type_col)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return flagged.groupBy(user_col, "island").agg(
+        F.min(type_col).alias("event_type"),  # constant within an island; min() is the deterministic pick
+        F.count("*").cast("bigint").alias("n_events"),
+        F.unix_micros(F.min(ts_col)).alias("start_us"),
+        F.unix_micros(F.max(ts_col)).alias("end_us"),
+    )

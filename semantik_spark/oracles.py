@@ -2222,3 +2222,157 @@ franked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM fused)
 SELECT query_id, doc_id, score, rank::INT AS rank FROM franked WHERE rank <= {k}"""
+
+
+# --- round-4 additions: profiling / islands / zipf / bins / negatives / graph
+
+
+def q_profile_table(cols: tuple[str, ...] = (
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey")) -> str:
+    """Twin of profiling.profile_columns over lineitem."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::DOUBLE AS min_val,
+       max({c})::DOUBLE AS max_val,
+       round(avg({c}::DOUBLE), 6) AS avg_val
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_state_islands() -> str:
+    """Twin of timeseries.state_islands (gaps-and-islands RLE)."""
+    return """
+WITH f AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS island
+  FROM f
+)
+SELECT user_id, island, min(event_type) AS event_type,
+       count(*)::BIGINT AS n_events,
+       epoch_us(min(ts))::BIGINT AS start_us,
+       epoch_us(max(ts))::BIGINT AS end_us
+FROM i GROUP BY user_id, island"""
+
+
+def q_zipf_fit(top_n: int = 1000) -> str:
+    """Twin of textanalysis.zipf_fit — same raw tokenizer, same
+    (cnt DESC, term ASC) rank, same SQL regression aggregates."""
+    return f"""
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, count(*)::DOUBLE AS cnt FROM tk GROUP BY term),
+top_ AS (SELECT term, cnt FROM cnt ORDER BY cnt DESC, term ASC LIMIT {top_n}),
+rk AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC)::DOUBLE AS rank
+  FROM top_
+)
+SELECT count(*)::BIGINT AS n_terms,
+       round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+       round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+FROM rk"""
+
+
+def q_length_bins(n_bins: int = 16) -> str:
+    """Twin of training.length_bins (sum casts to BIGINT — DuckDB sums
+    BIGINT into HUGEINT, the pack_sequences lesson)."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> length(x) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         ntile({n_bins}) OVER (ORDER BY n_tokens, doc_id)::BIGINT AS bin
+  FROM tk
+)
+SELECT bin, count(*)::BIGINT AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS pad_waste
+FROM b GROUP BY bin"""
+
+
+def q_hard_negatives(k: int = 10, n: int = 5, min_grade: int = 1) -> str:
+    """Twin of metrics.hard_negatives over the ir_metrics inputs."""
+    return f"""
+WITH {bm25_search_ctes(IR_QUERY_TERMS, k)},
+retrieved AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {k}),
+qrels AS (
+  SELECT q.query_id, tf.doc_id, least(3, tf.tf) AS grade
+  FROM tf JOIN (SELECT query_id, query_text AS term
+                FROM {queries_values_sql(IR_QUERY_TERMS)}) q USING (term)
+),
+neg AS (
+  SELECT r.query_id, r.doc_id, r.rank FROM retrieved r
+  WHERE NOT EXISTS (SELECT 1 FROM qrels qr
+                    WHERE qr.grade >= {min_grade} AND qr.query_id = r.query_id
+                      AND qr.doc_id = r.doc_id)
+),
+nrk AS (
+  SELECT query_id, doc_id, rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+  FROM neg
+)
+SELECT query_id, doc_id, rank::INT AS rank, neg_rank::INT AS neg_rank
+FROM nrk WHERE neg_rank <= {n}"""
+
+
+def q_knn_pagerank(k: int = 5, damping: float = 0.85,
+                   iterations: int = 5) -> str:
+    """Twin of graph.pagerank over graph.knn_graph_edges: k-NN edge
+    build (exact cosine, ties -> smaller dst), then ``iterations``
+    chained power-step CTEs. The (1.0 - d)/n base is written as the
+    same double subtraction/division both engines execute, so the
+    uniform-start iteration is bit-comparable; damping < 1 keeps
+    summation-order noise contracted below the 6 dp round."""
+    d = repr(damping)
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        cur = f"pr{i}"
+        its.append(f""",
+{cur} AS (
+  SELECT nodes.id,
+         (1.0 - {d}) / (SELECT n FROM nn)
+           + {d} * coalesce(sum(p.pr / dg.out_deg), 0.0) AS pr
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.id
+  LEFT JOIN deg dg ON dg.src = e.src
+  LEFT JOIN {prev} p ON p.id = e.src
+  GROUP BY nodes.id
+)""")
+        prev = cur
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+escore AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {cosine_expr('a.v', 'b.v')} AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+),
+erank AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+  FROM escore
+),
+edges AS (SELECT src, dst FROM erank WHERE rank <= {k}),
+nodes AS (SELECT vec_id AS id FROM corpus),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes){''.join(its)}
+SELECT id, round(pr * (SELECT n FROM nn), 6) AS pr FROM {prev}"""

@@ -1,0 +1,128 @@
+"""Round-4 additions: column profiler, gaps-and-islands, Zipf fit,
+length bucketing, hard-negative mining, kNN-graph PageRank."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from semantik_spark.operators.graph import knn_graph_edges, pagerank
+from semantik_spark.operators.metrics import hard_negatives
+from semantik_spark.operators.profiling import profile_columns
+from semantik_spark.operators.textanalysis import zipf_fit
+from semantik_spark.operators.timeseries import state_islands
+from semantik_spark.operators.training import length_bins
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (3, 30.0)], ["a", "b"]
+    )
+    prof = {r["column_name"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert prof["a"]["n_rows"] == 4
+    assert prof["a"]["n_nulls"] == 0
+    assert prof["a"]["n_distinct"] == 3
+    assert prof["a"]["min_val"] == 1.0 and prof["a"]["max_val"] == 3.0
+    assert prof["b"]["n_nulls"] == 1
+    assert prof["b"]["n_distinct"] == 2
+    assert prof["b"]["avg_val"] == 23.333333  # (10+30+30)/3 rounded 6dp
+
+
+def test_profile_columns_approx_mode(spark):
+    df = spark.range(1000).select(F.col("id").alias("a"))
+    row = profile_columns(df, ["a"], exact=False).collect()[0]
+    # HLL++ within its documented default error on 1000 distincts
+    assert abs(row["n_distinct"] - 1000) < 60
+
+
+def test_state_islands(spark):
+    rows = [
+        # user 1: A A B A  -> islands (A,2) (B,1) (A,1)
+        (1, 1, "A", "2024-01-01 00:00:00"),
+        (2, 1, "A", "2024-01-01 00:01:00"),
+        (3, 1, "B", "2024-01-01 00:02:00"),
+        (4, 1, "A", "2024-01-01 00:03:00"),
+        # user 2: single event
+        (5, 2, "C", "2024-01-01 00:00:30"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = state_islands(ev).orderBy("user_id", "island").collect()
+    assert [(r["user_id"], r["island"], r["event_type"], r["n_events"]) for r in out] == [
+        (1, 1, "A", 2), (1, 2, "B", 1), (1, 3, "A", 1), (2, 1, "C", 1),
+    ]
+    first = out[0]
+    assert first["end_us"] - first["start_us"] == 60_000_000
+
+
+def test_zipf_fit_exact_power_law(spark):
+    # freq = 60 / rank exactly (60, 30, 20, 15, 12) -> slope -1, r2 1
+    docs = spark.createDataFrame(
+        [(r, " ".join(f"w{r}" for _ in range(60 // r))) for r in (1, 2, 3, 4, 5)],
+        ["doc_id", "text"],
+    )
+    out = zipf_fit(docs, top_n=5).collect()[0]
+    assert out["n_terms"] == 5
+    assert abs(out["slope"] + 1.0) < 1e-6
+    assert abs(out["r2"] - 1.0) < 1e-6
+
+
+def test_length_bins_partition_and_waste(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 9)], ["doc_id", "text"]
+    )
+    out = {r["bin"]: r for r in length_bins(docs, n_bins=4).collect()}
+    assert len(out) == 4 and sum(r["n_docs"] for r in out.values()) == 8
+    # bin 1 holds lengths 1,2 -> waste = 2*2 - 3 = 1
+    assert out[1]["min_tokens"] == 1 and out[1]["max_tokens"] == 2
+    assert out[1]["pad_waste"] == 1
+
+
+def test_hard_negatives(spark):
+    retrieved = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10, 3), ("q1", 12, 1), ("q2", 99, 2)],
+        ["query_id", "doc_id", "grade"],
+    )
+    out = hard_negatives(retrieved, qrels, n=5, min_grade=2).collect()
+    got = {(r["query_id"], r["doc_id"]): r["neg_rank"] for r in out}
+    # doc 10 is a positive; 11 (unjudged) and 12 (grade 1 < 2) are negatives
+    assert got == {("q1", 11): 1, ("q1", 12): 2, ("q2", 20): 1}
+
+
+def test_pagerank_star_graph(spark):
+    # star: every leaf points at hub 0; hub points at leaf 1
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, 1)], ["src", "dst"]
+    )
+    out = {r["id"]: r["pr"] for r in pagerank(edges, iterations=20).collect()}
+    # hub accumulates the leaves' mass, leaf 1 gets the hub's, others decay
+    assert out[0] > out[1] > out[2]
+    assert abs(out[2] - out[3]) < 1e-9 and abs(out[3] - out[4]) < 1e-9
+    # scaled by |V|: the floor for a no-inlink node is (1-d) = 0.15
+    assert abs(out[2] - 0.15) < 1e-6
+
+
+def test_pagerank_mass_conservation_on_cycle(spark):
+    # directed 3-cycle: uniform stationary distribution, pr*n == 1.0 each
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    out = [r["pr"] for r in pagerank(edges, iterations=8).collect()]
+    assert all(abs(p - 1.0) < 1e-9 for p in out)
+
+
+def test_knn_graph_edges_excludes_self_and_is_k_regular(spark):
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    edges = knn_graph_edges(emb, k=3).collect()
+    assert len(edges) == 12 * 3
+    assert all(r["src"] != r["dst"] for r in edges)
