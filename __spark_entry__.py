@@ -1643,6 +1643,36 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iterations=5)
 
 
+def q_event_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association (support/lift) of event-type pairs
+    co-occurring in the same gap-based session."""
+    return timeseries.session_associations(
+        _events(spark, sf_dir), gap_minutes=30, min_pair=5, top_k=20
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window exponential smoothing of event values per type
+    (alpha=0.3, last 8 observations)."""
+    return timeseries.ewm_smooth(_events(spark, sf_dir), alpha=0.3, window=8)
+
+
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by triangle participation in the undirected 5-NN
+    cosine graph (local clustering signal)."""
+    from semantik_spark.operators.graph import knn_graph_edges, triangle_counts
+
+    return triangle_counts(knn_graph_edges(_t(spark, sf_dir, "embeddings"), k=5), top_k=20)
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style union/intersection/Jaccard estimates between
+    every pair of event-type user sets from KMV sketches (k=64)."""
+    from semantik_spark.operators.sketches import kmv_set_ops
+
+    return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1801,6 +1831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bins": q_length_bins,
         "hard_negatives": q_hard_negatives,
         "knn_pagerank": q_knn_pagerank,
+        "event_assoc": q_event_assoc,
+        "events_ewma": q_events_ewma,
+        "knn_triangles": q_knn_triangles,
+        "kmv_set_ops": q_kmv_set_ops,
     }
 
 
@@ -2375,6 +2409,10 @@ LIMIT 50""",
         "length_bins": oracles.q_length_bins(16),
         "hard_negatives": oracles.q_hard_negatives(50, 5, 3),
         "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
+        "event_assoc": oracles.q_event_assoc(30, 5, 20),
+        "events_ewma": oracles.q_events_ewma(0.3, 8),
+        "knn_triangles": oracles.q_knn_triangles(5, 20),
+        "kmv_set_ops": oracles.q_kmv_set_ops(64),
     }
 
 

@@ -99,3 +99,41 @@ def knn_graph_edges(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
         .where(F.col("rank") <= k)
         .select("src", "dst")
     )
+
+
+def triangle_counts(edges: DataFrame, top_k: int = 20,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED closure of a
+    directed edge list — local clustering signal for the kNN graph
+    (dense triangle neighborhoods ≈ tight semantic clusters; sparse
+    ones ≈ hubs/outliers).
+
+    id, n_triangles — top_k nodes by (count desc, id asc).
+
+    Shape: canonicalize to u < v undirected edges (one distinct), then
+    the standard two-path + closing-edge join chain, every join an
+    equi-join on a node key (no theta joins): e1(a,b) ⋈ e2(b,c) gives
+    the wedge a<b<c candidates (the a<c filter is implied by a<b<c
+    ordering never needing enumeration twice), closed by e3(a,c).
+    Degree-ordering (vertex id here — at 100 TB order by degree
+    instead, the classic compact-forward optimization) bounds the
+    wedge fan-out.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])  # a < b < c by construction
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return per_node.orderBy(F.desc("n_triangles"), F.asc("id")).limit(top_k)

@@ -98,3 +98,57 @@ def kmv_distinct(
         F.round(est, 6).alias("kmv_estimate"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
     )
+
+
+def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
+                k: int = 64) -> DataFrame:
+    """Theta-sketch-style set algebra between every pair of groups:
+    approximate |A|, |B|, |A∪B| from KMV sketches and |A∩B| by
+    inclusion-exclusion — the classic 'distinct users shared by two
+    event types' question answered from bounded state.
+
+    group_a, group_b (a < b), est_a, est_b, est_union, est_intersect,
+    jaccard_est (all 6 dp; est_intersect clamped at 0).
+
+    Union is where KMV shines: the k smallest of (sketch_A ∪ sketch_B)
+    IS the sketch of A∪B — merge is re-truncation, no rescan. The whole
+    operator therefore runs on |groups|·k sketch rows after ONE
+    distinct-hash aggregation of the input; the pairwise stage is a
+    |groups|² self-join of k-length arrays (trivial — group count is
+    small by construction; for thousands of groups you'd bucket the
+    pair space).
+    """
+    h = hash60(F.col("val"))
+    hashes = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("val"))
+        .select("g", ((h + F.lit(1)) / F.lit(_HASH_SPACE)).alias("u"))
+        .distinct()
+    )
+    sk = hashes.groupBy("g").agg(
+        F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("us")
+    )
+
+    def _est(us):
+        n = F.size(us)
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.array_max(us)
+        )
+
+    a = sk.select(F.col("g").alias("group_a"), F.col("us").alias("us_a"))
+    b = sk.select(F.col("g").alias("group_b"), F.col("us").alias("us_b"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("us_a", "us_b"))), 1, k
+    )
+    est_a = _est(F.col("us_a"))
+    est_b = _est(F.col("us_b"))
+    est_u = _est(merged)
+    est_i = F.greatest(est_a + est_b - est_u, F.lit(0.0))
+    return pairs.select(
+        "group_a", "group_b",
+        F.round(est_a, 6).alias("est_a"),
+        F.round(est_b, 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(est_i, 6).alias("est_intersect"),
+        F.round(est_i / est_u, 6).alias("jaccard_est"),
+    )

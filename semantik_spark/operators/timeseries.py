@@ -349,3 +349,103 @@ def state_islands(events: DataFrame, user_col: str = "user_id",
         F.unix_micros(F.min(ts_col)).alias("start_us"),
         F.unix_micros(F.max(ts_col)).alias("end_us"),
     )
+
+
+def session_associations(events: DataFrame, gap_minutes: int = 30,
+                         min_pair: int = 5, top_k: int = 20,
+                         user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts") -> DataFrame:
+    """Market-basket association mining over gap-based sessions: which
+    event-type pairs co-occur in the same session more often than
+    independence predicts (support / confidence-max / lift).
+
+    item_a, item_b (a < b), n_pair, n_a, n_b, support, lift —
+    support = n_pair/N, lift = n_pair·N/(n_a·n_b); pairs below
+    ``min_pair`` co-occurrences drop; top_k by (lift desc, a, b).
+
+    Shape: the sessionize lag+cumsum windows (one shuffle on user),
+    distinct (basket, item), a self-join on the basket key (baskets
+    hold ≤ |event types| items, so the join fan-out is bounded per
+    basket, not corpus-wide), and |item|²-sized aggregation output.
+    The basket count N rides along via a broadcast 1-row aggregate —
+    never a driver collect.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.lit(gap_minutes * 60)
+    sess = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double") > gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    baskets = sess.select(
+        F.col(user_col).alias("u"), F.col("_sid").alias("s"), F.col(type_col).alias("item")
+    ).distinct()
+    n_baskets = baskets.select("u", "s").distinct().agg(
+        F.count("*").cast("double").alias("n_baskets")
+    )
+    item_n = baskets.groupBy("item").agg(F.count("*").cast("bigint").alias("n_item"))
+    a = baskets.select("u", "s", F.col("item").alias("item_a"))
+    b = baskets.select("u", "s", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["u", "s"])
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair)
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a", "item_b", "n_pair", "n_a", "n_b",
+            F.round(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                F.col("n_pair") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b")).limit(top_k)
+
+
+def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
+               type_col: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Exponentially-weighted moving average of ``value`` per event
+    type, truncated to the last ``window`` observations — the
+    telemetry-smoothing primitive (truncation keeps the weights
+    closed-form: the exact recursive EWMA needs (1-α)^(-i) terms that
+    overflow doubles past i≈700, so a bounded window is also the
+    numerically-sane form at 100 TB).
+
+    event_id, us, value, ewma — ewma = Σ_k α(1-α)^k·v_{i-k} over the
+    available lags, normalized by the present weights (early rows see
+    fewer lags). The weighted terms are summed in fixed lag order on
+    both engines, so the doubles agree bit-for-bit before the 6 dp
+    round.
+
+    Shape: one window partitioning per event type (ordered ts +
+    event_id tiebreak), ``window`` lag expressions over it — a single
+    shuffle on event_type; no state, no recursion.
+    """
+    w = Window.partitionBy(type_col).orderBy(ts_col, "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(window):
+        wt = alpha * (1.0 - alpha) ** k
+        lagv = F.lag(F.col(value_col), k).over(w) if k else F.col(value_col)
+        num = num + F.coalesce(F.lit(wt) * lagv, F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return events.select(
+        "event_id",
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(value_col).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

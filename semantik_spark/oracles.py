@@ -2360,7 +2360,19 @@ def q_knn_pagerank(k: int = 5, damping: float = 0.85,
 )""")
         prev = cur
     return f"""
-WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {knn_edges_ctes(k)},
+nodes AS (SELECT vec_id AS id FROM corpus),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes){''.join(its)}
+SELECT id, round(pr * (SELECT n FROM nn), 6) AS pr FROM {prev}"""
+
+
+def knn_edges_ctes(k: int = 5) -> str:
+    """Shared CTE chain producing ``edges(src, dst)`` = the directed
+    k-NN cosine graph over embeddings (twin of graph.knn_graph_edges)."""
+    return f"""
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 escore AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, {cosine_expr('a.v', 'b.v')} AS cos
   FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
@@ -2370,9 +2382,118 @@ erank AS (
          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
   FROM escore
 ),
-edges AS (SELECT src, dst FROM erank WHERE rank <= {k}),
-nodes AS (SELECT vec_id AS id FROM corpus),
-nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
-pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes){''.join(its)}
-SELECT id, round(pr * (SELECT n FROM nn), 6) AS pr FROM {prev}"""
+edges AS (SELECT src, dst FROM erank WHERE rank <= {k})"""
+
+
+def q_knn_triangles(k: int = 5, top_k: int = 20) -> str:
+    """Twin of graph.triangle_counts over graph.knn_graph_edges."""
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT id, count(*)::BIGINT AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS id FROM tri) s
+  GROUP BY id
+)
+SELECT id, n_triangles FROM pn
+ORDER BY n_triangles DESC, id ASC LIMIT {top_k}"""
+
+
+def q_event_assoc(gap_minutes: int = 30, min_pair: int = 5,
+                  top_k: int = 20) -> str:
+    """Twin of timeseries.session_associations (market-basket lift over
+    gap-sessions)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+  FROM flagged
+), baskets AS (SELECT DISTINCT user_id AS u, sid AS s, event_type AS item FROM sess),
+nb AS (SELECT count(*)::DOUBLE AS n_baskets FROM (SELECT DISTINCT u, s FROM baskets)),
+itemn AS (SELECT item, count(*)::BIGINT AS n_item FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_pair
+  FROM baskets a JOIN baskets b ON a.u = b.u AND a.s = b.s AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {min_pair}
+)
+SELECT item_a, item_b, n_pair, na.n_item AS n_a, nb2.n_item AS n_b,
+       round(n_pair / (SELECT n_baskets FROM nb), 6) AS support,
+       round(n_pair * (SELECT n_baskets FROM nb) / (na.n_item * nb2.n_item), 6) AS lift
+FROM pairs
+JOIN itemn na ON na.item = item_a
+JOIN itemn nb2 ON nb2.item = item_b
+ORDER BY lift DESC, item_a ASC, item_b ASC
+LIMIT {top_k}"""
+
+
+def q_events_ewma(alpha: float = 0.3, window: int = 8) -> str:
+    """Twin of timeseries.ewm_smooth: the weight literals are emitted
+    with repr() of the same Python doubles the Spark side computes, and
+    the lag terms are added in the same fixed order, so the arithmetic
+    is bit-identical before the 6 dp round."""
+    num_terms, den_terms = [], []
+    for k in range(window):
+        wt = repr(alpha * (1.0 - alpha) ** k)
+        lagv = f"lag(value, {k}) OVER w" if k else "value"
+        num_terms.append(f"coalesce({wt} * ({lagv}), 0.0)")
+        den_terms.append(f"CASE WHEN ({lagv}) IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+SELECT event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us, value,
+       round(({num}) / ({den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"""
+
+
+def q_kmv_set_ops(k: int = 64) -> str:
+    """Twin of sketches.kmv_set_ops (theta-style union/intersection
+    estimates between event-type user sets)."""
+    h = hash60_expr("user_id")
+    space = float(2**60)
+
+    def est(us: str) -> str:
+        return (f"CASE WHEN len({us}) < {k} THEN len({us})::DOUBLE "
+                f"ELSE {float(k - 1)} / list_max({us}) END")
+
+    merged = f"(list_sort(list_distinct(list_concat(us_a, us_b))))[1:{k}]"
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS g, ({h} + 1) / {space!r} AS u FROM events
+),
+sk AS (SELECT g, (list_sort(array_agg(u)))[1:{k}] AS us FROM hashes GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.us AS us_a, b.us AS us_b
+  FROM sk a JOIN sk b ON a.g < b.g
+),
+calc AS (
+  SELECT group_a, group_b,
+         {est('us_a')} AS est_a,
+         {est('us_b')} AS est_b,
+         {est(merged)} AS est_u
+  FROM pairs
+)
+SELECT group_a, group_b,
+       round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_u, 6) AS est_union,
+       round(greatest(est_a + est_b - est_u, 0.0), 6) AS est_intersect,
+       round(greatest(est_a + est_b - est_u, 0.0) / est_u, 6) AS jaccard_est
+FROM calc"""

@@ -126,3 +126,62 @@ def test_knn_graph_edges_excludes_self_and_is_k_regular(spark):
     edges = knn_graph_edges(emb, k=3).collect()
     assert len(edges) == 12 * 3
     assert all(r["src"] != r["dst"] for r in edges)
+
+
+def test_triangle_counts_k4(spark):
+    from semantik_spark.operators.graph import triangle_counts
+
+    # complete graph K4: C(4,3)=4 triangles, each node participates in 3
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b], ["src", "dst"]
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_session_associations_lift(spark):
+    from semantik_spark.operators.timeseries import session_associations
+
+    rows = []
+    eid = 0
+    # 4 users, one session each: A+B always together, C alone in 2 baskets
+    for u in (1, 2, 3, 4):
+        for et in (["A", "B"] if u <= 2 else ["C"]):
+            rows.append((eid, u, et, f"2024-01-01 00:0{u}:00"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_associations(ev, min_pair=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # N=4 baskets, n_A=n_B=2, n_pair=2 -> lift = 2*4/(2*2) = 2
+    assert (r["item_a"], r["item_b"], r["n_pair"]) == ("A", "B", 2)
+    assert r["lift"] == 2.0 and r["support"] == 0.5
+
+
+def test_ewm_smooth_formula(spark):
+    from semantik_spark.operators.timeseries import ewm_smooth
+
+    ev = spark.createDataFrame(
+        [(i, 1, "A", f"2024-01-01 00:0{i}:00", float(v))
+         for i, v in enumerate([10.0, 20.0, 30.0])],
+        ["event_id", "user_id", "event_type", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["ewma"] for r in ewm_smooth(ev, alpha=0.5, window=4).collect()}
+    assert out[0] == 10.0  # single observation
+    # row 1: (0.5*20 + 0.25*10)/(0.75)
+    assert abs(out[1] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-6
+    # row 2: (0.5*30 + 0.25*20 + 0.125*10)/(0.875)
+    assert abs(out[2] - (0.5 * 30 + 0.25 * 20 + 0.125 * 10) / 0.875) < 1e-6
+
+
+def test_kmv_set_ops_exact_small(spark):
+    from semantik_spark.operators.sketches import kmv_set_ops
+
+    rows = [("A", i) for i in range(10)] + [("B", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, ["g", "uid"])
+    r = kmv_set_ops(df, "g", "uid", k=64).collect()[0]
+    # below k everything is exact: |A|=|B|=10, |A∪B|=15, |A∩B|=5
+    assert (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"]) == (10.0, 10.0, 15.0, 5.0)
+    assert abs(r["jaccard_est"] - 5.0 / 15.0) < 1e-5
