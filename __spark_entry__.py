@@ -1673,6 +1673,65 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User × event-type activity matrix via pivot with an EXPLICIT
+    value list (no extra distinct-values job — the 100 TB pivot rule)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total.cast("bigint"))
+
+
+def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once cleanup stats: keep the first event per (user,
+    type, 5-minute bucket); per-type kept/dropped accounting."""
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket", F.floor(F.unix_micros("ts") / F.lit(300_000_000))
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy("ts", "event_id")
+    flagged = ev.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.lit(1.0) - F.col("n_kept") / F.col("n_events"), 6),
+        )
+    )
+
+
+def q_ivm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proof: daily counters maintained as
+    state(< Jan 16) merged with delta(>= Jan 16) — the oracle is the
+    FULL recompute, so a green row certifies merged == recomputed."""
+    from semantik_spark.streaming.incremental import daily_counters, merge_counters
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("date")
+    state = daily_counters(ev.where(F.to_date("ts") < cutoff))
+    delta = daily_counters(ev.where(F.to_date("ts") >= cutoff))
+    return merge_counters(state, delta).select(
+        "event_type", "day", "n",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -1835,6 +1894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "knn_triangles": q_knn_triangles,
         "kmv_set_ops": q_kmv_set_ops,
+        "events_pivot": q_events_pivot,
+        "events_dedup_first": q_events_dedup_first,
+        "ivm_counters": q_ivm_counters,
     }
 
 
@@ -2413,6 +2475,35 @@ LIMIT 50""",
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),
         "kmv_set_ops": oracles.q_kmv_set_ops(64),
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*)::BIGINT AS n_total
+FROM events GROUP BY user_id""",
+        "events_dedup_first": """
+WITH b AS (
+  SELECT event_type, user_id, event_id, ts,
+         (epoch_us(ts::TIMESTAMP)::BIGINT // 300000000) AS bucket
+  FROM events
+), r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket
+                            ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(1.0 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+FROM r GROUP BY event_type""",
+        "ivm_counters": """
+SELECT event_type, (ts::TIMESTAMP::DATE)::VARCHAR AS day,
+       count(*)::BIGINT AS n,
+       round((sum(value::DECIMAL(28,8)))::DOUBLE, 6) AS sum_value
+FROM events GROUP BY 1, 2""",
     }
 
 

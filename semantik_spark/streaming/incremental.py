@@ -345,3 +345,53 @@ def kmv_state_estimates(spark: SparkSession, state_path: str, k: int = 64) -> Da
         n_sketch.cast("int").alias("n_sketch"),
         F.round(est, 6).alias("kmv_estimate"),
     )
+
+
+def merge_counters(state: DataFrame, delta: DataFrame,
+                   keys: list[str] | None = None) -> DataFrame:
+    """Incremental-view-maintenance merge: combine a materialized
+    counter state (keys, n, sum_value) with a freshly-aggregated delta
+    into the counters a full recompute would produce — the algebra the
+    foreachBatch counter paths rely on, exposed as a batch operator so
+    an oracle can verify merged == recomputed on real data.
+
+    count/sum (and any commutative monoid) merge by addition over the
+    key-aligned full outer join; avg/ratios must be derived AFTER the
+    merge from the merged sums. sum_value is an exact DECIMAL(38,8)
+    (per-row 8 dp quantization, then exact integer arithmetic), so
+    merged == recomputed holds BIT-exactly — a double sum would differ
+    from the recompute by summation order. At 100 TB the state side is the small,
+    already-reduced table (|keys| rows) and the delta aggregation is
+    the only corpus-scale job — this is why IVM beats recompute: the
+    big side only ever sees the new partition.
+    """
+    keys = keys or ["event_type", "day"]
+    zero = F.lit(0).cast("bigint")
+    return (
+        state.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce(state["n"], zero) + F.coalesce(delta["n"], zero)).alias("n"),
+            (F.coalesce(state["sum_value"], F.lit(0).cast("decimal(38,8)"))
+             + F.coalesce(delta["sum_value"], F.lit(0).cast("decimal(38,8)"))
+             ).cast("decimal(38,8)").alias("sum_value"),
+        )
+    )
+
+
+def daily_counters(events: DataFrame, type_col: str = "event_type",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """(event_type, day, n, sum_value) — the counter shape merge_counters
+    maintains. One groupBy with map-side partials."""
+    return (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).cast("string").alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(28,8)")).cast("decimal(38,8)").alias("sum_value"),
+        )
+    )

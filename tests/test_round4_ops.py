@@ -185,3 +185,34 @@ def test_kmv_set_ops_exact_small(spark):
     # below k everything is exact: |A|=|B|=10, |A∪B|=15, |A∩B|=5
     assert (r["est_a"], r["est_b"], r["est_union"], r["est_intersect"]) == (10.0, 10.0, 15.0, 5.0)
     assert abs(r["jaccard_est"] - 5.0 / 15.0) < 1e-5
+
+
+def test_merge_counters_equals_recompute(spark):
+    from semantik_spark.streaming.incremental import daily_counters, merge_counters
+
+    ev = spark.createDataFrame(
+        [(i, 1 + i % 3, "A" if i % 2 else "B",
+          f"2024-01-{1 + i % 4:02d} 00:00:{i:02d}", float(i) * 1.5)
+         for i in range(40)],
+        ["event_id", "user_id", "event_type", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = daily_counters(ev.where(F.dayofmonth("ts") <= 2))
+    delta = daily_counters(ev.where(F.dayofmonth("ts") > 2))
+    merged = merge_counters(state, delta).orderBy("event_type", "day").collect()
+    full = daily_counters(ev).orderBy("event_type", "day").collect()
+    assert [(r["event_type"], r["day"], r["n"], r["sum_value"]) for r in merged] == \
+           [(r["event_type"], r["day"], r["n"], r["sum_value"]) for r in full]
+
+
+def test_merge_counters_disjoint_keys(spark):
+    from semantik_spark.streaming.incremental import merge_counters
+
+    state = spark.createDataFrame(
+        [("A", "2024-01-01", 5)], ["event_type", "day", "n"]
+    ).withColumn("sum_value", F.lit(10).cast("decimal(38,8)"))
+    delta = spark.createDataFrame(
+        [("B", "2024-01-02", 2)], ["event_type", "day", "n"]
+    ).withColumn("sum_value", F.lit(7).cast("decimal(38,8)"))
+    out = {(r["event_type"], r["day"]): (r["n"], float(r["sum_value"]))
+           for r in merge_counters(state, delta).collect()}
+    assert out == {("A", "2024-01-01"): (5, 10.0), ("B", "2024-01-02"): (2, 7.0)}
