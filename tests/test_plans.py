@@ -468,3 +468,59 @@ def test_bucketed_join_no_exchange_no_sort(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_payload_b")
+
+
+def test_triangle_counts_equi_joins_only(spark):
+    """The wedge + closing-edge chain must be equi-joins on node keys —
+    a theta formulation would nested-loop at |E|² and die at scale."""
+    from semantik_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(20) for b in range(a + 1, 20) if (a * b) % 3], ["src", "dst"]
+    )
+    plan = _plan(triangle_counts(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_positives(spark):
+    """The anti-join against the positive slice must broadcast it —
+    the retrieved side never reshuffles on (query, doc)."""
+    from semantik_spark.operators.metrics import hard_negatives
+
+    retrieved = spark.createDataFrame(
+        [("q1", i, i + 1) for i in range(50)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3), ("q1", 2, 0)], ["query_id", "doc_id", "grade"]
+    )
+    plan = _plan(hard_negatives(retrieved, qrels))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_columns_single_scan(spark):
+    """The profiler must read the input once — one scan node, however
+    many columns are profiled (the Expand for multi-distinct is the
+    documented exact-mode cost, not an extra scan)."""
+    from semantik_spark.operators.profiling import profile_columns
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"), (F.col("id") % 3).alias("c")
+    )
+    plan = _plan(profile_columns(df, ["a", "b", "c"]))
+    assert plan.count("Range (0, 100") <= 1
+
+
+def test_ewm_smooth_single_window_shuffle(spark):
+    """All lag terms share ONE window partitioning — exactly one
+    exchange (on event_type), zero joins."""
+    from semantik_spark.operators.timeseries import ewm_smooth
+
+    ev = spark.createDataFrame(
+        [(i, 1, "A", f"2024-01-01 00:00:{i:02d}", float(i)) for i in range(30)],
+        ["event_id", "user_id", "event_type", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(ewm_smooth(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
