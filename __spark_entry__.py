@@ -1673,6 +1673,120 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(_events(spark, sf_dir), "event_type", "user_id", k=64)
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: six-table join where the
+    customer's and supplier's nations must match; every dimension side
+    broadcasts into the lineitem scan (the fact table shuffles once,
+    for the final groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+    ).cast("decimal(30,4)")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              (li.l_suppkey == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
+def q_customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks over customer lifetime order value:
+    percent_rank, cume_dist, decile. Global-order window — the
+    single-partition sort is |customers| tiny rows (key+value); at
+    100 B customers switch to approx quantile cut points."""
+    orders = _t(spark, sf_dir, "orders")
+    tot = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"))
+        .select("o_custkey", F.col("total_dec").cast("double").alias("total_value"))
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("o_custkey"))
+    return tot.select(
+        F.col("o_custkey").alias("custkey"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+
+
+def q_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over (priority, nation): detail + both one-way
+    margins + grand total in ONE pass with grouping-id disambiguation
+    (rollup_agg / cube_agg cover the other shapes)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    gs = j.groupingSets(
+        [["o_orderpriority", "n_name"], ["o_orderpriority"], ["n_name"], []],
+        "o_orderpriority", "n_name",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        (F.grouping("o_orderpriority") * 2 + F.grouping("n_name")).cast("int").alias("gid"),
+    )
+    return gs.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        "gid", "n_orders", F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation is
+    weighted by its holding time (gap to the next observation, capped
+    at 600 s; the last observation has no interval and drops out) —
+    the market-data TWAP construction. Exact decimal products keep the
+    sum order-independent."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lead_us = F.lead(F.unix_micros("ts")).over(w)
+    # guard the cap behind the null check: least() IGNORES nulls (both
+    # engines), so least(NULL, cap) would silently give the last
+    # observation a full cap-width interval instead of dropping it
+    gapped = ev.withColumn(
+        "w_us",
+        F.when(
+            lead_us.isNotNull(),
+            F.least(lead_us - F.unix_micros("ts"), F.lit(600_000_000)),
+        ),
+    ).where(F.col("w_us").isNotNull())
+    num = F.sum(F.col("value").cast("decimal(18,6)") * F.col("w_us"))
+    den = F.sum("w_us")
+    return gapped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked Levenshtein near-duplicates over the augmented
+    dedup corpus (head-edit-distance <= 5 within 12-char blocks)."""
+    return dedup.fuzzy_pairs(_aug_docs(spark, sf_dir))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1894,6 +2008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "knn_triangles": q_knn_triangles,
         "kmv_set_ops": q_kmv_set_ops,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "customer_value_ranks": q_customer_value_ranks,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "events_twap": q_events_twap,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "events_pivot": q_events_pivot,
         "events_dedup_first": q_events_dedup_first,
         "ivm_counters": q_ivm_counters,
@@ -2475,6 +2594,56 @@ LIMIT 50""",
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),
         "kmv_set_ops": oracles.q_kmv_set_ops(64),
+        "local_supplier_revenue": """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       (sum((l.l_extendedprice::DECIMAL(18,2)
+             * (1::DECIMAL(8,2) - l.l_discount::DECIMAL(8,2)))::DECIMAL(30,4)))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2""",
+        "customer_value_ranks": """
+WITH tot AS (
+  SELECT o_custkey, (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS total_value
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, round(total_value, 2) AS total_value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       (ntile(10) OVER w)::INT AS decile
+FROM tot WINDOW w AS (ORDER BY total_value DESC, o_custkey ASC)""",
+        "priority_grouping_sets": """
+WITH j AS (
+  SELECT o.o_orderpriority, n.n_name, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(n_name, 'ALL') AS nation,
+       (grouping(o_orderpriority) * 2 + grouping(n_name))::INT AS gid,
+       count(*)::BIGINT AS n_orders,
+       round((sum(o_totalprice::DECIMAL(18,2)))::DOUBLE, 2) AS total_value
+FROM j
+GROUP BY GROUPING SETS ((o_orderpriority, n_name), (o_orderpriority), (n_name), ())""",
+        "events_twap": """
+WITH g AS (
+  SELECT event_type, value,
+         CASE WHEN lead(epoch_us(ts::TIMESTAMP)::BIGINT) OVER w IS NULL THEN NULL
+              ELSE least(lead(epoch_us(ts::TIMESTAMP)::BIGINT) OVER w
+                           - epoch_us(ts::TIMESTAMP)::BIGINT,
+                         600000000) END AS w_us
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, count(*)::BIGINT AS n_intervals,
+       round((sum(value::DECIMAL(18,6) * w_us))::DOUBLE / (sum(w_us))::DOUBLE, 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM g WHERE w_us IS NOT NULL GROUP BY event_type""",
+        "fuzzy_pairs": oracles.q_fuzzy_pairs(12, 40, 5),
         "events_pivot": """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,

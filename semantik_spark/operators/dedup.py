@@ -588,3 +588,39 @@ def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
             ).alias("dup_frac"),
         )
     )
+
+
+def fuzzy_pairs(docs: DataFrame, prefix_len: int = 12, cmp_len: int = 40,
+                max_dist: int = 5, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Edit-distance near-duplicates with prefix blocking: documents
+    whose normalized heads (lowercased, whitespace-collapsed, first
+    ``cmp_len`` chars) are within ``max_dist`` Levenshtein edits, but
+    ONLY compared inside blocks sharing the first ``prefix_len``
+    normalized chars — the classic blocking that turns O(n²)
+    edit-distance dedup into per-block work (records whose first
+    prefix_len chars already differ cannot be head-near-duplicates
+    when max_dist < edits needed to fix the prefix... strictly this
+    blocking is a recall heuristic, the standard trade).
+
+    doc_a, doc_b, dist. One shuffle on the block key; Levenshtein runs
+    only on candidate pairs (JVM builtin, not a UDF). Block-key skew =
+    boilerplate heads; at 100 TB widen prefix_len or salt hot blocks.
+    """
+    head = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 1, cmp_len
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        head.alias("head"),
+        F.substring(head, 1, prefix_len).alias("block"),
+    )
+    a = base.select(F.col("id").alias("doc_a"), F.col("head").alias("head_a"), "block")
+    b = base.select(F.col("id").alias("doc_b"), F.col("head").alias("head_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("head_a", "head_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -2497,3 +2497,21 @@ SELECT group_a, group_b,
        round(greatest(est_a + est_b - est_u, 0.0), 6) AS est_intersect,
        round(greatest(est_a + est_b - est_u, 0.0) / est_u, 6) AS jaccard_est
 FROM calc"""
+
+
+def q_fuzzy_pairs(prefix_len: int = 12, cmp_len: int = 40,
+                  max_dist: int = 5) -> str:
+    """Twin of dedup.fuzzy_pairs (prefix-blocked Levenshtein) over the
+    augmented dedup corpus."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+base AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, {cmp_len}) AS head,
+         substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, {prefix_len}) AS block
+  FROM aug_docs
+)
+SELECT a.id AS doc_a, b.id AS doc_b,
+       levenshtein(a.head, b.head)::INT AS dist
+FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.head, b.head) <= {max_dist}"""

@@ -216,3 +216,47 @@ def test_merge_counters_disjoint_keys(spark):
     out = {(r["event_type"], r["day"]): (r["n"], float(r["sum_value"]))
            for r in merge_counters(state, delta).collect()}
     assert out == {("A", "2024-01-01"): (5, 10.0), ("B", "2024-01-02"): (2, 7.0)}
+
+
+def test_fuzzy_pairs_blocking_and_distance(spark):
+    from semantik_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # dist 3 in head
+            (3, "the quick brown mouse sits under a table"),     # same block, far head
+            (4, "completely different opening line here"),       # different block
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["dist"] for r in fuzzy_pairs(docs).collect()}
+    assert (1, 2) in out and out[(1, 2)] <= 5
+    assert (1, 4) not in out  # blocked away
+    assert (1, 3) not in out  # same block but head distance > 5
+
+
+def test_events_twap_weighting(spark):
+    # type A: value 10 held 100s, value 30 held 300s (capped at 600) -> twap 25
+    rows = [
+        (0, 1, "A", "2024-01-01 00:00:00", 10.0),
+        (1, 1, "A", "2024-01-01 00:01:40", 30.0),
+        (2, 1, "A", "2024-01-01 00:06:40", 99.0),  # last: no interval, drops
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window as W
+    win = W.partitionBy("event_type").orderBy("ts", "event_id")
+    lead_us = F.lead(F.unix_micros("ts")).over(win)
+    gapped = ev.withColumn(
+        "w_us",
+        F.when(lead_us.isNotNull(),
+               F.least(lead_us - F.unix_micros("ts"), F.lit(600_000_000))),
+    ).where(F.col("w_us").isNotNull())
+    num = F.sum(F.col("value").cast("decimal(18,6)") * F.col("w_us"))
+    den = F.sum("w_us")
+    r = gapped.groupBy("event_type").agg(
+        (num.cast("double") / den.cast("double")).alias("twap")
+    ).collect()[0]
+    assert abs(r["twap"] - (10 * 100 + 30 * 300) / 400) < 1e-9
