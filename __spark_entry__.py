@@ -1781,10 +1781,56 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (PPJoin-style, perfect
+    recall) over the augmented dedup corpus."""
+    return dedup.jaccard_prefix_pairs(_aug_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-blocked Levenshtein near-duplicates over the augmented
     dedup corpus (head-edit-distance <= 5 within 12-char blocks)."""
     return dedup.fuzzy_pairs(_aug_docs(spark, sf_dir))
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    non-purchase event type earlier in the SAME gap-session ('direct'
+    when the purchase opens the session); per-touch counts and share.
+    The carry-forward uses last(..., ignorenulls) over a preceding-rows
+    frame — the same single-shuffle trick as the as-of join."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > 30 * 60, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    ws = (
+        Window.partitionBy("user_id", "_sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = sess.withColumn(
+        "prev_t",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(ws),
+    )
+    purchases = touched.where(F.col("event_type") == "purchase")
+    counts = purchases.groupBy(
+        F.coalesce("prev_t", F.lit("direct")).alias("touch")
+    ).agg(F.count("*").cast("bigint").alias("n_purchases"))
+    total = purchases.agg(F.count("*").cast("double").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "touch", "n_purchases",
+        F.round(F.col("n_purchases") / F.col("n_total"), 6).alias("share"),
+    )
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -2013,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_grouping_sets": q_priority_grouping_sets,
         "events_twap": q_events_twap,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "purchase_attribution": q_purchase_attribution,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "events_pivot": q_events_pivot,
         "events_dedup_first": q_events_dedup_first,
         "ivm_counters": q_ivm_counters,
@@ -2644,6 +2692,29 @@ SELECT event_type, count(*)::BIGINT AS n_intervals,
        round(avg(value), 6) AS plain_avg
 FROM g WHERE w_us IS NOT NULL GROUP BY event_type""",
         "fuzzy_pairs": oracles.q_fuzzy_pairs(12, 40, 5),
+        "dedup_jaccard_prefix": oracles.q_jaccard_prefix(3, 0.5),
+        "purchase_attribution": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+  FROM flagged
+), lt AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t
+  FROM sess
+), p AS (SELECT coalesce(prev_t, 'direct') AS touch FROM lt WHERE event_type = 'purchase')
+SELECT touch, count(*)::BIGINT AS n_purchases,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM p), 6) AS share
+FROM p GROUP BY touch""",
         "events_pivot": """
 SELECT user_id,
        count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,

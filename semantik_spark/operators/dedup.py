@@ -624,3 +624,59 @@ def fuzzy_pairs(docs: DataFrame, prefix_len: int = 12, cmp_len: int = 40,
         .where(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """EXACT Jaccard near-dup join with prefix filtering (Chaudhuri et
+    al. 2006 / PPJoin family) — the scale-safe exact path, complementing
+    ngram_jaccard_pairs (any-shared-shingle candidates — fan-out on
+    common shingles) and minhash LSH (probabilistic recall).
+
+    Guarantee: order every doc's shingles by ascending global document
+    frequency (rarest first, shingle-lexicographic tiebreak); if
+    J(A,B) >= t then |A∩B| >= t·|A|, so A's first
+    |A| - ceil(t·|A|) + 1 shingles must contain an intersection
+    element (pigeonhole) — candidates = pairs sharing a PREFIX
+    shingle, with perfect recall and a candidate set driven by RARE
+    shingles only (the df-ascending order is what kills the
+    common-shingle fan-out).
+
+    doc_a, doc_b, jaccard (6 dp). Shape: one df-count shuffle on
+    shingle, one doc-partitioned rank window, the prefix equi-join on
+    shingle, then per-candidate verification on the materialized
+    shingle ARRAYS (array_intersect — no second explode join).
+    """
+    s = shingle_sets(docs, n, id_col, text_col).persist()
+    freq = s.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    plen = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    prefix = (
+        s.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= plen)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr = shingle_arrays(docs, n, id_col, text_col).select("doc_id", "shingles")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(arr.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shingles").alias("sh_a")), "doc_a")
+        .join(arr.select(F.col("doc_id").alias("doc_b"),
+                         F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jacc_raw",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .where(F.col("jacc_raw") >= threshold)  # raw compare, ngram_jaccard_pairs parity
+        .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard"))
+    )

@@ -2515,3 +2515,40 @@ SELECT a.id AS doc_a, b.id AS doc_b,
        levenshtein(a.head, b.head)::INT AS dist
 FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
 WHERE levenshtein(a.head, b.head) <= {max_dist}"""
+
+
+def q_jaccard_prefix(n: int = 3, threshold: float = 0.5) -> str:
+    """Twin of dedup.jaccard_prefix_pairs (prefix-filtered exact
+    Jaccard join): df-ascending prefix candidates, exact verify."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{shingle_ctes("aug_docs", n).lstrip()},
+freq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle, sh.n_shingles,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY f.df ASC, sh.shingle ASC) AS pos
+  FROM sh JOIN freq f USING (shingle)
+),
+pref AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE pos <= n_shingles - ceil({threshold} * n_shingles) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, max(n_shingles) AS ns FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common::DOUBLE / (za.ns + zb.ns - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.doc_a
+JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE i.n_common::DOUBLE / (za.ns + zb.ns - i.n_common) >= {threshold}"""

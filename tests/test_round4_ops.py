@@ -260,3 +260,39 @@ def test_events_twap_weighting(spark):
         (num.cast("double") / den.cast("double")).alias("twap")
     ).collect()[0]
     assert abs(r["twap"] - (10 * 100 + 30 * 300) / 400) < 1e-9
+
+
+def test_jaccard_prefix_matches_allpairs(spark, docs):
+    """Prefix filtering is recall-EXACT: results must equal the
+    any-shared-shingle exact join at the same threshold."""
+    from semantik_spark.operators.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    t = 0.5
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()}
+    full = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()}
+    assert pref == full and len(pref) >= 1  # exact dup pair (1,2) present
+
+
+def test_purchase_attribution_shares(spark):
+    import __spark_entry__ as em
+
+    rows = [
+        (0, 1, "view", "2024-01-01 00:00:00", 0.0),
+        (1, 1, "purchase", "2024-01-01 00:01:00", 5.0),   # last-touch: view
+        (2, 2, "purchase", "2024-01-01 00:00:00", 5.0),   # opens session: direct
+    ]
+    # drive the wrapper's logic through a temp parquet dir
+    import tempfile, shutil, os
+    d = tempfile.mkdtemp()
+    try:
+        ev = spark.createDataFrame(
+            rows, ["event_id", "user_id", "event_type", "ts", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["touch"]: (r["n_purchases"], r["share"])
+               for r in em.q_purchase_attribution(spark, d).collect()}
+        assert out == {"view": (1, 0.5), "direct": (1, 0.5)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
