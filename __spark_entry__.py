@@ -1781,6 +1781,14 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (k=50, weight =
+    n_chars) via Efraimidis-Spirakis hash keys — RNG-free top-k."""
+    from semantik_spark.operators.training import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered EXACT Jaccard join (PPJoin-style, perfect
     recall) over the augmented dedup corpus."""
@@ -2061,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "purchase_attribution": q_purchase_attribution,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "weighted_sample": q_weighted_sample,
         "events_pivot": q_events_pivot,
         "events_dedup_first": q_events_dedup_first,
         "ivm_counters": q_ivm_counters,
@@ -2693,6 +2702,7 @@ SELECT event_type, count(*)::BIGINT AS n_intervals,
 FROM g WHERE w_us IS NOT NULL GROUP BY event_type""",
         "fuzzy_pairs": oracles.q_fuzzy_pairs(12, 40, 5),
         "dedup_jaccard_prefix": oracles.q_jaccard_prefix(3, 0.5),
+        "weighted_sample": oracles.q_weighted_sample(50),
         "purchase_attribution": """
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP)::BIGINT AS us

@@ -402,3 +402,35 @@ def length_bins(docs: DataFrame, n_bins: int = 16, id_col: str = "doc_id",
         F.sum("n_tokens").alias("sum_tokens"),
         (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).cast("bigint").alias("pad_waste"),
     )
+
+
+def weighted_sample(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    2006): each row gets key = ln(u)/w with u a deterministic
+    hash-uniform in (0,1]; the k largest keys ARE a weight-proportional
+    sample — so 'sample k docs proportional to length/quality' becomes
+    a plain distributed top-k (TakeOrdered), no RNG, no rejection loop,
+    reproducible across engines and runs.
+
+    doc_id, weight, rank. ln(u)/w is the monotone log form of the
+    textbook u^(1/w) key — same ordering, no underflow at tiny u/huge
+    w. Zero/negative weights are excluded (undefined sampling mass).
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    u = (hash60(F.col(id_col).cast("string")) + F.lit(1)) / F.lit(float(2**60))
+    keyed = (
+        docs.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            (F.log(u) / F.col(weight_col)).alias("_key"),
+        )
+    )
+    w = Window.orderBy(F.desc("_key"), F.asc("doc_id"))
+    return (
+        keyed.orderBy(F.desc("_key"), F.asc("doc_id")).limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "weight", "rank")
+    )

@@ -2552,3 +2552,18 @@ FROM inter i
 JOIN sz za ON za.doc_id = i.doc_a
 JOIN sz zb ON zb.doc_id = i.doc_b
 WHERE i.n_common::DOUBLE / (za.ns + zb.ns - i.n_common) >= {threshold}"""
+
+
+def q_weighted_sample(k: int = 50) -> str:
+    """Twin of training.weighted_sample (Efraimidis-Spirakis top-k)."""
+    h = hash60_expr("doc_id")
+    space = float(2**60)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars::BIGINT AS weight,
+         ln(({h} + 1) / {space!r}) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight,
+       row_number() OVER (ORDER BY key DESC, doc_id ASC)::INT AS rank
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {k}"""

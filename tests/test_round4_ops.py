@@ -296,3 +296,30 @@ def test_purchase_attribution_shares(spark):
         assert out == {"view": (1, 0.5), "direct": (1, 0.5)}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_weighted_sample_proportionality(spark):
+    from semantik_spark.operators.training import weighted_sample
+
+    # 900 light rows (w=1) vs 100 heavy rows (w=100): heavy mass is
+    # ~92% of the total, so a 50-draw WOR sample should be dominated
+    # by heavy rows (deterministic given the hash keys)
+    docs = spark.createDataFrame(
+        [(i, 1 if i < 900 else 100) for i in range(1000)], ["doc_id", "n_chars"]
+    )
+    out = weighted_sample(docs, k=50).collect()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["weight"] == 100)
+    assert heavy >= 35
+    # ranks are dense 1..50
+    assert sorted(r["rank"] for r in out) == list(range(1, 51))
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from semantik_spark.operators.training import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], ["doc_id", "n_chars"]
+    )
+    out = weighted_sample(docs, k=10).collect()
+    assert [r["doc_id"] for r in out] == [3]
