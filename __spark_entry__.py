@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from semantik_spark import oracles
+from semantik_spark.functions.caching import cache, release_all
 from semantik_spark.functions.hashing import content_hash, hash60
 from semantik_spark.operators import bm25, chunking, dedup, extract, hyde, metrics, rerank, search, similarity, splade, textanalysis, timeseries
 from semantik_spark.operators.sniff import sniff_columns
@@ -223,12 +224,12 @@ def q_bm25_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the prefix-bucket term_id scheme aggregates the vocab
     # twice (ranks + bucket counts) — tokenization must run once
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
+    tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
     return bm25.term_stats(tok).select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
 
 
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
+    tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
     stats = bm25.corpus_stats(tok)
     post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     return post.select("doc_id", "term", "tf", F.round("weight", 6).alias("weight"))
@@ -313,7 +314,7 @@ def _ir_inputs(spark: SparkSession, sf_dir: str, k: int = 10):
     qdf = _queries_df(spark, IR_QUERY_TERMS)
     # one tokenization pass shared by the retrieval pipeline and the
     # synthetic qrels below (bm25.search would otherwise re-tokenize)
-    tok = bm25.tokenize(docs).persist()
+    tok = cache(bm25.tokenize(docs))
     retrieved = bm25.search(docs, qdf, k=k, tokenized=tok).select(
         "query_id", "doc_id", "rank"
     )
@@ -447,7 +448,7 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_queries*k rows, but each reference costs a full corpus scan —
     # persist so the hit-join and denominator branches of all four
     # methods reuse one exhaustive pass instead of eight
-    exact = similarity.knn_bruteforce(corpus, queries, k=5).persist()
+    exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
     methods = [
         ("ivf", similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4)),
         ("lsh", similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8)),
@@ -785,7 +786,7 @@ def q_sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 sparse sink rows, flattened: doc_id, pos (position in the
     ascending-term_id array), term_id, weight (6dp). posexplode of the
     array form verifies sparse_vectors' sort order hash-exactly."""
-    tok = bm25.tokenize(_t(spark, sf_dir, "documents")).persist()
+    tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
     stats = bm25.corpus_stats(tok)
     post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     sv = bm25.sparse_vectors(post)
@@ -1639,7 +1640,7 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # persist: all 5 iterations re-join the same edge table
-    edges = knn_graph_edges(emb, k=5).persist()
+    edges = cache(knn_graph_edges(emb, k=5))
     return pagerank(edges, damping=0.85, iterations=5)
 
 
@@ -1675,9 +1676,12 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue: six-table join where the
-    customer's and supplier's nations must match; every dimension side
-    broadcasts into the lineitem scan (the fact table shuffles once,
-    for the final groupBy)."""
+    customer's and supplier's nations must match. Only the truly
+    fixed-size dims (nation 25, region 5) and the 10k/SF supplier side
+    carry broadcast hints; orders and customer grow linearly with SF
+    (1.5M / 150k rows per SF) so they are left to AQE — at small SF it
+    broadcasts them anyway, at large SF they shuffle-join instead of
+    OOMing a forced broadcast (ADVICE r4)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1689,9 +1693,9 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
     ).cast("decimal(30,4)")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
               (li.l_suppkey == F.col("s_suppkey"))
@@ -1846,18 +1850,28 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User × event-type activity matrix via pivot with an EXPLICIT
-    value list (no extra distinct-values job — the 100 TB pivot rule)."""
-    ev = _events(spark, sf_dir)
+    value list (no extra distinct-values job — the 100 TB pivot rule).
+
+    Types outside _EVENT_TYPES fold into an ``n_other`` column rather
+    than being silently dropped (ADVICE r4): n_total = sum of ALL
+    pivot columns therefore always equals the per-user count(*) the
+    oracle computes, even if the events generator grows a new type."""
+    ev = _events(spark, sf_dir).withColumn(
+        "event_type",
+        F.when(F.col("event_type").isin(_EVENT_TYPES), F.col("event_type"))
+        .otherwise(F.lit("other")),
+    )
+    cols = _EVENT_TYPES + ["other"]
     out = (
         ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
+        .pivot("event_type", cols)
         .count()
-        .na.fill(0, _EVENT_TYPES)
+        .na.fill(0, cols)
     )
-    for t in _EVENT_TYPES:
+    for t in cols:
         out = out.withColumnRenamed(t, f"n_{t}")
     total = None
-    for t in _EVENT_TYPES:
+    for t in cols:
         c = F.col(f"n_{t}")
         total = c if total is None else total + c
     return out.withColumn("n_total", total.cast("bigint"))
@@ -1905,6 +1919,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
 
 
+def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release every cache the PREVIOUS query registered before this
+    one runs (caching.release_all) — the driver executes 50 queries in
+    one session, and persisted intermediates otherwise accumulate in
+    executor storage for the whole run (VERDICT r4 "what's wrong" #4).
+    Safe because the previous query's result was already collected."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_all()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT (rotated for round 5 — VERDICT r4 item 2): the
     # correctness driver evaluates only the first 50 entries. Round-5
@@ -1922,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query is touched, `tools/check_oracle.py <query...>` is re-run on
     # every affected query before commit and the run is recorded in
     # PROGRESS.jsonl. See README "Correctness window rotation".
-    return {
+    _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- r5 window: mid-round-4 additions, first driver evaluation
         "text_readability": q_text_readability,
         "source_mix": q_source_mix,
@@ -2069,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
     }
+    return {k: _fresh(fn) for k, fn in _q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2727,6 +2758,8 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
        count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
        count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (WHERE event_type NOT IN
+         ('click','error','purchase','signup','view'))::BIGINT AS n_other,
        count(*)::BIGINT AS n_total
 FROM events GROUP BY user_id""",
         "events_dedup_first": """

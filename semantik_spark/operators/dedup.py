@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import cache
 from semantik_spark.functions.hashing import content_hash, hash60
 from semantik_spark.functions.text import shingles_from_tokens, whitespace_tokens
 
@@ -85,7 +86,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     doc_a, doc_b (a<b), jaccard. |A∩B| from the shingle equi-join;
     |A∪B| = |A|+|B|−|A∩B|."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    s = shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
+    s = cache(shingle_sets(docs.repartition(n_part, id_col), n, id_col, text_col))
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
     inter = (
@@ -152,7 +153,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     """doc_id, seed (0..num_hashes-1), minhash BIGINT (long form of
     _minhash_wide, kept for the operator's public row contract)."""
     wide = _minhash_wide(
-        shingle_arrays(docs, n, id_col, text_col).persist(), num_hashes
+        cache(shingle_arrays(docs, n, id_col, text_col)), num_hashes
     )
     pairs = F.array(*[
         F.struct(F.lit(i).alias("seed"), F.col(f"mh{i}").alias("minhash"))
@@ -180,7 +181,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     # shingle/hash expressions) so every core works even when the input
     # is a single small file.
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    arr = shingle_arrays(docs.repartition(n_part, id_col), n, id_col, text_col).persist()
+    arr = cache(shingle_arrays(docs.repartition(n_part, id_col), n, id_col, text_col))
     wide = _minhash_wide(arr, num_hashes)
     # band key = comma-joined minhashes of the band — built from the
     # wide row, so banding adds NO extra shuffle
@@ -204,8 +205,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
     )
+    candidates = cache(candidates)
     # exact-verify ONLY the candidate pairs (this is the entire point of
     # LSH): explode shingles for CANDIDATE docs only (a small subset of
     # the corpus), then equi-join on shingle within the candidate pairs.
@@ -352,7 +353,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, bits: int = 60,
     wider bands → smaller buckets, so prefer max_hamming ≤ 3 at scale
     (4×15-bit bands over a 60-bit signature).
     """
-    sig = simhash(docs, bits, id_col, text_col).persist()
+    sig = cache(simhash(docs, bits, id_col, text_col))
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -410,8 +411,8 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     from semantik_spark.functions.vectors import cosine
     from semantik_spark.operators.similarity import lsh_signature
 
-    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
-           .withColumn("sig", lsh_signature("v", dim, nbits)).persist()
+    v = cache(emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+              .withColumn("sig", lsh_signature("v", dim, nbits)))
     banded = v.select(
         "vec_id",
         F.explode(F.array(*[
@@ -648,7 +649,9 @@ def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingle, then per-candidate verification on the materialized
     shingle ARRAYS (array_intersect — no second explode join).
     """
-    s = shingle_sets(docs, n, id_col, text_col).persist()
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(n_part, id_col)
+    s = cache(shingle_sets(docs, n, id_col, text_col))
     freq = s.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     plen = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1

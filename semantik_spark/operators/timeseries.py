@@ -201,7 +201,8 @@ def props_stats(events: DataFrame, json_path: str = "$.k",
 
 def rolling_stats(events: DataFrame, n_rows: int = 3,
                   user_col: str = "user_id", ts_col: str = "ts",
-                  val_col: str = "value") -> DataFrame:
+                  val_col: str = "value",
+                  id_col: str = "event_id") -> DataFrame:
     """ROWS-frame rolling aggregates per user: mean/min/max of the
     current + previous ``n_rows - 1`` events, ordered by (ts, event_id)
     for a total, deterministic order. Complements
@@ -211,11 +212,11 @@ def rolling_stats(events: DataFrame, n_rows: int = 3,
     ``n_rows`` values."""
     w = (
         Window.partitionBy(user_col)
-        .orderBy(ts_col, "event_id")
+        .orderBy(ts_col, id_col)
         .rowsBetween(-(n_rows - 1), 0)
     )
     return events.select(
-        "event_id",
+        id_col,
         F.col(user_col).alias("user_id"),
         F.round(F.avg(val_col).over(w), 6).alias("roll_avg"),
         F.round(F.min(val_col).over(w), 6).alias("roll_min"),
@@ -269,7 +270,8 @@ def funnel_latency(events: DataFrame, steps: list[str],
 
 def session_paths(events: DataFrame, gap_minutes: int = 30, max_len: int = 8,
                   top_k: int = 20, user_col: str = "user_id",
-                  type_col: str = "event_type", ts_col: str = "ts") -> DataFrame:
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id") -> DataFrame:
     """Top user journeys: the most frequent ordered event-type paths
     per gap-based session (truncated to the first ``max_len`` events —
     the cap is applied BEFORE any aggregation, so whale sessions cost
@@ -280,7 +282,7 @@ def session_paths(events: DataFrame, gap_minutes: int = 30, max_len: int = 8,
     one row_number cap, one per-session ordered aggregation, one path
     groupBy, TakeOrdered top-k.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap = F.lit(gap_minutes * 60)
     sess = events.withColumn(
         "_new",
@@ -291,7 +293,7 @@ def session_paths(events: DataFrame, gap_minutes: int = 30, max_len: int = 8,
         "_sid",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
     )
-    ws = Window.partitionBy(user_col, "_sid").orderBy(ts_col, "event_id")
+    ws = Window.partitionBy(user_col, "_sid").orderBy(ts_col, id_col)
     capped = sess.withColumn("_rn", F.row_number().over(ws)).where(F.col("_rn") <= max_len)
     paths = (
         capped.groupBy(user_col, "_sid")
@@ -355,7 +357,8 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
                          min_pair: int = 5, top_k: int = 20,
                          user_col: str = "user_id",
                          type_col: str = "event_type",
-                         ts_col: str = "ts") -> DataFrame:
+                         ts_col: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
     """Market-basket association mining over gap-based sessions: which
     event-type pairs co-occur in the same session more often than
     independence predicts (support / confidence-max / lift).
@@ -371,7 +374,7 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
     The basket count N rides along via a broadcast 1-row aggregate —
     never a driver collect.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap = F.lit(gap_minutes * 60)
     sess = events.withColumn(
         "_new",
@@ -417,7 +420,8 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
 
 def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
                type_col: str = "event_type", ts_col: str = "ts",
-               value_col: str = "value") -> DataFrame:
+               value_col: str = "value",
+               id_col: str = "event_id") -> DataFrame:
     """Exponentially-weighted moving average of ``value`` per event
     type, truncated to the last ``window`` observations — the
     telemetry-smoothing primitive (truncation keeps the weights
@@ -435,7 +439,7 @@ def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
     event_id tiebreak), ``window`` lag expressions over it — a single
     shuffle on event_type; no state, no recursion.
     """
-    w = Window.partitionBy(type_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(type_col).orderBy(ts_col, id_col)
     num = F.lit(0.0)
     den = F.lit(0.0)
     for k in range(window):
@@ -444,7 +448,7 @@ def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
         num = num + F.coalesce(F.lit(wt) * lagv, F.lit(0.0))
         den = den + F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return events.select(
-        "event_id",
+        id_col,
         F.unix_micros(F.col(ts_col)).alias("us"),
         F.col(value_col).alias("value"),
         F.round(num / den, 6).alias("ewma"),

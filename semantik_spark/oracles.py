@@ -2338,11 +2338,14 @@ def q_knn_pagerank(k: int = 5, damping: float = 0.85,
                    iterations: int = 5) -> str:
     """Twin of graph.pagerank over graph.knn_graph_edges: k-NN edge
     build (exact cosine, ties -> smaller dst), then ``iterations``
-    chained power-step CTEs. The (1.0 - d)/n base is written as the
-    same double subtraction/division both engines execute, so the
-    uniform-start iteration is bit-comparable; damping < 1 keeps
+    chained power-step CTEs. The (1 - d) base term is precomputed in
+    Python and emitted as its exact double repr (DuckDB decimal-literal
+    arithmetic gives exactly 0.15 where the Python double 1.0 - 0.85 is
+    0.15000000000000002 — a ~2-ulp divergence per iteration otherwise),
+    so the uniform-start iteration is bit-comparable; damping < 1 keeps
     summation-order noise contracted below the 6 dp round."""
-    d = repr(damping)
+    d = f"{repr(damping)}::DOUBLE"
+    base = f"{repr(1.0 - damping)}::DOUBLE"
     its = []
     prev = "pr0"
     for i in range(1, iterations + 1):
@@ -2350,7 +2353,7 @@ def q_knn_pagerank(k: int = 5, damping: float = 0.85,
         its.append(f""",
 {cur} AS (
   SELECT nodes.id,
-         (1.0 - {d}) / (SELECT n FROM nn)
+         {base} / (SELECT n FROM nn)
            + {d} * coalesce(sum(p.pr / dg.out_deg), 0.0) AS pr
   FROM nodes
   LEFT JOIN edges e ON e.dst = nodes.id
