@@ -1012,6 +1012,79 @@ def q_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch(name: str) -> str:
+    """Scratch dir under the repo's spark-warehouse, anchored at this
+    file so the queries work regardless of the driver's cwd."""
+    import os  # noqa: PLC0415
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", name)
+
+
+def q_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 document/artifact persistence, oracle-checked end-to-end:
+    shape documents into the artifact contract (uri, content_hash,
+    size_bytes — models.py:333-408), WRITE the table to parquet,
+    REOPEN it, and aggregate the reopened catalog per source. The
+    oracle computes the same aggregate straight from the source rows,
+    so any loss, duplication, or type mangling across the
+    write→read boundary is a hash mismatch."""
+    import os  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    artifacts = docs.select(
+        F.lit("col-rt").alias("collection_id"),
+        F.col("doc_id"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("uri"),
+        content_hash("text").alias("content_hash"),
+        F.length("text").cast("bigint").alias("size_bytes"),
+        F.col("source"),
+    )
+    path = _scratch("artifact_roundtrip")
+    artifacts.write.mode("overwrite").partitionBy("source").parquet(path)
+    reopened = spark.read.parquet(path)
+    return reopened.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("content_hash").cast("bigint").alias("n_hashes"),
+        F.sum("size_bytes").cast("bigint").alias("n_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_bluegreen_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 blue/green reindex, oracle-checked end-to-end: build v1
+    (even doc_ids only), stage+validate+swap (live→blue), then build v2
+    (all docs), stage+validate+swap again (live→green), and aggregate
+    what the LIVE pointer now serves. The oracle replays the v2
+    aggregate — a stale pointer, partial staging write, or broken swap
+    serves v1 rows and breaks the match. live_color pins the expected
+    pointer target after two swaps from an empty root."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from semantik_spark.operators.maintenance import BlueGreenIndex
+
+    root = _scratch("bluegreen_swap")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bg = BlueGreenIndex(root)
+    bg.write_staging(docs.where(F.col("doc_id") % 2 == 0))
+    bg.validate_staging(spark, min_rows=1, expect_columns=("doc_id", "lang"))
+    bg.swap()
+    bg.write_staging(docs)
+    bg.validate_staging(spark, min_rows=1, expect_columns=("doc_id", "lang"))
+    bg.swap()
+    live = spark.read.parquet(os.path.realpath(bg.live_path))
+    return live.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).withColumn(
+        "live_color", F.lit(os.path.basename(os.path.realpath(bg.live_path)))
+    )
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents' text bytes as opaque media BLOBs — the multimodal
     column contract (BinaryType content + typed metadata). The string →
@@ -2068,6 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # new in round 5 — must be in-window
         "audio_wav_segments": q_audio_wav_segments,
+        "artifact_roundtrip": q_artifact_roundtrip,
+        "bluegreen_swap": q_bluegreen_swap,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3: CORRECTNESS_r03,
         # r4: CORRECTNESS_r04); touched-module entries are re-checked via
@@ -2474,6 +2549,17 @@ SELECT doc_id::VARCHAR AS media_id,
           ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
         END)::INT AS n_channels
 FROM documents""",
+        "artifact_roundtrip": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(DISTINCT sha256(text))::BIGINT AS n_hashes,
+       sum(length(text))::BIGINT AS n_bytes,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY source""",
+        "bluegreen_swap": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       'green' AS live_color
+FROM documents GROUP BY lang""",
         "audio_wav_segments": """
 WITH p AS (
   SELECT doc_id::VARCHAR AS media_id,

@@ -36,7 +36,7 @@ ROUND5_WINDOW_MUST = (
     # behavior-changed in round 5 (real container decode)
     "multimodal_features", "multimodal_frames",
     # added in round 5
-    "audio_wav_segments",
+    "audio_wav_segments", "artifact_roundtrip", "bluegreen_swap",
 )
 
 
