@@ -1021,6 +1021,208 @@ def _scratch(name: str) -> str:
                         "spark-warehouse", name)
 
 
+def _disc_price():
+    """extendedprice*(1-discount) on the exact-decimal path (the
+    pricing_summary convention) so cross-engine sums are bit-equal."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+    ).cast("decimal(30,4)")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue as of a cutoff date. Filters reach the scans (segment on
+    customer, date on orders/lineitem) before any join; the filtered
+    customer side is small enough for AQE to broadcast — no hint, so
+    the plan still degrades to shuffle join at large SF."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-07-01"))
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-07-01"))
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("string").alias("order_date"),
+                "revenue")
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items ('R' flag) per
+    customer, top 20. Return-flag filter pushes to the lineitem scan;
+    nation broadcasts (25 rows, fixed at any SF)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+             F.count("*").cast("bigint").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no shipmode column in this schema —
+    lateness = shipped >90 days after order date): per order priority,
+    how many lineitems shipped late vs on time. One join, one groupBy;
+    the date arithmetic is engine-native day math."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).cast("bigint").alias("n_late"),
+            F.sum(F.when(~F.col("is_late"), 1).otherwise(0)).cast("bigint").alias("n_ontime"),
+            F.round(
+                F.sum(F.when(F.col("is_late"), 1).otherwise(0)) / F.count("*"), 6
+            ).alias("late_frac"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-type revenue share per month of 1998H1.
+    part is SF-linear so no forced broadcast — AQE picks; the month
+    bucketing happens after the join on the already-filtered fact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = _disc_price()
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp)
+                  .otherwise(F.lit(0).cast("decimal(30,4)"))).alias("_promo"),
+            F.sum(dp).alias("_total"),
+        )
+        .select(
+            "month",
+            F.round(F.lit(100.0) * F.col("_promo").cast("double")
+                    / F.col("_total").cast("double"), 6).alias("promo_pct"),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+        )
+    )
+
+
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp, which this
+    schema omits): distinct supplier count per (brand, size) for
+    non-PROMO parts, excluding negative-balance suppliers. distinct
+    (part,supp) collapses the fact first so the count shuffle moves
+    pairs, not lineitems; top 15 by supplier count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") != "PROMO")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") >= 0)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+        .limit(15)
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's ECONOMY parts — lines with quantity below 20% of the
+    part's average. The threshold compare is kept EXACT:
+    qty*5*count < sum(qty) in decimals/bigints, no double division, so
+    both engines agree on boundary rows. Per-part averages come from a
+    self-aggregation joined back (AQE broadcasts the small filtered
+    side)."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    flt = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    stats = flt.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sum_qty"),
+        F.count("*").cast("bigint").alias("_n"),
+    )
+    return (
+        flt.join(stats, "l_partkey")
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("_n")
+            < F.col("_sum_qty")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.coalesce(
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                        .cast("double") / 2.0, 6),
+                F.lit(0.0),
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 100, with
+    their customer — the classic groupBy-HAVING feeding a join. The
+    quantity rollup happens FIRST (map-side combine on l_orderkey), so
+    only qualifying orderkeys reach the join; top 100 by quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 100)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "l_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("l_orderkey"))
+        .limit(100)
+    )
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate across
+    three brand/size/quantity bands — the disjunctive-pushdown test.
+    Catalyst pushes the common conjuncts (quantity/size bounds) into
+    both scans and evaluates the disjunction post-join; a single
+    aggregate row comes back."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("p_size").between(1, 20))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size").between(1, 30))
+           & (F.col("l_quantity").between(20, 35)))
+    )
+    return j.where(band).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum(_disc_price()).cast("double"), F.lit(0.0)).alias("revenue"),
+    )
+
+
 def q_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 document/artifact persistence, oracle-checked end-to-end:
     shape documents into the artifact contract (uri, content_hash,
@@ -2143,6 +2345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_segments": q_audio_wav_segments,
         "artifact_roundtrip": q_artifact_roundtrip,
         "bluegreen_swap": q_bluegreen_swap,
+        "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue": q_promo_revenue,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "discounted_revenue": q_discounted_revenue,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3: CORRECTNESS_r03,
         # r4: CORRECTNESS_r04); touched-module entries are re-checked via
@@ -2549,6 +2759,89 @@ SELECT doc_id::VARCHAR AS media_id,
           ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
         END)::INT AS n_channels
 FROM documents""",
+        "shipping_priority": """
+SELECT l_orderkey, o_orderdate::VARCHAR AS order_date,
+       sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "returned_items": """
+SELECT c_custkey, c_name, n_name,
+       sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        "late_shipment_priority": """
+SELECT o_orderpriority,
+       sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       sum(CASE WHEN late THEN 0 ELSE 1 END)::BIGINT AS n_ontime,
+       round(sum(CASE WHEN late THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS late_frac
+FROM (SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) > 90 AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY o_orderpriority""",
+        "promo_revenue": """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+         (l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4) AS dp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+)
+SELECT month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0::DECIMAL(30,4) END)::DOUBLE
+             / sum(dp)::DOUBLE, 6) AS promo_pct,
+       sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0::DECIMAL(30,4) END)::DOUBLE AS promo_revenue
+FROM j GROUP BY month""",
+        "parts_supplier_count": """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC LIMIT 15""",
+        "small_qty_revenue": """
+WITH f AS (
+  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY')
+), s AS (
+  SELECT l_partkey, sum(l_quantity::DECIMAL(18,2)) AS sq,
+         count(*)::BIGINT AS n
+  FROM f GROUP BY l_partkey
+)
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 2.0, 6), 0.0) AS avg_yearly
+FROM f JOIN s USING (l_partkey)
+WHERE l_quantity::DECIMAL(18,2) * 5 * n < sq""",
+        "large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity::DECIMAL(18,2)) > 100
+)
+SELECT c_custkey, c_name, l_orderkey,
+       (o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price,
+       sum_qty::DOUBLE AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, l_orderkey ASC LIMIT 100""",
+        "discounted_revenue": """
+SELECT count(*)::BIGINT AS n_lines,
+       coalesce(sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE, 0.0) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""",
         "artifact_roundtrip": """
 SELECT source, count(*)::BIGINT AS n_docs,
        count(DISTINCT sha256(text))::BIGINT AS n_hashes,

@@ -37,6 +37,9 @@ ROUND5_WINDOW_MUST = (
     "multimodal_features", "multimodal_frames",
     # added in round 5
     "audio_wav_segments", "artifact_roundtrip", "bluegreen_swap",
+    "shipping_priority", "returned_items", "late_shipment_priority",
+    "promo_revenue", "parts_supplier_count", "small_qty_revenue",
+    "large_orders", "discounted_revenue",
 )
 
 
