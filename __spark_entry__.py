@@ -1013,12 +1013,14 @@ def q_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch(name: str) -> str:
-    """Scratch dir under the repo's spark-warehouse, anchored at this
+    """Scratch path under the repo's spark-warehouse, anchored at this
     file so the queries work regardless of the driver's cwd."""
     import os  # noqa: PLC0415
 
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "spark-warehouse", name)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
 
 
 def _disc_price():
@@ -1221,6 +1223,23 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lines"),
         F.coalesce(F.sum(_disc_price()).cast("double"), F.lit(0.0)).alias("revenue"),
     )
+
+
+def q_splade_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 with a FILE-BACKED vocabulary (VERDICT r4 item 9): build a
+    BERT-vocab.txt-layout file (specials + df-ranked corpus terms +
+    [unusedN] padding, line number = token id) from the even-doc_id
+    half of the corpus, load it back, and encode a doc sample against
+    the broadcast term→id map — odd-half-only terms exercise the real
+    [UNK] collapse. The oracle replays the df ranking and id
+    assignment symbolically; the file round-trip is the part only the
+    Spark side can prove."""
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch("splade_vocab.txt")
+    splade.build_vocab_file(docs.where(F.col("doc_id") % 2 == 0), path)
+    vocab = splade.load_vocab(spark, path)
+    enc = splade.encode_with_vocab(docs.where(F.col("doc_id") % 25 == 0), vocab)
+    return enc.select("doc_id", "vocab_id", F.round("weight", 6).alias("weight"))
 
 
 def q_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_segments": q_audio_wav_segments,
         "artifact_roundtrip": q_artifact_roundtrip,
         "bluegreen_swap": q_bluegreen_swap,
+        "splade_vocab": q_splade_vocab,
         "shipping_priority": q_shipping_priority,
         "returned_items": q_returned_items,
         "late_shipment_priority": q_late_shipment_priority,
@@ -2610,6 +2630,7 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_term_stats": oracles.q_bm25_term_stats(),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
+        "splade_vocab": oracles.q_splade_vocab(),
         "splade_search": oracles.q_splade_search(k=10),
         "splade_vectors": _ORACLE_SPLADE_VECTORS,
         "sparse_vectors": _ORACLE_SPARSE_VECTORS,

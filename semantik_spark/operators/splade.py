@@ -97,6 +97,80 @@ def doc_vectors(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# BERT-style special tokens heading the vocab file; [UNK] sits at id 1.
+# (bert-base-uncased scatters specials at 0/100-103 among [unusedN]
+# slots; the compact head keeps the same file-line==id contract.)
+SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+UNK_ID = 1
+
+
+def build_vocab_file(docs: DataFrame, path: str, size: int = VOCAB_SIZE,
+                     id_col: str = "doc_id", text_col: str = "text") -> int:
+    """Derive a WordPiece-layout vocabulary FILE from a corpus: special
+    tokens at the head, then corpus terms ordered by (document
+    frequency desc, term asc), padded to ``size`` with ``[unusedN]``
+    slots — the vocab.txt contract of a real BERT tokenizer, where the
+    token's id IS its line number (reference tokenizer contract,
+    splade_indexer.py:294-345). Returns the number of corpus terms
+    written. The df ranking is computed distributed; only the final
+    ≤``size``-row vocabulary is collected (codebook-scale by
+    construction — same driver budget as the k-means codebooks)."""
+    tok = tokenize(docs, id_col=id_col, text_col=text_col)
+    df = (
+        tok.select("doc_id", F.explode("tokens").alias("term")).distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size - len(SPECIAL_TOKENS))
+    )
+    terms = [r["term"] for r in df.collect()]
+    with open(path, "w", encoding="utf-8") as f:
+        for t in SPECIAL_TOKENS:
+            f.write(t + "\n")
+        for t in terms:
+            f.write(t + "\n")
+        for i in range(size - len(SPECIAL_TOKENS) - len(terms)):
+            f.write(f"[unused{i}]\n")
+    return len(terms)
+
+
+def load_vocab(spark, path: str) -> DataFrame:
+    """vocab.txt → DataFrame(term, vocab_id): id = 0-based line number,
+    exactly how a WordPiece tokenizer maps the file. The file is
+    vocab-sized (≤30522 lines) so it loads driver-side and BROADCASTS
+    into the encode join — the 100 TB shape for a fixed-size dimension."""
+    with open(path, encoding="utf-8") as f:
+        rows = [(line.rstrip("\n"), i) for i, line in enumerate(f)]
+    return spark.createDataFrame(rows, "term string, vocab_id bigint")
+
+
+def encode_with_vocab(docs: DataFrame, vocab: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """SPLADE encode against a FILE-BACKED vocabulary: sparse ids come
+    from the broadcast term→id map (a real tokenizer's id space), not
+    a hash; out-of-vocabulary terms collapse to [UNK] (id 1) with
+    max-pool resolving their collisions — real WordPiece behavior.
+    Surface activations only (ln(1+tf)): latent expansion terms are
+    the MLM's contribution and need the real model
+    (splade_model_udf). doc_id, vocab_id, weight."""
+    tf = (
+        tokenize(docs, id_col=id_col, text_col=text_col)
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .select(
+            "doc_id",
+            F.coalesce("vocab_id", F.lit(UNK_ID)).alias("vocab_id"),
+            F.log(F.lit(1.0) + F.col("tf").cast("double")).alias("weight"),
+        )
+        .groupBy("doc_id", "vocab_id")
+        .agg(F.max("weight").alias("weight"))
+    )
+
+
 def encode_queries(queries: DataFrame, id_col: str = "query_id",
                    text_col: str = "query_text") -> DataFrame:
     """Queries ride the same MLM path as documents (splade_indexer

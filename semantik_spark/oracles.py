@@ -1384,6 +1384,39 @@ stok AS (
 )"""
 
 
+def q_splade_vocab(vocab_mod: int = 2, sample_mod: int = 25,
+                   size: int = 30522, n_special: int = 5) -> str:
+    """Twin of splade.build_vocab_file + encode_with_vocab: vocab terms
+    = df-ranked (desc, term asc) tokens of the doc_id%vocab_mod==0
+    half, ids offset past the special-token head; encode the
+    doc_id%sample_mod==0 sample with OOV → [UNK]=1 and max-pool."""
+    tok = (f"list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),"
+           f" t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t))")
+    return f"""
+WITH vtok AS (
+  SELECT doc_id, {tok} AS tokens FROM documents WHERE doc_id % {vocab_mod} = 0
+), vdf AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM vtok)
+  GROUP BY term
+), vr AS (
+  SELECT term,
+         (row_number() OVER (ORDER BY df DESC, term ASC) + {n_special - 1})::BIGINT AS vocab_id
+  FROM vdf
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= {size - n_special}
+), etok AS (
+  SELECT doc_id, {tok} AS tokens FROM documents WHERE doc_id % {sample_mod} = 0
+), etf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM etok)
+  GROUP BY doc_id, term
+)
+SELECT doc_id, coalesce(vocab_id, 1)::BIGINT AS vocab_id,
+       round(max(ln(1.0 + tf)), 6) AS weight
+FROM etf LEFT JOIN vr USING (term)
+GROUP BY doc_id, coalesce(vocab_id, 1)"""
+
+
 def q_splade_search(query_pairs: list[tuple[str, str]] | None = None,
                     k: int = 10, vocab: int = 30522) -> str:
     pairs = query_pairs if query_pairs is not None else SEARCH_QUERIES

@@ -39,7 +39,7 @@ ROUND5_WINDOW_MUST = (
     "audio_wav_segments", "artifact_roundtrip", "bluegreen_swap",
     "shipping_priority", "returned_items", "late_shipment_priority",
     "promo_revenue", "parts_supplier_count", "small_qty_revenue",
-    "large_orders", "discounted_revenue",
+    "large_orders", "discounted_revenue", "splade_vocab",
 )
 
 

@@ -69,3 +69,31 @@ def test_expansion_matches_related_doc(spark):
     score = splade.search(docs, q, k=1).collect()[0].score
     surface = math.log(2) * math.log(2)
     assert abs(score - round(1.25 * surface, 6)) < 1e-6
+
+
+def test_vocab_file_roundtrip_and_unk(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators import splade
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine shuffles data"), (2, "spark engine broadcast join"),
+         (3, "zebra quixotic")],
+        "doc_id bigint, text string")
+    path = str(tmp_path / "vocab.txt")
+    n = splade.build_vocab_file(docs.where(F.col("doc_id") <= 2), path, size=64)
+    lines = open(path).read().splitlines()
+    assert len(lines) == 64
+    assert lines[:5] == list(splade.SPECIAL_TOKENS)
+    # df-ranked: terms in both docs come first (df=2), ties term-asc
+    assert lines[5] == "engine" and lines[6] == "spark"
+    assert lines[5 + n] == "[unused0]"
+
+    vocab = splade.load_vocab(spark, path)
+    enc = splade.encode_with_vocab(docs, vocab).collect()
+    by = {(r["doc_id"], r["vocab_id"]): r["weight"] for r in enc}
+    # "spark" id = line 6
+    assert (1, 6) in by
+    # doc 3's terms are OOV -> both collapse to [UNK]=1, max-pooled to one row
+    d3 = [r for r in enc if r["doc_id"] == 3]
+    assert [r["vocab_id"] for r in d3] == [splade.UNK_ID]
