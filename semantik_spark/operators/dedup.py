@@ -237,38 +237,62 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
 
 
+#: rounds the most recent connected_components call took to converge
+#: (read by tests pinning the logarithmic bound; driver-side only)
+CC_LAST_ROUNDS = 0
+
+
 def connected_components(edges: DataFrame, node_a: str = "doc_a",
                          node_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
     """node, component — connected components over an undirected edge
-    list by iterative min-label propagation: each round every node takes
-    the min label among itself and its neighbors; converges in
-    graph-diameter rounds (near-dup clusters are near-cliques, so 2-4).
+    list by min-label propagation WITH pointer jumping: each round every
+    node takes the min of (its label, its neighbors' labels) and then
+    follows that label one hop (label-of-label, the path-halving step of
+    Shiloach-Vishkin / the star-contraction family). Neighbor-min alone
+    converges in graph-diameter rounds — an adversarial 10k-node CHAIN
+    would need 10k rounds and silently mislabel at max_iter=25 (VERDICT
+    r4 item 5); the pointer jump doubles the label's reach every round,
+    giving O(log diameter): a 4096-chain converges in ~13 rounds
+    (pinned in tests/test_dedup.py).
 
-    Scale notes: each round is one shuffle join + one aggregation;
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1. Convergence is a driver-side count of
-    changed labels between rounds (an O(nodes) action, not a collect).
-    For adversarial long-chain graphs swap in the large-star/small-star
-    algorithm — same join shapes, fewer rounds.
+    Scale notes: each round is two shuffle joins (neighbor min +
+    label-of-label) and one aggregation; ``localCheckpoint`` truncates
+    the growing lineage so round N's plan does not replay rounds
+    1..N-1. Convergence is a driver-side count of changed labels
+    between rounds (an O(nodes) action, not a collect).
     """
+    global CC_LAST_ROUNDS
     sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
+    CC_LAST_ROUNDS = 0
     for _ in range(max_iter):
+        CC_LAST_ROUNDS += 1
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(sym["src"].alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        cand = (
             labels.withColumnRenamed("label", "_old")
             .join(neigh, "node", "left")
             .select(
+                "node", "_old",
+                F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("_cand"),
+            )
+        )
+        # pointer jump: follow the candidate label one hop through the
+        # CURRENT label table — label(label(v)) — so long chains
+        # contract geometrically instead of one hop per round
+        jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
+        new_labels = (
+            cand.join(jump, cand["_cand"] == jump["_jn"], "left")
+            .select(
                 "node",
-                F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("label"),
+                F.least(F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))).alias("label"),
                 F.col("_old"),
             )
             .localCheckpoint()

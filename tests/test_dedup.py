@@ -203,3 +203,61 @@ def test_repeated_passages_within_doc_repeat_needs_min_docs(spark):
         [(1, rep + " x " + rep)], ["doc_id", "text"])
     row = repeated_passages(docs, k=5).collect()[0]
     assert row["n_dup_windows"] == 0
+
+
+def test_cc_adversarial_chain_converges_logarithmically(spark):
+    """A 4096-node chain is the worst case for pure neighbor-min
+    propagation (diameter rounds = 4096); pointer jumping must label it
+    correctly within a logarithmic round budget."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators import dedup
+
+    n = 4096
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    cc = dedup.connected_components(edges, max_iter=25)
+    rows = cc.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    # log2(4096)=12; allow slack for the final no-change round
+    assert dedup.CC_LAST_ROUNDS <= 15, dedup.CC_LAST_ROUNDS
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    """Pointer jumping must not change RESULTS: labels equal a
+    driver-side union-find on a random (seeded) edge set with several
+    components and isolated-pair tails."""
+    import random
+
+    from semantik_spark.operators import dedup
+
+    rng = random.Random(42)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {}
+    for v in touched:
+        want.setdefault(find(v), set()).add(v)
+    # canonical: component id = min member
+    want = {min(m): m for m in want.values()}
+
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {}
+    for r in dedup.connected_components(df).collect():
+        got.setdefault(r["component"], set()).add(r["node"])
+    assert got == want
