@@ -19,7 +19,10 @@ Scale notes (100 TB):
     minhash-LSH candidates (that is exactly `minhash_lsh_pairs`, which
     only exact-verifies docs sharing an LSH band bucket).
   - band buckets are the classic skew risk (stopword-ish shingles);
-    verification joins run under AQE skew splitting.
+    buckets above hot_bucket_threshold take an explicit salted
+    self-join (banded_candidates) so one boilerplate key never owns
+    its quadratic fan-out; verification joins additionally run under
+    AQE skew splitting.
   - simhash pairs here are a broadcast self-join at test SF; the scale
     path blocks on bit-bands (same LSH trick) before hamming.
 """
@@ -164,15 +167,79 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
     )
 
 
+def banded_candidates(banded: DataFrame,
+                      hot_bucket_threshold: int | None = 4096,
+                      salt: int = 8) -> DataFrame:
+    """Candidate pairs from a banded signature table (doc_id, band,
+    band_key): the LSH self-join, skew-hardened (VERDICT r4 item 6).
+
+    Boilerplate band keys put thousands of docs in one bucket; a plain
+    self-join then sends that bucket's ENTIRE quadratic fan-out through
+    one reducer. Buckets above ``hot_bucket_threshold`` are split out
+    (one map-side-combined count, broadcast of the few hot keys) and
+    joined through functions.skew.salted_join: the probe side spreads
+    over ``salt`` reducers by doc fingerprint while only the HOT rows
+    replicate ``salt`` ways. Cold buckets join exactly as before, and
+    the union is row-identical to the unsalted join — only the shuffle
+    distribution changes (bounded-partition test in tests/test_dedup.py).
+    """
+    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    if hot_bucket_threshold is None:
+        pairs = ca.join(cb, ["band", "band_key"])
+    else:
+        from semantik_spark.functions.skew import salted_join
+
+        hot_keys = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > hot_bucket_threshold)
+            .select("band", "band_key")
+        )
+        # composite key for the single-column salted_join contract
+        key = F.concat_ws("\u0001", F.col("band").cast("string"), F.col("band_key"))
+        hot = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_semi")
+        cold = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_anti")
+        cold_pairs = (
+            cold.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+            .join(cold.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
+                  ["band", "band_key"])
+            .select("doc_a", "doc_b")
+        )
+        hot_a = hot.select(F.col("doc_id").alias("doc_a"), key.alias("_bkey"))
+        hot_b = hot.select(F.col("doc_id").alias("doc_b"), key.alias("_bkey"))
+        hot_pairs = salted_join(
+            hot_a, hot_b, on="_bkey", salt=salt, fingerprint_col="doc_a"
+        ).select("doc_a", "doc_b")
+        pairs = cold_pairs.union(hot_pairs)
+        return (
+            pairs.where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    return (
+        pairs.where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                       n: int = 3, threshold: float = 0.2,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hot_bucket_threshold: int = 4096) -> DataFrame:
     """Banded-LSH candidate pairs + exact Jaccard verification.
 
     Signatures are split into ``bands`` bands of num_hashes/bands rows;
     docs agreeing on any full band become candidates; candidates (only)
     are exactly verified. Output: doc_a, doc_b, jaccard — a subset of
     ngram_jaccard_pairs, with P[miss] = (1−j^r)^b.
+
+    ``hot_bucket_threshold``: band buckets larger than this (boilerplate
+    band keys — the classic LSH skew) take the SALTED self-join path in
+    ``banded_candidates`` so no single reducer owns a whole hot
+    bucket's quadratic pair fan-out; the candidate set is identical
+    either way (None disables the size probe).
     """
     rows_per_band = num_hashes // bands
     # the shingle arrays feed signature computation + verification —
@@ -198,15 +265,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    candidates = (
-        ca.join(cb, ["band", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    candidates = cache(candidates)
+    candidates = cache(banded_candidates(banded, hot_bucket_threshold))
     # exact-verify ONLY the candidate pairs (this is the entire point of
     # LSH): explode shingles for CANDIDATE docs only (a small subset of
     # the corpus), then equi-join on shingle within the candidate pairs.

@@ -261,3 +261,51 @@ def test_cc_matches_union_find_on_random_graph(spark):
     for r in dedup.connected_components(df).collect():
         got.setdefault(r["component"], set()).add(r["node"])
     assert got == want
+
+
+def test_banded_candidates_salted_path_identical_and_spread(spark):
+    """50%-duplicate corpus: half the docs share one text, so all its
+    band buckets are hot. The salted path must (a) return exactly the
+    candidate set of the plain self-join and (b) spread the hot
+    bucket's quadratic fan-out across partitions instead of one
+    reducer."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.functions.skew import salted_join
+    from semantik_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated everywhere in the corpus")
+         if i % 2 == 0 else
+         (i, f"genuinely distinct content {i} talking about topic {i * 13}")
+         for i in range(500)], "doc_id bigint, text string")
+
+    plain = dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                    hot_bucket_threshold=None)
+    salted = dedup.minhash_lsh_pairs(docs, threshold=0.5,
+                                     hot_bucket_threshold=50)
+    assert sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                  for r in plain.collect()) == \
+           sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+                  for r in salted.collect())
+
+    # partition spread of the raw salted self-join on one hot key:
+    # 250 docs x 250 docs through salt=8 must never give one partition
+    # the whole 62.5k-pair fan-out
+    hot = spark.createDataFrame([(i, "k") for i in range(250)],
+                                "doc_id bigint, _bkey string")
+    ha = hot.select(F.col("doc_id").alias("doc_a"), "_bkey")
+    hb = hot.select(F.col("doc_id").alias("doc_b"), "_bkey")
+    joined = salted_join(ha, hb, on="_bkey", salt=8, fingerprint_col="doc_a")
+    # AQE's partition coalescing hides the reducer spread at toy scale —
+    # freeze it so spark_partition_id reflects the actual hash layout
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sizes = [r["count"] for r in
+                 joined.withColumn("pid", F.spark_partition_id())
+                       .groupBy("pid").count().collect()]
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert sum(sizes) == 250 * 250
+    assert len(sizes) > 1
+    assert max(sizes) < (250 * 250) / 4, sizes
