@@ -524,3 +524,64 @@ def test_ewm_smooth_single_window_shuffle(spark):
     plan = _plan(ewm_smooth(ev))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# --- round-5 queries: pushdown / pruning / map-only shapes -----------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_relational_batch_filters_reach_the_scans(spark):
+    """TPC-H-shaped queries must push their predicates into the parquet
+    scans (Q3 dates/segment, Q19 disjunction bounds) — a scan that
+    filters post-read re-reads the whole fact table at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    import re
+
+    plan = _plan(entrymod.q_shipping_priority(spark, SF_DIR))
+    # filters reach the scans (attribute ids vary -> regex)
+    assert re.search(r"l_shipdate#\d+ > 1998-07-01", plan), plan
+    assert re.search(r"c_mktsegment#\d+ = BUILDING", plan), plan
+    assert re.search(r"o_orderdate#\d+ < 1998-07-01", plan), plan
+    assert "CartesianProduct" not in plan
+
+    plan19 = _plan(entrymod.q_discounted_revenue(spark, SF_DIR))
+    # the common conjuncts of the OR-of-ANDs land on BOTH scans
+    assert re.search(r"l_quantity#\d+ >= 1\.0", plan19), plan19
+    assert re.search(r"p_size#\d+ >= 1", plan19), plan19
+    assert re.search(r"p_brand#\d+ = Brand#13", plan19), plan19
+    assert "CartesianProduct" not in plan19
+
+
+def test_relational_batch_prunes_columns(spark):
+    """Column pruning through aggregation: large_orders reads only
+    (l_orderkey, l_quantity) from lineitem; parts_supplier_count only
+    (l_partkey, l_suppkey)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_large_orders(spark, SF_DIR))
+    m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+    plan16 = _plan(entrymod.q_parts_supplier_count(spark, SF_DIR))
+    m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem", plan16)
+    assert m, plan16
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_partkey", "l_suppkey"}, cols
+
+
+def test_multimodal_decode_is_map_only(spark):
+    """Container decode must be a pure map pipeline: scan → generate →
+    parse, zero Exchange — the shape that lets 100 TB of media decode
+    without a single shuffle."""
+    import __spark_entry__ as entrymod
+
+    for q in (entrymod.q_multimodal_features, entrymod.q_audio_wav_segments):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
