@@ -1014,11 +1014,14 @@ def q_ingest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scratch(name: str) -> str:
     """Scratch path under the repo's spark-warehouse, anchored at this
-    file so the queries work regardless of the driver's cwd."""
+    file so the queries work regardless of the driver's cwd and scoped
+    per process (pid suffix) so concurrent drivers — bench.py next to
+    pytest next to check_oracle — never race on the same vocab file or
+    blue/green root."""
     import os  # noqa: PLC0415
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "spark-warehouse")
+                        "spark-warehouse", f"scratch-{os.getpid()}")
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, name)
 
@@ -2053,10 +2056,7 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
-    ).cast("decimal(30,4)")
+    rev = _disc_price()
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))

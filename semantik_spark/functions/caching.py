@@ -35,9 +35,10 @@ def release_all() -> int:
     many were released."""
     n = 0
     while _live:
+        df = _live.pop()
         try:
-            _live.pop().unpersist()
+            df.unpersist()
+            n += 1
         except Exception:
-            pass  # session already stopped — nothing to release
-        n += 1
+            pass  # session already stopped — nothing left to release
     return n

@@ -183,9 +183,9 @@ def banded_candidates(banded: DataFrame,
     the union is row-identical to the unsalted join — only the shuffle
     distribution changes (bounded-partition test in tests/test_dedup.py).
     """
-    ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     if hot_bucket_threshold is None:
+        ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
         pairs = ca.join(cb, ["band", "band_key"])
     else:
         from semantik_spark.functions.skew import salted_join
@@ -212,11 +212,6 @@ def banded_candidates(banded: DataFrame,
             hot_a, hot_b, on="_bkey", salt=salt, fingerprint_col="doc_a"
         ).select("doc_a", "doc_b")
         pairs = cold_pairs.union(hot_pairs)
-        return (
-            pairs.where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
     return (
         pairs.where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")

@@ -82,6 +82,9 @@ def decode_image_meta(content: bytes) -> tuple[str, int, int, int]:
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0-3
                 h, w = struct.unpack(">HH", b[i + 5:i + 9])
                 return "jpeg", w, h, b[i + 9]
+            if marker == 0xFF:  # fill byte (JPEG B.1.1.2) — skip one
+                i += 1
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
                 i += 2
                 continue
@@ -110,6 +113,8 @@ def decode_wav_meta(content: bytes):
     if not rate or not ch or not bits or data_size is None:
         return None
     byte_rate = rate * ch * (bits // 8)
+    if byte_rate <= 0:  # sub-byte samples (ADPCM etc.) — not PCM-parseable
+        return None
     return rate, ch, bits, data_size * 1000 // byte_rate
 
 

@@ -224,3 +224,23 @@ def test_audio_segments_real_wav(spark):
     a2 = sorted([r for r in segs if r["media_id"] == "a2"],
                 key=lambda r: r["segment_index"])
     assert [(r["start_ms"], r["end_ms"]) for r in a2] == [(0, 400), (400, 500)]
+
+
+def test_decode_edge_cases_degrade_not_crash():
+    import struct
+
+    from semantik_spark.operators.multimodal import (
+        decode_image_meta, decode_wav_meta, encode_wav,
+    )
+
+    # sub-byte-sample WAV (ADPCM-style): parse declines, no crash
+    assert decode_wav_meta(encode_wav(8000, 1, 4, 100)) is None
+    # JPEG fill bytes (B.1.1.2) before the SOF marker still parse
+    comp = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(3))
+    sof = struct.pack(">BHH", 8, 48, 64) + bytes([3]) + comp
+    jp = (b"\xff\xd8" + b"\xff\xff\xff" + b"\xff\xc0"
+          + struct.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9")
+    assert decode_image_meta(jp) == ("jpeg", 64, 48, 3)
+    # truncated containers degrade
+    assert decode_image_meta(b"\x89PNG\r\n\x1a\n1234") == ("unknown", 0, 0, 0)
+    assert decode_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
