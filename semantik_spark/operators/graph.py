@@ -78,21 +78,26 @@ def knn_graph_edges(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     # pre-compute each side's norm ONCE per row (|V| aggregate evals,
     # not |V|² — the higher-order-function aggregates are interpreted,
     # so hoisting them out of the pair loop is a measured 3× on the
-    # edge build). cos = dot/(na·nb) keeps the exact operation order of
-    # functions.vectors.cosine, so ranking stays bit-comparable to the
-    # DuckDB oracle.
+    # edge build), and evaluate each UNORDERED pair's cosine ONCE
+    # (src < dst join), mirroring afterwards — cosine is symmetric, so
+    # this halves the |V|²-pair dot-product work, the build's entire
+    # cost, without touching any float. cos = dot/(na·nb) keeps the
+    # exact operation order of functions.vectors.cosine, so ranking
+    # stays bit-comparable to the DuckDB oracle.
     a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va")) \
            .withColumn("na", norm("va"))
     b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")) \
            .withColumn("nb", norm("vb"))
     nn = F.col("na") * F.col("nb")
-    scored = (
-        a.join(F.broadcast(b), a.src != b.dst)
+    half = (
+        a.join(F.broadcast(b), a.src < b.dst)
         .select(
             "src", "dst",
             F.when(nn > 0, dot("va", "vb") / nn).otherwise(F.lit(0.0)).alias("cos"),
         )
     )
+    scored = half.union(half.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"), "cos"))
     w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
