@@ -190,12 +190,27 @@ def banded_candidates(banded: DataFrame,
     else:
         from semantik_spark.functions.skew import salted_join
 
+        # the hot path reads the banded table four times (size probe,
+        # hot semi, cold anti x2) — cache it so the signature explode
+        # runs once
+        banded = cache(banded)
         hot_keys = (
             banded.groupBy("band", "band_key")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_bucket_threshold)
             .select("band", "band_key")
         )
+        if hot_keys.limit(1).count() == 0:
+            # common case: no hot bucket — one cheap probe on the
+            # cached banded table buys back the semi/anti join pair
+            ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+            cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+            return (
+                ca.join(cb, ["band", "band_key"])
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
         # composite key for the single-column salted_join contract
         key = F.concat_ws("\u0001", F.col("band").cast("string"), F.col("band_key"))
         hot = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_semi")
@@ -338,19 +353,26 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
                 F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("_cand"),
             )
         )
-        # pointer jump: follow the candidate label one hop through the
-        # CURRENT label table — label(label(v)) — so long chains
-        # contract geometrically instead of one hop per round
-        jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
-        new_labels = (
-            cand.join(jump, cand["_cand"] == jump["_jn"], "left")
-            .select(
-                "node",
-                F.least(F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))).alias("label"),
-                F.col("_old"),
+        if CC_LAST_ROUNDS == 1:
+            # round 1's labels are the identity map, so label(label(v))
+            # is a literal no-op — skip the join on the biggest tables
+            new_labels = cand.select(
+                "node", F.col("_cand").alias("label"), F.col("_old")
+            ).localCheckpoint()
+        else:
+            # pointer jump: follow the candidate label one hop through
+            # the CURRENT label table — label(label(v)) — so long
+            # chains contract geometrically instead of one hop/round
+            jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
+            new_labels = (
+                cand.join(jump, cand["_cand"] == jump["_jn"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))).alias("label"),
+                    F.col("_old"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
         changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
