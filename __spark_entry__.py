@@ -2298,6 +2298,129 @@ def q_ivm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-accuracy quantiles (alpha=0.02) of event
+    values per type — the mergeable bounded-state answer to P50/P90/P99
+    at 100 TB (sketches.ddsketch_quantiles; oracle replays the exact
+    bucket/rank arithmetic)."""
+    from semantik_spark.operators.sketches import ddsketch_quantiles
+
+    return ddsketch_quantiles(_events(spark, sf_dir), "event_type", "value",
+                              alpha=0.02, quantiles=(0.25, 0.5, 0.9, 0.99))
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall vs exact n-gram Jaccard, bucketed by true
+    similarity — the S-curve quality report for the 16-hash/4-band
+    config every other dedup query relies on."""
+    return dedup.lsh_recall_report(_aug_docs(spark, sf_dir),
+                                   num_hashes=16, bands=4, n=3, threshold=0.5)
+
+
+def _url_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL corpus derived from doc_ids (mixed-case
+    schemes/hosts, userinfo, default and explicit ports, duplicate
+    slashes, tracking params, fragments) — generated inside the query
+    so the DuckDB oracle replays the identical strings, the
+    parse_routed pattern."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = (F.when(d % 3 == 0, F.lit("HTTP"))
+              .when(d % 3 == 1, F.lit("https")).otherwise(F.lit("HTTPS")))
+    user = F.when(d % 11 == 0, F.lit("crawler:pw@")).otherwise(F.lit(""))
+    host = F.concat(F.lit("WWW.Site.Example"), s(d % 7), F.lit(".COM"))
+    port = (F.when(d % 4 == 0, F.lit(":80")).when(d % 4 == 1, F.lit(":443"))
+            .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit("")))
+    path = F.concat(F.lit("/Docs//"), s(d % 13),
+                    F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = (F.when(d % 5 == 0, F.lit("?utm_source=mail&b=2&a=1"))
+             .when(d % 5 == 1, F.lit("?b=2&a=1"))
+             .when(d % 5 == 2, F.lit("?a=1&b=2&gclid=xyz"))
+             .otherwise(F.lit("")))
+    frag = F.when(d % 2 == 1, F.concat(F.lit("#sec"), s(d % 3))).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), user, host, port, path, query, frag)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize the messy-URL corpus (operators/urls.py) and report
+    the per-domain crawl-frontier profile: raw vs post-dedup canonical
+    counts, host fan-out, https share."""
+    from semantik_spark.operators.urls import canonical_urls, domain_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return domain_stats(canonical_urls(_url_corpus(docs)))
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    including zero-order customers — the left-outer join + two-level
+    aggregation pattern (filter on the right side BEFORE the join keeps
+    outer semantics identical to Q13's ON-clause filter)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum 1998-Q1 revenue.
+    Revenue stays on the exact-decimal path so the = max(...) compare
+    is bit-exact; the 1-row max aggregate broadcasts back onto the
+    SF-linear revenue table (no global sort, no single-partition
+    window)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("r"))
+    mx = rev.agg(F.max("r").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.r == F.col("mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/total balance of LAPSED
+    customers — above-average positive balance and no orders since
+    2000-07-01 (this generator gives every customer early orders, so
+    the classic no-orders-ever predicate is vacuous). The global mean
+    is a 1-row broadcast; the compare is cross-multiplied
+    (bal * n > sum) so it stays in exact decimal×bigint arithmetic on
+    both engines; the no-recent-orders predicate is the distributed
+    anti-join with the date filter pushed to the orders scan."""
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    cand = cust.crossJoin(F.broadcast(pos)).where(bal * F.col("n") > F.col("s"))
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01")
+    ).select("o_custkey")
+    idle = cand.join(orders, cand.c_custkey == orders.o_custkey, "left_anti")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -2495,6 +2618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
+        # --- added LATE in round 5, past the (full) 50-slot window:
+        # never driver-evaluated — verified green locally via
+        # tools/check_oracle.py; these MUST head the round-6 window.
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "url_domain_stats": q_url_domain_stats,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier": q_top_supplier,
+        "idle_customer_balance": q_idle_customer_balance,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3293,6 +3425,40 @@ SELECT event_type, (ts::TIMESTAMP::DATE)::VARCHAR AS day,
        count(*)::BIGINT AS n,
        round((sum(value::DECIMAL(28,8)))::DOUBLE, 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        # --- late round-5 additions (round-6 window heads) ---
+        "quantile_sketch": oracles.q_quantile_sketch(0.02, (0.25, 0.5, 0.9, 0.99)),
+        "dedup_lsh_recall": oracles.q_lsh_recall(16, 4, 3, 0.5),
+        "url_domain_stats": _ORACLE_URL_DOMAIN_STATS,
+        "customer_order_distribution": """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count""",
+        "top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, r::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev)""",
+        "idle_customer_balance": """
+WITH pos AS (
+  SELECT sum(c_acctbal::DECIMAL(18,2)) AS s, count(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*)::BIGINT AS n_customers,
+       sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS total_bal
+FROM customer CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal::DECIMAL(18,2) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY n_name""",
     }
 
 
@@ -3665,3 +3831,80 @@ SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
        ceil((end_offset - start_offset) / 4.0)::INT AS token_count,
        (count(*) OVER (PARTITION BY doc_id))::INT AS total_chunks
 FROM c"""
+
+
+# Twin of q_url_domain_stats: the same messy-URL construction from
+# doc_ids, then the operators/urls.py canonicalization chain replayed
+# step-for-step in RE2/DuckDB (regexp_replace needs the explicit 'g'
+# flag where Spark's replaces all matches by default).
+_ORACLE_URL_DOMAIN_STATS = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END)
+    || 'WWW.Site.Example' || (doc_id % 7)::VARCHAR || '.COM'
+    || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
+    || '/Docs//' || (doc_id % 13)::VARCHAR
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=mail&b=2&a=1' WHEN 1 THEN '?b=2&a=1'
+             WHEN 2 THEN '?a=1&b=2&gclid=xyz' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 3)::VARCHAR ELSE '' END) AS url
+  FROM documents
+), s1 AS (
+  SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM raw
+), s2 AS (
+  SELECT scheme, rest, regexp_extract(rest, '^([^/?#]*)', 1) AS authority FROM s1
+), s3 AS (
+  SELECT scheme,
+         substr(rest, length(authority) + 1) AS tail,
+         regexp_replace(authority, '^[^@]*@', '') AS hp
+  FROM s2
+), s4 AS (
+  SELECT scheme,
+         regexp_replace(tail, '#.*$', '') AS nof,
+         regexp_replace(regexp_replace(lower(regexp_extract(hp, '^([^:]*)', 1)),
+                                       '\.$', ''), '^www\.', '') AS host,
+         regexp_extract(hp, ':([0-9]+)$', 1) AS port
+  FROM s3
+), s5 AS (
+  SELECT scheme, host, port,
+         regexp_extract(nof, '^([^?]*)', 1) AS raw_path,
+         regexp_extract(nof, '\?(.*)$', 1) AS raw_query
+  FROM s4
+), s6 AS (
+  SELECT scheme, host, port, raw_query,
+         regexp_replace(raw_path, '//+', '/', 'g') AS p1
+  FROM s5
+), s7 AS (
+  SELECT scheme, host, port, raw_query,
+         CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path
+  FROM (SELECT scheme, host, port, raw_query,
+               CASE WHEN length(p1) > 1 THEN regexp_replace(p1, '/$', '') ELSE p1 END AS p2
+        FROM s6) t
+), s8 AS (
+  SELECT scheme, host, port, path,
+         array_to_string(list_sort(list_filter(string_split(raw_query, '&'),
+             p -> p <> '' AND NOT starts_with(p, 'utm_')
+                  AND NOT starts_with(p, 'fbclid')
+                  AND NOT starts_with(p, 'gclid'))), '&') AS params
+  FROM s7
+), s9 AS (
+  SELECT scheme, host,
+         scheme || '://' || host
+         || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN ':' || port ELSE '' END)
+         || path
+         || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url,
+         CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+              THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+  FROM s8
+)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       count(DISTINCT canonical_url)::BIGINT AS n_canonical,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       round(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS https_frac
+FROM s9 GROUP BY domain"""

@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "returned_items", "late_shipment_priority", "promo_revenue",
     "parts_supplier_count", "small_qty_revenue", "large_orders",
     "discounted_revenue",
+    # late round-5 additions
+    "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
+    "customer_order_distribution", "top_supplier", "idle_customer_balance",
 ]
 
 

@@ -783,3 +783,42 @@ def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .where(F.col("jacc_raw") >= threshold)  # raw compare, ngram_jaccard_pairs parity
         .select("doc_a", "doc_b", F.round("jacc_raw", 6).alias("jaccard"))
     )
+
+
+def lsh_recall_report(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Recall of the MinHash-LSH candidate stage against ground truth,
+    bucketed by true Jaccard — the quality report that justifies (or
+    indicts) a banding config before a 100 TB run.
+
+    Ground truth = ngram_jaccard_pairs (exact, any-shared-shingle);
+    found = minhash_lsh_pairs (banded candidates, then exact-verified,
+    so found ⊆ exact at the same threshold and precision is 1 by
+    construction — recall is the only open question, driven by the
+    S-curve P(candidate) = 1-(1-j^r)^b). Output one row per 0.1-wide
+    Jaccard bucket: jaccard_lo, n_exact, n_found, recall (6 dp).
+
+    Scale note: ground truth is the quadratic-ish exact join, so this
+    runs on a SAMPLE at 100 TB (the report is a statistic, not a
+    pipeline stage); every sub-operator reused here keeps its own
+    at-scale shape.
+    """
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                                id_col=id_col, text_col=text_col)
+    found = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands, n=n,
+                              threshold=threshold, id_col=id_col,
+                              text_col=text_col).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit"))
+    lab = exact.join(found, ["doc_a", "doc_b"], "left").select(
+        (F.floor(F.col("jaccard") * 10).cast("int")).alias("b"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return lab.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum("hit").cast("bigint").alias("n_found"),
+        F.round(F.sum("hit") / F.count("*"), 6).alias("recall"),
+    ).select(
+        (F.col("b").cast("double") / 10.0).alias("jaccard_lo"),
+        "n_exact", "n_found", "recall",
+    )

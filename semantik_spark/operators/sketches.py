@@ -1,4 +1,4 @@
-"""Mergeable sketch operators — approximate distinct counting.
+"""Mergeable sketch operators — approximate distinct counting and quantiles.
 
 The reference has no sketching at all (its cardinalities come from
 exact Postgres/Qdrant counts); at 100 TB an exact COUNT(DISTINCT) per
@@ -151,4 +151,92 @@ def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
         F.round(est_u, 6).alias("est_union"),
         F.round(est_i, 6).alias("est_intersect"),
         F.round(est_i / est_u, 6).alias("jaccard_est"),
+    )
+
+
+def ddsketch_params(alpha: float) -> tuple[float, float, float]:
+    """(gamma, inv_log_gamma, coeff) for a relative-accuracy ``alpha``
+    DDSketch (Masson, Rim & Lee, VLDB 2019). Computed once on the
+    driver so both Spark and the DuckDB oracle consume the *identical*
+    double literals (repr round-trip) — the memory's float-determinism
+    rule for cross-engine double arithmetic."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return gamma, 1.0 / math.log(gamma), 2.0 / (gamma + 1.0)
+
+
+def ddsketch_buckets(df: DataFrame, group_col: str, value_col: str,
+                     alpha: float = 0.01) -> DataFrame:
+    """Per-group DDSketch bucket counts: (group, bucket, n).
+
+    Bucket index for x > 0 is ``ceil(ln(x) * 1/ln(gamma))`` with
+    ``gamma = (1+alpha)/(1-alpha)`` — every x in bucket i is within
+    relative error alpha of the midpoint estimate ``2*gamma^i/(gamma+1)``.
+    Non-positive values land in a reserved NULL-estimate bucket
+    (``bucket = INT_MIN``) so nothing is silently dropped.
+
+    This IS the sketch: a map of ~log(range)/alpha counters per group,
+    constant-size regardless of row count, and mergeable by adding
+    counts — merge(sketch(A), sketch(B)) == sketch(A ∪ B) exactly
+    (asserted in tests/test_sketches.py). Scale shape: one shuffle,
+    map-side combinable, no windows over the raw data; the sketch
+    output is the only thing downstream stages ever touch.
+    """
+    gamma, inv_lg, _ = ddsketch_params(alpha)
+    x = F.col(value_col)
+    bucket = F.when(
+        x > 0.0, F.ceil(F.log(x) * F.lit(inv_lg)).cast("int")
+    ).otherwise(F.lit(-(2**31)).cast("int"))
+    return (
+        df.select(F.col(group_col).alias("g"), bucket.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def ddsketch_quantiles(df: DataFrame, group_col: str, value_col: str,
+                       alpha: float = 0.01,
+                       quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                       buckets: DataFrame | None = None) -> DataFrame:
+    """Per-group quantile estimates from a DDSketch, guaranteed within
+    relative error ``alpha`` of the true quantile value.
+
+    Returns (group, q, n, bucket, estimate): for each requested
+    quantile q, the bucket whose cumulative count first reaches
+    ``max(1, ceil(q * n))`` over positive values (lower quantile, the
+    paper's rule) and its midpoint estimate. Pass ``buckets`` to
+    extract quantiles from an already-built (possibly merged) sketch.
+
+    The quantile extraction runs entirely on sketch rows (|groups| ×
+    ~500 buckets at alpha=0.01), so the window + explode below cost
+    nothing at any input scale — the raw data is touched exactly once,
+    in ddsketch_buckets' single map-side-combinable aggregation.
+    """
+    from pyspark.sql import Window
+
+    gamma, _, coeff = ddsketch_params(alpha)
+    b = buckets if buckets is not None else ddsketch_buckets(df, group_col, value_col, alpha)
+    pos = b.where(F.col("bucket") != -(2**31))
+    w = Window.partitionBy("g").orderBy("bucket")
+    cum = pos.select(
+        "g", "bucket",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("g")).alias("n_total"),
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in quantiles])
+    ranked = cum.select(
+        "g", "bucket", "cum", "n_total", F.explode(qlit).alias("q")
+    ).where(
+        F.col("cum") >= F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n_total")))
+    )
+    chosen = ranked.groupBy("g", "q").agg(
+        F.min("bucket").alias("bucket"), F.min("n_total").alias("n")
+    )
+    return chosen.select(
+        F.col("g").alias(group_col),
+        F.round("q", 2).alias("q"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round(F.lit(coeff) * F.pow(F.lit(gamma), F.col("bucket")), 6).alias("estimate"),
     )

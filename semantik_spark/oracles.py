@@ -2603,3 +2603,63 @@ WITH keyed AS (
 SELECT doc_id, weight,
        row_number() OVER (ORDER BY key DESC, doc_id ASC)::INT AS rank
 FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {k}"""
+
+
+def q_quantile_sketch(alpha: float = 0.02,
+                      quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99)) -> str:
+    """Twin of sketches.ddsketch_quantiles over events.value per
+    event_type. The gamma-derived doubles come from the SAME
+    ddsketch_params() call the Spark operator uses, emitted via repr so
+    both engines bucket with identical literals; the rank product
+    q * n_total is forced to DOUBLE on both sides (a DuckDB
+    decimal-literal product would ceil differently when q*n lands just
+    above an integer in double arithmetic)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    gamma, inv_lg, coeff = ddsketch_params(alpha)
+    qrows = ", ".join(f"({float(q)!r}::DOUBLE)" for q in quantiles)
+    return f"""
+WITH b AS (
+  SELECT event_type AS g, ceil(ln(value) * {inv_lg!r})::INT AS bucket,
+         count(*)::BIGINT AS n
+  FROM events WHERE value > 0 GROUP BY 1, 2
+),
+c AS (
+  SELECT g, bucket,
+         sum(n) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+         sum(n) OVER (PARTITION BY g)::BIGINT AS n_total
+  FROM b
+),
+r AS (
+  SELECT g, bucket, cum, n_total, q
+  FROM c, (VALUES {qrows}) AS qs(q)
+  WHERE cum >= greatest(1, ceil(q * n_total::DOUBLE))
+)
+SELECT g AS event_type, round(q, 2) AS q,
+       min(n_total)::BIGINT AS n, min(bucket)::INT AS bucket,
+       round({coeff!r} * power({gamma!r}, min(bucket)), 6) AS estimate
+FROM r GROUP BY g, q"""
+
+
+def q_lsh_recall(num_hashes: int = 16, bands: int = 4, n: int = 3,
+                 threshold: float = 0.5) -> str:
+    """Twin of dedup.lsh_recall_report: exact-Jaccard pairs (inter CTE,
+    any shared shingle) vs LSH-found pairs (verified CTE), bucketed by
+    floor(jaccard*10) — same double multiply both engines."""
+    return f"""
+WITH {_minhash_verified_ctes(num_hashes, bands, n)},
+exact AS (
+  SELECT doc_a, doc_b, n_common::DOUBLE / (na + nb - n_common) AS j
+  FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}
+),
+found AS (
+  SELECT doc_a, doc_b, 1 AS hit FROM verified WHERE jaccard >= {threshold}
+),
+lab AS (
+  SELECT floor(e.j * 10)::INT AS b, coalesce(f.hit, 0) AS hit
+  FROM exact e LEFT JOIN found f USING (doc_a, doc_b)
+)
+SELECT b::DOUBLE / 10.0 AS jaccard_lo,
+       count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found,
+       round(sum(hit)::DOUBLE / count(*), 6) AS recall
+FROM lab GROUP BY b"""

@@ -309,3 +309,19 @@ def test_banded_candidates_salted_path_identical_and_spread(spark):
     assert sum(sizes) == 250 * 250
     assert len(sizes) > 1
     assert max(sizes) < (250 * 250) / 4, sizes
+
+
+def test_lsh_recall_report_found_subset_of_exact(spark, docs):
+    from semantik_spark.operators.dedup import lsh_recall_report
+
+    out = lsh_recall_report(docs, num_hashes=16, bands=4, n=3,
+                            threshold=0.5).collect()
+    assert out, "dup corpus must produce at least one exact pair bucket"
+    for r in out:
+        # verification after banding means precision 1: found <= exact
+        assert 0 <= r["n_found"] <= r["n_exact"]
+        assert r["recall"] == round(r["n_found"] / r["n_exact"], 6)
+    # the exact-dup bucket (jaccard 1.0) is always found: every band of
+    # identical signatures collides
+    top = [r for r in out if r["jaccard_lo"] == 1.0]
+    assert top and top[0]["recall"] == 1.0

@@ -43,6 +43,16 @@ ROUND5_WINDOW_MUST = (
 )
 
 
+# Added AFTER the round-5 window filled (50/50): never driver-evaluated,
+# verified locally via tools/check_oracle.py at sf0.001 + sf0.01. These
+# MUST head the round-6 window — promote this tuple into the next
+# round's WINDOW_MUST list during rotation.
+ROUND6_WINDOW_MUST = (
+    "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
+    "customer_order_distribution", "top_supplier", "idle_customer_balance",
+)
+
+
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
@@ -59,6 +69,11 @@ def test_window_holds_rotation_invariants():
     window = list(entrymod.queries())[:50]
     for must in ROUND5_WINDOW_MUST:
         assert must in window, f"{must} fell out of the driver window"
+    # round-6 candidates are registered (past the boundary, awaiting
+    # their first driver row next rotation)
+    names = set(entrymod.queries())
+    for must in ROUND6_WINDOW_MUST:
+        assert must in names, f"{must} not registered"
 
 
 def test_query_callables_take_spark_and_sfdir():

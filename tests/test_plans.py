@@ -585,3 +585,29 @@ def test_multimodal_decode_is_map_only(spark):
         plan = _plan(q(spark, SF_DIR))
         assert "Exchange" not in plan, plan
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_top_supplier_max_is_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_supplier(spark, "/root/testdata/sf0.001"))
+    # the 1-row max aggregate joins back via broadcast, and there is no
+    # global sort or single-partition window anywhere in the plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_idle_customer_balance_anti_join_and_pushdown(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_idle_customer_balance(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    # the lapsed-cutoff date filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_customer_order_distribution_no_cartesian(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_customer_order_distribution(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan

@@ -46,3 +46,66 @@ def test_kmv_salt_count_invariance(spark):
     b = kmv_distinct(df, "g", "v", k=32, n_salts=64).collect()[0]
     assert a["kmv_estimate"] == b["kmv_estimate"]
     assert a["n_exact"] == b["n_exact"]
+
+
+# --- DDSketch quantiles ----------------------------------------------------
+
+from semantik_spark.operators.sketches import (  # noqa: E402
+    ddsketch_buckets,
+    ddsketch_params,
+    ddsketch_quantiles,
+)
+
+
+def _vals(spark, values, g="g"):
+    return spark.createDataFrame([(g, float(v)) for v in values], ["g", "v"])
+
+
+def test_ddsketch_relative_error_bound(spark):
+    # 1..1000: every estimate must be within alpha of the true
+    # lower-quantile value — the sketch's defining guarantee
+    import math
+
+    alpha = 0.01
+    vals = list(range(1, 1001))
+    out = {r["q"]: r for r in ddsketch_quantiles(
+        _vals(spark, vals), "g", "v", alpha=alpha,
+        quantiles=(0.25, 0.5, 0.9, 0.99)).collect()}
+    for q, row in out.items():
+        true = vals[max(1, math.ceil(q * len(vals))) - 1]
+        assert abs(row["estimate"] - true) / true <= alpha + 1e-9, (q, row, true)
+        assert row["n"] == 1000
+
+
+def test_ddsketch_merge_equals_rebuild(spark):
+    # merge(sketch(A), sketch(B)) == sketch(A ∪ B): bucket counts add
+    a = [1.5 * i for i in range(1, 400)]
+    b = [0.02 * i for i in range(1, 300)]
+    sa = ddsketch_buckets(_vals(spark, a), "g", "v", alpha=0.02)
+    sb = ddsketch_buckets(_vals(spark, b), "g", "v", alpha=0.02)
+    merged = (
+        sa.unionByName(sb).groupBy("g", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    rebuilt = ddsketch_buckets(_vals(spark, a + b), "g", "v", alpha=0.02)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+    # and quantiles extracted from the merged sketch match the rebuild
+    qm = ddsketch_quantiles(None, "g", "v", alpha=0.02, buckets=merged).collect()
+    qr = ddsketch_quantiles(_vals(spark, a + b), "g", "v", alpha=0.02).collect()
+    assert sorted(map(tuple, qm)) == sorted(map(tuple, qr))
+
+
+def test_ddsketch_nonpositive_reserved_bucket(spark):
+    rows = [("g", -1.0), ("g", 0.0), ("g", 5.0), ("g", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    b = ddsketch_buckets(df, "g", "v", alpha=0.02)
+    assert b.where(F.col("bucket") == -(2**31)).collect()[0]["n"] == 2
+    # quantiles are computed over positive values only
+    out = ddsketch_quantiles(df, "g", "v", alpha=0.02, quantiles=(0.5,)).collect()
+    assert out[0]["n"] == 2
+
+
+def test_ddsketch_params_stable():
+    gamma, inv_lg, coeff = ddsketch_params(0.02)
+    assert abs(gamma - 1.02 / 0.98) < 1e-15
+    assert abs(coeff * (gamma + 1.0) - 2.0) < 1e-15
