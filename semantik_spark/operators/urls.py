@@ -86,6 +86,9 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1) != "",
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
     ).otherwise(host)
+    # garbage in a crawled URL column must be filterable, not fatal:
+    # valid = has a scheme and a dot-separated host with no whitespace
+    is_valid = (scheme != "") & host.rlike(r"^[^\s:/?#]+\.[^\s:/?#]+$")
     return df.select(
         "*",
         scheme.alias("scheme"),
@@ -95,6 +98,7 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         params.alias("params"),
         canonical.alias("canonical_url"),
         domain.alias("domain"),
+        is_valid.alias("is_valid"),
     )
 
 

@@ -82,3 +82,13 @@ def test_no_shuffle_before_aggregation(spark):
     df = spark.createDataFrame([("http://a.com/x",)], ["url"])
     plan = domain_stats(canonical_urls(df))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial/final agg pair at most
+
+
+def test_garbage_urls_flagged_not_fatal(spark):
+    df = spark.createDataFrame(
+        [("not a url",), ("",), ("http://ok.example.com/x",)], ["url"]
+    )
+    rows = {r["url"]: r for r in canonical_urls(df).collect()}
+    assert rows["http://ok.example.com/x"]["is_valid"] is True
+    assert rows["not a url"]["is_valid"] is False
+    assert rows[""]["is_valid"] is False
