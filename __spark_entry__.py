@@ -2421,6 +2421,20 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 2% of the corpus (m=50) via distributed
+    Misra-Gries candidates + exact recount (operators/frequency.py) —
+    output provably equals the plain GROUP BY/HAVING the oracle runs,
+    for any partitioning, while only candidate keys ever shuffle."""
+    from semantik_spark.functions.text import whitespace_tokens
+    from semantik_spark.operators.frequency import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(whitespace_tokens("text")).alias("token")
+    )
+    return heavy_hitters(toks, "token", m=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -2627,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "top_supplier": q_top_supplier,
         "idle_customer_balance": q_idle_customer_balance,
+        "heavy_hitters": q_heavy_hitters,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3459,6 +3474,16 @@ WHERE c_acctbal::DECIMAL(18,2) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
 GROUP BY n_name""",
+        "heavy_hitters": """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS k
+  FROM documents
+), tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+SELECT k AS token, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / min(tot.n), 6) AS frac
+FROM tok CROSS JOIN tot
+GROUP BY k HAVING count(*) * 50 > min(tot.n)""",
     }
 
 

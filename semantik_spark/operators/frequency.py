@@ -1,0 +1,77 @@
+"""Distributed heavy hitters — Misra-Gries candidates + exact recount.
+
+At 100 TB, "which tokens/domains/users exceed x% of the corpus" cannot
+afford a full groupBy over billions of distinct keys when only the few
+heavy keys matter. The classic answer (Misra & Gries 1982; mergeable
+form: Agarwal et al., "Mergeable Summaries", PODS 2012) is a per-
+partition m-counter summary whose candidate set PROVABLY contains every
+key with global frequency > N/m (averaging argument: if
+sum_p freq_p > sum_p N_p/m then freq_p > N_p/m for some partition, and
+an MG(m) summary retains any key whose partition count exceeds
+N_p/m). The union of per-partition candidates is therefore a guaranteed
+superset, and a second exact pass over ONLY candidate keys makes the
+final answer exact and partitioning-independent:
+
+    output == {key : count(key) * m > N}   (exactly, any partitioning)
+
+which is what lets a DuckDB oracle replay it as a plain
+GROUP BY/HAVING even though the candidate stage is approximate.
+
+Shapes: phase 1 is a map-only Arrow pass (mapInPandas; counts are
+vectorized per batch via value_counts, the MG decrement runs on the
+aggregated dict — O(distinct-per-batch) Python ops, never per row);
+phase 2 broadcast-semi-joins the tiny candidate set back and aggregates
+candidate rows only — the full key space never shuffles. The extra
+N-count job is a column-pruned scan (at cluster scale you piggyback it
+on phase 1 via a count aggregate on the same cached frame, as here).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantik_spark.functions.caching import cache
+
+
+def _mg_candidates(m: int):
+    """Per-partition mergeable Misra-Gries: fold each Arrow batch's
+    value_counts into the counter dict; when over m-1 counters, subtract
+    the m-th largest count from all and drop the non-positive (the
+    PODS'12 merge step — error stays ≤ N_p/m)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series = pd.Series(dtype="int64")
+        for pdf in it:
+            batch = pdf["k"].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > m - 1:
+                cut = counters.nlargest(m).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"k": counters.index.astype(str)})
+
+    return run
+
+
+def heavy_hitters(df: DataFrame, key_col: str, m: int = 50) -> DataFrame:
+    """All keys with count(key) * m > N (strictly), with exact counts
+    and corpus fractions: (key_col, n, frac). Deterministic for any
+    partitioning — see module docstring for the superset proof."""
+    keys = cache(df.select(F.col(key_col).cast("string").alias("k")))
+    total = keys.count()
+    cand = keys.mapInPandas(_mg_candidates(m), "k string").distinct()
+    exact = (
+        keys.join(F.broadcast(cand), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .where(F.col("n") * m > F.lit(total))
+    )
+    return exact.select(
+        F.col("k").alias(key_col),
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
+    )
