@@ -347,6 +347,69 @@ def kmv_state_estimates(spark: SparkSession, state_path: str, k: int = 64) -> Da
     )
 
 
+def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
+                       group_col: str, value_col: str, alpha: float = 0.02):
+    """Streaming quantile sketching: each micro-batch's DDSketch bucket
+    counts merge into a persisted state table by ADDING counts — the
+    sketch's merge algebra — so the state after N batches EXACTLY
+    equals the batch sketch over all N batches' rows (asserted in
+    tests/test_streaming.py), and quantiles served from the state carry
+    the same alpha relative-error guarantee as a full recompute.
+
+    State is one parquet table (g, bucket, n) of ~log(range)/alpha rows
+    per group regardless of stream volume; swap is staging-dir + rename
+    like streaming_kmv. Mirrors streaming_kmv's foreachBatch wiring.
+    """
+    import os
+    import shutil
+
+    from semantik_spark.operators.sketches import ddsketch_buckets
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = ddsketch_buckets(batch, group_col, value_col, alpha)
+        try:
+            old = spark.read.parquet(state_path)
+        except Exception:  # first batch: no state yet
+            old = None
+        if old is not None:
+            merged = (
+                old.unionByName(partial)
+                .groupBy("g", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = partial
+        tmp = state_path + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ddsketch_state_quantiles(spark: SparkSession, state_path: str,
+                             alpha: float = 0.02,
+                             quantiles: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Serve quantiles from the streaming DDSketch state — the serving
+    view of streaming_ddsketch (quantile extraction runs on sketch rows
+    only, as in the batch operator)."""
+    from semantik_spark.operators.sketches import ddsketch_quantiles
+
+    st = spark.read.parquet(state_path)
+    return ddsketch_quantiles(None, "g", "v", alpha=alpha,
+                              quantiles=quantiles, buckets=st)
+
+
 def merge_counters(state: DataFrame, delta: DataFrame,
                    keys: list[str] | None = None) -> DataFrame:
     """Incremental-view-maintenance merge: combine a materialized

@@ -311,3 +311,42 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
         assert streamed[g]["n_sketch"] == batch[g]["n_sketch"], g
     # group b has 6 distinct values < k → exact
     assert streamed["b"]["kmv_estimate"] == 6.0
+
+
+def test_streaming_ddsketch_equals_batch_sketch(spark, tmp_path):
+    """DDSketch merge algebra across micro-batches: state after two
+    deliveries must be value-identical to the batch sketch over the
+    union of all rows — buckets AND served quantiles."""
+    from semantik_spark.operators.sketches import ddsketch_quantiles
+    from semantik_spark.streaming.incremental import (
+        ddsketch_state_quantiles, streaming_ddsketch, stream_files,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    state = str(tmp_path / "dd_state")
+    ckpt = str(tmp_path / "ckpt_dd")
+    schema = "g string, v double"
+    b1 = [{"g": "a", "v": 0.5 * i} for i in range(1, 200)] + [{"g": "b", "v": 3.0}]
+    b2 = [{"g": "a", "v": 2.0 * i} for i in range(1, 150)] + [{"g": "b", "v": -1.0}]
+    _write_json(drop / "d1.json", b1)
+    q = streaming_ddsketch(stream_files(spark, str(drop), schema), state, ckpt,
+                           "g", "v", alpha=0.02)
+    q.awaitTermination(120)
+    _write_json(drop / "d2.json", b2)
+    q2 = streaming_ddsketch(stream_files(spark, str(drop), schema), state, ckpt,
+                            "g", "v", alpha=0.02)
+    q2.awaitTermination(120)
+
+    served = sorted(map(tuple, ddsketch_state_quantiles(
+        spark, state, alpha=0.02, quantiles=(0.5, 0.99)).collect()))
+    all_rows = spark.createDataFrame(
+        [(d["g"], d["v"]) for d in b1 + b2], ["g", "v"]
+    )
+    batch = sorted(map(tuple, ddsketch_quantiles(
+        all_rows, "g", "v", alpha=0.02, quantiles=(0.5, 0.99)).collect()))
+    assert served == batch
+    # the non-positive reserved bucket survived the merge
+    st = spark.read.parquet(state)
+    from pyspark.sql import functions as SF
+    assert st.where(SF.col("bucket") == -(2**31)).count() == 1
