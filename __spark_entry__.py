@@ -2435,6 +2435,21 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", m=50)
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter join pruning (runtime-filter pattern)
+    measured end-to-end: nation-3 customers build a 1024-bit/k=3
+    filter, the orders key space probes it, and the report counts the
+    false-positive overhang an exact semi-join then discards — no false
+    negatives by construction (storage.bloom_prune_stats)."""
+    from semantik_spark.operators.storage import bloom_prune_stats
+
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey") == 3
+    ).select(F.col("c_custkey").alias("key"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return bloom_prune_stats(orders, cust, "key", n_bits=1024, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -2642,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "idle_customer_balance": q_idle_customer_balance,
         "heavy_hitters": q_heavy_hitters,
+        "bloom_prune": q_bloom_prune,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3484,6 +3500,35 @@ SELECT k AS token, count(*)::BIGINT AS n,
        round(count(*)::DOUBLE / min(tot.n), 6) AS frac
 FROM tok CROSS JOIN tot
 GROUP BY k HAVING count(*) * 50 > min(tot.n)""",
+        "bloom_prune": """
+WITH skeys AS (
+  SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3
+), bitsrc AS (
+  SELECT DISTINCT
+    ('0x'||substr(md5(sk::VARCHAR || '#' || i::VARCHAR),1,15))::BIGINT % 1024 AS setbit
+  FROM skeys, range(3) t(i)
+), pkeys AS (
+  SELECT DISTINCT o_custkey AS pk FROM orders
+), probe AS (
+  SELECT pk,
+    ('0x'||substr(md5(pk::VARCHAR || '#' || i::VARCHAR),1,15))::BIGINT % 1024 AS bitpos
+  FROM pkeys, range(3) t(i)
+), hits AS (
+  SELECT pk, min(CASE WHEN b.setbit IS NOT NULL THEN 1 ELSE 0 END) AS passes
+  FROM probe LEFT JOIN bitsrc b ON probe.bitpos = b.setbit GROUP BY pk
+), truth AS (
+  SELECT pk, CASE WHEN sk IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pkeys LEFT JOIN skeys ON pk = sk
+)
+SELECT (SELECT count(*) FROM skeys)::BIGINT AS n_small_keys,
+       (SELECT count(*) FROM bitsrc)::BIGINT AS n_bits_set,
+       count(*)::BIGINT AS n_probe_keys,
+       sum(passes)::BIGINT AS n_pass,
+       sum(is_true)::BIGINT AS n_true,
+       sum(CASE WHEN passes = 1 AND is_true = 0 THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+       round(sum(CASE WHEN passes = 1 AND is_true = 0 THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(count(*) - sum(is_true), 1), 6) AS fp_rate
+FROM hits JOIN truth USING (pk)""",
     }
 
 

@@ -110,3 +110,71 @@ def zorder_write(df: DataFrame, path: str, cols: list[str], n_files: int = 8,
         .drop("_zkey")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def bloom_prune_stats(large: DataFrame, small: DataFrame, key_col: str,
+                      n_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Deterministic Bloom-filter semi-join pruning with a measured
+    false-positive report — the runtime-filter pattern (Spark's
+    spark.sql.optimizer.runtime.bloomFilter, Trino/ORC bloom indexes)
+    made observable and engine-replayable.
+
+    Build: each small-side key sets k bit positions
+    ``hash60(key + '#' + i) % n_bits``; the filter is the DISTINCT set
+    of positions (a table of ≤ k·|small| ints, broadcast to the probe).
+    Probe: a large-side key passes iff ALL k of its positions are set.
+    Every key that truly matches passes (no false negatives, by
+    construction); the report measures the false-positive overhang an
+    exact semi-join would then discard.
+
+    Returns ONE row: n_small_keys, n_bits_set, n_probe_keys, n_pass,
+    n_true, n_false_pos, fp_rate (fp among true negatives, 6 dp).
+
+    Scale shape: the probe never shuffles the large side — positions
+    are computed map-side and checked against the BROADCAST bit table;
+    only the distinct-key aggregations shuffle. At 100 TB the bit table
+    is a real bitmap pushed into the scan; the position-set formulation
+    here is what keeps the whole thing exact-replayable in the oracle.
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    def positions(key: Column) -> Column:
+        return F.array(*[
+            F.pmod(hash60(F.concat(key.cast("string"), F.lit(f"#{i}"))),
+                   F.lit(n_bits))
+            for i in range(k)
+        ])
+
+    skeys = small.select(F.col(key_col).alias("sk")).distinct()
+    bits = (
+        skeys.select(F.explode(positions(F.col("sk"))).alias("setbit"))
+        .distinct()
+    )
+    pkeys = large.select(F.col(key_col).alias("pk")).distinct()
+    probe = pkeys.select(
+        "pk", F.explode(positions(F.col("pk"))).alias("bitpos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), probe.bitpos == bits.setbit, "left")
+        .groupBy("pk")
+        .agg(F.min(F.when(F.col("setbit").isNotNull(), 1).otherwise(0)).alias("passes"))
+    )
+    truth = pkeys.join(skeys, pkeys.pk == skeys.sk, "left").select(
+        "pk", F.when(F.col("sk").isNotNull(), 1).otherwise(0).alias("is_true")
+    )
+    joined = hits.join(truth, "pk")
+    return joined.agg(
+        F.sum("is_true").cast("bigint").alias("n_true"),
+        F.sum("passes").cast("bigint").alias("n_pass"),
+        F.count("*").cast("bigint").alias("n_probe_keys"),
+        F.sum(F.when((F.col("passes") == 1) & (F.col("is_true") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("n_false_pos"),
+    ).crossJoin(F.broadcast(skeys.agg(F.count("*").cast("bigint").alias("n_small_keys")))) \
+     .crossJoin(F.broadcast(bits.agg(F.count("*").cast("bigint").alias("n_bits_set")))) \
+     .select(
+        "n_small_keys", "n_bits_set", "n_probe_keys", "n_pass", "n_true",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") /
+                F.greatest(F.col("n_probe_keys") - F.col("n_true"), F.lit(1)),
+                6).alias("fp_rate"),
+    )

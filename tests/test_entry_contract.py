@@ -50,7 +50,7 @@ ROUND5_WINDOW_MUST = (
 ROUND6_WINDOW_MUST = (
     "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
     "customer_order_distribution", "top_supplier", "idle_customer_balance",
-    "heavy_hitters",
+    "heavy_hitters", "bloom_prune",
 )
 
 

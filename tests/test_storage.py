@@ -61,3 +61,30 @@ def test_zorder_skips_files_on_both_columns(spark, tmp_path):
     assert _files_overlapping(s, "b", lo, hi) == 64         # …and prunes NOTHING on the other
     # round-trip integrity
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_bloom_prune_no_false_negatives_and_measured_fp(spark):
+    from semantik_spark.operators.storage import bloom_prune_stats
+
+    small = spark.createDataFrame([(i,) for i in range(0, 50)], ["key"])
+    large = spark.createDataFrame([(i,) for i in range(0, 2000)], ["key"])
+    # tiny filter → false positives guaranteed measurable
+    r = bloom_prune_stats(large, small, "key", n_bits=256, k=2).collect()[0]
+    assert r["n_small_keys"] == 50 and r["n_probe_keys"] == 2000
+    assert r["n_true"] == 50
+    assert r["n_pass"] >= r["n_true"], "a true match must always pass"
+    assert r["n_false_pos"] == r["n_pass"] - r["n_true"]
+    assert 0 < r["n_bits_set"] <= 100
+    assert r["fp_rate"] == round(r["n_false_pos"] / 1950, 6)
+
+
+def test_bloom_prune_probe_side_broadcast_only(spark):
+    from semantik_spark.operators.storage import bloom_prune_stats
+
+    small = spark.createDataFrame([(i,) for i in range(5)], ["key"])
+    large = spark.createDataFrame([(i,) for i in range(100)], ["key"])
+    plan = (
+        bloom_prune_stats(large, small, "key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
