@@ -195,7 +195,7 @@ def ddsketch_buckets(df: DataFrame, group_col: str, value_col: str,
     )
 
 
-def ddsketch_quantiles(df: DataFrame, group_col: str, value_col: str,
+def ddsketch_quantiles(df: DataFrame | None, group_col: str, value_col: str,
                        alpha: float = 0.01,
                        quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
                        buckets: DataFrame | None = None) -> DataFrame:
