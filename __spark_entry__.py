@@ -2450,6 +2450,44 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune_stats(orders, cust, "key", n_bits=1024, k=3)
 
 
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type event-value means with outliers clamped at the
+    DDSketch P5/P95 estimates (sketches.winsorized_stats) — the
+    heavy-tail-safe averaging stage, bit-stable via exact-decimal sums
+    and the sketch's deterministic cutpoints."""
+    from semantik_spark.operators.sketches import winsorized_stats
+
+    return winsorized_stats(_events(spark, sf_dir), "event_type", "value",
+                            alpha=0.02, lo_q=0.05, hi_q=0.95)
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume per (supplier nation,
+    customer nation, ship year). Both nation copies broadcast (25 rows
+    each, SF-fixed); the three SF-linear joins are left to AQE; the
+    group domain is bounded at 25x24xyears rows forever."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+             F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
@@ -2658,6 +2696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customer_balance": q_idle_customer_balance,
         "heavy_hitters": q_heavy_hitters,
         "bloom_prune": q_bloom_prune,
+        "winsorized_stats": q_winsorized_stats,
+        "nation_trade_volume": q_nation_trade_volume,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3529,6 +3569,33 @@ SELECT (SELECT count(*) FROM skeys)::BIGINT AS n_small_keys,
        round(sum(CASE WHEN passes = 1 AND is_true = 0 THEN 1 ELSE 0 END)::DOUBLE
              / greatest(count(*) - sum(is_true), 1), 6) AS fp_rate
 FROM hits JOIN truth USING (pk)""",
+        "winsorized_stats": f"""
+WITH cuts AS ({oracles.q_quantile_sketch(0.02, (0.05, 0.95))}),
+cw AS (
+  SELECT event_type, min(estimate) AS lo, max(estimate) AS hi
+  FROM cuts GROUP BY event_type
+)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+       round(sum(least(greatest(value, lo), hi)::DECIMAL(28,8))::DOUBLE
+             / count(*), 6) AS winsorized_mean,
+       round(sum(value::DECIMAL(28,8))::DOUBLE / count(*), 6) AS raw_mean
+FROM events e JOIN cw USING (event_type)
+GROUP BY e.event_type""",
+        "nation_trade_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""",
     }
 
 

@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     # late round-5 additions
     "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
     "customer_order_distribution", "top_supplier", "idle_customer_balance",
-    "heavy_hitters", "bloom_prune",
+    "heavy_hitters", "bloom_prune", "winsorized_stats", "nation_trade_volume",
 ]
 
 

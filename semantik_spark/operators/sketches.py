@@ -240,3 +240,44 @@ def ddsketch_quantiles(df: DataFrame | None, group_col: str, value_col: str,
         F.col("bucket").cast("int").alias("bucket"),
         F.round(F.lit(coeff) * F.pow(F.lit(gamma), F.col("bucket")), 6).alias("estimate"),
     )
+
+
+def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
+                     alpha: float = 0.02,
+                     lo_q: float = 0.05, hi_q: float = 0.95) -> DataFrame:
+    """Sketch-driven outlier clamping: per-group winsorized mean with
+    cutpoints taken from the DDSketch quantile estimates — the
+    robust-statistics stage a curation pipeline runs before averaging
+    heavy-tailed signals (doc lengths, request latencies, prices).
+
+    Returns (group, n, n_lo, n_hi, winsorized_mean, raw_mean): counts
+    clamped at each tail and the mean of values clipped into
+    [P(lo_q), P(hi_q)] alongside the unclamped mean. Both means ride
+    the exact-DECIMAL(28,8) summation path so they are bit-stable
+    across engines; the cutpoints are the 6 dp-rounded sketch
+    estimates, so the whole statistic inherits the sketch's
+    determinism and its alpha relative-error guarantee.
+
+    Scale shape: the sketch pass (one map-side-combinable shuffle over
+    the raw data) + a |groups|-row broadcast of cutpoints back onto the
+    raw scan + one final aggregation — the raw data is read twice but
+    never shuffled unclamped."""
+    cuts = ddsketch_quantiles(df, group_col, value_col, alpha,
+                              quantiles=(float(lo_q), float(hi_q)))
+    cw = cuts.groupBy(group_col).agg(
+        F.min("estimate").alias("lo"), F.max("estimate").alias("hi")
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    joined = df.join(F.broadcast(cw), group_col)
+    return joined.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_lo"),
+        F.sum(F.when(v > F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_hi"),
+        F.round(
+            F.sum(clamped.cast("decimal(28,8)")).cast("double") / F.count("*"), 6
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(v.cast("decimal(28,8)")).cast("double") / F.count("*"), 6
+        ).alias("raw_mean"),
+    )

@@ -50,7 +50,8 @@ ROUND5_WINDOW_MUST = (
 ROUND6_WINDOW_MUST = (
     "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
     "customer_order_distribution", "top_supplier", "idle_customer_balance",
-    "heavy_hitters", "bloom_prune",
+    "heavy_hitters", "bloom_prune", "winsorized_stats",
+    "nation_trade_volume",
 )
 
 

@@ -109,3 +109,18 @@ def test_ddsketch_params_stable():
     gamma, inv_lg, coeff = ddsketch_params(0.02)
     assert abs(gamma - 1.02 / 0.98) < 1e-15
     assert abs(coeff * (gamma + 1.0) - 2.0) < 1e-15
+
+
+def test_winsorized_stats_clamps_tails(spark):
+    from semantik_spark.operators.sketches import winsorized_stats
+
+    # 1..100 plus two absurd outliers: the winsorized mean must sit
+    # near the bulk mean while the raw mean is dragged far right
+    vals = list(range(1, 101)) + [100000.0, 500000.0]
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "v"])
+    r = winsorized_stats(df, "g", "v", alpha=0.02, lo_q=0.05, hi_q=0.95).collect()[0]
+    assert r["n"] == 102
+    assert r["n_hi"] >= 2  # both outliers clamped (plus tail of bulk)
+    assert r["winsorized_mean"] < 120
+    assert r["raw_mean"] > 5000
+    assert r["n_lo"] >= 0
