@@ -60,8 +60,17 @@ def _mg_candidates(m: int):
 def heavy_hitters(df: DataFrame, key_col: str, m: int = 50) -> DataFrame:
     """All keys with count(key) * m > N (strictly), with exact counts
     and corpus fractions: (key_col, n, frac). Deterministic for any
-    partitioning — see module docstring for the superset proof."""
-    keys = cache(df.select(F.col(key_col).cast("string").alias("k")))
+    partitioning — see module docstring for the superset proof.
+
+    NULL keys are excluded up front (explicitly, not incidentally):
+    they can never survive the equi-join recount, and pandas
+    value_counts drops them from candidates — filtering first makes N
+    and frac consistently 'over non-null keys' instead of mixing a
+    null-inclusive N with a null-free output."""
+    keys = cache(
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .where(F.col("k").isNotNull())
+    )
     total = keys.count()
     cand = keys.mapInPandas(_mg_candidates(m), "k string").distinct()
     exact = (

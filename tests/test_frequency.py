@@ -58,3 +58,14 @@ def test_plan_broadcasts_candidates(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_null_keys_excluded_consistently(spark):
+    # nulls are excluded from candidates AND from N: 60 nulls must not
+    # dilute the fractions of the non-null keys
+    rows = [("a",)] * 30 + [("b",)] * 10 + [(None,)] * 60
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r for r in heavy_hitters(df, "k", m=3).collect()}
+    # non-null N = 40: a (30*3=90 > 40) passes, b (10*3=30 < 40) fails
+    assert set(got) == {"a"}
+    assert got["a"]["n"] == 30 and got["a"]["frac"] == 0.75
