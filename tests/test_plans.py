@@ -611,3 +611,20 @@ def test_customer_order_distribution_no_cartesian(spark):
 
     plan = _plan(e.q_customer_order_distribution(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
+
+
+def test_nation_trade_volume_broadcasts_both_nation_dims(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_nation_trade_volume(spark, "/root/testdata/sf0.001"))
+    # two 25-row nation copies must both arrive via broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_stats_broadcasts_cutpoints(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_winsorized_stats(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
