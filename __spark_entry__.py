@@ -34,18 +34,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Session-conf invariant for EVERY query in this module (VERDICT
+    r5 item 10): UTC session timezone + nanos-as-long parquet reads.
+
+    These were historically set as a side effect of building an events
+    query only, which made any later timestamp-casting query's result
+    depend on query ORDER. Setting them unconditionally at the
+    entry()/queries() boundary (and keeping the call in _events for
+    direct callers) makes the pin a documented module-level contract:
+    all oracle SQL is written against DuckDB's naive-timestamp reads,
+    which match Spark exactly iff the session renders timestamps in
+    UTC. Order-independence is asserted in tests/test_entry_contract.py.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet's ts physical type has varied across testdata
     generations: TIMESTAMP(NANOS) (Spark 4 refuses by default — read
     nanos as long, floor to µs like DuckDB's ::TIMESTAMP cast does),
     plain TIMESTAMP(MICROS) read as TIMESTAMP_NTZ, or already LTZ.
     Normalize every shape to a session-UTC TIMESTAMP column. The UTC
-    pin is set here (not only in get_spark) because entry()/queries()
-    receive the external driver's SparkSession: without it, a non-UTC
-    session shifts every unix_micros-derived output away from the
-    DuckDB oracle, which reads naive timestamps as-is."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin (module contract — see _pin_session_confs) is re-applied here
+    for callers that invoke query functions directly without going
+    through queries()."""
+    _pin_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":
@@ -1017,11 +1032,30 @@ def _scratch(name: str) -> str:
     file so the queries work regardless of the driver's cwd and scoped
     per process (pid suffix) so concurrent drivers — bench.py next to
     pytest next to check_oracle — never race on the same vocab file or
-    blue/green root."""
-    import os  # noqa: PLC0415
+    blue/green root.
 
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "spark-warehouse", f"scratch-{os.getpid()}")
+    Lifecycle (ADVICE r5): this process's dir is removed at interpreter
+    exit, and the first call also sweeps sibling ``scratch-<pid>`` dirs
+    whose pid is no longer alive, so crashed runs can't accumulate
+    parquet copies indefinitely."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse")
+    base = os.path.join(root, f"scratch-{os.getpid()}")
+    if not os.path.exists(base):
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        try:
+            for d in os.listdir(root):
+                if not d.startswith("scratch-"):
+                    continue
+                pid = d.split("-", 1)[1]
+                if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except OSError:
+            pass
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, name)
 
@@ -2490,6 +2524,7 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
+    _pin_session_confs(spark)
     return q_hybrid_rrf(spark, "/root/testdata/sf0.001")
 
 
@@ -2504,6 +2539,9 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_all()
+        # every query runs under the same pinned session confs, so no
+        # query's result can depend on which queries ran before it
+        _pin_session_confs(spark)
         return fn(spark, sf_dir)
 
     return wrapped
@@ -3472,7 +3510,7 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
        count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
        count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
-       count(*) FILTER (WHERE event_type NOT IN
+       count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN
          ('click','error','purchase','signup','view'))::BIGINT AS n_other,
        count(*)::BIGINT AS n_total
 FROM events GROUP BY user_id""",

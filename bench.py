@@ -187,9 +187,6 @@ def main() -> None:
     _bench_serving(spark, sf_dir, med, lo, hi)
 
     total = round(sum(med.values()), 3)
-    # the one-line stdout artifact stays SHORT so no tail window can
-    # truncate it (VERDICT r4 item 8): medians only, 2dp; the full
-    # median/min/max detail goes to BENCH_DETAIL.json beside this file
     line = {
         "metric": "suite_wall_sec_median_of_%d" % REPS,
         "value": total,
@@ -198,13 +195,36 @@ def main() -> None:
         "reps": REPS,
         "sf": sf,
     }
-    print(json.dumps(line))
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({**line, "queries": med, "queries_min": lo,
                    "queries_max": hi}, f, indent=1)
     print(f"# full spread detail written to {detail_path}", file=sys.stderr)
+    # The full per-query line overflowed the driver's tail window three
+    # rounds running (VERDICT r5 item 3: ~105 medians, clipped from the
+    # front -> "parsed": null). Print it FIRST, then end stdout with a
+    # genuinely short (<300 byte) summary line carrying the suite total
+    # and the 4 BASELINE.md serve-latency gates in ms/query — the full
+    # medians live in BENCH_DETAIL.json / BENCH_LOCAL_rN.json.
+    print(json.dumps(line))
+    from semantik_spark.oracles import SEARCH_QUERIES
+
+    nq = len(SEARCH_QUERIES)
+    short = {
+        "metric": "suite_wall_sec_median_of_%d" % REPS,
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": REPS,
+        "queries": {
+            "dense_ms_q": round(med.get("dense_serve", 0.0) * 1000 / nq, 1),
+            "hybrid_ms_q": round(med.get("hybrid_serve", 0.0) * 1000 / nq, 1),
+            "ivf_ms_q": round(med.get("dense_ivf_serve", 0.0) * 1000 / nq, 1),
+            "rerank_ms_q": round(med.get("rerank_search", 0.0) * 1000 / nq, 1),
+        },
+    }
+    print(json.dumps(short))
 
 
 if __name__ == "__main__":

@@ -182,6 +182,14 @@ def banded_candidates(banded: DataFrame,
     replicate ``salt`` ways. Cold buckets join exactly as before, and
     the union is row-identical to the unsalted join — only the shuffle
     distribution changes (bounded-partition test in tests/test_dedup.py).
+
+    EAGERNESS CAVEAT (ADVICE r5): with a non-None threshold this
+    operator is NOT lazy — the hot-bucket size probe
+    (``hot_keys.limit(1).count()``) runs a Spark job at plan-BUILD
+    time (a full pass over the banded table, cached so the common
+    no-hot case pays it back on first execution). Callers composing
+    plans they may never run should pass ``hot_bucket_threshold=None``
+    (plain lazy self-join) and handle skew themselves.
     """
     if hot_bucket_threshold is None:
         ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
@@ -311,26 +319,54 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
 CC_LAST_ROUNDS = 0
 
 
+#: jump when the previous round's changed-count retained more than this
+#: fraction of the round before — i.e. convergence stopped being
+#: geometric, the signature of long chains rather than dense clusters
+CC_JUMP_RATIO = 0.7
+
+#: pointer-jump joins the most recent connected_components call ran
+#: (driver-side observability, mirrors CC_LAST_ROUNDS)
+CC_LAST_JUMPS = 0
+
+
 def connected_components(edges: DataFrame, node_a: str = "doc_a",
                          node_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
     """node, component — connected components over an undirected edge
-    list by min-label propagation WITH pointer jumping: each round every
-    node takes the min of (its label, its neighbors' labels) and then
-    follows that label one hop (label-of-label, the path-halving step of
-    Shiloach-Vishkin / the star-contraction family). Neighbor-min alone
-    converges in graph-diameter rounds — an adversarial 10k-node CHAIN
-    would need 10k rounds and silently mislabel at max_iter=25 (VERDICT
-    r4 item 5); the pointer jump doubles the label's reach every round,
-    giving O(log diameter): a 4096-chain converges in ~13 rounds
-    (pinned in tests/test_dedup.py).
+    list by min-label propagation with an ADAPTIVE pointer jump: each
+    round every node takes the min of (its label, its neighbors'
+    labels); when convergence stalls, the label additionally follows
+    itself one hop (label-of-label, the path-halving step of
+    Shiloach-Vishkin / the star-contraction family).
 
-    Scale notes: each round is two shuffle joins (neighbor min +
-    label-of-label) and one aggregation; ``localCheckpoint`` truncates
-    the growing lineage so round N's plan does not replay rounds
-    1..N-1. Convergence is a driver-side count of changed labels
-    between rounds (an O(nodes) action, not a collect).
+    Why adaptive (VERDICT r5 item 2): neighbor-min alone converges in
+    graph-diameter rounds — an adversarial 10k-node CHAIN would need
+    10k rounds and silently mislabel at max_iter=25 — but near-dup
+    cluster graphs have tiny diameter and converge in 2-3 rounds, so
+    an unconditional jump join doubled the COMMON case's cost for a
+    bound only chains need (the r5 2.1x dedup_canonical regression).
+    The dial: round k jumps iff changed_{k-1} > CC_JUMP_RATIO *
+    changed_{k-2} (changed_0 := |nodes|), and once triggered it stays
+    on (sticky) — stalled convergence means long chains, and chains
+    remain the regime until the component resolves, so stickiness makes
+    the post-trigger behavior IDENTICAL to the unconditional version
+    (same worst-case round bound, no ratio-oscillation edge cases).
+    Tiny-diameter graphs collapse geometrically (ratio ~0.5 for
+    duplicate pairs) and never pay the jump; on a chain the ratio is ~1
+    from round 1, so jumping starts at round 2 exactly as the
+    unconditional version did and the O(log diameter) bound is
+    unchanged: a 4096-chain converges in ~13 rounds (pinned in
+    tests/test_dedup.py), with CC_LAST_JUMPS == 0 on a pair-duplicate
+    corpus (also pinned).
+
+    Scale notes: each round is one or two shuffle joins (neighbor min,
+    plus label-of-label only when jumping) and one aggregation;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. Convergence is a driver-side count
+    of changed labels between rounds (an O(nodes) action, not a
+    collect); the same count drives the jump decision, so adaptivity
+    adds zero extra Spark jobs beyond one |nodes| count up front.
     """
-    global CC_LAST_ROUNDS
+    global CC_LAST_ROUNDS, CC_LAST_JUMPS
     sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint()
@@ -338,6 +374,11 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
         "label", F.col("node")
     ).localCheckpoint()
     CC_LAST_ROUNDS = 0
+    CC_LAST_JUMPS = 0
+    # changed_0: every node is freshly labeled, so round 2's jump
+    # decision compares round 1's churn against the node count
+    prev_changed = labels.count()
+    changed = prev_changed
     for _ in range(max_iter):
         CC_LAST_ROUNDS += 1
         neigh = (
@@ -353,9 +394,12 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
                 F.least(F.col("_old"), F.coalesce(F.col("nmin"), F.col("_old"))).alias("_cand"),
             )
         )
-        if CC_LAST_ROUNDS == 1:
-            # round 1's labels are the identity map, so label(label(v))
-            # is a literal no-op — skip the join on the biggest tables
+        # round 1's labels are the identity map, so label(label(v))
+        # would be a literal no-op — never jump there
+        do_jump = CC_LAST_ROUNDS > 1 and (
+            CC_LAST_JUMPS > 0 or changed > CC_JUMP_RATIO * prev_changed
+        )
+        if not do_jump:
             new_labels = cand.select(
                 "node", F.col("_cand").alias("label"), F.col("_old")
             ).localCheckpoint()
@@ -363,6 +407,7 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
             # pointer jump: follow the candidate label one hop through
             # the CURRENT label table — label(label(v)) — so long
             # chains contract geometrically instead of one hop/round
+            CC_LAST_JUMPS += 1
             jump = labels.select(F.col("node").alias("_jn"), F.col("label").alias("_jl"))
             new_labels = (
                 cand.join(jump, cand["_cand"] == jump["_jn"], "left")
@@ -373,6 +418,7 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
                 )
                 .localCheckpoint()
             )
+        prev_changed = changed
         changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
@@ -744,22 +790,31 @@ def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingles only (the df-ascending order is what kills the
     common-shingle fan-out).
 
-    doc_a, doc_b, jaccard (6 dp). Shape: one df-count shuffle on
-    shingle, one doc-partitioned rank window, the prefix equi-join on
-    shingle, then per-candidate verification on the materialized
-    shingle ARRAYS (array_intersect — no second explode join).
+    doc_a, doc_b, jaccard (6 dp). Shape: df via a COUNT window over
+    shingle (not a groupBy+join — one less join for AQE to re-plan;
+    the r5 bench showed a 2.2x run-to-run spread traced to plan flips
+    on this stage, VERDICT r5 item 4), one doc-partitioned rank
+    window, the prefix self-join on an EXPLICIT hash repartition of
+    the cached prefix table (both sides pre-partitioned on shingle —
+    the join shape cannot flip), then per-candidate verification on
+    the materialized shingle ARRAYS (array_intersect — no second
+    explode join).
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = docs.repartition(n_part, id_col)
-    s = cache(shingle_sets(docs, n, id_col, text_col))
-    freq = s.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    s = shingle_sets(docs, n, id_col, text_col)
+    # global document frequency per shingle as a window, rarest-first
+    # prefix rank per doc — two window shuffles, zero joins
+    s = s.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle")).cast("bigint")
+    )
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     plen = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    prefix = (
-        s.join(freq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
+    prefix = cache(
+        s.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= plen)
         .select("doc_id", "shingle")
+        .repartition(n_part, "shingle")
     )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -267,6 +267,27 @@ def dense_as_of(spark: SparkSession, idx_dir: str, batch_id: int) -> DataFrame:
     )
 
 
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read a sketch state table, tolerating the swap crash window.
+
+    The state swap is rename(state, state__old); rename(tmp, state) —
+    a crash between the two renames leaves the sketch ONLY at
+    ``state__old``. A bare read-or-None here would silently restart the
+    sketch from empty (ADVICE r5): fall back to ``__old`` before
+    treating the read failure as first-batch, so the worst case after
+    any single crash is re-merging one batch (idempotent for KMV's
+    set-union; for count-addition sketches the checkpoint replays the
+    same batch against the recovered pre-batch state, which is the
+    exactly-once contract foreachBatch already relies on)."""
+    try:
+        return spark.read.parquet(state_path)
+    except Exception:
+        try:
+            return spark.read.parquet(state_path + "__old")
+        except Exception:  # genuinely first batch: no state yet
+            return None
+
+
 def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
                   group_col: str, value_col: str, k: int = 64):
     """Streaming distinct-count sketching: each micro-batch's KMV
@@ -298,10 +319,7 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
             .groupBy("g")
             .agg(F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("us"))
         )
-        try:
-            old = spark.read.parquet(state_path)
-        except Exception:  # first batch: no state yet
-            old = None
+        old = _read_state(spark, state_path)
         if old is not None:
             merged = (
                 old.unionByName(partial)
@@ -368,10 +386,7 @@ def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         partial = ddsketch_buckets(batch, group_col, value_col, alpha)
-        try:
-            old = spark.read.parquet(state_path)
-        except Exception:  # first batch: no state yet
-            old = None
+        old = _read_state(spark, state_path)
         if old is not None:
             merged = (
                 old.unionByName(partial)

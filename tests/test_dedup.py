@@ -263,6 +263,24 @@ def test_cc_matches_union_find_on_random_graph(spark):
     assert got == want
 
 
+def test_cc_adaptive_jump_skips_pair_duplicate_graphs(spark):
+    """The common near-dup graph (duplicate PAIRS, diameter 1) must
+    never pay the pointer-jump join — that unconditional join was the
+    r5 dedup_canonical 2.1x regression. Ratio after round 1 is ~0.5
+    (only the larger of each pair changes), well under CC_JUMP_RATIO."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators import dedup
+
+    # 500 disjoint pairs (i, i+1000)
+    edges = spark.range(500).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1000).alias("doc_b"))
+    cc = dedup.connected_components(edges)
+    assert cc.count() == 1000
+    assert dedup.CC_LAST_JUMPS == 0, dedup.CC_LAST_JUMPS
+    assert dedup.CC_LAST_ROUNDS <= 3, dedup.CC_LAST_ROUNDS
+
+
 def test_banded_candidates_salted_path_identical_and_spread(spark):
     """50%-duplicate corpus: half the docs share one text, so all its
     band buckets are hot. The salted path must (a) return exactly the
