@@ -2548,14 +2548,16 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 5 — VERDICT r4 item 2): the
-    # correctness driver evaluates only the first 50 entries. Round-5
-    # window = the 36 late-round-4 additions that have never had a
-    # driver row (judge-verified green via tools/check_oracle.py, but
-    # the driver hash gate is the contract), the queries whose
-    # BEHAVIOR changes this round (multimodal_* — real container
-    # decode replaces the deterministic fakes), and every query ADDED
-    # this round, up to the 50-slot capacity.
+    # ORDERING CONTRACT (rotated for round 6 — VERDICT r5 item 1): the
+    # correctness driver evaluates only the first 50 entries. Round-6
+    # window = the 10 ROUND6_WINDOW_MUST entries added after the
+    # round-5 window filled (never driver-evaluated; judge pre-verified
+    # them green via tools/check_oracle.py at sf0.01, but the driver
+    # hash gate is the contract), every query ADDED or behavior-changed
+    # in round 6, and a backfill of the longest-unrefreshed r3-anchored
+    # entries up to the 50-slot capacity.  With the 10 MUST entries
+    # green, every registered query will have been driver-hash-verified
+    # at least once.
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -2565,65 +2567,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every affected query before commit and the run is recorded in
     # PROGRESS.jsonl. See README "Correctness window rotation".
     _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- r5 window: mid-round-4 additions, first driver evaluation
-        "text_readability": q_text_readability,
-        "source_mix": q_source_mix,
-        "events_rolling": q_events_rolling,
-        "value_correlation": q_value_correlation,
-        "lm_bigram": q_lm_bigram,
-        "events_transitions": q_events_transitions,
-        "text_boilerplate": q_text_boilerplate,
-        "contamination_report": q_contamination_report,
-        "approx_distinct_daily": q_approx_distinct_daily,
-        "funnel_latency": q_funnel_latency,
-        "source_mix_temp": q_source_mix_temp,
-        "session_paths": q_session_paths,
-        "cluster_keywords": q_cluster_keywords,
-        "doc_outliers": q_doc_outliers,
-        "hybrid_weighted": q_hybrid_weighted,
-        # late round-4 additions, first driver evaluation
-        "profile_table": q_profile_table,
-        "state_islands": q_state_islands,
-        "zipf_fit": q_zipf_fit,
-        "length_bins": q_length_bins,
-        "hard_negatives": q_hard_negatives,
-        "knn_pagerank": q_knn_pagerank,
-        "event_assoc": q_event_assoc,
-        "events_ewma": q_events_ewma,
-        "knn_triangles": q_knn_triangles,
-        "kmv_set_ops": q_kmv_set_ops,
-        "local_supplier_revenue": q_local_supplier_revenue,
-        "customer_value_ranks": q_customer_value_ranks,
-        "priority_grouping_sets": q_priority_grouping_sets,
-        "events_twap": q_events_twap,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "purchase_attribution": q_purchase_attribution,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "weighted_sample": q_weighted_sample,
-        "events_pivot": q_events_pivot,
-        "events_dedup_first": q_events_dedup_first,
-        "ivm_counters": q_ivm_counters,
-        # changed this round (real PNG/BMP/GIF/WAV container decode
-        # replaced the sha256 fakes) — must be in-window
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        # new in round 5 — must be in-window
-        "audio_wav_segments": q_audio_wav_segments,
-        "artifact_roundtrip": q_artifact_roundtrip,
-        "bluegreen_swap": q_bluegreen_swap,
-        "splade_vocab": q_splade_vocab,
-        "shipping_priority": q_shipping_priority,
-        "returned_items": q_returned_items,
-        "late_shipment_priority": q_late_shipment_priority,
-        "promo_revenue": q_promo_revenue,
-        "parts_supplier_count": q_parts_supplier_count,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_orders": q_large_orders,
-        "discounted_revenue": q_discounted_revenue,
+        # --- r6 window head: late-round-5 additions, first driver
+        # evaluation (tests/test_entry_contract.py ROUND6_WINDOW_MUST)
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "url_domain_stats": q_url_domain_stats,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier": q_top_supplier,
+        "idle_customer_balance": q_idle_customer_balance,
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_prune": q_bloom_prune,
+        "winsorized_stats": q_winsorized_stats,
+        "nation_trade_volume": q_nation_trade_volume,
+        # --- new in round 6 — must be in-window
+        # (entries are inserted here as they are added; each insertion
+        # displaces one r3-backfill entry below past the boundary)
+        # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
+        # entries taking the remaining window slots for a re-verify
+        "bm25_postings": q_bm25_postings,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "ir_metrics": q_ir_metrics,
+        "ir_metrics_agg": q_ir_metrics_agg,
+        "hyde_hybrid": q_hyde_hybrid,
+        "splade_search": q_splade_search,
+        "dense_mock_search": q_dense_mock_search,
+        "sparse_vectors": q_sparse_vectors,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "splade_vectors": q_splade_vectors,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ingest_index": q_ingest_index,
+        "chunk_character": q_chunk_character,
+        "pii_redact": q_pii_redact,
+        "lm_quality": q_lm_quality,
+        "dedup_sentences": q_dedup_sentences,
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "quality_sample": q_quality_sample,
+        "chunk_markdown": q_chunk_markdown,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_hierarchical": q_chunk_hierarchical,
+        "chunk_hybrid": q_chunk_hybrid,
+        "chunk_recursive": q_chunk_recursive,
+        "predicate_route": q_predicate_route,
+        "incremental_changed": q_incremental_changed,
+        "config_matrix": q_config_matrix,
+        "collection_counters": q_collection_counters,
+        "gc_orphans": q_gc_orphans,
+        "stale_marking": q_stale_marking,
+        "run_status_counts": q_run_status_counts,
+        "run_dead_letter": q_run_dead_letter,
+        "projection_labels": q_projection_labels,
+        "benchmark_matrix": q_benchmark_matrix,
+        "benchmark_mapping": q_benchmark_mapping,
         # --- driver window boundary (50): everything below is
-        # behavior-anchored by an earlier driver round (r3: CORRECTNESS_r03,
-        # r4: CORRECTNESS_r04); touched-module entries are re-checked via
-        # tools/check_oracle.py per the behavior-anchored contract above.
+        # behavior-anchored by an earlier driver round (r3:
+        # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
+        # touched-module entries are re-checked via tools/check_oracle.py
+        # per the behavior-anchored contract above.
+        # r3-anchored remainder (displaced from the backfill by round-6
+        # additions; re-verified via check_oracle when touched):
+        "embedding_quantize": q_embedding_quantize,
+        "bm25_corpus_stats": q_bm25_corpus_stats,
+        "bm25_term_stats": q_bm25_term_stats,
+        "extract_keywords": q_keywords,
+        "extract_entities": q_entities,
         # r4-anchored block (CORRECTNESS_r04, all 50 green):
         "knn_recall": q_knn_recall,
         "knn_pq": q_knn_pq,
@@ -2675,67 +2687,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "doc_clusters": q_doc_clusters,
         "approx_distinct_kmv": q_approx_distinct_kmv,
-        # r3-anchored block (CORRECTNESS_r03; bm25/search/metrics
-        # modules were touched in r4 — re-verified green via
-        # tools/check_oracle.py by both builder and judge):
-        "bm25_postings": q_bm25_postings,
-        "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "ir_metrics": q_ir_metrics,
-        "ir_metrics_agg": q_ir_metrics_agg,
-        "hyde_hybrid": q_hyde_hybrid,
-        "splade_search": q_splade_search,
-        "dense_mock_search": q_dense_mock_search,
-        "sparse_vectors": q_sparse_vectors,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "splade_vectors": q_splade_vectors,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ingest_index": q_ingest_index,
-        "chunk_character": q_chunk_character,
-        "pii_redact": q_pii_redact,
-        "lm_quality": q_lm_quality,
-        "dedup_sentences": q_dedup_sentences,
-        "dataset_split": q_dataset_split,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "quality_sample": q_quality_sample,
-        "chunk_markdown": q_chunk_markdown,
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_hierarchical": q_chunk_hierarchical,
-        "chunk_hybrid": q_chunk_hybrid,
-        "chunk_recursive": q_chunk_recursive,
-        "predicate_route": q_predicate_route,
-        "incremental_changed": q_incremental_changed,
-        "config_matrix": q_config_matrix,
-        "collection_counters": q_collection_counters,
-        "gc_orphans": q_gc_orphans,
-        "stale_marking": q_stale_marking,
-        "run_status_counts": q_run_status_counts,
-        "run_dead_letter": q_run_dead_letter,
-        "projection_labels": q_projection_labels,
-        "benchmark_matrix": q_benchmark_matrix,
-        "benchmark_mapping": q_benchmark_mapping,
-        "embedding_quantize": q_embedding_quantize,
-        "bm25_corpus_stats": q_bm25_corpus_stats,
-        "bm25_term_stats": q_bm25_term_stats,
-        "extract_keywords": q_keywords,
-        "extract_entities": q_entities,
-        # --- added LATE in round 5, past the (full) 50-slot window:
-        # never driver-evaluated — verified green locally via
-        # tools/check_oracle.py; these MUST head the round-6 window.
-        "quantile_sketch": q_quantile_sketch,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "url_domain_stats": q_url_domain_stats,
-        "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier": q_top_supplier,
-        "idle_customer_balance": q_idle_customer_balance,
-        "heavy_hitters": q_heavy_hitters,
-        "bloom_prune": q_bloom_prune,
-        "winsorized_stats": q_winsorized_stats,
-        "nation_trade_volume": q_nation_trade_volume,
+        # r5-anchored block (CORRECTNESS_r05, all 50 green):
+        "text_readability": q_text_readability,
+        "source_mix": q_source_mix,
+        "events_rolling": q_events_rolling,
+        "value_correlation": q_value_correlation,
+        "lm_bigram": q_lm_bigram,
+        "events_transitions": q_events_transitions,
+        "text_boilerplate": q_text_boilerplate,
+        "contamination_report": q_contamination_report,
+        "approx_distinct_daily": q_approx_distinct_daily,
+        "funnel_latency": q_funnel_latency,
+        "source_mix_temp": q_source_mix_temp,
+        "session_paths": q_session_paths,
+        "cluster_keywords": q_cluster_keywords,
+        "doc_outliers": q_doc_outliers,
+        "hybrid_weighted": q_hybrid_weighted,
+        "profile_table": q_profile_table,
+        "state_islands": q_state_islands,
+        "zipf_fit": q_zipf_fit,
+        "length_bins": q_length_bins,
+        "hard_negatives": q_hard_negatives,
+        "knn_pagerank": q_knn_pagerank,
+        "event_assoc": q_event_assoc,
+        "events_ewma": q_events_ewma,
+        "knn_triangles": q_knn_triangles,
+        "kmv_set_ops": q_kmv_set_ops,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "customer_value_ranks": q_customer_value_ranks,
+        "priority_grouping_sets": q_priority_grouping_sets,
+        "events_twap": q_events_twap,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "purchase_attribution": q_purchase_attribution,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "weighted_sample": q_weighted_sample,
+        "events_pivot": q_events_pivot,
+        "events_dedup_first": q_events_dedup_first,
+        "ivm_counters": q_ivm_counters,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "audio_wav_segments": q_audio_wav_segments,
+        "artifact_roundtrip": q_artifact_roundtrip,
+        "bluegreen_swap": q_bluegreen_swap,
+        "splade_vocab": q_splade_vocab,
+        "shipping_priority": q_shipping_priority,
+        "returned_items": q_returned_items,
+        "late_shipment_priority": q_late_shipment_priority,
+        "promo_revenue": q_promo_revenue,
+        "parts_supplier_count": q_parts_supplier_count,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "discounted_revenue": q_discounted_revenue,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
