@@ -628,3 +628,29 @@ def test_winsorized_stats_broadcasts_cutpoints(spark):
     plan = _plan(e.q_winsorized_stats(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_decorrelated_equi_joins(spark):
+    """Q2-style correlated scalar-min decorrelates to equi-joins only:
+    the per-part min aggregate joins back on (partkey, price) as a hash
+    join, the part filter semi-joins, and the supplier dim broadcasts —
+    no nested-loop anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_min_cost_supplier(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_excess_qty_supplier_decorrelated_equi_joins(spark):
+    """Q20-style correlated-aggregate EXISTS decorrelates to two partial
+    aggregates joined on partkey plus a semi-join — equi-joins only,
+    with map-side partial aggregation before each shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_excess_qty_supplier(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sum aggregates must have a partial (map-side) phase
+    assert plan.count("HashAggregate") >= 4
