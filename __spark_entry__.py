@@ -2574,6 +2574,39 @@ def q_excess_qty_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
 
 
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters end-to-end: the document
+    token stream is delivered as FOUR real micro-batches
+    (maxFilesPerTrigger=1 under an availableNow trigger), each batch's
+    MG(80) summary merged into the ≤80-row persisted state by count
+    addition + trim (streaming.incremental.streaming_heavy_hitters),
+    then served with the exact recount. The MG merge guarantee makes
+    the served answer EXACTLY the batch GROUP BY/HAVING the oracle
+    runs, for any batch split — the candidate state, not the corpus,
+    is what persisted between batches."""
+    import shutil
+
+    from semantik_spark.functions.text import whitespace_tokens
+    from semantik_spark.streaming.incremental import (
+        heavy_hitters_from_state, stream_files, streaming_heavy_hitters,
+    )
+
+    base = _scratch("stream_hh")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(whitespace_tokens("text")).alias("token")
+    )
+    drop = f"{base}/drop"
+    toks.repartition(4).write.parquet(drop)
+    q = streaming_heavy_hitters(
+        stream_files(spark, drop, "token string", fmt="parquet",
+                     max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "token", m=80,
+    )
+    q.awaitTermination(300)
+    return heavy_hitters_from_state(spark, f"{base}/state", toks, "token", m=80)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -2636,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaces one r3-backfill entry below past the boundary)
         "min_cost_supplier": q_min_cost_supplier,
         "excess_qty_supplier": q_excess_qty_supplier,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2675,7 +2709,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_marking": q_stale_marking,
         "run_status_counts": q_run_status_counts,
         "run_dead_letter": q_run_dead_letter,
-        "projection_labels": q_projection_labels,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2683,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "projection_labels": q_projection_labels,
         "benchmark_matrix": q_benchmark_matrix,
         "benchmark_mapping": q_benchmark_mapping,
         "embedding_quantize": q_embedding_quantize,
@@ -3634,6 +3668,19 @@ SELECT k AS token, count(*)::BIGINT AS n,
        round(count(*)::DOUBLE / min(tot.n), 6) AS frac
 FROM tok CROSS JOIN tot
 GROUP BY k HAVING count(*) * 50 > min(tot.n)""",
+        # the streaming MG state + exact recount provably equals the
+        # plain batch GROUP BY/HAVING for any micro-batch split — the
+        # oracle IS that batch recompute (m=80)
+        "streaming_heavy_hitters": """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> length(t) > 0)) AS k
+  FROM documents
+), tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+SELECT k AS token, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / min(tot.n), 6) AS frac
+FROM tok CROSS JOIN tot
+GROUP BY k HAVING count(*) * 80 > min(tot.n)""",
         "bloom_prune": """
 WITH skeys AS (
   SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3

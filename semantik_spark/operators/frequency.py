@@ -57,6 +57,87 @@ def _mg_candidates(m: int):
     return run
 
 
+def _mg_counters(m: int):
+    """Per-partition Misra-Gries summary WITH counts (k, c) — the
+    mergeable-state form of _mg_candidates. Counter values matter for
+    streaming: they are what merges across micro-batches by addition
+    (Agarwal et al. PODS'12), whereas the batch path only needs the
+    candidate key set."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series = pd.Series(dtype="int64")
+        for pdf in it:
+            batch = pdf["k"].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > m - 1:
+                cut = counters.nlargest(m).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame(
+            {"k": counters.index.astype(str), "c": counters.values.astype("int64")}
+        )
+
+    return run
+
+
+def mg_summarize(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """One MG(m) summary (k, c) over df's non-null keys: per-partition
+    mapInPandas summaries merged via mg_merge. ≤ m-1 rows out."""
+    keys = df.select(F.col(key_col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    partials = keys.mapInPandas(_mg_counters(m), "k string, c long")
+    return mg_merge(partials, m)
+
+
+def mg_merge(summaries: DataFrame, m: int) -> DataFrame:
+    """Merge any union of MG(m) summaries (k, c) into one MG(m) summary:
+    add counts per key, then the PODS'12 trim — subtract the m-th
+    largest summed count from every counter and drop the non-positive.
+    Every decrement step removes ≥ m units of total mass, so the total
+    decrement any key ever suffers stays ≤ N/m across arbitrary merge
+    trees, preserving the heavy-key superset guarantee.
+
+    The trim threshold is a 1-row aggregate over the ≤ P*(m-1)-row
+    summary union, broadcast back — never a full-data shuffle; input
+    and output are both bounded by m, not by corpus size."""
+    summed = summaries.groupBy("k").agg(F.sum("c").cast("bigint").alias("c"))
+    # m-th largest count, 0 when fewer than m keys survive the sum
+    cut = summed.agg(
+        F.coalesce(
+            # F.get is null (not an error) when fewer than m keys exist
+            F.get(F.sort_array(F.collect_list("c"), False), m - 1),
+            F.lit(0),
+        ).cast("bigint").alias("cut")
+    )
+    return (
+        summed.crossJoin(F.broadcast(cut))
+        .where(F.col("c") - F.col("cut") > 0)
+        .select("k", (F.col("c") - F.col("cut")).cast("bigint").alias("c"))
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, key_col: str, candidates: DataFrame,
+                        total: int, m: int) -> DataFrame:
+    """Exact-recount phase shared by the batch and streaming paths:
+    semi-join df's keys to the tiny candidate set (broadcast), count
+    exactly, keep count*m > total. Output (key_col, n, frac)."""
+    keys = df.select(F.col(key_col).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    exact = (
+        keys.join(F.broadcast(candidates.select("k")), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .where(F.col("n") * m > F.lit(total))
+    )
+    return exact.select(
+        F.col("k").alias(key_col),
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
+    )
+
+
 def heavy_hitters(df: DataFrame, key_col: str, m: int = 50) -> DataFrame:
     """All keys with count(key) * m > N (strictly), with exact counts
     and corpus fractions: (key_col, n, frac). Deterministic for any

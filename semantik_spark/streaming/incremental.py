@@ -425,6 +425,85 @@ def ddsketch_state_quantiles(spark: SparkSession, state_path: str,
                               quantiles=quantiles, buckets=st)
 
 
+def streaming_heavy_hitters(stream: DataFrame, state_path: str, checkpoint: str,
+                            key_col: str, m: int = 50):
+    """Streaming heavy-hitter sketching — the third mergeable-sketch
+    state operator (pattern of streaming_kmv / streaming_ddsketch):
+    each micro-batch's Misra-Gries(m) summary (frequency.mg_summarize)
+    merges into a persisted ≤ m-row state by count addition + the
+    PODS'12 trim (frequency.mg_merge), so the state after N batches is
+    a valid MG(m) summary of ALL batches' rows — its key set provably
+    contains every key exceeding total/m, for any batch split (asserted
+    merge≡guarantee in tests/test_streaming.py).
+
+    State is one parquet table (k string, c bigint): ≤ m-1 counter rows
+    plus one k-IS-NULL row whose c accumulates the total non-null row
+    count N (NULL keys are excluded from counting, so NULL is free to
+    carry the scalar; a separate meta file would break the single
+    atomic swap). Serve exact answers with heavy_hitters_from_state.
+    """
+    import os
+    import shutil
+
+    from semantik_spark.operators.frequency import mg_merge, mg_summarize
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = batch.select(F.col(key_col).cast("string").alias("k")).where(
+            F.col("k").isNotNull()
+        )
+        n_batch = keys.count()
+        partial = mg_summarize(batch, key_col, m)
+        old = _read_state(spark, state_path)
+        if old is not None:
+            old_n = old.where(F.col("k").isNull())
+            merged = mg_merge(
+                old.where(F.col("k").isNotNull()).unionByName(partial), m
+            )
+            total = old_n.select(
+                (F.coalesce(F.first("c"), F.lit(0)) + n_batch).alias("c")
+            )
+        else:
+            merged = partial
+            total = spark.range(1).select(F.lit(n_batch).cast("bigint").alias("c"))
+        state = merged.unionByName(
+            total.select(F.lit(None).cast("string").alias("k"), "c")
+        )
+        tmp = state_path + "__merging"
+        state.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_from_state(spark: SparkSession, state_path: str,
+                             source: DataFrame, key_col: str,
+                             m: int = 50) -> DataFrame:
+    """Serve exact heavy hitters from the streaming MG state: the state
+    candidates are a guaranteed superset of every key with
+    count*m > N, so one exact recount restricted to them (broadcast
+    semi-join over `source`, the same rows the stream delivered) makes
+    the output EXACTLY equal to batch heavy_hitters over the full data
+    — the approximate-candidates + exact-verify pattern, now with the
+    candidate set maintained incrementally instead of recomputed."""
+    from semantik_spark.operators.frequency import heavy_hitters_exact
+
+    st = spark.read.parquet(state_path)
+    total = st.where(F.col("k").isNull()).select("c").collect()[0]["c"]
+    cand = st.where(F.col("k").isNotNull())
+    return heavy_hitters_exact(source, key_col, cand, total, m)
+
+
 def merge_counters(state: DataFrame, delta: DataFrame,
                    keys: list[str] | None = None) -> DataFrame:
     """Incremental-view-maintenance merge: combine a materialized

@@ -27,7 +27,7 @@ ROUND6_WINDOW_MUST = (
     "heavy_hitters", "bloom_prune", "winsorized_stats",
     "nation_trade_volume",
     # added in round 6 — extend as queries land
-    "min_cost_supplier", "excess_qty_supplier",
+    "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
 )
 
 
