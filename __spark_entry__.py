@@ -2362,7 +2362,17 @@ def _url_corpus(docs: DataFrame) -> DataFrame:
     scheme = (F.when(d % 3 == 0, F.lit("HTTP"))
               .when(d % 3 == 1, F.lit("https")).otherwise(F.lit("HTTPS")))
     user = F.when(d % 11 == 0, F.lit("crawler:pw@")).otherwise(F.lit(""))
-    host = F.concat(F.lit("WWW.Site.Example"), s(d % 7), F.lit(".COM"))
+    # host families exercising every PSL rule class (functions/psl.py):
+    # 2-label suffix (.co.uk/.com.au), 3-label suffix (.k12.ca.us),
+    # wildcard (*.ck), exception (!www.ck), and the plain-TLD default
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("WWW.Site.Example"), s(d % 7), F.lit(".CO.UK")))
+        .when(d % 6 == 1, F.concat(F.lit("Media.Example"), s(d % 7), F.lit(".COM.AU")))
+        .when(d % 6 == 2, F.concat(F.lit("Edu.School"), s(d % 7), F.lit(".K12.CA.US")))
+        .when(d % 6 == 3, F.concat(F.lit("News.Feed"), s(d % 7), F.lit(".CK")))
+        .when(d % 6 == 4, F.lit("Deep.WWW.CK"))
+        .otherwise(F.concat(F.lit("WWW.Site.Example"), s(d % 7), F.lit(".COM")))
+    )
     port = (F.when(d % 4 == 0, F.lit(":80")).when(d % 4 == 1, F.lit(":443"))
             .when(d % 4 == 2, F.lit(":8080")).otherwise(F.lit("")))
     path = F.concat(F.lit("/Docs//"), s(d % 13),
@@ -4140,7 +4150,13 @@ WITH raw AS (
     (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
     || '://'
     || (CASE WHEN doc_id % 11 = 0 THEN 'crawler:pw@' ELSE '' END)
-    || 'WWW.Site.Example' || (doc_id % 7)::VARCHAR || '.COM'
+    || (CASE doc_id % 6
+        WHEN 0 THEN 'WWW.Site.Example' || (doc_id % 7)::VARCHAR || '.CO.UK'
+        WHEN 1 THEN 'Media.Example' || (doc_id % 7)::VARCHAR || '.COM.AU'
+        WHEN 2 THEN 'Edu.School' || (doc_id % 7)::VARCHAR || '.K12.CA.US'
+        WHEN 3 THEN 'News.Feed' || (doc_id % 7)::VARCHAR || '.CK'
+        WHEN 4 THEN 'Deep.WWW.CK'
+        ELSE 'WWW.Site.Example' || (doc_id % 7)::VARCHAR || '.COM' END)
     || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
     || '/Docs//' || (doc_id % 13)::VARCHAR
     || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
@@ -4196,8 +4212,7 @@ WITH raw AS (
                   THEN ':' || port ELSE '' END)
          || path
          || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url,
-         CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
-              THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+         __PSL_DOMAIN__ AS domain
   FROM s8
 )
 SELECT domain, count(*)::BIGINT AS n_urls,
@@ -4205,3 +4220,12 @@ SELECT domain, count(*)::BIGINT AS n_urls,
        count(DISTINCT host)::BIGINT AS n_hosts,
        round(sum(CASE WHEN scheme = 'https' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS https_frac
 FROM s9 GROUP BY domain"""
+
+# inject the PSL registrable-domain CASE generated from the SAME rule
+# tuples the Spark expression compiles from (functions/psl.py), so the
+# oracle replays the public-suffix algorithm rule-for-rule
+from semantik_spark.functions.psl import psl_domain_sql  # noqa: E402
+
+_ORACLE_URL_DOMAIN_STATS = _ORACLE_URL_DOMAIN_STATS.replace(
+    "__PSL_DOMAIN__", psl_domain_sql("host")
+)

@@ -48,9 +48,11 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     80 / https 443) elided, duplicate path slashes collapsed and the
     trailing slash removed (root stays ``/``), fragment dropped,
     tracking params removed and the rest byte-sorted. ``domain`` is the
-    last two host labels (naive eTLD — a public-suffix list slots in
-    here when available).
+    PSL registrable domain (functions/psl.py — vendored public-suffix
+    snapshot compiled to a Column expression, so site.co.uk groups as
+    site.co.uk, not co.uk).
     """
+    from semantik_spark.functions.psl import registrable_domain
     u = F.trim(F.col(url_col))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -82,10 +84,7 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     query_part = F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit(""))
 
     canonical = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
-    domain = F.when(
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1) != "",
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
-    ).otherwise(host)
+    domain = registrable_domain(host)
     # garbage in a crawled URL column must be filterable, not fatal:
     # valid = has a scheme and a dot-separated host with no whitespace
     is_valid = (scheme != "") & host.rlike(r"^[^\s:/?#]+\.[^\s:/?#]+$")

@@ -92,3 +92,44 @@ def test_garbage_urls_flagged_not_fatal(spark):
     assert rows["http://ok.example.com/x"]["is_valid"] is True
     assert rows["not a url"]["is_valid"] is False
     assert rows[""]["is_valid"] is False
+
+
+def test_psl_registrable_domain_rule_classes(spark):
+    """Every PSL rule class (normal 2/3-label, wildcard, exception,
+    default TLD) resolves per the publicsuffix.org algorithm, and the
+    generated DuckDB expression agrees byte-for-byte."""
+    import duckdb
+
+    from semantik_spark.functions.psl import psl_domain_sql, registrable_domain
+
+    cases = {
+        "site.example.co.uk": "example.co.uk",      # 2-label normal rule
+        "a.b.school.k12.ca.us": "school.k12.ca.us",  # 3-label normal rule
+        "news.feed.ck": "news.feed.ck",              # wildcard *.ck
+        "deep.www.ck": "www.ck",                     # exception !www.ck
+        "sub.example.com": "example.com",            # default rule
+        "example.com": "example.com",
+        "com": "com",                                # bare TLD: pass-through
+        "localhost": "localhost",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    got = {r["host"]: r["d"] for r in
+           df.select("host", registrable_domain(F.col("host")).alias("d")).collect()}
+    assert got == cases
+    con = duckdb.connect()
+    sql = psl_domain_sql("host")
+    for h, want in cases.items():
+        assert con.sql(f"select {sql} from (select '{h}' as host)").fetchone()[0] == want, h
+
+
+def test_canonical_urls_domain_uses_psl(spark):
+    """co.uk-class hosts must group by registrable domain, not by the
+    naive last-two-labels (which would file every UK site under co.uk)."""
+    from semantik_spark.operators.urls import canonical_urls
+
+    df = spark.createDataFrame(
+        [("https://www.shop.example.co.uk/x",), ("https://other.example.co.uk/y",)],
+        ["url"],
+    )
+    doms = [r["domain"] for r in canonical_urls(df).collect()]
+    assert doms == ["example.co.uk", "example.co.uk"]
