@@ -195,6 +195,48 @@ def ddsketch_buckets(df: DataFrame, group_col: str, value_col: str,
     )
 
 
+def ddsketch_collapse(buckets: DataFrame, max_buckets: int) -> DataFrame:
+    """The paper's bounded-size DDSketch variant (Masson, Rim & Lee,
+    VLDB'19 §2.2, "collapsing the lowest buckets"): whenever a group
+    holds more than ``max_buckets`` positive-value buckets, the lowest
+    ones merge into the lowest RETAINED bucket, so per-group state is
+    provably O(max_buckets) for ANY value range — the guard against a
+    pathological distribution (e.g. values spanning 1e-300..1e300)
+    inflating the "~log(range)/alpha counters" assumption the unbounded
+    sketch relies on.
+
+    Accuracy contract (the paper's): quantiles whose rank falls at or
+    above the collapsed mass keep the full alpha relative-error
+    guarantee (their buckets are untouched); only quantiles inside the
+    collapsed low tail degrade, answering with the lowest retained
+    bucket (an overestimate bounded by that bucket's midpoint).
+    Collapsed sketches stay mergeable: merge by count addition, then
+    re-collapse (asserted against the straight bounded build in
+    tests/test_sketches.py).
+
+    Runs entirely on sketch rows (|groups| x buckets), never the raw
+    data: one window to find each group's max_buckets-th highest
+    bucket index, clamp, one re-aggregation. The reserved non-positive
+    bucket (INT_MIN) is state of its own and never collapses."""
+    from pyspark.sql import Window
+
+    reserved = F.col("bucket") == -(2**31)
+    w = Window.partitionBy("g").orderBy(F.desc("bucket"))
+    ranked = buckets.withColumn(
+        "_cutoff",
+        F.max(F.when(F.row_number().over(w) == max_buckets, F.col("bucket")))
+        .over(Window.partitionBy("g")),
+    )
+    clamped = F.when(
+        reserved | F.col("_cutoff").isNull(), F.col("bucket")
+    ).otherwise(F.greatest("bucket", "_cutoff"))
+    return (
+        ranked.select("g", clamped.alias("bucket"), "n")
+        .groupBy("g", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
 def ddsketch_quantiles(df: DataFrame | None, group_col: str, value_col: str,
                        alpha: float = 0.01,
                        quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),

@@ -366,7 +366,8 @@ def kmv_state_estimates(spark: SparkSession, state_path: str, k: int = 64) -> Da
 
 
 def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
-                       group_col: str, value_col: str, alpha: float = 0.02):
+                       group_col: str, value_col: str, alpha: float = 0.02,
+                       max_buckets: int | None = None):
     """Streaming quantile sketching: each micro-batch's DDSketch bucket
     counts merge into a persisted state table by ADDING counts — the
     sketch's merge algebra — so the state after N batches EXACTLY
@@ -375,13 +376,17 @@ def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
     the same alpha relative-error guarantee as a full recompute.
 
     State is one parquet table (g, bucket, n) of ~log(range)/alpha rows
-    per group regardless of stream volume; swap is staging-dir + rename
-    like streaming_kmv. Mirrors streaming_kmv's foreachBatch wiring.
+    per group regardless of stream volume; pass ``max_buckets`` to make
+    that a HARD per-group bound via the paper's collapse-lowest-buckets
+    variant (sketches.ddsketch_collapse) re-applied after every merge —
+    a pathological value range then degrades low-tail quantiles instead
+    of growing state. Swap is staging-dir + rename like streaming_kmv.
+    Mirrors streaming_kmv's foreachBatch wiring.
     """
     import os
     import shutil
 
-    from semantik_spark.operators.sketches import ddsketch_buckets
+    from semantik_spark.operators.sketches import ddsketch_buckets, ddsketch_collapse
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -395,6 +400,8 @@ def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
             )
         else:
             merged = partial
+        if max_buckets is not None:
+            merged = ddsketch_collapse(merged, max_buckets)
         tmp = state_path + "__merging"
         merged.write.mode("overwrite").parquet(tmp)
         old_dir = state_path + "__old"

@@ -124,3 +124,80 @@ def test_winsorized_stats_clamps_tails(spark):
     assert r["winsorized_mean"] < 120
     assert r["raw_mean"] > 5000
     assert r["n_lo"] >= 0
+
+
+def test_ddsketch_collapse_bounds_state_and_keeps_upper_quantiles(spark):
+    """The bounded variant: a value range spanning 24 decades blows the
+    bucket count far past the cap; after collapse every group holds
+    <= cap positive buckets, and quantiles at/above the collapsed mass
+    are IDENTICAL to the unbounded sketch (their buckets untouched)."""
+    from semantik_spark.operators.sketches import (
+        ddsketch_buckets, ddsketch_collapse, ddsketch_quantiles,
+    )
+
+    rows = [("a", 10.0 ** (i % 24 - 12) * (1 + (i % 7) / 10)) for i in range(500)]
+    rows += [("a", -1.0)] * 3  # reserved bucket must survive untouched
+    df = spark.createDataFrame(rows, ["g", "v"])
+    full = ddsketch_buckets(df, "g", "v", alpha=0.02)
+    n_full = full.where("bucket != %d" % -(2**31)).count()
+    cap = 40
+    assert n_full > cap  # the scenario actually stresses the cap
+    bounded = ddsketch_collapse(full, cap)
+    pos = bounded.where("bucket != %d" % -(2**31))
+    assert pos.count() <= cap
+    # reserved bucket count preserved
+    assert bounded.where("bucket = %d" % -(2**31)).collect()[0]["n"] == 3
+    # total mass preserved
+    assert (full.agg(F.sum("n")).collect()[0][0]
+            == bounded.agg(F.sum("n")).collect()[0][0])
+    # quantiles above the collapsed mass identical to the unbounded
+    # sketch (cap=40 of ~168 equal-mass buckets retains the top ~24%,
+    # so q=0.9/0.99 are untouched); q=0.5 sits INSIDE the collapsed
+    # tail and must answer with the lowest retained bucket — a bounded
+    # OVERestimate, never an underestimate
+    qf = {(r["g"], r["q"]): r["estimate"] for r in ddsketch_quantiles(
+        None, "g", "v", alpha=0.02, quantiles=(0.5, 0.9, 0.99), buckets=full).collect()}
+    qb = {(r["g"], r["q"]): r["estimate"] for r in ddsketch_quantiles(
+        None, "g", "v", alpha=0.02, quantiles=(0.5, 0.9, 0.99), buckets=bounded).collect()}
+    for q in (0.9, 0.99):
+        assert qb[("a", q)] == qf[("a", q)], q
+    assert qb[("a", 0.5)] >= qf[("a", 0.5)]
+    lowest_kept = pos.agg(F.min("bucket")).collect()[0][0]
+    from semantik_spark.operators.sketches import ddsketch_params
+    gamma, _, coeff = ddsketch_params(0.02)
+    assert qb[("a", 0.5)] == round(coeff * gamma ** lowest_kept, 6)
+
+
+def test_ddsketch_collapse_mergeable(spark):
+    """merge(collapse(A), collapse(B)) re-collapsed equals
+    collapse(sketch(A ∪ B)) — the bounded sketch keeps the merge
+    algebra (collapse commutes with count-addition up to the final
+    re-collapse, since collapsing only ever moves mass UP to the same
+    group-wise cutoffs)."""
+    from semantik_spark.operators.sketches import ddsketch_buckets, ddsketch_collapse
+
+    rows_a = [("g", 10.0 ** (i % 20 - 10)) for i in range(300)]
+    rows_b = [("g", 10.0 ** (i % 16 - 4) * 3.0) for i in range(300)]
+    cap = 24
+    a = spark.createDataFrame(rows_a, ["g", "v"])
+    b = spark.createDataFrame(rows_b, ["g", "v"])
+    ca = ddsketch_collapse(ddsketch_buckets(a, "g", "v", 0.02), cap)
+    cb = ddsketch_collapse(ddsketch_buckets(b, "g", "v", 0.02), cap)
+    merged = ddsketch_collapse(
+        ca.unionByName(cb).groupBy("g", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n")),
+        cap,
+    )
+    direct = ddsketch_collapse(
+        ddsketch_buckets(a.unionByName(b), "g", "v", 0.02), cap
+    )
+    got = {(r["g"], r["bucket"]): r["n"] for r in merged.collect()}
+    want = {(r["g"], r["bucket"]): r["n"] for r in direct.collect()}
+    # same bound, same total mass, and identical buckets at/above the
+    # final cutoff (the collapsed tails may differ by at most the
+    # intermediate cutoff choice — the paper's bounded-error window)
+    assert len(got) <= cap and len(want) <= cap
+    assert sum(got.values()) == sum(want.values())
+    cut = max(min(k[1] for k in got), min(k[1] for k in want))
+    assert {k: v for k, v in got.items() if k[1] > cut} == \
+           {k: v for k, v in want.items() if k[1] > cut}
