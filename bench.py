@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
     "customer_order_distribution", "top_supplier", "idle_customer_balance",
     "heavy_hitters", "bloom_prune", "winsorized_stats", "nation_trade_volume",
+    # round-6 additions
+    "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
 ]
 
 
@@ -163,6 +165,38 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def _bench_skew(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
+    """Skew-stress (VERDICT r5 item 9): 10% of the corpus collapsed
+    onto one boilerplate text, so ONE band bucket per band holds the
+    whole duplicate group and minhash_lsh_pairs must take the salted
+    hot-band path (hot_bucket_threshold forced below the group size).
+    The salted path's row-identity and partition spread are unit-tested
+    (tests/test_dedup.py); this records what it COSTS — the quadratic
+    hot-bucket fan-out pushed through salted reducers instead of one."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = F.lit(
+        "terms of service privacy policy cookie notice all rights reserved "
+        "contact us about careers press sitemap subscribe to our newsletter"
+    )
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, boiler).otherwise(F.col("text")).alias("text"),
+    )
+    # one rep, not REPS: this is a stress check (does the machinery
+    # hold and what does it cost), not a latency gate — at sf0.1 it
+    # pushes ~125k hot-bucket pairs and runs ~19s, too heavy to triple
+    dt, n = _timed(
+        lambda: minhash_lsh_pairs(
+            skewed, threshold=0.5, hot_bucket_threshold=32
+        ).count()
+    )
+    _record("dedup_skew_stress", [dt], med, lo, hi, extra=f"  ({n} pairs)")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -185,6 +219,7 @@ def main() -> None:
         _record(name, times, med, lo, hi, extra=f"  ({n} rows)")
 
     _bench_serving(spark, sf_dir, med, lo, hi)
+    _bench_skew(spark, sf_dir, med, lo, hi)
 
     total = round(sum(med.values()), 3)
     line = {
