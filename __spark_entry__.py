@@ -2617,6 +2617,38 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_from_state(spark, f"{base}/state", toks, "token", m=80)
 
 
+def q_pipeline_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully config-driven ingest pipeline (VERDICT r5 missing #3):
+    every stage referenced BY NAME in a JSON document, resolved through
+    the plugin registry (semantik_spark/plugins.py — reference
+    shared/plugins/protocols.py + discovery), validated and executed by
+    the P1/P3 DAG machinery. Zero Python in the config path: chunker
+    'fixed' 200/50 then embedder 'mock_dense' over chunk content; the
+    oracle replays both stages (the chunk_fixed span arithmetic + the
+    sha256 mock-embedding formula) in SQL."""
+    import json as _json
+
+    from semantik_spark import plugins
+    from semantik_spark.plans.dag import Edge, Node, PipelineDAG, compile_pipeline
+
+    config = _json.loads("""
+    {"chunker": {"kind": "chunker", "name": "fixed",
+                 "params": {"chunk_size": 200, "overlap": 50}},
+     "embedder": {"kind": "embedder", "name": "mock_dense",
+                  "params": {"text_col": "content"}}}
+    """)
+    dag = PipelineDAG(
+        nodes=[Node("c1", "chunker", {}), Node("e1", "embedder", {})],
+        edges=[Edge("__entry__", "c1", path_name="default"), Edge("c1", "e1")],
+    )
+    run = compile_pipeline(dag, plugins.pipeline_stage_fns(config))
+    out = run(_t(spark, sf_dir, "documents"))["default"]
+    return out.select(
+        "doc_id", "chunk_id", "chunk_index", "token_count",
+        F.round(F.element_at("embedding", 1), 6).alias("emb0"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -2680,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "excess_qty_supplier": q_excess_qty_supplier,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "pipeline_config": q_pipeline_config,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2718,7 +2751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
         "run_status_counts": q_run_status_counts,
-        "run_dead_letter": q_run_dead_letter,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2726,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "run_dead_letter": q_run_dead_letter,
         "projection_labels": q_projection_labels,
         "benchmark_matrix": q_benchmark_matrix,
         "benchmark_mapping": q_benchmark_mapping,
@@ -3691,6 +3724,13 @@ SELECT k AS token, count(*)::BIGINT AS n,
        round(count(*)::DOUBLE / min(tot.n), 6) AS frac
 FROM tok CROSS JOIN tot
 GROUP BY k HAVING count(*) * 80 > min(tot.n)""",
+        # the config-driven pipeline is chunk_fixed 200/50 + the mock
+        # embedding over chunk content — both replayed in SQL
+        "pipeline_config": f"""
+WITH chunks AS ({_ORACLE_CHUNK_FIXED})
+SELECT doc_id, chunk_id, chunk_index, token_count,
+       round({mock_embedding_sql("content")}[1], 6) AS emb0
+FROM chunks""",
         "bloom_prune": """
 WITH skeys AS (
   SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3
