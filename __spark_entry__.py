@@ -2649,6 +2649,20 @@ def q_pipeline_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-identical names (Levenshtein=1) across the part
+    and supplier name spaces via deletion-neighborhood blocking
+    (dedup.edit_distance_pairs) — the entity-resolution primitive; the
+    oracle is the brute-force Levenshtein all-pairs join, so a green
+    row proves the blocking generated EVERY qualifying pair."""
+    from semantik_spark.operators.dedup import edit_distance_pairs
+
+    names = _t(spark, sf_dir, "part").select(F.col("p_name").alias("s")).unionByName(
+        _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("s"))
+    )
+    return edit_distance_pairs(names, "s")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -2713,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_qty_supplier": q_excess_qty_supplier,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pipeline_config": q_pipeline_config,
+        "edit_distance_pairs": q_edit_distance_pairs,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2750,7 +2765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_counters": q_collection_counters,
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
-        "run_status_counts": q_run_status_counts,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2758,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "run_status_counts": q_run_status_counts,
         "run_dead_letter": q_run_dead_letter,
         "projection_labels": q_projection_labels,
         "benchmark_matrix": q_benchmark_matrix,
@@ -3731,6 +3746,16 @@ WITH chunks AS ({_ORACLE_CHUNK_FIXED})
 SELECT doc_id, chunk_id, chunk_index, token_count,
        round({mock_embedding_sql("content")}[1], 6) AS emb0
 FROM chunks""",
+        # brute-force all-pairs — the completeness check of the
+        # deletion-neighborhood blocking
+        "edit_distance_pairs": """
+WITH n AS (
+  SELECT DISTINCT p_name AS s FROM part
+  UNION
+  SELECT DISTINCT s_name FROM supplier
+)
+SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
+FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bloom_prune": """
 WITH skeys AS (
   SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3

@@ -877,3 +877,64 @@ def lsh_recall_report(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         (F.col("b").cast("double") / 10.0).alias("jaccard_lo"),
         "n_exact", "n_found", "recall",
     )
+
+
+def edit_distance_pairs(df: DataFrame, string_col: str,
+                        max_dist: int = 1) -> DataFrame:
+    """Near-identical string pairs (Levenshtein <= ``max_dist``, which
+    must be 1) over the DISTINCT values of ``string_col``, without the
+    all-pairs product: deletion-neighborhood blocking (the FastSS
+    family — Bocek et al. 2007, public algorithm). Each string emits
+    its single-character-deletion variants plus itself; two strings at
+    edit distance <= 1 ALWAYS share a variant (equal -> the string
+    itself; insertion -> the shorter string is a variant of the longer;
+    substitution -> deleting the edited position from both yields the
+    same variant), so the variant equi-join is a complete candidate
+    generator and the Levenshtein check only verifies, never discovers.
+
+    Output (name_a, name_b, dist), name_a < name_b, dist <= max_dist,
+    equal strings excluded (they are exact-dedup's job).
+
+    Scale shape: variants are O(len) per DISTINCT string — the join key
+    space is (distinct strings x avg length), shuffled once on the
+    variant hash; no CartesianProduct at any corpus size (asserted in
+    tests/test_plans.py). The classic skew risk (one hyper-shared
+    variant) is bounded by variant length itself — only near-identical
+    strings can share one.
+
+    max_dist > 1 would need k-deletion neighborhoods (variant count
+    O(len^k)); rejected explicitly rather than silently under-blocking.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking is exact only "
+                         "for max_dist=1; got %r" % max_dist)
+    s = F.col("s")
+    names = (
+        df.select(F.col(string_col).cast("string").alias("s"))
+        .where(s.isNotNull())
+        .distinct()
+    )
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1),
+            F.substr(s, i + 1, F.length(s)),
+        ),
+    )
+    variants = names.select(
+        "s", F.explode(F.array_union(F.array(s), deletions)).alias("v")
+    )
+    ca = variants.select(F.col("s").alias("name_a"), "v")
+    cb = variants.select(F.col("s").alias("name_b"), "v")
+    cand = (
+        ca.join(cb, "v")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("name_a", "name_b") <= max_dist
+    ).select(
+        "name_a", "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    )

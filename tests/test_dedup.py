@@ -343,3 +343,46 @@ def test_lsh_recall_report_found_subset_of_exact(spark, docs):
     # identical signatures collides
     top = [r for r in out if r["jaccard_lo"] == 1.0]
     assert top and top[0]["recall"] == 1.0
+
+
+def test_edit_distance_pairs_blocking_complete(spark):
+    """Deletion-neighborhood candidates must find EVERY Levenshtein<=1
+    pair — compare against the brute-force product on a vocabulary
+    with insertions, deletions, substitutions, and red herrings."""
+    import itertools
+
+    from semantik_spark.operators.dedup import edit_distance_pairs
+
+    vocab = ["kitten", "sitten", "sittin", "sitting", "kitte", "kittens",
+             "mitten", "bitten", "bittten", "totally different", "xyz",
+             "xz", "x", "", "ab", "ba", "abc"]
+    df = spark.createDataFrame([(v,) for v in vocab], ["name"])
+    got = {(r["name_a"], r["name_b"]) for r in
+           edit_distance_pairs(df, "name").collect()}
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {tuple(sorted((a, b))) for a, b in itertools.combinations(vocab, 2)
+            if lev(a, b) == 1}
+    assert got == want
+    # equal strings and dist>1 excluded
+    assert all(a != b for a, b in got)
+
+
+def test_edit_distance_pairs_rejects_unsupported_dist(spark):
+    import pytest
+
+    from semantik_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([("a",)], ["name"])
+    with pytest.raises(ValueError, match="max_dist=1"):
+        edit_distance_pairs(df, "name", max_dist=2)

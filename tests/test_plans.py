@@ -654,3 +654,14 @@ def test_excess_qty_supplier_decorrelated_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # both sum aggregates must have a partial (map-side) phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_edit_distance_pairs_no_cartesian(spark):
+    """The variant equi-join is the ONLY pair generator — no
+    CartesianProduct/BroadcastNestedLoopJoin anywhere in the plan."""
+    from semantik_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(f"name{i}",) for i in range(50)], ["name"])
+    plan = _plan(edit_distance_pairs(df, "name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
