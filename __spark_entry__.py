@@ -2663,6 +2663,47 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(names, "s")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (tokenizer.bpe_train): 8
+    merges learned from the documents corpus via the published
+    word-frequency pre-aggregation (the loop runs on the distinct-word
+    table, corpus-size-independent). The oracle is a fully unrolled
+    8-round SQL replay of the training loop (oracles.bpe_ctes), so a
+    green row pins pair counting, the deterministic argmax tie-break,
+    AND the greedy non-overlapping merge rewrite. Engine-native: the
+    reference only estimates tokens as chars/4
+    (shared/chunking/unified/character_strategy.py:270)."""
+    from semantik_spark.operators.tokenizer import bpe_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_train(docs, num_merges=8)
+    return merges
+
+
+def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary encoding (tokenizer.encode_words): the top-30
+    corpus words encoded by the Arrow-batched mapInPandas encoder with
+    the merges learned by bpe_train. The oracle replays training in
+    SQL and reads the FINAL STATE — the sequential encoder applies
+    merges in rank order, so for training words it must equal that
+    state bit-for-bit; a green row therefore value-checks the Python
+    encoder UDF itself against the pure-SQL replay."""
+    from semantik_spark.operators.tokenizer import (bpe_train, encode_words,
+                                                    word_frequencies)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges_df, _ = bpe_train(docs, num_merges=8)
+    mlist = [(r["left_sym"], r["right_sym"])
+             for r in merges_df.orderBy("merge_rank").collect()]
+    top = word_frequencies(docs).orderBy(F.desc("freq"), F.asc("word")).limit(30)
+    return encode_words(top, mlist).select(
+        "word",
+        "freq",
+        F.concat_ws(" ", "pieces").alias("encoded"),
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -2728,6 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pipeline_config": q_pipeline_config,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode_words": q_bpe_encode_words,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2763,8 +2806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_changed": q_incremental_changed,
         "config_matrix": q_config_matrix,
         "collection_counters": q_collection_counters,
-        "gc_orphans": q_gc_orphans,
-        "stale_marking": q_stale_marking,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2772,6 +2813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "gc_orphans": q_gc_orphans,
+        "stale_marking": q_stale_marking,
         "run_status_counts": q_run_status_counts,
         "run_dead_letter": q_run_dead_letter,
         "projection_labels": q_projection_labels,
@@ -3756,6 +3799,8 @@ WITH n AS (
 )
 SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
 FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
+        "bpe_merges": oracles.q_bpe_merges(8),
+        "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
         "bloom_prune": """
 WITH skeys AS (
   SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3

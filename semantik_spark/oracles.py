@@ -2663,3 +2663,101 @@ SELECT b::DOUBLE / 10.0 AS jaccard_lo,
        count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found,
        round(sum(hit)::DOUBLE / count(*), 6) AS recall
 FROM lab GROUP BY b"""
+
+
+# --- BPE tokenizer (operators/tokenizer.py) --------------------------------
+
+def _bpe_round_ctes(k: int) -> str:
+    """One unrolled BPE training round: pair counts on state{k-1} →
+    deterministic argmax → greedy non-overlapping merge rewrite.
+    Mirrors tokenizer._pair_counts/_apply_merge expression-for-
+    expression (running-match-count islands, even-offset keep)."""
+    p = k - 1
+    return f"""
+pairs{k} AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {{'l': syms[i], 'r': syms[i+1]}})) AS p
+    FROM state{p}
+  ) GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+mm{k} AS (
+  SELECT e.word, e.freq, e.pos, e.sym,
+         CASE WHEN e.sym = b.l AND e.nxt = b.r THEN 1 ELSE 0 END AS m,
+         b.l AS bl, b.r AS br
+  FROM (
+    SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM (SELECT word, freq, unnest(range(0, len(syms))) AS pos,
+                 unnest(syms) AS sym FROM state{p})
+  ) e CROSS JOIN best{k} b
+),
+kp{k} AS (
+  SELECT *, (m = 1 AND (rnm - MIN(rnm) OVER (PARTITION BY word, grp)) % 2 = 0) AS keep
+  FROM (
+    SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS grp FROM (
+      SELECT *, SUM(m) OVER (PARTITION BY word ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS rnm
+      FROM mm{k})
+  )
+),
+state{k} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN keep THEN bl || br ELSE sym END ORDER BY pos) AS syms
+  FROM (SELECT *, COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS prev_keep FROM kp{k})
+  WHERE NOT prev_keep
+  GROUP BY word, freq
+)"""
+
+
+def bpe_ctes(num_merges: int = 8, doc_table: str = "documents",
+             text_col: str = "text") -> str:
+    """CTE chain: wf → state0 → (pairs/best/state)×num_merges — a full
+    unrolled replay of tokenizer.bpe_train (word regex ``[a-z]+``,
+    char split + '</w>' end-of-word symbol, argmax tie-break
+    (cnt DESC, l, r))."""
+    base = f"""
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS word
+        FROM {doc_table})
+  GROUP BY word
+),
+state0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word)+1),
+                     i -> substr(word, i, 1)), '</w>') AS syms
+  FROM wf
+)"""
+    return base + "," + ",".join(_bpe_round_ctes(k) for k in range(1, num_merges + 1))
+
+
+def q_bpe_merges(num_merges: int = 8) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, b.l AS left_sym, "
+        f"b.r AS right_sym, b.l || b.r AS merged, b.cnt AS pair_count "
+        f"FROM best{k} b"
+        for k in range(1, num_merges + 1)
+    )
+    return f"WITH {bpe_ctes(num_merges)} SELECT * FROM ({sel}) ORDER BY merge_rank"
+
+
+def q_bpe_encode_words(num_merges: int = 8, top_n: int = 30) -> str:
+    """The final training state IS the encoding of every training word
+    (the sequential encoder replays merges in rank order) — so the
+    mapInPandas encoder on the Spark side is value-checked against the
+    pure-SQL training replay."""
+    return f"""
+WITH {bpe_ctes(num_merges)},
+ranked AS (
+  SELECT word, freq, syms,
+         row_number() OVER (ORDER BY freq DESC, word) AS rn
+  FROM state{num_merges}
+)
+SELECT word, freq, array_to_string(syms, ' ') AS encoded,
+       CAST(len(syms) AS BIGINT) AS n_pieces
+FROM ranked WHERE rn <= {top_n}"""

@@ -28,7 +28,8 @@ ROUND6_WINDOW_MUST = (
     "nation_trade_volume",
     # added in round 6 — extend as queries land
     "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
-    "pipeline_config", "edit_distance_pairs",
+    "pipeline_config", "edit_distance_pairs", "bpe_merges",
+    "bpe_encode_words",
 )
 
 
