@@ -183,13 +183,15 @@ def banded_candidates(banded: DataFrame,
     the union is row-identical to the unsalted join — only the shuffle
     distribution changes (bounded-partition test in tests/test_dedup.py).
 
-    EAGERNESS CAVEAT (ADVICE r5): with a non-None threshold this
-    operator is NOT lazy — the hot-bucket size probe
-    (``hot_keys.limit(1).count()``) runs a Spark job at plan-BUILD
-    time (a full pass over the banded table, cached so the common
-    no-hot case pays it back on first execution). Callers composing
-    plans they may never run should pass ``hot_bucket_threshold=None``
-    (plain lazy self-join) and handle skew themselves.
+    LAZINESS (ADVICE r5 resolved in r6): this operator composes a plan
+    and runs NO job at build time. The hot/cold split is always taken:
+    ``hot_keys`` is a lazy aggregate whose broadcast is computed inside
+    the plan's own execution — in the common no-hot case it broadcasts
+    an EMPTY key set (a few-KB exchange), the anti-join passes every
+    row through, and the salted branch unions zero rows, so laziness
+    costs one map-side-combined count over the cached banded table in
+    place of the former eager build-time probe job (which also ran the
+    full shingle+signature pass even when the plan was never executed).
     """
     if hot_bucket_threshold is None:
         ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
@@ -208,17 +210,6 @@ def banded_candidates(banded: DataFrame,
             .where(F.col("_n") > hot_bucket_threshold)
             .select("band", "band_key")
         )
-        if hot_keys.limit(1).count() == 0:
-            # common case: no hot bucket — one cheap probe on the
-            # cached banded table buys back the semi/anti join pair
-            ca = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-            cb = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-            return (
-                ca.join(cb, ["band", "band_key"])
-                .where(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b")
-                .distinct()
-            )
         # composite key for the single-column salted_join contract
         key = F.concat_ws("\u0001", F.col("band").cast("string"), F.col("band_key"))
         hot = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_semi")
@@ -284,26 +275,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         ])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
     candidates = cache(banded_candidates(banded, hot_bucket_threshold))
-    # exact-verify ONLY the candidate pairs (this is the entire point of
-    # LSH): explode shingles for CANDIDATE docs only (a small subset of
-    # the corpus), then equi-join on shingle within the candidate pairs.
+    # exact-verify ONLY the candidate pairs (this is the entire point
+    # of LSH): hydrate both docs' shingle arrays onto each candidate
+    # pair (two equi-joins keyed by doc id) and intersect the arrays
+    # map-side. This replaced an explode-shingles self-join (r6 perf):
+    # that shape materialized EVERY co-shingle doc pair among candidate
+    # docs before the candidate semi-filter — quadratic fan-out on
+    # boilerplate shingles, the same skew LSH banding exists to avoid —
+    # while array_intersect is O(|a|+|b|) per pair, shuffles only the
+    # candidate rows + candidate docs' arrays, and has no hot key.
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select("doc_b"))
         .distinct()
     )
     sub = arr.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    s = sub.select(
-        "doc_id", F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
-    )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle")
     inter = (
-        sa.join(sb, "shingle")
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        candidates
+        .join(sub.select(F.col("doc_id").alias("doc_a"),
+                         F.size("shingles").alias("na"),
+                         F.col("shingles").alias("_sha")), "doc_a")
+        .join(sub.select(F.col("doc_id").alias("doc_b"),
+                         F.size("shingles").alias("nb"),
+                         F.col("shingles").alias("_shb")), "doc_b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("_sha", "_shb")).cast("bigint"))
     )
     return (
         inter.withColumn(
@@ -368,7 +364,17 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     """
     global CC_LAST_ROUNDS, CC_LAST_JUMPS
     sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
-    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # EAGER checkpoint, deliberately (r6 note): a lazy cache() here
+    # keeps the full upstream plan tree (the whole LSH pipeline with
+    # its broadcast subqueries) inside every round's logical plan —
+    # cached blocks dedupe the EXECUTION but Catalyst still re-analyzes
+    # the giant tree per action, which measured ~3s/round at sf0.1 vs
+    # ~0.5s against a checkpoint-truncated tree. localCheckpoint cuts
+    # the lineage at the operator boundary so each round plans over a
+    # leaf scan.
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
