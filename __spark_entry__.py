@@ -1239,6 +1239,89 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely at fault in finished
+    multi-supplier orders — the double correlated EXISTS / NOT EXISTS
+    over the same table, decorrelated into one semi-join and one
+    anti-join with a same-key/different-supplier condition. The
+    returned-line marker (l_returnflag='R') stands in for the
+    receipt>commit lateness test (no receipt dates in this schema).
+    All joins are equi on l_orderkey with a residual suppkey
+    inequality, so the plan is two sort-merge joins over the SAME
+    orderkey shuffle partitioning — no cartesian, reused exchange."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders_f = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    fault = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders_f, li.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
+    other = all_lines.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_fault = fault.select(
+        F.col("l_orderkey").alias("f_ok"), F.col("l_suppkey").alias("f_sk")
+    )
+    sole = (
+        fault.join(
+            other,
+            (fault.l_orderkey == other.o_ok) & (fault.l_suppkey != other.o_sk),
+            "left_semi",
+        )
+        .join(
+            other_fault,
+            (fault.l_orderkey == other_fault.f_ok)
+            & (fault.l_suppkey != other_fault.f_sk),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit rollup by supplier nation x ship year
+    for one part family ('widget' parts; no supplycost column in this
+    schema, so profit = discounted revenue). The fact table joins one
+    filtered dimension per hop: part filter is semi-joined FIRST (the
+    selective one), then supplier->nation hydrate via broadcast —
+    nation is 25 rows and supplier is the smaller side, so only the
+    part semi-join shuffles lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    widget = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+              ).cast("decimal(30,4)")
+    return (
+        li.join(widget, li.l_partkey == widget.p_partkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
 def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate across
     three brand/size/quantity bands — the disjunctive-pushdown test.
@@ -2771,6 +2854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_words": q_bpe_encode_words,
+        "sole_fault_supplier": q_sole_fault_supplier,
+        "nation_year_profit": q_nation_year_profit,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2804,8 +2889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_recursive": q_chunk_recursive,
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
-        "config_matrix": q_config_matrix,
-        "collection_counters": q_collection_counters,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2813,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "config_matrix": q_config_matrix,
+        "collection_counters": q_collection_counters,
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
         "run_status_counts": q_run_status_counts,
@@ -3801,6 +3886,37 @@ SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
 FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_merges": oracles.q_bpe_merges(8),
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
+        "sole_fault_supplier": """
+WITH fault AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem l JOIN orders o
+    ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_returnflag = 'R'
+),
+alll AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+sole AS (
+  SELECT f.l_orderkey, f.l_suppkey FROM fault f
+  WHERE EXISTS (SELECT 1 FROM alll a
+                WHERE a.l_orderkey = f.l_orderkey
+                  AND a.l_suppkey <> f.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM fault f2
+                    WHERE f2.l_orderkey = f.l_orderkey
+                      AND f2.l_suppkey <> f.l_suppkey)
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "nation_year_profit": """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+       sum((l_extendedprice::DECIMAL(18,2)
+            * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4))::DOUBLE AS sum_profit,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE EXISTS (SELECT 1 FROM part
+              WHERE p_partkey = l_partkey AND p_name LIKE '%widget%')
+GROUP BY 1, 2""",
         "bloom_prune": """
 WITH skeys AS (
   SELECT DISTINCT c_custkey AS sk FROM customer WHERE c_nationkey = 3

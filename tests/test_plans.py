@@ -665,3 +665,26 @@ def test_edit_distance_pairs_no_cartesian(spark):
     plan = _plan(edit_distance_pairs(df, "name"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sole_fault_supplier_equi_joins_only(spark):
+    """Q21-style double EXISTS/NOT EXISTS decorrelates to one semi-join
+    and one anti-join, both EQUI on l_orderkey with the supplier
+    inequality as a residual condition — never a nested-loop pair
+    generator."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_sole_fault_supplier(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_nation_year_profit_broadcasts_dims(spark):
+    """Q9-style star rollup: supplier and nation hydrate via broadcast
+    (only the part semi-join may shuffle the fact table)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_nation_year_profit(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
