@@ -2787,6 +2787,18 @@ def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021
+    App. A2) per document — word-count/word-length bounds, symbol and
+    bullet/ellipsis ratios, alpha-word fraction, stop-word presence —
+    as one map-only Column pass with exact cross-multiplied ratio
+    tests (textanalysis.gopher_rules). Engine-native: the reference's
+    curation is its own rule chain, not Gopher's."""
+    from semantik_spark.operators.textanalysis import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -2856,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_words": q_bpe_encode_words,
         "sole_fault_supplier": q_sole_fault_supplier,
         "nation_year_profit": q_nation_year_profit,
+        "gopher_quality": q_gopher_quality,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2888,7 +2901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_hybrid": q_chunk_hybrid,
         "chunk_recursive": q_chunk_recursive,
         "predicate_route": q_predicate_route,
-        "incremental_changed": q_incremental_changed,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2896,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "incremental_changed": q_incremental_changed,
         "config_matrix": q_config_matrix,
         "collection_counters": q_collection_counters,
         "gc_orphans": q_gc_orphans,
@@ -3886,6 +3899,7 @@ SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
 FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_merges": oracles.q_bpe_merges(8),
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
+        "gopher_quality": oracles.q_gopher_rules(50, 100000),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

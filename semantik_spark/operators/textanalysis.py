@@ -569,3 +569,81 @@ def zipf_fit(docs: DataFrame, top_n: int = 1000,
         F.round(F.expr("regr_intercept(ln(cnt), ln(rank))"), 6).alias("intercept"),
         F.round(F.expr("regr_r2(ln(cnt), ln(rank))"), 6).alias("r2"),
     )
+
+
+#: the Gopher stop-word presence list (Rae et al. 2021, App. A2)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A2) as pure Column expressions — one map-only pass, no
+    shuffle, trivially 100 TB-parallel:
+
+      word count in [min_words, max_words]
+      mean word length in [3, 10]
+      symbol-to-word ratio ('#' or '...') <= 0.1
+      <= 90% of lines start with a bullet; <= 30% end with ellipsis
+      >= 80% of words contain an alphabetic character
+      >= 2 distinct Gopher stop words present
+
+    Every ratio test is CROSS-MULTIPLIED in exact integers (e.g.
+    ``10*symbols <= n_words`` instead of a double divide), so boundary
+    documents evaluate identically in Spark and the DuckDB oracle.
+    Output: doc_id, n_words, per-rule booleans, keep, and the first
+    failing rule name in fixed order (reference-style reason codes).
+    """
+    t = F.col(text_col)
+    words = whitespace_tokens(text_col)
+    n_words = F.size(words).cast("bigint")
+    sum_wl = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = (F.regexp_count(t, F.lit(r"#")) +
+             F.regexp_count(t, F.lit(r"\.\.\."))).cast("bigint")
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•‣▪]")
+    )).cast("bigint")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"\.\.\.$")
+    )).cast("bigint")
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")
+    )).cast("bigint")
+    lowered = F.transform(words, F.lower)
+    n_stop = F.size(F.array_intersect(
+        lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    )).cast("bigint")
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_word_len = (3 * n_words <= sum_wl) & (sum_wl <= 10 * n_words)
+    ok_symbols = 10 * n_sym <= n_words
+    ok_bullets = (10 * n_bullet <= 9 * n_lines) & (10 * n_ellipsis <= 3 * n_lines)
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_stop = n_stop >= 2
+
+    reason = (
+        F.when(~ok_words, F.lit("word_count"))
+        .when(~ok_word_len, F.lit("word_length"))
+        .when(~ok_symbols, F.lit("symbol_ratio"))
+        .when(~ok_bullets, F.lit("bullet_ellipsis"))
+        .when(~ok_alpha, F.lit("non_alpha"))
+        .when(~ok_stop, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_bullets.alias("ok_bullets"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -2761,3 +2761,52 @@ ranked AS (
 SELECT word, freq, array_to_string(syms, ' ') AS encoded,
        CAST(len(syms) AS BIGINT) AS n_pieces
 FROM ranked WHERE rn <= {top_n}"""
+
+
+def q_gopher_rules(min_words: int = 50, max_words: int = 100000) -> str:
+    """Twin of textanalysis.gopher_rules — same cross-multiplied exact
+    integer comparisons, same fixed reason order."""
+    stop = ", ".join(f"'{w}'" for w in
+                     ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+         CAST(len(regexp_extract_all(text, '#')) +
+              len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_sym,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_wl,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(words, [{stop}])) AS BIGINT) AS n_stop
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words,
+         (n_words >= {min_words} AND n_words <= {max_words}) AS ok_words,
+         (3*n_words <= sum_wl AND sum_wl <= 10*n_words) AS ok_word_len,
+         (10*n_sym <= n_words) AS ok_symbols,
+         (10*n_bullet <= 9*n_lines AND 10*n_ellipsis <= 3*n_lines) AS ok_bullets,
+         (5*n_alpha >= 4*n_words) AS ok_alpha,
+         (n_stop >= 2) AS ok_stop
+  FROM f
+)
+SELECT *, CASE WHEN NOT ok_words THEN 'word_count'
+               WHEN NOT ok_word_len THEN 'word_length'
+               WHEN NOT ok_symbols THEN 'symbol_ratio'
+               WHEN NOT ok_bullets THEN 'bullet_ellipsis'
+               WHEN NOT ok_alpha THEN 'non_alpha'
+               WHEN NOT ok_stop THEN 'stopwords'
+               ELSE 'ok' END AS reason,
+       (ok_words AND ok_word_len AND ok_symbols AND ok_bullets
+        AND ok_alpha AND ok_stop) AS keep
+FROM r"""

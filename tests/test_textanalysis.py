@@ -186,3 +186,30 @@ def test_boilerplate_per_source_threshold(spark):
     assert out[3]["n_boilerplate"] == 0
     # same sentence in B stays clean: per-source, not global
     assert out[4]["n_boilerplate"] == 0 and out[5]["n_boilerplate"] == 0
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from semantik_spark.operators.textanalysis import gopher_rules
+
+    good = "the quick brown fox likes to be of use and knows that we have fun with it " * 4
+    rows = [
+        (1, good),                                        # passes all
+        (2, "short doc"),                                 # word_count
+        (3, ("a " * 60) + "the be to of and"),            # word_length (mean < 3)
+        (4, good + " " + "#" * 1 + " #### " * 20),        # symbol_ratio
+        (5, "\n".join(["- bullet line the be"] * 10)),    # bullet_ellipsis
+        (6, good + " " + "123 456 789 " * 30),            # non_alpha
+        (7, "alpha words without common glue " * 20),     # stopwords
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert out[1]["keep"] and out[1]["reason"] == "ok"
+    assert out[2]["reason"] == "word_count"
+    assert out[3]["reason"] == "word_length"
+    assert out[4]["reason"] == "symbol_ratio"
+    assert out[5]["reason"] == "bullet_ellipsis"
+    assert out[6]["reason"] == "non_alpha"
+    assert out[7]["reason"] == "stopwords"
+    # map-only: no Exchange in the plan
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
