@@ -455,6 +455,20 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011): IVF coarse cells + product
+    quantization of the residual, ADC scoring inside the 4 probed
+    cells only, exact rescore of 20 survivors
+    (similarity.knn_ivfpq) — the FAISS IndexIVFPQ composition, with
+    BOTH trainings replayed bit-for-bit by the DuckDB oracle."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(
+        similarity.knn_ivfpq(corpus, queries, k=5, dim=64, n_centroids=16,
+                             nprobe=4, m=8, pq_centroids=16, rescore_k=20),
+        "cos",
+    )
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality: recall@5 of each approximate method against the
     exhaustive top-5 — one aggregated row per method, so a parameter
@@ -2869,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_fault_supplier": q_sole_fault_supplier,
         "nation_year_profit": q_nation_year_profit,
         "gopher_quality": q_gopher_quality,
+        "knn_ivfpq": q_knn_ivfpq,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2900,7 +2915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_hierarchical": q_chunk_hierarchical,
         "chunk_hybrid": q_chunk_hybrid,
         "chunk_recursive": q_chunk_recursive,
-        "predicate_route": q_predicate_route,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2908,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
         "config_matrix": q_config_matrix,
         "collection_counters": q_collection_counters,
@@ -3900,6 +3915,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_merges": oracles.q_bpe_merges(8),
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
         "gopher_quality": oracles.q_gopher_rules(50, 100000),
+        "knn_ivfpq": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import cache
 from semantik_spark.functions.vectors import cosine
 
 
@@ -597,3 +598,113 @@ def embedding_outliers(corpus: DataFrame, n_centroids: int = 16,
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def knn_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+              m: int = 8, pq_centroids: int = 16, rescore_k: int = 20,
+              refine_iters: int = 1,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """IVFADC (Jégou et al. 2011): IVF coarse cells + product
+    quantization of the RESIDUAL (v − cell centroid) — the composition
+    every billion-vector serving stack ships (FAISS IndexIVFPQ):
+
+      coarse   nearest of n_centroids cells (broadcast codebook, narrow
+               map); queries probe their nprobe nearest cells
+      residual r = v − centroid, PQ-encoded as m codes — the stored
+               index is (cell, m bytes)/vector; residual quantization
+               beats direct PQ because residual energy is much smaller
+               than vector energy once the cell is known
+      ADC      approx score = cos(q, centroid + recon(residual)),
+               computed only inside probed cells (~nprobe/n_centroids
+               of the corpus)
+      rescore  exact cosine over the rescore_k survivors per query
+               (late materialization of full-precision vectors)
+
+    Training reuses the deterministic ivf_centroids/ivf_refine and
+    pq_codebooks kernels (6 dp-rounded Lloyd means), so the DuckDB
+    oracle replays the ENTIRE composition bit-for-bit.
+
+    100 TB shape: both codebooks are corpus-size-independent collects
+    (n_centroids×dim + m×pq_centroids×dim/m doubles); encode is one
+    narrow map over the scan; the serving join reads probed cells only
+    (partitionBy(centroid_id) layout, as serving.write_ivf_index).
+    """
+    d = dim // m
+    spark = corpus.sparkSession
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+
+    # assign + residual in one pass: carry (cos, negcid, cv) through
+    # the argmax struct so the winning centroid's vector is available
+    # without a second codebook lookup
+    best = F.array_max(F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            cosine(F.col("v"), ct["cv"]).alias("cos"),
+            (-ct["cid"]).alias("negcid"),
+            ct["cv"].alias("cv"),
+        ),
+    ))
+    assigned = c.crossJoin(codebook).select(
+        "vec_id", "v",
+        (-best["negcid"]).alias("centroid_id"),
+        best["cv"].alias("ccv"),
+        F.zip_with("v", best["cv"], lambda a, b: a - b).alias("residual"),
+    )
+    assigned = cache(assigned)
+
+    book = pq_codebooks(assigned, dim=dim, m=m, n_centroids=pq_centroids,
+                        refine_iters=refine_iters,
+                        id_col="vec_id", vec_col="residual")
+    cb = F.broadcast(_pq_codebook_df(spark, book, m))
+
+    def best_rcv(s: int) -> F.Column:
+        cands = F.element_at(F.col("cents"), s + 1)
+        return F.array_min(F.transform(
+            cands,
+            lambda ct: F.struct(
+                _l2(F.slice(F.col("residual"), s * d + 1, d), ct["cv"]).alias("dist"),
+                ct["cid"].alias("cid"),
+                ct["cv"].alias("cv"),
+            ),
+        ))["cv"]
+
+    recon = assigned.crossJoin(cb).select(
+        "vec_id", "centroid_id",
+        F.zip_with(
+            "ccv",
+            F.flatten(F.array(*[best_rcv(s) for s in range(m)])),
+            lambda a, b: a + b,
+        ).alias("rv"),
+    )
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    top_cells = F.slice(F.reverse(F.array_sort(_nearest_centroids("qv"))), 1, nprobe)
+    probes = q.crossJoin(codebook).withColumn(
+        "centroid_id", F.explode(F.transform(top_cells, lambda s: -s["negcid"]))
+    ).drop("cents")
+
+    approx = recon.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "vec_id", cosine("rv", "qv").alias("acos")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= rescore_k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        F.broadcast(cand).join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

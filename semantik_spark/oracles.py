@@ -2810,3 +2810,116 @@ SELECT *, CASE WHEN NOT ok_words THEN 'word_count'
        (ok_words AND ok_word_len AND ok_symbols AND ok_bullets
         AND ok_alpha AND ok_stop) AS keep
 FROM r"""
+
+
+def q_knn_ivfpq(k: int = 5, dim: int = 64, n_centroids: int = 16,
+                nprobe: int = 4, m: int = 8, pq_centroids: int = 16,
+                rescore_k: int = 20, refine_iters: int = 1) -> str:
+    """Twin of similarity.knn_ivfpq (IVFADC): the q_knn_ivf coarse
+    stage (seeded + 6dp Lloyd-refined cells, cosine assignment) feeding
+    residual vectors into the q_knn_pq training replay, reconstruction
+    = centroid + PQ(residual), ADC scoring inside probed cells only,
+    exact rescore of the rescore_k survivors."""
+    d = dim // m
+    # coarse refinement (identical to q_knn_ivf)
+    refine = []
+    prev = "cent0"
+    for i in range(refine_iters):
+        nxt = "cent" if i == refine_iters - 1 else f"cent{i + 1}"
+        refine.append(f"""
+rassign{i} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT corpus.vec_id, corpus.v, {prev}.cid,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM corpus CROSS JOIN {prev}) WHERE rn = 1),
+rmeans{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign{i})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+{nxt} AS (
+  SELECT c.cid, coalesce(mm.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN rmeans{i} mm USING (cid))""")
+        prev = nxt
+    coarse_refine = ",".join(refine)
+    coarse_alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
+    # residual-PQ refinement (identical to q_knn_pq, over residuals)
+    prefine = []
+    prev = "seed"
+    for i in range(refine_iters):
+        nxt = "cb" if i == refine_iters - 1 else f"cb{i + 1}"
+        prefine.append(f"""
+passign{i} AS (
+  SELECT vec_id, s, sv, cid FROM (
+    SELECT subv.vec_id, subv.s, subv.sv, {prev}.cid,
+           row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                              ORDER BY {_l2_expr("subv.sv", f"{prev}.cv")} ASC, {prev}.cid ASC) AS rn
+    FROM subv JOIN {prev} ON {prev}.s = subv.s) WHERE rn = 1),
+pmeans{i} AS (
+  SELECT s, cid, list(mv ORDER BY dim) AS cv FROM (
+    SELECT s, cid, dim, round(sum(val) / count(*), 6) AS mv
+    FROM (SELECT s, cid, unnest(sv) AS val,
+                 unnest(range(1, len(sv) + 1)) AS dim FROM passign{i})
+    GROUP BY s, cid, dim) GROUP BY s, cid),
+{nxt} AS (
+  SELECT sd.s, sd.cid, coalesce(p.cv, sd.cv) AS cv
+  FROM {prev} sd LEFT JOIN pmeans{i} p ON p.s = sd.s AND p.cid = sd.cid)""")
+        prev = nxt
+    pq_refine = ",".join(prefine)
+    pq_alias = "" if refine_iters else ",\ncb AS (SELECT * FROM seed)"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}){"," if coarse_refine else ""}{coarse_refine}{coarse_alias},
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid AS centroid_id, cv AS ccv,
+         list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS residual
+  FROM (
+    SELECT corpus.vec_id, corpus.v, cent.cid, cent.cv,
+           row_number() OVER (PARTITION BY corpus.vec_id
+                              ORDER BY {cosine_expr("corpus.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM corpus CROSS JOIN cent) WHERE rn = 1),
+subv AS MATERIALIZED (
+  SELECT vec_id, s, list_slice(residual, s * {d} + 1, (s + 1) * {d}) AS sv
+  FROM assigned CROSS JOIN (SELECT unnest(range({m})) AS s) ss),
+seed AS (
+  SELECT s, vec_id AS cid, sv AS cv FROM subv
+  WHERE vec_id IN (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT {pq_centroids})){"," if pq_refine else ""}{pq_refine}{pq_alias},
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT subv.vec_id, subv.s, cb.cid,
+           row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                              ORDER BY {_l2_expr("subv.sv", "cb.cv")} ASC, cb.cid ASC) AS rn
+    FROM subv JOIN cb ON cb.s = subv.s) WHERE rn = 1),
+recon AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(range(1, len(a.ccv) + 1), i -> a.ccv[i] + rr.rres[i]) AS rv
+  FROM assigned a JOIN (
+    SELECT codes.vec_id, flatten(list(cb.cv ORDER BY codes.s)) AS rres
+    FROM codes JOIN cb ON cb.s = codes.s AND cb.cid = codes.cid
+    GROUP BY codes.vec_id) rr ON rr.vec_id = a.vec_id),
+probes AS (
+  SELECT query_id, qv, cid AS centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cosine_expr("q.qv", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {nprobe}),
+approx AS (
+  SELECT p.query_id, r.vec_id, {cosine_expr("r.rv", "p.qv")} AS acos
+  FROM recon r JOIN probes p USING (centroid_id)),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY acos DESC, vec_id ASC) AS arank
+    FROM approx) WHERE arank <= {rescore_k}),
+exact AS (
+  SELECT c2.query_id, c2.vec_id, {cosine_expr("corpus.v", "q.qv")} AS cos
+  FROM cand c2 JOIN corpus ON c2.vec_id = corpus.vec_id JOIN q ON c2.query_id = q.query_id),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM exact)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""

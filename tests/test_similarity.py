@@ -388,3 +388,55 @@ def test_embedding_outliers_flags_planted_vector(spark):
     # a borderline normal vector past z<-2; the planted one dominates)
     assert by[99]["z"] == min(r["z"] for r in out)
     assert by[99]["z"] < -2.0 and by[99]["cos"] < by[99]["mean"]
+
+
+def test_knn_ivfpq_full_probe_high_rescore_equals_bruteforce(spark):
+    """With every cell probed and rescore_k covering the corpus, IVFADC
+    must reduce to exact search — the rescore phase guarantees it."""
+    import random
+
+    from semantik_spark.operators.similarity import knn_bruteforce, knn_ivfpq
+
+    rng = random.Random(7)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(j, [rng.uniform(-1, 1) for _ in range(dim)]) for j in range(2)],
+        ["query_id", "query_vec"],
+    )
+    exact = sorted((r["query_id"], r["vec_id"], r["rank"])
+                   for r in knn_bruteforce(corpus, q, k=5).collect())
+    adc = sorted((r["query_id"], r["vec_id"], r["rank"])
+                 for r in knn_ivfpq(corpus, q, k=5, dim=dim, n_centroids=4,
+                                    nprobe=4, m=4, pq_centroids=8,
+                                    rescore_k=40).collect())
+    assert adc == exact
+
+
+def test_knn_ivfpq_scores_are_true_cosines(spark):
+    """Returned scores come from the exact rescore, never from the ADC
+    approximation — rank monotone, k rows max, true cosine values."""
+    import math
+    import random
+
+    from semantik_spark.operators.similarity import knn_bruteforce, knn_ivfpq
+
+    rng = random.Random(11)
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(0, [rng.uniform(-1, 1) for _ in range(dim)])],
+                              ["query_id", "query_vec"])
+    truth = {(r["query_id"], r["vec_id"]): r["cos"]
+             for r in knn_bruteforce(corpus, q, k=30).collect()}
+    rows = knn_ivfpq(corpus, q, k=5, dim=dim, n_centroids=4, nprobe=2,
+                     m=4, pq_centroids=8, rescore_k=10).collect()
+    assert 0 < len(rows) <= 5
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert truth[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"])
