@@ -2801,6 +2801,18 @@ def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for resampling the
+    corpus toward the English subset: hashed unigram+bigram bucket
+    models (target vs raw), per-doc log-importance as exact decimal
+    sums of 6dp-rounded bucket log ratios (training.dsir_weights).
+    English docs score highest on average — asserted in tests."""
+    from semantik_spark.operators.training import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("lang") == "en"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality-filter rule set (Rae et al. 2021
     App. A2) per document — word-count/word-length bounds, symbol and
@@ -2884,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_year_profit": q_nation_year_profit,
         "gopher_quality": q_gopher_quality,
         "knn_ivfpq": q_knn_ivfpq,
+        "dsir_weights": q_dsir_weights,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2914,7 +2927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
         "chunk_hybrid": q_chunk_hybrid,
-        "chunk_recursive": q_chunk_recursive,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2922,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "chunk_recursive": q_chunk_recursive,
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
         "config_matrix": q_config_matrix,
@@ -3916,6 +3929,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
         "gopher_quality": oracles.q_gopher_rules(50, 100000),
         "knn_ivfpq": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
+        "dsir_weights": oracles.q_dsir_weights(64, "lang = 'en'"),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -434,3 +434,98 @@ def weighted_sample(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "weight", "rank")
     )
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed n-gram
+    profile is, so a pre-training pipeline can resample toward a
+    high-quality target corpus without training a classifier.
+
+      features   unigrams + bigrams of the whitespace tokens, hashed
+                 into ``buckets`` counts (the paper's hashed n-gram
+                 feature space) via the portable hash60
+      models     add-one-smoothed bucket distributions p_target / p_raw
+                 (raw = the scored corpus itself)
+      weight     log importance = Σ_grams log(p_t[b]/p_r[b]) — computed
+                 as exact DECIMAL(12,6) sums of 6dp-rounded per-bucket
+                 log ratios, so the score is order-independent and
+                 engine-portable (same trick as the NB classifier)
+
+    Shuffle profile at 100 TB: one map-side-combined aggregation per
+    distribution (``buckets`` distinct keys — tiny), one broadcast of
+    the ``buckets``-row log-ratio table, one doc_id-keyed aggregation
+    for the per-doc sums. Nothing scales with corpus size except the
+    two linear scans.
+
+    Output: doc_id, n_grams, dsir_logweight (sum), dsir_per_gram
+    (weight/n_grams, 6 dp) — resample by weight or threshold the
+    per-gram normalization for length-invariant selection.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        )
+        uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+        sz = F.size(toks)
+        width = F.greatest(sz - 1, F.lit(0))
+        bi = F.transform(
+            F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width)),
+            lambda p: F.concat(F.lit("b:"), p["0"], F.lit(" "), p["1"]),
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(uni, bi)).alias("g"),
+        ).select("doc_id", F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+
+    raw_feats = grams(docs)
+    t_counts = (
+        grams(target).groupBy("bucket").agg(F.count("*").cast("bigint").alias("tc"))
+    )
+    r_counts = raw_feats.groupBy("bucket").agg(F.count("*").cast("bigint").alias("rc"))
+    all_buckets = docs.sparkSession.range(buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    ratio = (
+        all_buckets.join(t_counts, "bucket", "left")
+        .join(r_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("rc"), F.lit(0)) + 1)
+                )
+                + F.log(
+                    (F.sum(F.coalesce(F.col("rc"), F.lit(0))).over(Window.partitionBy())
+                     + F.lit(buckets)).cast("double")
+                    / (F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(Window.partitionBy())
+                       + F.lit(buckets))
+                ),
+                6,
+            ).cast("decimal(12,6)").alias("logratio"),
+        )
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("logratio").alias("w"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("w").cast("double"), F.lit(0.0)).alias("dsir_logweight"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("w").cast("double") / F.col("n_grams"), 6),
+            ).otherwise(0.0).alias("dsir_per_gram"),
+        )
+    )

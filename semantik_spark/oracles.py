@@ -2923,3 +2923,48 @@ rk AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
   FROM exact)
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
+def q_dsir_weights(buckets: int = 64, target_pred: str = "lang = 'en'") -> str:
+    """Twin of training.dsir_weights: hashed unigram+bigram features,
+    add-one-smoothed target/raw bucket models, exact decimal sums of
+    6dp-rounded per-bucket log ratios."""
+    h = hash60_expr("g")
+    grams = """
+  SELECT doc_id, unnest(list_concat(
+    list_transform(w, x -> 'u:' || x),
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> 'b:' || w[i] || ' ' || w[i+1])
+         ELSE [] END)) AS g
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> length(x) > 0) AS w FROM {src})"""
+    return f"""
+WITH raw_feats AS MATERIALIZED (
+  SELECT doc_id, {h} % {buckets} AS bucket FROM ({grams.format(src="documents")})
+),
+t_feats AS (
+  SELECT doc_id, {h} % {buckets} AS bucket
+  FROM ({grams.format(src=f"(SELECT * FROM documents WHERE {target_pred})")})
+),
+tc AS (SELECT bucket, count(*)::BIGINT AS tc FROM t_feats GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::BIGINT AS rc FROM raw_feats GROUP BY bucket),
+ratio AS (
+  SELECT b.bucket,
+         round(ln((coalesce(tc, 0) + 1)::DOUBLE / (coalesce(rc, 0) + 1))
+               + ln(((SELECT sum(coalesce(rc, 0)) FROM rc) + {buckets})::DOUBLE
+                    / ((SELECT sum(coalesce(tc, 0)) FROM tc) + {buckets})),
+               6)::DECIMAL(12,6) AS logratio
+  FROM (SELECT unnest(range({buckets})) AS bucket) b
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(logratio) AS w
+  FROM raw_feats JOIN ratio USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.w::DOUBLE, 0.0) AS dsir_logweight,
+       CASE WHEN p.n_grams > 0 THEN round(p.w::DOUBLE / p.n_grams, 6)
+            ELSE 0.0 END AS dsir_per_gram
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

@@ -206,3 +206,34 @@ def test_source_mix_temperature(spark):
     assert out["b"]["sample_rate"] >= 0.99
     assert out["a"]["sample_rate"] < 0.5
     assert all(r["planned_n"] <= r["n_docs"] for r in out.values())
+
+
+def test_dsir_weights_separate_target(spark):
+    """DSIR log-importance must rank target-like docs above
+    off-target docs, weight every doc, and stay broadcast-only after
+    the two bucket aggregations."""
+    from semantik_spark.operators.training import dsir_weights
+
+    en = ["the cat sat on the mat and read the news",
+          "we have to be sure that the plan works with care",
+          "all of the birds fly to the south of france"]
+    de = ["der hund läuft durch den park und bellt laut",
+          "die katze schläft auf dem warmen sofa heute"]
+    rows = [(i, t, "en") for i, t in enumerate(en)] + \
+           [(10 + i, t, "de") for i, t in enumerate(de)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_weights(docs, target, buckets=32)
+    rowsd = {r["doc_id"]: r for r in out.collect()}
+    assert len(rowsd) == 5
+    en_mean = sum(rowsd[i]["dsir_per_gram"] for i in range(3)) / 3
+    de_mean = sum(rowsd[10 + i]["dsir_per_gram"] for i in range(2)) / 2
+    assert en_mean > de_mean
+    # empty doc gets weight 0, not a dropped row
+    docs2 = docs.union(spark.createDataFrame([(99, "", "en")], docs.schema))
+    out2 = {r["doc_id"]: r for r in
+            dsir_weights(docs2, target, buckets=32).collect()}
+    assert out2[99]["n_grams"] == 0 and out2[99]["dsir_logweight"] == 0.0
+    # one broadcast join on the ratio table; no shuffle join of corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
