@@ -2813,6 +2813,63 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, docs.where(F.col("lang") == "en"))
 
 
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy report over the document token stream
+    (Cormode & Muthukrishnan 2005): 4x256 cells, point estimates for
+    the 30 exact-heaviest tokens, overestimate >= 0 by the one-sided
+    CM guarantee (frequency.count_min_report). Completes the mergeable
+    sketch family (KMV distinct / DDSketch quantiles / MG heavy
+    hitters / Bloom membership) with point-frequency queries in
+    depth*width integers of state."""
+    from semantik_spark.functions.text import whitespace_tokens
+    from semantik_spark.operators.frequency import count_min_report
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(whitespace_tokens("text")).alias("term")
+    )
+    return count_min_report(toks, "term", depth=4, width=256, top=30)
+
+
+def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min end-to-end: the document token stream
+    delivered as FOUR real micro-batches (maxFilesPerTrigger=1,
+    availableNow), each batch's 4x256 cell table merged into the
+    persisted state by cell-wise count addition
+    (streaming.incremental.streaming_count_min) — bit-identical to the
+    batch sketch for any split, so the oracle replays the BATCH cells
+    and the served estimates must match exactly."""
+    import shutil
+
+    from semantik_spark.functions.text import whitespace_tokens
+    from semantik_spark.streaming.incremental import (
+        count_min_state_estimates, stream_files, streaming_count_min,
+    )
+
+    base = _scratch("stream_cm")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(whitespace_tokens("text")).alias("term")
+    )
+    drop = f"{base}/drop"
+    toks.repartition(4).write.parquet(drop)
+    q = streaming_count_min(
+        stream_files(spark, drop, "term string", fmt="parquet",
+                     max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "term", depth=4, width=256,
+    )
+    q.awaitTermination(300)
+    probes = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(30)
+        .select("term")
+    )
+    return count_min_state_estimates(
+        spark, f"{base}/state", probes, "term", depth=4, width=256
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality-filter rule set (Rae et al. 2021
     App. A2) per document — word-count/word-length bounds, symbol and
@@ -2897,6 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "knn_ivfpq": q_knn_ivfpq,
         "dsir_weights": q_dsir_weights,
+        "count_min_freq": q_count_min_freq,
+        "streaming_count_min": q_streaming_count_min,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2925,8 +2984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
-        "chunk_hierarchical": q_chunk_hierarchical,
-        "chunk_hybrid": q_chunk_hybrid,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2934,6 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "chunk_hierarchical": q_chunk_hierarchical,
+        "chunk_hybrid": q_chunk_hybrid,
         "chunk_recursive": q_chunk_recursive,
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
@@ -3930,6 +3989,8 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "gopher_quality": oracles.q_gopher_rules(50, 100000),
         "knn_ivfpq": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
         "dsir_weights": oracles.q_dsir_weights(64, "lang = 'en'"),
+        "count_min_freq": oracles.q_count_min(4, 256, 30, full_report=True),
+        "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

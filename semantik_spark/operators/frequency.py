@@ -165,3 +165,119 @@ def heavy_hitters(df: DataFrame, key_col: str, m: int = 50) -> DataFrame:
         "n",
         F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
     )
+
+
+def _cm_row_bucket(key: F.Column | str, row: int, width: int) -> F.Column:
+    """Bucket of ``key`` in Count-Min row ``row``: hash60 of the
+    row-prefixed key, mod width. md5-based, so any engine (and the
+    DuckDB oracle) reproduces it bit-for-bit."""
+    from semantik_spark.functions.hashing import hash60
+
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        hash60(F.concat(F.lit(f"cm{row}:"), c.cast("string"))), F.lit(width)
+    ).cast("int")
+
+
+def count_min_cells(df: DataFrame, key_col: str, depth: int = 4,
+                    width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) cell table over
+    ``df[key_col]``: ``depth`` hash rows x ``width`` buckets, each cell
+    the number of input rows hashing into it. Returns (row, bucket, n)
+    for non-empty cells only — absent cells are zero.
+
+    Why CM alongside Misra-Gries: MG answers "which keys are heavy"
+    (candidate set + exact recount); CM answers point-frequency queries
+    for ANY key with a one-sided guarantee — estimate >= true count,
+    and <= true + 2N/width with probability 1 - 2^-depth — in
+    depth*width integers of state, mergeable by cell-wise addition
+    (Agarwal et al., PODS 2012). That makes it the frequency twin of
+    the KMV/DDSketch state family, incl. the streaming merge path
+    (streaming.incremental.streaming_count_min).
+
+    Scale shape: one explode to depth rows per input, then a single
+    map-side-combined aggregation onto depth*width distinct keys —
+    constant-size result regardless of corpus size, no windows, no
+    skew exposure (bucket load is hash-uniform by construction).
+    NULL keys are excluded (same contract as heavy_hitters).
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("_k")).where(
+        F.col("_k").isNotNull()
+    )
+    rb = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).cast("int").alias("row"),
+                _cm_row_bucket("_k", i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ])
+    ).alias("rb")
+    return (
+        keys.select(rb)
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def count_min_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
+                       depth: int = 4, width: int = 256) -> DataFrame:
+    """Point-frequency estimates for every key in ``probes[key_col]``
+    from a ``count_min_cells`` table: min over the key's depth cells
+    (missing cell = 0). Output (key_col, cm_estimate).
+
+    The cells table is depth*width rows at most — broadcast onto the
+    probe side, so serving estimates is a map-only pass over the probe
+    keys no matter how large the sketched corpus was."""
+    pr = probes.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("row"),
+                    _cm_row_bucket(key_col, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("_k", "rb.row", "rb.bucket")
+    return (
+        pr.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy("_k")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("bigint")
+             .alias("cm_estimate"))
+        .select(F.col("_k").alias(key_col), "cm_estimate")
+    )
+
+
+def count_min_report(df: DataFrame, key_col: str, depth: int = 4,
+                     width: int = 256, top: int = 30) -> DataFrame:
+    """CM accuracy report over the ``top`` exact-heaviest keys: (key,
+    n_exact, cm_estimate, overestimate). overestimate >= 0 ALWAYS (the
+    one-sided CM guarantee — each of the key's cells holds its true
+    count plus colliding mass); its magnitude measures collision load
+    at this width, which is what an operator sizing width against a
+    real corpus needs to see."""
+    keys = cache(
+        df.select(F.col(key_col).cast("string").alias("_k")).where(
+            F.col("_k").isNotNull()
+        )
+    )
+    cells = count_min_cells(keys, "_k", depth, width)
+    exact = (
+        keys.groupBy("_k")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("_k"))
+        .limit(top)
+    )
+    est = count_min_estimate(cells, exact.select("_k"), "_k", depth, width)
+    return (
+        exact.join(est, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_exact",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact")).cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -2968,3 +2968,49 @@ SELECT d.doc_id,
        CASE WHEN p.n_grams > 0 THEN round(p.w::DOUBLE / p.n_grams, 6)
             ELSE 0.0 END AS dsir_per_gram
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def _cm_pairs_sql(src: str, depth: int, width: int) -> str:
+    """UNION ALL of the depth (row, bucket) hash lines for every term
+    in ``src`` — the SQL twin of frequency._cm_row_bucket."""
+    lines = []
+    for i in range(depth):
+        h = hash60_expr(f"'cm{i}:' || term")
+        lines.append(f"SELECT term, {i} AS r, {h} % {width} AS b FROM {src}")
+    return " UNION ALL ".join(lines)
+
+
+def q_count_min(depth: int = 4, width: int = 256, top: int = 30,
+                full_report: bool = True) -> str:
+    """Twin of frequency.count_min_report (full_report=True) /
+    count_min_estimate over the top-``top`` exact keys
+    (full_report=False, the streaming-serve shape): depth x width
+    cells by md5 bucket hashing, point estimate = min over the key's
+    cells, missing cell = 0."""
+    final = (
+        """SELECT e.term, e.n_exact, s.cm_estimate,
+       (s.cm_estimate - e.n_exact)::BIGINT AS overestimate
+FROM exact e JOIN est s USING (term)"""
+        if full_report
+        else "SELECT term, cm_estimate FROM est"
+    )
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> length(x) > 0)) AS term
+  FROM documents
+),
+cells AS (
+  SELECT r, b, count(*)::BIGINT AS n
+  FROM ({_cm_pairs_sql("tk", depth, width)}) GROUP BY r, b
+),
+exact AS (
+  SELECT term, count(*)::BIGINT AS n_exact FROM tk GROUP BY term
+  ORDER BY n_exact DESC, term ASC LIMIT {top}
+),
+est AS (
+  SELECT p.term, min(coalesce(c.n, 0))::BIGINT AS cm_estimate
+  FROM ({_cm_pairs_sql("exact", depth, width)}) p
+  LEFT JOIN cells c USING (r, b) GROUP BY p.term
+)
+{final}"""

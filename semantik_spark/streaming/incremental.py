@@ -559,3 +559,63 @@ def daily_counters(events: DataFrame, type_col: str = "event_type",
             F.sum(F.col("v").cast("decimal(28,8)")).cast("decimal(38,8)").alias("sum_value"),
         )
     )
+
+
+def streaming_count_min(stream: DataFrame, state_path: str, checkpoint: str,
+                        key_col: str, depth: int = 4, width: int = 256):
+    """Streaming Count-Min sketching — the fourth mergeable-sketch
+    state operator (streaming_kmv / streaming_ddsketch /
+    streaming_heavy_hitters): each micro-batch's depth x width cell
+    table (frequency.count_min_cells) merges into the persisted state
+    by CELL-WISE COUNT ADDITION, the sketch's native merge (Agarwal et
+    al., PODS 2012), so the state after N batches is bit-identical to
+    count_min_cells over all batches' rows — for any batch split
+    (asserted merge==batch in tests/test_streaming.py).
+
+    State is one parquet table (row int, bucket int, n bigint),
+    <= depth*width rows forever — constant-size streaming frequency
+    state, served point-lookups via count_min_state_estimates."""
+    import os
+    import shutil
+
+    from semantik_spark.operators.frequency import count_min_cells
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = count_min_cells(batch, key_col, depth, width)
+        old = _read_state(spark, state_path)
+        if old is not None:
+            merged = (
+                old.unionByName(partial)
+                .groupBy("row", "bucket")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = partial
+        tmp = state_path + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def count_min_state_estimates(spark: SparkSession, state_path: str,
+                              probes: DataFrame, key_col: str,
+                              depth: int = 4, width: int = 256) -> DataFrame:
+    """Serve point-frequency estimates from a streaming_count_min
+    state: (key_col, cm_estimate), the broadcast map-only lookup of
+    frequency.count_min_estimate against the persisted cells."""
+    from semantik_spark.operators.frequency import count_min_estimate
+
+    cells = spark.read.parquet(state_path)
+    return count_min_estimate(cells, probes, key_col, depth, width)

@@ -30,7 +30,8 @@ ROUND6_WINDOW_MUST = (
     "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
     "pipeline_config", "edit_distance_pairs", "bpe_merges",
     "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
-    "gopher_quality", "knn_ivfpq", "dsir_weights",
+    "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
+    "streaming_count_min",
 )
 
 

@@ -69,3 +69,73 @@ def test_null_keys_excluded_consistently(spark):
     # non-null N = 40: a (30*3=90 > 40) passes, b (10*3=30 < 40) fails
     assert set(got) == {"a"}
     assert got["a"]["n"] == 30 and got["a"]["frac"] == 0.75
+
+
+def test_count_min_never_underestimates(spark):
+    """CM point estimates over every distinct key: estimate >= exact,
+    and exact for keys whose cells hold no colliding mass (guaranteed
+    when width >> distinct keys)."""
+    from semantik_spark.operators.frequency import count_min_report
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(f"z{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["k"]: r for r in
+           count_min_report(df, "k", depth=4, width=1024, top=100).collect()}
+    assert len(out) == 32
+    for r in out.values():
+        assert r["overestimate"] >= 0
+        assert r["cm_estimate"] >= r["n_exact"]
+    assert out["a"]["n_exact"] == 50 and out["b"]["n_exact"] == 20
+    # width 1024 vs 32 keys: with 4 independent rows a persistent
+    # collision on ALL rows for a given key is (32/1024)^4-unlikely;
+    # the heavy keys must come out exact
+    assert out["a"]["overestimate"] == 0
+    assert out["b"]["overestimate"] == 0
+
+
+def test_count_min_tiny_width_overestimates_but_bounded(spark):
+    """Force collisions (width=4): estimates still >= exact and
+    <= exact + N (trivial bound), nulls excluded."""
+    from semantik_spark.operators.frequency import (
+        count_min_cells, count_min_estimate, count_min_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(k,) for k in "aabbbbccccddddddeeee"] + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["k"]: r for r in
+           count_min_report(df, "k", depth=2, width=4, top=10).collect()}
+    n = 20
+    for r in out.values():
+        assert 0 <= r["overestimate"] <= n - r["n_exact"]
+    # cells state is bounded by depth*width and sums to depth*N
+    cells = count_min_cells(df, "k", depth=2, width=4)
+    assert cells.count() <= 8
+    assert cells.agg(F.sum("n")).collect()[0][0] == 2 * n
+    # probing a never-seen key returns colliding mass only (>= 0)
+    probe = spark.createDataFrame([("ghost",)], ["k"])
+    est = count_min_estimate(cells, probe, "k", depth=2, width=4).collect()[0]
+    assert est["cm_estimate"] >= 0
+
+
+def test_count_min_cells_merge_by_addition(spark):
+    """Cell-wise addition of two halves' sketches == one-shot sketch
+    (the PODS'12 mergeability the streaming state relies on)."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.frequency import count_min_cells
+
+    rows = [(f"k{i % 7}",) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k"]).withColumn(
+        "half", F.monotonically_increasing_id() % 2
+    )
+    whole = {(r["row"], r["bucket"]): r["n"] for r in
+             count_min_cells(df, "k", depth=3, width=16).collect()}
+    merged: dict = {}
+    for h in (0, 1):
+        part = count_min_cells(df.where(F.col("half") == h), "k",
+                               depth=3, width=16)
+        for r in part.collect():
+            key = (r["row"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["n"]
+    assert merged == whole

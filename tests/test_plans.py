@@ -688,3 +688,17 @@ def test_nation_year_profit_broadcasts_dims(spark):
     plan = _plan(e.q_nation_year_profit(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_count_min_report_broadcasts_cells_and_no_window(spark):
+    """CM cells (<= depth*width rows) broadcast onto the probe side;
+    the whole report is aggregations + broadcast joins — no global
+    sort materialization (top-N is TakeOrdered), no window, no
+    cartesian."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_count_min_freq(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -431,3 +431,48 @@ def test_streaming_heavy_hitters_light_per_batch_heavy_overall(spark, tmp_path):
     # warm: 90 of 249 rows; 90*3=270 > 249 → must be served exactly
     assert {r["k"] for r in served} == {"warm"}
     assert served[0]["n"] == 90
+
+
+def test_streaming_count_min_equals_batch(spark, tmp_path):
+    """Cell-addition merge across micro-batches: the persisted CM state
+    must be BIT-IDENTICAL to the one-shot batch sketch of all rows, and
+    served estimates equal batch estimates, for any batch split."""
+    from semantik_spark.operators.frequency import (
+        count_min_cells, count_min_estimate,
+    )
+    from semantik_spark.streaming.incremental import (
+        count_min_state_estimates, stream_files, streaming_count_min,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    state = str(tmp_path / "cm_state")
+    ckpt = str(tmp_path / "ckpt_cm")
+    schema = "k string"
+    b1 = [{"k": "hot"}] * 40 + [{"k": f"x{i}"} for i in range(50)]
+    b2 = [{"k": "hot"}] * 30 + [{"k": "warm"}] * 25 + [{"k": f"y{i}"} for i in range(50)]
+    _write_json(drop / "b1.json", b1)
+    q = streaming_count_min(stream_files(spark, str(drop), schema), state, ckpt,
+                            "k", depth=3, width=32)
+    q.awaitTermination(120)
+    _write_json(drop / "b2.json", b2)
+    q2 = streaming_count_min(stream_files(spark, str(drop), schema), state, ckpt,
+                             "k", depth=3, width=32)
+    q2.awaitTermination(120)
+
+    all_rows = spark.createDataFrame([(d["k"],) for d in b1 + b2], ["k"])
+    st = {(r["row"], r["bucket"]): r["n"]
+          for r in spark.read.parquet(state).collect()}
+    batch = {(r["row"], r["bucket"]): r["n"]
+             for r in count_min_cells(all_rows, "k", depth=3, width=32).collect()}
+    assert st == batch
+    # state bounded by depth*width regardless of rows seen
+    assert len(st) <= 96
+    probes = spark.createDataFrame([("hot",), ("warm",), ("ghost",)], ["k"])
+    served = {r["k"]: r["cm_estimate"] for r in count_min_state_estimates(
+        spark, state, probes, "k", depth=3, width=32).collect()}
+    batch_est = {r["k"]: r["cm_estimate"] for r in count_min_estimate(
+        count_min_cells(all_rows, "k", depth=3, width=32), probes, "k",
+        depth=3, width=32).collect()}
+    assert served == batch_est
+    assert served["hot"] >= 70 and served["warm"] >= 25
