@@ -2870,6 +2870,25 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the augmented embedding table
+    (planted exact duplicates at vec_id+10000, the dedup_embedding
+    fixture): k-means cells (IVF codebook, 1 Lloyd step), duplicate
+    pairs searched within cells only, kept=false for the larger id of
+    any pair at cosine >= 0.95 (dedup.semdedup). Every planted dup
+    lands in its original's cell (identical vector => identical
+    assignment), so exactly the 10000+ ids drop — asserted in tests."""
+    from semantik_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semdedup(emb.unionByName(dups), threshold=0.95)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality-filter rule set (Rae et al. 2021
     App. A2) per document — word-count/word-length bounds, symbol and
@@ -2956,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "count_min_freq": q_count_min_freq,
         "streaming_count_min": q_streaming_count_min,
+        "semdedup": q_semdedup,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -2983,7 +3003,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
-        "chunk_semantic": q_chunk_semantic,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -2991,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
         "chunk_hybrid": q_chunk_hybrid,
         "chunk_recursive": q_chunk_recursive,
@@ -3991,6 +4011,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "dsir_weights": oracles.q_dsir_weights(64, "lang = 'en'"),
         "count_min_freq": oracles.q_count_min(4, 256, 30, full_report=True),
         "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),
+        "semdedup": oracles.q_semdedup(0.95, 16, 1),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -944,3 +944,72 @@ def edit_distance_pairs(df: DataFrame, string_col: str,
         "name_a", "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     )
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95, n_centroids: int = 16,
+             refine_iters: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then search for duplicate pairs ONLY
+    within each cluster — the clustering is what turns O(n²) semantic
+    dedup into n_centroids independent cell-local problems.
+
+    vec_id, centroid_id, kept — ``kept=false`` iff the vector has a
+    same-cell neighbor with cosine >= threshold and a SMALLER vec_id
+    (the paper keeps a per-group representative chosen by a tunable
+    rule — random, or lowest centroid similarity; smallest-id is the
+    deterministic variant that lets the DuckDB oracle replay the exact
+    kept set, and the paper reports the choice barely moves results).
+
+    Codebook: similarity.ivf_centroids seeds + ivf_refine Lloyd steps
+    (6 dp means — oracle-replayable), assignment by cosine with
+    tie -> smaller cid, identical to the serving IVF index, so one
+    clustering can back BOTH the ANN index and the dedup pass.
+
+    Scale shape: assignment is a narrow map over a broadcast codebook
+    (no shuffle); the pair search shuffles once on centroid_id and the
+    self-join is cell-local — with the paper's cluster count (they use
+    50k clusters for LAION) cells stay ~corpus/n_centroids and no pair
+    generation ever crosses cells. A pathological cell (mass duplicate
+    collapse) is the same hot-key regime as the LSH band path and takes
+    the same salted-join escape (functions/skew.py).
+    """
+    from semantik_spark.functions.caching import cache
+    from semantik_spark.functions.vectors import cosine
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _nearest_centroids, ivf_centroids, ivf_refine,
+    )
+
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cent_rows = ivf_centroids(v, n_centroids, "vec_id", "v")
+    if refine_iters:
+        cent_rows = ivf_refine(v, cent_rows, iters=refine_iters,
+                               id_col="vec_id", vec_col="v")
+    codebook = F.broadcast(_codebook_df(emb.sparkSession, cent_rows))
+    assigned = cache(
+        v.crossJoin(codebook).withColumn(
+            "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
+        ).drop("cents")
+    )
+    # cell-local duplicate test: does a smaller-id neighbor above the
+    # threshold exist? (left-semi join == decorrelated EXISTS)
+    removed = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "centroid_id")
+        .where((F.col("b.vec_id") < F.col("a.vec_id"))
+               & (cosine(F.col("a.v"), F.col("b.v")) >= threshold))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    rm = removed.select(F.col("vec_id").alias("_rm_id"))
+    return (
+        assigned
+        .join(rm, assigned["vec_id"] == rm["_rm_id"], "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("_rm_id").isNull().alias("kept"),
+        )
+    )

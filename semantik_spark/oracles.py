@@ -3014,3 +3014,50 @@ est AS (
   LEFT JOIN cells c USING (r, b) GROUP BY p.term
 )
 {final}"""
+
+
+def q_semdedup(threshold: float = 0.95, n_centroids: int = 16,
+               refine_iters: int = 1) -> str:
+    """Twin of dedup.semdedup over the augmented embeddings (planted
+    exact duplicates at vec_id+10000): smallest-id seeds + 6dp Lloyd
+    refinement + cosine assignment (tie -> smaller cid), kept=false iff
+    a smaller-id same-cell neighbor has cosine >= threshold."""
+    refine = []
+    prev = "cent0"
+    for i in range(refine_iters):
+        nxt = "cent" if i == refine_iters - 1 else f"cent{i + 1}"
+        refine.append(f"""
+rassign{i} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT c.vec_id, c.v, {prev}.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cosine_expr("c.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM aug_emb c CROSS JOIN {prev}) WHERE rn = 1),
+rmeans{i} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign{i})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+{nxt} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN rmeans{i} m USING (cid))""")
+        prev = nxt
+    refine_sql = ",".join(refine)
+    alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
+    return f"""
+WITH {AUGMENTED_EMB_CTE.lstrip().rstrip()},
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM aug_emb ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT a.vec_id, a.v, cent.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cosine_expr("a.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM aug_emb a CROSS JOIN cent) WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE b.vec_id < a.vec_id AND {cosine_expr("a.v", "b.v")} >= {threshold})
+SELECT x.vec_id, x.centroid_id, (r.vec_id IS NULL) AS kept
+FROM assigned x LEFT JOIN removed r USING (vec_id)"""

@@ -386,3 +386,50 @@ def test_edit_distance_pairs_rejects_unsupported_dist(spark):
     df = spark.createDataFrame([("a",)], ["name"])
     with pytest.raises(ValueError, match="max_dist=1"):
         edit_distance_pairs(df, "name", max_dist=2)
+
+
+def test_semdedup_removes_planted_duplicates(spark):
+    """Exact planted duplicates (same vector, larger id) must land in
+    the original's cell and be the removed side of the pair; originals
+    with no same-cell neighbor above threshold stay kept."""
+    import random
+
+    from semantik_spark.operators.dedup import semdedup
+
+    rnd = random.Random(7)
+    base = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(0, 40, 10)]  # 4 exact dups
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.999, n_centroids=4).collect()}
+    assert len(out) == 44
+    for i in range(0, 40, 10):
+        assert out[100 + i]["centroid_id"] == out[i]["centroid_id"]
+        assert out[100 + i]["kept"] is False
+        assert out[i]["kept"] is True  # original is the smaller id
+    # every removal is justified: a removed vec has >= 1 smaller-id
+    # same-cell neighbor at cos >= threshold (here: its exact twin)
+    removed = [k for k, r in out.items() if not r["kept"]]
+    assert set(removed) == {100, 110, 120, 130}
+
+
+def test_semdedup_cell_locality_blocks_cross_cell_pairs(spark):
+    """Two identical vectors forced into different cells by the
+    codebook are NOT compared (the paper's approximation): dedup is
+    cell-local by design."""
+    from semantik_spark.operators.dedup import semdedup
+
+    # two orthogonal directions; seeds are the two smallest ids, one
+    # per direction, no refinement -> cells are exactly the directions
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 0, same cell -> removed
+        (3, [0.0, 1.0, 0.0, 0.0]),   # dup of 1, same cell -> removed
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semdedup(emb, threshold=0.99, n_centroids=2,
+                    refine_iters=0).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False}

@@ -702,3 +702,16 @@ def test_count_min_report_broadcasts_cells_and_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_pair_search_is_cell_local(spark):
+    """The duplicate search shuffles once on centroid_id (equi
+    self-join) — no corpus x corpus CartesianProduct; the only nested
+    loop is the 1-row broadcast codebook."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_semdedup(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # cell-local equi join present
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
