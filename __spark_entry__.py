@@ -2870,6 +2870,20 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64d -> 16d
+    (projection.jl_projection): deterministic md5-parity sign matrix,
+    per-vector norm-distortion witness. The data-independent
+    complement to M7's trained PCA — nothing to fit or store, map-only
+    at any scale."""
+    from semantik_spark.operators.projection import jl_projection
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return jl_projection(emb, out_dim=16, dim=64)
+
+
 def q_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression quality scorer
     (classify.logreg_hashed_scores): hashed bag-of-words into 64
@@ -2996,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_count_min": q_streaming_count_min,
         "semdedup": q_semdedup,
         "logreg_scores": q_logreg_scores,
+        "jl_projection": q_jl_projection,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3021,7 +3036,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
-        "quality_sample": q_quality_sample,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3029,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
         "chunk_hierarchical": q_chunk_hierarchical,
@@ -4033,6 +4048,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),
         "semdedup": oracles.q_semdedup(0.95, 16, 1),
         "logreg_scores": oracles.q_logreg_scores(64, 3, 0.05, "n_chars > 311"),
+        "jl_projection": oracles.q_jl_projection(16, 64),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -287,3 +287,58 @@ def umap_project(emb: DataFrame, cap: int = 1000, n_neighbors: int = 15,
     out["x"] = Y[:, 0]
     out["y"] = Y[:, 1]
     return spark.createDataFrame(out)
+
+
+def _jl_signs(i: int, dim: int) -> list[float]:
+    """Row i of the deterministic Rademacher (+1/-1) projection matrix:
+    sign j = parity of md5('jl:i:j') — the same md5-literal trick as
+    similarity._hyperplane, so the DuckDB oracle replays the matrix
+    bit-for-bit."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def jl_projection(emb: DataFrame, out_dim: int = 16, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed ``dim``-d vectors
+    into ``out_dim`` dimensions with a deterministic Rademacher matrix
+    (Achlioptas 2001 — +-1 entries, scale 1/sqrt(out_dim)), the cheap
+    dimensionality reducer in front of clustering / dedup / ANN when
+    the full embedding width is overkill (distance distortion is
+    (1 +- eps) with out_dim = O(log n / eps^2), data-independent —
+    unlike PCA there is NOTHING to train or store except the seed).
+
+    Returns (vec_id, proj, norm_ratio): the projected vector (each
+    component rounded to 6 dp) and ||proj|| / ||x|| as the per-vector
+    distortion witness (JL: concentrates around 1).
+
+    Scale shape: pure map — out_dim dot products per row against
+    literal sign arrays, whole-stage codegen, zero shuffle, zero state.
+    The matrix travels in the plan (out_dim x dim literals — 16x64
+    here; for a 4096-wide projection move it to a broadcast table like
+    the IVF codebook).
+    """
+    import math
+
+    from semantik_spark.functions.vectors import dot, norm
+
+    scale = math.sqrt(float(out_dim))
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    comps = [
+        F.round(dot(F.col("v"), F.array(*[F.lit(s) for s in _jl_signs(i, dim)]))
+                / F.lit(scale), 6)
+        for i in range(out_dim)
+    ]
+    projected = v.select("vec_id", "v", F.array(*comps).alias("proj"))
+    return projected.select(
+        "vec_id",
+        "proj",
+        F.when(norm("v") > 0, F.round(norm("proj") / norm("v"), 6))
+        .otherwise(F.lit(0.0)).alias("norm_ratio"),
+    )

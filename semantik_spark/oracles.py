@@ -3135,3 +3135,34 @@ m{f} AS (
 )
 SELECT doc_id, y, margin::DOUBLE AS margin, p::DOUBLE AS prob FROM m{f}""")
     return "".join(parts)
+
+
+def q_jl_projection(out_dim: int = 16, dim: int = 64) -> str:
+    """Twin of projection.jl_projection: md5-parity Rademacher signs
+    (projection._jl_signs), 1/sqrt(out_dim) scale, 6dp components."""
+    import hashlib
+    import math
+
+    scale = repr(math.sqrt(float(out_dim)))
+
+    def signs(i: int) -> str:
+        vals = [
+            "1.0" if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else "-1.0"
+            for j in range(dim)
+        ]
+        return "[" + ", ".join(vals) + "]"
+
+    comps = ", ".join(
+        f"round(list_dot_product(v, {signs(i)}) / {scale}, 6)"
+        for i in range(out_dim)
+    )
+    return f"""
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (SELECT vec_id, v, [{comps}] AS proj FROM src)
+SELECT vec_id, proj,
+       CASE WHEN sqrt(list_dot_product(v, v)) > 0
+            THEN round(sqrt(list_dot_product(proj, proj))
+                       / sqrt(list_dot_product(v, v)), 6)
+            ELSE 0.0 END AS norm_ratio
+FROM pr"""

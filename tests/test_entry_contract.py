@@ -31,7 +31,7 @@ ROUND6_WINDOW_MUST = (
     "pipeline_config", "edit_distance_pairs", "bpe_merges",
     "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
     "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
-    "streaming_count_min", "semdedup", "logreg_scores",
+    "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
 )
 
 

@@ -244,3 +244,39 @@ def test_decode_edge_cases_degrade_not_crash():
     # truncated containers degrade
     assert decode_image_meta(b"\x89PNG\r\n\x1a\n1234") == ("unknown", 0, 0, 0)
     assert decode_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_jl_projection_preserves_pairwise_distance(spark):
+    """JL with out_dim=32 of 64: norm ratios concentrate near 1; a
+    pair's projected distance stays within a loose (1 +- 0.6) band —
+    the distributional guarantee, checked loosely enough to be
+    deterministic for this seed. Map-only plan: no shuffle exchange."""
+    import math
+    import random
+
+    from semantik_spark.operators.projection import jl_projection
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in jl_projection(emb, out_dim=32, dim=64).collect()}
+    assert len(out) == 60
+    ratios = [r["norm_ratio"] for r in out.values()]
+    assert all(0.4 < x < 1.6 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
+    # pairwise distance preservation on a sample of pairs
+    for a, b in [(0, 1), (5, 40), (17, 59)]:
+        dx = math.dist(rows[a][1], rows[b][1])
+        dy = math.dist(out[a]["proj"], out[b]["proj"])
+        assert 0.4 * dx < dy < 1.6 * dx
+    # zero vector: ratio 0, proj all zeros
+    z = jl_projection(
+        spark.createDataFrame([(99, [0.0] * 64)],
+                              "vec_id bigint, embedding array<double>"),
+        out_dim=16, dim=64).collect()[0]
+    assert z["norm_ratio"] == 0.0 and all(c == 0.0 for c in z["proj"])
+    # plan: no exchange at all (pure map over the scan)
+    plan = jl_projection(emb, out_dim=8, dim=64)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
