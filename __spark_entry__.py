@@ -2870,6 +2870,34 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection AT INGESTION: the augmented doc corpus
+    (planted +10000 duplicates) streams in as FOUR micro-batches; each
+    batch's MinHash signatures probe the persisted signature state and
+    append matches (streaming.incremental.streaming_lsh_dedup). The
+    accumulated match log equals the one-shot signature-level LSH over
+    all docs for ANY batch split — the oracle replays exactly that."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        lsh_matches, stream_files, streaming_lsh_dedup,
+    )
+
+    base = _scratch("stream_lsh")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    docs = _aug_docs(spark, sf_dir)
+    drop = f"{base}/drop"
+    docs.repartition(4).write.parquet(drop)
+    q = streaming_lsh_dedup(
+        stream_files(spark, drop, "doc_id bigint, text string", fmt="parquet",
+                     max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", f"{base}/matches",
+        num_hashes=16, bands=4, n=3, threshold=0.5,
+    )
+    q.awaitTermination(300)
+    return lsh_matches(spark, f"{base}/matches")
+
+
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64d -> 16d
     (projection.jl_projection): deterministic md5-parity sign matrix,
@@ -3011,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "logreg_scores": q_logreg_scores,
         "jl_projection": q_jl_projection,
+        "streaming_lsh_dedup": q_streaming_lsh_dedup,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3035,7 +3064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": q_dedup_sentences,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3043,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
         "chunk_semantic": q_chunk_semantic,
@@ -4049,6 +4078,7 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "semdedup": oracles.q_semdedup(0.95, 16, 1),
         "logreg_scores": oracles.q_logreg_scores(64, 3, 0.05, "n_chars > 311"),
         "jl_projection": oracles.q_jl_projection(16, 64),
+        "streaming_lsh_dedup": oracles.q_lsh_signature_matches(16, 4, 3, 0.5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -3166,3 +3166,56 @@ SELECT vec_id, proj,
                        / sqrt(list_dot_product(v, v)), 6)
             ELSE 0.0 END AS norm_ratio
 FROM pr"""
+
+
+def q_lsh_signature_matches(num_hashes: int = 16, bands: int = 4,
+                            n: int = 3, threshold: float = 0.5) -> str:
+    """Twin of the ACCUMULATED streaming_lsh_dedup match log over the
+    augmented docs: banded candidates (any split — the stream covers
+    each pair exactly once), est_jaccard = matching-minhash-component
+    fraction, threshold filter. Signature-only (no exact verify): the
+    streaming state never holds text."""
+    from semantik_spark.operators.dedup import minhash_mix_constants
+
+    rows_per_band = num_hashes // bands
+    consts = minhash_mix_constants(num_hashes)
+    mh_cols = ", ".join(
+        f"min(xor(h, {c}::BIGINT)) AS mh{i}" for i, c in enumerate(consts)
+    )
+    band_rows = ", ".join(
+        "({b}, {key})".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(a.mh{i} = b.mh{i})::INT" for i in range(num_hashes)
+    )
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{shingle_ctes("aug_docs", n).lstrip()},
+sigw AS (
+  SELECT doc_id, {mh_cols}
+  FROM (SELECT doc_id, {hash60_expr("shingle")} AS h FROM sh)
+  GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b.band, b.band_key
+  FROM sigw, LATERAL (VALUES {band_rows}) AS b(band, band_key)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({match_sum})::DOUBLE / {num_hashes}, 6) AS est_jaccard
+  FROM candidates c
+  JOIN sigw a ON c.doc_a = a.doc_id
+  JOIN sigw b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""

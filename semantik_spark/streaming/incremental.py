@@ -619,3 +619,118 @@ def count_min_state_estimates(spark: SparkSession, state_path: str,
 
     cells = spark.read.parquet(state_path)
     return count_min_estimate(cells, probes, key_col, depth, width)
+
+
+def streaming_lsh_dedup(stream: DataFrame, state_path: str, checkpoint: str,
+                        matches_path: str, num_hashes: int = 16,
+                        bands: int = 4, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Near-duplicate detection AT INGESTION TIME: each micro-batch's
+    MinHash signatures are banded and joined against the persisted
+    signature state (all previously ingested docs), so a new document
+    is flagged against the WHOLE history without ever re-reading it —
+    the streaming form of dedup.minhash_lsh_pairs, and the operator the
+    reference's re-enumeration sync (models.py:291-294) would need at
+    scale.
+
+    Per batch: (1) signatures + band keys for the batch (one map pass,
+    dedup._minhash_wide); (2) candidates = batch x state band-bucket
+    join UNION batch-internal self-join — together these cover every
+    pair exactly once for ANY batch split, so the accumulated match
+    table equals the one-shot batch LSH over all rows (asserted in
+    tests/test_streaming.py); (3) signature-estimated Jaccard =
+    matching-component fraction (the true text never persists — state
+    is num_hashes BIGINTs per doc, the privacy/size win of
+    signature-only state) filtered at ``threshold``; (4) batch
+    signatures APPEND to the state, matches APPEND to the match log.
+
+    Appends are at-least-once under foreachBatch replay — readers take
+    DISTINCT (lsh_matches); est_jaccard is a deterministic function of
+    the pair so duplicates collapse exactly.
+
+    Scale: state grows one row-set per doc (num_hashes longs + bands
+    keys), partitioned parquet appends; the per-batch join touches only
+    band buckets the batch's keys hit — at 100 TB the state table is
+    bucketed BY band_key so the probe is a bucket-pruned join, never a
+    full-state scan. Hot boilerplate buckets take the same salted path
+    as the batch operator when wired with banded_candidates.
+    """
+    from semantik_spark.operators.dedup import _minhash_wide, shingle_arrays
+
+    rows_per_band = num_hashes // bands
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        arr = shingle_arrays(batch, n, id_col, text_col).where(
+            F.size("harr") > 0
+        )
+        wide = _minhash_wide(arr, num_hashes)
+        sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+        banded = wide.select(
+            "doc_id", sig.alias("sig"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[
+                        F.col(f"mh{b * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ]).alias("band_key"),
+                )
+                for b in range(bands)
+            ])).alias("bk"),
+        ).select("doc_id", "sig", "bk.band", "bk.band_key")
+        # one compute for 3 uses (self-join sides + state append)
+        banded = banded.localCheckpoint()
+
+        a, b = banded.alias("a"), banded.alias("b")
+        in_batch = (
+            a.join(b, ["band", "band_key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"))
+        )
+        cands = in_batch
+        old = _read_state(spark, state_path)
+        if old is not None:
+            o = old.alias("o")
+            first_is_new = F.col("a.doc_id") < F.col("o.doc_id")
+            cross = (
+                a.join(o, ["band", "band_key"])
+                .where(F.col("a.doc_id") != F.col("o.doc_id"))
+                .select(
+                    F.least("a.doc_id", "o.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "o.doc_id").alias("doc_b"),
+                    F.when(first_is_new, F.col("a.sig"))
+                    .otherwise(F.col("o.sig")).alias("sa"),
+                    F.when(first_is_new, F.col("o.sig"))
+                    .otherwise(F.col("a.sig")).alias("sb"),
+                )
+            )
+            cands = cands.unionByName(cross)
+        est = F.round(
+            F.size(F.filter(
+                F.zip_with("sa", "sb", lambda x, y: x == y), lambda t: t
+            )).cast("double") / num_hashes, 6,
+        )
+        matches = (
+            cands.withColumn("est_jaccard", est)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("est_jaccard").alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        matches.write.mode("append").parquet(matches_path)
+        banded.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lsh_matches(spark: SparkSession, matches_path: str) -> DataFrame:
+    """Read the accumulated near-dup match log (doc_a, doc_b,
+    est_jaccard), DISTINCT to collapse at-least-once replays."""
+    return spark.read.parquet(matches_path).distinct()

@@ -476,3 +476,71 @@ def test_streaming_count_min_equals_batch(spark, tmp_path):
         depth=3, width=32).collect()}
     assert served == batch_est
     assert served["hot"] >= 70 and served["warm"] >= 25
+
+
+def test_streaming_lsh_dedup_split_invariant(spark, tmp_path):
+    """The accumulated match log must equal the one-shot signature-LSH
+    over all docs, for any batch split — incl. a duplicate pair that
+    SPANS batches (the case per-batch dedup misses)."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.dedup import _minhash_wide, shingle_arrays
+    from semantik_spark.streaming.incremental import (
+        lsh_matches, stream_files, streaming_lsh_dedup,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    state = str(tmp_path / "lsh_state")
+    ckpt = str(tmp_path / "ckpt_lsh")
+    mpath = str(tmp_path / "matches")
+    schema = "doc_id bigint, text string"
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq = [f"totally unrelated document number {i} about topic {i * 7} "
+            f"with extra words {i * 13} and {i * 17} filler" for i in range(6)]
+    b1 = [{"doc_id": 1, "text": dup}, {"doc_id": 2, "text": uniq[0]},
+          {"doc_id": 3, "text": uniq[1]}, {"doc_id": 4, "text": dup}]
+    b2 = [{"doc_id": 11, "text": dup}, {"doc_id": 12, "text": uniq[2]},
+          {"doc_id": 13, "text": uniq[3]}]
+    # empty doc: the shingle fallback gives it ONE whole-text shingle
+    # (same as the batch operator), so it matches only other empties
+    b3 = [{"doc_id": 21, "text": uniq[4]}, {"doc_id": 22, "text": dup},
+          {"doc_id": 23, "text": ""}]
+    _write_json(drop / "b1.json", b1)
+    _write_json(drop / "b2.json", b2)
+    _write_json(drop / "b3.json", b3)
+    q = streaming_lsh_dedup(
+        stream_files(spark, str(drop), schema, max_files_per_trigger=1),
+        state, ckpt, mpath, num_hashes=16, bands=4, n=3, threshold=0.5)
+    q.awaitTermination(180)
+
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in lsh_matches(spark, mpath).collect()}
+    # batch replay: one-shot signature LSH over the union
+    all_rows = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2 + b3], schema)
+    arr = shingle_arrays(all_rows).where(F.size("harr") > 0)
+    wide = _minhash_wide(arr, 16)
+    sig = wide.select("doc_id", F.array(*[f"mh{i}" for i in range(16)]).alias("sig"))
+    sp = (sig.alias("a").crossJoin(sig.alias("b"))
+          .where(F.col("a.doc_id") < F.col("b.doc_id"))
+          .select(F.col("a.doc_id").alias("doc_a"),
+                  F.col("b.doc_id").alias("doc_b"),
+                  F.round(F.size(F.filter(
+                      F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                      lambda t: t)).cast("double") / 16, 6).alias("est")))
+    # identical docs agree on every band, so the banded candidates
+    # include them; est=1.0 for the 6 dup pairs
+    expect = {(r["doc_a"], r["doc_b"]): r["est"]
+              for r in sp.where(F.col("est") >= 0.5).collect()}
+    assert got == expect
+    dup_ids = [1, 4, 11, 22]
+    expected_pairs = {(a, b) for i, a in enumerate(dup_ids)
+                      for b in dup_ids[i + 1:]}
+    assert expected_pairs <= set(got)
+    assert all(got[p] == 1.0 for p in expected_pairs)
+    # state holds bands rows per doc (the empty doc keeps its
+    # whole-text fallback shingle), no text column ever persisted
+    st = spark.read.parquet(state)
+    assert st.count() == 4 * 10  # 10 docs x 4 bands
+    assert "text" not in st.columns
