@@ -360,7 +360,9 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     does not replay rounds 1..N-1. Convergence is a driver-side count
     of changed labels between rounds (an O(nodes) action, not a
     collect); the same count drives the jump decision, so adaptivity
-    adds zero extra Spark jobs beyond one |nodes| count up front.
+    adds zero extra Spark jobs — round 1 is fused into label
+    construction (identity labels make neighbor-min a plain
+    aggregation) and |nodes| rides along in round 1's count job.
     """
     global CC_LAST_ROUNDS, CC_LAST_JUMPS
     sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
@@ -376,16 +378,30 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     # the lineage at the operator boundary so each round plans over a
     # leaf scan.
     sym = sym.localCheckpoint()
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
-    CC_LAST_ROUNDS = 0
+    # Round 1 FUSED into label construction (r6 perf): with identity
+    # labels, neighbor-min is simply min(node, min over neighbors) —
+    # one aggregation over sym, no join, no separate identity-label
+    # materialization. Saves two jobs (labels checkpoint + round-1
+    # join) of the fixed per-job overhead that dominated the
+    # near-dup common case (2-3 total rounds on tiny-diameter graphs).
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
+        .localCheckpoint()
+    )
+    CC_LAST_ROUNDS = 1
     CC_LAST_JUMPS = 0
-    # changed_0: every node is freshly labeled, so round 2's jump
-    # decision compares round 1's churn against the node count
-    prev_changed = labels.count()
-    changed = prev_changed
-    for _ in range(max_iter):
+    # one job for BOTH counts: changed_0 (= |nodes|, the jump
+    # baseline) and round 1's churn
+    counts = labels.select(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("label") != F.col("node"), 1)).alias("c"),
+    ).collect()[0]
+    prev_changed = int(counts["n"])
+    changed = int(counts["c"])
+    if changed == 0:
+        return labels.select("node", F.col("label").alias("component"))
+    for _ in range(max_iter - 1):
         CC_LAST_ROUNDS += 1
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
