@@ -1336,6 +1336,84 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of revenue delivered
+    to ASIA-region customers, per order year. Two independent dimension
+    chains hang off the fact row: customer->nation->region (the
+    selective one — semi-joined via the region filter first) and
+    supplier->nation (broadcast hydrate); the share is a conditional
+    aggregate over the SAME rows, so one shuffle computes both
+    numerator and denominator (no self-join, no second pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    asia_cust = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp_nation = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+           ).cast("decimal(30,4)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                rev.alias("rev"), "supp_nation")
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+              .otherwise(F.lit(0).cast("decimal(30,4)"))).alias("nat_rev"),
+        F.sum("rev").alias("all_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nat_rev").cast("double") / F.col("all_rev").cast("double"), 6)
+        .alias("mkt_share"),
+        F.col("all_rev").cast("double").alias("total_revenue"),
+    )
+
+
+def q_top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — no partsupp table): parts whose
+    lineitem revenue exceeds 1.25x the mean part revenue (the top decile of this
+    corpus's near-uniform synthetic revenue). The correlated
+    global-threshold HAVING decorrelates to a 1-row (total, n_parts)
+    broadcast; the compare is rev*n_parts*4 > 5*total
+    in EXACT decimal/bigint (no division), so boundary parts cannot
+    flake cross-engine — and the mean-relative cut stays selective at
+    every scale factor (a fixed revenue fraction goes vacuous when
+    |parts| is below 1/fraction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(8,2)") - F.col("l_discount").cast("decimal(8,2)"))
+           ).cast("decimal(30,4)")
+    per_part = li.select(F.col("l_partkey").alias("p_partkey"), rev.alias("rev")) \
+        .groupBy("p_partkey").agg(F.sum("rev").alias("part_rev"))
+    total = per_part.agg(F.sum("part_rev").alias("total_rev"),
+                         F.count("*").cast("bigint").alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_rev") * F.col("n_parts") * F.lit(4)
+               > F.col("total_rev") * F.lit(5))
+        .select(
+            "p_partkey",
+            F.col("part_rev").cast("double").alias("revenue"),
+            F.round(F.col("part_rev").cast("double") * F.col("n_parts")
+                    / F.col("total_rev").cast("double"), 6).alias("vs_mean"),
+        )
+    )
+
+
 def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate across
     three brand/size/quantity bands — the disjunctive-pushdown test.
@@ -3040,6 +3118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_scores": q_logreg_scores,
         "jl_projection": q_jl_projection,
         "streaming_lsh_dedup": q_streaming_lsh_dedup,
+        "market_share": q_market_share,
+        "top_revenue_parts": q_top_revenue_parts,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3062,8 +3142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
-        "dataset_split": q_dataset_split,
-        "pack_sequences": q_pack_sequences,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3071,6 +3149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "dataset_split": q_dataset_split,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "quality_sample": q_quality_sample,
         "chunk_markdown": q_chunk_markdown,
@@ -4079,6 +4159,43 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "logreg_scores": oracles.q_logreg_scores(64, 3, 0.05, "n_chars > 311"),
         "jl_projection": oracles.q_jl_projection(16, 64),
         "streaming_lsh_dedup": oracles.q_lsh_signature_matches(16, 4, 3, 0.5),
+        "market_share": """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+j AS (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         (l.l_extendedprice::DECIMAL(18,2)
+          * (1::DECIMAL(8,2) - l.l_discount::DECIMAL(8,2)))::DECIMAL(30,4) AS rev,
+         sn.supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN sn ON l.l_suppkey = sn.s_suppkey
+  WHERE o.o_custkey IN (SELECT c_custkey FROM asia_cust)),
+agg AS (
+  SELECT o_year,
+         sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                  ELSE 0::DECIMAL(30,4) END) AS nat_rev,
+         sum(rev) AS all_rev
+  FROM j GROUP BY o_year)
+SELECT o_year, round(nat_rev::DOUBLE / all_rev::DOUBLE, 6) AS mkt_share,
+       all_rev::DOUBLE AS total_revenue
+FROM agg""",
+        "top_revenue_parts": """
+WITH pp AS (
+  SELECT l_partkey AS p_partkey,
+         sum((l_extendedprice::DECIMAL(18,2)
+              * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2)))::DECIMAL(30,4)) AS part_rev
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT sum(part_rev) AS total_rev, count(*)::BIGINT AS n_parts FROM pp)
+SELECT p_partkey, part_rev::DOUBLE AS revenue,
+       round(part_rev::DOUBLE * n_parts / total_rev::DOUBLE, 6) AS vs_mean
+FROM pp, t WHERE part_rev * n_parts * 4 > total_rev * 5""",
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

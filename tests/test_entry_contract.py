@@ -32,7 +32,7 @@ ROUND6_WINDOW_MUST = (
     "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
     "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
     "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
-    "streaming_lsh_dedup",
+    "streaming_lsh_dedup", "market_share", "top_revenue_parts",
 )
 
 

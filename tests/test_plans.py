@@ -715,3 +715,28 @@ def test_semdedup_pair_search_is_cell_local(spark):
     # cell-local equi join present
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan
+
+
+def test_market_share_single_pass_conditional_agg(spark):
+    """Q8 shape: numerator and denominator come from ONE aggregation
+    over the joined rows — no self-join of the fact, no cartesian; the
+    region-filtered customer set arrives as a semi join."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_market_share(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    # 5 tables once + the 25-row nation dim twice (customer chain and
+    # supplier chain are independent hops off the fact row)
+    assert plan.count("Scan parquet") <= 7
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_revenue_parts_broadcast_total(spark):
+    """Q11 shape: the global (total, n_parts) row joins back via a
+    1-row broadcast nested loop; no global sort, no window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_revenue_parts(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "Sort " not in plan
