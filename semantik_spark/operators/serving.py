@@ -114,12 +114,66 @@ def dense_serve_filtered(spark: SparkSession, path: str, queries: DataFrame,
 def hybrid_serve(spark: SparkSession, path: str, queries: DataFrame,
                  k: int = 10, search_k: int | None = None) -> DataFrame:
     """Hybrid RRF against the persisted index — the deployed composed
-    query path (service.py:73-408 minus the per-request model calls)."""
+    query path (service.py:73-408 minus the per-request model calls).
+
+    SINGLE-EXCHANGE fusion (r6 latency work): instead of ranking each
+    branch in its own sort-shuffle and FULL-OUTER-joining the two
+    ranked lists (3 exchanges of scored rows), both branches' raw
+    scores union with a branch tag, ONE window ranks per (query,
+    branch), and the join becomes a groupBy pivot over the ≤
+    2·|queries|·search_k surviving rows. Row-identical to
+    rrf_fuse(dense_ranked, sparse_ranked): a (query, doc) group holds
+    exactly the branches that scored it, so the max(when(branch=…))
+    pivot reproduces the outer join's NULL pattern, and ranks/ties
+    order identically (score DESC, doc_id ASC)."""
     if search_k is None:
         search_k = max(k * 2, 20)
-    dense = dense_serve(spark, path, queries, k=search_k)
-    sparse = bm25_serve(spark, path, queries, k=search_k)
-    return search.rrf_fuse(dense, sparse, k=k).where(F.col("doc_id").isNotNull())
+    from pyspark.sql import Window
+
+    from semantik_spark.operators import bm25
+
+    index = spark.read.parquet(f"{path}/dense")
+    qd = queries.select(
+        F.col("query_id").alias("query_id"),
+        mock_embedding("query_text").alias("query_vec"),
+    )
+    from semantik_spark.functions.vectors import cosine
+
+    dscored = index.crossJoin(F.broadcast(qd)).select(
+        "query_id", "doc_id", cosine("embedding", "query_vec").alias("score")
+    )
+    terms = spark.read.parquet(f"{path}/terms")
+    post = spark.read.parquet(f"{path}/postings")
+    sscored = bm25.score(post, bm25.encode_queries(queries, terms))
+    u = dscored.select(F.lit(0).alias("branch"), "query_id", "doc_id", "score") \
+        .unionByName(sscored.select(F.lit(1).alias("branch"),
+                                    "query_id", "doc_id", "score"))
+    wb = Window.partitionBy("query_id", "branch").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = u.withColumn("rank", F.row_number().over(wb)) \
+        .where(F.col("rank") <= search_k)
+    fused = (
+        ranked.groupBy("query_id", "doc_id")
+        .agg(
+            F.max(F.when(F.col("branch") == 0, F.col("rank"))).alias("dense_rank"),
+            F.max(F.when(F.col("branch") == 0, F.col("score"))).alias("dense_score"),
+            F.max(F.when(F.col("branch") == 1, F.col("rank"))).alias("sparse_rank"),
+            F.max(F.when(F.col("branch") == 1, F.col("score"))).alias("sparse_score"),
+        )
+        .withColumn(
+            "score",
+            F.coalesce(1.0 / (F.lit(search.RRF_K) + F.col("dense_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(search.RRF_K) + F.col("sparse_rank")), F.lit(0.0)),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wq))
+        .where((F.col("rank") <= k) & F.col("doc_id").isNotNull())
+        .select("query_id", "doc_id", "score", "rank",
+                "dense_rank", "sparse_rank", "dense_score", "sparse_score")
+    )
 
 
 def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
