@@ -1336,6 +1336,21 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap matrix: per source-pair
+    union/intersection/Jaccard ESTIMATES from KMV shingle sketches
+    (sketches.kmv_set_ops over word-shingles grouped by source) — the
+    contamination check a multi-source training mix runs before
+    weighting sources, in k floats of state per source instead of a
+    cross-source shingle join."""
+    from semantik_spark.functions.text import word_shingles
+    from semantik_spark.operators.sketches import kmv_set_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+    return kmv_set_ops(sh, "source", "shingle", k=64)
+
+
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of revenue delivered
     to ASIA-region customers, per order year. Two independent dimension
@@ -3120,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lsh_dedup": q_streaming_lsh_dedup,
         "market_share": q_market_share,
         "top_revenue_parts": q_top_revenue_parts,
+        "corpus_overlap": q_corpus_overlap,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3141,7 +3157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
-        "dedup_sentences": q_dedup_sentences,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3149,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "dedup_sentences": q_dedup_sentences,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
@@ -4196,6 +4212,7 @@ t AS (SELECT sum(part_rev) AS total_rev, count(*)::BIGINT AS n_parts FROM pp)
 SELECT p_partkey, part_rev::DOUBLE AS revenue,
        round(part_rev::DOUBLE * n_parts / total_rev::DOUBLE, 6) AS vs_mean
 FROM pp, t WHERE part_rev * n_parts * 4 > total_rev * 5""",
+        "corpus_overlap": oracles.q_corpus_overlap(64, 3),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -3219,3 +3219,53 @@ est AS (
   JOIN sigw b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
+
+
+def q_corpus_overlap(k: int = 64, n: int = 3) -> str:
+    """Twin of sketches.kmv_set_ops applied to per-SOURCE shingle sets
+    over documents — the cross-corpus contamination/overlap matrix a
+    multi-source training mix needs before weighting sources."""
+    h = hash60_expr("shingle")
+    space = float(2**60)
+
+    def est(us: str) -> str:
+        return (f"CASE WHEN len({us}) < {k} THEN len({us})::DOUBLE "
+                f"ELSE {float(k - 1)} / list_max({us}) END")
+
+    merged = f"(list_sort(list_distinct(list_concat(us_a, us_b))))[1:{k}]"
+    return f"""
+WITH wtok AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> length(t) > 0) AS toks
+  FROM documents
+), shl AS (
+  SELECT source,
+         CASE WHEN len(toks) >= {n}
+              THEN list_distinct([array_to_string(toks[i+1:i+{n}], ' ')
+                                  for i in range(0, greatest(len(toks)-{n}, 0)+1)])
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM wtok
+), sh AS (
+  SELECT source AS g, unnest(shingles) AS shingle FROM shl
+),
+hashes AS (
+  SELECT DISTINCT g, ({h} + 1) / {space!r} AS u FROM sh
+),
+sk AS (SELECT g, (list_sort(array_agg(u)))[1:{k}] AS us FROM hashes GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.us AS us_a, b.us AS us_b
+  FROM sk a JOIN sk b ON a.g < b.g
+),
+calc AS (
+  SELECT group_a, group_b,
+         {est('us_a')} AS est_a,
+         {est('us_b')} AS est_b,
+         {est(merged)} AS est_u
+  FROM pairs
+)
+SELECT group_a, group_b,
+       round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_u, 6) AS est_union,
+       round(greatest(est_a + est_b - est_u, 0.0), 6) AS est_intersect,
+       round(greatest(est_a + est_b - est_u, 0.0) / est_u, 6) AS jaccard_est
+FROM calc"""
