@@ -1336,6 +1336,20 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even/odd doc_id halves
+    of the corpus (profiling.corpus_drift_psi): hashed-token bins,
+    add-one smoothing, per-bin 6dp terms + exact decimal total — the
+    drift monitor between yesterday's and today's corpus snapshot. The
+    synthetic halves share one vocabulary, so psi_total ~ 0 (asserted
+    <0.1 'stable' in tests; a real drift shows >0.25)."""
+    from semantik_spark.operators.profiling import corpus_drift_psi
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_drift_psi(docs.where(F.col("doc_id") % 2 == 0),
+                            docs.where(F.col("doc_id") % 2 == 1), buckets=32)
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source corpus overlap matrix: per source-pair
     union/intersection/Jaccard ESTIMATES from KMV shingle sketches
@@ -3136,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "top_revenue_parts": q_top_revenue_parts,
         "corpus_overlap": q_corpus_overlap,
+        "corpus_drift_psi": q_corpus_drift_psi,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3156,7 +3171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
-        "lm_quality": q_lm_quality,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3164,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
         "dataset_split": q_dataset_split,
         "pack_sequences": q_pack_sequences,
@@ -4213,6 +4228,7 @@ SELECT p_partkey, part_rev::DOUBLE AS revenue,
        round(part_rev::DOUBLE * n_parts / total_rev::DOUBLE, 6) AS vs_mean
 FROM pp, t WHERE part_rev * n_parts * 4 > total_rev * 5""",
         "corpus_overlap": oracles.q_corpus_overlap(64, 3),
+        "corpus_drift_psi": oracles.q_corpus_drift_psi(32),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

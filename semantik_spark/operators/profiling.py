@@ -22,7 +22,7 @@ profile's consumers tolerate ±2% cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,4 +63,72 @@ def profile_columns(df: DataFrame, columns: list[str],
         F.col("n_nulls").cast("bigint").alias("n_nulls"),
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         "min_val", "max_val", "avg_val",
+    )
+
+
+def corpus_drift_psi(ref: DataFrame, cur: DataFrame, buckets: int = 32,
+                     text_col: str = "text") -> DataFrame:
+    """Population Stability Index between two corpus snapshots over a
+    hashed-token distribution — the drift monitor a continuously-fed
+    training pipeline runs between yesterday's corpus and today's
+    (PSI is the standard model-monitoring drift score: <0.1 stable,
+    0.1-0.25 moderate shift, >0.25 investigate).
+
+      bins       token occurrences hashed into ``buckets`` (hash60 —
+                 portable), add-one smoothed so empty bins are defined
+      p/q        bin fraction in cur/ref (exact counts, double division)
+      psi_term   round((p_cur - p_ref) * ln(p_cur / p_ref), 6) per bin
+                 — each term >= 0, quantized BEFORE the sum
+      psi_total  exact DECIMAL sum of the rounded terms (order-
+                 independent, engine-portable; same discipline as the
+                 NB/logreg decimal sums)
+
+    Output: one row per bucket (bucket, n_ref, n_cur, psi_term,
+    psi_total — total repeated per row for single-pass consumption).
+
+    Scale: two corpus-linear token scans, each collapsing map-side into
+    ``buckets`` counters; everything after is arithmetic on a
+    ``buckets``-row frame (the global window is over those rows only).
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: F.length(t) > 0)
+        return (
+            df.select(F.explode(toks).alias("tok"))
+            .select(F.pmod(hash60(F.concat(F.lit("psi:"), F.col("tok"))),
+                           F.lit(buckets)).cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    spark = ref.sparkSession
+    allb = spark.range(buckets).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        allb.join(counts(ref, "_nr"), "bucket", "left")
+        .join(counts(cur, "_nc"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_nr"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    smoothed = j.select(
+        "bucket", "n_ref", "n_cur",
+        ((F.col("n_ref") + 1).cast("double")
+         / (F.sum("n_ref").over(w) + F.lit(buckets)).cast("double")).alias("_q"),
+        ((F.col("n_cur") + 1).cast("double")
+         / (F.sum("n_cur").over(w) + F.lit(buckets)).cast("double")).alias("_p"),
+    )
+    termed = smoothed.select(
+        "bucket", "n_ref", "n_cur",
+        F.round((F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")), 6)
+        .cast("decimal(12,6)").alias("psi_term"),
+    )
+    return termed.select(
+        "bucket", "n_ref", "n_cur",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.sum("psi_term").over(w).cast("double").alias("psi_total"),
     )

@@ -3269,3 +3269,46 @@ SELECT group_a, group_b,
        round(greatest(est_a + est_b - est_u, 0.0), 6) AS est_intersect,
        round(greatest(est_a + est_b - est_u, 0.0) / est_u, 6) AS jaccard_est
 FROM calc"""
+
+
+def q_corpus_drift_psi(buckets: int = 32, ref_pred: str = "doc_id % 2 = 0",
+                       cur_pred: str = "doc_id % 2 = 1") -> str:
+    """Twin of profiling.corpus_drift_psi between the even/odd doc_id
+    halves: hashed-token bins, add-one smoothing, 6dp-quantized terms,
+    exact decimal total."""
+    h = hash60_expr("'psi:' || tok")
+    tok_src = """
+  SELECT {h} % {b} AS bucket FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> length(t) > 0)) AS tok
+    FROM documents WHERE {pred})"""
+    return f"""
+WITH nr AS (
+  SELECT bucket, count(*)::BIGINT AS n_ref
+  FROM ({tok_src.format(h=h, b=buckets, pred=ref_pred)}) GROUP BY bucket
+),
+nc AS (
+  SELECT bucket, count(*)::BIGINT AS n_cur
+  FROM ({tok_src.format(h=h, b=buckets, pred=cur_pred)}) GROUP BY bucket
+),
+j AS (
+  SELECT b.bucket,
+         coalesce(nr.n_ref, 0)::BIGINT AS n_ref,
+         coalesce(nc.n_cur, 0)::BIGINT AS n_cur
+  FROM (SELECT unnest(range({buckets}))::INT AS bucket) b
+  LEFT JOIN nr USING (bucket) LEFT JOIN nc USING (bucket)
+),
+sm AS (
+  SELECT bucket, n_ref, n_cur,
+         (n_ref + 1)::DOUBLE / ((SELECT sum(n_ref) FROM j) + {buckets})::DOUBLE AS q,
+         (n_cur + 1)::DOUBLE / ((SELECT sum(n_cur) FROM j) + {buckets})::DOUBLE AS p
+  FROM j
+),
+t AS (
+  SELECT bucket, n_ref, n_cur,
+         round((p - q) * ln(p / q), 6)::DECIMAL(12,6) AS psi_term
+  FROM sm
+)
+SELECT bucket, n_ref, n_cur, psi_term::DOUBLE AS psi_term,
+       (SELECT sum(psi_term) FROM t)::DOUBLE AS psi_total
+FROM t"""

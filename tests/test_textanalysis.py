@@ -213,3 +213,30 @@ def test_gopher_rules_each_rule_fires(spark):
     # map-only: no Exchange in the plan
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_drift_psi_detects_shift(spark):
+    """PSI ~ 0 for identically-distributed halves; large for a
+    vocabulary swap; every term >= 0 and total == sum of terms."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.profiling import corpus_drift_psi
+
+    same = [(i, "alpha beta gamma delta epsilon " * 3) for i in range(40)]
+    docs = spark.createDataFrame(same, ["doc_id", "text"])
+    out = corpus_drift_psi(docs.where(F.col("doc_id") % 2 == 0),
+                           docs.where(F.col("doc_id") % 2 == 1),
+                           buckets=16).collect()
+    assert len(out) == 16
+    total = out[0]["psi_total"]
+    assert abs(total) < 1e-4  # identical distributions
+    assert all(abs(r["psi_total"] - total) < 1e-12 for r in out)
+    assert abs(sum(r["psi_term"] for r in out) - total) < 1e-9
+    # vocabulary swap: heavy drift
+    shifted = spark.createDataFrame(
+        [(i, "zork quux blarg snarf wibble " * 3) for i in range(40)],
+        ["doc_id", "text"])
+    out2 = corpus_drift_psi(docs, shifted, buckets=16).collect()
+    assert out2[0]["psi_total"] > 0.25
+    for r in out2:
+        assert r["psi_term"] >= 0.0
