@@ -1336,6 +1336,19 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit over the event stream
+    (streaming.windows.late_data_audit): batch-boundary frontier
+    (exactly Structured Streaming's watermark-advance rule, arrival =
+    event_id order), per 5-min window the counts a 60s/300s watermark
+    would drop + max lateness. The number every withWatermark() call
+    needs measured, not guessed."""
+    from semantik_spark.streaming.windows import late_data_audit
+
+    return late_data_audit(_events(spark, sf_dir), batch_size=1000,
+                           window_minutes=5, delays_s=(60, 300))
+
+
 def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the even/odd doc_id halves
     of the corpus (profiling.corpus_drift_psi): hashed-token bins,
@@ -3151,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_parts": q_top_revenue_parts,
         "corpus_overlap": q_corpus_overlap,
         "corpus_drift_psi": q_corpus_drift_psi,
+        "late_data_audit": q_late_data_audit,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3170,7 +3184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
-        "pii_redact": q_pii_redact,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3178,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
         "dataset_split": q_dataset_split,
@@ -4229,6 +4243,26 @@ SELECT p_partkey, part_rev::DOUBLE AS revenue,
 FROM pp, t WHERE part_rev * n_parts * 4 > total_rev * 5""",
         "corpus_overlap": oracles.q_corpus_overlap(64, 3),
         "corpus_drift_psi": oracles.q_corpus_drift_psi(32),
+        "late_data_audit": """
+WITH ev AS (
+  SELECT (event_id // 1000)::BIGINT AS batch, epoch_us(ts::TIMESTAMP)::BIGINT AS ts_us
+  FROM events
+),
+pb AS (SELECT batch, max(ts_us) AS bmax FROM ev GROUP BY batch),
+fr AS (
+  SELECT batch,
+         max(bmax) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS frontier_us
+  FROM pb
+)
+SELECT (ts_us // 300000000) * 300000000 AS bucket_us,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN ts_us < frontier_us - 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_60s,
+       sum(CASE WHEN ts_us < frontier_us - 300000000 THEN 1 ELSE 0 END)::BIGINT AS n_late_300s,
+       round(max(greatest(coalesce(frontier_us - ts_us, -1), 0))::DOUBLE / 1e6, 6) AS max_lateness_s
+FROM ev JOIN fr USING (batch)
+GROUP BY bucket_us""",
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -69,3 +69,69 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
             F.count("*").cast("bigint").alias("n_events"),
         )
     )
+
+
+def late_data_audit(events: DataFrame, batch_size: int = 10000,
+                    window_minutes: int = 5, delays_s: tuple = (60, 300),
+                    id_col: str = "event_id", ts_col: str = "ts") -> DataFrame:
+    """Watermark-sizing audit: per event-time window, how many events
+    WOULD a d-delayed watermark have dropped?
+
+    Frontier semantics mirror Structured Streaming exactly: the
+    watermark advances at BATCH boundaries — an event in arrival batch
+    k is compared against max(event time) over batches < k (never its
+    own batch; Spark updates the watermark AFTER a batch completes).
+    Arrival order here is ``id_col`` ascending bucketed into
+    ``batch_size`` batches — the deterministic arrival proxy that makes
+    the audit batch-replayable; a deployment substitutes its real
+    ingestion sequence/offset column.
+
+    Output per tumbling event-time window: n_events, n_late_<d>s for
+    each delay (events a d-second watermark drops), max_lateness_s.
+    Use it to pick the smallest delay whose drop count is acceptable —
+    the question every withWatermark() call hardcodes an answer to.
+
+    Scale: one map pass to batch-tag, one map-side-combined per-batch
+    max (|batches| rows), a running max over that TINY table (the only
+    ordered window — |batches| rows, not events), broadcast join back,
+    one windowed aggregation. No corpus-scale sort.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        F.floor(F.col(id_col) / batch_size).cast("bigint").alias("batch"),
+        us.alias("ts_us"),
+    )
+    per_batch = ev.groupBy("batch").agg(F.max("ts_us").alias("bmax"))
+    wb = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_batch.select(
+        "batch", F.max("bmax").over(wb).alias("frontier_us")
+    )
+    window_us = window_minutes * 60 * 1_000_000
+    j = ev.join(F.broadcast(frontier), "batch").select(
+        (F.floor(F.col("ts_us") / window_us) * window_us).alias("bucket_us"),
+        "ts_us", "frontier_us",
+    )
+    late_cols = [
+        F.sum(
+            F.when(F.col("ts_us")
+                   < F.col("frontier_us") - F.lit(d * 1_000_000), 1)
+            .otherwise(0)
+        ).cast("bigint").alias(f"n_late_{d}s")
+        for d in delays_s
+    ]
+    return (
+        j.groupBy("bucket_us")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            *late_cols,
+            # batch 0 has no frontier (NULL): coalesce before greatest
+            # so both engines clamp identically
+            F.round(
+                F.max(F.greatest(
+                    F.coalesce(F.col("frontier_us") - F.col("ts_us"),
+                               F.lit(-1)),
+                    F.lit(0),
+                )).cast("double") / 1e6, 6,
+            ).alias("max_lateness_s"),
+        )
+    )

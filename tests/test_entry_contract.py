@@ -33,7 +33,7 @@ ROUND6_WINDOW_MUST = (
     "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
     "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
     "streaming_lsh_dedup", "market_share", "top_revenue_parts",
-    "corpus_overlap", "corpus_drift_psi",
+    "corpus_overlap", "corpus_drift_psi", "late_data_audit",
 )
 
 

@@ -44,3 +44,36 @@ def test_sessionize_gap(spark):
     assert u1[1]["n_events"] == 1
     u2 = [r for r in out if r["user_id"] == "u2"]
     assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+def test_late_data_audit_batch_boundary_frontier(spark):
+    """Hand-built arrival sequence: the frontier advances at batch
+    boundaries only (an event is never late vs its OWN batch's max),
+    and the delay knobs cut exactly at frontier - d."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.streaming.windows import late_data_audit
+
+    base = 1_700_000_000  # seconds
+    rows = [
+        # batch 0 (ids 0-9): frontier NULL -> nothing late
+        (0, base + 0), (1, base + 1000),
+        # batch 1 (ids 10-19): frontier = base+1000
+        (10, base + 2000),           # ahead of frontier: on time
+        (11, base + 1000 - 30),      # 30s behind: late at d=0 only... (not counted: delays 60/300)
+        (12, base + 1000 - 120),     # 120s behind: late at 60s, not 300s
+        (13, base + 1000 - 400),     # 400s behind: late at both
+        # batch 2 (ids 20+): frontier = base+2000
+        (20, base + 2000 - 400),     # 400s behind newer frontier
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts * 1_000_000) for i, ts in rows], "event_id bigint, us bigint"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"))
+    out = late_data_audit(ev, batch_size=10, window_minutes=5,
+                          delays_s=(60, 300))
+    agg = out.agg(F.sum("n_events"), F.sum("n_late_60s"),
+                  F.sum("n_late_300s"), F.max("max_lateness_s")).collect()[0]
+    assert agg[0] == 7
+    assert agg[1] == 3   # ids 12, 13, 20
+    assert agg[2] == 2   # ids 13, 20
+    assert agg[3] == 400.0
