@@ -1336,6 +1336,16 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split over the augmented dup corpus
+    (training.leakage_safe_split): split hashes the near-dup CLUSTER
+    id so planted duplicates land together; naive_leak audits what a
+    per-doc hash split would have contaminated."""
+    from semantik_spark.operators.training import leakage_safe_split
+
+    return leakage_safe_split(_aug_docs(spark, sf_dir))
+
+
 def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-sizing audit over the event stream
     (streaming.windows.late_data_audit): batch-boundary frontier
@@ -3165,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "corpus_drift_psi": q_corpus_drift_psi,
         "late_data_audit": q_late_data_audit,
+        "leakage_safe_split": q_leakage_safe_split,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3183,7 +3194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ingest_index": q_ingest_index,
-        "chunk_character": q_chunk_character,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3191,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
         "dedup_sentences": q_dedup_sentences,
@@ -4263,6 +4274,7 @@ SELECT (ts_us // 300000000) * 300000000 AS bucket_us,
        round(max(greatest(coalesce(frontier_us - ts_us, -1), 0))::DOUBLE / 1e6, 6) AS max_lateness_s
 FROM ev JOIN fr USING (batch)
 GROUP BY bucket_us""",
+        "leakage_safe_split": oracles.q_leakage_safe_split(2, 10, 16, 4, 3, 0.5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -529,3 +529,62 @@ def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
             ).otherwise(0.0).alias("dsir_per_gram"),
         )
     )
+
+
+def leakage_safe_split(docs: DataFrame, test_buckets: int = 2,
+                       n_buckets: int = 10, num_hashes: int = 16,
+                       bands: int = 4, n: int = 3, threshold: float = 0.5,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: split assignment hashes the near-dup CLUSTER id, not the
+    doc id, so every member of a duplicate cluster lands in the same
+    split (the eval-contamination failure mode of naive per-doc
+    splitting — a test doc whose near-copy sits in train scores as
+    memorization, not generalization).
+
+      clusters   MinHash-LSH pairs -> connected components
+                 (dedup.duplicate_clusters); singletons are their own
+                 cluster
+      split      'test' iff hash60('split:' || cluster_id) mod
+                 n_buckets < test_buckets, else 'train' — deterministic,
+                 engine-portable, ~test_buckets/n_buckets test fraction
+      naive_*    the same hash on doc_id, plus naive_leak = does this
+                 doc's cluster STRADDLE splits under the naive rule —
+                 the audit column that quantifies what cluster-hashing
+                 fixed
+
+    Output: doc_id, cluster_id, split, naive_split, naive_leak.
+
+    Scale: the cluster pass is the banded LSH + CC machinery (see
+    those entries); everything after is a hash expression and one
+    window over cluster_id (near-dup clusters are tiny, skew-free).
+    """
+    from semantik_spark.functions.hashing import hash60
+    from semantik_spark.operators.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(docs, num_hashes, bands, n, threshold,
+                                  id_col, text_col)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+
+    def bucket(col: str) -> F.Column:
+        return F.pmod(
+            hash60(F.concat(F.lit("split:"), F.col(col).cast("string"))),
+            F.lit(n_buckets),
+        )
+
+    tagged = base.select(
+        "doc_id", "cluster_id",
+        F.when(bucket("cluster_id") < test_buckets, F.lit("test"))
+        .otherwise(F.lit("train")).alias("split"),
+        F.when(bucket("doc_id") < test_buckets, F.lit("test"))
+        .otherwise(F.lit("train")).alias("naive_split"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return tagged.withColumn(
+        "naive_leak",
+        F.min("naive_split").over(w) != F.max("naive_split").over(w),
+    )

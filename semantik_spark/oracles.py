@@ -3312,3 +3312,46 @@ t AS (
 SELECT bucket, n_ref, n_cur, psi_term::DOUBLE AS psi_term,
        (SELECT sum(psi_term) FROM t)::DOUBLE AS psi_total
 FROM t"""
+
+
+def q_leakage_safe_split(test_buckets: int = 2, n_buckets: int = 10,
+                         num_hashes: int = 16, bands: int = 4, n: int = 3,
+                         threshold: float = 0.5) -> str:
+    """Twin of training.leakage_safe_split over the augmented dup
+    corpus: cluster-hash split vs naive doc-hash split + leak audit."""
+    hb_c = hash60_expr("'split:' || cluster_id::VARCHAR")
+    hb_d = hash60_expr("'split:' || doc_id::VARCHAR")
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(num_hashes, bands, n)},
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id FROM reach GROUP BY a
+),
+base AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id)::BIGINT AS cluster_id
+  FROM aug_docs d LEFT JOIN cc USING (doc_id)
+),
+tagged AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {hb_c} % {n_buckets} < {test_buckets}
+              THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN {hb_d} % {n_buckets} < {test_buckets}
+              THEN 'test' ELSE 'train' END AS naive_split
+  FROM base
+)
+SELECT doc_id, cluster_id, split, naive_split,
+       (min(naive_split) OVER (PARTITION BY cluster_id)
+        <> max(naive_split) OVER (PARTITION BY cluster_id)) AS naive_leak
+FROM tagged"""

@@ -237,3 +237,35 @@ def test_dsir_weights_separate_target(spark):
     # one broadcast join on the ratio table; no shuffle join of corpus
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every cluster is entirely train or entirely test under the
+    cluster-hash split; the naive doc-hash split leaks for at least
+    one planted duplicate pair; singletons split by their own id."""
+    from semantik_spark.operators.training import leakage_safe_split
+
+    dup = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, f"unique document {i} about topic {i * 7} with words "
+                f"{i * 13} {i * 17} {i * 19} filler text") for i in range(30)]
+    # 8 duplicate pairs with ids far apart (different naive buckets
+    # somewhere among them)
+    for i in range(8):
+        rows.append((100 + i, dup + f" variant {i}"))
+        rows.append((200 + i, dup + f" variant {i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(docs).collect()
+    assert len(out) == 46
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # at least one pair leaks under naive (and its leak flag says so)
+    leaks = [r for r in out if r["naive_leak"]]
+    assert leaks
+    for r in leaks:
+        mates = [x for x in out if x["cluster_id"] == r["cluster_id"]]
+        assert len({x["naive_split"] for x in mates}) == 2
+    # both splits non-empty at this corpus size
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "test"}
