@@ -1336,6 +1336,30 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: recall@5 at nprobe 1/2/4/8 against the
+    exhaustive top-5 — one codebook trained ONCE (cent_rows param),
+    four serve-time probe widths measured. The ANN twin of
+    dedup_lsh_recall: parameter choices get a curve, not a guess."""
+    from semantik_spark.operators import similarity
+    from semantik_spark.functions.caching import cache
+
+    corpus, queries = _emb_split(spark, sf_dir)
+    exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
+    cent = similarity.ivf_centroids(corpus, 16, "vec_id", "embedding")
+    cent = similarity.ivf_refine(corpus, cent, iters=1,
+                                 id_col="vec_id", vec_col="embedding")
+    out = None
+    for p in (1, 2, 4, 8):
+        approx = similarity.knn_ivf(corpus, queries, k=5, n_centroids=16,
+                                    nprobe=p, cent_rows=cent)
+        r = similarity.recall_at_k(exact, approx, f"nprobe={p}") \
+            .withColumn("nprobe", F.lit(p).cast("int")) \
+            .select("method", "nprobe", "n_hit", "n_exact", "recall")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split over the augmented dup corpus
     (training.leakage_safe_split): split hashes the near-dup CLUSTER
@@ -3176,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_psi": q_corpus_drift_psi,
         "late_data_audit": q_late_data_audit,
         "leakage_safe_split": q_leakage_safe_split,
+        "knn_nprobe_sweep": q_knn_nprobe_sweep,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3193,7 +3218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "ingest_index": q_ingest_index,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r3:
         # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
@@ -3201,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per the behavior-anchored contract above.
         # r3-anchored remainder (displaced from the backfill by round-6
         # additions; re-verified via check_oracle when touched):
+        "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
         "lm_quality": q_lm_quality,
@@ -4275,6 +4300,7 @@ SELECT (ts_us // 300000000) * 300000000 AS bucket_us,
 FROM ev JOIN fr USING (batch)
 GROUP BY bucket_us""",
         "leakage_safe_split": oracles.q_leakage_safe_split(2, 10, 16, 4, 3, 0.5),
+        "knn_nprobe_sweep": oracles.q_knn_nprobe_sweep(5, 16, (1, 2, 4, 8)),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -150,7 +150,8 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
 def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             n_centroids: int = 16, nprobe: int = 4, refine_iters: int = 1,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+            query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+            cent_rows: list | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) cell probing.
 
     Corpus vectors are assigned to their nearest centroid by a per-row
@@ -159,11 +160,16 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partitionBy(centroid_id). Queries probe their ``nprobe`` nearest
     cells; exact cosine ranks inside the probed cells only, reading
     ~nprobe/n_centroids of the corpus instead of all of it.
+
+    ``cent_rows``: pass a pre-trained codebook (ivf_centroids [+
+    ivf_refine] output) to skip training — callers sweeping serve-time
+    parameters (nprobe) against one index train once.
     """
-    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    if refine_iters:
-        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
-                               id_col=id_col, vec_col=vec_col)
+    if cent_rows is None:
+        cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+        if refine_iters:
+            cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                                   id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     assigned = c.crossJoin(codebook).withColumn(

@@ -3355,3 +3355,24 @@ SELECT doc_id, cluster_id, split, naive_split,
        (min(naive_split) OVER (PARTITION BY cluster_id)
         <> max(naive_split) OVER (PARTITION BY cluster_id)) AS naive_leak
 FROM tagged"""
+
+
+def q_knn_nprobe_sweep(k: int = 5, n_centroids: int = 16,
+                       nprobes: tuple = (1, 2, 4, 8)) -> str:
+    """IVF tuning curve: recall@k vs nprobe against the exhaustive
+    top-k — the measured accuracy/cost trade every IVF deployment
+    sizes nprobe with (twin of the dedup_lsh_recall harness, for ANN)."""
+    branches = []
+    for p in nprobes:
+        sub = q_knn_ivf(k=k, n_centroids=n_centroids, nprobe=p)
+        branches.append(f"""
+SELECT 'nprobe={p}' AS method, {p}::INT AS nprobe, n_hit, n_exact,
+       round(n_hit::DOUBLE / n_exact, 6) AS recall
+FROM (
+  SELECT (SELECT count(*)::BIGINT FROM bf b
+          JOIN ({sub}) a ON b.query_id = a.query_id AND b.vec_id = a.vec_id) AS n_hit,
+         (SELECT count(*)::BIGINT FROM bf) AS n_exact
+) s""")
+    return f"""
+WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
+{" UNION ALL ".join(branches)}"""

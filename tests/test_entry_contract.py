@@ -34,7 +34,7 @@ ROUND6_WINDOW_MUST = (
     "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
     "streaming_lsh_dedup", "market_share", "top_revenue_parts",
     "corpus_overlap", "corpus_drift_psi", "late_data_audit",
-    "leakage_safe_split",
+    "leakage_safe_split", "knn_nprobe_sweep",
 )
 
 
