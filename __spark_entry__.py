@@ -3116,6 +3116,33 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned dimension built INCREMENTALLY: the order log is
+    split at 1997-07-01 into a historical load and a nightly batch;
+    scd2_history collapses the old half into (valid_from, valid_to]
+    version chains per customer (attribute = order priority), then
+    scd2_merge folds the new batch in. The oracle rebuilds from the
+    FULL log in one pass — the returned table matching it is the
+    merge ≡ rebuild invariant (operators/scd.py), the property that
+    makes nightly dimension maintenance safe at 100 TB. One shuffle
+    on the customer key per pass; no joins, no iteration."""
+    from semantik_spark.operators import scd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    cutoff = F.lit("1997-07-01").cast("date")
+    hist = scd.scd2_history(orders.where(F.col("ts") < cutoff),
+                            "custkey", ["priority"], "ts", "seq")
+    merged = scd.scd2_merge(hist, orders.where(F.col("ts") >= cutoff),
+                            "custkey", ["priority"], "ts", "seq")
+    return merged.select("custkey", "priority", "valid_from", "valid_to",
+                         "version", "is_current")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3357,6 +3384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "discounted_revenue": q_discounted_revenue,
+        # --- round-6 post-window additions (ROUND7_WINDOW_MUST):
+        # verified via tools/check_oracle.py; first driver row next round
+        "scd2_orders": q_scd2_orders,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3744,6 +3774,25 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
    OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""",
+        "scd2_orders": """
+WITH upd AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+), flagged AS (
+  SELECT custkey, priority, ts, seq,
+         lag(priority) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev_priority,
+         row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS rn
+  FROM upd
+), changes AS (
+  SELECT custkey, priority, ts AS valid_from, seq
+  FROM flagged WHERE rn = 1 OR prev_priority IS DISTINCT FROM priority
+)
+SELECT custkey, priority, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       (row_number() OVER w)::INT AS version,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, seq)""",
         "artifact_roundtrip": """
 SELECT source, count(*)::BIGINT AS n_docs,
        count(DISTINCT sha256(text))::BIGINT AS n_hashes,

@@ -42,7 +42,9 @@ ROUND6_WINDOW_MUST = (
 # driver-evaluated, verified locally via tools/check_oracle.py. These
 # MUST head the round-7 window — promote this tuple into the next
 # round's WINDOW_MUST list during rotation.
-ROUND7_WINDOW_MUST = ()
+ROUND7_WINDOW_MUST = (
+    "scd2_orders",
+)
 
 
 def test_every_query_has_an_oracle():
