@@ -3143,6 +3143,17 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "version", "is_current")
 
 
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per event type (Page
+    control chart, k=0.5σ slack, h=4σ threshold) — the telemetry
+    change-point monitor. The recursion S⁺=max(0,S⁺+d) is computed
+    closed-form via the reflected-walk prefix-sum identity, so the
+    whole chart is two ordered-window passes over ONE event-type
+    shuffle; all running sums are DECIMAL(28,6) for cross-engine
+    bit-exactness (timeseries.cusum_changepoints)."""
+    return timeseries.cusum_changepoints(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3387,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 post-window additions (ROUND7_WINDOW_MUST):
         # verified via tools/check_oracle.py; first driver row next round
         "scd2_orders": q_scd2_orders,
+        "events_cusum": q_events_cusum,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3793,6 +3805,42 @@ SELECT custkey, priority, valid_from,
        (row_number() OVER w)::INT AS version,
        (lead(valid_from) OVER w IS NULL) AS is_current
 FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, seq)""",
+        "events_cusum": """
+WITH ev AS (
+  SELECT event_type AS etype, epoch_us(ts::TIMESTAMP)::BIGINT AS us,
+         event_id AS eid, round(value, 6)::DECIMAL(28,6) AS x, value
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT etype, round(avg(value), 6) AS mu, round(stddev_samp(value), 6) AS sd
+  FROM ev GROUP BY etype
+), thr AS (
+  SELECT etype, round(mu + 0.5 * sd, 6)::DECIMAL(28,6) AS thr_pos,
+         round(mu - 0.5 * sd, 6)::DECIMAL(28,6) AS thr_neg,
+         round(4.0 * sd, 6)::DECIMAL(28,6) AS h_band
+  FROM stats
+), pre AS (
+  SELECT ev.etype, us, eid, h_band,
+         sum((x - thr_pos)::DECIMAL(28,6)) OVER w AS p_pos,
+         sum((thr_neg - x)::DECIMAL(28,6)) OVER w AS p_neg
+  FROM ev JOIN thr USING (etype)
+  WINDOW w AS (PARTITION BY ev.etype ORDER BY us, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT etype, us, h_band,
+         p_pos - least(min(p_pos) OVER w, 0::DECIMAL(28,6)) AS s_pos,
+         p_neg - least(min(p_neg) OVER w, 0::DECIMAL(28,6)) AS s_neg
+  FROM pre
+  WINDOW w AS (PARTITION BY etype ORDER BY us, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT etype AS event_type, count(*)::BIGINT AS n_obs,
+       sum(CASE WHEN s_pos > h_band THEN 1 ELSE 0 END)::BIGINT AS n_pos_alarm,
+       sum(CASE WHEN s_neg > h_band THEN 1 ELSE 0 END)::BIGINT AS n_neg_alarm,
+       min(CASE WHEN s_pos > h_band THEN us END)::BIGINT AS first_pos_us,
+       min(CASE WHEN s_neg > h_band THEN us END)::BIGINT AS first_neg_us,
+       round(max(s_pos)::DOUBLE, 6) AS max_s_pos,
+       round(max(s_neg)::DOUBLE, 6) AS max_s_neg
+FROM scored GROUP BY etype""",
         "artifact_roundtrip": """
 SELECT source, count(*)::BIGINT AS n_docs,
        count(DISTINCT sha256(text))::BIGINT AS n_hashes,

@@ -453,3 +453,75 @@ def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
         F.col(value_col).alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def cusum_changepoints(events: DataFrame, k_slack: float = 0.5,
+                       h_threshold: float = 4.0,
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value",
+                       id_col: str = "event_id") -> DataFrame:
+    """Two-sided CUSUM level-shift detection per event type — the
+    Page (1954) control chart: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − μ − kσ) alarms
+    when the running positive drift exceeds hσ (and symmetrically S⁻
+    for downward shifts).
+
+    The recursion is the reflected random walk, so it is computed
+    WITHOUT iteration via the prefix-sum identity
+    ``Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)`` where P is the plain prefix sum
+    of the drift terms — two ordered-window aggregates per side over
+    ONE shuffle on the event-type key. No recursion, no UDF, no state.
+
+    Cross-engine determinism: μ, σ, and the derived thresholds are
+    rounded to 6 dp ONCE, then every prefix-sum term is DECIMAL(28,6)
+    — the running sums are exact integers-scaled-by-1e6 in both Spark
+    and DuckDB, so alarm comparisons cannot drift with partition or
+    segment-tree summation order.
+
+    Returns one row per event type: n_obs, n_pos_alarm / n_neg_alarm
+    (observations in excess state), first_pos_us / first_neg_us (first
+    alarm time), max_s_pos / max_s_neg (peak statistic, in value
+    units, 6 dp).
+    """
+    d6 = "decimal(28,6)"
+    ev = events.where(F.col(value_col).isNotNull())
+    wstat = Window.partitionBy(type_col)
+    mu = F.round(F.avg(value_col).over(wstat), 6)
+    sd = F.round(F.stddev_samp(value_col).over(wstat), 6)
+    ev = ev.select(
+        F.col(type_col).alias("etype"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+        F.round(F.col(value_col), 6).cast(d6).alias("x"),
+        F.round(mu + F.lit(k_slack) * sd, 6).cast(d6).alias("thr_pos"),
+        F.round(mu - F.lit(k_slack) * sd, 6).cast(d6).alias("thr_neg"),
+        F.round(F.lit(h_threshold) * sd, 6).cast(d6).alias("h_band"),
+    )
+    w = Window.partitionBy("etype").orderBy("us", "eid") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast(d6)
+    staged = ev.select(
+        "etype", "us", "eid", "h_band",
+        F.sum((F.col("x") - F.col("thr_pos")).cast(d6)).over(w).alias("p_pos"),
+        F.sum((F.col("thr_neg") - F.col("x")).cast(d6)).over(w).alias("p_neg"),
+    )
+    s_pos = F.col("p_pos") - F.least(F.min("p_pos").over(w), zero)
+    s_neg = F.col("p_neg") - F.least(F.min("p_neg").over(w), zero)
+    scored = staged.select(
+        "etype", "us",
+        s_pos.alias("s_pos"), s_neg.alias("s_neg"),
+        (s_pos > F.col("h_band")).alias("a_pos"),
+        (s_neg > F.col("h_band")).alias("a_neg"),
+    )
+    return (
+        scored.groupBy("etype")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(F.when(F.col("a_pos"), 1).otherwise(0)).cast("bigint").alias("n_pos_alarm"),
+            F.sum(F.when(F.col("a_neg"), 1).otherwise(0)).cast("bigint").alias("n_neg_alarm"),
+            F.min(F.when(F.col("a_pos"), F.col("us"))).alias("first_pos_us"),
+            F.min(F.when(F.col("a_neg"), F.col("us"))).alias("first_neg_us"),
+            F.round(F.max("s_pos").cast("double"), 6).alias("max_s_pos"),
+            F.round(F.max("s_neg").cast("double"), 6).alias("max_s_neg"),
+        )
+        .withColumnRenamed("etype", type_col)
+    )

@@ -233,3 +233,75 @@ def test_session_paths_orders_and_caps(spark):
     assert by["view"] == 1
     assert by["e0>e1>e2"] == 1  # capped at 3 steps
     assert out[0]["path"] == "view>click"  # most frequent first
+
+
+class TestCusum:
+    def test_level_shift_alarms_and_prefix_identity(self, spark):
+        import datetime as dt
+
+        from semantik_spark.operators.timeseries import cusum_changepoints
+
+        # 40 obs at level 0, then 20 at level 10: an upward shift the
+        # S+ chart must flag; no downward alarm. Plus a flat key that
+        # must never alarm (sd=0 -> h_band=0... keep sd>0 via jitter).
+        base = dt.datetime(2021, 1, 1)
+        rows = []
+        for i in range(60):
+            v = 0.0 if i < 40 else 10.0
+            v += 0.5 if i % 2 else -0.5  # symmetric jitter, keeps sd sane
+            rows.append((i, base + dt.timedelta(minutes=i), 1, "shift", v, None))
+        for i in range(30):
+            rows.append((100 + i, base + dt.timedelta(minutes=i), 1, "calm",
+                         float(i % 2), None))
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        out = {r.event_type: r for r in cusum_changepoints(ev).collect()}
+        shift = out["shift"]
+        # the reference level is the GLOBAL mean (~3.3), so a step
+        # change drifts BOTH charts: S- accumulates over the long
+        # below-mean prefix, S+ fires once the high segment starts —
+        # the positive alarm localizes the shift (minute >= 40), the
+        # negative alarm precedes it
+        assert shift.n_pos_alarm > 0 and shift.n_neg_alarm > 0
+        assert shift.first_pos_us >= int(
+            (base + dt.timedelta(minutes=40)).timestamp() * 1_000_000)
+        assert shift.first_neg_us < shift.first_pos_us
+        assert shift.max_s_pos > 0
+        calm = out["calm"]
+        assert calm.n_pos_alarm == 0 and calm.n_neg_alarm == 0
+
+    def test_replays_recursive_definition(self, spark):
+        import datetime as dt
+
+        from semantik_spark.operators.timeseries import cusum_changepoints
+
+        # pin the closed-form prefix-sum identity against a literal
+        # Python replay of Page's recursion on the same numbers
+        vals = [1.0, 3.0, -2.0, 8.0, 9.0, 7.5, -1.0, 0.0, 12.0, 11.0]
+        base = dt.datetime(2021, 6, 1)
+        ev = spark.createDataFrame(
+            [(i, base + dt.timedelta(seconds=i), 1, "k", v, None)
+             for i, v in enumerate(vals)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        row = cusum_changepoints(ev, k_slack=0.5, h_threshold=1.0).collect()[0]
+
+        mu = round(sum(vals) / len(vals), 6)
+        n = len(vals)
+        var = sum((v - mu) ** 2 for v in vals) / (n - 1)
+        sd = round(var ** 0.5, 6)
+        thr_pos, thr_neg = round(mu + 0.5 * sd, 6), round(mu - 0.5 * sd, 6)
+        h = round(1.0 * sd, 6)
+        sp = sn = 0.0
+        n_pos = n_neg = 0
+        max_sp = max_sn = 0.0
+        for v in vals:
+            sp = max(0.0, sp + (v - thr_pos))
+            sn = max(0.0, sn + (thr_neg - v))
+            n_pos += sp > h
+            n_neg += sn > h
+            max_sp, max_sn = max(max_sp, sp), max(max_sn, sn)
+        assert row.n_pos_alarm == n_pos and row.n_neg_alarm == n_neg
+        assert abs(row.max_s_pos - max_sp) < 1e-6
+        assert abs(row.max_s_neg - max_sn) < 1e-6
