@@ -3154,6 +3154,24 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoints(_events(spark, sf_dir))
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (Delta/Iceberg OPTIMIZE shape):
+    documents modeled as the catalog listing (source = table
+    partition, byte length = file size), candidates under 500 B
+    packed into ~2 KB rewrite bins by the deterministic FFD-order
+    cumulative-quota rule (storage.compaction_plan). One shuffle on
+    the partition key, over catalog metadata only."""
+    from semantik_spark.operators import storage
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        "source", F.col("doc_id").alias("file_id"),
+        F.octet_length("text").alias("size_bytes"),
+    )
+    return storage.compaction_plan(files, "source", "file_id", "size_bytes",
+                                   target_bytes=2000, small_below=500)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3399,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified via tools/check_oracle.py; first driver row next round
         "scd2_orders": q_scd2_orders,
         "events_cusum": q_events_cusum,
+        "compaction_plan": q_compaction_plan,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -3841,6 +3860,23 @@ SELECT etype AS event_type, count(*)::BIGINT AS n_obs,
        round(max(s_pos)::DOUBLE, 6) AS max_s_pos,
        round(max(s_neg)::DOUBLE, 6) AS max_s_neg
 FROM scored GROUP BY etype""",
+        "compaction_plan": """
+WITH f AS (
+  SELECT source, doc_id AS file_id, strlen(text)::INT AS size_bytes
+  FROM documents WHERE strlen(text) < 500
+), packed AS (
+  SELECT source, size_bytes,
+         floor((sum(size_bytes) OVER w - size_bytes) / 2000.0)::INT AS bin_id
+  FROM f
+  WINDOW w AS (PARTITION BY source ORDER BY size_bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, bin_id, count(*)::BIGINT AS n_files,
+       sum(size_bytes)::BIGINT AS bin_bytes,
+       max(size_bytes)::BIGINT AS largest_file,
+       min(size_bytes)::BIGINT AS smallest_file,
+       round(sum(size_bytes) / 2000.0, 6) AS fill_frac
+FROM packed GROUP BY source, bin_id""",
         "artifact_roundtrip": """
 SELECT source, count(*)::BIGINT AS n_docs,
        count(DISTINCT sha256(text))::BIGINT AS n_hashes,

@@ -29,7 +29,7 @@ spec); the catalog entry is what lets the planner trust the layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -177,4 +177,56 @@ def bloom_prune_stats(large: DataFrame, small: DataFrame, key_col: str,
         F.round(F.col("n_false_pos") /
                 F.greatest(F.col("n_probe_keys") - F.col("n_true"), F.lit(1)),
                 6).alias("fp_rate"),
+    )
+
+
+def compaction_plan(files: DataFrame, partition_col: str, file_col: str,
+                    size_col: str, target_bytes: int,
+                    small_below: int | None = None) -> DataFrame:
+    """Small-file compaction planning — the Delta/Iceberg ``OPTIMIZE``
+    bin-packer as a deterministic, engine-replayable rule. The
+    small-files problem is THE operational failure mode of a streaming
+    lake (every micro-batch writes a file per partition; a year later
+    the table is 10M 200 KB files and scan planning dominates runtime).
+
+    Rule: within each table partition, candidate files (all of them,
+    or only those under ``small_below``) are ordered size-DESC (first-
+    fit-decreasing order, name as tiebreak) and packed by cumulative
+    quota — a file joins bin ``floor(bytes_packed_before_it /
+    target_bytes)``. That is the prefix-sum approximation of FFD:
+    monotone, one window pass, and independent of Spark partitioning —
+    greedy per-bin backtracking would need a sequential loop for ~2%
+    tighter packing.
+
+    Returns one row per (partition, bin): n_files, bin_bytes,
+    largest/smallest member, and fill_frac vs target. A bin with
+    n_files == 1 and fill_frac >= 1 is an oversize file the planner
+    leaves alone; everything else is a rewrite task whose input set is
+    reproducible from the rule.
+
+    Scale shape: one shuffle on the table-partition key; the window
+    never materializes file contents — this plans over the catalog
+    listing (path, size), which for a 10M-file table is ~1 GB of
+    metadata, not the 100 TB of data."""
+    cand = files
+    if small_below is not None:
+        cand = cand.where(F.col(size_col) < small_below)
+    w = Window.partitionBy(partition_col) \
+        .orderBy(F.col(size_col).desc(), F.col(file_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = cand.withColumn(
+        "_bin",
+        F.floor((F.sum(size_col).over(w) - F.col(size_col))
+                / F.lit(target_bytes)).cast("int"),
+    )
+    return (
+        packed.groupBy(F.col(partition_col), F.col("_bin").alias("bin_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum(size_col).cast("bigint").alias("bin_bytes"),
+            F.max(size_col).cast("bigint").alias("largest_file"),
+            F.min(size_col).cast("bigint").alias("smallest_file"),
+            F.round(F.sum(size_col) / F.lit(float(target_bytes)), 6)
+             .alias("fill_frac"),
+        )
     )

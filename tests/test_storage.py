@@ -88,3 +88,34 @@ def test_bloom_prune_probe_side_broadcast_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+class TestCompactionPlan:
+    def test_packs_by_ffd_cumulative_quota(self, spark):
+        from semantik_spark.operators.storage import compaction_plan
+
+        # one partition, target 160; FFD order is 90,80,70,60,50 with
+        # cumulative-before 0,90,170,240,300 -> floor(/160) bins
+        # 0,0,1,1,1: bin0=[90,80]=170, bin1=[70,60,50]=180
+        rows = [("p", f"f{i}", s) for i, s in
+                enumerate([50, 90, 70, 80, 60])]
+        files = spark.createDataFrame(rows, ["part", "file_id", "size_bytes"])
+        plan = {r.bin_id: r for r in
+                compaction_plan(files, "part", "file_id", "size_bytes",
+                                target_bytes=160).collect()}
+        assert set(plan) == {0, 1}
+        assert plan[0].n_files == 2 and plan[0].bin_bytes == 170
+        assert plan[1].n_files == 3 and plan[1].bin_bytes == 180
+        # conservation: every candidate file lands in exactly one bin
+        assert sum(r.n_files for r in plan.values()) == 5
+        assert sum(r.bin_bytes for r in plan.values()) == 350
+
+    def test_small_below_leaves_big_files_alone(self, spark):
+        from semantik_spark.operators.storage import compaction_plan
+
+        rows = [("p", "big", 5000), ("p", "a", 100), ("p", "b", 120)]
+        files = spark.createDataFrame(rows, ["part", "file_id", "size_bytes"])
+        plan = compaction_plan(files, "part", "file_id", "size_bytes",
+                               target_bytes=1000, small_below=1000).collect()
+        assert sum(r.n_files for r in plan) == 2  # 'big' untouched
+        assert all(r.largest_file < 1000 for r in plan)
