@@ -3172,6 +3172,18 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    target_bytes=2000, small_below=500)
 
 
+def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over
+    the undirected 5-NN cosine graph (4 rounds, ties → smallest
+    label) — the neighborhood-majority clustering signal between
+    connected components (too coarse) and k-means (needs a k). Each
+    round is one adjacency⋈labels equi-join + per-node arg-max; the
+    adjacency list is loop-invariant (graph.label_propagation)."""
+    from semantik_spark.operators.graph import label_propagation
+
+    return label_propagation(_knn_edges(spark, sf_dir, k=5), iterations=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3418,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders": q_scd2_orders,
         "events_cusum": q_events_cusum,
         "compaction_plan": q_compaction_plan,
+        "knn_communities": q_knn_communities,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4179,6 +4192,7 @@ LIMIT 50""",
         "length_bins": oracles.q_length_bins(16),
         "hard_negatives": oracles.q_hard_negatives(50, 5, 3),
         "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
+        "knn_communities": oracles.q_knn_communities(5, 4),
         "event_assoc": oracles.q_event_assoc(30, 5, 20),
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),

@@ -142,3 +142,56 @@ def triangle_counts(edges: DataFrame, top_k: int = 20,
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
     return per_node.orderBy(F.desc("n_triangles"), F.asc("id")).limit(top_k)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007) over the UNDIRECTED closure of a directed edge list —
+    the cheap community signal a curation pipeline layers on the kNN
+    graph when connected components are too coarse (CC merges through
+    any single spurious edge; LPA requires neighborhood majority).
+
+    Deterministic variant: all nodes update each round (synchronous),
+    new label = the most frequent label among neighbors, ties broken
+    by SMALLEST label value, fixed ``iterations`` rounds — no random
+    ordering, so the result is engine-replayable (the classic
+    formulation randomizes update order to break oscillations; a fixed
+    round count bounds those instead).
+
+    id, community — per-node final label.
+
+    Shape per round: one equi-join of the adjacency list against the
+    |V|-row label table (shuffle on node key), a (node, label) count,
+    and a per-node arg-max window — all keyed on node ids. The
+    adjacency list is loop-invariant: persist or bucket it by dst once
+    and every round's join reuses that layout; only labels (|V| rows,
+    tiny next to |E|) move per round.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = adj.select(F.col("src").alias("id")).distinct() \
+                .select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("nid").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            adj.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("nid"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("nid").alias("id"), "label")
+        )
+    return labels.select("id", F.col("label").alias("community"))

@@ -3376,3 +3376,34 @@ FROM (
     return f"""
 WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
 {" UNION ALL ".join(branches)}"""
+
+
+def q_knn_communities(k: int = 5, iterations: int = 4) -> str:
+    """Twin of graph.label_propagation over graph.knn_graph_edges:
+    undirected closure of the kNN edges, then ``iterations`` unrolled
+    synchronous rounds — each a (node, label) neighbor count with the
+    arg-max taken as (count DESC, label ASC), the same deterministic
+    tie rule the Spark side applies."""
+    its = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        cur = f"l{i}"
+        its.append(f""",
+{cur} AS (
+  SELECT e.src AS id, l.label, count(*) AS c
+  FROM adj e JOIN {prev} l ON l.id = e.dst
+  GROUP BY e.src, l.label
+  QUALIFY row_number() OVER (PARTITION BY e.src
+                             ORDER BY count(*) DESC, l.label ASC) = 1
+)""")
+        prev = cur
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+adj AS (SELECT u AS src, v AS dst FROM und
+        UNION ALL SELECT v AS src, u AS dst FROM und),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj){''.join(its)}
+SELECT id, label AS community FROM {prev}"""

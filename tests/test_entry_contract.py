@@ -43,7 +43,7 @@ ROUND6_WINDOW_MUST = (
 # MUST head the round-7 window — promote this tuple into the next
 # round's WINDOW_MUST list during rotation.
 ROUND7_WINDOW_MUST = (
-    "scd2_orders", "events_cusum", "compaction_plan",
+    "scd2_orders", "events_cusum", "compaction_plan", "knn_communities",
 )
 
 

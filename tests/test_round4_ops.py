@@ -323,3 +323,32 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     out = weighted_sample(docs, k=10).collect()
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components
+    would merge them into a single cluster; neighborhood-majority LPA
+    must keep two communities (the bridge is outvoted 3-to-1)."""
+    from semantik_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.id: r.community for r in label_propagation(e, iterations=4).collect()}
+    left = {out[i] for i in (1, 2, 3, 4)}
+    right = {out[i] for i in (10, 11, 12, 13)}
+    assert left == {1}, left     # min-label tie rule pulls cliques to 1
+    assert right == {10}, right
+    assert left != right
+
+
+def test_label_propagation_deterministic_across_runs(spark):
+    from semantik_spark.operators.graph import label_propagation
+
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(0, 4), (2, 6)]
+    e = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(e.repartition(3), iterations=3).collect()))
+    assert a == b
