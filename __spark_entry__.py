@@ -3184,6 +3184,15 @@ def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_knn_edges(spark, sf_dir, k=5), iterations=4)
 
 
+def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall tuning curve for SimHash hamming radii 2/4/6/8
+    against exact 3-gram Jaccard >= 0.5 on the augmented dup corpus —
+    third recall harness (MinHash banding, IVF nprobe, SimHash
+    radius): measures how well bit distance predicts Jaccard before
+    committing a max_hamming at 100 TB (dedup.simhash_radius_report)."""
+    return dedup.simhash_radius_report(_aug_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3431,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "compaction_plan": q_compaction_plan,
         "knn_communities": q_knn_communities,
+        "simhash_radius_recall": q_simhash_radius_recall,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4193,6 +4203,7 @@ LIMIT 50""",
         "hard_negatives": oracles.q_hard_negatives(50, 5, 3),
         "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
         "knn_communities": oracles.q_knn_communities(5, 4),
+        "simhash_radius_recall": oracles.q_simhash_radius_report((2, 4, 6, 8), 3, 0.5, 60),
         "event_assoc": oracles.q_event_assoc(30, 5, 20),
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),

@@ -3407,3 +3407,51 @@ adj AS (SELECT u AS src, v AS dst FROM und
         UNION ALL SELECT v AS src, u AS dst FROM und),
 l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj){''.join(its)}
 SELECT id, label AS community FROM {prev}"""
+
+
+def q_simhash_radius_report(radii: tuple = (2, 4, 6, 8), n: int = 3,
+                            threshold: float = 0.5, bits: int = 60) -> str:
+    """Twin of dedup.simhash_radius_report: all-pairs hamming at
+    max(radii) (fine at oracle SF; the Spark side band-blocks), truth
+    from the exact shingle-Jaccard join, P/R per radius via a VALUES
+    theta-join. simhash_sig_ctes and shingle_ctes both open with the
+    identical wtok CTE over aug_docs, so the shingle chain is spliced
+    in from its second CTE."""
+    sh = shingle_ctes("aug_docs", n)
+    assert "), shl AS (" in sh
+    sh_tail = "shl AS (" + sh.split("), shl AS (", 1)[1]
+    values = ", ".join(f"({int(r)})" for r in radii)
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{simhash_sig_ctes('aug_docs', bits).lstrip()},
+{sh_tail},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max(radii)}
+),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::DOUBLE / (a.n_shingles + b.n_shingles - count(*)) AS j
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles)
+  WHERE j >= {threshold}
+),
+marked AS (
+  SELECT p.hamming,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pairs p LEFT JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+),
+nex AS (SELECT count(*)::BIGINT AS n_exact FROM truth)
+SELECT r.radius::INT AS radius,
+       count(*)::BIGINT AS n_found,
+       sum(is_true)::BIGINT AS n_true_found,
+       (SELECT n_exact FROM nex) AS n_exact,
+       round(sum(is_true)::DOUBLE / count(*), 6) AS precision,
+       round(sum(is_true)::DOUBLE / (SELECT n_exact FROM nex), 6) AS recall
+FROM marked m JOIN (VALUES {values}) r(radius) ON m.hamming <= r.radius
+GROUP BY r.radius"""
