@@ -3193,6 +3193,16 @@ def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_radius_report(_aug_docs(spark, sf_dir))
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup yield per source (rsync/restic
+    boundary rule: trailing-16-char fingerprint % 64 == 0): how many
+    byte ranges a CDC-addressed store would store once. Boundaries
+    move with content, so edits re-chunk only the touched spans —
+    the storage twin of semantic chunking (chunking.cdc_dedup_stats;
+    anchor scan is pure codegen'd Column work)."""
+    return chunking.cdc_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3441,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "knn_communities": q_knn_communities,
         "simhash_radius_recall": q_simhash_radius_recall,
+        "cdc_dedup": q_cdc_dedup,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4204,6 +4215,7 @@ LIMIT 50""",
         "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
         "knn_communities": oracles.q_knn_communities(5, 4),
         "simhash_radius_recall": oracles.q_simhash_radius_report((2, 4, 6, 8), 3, 0.5, 60),
+        "cdc_dedup": oracles.q_cdc_dedup_stats(16, 64),
         "event_assoc": oracles.q_event_assoc(30, 5, 20),
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),

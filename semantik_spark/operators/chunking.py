@@ -567,3 +567,96 @@ def hybrid_chunks(docs: DataFrame, chunk_size: int = DEFAULT_CHUNK_SIZE,
         extra_cols=[("strategy", "string", "character")],
         chunk_size=chunk_size, overlap=overlap,
     )
+
+
+def content_defined_chunks(docs: DataFrame, window: int = 16,
+                           modulus: int = 64, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/restic family): a
+    chunk boundary falls AFTER position i iff the rolling fingerprint
+    of the trailing ``window`` chars satisfies hash % modulus == 0 —
+    so boundaries move WITH the content. Insert a sentence into a doc
+    and only the chunks overlapping the edit change; fixed-size
+    chunking would shift every later boundary and re-embed/re-store
+    the whole tail. Expected chunk length ≈ ``modulus`` chars.
+
+    doc_id, chunk_index, chunk_start (1-based), chunk_text — every
+    char of the doc lands in exactly one chunk; docs shorter than
+    ``window`` are a single chunk.
+
+    Shape: the anchor scan materializes one row per character
+    position (explode + substring + hash — all Catalyst expressions,
+    whole-stage-codegen'd, embarrassingly parallel), then one window
+    pass per doc to pair consecutive anchors into spans. The
+    position-explosion form IS the replayable spec; a production
+    100 TB pass would fuse it into a mapInPandas rolling-gear scan
+    (O(1) per char, no row amplification) with identical boundaries.
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                    F.length(text_col).alias("len"))
+    anch = (
+        d.where(F.col("len") >= window)
+        .select("doc_id", "text", "len",
+                F.explode(F.sequence(F.lit(window), F.col("len"))).alias("i"))
+        .where(F.pmod(
+            hash60(F.expr(f"substring(text, i - {window - 1}, {window})")),
+            F.lit(modulus)) == 0)
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = anch.select(
+        "doc_id",
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+    )
+    last = (
+        d.join(anch.groupBy("doc_id").agg(F.max("i").alias("mx")),
+               "doc_id", "left")
+        .where(F.coalesce(F.col("mx"), F.lit(0)) < F.col("len"))
+        .select("doc_id", (F.coalesce(F.col("mx"), F.lit(0)) + 1).alias("s"),
+                F.col("len").alias("e"))
+    )
+    wc = Window.partitionBy("doc_id").orderBy("s")
+    return (
+        spans.unionByName(last)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            (F.row_number().over(wc) - 1).alias("chunk_index"),
+            F.col("s").alias("chunk_start"),
+            F.expr("substring(text, s, e - s + 1)").alias("chunk_text"),
+        )
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, window: int = 16, modulus: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """Chunk-level dedup yield of content-defined chunking, per
+    source: how much of the corpus is re-used byte ranges (boilerplate
+    headers, shared passages, mirrored docs) that a CDC-addressed
+    store (restic/borg/casync style) would store once.
+
+    source, total_chunks, distinct_chunks, cross_doc_chunks (chunk
+    contents seen in >1 document of the source), dup_frac
+    (1 - distinct/total), avg_chunk_len (6 dp).
+    """
+    chunks = content_defined_chunks(docs, window, modulus, id_col, text_col) \
+        .join(docs.select(F.col(id_col).alias("doc_id"),
+                          F.col(source_col).alias("source")), "doc_id")
+    per_chunk = chunks.groupBy("source", "chunk_text").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs_seen"),
+        F.sum(F.length("chunk_text")).alias("bytes_occ"),
+    )
+    return per_chunk.groupBy("source").agg(
+        F.sum("n_occ").cast("bigint").alias("total_chunks"),
+        F.count("*").cast("bigint").alias("distinct_chunks"),
+        F.sum(F.when(F.col("n_docs_seen") > 1, 1).otherwise(0))
+         .cast("bigint").alias("cross_doc_chunks"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("n_occ"), 6).alias("dup_frac"),
+        F.round(F.sum("bytes_occ") / F.sum("n_occ"), 6).alias("avg_chunk_len"),
+    )

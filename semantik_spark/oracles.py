@@ -3455,3 +3455,49 @@ SELECT r.radius::INT AS radius,
        round(sum(is_true)::DOUBLE / (SELECT n_exact FROM nex), 6) AS recall
 FROM marked m JOIN (VALUES {values}) r(radius) ON m.hamming <= r.radius
 GROUP BY r.radius"""
+
+
+def q_cdc_dedup_stats(window: int = 16, modulus: int = 64) -> str:
+    """Twin of chunking.cdc_dedup_stats: position scan + trailing-
+    window fingerprint anchors, spans from consecutive anchors plus
+    the tail span, then per-source chunk-content dedup accounting."""
+    h = hash60_expr(f"substr(text, i - {window - 1}, {window})")
+    return f"""
+WITH d AS (SELECT doc_id, source, text, length(text) AS len FROM documents),
+pos AS (
+  SELECT doc_id, text, len, unnest(range({window}, len + 1)) AS i
+  FROM d WHERE len >= {window}
+),
+anch AS (
+  SELECT doc_id, i FROM pos WHERE {h} % {modulus} = 0
+),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         i AS e
+  FROM anch
+),
+tail AS (
+  SELECT d.doc_id, coalesce(mx, 0) + 1 AS s, len AS e
+  FROM d LEFT JOIN (SELECT doc_id, max(i) AS mx FROM anch GROUP BY doc_id) a
+    USING (doc_id)
+  WHERE coalesce(mx, 0) < len
+),
+chunks AS (
+  SELECT sp.doc_id, substr(text, s, e - s + 1) AS chunk_text
+  FROM (SELECT * FROM spans UNION ALL SELECT * FROM tail) sp
+  JOIN d USING (doc_id)
+),
+per_chunk AS (
+  SELECT d.source, chunk_text, count(*) AS n_occ,
+         count(DISTINCT c.doc_id) AS n_docs_seen,
+         sum(length(chunk_text)) AS bytes_occ
+  FROM chunks c JOIN d USING (doc_id)
+  GROUP BY d.source, chunk_text
+)
+SELECT source, sum(n_occ)::BIGINT AS total_chunks,
+       count(*)::BIGINT AS distinct_chunks,
+       sum(CASE WHEN n_docs_seen > 1 THEN 1 ELSE 0 END)::BIGINT AS cross_doc_chunks,
+       round(1.0 - count(*)::DOUBLE / sum(n_occ), 6) AS dup_frac,
+       round(sum(bytes_occ)::DOUBLE / sum(n_occ), 6) AS avg_chunk_len
+FROM per_chunk GROUP BY source"""

@@ -92,3 +92,44 @@ def test_hybrid_dataframe_strategy_column(spark):
     strat = {r["doc_id"]: r["strategy"] for r in rows}
     assert strat["1"] == "markdown"
     assert strat["2"] == "character"
+
+
+class TestContentDefinedChunks:
+    def test_chunks_cover_text_exactly(self, spark):
+        from semantik_spark.operators.chunking import content_defined_chunks
+
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "short"),                       # below the window width
+            (3, "x" * 16),                      # exactly one window
+        ]
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        rows = content_defined_chunks(df).collect()
+        joined = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)):
+            joined[r.doc_id] = joined.get(r.doc_id, "") + r.chunk_text
+        for doc_id, text in texts:
+            assert joined[doc_id] == text, doc_id
+
+    def test_edit_locality(self, spark):
+        """Insert a sentence mid-doc: every chunk strictly BEFORE the
+        edit point keeps its content — fixed-size chunking would shift
+        all of them. (Chunks after the edit may re-align; the rsync
+        property is about the prefix and about re-synchronisation.)"""
+        from semantik_spark.operators.chunking import content_defined_chunks
+
+        base = ("many analytics engines process data with distributed "
+                "query plans and columnar storage layouts for speed. " * 6)
+        edit_at = len(base) // 2
+        edited = base[:edit_at] + "INSERTED NEW SENTENCE HERE. " + base[edit_at:]
+        df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+        out = content_defined_chunks(df).collect()
+        pre = lambda d: sorted(
+            (r.chunk_start, r.chunk_text) for r in out
+            if r.doc_id == d and r.chunk_start + len(r.chunk_text) - 1 < edit_at)
+        assert pre(1) == pre(2)
+        assert len(pre(1)) >= 2  # the property was actually exercised
+        # and the suffix chunks re-synchronise (same trailing content)
+        last1 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 1)
+        last2 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 2)
+        assert last1[1][-20:] == last2[1][-20:]
