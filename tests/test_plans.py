@@ -740,3 +740,86 @@ def test_top_revenue_parts_broadcast_total(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "Sort " not in plan
+
+
+def test_scd2_single_shuffle_no_joins(spark):
+    """SCD2 history is window-only work: exactly one hash exchange
+    (the entity key) and zero joins of any kind."""
+    from semantik_spark.operators import scd
+
+    upd = spark.range(300).select(
+        (F.col("id") % 30).alias("k"),
+        (F.col("id") % 7).cast("string").alias("attr"),
+        F.to_date(F.lit("2020-01-01")).alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    plan = _plan(scd.scd2_history(upd, "k", ["attr"], "ts", "seq"))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cusum_single_key_shuffle(spark):
+    """Both chart sides and the stats share the ONE event-type
+    partitioning — no join back, no second key."""
+    from semantik_spark.operators.timeseries import cusum_changepoints
+
+    ev = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") + 1_600_000_000).alias("ts"),
+        F.lit(1).alias("user_id"),
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        (F.col("id") % 17).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    plan = _plan(cusum_changepoints(ev))
+    assert "Join" not in plan
+    # window passes + final groupBy all hash on event_type; AQE may
+    # stack one exchange per reuse boundary but none on another key
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_plan_metadata_only_single_shuffle(spark):
+    from semantik_spark.operators.storage import compaction_plan
+
+    files = spark.range(400).select(
+        (F.col("id") % 8).cast("string").alias("part"),
+        F.col("id").cast("string").alias("file_id"),
+        (F.col("id") % 997 + 10).alias("size_bytes"),
+    )
+    plan = _plan(compaction_plan(files, "part", "file_id", "size_bytes", 4096))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_equi_joins_only(spark):
+    from semantik_spark.operators.graph import label_propagation
+
+    e = spark.range(300).select(
+        (F.col("id") % 60).alias("src"), ((F.col("id") * 7) % 60).alias("dst"))
+    plan = _plan(label_propagation(e, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_radius_report_broadcasts_radii(spark):
+    """The per-radius fan-out must be the tiny broadcast theta-join,
+    never a shuffle of the pair table per radius."""
+    from semantik_spark.operators.dedup import simhash_radius_report
+
+    docs = _mk_docs(spark, 40)
+    plan = _plan(simhash_radius_report(docs, radii=(2, 4)))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_no_join_until_stats(spark):
+    """The anchor scan is pure per-row expression work — the chunk
+    builder introduces only the per-doc window exchange and the spans
+    equi-join back to the doc text; nothing quadratic."""
+    from semantik_spark.operators.chunking import content_defined_chunks
+
+    docs = _mk_docs(spark, 50)
+    plan = _plan(content_defined_chunks(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
