@@ -98,6 +98,15 @@ BENCH_QUERIES = [
     "heavy_hitters", "bloom_prune", "winsorized_stats", "nation_trade_volume",
     # round-6 additions
     "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
+    "pipeline_config", "edit_distance_pairs", "bpe_merges",
+    "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
+    "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
+    "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
+    "streaming_lsh_dedup", "market_share", "top_revenue_parts",
+    "corpus_overlap", "corpus_drift_psi", "late_data_audit",
+    "leakage_safe_split", "knn_nprobe_sweep", "scd2_orders",
+    "events_cusum", "compaction_plan", "knn_communities",
+    "simhash_radius_recall", "cdc_dedup",
 ]
 
 
