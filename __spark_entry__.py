@@ -3203,6 +3203,42 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.cdc_dedup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend line (slope in value-units/day,
+    intercept, r²) from five decimal-exact sufficient statistics in
+    one shuffle — the drift summary behind every telemetry dashboard.
+    x is recentred to seconds-since-first-event per key so squared
+    sums stay exact (timeseries.trend_ols)."""
+    return timeseries.trend_ols(_events(spark, sf_dir))
+
+
+def q_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: the SCD2 customer-priority chain
+    snapshotted AS OF 1997-07-01 (scd.scd2_as_of), hydrated with the
+    customer dim and aggregated by (nation, priority-as-of-then) —
+    'reproduce the cohort as it was' for training-set reproducibility.
+    The snapshot filter is two range predicates on the version table;
+    nation is a broadcast dim."""
+    from semantik_spark.operators import scd
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    hist = scd.scd2_history(orders, "custkey", ["priority"], "ts", "seq")
+    snap = scd.scd2_as_of(hist, "1997-07-01")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        snap.join(cust, snap.custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "priority")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hybrid (mock-dense + BM25) RRF search on sf0.001."""
     _pin_session_confs(spark)
@@ -3452,6 +3488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_communities": q_knn_communities,
         "simhash_radius_recall": q_simhash_radius_recall,
         "cdc_dedup": q_cdc_dedup,
+        "events_trend": q_events_trend,
+        "scd2_asof_join": q_scd2_asof_join,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4216,6 +4254,67 @@ LIMIT 50""",
         "knn_communities": oracles.q_knn_communities(5, 4),
         "simhash_radius_recall": oracles.q_simhash_radius_report((2, 4, 6, 8), 3, 0.5, 60),
         "cdc_dedup": oracles.q_cdc_dedup_stats(16, 64),
+        "events_trend": """
+WITH ev AS (
+  SELECT event_type AS etype, epoch_us(ts::TIMESTAMP)::BIGINT AS us, value
+  FROM events WHERE value IS NOT NULL
+), xx AS (
+  SELECT etype,
+         ((us / 1000000.0)
+          - min(us / 1000000.0) OVER (PARTITION BY etype))::DECIMAL(18,6) AS x,
+         round(value, 6)::DECIMAL(18,6) AS y
+  FROM ev
+), sums AS (
+  SELECT etype, count(*)::BIGINT AS n,
+         sum(x::DECIMAL(38,6)) AS sx, sum(y::DECIMAL(38,6)) AS sy,
+         sum((x::DECIMAL(28,6) * y::DECIMAL(28,6))::DECIMAL(38,12)) AS sxy,
+         sum((x::DECIMAL(28,6) * x::DECIMAL(28,6))::DECIMAL(38,12)) AS sxx,
+         sum((y::DECIMAL(28,6) * y::DECIMAL(28,6))::DECIMAL(38,12)) AS syy
+  FROM xx GROUP BY etype
+), dd AS (
+  SELECT etype, n, n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+         sxy::DOUBLE AS sxyd, sxx::DOUBLE AS sxxd, syy::DOUBLE AS syyd
+  FROM sums
+), cf AS (
+  SELECT etype, n, nd, sxd, syd,
+         nd * sxyd - sxd * syd AS cov_n,
+         nd * sxxd - sxd * sxd AS var_x,
+         nd * syyd - syd * syd AS var_y
+  FROM dd
+)
+SELECT etype AS event_type, n AS n_obs,
+       round((cov_n / var_x) * 86400.0, 6) AS slope_per_day,
+       round((syd - (cov_n / var_x) * sxd) / nd, 6) AS intercept,
+       round(CASE WHEN var_x > 0 AND var_y > 0
+                  THEN (cov_n * cov_n) / (var_x * var_y) END, 6) AS r2
+FROM cf""",
+        "scd2_asof_join": """
+WITH upd AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+), flagged AS (
+  SELECT custkey, priority, ts, seq,
+         lag(priority) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev_priority,
+         row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS rn
+  FROM upd
+), changes AS (
+  SELECT custkey, priority, ts AS valid_from, seq
+  FROM flagged WHERE rn = 1 OR prev_priority IS DISTINCT FROM priority
+), hist AS (
+  SELECT custkey, priority, valid_from,
+         lead(valid_from) OVER w AS valid_to
+  FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, seq)
+), snap AS (
+  SELECT custkey, priority FROM hist
+  WHERE valid_from <= DATE '1997-07-01'
+    AND (valid_to IS NULL OR valid_to > DATE '1997-07-01')
+)
+SELECT n_name, priority, count(*)::BIGINT AS n_customers
+FROM snap
+JOIN customer ON custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, priority""",
         "event_assoc": oracles.q_event_assoc(30, 5, 20),
         "events_ewma": oracles.q_events_ewma(0.3, 8),
         "knn_triangles": oracles.q_knn_triangles(5, 20),

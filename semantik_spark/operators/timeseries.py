@@ -525,3 +525,61 @@ def cusum_changepoints(events: DataFrame, k_slack: float = 0.5,
         )
         .withColumnRenamed("etype", type_col)
     )
+
+
+def trend_ols(events: DataFrame, type_col: str = "event_type",
+              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Per-key ordinary-least-squares trend line value ~ time — the
+    one-pass telemetry drift summary (is this metric going up, how
+    fast, and is the line a good fit).
+
+    Closed-form from five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²): slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), r² its squared
+    correlation form. x is SECONDS SINCE THE KEY'S FIRST EVENT (the
+    per-group min via a window sharing the aggregation's shuffle key)
+    — recentring keeps x ~1e6 instead of epoch ~1.6e9, so x² sums
+    stay well inside exact range; all five sums run in DECIMAL
+    (exact, partition-order-proof), and only the final closed-form
+    division happens in doubles, identically ordered on both engines.
+
+    event_type, n_obs, slope_per_day (value units/day, 6 dp),
+    intercept (value at the key's first event, 6 dp), r2 (6 dp,
+    NULL when x or y is constant). One shuffle on the key.
+    """
+    ev = events.where(F.col(value_col).isNotNull())
+    wk = Window.partitionBy(type_col)
+    x = (F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)
+         - F.min(F.unix_micros(F.col(ts_col)) / F.lit(1_000_000)).over(wk)) \
+        .cast("decimal(18,6)")
+    y = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    d = "decimal(38,6)"
+    # products of two scale-6 decimals are EXACT at scale 12 — summing
+    # them at scale 12 avoids a per-row half-way rounding whose tie
+    # rule differs between engines
+    d12 = "decimal(38,12)"
+    base = ev.select(F.col(type_col).alias("etype"),
+                     x.alias("x"), y.alias("y"))
+    sums = base.groupBy("etype").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("y").cast(d)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d12)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d12)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d12)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        F.col("etype").alias(type_col),
+        F.col("n").alias("n_obs"),
+        F.round(slope * F.lit(86400.0), 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.when((var_x > 0) & (var_y > 0),
+                       (cov_n * cov_n) / (var_x * var_y)), 6).alias("r2"),
+    )

@@ -44,7 +44,7 @@ ROUND6_WINDOW_MUST = (
 # round's WINDOW_MUST list during rotation.
 ROUND7_WINDOW_MUST = (
     "scd2_orders", "events_cusum", "compaction_plan", "knn_communities",
-    "simhash_radius_recall", "cdc_dedup",
+    "simhash_radius_recall", "cdc_dedup", "events_trend", "scd2_asof_join",
 )
 
 

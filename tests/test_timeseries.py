@@ -305,3 +305,35 @@ class TestCusum:
         assert row.n_pos_alarm == n_pos and row.n_neg_alarm == n_neg
         assert abs(row.max_s_pos - max_sp) < 1e-6
         assert abs(row.max_s_neg - max_sn) < 1e-6
+
+
+def test_trend_ols_matches_numpy_fit(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from semantik_spark.operators.timeseries import trend_ols
+
+    base = dt.datetime(2022, 3, 1)
+    rng = [(i * 3600, 2.5 + 0.125 * (i * 3600) / 86400.0 + (1 if i % 2 else -1) * 0.3)
+           for i in range(50)]
+    rows = [(i, base + dt.timedelta(seconds=s), 1, "up", v, None)
+            for i, (s, v) in enumerate(rng)]
+    rows += [(1000 + i, base + dt.timedelta(seconds=i * 60), 1, "flat", 7.0, None)
+             for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r.event_type: r for r in trend_ols(ev).collect()}
+
+    xs = np.array([s for s, _ in rng], dtype=float)
+    ys = np.array([v for _, v in rng], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    up = out["up"]
+    assert abs(up.slope_per_day - slope * 86400.0) < 1e-4
+    assert abs(up.intercept - intercept) < 1e-4
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(up.r2 - r * r) < 1e-6
+    # constant series: var_y == 0 -> r2 NULL, slope 0
+    flat = out["flat"]
+    assert flat.slope_per_day == 0.0 and flat.r2 is None
