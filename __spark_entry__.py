@@ -3057,13 +3057,23 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (projection.jl_projection): deterministic md5-parity sign matrix,
     per-vector norm-distortion witness. The data-independent
     complement to M7's trained PCA — nothing to fit or store, map-only
-    at any scale."""
+    at any scale.
+
+    Output is posexploded to scalar rows (vec_id, pos, component,
+    norm_ratio) per the repo's flatten-arrays convention (see
+    q_sparse_vectors): the driver canonicalizer sorts rows by every
+    column and cannot hash a top-level ARRAY (VERDICT r6 #1)."""
     from semantik_spark.operators.projection import jl_projection
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return jl_projection(emb, out_dim=16, dim=64)
+    proj = jl_projection(emb, out_dim=16, dim=64)
+    return proj.select(
+        "vec_id",
+        F.posexplode("proj").alias("pos", "component"),
+        "norm_ratio",
+    )
 
 
 def q_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

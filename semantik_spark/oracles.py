@@ -3159,13 +3159,15 @@ def q_jl_projection(out_dim: int = 16, dim: int = 64) -> str:
     )
     return f"""
 WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-pr AS (SELECT vec_id, v, [{comps}] AS proj FROM src)
-SELECT vec_id, proj,
-       CASE WHEN sqrt(list_dot_product(v, v)) > 0
-            THEN round(sqrt(list_dot_product(proj, proj))
-                       / sqrt(list_dot_product(v, v)), 6)
-            ELSE 0.0 END AS norm_ratio
-FROM pr"""
+pr AS (SELECT vec_id, v, [{comps}] AS proj FROM src),
+flat AS (
+  SELECT vec_id, i::INT AS pos, proj[i + 1] AS component,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN round(sqrt(list_dot_product(proj, proj))
+                         / sqrt(list_dot_product(v, v)), 6)
+              ELSE 0.0 END AS norm_ratio
+  FROM pr, generate_series(0, {out_dim - 1}) AS t(i))
+SELECT vec_id, pos, component, norm_ratio FROM flat"""
 
 
 def q_lsh_signature_matches(num_hashes: int = 16, bands: int = 4,

@@ -280,3 +280,25 @@ def test_jl_projection_preserves_pairwise_distance(spark):
     plan = jl_projection(emb, out_dim=8, dim=64)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_q_jl_projection_entry_is_flat(spark):
+    """The queries() wrapper posexplodes proj to scalar rows — the
+    driver canonicalizer cannot sort a top-level ARRAY column (that was
+    round 6's one red driver row; flatten-arrays convention).
+    tools/check_oracle.py now also hard-fails on complex columns."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import types as T
+
+    df = entrymod.q_jl_projection(spark, "/root/testdata/sf0.001")
+    assert [f.name for f in df.schema.fields] == [
+        "vec_id", "pos", "component", "norm_ratio"]
+    for f in df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)), f.name
+    # 16 scalar rows per vector, one norm_ratio repeated across them
+    first_id = df.agg({"vec_id": "min"}).collect()[0][0]
+    one = df.filter(df.vec_id == first_id).collect()
+    assert len(one) == 16
+    assert sorted(r["pos"] for r in one) == list(range(16))
+    assert len({r["norm_ratio"] for r in one}) == 1

@@ -24,11 +24,33 @@ from semantik_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+class ComplexColumnError(Exception):
+    """A top-level ARRAY/MAP/STRUCT column reached the canonicalizer.
+
+    The driver's compare sorts rows by every column and dies on
+    unhashable values (``TypeError: unhashable type: 'list'`` —
+    jl_projection, CORRECTNESS_r06). This checker used to mask that by
+    tuple-izing lists; now it fails the query the same way the driver
+    would, so flatten-arrays violations never reach a round boundary.
+    Flatten with posexplode (see q_sparse_vectors / q_jl_projection).
+    """
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, (str, bytes)) else v)
+            bad = df[c].apply(
+                lambda v: (isinstance(v, (list, tuple, dict, set))
+                           or (hasattr(v, "tolist")
+                               and not isinstance(v, (str, bytes))))
+            )
+            if bad.any():
+                raise ComplexColumnError(
+                    f"column {c!r} holds list/map/struct values — the "
+                    "driver canonicalizer cannot sort these; posexplode "
+                    "to scalar rows (flatten-arrays convention)"
+                )
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -39,7 +61,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
         return f"SCHEMA cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     if len(sdf) != len(odf):
         problems.append(f"ROWS spark={len(sdf)} oracle={len(odf)}")
-    s, o = normalize(sdf), normalize(odf)
+    try:
+        s, o = normalize(sdf), normalize(odf)
+    except ComplexColumnError as e:
+        return f"COMPLEX COLUMN (driver would crash): {e}"
     if len(s) == len(o):
         for c in s.columns:
             sc, oc = s[c], o[c]
