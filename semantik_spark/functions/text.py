@@ -25,13 +25,24 @@ def raw_tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(_col(c)), F.lit(TOKEN_PATTERN), 0)
 
 
+def lit_str_array(words) -> Column:
+    """ARRAY<STRING> literal from a Python list, built as ONE parsed
+    SQL expression instead of len(words) F.lit py4j round-trips — an
+    88-stopword array costs ~90 driver→JVM calls the Column way, which
+    at one call per query build is pure plan-construction latency
+    (r7 perf: measured ~0.3s/query on stopword-heavy builds)."""
+    quoted = ", ".join("'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                       for w in words)
+    return F.expr(f"array({quoted})")
+
+
 def bm25_tokens(c: Column | str) -> Column:
     """Reference-parity BM25 token stream: len>=2, stopwords removed.
 
     Duplicates are preserved (term frequency matters) — so this is a
     ``filter``, not ``array_except`` (which dedups).
     """
-    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    stop = lit_str_array(ENGLISH_STOPWORDS)
     return F.filter(
         raw_tokens(c),
         lambda t: (F.length(t) >= MIN_TOKEN_LENGTH) & ~F.array_contains(stop, t),

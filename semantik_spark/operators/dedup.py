@@ -214,11 +214,18 @@ def banded_candidates(banded: DataFrame,
         key = F.concat_ws("\u0001", F.col("band").cast("string"), F.col("band_key"))
         hot = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_semi")
         cold = banded.join(F.broadcast(hot_keys), ["band", "band_key"], "left_anti")
+        # cold buckets are SIZE-BOUNDED (≤ hot_bucket_threshold ids ≈
+        # 32KB/array), so a groupBy + collect_list + nested-explode pair
+        # expansion is memory-safe and replaces the former self-join's
+        # two shuffle reads with ONE shuffle; the explodes stream
+        # row-by-row, never materializing a bucket's quadratic fan-out.
+        # Hot buckets must NOT take this path — an unbounded bucket's
+        # collect_list is exactly the OOM the salted join avoids.
         cold_pairs = (
-            cold.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-            .join(cold.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
-                  ["band", "band_key"])
-            .select("doc_a", "doc_b")
+            cold.groupBy("band", "band_key")
+            .agg(F.collect_list("doc_id").alias("_ds"))
+            .selectExpr("explode(_ds) AS doc_a", "_ds")
+            .selectExpr("doc_a", "explode(filter(_ds, d -> d > doc_a)) AS doc_b")
         )
         hot_a = hot.select(F.col("doc_id").alias("doc_a"), key.alias("_bkey"))
         hot_b = hot.select(F.col("doc_id").alias("doc_b"), key.alias("_bkey"))
@@ -258,22 +265,28 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     # is a single small file.
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     arr = cache(shingle_arrays(docs.repartition(n_part, id_col), n, id_col, text_col))
-    wide = _minhash_wide(arr, num_hashes)
-    # band key = comma-joined minhashes of the band — built from the
-    # wide row, so banding adds NO extra shuffle
-    banded = wide.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[
-                    F.col(f"mh{b * rows_per_band + j}")
-                    for j in range(rows_per_band)
-                ]).alias("band_key"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    # band key = comma-joined minhashes of the band, computed straight
+    # from the hash array — banding adds NO extra shuffle. Minhash
+    # per permutation i = array_min(harr XOR C_i) exactly as
+    # _minhash_wide; built as ONE selectExpr SQL string because the
+    # equivalent 16-deep Column-object chain costs hundreds of py4j
+    # round-trips per query build (r7 perf: ~0.5s of driver chatter at
+    # any SF — plan-construction cost, not execution).
+    consts = minhash_mix_constants(num_hashes)
+    mh_sql = [
+        f"array_min(transform(harr, h -> h ^ CAST({c} AS BIGINT)))"
+        for c in consts
+    ]
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws(',', {keys}) AS band_key)".format(
+            b=b,
+            keys=", ".join(mh_sql[b * rows_per_band + j] for j in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    banded = arr.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.band_key AS band_key")
     candidates = cache(banded_candidates(banded, hot_bucket_threshold))
     # exact-verify ONLY the candidate pairs (this is the entire point
     # of LSH): hydrate both docs' shingle arrays onto each candidate
@@ -284,13 +297,14 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     # boilerplate shingles, the same skew LSH banding exists to avoid —
     # while array_intersect is O(|a|+|b|) per pair, shuffles only the
     # candidate rows + candidate docs' arrays, and has no hot key.
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select("doc_b"))
-        .distinct()
+    # duplicate doc_ids in the broadcast are harmless to a left_semi —
+    # skipping the distinct saves a shuffle stage; the broadcast stays
+    # bounded by 2x the candidate-pair count
+    cand_docs = candidates.select(F.col("doc_a").alias("doc_id")).union(
+        candidates.select("doc_b")
     )
     sub = arr.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    inter = (
+    return (
         candidates
         .join(sub.select(F.col("doc_id").alias("doc_a"),
                          F.size("shingles").alias("na"),
@@ -298,15 +312,12 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         .join(sub.select(F.col("doc_id").alias("doc_b"),
                          F.size("shingles").alias("nb"),
                          F.col("shingles").alias("_shb")), "doc_b")
-        .withColumn("n_common",
-                    F.size(F.array_intersect("_sha", "_shb")).cast("bigint"))
-    )
-    return (
-        inter.withColumn(
-            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        .selectExpr(
+            "doc_a", "doc_b",
+            "(cast(size(array_intersect(_sha, _shb)) AS BIGINT)"
+            " / (na + nb - size(array_intersect(_sha, _shb)))) AS jaccard",
         )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -326,7 +337,8 @@ CC_LAST_JUMPS = 0
 
 
 def connected_components(edges: DataFrame, node_a: str = "doc_a",
-                         node_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                         node_b: str = "doc_b", max_iter: int = 25,
+                         edges_canonical: bool = False) -> DataFrame:
     """node, component — connected components over an undirected edge
     list by min-label propagation with an ADAPTIVE pointer jump: each
     round every node takes the min of (its label, its neighbors'
@@ -355,43 +367,57 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     corpus (also pinned).
 
     Scale notes: each round is one or two shuffle joins (neighbor min,
-    plus label-of-label only when jumping) and one aggregation;
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1. Convergence is a driver-side count
-    of changed labels between rounds (an O(nodes) action, not a
-    collect); the same count drives the jump decision, so adaptivity
-    adds zero extra Spark jobs — round 1 is fused into label
-    construction (identity labels make neighbor-min a plain
+    plus label-of-label only when jumping) and one aggregation; LAZY
+    ``localCheckpoint(eager=False)`` truncates the growing lineage
+    (the plan becomes a leaf the moment the checkpoint is declared, so
+    round N never re-analyzes rounds 1..N-1 — same O(1) tree as the
+    old eager version) while the round's own convergence action
+    materializes the blocks, so checkpointing adds ZERO extra jobs
+    (r7 perf: the eager ckpt + separate count pattern paid 2 jobs per
+    round; the common 2-round near-dup case now runs 2 jobs total).
+    Convergence is a driver-side count of changed labels between
+    rounds; the same count drives the jump decision — round 1 is fused
+    into label construction (identity labels make neighbor-min a plain
     aggregation) and |nodes| rides along in round 1's count job.
+
+    ``edges_canonical``: set True when the input is already a DISTINCT
+    pair list with node_a < node_b (every banded-dedup pair table here
+    is — ``banded_candidates`` ends in distinct and the verify filter
+    preserves it); the symmetrized union then has no duplicate rows and
+    the edge-list distinct (a full shuffle of the pair table) is
+    skipped. Duplicate edges would only waste work, never change the
+    result (min is idempotent), so the flag is a pure physical hint.
     """
     global CC_LAST_ROUNDS, CC_LAST_JUMPS
     sym = edges.select(F.col(node_a).alias("src"), F.col(node_b).alias("dst"))
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # EAGER checkpoint, deliberately (r6 note): a lazy cache() here
-    # keeps the full upstream plan tree (the whole LSH pipeline with
-    # its broadcast subqueries) inside every round's logical plan —
-    # cached blocks dedupe the EXECUTION but Catalyst still re-analyzes
-    # the giant tree per action, which measured ~3s/round at sf0.1 vs
-    # ~0.5s against a checkpoint-truncated tree. localCheckpoint cuts
-    # the lineage at the operator boundary so each round plans over a
-    # leaf scan.
-    sym = sym.localCheckpoint()
+    )
+    if not edges_canonical:
+        sym = sym.distinct()
+    # Lazy checkpoint (r7; the r6 version was eager): a plain cache()
+    # here keeps the full upstream plan tree (the whole LSH pipeline
+    # with its broadcast subqueries) inside every round's logical plan
+    # — cached blocks dedupe the EXECUTION but Catalyst still
+    # re-analyzes the giant tree per action (~3s/round at sf0.1 vs
+    # ~0.5s against a checkpoint-truncated tree), while an EAGER
+    # checkpoint pays a dedicated job per cut. eager=False gives both:
+    # the returned plan is already a leaf (LogicalRDD), and the blocks
+    # materialize inside round 1's counts job below.
+    sym = sym.localCheckpoint(eager=False)
     # Round 1 FUSED into label construction (r6 perf): with identity
     # labels, neighbor-min is simply min(node, min over neighbors) —
     # one aggregation over sym, no join, no separate identity-label
-    # materialization. Saves two jobs (labels checkpoint + round-1
-    # join) of the fixed per-job overhead that dominated the
-    # near-dup common case (2-3 total rounds on tiny-diameter graphs).
+    # materialization.
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     CC_LAST_ROUNDS = 1
     CC_LAST_JUMPS = 0
-    # one job for BOTH counts: changed_0 (= |nodes|, the jump
+    # ONE job for round 1: materializes the sym + labels checkpoints
+    # and computes BOTH counts — changed_0 (= |nodes|, the jump
     # baseline) and round 1's churn
     counts = labels.select(
         F.count("*").alias("n"),
@@ -424,7 +450,7 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
         if not do_jump:
             new_labels = cand.select(
                 "node", F.col("_cand").alias("label"), F.col("_old")
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         else:
             # pointer jump: follow the candidate label one hop through
             # the CURRENT label table — label(label(v)) — so long
@@ -438,9 +464,11 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
                     F.least(F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))).alias("label"),
                     F.col("_old"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         prev_changed = changed
+        # the round's ONLY job: materializes new_labels' checkpoint and
+        # counts churn in one pass
         changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:
@@ -457,7 +485,10 @@ def duplicate_clusters(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     Singleton docs (no near-dup edge) are not emitted — they are
     implicitly their own cluster."""
     pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, threshold, id_col, text_col)
-    cc = connected_components(pairs)
+    # minhash_lsh_pairs output is distinct with doc_a < doc_b
+    # (banded_candidates ends in a distinct the verify filter
+    # preserves) — skip CC's edge-dedup shuffle
+    cc = connected_components(pairs, edges_canonical=True)
     w = Window.partitionBy("cluster_id")
     return (
         cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))

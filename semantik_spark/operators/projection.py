@@ -330,8 +330,12 @@ def jl_projection(emb: DataFrame, out_dim: int = 16, dim: int = 64,
     scale = math.sqrt(float(out_dim))
     v = emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
+    # each sign row as ONE parsed array literal — the F.lit-per-entry
+    # form is out_dim*dim py4j round-trips (1024 for 16x64), pure
+    # driver-side plan-construction latency (r7 perf)
     comps = [
-        F.round(dot(F.col("v"), F.array(*[F.lit(s) for s in _jl_signs(i, dim)]))
+        F.round(dot(F.col("v"), F.expr(
+            "array(" + ", ".join(repr(s) for s in _jl_signs(i, dim)) + ")"))
                 / F.lit(scale), 6)
         for i in range(out_dim)
     ]

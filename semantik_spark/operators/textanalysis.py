@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from semantik_spark.config import ENGLISH_STOPWORDS, LANG_STOPWORDS
 from semantik_spark.functions.hashing import hash60
 from semantik_spark.functions.text import (
+    lit_str_array,
     raw_tokens,
     shingles_from_tokens,
     whitespace_tokens,
@@ -23,7 +24,7 @@ from semantik_spark.functions.vectors import _bind
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
-    wl = F.array(*[F.lit(w) for w in words])
+    wl = lit_str_array(words)
     return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
 
 
@@ -616,7 +617,7 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     )).cast("bigint")
     lowered = F.transform(words, F.lower)
     n_stop = F.size(F.array_intersect(
-        lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        lowered, lit_str_array(GOPHER_STOPWORDS)
     )).cast("bigint")
 
     ok_words = (n_words >= min_words) & (n_words <= max_words)
