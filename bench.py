@@ -29,6 +29,14 @@ from semantik_spark.session import get_spark
 
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+# Queries whose FIRST rep lands under this many seconds get no further
+# reps (VERDICT r6 item 9): sub-second map-only queries are stable, and
+# tripling ~100 of them burned ~80s of suite wall without changing any
+# gate metric. The rep budget concentrates on the heavy tail, where
+# run-to-run variance actually moves medians. Override with
+# $SPARK_GRAFT_BENCH_FASTCAP (0 disables the cap).
+FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
+
 BENCH_QUERIES = [
     "pricing_summary",
     "join_revenue",
@@ -106,7 +114,8 @@ BENCH_QUERIES = [
     "corpus_overlap", "corpus_drift_psi", "late_data_audit",
     "leakage_safe_split", "knn_nprobe_sweep", "scd2_orders",
     "events_cusum", "compaction_plan", "knn_communities",
-    "simhash_radius_recall", "cdc_dedup",
+    "simhash_radius_recall", "cdc_dedup", "events_trend",
+    "scd2_asof_join",
 ]
 
 
@@ -206,6 +215,22 @@ def _bench_skew(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
     _record("dedup_skew_stress", [dt], med, lo, hi, extra=f"  ({n} pairs)")
 
 
+def _bench_canary(spark, sf_dir: str) -> float:
+    """Fixed noise canary (VERDICT r6 item 4): a constant scan+agg over
+    lineitem whose plan never changes round to round. Its ratio to the
+    historical value (README 'Reading the bench canary') deflates the
+    round's medians — when the canary runs 1.4x its usual cost, a
+    uniform 1.4x inflation across unchanged queries is box contention,
+    not a plan regression."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    job = lambda: li.groupBy("l_returnflag").agg(  # noqa: E731
+        F.count("*"), F.sum("l_quantity")).count()
+    times = [_timed(job)[0] for _ in range(3)]
+    return statistics.median(times)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -219,18 +244,30 @@ def main() -> None:
     med: dict[str, float] = {}
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
+    canary_start = _bench_canary(spark, sf_dir)
     for name in BENCH_QUERIES:
         times = []
         n = 0
-        for _ in range(REPS):
+        for rep in range(REPS):
             dt, n = _timed(lambda: qs[name](spark, sf_dir).count())
             times.append(dt)
+            if rep == 0 and FAST_SINGLE_REP_SEC > 0 and dt < FAST_SINGLE_REP_SEC:
+                break  # stable sub-second query: one rep is enough
         _record(name, times, med, lo, hi, extra=f"  ({n} rows)")
 
     _bench_serving(spark, sf_dir, med, lo, hi)
     _bench_skew(spark, sf_dir, med, lo, hi)
+    # canary measured at both ends: the mean tracks the round's overall
+    # contention level, the delta shows drift within the run
+    canary_end = _bench_canary(spark, sf_dir)
+    canary = round((canary_start + canary_end) / 2, 3)
+    med["noise_canary"] = canary
+    lo["noise_canary"] = round(min(canary_start, canary_end), 3)
+    hi["noise_canary"] = round(max(canary_start, canary_end), 3)
+    print(f"# noise_canary: {canary:.3f}s (start {canary_start:.3f}s, "
+          f"end {canary_end:.3f}s)", file=sys.stderr)
 
-    total = round(sum(med.values()), 3)
+    total = round(sum(v for k, v in med.items() if k != "noise_canary"), 3)
     line = {
         "metric": "suite_wall_sec_median_of_%d" % REPS,
         "value": total,
@@ -266,6 +303,7 @@ def main() -> None:
             "hybrid_ms_q": round(med.get("hybrid_serve", 0.0) * 1000 / nq, 1),
             "ivf_ms_q": round(med.get("dense_ivf_serve", 0.0) * 1000 / nq, 1),
             "rerank_ms_q": round(med.get("rerank_search", 0.0) * 1000 / nq, 1),
+            "noise_canary": med.get("noise_canary", 0.0),
         },
     }
     print(json.dumps(short))
