@@ -469,6 +469,31 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFADC serve (serving.write_ivfpq_index +
+    ivfpq_serve — VERDICT r6 item 5): the FAISS-IndexIVFPQ on-disk
+    layout ((cell, m positional codes) partitioned by centroid_id +
+    codebook sidecars), probed-cells-only partition-pruned ADC scan,
+    exact rescore via candidate-id pushdown on the full-precision
+    table (the reference two-phase fetch,
+    vecpipe/search/dense_search.py). Row-identical to knn_ivfpq at
+    equal parameters, so the oracle replays the same training."""
+    import shutil
+
+    from semantik_spark.operators import serving
+
+    corpus, queries = _emb_split(spark, sf_dir)
+    base = _scratch("ivfpq_idx")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    serving.write_ivfpq_index(corpus, base, dim=64, n_centroids=16, m=8,
+                              pq_centroids=16, refine_iters=1)
+    return _r6(
+        serving.ivfpq_serve(spark, base, queries, k=5, nprobe=4,
+                            rescore_k=20),
+        "cos",
+    )
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality: recall@5 of each approximate method against the
     exhaustive top-5 — one aggregated row per method, so a parameter
@@ -3334,6 +3359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data_audit": q_late_data_audit,
         "leakage_safe_split": q_leakage_safe_split,
         "knn_nprobe_sweep": q_knn_nprobe_sweep,
+        # --- new in round 7 — must be in-window
+        "knn_ivfpq_serve": q_knn_ivfpq_serve,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -4512,6 +4539,10 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
         "gopher_quality": oracles.q_gopher_rules(50, 100000),
         "knn_ivfpq": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
+        # persisted-layout serve is row-identical to the in-one-run
+        # operator (equality test-pinned), so the oracle replays the
+        # same training composition
+        "knn_ivfpq_serve": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
         "dsir_weights": oracles.q_dsir_weights(64, "lang = 'en'"),
         "count_min_freq": oracles.q_count_min(4, 256, 30, full_report=True),
         "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),

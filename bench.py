@@ -179,6 +179,32 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
             per_q = statistics.median(times) / len(SEARCH_QUERIES)
             _record(name, times, med, lo, hi,
                     extra=f"  ({n} rows, {per_q * 1000:.0f} ms/query at median)")
+        # persisted IVFADC layout (r7): build once from the embeddings
+        # table, then serve the 10 held-out query vectors per rep —
+        # partition-pruned ADC scan + pushdown rescore
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        corpus = emb.where("vec_id >= 10")
+        vq = emb.where("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        t0 = time.time()
+        serving.write_ivfpq_index(corpus, idx_dir, dim=64, n_centroids=16,
+                                  m=8, pq_centroids=16)
+        med["index_build_ivfpq"] = lo["index_build_ivfpq"] = \
+            hi["index_build_ivfpq"] = round(time.time() - t0, 3)
+        times = []
+        n = 0
+        for _ in range(REPS):
+            dt, n = _timed(lambda: serving.ivfpq_serve(
+                spark, idx_dir, vq, k=5, nprobe=4, rescore_k=20).count())
+            times.append(dt)
+        nq = vq.count()
+        per_q = statistics.median(times) / max(nq, 1)
+        _record("ivfpq_serve", times, med, lo, hi,
+                extra=f"  ({n} rows, {per_q * 1000:.0f} ms/query at median)")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

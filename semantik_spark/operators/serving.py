@@ -297,3 +297,221 @@ def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
+                      n_centroids: int = 16, m: int = 8,
+                      pq_centroids: int = 16, refine_iters: int = 1,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Persist the IVFADC serving layout (VERDICT r6 item 5 — the
+    FAISS IndexIVFPQ on-disk shape, reference two-phase fetch
+    vecpipe/search/dense_search.py):
+
+      {path}/ivfpq_codes     (vec_id, codes ARRAY<INT>) partitioned by
+                             centroid_id — m positional PQ codes per
+                             vector, the ADC-scannable index (m bytes'
+                             worth of information per vector; stored as
+                             parquet INT32 which dictionary+RLE encodes
+                             to ~1 byte at pq_centroids ≤ 256)
+      {path}/ivfpq_full      (vec_id, v) full-precision vectors for the
+                             exact rescore (late materialization)
+      {path}/ivfpq_codebook  coarse (cid, cv)
+      {path}/ivfpq_pq        (s, pos, cid, cv) — per-subspace centroid
+                             sub-vectors, position == cid rank
+
+    Training and encoding reuse the exact knn_ivfpq kernels
+    (similarity.ivf_centroids/ivf_refine/pq_codebooks and the same
+    argmin tie-breaks), so ivfpq_serve over this layout returns
+    bit-identical rows to the in-one-run similarity.knn_ivfpq —
+    equality is test-pinned (tests/test_serving.py).
+
+    100 TB shape: both codebooks are corpus-size-independent; encode is
+    one broadcast-codebook map over the scan; the codes table is the
+    only per-vector state the ADC scan touches (dim/8 of the raw
+    bytes at m=8,dim=64 float64), partition-pruned to probed cells.
+    """
+    from semantik_spark.functions.caching import cache
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _l2, _pq_codebook_df, ivf_centroids, ivf_refine,
+        pq_codebooks,
+    )
+    from semantik_spark.functions.vectors import cosine
+
+    d = dim // m
+    spark = corpus.sparkSession
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
+                               id_col=id_col, vec_col=vec_col)
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    # coarse assign + residual in one pass — same expression as
+    # similarity.knn_ivfpq so the stored cell is the one it would pick
+    best = F.array_max(F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            cosine(F.col("v"), ct["cv"]).alias("cos"),
+            (-ct["cid"]).alias("negcid"),
+            ct["cv"].alias("cv"),
+        ),
+    ))
+    assigned = c.crossJoin(codebook).select(
+        "vec_id", "v",
+        (-best["negcid"]).alias("centroid_id"),
+        F.zip_with("v", best["cv"], lambda a, b: a - b).alias("residual"),
+    )
+    assigned = cache(assigned)
+    book = pq_codebooks(assigned, dim=dim, m=m, n_centroids=pq_centroids,
+                        refine_iters=refine_iters,
+                        id_col="vec_id", vec_col="residual")
+    cb = F.broadcast(_pq_codebook_df(spark, book, m))
+
+    # positional code per subspace: the codebook lists are cid-ordered,
+    # so argmin over (dist, position) == knn_ivfpq's (dist, cid)
+    def code_at(s: int) -> F.Column:
+        cands = F.element_at(F.col("cents"), s + 1)
+        return F.array_min(F.transform(
+            cands,
+            lambda ct, i: F.struct(
+                _l2(F.slice(F.col("residual"), s * d + 1, d), ct["cv"]).alias("dist"),
+                i.alias("pos"),
+            ),
+        ))["pos"].cast("int")
+
+    codes = assigned.crossJoin(cb).select(
+        "vec_id", "centroid_id",
+        F.array(*[code_at(s) for s in range(m)]).alias("codes"),
+    )
+    codes.write.mode("overwrite").partitionBy("centroid_id") \
+        .parquet(f"{path}/ivfpq_codes")
+    c.select("vec_id", "v").write.mode("overwrite") \
+        .parquet(f"{path}/ivfpq_full")
+    spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
+        "cid bigint, cv array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/ivfpq_codebook")
+    by_s: dict[int, list] = {}
+    for b in book:
+        by_s.setdefault(int(b["s"]), []).append((int(b["cid"]), b["cv"]))
+    pq_rows = []
+    for s, lst in sorted(by_s.items()):
+        for pos, (cid, cv) in enumerate(sorted(lst, key=lambda t: t[0])):
+            pq_rows.append((s, pos, cid, [float(x) for x in cv]))
+    spark.createDataFrame(
+        pq_rows, "s int, pos int, cid bigint, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/ivfpq_pq")
+
+
+def ivfpq_serve(spark: SparkSession, path: str, queries: DataFrame,
+                k: int = 5, nprobe: int = 4, rescore_k: int = 20,
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec") -> DataFrame:
+    """Serve top-k from the persisted IVFADC layout — the reference's
+    two-phase fetch (vecpipe/search/dense_search.py: candidate scan,
+    then full-precision hydrate):
+
+      phase 1  probe planning ON THE DRIVER (query batch + coarse
+               codebook are driver-scale): nprobe cells per query by
+               the bit-exact cosine twin; the probed-cell isin is a
+               STATIC predicate, so the codes scan partition-prunes to
+               nprobe/n_centroids of the index (PartitionFilters —
+               asserted in tests/test_plans.py). ADC scores
+               cos(qv, ccv + recon(codes)) against the broadcast PQ
+               codebook; top rescore_k ids per query are collected
+               (bounded: nq × rescore_k rows).
+      phase 2  exact rescore: the candidate ids become an isin
+               pushdown on the full-precision table — parquet
+               row-group min/max skipping, reading only the survivors'
+               neighborhoods, never the corpus.
+
+    Row-identical to similarity.knn_ivfpq at equal parameters
+    (test-pinned)."""
+    from semantik_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    cent_rows = sorted(
+        ((int(r["cid"]), [float(x) for x in r["cv"]])
+         for r in spark.read.parquet(f"{path}/ivfpq_codebook").collect()),
+        key=lambda t: t[0],
+    )
+    pq = spark.read.parquet(f"{path}/ivfpq_pq").collect()
+    m = 1 + max(int(r["s"]) for r in pq)
+    by_s: list[list] = [[] for _ in range(m)]
+    for r in pq:
+        by_s[int(r["s"])].append((int(r["pos"]), int(r["cid"]),
+                                  [float(x) for x in r["cv"]]))
+    for lst in by_s:
+        lst.sort(key=lambda t: t[0])
+    cents_data = [[(cid, cv) for _, cid, cv in lst] for lst in by_s]
+
+    q_rows = queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(query_vec_col).alias("qv")).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r["qv"]]
+        ranked = sorted(((_cosine_py(qv, cv), -cid) for cid, cv in cent_rows),
+                        reverse=True)[:nprobe]
+        cvs = dict(cent_rows)
+        probe_rows += [(r["query_id"], qv, -negcid, cvs[-negcid])
+                       for _, negcid in ranked]
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+        "qv array<double>, centroid_id bigint, ccv array<double>",
+    )
+    probed_cells = sorted({cid for _, _, cid, _ in probe_rows})
+
+    # phase 1: ADC over probed cells only (partition pruning on the
+    # directory layout); recon travels as DATA via the one-row
+    # broadcast codebook (literal inlining blows codegen at real sizes)
+    pq_cb = F.broadcast(spark.createDataFrame(
+        [(cents_data,)], "cents array<array<struct<cid:bigint,cv:array<double>>>>"
+    ))
+    index = spark.read.parquet(f"{path}/ivfpq_codes").where(
+        F.col("centroid_id").isin(probed_cells)
+    )
+    recon = F.flatten(F.array(*[
+        F.element_at(F.element_at(F.col("cents"), s + 1),
+                     F.element_at(F.col("codes"), s + 1) + 1)["cv"]
+        for s in range(m)
+    ]))
+    approx = (
+        index.crossJoin(pq_cb)
+        .join(F.broadcast(probes), "centroid_id")
+        .select("query_id", "vec_id",
+                cosine(F.zip_with("ccv", recon, lambda a, b: a + b),
+                       F.col("qv")).alias("acos"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cand_rows = (
+        approx.withColumn("arank", F.row_number().over(w1))
+        .where(F.col("arank") <= rescore_k)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+
+    # phase 2: exact rescore with the candidate ids PUSHED into the
+    # full-precision scan (row-group skipping), qv rejoined broadcast
+    cand_ids = sorted({int(r["vec_id"]) for r in cand_rows})
+    cand = spark.createDataFrame(
+        [(r["query_id"], int(r["vec_id"])) for r in cand_rows],
+        f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+        "vec_id bigint",
+    )
+    qdf = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["qv"]]) for r in q_rows],
+        f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+        "qv array<double>",
+    )
+    full = spark.read.parquet(f"{path}/ivfpq_full").where(
+        F.col("vec_id").isin(cand_ids)
+    )
+    exact = (
+        F.broadcast(cand).join(full, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)

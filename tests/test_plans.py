@@ -823,3 +823,40 @@ def test_cdc_chunks_no_join_until_stats(spark):
     plan = _plan(content_defined_chunks(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_serve_prunes_partitions_and_pushes_rescore_ids(spark, tmp_path):
+    """Two-phase-fetch scan shape (serving.ivfpq_serve): phase 1's
+    probed-cell isin must reach the codes scan as a PartitionFilter on
+    the centroid_id directory layout, and phase 2's candidate ids must
+    reach the full-precision scan as PushedFilters (row-group
+    skipping) — at 100 TB the serve reads nprobe/n_centroids of the
+    codes and only the survivors' row groups of the vectors."""
+    import random
+
+    from semantik_spark.operators import serving
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    corpus = emb.where("vec_id >= 4")
+    queries = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    idx = str(tmp_path / "ivfpq")
+    serving.write_ivfpq_index(corpus, idx, dim=64, n_centroids=8, m=8,
+                              pq_centroids=8, refine_iters=1)
+    out = serving.ivfpq_serve(spark, idx, queries, k=5, nprobe=2, rescore_k=10)
+    # phase 2 plan (the returned df): full-precision scan with the
+    # candidate ids pushed down (formatted explain — toString truncates
+    # PushedFilters and scan locations)
+    fmt = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "ivfpq_full" in fmt, fmt[:2000]
+    assert "PushedFilters: [In(vec_id" in fmt.replace("#", " "), fmt[:2000]
+    # phase 1 plan: partition pruning on the codes directory layout
+    probe_plan = _plan(
+        spark.read.parquet(f"{idx}/ivfpq_codes").where(
+            F.col("centroid_id").isin([0, 1]))
+    ).replace("#", " ")
+    assert "PartitionFilters" in probe_plan and "centroid_id" in probe_plan, \
+        probe_plan[:2000]

@@ -137,3 +137,30 @@ def test_dense_serve_ivf_filtered_composes_pruning(spark, tmp_path):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     assert "PartitionFilters: [centroid_id" in plan
+
+
+def test_ivfpq_serve_equals_in_one_run_operator(spark, tmp_path):
+    """The persisted IVFADC layout serves bit-identical rows to
+    similarity.knn_ivfpq at equal parameters — training, encode
+    tie-breaks, probe ranking, ADC reconstruction and rescore all
+    replay through the on-disk (codes + codebooks + full) tables."""
+    import random
+
+    from semantik_spark.operators import serving, similarity
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    corpus = emb.where("vec_id >= 6")
+    queries = emb.where("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    ref = similarity.knn_ivfpq(corpus, queries, k=5, dim=64, n_centroids=8,
+                               nprobe=3, m=8, pq_centroids=8, rescore_k=15)
+    idx = str(tmp_path / "ivfpq")
+    serving.write_ivfpq_index(corpus, idx, dim=64, n_centroids=8, m=8,
+                              pq_centroids=8, refine_iters=1)
+    got = serving.ivfpq_serve(spark, idx, queries, k=5, nprobe=3, rescore_k=15)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["vec_id"], round(r["cos"], 10), r["rank"])
+        for r in df.collect())
+    assert norm(ref) == norm(got)
