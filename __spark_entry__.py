@@ -243,6 +243,29 @@ def q_bm25_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.term_stats(tok).select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
 
 
+def q_bm25_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 stats merge (bm25.merge_corpus_state /
+    merge_term_state — VERDICT r6 item 7; reference incremental-sync
+    semantics bm25_sparse_indexer.py:545-591): state built on the even
+    half of the corpus, delta-merged with the odd half, then the full
+    (term, term_id, df, idf, n_docs, avgdl) table derived from merged
+    state only — vocab-sized work, no corpus rescan. The oracle
+    computes the same table over the WHOLE corpus in one pass, so a
+    green row IS the merge == recompute proof at driver level."""
+    docs = _t(spark, sf_dir, "documents")
+    tok_even = bm25.tokenize(docs.where(F.col("doc_id") % 2 == 0))
+    tok_odd = bm25.tokenize(docs.where(F.col("doc_id") % 2 == 1))
+    cstate = bm25.merge_corpus_state(bm25.corpus_state(tok_even), tok_odd)
+    tstate = bm25.merge_term_state(bm25.term_state(tok_even), tok_odd)
+    stats = bm25.stats_from_state(cstate)
+    return (
+        bm25.term_stats_from_state(tstate, stats)
+        .crossJoin(F.broadcast(stats))
+        .select("term", "term_id", "df", F.round("idf", 6).alias("idf"),
+                "n_docs", F.round("avgdl", 6).alias("avgdl"))
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
     stats = bm25.corpus_stats(tok)
@@ -3361,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_nprobe_sweep": q_knn_nprobe_sweep,
         # --- new in round 7 — must be in-window
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
+        "bm25_stats_merge": q_bm25_stats_merge,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -3679,6 +3703,9 @@ SELECT user_id, session_id, min(us) AS session_start_us, max(us) AS session_end_
 FROM sess GROUP BY user_id, session_id""",
         "bm25_corpus_stats": oracles.q_bm25_corpus_stats(),
         "bm25_term_stats": oracles.q_bm25_term_stats(),
+        # one-pass whole-corpus stats: a hash-match against the Spark
+        # side's half+half delta-merge IS the merge==recompute proof
+        "bm25_stats_merge": oracles.q_bm25_stats_merge(),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),

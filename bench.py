@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "events_cusum", "compaction_plan", "knn_communities",
     "simhash_radius_recall", "cdc_dedup", "events_trend",
     "scd2_asof_join",
+    # round-7 additions
+    "knn_ivfpq_serve", "bm25_stats_merge",
 ]
 
 

@@ -64,16 +64,83 @@ def term_stats(tokenized: DataFrame, stats: DataFrame | None = None,
     Pass ``stats`` (corpus_stats output) to avoid a second scan of
     ``tokenized``.
     """
-    from pyspark.sql import Window
-
     n_avg = stats if stats is not None else corpus_stats(tokenized)
-    terms = (
+    return term_stats_from_state(term_state(tokenized), n_avg, bucket_chars)
+
+
+def corpus_state(tokenized: DataFrame) -> DataFrame:
+    """The MERGEABLE form of corpus stats: single-row (n_docs BIGINT,
+    sum_dl BIGINT). Unlike avgdl, both fields are integer sums, so two
+    states (or a state and a delta batch) merge by addition —
+    bit-exactly, in any order. ``stats_from_state`` derives the
+    (n_docs, avgdl) view downstream operators consume.
+
+    Reference semantics: the incremental sync path accumulates
+    document_count / total_length across chunks and derives avgdl at
+    score time (bm25_sparse_indexer.py:545-591); this is that
+    accumulator as a one-row table."""
+    return tokenized.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_len").cast("bigint").alias("sum_dl"),
+    )
+
+
+def term_state(tokenized: DataFrame) -> DataFrame:
+    """The MERGEABLE form of term stats: (term, df BIGINT). df counts
+    merge by per-term addition (a doc contributes 1 to each distinct
+    term it contains, so disjoint doc sets sum)."""
+    return (
         tokenized.select(F.explode(F.array_distinct("tokens")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
     )
+
+
+def merge_corpus_state(old: DataFrame, delta_tokenized: DataFrame) -> DataFrame:
+    """old corpus_state ⊕ a tokenized APPEND batch → new corpus_state.
+    One union of one-row frames + one sum — no corpus rescan. Exactness
+    (merge == recompute over the union) is test-pinned; only valid for
+    appends of NEW doc ids (an update must retract the old version
+    first — the change-detection anti-join upstream guarantees this)."""
+    return old.unionByName(corpus_state(delta_tokenized)).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+
+
+def merge_term_state(old: DataFrame, delta_tokenized: DataFrame) -> DataFrame:
+    """old term_state ⊕ a tokenized APPEND batch → new term_state: one
+    groupBy(term) over old-state ∪ delta-df rows. The shuffle is
+    |vocab| + |batch vocab| rows — never the corpus."""
+    return (
+        old.select("term", "df")
+        .unionByName(term_state(delta_tokenized))
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+
+
+def stats_from_state(state: DataFrame) -> DataFrame:
+    """corpus_state → the (n_docs, avgdl) view corpus_stats produces.
+    sum/count division (exact integer inputs) keeps the double
+    independent of how many merges built the state."""
+    return state.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+
+
+def term_stats_from_state(tstate: DataFrame, stats: DataFrame,
+                          bucket_chars: int = 2) -> DataFrame:
+    """(term, df) state + (n_docs, avgdl) stats → the full
+    (term, term_id, df, idf) table term_stats produces: idf from the
+    merged N/df, term_id by the deterministic prefix-bucket global
+    rank. Vocab-sized work — rebuilding ids/idf after a merge never
+    rescans the corpus."""
+    from pyspark.sql import Window
+
     bucketed = (
-        terms.crossJoin(F.broadcast(n_avg))
+        tstate.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.greatest(

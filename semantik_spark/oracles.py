@@ -209,6 +209,20 @@ def q_bm25_term_stats() -> str:
     )
 
 
+def q_bm25_stats_merge() -> str:
+    """Whole-corpus term stats + corpus stats in one pass — the twin of
+    the Spark side's half-corpus-state ⊕ delta merge (bm25
+    merge_corpus_state / merge_term_state / term_stats_from_state):
+    equality proves merge == recompute at driver-hash level."""
+    return (
+        f"WITH {bm25_ctes()} "
+        "SELECT term, term_id, df, round(idf, 6) AS idf, "
+        "       (SELECT n_docs FROM bstats) AS n_docs, "
+        "       (SELECT round(avgdl, 6) FROM bstats) AS avgdl "
+        "FROM terms"
+    )
+
+
 def q_bm25_postings() -> str:
     return (
         f"WITH {bm25_ctes()} "

@@ -116,7 +116,7 @@ def session_windows_stream(events: DataFrame, gap_minutes: int = 30,
 
 
 def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
-                      checkpoint: str, sparse_refresh: bool = True,
+                      checkpoint: str, sparse_refresh: bool | str = True,
                       id_col: str = "doc_id", text_col: str = "text"):
     """Streaming index maintenance — the reference's "continuous sync"
     landing in the SERVING index, not just the catalog: each micro-batch
@@ -127,11 +127,26 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
     corpus-global, refreshes the sparse tables exactly by rebuilding
     terms/postings from the updated catalog.
 
-    At 100 TB: the dense log append is per-changed-doc work; the sparse
-    rebuild is the one full-corpus pass, so real deployments set
-    ``sparse_refresh`` on a cadence (every Nth trigger / nightly) and
-    serve slightly-stale idf between refreshes — exactly the trade the
-    reference's periodic re-sync makes. Returns the StreamingQuery.
+    ``sparse_refresh`` modes:
+      True     exact rebuild of terms/postings per batch (corpus pass)
+      "merge"  APPEND path (r7, reference incremental-sync semantics
+               bm25_sparse_indexer.py:545-591): delta-merge the
+               mergeable (n_docs, sum_dl) / (term, df) state
+               (serving.merge_sparse_append) — batch-sized work, no
+               corpus scan; the terms table stays EXACT (merge ==
+               recompute, test-pinned) while previously-written
+               postings keep their index-time weights. A batch that
+               UPDATES an existing doc id cannot delta-merge (the old
+               version must be retracted), so it falls back to the
+               exact rebuild for that batch.
+      False    dense log only
+
+    At 100 TB: the dense log append and the "merge" sparse path are
+    per-changed-doc work; the exact sparse rebuild is the one
+    full-corpus pass, so real deployments run "merge" per trigger and
+    schedule the exact rebuild on a cadence (every Nth trigger /
+    nightly) to re-level the stale old-doc weights — exactly the trade
+    the reference's periodic re-sync makes. Returns the StreamingQuery.
     """
     from semantik_spark.functions.vectors import mock_embedding
     from semantik_spark.operators import serving
@@ -149,8 +164,18 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
                 & (F.col("content_hash") == F.col("_old_hash")),
                 "left_anti",
             )
+            if sparse_refresh == "merge":
+                # delta-merge is only exact for NEW doc ids; an update
+                # (same id, different hash) needs the old version
+                # retracted → exact rebuild for that batch
+                n_updates = changed.join(
+                    old.select(F.col("_old_id").alias(id_col)).distinct(),
+                    id_col, "left_semi").count()
+            else:
+                n_updates = 0
         except Exception:  # first batch: no catalog yet
             changed = hashed
+            n_updates = 0
         changed = changed.withColumn(
             "_batch_id", F.lit(batch_id).cast("bigint")
         ).localCheckpoint()  # one evaluation, three sinks
@@ -160,7 +185,11 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
             mock_embedding(text_col).alias("embedding"),
             "_batch_id",
         ).write.mode("append").parquet(f"{idx_dir}/dense_log")
-        if sparse_refresh:
+        if sparse_refresh == "merge" and n_updates == 0:
+            # APPEND path: batch-sized stats delta-merge, no corpus scan
+            serving.merge_sparse_append(changed, idx_dir,
+                                        id_col=id_col, text_col=text_col)
+        elif sparse_refresh:
             from pyspark.sql import Window
 
             # the catalog is an append log (batch-stamped): resolve to

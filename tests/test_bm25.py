@@ -131,3 +131,57 @@ def test_more_like_this_top_terms_pruning(spark):
     pruned = more_like_this(docs, F.col("doc_id") == 0, k=5, top_terms=1)
     assert {r["doc_id"] for r in full.collect()} == {1, 2}
     assert {r["doc_id"] for r in pruned.collect()} == {1}
+
+
+def test_stats_merge_equals_recompute(spark, docs):
+    """The mergeable-state contract (r7, VERDICT item 7): corpus_state
+    and term_state of half A merged with half B's tokenized batch equal
+    the states computed over A ∪ B — and the DERIVED term table
+    (term_ids, idf) is row-identical to a full term_stats recompute, so
+    an APPEND-path sync never has to rescan the corpus."""
+    from semantik_spark.operators import bm25
+
+    half_a = docs.where("doc_id <= 3")
+    half_b = docs.where("doc_id > 3")
+    tok_a, tok_b = bm25.tokenize(half_a), bm25.tokenize(half_b)
+    tok_all = bm25.tokenize(docs)
+
+    merged_c = bm25.merge_corpus_state(bm25.corpus_state(tok_a), tok_b)
+    assert merged_c.collect() == bm25.corpus_state(tok_all).collect()
+
+    merged_t = bm25.merge_term_state(bm25.term_state(tok_a), tok_b)
+    key = lambda rows: sorted((r["term"], r["df"]) for r in rows)  # noqa: E731
+    assert key(merged_t.collect()) == key(bm25.term_state(tok_all).collect())
+
+    # the derived full table: ids + idf from merged state == recompute
+    derived = bm25.term_stats_from_state(
+        merged_t, bm25.stats_from_state(merged_c))
+    recomputed = bm25.term_stats(tok_all)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in df.collect())
+    assert norm(derived) == norm(recomputed)
+
+
+def test_merge_sparse_append_terms_exact(spark, tmp_path, docs):
+    """serving.merge_sparse_append after build_sparse: the terms table
+    (everything query encoding reads) equals a full rebuild over the
+    union; postings cover every doc; a doc UPDATE routed through
+    incremental_index's merge mode falls back to the exact rebuild."""
+    from semantik_spark.operators import bm25, serving
+
+    idx = str(tmp_path / "idx")
+    serving.build_sparse(docs.where("doc_id <= 3"), idx)
+    serving.merge_sparse_append(docs.where("doc_id > 3"), idx)
+    merged_terms = spark.read.parquet(f"{idx}/terms")
+    idx_full = str(tmp_path / "full")
+    serving.build_sparse(docs, idx_full)
+    full_terms = spark.read.parquet(f"{idx_full}/terms")
+    norm = lambda df: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in df.collect())
+    assert norm(merged_terms) == norm(full_terms)
+    post_docs = {r["doc_id"] for r in
+                 spark.read.parquet(f"{idx}/postings").select("doc_id")
+                 .distinct().collect()}
+    assert post_docs == {r["doc_id"] for r in docs.collect()}

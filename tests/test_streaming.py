@@ -544,3 +544,65 @@ def test_streaming_lsh_dedup_split_invariant(spark, tmp_path):
     st = spark.read.parquet(state)
     assert st.count() == 4 * 10  # 10 docs x 4 bands
     assert "text" not in st.columns
+
+
+def test_incremental_index_merge_mode(spark, tmp_path):
+    """sparse_refresh='merge' (r7): append-only batches delta-merge the
+    bm25 stats state — terms equal an exact rebuild after every batch —
+    and a batch containing a doc UPDATE falls back to the exact rebuild
+    (delta-merge cannot retract the old version)."""
+    from semantik_spark.operators import serving
+    from semantik_spark.streaming.incremental import incremental_index
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    idx = str(tmp_path / "idx")
+    catalog = str(tmp_path / "catalog")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id bigint, text string"
+
+    _write_json(drop / "b1.json", [
+        {"doc_id": 1, "text": "alpha bravo charlie charlie"},
+        {"doc_id": 2, "text": "delta echo foxtrot"},
+    ])
+    q = incremental_index(stream_files(spark, str(drop), schema), idx,
+                          catalog, ckpt, sparse_refresh="merge")
+    q.awaitTermination(120)
+
+    _write_json(drop / "b2.json", [
+        {"doc_id": 3, "text": "zulu yankee charlie"},   # append-only batch
+    ])
+    q2 = incremental_index(stream_files(spark, str(drop), schema), idx,
+                           catalog, ckpt, sparse_refresh="merge")
+    q2.awaitTermination(120)
+
+    # terms after two merges == exact rebuild over the union
+    all_docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie charlie"), (2, "delta echo foxtrot"),
+         (3, "zulu yankee charlie")], ["doc_id", "text"])
+    exact_idx = str(tmp_path / "exact")
+    serving.build_sparse(all_docs, exact_idx)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in df.collect())
+    assert norm(spark.read.parquet(f"{idx}/terms")) == \
+        norm(spark.read.parquet(f"{exact_idx}/terms"))
+    # postings accumulated by append: all three docs present
+    assert {r["doc_id"] for r in spark.read.parquet(f"{idx}/postings")
+            .select("doc_id").distinct().collect()} == {1, 2, 3}
+
+    # batch 3 UPDATES doc 1 → merge mode must take the exact-rebuild
+    # fallback: postings are rebuilt (no stale duplicate doc rows) and
+    # the rewritten doc serves its new term
+    _write_json(drop / "b3.json", [
+        {"doc_id": 1, "text": "alpha bravo REWRITTEN"},
+    ])
+    q3 = incremental_index(stream_files(spark, str(drop), schema), idx,
+                           catalog, ckpt, sparse_refresh="merge")
+    q3.awaitTermination(120)
+    post = spark.read.parquet(f"{idx}/postings")
+    # exact rebuild overwrote the appended log: one doc_id 1 version
+    assert post.where("term = 'charlie'").where("doc_id = 1").count() == 0
+    qdf = spark.createDataFrame([("qr", "rewritten")], ["query_id", "query_text"])
+    hits = serving.bm25_serve(spark, idx, qdf, k=3).collect()
+    assert [r["doc_id"] for r in hits] == [1]
