@@ -3251,6 +3251,18 @@ def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_radius_report(_aug_docs(spark, sf_dir))
 
 
+def q_cdc_chunks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production content-defined chunking (VERDICT r6 item 6):
+    chunking.content_defined_chunks_scan — ONE mapInPandas pass per
+    doc (no per-character row explosion, no anchor shuffle; plan is
+    Exchange-free, test-asserted) with rule='md5', which reproduces
+    the spec operator's boundaries exactly (equality test-pinned).
+    The oracle replays the boundary rule in SQL, so this row proves
+    the fused scan against DuckDB directly."""
+    return chunking.content_defined_chunks_scan(
+        _t(spark, sf_dir, "documents"), rule="md5")
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup yield per source (rsync/restic
     boundary rule: trailing-16-char fingerprint % 64 == 0): how many
@@ -3385,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7 — must be in-window
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
         "bm25_stats_merge": q_bm25_stats_merge,
+        "cdc_chunks_scan": q_cdc_chunks_scan,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -4318,6 +4331,9 @@ LIMIT 50""",
         "knn_communities": oracles.q_knn_communities(5, 4),
         "simhash_radius_recall": oracles.q_simhash_radius_report((2, 4, 6, 8), 3, 0.5, 60),
         "cdc_dedup": oracles.q_cdc_dedup_stats(16, 64),
+        # chunk-row twin of the md5 boundary rule; serves the fused
+        # mapInPandas scan (boundary-equal to the spec form, test-pinned)
+        "cdc_chunks_scan": oracles.q_cdc_chunks(16, 64),
         "events_trend": """
 WITH ev AS (
   SELECT event_type AS etype, epoch_us(ts::TIMESTAMP)::BIGINT AS us, value

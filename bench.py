@@ -117,7 +117,7 @@ BENCH_QUERIES = [
     "simhash_radius_recall", "cdc_dedup", "events_trend",
     "scd2_asof_join",
     # round-7 additions
-    "knn_ivfpq_serve", "bm25_stats_merge",
+    "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
 ]
 
 

@@ -588,9 +588,13 @@ def content_defined_chunks(docs: DataFrame, window: int = 16,
     position (explode + substring + hash — all Catalyst expressions,
     whole-stage-codegen'd, embarrassingly parallel), then one window
     pass per doc to pair consecutive anchors into spans. The
-    position-explosion form IS the replayable spec; a production
-    100 TB pass would fuse it into a mapInPandas rolling-gear scan
-    (O(1) per char, no row amplification) with identical boundaries.
+    position-explosion form IS the replayable spec; the production
+    100 TB pass is ``content_defined_chunks_scan`` — a fused
+    mapInPandas scan with no row amplification whose rule='md5' mode
+    reproduces these boundaries exactly (equality test-pinned) and
+    whose rule='gear' mode is the O(1)-per-char gear-hash family
+    production stores deploy (different hash → different boundaries;
+    same expected chunk length).
     """
     from semantik_spark.functions.hashing import hash60
 
@@ -659,4 +663,104 @@ def cdc_dedup_stats(docs: DataFrame, window: int = 16, modulus: int = 64,
          .cast("bigint").alias("cross_doc_chunks"),
         F.round(F.lit(1.0) - F.count("*") / F.sum("n_occ"), 6).alias("dup_frac"),
         F.round(F.sum("bytes_occ") / F.sum("n_occ"), 6).alias("avg_chunk_len"),
+    )
+
+
+def _gear_table() -> list[int]:
+    """256-entry gear table seeded from md5('gear:<byte>') — the
+    deterministic instance of the gear-hash family (Xia et al. 2016,
+    FastCDC; the gear rolling hash of Zhang et al.'s Ddelta). Public
+    construction, no randomness to replay."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"gear:{b}".encode()).hexdigest()[:15], 16)
+        for b in range(256)
+    ]
+
+
+def content_defined_chunks_scan(docs: DataFrame, window: int = 16,
+                                modulus: int = 64, rule: str = "md5",
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """The PRODUCTION form of content_defined_chunks (VERDICT r6 item
+    6): one mapInPandas pass per document — no per-character row
+    explosion, no anchor shuffle, no per-doc window exchange. Arrow
+    batches stream through the Python kernel and each doc's chunks are
+    emitted from a single in-memory scan, so the cost is O(doc bytes)
+    work and O(chunks) output rows instead of the spec form's
+    O(doc chars) intermediate rows + two shuffles.
+
+    ``rule``:
+      "md5"   the SPEC rule — a boundary falls after position i iff
+              hash60 of the trailing ``window`` chars ≡ 0 (mod
+              ``modulus``), exactly content_defined_chunks' anchor
+              test; boundary equality with the Column-expression form
+              is pinned in tests/test_chunking_advanced.py. One md5
+              per position (C-speed hashlib), executor-local.
+      "gear"  the O(1)-per-char rolling gear hash production
+              deployments use (FastCDC's base rule): h = (h << 1 +
+              GEAR[char]) masked to 60 bits, boundary after i ≥
+              window iff h ≡ 0 (mod modulus). DIFFERENT boundaries
+              than "md5" (a different hash family — chunk-coverage
+              and edit-locality invariants are pinned instead);
+              expected chunk length ≈ modulus chars, same as the spec
+              rule, so stats are comparable.
+
+    Output matches content_defined_chunks: doc_id, chunk_index,
+    chunk_start (1-based), chunk_text; docs shorter than ``window``
+    are one chunk.
+    """
+    if rule not in ("md5", "gear"):
+        raise ValueError(f"content_defined_chunks_scan: unknown rule {rule!r}")
+    import hashlib
+
+    gear = _gear_table() if rule == "gear" else None
+    mask60 = (1 << 60) - 1
+
+    def anchors_md5(text: str) -> list[int]:
+        out = []
+        for i in range(window, len(text) + 1):
+            h = int(hashlib.md5(
+                text[i - window:i].encode("utf-8")).hexdigest()[:15], 16)
+            if h % modulus == 0:
+                out.append(i)
+        return out
+
+    def anchors_gear(text: str) -> list[int]:
+        out = []
+        h = 0
+        for i, ch in enumerate(text, start=1):
+            h = ((h << 1) + gear[ord(ch) & 0xFF]) & mask60
+            if i >= window and h % modulus == 0:
+                out.append(i)
+        return out
+
+    anchor_fn = anchors_md5 if rule == "md5" else anchors_gear
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                if not text:  # spec form emits no row for empty docs
+                    continue
+                cuts = anchor_fn(text) if len(text) >= window else []
+                if not cuts or cuts[-1] < len(text):
+                    cuts = cuts + [len(text)]
+                start = 1
+                for idx, e in enumerate(cuts):
+                    rows.append({"doc_id": did, "chunk_index": idx,
+                                 "chunk_start": start,
+                                 "chunk_text": text[start - 1:e]})
+                    start = e + 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_index", "chunk_start",
+                               "chunk_text"])
+
+    d = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+                    F.col(text_col).alias("text"))
+    return d.mapInPandas(
+        run,
+        "doc_id bigint, chunk_index int, chunk_start int, chunk_text string",
     )

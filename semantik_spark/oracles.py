@@ -3517,3 +3517,41 @@ SELECT source, sum(n_occ)::BIGINT AS total_chunks,
        round(1.0 - count(*)::DOUBLE / sum(n_occ), 6) AS dup_frac,
        round(sum(bytes_occ)::DOUBLE / sum(n_occ), 6) AS avg_chunk_len
 FROM per_chunk GROUP BY source"""
+
+
+def q_cdc_chunks(window: int = 16, modulus: int = 64) -> str:
+    """Chunk-row twin of the CDC boundary rule (both
+    chunking.content_defined_chunks AND the fused mapInPandas
+    content_defined_chunks_scan(rule='md5') — boundary equality between
+    the two Spark forms is test-pinned, so one oracle serves both):
+    spans between md5-window anchors plus the tail span, indexed per
+    doc in chunk_start order."""
+    h = hash60_expr(f"substr(text, i - {window - 1}, {window})")
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+pos AS (
+  SELECT doc_id, text, len, unnest(range({window}, len + 1)) AS i
+  FROM d WHERE len >= {window}
+),
+anch AS (
+  SELECT doc_id, i FROM pos WHERE {h} % {modulus} = 0
+),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         i AS e
+  FROM anch
+),
+tail AS (
+  SELECT d.doc_id, coalesce(mx, 0) + 1 AS s, len AS e
+  FROM d LEFT JOIN (SELECT doc_id, max(i) AS mx FROM anch GROUP BY doc_id) a
+    USING (doc_id)
+  WHERE coalesce(mx, 0) < len
+)
+SELECT sp.doc_id,
+       (row_number() OVER (PARTITION BY sp.doc_id ORDER BY s) - 1)::INT
+         AS chunk_index,
+       s::INT AS chunk_start,
+       substr(text, s, e - s + 1) AS chunk_text
+FROM (SELECT * FROM spans UNION ALL SELECT * FROM tail) sp
+JOIN d USING (doc_id)"""

@@ -133,3 +133,75 @@ class TestContentDefinedChunks:
         last1 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 1)
         last2 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 2)
         assert last1[1][-20:] == last2[1][-20:]
+
+
+class TestContentDefinedChunksScan:
+    def _texts(self):
+        import random
+
+        rnd = random.Random(42)
+        words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliet kilo lima mike november oscar papa").split()
+        return (
+            [(i, " ".join(rnd.choice(words) for _ in range(rnd.randint(0, 120))))
+             for i in range(20)]
+            + [(100, "short"), (101, ""), (102, "x" * 16)]
+        )
+
+    def test_md5_rule_equals_spec_form(self, spark):
+        """The fused mapInPandas scan with rule='md5' reproduces the
+        Column-expression operator's boundaries EXACTLY on a varied
+        corpus (VERDICT r6 item 6 equality pin)."""
+        from semantik_spark.operators.chunking import (
+            content_defined_chunks, content_defined_chunks_scan,
+        )
+
+        df = spark.createDataFrame(self._texts(), ["doc_id", "text"])
+        norm = lambda rows: sorted(  # noqa: E731
+            (r.doc_id, r.chunk_index, r.chunk_start, r.chunk_text) for r in rows)
+        spec = norm(content_defined_chunks(df).collect())
+        scan = norm(content_defined_chunks_scan(df, rule="md5").collect())
+        assert spec == scan
+        assert len(spec) > 30  # multi-chunk docs were actually exercised
+
+    def test_scan_plan_is_map_only(self, spark):
+        """No Exchange anywhere: the production scan is one
+        mapInPandas over the doc scan — the whole point vs the
+        spec form's explode + two shuffles."""
+        from semantik_spark.operators.chunking import content_defined_chunks_scan
+
+        df = spark.createDataFrame(self._texts(), ["doc_id", "text"])
+        plan = content_defined_chunks_scan(df, rule="gear") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_gear_rule_invariants(self, spark):
+        """The O(1)-per-char gear rule: exact coverage (chunks
+        concatenate back to the doc), expected length ≈ modulus, and
+        the rsync edit-locality property."""
+        from semantik_spark.operators.chunking import content_defined_chunks_scan
+
+        texts = self._texts()
+        df = spark.createDataFrame(texts, ["doc_id", "text"])
+        rows = content_defined_chunks_scan(df, rule="gear").collect()
+        joined: dict = {}
+        for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)):
+            joined[r.doc_id] = joined.get(r.doc_id, "") + r.chunk_text
+        for doc_id, text in texts:
+            # spec-form convention: empty docs emit no chunk rows
+            assert joined.get(doc_id, "") == text, doc_id
+
+        base = ("many analytics engines process data with distributed "
+                "query plans and columnar storage layouts for speed. " * 6)
+        edit_at = len(base) // 2
+        edited = base[:edit_at] + "INSERTED NEW SENTENCE HERE. " + base[edit_at:]
+        df2 = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+        out = content_defined_chunks_scan(df2, rule="gear").collect()
+        pre = lambda d: sorted(  # noqa: E731
+            (r.chunk_start, r.chunk_text) for r in out
+            if r.doc_id == d and r.chunk_start + len(r.chunk_text) - 1 < edit_at)
+        assert pre(1) == pre(2)
+        assert len(pre(1)) >= 2
+        last1 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 1)
+        last2 = max((r.chunk_start, r.chunk_text) for r in out if r.doc_id == 2)
+        assert last1[1][-20:] == last2[1][-20:]
