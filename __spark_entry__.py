@@ -2962,6 +2962,22 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(names, "s")
 
 
+def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION BPE trainer (tokenizer.bpe_train_sampled — r7): the
+    distributed corpus pass feeds a deterministic top-N word sample
+    trained DRIVER-LOCAL (K dict updates instead of K sequential Spark
+    jobs — the GPT-2/SentencePiece shape), with the distributed
+    trainer's exact tie-breaks. Sample bound set above the corpus
+    vocab here, so the oracle is the same unrolled training replay as
+    bpe_merges — a green row proves local == distributed at driver
+    level."""
+    from semantik_spark.operators.tokenizer import bpe_train_sampled
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_train_sampled(docs, num_merges=8, sample_words=1_000_000)
+    return merges
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (tokenizer.bpe_train): 8
     merges learned from the documents corpus via the published
@@ -3398,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
         "bm25_stats_merge": q_bm25_stats_merge,
         "cdc_chunks_scan": q_cdc_chunks_scan,
+        "bpe_merges_sampled": q_bpe_merges_sampled,
         # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
         # entries taking the remaining window slots for a re-verify
         "bm25_postings": q_bm25_postings,
@@ -4579,6 +4596,9 @@ WITH n AS (
 SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
 FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         "bpe_merges": oracles.q_bpe_merges(8),
+        # sampled trainer with sample >= vocab: same unrolled replay —
+        # the driver-hash row IS the local==distributed proof
+        "bpe_merges_sampled": oracles.q_bpe_merges(8),
         "bpe_encode_words": oracles.q_bpe_encode_words(8, 30),
         "gopher_quality": oracles.q_gopher_rules(50, 100000),
         "knn_ivfpq": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "scd2_asof_join",
     # round-7 additions
     "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
+    "bpe_merges_sampled",
 ]
 
 

@@ -162,6 +162,18 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
     build the next round's plan — K rows total leave the cluster), and
     one window rewrite. ``localCheckpoint`` every round truncates the
     otherwise exponentially nesting window lineage.
+
+    AT-SCALE LIMIT (deliberate): training is K SEQUENTIAL Spark jobs —
+    merge k+1's counts depend on merge k's rewrite, so the rounds
+    cannot be batched without changing the algorithm. Fine at the
+    demo/oracle K=8; a production 32k-merge vocabulary would spend
+    ~32k job round-trips here, which is why every production BPE
+    (GPT-2, SentencePiece) trains on a word-frequency table small
+    enough to fit one machine. That standard path is
+    ``bpe_train_sampled`` below: same distributed corpus pass, driver-
+    local merge loop on a deterministic top-N word sample, identical
+    tie-breaks (equality vs this trainer on the same word table is
+    test-pinned), and the unchanged DISTRIBUTED encoder.
     """
     spark = docs.sparkSession
     state = _initial_state(word_frequencies(docs, text_col))
@@ -187,6 +199,80 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
         StructField("pair_count", LongType()),
     ])
     return spark.createDataFrame(merges, schema), state
+
+
+def bpe_train_sampled(docs: DataFrame, num_merges: int = 8,
+                      sample_words: int = 100_000,
+                      text_col: str = "text") -> tuple[DataFrame, list]:
+    """The PRODUCTION trainer (bpe_train docstring, at-scale note):
+    word frequencies stay a distributed corpus pass, but the merge
+    loop runs DRIVER-LOCAL on a deterministic sample — the
+    ``sample_words`` most frequent words (ties broken by word ASC), a
+    table bounded by vocabulary, not corpus, which is how GPT-2 /
+    SentencePiece-class tokenizers actually train. K merges then cost
+    K dict updates instead of K sequential Spark jobs.
+
+    The local loop replays the distributed trainer's exact semantics —
+    overlapping-pair counts weighted by word freq, argmax tie-break
+    (count DESC, left ASC, right ASC), greedy left-to-right
+    non-overlapping rewrite — so on the SAME word-frequency table the
+    two produce identical merge tables (test-pinned). Encoding stays
+    distributed (encode_words / bpe_token_count take the merge list
+    unchanged).
+
+    Returns ``(merges_df, merges_list)``: the same merge-table schema
+    as bpe_train plus the [(left, right), ...] list the encoders
+    consume.
+    """
+    spark = docs.sparkSession
+    sampled = (
+        word_frequencies(docs, text_col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(sample_words)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [EOW], int(r["freq"])) for r in sampled
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt <= 0:
+            break
+        merges.append((rank, l, r, l + r, cnt))
+        vocab = [(_greedy_merge(syms, l, r), freq) for syms, freq in vocab]
+    schema = StructType([
+        StructField("merge_rank", LongType()),
+        StructField("left_sym", StringType()),
+        StructField("right_sym", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+    ])
+    return (spark.createDataFrame(merges, schema),
+            [(l, r) for _, l, r, _, _ in merges])
+
+
+def _greedy_merge(syms: list[str], l: str, r: str) -> list[str]:
+    """Greedy left-to-right non-overlapping (l, r) → l+r rewrite — the
+    sequential twin of _apply_merge's window formulation and of
+    _encode_word's inner loop."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:

@@ -142,3 +142,44 @@ def test_plan_shapes(spark, corpus):
     cplan = cnt._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in cplan
     assert "BroadcastHashJoin" in cplan
+
+
+def test_sampled_trainer_equals_distributed_on_same_words(spark, corpus):
+    """bpe_train_sampled (r7, the production driver-local loop): on the
+    SAME word-frequency table the sampled trainer's merge table is
+    bit-identical to the distributed trainer's — here with
+    sample_words ≥ |vocab| so both see the full table."""
+    from semantik_spark.operators.tokenizer import bpe_train_sampled
+
+    merges_dist, _ = bpe_train(corpus, num_merges=6)
+    merges_samp, mlist = bpe_train_sampled(corpus, num_merges=6,
+                                           sample_words=10_000)
+    norm = lambda df: [  # noqa: E731
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in df.orderBy("merge_rank").collect()]
+    assert norm(merges_dist) == norm(merges_samp)
+    assert mlist == [(l, r) for _, l, r, _, _ in norm(merges_samp)]
+
+
+def test_sampled_trainer_equals_distributed_on_truncated_sample(spark, corpus):
+    """With a HARD sample cap the local loop still matches the
+    distributed trainer run over exactly the sampled words: rebuild a
+    corpus whose word frequencies equal the top-N sample and compare."""
+    from semantik_spark.operators.tokenizer import bpe_train_sampled
+
+    n = 5
+    top = (
+        word_frequencies(corpus)
+        .orderBy(F.desc("freq"), F.asc("word")).limit(n).collect()
+    )
+    # a corpus realizing exactly the sampled frequency table
+    text = " ".join(r["word"] for r in top for _ in range(int(r["freq"])))
+    sub = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges_dist, _ = bpe_train(sub, num_merges=4)
+    merges_samp, _ = bpe_train_sampled(corpus, num_merges=4, sample_words=n)
+    norm = lambda df: [  # noqa: E731
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in df.orderBy("merge_rank").collect()]
+    assert norm(merges_dist) == norm(merges_samp)
