@@ -433,3 +433,25 @@ def test_semdedup_cell_locality_blocks_cross_cell_pairs(spark):
            semdedup(emb, threshold=0.99, n_centroids=2,
                     refine_iters=0).collect()}
     assert out == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_duplicate_clusters_logs_cc_counters(spark, docs, tmp_path):
+    """runlog wiring (r7, VERDICT item 10): a dedup run with
+    runlog_path set appends an audit row whose counters carry the CC
+    convergence observability — rounds ≥ 1 and, on a pair-duplicate
+    corpus, zero adaptive jumps (the tests' pinned common case)."""
+    import json
+
+    from semantik_spark.operators.dedup import duplicate_clusters
+
+    log = str(tmp_path / "runlog")
+    duplicate_clusters(docs, runlog_path=log, run_id="r7test").count()
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["run_id"] == "r7test"
+    assert row["op_type"] == "DEDUP_CLUSTERS"
+    counters = json.loads(row["counters_json"])
+    assert counters["cc_rounds"] >= 1
+    assert counters["cc_jumps"] == 0
+    assert json.loads(row["config_json"])["threshold"] == 0.5
