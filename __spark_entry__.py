@@ -3370,75 +3370,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every affected query before commit and the run is recorded in
     # PROGRESS.jsonl. See README "Correctness window rotation".
     _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- r6 window head: late-round-5 additions, first driver
-        # evaluation (tests/test_entry_contract.py ROUND6_WINDOW_MUST)
-        "quantile_sketch": q_quantile_sketch,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
-        "url_domain_stats": q_url_domain_stats,
-        "customer_order_distribution": q_customer_order_distribution,
-        "top_supplier": q_top_supplier,
-        "idle_customer_balance": q_idle_customer_balance,
-        "heavy_hitters": q_heavy_hitters,
-        "bloom_prune": q_bloom_prune,
-        "winsorized_stats": q_winsorized_stats,
-        "nation_trade_volume": q_nation_trade_volume,
-        # --- new in round 6 — must be in-window
-        # (entries are inserted here as they are added; each insertion
-        # displaces one r3-backfill entry below past the boundary)
-        "min_cost_supplier": q_min_cost_supplier,
-        "excess_qty_supplier": q_excess_qty_supplier,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "pipeline_config": q_pipeline_config,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode_words": q_bpe_encode_words,
-        "sole_fault_supplier": q_sole_fault_supplier,
-        "nation_year_profit": q_nation_year_profit,
-        "gopher_quality": q_gopher_quality,
-        "knn_ivfpq": q_knn_ivfpq,
-        "dsir_weights": q_dsir_weights,
-        "count_min_freq": q_count_min_freq,
-        "streaming_count_min": q_streaming_count_min,
-        "semdedup": q_semdedup,
-        "logreg_scores": q_logreg_scores,
+        # --- r7 window head (tests/test_entry_contract.py
+        # ROUND7_WINDOW_MUST): the 8 round-6 post-window additions
+        # taking their FIRST driver row (judge pre-verified green), plus
+        # jl_projection whose output shape CHANGED this round
+        # (posexploded to scalar rows — VERDICT r6 item 1)
+        "scd2_orders": q_scd2_orders,
+        "events_cusum": q_events_cusum,
+        "compaction_plan": q_compaction_plan,
+        "knn_communities": q_knn_communities,
+        "simhash_radius_recall": q_simhash_radius_recall,
+        "cdc_dedup": q_cdc_dedup,
+        "events_trend": q_events_trend,
+        "scd2_asof_join": q_scd2_asof_join,
         "jl_projection": q_jl_projection,
-        "streaming_lsh_dedup": q_streaming_lsh_dedup,
-        "market_share": q_market_share,
-        "top_revenue_parts": q_top_revenue_parts,
-        "corpus_overlap": q_corpus_overlap,
-        "corpus_drift_psi": q_corpus_drift_psi,
-        "late_data_audit": q_late_data_audit,
-        "leakage_safe_split": q_leakage_safe_split,
-        "knn_nprobe_sweep": q_knn_nprobe_sweep,
         # --- new in round 7 — must be in-window
+        # (insertions here displace one backfill entry below past the
+        # boundary; extend ROUND7_WINDOW_MUST in test_entry_contract.py)
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
         "bm25_stats_merge": q_bm25_stats_merge,
         "cdc_chunks_scan": q_cdc_chunks_scan,
         "bpe_merges_sampled": q_bpe_merges_sampled,
-        # --- r3-anchored backfill (CORRECTNESS_r03): longest-unrefreshed
-        # entries taking the remaining window slots for a re-verify
-        "bm25_postings": q_bm25_postings,
-        "bm25_search": q_bm25_search,
-        "hybrid_rrf": q_hybrid_rrf,
-        "ir_metrics": q_ir_metrics,
-        "ir_metrics_agg": q_ir_metrics_agg,
-        "hyde_hybrid": q_hyde_hybrid,
-        "splade_search": q_splade_search,
-        "dense_mock_search": q_dense_mock_search,
-        "sparse_vectors": q_sparse_vectors,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "splade_vectors": q_splade_vectors,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        # --- driver window boundary (50): everything below is
-        # behavior-anchored by an earlier driver round (r3:
-        # CORRECTNESS_r03, r4: CORRECTNESS_r04, r5: CORRECTNESS_r05);
-        # touched-module entries are re-checked via tools/check_oracle.py
-        # per the behavior-anchored contract above.
-        # r3-anchored remainder (displaced from the backfill by round-6
-        # additions; re-verified via check_oracle when touched):
+        # --- backfill: longest-unrefreshed anchored entries re-taking a
+        # driver row (r3-anchored first — last driver-green in
+        # CORRECTNESS_r03 — then the head of the r4 block)
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
@@ -3469,7 +3424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
-        # r4-anchored block (CORRECTNESS_r04, all 50 green):
         "knn_recall": q_knn_recall,
         "knn_pq": q_knn_pq,
         "pca_projection": q_pca_projection,
@@ -3477,6 +3431,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_quantized": q_knn_quantized,
+        # --- driver window boundary (50): everything below is
+        # behavior-anchored by an earlier driver round (r4/r5:
+        # CORRECTNESS_r04/r05; r6: CORRECTNESS_r06 — including the full
+        # round-6 window, all green there). Touched-module entries are
+        # re-checked via tools/check_oracle.py before commit per the
+        # behavior-anchored contract (README "Correctness window
+        # rotation"); this round's dedup/bm25/text/projection touches
+        # were re-verified and logged in PROGRESS.jsonl.
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "url_domain_stats": q_url_domain_stats,
+        "customer_order_distribution": q_customer_order_distribution,
+        "top_supplier": q_top_supplier,
+        "idle_customer_balance": q_idle_customer_balance,
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_prune": q_bloom_prune,
+        "winsorized_stats": q_winsorized_stats,
+        "nation_trade_volume": q_nation_trade_volume,
+        "min_cost_supplier": q_min_cost_supplier,
+        "excess_qty_supplier": q_excess_qty_supplier,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "pipeline_config": q_pipeline_config,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode_words": q_bpe_encode_words,
+        "sole_fault_supplier": q_sole_fault_supplier,
+        "nation_year_profit": q_nation_year_profit,
+        "gopher_quality": q_gopher_quality,
+        "knn_ivfpq": q_knn_ivfpq,
+        "dsir_weights": q_dsir_weights,
+        "count_min_freq": q_count_min_freq,
+        "streaming_count_min": q_streaming_count_min,
+        "semdedup": q_semdedup,
+        "logreg_scores": q_logreg_scores,
+        "streaming_lsh_dedup": q_streaming_lsh_dedup,
+        "market_share": q_market_share,
+        "top_revenue_parts": q_top_revenue_parts,
+        "corpus_overlap": q_corpus_overlap,
+        "corpus_drift_psi": q_corpus_drift_psi,
+        "late_data_audit": q_late_data_audit,
+        "leakage_safe_split": q_leakage_safe_split,
+        "knn_nprobe_sweep": q_knn_nprobe_sweep,
+        "bm25_postings": q_bm25_postings,
+        "bm25_search": q_bm25_search,
+        "hybrid_rrf": q_hybrid_rrf,
+        "ir_metrics": q_ir_metrics,
+        "ir_metrics_agg": q_ir_metrics_agg,
+        "hyde_hybrid": q_hyde_hybrid,
+        "splade_search": q_splade_search,
+        "dense_mock_search": q_dense_mock_search,
+        "sparse_vectors": q_sparse_vectors,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "splade_vectors": q_splade_vectors,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_canonical": q_dedup_canonical,
@@ -3520,7 +3531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "doc_clusters": q_doc_clusters,
         "approx_distinct_kmv": q_approx_distinct_kmv,
-        # r5-anchored block (CORRECTNESS_r05, all 50 green):
         "text_readability": q_text_readability,
         "source_mix": q_source_mix,
         "events_rolling": q_events_rolling,
@@ -3571,16 +3581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "discounted_revenue": q_discounted_revenue,
-        # --- round-6 post-window additions (ROUND7_WINDOW_MUST):
-        # verified via tools/check_oracle.py; first driver row next round
-        "scd2_orders": q_scd2_orders,
-        "events_cusum": q_events_cusum,
-        "compaction_plan": q_compaction_plan,
-        "knn_communities": q_knn_communities,
-        "simhash_radius_recall": q_simhash_radius_recall,
-        "cdc_dedup": q_cdc_dedup,
-        "events_trend": q_events_trend,
-        "scd2_asof_join": q_scd2_asof_join,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 

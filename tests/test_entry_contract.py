@@ -15,37 +15,30 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
 # Queries that MUST sit inside the first-50 driver window this round:
-# the 10 late-round-5 additions awaiting their first driver row, plus
-# every query added or behavior-changed in round 6.  Extend this list
-# when adding a query — never bump a count constant (VERDICT r4 #1:
-# the count-based assert rotted; set-based invariants below cannot).
-ROUND6_WINDOW_MUST = (
-    # late round-5 additions — first driver evaluation (judge
-    # pre-verified green via tools/check_oracle.py at sf0.01)
-    "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
-    "customer_order_distribution", "top_supplier", "idle_customer_balance",
-    "heavy_hitters", "bloom_prune", "winsorized_stats",
-    "nation_trade_volume",
-    # added in round 6 — extend as queries land
-    "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
-    "pipeline_config", "edit_distance_pairs", "bpe_merges",
-    "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
-    "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
-    "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
-    "streaming_lsh_dedup", "market_share", "top_revenue_parts",
-    "corpus_overlap", "corpus_drift_psi", "late_data_audit",
-    "leakage_safe_split", "knn_nprobe_sweep",
-)
-
-
-# Entries added AFTER the round-6 window fills (50/50): never
-# driver-evaluated, verified locally via tools/check_oracle.py. These
-# MUST head the round-7 window — promote this tuple into the next
-# round's WINDOW_MUST list during rotation.
+# the 8 round-6 post-window additions awaiting their first driver row,
+# the one query whose OUTPUT SHAPE changed this round, and every query
+# added in round 7.  Extend this list when adding a query — never bump
+# a count constant (VERDICT r4 #1: the count-based assert rotted;
+# set-based invariants below cannot).
 ROUND7_WINDOW_MUST = (
+    # round-6 post-window additions — first driver evaluation (judge
+    # pre-verified green via tools/check_oracle.py at sf0.01)
     "scd2_orders", "events_cusum", "compaction_plan", "knn_communities",
     "simhash_radius_recall", "cdc_dedup", "events_trend", "scd2_asof_join",
+    # behavior-changed in round 7 (array output flattened to scalar
+    # rows — VERDICT r6 item 1)
+    "jl_projection",
+    # added in round 7 — extend as queries land
+    "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
+    "bpe_merges_sampled",
 )
+
+
+# Entries added AFTER the round-7 window fills (50/50), if any: never
+# driver-evaluated, verified locally via tools/check_oracle.py. These
+# MUST head the round-8 window — promote this tuple into the next
+# round's WINDOW_MUST list during rotation.
+ROUND8_WINDOW_MUST: tuple = ()
 
 
 def test_every_query_has_an_oracle():
@@ -59,15 +52,15 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-6 window contract (README 'Correctness window rotation'):
+    """Round-7 window contract (README 'Correctness window rotation'):
     never-driver-evaluated and new/changed queries sit in the first 50."""
     window = list(entrymod.queries())[:50]
-    for must in ROUND6_WINDOW_MUST:
-        assert must in window, f"{must} fell out of the driver window"
-    # round-7 candidates are registered (past the boundary, awaiting
-    # their first driver row next rotation)
-    names = set(entrymod.queries())
     for must in ROUND7_WINDOW_MUST:
+        assert must in window, f"{must} fell out of the driver window"
+    # round-8 candidates (post-window additions) are registered, past
+    # the boundary, awaiting their first driver row next rotation
+    names = set(entrymod.queries())
+    for must in ROUND8_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 
