@@ -460,6 +460,26 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_quantized(corpus, queries, k=5, rescore_k=20), "cos")
 
 
+def q_knn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization ANN: 1 bit/dim packed into 32-bit
+    words (32× smaller than float32 — the extreme point of the
+    reference's float32/16/int8 quantization ladder, models.py:261),
+    Hamming-ascending candidate generation via xor+bit_count
+    intrinsics, exact cosine rescore of 20 survivors per query
+    (operators/similarity.py knn_binary, Charikar 2002 sign-bound)."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.knn_binary(corpus, queries, k=5, rescore_k=20, dim=64), "cos")
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. 2022): recall@10 of
+    prefix-truncated cosine top-k at dims 8/16/32/64 vs the full-dim
+    exact — the storage/recall trade measurement for truncated serving
+    (operators/similarity.py matryoshka_recall)."""
+    corpus, queries = _emb_split(spark, sf_dir)
+    return _r6(similarity.matryoshka_recall(corpus, queries, k=10), "recall")
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _emb_split(spark, sf_dir)
     return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
@@ -804,6 +824,14 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints): per-doc duplicated-k-token-window fractions over the
     augmented dup corpus."""
     return dedup.repeated_passages(_aug_docs(spark, sf_dir), k=10)
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup span output (Lee et al. 2022 ExactSubstr):
+    repeated k-token windows merged into maximal per-doc token ranges —
+    the actual cut list a dedup pass would apply
+    (operators/dedup.py duplicate_spans)."""
+    return dedup.duplicate_spans(_aug_docs(spark, sf_dir), k=10)
 
 
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3581,6 +3609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "discounted_revenue": q_discounted_revenue,
+        # round-7 post-window additions — ROUND8_WINDOW_MUST
+        "knn_binary": q_knn_binary,
+        "dedup_spans": q_dedup_spans,
+        "matryoshka_recall": q_matryoshka_recall,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4780,6 +4812,10 @@ WHERE EXISTS (
          (SELECT sum(l2.l_quantity::DECIMAL(18,2)) FROM lineitem l2
           WHERE l2.l_partkey = l1.l_partkey) * 3
 )""",
+        # round-7 post-window additions — ROUND8_WINDOW_MUST
+        "knn_binary": oracles.q_knn_binary(5, 20, 64),
+        "dedup_spans": oracles.q_duplicate_spans(10, 2),
+        "matryoshka_recall": oracles.q_matryoshka_recall(10, (8, 16, 32, 64)),
     }
 
 

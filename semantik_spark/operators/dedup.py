@@ -758,6 +758,80 @@ def canonical_docs(docs: DataFrame, quality: DataFrame,
     )
 
 
+def duplicate_spans(docs: DataFrame, k: int = 10, min_docs: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The span-level output of exact-substring dedup (Lee et al. 2022
+    §3.1 "ExactSubstr"): where repeated_passages reports per-doc dup
+    FRACTIONS, this returns the actual token ranges to cut — every
+    maximal run of k-token windows whose hash occurs in >= ``min_docs``
+    distinct documents, merged per document into non-overlapping spans
+    (overlapping or adjacent windows coalesce, the island trick).
+
+    Returns (doc_id, span_id, start_token, end_token, n_tokens,
+    n_windows): 1-based inclusive token positions, span_id numbering
+    spans within a doc by start position.
+
+    Scale: identical shuffle profile to repeated_passages (one groupBy
+    on the 60-bit window hash — the distributed substitute for the
+    suffix array; repeated hashes a small fraction, AQE-broadcast back)
+    plus one window+groupBy partitioned by doc_id over DUP windows only
+    — the output side, orders of magnitude smaller than the corpus.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    n = F.size("_toks")
+    width = n - F.lit(k) + 1
+    windows = F.when(
+        width >= 1,
+        F.transform(F.sequence(F.lit(1), width),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    wh = tok.select(
+        "doc_id", F.posexplode(windows).alias("pos", "w")
+    ).select("doc_id", (F.col("pos") + 1).alias("start"), hash60("w").alias("h"))
+    dup_h = (
+        wh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_w = wh.join(dup_h, "h").select(
+        "doc_id", "start", (F.col("start") + F.lit(k - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_w.withColumn(
+        "_new",
+        F.when(
+            F.col("start") > F.coalesce(F.max("end").over(w_prev) + 1,
+                                        F.lit(-1).cast("bigint")),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("span_id", F.sum("_new").over(w_run))
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").cast("bigint").alias("start_token"),
+            F.max("end").cast("bigint").alias("end_token"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .select(
+            "doc_id", F.col("span_id").cast("int").alias("span_id"),
+            "start_token", "end_token",
+            (F.col("end_token") - F.col("start_token") + 1).cast("bigint").alias("n_tokens"),
+            "n_windows",
+        )
+    )
+
+
 def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-substring contamination signal — the k-gram-fingerprint

@@ -475,6 +475,140 @@ def knn_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
 
+def binary_code(vec_col: str, dim: int, word: int, word_bits: int = 32) -> F.Column:
+    """Sign-bit binary quantization, one 32-bit word: bit j of word w is
+    set when component w*32+j of the vector is > 0. 32 bits per word
+    (not 64) keeps every code value in [0, 2^32) so xor/bit_count
+    arithmetic is identical two's-complement-free in both Spark and
+    DuckDB. The whole expression is a sum of CASE terms — pure
+    whole-stage codegen, no UDF, no shuffle."""
+    lo = word * word_bits
+    hi = min(dim, lo + word_bits)
+    code = F.lit(0).cast("bigint")
+    for j in range(lo, hi):
+        code = code + F.when(
+            F.element_at(F.col(vec_col), j + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), j - lo),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return code
+
+
+def knn_binary(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               rescore_k: int = 20, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
+    """Binary-quantization ANN: 1 bit per dimension (32× smaller than
+    float32), Hamming-distance candidate generation, exact cosine
+    rescore of the ``rescore_k`` survivors per query.
+
+    The sign-bit code is the extreme point of the quantization ladder
+    the reference exposes as collection quantization float32/16/int8
+    (models.py:261) — for mean-centered embeddings, Hamming distance on
+    sign bits approximates angular distance (Charikar 2002 SimHash
+    bound), which is why phase 1 ranks by Hamming ascending. Phase 2
+    hydrates full-precision vectors for survivors only (same late
+    materialization as knn_quantized / the reference's id-then-payload
+    serve, service.py:248-277).
+
+    Scale: at 100 TB the codes column for a 1024-dim corpus is 128
+    bytes/row vs 4 KiB float32 — the phase-1 scan reads 1/32 of the
+    bytes and the distance is two JVM intrinsics (xor + bit_count) per
+    word, no shuffle on the corpus side (query batch broadcast); the
+    only wide exchange is the per-query top-rescore_k window, which is
+    bounded by |queries|·|corpus-partition| partial top-k under AQE.
+    """
+    n_words = (dim + 31) // 32
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    ccodes = c.select(
+        "vec_id",
+        *[binary_code("v", dim, w).alias(f"c{w}") for w in range(n_words)],
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    qcodes = q.select(
+        "query_id",
+        *[binary_code("qv", dim, w).alias(f"q{w}") for w in range(n_words)],
+    )
+    hamming = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"c{w}").bitwiseXOR(F.col(f"q{w}")))
+        hamming = term if hamming is None else hamming + term
+    scored = ccodes.crossJoin(F.broadcast(qcodes)).select(
+        "query_id", "vec_id", hamming.cast("int").alias("ham")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("hrank", F.row_number().over(w1))
+        .where(F.col("hrank") <= rescore_k)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        F.broadcast(cand).join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cosine("v", "qv").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def matryoshka_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      dims: tuple = (8, 16, 32, 64),
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id",
+                      query_vec_col: str = "query_vec") -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. 2022 MRL): recall@k
+    of cosine top-k computed on the first ``d`` dimensions against the
+    full-dimension exact top-k, for each d in ``dims``. The decision
+    artifact for the storage/recall trade: MRL-trained embeddings keep
+    most recall at d/8 prefixes, so serving can scan a truncated column
+    at 1/8 the bytes — this measures whether THESE embeddings allow it.
+
+    Returns one row per dim: (dim, n_hit, n_exact, recall), recall
+    monotone-ish in dim and exactly 1.0 at the full dimension (the
+    built-in sanity row).
+
+    Scale: ONE corpus scan — the dims axis is an exploded literal array
+    (|corpus|·|dims| scored rows, map-side), query batch broadcast;
+    the per-(dim, query) top-k window is the only exchange, and the hit
+    join is broadcast (both sides |dims|·|queries|·k rows). At 100 TB
+    the corpus side stays a scan of the embedding column only.
+    """
+    full = max(dims)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("dim", F.explode(F.array(*[F.lit(d) for d in dims])))
+        .select(
+            "dim", "query_id", "vec_id",
+            cosine(F.slice("v", 1, F.col("dim")),
+                   F.slice("qv", 1, F.col("dim"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    # topk feeds BOTH the approx side and the exact (dim == full)
+    # side of the hit join; without persisting it the self-reference
+    # recomputes the corpus scan + window twice. It is |dims|·|q|·k
+    # rows — bounded, corpus-independent.
+    topk = cache(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dim", "query_id", "vec_id")
+    )
+    exact = topk.where(F.col("dim") == full).select("query_id", "vec_id")
+    hits = (
+        topk.join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("dim").agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    den = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    return (
+        hits.crossJoin(F.broadcast(den))
+        .select(
+            F.col("dim").cast("int").alias("dim"), "n_hit", "n_exact",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     """One-row ANN quality measurement: recall@k of ``approx`` against
     the exhaustive ``exact`` result (both (query_id, vec_id) sets from

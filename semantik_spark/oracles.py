@@ -1342,6 +1342,84 @@ rk AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
 
 
+def _binary_code_expr(vec: str, dim: int, word: int, word_bits: int = 32) -> str:
+    """Twin of similarity.binary_code: sum of CASE sign-bit terms for
+    one 32-bit word (values stay in [0, 2^32) — no sign issues)."""
+    lo = word * word_bits
+    hi = min(dim, lo + word_bits)
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{j + 1}] > 0 THEN (1::BIGINT << {j - lo}) ELSE 0::BIGINT END)"
+        for j in range(lo, hi)
+    )
+    return f"({terms})"
+
+
+def q_knn_binary(k: int = 5, rescore_k: int = 20, dim: int = 64) -> str:
+    """Twin of similarity.knn_binary: sign-bit codes packed into 32-bit
+    words, Hamming-ascending candidates, exact-cosine rescore."""
+    n_words = (dim + 31) // 32
+    ccols = ", ".join(
+        f"{_binary_code_expr('v', dim, w)} AS c{w}" for w in range(n_words)
+    )
+    qcols = ", ".join(
+        f"{_binary_code_expr('qv', dim, w)} AS q{w}" for w in range(n_words)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(cc.c{w}, qc.q{w}))" for w in range(n_words)
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cc AS (SELECT vec_id, {ccols} FROM corpus),
+qc AS (SELECT query_id, {qcols} FROM q),
+scored AS (
+  SELECT qc.query_id, cc.vec_id, ({ham})::INT AS ham
+  FROM cc CROSS JOIN qc),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hrank
+    FROM scored
+  ) WHERE hrank <= {rescore_k}),
+exact AS (
+  SELECT c2.query_id, c2.vec_id, {cosine_expr("corpus.v", "q.qv")} AS cos
+  FROM cand c2 JOIN corpus ON c2.vec_id = corpus.vec_id JOIN q ON c2.query_id = q.query_id),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM exact)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
+
+
+def q_matryoshka_recall(k: int = 10, dims: tuple = (8, 16, 32, 64)) -> str:
+    """Twin of similarity.matryoshka_recall: per-dim truncated-cosine
+    top-k vs full-dim exact top-k."""
+    full = max(dims)
+    dims_sql = "[" + ", ".join(str(d) for d in dims) + "]"
+    tc = cosine_expr("list_slice(v, 1, dim)", "list_slice(qv, 1, dim)")
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT dim, query_id, corpus.vec_id, {tc} AS cos
+  FROM corpus CROSS JOIN q CROSS JOIN (SELECT unnest({dims_sql}) AS dim) d),
+topk AS (
+  SELECT dim, query_id, vec_id FROM (
+    SELECT dim, query_id, vec_id,
+           row_number() OVER (PARTITION BY dim, query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}),
+exact AS (SELECT query_id, vec_id FROM topk WHERE dim = {full}),
+hits AS (
+  SELECT dim, count(*)::BIGINT AS n_hit
+  FROM topk JOIN exact USING (query_id, vec_id)
+  GROUP BY dim),
+den AS (SELECT count(*)::BIGINT AS n_exact FROM exact)
+SELECT dim::INT AS dim, n_hit, n_exact,
+       round(n_hit::DOUBLE / n_exact, 6) AS recall
+FROM hits CROSS JOIN den"""
+
+
 def q_knn_lsh(k: int = 5, dim: int = 64, nbits: int = 8) -> str:
     planes = _hyperplane_literals(dim, nbits)
     sig_terms = " + ".join(
@@ -1818,6 +1896,57 @@ SELECT a.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
        round(CASE WHEN coalesce(per.n_windows, 0) > 0
                   THEN per.n_dup::DOUBLE / per.n_windows ELSE 0.0 END, 6) AS dup_frac
 FROM aug_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
+
+
+def q_duplicate_spans(k: int = 10, min_docs: int = 2) -> str:
+    """Twin of dedup.duplicate_spans: dup k-token windows merged into
+    maximal per-doc token spans (islands over start positions)."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM aug_docs
+),
+w AS (
+  SELECT doc_id, i + 1 AS start, {hash60_expr("wtext")} AS h
+  FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= {k}
+                               THEN range(0, greatest(len(toks) - {k}, 0) + 1)
+                               ELSE []::BIGINT[] END) AS i,
+           toks
+    FROM t) s,
+  LATERAL (SELECT array_to_string(toks[i + 1:i + {k}], ' ') AS wtext) x
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+dw AS (
+  SELECT w.doc_id, w.start, w.start + {k - 1} AS "end"
+  FROM w JOIN dup USING (h)
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN start > coalesce(
+                  max("end") OVER (PARTITION BY doc_id ORDER BY start
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+                  -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM dw
+),
+islands AS (
+  SELECT doc_id, start, "end",
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged
+)
+SELECT doc_id, span_id::INT AS span_id,
+       min(start)::BIGINT AS start_token,
+       max("end")::BIGINT AS end_token,
+       (max("end") - min(start) + 1)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_windows
+FROM islands GROUP BY doc_id, span_id"""
 
 
 def q_nb_classify(holdout_mod: int = 5, label_col: str = "lang") -> str:

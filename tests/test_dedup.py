@@ -455,3 +455,45 @@ def test_duplicate_clusters_logs_cc_counters(spark, docs, tmp_path):
     assert counters["cc_rounds"] >= 1
     assert counters["cc_jumps"] == 0
     assert json.loads(row["config_json"])["threshold"] == 0.5
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Two docs share a 5-token run; with k=3 the three overlapping dup
+    windows per doc must coalesce into ONE maximal span covering
+    exactly the shared tokens (1-based inclusive positions)."""
+    from semantik_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, shared + " u1 u2 u3"),
+         (2, "v1 v2 " + shared),
+         (3, "w1 w2 w3 w4 w5 w6 w7 w8")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, k=3).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no repeated content
+    assert (rows[1]["start_token"], rows[1]["end_token"]) == (1, 5)
+    assert (rows[2]["start_token"], rows[2]["end_token"]) == (3, 7)
+    for r in rows.values():
+        assert r["span_id"] == 1 and r["n_tokens"] == 5 and r["n_windows"] == 3
+
+
+def test_duplicate_spans_separate_islands(spark):
+    """Two dup runs separated by unique tokens stay two spans with
+    ascending span_ids; within-doc-only repetition does not count
+    (min_docs=2 needs distinct documents)."""
+    from semantik_spark.operators.dedup import duplicate_spans
+
+    a = "p q r"          # shared run 1
+    b = "x y z"          # shared run 2
+    docs = spark.createDataFrame(
+        [(1, a + " mid1 mid2 " + b),
+         (2, a + " other filler " + b),
+         (3, "self self self self self self")],  # repeats only within itself
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        ((r["doc_id"], r["span_id"], r["start_token"], r["end_token"])
+         for r in duplicate_spans(docs, k=3).collect())
+    )
+    assert rows == [(1, 1, 1, 3), (1, 2, 6, 8), (2, 1, 1, 3), (2, 2, 6, 8)]

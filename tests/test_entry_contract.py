@@ -38,7 +38,11 @@ ROUND7_WINDOW_MUST = (
 # driver-evaluated, verified locally via tools/check_oracle.py. These
 # MUST head the round-8 window — promote this tuple into the next
 # round's WINDOW_MUST list during rotation.
-ROUND8_WINDOW_MUST: tuple = ()
+ROUND8_WINDOW_MUST: tuple = (
+    "knn_binary",
+    "dedup_spans",
+    "matryoshka_recall",
+)
 
 
 def test_every_query_has_an_oracle():

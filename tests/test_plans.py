@@ -860,3 +860,49 @@ def test_ivfpq_serve_prunes_partitions_and_pushes_rescore_ids(spark, tmp_path):
     ).replace("#", " ")
     assert "PartitionFilters" in probe_plan and "centroid_id" in probe_plan, \
         probe_plan[:2000]
+
+
+def test_knn_binary_broadcasts_queries_no_corpus_shuffle_phase1(spark):
+    """Binary-quantization ANN: the Hamming phase is corpus-scan ×
+    broadcast query codes (BroadcastNestedLoopJoin is the expected
+    physical shape of the deliberate small-side cross join); the
+    rescore joins are broadcast hash joins; no CartesianProduct and no
+    sort-merge shuffle of the corpus anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_knn_binary(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_matryoshka_single_corpus_scan(spark):
+    """The dims axis must come from ONE exploded literal array over one
+    corpus scan — not one scan per dim: exactly one parquet scan of
+    embeddings on the corpus side (plus one for the broadcast query
+    batch), no cartesian, hit-join broadcast."""
+    import __spark_entry__ as e
+
+    df = e.q_matryoshka_recall(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # dims axis = exploded literal array
+    # topk feeds both sides of the hit join through ONE persisted
+    # relation (bounded |dims|*|q|*k rows) — the corpus scan + scoring
+    # window run once per cache fill, not once per consumer
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_dedup_spans_single_hash_shuffle_then_doc_window(spark):
+    """duplicate_spans shuffle profile: the corpus-wide exchange is the
+    groupBy on the window hash (equi aggregation), the island pass is a
+    window partitioned by doc_id over dup rows only — no cartesian, no
+    nested loop beyond none at all."""
+    from semantik_spark.operators.dedup import duplicate_spans
+
+    docs = _mk_docs(spark, 50)
+    plan = _plan(duplicate_spans(docs, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

@@ -440,3 +440,96 @@ def test_knn_ivfpq_scores_are_true_cosines(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert truth[(r["query_id"], r["vec_id"])] == pytest.approx(r["cos"])
+
+
+def test_binary_code_packs_sign_bits(spark):
+    """bit j of word w set iff component w*32+j > 0 (0.0 and negatives
+    clear); values stay in [0, 2^32) so xor/bit_count arithmetic is
+    sign-free in both engines."""
+    from semantik_spark.operators.similarity import binary_code
+
+    dim = 34
+    v = [0.0] * dim
+    v[0] = 1.0      # word0 bit0
+    v[2] = 0.5      # word0 bit2
+    v[3] = -1.0     # negative -> clear
+    v[33] = 2.0     # word1 bit1
+    df = spark.createDataFrame([(v,)], ["v"])
+    row = df.select(
+        binary_code("v", dim, 0).alias("c0"),
+        binary_code("v", dim, 1).alias("c1"),
+    ).collect()[0]
+    assert row["c0"] == (1 << 0) + (1 << 2)
+    assert row["c1"] == (1 << 1)
+
+
+def test_knn_binary_full_rescore_equals_bruteforce(spark):
+    """With rescore_k = |corpus| the Hamming phase only reorders
+    candidates — the exact rescore must reproduce brute force top-k
+    bit-for-bit (scores are true cosines, never Hamming artifacts)."""
+    import random
+
+    from semantik_spark.operators.similarity import knn_binary, knn_bruteforce
+
+    rng = random.Random(7)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(dim)]),
+         (1, [rng.uniform(-1, 1) for _ in range(dim)])],
+        ["query_id", "query_vec"],
+    )
+    exact = sorted((r["query_id"], r["vec_id"], round(r["cos"], 9))
+                   for r in knn_bruteforce(corpus, q, k=5).collect())
+    got = sorted((r["query_id"], r["vec_id"], round(r["cos"], 9))
+                 for r in knn_binary(corpus, q, k=5, rescore_k=40, dim=dim).collect())
+    assert got == exact
+
+
+def test_knn_binary_candidates_ranked_by_hamming(spark):
+    """With rescore_k=1 the single candidate per query is the
+    Hamming-nearest code (tie -> smallest vec_id): an orthant-aligned
+    query must pick the corpus vector with the identical sign
+    pattern."""
+    from semantik_spark.operators.similarity import knn_binary
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 1.0, -1.0, -1.0]),
+         (11, [-1.0, -1.0, 1.0, 1.0]),
+         (12, [1.0, -1.0, 1.0, -1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(0, [0.9, 0.8, -0.7, -0.6])],
+                              ["query_id", "query_vec"])
+    rows = knn_binary(corpus, q, k=1, rescore_k=1, dim=4).collect()
+    assert len(rows) == 1 and rows[0]["vec_id"] == 10
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    """The max-dim row is recall 1.0 by construction; every dim's
+    recall lies in (0, 1] and the report has one row per dim."""
+    import random
+
+    from semantik_spark.operators.similarity import matryoshka_recall
+
+    rng = random.Random(3)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(3)],
+        ["query_id", "query_vec"],
+    )
+    rows = {r["dim"]: r for r in
+            matryoshka_recall(corpus, q, k=5, dims=(4, 8, 16)).collect()}
+    assert set(rows) == {4, 8, 16}
+    assert rows[16]["recall"] == pytest.approx(1.0)
+    assert rows[16]["n_exact"] == 15
+    for d, r in rows.items():
+        assert 0.0 < r["recall"] <= 1.0
+        assert r["n_hit"] <= r["n_exact"]
