@@ -834,6 +834,14 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(_aug_docs(spark, sf_dir), k=10)
 
 
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after exact-substring dedup (Lee et al. 2022
+    §3.1): every duplicated k-token span (dedup_spans) removed from
+    every document — the cut applied, not just listed
+    (operators/dedup.py cut_spans)."""
+    return dedup.cut_spans(_aug_docs(spark, sf_dir), k=10)
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab induction: top-200 tokens by collection
     frequency with contiguous (freq DESC, term ASC) ids."""
@@ -3613,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_binary": q_knn_binary,
         "dedup_spans": q_dedup_spans,
         "matryoshka_recall": q_matryoshka_recall,
+        "dedup_cut": q_dedup_cut,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4816,6 +4825,7 @@ WHERE EXISTS (
         "knn_binary": oracles.q_knn_binary(5, 20, 64),
         "dedup_spans": oracles.q_duplicate_spans(10, 2),
         "matryoshka_recall": oracles.q_matryoshka_recall(10, (8, 16, 32, 64)),
+        "dedup_cut": oracles.q_cut_spans(10, 2),
     }
 
 

@@ -832,6 +832,67 @@ def duplicate_spans(docs: DataFrame, k: int = 10, min_docs: int = 2,
     )
 
 
+def cut_spans(docs: DataFrame, k: int = 10, min_docs: int = 2,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply exact-substring dedup: emit the CLEANED corpus with every
+    duplicated span (duplicate_spans output) cut out of every document
+    — the final step of the Lee et al. 2022 ExactSubstr pipeline (§3.1
+    "we remove the duplicated substring from the dataset"). Where
+    duplicate_spans reports what to cut, this performs the cut, so a
+    training-data pipeline can feed the result straight to packing.
+
+    Returns (doc_id, n_tokens_before, n_tokens_removed, n_tokens_after,
+    cleaned_text): tokens are the lowercased whitespace tokens the span
+    positions are defined over; documents with no duplicated spans pass
+    through with n_tokens_removed = 0.
+
+    Scale: duplicate_spans' profile (one hash groupBy + one per-doc
+    window over DUP windows only) plus one groupBy(doc_id) to pack each
+    doc's spans into an array — spans-per-doc is tiny and bounded by
+    doc length, so the packed array is safe — and one equi-join of the
+    corpus against that packed table (AQE-broadcast: the span table
+    only has rows for docs that contain duplicates). The cut itself is
+    a codegen'd Column expression (filter/transform over the token
+    array), map-only.
+    """
+    spans = (
+        duplicate_spans(docs, k=k, min_docs=min_docs,
+                        id_col=id_col, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("start_token", "end_token")).alias("_spans"))
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
+    )
+    joined = tok.join(spans, "doc_id", "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array().cast(
+            "array<struct<start_token:bigint,end_token:bigint>>"))
+    )
+    # sequence(1, 0) is the DESCENDING [1, 0] in Spark, so empty docs
+    # must short-circuit to an empty position array
+    positions = F.when(
+        F.size("_toks") > 0,
+        F.sequence(F.lit(1).cast("bigint"), F.size("_toks").cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    kept_pos = F.filter(
+        positions,
+        lambda p: ~F.exists(
+            "_spans",
+            lambda s: (p >= s["start_token"]) & (p <= s["end_token"]),
+        ),
+    )
+    out = joined.withColumn("_kept", kept_pos)
+    return out.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens_before"),
+        (F.size("_toks") - F.size("_kept")).cast("bigint").alias("n_tokens_removed"),
+        F.size("_kept").cast("bigint").alias("n_tokens_after"),
+        F.concat_ws(
+            " ", F.transform("_kept", lambda p: F.element_at("_toks", p.cast("int")))
+        ).alias("cleaned_text"),
+    )
+
+
 def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-substring contamination signal — the k-gram-fingerprint

@@ -1898,12 +1898,12 @@ SELECT a.doc_id, coalesce(per.n_windows, 0)::BIGINT AS n_windows,
 FROM aug_docs a LEFT JOIN per ON a.doc_id = per.doc_id"""
 
 
-def q_duplicate_spans(k: int = 10, min_docs: int = 2) -> str:
-    """Twin of dedup.duplicate_spans: dup k-token windows merged into
-    maximal per-doc token spans (islands over start positions)."""
-    return f"""
-WITH {AUGMENTED_DOCS_CTE.lstrip()},
-t AS (
+def _dup_span_ctes(k: int, min_docs: int) -> str:
+    """Shared CTE chain for the exact-substring span family: token
+    arrays -> k-token window hashes -> dup windows -> per-doc maximal
+    spans (islands). Ends with ``islands(doc_id, start, end, span_id)``
+    and keeps ``t(doc_id, toks)`` in scope for downstream CTEs."""
+    return f"""t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> length(x) > 0) AS toks
@@ -1940,13 +1940,56 @@ islands AS (
          sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
   FROM flagged
-)
+)"""
+
+
+def q_duplicate_spans(k: int = 10, min_docs: int = 2) -> str:
+    """Twin of dedup.duplicate_spans: dup k-token windows merged into
+    maximal per-doc token spans (islands over start positions)."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{_dup_span_ctes(k, min_docs)}
 SELECT doc_id, span_id::INT AS span_id,
        min(start)::BIGINT AS start_token,
        max("end")::BIGINT AS end_token,
        (max("end") - min(start) + 1)::BIGINT AS n_tokens,
        count(*)::BIGINT AS n_windows
 FROM islands GROUP BY doc_id, span_id"""
+
+
+def q_cut_spans(k: int = 10, min_docs: int = 2) -> str:
+    """Twin of dedup.cut_spans: the cleaned corpus after every
+    duplicated span is removed from every document."""
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{_dup_span_ctes(k, min_docs)},
+spans AS (
+  SELECT doc_id, min(start) AS s, max("end") AS e
+  FROM islands GROUP BY doc_id, span_id
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) > 0 THEN range(1, len(toks) + 1)
+                     ELSE []::BIGINT[] END) AS p
+  FROM t
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok
+  FROM pos
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = pos.doc_id
+                      AND pos.p BETWEEN sp.s AND sp.e)
+),
+kc AS (
+  SELECT doc_id, count(*) AS n, string_agg(tok, ' ' ORDER BY p) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks)::BIGINT AS n_tokens_before,
+       (len(t.toks) - coalesce(kc.n, 0))::BIGINT AS n_tokens_removed,
+       coalesce(kc.n, 0)::BIGINT AS n_tokens_after,
+       coalesce(kc.txt, '') AS cleaned_text
+FROM t LEFT JOIN kc USING (doc_id)"""
 
 
 def q_nb_classify(holdout_mod: int = 5, label_col: str = "lang") -> str:

@@ -497,3 +497,29 @@ def test_duplicate_spans_separate_islands(spark):
          for r in duplicate_spans(docs, k=3).collect())
     )
     assert rows == [(1, 1, 1, 3), (1, 2, 6, 8), (2, 1, 1, 3), (2, 2, 6, 8)]
+
+
+def test_cut_spans_removes_exactly_the_dup_spans(spark):
+    """cut_spans is duplicate_spans APPLIED: the shared run disappears
+    from both docs, unique tokens survive in order, span-free docs pass
+    through untouched, and the token accounting balances."""
+    from semantik_spark.operators.dedup import cut_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, shared + " u1 u2 u3"),
+         (2, "v1 v2 " + shared),
+         (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+         (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cut_spans(docs, k=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["cleaned_text"] == "u1 u2 u3"
+    assert rows[2]["cleaned_text"] == "v1 v2"
+    assert rows[3]["cleaned_text"] == "w1 w2 w3 w4 w5 w6 w7 w8"
+    assert rows[4]["cleaned_text"] == "" and rows[4]["n_tokens_before"] == 0
+    for r in rows.values():
+        assert r["n_tokens_before"] - r["n_tokens_removed"] == r["n_tokens_after"]
+    assert rows[1]["n_tokens_removed"] == 5 and rows[2]["n_tokens_removed"] == 5
+    assert rows[3]["n_tokens_removed"] == 0

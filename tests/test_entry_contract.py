@@ -42,6 +42,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "knn_binary",
     "dedup_spans",
     "matryoshka_recall",
+    "dedup_cut",
 )
 
 

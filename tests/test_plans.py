@@ -906,3 +906,17 @@ def test_dedup_spans_single_hash_shuffle_then_doc_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_cut_spans_equi_join_and_codegen_cut(spark):
+    """cut_spans adds exactly one corpus-side equi-join (doc_id against
+    the packed span table) on top of the duplicate_spans profile; the
+    cut itself is a Column expression — no cartesian, no nested loop,
+    no python UDF stage."""
+    from semantik_spark.operators.dedup import cut_spans
+
+    docs = _mk_docs(spark, 50)
+    plan = _plan(cut_spans(docs, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
