@@ -3152,6 +3152,46 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_matches(spark, f"{base}/matches")
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE stream-stream interval join: clicks and purchases replay
+    as separate time-ordered 4-file streams; every click preceding a
+    same-user purchase by <= 1 day joins in-flight, with a finite
+    watermark on BOTH sides so the join state store evicts
+    can't-match-anymore rows (streaming.incremental
+    stream_interval_join). Time-ordered batches make between-batch
+    lateness zero, so the append log equals the batch interval join —
+    the oracle replays exactly that."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        stream_files, stream_interval_join, write_time_ordered_drop,
+    )
+
+    base = _scratch("stream_ssj")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    write_time_ordered_drop(ev.where(F.col("event_type") == "click"),
+                            f"{base}/clicks")
+    write_time_ordered_drop(ev.where(F.col("event_type") == "purchase"),
+                            f"{base}/purchases")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    q = stream_interval_join(
+        stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        f"{base}/joined", f"{base}/ckpt",
+        key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/joined")
+        .select(F.col("key").alias("user_id"),
+                F.col("left_id").alias("click_id"),
+                F.col("right_id").alias("purchase_id"), "lag_us")
+    )
+
+
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64d -> 16d
     (projection.jl_projection): deterministic md5-parity sign matrix,
@@ -3622,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "matryoshka_recall": q_matryoshka_recall,
         "dedup_cut": q_dedup_cut,
+        "stream_interval_join": q_stream_interval_join,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4826,6 +4867,19 @@ WHERE EXISTS (
         "dedup_spans": oracles.q_duplicate_spans(10, 2),
         "matryoshka_recall": oracles.q_matryoshka_recall(10, (8, 16, 32, 64)),
         "dedup_cut": oracles.q_cut_spans(10, 2),
+        "stream_interval_join": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (p.us - c.us)::BIGINT AS lag_us
+FROM c JOIN p ON c.user_id = p.user_id
+ AND c.us BETWEEN p.us - 86400000000 AND p.us""",
     }
 
 

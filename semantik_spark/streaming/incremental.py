@@ -763,3 +763,90 @@ def lsh_matches(spark: SparkSession, matches_path: str) -> DataFrame:
     """Read the accumulated near-dup match log (doc_a, doc_b,
     est_jaccard), DISTINCT to collapse at-least-once replays."""
     return spark.read.parquet(matches_path).distinct()
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, out_path: str,
+                         checkpoint: str, key: str = "user_id",
+                         max_lag_minutes: int = 1440,
+                         watermark_minutes: int = 5760):
+    """NATIVE stream-stream inner interval join — the missing half of
+    the streaming family (everything else here is aggregation or
+    foreachBatch dedup): two unbounded sources joined on an equality
+    key plus a time-interval condition, with watermarks on BOTH sides
+    so Spark's state store evicts rows that can no longer match
+    (SS join state cleanup, SPARK-24730 semantics). The reference's
+    continuous sync would need exactly this to correlate two live
+    feeds (e.g. content updates x access events) without rebatching.
+
+    Join semantics: left row L matches right row R when
+    ``L.key = R.key AND L.ts BETWEEN R.ts - max_lag_minutes AND R.ts``
+    — "every left event that PRECEDES the right event by at most the
+    lag window", the attribution shape (click -> purchase).
+
+    Output (append sink, exactly-once via checkpoint): (key, left_id,
+    right_id, l_ts, r_ts, lag_us). Inner joins emit eagerly on match —
+    no watermark wait for output, only for state eviction.
+
+    Scale: state per side is bounded by (arrival disorder +
+    watermark_minutes + max_lag_minutes) of data, NOT the stream
+    history — the interval condition gives Spark an eviction predicate
+    for both sides (left rows older than watermark - lag, right rows
+    older than watermark). Both sides shuffle on the key once into the
+    join state store; at 1000 executors that is the same hash exchange
+    a batch join would do, amortized over micro-batches. Completeness
+    contract: rows later than ``watermark_minutes`` can be dropped —
+    callers feeding time-ordered batches (the drop-dir pattern with
+    range-partitioned files) get exact batch-equality, asserted in
+    tests/test_streaming.py and the dedicated oracle entry.
+    """
+    l = left.select(
+        F.col(key).alias("key"),
+        F.col("event_id").alias("left_id"), F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", f"{watermark_minutes} minutes")
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("right_id"), F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", f"{watermark_minutes} minutes")
+    joined = (
+        l.join(
+            r,
+            F.expr(
+                f"key = r_key AND l_ts BETWEEN "
+                f"r_ts - INTERVAL {max_lag_minutes} MINUTES AND r_ts"
+            ),
+            "inner",
+        )
+        .select(
+            "key", "left_id", "right_id", "l_ts", "r_ts",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts"))
+            .cast("bigint").alias("lag_us"),
+        )
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_time_ordered_drop(df: DataFrame, path: str, ts_col: str = "ts",
+                            n_files: int = 4) -> None:
+    """Write ``df`` as ``n_files`` range-partitioned parquet files whose
+    FILE ORDER (mtime, then name) matches ascending event time, so a
+    maxFilesPerTrigger=1 stream replays the data as time-ordered
+    micro-batches — between-batch lateness is zero and a finite
+    watermark drops nothing. The local-test stand-in for a source that
+    is naturally near-ordered (Kafka, CDC logs)."""
+    import os
+    import time
+
+    df.repartitionByRange(n_files, F.col(ts_col)).write.parquet(path)
+    parts = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    base = time.time() - len(parts)
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(path, name), (base + i, base + i))

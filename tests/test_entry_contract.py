@@ -43,6 +43,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "dedup_spans",
     "matryoshka_recall",
     "dedup_cut",
+    "stream_interval_join",
 )
 
 
