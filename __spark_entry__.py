@@ -278,6 +278,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score")
 
 
+def q_bm25_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k from a statically PRUNED index: per-term top-32
+    postings by impact weight (Carmel et al. 2001), the sparse
+    counterpart to IVF's probe-fewer-cells trade — worst-case per-term
+    serving cost drops from O(corpus) to O(keep)
+    (operators/bm25.py pruned_postings/pruned_search)."""
+    res = bm25.pruned_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=10, keep=32,
+    )
+    return _r6(res, "score")
+
+
 def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 extractor: TF-IDF top-5 keywords per document."""
     return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
@@ -3663,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "dedup_cut": q_dedup_cut,
         "stream_interval_join": q_stream_interval_join,
+        "bm25_pruned_search": q_bm25_pruned_search,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4880,6 +4894,7 @@ SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        (p.us - c.us)::BIGINT AS lag_us
 FROM c JOIN p ON c.user_id = p.user_id
  AND c.us BETWEEN p.us - 86400000000 AND p.us""",
+        "bm25_pruned_search": oracles.q_bm25_pruned_search(10, 32),
     }
 
 

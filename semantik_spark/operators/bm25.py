@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.config import BM25_B, BM25_K1
@@ -260,6 +260,54 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = postings(tok, terms, stats)
+    enc = encode_queries(queries, terms)
+    scored = score(post, enc)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def pruned_postings(post: DataFrame, keep: int = 32) -> DataFrame:
+    """Static impact-ordered index pruning (Carmel et al. 2001, "Static
+    index pruning for information retrieval systems"): keep only the
+    top-``keep`` postings per term by BM25 impact weight (doc_id
+    tiebreak for determinism). The standard sparse-serving trade: a
+    term's tail postings contribute the least to any top-k and are the
+    bulk of the index for common terms, so the pruned index is a small
+    fraction of the full one while top-k results barely move.
+
+    Scale: one window shuffle on term — the same key the postings
+    table is already partitioned by for serving, so in a deployed
+    index this runs partition-local at write time. The pruned index
+    bounds per-term serving cost at ``keep`` rows regardless of how
+    common the term is: the worst-case stopword-ish probe goes from
+    O(corpus) to O(keep).
+    """
+    w = Window.partitionBy("term").orderBy(F.desc("weight"), F.asc("doc_id"))
+    return (
+        post.withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= keep)
+        .drop("_pr")
+    )
+
+
+def pruned_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                  keep: int = 32, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  tokenized: DataFrame | None = None) -> DataFrame:
+    """BM25 top-k served from the statically pruned index — same
+    contract as search(); scores can only shrink vs the full index
+    (cut term contributions), ranks shift accordingly. Callers choose
+    ``keep`` from measured recall (the pruning analogue of the IVF
+    nprobe sweep)."""
+    tok = tokenized if tokenized is not None \
+        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    stats = corpus_stats(tok)
+    terms = term_stats(tok, stats)
+    post = pruned_postings(postings(tok, terms, stats), keep=keep)
     enc = encode_queries(queries, terms)
     scored = score(post, enc)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -85,10 +85,13 @@ tokd AS (
 )"""
 
 
-def bm25_search_ctes(query_pairs: list[tuple[str, str]], k: int) -> str:
+def bm25_search_ctes(query_pairs: list[tuple[str, str]], k: int,
+                     post_table: str = "post", extra_ctes: str = "") -> str:
     """Extends bm25_ctes with query encoding + top-k ranking:
-    adds qtok → qtf → qenc → scored → ranked(query_id, doc_id, score, rank)."""
-    return f"""{bm25_ctes()},
+    adds qtok → qtf → qenc → scored → ranked(query_id, doc_id, score, rank).
+    ``extra_ctes`` (appended after post) may define a derived postings
+    table and name it via ``post_table`` — the pruned-index twin."""
+    return f"""{bm25_ctes()},{extra_ctes}
 qsrc AS (SELECT * FROM {queries_values_sql(query_pairs)}),
 qtok AS (
   SELECT query_id,
@@ -104,9 +107,9 @@ qtok AS (
   FROM qtf JOIN terms USING (term)
   WHERE terms.idf > 0
 ), scored AS (
-  SELECT qenc.query_id, post.doc_id, sum(post.weight * qenc.q_weight) AS score
-  FROM post JOIN qenc USING (term)
-  GROUP BY qenc.query_id, post.doc_id
+  SELECT qenc.query_id, p.doc_id, sum(p.weight * qenc.q_weight) AS score
+  FROM {post_table} p JOIN qenc USING (term)
+  GROUP BY qenc.query_id, p.doc_id
 ), ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
@@ -233,6 +236,26 @@ def q_bm25_postings() -> str:
 def q_bm25_search(k: int = 10) -> str:
     return (
         f"WITH {bm25_search_ctes(SEARCH_QUERIES, k)} "
+        f"SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def q_bm25_pruned_search(k: int = 10, keep: int = 32) -> str:
+    """Twin of bm25.pruned_search: statically pruned postings (per-term
+    top-``keep`` by impact weight, doc_id tiebreak) scored with the
+    standard pipeline."""
+    extra = f"""
+pruned AS (
+  SELECT doc_id, term, term_id, tf, weight FROM (
+    SELECT post.*,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY weight DESC, doc_id ASC) AS pr
+    FROM post) s
+  WHERE pr <= {keep}
+),"""
+    return (
+        f"WITH {bm25_search_ctes(SEARCH_QUERIES, k, post_table='pruned', extra_ctes=extra)} "
         f"SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank "
         f"FROM ranked WHERE rank <= {k}"
     )

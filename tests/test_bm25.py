@@ -185,3 +185,46 @@ def test_merge_sparse_append_terms_exact(spark, tmp_path, docs):
                  spark.read.parquet(f"{idx}/postings").select("doc_id")
                  .distinct().collect()}
     assert post_docs == {r["doc_id"] for r in docs.collect()}
+
+
+def test_pruned_postings_caps_per_term_and_keeps_highest_impact(spark):
+    """Static pruning keeps exactly the top-`keep` postings per term by
+    weight (doc_id tiebreak); rare terms below the cap are untouched."""
+    docs = spark.createDataFrame(
+        # "shared" appears in every doc with varying tf; "rare" in one
+        [(i, "shared " * i + ("rare unique" if i == 1 else "filler"))
+         for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    tok = bm25.tokenize(docs)
+    stats, terms = bm25.corpus_stats(tok), bm25.term_stats(tok)
+    post = bm25.postings(tok, terms, stats)
+    pruned = bm25.pruned_postings(post, keep=2)
+
+    per_term = {
+        r["term"]: r["n"]
+        for r in pruned.groupBy("term").count().withColumnRenamed("count", "n").collect()
+    }
+    assert all(n <= 2 for n in per_term.values())
+    assert per_term["rare"] == 1  # below cap: untouched
+    # the survivors for "shared" are the two highest-weight postings
+    full = sorted(
+        ((r["weight"], -r["doc_id"]) for r in post.where("term = 'shared'").collect()),
+        reverse=True,
+    )
+    kept = {(-d) for _, d in full[:2]}
+    got = {r["doc_id"] for r in pruned.where("term = 'shared'").collect()}
+    assert got == kept
+
+
+def test_pruned_search_matches_full_when_keep_exceeds_corpus(spark, corpus):
+    """With keep >= corpus size, pruning is a no-op: pruned_search and
+    search return identical rankings and scores."""
+    queries = spark.createDataFrame(
+        [(1, "quick fox"), (2, "storage engines")], ["query_id", "query_text"]
+    )
+    norm = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9), r["rank"])
+        for r in df.collect())
+    assert norm(bm25.pruned_search(corpus, queries, k=3, keep=100)) == \
+        norm(bm25.search(corpus, queries, k=3))

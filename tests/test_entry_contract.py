@@ -44,6 +44,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "matryoshka_recall",
     "dedup_cut",
     "stream_interval_join",
+    "bm25_pruned_search",
 )
 
 

@@ -920,3 +920,17 @@ def test_cut_spans_equi_join_and_codegen_cut(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pruned_postings_single_term_window(spark):
+    """Static index pruning is ONE window exchange on term — the key
+    the postings table is already partitioned by for serving — and
+    nothing else: no cartesian, no extra join."""
+    from semantik_spark.operators import bm25
+
+    docs = _mk_docs(spark, 30)
+    tok = bm25.tokenize(docs)
+    stats, terms = bm25.corpus_stats(tok), bm25.term_stats(tok)
+    plan = _plan(bm25.pruned_postings(bm25.postings(tok, terms, stats), keep=4))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
