@@ -3011,6 +3011,43 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(names, "s")
 
 
+def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (Kudo 2018 seed phase,
+    tokenizer.unigram_train): substring-frequency-estimated piece
+    probabilities over the top-1000-word sample — all single chars +
+    top-120 multi-char pieces, costs in integer micro-nats so Viterbi
+    sums are engine-exact."""
+    from semantik_spark.operators.tokenizer import unigram_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_train(docs, vocab_size=120, max_piece_len=5,
+                         sample_words=1000)
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Viterbi segmentation of the top-30 sampled words under
+    the unigram-LM seed vocabulary (tokenizer.unigram_encode_words,
+    Arrow-batched integer DP). The oracle unrolls the whole DP —
+    position-by-position best-cost lattice plus the backpointer walk —
+    in pure SQL, the BPE-oracle discipline applied to Viterbi."""
+    from semantik_spark.operators.tokenizer import (
+        unigram_encode_words, unigram_train, word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = unigram_train(docs, vocab_size=120, max_piece_len=5,
+                           sample_words=1000)
+    sampled = (
+        word_frequencies(docs)
+        .orderBy(F.desc("freq"), F.asc("word")).limit(1000)
+    )
+    ew = (
+        sampled.where(F.length("word") <= 20)
+        .orderBy(F.desc("freq"), F.asc("word")).limit(30)
+    )
+    return unigram_encode_words(ew, pieces, max_piece_len=5)
+
+
 def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION BPE trainer (tokenizer.bpe_train_sampled — r7): the
     distributed corpus pass feeds a deterministic top-N word sample
@@ -3677,6 +3714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cut": q_dedup_cut,
         "stream_interval_join": q_stream_interval_join,
         "bm25_pruned_search": q_bm25_pruned_search,
+        "unigram_pieces": q_unigram_pieces,
+        "unigram_encode": q_unigram_encode,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4895,6 +4934,8 @@ SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
 FROM c JOIN p ON c.user_id = p.user_id
  AND c.us BETWEEN p.us - 86400000000 AND p.us""",
         "bm25_pruned_search": oracles.q_bm25_pruned_search(10, 32),
+        "unigram_pieces": oracles.q_unigram_pieces(120, 5, 1000),
+        "unigram_encode": oracles.q_unigram_encode(120, 5, 1000, 30, 20),
     }
 
 

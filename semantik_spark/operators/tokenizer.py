@@ -338,3 +338,220 @@ def bpe_token_count(docs: DataFrame, merges: list[tuple[str, str]],
             F.sum("n_pieces").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (Kudo 2018, "Subword Regularization" — the
+# SentencePiece unigram model). Where BPE grows a vocabulary bottom-up
+# by merges, the unigram model picks, per word, the SEGMENTATION that
+# maximizes the product of piece probabilities (Viterbi over the
+# position lattice). This implements the seed phase of Kudo's trainer
+# (substring-frequency-estimated probabilities over a bounded word
+# sample — §3.2's "frequent substrings" initialization) plus the exact
+# Viterbi encoder; EM refinement of the seed distribution is a
+# driver-local loop over the same bounded sample (see
+# unigram_em_refine).
+# ---------------------------------------------------------------------------
+
+def unigram_train(docs: DataFrame, vocab_size: int = 120,
+                  max_piece_len: int = 5, sample_words: int = 1000,
+                  text_col: str = "text") -> DataFrame:
+    """Seed a unigram-LM piece vocabulary: every substring (length <=
+    ``max_piece_len``) of the ``sample_words`` most frequent words is
+    counted at every start position weighted by word frequency; the
+    vocabulary keeps ALL single characters (so every word stays
+    segmentable) plus the top-``vocab_size`` multi-char pieces by
+    (count DESC, piece ASC). Piece cost is the negative log-prob in
+    integer MICRO-NATS — floor(-ln(count/total)*1e6 + 0.5) — so
+    downstream Viterbi sums are exact integer arithmetic, bit-equal in
+    any engine (the repo's exact-decimal discipline, cf. nb_classify).
+
+    Returns (piece, piece_len, count, cost_micro).
+
+    Scale: the corpus pass is word_frequencies (one map-side-combined
+    shuffle); everything after runs on the top-``sample_words`` word
+    table — bounded by the sample, not the corpus, which is how
+    SentencePiece actually trains (on a sampled subset). The substring
+    explode is sample_words x max_piece_len x avg_len rows; the only
+    global window ranks the bounded piece-count table.
+    """
+    wf = word_frequencies(docs, text_col)
+    sampled = wf.orderBy(F.desc("freq"), F.asc("word")).limit(sample_words)
+    sub = (
+        sampled.select(
+            "word", "freq",
+            F.explode(F.array(*[F.lit(l) for l in range(1, max_piece_len + 1)]))
+            .alias("l"),
+        )
+        .where(F.length("word") >= F.col("l"))
+        .select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, length(word) - l + 1),"
+                       " i -> substring(word, i, l))")
+            ).alias("piece"),
+        )
+    )
+    counts = sub.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("count"))
+    chars = counts.where(F.length("piece") == 1)
+    w = Window.orderBy(F.desc("count"), F.asc("piece"))
+    multi = (
+        counts.where(F.length("piece") > 1)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= vocab_size)
+        .drop("_rn")
+    )
+    vocab = chars.unionByName(multi)
+    total = vocab.agg(F.sum("count").cast("bigint").alias("_total"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "count",
+            F.floor(
+                -F.log(F.col("count").cast("double") / F.col("_total")) * 1e6
+                + 0.5
+            ).cast("bigint").alias("cost_micro"),
+        )
+    )
+
+
+def unigram_encode_words(words: DataFrame, pieces: DataFrame,
+                         max_piece_len: int = 5) -> DataFrame:
+    """Exact Viterbi segmentation of (word, freq) rows under a piece
+    cost table: per word, the minimum-total-cost split into vocabulary
+    pieces (integer micro-nat costs — ties broken by shorter last
+    piece, i.e. (cost ASC, backpointer-length ASC) at every position,
+    a total order both engines replay).
+
+    Returns (word, freq, encoded, n_pieces, cost_micro); words with a
+    character outside the vocabulary are dropped (cannot happen for
+    words drawn from the training sample — all their chars are kept).
+
+    Scale: the cost table is vocabulary-bounded (the same bounded
+    collect discipline as the IVF/PQ codebooks); the DP is an
+    Arrow-batched mapInPandas over the distinct-word table — per-word
+    O(len * max_piece_len) integer ops, embarrassingly parallel.
+    """
+    import pandas as pd
+
+    cost_map = {r["piece"]: int(r["cost_micro"]) for r in pieces.collect()}
+    bc = words.sparkSession.sparkContext.broadcast((cost_map, max_piece_len))
+
+    def enc(batches):
+        costs, maxp = bc.value
+        for pdf in batches:
+            out = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                best: list[int | None] = [None] * (n + 1)
+                back = [0] * (n + 1)
+                best[0] = 0
+                for p in range(1, n + 1):
+                    cands = []
+                    for j in range(1, min(maxp, p) + 1):
+                        prev = best[p - j]
+                        c = costs.get(word[p - j:p])
+                        if prev is not None and c is not None:
+                            cands.append((prev + c, j))
+                    if cands:
+                        best[p], back[p] = min(cands)
+                if n == 0 or best[n] is None:
+                    continue
+                segs = []
+                p = n
+                while p > 0:
+                    j = back[p]
+                    segs.append(word[p - j:p])
+                    p -= j
+                segs.reverse()
+                out.append((word, int(freq), " ".join(segs),
+                            len(segs), int(best[n])))
+            yield pd.DataFrame(
+                out, columns=["word", "freq", "encoded", "n_pieces",
+                              "cost_micro"],
+            )
+
+    return words.mapInPandas(
+        enc,
+        "word string, freq bigint, encoded string, n_pieces bigint, "
+        "cost_micro bigint",
+    )
+
+
+def unigram_em_refine(pieces: DataFrame, words: DataFrame,
+                      rounds: int = 2, max_piece_len: int = 5) -> DataFrame:
+    """Hard-EM refinement of the seed distribution (the Viterbi-EM
+    variant of Kudo 2018 §3.2's iteration): each round re-encodes the
+    bounded word sample under the current costs (E-step = Viterbi
+    counts weighted by word freq) and re-estimates piece probabilities
+    from usage (M-step), keeping single characters alive with their
+    seed counts when unused so segmentability never breaks. Runs
+    driver-local on the sample — the same bounded-table discipline as
+    bpe_train_sampled; the distributed encoder consumes the refined
+    table unchanged.
+
+    Returns the refined (piece, piece_len, count, cost_micro) with
+    usage-based counts.
+    """
+    spark = pieces.sparkSession
+    cost_map = {r["piece"]: int(r["cost_micro"]) for r in pieces.collect()}
+    seed_counts = {r["piece"]: int(r["count"])
+                   for r in pieces.collect()}
+    wrows = [(r["word"], int(r["freq"])) for r in words.collect()]
+
+    def viterbi(word: str, costs: dict) -> list[str] | None:
+        n = len(word)
+        best: list[int | None] = [None] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0
+        for p in range(1, n + 1):
+            cands = []
+            for j in range(1, min(max_piece_len, p) + 1):
+                prev, c = best[p - j], costs.get(word[p - j:p])
+                if prev is not None and c is not None:
+                    cands.append((prev + c, j))
+            if cands:
+                best[p], back[p] = min(cands)
+        if n == 0 or best[n] is None:
+            return None
+        segs, p = [], n
+        while p > 0:
+            segs.append(word[p - back[p]:p])
+            p -= back[p]
+        return segs[::-1]
+
+    import math
+
+    costs = dict(cost_map)
+    counts = dict(seed_counts)
+    for _ in range(rounds):
+        usage: dict[str, int] = {}
+        for word, freq in wrows:
+            segs = viterbi(word, costs)
+            if segs is None:
+                continue
+            for s in segs:
+                usage[s] = usage.get(s, 0) + freq
+        # M-step: usage counts; unused single chars keep seed counts so
+        # every word stays segmentable (SentencePiece's char floor)
+        counts = {
+            p: usage.get(p, c if len(p) == 1 else 0)
+            for p, c in counts.items()
+        }
+        counts = {p: c for p, c in counts.items() if c > 0}
+        total = sum(counts.values())
+        costs = {
+            p: int(math.floor(-math.log(c / total) * 1e6 + 0.5))
+            for p, c in counts.items()
+        }
+    return spark.createDataFrame(
+        [(p, len(p), counts[p], costs[p]) for p in sorted(counts)],
+        StructType([
+            StructField("piece", StringType()),
+            StructField("piece_len", LongType()),
+            StructField("count", LongType()),
+            StructField("cost_micro", LongType()),
+        ]),
+    ).withColumn("piece_len", F.col("piece_len").cast("int"))

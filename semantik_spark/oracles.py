@@ -2972,6 +2972,126 @@ SELECT word, freq, array_to_string(syms, ' ') AS encoded,
 FROM ranked WHERE rn <= {top_n}"""
 
 
+def unigram_ctes(vocab_size: int = 120, max_piece_len: int = 5,
+                 sample_words: int = 1000, doc_table: str = "documents",
+                 text_col: str = "text") -> str:
+    """CTE chain replaying tokenizer.unigram_train: wf → samp (top-N
+    words) → sub (every substring occurrence, freq-weighted) → counts →
+    vocab (all single chars + top-M multi-char pieces, integer
+    micro-nat costs)."""
+    return f"""
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS word
+        FROM {doc_table})
+  GROUP BY word
+),
+samp AS MATERIALIZED (
+  SELECT word, freq FROM (
+    SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rn
+    FROM wf) WHERE rn <= {sample_words}
+),
+sub AS (
+  SELECT freq, substr(word, i, l) AS piece FROM (
+    SELECT word, freq, l, unnest(range(1, length(word) - l + 2)) AS i
+    FROM (SELECT word, freq, unnest(range(1, {max_piece_len + 1})) AS l
+          FROM samp)
+    WHERE length(word) >= l)
+),
+counts AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM sub GROUP BY piece),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM counts WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM counts WHERE length(piece) > 1) WHERE rn <= {vocab_size}
+),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece, length(piece)::INT AS piece_len, cnt,
+         CAST(floor(-ln(cnt::DOUBLE / (SELECT total FROM tot)) * 1000000
+                    + 0.5) AS BIGINT) AS cost_micro
+  FROM vocab0
+)"""
+
+
+def q_unigram_pieces(vocab_size: int = 120, max_piece_len: int = 5,
+                     sample_words: int = 1000) -> str:
+    return (
+        f"WITH {unigram_ctes(vocab_size, max_piece_len, sample_words).lstrip()} "
+        f"SELECT piece, piece_len, cnt AS count, cost_micro FROM vocab"
+    )
+
+
+def q_unigram_encode(vocab_size: int = 120, max_piece_len: int = 5,
+                     sample_words: int = 1000, top_n: int = 30,
+                     max_word_len: int = 20) -> str:
+    """Twin of tokenizer.unigram_encode_words on the top-``top_n``
+    sampled words (length <= ``max_word_len``): the Viterbi DP unrolled
+    position-by-position — best{p} = min over piece lengths j of
+    best{p-j} + cost(substr ending at p), (cost ASC, j ASC) tiebreak —
+    then the backpointer walk unrolled the same way (the BPE-oracle
+    discipline: the whole trainer+encoder replayed in pure SQL)."""
+    L = max_word_len
+    parts = [unigram_ctes(vocab_size, max_piece_len, sample_words).lstrip()]
+    parts.append(f"""ew AS MATERIALIZED (
+  SELECT word, freq FROM (
+    SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rn
+    FROM samp WHERE length(word) <= {L}) WHERE rn <= {top_n}
+)""")
+    parts.append(
+        "best0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS bp FROM ew)"
+    )
+    for p in range(1, L + 1):
+        branches = []
+        for j in range(1, min(max_piece_len, p) + 1):
+            branches.append(f"""    SELECT w.word, b.cost + v.cost_micro AS cost, {j} AS bp
+    FROM ew w
+    JOIN best{p - j} b ON b.word = w.word
+    JOIN vocab v ON v.piece = substr(w.word, {p - j + 1}, {j})
+    WHERE length(w.word) >= {p}""")
+        union = "\n    UNION ALL\n".join(branches)
+        parts.append(f"""best{p} AS MATERIALIZED (
+  SELECT word, cost, bp FROM (
+    SELECT word, cost, bp,
+           row_number() OVER (PARTITION BY word ORDER BY cost, bp) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1
+)""")
+    dp_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, {p} AS pos, cost, bp FROM best{p}"
+        for p in range(1, L + 1)
+    )
+    parts.append(f"dp AS MATERIALIZED (\n{dp_union}\n)")
+    parts.append(
+        "step0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM ew "
+        "WHERE length(word) > 0)"
+    )
+    for i in range(1, L + 1):
+        parts.append(f"""step{i} AS MATERIALIZED (
+  SELECT s.word, s.pos - d.bp AS pos,
+         substr(s.word, s.pos - d.bp + 1, d.bp) AS piece, {i} AS ord
+  FROM step{i - 1} s JOIN dp d ON d.word = s.word AND d.pos = s.pos
+  WHERE s.pos > 0
+)""")
+    emis_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, piece, ord FROM step{i}" for i in range(1, L + 1)
+    )
+    parts.append(f"emis AS (\n{emis_union}\n)")
+    parts.append("""agg AS (
+  SELECT word, count(*)::BIGINT AS n_pieces,
+         string_agg(piece, ' ' ORDER BY ord DESC) AS encoded
+  FROM emis GROUP BY word
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT e.word, e.freq, a.encoded, a.n_pieces, d.cost AS cost_micro
+FROM ew e
+JOIN agg a ON a.word = e.word
+JOIN dp d ON d.word = e.word AND d.pos = length(e.word)"""
+
+
 def q_gopher_rules(min_words: int = 50, max_words: int = 100000) -> str:
     """Twin of textanalysis.gopher_rules — same cross-multiplied exact
     integer comparisons, same fixed reason order."""

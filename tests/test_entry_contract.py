@@ -45,6 +45,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "dedup_cut",
     "stream_interval_join",
     "bm25_pruned_search",
+    "unigram_pieces",
+    "unigram_encode",
 )
 
 

@@ -183,3 +183,78 @@ def test_sampled_trainer_equals_distributed_on_truncated_sample(spark, corpus):
          r["pair_count"])
         for r in df.orderBy("merge_rank").collect()]
     assert norm(merges_dist) == norm(merges_samp)
+
+
+def test_unigram_viterbi_picks_min_cost_segmentation(spark):
+    """Hand-built cost table: 'abc' must segment as the single piece
+    'abc' when it is cheapest, as 'ab c' when the bigram route wins,
+    with (cost, backpointer-length) tie-break when routes draw."""
+    from semantik_spark.operators.tokenizer import unigram_encode_words
+
+    words = spark.createDataFrame([("abc", 4)], ["word", "freq"])
+
+    def enc(costs):
+        pieces = spark.createDataFrame(
+            [(p, len(p), 1, c) for p, c in costs.items()],
+            ["piece", "piece_len", "count", "cost_micro"],
+        )
+        return unigram_encode_words(words, pieces, max_piece_len=3).collect()[0]
+
+    r = enc({"a": 10, "b": 10, "c": 10, "ab": 15, "abc": 20})
+    assert (r["encoded"], r["n_pieces"], r["cost_micro"]) == ("abc", 1, 20)
+    r = enc({"a": 10, "b": 10, "c": 10, "ab": 15, "abc": 40})
+    assert (r["encoded"], r["n_pieces"], r["cost_micro"]) == ("ab c", 2, 25)
+    # tie: 'ab c' (bp=1 at pos 3) vs 'a bc' (bp=2) both cost 25 ->
+    # smaller last-piece length wins at position 3
+    r = enc({"a": 10, "b": 10, "c": 10, "ab": 15, "bc": 15})
+    assert (r["encoded"], r["cost_micro"]) == ("ab c", 25)
+
+
+def test_unigram_train_keeps_chars_and_caps_multi(spark):
+    """Every single character of the sample survives (segmentability
+    floor); multi-char pieces are capped at vocab_size by
+    (count DESC, piece ASC)."""
+    from semantik_spark.operators.tokenizer import unigram_train
+
+    docs = spark.createDataFrame(
+        [(1, "zebra zebra quartz jumbo"), (2, "zebra quartz")],
+        ["doc_id", "text"],
+    )
+    pieces = unigram_train(docs, vocab_size=3, max_piece_len=4,
+                           sample_words=100)
+    rows = pieces.collect()
+    chars = {r["piece"] for r in rows if r["piece_len"] == 1}
+    assert chars == set("zebraqutjmo")
+    multi = [r for r in rows if r["piece_len"] > 1]
+    assert len(multi) == 3
+    # counts decrease with cost_micro increasing (shared total)
+    by_cnt = sorted(rows, key=lambda r: (-r["count"], r["piece"]))
+    costs = [r["cost_micro"] for r in by_cnt]
+    assert costs == sorted(costs)
+
+
+def test_unigram_em_refine_reinforces_used_pieces(spark):
+    """One hard-EM round: pieces the Viterbi decoder actually uses gain
+    count mass; unused multi-char pieces drop out; unused single chars
+    keep their seed floor; every sampled word stays segmentable."""
+    from semantik_spark.operators.tokenizer import (
+        unigram_em_refine, unigram_encode_words, unigram_train,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "singing ringing kinging singing"), (2, "sing ring king")],
+        ["doc_id", "text"],
+    )
+    pieces = unigram_train(docs, vocab_size=8, max_piece_len=4,
+                           sample_words=100)
+    words = word_frequencies(docs)
+    refined = unigram_em_refine(pieces, words, rounds=2, max_piece_len=4)
+    rp = {r["piece"] for r in refined.collect()}
+    assert all(len(p) > 1 for p in
+               {r["piece"] for r in pieces.collect()} - rp), \
+        "only unused multi-char pieces may be dropped — chars survive"
+    # chars all survive
+    assert {r["piece"] for r in pieces.collect() if r["piece_len"] == 1} <= rp
+    enc = unigram_encode_words(words, refined, max_piece_len=4)
+    assert enc.count() == words.count()  # everything still segmentable
