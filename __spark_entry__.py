@@ -498,6 +498,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4), "cos")
 
 
+def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS's train-vs-add split as a query contract: the codebook is
+    FROZEN on the base corpus (every 5th vector held out), the held-out
+    rows are then ADDED under that codebook, and the probe serves
+    base ∪ appended — the semantics serving.ivf_append materializes on
+    disk. The oracle trains its Lloyd replay on the same base subset
+    (oracles.q_knn_ivf train_table='base')."""
+    from semantik_spark.operators.similarity import ivf_centroids, ivf_refine
+
+    corpus, queries = _emb_split(spark, sf_dir)
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    cent = ivf_refine(base, ivf_centroids(base, 16), iters=1)
+    return _r6(
+        similarity.knn_ivf(corpus, queries, k=5, nprobe=4, cent_rows=cent),
+        "cos",
+    )
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: m=8 one-byte codes per vector (32×
     storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
@@ -3716,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned_search": q_bm25_pruned_search,
         "unigram_pieces": q_unigram_pieces,
         "unigram_encode": q_unigram_encode,
+        "knn_ivf_append": q_knn_ivf_append,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4936,6 +4955,7 @@ FROM c JOIN p ON c.user_id = p.user_id
         "bm25_pruned_search": oracles.q_bm25_pruned_search(10, 32),
         "unigram_pieces": oracles.q_unigram_pieces(120, 5, 1000),
         "unigram_encode": oracles.q_unigram_encode(120, 5, 1000, 30, 20),
+        "knn_ivf_append": oracles.q_knn_ivf(5, 16, 4, 1, "base"),
     }
 
 

@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     # round-7 additions
     "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
     "bpe_merges_sampled",
+    # round-7 post-window additions
+    "knn_binary", "dedup_spans", "matryoshka_recall", "dedup_cut",
+    "stream_interval_join", "bm25_pruned_search",
+    "unigram_pieces", "unigram_encode", "knn_ivf_append",
 ]
 
 

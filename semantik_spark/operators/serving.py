@@ -266,6 +266,52 @@ def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
+def ivf_append(spark: SparkSession, path: str, new_docs: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text",
+               payload_cols: tuple[str, ...] = ()) -> None:
+    """Add vectors to a persisted IVF index WITHOUT retraining — the
+    FAISS train-vs-add split (IndexIVF.add assigns against the frozen
+    quantizer; reference continuous sync models.py:291-294 needs
+    exactly this so a delta batch never re-reads the corpus): load the
+    sidecar codebook, assign the new docs' embeddings with the SAME
+    argmax expression build_dense_ivf used, and dynamic-partition
+    APPEND into the existing centroid_id directories.
+
+    Serving needs no change: dense_serve_ivf probes the same cells and
+    partition pruning keeps working because appends land under the
+    cells' directories. Equality contract (test-pinned): an appended
+    index serves bit-identically to a one-shot build over base ∪ delta
+    with the same frozen codebook. Cell balance degrades as the data
+    distribution drifts from the training sample — the standard IVF
+    operational trade; retrain on a cadence (blue/green swap,
+    maintenance.bluegreen) to re-level.
+
+    Scale: delta-sized work only — one broadcast-codebook map over the
+    new rows + an append write; no shuffle of existing index data.
+    """
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _nearest_centroids,
+    )
+
+    cent_rows = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    ]
+    codebook = F.broadcast(_codebook_df(spark, [
+        {"cid": cid, "cv": cv} for cid, cv in sorted(cent_rows)
+    ]))
+    emb = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        mock_embedding(text_col).cast("array<double>").alias("embedding"),
+        *payload_cols,
+    )
+    assigned = emb.crossJoin(codebook).withColumn(
+        "centroid_id", -F.array_max(_nearest_centroids("embedding"))["negcid"]
+    ).drop("cents")
+    assigned.write.mode("append").partitionBy("centroid_id") \
+        .parquet(f"{path}/dense_ivf")
+
+
 def _mock_embedding_py(text: str) -> list[float]:
     """Driver-side twin of functions.vectors.mock_embedding — the SAME
     IEEE-double operation sequence (exact int→double, division by 2^32,

@@ -1252,13 +1252,19 @@ SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE r
 
 
 def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
-              refine_iters: int = 1) -> str:
+              refine_iters: int = 1, train_table: str = "corpus") -> str:
     """Twin of similarity.knn_ivf: centroids = n smallest-id corpus
     vectors refined by ``refine_iters`` Lloyd steps (assignment by
     cosine, per-dim mean rounded to 6 dp — the rounding is what makes
     the refinement engine-portable, see similarity.ivf_refine); then
     nearest-centroid assignment (tie → smaller cid), nprobe cells
-    probed per query, exact cosine rank inside probed cells."""
+    probed per query, exact cosine rank inside probed cells.
+
+    ``train_table``: the CTE the codebook trains on — "corpus" for the
+    standard one-shot build; "base" (corpus minus the appended rows)
+    for the FROZEN-codebook append twin (knn_ivf_append): train on
+    base, assign and serve base ∪ appended, exactly FAISS's
+    train-vs-add split."""
     refine = []
     prev = "cent0"
     for i in range(refine_iters):
@@ -1266,10 +1272,10 @@ def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
         refine.append(f"""
 rassign{i} AS (
   SELECT vec_id, v, cid AS centroid_id FROM (
-    SELECT corpus.vec_id, corpus.v, {prev}.cid,
-           row_number() OVER (PARTITION BY corpus.vec_id
-                              ORDER BY {cosine_expr("corpus.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
-    FROM corpus CROSS JOIN {prev}) WHERE rn = 1),
+    SELECT t.vec_id, t.v, {prev}.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cosine_expr("t.v", f"{prev}.cv")} DESC, {prev}.cid ASC) AS rn
+    FROM {train_table} t CROSS JOIN {prev}) WHERE rn = 1),
 rmeans{i} AS (
   SELECT cid, list(m ORDER BY dim) AS cv FROM (
     SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
@@ -1285,8 +1291,9 @@ rmeans{i} AS (
     alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
     return f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+base AS (SELECT * FROM corpus WHERE vec_id % 5 != 0),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-cent0 AS (SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM {train_table} ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
 assigned AS (
   SELECT vec_id, v, cid AS centroid_id FROM (
     SELECT corpus.vec_id, corpus.v, cent.cid,

@@ -47,6 +47,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "bm25_pruned_search",
     "unigram_pieces",
     "unigram_encode",
+    "knn_ivf_append",
 )
 
 

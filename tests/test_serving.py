@@ -164,3 +164,71 @@ def test_ivfpq_serve_equals_in_one_run_operator(spark, tmp_path):
         (r["query_id"], r["vec_id"], round(r["cos"], 10), r["rank"])
         for r in df.collect())
     assert norm(ref) == norm(got)
+
+
+def test_ivf_append_equals_one_shot_frozen_codebook_build(spark, tmp_path):
+    """FAISS train-vs-add: appending a delta to a base-trained index
+    (a) lands every delta vector in the cell the FROZEN codebook
+    assigns, (b) serves bit-identically to an index holding the same
+    rows written in one shot under the same codebook, and (c) keeps
+    cell-directory partition pruning intact (appends go under existing
+    centroid_id dirs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.serving import (
+        build_dense_ivf, dense_serve_ivf, ivf_append,
+    )
+    from semantik_spark.operators.similarity import (
+        _codebook_df, _nearest_centroids,
+    )
+    from semantik_spark.functions.vectors import mock_embedding
+
+    docs = spark.createDataFrame(
+        [(i, f"document about topic {i % 7} item {i}") for i in range(80)],
+        ["doc_id", "text"])
+    base, delta = docs.where("doc_id % 4 != 0"), docs.where("doc_id % 4 = 0")
+    idx = str(tmp_path / "idx")
+    build_dense_ivf(base, idx, n_centroids=8)
+    pre_dirs = {d for d in os.listdir(f"{idx}/dense_ivf")
+                if d.startswith("centroid_id=")}
+    ivf_append(spark, idx, delta)
+
+    # (a) frozen-codebook assignment agreement
+    cents = [{"cid": int(r["cid"]), "cv": list(r["cv"])}
+             for r in spark.read.parquet(f"{idx}/codebook").collect()]
+    cb = F.broadcast(_codebook_df(spark, sorted(cents, key=lambda r: r["cid"])))
+    expect_cells = {
+        r["doc_id"]: r["cell"]
+        for r in docs.select("doc_id", mock_embedding("text").cast("array<double>").alias("embedding"))
+        .crossJoin(cb)
+        .select("doc_id", (-F.array_max(_nearest_centroids("embedding"))["negcid"]).alias("cell"))
+        .collect()
+    }
+    stored = spark.read.parquet(f"{idx}/dense_ivf").select("doc_id", "centroid_id").collect()
+    assert len(stored) == 80  # base + delta, no dup, no loss
+    for r in stored:
+        assert expect_cells[r["doc_id"]] == r["centroid_id"]
+
+    # (b) serve equality vs one-shot write of the same assigned rows
+    ref = str(tmp_path / "ref")
+    os.makedirs(ref)
+    spark.read.parquet(f"{idx}/dense_ivf") \
+        .withColumn("centroid_id", F.col("centroid_id").cast("bigint")) \
+        .write.partitionBy("centroid_id").parquet(f"{ref}/dense_ivf")
+    spark.read.parquet(f"{idx}/codebook").write.parquet(f"{ref}/codebook")
+    qdf = spark.createDataFrame(
+        [("q1", "topic 3 item"), ("q2", "document about")],
+        ["query_id", "query_text"])
+    norm = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect())
+    assert norm(dense_serve_ivf(spark, idx, qdf, k=5, nprobe=3)) == \
+        norm(dense_serve_ivf(spark, ref, qdf, k=5, nprobe=3))
+
+    # (c) appends created no out-of-codebook directories
+    post_dirs = {d for d in os.listdir(f"{idx}/dense_ivf")
+                 if d.startswith("centroid_id=")}
+    valid = {f"centroid_id={c['cid']}" for c in cents}
+    assert pre_dirs <= post_dirs <= valid
