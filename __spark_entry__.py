@@ -3260,6 +3260,54 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits —
+    matched ones eagerly, unconverted ones NULL-padded only once the
+    two-sided watermark PROVES no purchase can still arrive inside the
+    1-day window (the outer-emission semantics unique to streaming
+    joins). A far-future sentinel row appended to both drops advances
+    the watermark past the horizon at end-of-replay, flushing the
+    unmatched tail (streaming.incremental append_drop_file), so the
+    log equals the batch LEFT JOIN exactly."""
+    import shutil
+    from datetime import datetime
+
+    from semantik_spark.streaming.incremental import (
+        append_drop_file, stream_files, stream_interval_join,
+        write_time_ordered_drop,
+    )
+
+    base = _scratch("stream_ssj_outer")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    sentinel = spark.createDataFrame(
+        [(-1, datetime(2024, 12, 31), -1, "sentinel")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string",
+    )
+    for side, etype in (("clicks", "click"), ("purchases", "purchase")):
+        write_time_ordered_drop(ev.where(F.col("event_type") == etype),
+                                f"{base}/{side}")
+        append_drop_file(sentinel, f"{base}/{side}")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    q = stream_interval_join(
+        stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        f"{base}/joined", f"{base}/ckpt",
+        key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
+        join_type="left_outer",
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/joined")
+        .where(F.col("left_id") != -1)  # drop the sentinel's own row
+        .select(F.col("key").alias("user_id"),
+                F.col("left_id").alias("click_id"),
+                F.col("right_id").alias("purchase_id"), "lag_us")
+    )
+
+
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss Rademacher projection 64d -> 16d
     (projection.jl_projection): deterministic md5-parity sign matrix,
@@ -3735,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_pieces": q_unigram_pieces,
         "unigram_encode": q_unigram_encode,
         "knn_ivf_append": q_knn_ivf_append,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4956,6 +5005,19 @@ FROM c JOIN p ON c.user_id = p.user_id
         "unigram_pieces": oracles.q_unigram_pieces(120, 5, 1000),
         "unigram_encode": oracles.q_unigram_encode(120, 5, 1000, 30, 20),
         "knn_ivf_append": oracles.q_knn_ivf(5, 16, 4, 1, "base"),
+        "stream_interval_join_outer": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (p.us - c.us)::BIGINT AS lag_us
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+ AND c.us BETWEEN p.us - 86400000000 AND p.us""",
     }
 
 

@@ -768,7 +768,8 @@ def lsh_matches(spark: SparkSession, matches_path: str) -> DataFrame:
 def stream_interval_join(left: DataFrame, right: DataFrame, out_path: str,
                          checkpoint: str, key: str = "user_id",
                          max_lag_minutes: int = 1440,
-                         watermark_minutes: int = 5760):
+                         watermark_minutes: int = 5760,
+                         join_type: str = "inner"):
     """NATIVE stream-stream inner interval join — the missing half of
     the streaming family (everything else here is aggregation or
     foreachBatch dedup): two unbounded sources joined on an equality
@@ -798,6 +799,15 @@ def stream_interval_join(left: DataFrame, right: DataFrame, out_path: str,
     callers feeding time-ordered batches (the drop-dir pattern with
     range-partitioned files) get exact batch-equality, asserted in
     tests/test_streaming.py and the dedicated oracle entry.
+
+    ``join_type="left_outer"``: left rows that never match emit
+    NULL-padded ONCE the watermark proves no future right row can
+    still join them — so unlike the eager inner matches, outer output
+    waits on watermark passage. A bounded replay must therefore end
+    with a watermark-advancing event past the horizon (see
+    append_drop_file: a far-future sentinel on BOTH sides flushes the
+    state store's unmatched tail); an unbounded production stream
+    advances naturally.
     """
     l = left.select(
         F.col(key).alias("key"),
@@ -814,7 +824,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame, out_path: str,
                 f"key = r_key AND l_ts BETWEEN "
                 f"r_ts - INTERVAL {max_lag_minutes} MINUTES AND r_ts"
             ),
-            "inner",
+            join_type,
         )
         .select(
             "key", "left_id", "right_id", "l_ts", "r_ts",
@@ -829,6 +839,24 @@ def stream_interval_join(left: DataFrame, right: DataFrame, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def append_drop_file(df: DataFrame, path: str) -> None:
+    """Append ``df`` as one more drop file with the NEWEST mtime, so a
+    maxFilesPerTrigger=1 stream picks it up as the final micro-batch.
+    Primary use: a far-future watermark-advancing sentinel row that
+    flushes outer-join / aggregation state at the end of a bounded
+    replay (production streams advance their watermark naturally; a
+    finite drop dir needs the nudge)."""
+    import os
+    import time
+
+    before = set(os.listdir(path))
+    df.coalesce(1).write.mode("append").parquet(path)
+    newest = time.time() + 2
+    for name in os.listdir(path):
+        if name not in before and name.startswith("part-"):
+            os.utime(os.path.join(path, name), (newest, newest))
 
 
 def write_time_ordered_drop(df: DataFrame, path: str, ts_col: str = "ts",

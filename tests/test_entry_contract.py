@@ -48,6 +48,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "unigram_pieces",
     "unigram_encode",
     "knn_ivf_append",
+    "stream_interval_join_outer",
 )
 
 

@@ -678,3 +678,72 @@ def test_stream_interval_join_equals_batch_and_evicts_state(spark, tmp_path):
     # eviction: 8 time-ordered batches, horizon = watermark + lag
     # (~3 h of data ≈ a handful of rows/side) vs 600 rows total fed
     assert 0 < peak_state < (n_l + n_r) / 2, peak_state
+
+
+def test_stream_interval_join_left_outer_flushes_unmatched(spark, tmp_path):
+    """left_outer: unmatched left rows emit NULL-padded once the
+    watermark proves no right row can still join; a far-future sentinel
+    on both sides flushes the tail at end-of-replay, making the log
+    equal the batch LEFT JOIN."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from semantik_spark.streaming.incremental import (
+        append_drop_file, stream_files, stream_interval_join,
+        write_time_ordered_drop,
+    )
+
+    left = spark.range(60).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("id") * 30 * 60 * 1000000
+        ).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+    )
+    # only users 0/1 ever get right-side events -> users 2/3/4 unmatched
+    right = spark.range(30).select(
+        (F.col("id") + 7000).alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + (F.col("id") * 60 + 11) * 60 * 1000000
+        ).alias("ts"),
+        (F.col("id") % 2).alias("user_id"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, datetime(2024, 12, 31), -1)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    for df, d in ((left, "l"), (right, "r")):
+        write_time_ordered_drop(df, str(tmp_path / d), n_files=4)
+        append_drop_file(sentinel, str(tmp_path / d))
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    q = stream_interval_join(
+        stream_files(spark, str(tmp_path / "l"), schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        stream_files(spark, str(tmp_path / "r"), schema, fmt="parquet",
+                     max_files_per_trigger=1),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        key="user_id", max_lag_minutes=45, watermark_minutes=90,
+        join_type="left_outer",
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["left_id"], r["right_id"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .where("left_id != -1").collect()
+    )
+    expect = sorted(
+        (r["left_id"], r["right_id"])
+        for r in left.alias("l").join(
+            right.alias("r"),
+            F.expr("l.user_id = r.user_id AND l.ts BETWEEN "
+                   "r.ts - INTERVAL 45 MINUTES AND r.ts"),
+            "left_outer",
+        ).select(
+            F.col("l.event_id").alias("left_id"),
+            F.col("r.event_id").alias("right_id"),
+        ).collect()
+    )
+    assert got == expect
+    nulls = sum(1 for _, rid in got if rid is None)
+    assert nulls > 10  # the unmatched tail actually flushed
