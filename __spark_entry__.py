@@ -3450,6 +3450,19 @@ def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_knn_edges(spark, sf_dir, k=5), iterations=4)
 
 
+def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the undirected 5-NN cosine graph via 8
+    h-index rounds (graph.kcore_numbers, Montresor et al. 2013): exact
+    core numbers (the iteration converges well inside 8 rounds here),
+    separating dense-core vectors from low-core outlier tendrils —
+    the degeneracy signal LPA communities and triangle counts don't
+    give. Per round: one adjacency equi-join + per-node window, only
+    |V| estimate rows move."""
+    from semantik_spark.operators.graph import kcore_numbers
+
+    return kcore_numbers(_knn_edges(spark, sf_dir, k=5), rounds=8)
+
+
 def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall tuning curve for SimHash hamming radii 2/4/6/8
     against exact 3-gram Jaccard >= 0.5 on the augmented dup corpus —
@@ -3784,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_encode": q_unigram_encode,
         "knn_ivf_append": q_knn_ivf_append,
         "stream_interval_join_outer": q_stream_interval_join_outer,
+        "knn_kcore": q_knn_kcore,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5018,6 +5032,7 @@ SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        (p.us - c.us)::BIGINT AS lag_us
 FROM c LEFT JOIN p ON c.user_id = p.user_id
  AND c.us BETWEEN p.us - 86400000000 AND p.us""",
+        "knn_kcore": oracles.q_knn_kcore(5, 8),
     }
 
 

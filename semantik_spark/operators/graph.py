@@ -26,7 +26,7 @@ outputs round to 6 dp after scaling by |V|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -195,3 +195,64 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
             .select(F.col("nid").alias("id"), "label")
         )
     return labels.select("id", F.col("label").alias("community"))
+
+
+def kcore_numbers(edges: DataFrame, rounds: int = 8,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distributed k-core decomposition via the h-index iteration
+    (Montresor, De Pellegrini & Miorandi 2013, "Distributed k-core
+    decomposition"; Lü et al. 2016 h-index convergence): over the
+    UNDIRECTED closure, every node's core estimate starts at its degree
+    and each round becomes the H-INDEX of its neighbors' estimates —
+    the largest h such that >= h neighbors have estimate >= h. The
+    sequence is monotone non-increasing and converges to the exact
+    core number; like label_propagation, a FIXED ``rounds`` count is
+    the engine-replayable contract (extra rounds past convergence are
+    no-ops, so equality needs only rounds >= rounds-to-fixpoint — 8
+    covers the kNN graphs here with slack; at 100 TB iterate to
+    fixpoint with a convergence counter instead).
+
+    Returns (id, degree, core): core <= degree always; the dense-core
+    members (high core) are the "well-embedded" vectors a curation
+    pipeline keeps, low-core tendrils are near-duplicates' satellites
+    and outliers.
+
+    Shape per round: one equi-join of the loop-invariant adjacency
+    list (persisted once) against the |V|-row estimate table + one
+    per-node window — the LPA shuffle profile exactly; only estimates
+    (|V| rows) move per round.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))).persist()
+    degrees = adj.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("est")
+    )
+    est = degrees
+    w = Window.partitionBy("src").orderBy(F.desc("nb_est"), F.asc("dst"))
+    for t in range(rounds):
+        nb = adj.join(
+            est.select(F.col("src").alias("dst"),
+                       F.col("est").alias("nb_est")),
+            "dst",
+        )
+        est = (
+            nb.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .groupBy("src")
+            .agg(F.max(F.least("rn", "nb_est")).cast("bigint").alias("est"))
+        )
+        if t % 3 == 2:
+            est = est.localCheckpoint()
+    return (
+        degrees.select(F.col("src").alias("id"),
+                       F.col("est").alias("degree"))
+        .join(est.select(F.col("src").alias("id"),
+                         F.col("est").alias("core")), "id")
+    )

@@ -3747,6 +3747,39 @@ l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj){''.join(its)}
 SELECT id, label AS community FROM {prev}"""
 
 
+def q_knn_kcore(k: int = 5, rounds: int = 8) -> str:
+    """Twin of graph.kcore_numbers over graph.knn_graph_edges:
+    ``rounds`` unrolled h-index iterations — est0 = degree, then
+    est_t(v) = max(least(rank, neighbor_est)) over neighbors sorted by
+    (est DESC, dst ASC); h-index is order-insensitive among equal
+    values, so the rank tiebreak is cosmetic and both engines agree."""
+    its = []
+    prev = "est0"
+    for t in range(1, rounds + 1):
+        cur = f"est{t}"
+        its.append(f""",
+{cur} AS (
+  SELECT src AS id, max(least(rn, nb_est))::BIGINT AS est FROM (
+    SELECT e.src, p.est AS nb_est,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY p.est DESC, e.dst ASC) AS rn
+    FROM adj e JOIN {prev} p ON p.id = e.dst)
+  GROUP BY src
+)""")
+        prev = cur
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+adj AS (SELECT u AS src, v AS dst FROM und
+        UNION ALL SELECT v AS src, u AS dst FROM und),
+est0 AS (SELECT src AS id, count(*)::BIGINT AS est FROM adj GROUP BY src){''.join(its)}
+SELECT d.id, d.est AS degree, {prev}.est AS core
+FROM est0 d JOIN {prev} ON {prev}.id = d.id"""
+
+
 def q_simhash_radius_report(radii: tuple = (2, 4, 6, 8), n: int = 3,
                             threshold: float = 0.5, bits: int = 60) -> str:
     """Twin of dedup.simhash_radius_report: all-pairs hamming at

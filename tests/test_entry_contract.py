@@ -49,6 +49,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "unigram_encode",
     "knn_ivf_append",
     "stream_interval_join_outer",
+    "knn_kcore",
 )
 
 
