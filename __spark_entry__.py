@@ -296,6 +296,15 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): window-2
+    co-occurrence word graph + weighted PageRank with decimal-exact
+    per-edge contributions (extract.textrank_keywords) — the
+    graph-centrality complement to TF-IDF keywords."""
+    return extract.textrank_keywords(_t(spark, sf_dir, "documents"),
+                                     top_k=20, iterations=5)
+
+
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 extractor: regex entity mentions per document. The synthetic
     corpus text is entity-free, so a deterministic entity-bearing
@@ -3798,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_append": q_knn_ivf_append,
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "knn_kcore": q_knn_kcore,
+        "textrank_keywords": q_textrank_keywords,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5033,6 +5043,7 @@ SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
 FROM c LEFT JOIN p ON c.user_id = p.user_id
  AND c.us BETWEEN p.us - 86400000000 AND p.us""",
         "knn_kcore": oracles.q_knn_kcore(5, 8),
+        "textrank_keywords": oracles.q_textrank_keywords(20, 0.85, 5),
     }
 
 

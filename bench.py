@@ -123,7 +123,7 @@ BENCH_QUERIES = [
     "knn_binary", "dedup_spans", "matryoshka_recall", "dedup_cut",
     "stream_interval_join", "bm25_pruned_search",
     "unigram_pieces", "unigram_encode", "knn_ivf_append",
-    "stream_interval_join_outer", "knn_kcore",
+    "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
 ]
 
 

@@ -110,3 +110,87 @@ def ner_model_udf(model_factory, batch_size: int = 32):
     from semantik_spark.functions.model_udfs import ner_udf
 
     return ner_udf(model_factory, batch_size=batch_size)
+
+
+def textrank_keywords(docs: DataFrame, top_k: int = 20, damping: float = 0.85,
+                      iterations: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    adjacent-token co-occurrences (window 2 over the stopword-filtered
+    BM25 token stream) build a weighted undirected word graph, and
+    weighted PageRank ranks the words — the graph-centrality complement
+    to keywords()'s TF-IDF (a term can be rare-but-central or
+    frequent-but-peripheral; the two disagree exactly where curation
+    cares).
+
+    Returns (word, score, kw_rank) — the ``top_k`` words by
+    (rank-score DESC, word ASC); score is PageRank scaled by |V| and
+    rounded to 6 dp.
+
+    Determinism (the repo's exact-decimal discipline): each edge's
+    contribution pr·w/out_w is rounded to 12 dp and cast DECIMAL before
+    the per-node sum, so the sum is exact integer arithmetic in any
+    engine and no float summation order can flip a rank; each round's
+    pr re-rounds to 9 dp, so round inputs stay bit-identical.
+
+    Scale: token pairs are a map-only explode off the shared tokenize
+    pass; the pair groupBy is one shuffle on the word pair; each
+    PageRank round joins the persisted |E|-row adjacency to the |V|-row
+    rank table (the pagerank/kcore/LPA loop profile — only word ranks
+    move per round; |V| = vocabulary, corpus-independent).
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col)
+    n_col = F.size("tokens")
+    pairs = (
+        tok.where(n_col >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tokens", 1, n_col - 1).alias("a"),
+                    F.slice("tokens", 2, n_col - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least("p.a", "p.b").alias("u"), F.greatest("p.a", "p.b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    wedges = pairs.groupBy("u", "v").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    adj = wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w") \
+        .union(wedges.select(F.col("v").alias("src"),
+                             F.col("u").alias("dst"), "w")).persist()
+    outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = adj.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()  # driver scalar, codebook class
+    ranks = nodes.select("id", F.round(F.lit(1.0 / n), 9).alias("pr"))
+    base = (1.0 - damping) / n
+    ed = adj.join(outw, "src")
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("pr") * F.col("w") / F.col("ow"), 12)
+                .cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("word"))
+    return (
+        ranks.select(F.col("id").alias("word"),
+                     F.round(F.col("pr") * n, 6).alias("score"))
+        .withColumn("kw_rank", F.row_number().over(w_rank))
+        .where(F.col("kw_rank") <= top_k)
+    )

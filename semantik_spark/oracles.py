@@ -3747,6 +3747,59 @@ l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj){''.join(its)}
 SELECT id, label AS community FROM {prev}"""
 
 
+def q_textrank_keywords(top_k: int = 20, damping: float = 0.85,
+                        iterations: int = 5) -> str:
+    """Twin of extract.textrank_keywords: window-2 co-occurrence word
+    graph + weighted PageRank with per-edge DECIMAL(28,12) contribution
+    rounding (exact sums in any engine) and per-round 9 dp re-round."""
+    its = []
+    prev = "pr0"
+    for t in range(1, iterations + 1):
+        cur = f"pr{t}"
+        its.append(f""",
+{cur} AS MATERIALIZED (
+  SELECT n.id,
+         round((1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(s.s, 0.0), 9) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT a.dst AS id,
+           CAST(sum(CAST(round(p.pr * a.w / o.ow, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS s
+    FROM adj a JOIN {prev} p ON p.id = a.src JOIN outw o ON o.src = a.src
+    GROUP BY a.dst) s ON s.id = n.id
+)""")
+        prev = cur
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM documents
+),
+pairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v FROM (
+    SELECT tokens[i] AS a, tokens[i + 1] AS b FROM (
+      SELECT tokens, unnest(range(1, len(tokens))) AS i
+      FROM tokd WHERE len(tokens) >= 2))
+  WHERE a <> b
+),
+wedges AS (SELECT u, v, count(*)::DOUBLE AS w FROM pairs GROUP BY u, v),
+adj AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM wedges
+  UNION ALL SELECT v AS src, u AS dst, w FROM wedges),
+outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM adj GROUP BY src),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM adj),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS MATERIALIZED (
+  SELECT id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM nodes){''.join(its)}
+SELECT word, score, kw_rank::INT AS kw_rank FROM (
+  SELECT id AS word, round(pr * (SELECT n FROM nn), 6) AS score,
+         row_number() OVER (ORDER BY round(pr * (SELECT n FROM nn), 6) DESC,
+                            id ASC) AS kw_rank
+  FROM {prev})
+WHERE kw_rank <= {top_k}"""
+
+
 def q_knn_kcore(k: int = 5, rounds: int = 8) -> str:
     """Twin of graph.kcore_numbers over graph.knn_graph_edges:
     ``rounds`` unrolled h-index iterations — est0 = degree, then

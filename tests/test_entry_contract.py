@@ -50,6 +50,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "knn_ivf_append",
     "stream_interval_join_outer",
     "knn_kcore",
+    "textrank_keywords",
 )
 
 
