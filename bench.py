@@ -172,11 +172,17 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
         serving.build_dense_ivf(docs, idx_dir, n_centroids=16)
         med["index_build_ivf"] = lo["index_build_ivf"] = hi["index_build_ivf"] = \
             round(time.time() - t0, 3)
+        t0 = time.time()
+        serving.build_sparse_pruned(spark, idx_dir, keep=64)
+        med["index_build_pruned"] = lo["index_build_pruned"] = hi["index_build_pruned"] = \
+            round(time.time() - t0, 3)
         serves = [
             ("bm25_serve", lambda: serving.bm25_serve(spark, idx_dir, qdf, k=10)),
             ("dense_serve", lambda: serving.dense_serve(spark, idx_dir, qdf, k=10)),
             ("dense_ivf_serve", lambda: serving.dense_serve_ivf(spark, idx_dir, qdf, k=10, nprobe=4)),
             ("hybrid_serve", lambda: serving.hybrid_serve(spark, idx_dir, qdf, k=10, search_k=20)),
+            # approximate path: IVF-probed dense + impact-pruned sparse
+            ("hybrid_approx_serve", lambda: serving.hybrid_serve_approx(spark, idx_dir, qdf, k=10, search_k=20, nprobe=4)),
         ]
         for name, fn in serves:
             times = []

@@ -201,6 +201,17 @@ def hybrid_serve(spark: SparkSession, path: str, queries: DataFrame,
     terms = spark.read.parquet(f"{path}/terms")
     post = spark.read.parquet(f"{path}/postings")
     sscored = bm25.score(post, bm25.encode_queries(queries, terms))
+    return _rrf_union_fuse(dscored, sscored, k, search_k)
+
+
+def _rrf_union_fuse(dscored: DataFrame, sscored: DataFrame,
+                    k: int, search_k: int) -> DataFrame:
+    """Single-exchange RRF fusion of two raw score tables (see
+    hybrid_serve docstring): union with a branch tag, one window per
+    (query, branch), groupBy pivot — row-identical to ranking each
+    branch and full-outer-joining, at 3 exchanges fewer."""
+    from pyspark.sql import Window
+
     u = dscored.select(F.lit(0).alias("branch"), "query_id", "doc_id", "score") \
         .unionByName(sscored.select(F.lit(1).alias("branch"),
                                     "query_id", "doc_id", "score"))
@@ -617,3 +628,59 @@ def ivfpq_serve(spark: SparkSession, path: str, queries: DataFrame,
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def build_sparse_pruned(spark: SparkSession, path: str, keep: int = 64) -> None:
+    """Derive the statically pruned postings table (bm25.pruned_postings,
+    Carmel et al. 2001) from the already-persisted postings — one window
+    on term at index-build time, written beside the exact table so the
+    serve path can choose exact or approximate per request."""
+    post = spark.read.parquet(f"{path}/postings")
+    bm25.pruned_postings(post, keep=keep).write.mode("overwrite") \
+        .parquet(f"{path}/postings_pruned")
+
+
+def hybrid_serve_approx(spark: SparkSession, path: str, queries: DataFrame,
+                        k: int = 10, search_k: int | None = None,
+                        nprobe: int = 4) -> DataFrame:
+    """The APPROXIMATE hybrid serve: IVF-probed dense branch (reads
+    nprobe/n_centroids of the dense index via partition pruning,
+    driver-planned probes) RRF-fused with the impact-pruned sparse
+    branch (per-term postings capped at index time) — both branches'
+    scan cost bounded independently of corpus/term size, the same
+    single-exchange fusion as hybrid_serve.
+
+    Recall trade is the product of the branch trades (IVF nprobe sweep
+    + pruning keep); with nprobe = n_centroids and keep >= corpus the
+    result equals hybrid_serve exactly (test-pinned). Requires
+    build_dense_ivf and build_sparse_pruned artifacts beside the exact
+    index."""
+    if search_k is None:
+        search_k = max(k * 2, 20)
+    from semantik_spark.functions.vectors import cosine
+
+    cent_rows = sorted(
+        ((int(r["cid"]), [float(x) for x in r["cv"]])
+         for r in spark.read.parquet(f"{path}/codebook").collect()),
+        key=lambda t: t[0],
+    )
+    probe_rows = []
+    for r in queries.select("query_id", "query_text").collect():
+        qv = _mock_embedding_py(str(r["query_text"]))
+        ranked = sorted(((_cosine_py(qv, cv), -cid) for cid, cv in cent_rows),
+                        reverse=True)[:nprobe]
+        probe_rows += [(r["query_id"], qv, -negcid) for _, negcid in ranked]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id string, qv array<double>, centroid_id bigint"
+    )
+    probed_cells = sorted({cid for _, _, cid in probe_rows})
+    index = spark.read.parquet(f"{path}/dense_ivf").where(
+        F.col("centroid_id").isin(probed_cells)
+    )
+    dscored = index.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "doc_id", cosine("embedding", "qv").alias("score")
+    )
+    terms = spark.read.parquet(f"{path}/terms")
+    post = spark.read.parquet(f"{path}/postings_pruned")
+    sscored = bm25.score(post, bm25.encode_queries(queries, terms))
+    return _rrf_union_fuse(dscored, sscored, k, search_k)

@@ -232,3 +232,35 @@ def test_ivf_append_equals_one_shot_frozen_codebook_build(spark, tmp_path):
                  if d.startswith("centroid_id=")}
     valid = {f"centroid_id={c['cid']}" for c in cents}
     assert pre_dirs <= post_dirs <= valid
+
+
+def test_hybrid_serve_approx_full_width_equals_exact(spark, tmp_path):
+    """With nprobe = n_centroids and keep >= corpus, the approximate
+    hybrid path degrades to the exact one — identical fused rankings;
+    with narrow settings it still returns plausible fused rows with
+    true branch scores."""
+    from semantik_spark.operators.serving import (
+        build_dense_ivf, build_index, build_sparse_pruned, hybrid_serve,
+        hybrid_serve_approx,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document about topic {i % 7} item {i}") for i in range(80)],
+        ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [("q1", "topic 3 item"), ("q2", "document about")],
+        ["query_id", "query_text"])
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    build_dense_ivf(docs, idx, n_centroids=8)
+    build_sparse_pruned(spark, idx, keep=10_000)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect())
+    assert norm(hybrid_serve_approx(spark, idx, qdf, k=5, nprobe=8)) == \
+        norm(hybrid_serve(spark, idx, qdf, k=5))
+
+    build_sparse_pruned(spark, idx, keep=8)
+    part = hybrid_serve_approx(spark, idx, qdf, k=5, nprobe=2).collect()
+    assert 0 < len(part) <= 10
+    assert all(r["score"] > 0 for r in part)
