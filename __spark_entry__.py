@@ -296,6 +296,38 @@ def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
 
 
+def q_spell_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term spell correction ("did you mean"): deterministic
+    typos (top-20 df vocab terms of length >= 5 with their 2nd char
+    dropped) recovered against the corpus vocabulary via the
+    deletion-neighborhood candidate join + df-ranked pick
+    (search.spell_suggestions, FastSS blocking)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = bm25.term_stats(bm25.tokenize(docs))
+    typos = (
+        terms.where(F.length("term") >= 5)
+        .orderBy(F.desc("df"), F.asc("term")).limit(20)
+        .select(
+            F.concat(F.substring("term", 1, 1),
+                     F.expr("substring(term, 3)")).alias("word")
+        )
+    )
+    return search.spell_suggestions(docs, typos, k=1)
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector rerank (ColBERT MaxSim, Khattab &
+    Zaharia 2020): BM25 top-20 candidates rescored token-against-token
+    — sum over query-token positions of the max doc-token embedding
+    dot — Column expressions end to end, MaxSim never touches the
+    corpus (search.maxsim_rerank). The third retrieval-model family
+    next to single-vector dense and sparse."""
+    return search.maxsim_rerank(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=5, first_k=20,
+    )
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): window-2
     co-occurrence word graph + weighted PageRank with decimal-exact
@@ -3808,6 +3840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "knn_kcore": q_knn_kcore,
         "textrank_keywords": q_textrank_keywords,
+        "maxsim_rerank": q_maxsim_rerank,
+        "spell_suggestions": q_spell_suggestions,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5044,6 +5078,8 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
  AND c.us BETWEEN p.us - 86400000000 AND p.us""",
         "knn_kcore": oracles.q_knn_kcore(5, 8),
         "textrank_keywords": oracles.q_textrank_keywords(20, 0.85, 5),
+        "maxsim_rerank": oracles.q_maxsim_rerank(5, 20, 32, 8),
+        "spell_suggestions": oracles.q_spell_suggestions(20, 5, 1),
     }
 
 

@@ -153,3 +153,133 @@ def weighted_fusion(dense: DataFrame, sparse: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def maxsim_rerank(docs: DataFrame, queries: DataFrame, k: int = 5,
+                  first_k: int = 20, doc_tokens: int = 32,
+                  query_tokens: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Late-interaction multi-vector rerank (ColBERT MaxSim, Khattab &
+    Zaharia 2020): BM25 retrieves ``first_k`` candidates per query,
+    then each candidate is rescored token-against-token —
+    score(q, d) = Σ over the first ``query_tokens`` query tokens of
+    max over the first ``doc_tokens`` doc tokens of the token-embedding
+    dot product (embeddings are L2-normalized, so dot == cosine). The
+    third retrieval-model family next to single-vector dense and sparse
+    BM25: fine-grained term matching without a cross-encoder.
+
+    Determinism: per-(query, doc, query-token) MaxSim terms round to
+    9 dp DECIMAL before the sum, so the score is exact integer
+    arithmetic (no float-order rank flips); final score rounds to 6 dp.
+
+    Scale (the ColBERT serving shape exactly): MaxSim never touches the
+    corpus — it runs on first_k × |queries| candidate rows, each
+    carrying a bounded doc_tokens×8 embedding matrix built by a
+    map-only transform; the first stage is the existing BM25 join+agg.
+    Cost per candidate is query_tokens × doc_tokens dots of dim 8 —
+    Column expressions end to end, no UDF.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    cand = bm25.search(docs, queries, k=first_k, tokenized=tok) \
+        .select("query_id", "doc_id")
+    demb = tok.select(
+        "doc_id",
+        F.transform(F.slice("tokens", 1, doc_tokens),
+                    lambda t: mock_embedding(t)).alias("d_embs"),
+    )
+    qrows = (
+        bm25.tokenize(queries, id_col="query_id", text_col="query_text")
+        .select(F.col("doc_id").alias("query_id"),
+                F.posexplode(F.slice("tokens", 1, query_tokens))
+                .alias("qpos", "qt"))
+        .withColumn("q_emb", mock_embedding("qt"))
+        .drop("qt")
+    )
+    terms = (
+        cand.join(demb, "doc_id")
+        .join(F.broadcast(qrows), "query_id")
+        .select(
+            "query_id", "doc_id",
+            F.round(
+                F.array_max(F.transform(
+                    "d_embs",
+                    lambda de: F.aggregate(
+                        F.zip_with("q_emb", de, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ),
+                )),
+                9,
+            ).cast("decimal(20,9)").alias("term"),
+        )
+    )
+    scored = (
+        terms.groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("score"))
+    )
+    return _topk(scored, k)
+
+
+def spell_suggestions(docs: DataFrame, words: DataFrame, k: int = 1,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      word_col: str = "word") -> DataFrame:
+    """Query-term spell correction against the corpus vocabulary: for
+    each input word NOT in the vocabulary, the ``k`` best vocabulary
+    terms within edit distance 1, ranked by document frequency (df
+    DESC, term ASC) — the "did you mean" stage every search engine
+    puts in front of retrieval (a misspelled term silently drops out of
+    BM25's encode_queries inner join; this recovers it).
+
+    Candidate generation is the deletion-neighborhood equi-join
+    (FastSS, Bocek et al. 2007 — same blocking as
+    dedup.edit_distance_pairs): both sides emit their 1-deletion
+    variants plus themselves, candidates share a variant, Levenshtein
+    only verifies. No all-pairs product at any vocabulary size.
+
+    Returns (word, suggestion, suggestion_df, dist, sug_rank).
+
+    Scale: vocabulary variants are O(vocab x avg_len) rows built
+    map-only and shuffled once on the variant key; the query-word side
+    is tiny by definition. The vocab variant table is query-independent
+    — at scale, persist it beside the terms table at index-build time.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col)
+    terms = bm25.term_stats(tok).select("term", "df")
+    w = F.col("w")
+    wl = (
+        words.select(F.col(word_col).cast("string").alias("w"))
+        .where(w.isNotNull()).distinct()
+        .join(terms.select(F.col("term").alias("w")), "w", "left_anti")
+    )
+
+    def _variants(col: F.Column) -> F.Column:
+        return F.array_union(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substr(col, F.lit(1), i - 1),
+                    F.substr(col, i + 1, F.length(col)),
+                ),
+            ),
+        )
+
+    wv = wl.select("w", F.explode(_variants(w)).alias("v"))
+    tv = terms.select("term", "df",
+                      F.explode(_variants(F.col("term"))).alias("v"))
+    cand = (
+        wv.join(tv, "v")
+        .where(F.col("w") != F.col("term"))
+        .select("w", "term", "df").distinct()
+        .where(F.levenshtein("w", "term") <= 1)
+    )
+    rk = Window.partitionBy("w").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("sug_rank", F.row_number().over(rk))
+        .where(F.col("sug_rank") <= k)
+        .select(
+            F.col("w").alias("word"), F.col("term").alias("suggestion"),
+            F.col("df").cast("bigint").alias("suggestion_df"),
+            F.levenshtein("w", "term").cast("int").alias("dist"),
+            "sug_rank",
+        )
+    )

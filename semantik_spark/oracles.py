@@ -3747,6 +3747,93 @@ l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj){''.join(its)}
 SELECT id, label AS community FROM {prev}"""
 
 
+def q_spell_suggestions(top_n: int = 20, min_len: int = 5, k: int = 1) -> str:
+    """Twin of the spell_suggestions query: typos = top-``top_n`` df
+    vocab terms (length >= ``min_len``) with the 2nd char dropped;
+    deletion-neighborhood candidates, Levenshtein verify, df-ranked
+    pick."""
+    return f"""
+WITH {bm25_ctes()},
+typos AS (
+  SELECT substr(term, 1, 1) || substr(term, 3) AS word FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+    FROM terms WHERE length(term) >= {min_len}) WHERE rn <= {top_n}
+),
+unk AS (
+  SELECT DISTINCT word AS w FROM typos
+  WHERE word NOT IN (SELECT term FROM terms)
+),
+wv AS (
+  SELECT w, unnest(list_append(
+    list_transform(range(1, length(w) + 1),
+                   i -> substr(w, 1, i - 1) || substr(w, i + 1)), w)) AS v
+  FROM unk
+),
+tv AS MATERIALIZED (
+  SELECT term, df, unnest(list_append(
+    list_transform(range(1, length(term) + 1),
+                   i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+    term)) AS v
+  FROM terms
+),
+cand AS (SELECT DISTINCT w, term, df FROM wv JOIN tv USING (v) WHERE w <> term),
+ver AS (SELECT w, term, df FROM cand WHERE levenshtein(w, term) <= 1)
+SELECT w AS word, term AS suggestion, df::BIGINT AS suggestion_df,
+       levenshtein(w, term)::INT AS dist, rn::INT AS sug_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY w ORDER BY df DESC, term) AS rn
+      FROM ver)
+WHERE rn <= {k}"""
+
+
+def q_maxsim_rerank(k: int = 5, first_k: int = 20, doc_tokens: int = 32,
+                    query_tokens: int = 8) -> str:
+    """Twin of search.maxsim_rerank (ColBERT MaxSim): BM25 first stage
+    reuses bm25_search_ctes; each candidate rescored as the sum over
+    query-token POSITIONS (duplicates count twice, like the Spark
+    posexplode) of the max token-embedding dot product, 9 dp decimal
+    terms so the sum is exact. Token embeddings use the NORMALIZED
+    twin (functions.vectors.mock_embedding_sql) so dot == cosine with
+    the Spark side's exact operation order."""
+    from semantik_spark.functions.vectors import mock_embedding_sql
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, first_k)},
+cand AS MATERIALIZED (SELECT query_id, doc_id FROM ranked WHERE rank <= {first_k}),
+dtok AS (
+  SELECT doc_id, unnest(tokens[1:{doc_tokens}]) AS dt
+  FROM tokd WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)
+),
+dembr AS MATERIALIZED (
+  SELECT doc_id, {mock_embedding_sql("dt")} AS d_emb FROM dtok),
+qrows AS (
+  SELECT query_id, i AS qpos, tokens[i] AS qt
+  FROM (SELECT query_id, tokens,
+               unnest(range(1, least(len(tokens), {query_tokens}) + 1)) AS i
+        FROM qtok)
+),
+qembr AS MATERIALIZED (
+  SELECT query_id, qpos, {mock_embedding_sql("qt")} AS q_emb FROM qrows),
+term AS (
+  SELECT c.query_id, c.doc_id, q.qpos,
+         CAST(round(max(list_dot_product(q.q_emb, d.d_emb)), 9)
+              AS DECIMAL(20,9)) AS term
+  FROM cand c
+  JOIN qembr q ON q.query_id = c.query_id
+  JOIN dembr d ON d.doc_id = c.doc_id
+  GROUP BY c.query_id, c.doc_id, q.qpos
+),
+mscored AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(term) AS DOUBLE), 6) AS score
+  FROM term GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rank::INT AS rank FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM mscored)
+WHERE rank <= {k}"""
+
+
 def q_textrank_keywords(top_k: int = 20, damping: float = 0.85,
                         iterations: int = 5) -> str:
     """Twin of extract.textrank_keywords: window-2 co-occurrence word

@@ -51,6 +51,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "stream_interval_join_outer",
     "knn_kcore",
     "textrank_keywords",
+    "maxsim_rerank",
+    "spell_suggestions",
 )
 
 
