@@ -51,6 +51,30 @@ def _pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for one query body and RESTORE it on exit —
+    the order-independence contract (_pin_session_confs) demands no
+    query leaves conf side effects behind. Used by the streaming
+    queries to shrink spark.sql.shuffle.partitions for the state
+    store: a stream-stream join round-trips every state partition per
+    micro-batch, so 32 partitions of fixed overhead dominate tiny
+    local replays (the data is KBs); production sizes this to the key
+    cardinality instead."""
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet's ts physical type has varied across testdata
     generations: TIMESTAMP(NANOS) (Spark 4 refuses by default — read
@@ -3280,19 +3304,20 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)  # idempotent per call
     ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
     write_time_ordered_drop(ev.where(F.col("event_type") == "click"),
-                            f"{base}/clicks")
+                            f"{base}/clicks", n_files=2)
     write_time_ordered_drop(ev.where(F.col("event_type") == "purchase"),
-                            f"{base}/purchases")
+                            f"{base}/purchases", n_files=2)
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
-    q = stream_interval_join(
-        stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
-                     max_files_per_trigger=1),
-        stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
-                     max_files_per_trigger=1),
-        f"{base}/joined", f"{base}/ckpt",
-        key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
-    )
-    q.awaitTermination(300)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = stream_interval_join(
+            stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
+                         max_files_per_trigger=1),
+            stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
+                         max_files_per_trigger=1),
+            f"{base}/joined", f"{base}/ckpt",
+            key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(f"{base}/joined")
         .select(F.col("key").alias("user_id"),
@@ -3327,19 +3352,20 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for side, etype in (("clicks", "click"), ("purchases", "purchase")):
         write_time_ordered_drop(ev.where(F.col("event_type") == etype),
-                                f"{base}/{side}")
+                                f"{base}/{side}", n_files=2)
         append_drop_file(sentinel, f"{base}/{side}")
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
-    q = stream_interval_join(
-        stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
-                     max_files_per_trigger=1),
-        stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
-                     max_files_per_trigger=1),
-        f"{base}/joined", f"{base}/ckpt",
-        key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
-        join_type="left_outer",
-    )
-    q.awaitTermination(300)
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = stream_interval_join(
+            stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
+                         max_files_per_trigger=1),
+            stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
+                         max_files_per_trigger=1),
+            f"{base}/joined", f"{base}/ckpt",
+            key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
+            join_type="left_outer",
+        )
+        q.awaitTermination(300)
     return (
         spark.read.parquet(f"{base}/joined")
         .where(F.col("left_id") != -1)  # drop the sentinel's own row

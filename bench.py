@@ -37,6 +37,13 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 # $SPARK_GRAFT_BENCH_FASTCAP (0 disables the cap).
 FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
 
+# Streaming replays whose cost is fixed micro-batch overhead (stream-
+# stream joins run ~5 batches + watermark flush regardless of data):
+# one rep each — the median of three would burn ~2 min of suite wall
+# re-measuring scheduler constants. Spread for these is tracked by the
+# noise canary instead.
+ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer"}
+
 BENCH_QUERIES = [
     "pricing_summary",
     "join_revenue",
@@ -289,7 +296,8 @@ def main() -> None:
     for name in BENCH_QUERIES:
         times = []
         n = 0
-        for rep in range(REPS):
+        reps = 1 if name in ONE_REP_QUERIES else REPS
+        for rep in range(reps):
             dt, n = _timed(lambda: qs[name](spark, sf_dir).count())
             times.append(dt)
             if rep == 0 and FAST_SINGLE_REP_SEC > 0 and dt < FAST_SINGLE_REP_SEC:
