@@ -737,13 +737,19 @@ def canonical_docs(docs: DataFrame, quality: DataFrame,
     one window over cluster_id — clusters are near-dup groups, so
     partitions are tiny and skew-free.
     """
-    clusters = duplicate_clusters(docs, num_hashes, bands, n, threshold,
-                                  id_col, "text")
+    # pairs -> CC directly: duplicate_clusters' per-cluster size window
+    # would be recomputed below anyway (canonical_docs windows over the
+    # joined base), so going through it paid one discarded shuffle
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, threshold,
+                              id_col, "text")
+    cc = connected_components(pairs, edges_canonical=True)
+    clusters = cc.select(F.col("node").alias("doc_id"),
+                         F.col("component").alias("cluster_id"))
     q = quality.select(F.col(id_col).alias("doc_id"),
                        F.round(F.col(quality_col), 6).alias("quality_score"))
     base = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .join(clusters, "doc_id", "left")
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
         .join(q, "doc_id")
     )
