@@ -915,6 +915,36 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_docs(aug, quality_features(aug))
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (dedup.incremental_components):
+    the near-dup pair stream arrives in TWO deterministic batches
+    (hash-parity split); each folds into the persisted (node,
+    component) state as star edges + new edges — per-batch cost
+    O(state + batch), old edges never replayed. The final state is
+    provably the batch CC over all pairs for any split, so the oracle
+    is dedup_clusters' recursive transitive closure unchanged."""
+    import shutil
+
+    base = _scratch("inc_cc")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    pairs = dedup.minhash_lsh_pairs(_aug_docs(spark, sf_dir),
+                                    num_hashes=16, bands=4, n=3,
+                                    threshold=0.5).localCheckpoint()
+    split = (hash60(F.concat_ws(":", "doc_a", "doc_b")) % 2)
+    state = None
+    for b in (0, 1):
+        state = dedup.incremental_components(
+            spark, f"{base}/state", pairs.where(split == b)
+        )
+    w = Window.partitionBy("cluster_id")
+    return (
+        state.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring contamination (Lee et al. 2022 k-gram
     fingerprints): per-doc duplicated-k-token-window fractions over the
@@ -3868,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "maxsim_rerank": q_maxsim_rerank,
         "spell_suggestions": q_spell_suggestions,
+        "incremental_clusters": q_incremental_clusters,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5106,6 +5137,9 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
         "textrank_keywords": oracles.q_textrank_keywords(20, 0.85, 5),
         "maxsim_rerank": oracles.q_maxsim_rerank(5, 20, 32, 8),
         "spell_suggestions": oracles.q_spell_suggestions(20, 5, 1),
+        # incremental == batch by construction: the oracle is the batch
+        # transitive closure, unchanged
+        "incremental_clusters": oracles.q_dedup_clusters(16, 4, 3, 0.5),
     }
 
 

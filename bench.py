@@ -131,7 +131,7 @@ BENCH_QUERIES = [
     "stream_interval_join", "bm25_pruned_search",
     "unigram_pieces", "unigram_encode", "knn_ivf_append",
     "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
-    "maxsim_rerank", "spell_suggestions",
+    "maxsim_rerank", "spell_suggestions", "incremental_clusters",
 ]
 
 

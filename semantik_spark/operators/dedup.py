@@ -1287,3 +1287,50 @@ def simhash_radius_report(docs: DataFrame, radii: tuple = (2, 4, 6, 8),
             F.round(F.col("n_true_found") / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def merge_components(state: DataFrame | None, new_edges: DataFrame,
+                     node_a: str = "doc_a", node_b: str = "doc_b") -> DataFrame:
+    """Incremental connected components: fold a batch of NEW edges into
+    an existing (node, component) labeling without replaying old edges.
+    The previous state enters as STAR EDGES (node—component, including
+    the self-edge singletons keep), which preserve every previous
+    component's connectivity exactly, so CC over (star edges ∪ new
+    edges) equals CC over all edges ever seen — for ANY batch split
+    (test-pinned; the standard union-find-by-contraction argument).
+    Labels stay the global min doc_id, identical to the batch operator.
+
+    The streaming complement to streaming_lsh_dedup: the match log
+    says WHICH pairs are near-dups at ingestion; this maintains the
+    cluster assignment those pairs imply, at per-batch cost
+    O(|state| + |batch edges|), never O(all edges).
+
+    Returns the new full state (node, component).
+    """
+    edges = new_edges.select(F.col(node_a).alias("doc_a"),
+                             F.col(node_b).alias("doc_b"))
+    if state is not None:
+        edges = edges.unionByName(
+            state.select(F.col("node").alias("doc_a"),
+                         F.col("component").alias("doc_b"))
+        )
+    return connected_components(edges)
+
+
+def incremental_components(spark, state_path: str,
+                           new_edges: DataFrame) -> DataFrame:
+    """Persisted-state wrapper over merge_components: read the previous
+    (node, component) state (absent on the first batch), fold the new
+    edges in, dir-swap persist the result (the streaming sketch-state
+    pattern — write to a versioned subdir, then flip a pointer file;
+    here a plain overwrite of a localCheckpoint'd plan suffices since
+    the read is fully materialized before the write). Returns the new
+    state DataFrame (re-read, so callers see exactly what persisted)."""
+    try:
+        old = spark.read.parquet(state_path)
+        _ = old.head(1)
+    except Exception:
+        old = None
+    new_state = merge_components(old, new_edges).localCheckpoint()
+    new_state.write.mode("overwrite").parquet(state_path)
+    return spark.read.parquet(state_path)

@@ -523,3 +523,34 @@ def test_cut_spans_removes_exactly_the_dup_spans(spark):
         assert r["n_tokens_before"] - r["n_tokens_removed"] == r["n_tokens_after"]
     assert rows[1]["n_tokens_removed"] == 5 and rows[2]["n_tokens_removed"] == 5
     assert rows[3]["n_tokens_removed"] == 0
+
+
+def test_incremental_components_any_split_equals_batch(spark, tmp_path):
+    """merge_components over ANY ordered batch split of an edge list
+    yields the batch connected_components labeling exactly — including
+    batches that MERGE previously separate components."""
+    from semantik_spark.operators.dedup import (
+        connected_components, incremental_components,
+    )
+
+    edges = [(1, 2), (3, 4), (5, 6), (2, 3),   # merges {1,2} with {3,4}
+             (7, 8), (6, 7), (9, 10)]
+    full = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    batch_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(full).collect()
+    )
+    for split in ([3], [2, 5], [1, 2, 3, 4, 5, 6]):
+        state_path = str(tmp_path / f"state_{'_'.join(map(str, split))}")
+        bounds = [0] + split + [len(edges)]
+        state = None
+        for i in range(len(bounds) - 1):
+            chunk = edges[bounds[i]:bounds[i + 1]]
+            if not chunk:
+                continue
+            state = incremental_components(
+                spark, state_path,
+                spark.createDataFrame(chunk, ["doc_a", "doc_b"]),
+            )
+        got = sorted((r["node"], r["component"]) for r in state.collect())
+        assert got == batch_cc, split

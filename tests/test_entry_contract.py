@@ -53,6 +53,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "textrank_keywords",
     "maxsim_rerank",
     "spell_suggestions",
+    "incremental_clusters",
 )
 
 
