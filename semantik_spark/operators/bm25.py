@@ -120,6 +120,36 @@ def merge_term_state(old: DataFrame, delta_tokenized: DataFrame) -> DataFrame:
     )
 
 
+def retract_corpus_state(old: DataFrame, deleted_tokenized: DataFrame) -> DataFrame:
+    """old corpus_state ⊖ a tokenized DELETE batch → new corpus_state.
+    Both fields are integer sums, so retraction is exact subtraction —
+    the mergeable state is an abelian group, not just a monoid, which
+    is what makes GDPR-style deletion as cheap as the append path.
+    Only valid for doc ids actually present exactly once (the deletion
+    path anti-joins the catalog first)."""
+    neg = corpus_state(deleted_tokenized).select(
+        (-F.col("n_docs")).alias("n_docs"), (-F.col("sum_dl")).alias("sum_dl")
+    )
+    return old.unionByName(neg).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+
+
+def retract_term_state(old: DataFrame, deleted_tokenized: DataFrame) -> DataFrame:
+    """old term_state ⊖ a tokenized DELETE batch: per-term df
+    subtraction; terms whose df hits zero drop out of the vocabulary
+    entirely (exactly what a recompute over the remaining corpus
+    yields — test-pinned)."""
+    neg = term_state(deleted_tokenized).select("term", (-F.col("df")).alias("df"))
+    return (
+        old.select("term", "df").unionByName(neg)
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .where(F.col("df") > 0)
+    )
+
+
 def stats_from_state(state: DataFrame) -> DataFrame:
     """corpus_state → the (n_docs, avgdl) view corpus_stats produces.
     sum/count division (exact integer inputs) keeps the double

@@ -684,3 +684,57 @@ def hybrid_serve_approx(spark: SparkSession, path: str, queries: DataFrame,
     post = spark.read.parquet(f"{path}/postings_pruned")
     sscored = bm25.score(post, bm25.encode_queries(queries, terms))
     return _rrf_union_fuse(dscored, sscored, k, search_k)
+
+
+def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text") -> None:
+    """GDPR-grade deletion propagated through EVERY index artifact —
+    the right-to-erasure path a lakehouse search index needs (reference
+    deletes collections/documents through its DB cascade; here the
+    cascade is explicit because the artifacts are separate tables):
+
+      dense/            rows for the ids removed (anti-join rewrite)
+      postings/         rows for the ids removed
+      terms/            rebuilt EXACTLY from the retracted mergeable
+                        state — df decremented per deleted doc, terms
+                        hitting df=0 leave the vocabulary, n_docs/avgdl
+                        shrink (test-pinned: equals a recompute over
+                        the remaining corpus)
+      tombstones/       (doc_id) append-only audit of what was erased
+                        — ids only, no content (the content is the
+                        thing being erased)
+
+    ``deleted_docs`` carries (id, text) — the catalog rows being
+    purged: exact df retraction needs the deleted docs' term sets, and
+    a deletion request always has the catalog row in hand. Remaining
+    postings keep their index-time weights until the next full
+    build_sparse — the same measured staleness trade as the append
+    path (merge_sparse_append docstring).
+
+    Scale: delete-batch-sized tokenize + vocab-sized state merge + two
+    anti-join rewrites of the artifact tables. The rewrites are the
+    unavoidable cost of physical erasure (a filter view would retain
+    the bytes); at 100 TB they run partition-restricted if the tables
+    are partitioned by id range.
+    """
+    ids = deleted_docs.select(F.col(id_col).alias("_del_id")).distinct()
+    tok = bm25.tokenize(deleted_docs, id_col=id_col, text_col=text_col).persist()
+    state_c = f"{path}/bm25_state/corpus"
+    state_t = f"{path}/bm25_state/terms"
+    new_c = bm25.retract_corpus_state(spark.read.parquet(state_c), tok) \
+        .localCheckpoint()
+    new_t = bm25.retract_term_state(spark.read.parquet(state_t), tok) \
+        .localCheckpoint()
+    new_c.write.mode("overwrite").parquet(state_c)
+    new_t.write.mode("overwrite").parquet(state_t)
+    terms = bm25.term_stats_from_state(
+        new_t, bm25.stats_from_state(new_c)).localCheckpoint()
+    terms.write.mode("overwrite").parquet(f"{path}/terms")
+    for sub, key in (("postings", "doc_id"), ("dense", "doc_id")):
+        kept = spark.read.parquet(f"{path}/{sub}").join(
+            ids, F.col(key) == F.col("_del_id"), "left_anti"
+        ).localCheckpoint()
+        kept.write.mode("overwrite").parquet(f"{path}/{sub}")
+    ids.select(F.col("_del_id").alias("doc_id")).write.mode("append") \
+        .parquet(f"{path}/tombstones")
+    tok.unpersist()

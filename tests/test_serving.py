@@ -264,3 +264,38 @@ def test_hybrid_serve_approx_full_width_equals_exact(spark, tmp_path):
     part = hybrid_serve_approx(spark, idx, qdf, k=5, nprobe=2).collect()
     assert 0 < len(part) <= 10
     assert all(r["score"] > 0 for r in part)
+
+
+def test_delete_from_index_propagates_everywhere_and_terms_stay_exact(spark, tmp_path):
+    """Erasure cascade: deleted ids vanish from dense/ and postings/,
+    land in tombstones/, and the retracted terms table EQUALS a fresh
+    build over the remaining corpus (df decrement, zero-df terms gone,
+    avgdl shrunk) — the abelian-group property of the mergeable
+    state."""
+    from semantik_spark.operators.serving import build_index, delete_from_index
+
+    docs = spark.createDataFrame(
+        [(i, f"shared words plus unique{i} token{i % 3}") for i in range(20)]
+        + [(99, "onlyhere solitary vocabulary")],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    gone = docs.where("doc_id >= 15")  # includes 99: kills 'onlyhere' etc.
+    delete_from_index(spark, idx, gone)
+
+    gone_ids = {r["doc_id"] for r in gone.collect()}
+    for sub in ("dense", "postings"):
+        left = {r["doc_id"] for r in spark.read.parquet(f"{idx}/{sub}")
+                .select("doc_id").distinct().collect()}
+        assert left.isdisjoint(gone_ids), sub
+        assert left == {i for i in range(15)}
+    tombs = {r["doc_id"] for r in spark.read.parquet(f"{idx}/tombstones").collect()}
+    assert tombs == gone_ids
+
+    ref = str(tmp_path / "ref")
+    build_index(docs.where("doc_id < 15"), ref)
+    norm = lambda p: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in spark.read.parquet(f"{p}/terms").collect())
+    assert norm(idx) == norm(ref)
+    assert not any(t == "onlyhere" for t, *_ in norm(idx))
