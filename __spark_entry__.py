@@ -2360,6 +2360,56 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast residuals (the forecasting-monitor
+    complement to the distributional z-scan of events_anomaly): per
+    (event_type, day) counts forecast by the same weekday LAST week
+    (lag-7 seasonal naive — the standard baseline every forecast must
+    beat), residual z-scored against the type's residual distribution
+    via exact-decimal moments. Counts and residuals are integers, so
+    everything up to the final z division is exact. One groupBy for
+    daily counts, one self-join on (type, day-7), one tiny moments
+    agg broadcast back — map-only flagging."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    base = daily.alias("a").join(
+        daily.select(F.col("event_type").alias("event_type"),
+                     F.col("day").alias("b_day"),
+                     F.col("n").alias("forecast")).alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b_day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"),
+             F.col("a.n").alias("n"), "forecast",
+             (F.col("a.n") - F.col("forecast")).cast("bigint").alias("residual"))
+    dr = F.col("residual").cast("decimal(28,8)")
+    stats = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.sum(dr).alias("s1"),
+        F.sum((dr * dr).cast("decimal(38,10)")).alias("s2"),
+    ).select(
+        "event_type", "nn",
+        (F.col("s1").cast("double") / F.col("nn")).alias("rmean"),
+        F.sqrt(
+            (F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("nn"))
+            / (F.col("nn") - 1)
+        ).alias("rsd"),
+    )
+    z = (F.col("residual") - F.col("rmean")) / F.col("rsd")
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .where((F.col("nn") >= 2) & (F.col("rsd") > 0))
+        .select(
+            "event_type", F.col("day").cast("string").alias("day"),
+            "n", "forecast", "residual",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion view→click→purchase: per-step user
     counts where each step strictly follows the user's earliest valid
@@ -3899,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_rerank": q_maxsim_rerank,
         "spell_suggestions": q_spell_suggestions,
         "incremental_clusters": q_incremental_clusters,
+        "events_seasonal": q_events_seasonal,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5140,6 +5191,35 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
         # incremental == batch by construction: the oracle is the batch
         # transitive closure, unchanged
         "incremental_clusters": oracles.q_dedup_clusters(16, 4, 3, 0.5),
+        "events_seasonal": """
+WITH daily AS (
+  SELECT event_type, (ts::TIMESTAMP)::DATE AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, (ts::TIMESTAMP)::DATE
+),
+base AS (
+  SELECT a.event_type, a.day, a.n, b.n AS forecast,
+         (a.n - b.n)::BIGINT AS residual
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day = a.day - 7
+),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS nn,
+         sum(residual::DECIMAL(28,8)) AS s1,
+         sum((residual::DECIMAL(28,8) * residual::DECIMAL(28,8))::DECIMAL(38,10)) AS s2
+  FROM base GROUP BY event_type
+),
+st AS (
+  SELECT event_type, nn,
+         s1::DOUBLE / nn AS rmean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nn) / (nn - 1)) AS rsd
+  FROM stats
+)
+SELECT b.event_type, strftime(b.day, '%Y-%m-%d') AS day, b.n, b.forecast,
+       b.residual,
+       round((b.residual - st.rmean) / st.rsd, 6) AS z,
+       abs((b.residual - st.rmean) / st.rsd) > 2.0 AS is_anomaly
+FROM base b JOIN st USING (event_type)
+WHERE st.nn >= 2 AND st.rsd > 0""",
     }
 
 

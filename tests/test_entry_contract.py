@@ -54,6 +54,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "maxsim_rerank",
     "spell_suggestions",
     "incremental_clusters",
+    "events_seasonal",
 )
 
 
