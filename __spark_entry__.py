@@ -2410,6 +2410,22 @@ def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the heuristic quality
+    score (training.calibrate_scores): every source mapped onto one
+    [0,1] percentile scale so a global keep-top-X%% cut prunes the
+    same fraction of every source — the multi-source curation
+    calibration raw scores can't give."""
+    from semantik_spark.operators.textanalysis import quality_features
+    from semantik_spark.operators.training import calibrate_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_features(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return calibrate_scores(scored)
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion view→click→purchase: per-step user
     counts where each step strictly follows the user's earliest valid
@@ -3950,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggestions": q_spell_suggestions,
         "incremental_clusters": q_incremental_clusters,
         "events_seasonal": q_events_seasonal,
+        "quality_calibrated": q_quality_calibrated,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4517,6 +4534,7 @@ SELECT bucket_us, event_type, count(*)::BIGINT AS n
 FROM expanded GROUP BY bucket_us, event_type""",
         "text_lang_id": _ORACLE_LANG_ID,
         "text_quality": _ORACLE_QUALITY,
+        "quality_calibrated": _ORACLE_CALIBRATED.format(q=_ORACLE_QUALITY),
         "text_curation": _ORACLE_CURATION.format(quality=_ORACLE_QUALITY),
         "text_repetition": """
 WITH base AS (
@@ -5282,6 +5300,15 @@ SELECT doc_id, n_chars, n_words,
          + 0.1 * (1.0 - least(digit_ratio * 4.0, 1.0))
          + 0.1 * least(stopword_ratio * 2.0, 1.0), 6) AS quality_score
 FROM feat"""
+
+_ORACLE_CALIBRATED = """
+WITH qual AS ({q}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT q.doc_id, s.source, q.quality_score,
+       round(percent_rank() OVER (PARTITION BY s.source
+                                  ORDER BY q.quality_score ASC, q.doc_id ASC),
+             6) AS calibrated
+FROM qual q JOIN src s USING (doc_id)"""
 
 # composed curation verdict: quality oracle as a sub-CTE + the 2-gram
 # repetition chain + first-failing-rule decision (thresholds mirror

@@ -588,3 +588,34 @@ def leakage_safe_split(docs: DataFrame, test_buckets: int = 2,
         "naive_leak",
         F.min("naive_split").over(w) != F.max("naive_split").over(w),
     )
+
+
+def calibrate_scores(scored: DataFrame, source_col: str = "source",
+                     score_col: str = "quality_score",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-source quantile (rank) normalization of a quality score —
+    the calibration step multi-source curation needs: raw heuristic
+    scores are NOT comparable across sources (a webcrawl's median
+    differs from a books corpus's), so thresholding the raw score
+    over- or under-prunes per source. Mapping each doc to its
+    within-source percentile puts every source on the same [0, 1]
+    scale; a global keep-top-X% cut then removes the same fraction of
+    every source (quantile normalization, the rank variant).
+
+    Scores round to 6 dp before ranking and ties break by doc id, so
+    the percentile is engine-portable. Returns (doc_id, source,
+    score_col, calibrated).
+
+    Scale: one window per source partition — sources are the natural
+    partition key of a multi-source corpus, each window runs where its
+    source's rows already live after one shuffle on source.
+    """
+    w = Window.partitionBy(source_col).orderBy(F.asc("_s"), F.asc(id_col))
+    return (
+        scored.withColumn("_s", F.round(F.col(score_col), 6))
+        .select(
+            id_col, source_col,
+            F.col("_s").alias(score_col),
+            F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+        )
+    )

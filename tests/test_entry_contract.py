@@ -55,6 +55,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "spell_suggestions",
     "incremental_clusters",
     "events_seasonal",
+    "quality_calibrated",
 )
 
 
