@@ -934,3 +934,41 @@ def test_pruned_postings_single_term_window(spark):
     plan = _plan(bm25.pruned_postings(bm25.postings(tok, terms, stats), keep=4))
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_maxsim_rerank_no_corpus_blowup(spark):
+    """MaxSim runs on candidate rows only: no cartesian, no python UDF;
+    the token-matrix transform is a Column expression."""
+    from semantik_spark.operators.search import maxsim_rerank
+
+    docs = _mk_docs(spark, 40)
+    queries = spark.createDataFrame(
+        [("q1", "document topic"), ("q2", "item text")],
+        ["query_id", "query_text"])
+    plan = _plan(maxsim_rerank(docs, queries, k=3, first_k=5))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_textrank_adjacency_reused_across_rounds(spark):
+    """The co-occurrence adjacency is persisted once (InMemory scan in
+    the plan); no cartesian; no python UDF."""
+    from semantik_spark.operators.extract import textrank_keywords
+
+    docs = _mk_docs(spark, 40)
+    plan = _plan(textrank_keywords(docs, top_k=5, iterations=3))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_spell_suggestions_variant_equijoin_only(spark):
+    """Deletion-neighborhood candidates join on the variant key —
+    no nested-loop fuzzy matching."""
+    from semantik_spark.operators.search import spell_suggestions
+
+    docs = _mk_docs(spark, 40)
+    words = spark.createDataFrame([("dcument",), ("topik",)], ["word"])
+    plan = _plan(spell_suggestions(docs, words))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
