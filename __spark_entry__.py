@@ -3227,6 +3227,22 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_words(ew, pieces, max_piece_len=5)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility (pieces per word, chars per
+    token) under the 8-merge BPE vocabulary — the tokenizer-eval
+    metric that prices each corpus slice's training cost
+    (tokenizer.bpe_fertility); exact integer counts, the encode runs
+    over the distinct-word vocab only."""
+    from semantik_spark.operators.tokenizer import (
+        bpe_fertility, bpe_train_sampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, merges = bpe_train_sampled(docs.select("doc_id", "text"),
+                                  num_merges=8, sample_words=1_000_000)
+    return bpe_fertility(docs, merges)
+
+
 def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION BPE trainer (tokenizer.bpe_train_sampled — r7): the
     distributed corpus pass feeds a deterministic top-N word sample
@@ -3967,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_clusters": q_incremental_clusters,
         "events_seasonal": q_events_seasonal,
         "quality_calibrated": q_quality_calibrated,
+        "bpe_fertility": q_bpe_fertility,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4535,6 +4552,7 @@ FROM expanded GROUP BY bucket_us, event_type""",
         "text_lang_id": _ORACLE_LANG_ID,
         "text_quality": _ORACLE_QUALITY,
         "quality_calibrated": _ORACLE_CALIBRATED.format(q=_ORACLE_QUALITY),
+        "bpe_fertility": oracles.q_bpe_fertility(8),
         "text_curation": _ORACLE_CURATION.format(quality=_ORACLE_QUALITY),
         "text_repetition": """
 WITH base AS (

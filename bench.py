@@ -132,7 +132,7 @@ BENCH_QUERIES = [
     "unigram_pieces", "unigram_encode", "knn_ivf_append",
     "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
     "maxsim_rerank", "spell_suggestions", "incremental_clusters",
-    "events_seasonal", "quality_calibrated",
+    "events_seasonal", "quality_calibrated", "bpe_fertility",
 ]
 
 

@@ -360,6 +360,34 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
     return dot / nn if nn > 0 else 0.0
 
 
+#: driver-side codebook cache keyed by (dir, mtime) — a serving process
+#: holds the n_centroids x dim floats in memory; re-reading the parquet
+#: per request paid a full Spark job (~0.2-0.4 s locally) for data that
+#: only changes on retrain (overwrite recreates the dir, so the mtime
+#: key invalidates exactly then; ivf_append never touches the codebook)
+_CODEBOOK_CACHE: dict[str, tuple[float, list]] = {}
+
+
+def _load_codebook(spark: SparkSession, path: str) -> list:
+    import os
+
+    d = f"{path}/codebook"
+    try:
+        mtime = os.path.getmtime(d)
+    except OSError:
+        mtime = -1.0
+    hit = _CODEBOOK_CACHE.get(d)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    rows = sorted(
+        ((int(r["cid"]), [float(x) for x in r["cv"]])
+         for r in spark.read.parquet(d).collect()),
+        key=lambda t: t[0],
+    )
+    _CODEBOOK_CACHE[d] = (mtime, rows)
+    return rows
+
+
 def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
                     k: int = 10, nprobe: int = 4, predicate: dict | None = None,
                     query_id_col: str = "query_id",
@@ -381,11 +409,7 @@ def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
     of the index FROM DISK."""
     from semantik_spark.functions.vectors import cosine
 
-    cent_rows = sorted(
-        ((int(r["cid"]), [float(x) for x in r["cv"]])
-         for r in spark.read.parquet(f"{path}/codebook").collect()),
-        key=lambda t: t[0],
-    )
+    cent_rows = _load_codebook(spark, path)
     probe_rows = []
     for r in queries.select(F.col(query_id_col).alias("query_id"),
                             F.col(query_text_col).alias("query_text")).collect():
@@ -659,11 +683,7 @@ def hybrid_serve_approx(spark: SparkSession, path: str, queries: DataFrame,
         search_k = max(k * 2, 20)
     from semantik_spark.functions.vectors import cosine
 
-    cent_rows = sorted(
-        ((int(r["cid"]), [float(x) for x in r["cv"]])
-         for r in spark.read.parquet(f"{path}/codebook").collect()),
-        key=lambda t: t[0],
-    )
+    cent_rows = _load_codebook(spark, path)
     probe_rows = []
     for r in queries.select("query_id", "query_text").collect():
         qv = _mock_embedding_py(str(r["query_text"]))

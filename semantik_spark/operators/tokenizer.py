@@ -555,3 +555,48 @@ def unigram_em_refine(pieces: DataFrame, words: DataFrame,
             StructField("cost_micro", LongType()),
         ]),
     ).withColumn("piece_len", F.col("piece_len").cast("int"))
+
+
+def bpe_fertility(docs: DataFrame, merges: list[tuple[str, str]],
+                  group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Tokenizer FERTILITY report per corpus slice — the standard
+    tokenizer-evaluation metric (tokens produced per word; a vocabulary
+    that fits a slice poorly shatters its words into many pieces, which
+    directly inflates that slice's training cost and shrinks its
+    effective context): per ``group_col``, total words, total BPE
+    pieces, fertility = pieces/words, and chars-per-piece.
+
+    All counts are exact integers (fertility is the only division, done
+    once at the end) and the encode runs over the DISTINCT word vocab
+    (mapInPandas, corpus-size-independent) joined back broadcast — the
+    bpe_token_count shape grouped by slice instead of document.
+    """
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("word"),
+    )
+    vocab = words.select("word").distinct()
+    enc = encode_words(vocab, merges).select(
+        "word",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    return (
+        words.join(F.broadcast(enc), "word")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_words", "n_tokens", "n_chars",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6)
+            .alias("fertility"),
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
+            .alias("chars_per_token"),
+        )
+    )

@@ -3099,6 +3099,32 @@ JOIN agg a ON a.word = e.word
 JOIN dp d ON d.word = e.word AND d.pos = length(e.word)"""
 
 
+def q_bpe_fertility(num_merges: int = 8) -> str:
+    """Twin of tokenizer.bpe_fertility: the final training state IS the
+    per-word encoding, so per-slice fertility is a join of the
+    source-tagged word stream against state{K} piece counts."""
+    return f"""
+WITH {bpe_ctes(num_merges)},
+wsrc AS (
+  SELECT source AS grp,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+encn AS (
+  SELECT word, len(syms)::BIGINT AS n_pieces,
+         length(word)::BIGINT AS n_chars
+  FROM state{num_merges}
+)
+SELECT grp AS source,
+       count(*)::BIGINT AS n_words,
+       sum(n_pieces)::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       round(sum(n_pieces)::DOUBLE / count(*), 6) AS fertility,
+       round(sum(n_chars)::DOUBLE / sum(n_pieces), 6) AS chars_per_token
+FROM wsrc JOIN encn USING (word)
+GROUP BY grp"""
+
+
 def q_gopher_rules(min_words: int = 50, max_words: int = 100000) -> str:
     """Twin of textanalysis.gopher_rules — same cross-multiplied exact
     integer comparisons, same fixed reason order."""

@@ -56,6 +56,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "incremental_clusters",
     "events_seasonal",
     "quality_calibrated",
+    "bpe_fertility",
 )
 
 
