@@ -3588,6 +3588,45 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "version", "is_current")
 
 
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintained as a STREAM: the order-update log
+    replays as two time-ordered micro-batches, each folded into the
+    persisted version history via scd2_merge
+    (streaming.incremental.streaming_scd2). Range files keep equal
+    timestamps together, so the strictly-later frontier contract holds
+    per batch and the final state equals the full-log rebuild — the
+    oracle is the batch scd2_orders rebuild verbatim."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        stream_files, streaming_scd2, write_time_ordered_drop,
+    )
+
+    base = _scratch("stream_scd2")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    write_time_ordered_drop(orders, f"{base}/drop", n_files=2)
+    schema = "custkey bigint, priority string, ts timestamp, seq bigint"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = streaming_scd2(
+            stream_files(spark, f"{base}/drop", schema, fmt="parquet",
+                         max_files_per_trigger=1),
+            f"{base}/state", f"{base}/ckpt",
+            "custkey", ["priority"], "ts", "seq",
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/state")
+        .select("custkey", "priority", "valid_from", "valid_to",
+                "version", "is_current")
+    )
+
+
 def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM level-shift detection per event type (Page
     control chart, k=0.5σ slack, h=4σ threshold) — the telemetry
@@ -3984,12 +4023,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal": q_events_seasonal,
         "quality_calibrated": q_quality_calibrated,
         "bpe_fertility": q_bpe_fertility,
+        "streaming_scd2": q_streaming_scd2,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
@@ -5257,6 +5297,10 @@ SELECT b.event_type, strftime(b.day, '%Y-%m-%d') AS day, b.n, b.forecast,
 FROM base b JOIN st USING (event_type)
 WHERE st.nn >= 2 AND st.rsd > 0""",
     }
+    # streaming SCD2's final state IS the full-log rebuild (merge ==
+    # rebuild per trigger), so it shares the batch oracle verbatim
+    out["streaming_scd2"] = out["scd2_orders"]
+    return out
 
 
 from semantik_spark.config import LANG_STOPWORDS  # noqa: E402

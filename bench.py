@@ -42,7 +42,8 @@ FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
 # one rep each — the median of three would burn ~2 min of suite wall
 # re-measuring scheduler constants. Spread for these is tracked by the
 # noise canary instead.
-ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer"}
+ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
+                   "streaming_scd2"}
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -133,6 +134,7 @@ BENCH_QUERIES = [
     "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
     "maxsim_rerank", "spell_suggestions", "incremental_clusters",
     "events_seasonal", "quality_calibrated", "bpe_fertility",
+    "streaming_scd2",
 ]
 
 

@@ -57,6 +57,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "events_seasonal",
     "quality_calibrated",
     "bpe_fertility",
+    "streaming_scd2",
 )
 
 
