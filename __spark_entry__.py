@@ -968,6 +968,17 @@ def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cut_spans(_aug_docs(spark, sf_dir), k=10)
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy + top-char mass per document —
+    the model-free degenerate-text detector (mash/base64/padding sit
+    far from natural text's ~4-4.5 bits/char); -p*log2(p) terms round
+    to 8dp DECIMAL before the per-doc sum so the score is order-free
+    (textanalysis.char_entropy)."""
+    from semantik_spark.operators.textanalysis import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab induction: top-200 tokens by collection
     frequency with contiguous (freq DESC, term ASC) ids."""
@@ -4024,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": q_quality_calibrated,
         "bpe_fertility": q_bpe_fertility,
         "streaming_scd2": q_streaming_scd2,
+        "text_entropy": q_text_entropy,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5300,6 +5312,27 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim
     out["streaming_scd2"] = out["scd2_orders"]
+    out["text_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),
+                                       i -> substr(lower(text), i, 1))) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars
+  WHERE ch <> '' GROUP BY doc_id, ch
+),
+per AS (
+  SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id,
+       max(n)::BIGINT AS n_chars,
+       count(*)::BIGINT AS n_distinct_chars,
+       sum(CAST(floor(-(c::DOUBLE / n) * ln(c::DOUBLE / n)
+                      / 0.6931471805599453 * 100000000 + 0.5)
+                AS BIGINT))::BIGINT AS entropy_microbits,
+       round(max(c)::DOUBLE / max(n), 6) AS top_char_frac
+FROM per GROUP BY doc_id"""
     return out
 
 

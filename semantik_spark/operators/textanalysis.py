@@ -648,3 +648,56 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Character-level Shannon entropy per document plus the top-char
+    mass — the model-free degenerate-text detector (keyboard mash,
+    base64 blobs, and single-char padding all sit far from natural
+    text's ~4.0-4.5 bits/char; the classic complement to word-level
+    repetition filters).
+
+    Entropy terms are per-(doc, char) probabilities with the -p*log2(p)
+    contribution rounded to 8 dp DECIMAL before the per-doc sum, so the
+    score is order-free across engines.
+
+    Returns (doc_id, n_chars, n_distinct_chars, entropy_microbits,
+    top_char_frac) — entropy in integer 1e-8-bit units (divide by 1e8
+    for bits/char): emitting the exact integer sum avoids the final
+    round-to-decimal, whose half-up boundary differs between
+    BigDecimal-string and C-float rounding pipelines.
+
+    Scale: one shuffle on (doc_id, char) — chars per doc are bounded by
+    the alphabet after the groupBy, so the per-doc reduce side is tiny;
+    everything else is map-side combinable.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    per = counts.withColumn("n", F.sum("c").over(w))
+    p = F.col("c").cast("double") / F.col("n")
+    # integer MICRO-BITS per term (the unigram-tokenizer micro-nat
+    # discipline): bits = ln(p)/ln(2) with ln2 a shared double literal
+    # (Spark's log2 is ln/ln(2), DuckDB's is direct libm log2 — 1 ulp
+    # apart), then floor(x*1e8 + 0.5) — floor of an identical double is
+    # identical everywhere, unlike round-to-decimal whose half-up
+    # boundary semantics differ between BigDecimal and C rounding
+    term = F.floor(
+        -p * F.log(p) / F.lit(0.6931471805599453) * 1e8 + 0.5
+    ).cast("bigint")
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct_chars"),
+            F.sum(term).cast("bigint").alias("entropy_microbits"),
+            F.round(F.max("c").cast("double") / F.max("n"), 6)
+            .alias("top_char_frac"),
+        )
+    )

@@ -58,6 +58,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "quality_calibrated",
     "bpe_fertility",
     "streaming_scd2",
+    "text_entropy",
 )
 
 
