@@ -2371,6 +2371,15 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D numeric BAND JOIN via bucket blocking: purchase-event pairs
+    with |value difference| <= 0.1 found through a floor(v/eps) bucket
+    equi-join probing own+next bucket (pigeonhole-complete) — the
+    scalar cousin of the embedding near-dup bit-bands; the naive form
+    is a |rows|^2 nested loop (timeseries.value_band_pairs)."""
+    return timeseries.value_band_pairs(_events(spark, sf_dir), eps=0.1)
+
+
 def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast residuals (the forecasting-monitor
     complement to the distributional z-scan of events_anomaly): per
@@ -4036,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "streaming_scd2": q_streaming_scd2,
         "text_entropy": q_text_entropy,
+        "value_band_pairs": q_value_band_pairs,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5333,6 +5343,13 @@ SELECT doc_id,
                 AS BIGINT))::BIGINT AS entropy_microbits,
        round(max(c)::DOUBLE / max(n), 6) AS top_char_frac
 FROM per GROUP BY doc_id"""
+    out["value_band_pairs"] = """
+WITH p AS (SELECT event_id, value FROM events WHERE event_type = 'purchase')
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       round(a.value, 6) AS value_a, round(b.value, 6) AS value_b,
+       round(abs(a.value - b.value), 6) AS diff
+FROM p a JOIN p b
+  ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.1"""
     return out
 
 

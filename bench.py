@@ -134,7 +134,7 @@ BENCH_QUERIES = [
     "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
     "maxsim_rerank", "spell_suggestions", "incremental_clusters",
     "events_seasonal", "quality_calibrated", "bpe_fertility",
-    "streaming_scd2", "text_entropy",
+    "streaming_scd2", "text_entropy", "value_band_pairs",
 ]
 
 

@@ -583,3 +583,62 @@ def trend_ols(events: DataFrame, type_col: str = "event_type",
         F.round(F.when((var_x > 0) & (var_y > 0),
                        (cov_n * cov_n) / (var_x * var_y)), 6).alias("r2"),
     )
+
+
+def value_band_pairs(events: DataFrame, eps: float = 0.5,
+                     event_type: str = "purchase",
+                     id_col: str = "event_id",
+                     value_col: str = "value") -> DataFrame:
+    """Numeric BAND JOIN without a cartesian product: all pairs of
+    same-type events whose values differ by at most ``eps``, found by
+    bucket blocking — each row lands in bucket floor(value/eps) and
+    probes only its own and the next bucket (any pair within eps spans
+    at most adjacent buckets, the 1-D pigeonhole; the high-dim cousin
+    of the embedding near-dup bit-bands). The |value difference| <= eps
+    predicate then only VERIFIES candidates.
+
+    Returns (id_a, id_b, value_a, value_b, diff) with id_a < id_b and
+    diff rounded to 6 dp.
+
+    Scale: the naive theta-join is |rows|² and plans as a nested-loop;
+    this is one equi-join on the bucket key (asserted: no
+    CartesianProduct) — candidates per row are bounded by the value
+    density inside 2*eps, the quantity the epsilon choice already
+    controls. A hot bucket (mass point) is a real pair blowup, not a
+    blocking artifact — those pairs exist in the answer.
+    """
+    e = events.where(F.col("event_type") == event_type).select(
+        F.col(id_col).alias("id"), F.col(value_col).alias("v"),
+        F.floor(F.col(value_col) / eps).cast("bigint").alias("b"),
+    )
+    probe = e.select(
+        "id", "v", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("pb")
+    )
+    right = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                     F.col("b").alias("pb"))
+    # up-only probing sees each unordered pair from exactly one side
+    # (the lower-bucket row), whose id may be the LARGER one — so the
+    # pair normalizes by least/greatest (values follow their ids)
+    # instead of an id< filter that would drop half the cross-bucket
+    # pairs (the streaming-LSH cross-probe pattern)
+    first_lower = F.col("id") < F.col("id_b")
+    cand = (
+        probe.join(right, "pb")
+        .where(F.col("id") != F.col("id_b"))
+        .select(
+            F.least("id", "id_b").alias("id_a"),
+            F.greatest("id", "id_b").alias("id_b"),
+            F.when(first_lower, F.col("v")).otherwise(F.col("v_b")).alias("value_a"),
+            F.when(first_lower, F.col("v_b")).otherwise(F.col("v")).alias("value_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.where(F.abs(F.col("value_a") - F.col("value_b")) <= eps)
+        .select(
+            "id_a", "id_b",
+            F.round("value_a", 6).alias("value_a"),
+            F.round("value_b", 6).alias("value_b"),
+            F.round(F.abs(F.col("value_a") - F.col("value_b")), 6).alias("diff"),
+        )
+    )

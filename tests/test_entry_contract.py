@@ -59,6 +59,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "bpe_fertility",
     "streaming_scd2",
     "text_entropy",
+    "value_band_pairs",
 )
 
 

@@ -972,3 +972,16 @@ def test_spell_suggestions_variant_equijoin_only(spark):
     plan = _plan(spell_suggestions(docs, words))
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan.lower()
+
+
+def test_value_band_pairs_bucket_equijoin_no_cartesian(spark):
+    """The 1-D band join plans as a bucket-key equi-join — the naive
+    |value diff| theta form would be a BroadcastNestedLoopJoin."""
+    from semantik_spark.operators.timeseries import value_band_pairs
+
+    ev = spark.createDataFrame(
+        [(i, "purchase", float(i) * 0.07) for i in range(60)],
+        ["event_id", "event_type", "value"])
+    plan = _plan(value_band_pairs(ev, eps=0.1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
