@@ -2496,6 +2496,41 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scan: |value - median| / MAD > 3.5 per event type
+    (Hampel identifier with the 1.4826 normal-consistency constant) —
+    the heavy-tail-safe complement to the z-score scan, whose mean/sd
+    are themselves dragged by the outliers they hunt. Median and MAD
+    are exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont); two tiny per-type aggregations broadcast back onto
+    the scan, map-only flagging."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document length distribution in 50-char buckets — the corpus
     profiling pass a training-data pipeline runs before filtering."""
@@ -4046,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2": q_streaming_scd2,
         "text_entropy": q_text_entropy,
         "value_band_pairs": q_value_band_pairs,
+        "events_mad_outliers": q_events_mad_outliers,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5350,6 +5386,25 @@ SELECT a.event_id AS id_a, b.event_id AS id_b,
        round(abs(a.value - b.value), 6) AS diff
 FROM p a JOIN p b
   ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.1"""
+    out["events_mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, max(m.med) AS med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         count(*)::BIGINT AS n
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(s.med, 6) AS med,
+       round(s.mad, 6) AS mad,
+       round((e.value - s.med) / (1.4826 * s.mad), 6) AS robust_z
+FROM events e JOIN mad s USING (event_type)
+WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
     return out
 
 

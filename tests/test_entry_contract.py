@@ -60,6 +60,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "streaming_scd2",
     "text_entropy",
     "value_band_pairs",
+    "events_mad_outliers",
 )
 
 
