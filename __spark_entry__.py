@@ -905,6 +905,48 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       target_per_stratum=50)
 
 
+def q_curated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed curation verdict — what actually ships to training:
+    every document of the augmented corpus through three gates in
+    fixed first-failing order — (1) the Gopher rule battery, (2)
+    per-source calibrated quality percentile < 0.1, (3) non-canonical
+    member of a near-dup cluster — emitting keep/reason per doc. Each
+    gate is an already-oracle-checked operator (gopher_rules,
+    calibrate_scores, canonical_docs); this query pins their
+    COMPOSITION, the end-to-end pipeline integration the individual
+    rows can't."""
+    from semantik_spark.operators.textanalysis import (
+        gopher_rules, quality_features,
+    )
+    from semantik_spark.operators.training import calibrate_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = _aug_docs(spark, sf_dir)
+    orig = F.when(F.col("doc_id") >= 10000,
+                  F.col("doc_id") - 10000).otherwise(F.col("doc_id"))
+    srcs = aug.select("doc_id", orig.alias("_orig")).join(
+        docs.select(F.col("doc_id").alias("_orig"), "source"), "_orig"
+    ).select("doc_id", "source")
+    g = gopher_rules(aug).select(
+        "doc_id", F.col("reason").alias("gopher_reason"))
+    cal = calibrate_scores(quality_features(aug).join(srcs, "doc_id"))
+    can = dedup.canonical_docs(aug, quality_features(aug)).select(
+        "doc_id", "cluster_id", "is_canonical")
+    reason = (
+        F.when(F.col("gopher_reason") != "ok",
+               F.concat(F.lit("gopher:"), F.col("gopher_reason")))
+        .when(F.col("calibrated") < 0.1, F.lit("low_quality"))
+        .when(~F.col("is_canonical"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        cal.join(can, "doc_id").join(g, "doc_id")
+        .select("doc_id", "source", "calibrated", "cluster_id",
+                "is_canonical", reason.alias("reason"),
+                (reason == "kept").alias("keep"))
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative selection over the augmented dup corpus:
     MinHash clusters + quality scores → one canonical doc per cluster
@@ -4082,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "value_band_pairs": q_value_band_pairs,
         "events_mad_outliers": q_events_mad_outliers,
+        "curated_manifest": q_curated_manifest,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5405,6 +5448,10 @@ SELECT e.event_id, e.event_type,
        round((e.value - s.med) / (1.4826 * s.mad), 6) AS robust_z
 FROM events e JOIN mad s USING (event_type)
 WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
+    out["curated_manifest"] = _ORACLE_MANIFEST.format(
+        q=_ORACLE_QUALITY,
+        gopher=oracles.q_gopher_rules(50, 100000, "aug_docs"),
+    )
     return out
 
 
@@ -5550,6 +5597,73 @@ SELECT doc_id, cluster_id,
        row_number() OVER (PARTITION BY cluster_id
                           ORDER BY quality_score DESC, doc_id ASC) = 1 AS is_canonical
 FROM f"""
+
+# composed curation manifest: the dedup-canonical chain + per-source
+# calibration + the Gopher battery, folded into one first-failing-gate
+# verdict per document ({q} = quality oracle, {gopher} = gopher oracle
+# against aug_docs)
+_ORACLE_MANIFEST = f"""
+WITH RECURSIVE {oracles._minhash_verified_ctes(16, 4, 3)},
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM edges
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+cc AS (
+  SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id FROM reach GROUP BY a
+),
+qbase AS (SELECT doc_id, quality_score FROM ({{q}})),
+aq AS (
+  SELECT d.doc_id, qb.quality_score
+  FROM aug_docs d JOIN qbase qb
+    ON qb.doc_id = CASE WHEN d.doc_id >= 10000 THEN d.doc_id - 10000 ELSE d.doc_id END
+),
+f AS (
+  SELECT a.doc_id, coalesce(cc.cluster_id, a.doc_id) AS cluster_id, a.quality_score
+  FROM aq a LEFT JOIN cc ON a.doc_id = cc.doc_id
+),
+canl AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id ASC) = 1 AS is_canonical
+  FROM f
+),
+asrc AS (
+  SELECT d.doc_id, s.source
+  FROM aug_docs d JOIN documents s
+    ON s.doc_id = CASE WHEN d.doc_id >= 10000 THEN d.doc_id - 10000 ELSE d.doc_id END
+),
+calib AS (
+  SELECT a.doc_id, s.source,
+         round(percent_rank() OVER (PARTITION BY s.source
+                                    ORDER BY a.quality_score ASC, a.doc_id ASC),
+               6) AS calibrated
+  FROM aq a JOIN asrc s USING (doc_id)
+),
+gop AS (
+  SELECT doc_id, reason AS gopher_reason FROM ({{gopher}})
+),
+verdict AS (
+  SELECT c.doc_id, c.source, c.calibrated, n.cluster_id, n.is_canonical,
+         CASE WHEN g.gopher_reason <> 'ok' THEN 'gopher:' || g.gopher_reason
+              WHEN c.calibrated < 0.1 THEN 'low_quality'
+              WHEN NOT n.is_canonical THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM calib c
+  JOIN canl n ON n.doc_id = c.doc_id
+  JOIN gop g ON g.doc_id = c.doc_id
+)
+SELECT doc_id, source, calibrated, cluster_id, is_canonical, reason,
+       reason = 'kept' AS keep
+FROM verdict"""
 
 # regex strings shared verbatim with operators/sniff.py (Java regex and
 # RE2 agree on these constructs; no lookaround, no multiline flags)

@@ -3125,7 +3125,8 @@ FROM wsrc JOIN encn USING (word)
 GROUP BY grp"""
 
 
-def q_gopher_rules(min_words: int = 50, max_words: int = 100000) -> str:
+def q_gopher_rules(min_words: int = 50, max_words: int = 100000,
+                   doc_table: str = "documents") -> str:
     """Twin of textanalysis.gopher_rules — same cross-multiplied exact
     integer comparisons, same fixed reason order."""
     stop = ", ".join(f"'{w}'" for w in
@@ -3139,7 +3140,7 @@ WITH w AS (
                      l -> length(trim(l)) > 0) AS lines,
          CAST(len(regexp_extract_all(text, '#')) +
               len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym
-  FROM documents
+  FROM {doc_table}
 ),
 f AS (
   SELECT doc_id, n_sym,

@@ -61,6 +61,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "text_entropy",
     "value_band_pairs",
     "events_mad_outliers",
+    "curated_manifest",
 )
 
 
