@@ -3324,6 +3324,34 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_words(ew, pieces, max_piece_len=5)
 
 
+def q_unigram_em_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM round of the unigram-LM trainer, driver-checkable:
+    Viterbi-decode ALL length-capped sampled words under the seed
+    costs (E-step usage counts), re-estimate piece probabilities with
+    the single-char floor (M-step), then encode the top-30 words under
+    the REFINED vocabulary (tokenizer.unigram_em_refine rounds=1 +
+    unigram_encode_words). The oracle unrolls BOTH Viterbi lattices
+    plus the usage/re-normalization step in pure SQL (~90 materialized
+    CTEs) — EM itself becomes a driver-hash row, not just a unit
+    test."""
+    from semantik_spark.operators.tokenizer import (
+        unigram_em_refine, unigram_encode_words, unigram_train,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = unigram_train(docs, vocab_size=120, max_piece_len=5,
+                           sample_words=1000)
+    sampw = (
+        word_frequencies(docs)
+        .orderBy(F.desc("freq"), F.asc("word")).limit(1000)
+        .where(F.length("word") <= 20)
+    )
+    refined = unigram_em_refine(pieces, sampw, rounds=1, max_piece_len=5)
+    ew = sampw.orderBy(F.desc("freq"), F.asc("word")).limit(30)
+    return unigram_encode_words(ew, refined, max_piece_len=5)
+
+
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility (pieces per word, chars per
     token) under the 8-merge BPE vocabulary — the tokenizer-eval
@@ -4125,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_band_pairs": q_value_band_pairs,
         "events_mad_outliers": q_events_mad_outliers,
         "curated_manifest": q_curated_manifest,
+        "unigram_em_encode": q_unigram_em_encode,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5452,6 +5481,7 @@ WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
         q=_ORACLE_QUALITY,
         gopher=oracles.q_gopher_rules(50, 100000, "aug_docs"),
     )
+    out["unigram_em_encode"] = oracles.q_unigram_em_encode(120, 5, 1000, 30, 20)
     return out
 
 

@@ -135,7 +135,7 @@ BENCH_QUERIES = [
     "maxsim_rerank", "spell_suggestions", "incremental_clusters",
     "events_seasonal", "quality_calibrated", "bpe_fertility",
     "streaming_scd2", "text_entropy", "value_band_pairs",
-    "events_mad_outliers", "curated_manifest",
+    "events_mad_outliers", "curated_manifest", "unigram_em_encode",
 ]
 
 

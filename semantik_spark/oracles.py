@@ -3030,6 +3030,62 @@ def q_unigram_pieces(vocab_size: int = 120, max_piece_len: int = 5,
     )
 
 
+def _viterbi_ctes(prefix: str, words_cte: str, vocab_cte: str,
+                  L: int, max_piece_len: int) -> list[str]:
+    """Unrolled Viterbi DP + backpointer walk over ``words_cte`` (word,
+    freq) against ``vocab_cte`` (piece, cost_micro): emits CTEs
+    {prefix}best0..L, {prefix}dp, {prefix}step0..L, {prefix}emis,
+    {prefix}agg — reusable for the seed encode AND each hard-EM round
+    (the BPE-oracle discipline: the whole lattice in pure SQL)."""
+    p_ = prefix
+    parts = [
+        f"{p_}best0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS bp FROM {words_cte})"
+    ]
+    for p in range(1, L + 1):
+        branches = []
+        for j in range(1, min(max_piece_len, p) + 1):
+            branches.append(f"""    SELECT w.word, b.cost + v.cost_micro AS cost, {j} AS bp
+    FROM {words_cte} w
+    JOIN {p_}best{p - j} b ON b.word = w.word
+    JOIN {vocab_cte} v ON v.piece = substr(w.word, {p - j + 1}, {j})
+    WHERE length(w.word) >= {p}""")
+        union = "\n    UNION ALL\n".join(branches)
+        parts.append(f"""{p_}best{p} AS MATERIALIZED (
+  SELECT word, cost, bp FROM (
+    SELECT word, cost, bp,
+           row_number() OVER (PARTITION BY word ORDER BY cost, bp) AS rn
+    FROM (
+{union}
+    )) WHERE rn = 1
+)""")
+    dp_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, {p} AS pos, cost, bp FROM {p_}best{p}"
+        for p in range(1, L + 1)
+    )
+    parts.append(f"{p_}dp AS MATERIALIZED (\n{dp_union}\n)")
+    parts.append(
+        f"{p_}step0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM {words_cte} "
+        "WHERE length(word) > 0)"
+    )
+    for i in range(1, L + 1):
+        parts.append(f"""{p_}step{i} AS MATERIALIZED (
+  SELECT s.word, s.pos - d.bp AS pos,
+         substr(s.word, s.pos - d.bp + 1, d.bp) AS piece, {i} AS ord
+  FROM {p_}step{i - 1} s JOIN {p_}dp d ON d.word = s.word AND d.pos = s.pos
+  WHERE s.pos > 0
+)""")
+    emis_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, piece, ord FROM {p_}step{i}" for i in range(1, L + 1)
+    )
+    parts.append(f"{p_}emis AS MATERIALIZED (\n{emis_union}\n)")
+    parts.append(f"""{p_}agg AS (
+  SELECT word, count(*)::BIGINT AS n_pieces,
+         string_agg(piece, ' ' ORDER BY ord DESC) AS encoded
+  FROM {p_}emis GROUP BY word
+)""")
+    return parts
+
+
 def q_unigram_encode(vocab_size: int = 120, max_piece_len: int = 5,
                      sample_words: int = 1000, top_n: int = 30,
                      max_word_len: int = 20) -> str:
@@ -3046,51 +3102,7 @@ def q_unigram_encode(vocab_size: int = 120, max_piece_len: int = 5,
     SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rn
     FROM samp WHERE length(word) <= {L}) WHERE rn <= {top_n}
 )""")
-    parts.append(
-        "best0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS bp FROM ew)"
-    )
-    for p in range(1, L + 1):
-        branches = []
-        for j in range(1, min(max_piece_len, p) + 1):
-            branches.append(f"""    SELECT w.word, b.cost + v.cost_micro AS cost, {j} AS bp
-    FROM ew w
-    JOIN best{p - j} b ON b.word = w.word
-    JOIN vocab v ON v.piece = substr(w.word, {p - j + 1}, {j})
-    WHERE length(w.word) >= {p}""")
-        union = "\n    UNION ALL\n".join(branches)
-        parts.append(f"""best{p} AS MATERIALIZED (
-  SELECT word, cost, bp FROM (
-    SELECT word, cost, bp,
-           row_number() OVER (PARTITION BY word ORDER BY cost, bp) AS rn
-    FROM (
-{union}
-    )) WHERE rn = 1
-)""")
-    dp_union = "\n  UNION ALL\n".join(
-        f"  SELECT word, {p} AS pos, cost, bp FROM best{p}"
-        for p in range(1, L + 1)
-    )
-    parts.append(f"dp AS MATERIALIZED (\n{dp_union}\n)")
-    parts.append(
-        "step0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM ew "
-        "WHERE length(word) > 0)"
-    )
-    for i in range(1, L + 1):
-        parts.append(f"""step{i} AS MATERIALIZED (
-  SELECT s.word, s.pos - d.bp AS pos,
-         substr(s.word, s.pos - d.bp + 1, d.bp) AS piece, {i} AS ord
-  FROM step{i - 1} s JOIN dp d ON d.word = s.word AND d.pos = s.pos
-  WHERE s.pos > 0
-)""")
-    emis_union = "\n  UNION ALL\n".join(
-        f"  SELECT word, piece, ord FROM step{i}" for i in range(1, L + 1)
-    )
-    parts.append(f"emis AS (\n{emis_union}\n)")
-    parts.append("""agg AS (
-  SELECT word, count(*)::BIGINT AS n_pieces,
-         string_agg(piece, ' ' ORDER BY ord DESC) AS encoded
-  FROM emis GROUP BY word
-)""")
+    parts += _viterbi_ctes("", "ew", "vocab", L, max_piece_len)
     ctes = ",\n".join(parts)
     return f"""WITH {ctes}
 SELECT e.word, e.freq, a.encoded, a.n_pieces, d.cost AS cost_micro
@@ -3098,6 +3110,56 @@ FROM ew e
 JOIN agg a ON a.word = e.word
 JOIN dp d ON d.word = e.word AND d.pos = length(e.word)"""
 
+
+def q_unigram_em_encode(vocab_size: int = 120, max_piece_len: int = 5,
+                        sample_words: int = 1000, top_n: int = 30,
+                        max_word_len: int = 20) -> str:
+    """Twin of one hard-EM round (tokenizer.unigram_em_refine,
+    rounds=1) followed by the eval-word encode: E-step = Viterbi over
+    ALL length-capped sampled words under the seed costs (first
+    unrolled lattice), usage = freq-weighted piece counts from the
+    emissions; M-step = usage counts with the single-char seed floor,
+    re-normalized micro-nat costs; then the top-``top_n`` words encode
+    under the REFINED vocabulary (second unrolled lattice). ~90
+    materialized CTEs of pure SQL — EM itself driver-hash-checkable."""
+    L = max_word_len
+    parts = [unigram_ctes(vocab_size, max_piece_len, sample_words).lstrip()]
+    parts.append(f"""sampw AS MATERIALIZED (
+  SELECT word, freq FROM samp WHERE length(word) <= {L}
+)""")
+    parts += _viterbi_ctes("e1", "sampw", "vocab", L, max_piece_len)
+    parts.append("""usage AS MATERIALIZED (
+  SELECT m.piece, sum(w.freq)::BIGINT AS usage
+  FROM e1emis m JOIN sampw w ON w.word = m.word
+  GROUP BY m.piece
+)""")
+    parts.append("""cnt2 AS MATERIALIZED (
+  SELECT v.piece, v.piece_len,
+         coalesce(u.usage,
+                  CASE WHEN v.piece_len = 1 THEN v.cnt ELSE 0 END) AS cnt
+  FROM vocab v LEFT JOIN usage u ON u.piece = v.piece
+  WHERE coalesce(u.usage,
+                 CASE WHEN v.piece_len = 1 THEN v.cnt ELSE 0 END) > 0
+)""")
+    parts.append("tot2 AS (SELECT sum(cnt)::BIGINT AS total FROM cnt2)")
+    parts.append("""vocab2 AS MATERIALIZED (
+  SELECT piece, piece_len, cnt,
+         CAST(floor(-ln(cnt::DOUBLE / (SELECT total FROM tot2)) * 1000000
+                    + 0.5) AS BIGINT) AS cost_micro
+  FROM cnt2
+)""")
+    parts.append(f"""ew AS MATERIALIZED (
+  SELECT word, freq FROM (
+    SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rn
+    FROM sampw) WHERE rn <= {top_n}
+)""")
+    parts += _viterbi_ctes("e2", "ew", "vocab2", L, max_piece_len)
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT e.word, e.freq, a.encoded, a.n_pieces, d.cost AS cost_micro
+FROM ew e
+JOIN e2agg a ON a.word = e.word
+JOIN e2dp d ON d.word = e.word AND d.pos = length(e.word)"""
 
 def q_bpe_fertility(num_merges: int = 8) -> str:
     """Twin of tokenizer.bpe_fertility: the final training state IS the

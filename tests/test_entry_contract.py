@@ -62,6 +62,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "value_band_pairs",
     "events_mad_outliers",
     "curated_manifest",
+    "unigram_em_encode",
 )
 
 
