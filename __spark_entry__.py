@@ -471,6 +471,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "jaccard")
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dups — the
+    subset/superset detector Jaccard structurally misses: a short doc
+    embedded in a long wrapper scores containment 1.0 but Jaccard
+    |A|/|B| (dedup.ngram_containment_pairs, Broder's second
+    resemblance measure; exact integer threshold compare)."""
+    return dedup.ngram_containment_pairs(_aug_docs(spark, sf_dir),
+                                         n=3, threshold=0.8)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = dedup.minhash_lsh_pairs(_aug_docs(spark, sf_dir), num_hashes=16, bands=4, n=3, threshold=0.5)
     return _r6(res, "jaccard")
@@ -4154,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": q_events_mad_outliers,
         "curated_manifest": q_curated_manifest,
         "unigram_em_encode": q_unigram_em_encode,
+        "dedup_containment": q_dedup_containment,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5482,6 +5493,7 @@ WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
         gopher=oracles.q_gopher_rules(50, 100000, "aug_docs"),
     )
     out["unigram_em_encode"] = oracles.q_unigram_em_encode(120, 5, 1000, 30, 20)
+    out["dedup_containment"] = oracles.q_ngram_containment(3, 0.8)
     return out
 
 

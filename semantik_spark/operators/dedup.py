@@ -107,6 +107,51 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     )
 
 
+def ngram_containment_pairs(docs: DataFrame, n: int = 3,
+                            threshold: float = 0.8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Exact pairwise CONTAINMENT (overlap coefficient,
+    |A∩B| / min(|A|, |B|)) over docs sharing >= 1 shingle — the
+    subset/superset detector Jaccard structurally misses: a short doc
+    fully embedded in a long one (quote pages, excerpt+wrapper,
+    article+comments) has containment 1.0 but Jaccard |A|/|B|, far
+    below any dedup threshold when the wrapper is large. Broder's
+    second resemblance measure; the cross-multiplied integer compare
+    keeps the threshold engine-exact.
+
+    Same shuffle profile as ngram_jaccard_pairs: one shingle equi-join
+    (never all-pairs) + one pair groupBy.
+    """
+    s = cache(shingle_sets(docs, n, id_col, text_col))
+    a = s.select(F.col("doc_id").alias("doc_a"),
+                 F.col("n_shingles").alias("na"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"),
+                 F.col("n_shingles").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    denom = F.least("na", "nb")
+    # threshold as an exact integer cross-multiplication: containment
+    # >= t  <=>  n_common * SCALE >= t*SCALE * min(na, nb)
+    t_scaled = int(round(threshold * 1_000_000))
+    return (
+        inter.where(F.col("n_common") * 1_000_000 >= t_scaled * denom)
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("n_common").cast("double") / denom, 6)
+            .alias("containment"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_mix_constants(num_hashes: int) -> list[int]:
     """Per-permutation 60-bit XOR constants: hash60('mh:<i>') computed
     driver-side (md5 is identical everywhere, so the DuckDB oracle

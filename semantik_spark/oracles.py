@@ -1096,6 +1096,27 @@ SELECT doc_a, doc_b, round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccar
 FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}"""
 
 
+def q_ngram_containment(n: int = 3, threshold: float = 0.8) -> str:
+    """Twin of dedup.ngram_containment_pairs: overlap coefficient with
+    the exact integer cross-multiplied threshold."""
+    t_scaled = int(round(threshold * 1_000_000))
+    return f"""
+WITH {AUGMENTED_DOCS_CTE.lstrip()},
+{shingle_ctes("aug_docs", n).lstrip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_shingles AS na, b.n_shingles AS nb,
+         count(*)::BIGINT AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / least(na, nb), 6) AS containment,
+       round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common * 1000000 >= {t_scaled} * least(na, nb)"""
+
+
 def _minhash_verified_ctes(num_hashes: int, bands: int, n: int) -> str:
     """CTE chain aug_docs → … → verified (doc_a, doc_b, jaccard) shared
     by the pair-list and cluster oracles."""

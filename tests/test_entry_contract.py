@@ -63,6 +63,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "events_mad_outliers",
     "curated_manifest",
     "unigram_em_encode",
+    "dedup_containment",
 )
 
 
