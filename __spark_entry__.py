@@ -3816,6 +3816,22 @@ def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_numbers(_knn_edges(spark, sf_dir, k=5), rounds=8)
 
 
+def q_knn_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the 5-NN cosine graph (Haveliwala
+    2002): teleport lands on the deterministic seed set (vec_id % 50
+    == 10), scores measure graph proximity to the seeds — the
+    seed-expansion primitive that turns a handful of labeled docs into
+    a ranked neighborhood (graph.personalized_pagerank)."""
+    from semantik_spark.operators.graph import personalized_pagerank
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    seeds = emb.where(F.col("vec_id") % 50 == 10).select(
+        F.col("vec_id").alias("id"))
+    return personalized_pagerank(_knn_edges(spark, sf_dir, k=5), seeds,
+                                 damping=0.85, iterations=5)
+
+
 def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall tuning curve for SimHash hamming radii 2/4/6/8
     against exact 3-gram Jaccard >= 0.5 on the augmented dup corpus —
@@ -4165,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_manifest": q_curated_manifest,
         "unigram_em_encode": q_unigram_em_encode,
         "dedup_containment": q_dedup_containment,
+        "knn_ppr": q_knn_ppr,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5494,6 +5511,7 @@ WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
     )
     out["unigram_em_encode"] = oracles.q_unigram_em_encode(120, 5, 1000, 30, 20)
     out["dedup_containment"] = oracles.q_ngram_containment(3, 0.8)
+    out["knn_ppr"] = oracles.q_knn_ppr(5, 0.85, 5, 50, 10)
     return out
 
 

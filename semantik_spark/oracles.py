@@ -2641,6 +2641,47 @@ pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes){''.join(its)}
 SELECT id, round(pr * (SELECT n FROM nn), 6) AS pr FROM {prev}"""
 
 
+def q_knn_ppr(k: int = 5, damping: float = 0.85, iterations: int = 5,
+              seed_mod: int = 50, seed_rem: int = 10) -> str:
+    """Twin of graph.personalized_pagerank over the kNN graph: the
+    restart vector lands on seeds (vec_id % seed_mod == seed_rem)
+    instead of uniformly — same base-term exact-double-repr trick as
+    q_knn_pagerank."""
+    d = f"{repr(damping)}::DOUBLE"
+    base = f"{repr(1.0 - damping)}::DOUBLE"
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        cur = f"pr{i}"
+        its.append(f""",
+{cur} AS (
+  SELECT nodes.id,
+         (CASE WHEN s.id IS NOT NULL THEN {base} / (SELECT n FROM ns)
+               ELSE 0.0 END)
+           + {d} * coalesce(sum(p.pr / dg.out_deg), 0.0) AS pr
+  FROM nodes
+  LEFT JOIN seeds s ON s.id = nodes.id
+  LEFT JOIN edges e ON e.dst = nodes.id
+  LEFT JOIN deg dg ON dg.src = e.src
+  LEFT JOIN {prev} p ON p.id = e.src
+  GROUP BY nodes.id, s.id
+)""")
+        prev = cur
+    return f"""
+WITH {knn_edges_ctes(k)},
+nodes AS (SELECT vec_id AS id FROM corpus),
+seeds AS (SELECT vec_id AS id FROM corpus
+          WHERE vec_id % {seed_mod} = {seed_rem}),
+ns AS (SELECT count(*)::DOUBLE AS n FROM seeds),
+deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT nodes.id,
+         CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+              ELSE 0.0 END AS pr
+  FROM nodes LEFT JOIN seeds s ON s.id = nodes.id){''.join(its)}
+SELECT id, round(pr, 6) AS ppr FROM {prev}"""
+
+
 def knn_edges_ctes(k: int = 5) -> str:
     """Shared CTE chain producing ``edges(src, dst)`` = the directed
     k-NN cosine graph over embeddings (twin of graph.knn_graph_edges)."""

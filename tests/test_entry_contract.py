@@ -64,6 +64,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "curated_manifest",
     "unigram_em_encode",
     "dedup_containment",
+    "knn_ppr",
 )
 
 
