@@ -554,3 +554,24 @@ def test_incremental_components_any_split_equals_batch(spark, tmp_path):
             )
         got = sorted((r["node"], r["component"]) for r in state.collect())
         assert got == batch_cc, split
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long wrapper: containment = 1.0
+    (caught at threshold 0.8) while Jaccard = |A|/|B| stays far below —
+    the structural gap the overlap coefficient exists to close."""
+    from semantik_spark.operators.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    wrapper = ("header one two three four five six seven eight nine ten "
+               + short + " footer eleven twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, short), (2, wrapper), (3, "totally unrelated content here")],
+        ["doc_id", "text"],
+    )
+    rows = ngram_containment_pairs(docs, n=3, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5  # Jaccard alone would have missed it
