@@ -3030,6 +3030,43 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(canonical_urls(_url_corpus(docs)))
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer days-since-last-order
+    (recency, anchored to the corpus max date so it is deterministic),
+    order count (frequency), and lifetime total price (monetary), each
+    quintile-scored by ntile(5) with custkey tiebreaks — the classic
+    marketing segmentation as one groupBy + three windows. Exact
+    decimal money sums; ntile on a deterministic total order is
+    engine-portable."""
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_mx"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_money"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("_mx"), F.col("_last")).cast("int").alias("recency_days"),
+            "frequency",
+            F.col("_money").cast("double").alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return base.select(
+        "custkey", "recency_days", "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+
+
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of per-customer order counts
     including zero-order customers — the left-outer join + two-level
@@ -4182,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_encode": q_unigram_em_encode,
         "dedup_containment": q_dedup_containment,
         "knn_ppr": q_knn_ppr,
+        "customer_rfm": q_customer_rfm,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5512,6 +5550,21 @@ WHERE s.mad > 0 AND abs((e.value - s.med) / (1.4826 * s.mad)) > 3.5"""
     out["unigram_em_encode"] = oracles.q_unigram_em_encode(120, 5, 1000, 30, 20)
     out["dedup_containment"] = oracles.q_ngram_containment(3, 0.8)
     out["knn_ppr"] = oracles.q_knn_ppr(5, 0.85, 5, 50, 10)
+    out["customer_rfm"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))::INT AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(o_totalprice::DECIMAL(18,2)) AS money
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_days, frequency,
+       round(money::DOUBLE, 2) AS monetary,
+       ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC)::INT AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, custkey ASC)::INT AS f_score,
+       ntile(5) OVER (ORDER BY money::DOUBLE DESC, custkey ASC)::INT AS m_score
+FROM base"""
     return out
 
 

@@ -136,7 +136,7 @@ BENCH_QUERIES = [
     "events_seasonal", "quality_calibrated", "bpe_fertility",
     "streaming_scd2", "text_entropy", "value_band_pairs",
     "events_mad_outliers", "curated_manifest", "unigram_em_encode",
-    "dedup_containment", "knn_ppr",
+    "dedup_containment", "knn_ppr", "customer_rfm",
 ]
 
 

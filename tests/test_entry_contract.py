@@ -65,6 +65,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "unigram_em_encode",
     "dedup_containment",
     "knn_ppr",
+    "customer_rfm",
 )
 
 
