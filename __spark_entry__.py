@@ -3760,6 +3760,55 @@ def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "version", "is_current")
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE stateful sessionization as a stream (session_window +
+    watermark — the engine-managed gap-merge state, §2.12): events
+    replay as two time-ordered micro-batches; sessions emit in append
+    mode once the watermark proves their gap closed, and the far-future
+    sentinel flushes the tail (the outer-join discipline applied to
+    stateful aggregation). The emitted log equals batch gaps-and-islands
+    sessionization exactly — session_end is last event + gap, Spark's
+    session_window contract, mirrored in the oracle."""
+    import shutil
+    from datetime import datetime
+
+    from semantik_spark.streaming.incremental import (
+        append_drop_file, session_windows_stream, stream_files,
+        write_time_ordered_drop,
+    )
+
+    base = _scratch("stream_sess")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    write_time_ordered_drop(ev, f"{base}/drop", n_files=2)
+    append_drop_file(
+        spark.createDataFrame([(-1, datetime(2024, 12, 31), -1)],
+                              "event_id bigint, ts timestamp, user_id bigint"),
+        f"{base}/drop",
+    )
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            session_windows_stream(
+                stream_files(spark, f"{base}/drop", schema, fmt="parquet",
+                             max_files_per_trigger=1),
+                gap_minutes=30, watermark_minutes=60,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", f"{base}/sessions")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{base}/sessions")
+        .where(F.col("user_id") != -1)  # drop the sentinel's own session
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintained as a STREAM: the order-update log
     replays as two time-ordered micro-batches, each folded into the
@@ -4220,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "knn_ppr": q_knn_ppr,
         "customer_rfm": q_customer_rfm,
+        "streaming_sessions": q_streaming_sessions,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5565,6 +5615,29 @@ SELECT custkey, recency_days, frequency,
        ntile(5) OVER (ORDER BY frequency DESC, custkey ASC)::INT AS f_score,
        ntile(5) OVER (ORDER BY money::DOUBLE DESC, custkey ASC)::INT AS m_score
 FROM base"""
+    out["streaming_sessions"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000 OR
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+islands AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       make_timestamp(min(us)) AS session_start,
+       make_timestamp(max(us) + 1800000000) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM islands GROUP BY user_id, sid"""
     return out
 
 

@@ -43,7 +43,7 @@ FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
 # re-measuring scheduler constants. Spread for these is tracked by the
 # noise canary instead.
 ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
-                   "streaming_scd2"}
+                   "streaming_scd2", "streaming_sessions"}
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -136,7 +136,7 @@ BENCH_QUERIES = [
     "events_seasonal", "quality_calibrated", "bpe_fertility",
     "streaming_scd2", "text_entropy", "value_band_pairs",
     "events_mad_outliers", "curated_manifest", "unigram_em_encode",
-    "dedup_containment", "knn_ppr", "customer_rfm",
+    "dedup_containment", "knn_ppr", "customer_rfm", "streaming_sessions",
 ]
 
 

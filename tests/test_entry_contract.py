@@ -66,6 +66,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "dedup_containment",
     "knn_ppr",
     "customer_rfm",
+    "streaming_sessions",
 )
 
 
