@@ -3030,6 +3030,49 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(canonical_urls(_url_corpus(docs)))
 
 
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting (interval stabbing) via endpoint
+    prefix sums: how many user SESSIONS (30-min-gap intervals,
+    session_end = last event + gap) are simultaneously open at each
+    instant the count changes — every interval contributes +1 at its
+    start and -1 at its end, and the running sum over the tiny
+    distinct-endpoint axis is the live concurrency. The naive form
+    joins a time axis against every interval; this is one endpoint
+    groupBy + one ordered window over |endpoints| rows — the
+    interval-overlap pattern at its 100 TB shape (peak-concurrency
+    capacity planning)."""
+    ev = _events(spark, sf_dir).select("user_id", F.unix_micros("ts").alias("us"))
+    w_prev = Window.partitionBy("user_id").orderBy("us")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("us") - F.coalesce(F.lag("us").over(w_prev),
+                                     F.lit(-(gap_us + 1))) > gap_us,
+            1,
+        ).otherwise(0),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("us") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        flagged.withColumn("sid", F.sum("_new").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s"), (F.max("us") + gap_us).alias("e"))
+    )
+    deltas = (
+        sessions.select(F.col("s").alias("us"), F.lit(1).alias("delta"))
+        .unionByName(sessions.select(F.col("e").alias("us"),
+                                     F.lit(-1).alias("delta")))
+        .groupBy("us")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "us", "net",
+        F.sum("net").over(w).cast("bigint").alias("concurrent"),
+    )
+
+
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer days-since-last-order
     (recency, anchored to the corpus max date so it is deterministic),
@@ -4270,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ppr": q_knn_ppr,
         "customer_rfm": q_customer_rfm,
         "streaming_sessions": q_streaming_sessions,
+        "events_concurrency": q_events_concurrency,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -5638,6 +5682,38 @@ SELECT user_id,
        make_timestamp(max(us) + 1800000000) AS session_end,
        count(*)::BIGINT AS n_events
 FROM islands GROUP BY user_id, sid"""
+    out["events_concurrency"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000 OR
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+islands AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sid, min(us) AS s, max(us) + 1800000000 AS e
+  FROM islands GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT us, sum(delta)::BIGINT AS net FROM (
+    SELECT s AS us, 1 AS delta FROM sessions
+    UNION ALL
+    SELECT e AS us, -1 AS delta FROM sessions
+  ) GROUP BY us
+)
+SELECT us, net,
+       sum(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)::BIGINT AS concurrent
+FROM deltas"""
     return out
 
 

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "streaming_scd2", "text_entropy", "value_band_pairs",
     "events_mad_outliers", "curated_manifest", "unigram_em_encode",
     "dedup_containment", "knn_ppr", "customer_rfm", "streaming_sessions",
+    "events_concurrency",
 ]
 
 

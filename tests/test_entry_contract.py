@@ -67,6 +67,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "knn_ppr",
     "customer_rfm",
     "streaming_sessions",
+    "events_concurrency",
 )
 
 
