@@ -4054,14 +4054,14 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 6 — VERDICT r5 item 1): the
-    # correctness driver evaluates only the first 50 entries. Round-6
-    # window = the 10 ROUND6_WINDOW_MUST entries added after the
-    # round-5 window filled (never driver-evaluated; judge pre-verified
-    # them green via tools/check_oracle.py at sf0.01, but the driver
+    # ORDERING CONTRACT (rotated for round 8 — VERDICT r7 item 1): the
+    # correctness driver evaluates only the first 50 entries. Round-8
+    # window = the 29 ROUND8_WINDOW_MUST entries added after the
+    # round-7 window filled (never driver-evaluated; judge pre-verified
+    # all 29 green via tools/check_oracle.py at sf0.01, but the driver
     # hash gate is the contract), every query ADDED or behavior-changed
-    # in round 6, and a backfill of the longest-unrefreshed r3-anchored
-    # entries up to the 50-slot capacity.  With the 10 MUST entries
+    # in round 8, and a backfill of the longest-unrefreshed r4-anchored
+    # entries up to the 50-slot capacity.  With the 29 MUST entries
     # green, every registered query will have been driver-hash-verified
     # at least once.
     #
@@ -4073,11 +4073,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every affected query before commit and the run is recorded in
     # PROGRESS.jsonl. See README "Correctness window rotation".
     _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- r7 window head (tests/test_entry_contract.py
-        # ROUND7_WINDOW_MUST): the 8 round-6 post-window additions
-        # taking their FIRST driver row (judge pre-verified green), plus
-        # jl_projection whose output shape CHANGED this round
-        # (posexploded to scalar rows — VERDICT r6 item 1)
+        # --- r8 window head (tests/test_entry_contract.py
+        # ROUND8_WINDOW_MUST): the 29 round-7 post-window additions
+        # taking their FIRST driver row (judge pre-verified all 29
+        # green via tools/check_oracle.py at sf0.01 in the r7 verdict)
+        "knn_binary": q_knn_binary,
+        "dedup_spans": q_dedup_spans,
+        "matryoshka_recall": q_matryoshka_recall,
+        "dedup_cut": q_dedup_cut,
+        "stream_interval_join": q_stream_interval_join,
+        "bm25_pruned_search": q_bm25_pruned_search,
+        "unigram_pieces": q_unigram_pieces,
+        "unigram_encode": q_unigram_encode,
+        "knn_ivf_append": q_knn_ivf_append,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
+        "knn_kcore": q_knn_kcore,
+        "textrank_keywords": q_textrank_keywords,
+        "maxsim_rerank": q_maxsim_rerank,
+        "spell_suggestions": q_spell_suggestions,
+        "incremental_clusters": q_incremental_clusters,
+        "events_seasonal": q_events_seasonal,
+        "quality_calibrated": q_quality_calibrated,
+        "bpe_fertility": q_bpe_fertility,
+        "streaming_scd2": q_streaming_scd2,
+        "text_entropy": q_text_entropy,
+        "value_band_pairs": q_value_band_pairs,
+        "events_mad_outliers": q_events_mad_outliers,
+        "curated_manifest": q_curated_manifest,
+        "unigram_em_encode": q_unigram_em_encode,
+        "dedup_containment": q_dedup_containment,
+        "knn_ppr": q_knn_ppr,
+        "customer_rfm": q_customer_rfm,
+        "streaming_sessions": q_streaming_sessions,
+        "events_concurrency": q_events_concurrency,
+        # --- new in round 8 — must be in-window
+        # (insertions here displace one backfill entry below past the
+        # boundary; extend ROUND8_WINDOW_MUST in test_entry_contract.py)
+        # --- backfill: longest-unrefreshed anchored entries re-taking
+        # a driver row (r4-anchored — last driver-green in
+        # CORRECTNESS_r04)
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_passages": q_dedup_passages,
+        "stratified_sample": q_stratified_sample,
+        "text_vocab": q_text_vocab,
+        "text_collocations": q_text_collocations,
+        "corpus_shards": q_corpus_shards,
+        "parse_routed": q_parse_routed,
+        "sniff_formats": q_sniff_formats,
+        "events_sliding": q_events_sliding,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_curation": q_text_curation,
+        "rerank_search": q_rerank_search,
+        "multi_collection_dense": q_multi_collection_dense,
+        "chunk_collapse": q_chunk_collapse,
+        "chunk_fixed": q_chunk_fixed,
+        # --- driver window boundary (50): everything below is
+        # behavior-anchored by an earlier driver round (r4-r7:
+        # CORRECTNESS_r04..r07 — including the full round-7 window,
+        # all green there). Touched-module entries are re-checked via
+        # tools/check_oracle.py before commit per the behavior-anchored
+        # contract (README 'Correctness window rotation').
         "scd2_orders": q_scd2_orders,
         "events_cusum": q_events_cusum,
         "compaction_plan": q_compaction_plan,
@@ -4087,16 +4148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "scd2_asof_join": q_scd2_asof_join,
         "jl_projection": q_jl_projection,
-        # --- new in round 7 — must be in-window
-        # (insertions here displace one backfill entry below past the
-        # boundary; extend ROUND7_WINDOW_MUST in test_entry_contract.py)
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
         "bm25_stats_merge": q_bm25_stats_merge,
         "cdc_chunks_scan": q_cdc_chunks_scan,
         "bpe_merges_sampled": q_bpe_merges_sampled,
-        # --- backfill: longest-unrefreshed anchored entries re-taking a
-        # driver row (r3-anchored first — last driver-green in
-        # CORRECTNESS_r03 — then the head of the r4 block)
         "ingest_index": q_ingest_index,
         "chunk_character": q_chunk_character,
         "pii_redact": q_pii_redact,
@@ -4134,14 +4189,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_quantized": q_knn_quantized,
-        # --- driver window boundary (50): everything below is
-        # behavior-anchored by an earlier driver round (r4/r5:
-        # CORRECTNESS_r04/r05; r6: CORRECTNESS_r06 — including the full
-        # round-6 window, all green there). Touched-module entries are
-        # re-checked via tools/check_oracle.py before commit per the
-        # behavior-anchored contract (README "Correctness window
-        # rotation"); this round's dedup/bm25/text/projection touches
-        # were re-verified and logged in PROGRESS.jsonl.
         "quantile_sketch": q_quantile_sketch,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "url_domain_stats": q_url_domain_stats,
@@ -4191,27 +4238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_passages": q_dedup_passages,
-        "stratified_sample": q_stratified_sample,
-        "text_vocab": q_text_vocab,
-        "text_collocations": q_text_collocations,
-        "corpus_shards": q_corpus_shards,
-        "parse_routed": q_parse_routed,
-        "sniff_formats": q_sniff_formats,
-        "events_sliding": q_events_sliding,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_curation": q_text_curation,
-        "rerank_search": q_rerank_search,
-        "multi_collection_dense": q_multi_collection_dense,
-        "chunk_collapse": q_chunk_collapse,
-        "chunk_fixed": q_chunk_fixed,
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "join_revenue": q_join_revenue,
@@ -4284,36 +4310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
         "discounted_revenue": q_discounted_revenue,
-        # round-7 post-window additions — ROUND8_WINDOW_MUST
-        "knn_binary": q_knn_binary,
-        "dedup_spans": q_dedup_spans,
-        "matryoshka_recall": q_matryoshka_recall,
-        "dedup_cut": q_dedup_cut,
-        "stream_interval_join": q_stream_interval_join,
-        "bm25_pruned_search": q_bm25_pruned_search,
-        "unigram_pieces": q_unigram_pieces,
-        "unigram_encode": q_unigram_encode,
-        "knn_ivf_append": q_knn_ivf_append,
-        "stream_interval_join_outer": q_stream_interval_join_outer,
-        "knn_kcore": q_knn_kcore,
-        "textrank_keywords": q_textrank_keywords,
-        "maxsim_rerank": q_maxsim_rerank,
-        "spell_suggestions": q_spell_suggestions,
-        "incremental_clusters": q_incremental_clusters,
-        "events_seasonal": q_events_seasonal,
-        "quality_calibrated": q_quality_calibrated,
-        "bpe_fertility": q_bpe_fertility,
-        "streaming_scd2": q_streaming_scd2,
-        "text_entropy": q_text_entropy,
-        "value_band_pairs": q_value_band_pairs,
-        "events_mad_outliers": q_events_mad_outliers,
-        "curated_manifest": q_curated_manifest,
-        "unigram_em_encode": q_unigram_em_encode,
-        "dedup_containment": q_dedup_containment,
-        "knn_ppr": q_knn_ppr,
-        "customer_rfm": q_customer_rfm,
-        "streaming_sessions": q_streaming_sessions,
-        "events_concurrency": q_events_concurrency,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 

@@ -15,29 +15,11 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
 # Queries that MUST sit inside the first-50 driver window this round:
-# the 8 round-6 post-window additions awaiting their first driver row,
-# the one query whose OUTPUT SHAPE changed this round, and every query
-# added in round 7.  Extend this list when adding a query — never bump
-# a count constant (VERDICT r4 #1: the count-based assert rotted;
-# set-based invariants below cannot).
-ROUND7_WINDOW_MUST = (
-    # round-6 post-window additions — first driver evaluation (judge
-    # pre-verified green via tools/check_oracle.py at sf0.01)
-    "scd2_orders", "events_cusum", "compaction_plan", "knn_communities",
-    "simhash_radius_recall", "cdc_dedup", "events_trend", "scd2_asof_join",
-    # behavior-changed in round 7 (array output flattened to scalar
-    # rows — VERDICT r6 item 1)
-    "jl_projection",
-    # added in round 7 — extend as queries land
-    "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
-    "bpe_merges_sampled",
-)
-
-
-# Entries added AFTER the round-7 window fills (50/50), if any: never
-# driver-evaluated, verified locally via tools/check_oracle.py. These
-# MUST head the round-8 window — promote this tuple into the next
-# round's WINDOW_MUST list during rotation.
+# the 29 round-7 post-window additions awaiting their first driver row
+# (judge pre-verified all 29 green at sf0.01 in the r7 verdict), plus
+# every query added in round 8.  Extend this list when adding a query —
+# never bump a count constant (VERDICT r4 #1: the count-based assert
+# rotted; set-based invariants below cannot).
 ROUND8_WINDOW_MUST: tuple = (
     "knn_binary",
     "dedup_spans",
@@ -68,7 +50,15 @@ ROUND8_WINDOW_MUST: tuple = (
     "customer_rfm",
     "streaming_sessions",
     "events_concurrency",
+    # added in round 8 — extend as queries land
 )
+
+
+# Entries added AFTER the round-8 window fills (50/50), if any: never
+# driver-evaluated, verified locally via tools/check_oracle.py. These
+# MUST head the round-9 window — promote this tuple into the next
+# round's WINDOW_MUST list during rotation.
+ROUND9_WINDOW_MUST: tuple = ()
 
 
 def test_every_query_has_an_oracle():
@@ -82,15 +72,15 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-7 window contract (README 'Correctness window rotation'):
+    """Round-8 window contract (README 'Correctness window rotation'):
     never-driver-evaluated and new/changed queries sit in the first 50."""
     window = list(entrymod.queries())[:50]
-    for must in ROUND7_WINDOW_MUST:
+    for must in ROUND8_WINDOW_MUST:
         assert must in window, f"{must} fell out of the driver window"
-    # round-8 candidates (post-window additions) are registered, past
+    # round-9 candidates (post-window additions) are registered, past
     # the boundary, awaiting their first driver row next rotation
     names = set(entrymod.queries())
-    for must in ROUND8_WINDOW_MUST:
+    for must in ROUND9_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 
