@@ -43,7 +43,22 @@ FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
 # re-measuring scheduler constants. Spread for these is tracked by the
 # noise canary instead.
 ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
-                   "streaming_scd2", "streaming_sessions"}
+                   "streaming_scd2", "streaming_sessions",
+                   # in-query IVFADC index rebuild (~19s at sf0.1) —
+                   # correct by construction (the oracle replays the
+                   # training) but a batch build, not a latency path;
+                   # the persisted serve-only number is ivfpq_serve in
+                   # _bench_serving (VERDICT r7 "what's wrong" #4)
+                   "knn_ivfpq_serve"}
+
+# Fixed-overhead replays excluded from the suite "value" (VERDICT r7
+# item 6): their cost is micro-batch scheduler constants / in-query
+# index rebuilds, not query-plan health, so including them makes the
+# headline total track the scheduler instead of the plans. They still
+# appear in "queries" (and BENCH_DETAIL) so compare_bench diffs them,
+# and are listed under "replays" in the output line so the exclusion is
+# explicit, like the noise canary already is.
+REPLAY_QUERIES = ONE_REP_QUERIES
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -147,6 +162,69 @@ def _timed(fn) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+class PlanCounters:
+    """Deterministic per-query execution counters (VERDICT r7 item 2).
+
+    Wall-clock on a shared box cannot separate plan regressions from
+    contention (the canary detects contamination but cannot correct it),
+    so every query also records counters that are functions of the
+    physical plan at a fixed SF, not of the box: Spark job count, stage
+    count, task count, and total shuffle read/write bytes. A plan
+    regression is a counter diff; a wall-clock move with unchanged
+    counters is noise. Sourced from the Spark UI REST API
+    (/api/v1/applications/<id>/{jobs,stages}); bench.py enables the UI
+    via SPARK_GRAFT_UI=1 before building the session. Degrades to
+    no-ops when the UI is off or the port is unreachable."""
+
+    def __init__(self, spark) -> None:
+        self.base = spark.sparkContext.uiWebUrl
+        self.app_id = spark.sparkContext.applicationId
+        self.enabled = bool(self.base)
+
+    def _get(self, path: str):
+        import urllib.request
+
+        url = f"{self.base}/api/v1/applications/{self.app_id}/{path}"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+
+    def snapshot(self) -> tuple[int, int]:
+        """High-watermark (max jobId, max stageId) — deltas only ever
+        look ABOVE the watermark, so UI retention eviction of old
+        entries cannot skew a later query's counters."""
+        if not self.enabled:
+            return (-1, -1)
+        try:
+            jobs = self._get("jobs")
+            stages = self._get("stages")
+        except Exception:
+            self.enabled = False
+            return (-1, -1)
+        return (
+            max((j["jobId"] for j in jobs), default=-1),
+            max((s["stageId"] for s in stages), default=-1),
+        )
+
+    def delta(self, snap: tuple[int, int]) -> dict:
+        if not self.enabled:
+            return {}
+        mj, ms = snap
+        try:
+            jobs = [j for j in self._get("jobs") if j["jobId"] > mj]
+            stages = [s for s in self._get("stages") if s["stageId"] > ms]
+        except Exception:
+            self.enabled = False
+            return {}
+        run = [s for s in stages if s.get("status") != "SKIPPED"]
+        return {
+            "jobs": len(jobs),
+            "stages": len(run),
+            "tasks": sum(s.get("numCompleteTasks", 0) for s in run),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in run),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in run),
+        }
+
+
 def _record(name: str, times: list[float], med: dict, lo: dict, hi: dict,
             extra: str = "") -> None:
     med[name] = round(statistics.median(times), 3)
@@ -160,7 +238,8 @@ def _record(name: str, times: list[float], med: dict, lo: dict, hi: dict,
     )
 
 
-def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
+def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict,
+                   pc: "PlanCounters", counters: dict) -> None:
     """Build-vs-serve split (SURVEY §6 deployed shape): index build is
     measured once (it is a batch job, not a latency path); the serve
     queries run REPS times against the persisted parquet index, which is
@@ -201,8 +280,14 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
         for name, fn in serves:
             times = []
             n = 0
-            for _ in range(REPS):
+            for rep in range(REPS):
+                if rep == 0:
+                    snap = pc.snapshot()
                 dt, n = _timed(lambda: fn().count())
+                if rep == 0:
+                    c = pc.delta(snap)
+                    if c:
+                        counters[name] = c
                 times.append(dt)
             per_q = statistics.median(times) / len(SEARCH_QUERIES)
             _record(name, times, med, lo, hi,
@@ -225,9 +310,15 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
             hi["index_build_ivfpq"] = round(time.time() - t0, 3)
         times = []
         n = 0
-        for _ in range(REPS):
+        for rep in range(REPS):
+            if rep == 0:
+                snap = pc.snapshot()
             dt, n = _timed(lambda: serving.ivfpq_serve(
                 spark, idx_dir, vq, k=5, nprobe=4, rescore_k=20).count())
+            if rep == 0:
+                c = pc.delta(snap)
+                if c:
+                    counters["ivfpq_serve"] = c
             times.append(dt)
         nq = vq.count()
         per_q = statistics.median(times) / max(nq, 1)
@@ -237,7 +328,8 @@ def _bench_serving(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
-def _bench_skew(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
+def _bench_skew(spark, sf_dir: str, med: dict, lo: dict, hi: dict,
+                pc: "PlanCounters", counters: dict) -> None:
     """Skew-stress (VERDICT r5 item 9): 10% of the corpus collapsed
     onto one boilerplate text, so ONE band bucket per band holds the
     whole duplicate group and minhash_lsh_pairs must take the salted
@@ -261,11 +353,15 @@ def _bench_skew(spark, sf_dir: str, med: dict, lo: dict, hi: dict) -> None:
     # one rep, not REPS: this is a stress check (does the machinery
     # hold and what does it cost), not a latency gate — at sf0.1 it
     # pushes ~125k hot-bucket pairs and runs ~19s, too heavy to triple
+    snap = pc.snapshot()
     dt, n = _timed(
         lambda: minhash_lsh_pairs(
             skewed, threshold=0.5, hot_bucket_threshold=32
         ).count()
     )
+    c = pc.delta(snap)
+    if c:
+        counters["dedup_skew_stress"] = c
     _record("dedup_skew_stress", [dt], med, lo, hi, extra=f"  ({n} pairs)")
 
 
@@ -288,6 +384,9 @@ def _bench_canary(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # counters need the UI REST endpoint; must be set before the session
+    # is built (see PlanCounters)
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -298,20 +397,31 @@ def main() -> None:
     med: dict[str, float] = {}
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
+    counters: dict[str, dict] = {}
+    pc = PlanCounters(spark)
     canary_start = _bench_canary(spark, sf_dir)
     for name in BENCH_QUERIES:
         times = []
         n = 0
         reps = 1 if name in ONE_REP_QUERIES else REPS
         for rep in range(reps):
+            if rep == 0:
+                snap = pc.snapshot()
             dt, n = _timed(lambda: qs[name](spark, sf_dir).count())
+            if rep == 0:
+                c = pc.delta(snap)
+                if c:
+                    counters[name] = c
             times.append(dt)
             if rep == 0 and FAST_SINGLE_REP_SEC > 0 and dt < FAST_SINGLE_REP_SEC:
                 break  # stable sub-second query: one rep is enough
-        _record(name, times, med, lo, hi, extra=f"  ({n} rows)")
+        c = counters.get(name, {})
+        cx = (f"  [{c['jobs']} jobs, {c['shuffle_write_bytes'] / 1e6:.1f} MB shuffle]"
+              if c else "")
+        _record(name, times, med, lo, hi, extra=f"  ({n} rows){cx}")
 
-    _bench_serving(spark, sf_dir, med, lo, hi)
-    _bench_skew(spark, sf_dir, med, lo, hi)
+    _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
+    _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
     # canary measured at both ends: the mean tracks the round's overall
     # contention level, the delta shows drift within the run
     canary_end = _bench_canary(spark, sf_dir)
@@ -322,12 +432,14 @@ def main() -> None:
     print(f"# noise_canary: {canary:.3f}s (start {canary_start:.3f}s, "
           f"end {canary_end:.3f}s)", file=sys.stderr)
 
-    total = round(sum(v for k, v in med.items() if k != "noise_canary"), 3)
+    excluded = REPLAY_QUERIES | {"noise_canary"}
+    total = round(sum(v for k, v in med.items() if k not in excluded), 3)
     line = {
         "metric": "suite_wall_sec_median_of_%d" % REPS,
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in med.items()},
+        "replays": sorted(k for k in med if k in REPLAY_QUERIES),
         "reps": REPS,
         "sf": sf,
     }
@@ -335,7 +447,7 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({**line, "queries": med, "queries_min": lo,
-                   "queries_max": hi}, f, indent=1)
+                   "queries_max": hi, "queries_counters": counters}, f, indent=1)
     print(f"# full spread detail written to {detail_path}", file=sys.stderr)
     # The full per-query line overflowed the driver's tail window three
     # rounds running (VERDICT r5 item 3: ~105 medians, clipped from the

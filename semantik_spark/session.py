@@ -27,7 +27,12 @@ def get_spark(app_name: str = "semantik_spark", shuffle_partitions: int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves event-bus overhead in tests); bench
+        # runs set SPARK_GRAFT_UI=1 to expose the /api/v1 REST endpoint
+        # that sources the deterministic per-query job/shuffle counters
+        # (VERDICT r7 item 2).
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
     spark = builder.getOrCreate()
