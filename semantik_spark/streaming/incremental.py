@@ -690,9 +690,15 @@ def streaming_lsh_dedup(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        arr = shingle_arrays(batch, n, id_col, text_col).where(
-            F.size("harr") > 0
-        )
+        # a micro-batch is typically ONE small drop file -> ONE input
+        # partition, which serializes the md5-per-shingle minhash fold
+        # onto a single core (measured 4x the whole query's budget at
+        # bench SF). Spread the batch across the session's shuffle
+        # width before the compute-bound pass; the shuffled payload is
+        # just (doc_id, text), a few MB per batch.
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        arr = shingle_arrays(batch.repartition(width), n, id_col,
+                             text_col).where(F.size("harr") > 0)
         wide = _minhash_wide(arr, num_hashes)
         sig = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
         banded = wide.select(
@@ -742,11 +748,17 @@ def streaming_lsh_dedup(stream: DataFrame, state_path: str, checkpoint: str,
                 F.zip_with("sa", "sb", lambda x, y: x == y), lambda t: t
             )).cast("double") / num_hashes, 6,
         )
+        # no per-batch groupBy: a pair hit through multiple bands writes
+        # one row per band, but est_jaccard is a deterministic function
+        # of the pair, so the reader's DISTINCT (lsh_matches) collapses
+        # them exactly — same contract already relied on for
+        # at-least-once replays. Dropping the aggregation removes one
+        # shuffle exchange per micro-batch, which at ingestion-stream
+        # batch sizes is pure fixed cost (VERDICT r7 item 3).
         matches = (
             cands.withColumn("est_jaccard", est)
-            .groupBy("doc_a", "doc_b")
-            .agg(F.max("est_jaccard").alias("est_jaccard"))
             .where(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard")
         )
         matches.write.mode("append").parquet(matches_path)
         banded.write.mode("append").parquet(state_path)
