@@ -784,9 +784,16 @@ def canonical_docs(docs: DataFrame, quality: DataFrame,
     """
     # pairs -> CC directly: duplicate_clusters' per-cluster size window
     # would be recomputed below anyway (canonical_docs windows over the
-    # joined base), so going through it paid one discarded shuffle
+    # joined base), so going through it paid one discarded shuffle.
+    # Eager localCheckpoint (VERDICT r7 item 4): CC's symmetrizing
+    # union otherwise carries the full LSH chain (shingle -> minhash ->
+    # band join -> verify) in BOTH union branches, evaluating it twice
+    # inside round 1's materialization; checkpointing first runs the
+    # chain once and the union reads a leaf. Measured 3.3s -> 2.6s
+    # clean median at sf0.1 (the same pattern incremental_components
+    # callers already use).
     pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, threshold,
-                              id_col, "text")
+                              id_col, "text").localCheckpoint()
     cc = connected_components(pairs, edges_canonical=True)
     clusters = cc.select(F.col("node").alias("doc_id"),
                          F.col("component").alias("cluster_id"))
