@@ -290,6 +290,87 @@ def q_bm25_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-erasure cascade (serving.delete_from_index —
+    VERDICT r7 item 5; reference deletes documents through its DB
+    cascade, here explicit across separate artifact tables): build the
+    full index over documents, erase every doc with doc_id % 7 == 3,
+    then return the composed post-cascade state —
+
+      terms/       rebuilt from the RETRACTED mergeable state; the
+                   oracle recomputes term stats over the remaining
+                   corpus, so a green row proves retraction==recompute
+                   at driver-hash level (df decrement, df=0 vocab
+                   drop-out, n_docs/avgdl shrink)
+      dense_rows / postings_rows   surviving row counts of the two
+                   anti-join rewrites
+      tombstone_rows               the erased-id audit count
+    """
+    import shutil
+
+    from semantik_spark.operators import serving
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _scratch("gdpr_idx")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    serving.build_index(docs, base)
+    serving.delete_from_index(spark, base, docs.where(F.col("doc_id") % 7 == 3))
+    terms = spark.read.parquet(f"{base}/terms")
+    stats = bm25.stats_from_state(spark.read.parquet(f"{base}/bm25_state/corpus"))
+    dense_rows = spark.read.parquet(f"{base}/dense").agg(
+        F.count("*").cast("bigint").alias("dense_rows"))
+    post_rows = spark.read.parquet(f"{base}/postings").agg(
+        F.count("*").cast("bigint").alias("postings_rows"))
+    tomb_rows = spark.read.parquet(f"{base}/tombstones").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("tombstone_rows"))
+    return (
+        terms.select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
+        .crossJoin(F.broadcast(stats.select(
+            "n_docs", F.round("avgdl", 6).alias("avgdl"))))
+        .crossJoin(F.broadcast(dense_rows))
+        .crossJoin(F.broadcast(post_rows))
+        .crossJoin(F.broadcast(tomb_rows))
+    )
+
+
+def q_bm25_append_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sparse sync loop end-to-end (VERDICT r7 item 9):
+    the corpus arrives as FOUR hash-sliced APPEND batches folded into
+    the mergeable BM25 state (serving.merge_sparse_append), with a GDPR
+    delete (serving.delete_from_index, doc_id % 5 == 2) interleaved
+    after the second append. The state algebra is an abelian group, so
+    any interleaving of merges and retractions must equal one recompute
+    over the surviving corpus — the oracle does exactly that recompute,
+    and the multi-step merged==rebuild equality is additionally pinned
+    per step in tests/test_serving.py."""
+    import shutil
+
+    from semantik_spark.operators import serving
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _scratch("sync_idx")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    slices = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    serving.build_index(slices[0], base)
+    serving.merge_sparse_append(slices[1], base)
+    # the GDPR request erases every % 5 == 2 doc ALREADY indexed and
+    # puts the ids on a suppression list, so later batches pre-drop
+    # them (the standing-exclusion shape a real erasure request has);
+    # surviving corpus = documents minus (doc_id % 5 == 2) exactly
+    serving.delete_from_index(
+        spark, base,
+        docs.where((F.col("doc_id") % 4 < 2) & (F.col("doc_id") % 5 == 2)))
+    for s in slices[2:]:
+        serving.merge_sparse_append(s.where(F.col("doc_id") % 5 != 2), base)
+    terms = spark.read.parquet(f"{base}/terms")
+    stats = bm25.stats_from_state(spark.read.parquet(f"{base}/bm25_state/corpus"))
+    return (
+        terms.select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
+        .crossJoin(F.broadcast(stats.select(
+            "n_docs", F.round("avgdl", 6).alias("avgdl"))))
+    )
+
+
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
     stats = bm25.corpus_stats(tok)
@@ -4128,6 +4209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 8 — must be in-window
         # (insertions here displace one backfill entry below past the
         # boundary; extend ROUND8_WINDOW_MUST in test_entry_contract.py)
+        "gdpr_delete_cascade": q_gdpr_delete_cascade,
+        "bm25_append_delete_replay": q_bm25_append_delete_replay,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4484,6 +4567,8 @@ FROM sess GROUP BY user_id, session_id""",
         # one-pass whole-corpus stats: a hash-match against the Spark
         # side's half+half delta-merge IS the merge==recompute proof
         "bm25_stats_merge": oracles.q_bm25_stats_merge(),
+        "gdpr_delete_cascade": oracles.q_gdpr_delete_cascade(),
+        "bm25_append_delete_replay": oracles.q_bm25_append_delete_replay(),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),

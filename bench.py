@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "events_mad_outliers", "curated_manifest", "unigram_em_encode",
     "dedup_containment", "knn_ppr", "customer_rfm", "streaming_sessions",
     "events_concurrency",
+    # round-8 additions
+    "gdpr_delete_cascade", "bm25_append_delete_replay",
 ]
 
 

@@ -13,6 +13,8 @@ embeddings).
 
 from __future__ import annotations
 
+import re
+
 from semantik_spark.config import BM25_B, BM25_K1, ENGLISH_STOPWORDS, TOKEN_PATTERN
 
 STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
@@ -46,13 +48,22 @@ def queries_values_sql(pairs: list[tuple[str, str]], id_name: str = "query_id",
 # --- BM25 pipeline CTE block (documents table) -----------------------------
 
 def bm25_ctes(doc_table: str = "documents", id_col: str = "doc_id",
-              text_col: str = "text") -> str:
+              text_col: str = "text", prefix: str = "") -> str:
     """CTE chain: tokd → bstats → terms → tf → post (postings w/ weight).
 
     Expression shapes match operators/bm25.py exactly:
       idf    = greatest(0, ln((n - df + 0.5)/(df + 0.5) + 1))
       weight = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b*doc_len/avgdl))
+
+    ``prefix`` renames every CTE (tokd → <p>tokd, …) so one oracle can
+    carry TWO independent chains — e.g. the GDPR cascade twin, which
+    needs full-corpus postings next to remaining-corpus term stats.
     """
+    if prefix:
+        body = bm25_ctes(doc_table, id_col, text_col)
+        for name in ("tokd", "tokl", "bstats", "terms0", "terms", "tf", "post"):
+            body = re.sub(rf"\b{name}\b", f"{prefix}{name}", body)
+        return body
     return f"""
 tokd AS (
   SELECT {id_col} AS doc_id,
@@ -219,6 +230,51 @@ def q_bm25_stats_merge() -> str:
     equality proves merge == recompute at driver-hash level."""
     return (
         f"WITH {bm25_ctes()} "
+        "SELECT term, term_id, df, round(idf, 6) AS idf, "
+        "       (SELECT n_docs FROM bstats) AS n_docs, "
+        "       (SELECT round(avgdl, 6) FROM bstats) AS avgdl "
+        "FROM terms"
+    )
+
+
+def q_gdpr_delete_cascade(del_pred: str = "doc_id % 7 = 3") -> str:
+    """Twin of serving.delete_from_index (the GDPR erasure cascade):
+
+    - terms/ is rebuilt from the RETRACTED mergeable state, which is
+      contract-pinned equal to a recompute over the remaining corpus —
+      so the twin recomputes term stats over documents minus the
+      deleted set (the ``r_``-prefixed chain);
+    - postings/ and dense/ are anti-join rewrites of the ORIGINAL
+      full-corpus artifacts (kept rows retain index-time weights), so
+      their surviving row counts come from the unprefixed full-corpus
+      chain filtered by the deletion predicate;
+    - tombstones/ is the deleted id set.
+    """
+    return (
+        f"WITH remaining AS (SELECT doc_id, text FROM documents WHERE NOT ({del_pred})), "
+        f"{bm25_ctes()[1:]}, {bm25_ctes('remaining', prefix='r_')[1:]} "
+        "SELECT term, term_id, df, round(idf, 6) AS idf, "
+        "       (SELECT n_docs FROM r_bstats) AS n_docs, "
+        "       (SELECT round(avgdl, 6) FROM r_bstats) AS avgdl, "
+        f"      (SELECT count(*) FROM remaining)::BIGINT AS dense_rows, "
+        f"      (SELECT count(*) FROM post WHERE NOT ({del_pred}))::BIGINT AS postings_rows, "
+        f"      (SELECT count(DISTINCT doc_id) FROM documents WHERE {del_pred})::BIGINT AS tombstone_rows "
+        "FROM r_terms"
+    )
+
+
+def q_bm25_append_delete_replay(splits: int = 4, del_pred: str = "doc_id % 5 = 2") -> str:
+    """Twin of the production sparse sync loop (VERDICT r7 item 9): the
+    corpus arrives as ``splits`` hash-sliced APPEND batches with a GDPR
+    delete interleaved mid-stream; the Spark side folds each step into
+    the mergeable (n_docs, sum_dl) / (term, df) state. The contract —
+    state algebra is an abelian group, so any interleaving of merges
+    and retractions equals one recompute over the surviving corpus —
+    makes the twin a single full recompute over documents minus the
+    deleted set."""
+    return (
+        f"WITH surviving AS (SELECT doc_id, text FROM documents WHERE NOT ({del_pred})), "
+        f"{bm25_ctes('surviving')[1:]} "
         "SELECT term, term_id, df, round(idf, 6) AS idf, "
         "       (SELECT n_docs FROM bstats) AS n_docs, "
         "       (SELECT round(avgdl, 6) FROM bstats) AS avgdl "

@@ -51,6 +51,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "streaming_sessions",
     "events_concurrency",
     # added in round 8 — extend as queries land
+    "gdpr_delete_cascade",
+    "bm25_append_delete_replay",
 )
 
 
