@@ -672,6 +672,26 @@ def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED codebook training (VERDICT r7 item 7 — the last 100 TB
+    gap in the ANN family): seeds + Lloyd refinement run over the
+    deterministic hash sample hash60(vec_id) % 3 == 0 (~1/3 of the
+    corpus, similarity.train_sample), then the FULL corpus is assigned
+    and served under the frozen codebook — FAISS's train-on-a-sample
+    practice. The oracle replays the identical sampled training
+    (oracles.q_knn_ivf sample_mod=3, train_table='tsample'); sampled
+    vs full recall is additionally pinned in tests/test_similarity.py."""
+    from semantik_spark.operators.similarity import ivf_centroids, ivf_refine
+
+    corpus, queries = _emb_split(spark, sf_dir)
+    cent = ivf_refine(corpus, ivf_centroids(corpus, 16, train_sample_mod=3),
+                      iters=1, train_sample_mod=3)
+    return _r6(
+        similarity.knn_ivf(corpus, queries, k=5, nprobe=4, cent_rows=cent),
+        "cos",
+    )
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: m=8 one-byte codes per vector (32×
     storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
@@ -4211,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boundary; extend ROUND8_WINDOW_MUST in test_entry_contract.py)
         "gdpr_delete_cascade": q_gdpr_delete_cascade,
         "bm25_append_delete_replay": q_bm25_append_delete_replay,
+        "knn_ivf_sampled": q_knn_ivf_sampled,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4569,6 +4590,7 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_stats_merge": oracles.q_bm25_stats_merge(),
         "gdpr_delete_cascade": oracles.q_gdpr_delete_cascade(),
         "bm25_append_delete_replay": oracles.q_bm25_append_delete_replay(),
+        "knn_ivf_sampled": oracles.q_knn_ivf(k=5, n_centroids=16, nprobe=4, train_table="tsample", sample_mod=3),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),

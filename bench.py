@@ -154,7 +154,7 @@ BENCH_QUERIES = [
     "dedup_containment", "knn_ppr", "customer_rfm", "streaming_sessions",
     "events_concurrency",
     # round-8 additions
-    "gdpr_delete_cascade", "bm25_append_delete_replay",
+    "gdpr_delete_cascade", "bm25_append_delete_replay", "knn_ivf_sampled",
 ]
 
 

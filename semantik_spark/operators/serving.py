@@ -246,7 +246,8 @@ def _rrf_union_fuse(dscored: DataFrame, sscored: DataFrame,
 def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
                     refine_iters: int = 1,
                     id_col: str = "doc_id", text_col: str = "text",
-                    payload_cols: tuple[str, ...] = ()) -> None:
+                    payload_cols: tuple[str, ...] = (),
+                    train_sample_mod: int | None = None) -> None:
     """Materialize the ANN-serving shape of the dense index: embeddings
     written ``partitionBy(centroid_id)`` (one directory per IVF cell)
     plus the codebook as a tiny parquet table. A probe then reads only
@@ -260,10 +261,15 @@ def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
     emb = docs.select(F.col(id_col).alias("doc_id"),
                       mock_embedding(text_col).cast("array<double>").alias("embedding"),
                       *payload_cols)
-    cent_rows = ivf_centroids(emb, n_centroids, "doc_id", "embedding")
+    # train_sample_mod: codebook trains on the deterministic hash
+    # sample (similarity.train_sample) — the 100 TB practice; the FULL
+    # corpus is still assigned and written below under the frozen result
+    cent_rows = ivf_centroids(emb, n_centroids, "doc_id", "embedding",
+                              train_sample_mod=train_sample_mod)
     if refine_iters:
         cent_rows = ivf_refine(emb, cent_rows, iters=refine_iters,
-                               id_col="doc_id", vec_col="embedding")
+                               id_col="doc_id", vec_col="embedding",
+                               train_sample_mod=train_sample_mod)
     spark = docs.sparkSession
     codebook = F.broadcast(_codebook_df(spark, cent_rows))
     assigned = emb.crossJoin(codebook).withColumn(
@@ -440,7 +446,8 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
                       n_centroids: int = 16, m: int = 8,
                       pq_centroids: int = 16, refine_iters: int = 1,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> None:
+                      vec_col: str = "embedding",
+                      train_sample_mod: int | None = None) -> None:
     """Persist the IVFADC serving layout (VERDICT r6 item 5 — the
     FAISS IndexIVFPQ on-disk shape, reference two-phase fetch
     vecpipe/search/dense_search.py):
@@ -477,10 +484,15 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
 
     d = dim // m
     spark = corpus.sparkSession
-    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    # train_sample_mod: both codebooks (coarse + PQ) train on the
+    # deterministic hash sample; the full corpus is encoded below under
+    # the frozen result (similarity.train_sample docstring)
+    cent_rows = ivf_centroids(corpus, n_centroids, id_col, vec_col,
+                              train_sample_mod=train_sample_mod)
     if refine_iters:
         cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
-                               id_col=id_col, vec_col=vec_col)
+                               id_col=id_col, vec_col=vec_col,
+                               train_sample_mod=train_sample_mod)
     codebook = F.broadcast(_codebook_df(spark, cent_rows))
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
@@ -502,7 +514,8 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
     assigned = cache(assigned)
     book = pq_codebooks(assigned, dim=dim, m=m, n_centroids=pq_centroids,
                         refine_iters=refine_iters,
-                        id_col="vec_id", vec_col="residual")
+                        id_col="vec_id", vec_col="residual",
+                        train_sample_mod=train_sample_mod)
     cb = F.broadcast(_pq_codebook_df(spark, book, m))
 
     # positional code per subspace: the codebook lists are cid-ordered,

@@ -54,13 +54,39 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def train_sample(corpus: DataFrame, mod: int,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Deterministic ~1/``mod`` training sample: rows whose
+    hash60(id) ≡ 0 (mod ``mod``). FAISS practice for codebook training
+    at scale (VERDICT r7 item 7) — Lloyd iterations over 100 TB of
+    vectors buy nothing once the sample covers the distribution, so
+    train on a bounded slice and assign/encode the full corpus under
+    the frozen codebook (the same train-vs-add split ivf_append uses).
+    Hash-residue selection (not limit/sample()) keeps the subset
+    engine-portable: the DuckDB oracle replays the identical predicate
+    bit-for-bit."""
+    from semantik_spark.functions.hashing import hash60
+
+    return corpus.where(hash60(F.col(id_col)) % mod == 0)
+
+
+def _maybe_sample(corpus: DataFrame, train_sample_mod: int | None,
+                  id_col: str) -> DataFrame:
+    return (train_sample(corpus, train_sample_mod, id_col)
+            if train_sample_mod and train_sample_mod > 1 else corpus)
+
+
 def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  train_sample_mod: int | None = None) -> list:
     """Deterministic IVF seeding: the ``n_centroids`` corpus vectors
     with the smallest ids, collected to the driver (tiny — this is the
     'coarse codebook'). A k-means refinement is a drop-in replacement
     at scale; seeded selection keeps the index bit-reproducible, which
-    is what makes the DuckDB oracle able to replay it."""
+    is what makes the DuckDB oracle able to replay it.
+    ``train_sample_mod``: seed from the deterministic training sample
+    (train_sample) instead of the full corpus."""
+    corpus = _maybe_sample(corpus, train_sample_mod, id_col)
     return sorted(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.asc("cid")).limit(n_centroids).collect(),
@@ -97,7 +123,8 @@ def _nearest_centroids(vec: str) -> F.Column:
 
 def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               round_dp: int = 6) -> list:
+               round_dp: int = 6,
+               train_sample_mod: int | None = None) -> list:
     """Deterministic Lloyd refinement of the seeded codebook: assign
     every corpus vector to its nearest centroid (cosine, tie → smaller
     cid), recompute each cell as the per-dimension mean ROUNDED to
@@ -110,8 +137,12 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
     bits. Each iteration is one distributed assign (broadcast codebook,
     narrow map) + one groupBy((cell, dim)) mean — at 100 TB this is the
     standard scalable k-means step, and the collected codebook stays
-    n_centroids×dim tiny."""
+    n_centroids×dim tiny. ``train_sample_mod``: refine over the
+    deterministic hash sample only (train_sample) — the FAISS
+    train-on-a-sample practice; assignment of the full corpus happens
+    downstream under the frozen result."""
     spark = corpus.sparkSession
+    corpus = _maybe_sample(corpus, train_sample_mod, id_col)
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     rows = [{"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
@@ -325,7 +356,8 @@ def _l2(a, b) -> F.Column:
 def pq_codebooks(corpus: DataFrame, dim: int = 64, m: int = 8,
                  n_centroids: int = 16, refine_iters: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 round_dp: int = 6) -> list:
+                 round_dp: int = 6,
+                 train_sample_mod: int | None = None) -> list:
     """Deterministic product-quantization codebooks: ``m`` subspaces of
     dim/m dimensions, each with ``n_centroids`` centroids seeded from
     the smallest-id corpus vectors' subvectors and refined by
@@ -340,11 +372,17 @@ def pq_codebooks(corpus: DataFrame, dim: int = 64, m: int = 8,
     codebook is m·n_centroids·(dim/m) doubles = dim·n_centroids — tiny.
 
     Returns [{"s": subspace, "cid": centroid id, "cv": [floats]}].
+
+    ``train_sample_mod``: seed + refine over the deterministic hash
+    sample (train_sample) — encoding of the full corpus happens in the
+    caller under the frozen codebooks (the FAISS sampled-training
+    practice; see SCALE.md).
     """
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
     d = dim // m
     spark = corpus.sparkSession
+    corpus = _maybe_sample(corpus, train_sample_mod, id_col)
     seed_rows = sorted(
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy(F.asc("cid")).limit(n_centroids).collect(),

@@ -1329,7 +1329,8 @@ SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE r
 
 
 def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
-              refine_iters: int = 1, train_table: str = "corpus") -> str:
+              refine_iters: int = 1, train_table: str = "corpus",
+              sample_mod: int | None = None) -> str:
     """Twin of similarity.knn_ivf: centroids = n smallest-id corpus
     vectors refined by ``refine_iters`` Lloyd steps (assignment by
     cosine, per-dim mean rounded to 6 dp — the rounding is what makes
@@ -1341,7 +1342,16 @@ def q_knn_ivf(k: int = 5, n_centroids: int = 16, nprobe: int = 4,
     standard one-shot build; "base" (corpus minus the appended rows)
     for the FROZEN-codebook append twin (knn_ivf_append): train on
     base, assign and serve base ∪ appended, exactly FAISS's
-    train-vs-add split."""
+    train-vs-add split.
+
+    ``sample_mod``: adds a ``tsample`` CTE (hash60(vec_id) % mod = 0 —
+    similarity.train_sample's exact predicate) and trains on it; pass
+    train_table='tsample' — the sampled-codebook-training twin
+    (knn_ivf_sampled)."""
+    sample_cte = (
+        f",\ntsample AS (SELECT * FROM corpus "
+        f"WHERE {hash60_expr('vec_id')} % {sample_mod} = 0)"
+        if sample_mod else "")
     refine = []
     prev = "cent0"
     for i in range(refine_iters):
@@ -1368,7 +1378,7 @@ rmeans{i} AS (
     alias = "" if refine_iters else ",\ncent AS (SELECT * FROM cent0)"
     return f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
-base AS (SELECT * FROM corpus WHERE vec_id % 5 != 0),
+base AS (SELECT * FROM corpus WHERE vec_id % 5 != 0){sample_cte},
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 cent0 AS (SELECT vec_id AS cid, v AS cv FROM {train_table} ORDER BY vec_id LIMIT {n_centroids}){"," if refine_sql else ""}{refine_sql}{alias},
 assigned AS (

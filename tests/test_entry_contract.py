@@ -53,6 +53,7 @@ ROUND8_WINDOW_MUST: tuple = (
     # added in round 8 — extend as queries land
     "gdpr_delete_cascade",
     "bm25_append_delete_replay",
+    "knn_ivf_sampled",
 )
 
 

@@ -533,3 +533,49 @@ def test_matryoshka_recall_full_dim_is_one(spark):
     for d, r in rows.items():
         assert 0.0 < r["recall"] <= 1.0
         assert r["n_hit"] <= r["n_exact"]
+
+
+def test_sampled_codebook_training_recall_matches_full(spark):
+    """Sampled codebook training (VERDICT r7 item 7): on clustered data
+    — the realistic embedding shape — Lloyd over a deterministic 1/3
+    hash sample must land centroids good enough that full-corpus
+    serving recall stays within 0.1 of full-corpus training, and both
+    stay high. This is the FAISS train-on-a-sample contract: at 100 TB
+    the sample covers the cluster structure, so the extra training data
+    buys nothing."""
+    import random
+
+    from semantik_spark.operators.similarity import (
+        ivf_centroids, ivf_refine, knn_ivf, recall_at_k, train_sample,
+    )
+
+    rng = random.Random(29)
+    dim, n_clusters, per_cluster = 64, 8, 40
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05) for x in c]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(1000 + i, [x + rng.uniform(-0.05, 0.05) for x in centers[i]])
+         for i in range(n_clusters)],
+        ["query_id", "query_vec"],
+    )
+    # the sample really is a ~1/mod strict subset
+    n_s = train_sample(corpus, 3).count()
+    assert 0 < n_s < corpus.count()
+    exact = knn_bruteforce(corpus, queries, k=5)
+
+    def recall_with(mod):
+        cent = ivf_refine(
+            corpus, ivf_centroids(corpus, 16, train_sample_mod=mod),
+            iters=1, train_sample_mod=mod)
+        served = knn_ivf(corpus, queries, k=5, nprobe=4, cent_rows=cent)
+        return recall_at_k(exact, served, "ivf").collect()[0]["recall"]
+
+    full, sampled = recall_with(None), recall_with(3)
+    assert full >= 0.9, full
+    assert sampled >= full - 0.1, (sampled, full)
