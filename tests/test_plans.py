@@ -985,3 +985,41 @@ def test_value_band_pairs_bucket_equijoin_no_cartesian(spark):
     plan = _plan(value_band_pairs(ev, eps=0.1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_serve_paths_job_count_pins(spark, tmp_path):
+    """Contention-immune serve-gate regression net (VERDICT r7 items
+    2/8): the four serve paths' Spark JOB COUNTS are functions of the
+    physical plan, not of box load — wall-clock gates on a shared box
+    could not adjudicate the r7 hybrid 'breach' (plan byte-identical to
+    r6, >5x-contended run). A refactor that adds an exchange/action
+    shows up here as a counter diff, deterministically. Bounds are the
+    measured warmed counts (bm25 9, dense 5, ivf 6, hybrid 13 — also
+    recorded per-run in BENCH_DETAIL.json queries_counters); pinned as
+    <= so only regressions trip, never an optimization."""
+    from semantik_spark.operators import serving
+
+    docs = _mk_docs(spark)
+    qdf = _mk_queries(spark)
+    idx = str(tmp_path / "idx")
+    serving.build_index(docs, idx)
+    serving.build_dense_ivf(docs, idx, n_centroids=4)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    paths = [
+        ("bm25_serve", 9, lambda: serving.bm25_serve(spark, idx, qdf, k=5)),
+        ("dense_serve", 5, lambda: serving.dense_serve(spark, idx, qdf, k=5)),
+        ("dense_ivf_serve", 6,
+         lambda: serving.dense_serve_ivf(spark, idx, qdf, k=5, nprobe=2)),
+        ("hybrid_serve", 13,
+         lambda: serving.hybrid_serve(spark, idx, qdf, k=5, search_k=10)),
+    ]
+    for name, bound, fn in paths:
+        fn().count()  # warm: AQE stats / broadcast thresholds settle
+        sc.setJobGroup(f"gate_{name}", name)
+        try:
+            fn().count()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(tracker.getJobIdsForGroup(f"gate_{name}"))
+        assert 0 < jobs <= bound, (name, jobs, bound)
