@@ -858,6 +858,23 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type with the exact count
+    alongside (sketches.hll_distinct) — the register-table complement
+    to KMV: m 6-bit maxima per group instead of k exact hash values
+    (~10x smaller state for the same error, union-only algebra). The
+    layout is self-defined and deterministic (hash60 low bits pick the
+    register, binary-string length gives the rank), so the DuckDB twin
+    replays every register bit-for-bit; shard-merge == batch is pinned
+    in tests/test_sketches.py."""
+    from semantik_spark.operators import sketches
+
+    return sketches.hll_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", p=8
+    ).select("event_type", "v_zero", "sum_scaled", "estimate_milli",
+             "n_exact", "rel_error")
+
+
 def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed KMV: distinct users per (event_type, day) — the
     sketch composed with an event-time bucket, i.e. the daily-uniques
@@ -1564,6 +1581,36 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
         .limit(15)
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (the last of the 22 shapes): forecast revenue change —
+    one filtered scan, one global aggregate, zero joins. The value is
+    the PLAN: every predicate (ship-year range, discount band, quantity
+    cap) must reach the parquet reader as a pushed filter and the
+    projection must prune to the four referenced columns, so at 100 TB
+    this reads row-group stats, not data. The discount band compares
+    raw stored doubles against the same literals in both engines (no
+    arithmetic before the compare); the revenue sum runs in exact
+    decimals and casts to double once at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_discount").cast("decimal(8,2)")
+    ).cast("decimal(30,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
     )
 
 
@@ -4232,6 +4279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdpr_delete_cascade": q_gdpr_delete_cascade,
         "bm25_append_delete_replay": q_bm25_append_delete_replay,
         "knn_ivf_sampled": q_knn_ivf_sampled,
+        "forecast_revenue": q_forecast_revenue,
+        "approx_distinct_hll": q_approx_distinct_hll,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4591,6 +4640,13 @@ FROM sess GROUP BY user_id, session_id""",
         "gdpr_delete_cascade": oracles.q_gdpr_delete_cascade(),
         "bm25_append_delete_replay": oracles.q_bm25_append_delete_replay(),
         "knn_ivf_sampled": oracles.q_knn_ivf(k=5, n_centroids=16, nprobe=4, train_table="tsample", sample_mod=3),
+        "forecast_revenue": """
+SELECT sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(8,2))::DECIMAL(30,4))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),

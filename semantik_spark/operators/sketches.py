@@ -323,3 +323,130 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
             F.sum(v.cast("decimal(28,8)")).cast("double") / F.count("*"), 6
         ).alias("raw_mean"),
     )
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+def hll_params(p: int) -> tuple[int, int, int, float]:
+    """(m, w, scale, C) for a 2**p-register HLL over hash60 values.
+
+    ``m`` registers; the hash's low p bits pick the register, the
+    remaining ``w = 60 - p`` bits feed the leading-zero rank, so rank
+    values span 1..w+1 and ``scale = w + 1`` lets every indicator
+    2**-rank be carried as the exact integer 2**(scale - rank).
+    ``C = alpha_m * m^2 * 2^scale`` folds every constant of the raw
+    estimator into ONE double literal, so both engines perform exactly
+    one floating division (IEEE-exact) on an exact integer sum.
+    """
+    m = 1 << p
+    w = 60 - p
+    scale = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # Flajolet et al. 2007, m >= 128
+    return m, w, scale, alpha * m * m * float(1 << scale)
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str,
+                  p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog register table (group, j, mj) — Flajolet
+    et al. 2007 with a DETERMINISTIC layout: register j = hash60 mod m,
+    rank = leading-zeros-plus-one of the remaining w bits (computed
+    exactly via the binary-string length, an integer identity in both
+    engines — no floating log anywhere in the hot path).
+
+    This is the sketch STATE: m bounded rows per group, mergeable by
+    register-wise max (``hll_merge_registers``), the property that
+    makes HLL the industry default for distinct counting at 100 TB —
+    unions cost a groupBy-max over m-row tables, never a rescan. The
+    KMV sketch next door keeps k exact hash VALUES (reproducible set
+    algebra); HLL keeps m 6-bit MAXIMA — ~10x smaller state for the
+    same error, but registers only support union, not intersection.
+
+    Scale shape: one map-side-combinable aggregation keyed (group, j);
+    a group's state is exactly m rows regardless of its cardinality,
+    so there is no whale-group skew by construction (the register id
+    is hash-derived and uniform).
+    """
+    m, w, _, _ = hll_params(p)
+    h = hash60(F.col("val"))
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("val")
+    ).where(
+        # NULLs are not values: unfiltered they'd form a NULL register
+        # that inflates n_regs (caught by the null edge probe)
+        F.col("val").isNotNull()
+    ).select(
+        "g", F.pmod(h, F.lit(m)).alias("j"), h.alias("_h")
+    ).withColumn("_r", F.expr(f"_h div {m}"))
+    rank = F.when(F.col("_r") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(F.col("_r")))
+    )
+    return (
+        base.select("g", "j", rank.alias("rank"))
+        .groupBy("g", "j").agg(F.max("rank").cast("int").alias("mj"))
+    )
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables: register-wise max. The HLL merge is
+    an idempotent-commutative-associative lattice join, so ANY split of
+    the input into shards merges to the batch sketch bit-for-bit
+    (pinned in tests/test_sketches.py)."""
+    return (
+        a.unionByName(b)
+        .groupBy("g", "j").agg(F.max("mj").cast("int").alias("mj"))
+    )
+
+
+def hll_estimate(regs: DataFrame, exact: DataFrame | None = None,
+                 group_col: str = "g", p: int = 8) -> DataFrame:
+    """Estimates from a register table: (group, v_zero, sum_scaled,
+    estimate_milli[, n_exact, rel_error]).
+
+    ``sum_scaled = sum_j 2^(scale - M_j)`` with absent registers
+    contributing 2^scale — an exact BIGINT (order-independent), so the
+    raw estimate C / sum_scaled is ONE IEEE division. The small-range
+    branch (E <= 2.5m with empty registers) is linear counting
+    m*ln(m/V); its ln output is quantized to integer MILLI-counts via
+    floor(x*1000 + 0.5) — the module-standard way to carry a libm
+    result across engines (see textanalysis.char_entropy).
+    """
+    m, _, scale, c = hll_params(p)
+    grp = regs.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(1L, {scale} - mj)")).cast("bigint").alias("_s"),
+        F.count("*").cast("bigint").alias("_n_regs"),
+    )
+    out = grp.select(
+        F.col("g").alias(group_col),
+        (F.lit(m) - F.col("_n_regs")).cast("bigint").alias("v_zero"),
+        (F.col("_s") + (F.lit(m) - F.col("_n_regs")) * F.lit(1 << scale))
+        .cast("bigint").alias("sum_scaled"),
+    )
+    e_raw = F.lit(c) / F.col("sum_scaled")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    out = out.withColumn(
+        "estimate_milli", F.floor(est * 1000 + F.lit(0.5)).cast("bigint")
+    )
+    if exact is not None:
+        out = out.join(exact, group_col).withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("estimate_milli") / F.lit(1000.0) - F.col("n_exact"))
+                / F.col("n_exact"), 6),
+        )
+    return out
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HLL approximate distinct count with the exact count
+    alongside (the operator doubles as its own quality report, like
+    kmv_distinct above). Two aggregation exchanges total: (group, j)
+    register build, then the m-row-per-group estimate fold."""
+    regs = hll_registers(df, group_col, value_col, p)
+    exact = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count_distinct(value_col).cast("bigint").alias("n_exact")
+    )
+    return hll_estimate(regs, exact, group_col, p)

@@ -2339,6 +2339,47 @@ SELECT ex.g AS event_type, ex.n_exact::BIGINT AS n_exact, sk.n_sketch::INT AS n_
 FROM sk JOIN ex ON sk.g = ex.g"""
 
 
+def q_approx_distinct_hll(p: int = 8) -> str:
+    """Twin of sketches.hll_distinct over (event_type, user_id): the
+    deterministic-layout HyperLogLog — register j = hash60 mod m, rank
+    via binary-string length (integer-exact in both engines), exact
+    BIGINT indicator sum, one IEEE division for the raw estimate, and
+    the linear-counting ln branch quantized to integer milli-counts
+    (floor(x*1000+0.5), the module-standard libm carry)."""
+    m = 1 << p
+    w = 60 - p
+    scale = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * m * m * float(1 << scale)
+    h = hash60_expr("user_id")
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, {h} % {m} AS j, {h} // {m} AS r
+  FROM events WHERE user_id IS NOT NULL),
+rnk AS (
+  SELECT g, j, CASE WHEN r = 0 THEN {w + 1}
+                    ELSE {w + 1} - length(bin(r)) END AS rank
+  FROM base),
+regs AS (SELECT g, j, max(rank) AS mj FROM rnk GROUP BY 1, 2),
+grp AS (SELECT g, sum((1::BIGINT << ({scale} - mj))::BIGINT)::BIGINT AS s_regs,
+               count(*)::BIGINT AS n_regs
+        FROM regs GROUP BY 1),
+ex AS (SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS n_exact
+       FROM events GROUP BY 1),
+o AS (SELECT g, n_exact, ({m} - n_regs)::BIGINT AS v_zero,
+             (s_regs + ({m} - n_regs) * (1::BIGINT << {scale}))::BIGINT AS sum_scaled
+      FROM grp JOIN ex USING (g)),
+e AS (SELECT *, {c!r} / sum_scaled AS e_raw FROM o),
+est AS (
+  SELECT *, floor((CASE WHEN e_raw <= {2.5 * m} AND v_zero > 0
+                        THEN {float(m)} * ln({float(m)} / v_zero)
+                        ELSE e_raw END) * 1000 + 0.5)::BIGINT AS estimate_milli
+  FROM e)
+SELECT g AS event_type, v_zero, sum_scaled, estimate_milli, n_exact,
+       round(abs(estimate_milli / 1000.0 - n_exact) / n_exact, 6) AS rel_error
+FROM est"""
+
+
 Q_TEXT_READABILITY = """
 WITH c AS (
   SELECT doc_id,

@@ -54,6 +54,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "gdpr_delete_cascade",
     "bm25_append_delete_replay",
     "knn_ivf_sampled",
+    "forecast_revenue",
+    "approx_distinct_hll",
 )
 
 

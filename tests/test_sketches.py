@@ -201,3 +201,62 @@ def test_ddsketch_collapse_mergeable(spark):
     cut = max(min(k[1] for k in got), min(k[1] for k in want))
     assert {k: v for k, v in got.items() if k[1] > cut} == \
            {k: v for k, v in want.items() if k[1] > cut}
+
+
+# --- HyperLogLog -------------------------------------------------------------
+
+def test_hll_merge_equals_batch(spark):
+    # ANY shard split merges (register-wise max) to the batch sketch
+    # bit-for-bit — the lattice property the 100 TB union story needs
+    from semantik_spark.operators.sketches import (
+        hll_estimate, hll_merge_registers, hll_registers)
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v"))
+    a = hll_registers(df.where(F.col("v") % 2 == 0), "g", "v")
+    b = hll_registers(df.where(F.col("v") % 2 == 1), "g", "v")
+    merged = {(r["g"], r["j"]): r["mj"]
+              for r in hll_merge_registers(a, b).collect()}
+    batch = {(r["g"], r["j"]): r["mj"]
+             for r in hll_registers(df, "g", "v").collect()}
+    assert merged == batch
+
+
+def test_hll_estimate_accuracy_and_exact(spark):
+    # 8000 distincts, m=256: stderr ~ 1.04/sqrt(m) ~ 6.5%; assert a
+    # loose deterministic band + the exact column is truly exact
+    from semantik_spark.operators.sketches import hll_distinct
+
+    df = spark.range(8000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r = hll_distinct(df, "g", "v", p=8).collect()[0]
+    assert r["n_exact"] == 8000
+    est = r["estimate_milli"] / 1000.0
+    assert abs(est - 8000) / 8000 < 0.25
+    assert r["rel_error"] == round(abs(est - 8000) / 8000, 6)
+
+
+def test_hll_linear_counting_small_range(spark):
+    # far below 2.5m with empty registers -> the ln branch; near-exact
+    from semantik_spark.operators.sketches import hll_distinct
+
+    df = spark.range(20).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r = hll_distinct(df, "g", "v", p=8).collect()[0]
+    assert r["v_zero"] > 0
+    assert abs(r["estimate_milli"] / 1000.0 - 20) < 2.0
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    from semantik_spark.operators.sketches import hll_registers
+
+    once = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    many = once.unionByName(once).unionByName(once)
+    a = {(r["g"], r["j"]): r["mj"] for r in hll_registers(once, "g", "v").collect()}
+    b = {(r["g"], r["j"]): r["mj"] for r in hll_registers(many, "g", "v").collect()}
+    assert a == b
+
+
+def test_hll_nulls_excluded(spark):
+    df = spark.createDataFrame([("a", None), ("a", 3)], "g string, v bigint")
+    from semantik_spark.operators.sketches import hll_distinct
+    r = hll_distinct(df, "g", "v").collect()[0]
+    assert r["n_exact"] == 1 and r["v_zero"] == 255
