@@ -858,6 +858,49 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join, bucket-blocked (timeseries.
+    interval_overlap_join — the batch twin of the stream-stream
+    interval join): every user session (gap-based, 30 min) that
+    overlaps one of the 5 busiest calendar days, with the exact
+    overlap in integer microseconds. The theta-join (s1<=e2 AND
+    s2<=e1) runs as an equi-join on covered day buckets; the range
+    predicate only verifies candidates (pigeonhole-complete — no
+    cartesian, plan-asserted)."""
+    from semantik_spark.operators.timeseries import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id",
+        F.unix_micros("session_start").alias("l_start_us"),
+        F.unix_micros("session_end").alias("l_end_us"),
+    )
+    busy = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("day")).limit(5)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.unix_micros(F.col("day").cast("timestamp")).alias("r_start_us"),
+            (F.unix_micros(F.col("day").cast("timestamp"))
+             + F.lit(86_399_999_999)).alias("r_end_us"),
+        )
+    )
+    out = interval_overlap_join(sess, busy)
+    return out.select("user_id", "session_id", "day", "overlap_us")
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type DAILY count series at
+    lags 1/2/7 over a densified calendar (timeseries.acf_daily) — the
+    seasonality detector feeding the seasonal-naive forecaster's lag
+    choice. Numerator/denominator carried exactly in cleared-
+    denominator integer decimals; one double division at the end."""
+    from semantik_spark.operators.timeseries import acf_daily
+
+    return acf_daily(_events(spark, sf_dir), lags=(1, 2, 7))
+
+
 def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users per event type with the exact count
     alongside (sketches.hll_distinct) — the register-table complement
@@ -4281,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_sampled": q_knn_ivf_sampled,
         "forecast_revenue": q_forecast_revenue,
         "approx_distinct_hll": q_approx_distinct_hll,
+        "interval_overlap": q_interval_overlap,
+        "events_acf": q_events_acf,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4647,6 +4692,66 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
+        # the oracle joins on the RAW range predicate — a hash match
+        # proves the bucket-blocked equi-join loses no pair
+        "interval_overlap": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us, ts FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM flagged
+), si AS (
+  SELECT user_id, session_id, min(us) AS s0, max(us) AS s1
+  FROM sess GROUP BY user_id, session_id
+), busy AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM e
+  GROUP BY 1 ORDER BY n DESC, day ASC LIMIT 5
+), win AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day,
+         epoch_us(day::TIMESTAMP)::BIGINT AS r0,
+         epoch_us(day::TIMESTAMP)::BIGINT + 86399999999 AS r1
+  FROM busy
+)
+SELECT user_id, session_id, day,
+       (least(s1, r1) - greatest(s0, r0))::BIGINT AS overlap_us
+FROM si JOIN win ON s0 <= r1 AND r0 <= s1""",
+        "events_acf": """
+WITH span AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events
+), cal AS (
+  SELECT g, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span CROSS JOIN (SELECT DISTINCT event_type AS g FROM events)
+), counts AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT cal.g, cal.day, coalesce(x, 0)::DECIMAL(18,0) AS x
+  FROM cal LEFT JOIN counts ON cal.g = counts.g AND cal.day = counts.day
+), stats AS (
+  SELECT g, sum(x)::DECIMAL(18,0) AS s, count(*)::DECIMAL(18,0) AS n FROM dense GROUP BY 1
+), wid AS (
+  SELECT dense.g, n,
+         (x * n - s)::DECIMAL(18,0) AS c0,
+         (lead(x, 1) OVER w * n - s)::DECIMAL(18,0) AS c1,
+         (lead(x, 2) OVER w * n - s)::DECIMAL(18,0) AS c2,
+         (lead(x, 7) OVER w * n - s)::DECIMAL(18,0) AS c7
+  FROM dense JOIN stats ON dense.g = stats.g
+  WINDOW w AS (PARTITION BY dense.g ORDER BY day)
+), agg AS (
+  SELECT g, max(n)::BIGINT AS n_days, sum(c0 * c0) AS den,
+         sum(c0 * c1) AS n1, sum(c0 * c2) AS n2, sum(c0 * c7) AS n7
+  FROM wid GROUP BY 1
+)
+SELECT g AS event_type, n_days, l.lag,
+       round((CASE l.lag WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n7 END)::DOUBLE
+             / den::DOUBLE, 6) AS acf
+FROM agg CROSS JOIN (VALUES (1), (2), (7)) AS l(lag)""",
         "bm25_postings": oracles.q_bm25_postings(),
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),

@@ -642,3 +642,131 @@ def value_band_pairs(events: DataFrame, eps: float = 0.5,
             F.round(F.abs(F.col("value_a") - F.col("value_b")), 6).alias("diff"),
         )
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str = "l_start_us", l_end: str = "l_end_us",
+                          r_start: str = "r_start_us", r_end: str = "r_end_us",
+                          bucket_us: int = 86_400_000_000) -> DataFrame:
+    """Interval × interval OVERLAP join without a cartesian product —
+    the 2-sided generalization of ``value_band_pairs``'s point band
+    join, and the batch twin of the stream-stream interval join in
+    streaming/incremental.py.
+
+    Both sides carry closed integer-microsecond intervals
+    [start_us, end_us]. A naive ``ON s1 <= e2 AND s2 <= e1`` theta-join
+    plans as a nested loop (|L|·|R|); instead each interval is exploded
+    into the time BUCKETS it covers (floor-div by ``bucket_us``), the
+    join runs as an equi-join on the bucket id, a distinct collapses
+    multi-bucket double-hits, and the true overlap predicate only
+    VERIFIES candidates (pigeonhole: two overlapping intervals share at
+    least one covered bucket, so recall is exact). Every output row
+    keeps both sides' columns plus ``overlap_us`` (exact BIGINT).
+
+    Scale: cost = sum over buckets of |L_b|·|R_b| — bounded by the
+    per-bucket interval density, the quantity ``bucket_us`` controls
+    (size it near the typical interval length; intervals spanning k
+    buckets replicate k times, so very long intervals argue for a
+    coarser bucket or a two-level scheme). A hot bucket (everyone
+    online at the same hour) is genuine answer mass, not a blocking
+    artifact. Plan-asserted: no CartesianProduct / BNLJ
+    (tests/test_plans.py).
+    """
+    def buckets(s: str, e: str):
+        return F.explode(F.sequence(
+            F.floor(F.col(s) / bucket_us).cast("bigint"),
+            F.floor(F.col(e) / bucket_us).cast("bigint"),
+        )).alias("_bk")
+
+    lb = left.select("*", buckets(l_start, l_end))
+    rb = right.select("*", buckets(r_start, r_end))
+    cand = lb.join(rb, "_bk").drop("_bk").distinct()
+    overlap = (
+        F.least(F.col(l_end), F.col(r_end))
+        - F.greatest(F.col(l_start), F.col(r_start))
+    )
+    return (
+        cand.where((F.col(l_start) <= F.col(r_end))
+                   & (F.col(r_start) <= F.col(l_end)))
+        .withColumn("overlap_us", overlap.cast("bigint"))
+    )
+
+
+def acf_daily(events: DataFrame, lags: tuple = (1, 2, 7, 14),
+              ts_col: str = "ts", group_col: str = "event_type") -> DataFrame:
+    """Autocorrelation function of the per-group DAILY count series at
+    the given lags — the seasonality detector that tells you WHICH lag
+    the seasonal-naive forecast (events_seasonal) should difference on
+    (a weekly cycle shows as a peak at lag 7).
+
+    The series is densified first (every group × every calendar day in
+    the events' global [min, max] span, missing days = 0) — ACF over a
+    gappy series silently shifts every lag. Estimator: the standard
+    biased-denominator sample ACF
+    r_L = sum_{t<=n-L}(x_t - x̄)(x_{t+L} - x̄) / sum_t(x_t - x̄)².
+    Both sums are carried EXACTLY by clearing denominators: with
+    S = sum x and n days, n²·num = Σ(n·x_t - S)(n·x_{t+L} - S) and
+    n²·den = Σ(n·x_t - S)² — integer DECIMAL(38,0) arithmetic, one
+    IEEE double division at the end (round 6), so both engines agree
+    bit-for-bit.
+
+    Scale shape: one groupBy(group, day) count, a broadcast calendar
+    explode (|groups|·|days| rows — tiny), one window lead per lag over
+    the day-ordered series, one final agg. The count shuffle is the
+    only data-sized job.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    counts = events.groupBy(F.col(group_col).alias("g"), day).agg(
+        F.count("*").cast("bigint").alias("x"))
+    span = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("d1"))
+    groups = events.select(F.col(group_col).alias("g")).distinct()
+    calendar = groups.crossJoin(F.broadcast(span)).select(
+        "g", F.explode(F.sequence("d0", "d1")).alias("day"))
+    dense = (
+        calendar.join(counts, ["g", "day"], "left")
+        .select("g", "day", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+    )
+    # width budget: x, n, S all fit (18,0); the centered terms n·x - S
+    # do too, so their products are (36,0) — inside BOTH engines' 38-
+    # digit cap (DuckDB binds multiply width as w1+w2 and ERRORS past
+    # 38; Spark silently saturates precision — (18,0) avoids both)
+    stats = dense.groupBy("g").agg(
+        F.sum("x").cast("decimal(18,0)").alias("s"),
+        F.count("*").cast("decimal(18,0)").alias("n"))
+    w = Window.partitionBy("g").orderBy("day")
+    widened = dense.join(F.broadcast(stats), "g").select(
+        "g", "day", "n", "s",
+        (F.col("x").cast("decimal(18,0)") * F.col("n") - F.col("s"))
+        .cast("decimal(18,0)").alias("c0"),
+        *[
+            (F.lead("x", int(l)).over(w).cast("decimal(18,0)") * F.col("n")
+             - F.col("s")).cast("decimal(18,0)").alias(f"c{int(l)}")
+            for l in lags
+        ],
+    )
+    den = F.sum(F.col("c0") * F.col("c0"))
+    out = widened.groupBy("g").agg(
+        F.max(F.col("n").cast("bigint")).alias("n_days"),
+        den.alias("_den"),
+        *[
+            F.sum(F.col("c0") * F.col(f"c{int(l)}")).alias(f"_num{int(l)}")
+            for l in lags
+        ],
+    )
+    pairs = []
+    for l in lags:
+        pairs.append(F.struct(
+            F.lit(int(l)).alias("lag"),
+            F.round(
+                F.col(f"_num{int(l)}").cast("double")
+                / F.col("_den").cast("double"), 6).alias("acf"),
+        ))
+    return (
+        out.select(
+            F.col("g").alias(group_col), "n_days",
+            F.explode(F.array(*pairs)).alias("_p"))
+        .select(group_col, "n_days", F.col("_p.lag").alias("lag"),
+                F.col("_p.acf").alias("acf"))
+    )

@@ -56,6 +56,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "knn_ivf_sampled",
     "forecast_revenue",
     "approx_distinct_hll",
+    "interval_overlap",
+    "events_acf",
 )
 
 

@@ -1023,3 +1023,25 @@ def test_serve_paths_job_count_pins(spark, tmp_path):
             sc.setJobGroup(None, None)
         jobs = len(tracker.getJobIdsForGroup(f"gate_{name}"))
         assert 0 < jobs <= bound, (name, jobs, bound)
+
+
+def test_interval_overlap_join_bucket_blocked(spark):
+    """The interval×interval overlap join must run as the bucket
+    equi-join — the raw range theta-join plans as a nested loop, the
+    exact shape the operator exists to avoid."""
+    from semantik_spark.operators.timeseries import interval_overlap_join
+
+    left = spark.range(200).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 1_000_000).alias("l_start_us"),
+        (F.col("id") * 1_000_000 + 500_000).alias("l_end_us"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 4_000_000).alias("r_start_us"),
+        (F.col("id") * 4_000_000 + 2_000_000).alias("r_end_us"),
+    )
+    out = interval_overlap_join(left, right, bucket_us=1_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

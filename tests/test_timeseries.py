@@ -337,3 +337,57 @@ def test_trend_ols_matches_numpy_fit(spark):
     # constant series: var_y == 0 -> r2 NULL, slope 0
     flat = out["flat"]
     assert flat.slope_per_day == 0.0 and flat.r2 is None
+
+
+def test_interval_overlap_join_equals_theta_join(spark):
+    """Bucket blocking is recall-exact: candidates via covered-bucket
+    equi-join + verify == the raw range predicate join, including
+    intervals that span multiple buckets and pairs that share several."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.timeseries import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 25), (3, 30, 31), (4, 19, 21)],
+        ["lid", "l_start_us", "l_end_us"],
+    )
+    right = spark.createDataFrame(
+        [(10, 8, 9), (20, 24, 40), (30, 100, 110)],
+        ["rid", "r_start_us", "r_end_us"],
+    )
+    got = sorted(
+        (r["lid"], r["rid"], r["overlap_us"])
+        for r in interval_overlap_join(left, right, bucket_us=10).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"], r["overlap_us"])
+        for r in left.crossJoin(right)
+        .where((F.col("l_start_us") <= F.col("r_end_us"))
+               & (F.col("r_start_us") <= F.col("l_end_us")))
+        .withColumn(
+            "overlap_us",
+            F.least("l_end_us", "r_end_us") - F.greatest("l_start_us", "r_start_us"),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_acf_constant_series_and_alternating(spark):
+    """A perfectly alternating daily series has ACF(1) ~ -1 and
+    ACF(2) ~ +1 — the sign structure the estimator must reproduce."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import acf_daily
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        n = 10 if d % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d), 1, "a", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    out = {r["lag"]: r["acf"] for r in acf_daily(ev, lags=(1, 2)).collect()}
+    assert out[1] < -0.8
+    assert out[2] > 0.7
