@@ -3665,6 +3665,45 @@ def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece training (tokenizer.wordpiece_train,
+    Schuster & Nakajima 2012 / BERT): 8 likelihood-scored merges —
+    argmax of count(l,r)/(count(l)·count(r)), '##' continuation
+    convention — learned from the documents corpus. The oracle is a
+    fully unrolled 8-round SQL replay (oracles.wordpiece_ctes), so a
+    green row pins the unigram/pair counting, the one-IEEE-division
+    likelihood argmax with its (l, r) tie-break, AND the
+    '##'-stripped merge rewrite. Output carries the exact integer
+    numerator (pair_count) and denominator — no float in the table.
+    Completes the tokenizer-trainer triad: BPE (frequency), unigram-LM
+    (Kudo likelihood pruning), WordPiece (pairwise likelihood)."""
+    from semantik_spark.operators.tokenizer import wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = wordpiece_train(docs, num_merges=8)
+    return merges
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece max-munch encoding (tokenizer.wordpiece_encode_words):
+    the top-30 corpus words encoded greedily longest-match-first over
+    vocab = training alphabet ∪ merged pieces. Unlike BPE (whose
+    encoder replays merges and must equal the final training state),
+    max-munch is vocab-driven — the oracle unrolls the consume loop in
+    SQL (each step eats the longest matching piece), so a green row
+    value-checks BERT's runtime tokenizer semantics themselves."""
+    from semantik_spark.operators.tokenizer import (
+        _wp_initial_state, word_frequencies, wordpiece_encode_words,
+        wordpiece_train, wordpiece_vocab)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = wordpiece_train(docs, num_merges=8)
+    wf = word_frequencies(docs)
+    vocab = wordpiece_vocab(_wp_initial_state(wf), merges)
+    top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(30).select("word")
+    return wordpiece_encode_words(top, vocab)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (tokenizer.bpe_train): 8
     merges learned from the documents corpus via the published
@@ -4326,6 +4365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_hll": q_approx_distinct_hll,
         "interval_overlap": q_interval_overlap,
         "events_acf": q_events_acf,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_encode": q_wordpiece_encode,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4692,6 +4733,8 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
+        "wordpiece_merges": oracles.q_wordpiece_merges(8),
+        "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
         # the oracle joins on the RAW range predicate — a hash match
         # proves the bucket-blocked equi-join loses no pair
         "interval_overlap": """

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "events_concurrency",
     # round-8 additions
     "gdpr_delete_cascade", "bm25_append_delete_replay", "knn_ivf_sampled",
+    "forecast_revenue", "approx_distinct_hll", "interval_overlap",
+    "events_acf", "wordpiece_merges", "wordpiece_encode",
 ]
 
 

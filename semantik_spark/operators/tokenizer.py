@@ -102,14 +102,20 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     ).agg(F.sum("freq").alias("cnt"))
 
 
-def _apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every word's symbol array with (left, right) → left+right
-    merged greedily left-to-right over non-overlapping occurrences.
+def _apply_merge(state: DataFrame, left: str, right: str,
+                 merged: str | None = None) -> DataFrame:
+    """Rewrite every word's symbol array with (left, right) → ``merged``
+    (default left+right) greedily left-to-right over non-overlapping
+    occurrences.
 
     Greedy non-overlap via gaps-and-islands: a position merges iff it
     matches the pair AND its offset within its maximal run of
     consecutive matching positions is even (0-based) — the window-
-    function equivalent of a sequential scan."""
+    function equivalent of a sequential scan. ``merged`` lets WordPiece
+    reuse the rewrite with its '##'-stripped join (a##b + ##c → a##bc
+    is spelled left + right[2:])."""
+    if merged is None:
+        merged = left + right
     w = Window.partitionBy("word").orderBy("pos")
     ex = state.select(
         "word", "freq", F.posexplode("syms").alias("pos", "sym")
@@ -134,7 +140,7 @@ def _apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
         "word",
         "freq",
         "pos",
-        F.when(F.col("keep"), F.lit(left + right)).otherwise(F.col("sym")).alias("out_sym"),
+        F.when(F.col("keep"), F.lit(merged)).otherwise(F.col("sym")).alias("out_sym"),
     )
     rebuilt = out.groupBy("word", "freq").agg(
         F.transform(
@@ -599,4 +605,148 @@ def bpe_fertility(docs: DataFrame, merges: list[tuple[str, str]],
             F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
             .alias("chars_per_token"),
         )
+    )
+
+
+# --- WordPiece (Schuster & Nakajima 2012 / BERT) ----------------------------
+
+def _wp_initial_state(wordfreq: DataFrame) -> DataFrame:
+    """word, freq, syms — WordPiece symbolization: first character
+    plain, every continuation character '##'-prefixed (the BERT
+    convention; no end-of-word marker)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.when(i == 1, F.substring(F.col("word"), 1, 1)).otherwise(
+            F.concat(F.lit(CONT), F.substring(F.col("word"), i, F.lit(1)))
+        ),
+    )
+    return wordfreq.select("word", "freq", chars.alias("syms"))
+
+
+CONT = "##"
+
+
+def _wp_merged(left: str, right: str) -> str:
+    return left + (right[len(CONT):] if right.startswith(CONT) else right)
+
+
+def wordpiece_train(docs: DataFrame, num_merges: int = 8,
+                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Learn ``num_merges`` WordPiece merges. Same round structure as
+    ``bpe_train`` (one pair-count aggregation, one 1-row argmax
+    collect, one window rewrite per round — see its at-scale note; the
+    production path is the same driver-local-loop-on-a-bounded-word-
+    table pattern as ``bpe_train_sampled``), with WordPiece's TWO
+    differences:
+
+    * the winning pair maximizes the LIKELIHOOD score
+      count(l,r) / (count(l)·count(r)) — merge what co-occurs more
+      than chance, not what is merely frequent (count(x) = current
+      total occurrences of symbol x, word-frequency weighted);
+    * pieces carry the '##' continuation prefix and the merged piece
+      strips the right side's: a##b + ##c → a##bc.
+
+    The argmax evaluates the score as ONE IEEE division of exact
+    BIGINTs (identical in any engine) with ties broken (left, right)
+    ASC; the merge table carries the exact integer numerator
+    (pair_count) and denominator (cnt_l·cnt_r) so the ranking is
+    auditable without any float in the output.
+
+    Returns (merges, state): merges — merge_rank, left_sym, right_sym,
+    merged, pair_count, denom; state — word, freq, syms (the final
+    training symbolization).
+    """
+    spark = docs.sparkSession
+    state = _wp_initial_state(
+        word_frequencies(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int, int]] = []
+    for rank in range(1, num_merges + 1):
+        uni = (
+            state.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym").agg(F.sum("freq").cast("bigint").alias("ucnt"))
+        )
+        pairs = _pair_counts(state)
+        ul = uni.select(F.col("sym").alias("left"), F.col("ucnt").alias("cl"))
+        ur = uni.select(F.col("sym").alias("right"), F.col("ucnt").alias("cr"))
+        best = (
+            pairs.join(ul, "left").join(ur, "right")
+            .withColumn("denom", (F.col("cl") * F.col("cr")).cast("bigint"))
+            .withColumn("score", F.col("cnt") / F.col("denom"))
+            .orderBy(F.desc("score"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] <= 0:
+            break
+        l, r = best[0]["left"], best[0]["right"]
+        m = _wp_merged(l, r)
+        merges.append((rank, l, r, m, int(best[0]["cnt"]), int(best[0]["denom"])))
+        state = _apply_merge(state, l, r, merged=m).localCheckpoint(eager=True)
+    schema = StructType([
+        StructField("merge_rank", LongType()),
+        StructField("left_sym", StringType()),
+        StructField("right_sym", StringType()),
+        StructField("merged", StringType()),
+        StructField("pair_count", LongType()),
+        StructField("denom", LongType()),
+    ])
+    return spark.createDataFrame(merges, schema), state
+
+
+def wordpiece_vocab(state0_alphabet: DataFrame, merges: DataFrame) -> list[str]:
+    """The serving vocabulary: every initial symbol (plain first chars
+    + '##' continuations seen in training) plus every merged piece —
+    bounded by |alphabet| + num_merges, a driver-side list by design
+    (same contract as the BPE merge list the encoders consume)."""
+    alpha = [r["sym"] for r in state0_alphabet.select(
+        F.explode("syms").alias("sym")).distinct().collect()]
+    merged = [r["merged"] for r in merges.select("merged").collect()]
+    return sorted(set(alpha) | set(merged))
+
+
+def wordpiece_encode_word(word: str, vocab: set[str]) -> list[str] | None:
+    """Greedy longest-match-first (max-munch) WordPiece encoding —
+    BERT's runtime tokenizer. None = unencodable ([UNK]): some suffix
+    has no matching piece."""
+    out: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        j = n
+        piece = None
+        while j > i:
+            cand = word[i:j] if i == 0 else CONT + word[i:j]
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return None
+        out.append(piece)
+        i = j
+    return out
+
+
+def wordpiece_encode_words(words: DataFrame, vocab: list[str],
+                           word_col: str = "word") -> DataFrame:
+    """Distributed max-munch encode: (word, piece_index INT, piece).
+    The vocab rides as a captured set inside an Arrow-batched
+    mapInPandas — same shape as the BPE/unigram encoders; the per-word
+    cost is O(len²) string probes against a hash set, over the VOCAB
+    table, never the corpus."""
+    out_schema = StructType(
+        list(words.schema.fields) + [StructField("pieces", ArrayType(StringType()))]
+    )
+    vset = set(vocab)
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [wordpiece_encode_word(w, vset) for w in pdf[word_col]]
+            yield pdf
+
+    return (
+        words.mapInPandas(enc, schema=out_schema)
+        .select(word_col, F.posexplode("pieces").alias("piece_index", "piece"))
+        .withColumn("piece_index", F.col("piece_index").cast("int"))
     )

@@ -3121,6 +3121,141 @@ state0 AS MATERIALIZED (
     return base + "," + ",".join(_bpe_round_ctes(k) for k in range(1, num_merges + 1))
 
 
+def _wp_round_ctes(k: int) -> str:
+    """One unrolled WordPiece training round: symbol unigram counts +
+    pair counts on state{k-1} → likelihood argmax (cnt/(cl·cr) as ONE
+    IEEE division of exact BIGINTs, ties (l, r) ASC) → greedy
+    non-overlapping rewrite to the '##'-stripped merged piece. Mirrors
+    tokenizer.wordpiece_train round-for-round; the rewrite machinery is
+    _bpe_round_ctes' islands expression with bm in place of bl||br."""
+    p = k - 1
+    return f"""
+uni{k} AS (
+  SELECT sym, CAST(SUM(freq) AS BIGINT) AS ucnt
+  FROM (SELECT freq, unnest(syms) AS sym FROM state{p}) GROUP BY 1
+),
+pairs{k} AS MATERIALIZED (
+  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+                        i -> {{'l': syms[i], 'r': syms[i+1]}})) AS p
+    FROM state{p}
+  ) GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT p.l, p.r, p.cnt, (ul.ucnt * ur.ucnt)::BIGINT AS denom,
+         p.l || CASE WHEN p.r LIKE '##%' THEN substr(p.r, 3) ELSE p.r END AS bm
+  FROM pairs{k} p
+  JOIN uni{k} ul ON p.l = ul.sym
+  JOIN uni{k} ur ON p.r = ur.sym
+  ORDER BY p.cnt::DOUBLE / (ul.ucnt * ur.ucnt) DESC, p.l, p.r LIMIT 1
+),
+mm{k} AS (
+  SELECT e.word, e.freq, e.pos, e.sym,
+         CASE WHEN e.sym = b.l AND e.nxt = b.r THEN 1 ELSE 0 END AS m,
+         b.bm AS bm
+  FROM (
+    SELECT word, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM (SELECT word, freq, unnest(range(0, len(syms))) AS pos,
+                 unnest(syms) AS sym FROM state{p})
+  ) e CROSS JOIN best{k} b
+),
+kp{k} AS (
+  SELECT *, (m = 1 AND (rnm - MIN(rnm) OVER (PARTITION BY word, grp)) % 2 = 0) AS keep
+  FROM (
+    SELECT *, CASE WHEN m = 1 THEN pos - rnm END AS grp FROM (
+      SELECT *, SUM(m) OVER (PARTITION BY word ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS rnm
+      FROM mm{k})
+  )
+),
+state{k} AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN keep THEN bm ELSE sym END ORDER BY pos) AS syms
+  FROM (SELECT *, COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS prev_keep FROM kp{k})
+  WHERE NOT prev_keep
+  GROUP BY word, freq
+)"""
+
+
+def wordpiece_ctes(num_merges: int = 8, doc_table: str = "documents",
+                   text_col: str = "text") -> str:
+    """CTE chain: wf → state0 (first char plain, continuations
+    '##'-prefixed, no EOW) → (uni/pairs/best/state)×num_merges — a full
+    unrolled replay of tokenizer.wordpiece_train."""
+    base = f"""
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS word
+        FROM {doc_table})
+  GROUP BY word
+),
+state0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, length(word)+1),
+                        i -> CASE WHEN i = 1 THEN substr(word, i, 1)
+                                  ELSE '##' || substr(word, i, 1) END) AS syms
+  FROM wf
+)"""
+    return base + "," + ",".join(_wp_round_ctes(k) for k in range(1, num_merges + 1))
+
+
+def q_wordpiece_merges(num_merges: int = 8) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, b.l AS left_sym, "
+        f"b.r AS right_sym, b.bm AS merged, b.cnt AS pair_count, "
+        f"b.denom AS denom FROM best{k} b"
+        for k in range(1, num_merges + 1)
+    )
+    return (f"WITH {wordpiece_ctes(num_merges)} "
+            f"SELECT * FROM ({sel}) ORDER BY merge_rank")
+
+
+def q_wordpiece_encode(num_merges: int = 8, top_n: int = 30,
+                       max_steps: int = 12) -> str:
+    """Twin of tokenizer.wordpiece_encode_words: greedy longest-match
+    (max-munch) over vocab = state0 alphabet ∪ merged pieces, unrolled
+    ``max_steps`` consume steps (each step eats ≥1 char, so any word up
+    to max_steps chars fully encodes; corpus words are [a-z]+ ≤ 8)."""
+    steps = []
+    for i in range(1, max_steps + 1):
+        steps.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT word, pos, pieces FROM s{i - 1} WHERE pos >= length(word)
+  UNION ALL
+  SELECT word, pos + length(base) AS pos, list_append(pieces, piece) AS pieces
+  FROM (
+    SELECT w.word, w.pos, w.pieces, v.base, v.piece,
+           row_number() OVER (PARTITION BY w.word
+                              ORDER BY length(v.base) DESC, v.piece) AS rn
+    FROM s{i - 1} w JOIN v
+      ON w.pos < length(w.word)
+     AND v.cont = (w.pos > 0)
+     AND substr(w.word, w.pos + 1, length(v.base)) = v.base
+  ) WHERE rn = 1
+)""")
+    merged_union = " UNION ".join(
+        f"SELECT bm AS piece FROM best{k}" for k in range(1, num_merges + 1))
+    return f"""
+WITH {wordpiece_ctes(num_merges)},
+vocabp AS MATERIALIZED (
+  SELECT DISTINCT unnest(syms) AS piece FROM state0
+  UNION {merged_union}
+),
+v AS MATERIALIZED (
+  SELECT piece,
+         CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS base,
+         (piece LIKE '##%') AS cont
+  FROM vocabp
+),
+tw AS (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT {top_n}),
+s0 AS MATERIALIZED (SELECT word, 0 AS pos, []::VARCHAR[] AS pieces FROM tw),{','.join(steps)}
+SELECT word, i::INT AS piece_index, pieces[i + 1] AS piece FROM (
+  SELECT word, pieces, unnest(range(0, len(pieces))) AS i FROM s{max_steps}
+  WHERE pos >= length(word))"""
+
+
 def q_bpe_merges(num_merges: int = 8) -> str:
     sel = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, b.l AS left_sym, "

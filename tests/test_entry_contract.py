@@ -58,6 +58,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "approx_distinct_hll",
     "interval_overlap",
     "events_acf",
+    "wordpiece_merges",
+    "wordpiece_encode",
 )
 
 

@@ -258,3 +258,63 @@ def test_unigram_em_refine_reinforces_used_pieces(spark):
     assert {r["piece"] for r in pieces.collect() if r["piece_len"] == 1} <= rp
     enc = unigram_encode_words(words, refined, max_piece_len=4)
     assert enc.count() == words.count()  # everything still segmentable
+
+
+# --- WordPiece ---------------------------------------------------------------
+
+def test_wordpiece_likelihood_beats_frequency(spark):
+    """'t ##h' co-occurs 5x but t/##h are everywhere (score 1/6);
+    'q ##u' co-occurs only 2x yet q never appears without u (score
+    1/2, the strict corpus max) — WordPiece must merge q+##u first
+    even though t+##h is more frequent. (BPE would pick the raw count
+    winner.) Every other symbol is frequent enough that no
+    singleton-singleton pair reaches 1/2."""
+    from semantik_spark.operators.tokenizer import wordpiece_train
+
+    docs = spark.createDataFrame(
+        [(1, "the the the that them quit quay hat hot hit toy say may"),],
+        ["doc_id", "text"],
+    )
+    merges, _ = wordpiece_train(docs, num_merges=1)
+    r = merges.collect()[0]
+    assert (r["left_sym"], r["right_sym"]) == ("q", "##u")
+    assert r["merged"] == "qu"
+
+
+def test_wordpiece_merged_strips_continuation_prefix(spark):
+    """Mid-word merges keep ONE '##': ##b + ##c -> ##bc."""
+    from semantik_spark.operators.tokenizer import wordpiece_train
+
+    docs = spark.createDataFrame([(1, "xbc ybc zbc wbc")], ["doc_id", "text"])
+    merges, state = wordpiece_train(docs, num_merges=1)
+    r = merges.collect()[0]
+    assert (r["left_sym"], r["right_sym"], r["merged"]) == ("##b", "##c", "##bc")
+    syms = {tuple(x["syms"]) for x in state.collect()}
+    assert ("x", "##bc") in syms
+
+
+def test_wordpiece_encode_max_munch_and_unk():
+    from semantik_spark.operators.tokenizer import wordpiece_encode_word
+
+    vocab = {"a", "##b", "ab", "abc", "##c", "##bc"}
+    # longest-match wins at position 0: 'abc' as one piece
+    assert wordpiece_encode_word("abc", vocab) == ["abc"]
+    # after consuming 'ab', continuation matching applies
+    assert wordpiece_encode_word("abbc", vocab) == ["ab", "##bc"]
+    # unencodable suffix -> None ([UNK])
+    assert wordpiece_encode_word("abz", vocab) is None
+
+
+def test_wordpiece_encode_words_matches_local(spark):
+    from semantik_spark.operators.tokenizer import (wordpiece_encode_word,
+                                                    wordpiece_encode_words)
+
+    vocab = ["h", "##e", "##l", "##o", "he", "##ll", "##llo"]
+    words = spark.createDataFrame([("hello",), ("he",)], ["word"])
+    rows = wordpiece_encode_words(words, vocab).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["word"], []).append((r["piece_index"], r["piece"]))
+    assert [p for _, p in sorted(got["hello"])] == wordpiece_encode_word(
+        "hello", set(vocab))
+    assert [p for _, p in sorted(got["he"])] == ["he"]
