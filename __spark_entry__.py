@@ -858,6 +858,75 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.py, the
+    Fellegi-Sunter machinery): a deterministic DIRTY copy of every 7th
+    customer (last two name characters transposed, balance truncated —
+    the classic data-entry noise) is linked back against the clean
+    table. Blocking = (nation, name digit-sum) — the digit-sum key is
+    transposition-invariant, so blocking never loses the true pair;
+    scoring = integer milli-unit agreement weights on name edit
+    distance + balance proximity, threshold 3000. Transposition
+    COLLISIONS (a dirty name that exactly equals a different real
+    customer, e.g. …123 ↔ …132) legitimately link too — that ambiguity
+    is the entity-resolution problem, reproduced deterministically.
+    One equi-join on the block key, never |A|·|B| (plan-asserted)."""
+    from semantik_spark.operators.linkage import blocked_linkage, digit_sum
+
+    cust = _t(spark, sf_dir, "customer")
+    clean = cust.select(
+        "c_nationkey", F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("value"),
+    ).withColumn("dsum", digit_sum("name"))
+    n = F.length("c_name")
+    swapped = F.concat(
+        F.substring(F.col("c_name"), F.lit(1), n - 2),
+        F.substr(F.col("c_name"), n, F.lit(1)),
+        F.substr(F.col("c_name"), n - 1, F.lit(1)),
+    )
+    dirty = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_nationkey",
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("rec_id"),
+        swapped.alias("name"),
+        F.floor("c_acctbal").cast("double").alias("value"),
+    ).withColumn("dsum", digit_sum("name"))
+    return blocked_linkage(
+        clean, dirty, ["c_nationkey", "dsum"],
+        name_col="name", value_col="value", id_col="rec_id", threshold=3000,
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (pii.k_anonymity_report, Sweeney 2002) over
+    the quasi-identifiers (nation, market segment, balance band):
+    every equivalence class with its size, the at-risk flag
+    (size < k=5), and the dataset's achieved k (min class size,
+    broadcast). The compliance complement to pii_redact: redaction
+    strips direct identifiers, this measures what the remaining
+    attributes still leak in combination. The balance band is
+    EQUI-WIDTH from a 1-row min/max broadcast — map-only binning (a
+    global ntile would single-partition the whole table; generalizing
+    a quasi-identifier doesn't need equi-depth)."""
+    from semantik_spark.operators.pii import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    span = cust.agg(F.min("c_acctbal").alias("_lo"),
+                    F.max("c_acctbal").alias("_hi"))
+    binned = cust.crossJoin(F.broadcast(span)).withColumn(
+        "bal_band",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(9),
+                F.floor((F.col("c_acctbal") - F.col("_lo")) * 10.0
+                        / (F.col("_hi") - F.col("_lo"))),
+            )
+        ).cast("int"),
+    ).drop("_lo", "_hi")
+    return k_anonymity_report(
+        binned, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join, bucket-blocked (timeseries.
     interval_overlap_join — the batch twin of the stream-stream
@@ -4367,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_encode": q_wordpiece_encode,
+        "record_linkage": q_record_linkage,
+        "k_anonymity": q_k_anonymity,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4735,6 +4806,53 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
         "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
+        "record_linkage": """
+WITH clean AS (
+  SELECT c_nationkey, c_custkey AS id, c_name AS name,
+         c_acctbal::DOUBLE AS val,
+         list_aggregate(list_transform(regexp_extract_all(c_name, '[0-9]'),
+                        x -> x::BIGINT), 'sum') AS dsum
+  FROM customer
+), dirty AS (
+  SELECT c_nationkey, c_custkey + 1000000 AS id,
+         substr(c_name, 1, length(c_name) - 2)
+           || substr(c_name, length(c_name), 1)
+           || substr(c_name, length(c_name) - 1, 1) AS name,
+         floor(c_acctbal)::DOUBLE AS val
+  FROM customer WHERE c_custkey % 7 = 0
+), dirtyb AS (
+  SELECT *, list_aggregate(list_transform(regexp_extract_all(name, '[0-9]'),
+                           x -> x::BIGINT), 'sum') AS dsum
+  FROM dirty
+), cand AS (
+  SELECT l.id AS id_left, r.id AS id_right,
+         levenshtein(l.name, r.name) AS dist,
+         CASE WHEN levenshtein(l.name, r.name) = 0 THEN 4000
+              WHEN levenshtein(l.name, r.name) <= 2 THEN 2500
+              ELSE -3000 END
+         + CASE WHEN abs(l.val - r.val) < 1.0 THEN 1500 ELSE -1000 END AS score
+  FROM clean l JOIN dirtyb r
+    ON l.c_nationkey = r.c_nationkey AND l.dsum = r.dsum
+)
+SELECT id_left, id_right, dist::INT AS name_dist, score::BIGINT AS score_milli
+FROM cand WHERE score >= 3000""",
+        "k_anonymity": """
+WITH span AS (
+  SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+), d AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CASE WHEN hi = lo THEN 0
+               ELSE least(9, floor((c_acctbal - lo) * 10.0 / (hi - lo)))
+          END)::INT AS bal_band
+  FROM customer CROSS JOIN span
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT AS class_size
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+       (SELECT min(class_size) FROM classes)::BIGINT AS k_anonymity,
+       class_size < 5 AS at_risk
+FROM classes""",
         # the oracle joins on the RAW range predicate — a hash match
         # proves the bucket-blocked equi-join loses no pair
         "interval_overlap": """

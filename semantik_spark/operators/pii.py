@@ -114,3 +114,30 @@ def pii_report(docs: DataFrame, id_col: str = "doc_id",
         "doc_id", *[f"n_{k}" for k, _ in PII_PATTERNS],
         total.cast("int").alias("n_pii"), (total > 0).alias("has_pii"), "redacted",
     )
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity audit over the given quasi-identifier columns
+    (Sweeney 2002): every equivalence class (distinct quasi-identifier
+    combination) with its size, an ``at_risk`` flag (size < k — those
+    rows are re-identifiable within fewer than k candidates), and the
+    dataset's achieved ``k_anonymity`` (the minimum class size,
+    broadcast onto every row so the report is self-contained).
+
+    The compliance companion to the redaction pass above: redaction
+    removes DIRECT identifiers; this measures what the remaining
+    quasi-identifiers still leak in combination.
+
+    Scale shape: one groupBy on the quasi columns (map-side
+    combinable) + a 1-row global-min broadcast — the same two-exchange
+    profile as any grouped aggregate; no windows, no self-joins.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("bigint").alias("class_size")
+    )
+    kmin = classes.agg(F.min("class_size").alias("k_anonymity"))
+    return (
+        classes.crossJoin(F.broadcast(kmin))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )

@@ -60,6 +60,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "events_acf",
     "wordpiece_merges",
     "wordpiece_encode",
+    "record_linkage",
+    "k_anonymity",
 )
 
 

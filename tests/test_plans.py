@@ -1045,3 +1045,21 @@ def test_interval_overlap_join_bucket_blocked(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_linkage_never_all_pairs(spark):
+    """Record linkage must candidate-generate via the blocking-key
+    equi-join — |A|·|B| Levenshtein is the scale-killer blocking
+    exists to avoid."""
+    from semantik_spark.operators.linkage import blocked_linkage, digit_sum
+
+    a = spark.range(100).select(
+        (F.col("id") % 7).alias("blk"), F.col("id").alias("rec_id"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("value"))
+    b = a.select("blk", (F.col("rec_id") + 1000).alias("rec_id"),
+                 "name", "value")
+    out = blocked_linkage(a, b, ["blk"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
