@@ -2981,6 +2981,19 @@ def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_knn_edges(spark, sf_dir, k=5), top_k=20)
 
 
+def q_knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the 5-NN cosine graph
+    (graph.adamic_adar_links): top-20 NON-edges ranked by
+    Σ 1/ln(deg(common neighbor)), each ln term quantized to integer
+    micro-units so the sum is order-free — on the kNN graph this
+    surfaces document pairs the k-cutoff split apart (a recall-repair
+    signal for the ANN index). Shares the memoized edge table with
+    pagerank/triangles/k-core."""
+    from semantik_spark.operators.graph import adamic_adar_links
+
+    return adamic_adar_links(_knn_edges(spark, sf_dir, k=5), top_k=20)
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch-style union/intersection/Jaccard estimates between
     every pair of event-type user sets from KMV sketches (k=64)."""
@@ -4438,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": q_wordpiece_encode,
         "record_linkage": q_record_linkage,
         "k_anonymity": q_k_anonymity,
+        "knn_link_prediction": q_knn_link_prediction,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4806,6 +4820,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
         "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
+        "knn_link_prediction": oracles.q_knn_link_prediction(k=5, top_k=20),
         "record_linkage": """
 WITH clean AS (
   SELECT c_nationkey, c_custkey AS id, c_name AS name,

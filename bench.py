@@ -157,7 +157,7 @@ BENCH_QUERIES = [
     "gdpr_delete_cascade", "bm25_append_delete_replay", "knn_ivf_sampled",
     "forecast_revenue", "approx_distinct_hll", "interval_overlap",
     "events_acf", "wordpiece_merges", "wordpiece_encode",
-    "record_linkage", "k_anonymity",
+    "record_linkage", "k_anonymity", "knn_link_prediction",
 ]
 
 

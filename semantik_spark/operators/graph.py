@@ -304,3 +304,64 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
              + damping * F.coalesce(F.col("sm"), F.lit(0.0))).alias("pr"),
         )
     return ranks.select("id", F.round("pr", 6).alias("ppr"))
+
+
+def adamic_adar_links(edges: DataFrame, top_k: int = 20,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Link prediction over the undirected closure of a directed edge
+    list: Adamic-Adar scores for NON-edges with at least one common
+    neighbor — the classic 'which nodes should be connected' ranking
+    (Adamic & Adar 2003; on the kNN graph it surfaces document pairs
+    the k-cutoff split apart, a recall-repair signal for the ANN
+    index).
+
+    node_a, node_b (a < b, NOT an existing edge), common_neighbors,
+    aa_micro — AA = Σ_z 1/ln(deg(z)) over common neighbors z, carried
+    as integer MICRO-units per z-term (floor(1e6/ln(deg)+0.5), the
+    module-standard libm carry) so the sum is order-independent and
+    engine-exact. Top_k by (aa_micro DESC, a, b).
+
+    Shape: symmetric adjacency (2|E| rows) → degree groupBy → wedge
+    equi-join through the center z → existing-edge anti-join → pair
+    groupBy. Every join an equi-join on a node key; wedge fan-out per
+    center is deg(z)² — bounded by the kNN degree (≤ 2k) on graphs
+    from knn_graph_edges; for power-law graphs cap/split hub centers
+    exactly like the dedup family's salted hot buckets.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count("*").cast("bigint").alias("deg"))
+    # per-center AA term, quantized once per z (deg >= 2 for any wedge
+    # center, so ln(deg) >= ln 2 > 0)
+    term = deg.withColumn(
+        "term_micro",
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))
+                + F.lit(0.5)).cast("bigint"),
+    )
+    wedges = (
+        adj.select(F.col("v").alias("z"), F.col("u").alias("a"))
+        .join(adj.select(F.col("v").alias("z"), F.col("u").alias("b")), "z")
+        .where(F.col("a") < F.col("b"))
+    )
+    non_edges = wedges.join(
+        und, (wedges.a == und.u) & (wedges.b == und.v), "left_anti")
+    scored = (
+        non_edges.join(term.where(F.col("deg") >= 2), "z")
+        .groupBy(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum("term_micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("aa_micro"), F.asc("node_a"), F.asc("node_b")).limit(top_k)

@@ -2829,6 +2829,43 @@ SELECT id, n_triangles FROM pn
 ORDER BY n_triangles DESC, id ASC LIMIT {top_k}"""
 
 
+def q_knn_link_prediction(k: int = 5, top_k: int = 20) -> str:
+    """Twin of graph.adamic_adar_links over graph.knn_graph_edges:
+    wedges through a common neighbor, existing-edge anti-join, per-
+    center 1/ln(deg) quantized to micro-units before the sum."""
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+adj AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+term AS (
+  SELECT u AS z, count(*)::BIGINT AS deg,
+         floor(1000000.0 / ln(count(*)::DOUBLE) + 0.5)::BIGINT AS term_micro
+  FROM adj GROUP BY u
+),
+wedges AS (
+  SELECT l.z, l.a, r.b FROM
+    (SELECT v AS z, u AS a FROM adj) l
+    JOIN (SELECT v AS z, u AS b FROM adj) r ON l.z = r.z
+  WHERE l.a < r.b
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = w.a AND und.v = w.b)
+),
+scored AS (
+  SELECT a AS node_a, b AS node_b, count(*)::BIGINT AS common_neighbors,
+         sum(term_micro)::BIGINT AS aa_micro
+  FROM non_edges JOIN term USING (z) WHERE term.deg >= 2
+  GROUP BY 1, 2
+)
+SELECT * FROM scored ORDER BY aa_micro DESC, node_a ASC, node_b ASC LIMIT {top_k}"""
+
+
 def q_event_assoc(gap_minutes: int = 30, min_pair: int = 5,
                   top_k: int = 20) -> str:
     """Twin of timeseries.session_associations (market-basket lift over

@@ -62,6 +62,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "wordpiece_encode",
     "record_linkage",
     "k_anonymity",
+    "knn_link_prediction",
 )
 
 

@@ -32,3 +32,38 @@ def test_kcore_extra_rounds_are_noops(spark):
         (r["id"], r["degree"], r["core"]) for r in df.collect())
     assert norm(kcore_numbers(edges, rounds=8)) == \
         norm(kcore_numbers(edges, rounds=12))
+
+
+def test_adamic_adar_ranks_shared_hub_pairs(spark):
+    """Path graph 1-2-3 plus hub 0 connected to {4,5,6}: (1,3) is a
+    non-edge with common neighbor 2 (deg 2, term 1/ln2); (4,5),(4,6),
+    (5,6) share hub 0 (deg 3, term 1/ln3 — lower). AA must rank (1,3)
+    first and never emit existing edges or zero-common-neighbor
+    pairs."""
+    import math
+
+    from semantik_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 4), (0, 5), (0, 6)], ["src", "dst"])
+    rows = adamic_adar_links(edges, top_k=10).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in rows}
+    assert set(got) == {(1, 3), (4, 5), (4, 6), (5, 6)}
+    assert got[(1, 3)]["aa_micro"] == math.floor(1e6 / math.log(2) + 0.5)
+    assert got[(4, 5)]["aa_micro"] == math.floor(1e6 / math.log(3) + 0.5)
+    assert rows[0]["node_a"] == 1 and rows[0]["node_b"] == 3
+    assert all(r["common_neighbors"] == 1 for r in rows)
+
+
+def test_adamic_adar_sums_over_common_neighbors(spark):
+    """(1,2) connected through BOTH 3 and 4 -> two terms summed."""
+    import math
+
+    from semantik_spark.operators.graph import adamic_adar_links
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 4), (2, 4)], ["src", "dst"])
+    rows = {(r["node_a"], r["node_b"]): r
+            for r in adamic_adar_links(edges, top_k=10).collect()}
+    assert rows[(1, 2)]["common_neighbors"] == 2
+    assert rows[(1, 2)]["aa_micro"] == 2 * math.floor(1e6 / math.log(2) + 0.5)
