@@ -3896,6 +3896,58 @@ def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtesting-safe temporal split with a 2-day embargo
+    (training.temporal_split, the purged-split pattern): cutoff at
+    8/10 of the event-time span in exact integer microseconds (a
+    timestamp quantile would interpolate in floating point), embargo
+    rows discarded by the consumer. Returns the per-(split,
+    event_type) audit: counts, distinct users, and the split's time
+    extent — the time-dimension complement to dataset_split (content
+    hash) and leakage_safe_split (near-dup clusters)."""
+    from semantik_spark.operators.training import temporal_split
+
+    out = temporal_split(_events(spark, sf_dir), "ts",
+                         train_tenths=8, embargo_us=2 * 86_400_000_000)
+    return out.groupBy("split", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
+
+
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog end-to-end: the (event_type, user_id)
+    stream delivered as FOUR real micro-batches
+    (maxFilesPerTrigger=1, availableNow), each batch's register table
+    merged into persisted state by register-wise MAX
+    (streaming.incremental.streaming_hll). The lattice merge is
+    idempotent — unlike the additive Count-Min/DDSketch states this
+    sketch absorbs at-least-once re-delivery for free — and equals the
+    batch sketch for ANY split, so the oracle replays the BATCH
+    registers and the served estimates must hash-match exactly."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        hll_state_estimates, stream_files, streaming_hll,
+    )
+
+    base = _scratch("stream_hll")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    drop = f"{base}/drop"
+    ev.repartition(4).write.parquet(drop)
+    q = streaming_hll(
+        stream_files(spark, drop, "event_type string, user_id bigint",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "event_type", "user_id", p=8,
+    )
+    q.awaitTermination(300)
+    return hll_state_estimates(
+        spark, f"{base}/state", group_col="event_type", p=8)
+
+
 def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection AT INGESTION: the augmented doc corpus
     (planted +10000 duplicates) streams in as TWO micro-batches; each
@@ -4452,6 +4504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "k_anonymity": q_k_anonymity,
         "knn_link_prediction": q_knn_link_prediction,
+        "streaming_hll": q_streaming_hll,
+        "temporal_split": q_temporal_split,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4821,6 +4875,26 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
         "knn_link_prediction": oracles.q_knn_link_prediction(k=5, top_k=20),
+        # batch-register replay: a hash match IS the stream==batch proof
+        "streaming_hll": oracles.q_approx_distinct_hll(p=8, with_exact=False),
+        "temporal_split": """
+WITH span AS (
+  SELECT min(epoch_us(ts::TIMESTAMP)) AS t0, max(epoch_us(ts::TIMESTAMP)) AS t1
+  FROM events
+), tagged AS (
+  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us,
+         CASE WHEN epoch_us(ts::TIMESTAMP) < t0 + ((t1 - t0) * 8) // 10
+              THEN 'train'
+              WHEN epoch_us(ts::TIMESTAMP) < t0 + ((t1 - t0) * 8) // 10
+                                                + 2 * 86400000000
+              THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM events CROSS JOIN span
+)
+SELECT split, event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(us) AS min_us, max(us) AS max_us
+FROM tagged GROUP BY 1, 2""",
         "record_linkage": """
 WITH clean AS (
   SELECT c_nationkey, c_custkey AS id, c_name AS name,

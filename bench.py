@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "forecast_revenue", "approx_distinct_hll", "interval_overlap",
     "events_acf", "wordpiece_merges", "wordpiece_encode",
     "record_linkage", "k_anonymity", "knn_link_prediction",
+    "streaming_hll", "temporal_split",
 ]
 
 

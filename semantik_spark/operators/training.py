@@ -619,3 +619,44 @@ def calibrate_scores(scored: DataFrame, source_col: str = "source",
             F.round(F.percent_rank().over(w), 6).alias("calibrated"),
         )
     )
+
+
+def temporal_split(df: DataFrame, ts_col: str = "ts",
+                   train_tenths: int = 8,
+                   embargo_us: int = 7 * 86_400_000_000) -> DataFrame:
+    """Time-ordered train/test split with an EMBARGO gap — the
+    backtesting-safe split (purged split, López de Prado 2018 §7):
+    hash/cluster splits (dataset_split / leakage_safe_split) prevent
+    CONTENT leakage, but a model evaluated on events contemporaneous
+    with its training window still leaks through time — any feature
+    with lookahead (rolling means, labels realized later) straddles
+    the boundary. The embargo discards a gap after the cutoff so no
+    test row's lookback window reaches training data.
+
+    Cutoff = min_ts + train_tenths/10 of the [min, max] span, embargo
+    = [cutoff, cutoff+embargo_us) — all exact integer-microsecond
+    arithmetic from a 1-row min/max broadcast (a timestamp QUANTILE
+    would interpolate in floating point and flake cross-engine; a
+    span fraction is exact), so the row assignment is deterministic:
+      train   ts <  cutoff
+      embargo cutoff <= ts < cutoff + embargo_us   (discarded)
+      test    ts >= cutoff + embargo_us
+
+    Returns the input plus ``split`` (train/embargo/test) — map-only
+    after the broadcast, composing with any downstream aggregation.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    span = df.agg(
+        F.min(us).alias("_t0"), F.max(us).alias("_t1"))
+    cutoff = F.col("_t0") + F.expr(
+        f"((_t1 - _t0) * {int(train_tenths)}) div 10")
+    return (
+        df.crossJoin(F.broadcast(span))
+        .withColumn(
+            "split",
+            F.when(us < cutoff, F.lit("train"))
+            .when(us < cutoff + F.lit(embargo_us), F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("_t0", "_t1")
+    )

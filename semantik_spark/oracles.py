@@ -2339,7 +2339,7 @@ SELECT ex.g AS event_type, ex.n_exact::BIGINT AS n_exact, sk.n_sketch::INT AS n_
 FROM sk JOIN ex ON sk.g = ex.g"""
 
 
-def q_approx_distinct_hll(p: int = 8) -> str:
+def q_approx_distinct_hll(p: int = 8, with_exact: bool = True) -> str:
     """Twin of sketches.hll_distinct over (event_type, user_id): the
     deterministic-layout HyperLogLog — register j = hash60 mod m, rank
     via binary-string length (integer-exact in both engines), exact
@@ -2375,8 +2375,7 @@ est AS (
                         THEN {float(m)} * ln({float(m)} / v_zero)
                         ELSE e_raw END) * 1000 + 0.5)::BIGINT AS estimate_milli
   FROM e)
-SELECT g AS event_type, v_zero, sum_scaled, estimate_milli, n_exact,
-       round(abs(estimate_milli / 1000.0 - n_exact) / n_exact, 6) AS rel_error
+SELECT g AS event_type, v_zero, sum_scaled, estimate_milli{", n_exact, round(abs(estimate_milli / 1000.0 - n_exact) / n_exact, 6) AS rel_error" if with_exact else ""}
 FROM est"""
 
 

@@ -941,3 +941,58 @@ def streaming_scd2(stream: DataFrame, state_path: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll(stream: DataFrame, state_path: str, checkpoint: str,
+                  group_col: str, value_col: str, p: int = 8):
+    """Streaming HyperLogLog: each micro-batch's register table merges
+    into the persisted state by register-wise MAX — HLL's lattice-join
+    algebra (idempotent + commutative + associative), so the state
+    after N batches EXACTLY equals the batch sketch over all rows for
+    ANY split, re-delivery included (max is idempotent — this sketch
+    absorbs at-least-once delivery for free, which the additive
+    Count-Min/DDSketch states cannot). Asserted in
+    tests/test_streaming.py; the driver oracle replays the batch
+    registers.
+
+    State is one parquet table (g, j, mj) of at most 2^p rows per
+    group regardless of stream volume. Swap is staging-dir + rename
+    like streaming_kmv.
+    """
+    import os
+    import shutil
+
+    from semantik_spark.operators.sketches import (hll_merge_registers,
+                                                   hll_registers)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = hll_registers(batch, group_col, value_col, p)
+        old = _read_state(spark, state_path)
+        merged = partial if old is None else hll_merge_registers(old, partial)
+        tmp = state_path + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_state_estimates(spark: SparkSession, state_path: str,
+                        group_col: str = "group", p: int = 8) -> DataFrame:
+    """Serve distinct-count estimates from the streaming HLL state —
+    (group, v_zero, sum_scaled, estimate_milli), identical to the
+    batch hll_estimate over the same rows."""
+    from semantik_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(spark.read.parquet(state_path),
+                        exact=None, group_col=group_col, p=p)

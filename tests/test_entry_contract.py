@@ -63,6 +63,8 @@ ROUND8_WINDOW_MUST: tuple = (
     "record_linkage",
     "k_anonymity",
     "knn_link_prediction",
+    "streaming_hll",
+    "temporal_split",
 )
 
 

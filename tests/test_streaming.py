@@ -747,3 +747,41 @@ def test_stream_interval_join_left_outer_flushes_unmatched(spark, tmp_path):
     assert got == expect
     nulls = sum(1 for _, rid in got if rid is None)
     assert nulls > 10  # the unmatched tail actually flushed
+
+
+def test_streaming_hll_state_equals_batch_and_absorbs_redelivery(spark, tmp_path):
+    """Register-wise-max merge == batch sketch for any split, AND
+    re-delivering a whole batch leaves the state unchanged (lattice
+    idempotence — the at-least-once property additive sketches lack)."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.sketches import hll_registers
+    from semantik_spark.streaming.incremental import (hll_state_estimates,
+                                                      stream_files,
+                                                      streaming_hll)
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v"))
+    drop = str(tmp_path / "drop")
+    df.repartition(3).write.parquet(drop)
+    q = streaming_hll(
+        stream_files(spark, drop, "g string, v bigint", fmt="parquet",
+                     max_files_per_trigger=1),
+        str(tmp_path / "state"), str(tmp_path / "ckpt"), "g", "v", p=8)
+    q.awaitTermination(120)
+    got = {(r["g"], r["j"]): r["mj"]
+           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    batch = {(r["g"], r["j"]): r["mj"]
+             for r in hll_registers(df, "g", "v").collect()}
+    assert got == batch
+    # redelivery: merge one shard again via a fresh stream over the
+    # same files — state must not move
+    q2 = streaming_hll(
+        stream_files(spark, drop, "g string, v bigint", fmt="parquet"),
+        str(tmp_path / "state"), str(tmp_path / "ckpt2"), "g", "v", p=8)
+    q2.awaitTermination(120)
+    again = {(r["g"], r["j"]): r["mj"]
+             for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert again == batch
+    est = hll_state_estimates(spark, str(tmp_path / "state"), "g").collect()
+    assert len(est) == 3

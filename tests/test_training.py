@@ -269,3 +269,29 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # both splits non-empty at this corpus size
     splits = {r["split"] for r in out}
     assert splits == {"train", "test"}
+
+
+def test_temporal_split_embargo_separates_windows(spark):
+    """No test row's timestamp may fall within embargo_us of any train
+    row — the lookahead-leakage guarantee the embargo exists for."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.training import temporal_split
+
+    rows = [(i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = temporal_split(df, "ts", train_tenths=7,
+                         embargo_us=10 * 3_600_000_000)
+    agg = {r["split"]: (r["lo"], r["hi"], r["n"]) for r in out.groupBy("split").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.count("*").alias("n")).collect()}
+    assert set(agg) == {"train", "embargo", "test"}
+    assert agg["train"][2] + agg["embargo"][2] + agg["test"][2] == 100
+    # gap: earliest test - latest train >= embargo
+    assert agg["test"][0] - agg["train"][1] >= 10 * 3_600_000_000
+    # boundaries ordered
+    assert agg["train"][1] < agg["embargo"][0] <= agg["embargo"][1] < agg["test"][0]
