@@ -2994,6 +2994,20 @@ def q_knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_links(_knn_edges(spark, sf_dir, k=5), top_k=20)
 
 
+def q_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the 5-NN cosine graph
+    (graph.degree_assortativity, Newman 2002): do well-connected
+    documents neighbor other well-connected documents? All six moments
+    are exact integers through DECIMAL(19,0); the only floating ops
+    are one sqrt and one division — both correctly-rounded IEEE, so
+    the coefficient is bit-identical cross-engine with no
+    quantization. Shares the memoized edge table with the other graph
+    queries."""
+    from semantik_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_knn_edges(spark, sf_dir, k=5))
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch-style union/intersection/Jaccard estimates between
     every pair of event-type user sets from KMV sketches (k=64)."""
@@ -4506,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_link_prediction": q_knn_link_prediction,
         "streaming_hll": q_streaming_hll,
         "temporal_split": q_temporal_split,
+        "knn_assortativity": q_knn_assortativity,
         # --- backfill: longest-unrefreshed anchored entries re-taking
         # a driver row (r4-anchored — last driver-green in
         # CORRECTNESS_r04)
@@ -4875,6 +4890,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
         "knn_link_prediction": oracles.q_knn_link_prediction(k=5, top_k=20),
+        "knn_assortativity": oracles.q_knn_assortativity(k=5),
         # batch-register replay: a hash match IS the stream==batch proof
         "streaming_hll": oracles.q_approx_distinct_hll(p=8, with_exact=False),
         "temporal_split": """

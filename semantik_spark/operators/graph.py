@@ -365,3 +365,61 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 20,
     )
     return scored.orderBy(
         F.desc("aa_micro"), F.asc("node_a"), F.asc("node_b")).limit(top_k)
+
+
+def degree_assortativity(edges: DataFrame,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected closure: the Pearson correlation of endpoint degrees
+    over every edge counted in both directions — one number that says
+    whether hubs link to hubs (r > 0, social-graph-like) or to leaves
+    (r < 0, hub-and-spoke; kNN graphs typically sit near 0).
+
+    Every moment (n, Σx, Σy, Σx², Σy², Σxy) is an exact BIGINT —
+    degrees are integers — so r = (nΣxy - ΣxΣy) / √((nΣxx-Σx²)(nΣyy-Σy²))
+    costs exactly one sqrt and one division in doubles, BOTH
+    correctly-rounded IEEE operations (sqrt, unlike ln/log, is exact
+    to the last ulp in every conforming engine), making r bit-identical
+    cross-engine with no quantization step.
+
+    Shape: undirected distinct + symmetric union (map-only), one
+    degree groupBy, two broadcast-able degree joins onto the edge
+    list, one global agg.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
+    pairs = adj.join(du, "u").join(dv, "v")
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    # moments go through DECIMAL(19,0) before multiplying: n·Σxy at a
+    # 1e9-node scale overflows BIGINT, and (19,0)×(19,0) → (38,0)
+    # stays inside both engines' decimal cap
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+        * (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
+    )
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

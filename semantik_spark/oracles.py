@@ -2865,6 +2865,39 @@ scored AS (
 SELECT * FROM scored ORDER BY aa_micro DESC, node_a ASC, node_b ASC LIMIT {top_k}"""
 
 
+def q_knn_assortativity(k: int = 5) -> str:
+    """Twin of graph.degree_assortativity over graph.knn_graph_edges:
+    exact integer moments, one sqrt + one division (both
+    correctly-rounded IEEE)."""
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+adj AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM adj GROUP BY u),
+pairs AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM adj JOIN deg dx ON adj.u = dx.node JOIN deg dy ON adj.v = dy.node
+),
+m AS (
+  SELECT count(*)::DECIMAL(19,0) AS n,
+         sum(dx)::DECIMAL(19,0) AS sx, sum(dy)::DECIMAL(19,0) AS sy,
+         sum(dx * dx)::DECIMAL(19,0) AS sxx,
+         sum(dy * dy)::DECIMAL(19,0) AS syy,
+         sum(dx * dy)::DECIMAL(19,0) AS sxy
+  FROM pairs
+)
+SELECT (n / 2)::BIGINT AS n_edges,
+       round((n * sxy - sx * sy)::DOUBLE
+             / sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+             6) AS assortativity
+FROM m"""
+
+
 def q_event_assoc(gap_minutes: int = 30, min_pair: int = 5,
                   top_k: int = 20) -> str:
     """Twin of timeseries.session_associations (market-basket lift over

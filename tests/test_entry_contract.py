@@ -65,6 +65,7 @@ ROUND8_WINDOW_MUST: tuple = (
     "knn_link_prediction",
     "streaming_hll",
     "temporal_split",
+    "knn_assortativity",
 )
 
 

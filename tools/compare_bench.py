@@ -86,7 +86,19 @@ def main() -> None:
               "(counters require a bench.py run with SPARK_GRAFT_UI=1)")
     c_old, c_new = old.get("noise_canary"), new.get("noise_canary")
     deflate = (c_old / c_new) if (c_old and c_new) else 1.0
-    if deflate != 1.0:
+    if deflate > 1.0:
+        # the OLD run was the more contended one: its times are inflated
+        # upper bounds. Multiplying NEW by c_old/c_new would assume that
+        # inflation was uniform-linear — the exact fallacy the README's
+        # r7 measurement lesson documents (contention is warm-up-
+        # sensitive and per-query-variable). Compare RAW and say which
+        # direction is trustworthy instead.
+        print(f"# canary: old={c_old:.3f}s new={c_new:.3f}s — the OLD run "
+              f"is x{deflate:.2f} more contended; comparing RAW times. "
+              f"'Regressions' vs inflated old times are UNRELIABLE; "
+              f"improvements are conservative (real). Use plan counters.")
+        deflate = 1.0
+    elif deflate < 1.0:
         print(f"# canary: old={c_old:.3f}s new={c_new:.3f}s "
               f"-> deflating NEW times by x{deflate:.3f}")
     else:
