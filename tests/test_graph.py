@@ -67,3 +67,20 @@ def test_adamic_adar_sums_over_common_neighbors(spark):
             for r in adamic_adar_links(edges, top_k=10).collect()}
     assert rows[(1, 2)]["common_neighbors"] == 2
     assert rows[(1, 2)]["aa_micro"] == 2 * math.floor(1e6 / math.log(2) + 0.5)
+
+
+def test_assortativity_signs(spark):
+    """A star graph is maximally DISassortative (r = -1: the hub's
+    high degree always pairs with leaf degree 1); a cycle has zero
+    degree variance (r undefined -> NULL, den = 0)."""
+    from semantik_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], ["src", "dst"])
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 6
+    assert r["assortativity"] == -1.0
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
+    c = degree_assortativity(cycle).collect()[0]
+    assert c["n_edges"] == 5 and c["assortativity"] is None
