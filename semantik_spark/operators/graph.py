@@ -402,13 +402,20 @@ def degree_assortativity(edges: DataFrame,
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))
     pairs = adj.join(du, "u").join(dv, "v")
+    # per-row deg² products multiply in DECIMAL so a hub-heavy graph
+    # (deg up to |V|) can never overflow the running sum — BIGINT would
+    # wrap (non-ANSI) or abort (ANSI) at deg ≳ 3e9; the post-sum cast
+    # back to (19,0) fails LOUDLY under ANSI if a moment exceeds 1e19
+    # instead of silently corrupting r
+    ddx = F.col("dx").cast("decimal(19,0)")
+    ddy = F.col("dy").cast("decimal(19,0)")
     m = pairs.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum("dx").cast("decimal(19,0)").alias("sx"),
+        F.sum("dy").cast("decimal(19,0)").alias("sy"),
+        F.sum(ddx * ddx).cast("decimal(19,0)").alias("sxx"),
+        F.sum(ddy * ddy).cast("decimal(19,0)").alias("syy"),
+        F.sum(ddx * ddy).cast("decimal(19,0)").alias("sxy"),
     )
     # moments go through DECIMAL(19,0) before multiplying: n·Σxy at a
     # 1e9-node scale overflows BIGINT, and (19,0)×(19,0) → (38,0)
@@ -419,7 +426,9 @@ def degree_assortativity(edges: DataFrame,
         (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
         * (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
     )
+    # zero degree variance (any d-regular graph: cycles, cliques) makes
+    # den = 0 and r undefined — NULL, not a DIVIDE_BY_ZERO abort
     return m.select(
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
     )

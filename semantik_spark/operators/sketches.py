@@ -338,6 +338,12 @@ def hll_params(p: int) -> tuple[int, int, int, float]:
     estimator into ONE double literal, so both engines perform exactly
     one floating division (IEEE-exact) on an exact integer sum.
     """
+    if not 7 <= p <= 24:
+        # the asymptotic alpha below is only valid for m >= 128
+        # (Flajolet et al. 2007 give separate constants for m in
+        # {16, 32, 64}); rejecting p < 7 keeps the estimator unbiased
+        # instead of silently shipping a wrong constant
+        raise ValueError(f"hll p must be in [7, 24], got {p}")
     m = 1 << p
     w = 60 - p
     scale = w + 1

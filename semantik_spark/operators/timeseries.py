@@ -647,7 +647,8 @@ def value_band_pairs(events: DataFrame, eps: float = 0.5,
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           l_start: str = "l_start_us", l_end: str = "l_end_us",
                           r_start: str = "r_start_us", r_end: str = "r_end_us",
-                          bucket_us: int = 86_400_000_000) -> DataFrame:
+                          bucket_us: int = 86_400_000_000,
+                          long_factor: int = 0) -> DataFrame:
     """Interval × interval OVERLAP join without a cartesian product —
     the 2-sided generalization of ``value_band_pairs``'s point band
     join, and the batch twin of the stream-stream interval join in
@@ -657,30 +658,83 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     [start_us, end_us]. A naive ``ON s1 <= e2 AND s2 <= e1`` theta-join
     plans as a nested loop (|L|·|R|); instead each interval is exploded
     into the time BUCKETS it covers (floor-div by ``bucket_us``), the
-    join runs as an equi-join on the bucket id, a distinct collapses
-    multi-bucket double-hits, and the true overlap predicate only
-    VERIFIES candidates (pigeonhole: two overlapping intervals share at
-    least one covered bucket, so recall is exact). Every output row
-    keeps both sides' columns plus ``overlap_us`` (exact BIGINT).
+    join runs as an equi-join on the bucket id, multi-bucket double-hits
+    are collapsed, and the true overlap predicate only VERIFIES
+    candidates (pigeonhole: two overlapping intervals share at least
+    one covered bucket, so recall is exact). Every output row keeps
+    both sides' columns plus ``overlap_us`` (exact BIGINT).
+
+    PRECONDITIONS (matching the naive theta-join's multiplicity for
+    arbitrary inputs requires both):
+      * the two sides' column names are DISJOINT (the candidate join
+        carries both schemas side by side);
+      * each side is row-distinct — the multi-bucket collapse dedups on
+        ALL carried columns, so two byte-identical input rows would
+        collapse to one output pair. Project a unique id into each side
+        first if the input can carry genuine duplicates.
+
+    Two-level bucketing (``long_factor = C > 1``): an interval spanning
+    k fine buckets replicates k times, so a single month-long interval
+    in a minute-bucketed join is a 43 000× blow-up. With C set, an
+    interval spanning > C fine buckets is LONG and explodes into coarse
+    buckets (``C * bucket_us``) instead — a C-fold replication cut —
+    while every SHORT interval additionally emits its (at most
+    ``ceil(C⁻¹·span)+1``) coarse buckets at level 1 so short×long pairs
+    still meet. Level-tagged equi-join keys keep the levels separate;
+    the ``level 0 OR at-least-one-long`` guard stops short×short pairs
+    from re-firing at the coarse level. Pigeonhole recall is unchanged:
+    an overlapping pair shares a fine bucket, hence also the coarse
+    bucket containing it, at the level where both sides emitted.
+    ``interval_overlap_two_level`` pins two-level == one-level.
 
     Scale: cost = sum over buckets of |L_b|·|R_b| — bounded by the
     per-bucket interval density, the quantity ``bucket_us`` controls
-    (size it near the typical interval length; intervals spanning k
-    buckets replicate k times, so very long intervals argue for a
-    coarser bucket or a two-level scheme). A hot bucket (everyone
-    online at the same hour) is genuine answer mass, not a blocking
-    artifact. Plan-asserted: no CartesianProduct / BNLJ
-    (tests/test_plans.py).
+    (size it near the typical interval length); ``long_factor`` caps
+    the replication of the heavy tail. A hot bucket (everyone online
+    at the same hour) is genuine answer mass, not a blocking artifact.
+    Plan-asserted: no CartesianProduct / BNLJ (tests/test_plans.py).
     """
-    def buckets(s: str, e: str):
-        return F.explode(F.sequence(
-            F.floor(F.col(s) / bucket_us).cast("bigint"),
-            F.floor(F.col(e) / bucket_us).cast("bigint"),
-        )).alias("_bk")
+    def span(s: str, e: str, unit: int):
+        return (F.floor(F.col(s) / unit).cast("bigint"),
+                F.floor(F.col(e) / unit).cast("bigint"))
 
-    lb = left.select("*", buckets(l_start, l_end))
-    rb = right.select("*", buckets(r_start, r_end))
-    cand = lb.join(rb, "_bk").drop("_bk").distinct()
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        f0, f1 = span(s, e, bucket_us)
+        if not long_factor or long_factor <= 1:
+            return df.select(
+                "*", F.lit(0).alias("_lvl"),
+                F.explode(F.sequence(f0, f1)).alias("_bk"),
+                F.lit(False).alias("_long"),
+            )
+        coarse = bucket_us * long_factor
+        c0, c1 = span(s, e, coarse)
+        is_long = (f1 - f0) >= F.lit(long_factor)
+        # long rows: coarse buckets only; short rows: fine buckets at
+        # level 0 PLUS coarse buckets at level 1 (to meet long rows)
+        fine = F.when(is_long, F.array().cast("array<bigint>")) \
+                .otherwise(F.sequence(f0, f1))
+        lvl_bk = F.concat(
+            F.transform(fine, lambda b: F.struct(
+                F.lit(0).alias("_lvl"), b.alias("_bk"))),
+            F.transform(F.sequence(c0, c1), lambda b: F.struct(
+                F.lit(1).alias("_lvl"), b.alias("_bk"))),
+        )
+        return (
+            df.select("*", is_long.alias("_long"),
+                      F.explode(lvl_bk).alias("_lb"))
+            .select("*", F.col("_lb._lvl").alias("_lvl"),
+                    F.col("_lb._bk").alias("_bk"))
+            .drop("_lb")
+        )
+
+    lb = bucketed(left, l_start, l_end)
+    rb = bucketed(right, r_start, r_end).withColumnRenamed("_long", "_rlong")
+    cand = (
+        lb.join(rb, ["_lvl", "_bk"])
+        .where((F.col("_lvl") == 0) | F.col("_long") | F.col("_rlong"))
+        .drop("_lvl", "_bk", "_long", "_rlong")
+        .distinct()
+    )
     overlap = (
         F.least(F.col(l_end), F.col(r_end))
         - F.greatest(F.col(l_start), F.col(r_start))

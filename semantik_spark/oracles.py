@@ -3286,7 +3286,11 @@ def q_wordpiece_encode(num_merges: int = 8, top_n: int = 30,
     """Twin of tokenizer.wordpiece_encode_words: greedy longest-match
     (max-munch) over vocab = state0 alphabet ∪ merged pieces, unrolled
     ``max_steps`` consume steps (each step eats ≥1 char, so any word up
-    to max_steps chars fully encodes; corpus words are [a-z]+ ≤ 8)."""
+    to max_steps chars fully encodes). The tw CTE ENFORCES
+    length(word) <= max_steps with error() so a future corpus with a
+    longer frequent word aborts the oracle loudly instead of silently
+    dropping its rows (the pos >= length filter would otherwise eat
+    partially-encoded words while Spark still emits pieces)."""
     steps = []
     for i in range(1, max_steps + 1):
         steps.append(f"""
@@ -3318,7 +3322,12 @@ v AS MATERIALIZED (
          (piece LIKE '##%') AS cont
   FROM vocabp
 ),
-tw AS (SELECT word FROM wf ORDER BY freq DESC, word ASC LIMIT {top_n}),
+tw AS (
+  SELECT CASE WHEN length(word) > {max_steps}
+              THEN error('wordpiece oracle: word ''' || word ||
+                         ''' exceeds max_steps={max_steps} unroll')
+              ELSE word END AS word
+  FROM wf ORDER BY freq DESC, word ASC LIMIT {top_n}),
 s0 AS MATERIALIZED (SELECT word, 0 AS pos, []::VARCHAR[] AS pieces FROM tw),{','.join(steps)}
 SELECT word, i::INT AS piece_index, pieces[i + 1] AS piece FROM (
   SELECT word, pieces, unnest(range(0, len(pieces))) AS i FROM s{max_steps}

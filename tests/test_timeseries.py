@@ -372,6 +372,50 @@ def test_interval_overlap_join_equals_theta_join(spark):
     assert got == naive and len(got) > 0
 
 
+def test_interval_overlap_two_level_equals_one_level(spark):
+    """long_factor routes intervals spanning > C fine buckets to a
+    coarse second level instead of K-fold replication; output must be
+    IDENTICAL to the one-level join (pigeonhole recall preserved
+    across every level pairing: short×short at fine, short×long and
+    long×long at coarse)."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.timeseries import interval_overlap_join
+
+    # mix: points, short spans, one 30-bucket monster, aligned edges
+    left = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 25), (3, 30, 31), (4, 19, 21),
+         (5, 0, 299), (6, 100, 105), (7, 250, 260)],
+        ["lid", "l_start_us", "l_end_us"],
+    )
+    right = spark.createDataFrame(
+        [(10, 8, 9), (20, 24, 40), (30, 100, 110), (40, 0, 500),
+         (50, 290, 295), (60, 600, 700)],
+        ["rid", "r_start_us", "r_end_us"],
+    )
+
+    def key(df):
+        return sorted((r["lid"], r["rid"], r["overlap_us"])
+                      for r in df.collect())
+
+    one = key(interval_overlap_join(left, right, bucket_us=10))
+    naive = sorted(
+        (r["lid"], r["rid"], r["overlap_us"])
+        for r in left.crossJoin(right)
+        .where((F.col("l_start_us") <= F.col("r_end_us"))
+               & (F.col("r_start_us") <= F.col("l_end_us")))
+        .withColumn(
+            "overlap_us",
+            F.least("l_end_us", "r_end_us") - F.greatest("l_start_us", "r_start_us"),
+        ).collect()
+    )
+    assert one == naive and len(one) > 0
+    for c in (2, 3, 8):
+        two = key(interval_overlap_join(
+            left, right, bucket_us=10, long_factor=c))
+        assert two == one, f"long_factor={c} diverged"
+
+
 def test_acf_constant_series_and_alternating(spark):
     """A perfectly alternating daily series has ACF(1) ~ -1 and
     ACF(2) ~ +1 — the sign structure the estimator must reproduce."""
