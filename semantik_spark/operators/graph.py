@@ -307,7 +307,9 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
 
 
 def adamic_adar_links(edges: DataFrame, top_k: int = 20,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      hub_degree: int | None = None,
+                      salt: int = 8) -> DataFrame:
     """Link prediction over the undirected closure of a directed edge
     list: Adamic-Adar scores for NON-edges with at least one common
     neighbor — the classic 'which nodes should be connected' ranking
@@ -325,8 +327,18 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 20,
     equi-join through the center z → existing-edge anti-join → pair
     groupBy. Every join an equi-join on a node key; wedge fan-out per
     center is deg(z)² — bounded by the kNN degree (≤ 2k) on graphs
-    from knn_graph_edges; for power-law graphs cap/split hub centers
-    exactly like the dedup family's salted hot buckets.
+    from knn_graph_edges, so the default plan joins flat.
+
+    ``hub_degree`` arms the power-law escape (the dedup family's
+    salted-hot-buckets pattern, functions.skew.salted_join): centers
+    with deg(z) > hub_degree are split out via a lazy broadcast of the
+    (few) hot keys and their wedge self-join runs on (z, salt) — the
+    probe side spreads over ``salt`` reducers by the wedge endpoint's
+    fingerprint while only HOT rows replicate ``salt`` ways. Cold
+    centers join exactly as before; the union is row-identical to the
+    unsalted join (pinned on a star-heavy graph in tests/test_graph.py)
+    — only the shuffle distribution changes, so one celebrity node no
+    longer sends its deg² fan-out through a single reducer.
     """
     und = (
         edges.select(
@@ -348,11 +360,28 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 20,
         F.floor(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))
                 + F.lit(0.5)).cast("bigint"),
     )
-    wedges = (
-        adj.select(F.col("v").alias("z"), F.col("u").alias("a"))
-        .join(adj.select(F.col("v").alias("z"), F.col("u").alias("b")), "z")
-        .where(F.col("a") < F.col("b"))
-    )
+    wa = adj.select(F.col("v").alias("z"), F.col("u").alias("a"))
+    wb = adj.select(F.col("v").alias("z"), F.col("u").alias("b"))
+    if hub_degree is None:
+        wedges = wa.join(wb, "z").where(F.col("a") < F.col("b"))
+    else:
+        from semantik_spark.functions.skew import salted_join
+
+        # lazy hot-key broadcast (banded_candidates doctrine): in the
+        # no-hub case this broadcasts an EMPTY set, the anti-join
+        # passes everything through, and the salted branch unions zero
+        # rows — no build-time job
+        hubs = deg.where(F.col("deg") > hub_degree).select("z")
+        hot_a = wa.join(F.broadcast(hubs), "z", "left_semi")
+        cold_a = wa.join(F.broadcast(hubs), "z", "left_anti")
+        hot_b = wb.join(F.broadcast(hubs), "z", "left_semi")
+        cold_b = wb.join(F.broadcast(hubs), "z", "left_anti")
+        wedges = (
+            cold_a.join(cold_b, "z")
+            .unionByName(salted_join(
+                hot_a, hot_b, on="z", salt=salt, fingerprint_col="a"))
+            .where(F.col("a") < F.col("b"))
+        )
     non_edges = wedges.join(
         und, (wedges.a == und.u) & (wedges.b == und.v), "left_anti")
     scored = (

@@ -69,6 +69,36 @@ def test_adamic_adar_sums_over_common_neighbors(spark):
     assert rows[(1, 2)]["aa_micro"] == 2 * math.floor(1e6 / math.log(2) + 0.5)
 
 
+def test_adamic_adar_hub_salting_row_identical(spark):
+    """The power-law escape: hub centers (deg > hub_degree) take the
+    salted wedge self-join, cold centers the flat one — output must be
+    row-identical to the unsalted plan on a star-heavy graph (one
+    celebrity hub wired to everyone, plus a cold clique tail), for
+    thresholds that make the hub hot, everything hot, and nothing hot."""
+    from semantik_spark.operators.graph import adamic_adar_links
+
+    # hub 0 -> 1..12 (deg 12), plus a 4-clique 20..23 (deg 3 each),
+    # plus a bridge so components mingle
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 13)]
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+        + [(1, 20)],
+        ["src", "dst"],
+    )
+
+    def key(df):
+        return sorted(
+            (r["node_a"], r["node_b"], r["common_neighbors"], r["aa_micro"])
+            for r in df.collect())
+
+    base = key(adamic_adar_links(edges, top_k=1000))
+    assert len(base) > 50  # the hub alone contributes C(12,2) pairs
+    for thr in (4, 11, 1, 1000):
+        salted = key(adamic_adar_links(
+            edges, top_k=1000, hub_degree=thr, salt=4))
+        assert salted == base, f"hub_degree={thr} diverged"
+
+
 def test_assortativity_signs(spark):
     """A star graph is maximally DISassortative (r = -1: the hub's
     high degree always pairs with leaf degree 1); a cycle has zero
