@@ -333,6 +333,55 @@ def q_gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED erasure story (VERDICT r8 item 6): gdpr_delete_
+    cascade proves the full-artifact cascade on a one-shot build,
+    bm25_append_delete_replay proves interleaved sparse merges — this
+    replay composes both axes: the corpus arrives as three hash-sliced
+    append batches (sparse state merge + dense append per batch), and
+    the GDPR request (doc_id % 7 == 3) lands BETWEEN appends, cascading
+    through dense/postings/terms/tombstones and becoming a standing
+    suppression the later batch pre-drops. Final composed state must
+    hash-equal a from-scratch build over the surviving corpus — except
+    tombstones, which only audit ids that were indexed when the request
+    landed (slices 0-1), never the pre-dropped ones."""
+    import shutil
+
+    from semantik_spark.operators import serving
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _scratch("gdpr_sync_idx")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    slices = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    serving.build_index(slices[0], base)
+    serving.merge_sparse_append(slices[1], base)
+    serving.merge_dense_append(slices[1], base)
+    # erasure request lands mid-stream: purge what is indexed, suppress
+    # forward
+    serving.delete_from_index(
+        spark, base,
+        docs.where((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 3)))
+    last = slices[2].where(F.col("doc_id") % 7 != 3)
+    serving.merge_sparse_append(last, base)
+    serving.merge_dense_append(last, base)
+    terms = spark.read.parquet(f"{base}/terms")
+    stats = bm25.stats_from_state(spark.read.parquet(f"{base}/bm25_state/corpus"))
+    dense_rows = spark.read.parquet(f"{base}/dense").agg(
+        F.count("*").cast("bigint").alias("dense_rows"))
+    post_rows = spark.read.parquet(f"{base}/postings").agg(
+        F.count("*").cast("bigint").alias("postings_rows"))
+    tomb_rows = spark.read.parquet(f"{base}/tombstones").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("tombstone_rows"))
+    return (
+        terms.select("term", "term_id", "df", F.round("idf", 6).alias("idf"))
+        .crossJoin(F.broadcast(stats.select(
+            "n_docs", F.round("avgdl", 6).alias("avgdl"))))
+        .crossJoin(F.broadcast(dense_rows))
+        .crossJoin(F.broadcast(post_rows))
+        .crossJoin(F.broadcast(tomb_rows))
+    )
+
+
 def q_bm25_append_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production sparse sync loop end-to-end (VERDICT r7 item 9):
     the corpus arrives as FOUR hash-sliced APPEND batches folded into
@@ -692,6 +741,35 @@ def q_knn_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_sample_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-training-cost curve for sampled codebook training
+    (VERDICT r8 item 7): recall@5 with the codebook trained on the
+    full corpus (mod 1), a ~1/3 hash sample (mod 3) and a ~1/10 sample
+    (mod 10), all served at nprobe=4 over the FULL corpus under the
+    frozen codebook. The 100 TB build-path knob gets a measured curve
+    like nprobe does (knn_nprobe_sweep) — SCALE.md documents how to
+    choose mod from it. One exhaustive baseline, cached; three
+    trainings, each over only its sample."""
+    from semantik_spark.functions.caching import cache
+    from semantik_spark.operators import similarity
+
+    corpus, queries = _emb_split(spark, sf_dir)
+    exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
+    out = None
+    for mod in (1, 3, 10):
+        smod = None if mod == 1 else mod
+        cent = similarity.ivf_refine(
+            corpus, similarity.ivf_centroids(corpus, 16, train_sample_mod=smod),
+            iters=1, train_sample_mod=smod)
+        approx = similarity.knn_ivf(corpus, queries, k=5, nprobe=4,
+                                    cent_rows=cent)
+        r = similarity.recall_at_k(exact, approx, f"sample_mod={mod}") \
+            .withColumn("sample_mod", F.lit(mod).cast("int")) \
+            .select("method", "sample_mod", "n_hit", "n_exact", "recall")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: m=8 one-byte codes per vector (32×
     storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
@@ -774,6 +852,21 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_profile)."""
     corpus, _ = _emb_split(spark, sf_dir)
     return similarity.cluster_profile(corpus, n_centroids=16, refine_iters=1)
+
+
+def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering of the embedding corpus: DBSCAN over the
+    deterministic 2-D JL sketch (projection.dbscan_projected, Ester et
+    al. 1996) — arbitrary-shape clusters + an explicit noise label,
+    the family k-means (doc_clusters) cannot express; dense pockets on
+    a near-dup-planted corpus are the duplicate neighborhoods. Exact
+    integer micro-unit distances, grid-blocked candidate equi-join
+    (recall-exact by the 3×3 pigeonhole), min-label CC, border points
+    deterministically assigned to the min core neighbor."""
+    from semantik_spark.operators.projection import dbscan_projected
+
+    return dbscan_projected(_t(spark, sf_dir, "embeddings"),
+                            eps_micro=50_000, min_pts=4)
 
 
 def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,6 +1052,37 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_id", "day", "overlap_us")
 
 
+def q_interval_overlap_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_interval_overlap with the heavy-tail escape armed
+    (long_factor=4, hour-grained fine buckets): sessions longer than 4
+    hours route to the coarse level instead of replicating once per
+    covered hour. Same oracle as interval_overlap — the driver hash
+    match proves two-level == one-level == the raw theta join at SF
+    (the operator-level pin lives in tests/test_timeseries.py)."""
+    from semantik_spark.operators.timeseries import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_id",
+        F.unix_micros("session_start").alias("l_start_us"),
+        F.unix_micros("session_end").alias("l_end_us"),
+    )
+    busy = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("day")).limit(5)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.unix_micros(F.col("day").cast("timestamp")).alias("r_start_us"),
+            (F.unix_micros(F.col("day").cast("timestamp"))
+             + F.lit(86_399_999_999)).alias("r_end_us"),
+        )
+    )
+    out = interval_overlap_join(
+        sess, busy, bucket_us=3_600_000_000, long_factor=4)
+    return out.select("user_id", "session_id", "day", "overlap_us")
+
+
 def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the per-type DAILY count series at
     lags 1/2/7 over a densified calendar (timeseries.acf_daily) — the
@@ -983,6 +1107,35 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sketches.hll_distinct(
         _events(spark, sf_dir), "event_type", "user_id", p=8
+    ).select("event_type", "v_zero", "sum_scaled", "estimate_milli",
+             "n_exact", "rel_error")
+
+
+def q_approx_distinct_hll_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED HLL serving path end-to-end (sketches.hll_pack /
+    hll_merge_packed / hll_estimate_packed): events are split into two
+    disjoint shards by user-hash parity, each shard's register table is
+    compacted to ONE array<tinyint> row per group, the two packed
+    sketches merge by zip_with register-max (the lattice), and the
+    estimate folds inside the array (F.aggregate, JVM-side). The oracle
+    is the ROW-FORM batch SQL — a hash match proves shard→pack→merge→
+    estimate == batch, the whole algebra the catalog-stats use case
+    (millions of groups, one ~m-byte blob each) relies on."""
+    from semantik_spark.operators import sketches
+    from semantik_spark.functions.hashing import hash60
+
+    ev = _events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    parity = F.pmod(hash60(F.col("user_id")), F.lit(2))
+    regs_a = sketches.hll_registers(
+        ev.where(parity == 0), "event_type", "user_id", p=8)
+    regs_b = sketches.hll_registers(
+        ev.where(parity == 1), "event_type", "user_id", p=8)
+    merged = sketches.hll_merge_packed(
+        sketches.hll_pack(regs_a, p=8), sketches.hll_pack(regs_b, p=8), p=8)
+    exact = ev.groupBy(F.col("event_type").alias("event_type")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    return sketches.hll_estimate_packed(
+        merged, exact, "event_type", p=8
     ).select("event_type", "v_zero", "sum_scaled", "estimate_milli",
              "n_exact", "rel_error")
 
@@ -4451,16 +4604,13 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 8 — VERDICT r7 item 1): the
-    # correctness driver evaluates only the first 50 entries. Round-8
-    # window = the 29 ROUND8_WINDOW_MUST entries added after the
-    # round-7 window filled (never driver-evaluated; judge pre-verified
-    # all 29 green via tools/check_oracle.py at sf0.01, but the driver
-    # hash gate is the contract), every query ADDED or behavior-changed
-    # in round 8, and a backfill of the longest-unrefreshed r4-anchored
-    # entries up to the 50-slot capacity.  With the 29 MUST entries
-    # green, every registered query will have been driver-hash-verified
-    # at least once.
+    # ORDERING CONTRACT (rotated for round 9 — VERDICT r8 item 2): the
+    # correctness driver evaluates only the first 50 entries. As of r8
+    # every registered query has a driver-green row (r3∪..∪r8), so the
+    # window's job from round 9 on is STALENESS ROTATION: new queries
+    # first, then the longest-unrefreshed anchors (the 37 entries whose
+    # last driver row is CORRECTNESS_r04), then next-oldest (r5) fill —
+    # so no entry's driver verification ages past ~4 rounds.
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -4470,10 +4620,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every affected query before commit and the run is recorded in
     # PROGRESS.jsonl. See README "Correctness window rotation".
     _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- r8 window head (tests/test_entry_contract.py
-        # ROUND8_WINDOW_MUST): the 29 round-7 post-window additions
-        # taking their FIRST driver row (judge pre-verified all 29
-        # green via tools/check_oracle.py at sf0.01 in the r7 verdict)
+        # --- r9 window head (tests/test_entry_contract.py
+        # ROUND9_WINDOW_MUST): queries ADDED in round 9 — each takes
+        # its first driver row this round
+        "gdpr_sync_replay": q_gdpr_sync_replay,
+        "approx_distinct_hll_packed": q_approx_distinct_hll_packed,
+        "interval_overlap_two_level": q_interval_overlap_two_level,
+        "knn_ivf_sample_sweep": q_knn_ivf_sample_sweep,
+        "embedding_dbscan": q_embedding_dbscan,
+        # --- staleness rotation (VERDICT r8 item 2): with all 236
+        # pre-r9 entries driver-verified at least once (r3..r8), the
+        # window's job is RE-verification — these are the 37 entries
+        # whose last driver-green row is CORRECTNESS_r04, the oldest
+        # anchors in the registry
+        "approx_distinct_kmv": q_approx_distinct_kmv,
+        "chunk_collapse": q_chunk_collapse,
+        "chunk_fixed": q_chunk_fixed,
+        "corpus_shards": q_corpus_shards,
+        "cube_agg": q_cube_agg,
+        "customers_without_orders": q_customers_without_orders,
+        "doc_clusters": q_doc_clusters,
+        "doc_length_histogram": q_doc_length_histogram,
+        "events_anomaly": q_events_anomaly,
+        "events_asof": q_events_asof,
+        "events_funnel": q_events_funnel,
+        "events_props_json": q_events_props_json,
+        "events_range_window": q_events_range_window,
+        "events_sliding": q_events_sliding,
+        "events_tumbling": q_events_tumbling,
+        "join_revenue": q_join_revenue,
+        "more_like_this": q_more_like_this,
+        "multi_collection_dense": q_multi_collection_dense,
+        "nb_classify": q_nb_classify,
+        "ngram_topk": q_ngram_topk,
+        "order_priority": q_order_priority,
+        "parse_routed": q_parse_routed,
+        "pricing_summary": q_pricing_summary,
+        "rerank_search": q_rerank_search,
+        "rollup_agg": q_rollup_agg,
+        "sniff_formats": q_sniff_formats,
+        "text_collocations": q_text_collocations,
+        "text_curation": q_text_curation,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_token_counts": q_text_token_counts,
+        "topk_per_group": q_topk_per_group,
+        "user_retention": q_user_retention,
+        "user_sessions": q_user_sessions,
+        "value_percentiles": q_value_percentiles,
+        # --- r5-anchored fill to the 50-slot capacity (next-oldest
+        # anchors; an r9 query added later displaces from HERE, never
+        # from the r4 block above — extend ROUND9_WINDOW_MUST when
+        # adding)
+        "approx_distinct_daily": q_approx_distinct_daily,
+        "artifact_roundtrip": q_artifact_roundtrip,
+        "audio_wav_segments": q_audio_wav_segments,
+        "bluegreen_swap": q_bluegreen_swap,
+        "cluster_keywords": q_cluster_keywords,
+        "contamination_report": q_contamination_report,
+        "customer_value_ranks": q_customer_value_ranks,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        # --- driver window boundary (50): everything below is
+        # behavior-anchored by an earlier driver round (r4-r8,
+        # CORRECTNESS_r04..r08 — every registered entry is green in at
+        # least one). Touched-module entries are re-checked via
+        # tools/check_oracle.py before commit per the behavior-anchored
+        # contract (README 'Correctness window rotation').
+        "discounted_revenue": q_discounted_revenue,
         "knn_binary": q_knn_binary,
         "dedup_spans": q_dedup_spans,
         "matryoshka_recall": q_matryoshka_recall,
@@ -4503,9 +4718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": q_customer_rfm,
         "streaming_sessions": q_streaming_sessions,
         "events_concurrency": q_events_concurrency,
-        # --- new in round 8 — must be in-window
-        # (insertions here displace one backfill entry below past the
-        # boundary; extend ROUND8_WINDOW_MUST in test_entry_contract.py)
         "gdpr_delete_cascade": q_gdpr_delete_cascade,
         "bm25_append_delete_replay": q_bm25_append_delete_replay,
         "knn_ivf_sampled": q_knn_ivf_sampled,
@@ -4521,36 +4733,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "temporal_split": q_temporal_split,
         "knn_assortativity": q_knn_assortativity,
-        # --- backfill: longest-unrefreshed anchored entries re-taking
-        # a driver row (r4-anchored — last driver-green in
-        # CORRECTNESS_r04)
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_canonical": q_dedup_canonical,
         "dedup_passages": q_dedup_passages,
         "stratified_sample": q_stratified_sample,
         "text_vocab": q_text_vocab,
-        "text_collocations": q_text_collocations,
-        "corpus_shards": q_corpus_shards,
-        "parse_routed": q_parse_routed,
-        "sniff_formats": q_sniff_formats,
-        "events_sliding": q_events_sliding,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_curation": q_text_curation,
-        "rerank_search": q_rerank_search,
-        "multi_collection_dense": q_multi_collection_dense,
-        "chunk_collapse": q_chunk_collapse,
-        "chunk_fixed": q_chunk_fixed,
-        # --- driver window boundary (50): everything below is
-        # behavior-anchored by an earlier driver round (r4-r7:
-        # CORRECTNESS_r04..r07 — including the full round-7 window,
-        # all green there). Touched-module entries are re-checked via
-        # tools/check_oracle.py before commit per the behavior-anchored
-        # contract (README 'Correctness window rotation').
         "scd2_orders": q_scd2_orders,
         "events_cusum": q_events_cusum,
         "compaction_plan": q_compaction_plan,
@@ -4650,28 +4838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "pricing_summary": q_pricing_summary,
-        "topk_per_group": q_topk_per_group,
-        "join_revenue": q_join_revenue,
-        "customers_without_orders": q_customers_without_orders,
-        "rollup_agg": q_rollup_agg,
-        "events_tumbling": q_events_tumbling,
-        "user_sessions": q_user_sessions,
-        "events_asof": q_events_asof,
-        "events_range_window": q_events_range_window,
-        "events_anomaly": q_events_anomaly,
-        "events_funnel": q_events_funnel,
-        "user_retention": q_user_retention,
-        "events_props_json": q_events_props_json,
-        "nb_classify": q_nb_classify,
-        "more_like_this": q_more_like_this,
-        "cube_agg": q_cube_agg,
-        "order_priority": q_order_priority,
-        "value_percentiles": q_value_percentiles,
-        "doc_length_histogram": q_doc_length_histogram,
-        "ngram_topk": q_ngram_topk,
-        "doc_clusters": q_doc_clusters,
-        "approx_distinct_kmv": q_approx_distinct_kmv,
         "text_readability": q_text_readability,
         "source_mix": q_source_mix,
         "events_rolling": q_events_rolling,
@@ -4679,12 +4845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,
         "events_transitions": q_events_transitions,
         "text_boilerplate": q_text_boilerplate,
-        "contamination_report": q_contamination_report,
-        "approx_distinct_daily": q_approx_distinct_daily,
         "funnel_latency": q_funnel_latency,
         "source_mix_temp": q_source_mix_temp,
         "session_paths": q_session_paths,
-        "cluster_keywords": q_cluster_keywords,
         "doc_outliers": q_doc_outliers,
         "hybrid_weighted": q_hybrid_weighted,
         "profile_table": q_profile_table,
@@ -4698,21 +4861,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangles": q_knn_triangles,
         "kmv_set_ops": q_kmv_set_ops,
         "local_supplier_revenue": q_local_supplier_revenue,
-        "customer_value_ranks": q_customer_value_ranks,
         "priority_grouping_sets": q_priority_grouping_sets,
         "events_twap": q_events_twap,
         "fuzzy_pairs": q_fuzzy_pairs,
         "purchase_attribution": q_purchase_attribution,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "weighted_sample": q_weighted_sample,
         "events_pivot": q_events_pivot,
         "events_dedup_first": q_events_dedup_first,
         "ivm_counters": q_ivm_counters,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "audio_wav_segments": q_audio_wav_segments,
-        "artifact_roundtrip": q_artifact_roundtrip,
-        "bluegreen_swap": q_bluegreen_swap,
         "splade_vocab": q_splade_vocab,
         "shipping_priority": q_shipping_priority,
         "returned_items": q_returned_items,
@@ -4721,7 +4879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": q_parts_supplier_count,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        "discounted_revenue": q_discounted_revenue,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -4879,6 +5036,7 @@ FROM sess GROUP BY user_id, session_id""",
         "bm25_stats_merge": oracles.q_bm25_stats_merge(),
         "gdpr_delete_cascade": oracles.q_gdpr_delete_cascade(),
         "bm25_append_delete_replay": oracles.q_bm25_append_delete_replay(),
+        "gdpr_sync_replay": oracles.q_gdpr_sync_replay(),
         "knn_ivf_sampled": oracles.q_knn_ivf(k=5, n_centroids=16, nprobe=4, train_table="tsample", sample_mod=3),
         "forecast_revenue": """
 SELECT sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(8,2))::DECIMAL(30,4))::DOUBLE AS revenue,
@@ -4887,6 +5045,9 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
         "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
+        # row-form batch replay: a hash match proves the packed
+        # shard->pack->merge->estimate algebra == batch registers
+        "approx_distinct_hll_packed": oracles.q_approx_distinct_hll(p=8),
         "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
         "knn_link_prediction": oracles.q_knn_link_prediction(k=5, top_k=20),
@@ -5958,6 +6119,9 @@ FROM ev JOIN fr USING (batch)
 GROUP BY bucket_us""",
         "leakage_safe_split": oracles.q_leakage_safe_split(2, 10, 16, 4, 3, 0.5),
         "knn_nprobe_sweep": oracles.q_knn_nprobe_sweep(5, 16, (1, 2, 4, 8)),
+        "knn_ivf_sample_sweep": oracles.q_knn_ivf_sample_sweep(
+            5, 16, 4, (1, 3, 10)),
+        "embedding_dbscan": oracles.q_embedding_dbscan(50_000, 4),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey
@@ -6139,6 +6303,10 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim
     out["streaming_scd2"] = out["scd2_orders"]
+    # two-level bucketing is a pure shuffle-shape change: identical
+    # result set to the one-level join, so it shares its raw-range
+    # oracle verbatim — the hash match IS the equality pin at SF
+    out["interval_overlap_two_level"] = out["interval_overlap"]
     out["text_entropy"] = """
 WITH chars AS (
   SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),

@@ -346,3 +346,128 @@ def jl_projection(emb: DataFrame, out_dim: int = 16, dim: int = 64,
         F.when(norm("v") > 0, F.round(norm("proj") / norm("v"), 6))
         .otherwise(F.lit(0.0)).alias("norm_ratio"),
     )
+
+
+def dbscan_projected(emb: DataFrame, eps_micro: int = 50_000,
+                     min_pts: int = 4, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """DBSCAN (Ester et al. 1996) over the deterministic 2-D JL sketch
+    of an embedding corpus — density clustering as grid-blocked
+    equi-joins, the clustering family k-means (cluster_profile) cannot
+    express: clusters of ARBITRARY shape, an explicit noise label, and
+    no k to guess. On a near-dup-planted corpus the dense pockets ARE
+    the duplicate neighborhoods, so this doubles as a
+    dedup-candidate-region finder.
+
+    Determinism end to end: coordinates are the first two JL
+    components (md5-parity Rademacher signs, _jl_signs — the matrix the
+    DuckDB twin replays bit-for-bit) quantized to integer MICRO-units
+    (floor(round(x, 6) * 1e6 + 0.5)); every distance compare is then
+    exact BIGINT arithmetic (dx² + dy² <= eps², coords <= ~1e8 µ so the
+    squares fit comfortably), and the classic DBSCAN
+    order-dependence of border points is removed by assigning each
+    border to its MINIMUM-labelled core neighbor's cluster.
+
+    Shape (all equi-joins, no cartesian — plan-asserted):
+      1. map: project + quantize (zero shuffle, codegen'd dots);
+      2. grid block: cell = (floor(qx/eps), floor(qy/eps)); probe side
+         explodes to its 3×3 neighborhood, build side sits in its home
+         cell → every candidate pair appears EXACTLY once (the home
+         cell is unique), and any pair within eps shares a blocked cell
+         pairing by construction (recall-exact);
+      3. one groupBy: neighborhood counts → core = n_nb >= min_pts;
+      4. core–core edges → connected_components (min-label
+         propagation, the dedup CC machinery);
+      5. border = non-core with a core neighbor, labelled by the min
+         core neighbor's cluster; the rest is noise.
+
+    Scale: candidate mass = Σ_cells |probe_b|·|build_b| — bounded by
+    the per-cell density that eps controls (DBSCAN's own premise:
+    eps is chosen so neighborhoods are small); a genuinely dense blob
+    is answer mass. Returns (vec_id, n_neighbors, role, cluster_id)
+    with cluster_id NULL exactly for noise.
+    """
+    import math
+
+    from semantik_spark.functions.vectors import dot
+    from semantik_spark.operators.dedup import connected_components
+
+    scale = math.sqrt(2.0)
+    v = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+
+    def coord(i: int):
+        signs = F.expr(
+            "array(" + ", ".join(repr(s) for s in _jl_signs(i, dim)) + ")")
+        return F.floor(
+            F.round(dot(F.col("v"), signs) / F.lit(scale), 6) * 1e6
+            + F.lit(0.5)).cast("bigint")
+
+    pts = v.select("vec_id", coord(0).alias("qx"), coord(1).alias("qy"))
+    eps = F.lit(int(eps_micro)).cast("bigint")
+    cell = lambda c: F.floor(F.col(c) / eps).cast("bigint")  # noqa: E731
+    build = pts.select(
+        F.col("vec_id").alias("b_id"), F.col("qx").alias("bx"),
+        F.col("qy").alias("by"), cell("qx").alias("cx"), cell("qy").alias("cy"))
+    off = F.expr("explode(array(-1, 0, 1))")
+    probe = (
+        pts.select("vec_id", "qx", "qy", cell("qx").alias("_cx0"),
+                   cell("qy").alias("_cy0"))
+        .select("*", off.alias("_dx"))
+        .select("*", off.alias("_dy"))
+        .select(F.col("vec_id").alias("a_id"), "qx", "qy",
+                (F.col("_cx0") + F.col("_dx")).alias("cx"),
+                (F.col("_cy0") + F.col("_dy")).alias("cy"))
+    )
+    d2 = ((F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
+          + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by")))
+    nbrs = (
+        probe.join(build, ["cx", "cy"])
+        .where(d2 <= eps * eps)
+        .select("a_id", "b_id")
+    )
+    from semantik_spark.functions.caching import cache
+
+    nbrs = cache(nbrs)
+    counts = nbrs.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.count("*").cast("bigint").alias("n_neighbors"))
+    core_ids = counts.where(F.col("n_neighbors") >= min_pts) \
+        .select(F.col("vec_id").alias("core_id"))
+    core_edges = (
+        nbrs.where(F.col("a_id") < F.col("b_id"))
+        .join(core_ids, nbrs.a_id == core_ids.core_id, "left_semi")
+        .join(core_ids, nbrs.b_id == core_ids.core_id, "left_semi")
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    cc = connected_components(core_edges, edges_canonical=True).select(
+        F.col("node").alias("core_id"), F.col("component").alias("cluster_id"))
+    # isolated cores (no core neighbor) are their own singleton cluster
+    core_lab = core_ids.join(cc, "core_id", "left").select(
+        "core_id", F.coalesce("cluster_id", "core_id").alias("cluster_id"))
+    # border: non-core with >= 1 core neighbor -> min core cluster
+    border_lab = (
+        nbrs.where(F.col("a_id") != F.col("b_id"))
+        .join(core_lab.withColumnRenamed("core_id", "b_id"), "b_id")
+        .join(core_ids.withColumnRenamed("core_id", "a_id"), "a_id",
+              "left_anti")
+        .groupBy(F.col("a_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return (
+        counts
+        .join(core_lab.select(F.col("core_id").alias("vec_id"),
+                              F.col("cluster_id").alias("_core_cl")),
+              "vec_id", "left")
+        .join(border_lab.select(F.col("a_id").alias("vec_id"),
+                                F.col("cluster_id").alias("_border_cl")),
+              "vec_id", "left")
+        .select(
+            "vec_id", "n_neighbors",
+            F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce("_core_cl", "_border_cl").cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

@@ -108,6 +108,25 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
     tok.unpersist()
 
 
+def merge_dense_append(delta_docs: DataFrame, path: str,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       payload_cols: tuple[str, ...] = ()) -> None:
+    """APPEND-path dense maintenance — the flat ``{path}/dense`` table
+    is append-only for NEW doc ids (embeddings are per-doc, no corpus
+    statistics to drift, unlike the sparse side), so the delta batch
+    just writes its rows; deletes route through delete_from_index's
+    anti-join rewrite. Together with merge_sparse_append this is the
+    full incremental sync step for the flat-index layout (the IVF
+    layout's equivalent is ivf_append). Only valid for NEW ids —
+    updates must route through the exact rebuild, same contract as the
+    sparse append."""
+    delta_docs.select(
+        F.col(id_col).alias("doc_id"),
+        mock_embedding(text_col).alias("embedding"),
+        *payload_cols,
+    ).write.mode("append").parquet(f"{path}/dense")
+
+
 def build_index(docs: DataFrame, path: str,
                 id_col: str = "doc_id", text_col: str = "text",
                 payload_cols: tuple[str, ...] = ()) -> None:

@@ -416,7 +416,7 @@ def hll_estimate(regs: DataFrame, exact: DataFrame | None = None,
     floor(x*1000 + 0.5) — the module-standard way to carry a libm
     result across engines (see textanalysis.char_entropy).
     """
-    m, _, scale, c = hll_params(p)
+    m, _, scale, _ = hll_params(p)
     grp = regs.groupBy("g").agg(
         F.sum(F.expr(f"shiftleft(1L, {scale} - mj)")).cast("bigint").alias("_s"),
         F.count("*").cast("bigint").alias("_n_regs"),
@@ -427,6 +427,16 @@ def hll_estimate(regs: DataFrame, exact: DataFrame | None = None,
         (F.col("_s") + (F.lit(m) - F.col("_n_regs")) * F.lit(1 << scale))
         .cast("bigint").alias("sum_scaled"),
     )
+    return _hll_estimate_output(out, exact, group_col, p)
+
+
+def _hll_estimate_output(out: DataFrame, exact: DataFrame | None,
+                         group_col: str, p: int) -> DataFrame:
+    """Shared estimate tail over per-group moments (group_col, v_zero,
+    sum_scaled) — used by both the row-form and packed register paths
+    so the two layouts cannot drift (packed == row-form is ALSO pinned
+    in tests/test_sketches.py)."""
+    m, _, scale, c = hll_params(p)
     e_raw = F.lit(c) / F.col("sum_scaled")
     est = F.when(
         (e_raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
@@ -456,3 +466,76 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
         F.count_distinct(value_col).cast("bigint").alias("n_exact")
     )
     return hll_estimate(regs, exact, group_col, p)
+
+
+def hll_pack(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Compact the (g, j, mj) register table to ONE row per group:
+    (g, regs) where ``regs`` is a dense length-m ``array<tinyint>``
+    (register j at position j, 0 = never hit; ranks fit a byte since
+    rank <= w + 1 = 61 - p < 128 for p >= 7).
+
+    This is the SERVING layout (VERDICT r8 item 9): the row-form table
+    is the right shape for building and merging inside a shuffle
+    (map-side combinable, no per-group hotspot), but a catalog keeping
+    sketches for millions of (table, column, partition) groups pays
+    m rows of per-row overhead each; packed, a group is one Tungsten
+    UnsafeArrayData blob of ~m bytes. The fold is a bounded
+    collect_list (exactly m entries max) into a map, then a dense
+    transform — no UDF, no driver state.
+    """
+    m, _, _, _ = hll_params(p)
+    mp = regs.groupBy("g").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("j"), F.col("mj")))).alias("_m"))
+    idx = F.sequence(F.lit(0).cast("bigint"), F.lit(m - 1).cast("bigint"))
+    return mp.select(
+        "g",
+        F.transform(idx, lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i), F.lit(0)).cast("tinyint")
+        ).alias("regs"),
+    )
+
+
+def hll_merge_packed(a: DataFrame, b: DataFrame, p: int = 8) -> DataFrame:
+    """Union two PACKED sketch tables: full-outer join on the group,
+    element-wise register max via zip_with — the same
+    idempotent-commutative-associative lattice as the row-form merge,
+    so any shard split folds to the batch sketch bit-for-bit (pinned
+    in tests/test_sketches.py). A missing group on either side merges
+    against the all-zero sketch."""
+    m, _, _, _ = hll_params(p)
+    zeros = F.array_repeat(F.lit(0).cast("tinyint"), m)
+    j = a.select("g", F.col("regs").alias("_ra")).join(
+        b.select("g", F.col("regs").alias("_rb")), "g", "full_outer")
+    return j.select(
+        "g",
+        F.zip_with(
+            F.coalesce(F.col("_ra"), zeros), F.coalesce(F.col("_rb"), zeros),
+            lambda x, y: F.greatest(x, y),
+        ).alias("regs"),
+    )
+
+
+def hll_estimate_packed(packed: DataFrame, exact: DataFrame | None = None,
+                        group_col: str = "g", p: int = 8) -> DataFrame:
+    """Estimates from a PACKED register table — identical output to
+    ``hll_estimate`` on the row form (both feed the shared
+    ``_hll_estimate_output`` tail; equality pinned in tests). The
+    moments fold entirely inside the array (F.aggregate / F.filter,
+    JVM-side): a zero register contributes 2^scale to sum_scaled —
+    exactly the absent-row imputation of the row form."""
+    _, _, scale, _ = hll_params(p)
+    out = packed.select(
+        F.col("g").alias(group_col),
+        F.size(F.filter("regs", lambda x: x == F.lit(0)))
+        .cast("bigint").alias("v_zero"),
+        F.aggregate(
+            "regs", F.lit(0).cast("bigint"),
+            # call_function: F.shiftleft's python signature takes only a
+            # literal int for numBits; the SQL function takes a column
+            lambda acc, x: acc + F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                F.lit(scale) - x.cast("int")),
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    return _hll_estimate_output(out, exact, group_col, p)

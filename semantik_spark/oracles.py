@@ -263,6 +263,29 @@ def q_gdpr_delete_cascade(del_pred: str = "doc_id % 7 = 3") -> str:
     )
 
 
+def q_gdpr_sync_replay(del_pred: str = "doc_id % 7 = 3",
+                       tomb_pred: str = "doc_id % 3 < 2 AND doc_id % 7 = 3"
+                       ) -> str:
+    """Twin of the COMPOSED erasure story (VERDICT r8 item 6): the
+    full-cascade GDPR delete (dense + postings + terms + tombstones)
+    arriving *between* incremental appends. The state algebra contract
+    makes the twin one recompute over the surviving corpus, exactly as
+    in q_gdpr_delete_cascade — except tombstones only hold ids that
+    were INDEXED when the request landed (``tomb_pred``); later batches
+    pre-drop suppressed ids, so those never enter any artifact."""
+    return (
+        f"WITH remaining AS (SELECT doc_id, text FROM documents WHERE NOT ({del_pred})), "
+        f"{bm25_ctes()[1:]}, {bm25_ctes('remaining', prefix='r_')[1:]} "
+        "SELECT term, term_id, df, round(idf, 6) AS idf, "
+        "       (SELECT n_docs FROM r_bstats) AS n_docs, "
+        "       (SELECT round(avgdl, 6) FROM r_bstats) AS avgdl, "
+        f"      (SELECT count(*) FROM remaining)::BIGINT AS dense_rows, "
+        f"      (SELECT count(*) FROM post WHERE NOT ({del_pred}))::BIGINT AS postings_rows, "
+        f"      (SELECT count(DISTINCT doc_id) FROM documents WHERE {tomb_pred})::BIGINT AS tombstone_rows "
+        "FROM r_terms"
+    )
+
+
 def q_bm25_append_delete_replay(splits: int = 4, del_pred: str = "doc_id % 5 = 2") -> str:
     """Twin of the production sparse sync loop (VERDICT r7 item 9): the
     corpus arrives as ``splits`` hash-sliced APPEND batches with a GDPR
@@ -3977,6 +4000,76 @@ flat AS (
 SELECT vec_id, pos, component, norm_ratio FROM flat"""
 
 
+def q_embedding_dbscan(eps_micro: int = 50_000, min_pts: int = 4,
+                       dim: int = 64) -> str:
+    """Twin of projection.dbscan_projected: identical md5-parity JL
+    signs and micro-quantization, then the NAIVE quadratic eps-join
+    (the grid blocking is recall-exact, so the raw theta join IS the
+    reference semantics), core/border/noise roles, min-label connected
+    components via recursive closure, border assigned to the min core
+    neighbor's cluster."""
+    import hashlib
+    import math
+
+    scale = repr(math.sqrt(2.0))
+
+    def signs(i: int) -> str:
+        vals = [
+            "1.0" if int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else "-1.0"
+            for j in range(dim)
+        ]
+        return "[" + ", ".join(vals) + "]"
+
+    e2 = int(eps_micro) * int(eps_micro)
+    return f"""
+WITH RECURSIVE src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pts AS MATERIALIZED (
+  SELECT vec_id,
+         floor(round(list_dot_product(v, {signs(0)}) / {scale}, 6) * 1e6 + 0.5)::BIGINT AS qx,
+         floor(round(list_dot_product(v, {signs(1)}) / {scale}, 6) * 1e6 + 0.5)::BIGINT AS qy
+  FROM src),
+nbrs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM pts a JOIN pts b
+    ON (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= {e2}),
+counts AS MATERIALIZED (
+  SELECT a_id AS vec_id, count(*)::BIGINT AS n_neighbors FROM nbrs GROUP BY 1),
+cores AS MATERIALIZED (
+  SELECT vec_id FROM counts WHERE n_neighbors >= {min_pts}),
+edges AS MATERIALIZED (
+  SELECT a_id AS a, b_id AS b FROM nbrs
+  WHERE a_id < b_id
+    AND a_id IN (SELECT vec_id FROM cores)
+    AND b_id IN (SELECT vec_id FROM cores)),
+sym AS MATERIALIZED (
+  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+cc AS MATERIALIZED (
+  SELECT a AS vec_id, least(a, min(b))::BIGINT AS cluster_id
+  FROM reach GROUP BY a),
+core_lab AS MATERIALIZED (
+  SELECT c.vec_id, coalesce(cc.cluster_id, c.vec_id)::BIGINT AS cluster_id
+  FROM cores c LEFT JOIN cc USING (vec_id)),
+border_lab AS MATERIALIZED (
+  SELECT n.a_id AS vec_id, min(cl.cluster_id)::BIGINT AS cluster_id
+  FROM nbrs n JOIN core_lab cl ON n.b_id = cl.vec_id
+  WHERE n.a_id <> n.b_id
+    AND n.a_id NOT IN (SELECT vec_id FROM cores)
+  GROUP BY n.a_id)
+SELECT c.vec_id, c.n_neighbors,
+       CASE WHEN k.cluster_id IS NOT NULL THEN 'core'
+            WHEN b.cluster_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(k.cluster_id, b.cluster_id)::BIGINT AS cluster_id
+FROM counts c
+LEFT JOIN core_lab k USING (vec_id)
+LEFT JOIN border_lab b USING (vec_id)"""
+
+
 def q_lsh_signature_matches(num_hashes: int = 16, bands: int = 4,
                             n: int = 3, threshold: float = 0.5) -> str:
     """Twin of the ACCUMULATED streaming_lsh_dedup match log over the
@@ -4176,6 +4269,33 @@ def q_knn_nprobe_sweep(k: int = 5, n_centroids: int = 16,
         sub = q_knn_ivf(k=k, n_centroids=n_centroids, nprobe=p)
         branches.append(f"""
 SELECT 'nprobe={p}' AS method, {p}::INT AS nprobe, n_hit, n_exact,
+       round(n_hit::DOUBLE / n_exact, 6) AS recall
+FROM (
+  SELECT (SELECT count(*)::BIGINT FROM bf b
+          JOIN ({sub}) a ON b.query_id = a.query_id AND b.vec_id = a.vec_id) AS n_hit,
+         (SELECT count(*)::BIGINT FROM bf) AS n_exact
+) s""")
+    return f"""
+WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
+{" UNION ALL ".join(branches)}"""
+
+
+def q_knn_ivf_sample_sweep(k: int = 5, n_centroids: int = 16,
+                           nprobe: int = 4,
+                           mods: tuple = (1, 3, 10)) -> str:
+    """Sampled-codebook recall curve (twin of the knn_ivf_sample_sweep
+    driver query): recall@k at training-sample mod 1 (full corpus),
+    3 (~1/3) and 10 (~1/10) against the exhaustive top-k — the
+    measured recall-vs-training-cost trade of the 100 TB ANN build
+    path, as a driver-checked artifact (VERDICT r8 item 7)."""
+    branches = []
+    for mod in mods:
+        sub = q_knn_ivf(
+            k=k, n_centroids=n_centroids, nprobe=nprobe,
+            train_table="tsample" if mod > 1 else "corpus",
+            sample_mod=mod if mod > 1 else None)
+        branches.append(f"""
+SELECT 'sample_mod={mod}' AS method, {mod}::INT AS sample_mod, n_hit, n_exact,
        round(n_hit::DOUBLE / n_exact, 6) AS recall
 FROM (
   SELECT (SELECT count(*)::BIGINT FROM bf b

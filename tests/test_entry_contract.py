@@ -14,66 +14,69 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-# Queries that MUST sit inside the first-50 driver window this round:
-# the 29 round-7 post-window additions awaiting their first driver row
-# (judge pre-verified all 29 green at sf0.01 in the r7 verdict), plus
-# every query added in round 8.  Extend this list when adding a query —
-# never bump a count constant (VERDICT r4 #1: the count-based assert
-# rotted; set-based invariants below cannot).
-ROUND8_WINDOW_MUST: tuple = (
-    "knn_binary",
-    "dedup_spans",
-    "matryoshka_recall",
-    "dedup_cut",
-    "stream_interval_join",
-    "bm25_pruned_search",
-    "unigram_pieces",
-    "unigram_encode",
-    "knn_ivf_append",
-    "stream_interval_join_outer",
-    "knn_kcore",
-    "textrank_keywords",
-    "maxsim_rerank",
-    "spell_suggestions",
-    "incremental_clusters",
-    "events_seasonal",
-    "quality_calibrated",
-    "bpe_fertility",
-    "streaming_scd2",
-    "text_entropy",
-    "value_band_pairs",
-    "events_mad_outliers",
-    "curated_manifest",
-    "unigram_em_encode",
-    "dedup_containment",
-    "knn_ppr",
-    "customer_rfm",
-    "streaming_sessions",
-    "events_concurrency",
-    # added in round 8 — extend as queries land
-    "gdpr_delete_cascade",
-    "bm25_append_delete_replay",
-    "knn_ivf_sampled",
-    "forecast_revenue",
-    "approx_distinct_hll",
-    "interval_overlap",
-    "events_acf",
-    "wordpiece_merges",
-    "wordpiece_encode",
-    "record_linkage",
-    "k_anonymity",
-    "knn_link_prediction",
-    "streaming_hll",
-    "temporal_split",
-    "knn_assortativity",
+# Queries that MUST sit inside the first-50 driver window this round.
+# Round 9 is the first STALENESS-ROTATION round (VERDICT r8 item 2):
+# every registered entry already has a driver-green row (r3..r8), so
+# the window re-verifies the oldest anchors. Extend the first block
+# when adding a query — never bump a count constant (VERDICT r4 #1:
+# the count-based assert rotted; set-based invariants cannot).
+ROUND9_WINDOW_MUST: tuple = (
+    # added in round 9 — each takes its FIRST driver row this round;
+    # extend as queries land (displaces the r5 fill, never the r4
+    # anchors)
+    "gdpr_sync_replay",
+    "approx_distinct_hll_packed",
+    "interval_overlap_two_level",
+    "knn_ivf_sample_sweep",
+    "embedding_dbscan",
+    # the 37 longest-unrefreshed anchors (last driver-green row:
+    # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
+    # rounds
+    "approx_distinct_kmv",
+    "chunk_collapse",
+    "chunk_fixed",
+    "corpus_shards",
+    "cube_agg",
+    "customers_without_orders",
+    "doc_clusters",
+    "doc_length_histogram",
+    "events_anomaly",
+    "events_asof",
+    "events_funnel",
+    "events_props_json",
+    "events_range_window",
+    "events_sliding",
+    "events_tumbling",
+    "join_revenue",
+    "more_like_this",
+    "multi_collection_dense",
+    "nb_classify",
+    "ngram_topk",
+    "order_priority",
+    "parse_routed",
+    "pricing_summary",
+    "rerank_search",
+    "rollup_agg",
+    "sniff_formats",
+    "text_collocations",
+    "text_curation",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_token_counts",
+    "topk_per_group",
+    "user_retention",
+    "user_sessions",
+    "value_percentiles",
 )
 
 
-# Entries added AFTER the round-8 window fills (50/50), if any: never
+# Entries added AFTER the round-9 window fills (50/50), if any: never
 # driver-evaluated, verified locally via tools/check_oracle.py. These
-# MUST head the round-9 window — promote this tuple into the next
+# MUST head the round-10 window — promote this tuple into the next
 # round's WINDOW_MUST list during rotation.
-ROUND9_WINDOW_MUST: tuple = ()
+ROUND10_WINDOW_MUST: tuple = ()
 
 
 def test_every_query_has_an_oracle():
@@ -87,15 +90,15 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-8 window contract (README 'Correctness window rotation'):
-    never-driver-evaluated and new/changed queries sit in the first 50."""
+    """Round-9 window contract (README 'Correctness window rotation'):
+    new queries and the longest-unrefreshed anchors sit in the first 50."""
     window = list(entrymod.queries())[:50]
-    for must in ROUND8_WINDOW_MUST:
+    for must in ROUND9_WINDOW_MUST:
         assert must in window, f"{must} fell out of the driver window"
-    # round-9 candidates (post-window additions) are registered, past
+    # round-10 candidates (post-window additions) are registered, past
     # the boundary, awaiting their first driver row next rotation
     names = set(entrymod.queries())
-    for must in ROUND9_WINDOW_MUST:
+    for must in ROUND10_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 

@@ -302,3 +302,56 @@ def test_q_jl_projection_entry_is_flat(spark):
     assert len(one) == 16
     assert sorted(r["pos"] for r in one) == list(range(16))
     assert len({r["norm_ratio"] for r in one}) == 1
+
+
+def test_dbscan_projected_textbook_fixture(spark):
+    """Hand-checkable DBSCAN: a dense 5-point pocket (all mutually
+    within eps), one border point hanging off it, and two isolated
+    noise points. Vectors are constructed so the first two JL
+    components land where we want via a scalar multiple of a probe
+    basis — roles and the deterministic min-label cluster id are
+    asserted exactly."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.projection import (
+        _jl_signs, dbscan_projected)
+
+    # build 64-d vectors whose JL-2D image is (t * s0x, t * s1x): use
+    # v = t * e0 (first basis vector) -> dot(v, signs_i) = t * signs_i[0]
+    s00 = _jl_signs(0, 64)[0]  # +-1
+    s10 = _jl_signs(1, 64)[0]
+    # choose t so consecutive points are eps/2 apart along the image
+    # line; |image step| = (t_step/sqrt(2)) * sqrt(s00^2 + s10^2) = t_step
+    import math
+    step = 0.02  # -> 20_000 micro after scaling below
+    def vec(k: float):
+        return [k * step * math.sqrt(2.0) / math.sqrt(s00 * s00 + s10 * s10)] + [0.0] * 63
+
+    rows = (
+        [(i, vec(i * 0.5)) for i in range(6)]     # 0..5: 10k µ apart
+        + [(10, vec(4.5))]                        # 90k µ: border off 4,5
+        + [(20, vec(15)), (21, vec(25))]          # isolated noise
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in dbscan_projected(
+        df, eps_micro=50_000, min_pts=4).collect()}
+    # 0..5 at 10k spacing spans 50k total, so with eps=50k every point
+    # sees all 6 (boundary inclusive) -> all core, min-label cluster 0
+    for i in range(6):
+        assert out[i]["role"] == "core", (i, out[i])
+        assert out[i]["cluster_id"] == 0
+    # 10 at 90k: within eps of cores 4 (50k exactly) and 5 (40k) but
+    # only 3 neighbors total (4, 5, self) -> border, inherits cluster 0
+    assert out[10]["role"] == "border" and out[10]["cluster_id"] == 0
+    for i in (20, 21):
+        assert out[i]["role"] == "noise" and out[i]["cluster_id"] is None
+
+
+def test_dbscan_projected_no_cartesian(spark):
+    from semantik_spark.operators.projection import dbscan_projected
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(8)], ["vec_id", "embedding"])
+    plan = dbscan_projected(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

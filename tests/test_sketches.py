@@ -260,3 +260,47 @@ def test_hll_nulls_excluded(spark):
     from semantik_spark.operators.sketches import hll_distinct
     r = hll_distinct(df, "g", "v").collect()[0]
     assert r["n_exact"] == 1 and r["v_zero"] == 255
+
+
+def test_hll_packed_equals_row_form(spark):
+    # the serving layout: one array<tinyint> row per group must yield
+    # the SAME moments and estimate as the (g, j, mj) row form
+    from semantik_spark.operators.sketches import (
+        hll_estimate, hll_estimate_packed, hll_pack, hll_registers)
+
+    df = spark.range(6000).select(
+        (F.col("id") % 4).cast("string").alias("g"), F.col("id").alias("v"))
+    regs = hll_registers(df, "g", "v", p=8)
+    row_form = {r["g"]: (r["v_zero"], r["sum_scaled"], r["estimate_milli"])
+                for r in hll_estimate(regs, p=8).collect()}
+    packed = hll_pack(regs, p=8)
+    rows = packed.collect()
+    assert all(len(r["regs"]) == 256 for r in rows)
+    got = {r["g"]: (r["v_zero"], r["sum_scaled"], r["estimate_milli"])
+           for r in hll_estimate_packed(packed, p=8).collect()}
+    assert got == row_form and len(got) == 4
+
+
+def test_hll_packed_merge_lattice(spark):
+    # shard -> pack -> zip_with-max merge == pack(batch); disjoint
+    # groups on one side merge against the all-zero sketch
+    from semantik_spark.operators.sketches import (
+        hll_merge_packed, hll_pack, hll_registers)
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v"))
+    a = hll_pack(hll_registers(df.where(F.col("v") % 2 == 0), "g", "v"))
+    b = hll_pack(hll_registers(df.where(F.col("v") % 2 == 1), "g", "v"))
+    merged = {r["g"]: list(r["regs"])
+              for r in hll_merge_packed(a, b).collect()}
+    batch = {r["g"]: list(r["regs"])
+             for r in hll_pack(hll_registers(df, "g", "v")).collect()}
+    assert merged == batch
+    # one-sided group: present only in shard a -> merges against the
+    # all-zero sketch, i.e. passes through unchanged
+    onlya = spark.createDataFrame([("zz", 7)], "g string, v bigint")
+    am = hll_pack(hll_registers(onlya, "g", "v"))
+    want_zz = {r["g"]: list(r["regs"]) for r in am.collect()}["zz"]
+    out = {r["g"]: list(r["regs"])
+           for r in hll_merge_packed(am, b).collect()}
+    assert out["zz"] == want_zz and sum(1 for x in out["zz"] if x > 0) == 1
