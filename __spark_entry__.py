@@ -445,6 +445,20 @@ def q_bm25_pruned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score")
 
 
+def q_bm25_rocchio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (bm25.rocchio_search, Rocchio
+    1971): first-pass top-5 per query mined for the 8 strongest
+    non-query terms by summed impact weight (micro-quantized cut,
+    engine-portable), second pass scores original + 0.4-scaled
+    expansion weights — the classic vocabulary-mismatch fix as two
+    broadcast score passes over ONE persisted postings build."""
+    res = bm25.rocchio_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=10, fb_docs=5, fb_terms=8, beta_milli=400,
+    )
+    return _r6(res, "score")
+
+
 def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 extractor: TF-IDF top-5 keywords per document."""
     return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
@@ -4628,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_two_level": q_interval_overlap_two_level,
         "knn_ivf_sample_sweep": q_knn_ivf_sample_sweep,
         "embedding_dbscan": q_embedding_dbscan,
+        "bm25_rocchio_search": q_bm25_rocchio_search,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4681,13 +4696,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keywords": q_cluster_keywords,
         "contamination_report": q_contamination_report,
         "customer_value_ranks": q_customer_value_ranks,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "discounted_revenue": q_discounted_revenue,
         "knn_binary": q_knn_binary,
         "dedup_spans": q_dedup_spans,
@@ -6122,6 +6137,7 @@ GROUP BY bucket_us""",
         "knn_ivf_sample_sweep": oracles.q_knn_ivf_sample_sweep(
             5, 16, 4, (1, 3, 10)),
         "embedding_dbscan": oracles.q_embedding_dbscan(50_000, 4),
+        "bm25_rocchio_search": oracles.q_bm25_rocchio_search(10, 5, 8, 400),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

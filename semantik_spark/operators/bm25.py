@@ -348,6 +348,77 @@ def pruned_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def rocchio_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                   fb_docs: int = 5, fb_terms: int = 8,
+                   beta_milli: int = 400, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   tokenized: DataFrame | None = None) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio 1971; the two-pass
+    query-expansion family RM3/BO1 belong to): assume the first-pass
+    top-``fb_docs`` are relevant, mine them for the ``fb_terms``
+    strongest terms the user DIDN'T type, and rescore with the expanded
+    query. The classic fix for vocabulary mismatch ("car" retrieving
+    docs that only say "automobile") — pure query-side work, no model.
+
+      pass 1  standard BM25 top-fb_docs per query;
+      mine    expansion weight w_fb(term) = Σ over feedback docs of the
+              doc's BM25 impact weight for the term; original query
+              terms excluded (anti-join); top-fb_terms per query by
+              (floor(w_fb·1e6 + 0.5) DESC, term ASC) — the micro-
+              quantized rank key makes the cut engine-portable;
+      pass 2  q_weight(expansion) = beta_milli/1000 · w_fb / fb_docs
+              unioned with the original encoded query, then the normal
+              broadcast score + top-k.
+
+    Scale: the postings table is built ONCE and persisted across both
+    passes (in a deployed index it is parquet and both passes are pure
+    serve work); the feedback join is |queries|·fb_docs rows against
+    postings on doc_id — broadcast-sized; the second pass costs exactly
+    one more broadcast score pass with ≤ fb_terms extra terms per
+    query. No corpus rescan anywhere.
+    """
+    from pyspark.sql import Window
+
+    tok = tokenized if tokenized is not None \
+        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    stats = corpus_stats(tok)
+    terms = term_stats(tok, stats)
+    post = postings(tok, terms, stats).persist()
+    enc = encode_queries(queries, terms)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    fb = (
+        score(post, enc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.desc("_mu"), F.asc("term"))
+    expn = (
+        fb.join(post, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("weight").alias("w_fb"))
+        .join(enc.select("query_id", "term"), ["query_id", "term"],
+              "left_anti")
+        .withColumn("_mu", F.floor(F.col("w_fb") * 1e6 + F.lit(0.5))
+                    .cast("bigint"))
+        .withColumn("_rn", F.row_number().over(wexp))
+        .where(F.col("_rn") <= fb_terms)
+        .select(
+            "query_id", "term",
+            (F.lit(float(beta_milli)) / F.lit(1000.0) * F.col("w_fb")
+             / F.lit(float(fb_docs))).alias("q_weight"),
+        )
+    )
+    enc2 = enc.unionByName(expn)
+    return (
+        score(post, enc2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def more_like_this(docs: DataFrame, seed_pred, k: int = 10, top_terms: int = 16,
                    id_col: str = "doc_id", text_col: str = "text",
                    tokenized: DataFrame | None = None) -> DataFrame:

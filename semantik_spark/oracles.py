@@ -320,6 +320,54 @@ def q_bm25_search(k: int = 10) -> str:
     )
 
 
+def q_bm25_rocchio_search(k: int = 10, fb_docs: int = 5,
+                          fb_terms: int = 8, beta_milli: int = 400) -> str:
+    """Twin of bm25.rocchio_search (pseudo-relevance feedback): pass-1
+    top-fb_docs, expansion = top-fb_terms by summed BM25 impact over
+    the feedback docs (original query terms anti-joined out; rank key
+    micro-quantized, term tiebreak), pass-2 scores the original
+    encoding unioned with beta-scaled expansion weights."""
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, fb_docs)},
+fb AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {fb_docs}),
+fbw AS (
+  SELECT fb.query_id, p.term, sum(p.weight) AS w_fb
+  FROM fb JOIN post p USING (doc_id)
+  GROUP BY fb.query_id, p.term
+),
+expn AS (
+  SELECT query_id, term, w_fb FROM (
+    SELECT f.query_id, f.term, f.w_fb,
+           row_number() OVER (PARTITION BY f.query_id
+                              ORDER BY floor(f.w_fb * 1e6 + 0.5) DESC,
+                                       f.term ASC) AS rn
+    FROM fbw f
+    WHERE NOT EXISTS (SELECT 1 FROM qenc q
+                      WHERE q.query_id = f.query_id AND q.term = f.term)
+  ) s WHERE rn <= {fb_terms}
+),
+qenc2 AS (
+  SELECT query_id, term, q_weight FROM qenc
+  UNION ALL
+  SELECT query_id, term,
+         {beta_milli}::DOUBLE / 1000.0 * w_fb / {float(fb_docs)!r} AS q_weight
+  FROM expn
+),
+scored2 AS (
+  SELECT q.query_id, p.doc_id, sum(p.weight * q.q_weight) AS score
+  FROM post p JOIN qenc2 q USING (term)
+  GROUP BY q.query_id, p.doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored2
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+FROM ranked2 WHERE rank <= {k}"""
+
+
 def q_bm25_pruned_search(k: int = 10, keep: int = 32) -> str:
     """Twin of bm25.pruned_search: statically pruned postings (per-term
     top-``keep`` by impact weight, doc_id tiebreak) scored with the

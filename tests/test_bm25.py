@@ -228,3 +228,30 @@ def test_pruned_search_matches_full_when_keep_exceeds_corpus(spark, corpus):
         for r in df.collect())
     assert norm(bm25.pruned_search(corpus, queries, k=3, keep=100)) == \
         norm(bm25.search(corpus, queries, k=3))
+
+
+def test_rocchio_expansion_fixes_vocabulary_mismatch(spark):
+    """The PRF contract: a query that only says 'automobile' must pull
+    in the co-occurring 'vehicle' docs AFTER expansion. Corpus: feedback
+    docs pair 'automobile' with 'vehicle'; a second group says only
+    'vehicle'. Pass-1 cannot rank the vehicle-only docs (zero term
+    overlap); pass-2 must."""
+    from semantik_spark.operators import bm25
+
+    docs = spark.createDataFrame(
+        [(i, "automobile vehicle engine road") for i in range(1, 6)]
+        + [(i, "vehicle engine highway") for i in range(10, 15)]
+        + [(i, f"cooking recipe flour sugar butter item{i}") for i in range(20, 30)],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "automobile")],
+                              ["query_id", "query_text"])
+    plain = {r["doc_id"] for r in bm25.search(docs, q, k=20).collect()}
+    assert plain == set(range(1, 6))  # only literal-term matches
+    rows = bm25.rocchio_search(docs, q, k=20, fb_docs=5, fb_terms=4).collect()
+    got = {r["doc_id"] for r in rows}
+    assert set(range(10, 15)) <= got, got  # vehicle-only docs recovered
+    # original matches still rank on top (they carry both signals)
+    top5 = {r["doc_id"] for r in rows if r["rank"] <= 5}
+    assert top5 == set(range(1, 6))
+    # cooking docs stay out
+    assert not (set(range(20, 30)) & got)

@@ -29,6 +29,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "interval_overlap_two_level",
     "knn_ivf_sample_sweep",
     "embedding_dbscan",
+    "bm25_rocchio_search",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds
