@@ -459,6 +459,20 @@ def q_bm25_rocchio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score")
 
 
+def q_lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood top-k with Dirichlet smoothing
+    (bm25.lm_dirichlet_search, Zhai & Lafferty 2001) — the
+    language-modeling retrieval family next to BM25/dense/SPLADE/
+    MaxSim: collection-frequency smoothing + a length prior instead of
+    idf + tf saturation, a genuinely different ranking from the same
+    one-pass index shape."""
+    res = bm25.lm_dirichlet_search(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=10, mu=300.0,
+    )
+    return _r6(res, "score")
+
+
 def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 extractor: TF-IDF top-5 keywords per document."""
     return extract.keywords(_t(spark, sf_dir, "documents"), top_k=5)
@@ -4643,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_sample_sweep": q_knn_ivf_sample_sweep,
         "embedding_dbscan": q_embedding_dbscan,
         "bm25_rocchio_search": q_bm25_rocchio_search,
+        "lm_dirichlet_search": q_lm_dirichlet_search,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4695,13 +4710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bluegreen_swap": q_bluegreen_swap,
         "cluster_keywords": q_cluster_keywords,
         "contamination_report": q_contamination_report,
-        "customer_value_ranks": q_customer_value_ranks,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "customer_value_ranks": q_customer_value_ranks,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "discounted_revenue": q_discounted_revenue,
         "knn_binary": q_knn_binary,
@@ -6138,6 +6153,7 @@ GROUP BY bucket_us""",
             5, 16, 4, (1, 3, 10)),
         "embedding_dbscan": oracles.q_embedding_dbscan(50_000, 4),
         "bm25_rocchio_search": oracles.q_bm25_rocchio_search(10, 5, 8, 400),
+        "lm_dirichlet_search": oracles.q_lm_dirichlet_search(10, 300.0),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

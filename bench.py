@@ -167,7 +167,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "gdpr_sync_replay", "approx_distinct_hll_packed",
     "interval_overlap_two_level", "knn_ivf_sample_sweep",
-    "embedding_dbscan", "bm25_rocchio_search",
+    "embedding_dbscan", "bm25_rocchio_search", "lm_dirichlet_search",
 ]
 
 

@@ -368,6 +368,50 @@ SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
 FROM ranked2 WHERE rank <= {k}"""
 
 
+def q_lm_dirichlet_search(k: int = 10, mu: float = 300.0) -> str:
+    """Twin of bm25.lm_dirichlet_search (query likelihood, Dirichlet
+    smoothing, Zhai & Lafferty 2001): overlap term
+    Σ tf_q·ln(1 + tf_d/(µ·cf/|C|)) plus the per-doc length prior
+    |q|·ln(µ/(dl+µ)); zero-overlap docs excluded."""
+    m = repr(float(mu))
+    return f"""
+WITH {bm25_ctes()},
+coll AS (SELECT sum(doc_len)::DOUBLE AS t_tokens FROM tokl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+qsrc AS (SELECT * FROM {queries_values_sql(SEARCH_QUERIES)}),
+qtok AS (
+  SELECT query_id,
+         list_filter(regexp_extract_all(lower(query_text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM qsrc
+),
+qtf AS (
+  SELECT query_id, term, count(*)::BIGINT AS tf_q
+  FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
+  GROUP BY query_id, term
+),
+qlen AS (SELECT query_id, sum(tf_q)::BIGINT AS qlen FROM qtf GROUP BY 1),
+ov AS (
+  SELECT q.query_id, tf.doc_id, tf.doc_len,
+         sum(q.tf_q * ln(1.0 + tf.tf / ({m} * (cf.cf / (SELECT t_tokens FROM coll))))) AS s_match
+  FROM tf JOIN qtf q USING (term) JOIN cf USING (term)
+  GROUP BY 1, 2, 3
+),
+lmsc AS (
+  SELECT ov.query_id, ov.doc_id,
+         ov.s_match + ql.qlen * ln({m} / (ov.doc_len + {m})) AS score
+  FROM ov JOIN qlen ql USING (query_id)
+),
+lmranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM lmsc
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank::INT AS rank
+FROM lmranked WHERE rank <= {k}"""
+
+
 def q_bm25_pruned_search(k: int = 10, keep: int = 32) -> str:
     """Twin of bm25.pruned_search: statically pruned postings (per-term
     top-``keep`` by impact weight, doc_id tiebreak) scored with the

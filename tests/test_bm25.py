@@ -255,3 +255,36 @@ def test_rocchio_expansion_fixes_vocabulary_mismatch(spark):
     assert top5 == set(range(1, 6))
     # cooking docs stay out
     assert not (set(range(20, 30)) & got)
+
+
+def test_lm_dirichlet_ranking_properties(spark):
+    """QL-Dirichlet sanity: higher tf ranks higher at equal length; at
+    equal tf the SHORTER doc wins (length prior); rarer terms matter
+    more than common ones (collection-frequency weighting)."""
+    from semantik_spark.operators import bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum quantum quantum filler filler filler"),
+            (2, "quantum filler filler filler filler filler"),
+            (3, "quantum filler filler filler filler filler filler filler "
+                "filler filler filler filler"),
+            (4, "filler filler filler filler filler filler"),
+            # docs that make 'filler' very common in the collection
+            (5, "filler filler filler filler"),
+            (6, "filler filler filler filler"),
+        ],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "quantum")], ["query_id", "query_text"])
+    rows = bm25.lm_dirichlet_search(docs, q, k=10, mu=10.0).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert 4 not in ranks and 5 not in ranks  # zero-overlap excluded
+    assert ranks[1] == 1          # tf wins
+    assert ranks[2] < ranks[3]    # shorter doc wins at equal tf
+    # rare-vs-common: a query term that is collection-rare scores
+    # higher than an equally-frequent common term in the same doc
+    q2 = spark.createDataFrame([("qr", "quantum"), ("qc", "filler")],
+                               ["query_id", "query_text"])
+    rows2 = bm25.lm_dirichlet_search(docs, q2, k=1, mu=10.0).collect()
+    top = {r["query_id"]: r["score"] for r in rows2}
+    assert top["qr"] > top["qc"]

@@ -30,6 +30,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "knn_ivf_sample_sweep",
     "embedding_dbscan",
     "bm25_rocchio_search",
+    "lm_dirichlet_search",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds
