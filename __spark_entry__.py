@@ -4143,6 +4143,43 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{base}/state", group_col="event_type", p=8)
 
 
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup end-to-end (streaming.incremental.
+    streaming_dedup → dropDuplicatesWithinWatermark): the
+    (event_type, user_id) stream arrives as three real micro-batches
+    and every re-occurrence of a key inside the watermark horizon is
+    dropped by the engine's own bounded dedup state. The horizon is set
+    beyond the corpus span here so the accumulated append output is
+    EXACTLY the distinct key set (first arrival per key) and the batch
+    DISTINCT oracle hash-pins it; production sets the horizon to the
+    re-delivery window and the state stays O(keys-per-horizon) — the
+    operator's bounded-state contract is separately unit-pinned
+    (tests/test_streaming.py drops an in-horizon duplicate)."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        stream_files, streaming_dedup)
+
+    base = _scratch("stream_exact_dedup")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("ts", "event_type", "user_id")
+    drop = f"{base}/drop"
+    ev.repartition(3).write.parquet(drop)
+    deduped = streaming_dedup(
+        stream_files(spark, drop,
+                     "ts timestamp, event_type string, user_id bigint",
+                     fmt="parquet", max_files_per_trigger=1),
+        ["event_type", "user_id"],
+        watermark_minutes=1_000_000,  # horizon > corpus span: == DISTINCT
+    ).select("event_type", "user_id")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", f"{base}/out")
+         .option("checkpointLocation", f"{base}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{base}/out").select("event_type", "user_id")
+
+
 def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection AT INGESTION: the augmented doc corpus
     (planted +10000 duplicates) streams in as TWO micro-batches; each
@@ -4658,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dbscan": q_embedding_dbscan,
         "bm25_rocchio_search": q_bm25_rocchio_search,
         "lm_dirichlet_search": q_lm_dirichlet_search,
+        "streaming_exact_dedup": q_streaming_exact_dedup,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4709,13 +4747,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_segments": q_audio_wav_segments,
         "bluegreen_swap": q_bluegreen_swap,
         "cluster_keywords": q_cluster_keywords,
-        "contamination_report": q_contamination_report,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "contamination_report": q_contamination_report,
         "customer_value_ranks": q_customer_value_ranks,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "discounted_revenue": q_discounted_revenue,
@@ -6154,6 +6192,9 @@ GROUP BY bucket_us""",
         "embedding_dbscan": oracles.q_embedding_dbscan(50_000, 4),
         "bm25_rocchio_search": oracles.q_bm25_rocchio_search(10, 5, 8, 400),
         "lm_dirichlet_search": oracles.q_lm_dirichlet_search(10, 300.0),
+        # horizon > corpus span makes the stream output exactly the
+        # distinct key set; bounded-state semantics unit-pinned
+        "streaming_exact_dedup": "SELECT DISTINCT event_type, user_id FROM events",
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -54,7 +54,8 @@ ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
                    # 4): the point is the merged-state == rebuild
                    # equality pin, not the wall time — their cost is
                    # the replay's step count by construction
-                   "bm25_append_delete_replay", "gdpr_sync_replay"}
+                   "bm25_append_delete_replay", "gdpr_sync_replay",
+                   "streaming_exact_dedup"}
 
 # Fixed-overhead replays excluded from the suite "value" (VERDICT r7
 # item 6): their cost is micro-batch scheduler constants / in-query
@@ -168,6 +169,7 @@ BENCH_QUERIES = [
     "gdpr_sync_replay", "approx_distinct_hll_packed",
     "interval_overlap_two_level", "knn_ivf_sample_sweep",
     "embedding_dbscan", "bm25_rocchio_search", "lm_dirichlet_search",
+    "streaming_exact_dedup",
 ]
 
 

@@ -31,6 +31,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "embedding_dbscan",
     "bm25_rocchio_search",
     "lm_dirichlet_search",
+    "streaming_exact_dedup",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds
