@@ -459,6 +459,27 @@ def q_bm25_rocchio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR result diversification (search.mmr_diversify, Carbonell &
+    Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
+    at lambda=0.5 so each pick trades relevance against mock-embedding
+    similarity to what's already shown — the redundancy fix for result
+    lists full of near-copies. Greedy trajectory ranks on
+    micro-quantized objectives (doc_id tiebreak), so the oracle's
+    8-step unrolled replay hash-matches exactly."""
+    from semantik_spark.functions.vectors import mock_embedding
+    from semantik_spark.operators.search import mmr_diversify
+
+    docs = _t(spark, sf_dir, "documents")
+    pool = (
+        bm25.search(docs, _queries_df(spark, SEARCH_QUERIES), k=16)
+        .join(docs.select("doc_id", mock_embedding("text").alias("e")),
+              "doc_id")
+        .select("query_id", "doc_id", F.col("score").alias("rel"), "e")
+    )
+    return mmr_diversify(pool, k=8, lambda_milli=500)
+
+
 def q_lm_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-likelihood top-k with Dirichlet smoothing
     (bm25.lm_dirichlet_search, Zhai & Lafferty 2001) — the
@@ -4696,6 +4717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rocchio_search": q_bm25_rocchio_search,
         "lm_dirichlet_search": q_lm_dirichlet_search,
         "streaming_exact_dedup": q_streaming_exact_dedup,
+        "mmr_rerank": q_mmr_rerank,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4746,13 +4768,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artifact_roundtrip": q_artifact_roundtrip,
         "audio_wav_segments": q_audio_wav_segments,
         "bluegreen_swap": q_bluegreen_swap,
-        "cluster_keywords": q_cluster_keywords,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "cluster_keywords": q_cluster_keywords,
         "contamination_report": q_contamination_report,
         "customer_value_ranks": q_customer_value_ranks,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
@@ -6195,6 +6217,7 @@ GROUP BY bucket_us""",
         # horizon > corpus span makes the stream output exactly the
         # distinct key set; bounded-state semantics unit-pinned
         "streaming_exact_dedup": "SELECT DISTINCT event_type, user_id FROM events",
+        "mmr_rerank": oracles.q_mmr_rerank(16, 8, 500),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

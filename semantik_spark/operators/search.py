@@ -219,6 +219,80 @@ def maxsim_rerank(docs: DataFrame, queries: DataFrame, k: int = 5,
     return _topk(scored, k)
 
 
+def mmr_diversify(candidates: DataFrame, k: int = 8,
+                  lambda_milli: int = 700) -> DataFrame:
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein 1998): greedily re-rank a per-query candidate pool so
+    each pick balances relevance against redundancy with what is
+    already shown — mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+    The classic fix for result lists that are ten near-copies of the
+    same top hit (on a near-dup-planted corpus, exactly what plain
+    BM25 returns).
+
+    ``candidates``: (query_id, doc_id, rel, e) — relevance score plus
+    an embedding for the redundancy term. Returns (query_id, doc_id,
+    mmr_micro, mmr_rank) for the k greedy picks, where ``mmr_micro`` is
+    the objective quantized to integer micro-units
+    (floor(x·1e6 + 0.5)) — the argmax ranks on that integer with a
+    doc_id tiebreak, so the greedy trajectory is engine-portable.
+
+    Shape: retrieval and hydration are distributed; the greedy loop
+    itself runs DRIVER-LOCAL on the collected pool — the serve-batch
+    discipline the cross-encoder rerank path already uses: the pool is
+    ≤ |serve batch| × candidate-k rows BY CONTRACT (the W3 clamp caps
+    candidate-k at 200, serve batches at ~100 queries), so this is a
+    bounded ≤ 20k-row collect, not a corpus operation, and the k-step
+    sequential dependency costs zero Spark jobs instead of ~5k per
+    step. IEEE doubles in CPython are the same doubles as in the JVM
+    and DuckDB, so the trajectory is engine-portable bit-for-bit.
+    """
+    import math
+
+    lam = float(lambda_milli) / 1000.0
+    rows = candidates.select("query_id", "doc_id", "rel", "e").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], float(r["rel"]), [float(x) for x in r["e"]]))
+
+    def cos(a: list, b: list) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        d = math.sqrt(na) * math.sqrt(nb)
+        return dot / d if d > 0 else 0.0
+
+    out = []
+    for q, pool in by_q.items():
+        pool = sorted(pool)  # doc_id order: deterministic iteration
+        selected: list = []
+        remaining = {d: (rel, e) for d, rel, e in pool}
+        for step in range(1, min(k, len(pool)) + 1):
+            best = None
+            for d in sorted(remaining):
+                rel, e = remaining[d]
+                if selected:
+                    msim = max(cos(e, se) for _, se in selected)
+                    val = lam * rel - (1.0 - lam) * msim
+                else:
+                    val = lam * rel
+                micro = math.floor(val * 1e6 + 0.5)
+                # argmax on (micro DESC, doc_id ASC); doc order is
+                # ascending so strict > keeps the smaller id on ties
+                if best is None or micro > best[0]:
+                    best = (micro, d, e)
+            micro, d, e = best
+            selected.append((d, e))
+            del remaining[d]
+            out.append((q, d, micro, step))
+
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        out, "query_id string, doc_id bigint, mmr_micro bigint, mmr_rank int")
+
+
 def spell_suggestions(docs: DataFrame, words: DataFrame, k: int = 1,
                       id_col: str = "doc_id", text_col: str = "text",
                       word_col: str = "word") -> DataFrame:

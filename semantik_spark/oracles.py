@@ -432,6 +432,64 @@ pruned AS (
     )
 
 
+def q_mmr_rerank(k_pool: int = 16, k_out: int = 8,
+                 lambda_milli: int = 500) -> str:
+    """Twin of search.mmr_diversify over the BM25 top-``k_pool`` pool
+    with mock-embedding redundancy: the greedy MMR trajectory unrolled
+    ``k_out`` steps, each step an anti-join + max-sim + micro-quantized
+    argmax (doc_id tiebreak) — every CTE MATERIALIZED (referenced
+    downstream repeatedly; DuckDB would inline exponentially)."""
+    lam = f"({lambda_milli}::DOUBLE / 1000.0)"
+    steps = []
+    for t in range(2, k_out + 1):
+        steps.append(f""",
+p{t} AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id, c.rel FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM selu{t - 1} s
+                    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)),
+m{t} AS MATERIALIZED (
+  SELECT p.query_id, p.doc_id, p.rel, max(sm.sim) AS msim
+  FROM p{t} p
+  JOIN sims sm ON sm.query_id = p.query_id AND sm.da = p.doc_id
+  JOIN selu{t - 1} s ON s.query_id = sm.query_id AND s.doc_id = sm.db
+  GROUP BY p.query_id, p.doc_id, p.rel),
+s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr_micro, {t} AS mmr_rank FROM (
+    SELECT query_id, doc_id,
+           floor(({lam} * rel - (1.0 - {lam}) * msim) * 1e6 + 0.5)::BIGINT AS mmr_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor(({lam} * rel - (1.0 - {lam}) * msim) * 1e6 + 0.5) DESC,
+                                       doc_id ASC) AS rn
+    FROM m{t}) z WHERE rn = 1),
+selu{t} AS MATERIALIZED (
+  SELECT query_id, doc_id FROM selu{t - 1}
+  UNION ALL SELECT query_id, doc_id FROM s{t})""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, mmr_micro, mmr_rank FROM s{t}"
+        for t in range(1, k_out + 1))
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, k_pool)},
+cand AS MATERIALIZED (
+  SELECT r.query_id, r.doc_id, r.score AS rel, {mock_embed_expr('d.text')} AS e
+  FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+  WHERE r.rank <= {k_pool}),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         {cosine_expr("a.e", "b.e")} AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+s1 AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr_micro, 1 AS mmr_rank FROM (
+    SELECT query_id, doc_id,
+           floor({lam} * rel * 1e6 + 0.5)::BIGINT AS mmr_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY floor({lam} * rel * 1e6 + 0.5) DESC,
+                                       doc_id ASC) AS rn
+    FROM cand) z WHERE rn = 1),
+selu1 AS MATERIALIZED (SELECT query_id, doc_id FROM s1){''.join(steps)}
+SELECT * FROM ({union}) u"""
+
+
 def q_dense_mock_search(k: int = 10) -> str:
     return (
         f"WITH {mock_dense_ctes(SEARCH_QUERIES, k)} "

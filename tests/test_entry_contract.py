@@ -32,6 +32,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "bm25_rocchio_search",
     "lm_dirichlet_search",
     "streaming_exact_dedup",
+    "mmr_rerank",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds

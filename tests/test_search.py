@@ -95,3 +95,23 @@ def test_weighted_fusion_normalizes_and_weights(spark):
     assert out[3]["score"] == 0.0
     # tie between doc 1 and 4 broken by doc_id
     assert out[1]["rank"] == 2 and out[4]["rank"] == 3
+
+
+def test_mmr_diversify_prefers_novel_over_duplicate(spark):
+    """MMR contract (Carbonell & Goldstein 1998): after the top hit is
+    taken, an EXACT duplicate of it (sim 1.0) must lose to a slightly
+    less relevant but orthogonal doc at lambda=0.5; the duplicate still
+    enters later once it is the marginal best."""
+    from semantik_spark.operators.search import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [("q1", 1, 10.0, [1.0, 0.0]),
+         ("q1", 2, 9.9, [1.0, 0.0]),    # exact dup of 1
+         ("q1", 3, 9.0, [0.0, 1.0])],   # orthogonal, less relevant
+        ["query_id", "doc_id", "rel", "e"])
+    rows = {r["mmr_rank"]: r for r in mmr_diversify(
+        cand, k=3, lambda_milli=500).collect()}
+    assert rows[1]["doc_id"] == 1
+    # step 2: dup scores 0.5*9.9 - 0.5*1.0 = 4.45 < 0.5*9.0 - 0 = 4.5
+    assert rows[2]["doc_id"] == 3 and rows[2]["mmr_micro"] == 4_500_000
+    assert rows[3]["doc_id"] == 2
