@@ -459,6 +459,20 @@ def q_bm25_rocchio_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(res, "score")
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippets/highlighting (search.best_window_snippets): for
+    each BM25 top-5 hit, the 12-token document window covering the most
+    distinct query terms (ties: more hits, earliest). Hit-anchored
+    candidate starts keep the window search bounded by the per-doc hit
+    count; the snippet string comes from the tokenizer's own stream so
+    the whole output is engine-exact."""
+    from semantik_spark.operators.search import best_window_snippets
+
+    return best_window_snippets(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        k=5, window_tokens=12)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4718,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_search": q_lm_dirichlet_search,
         "streaming_exact_dedup": q_streaming_exact_dedup,
         "mmr_rerank": q_mmr_rerank,
+        "search_snippets": q_search_snippets,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4767,13 +4782,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_daily": q_approx_distinct_daily,
         "artifact_roundtrip": q_artifact_roundtrip,
         "audio_wav_segments": q_audio_wav_segments,
-        "bluegreen_swap": q_bluegreen_swap,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "bluegreen_swap": q_bluegreen_swap,
         "cluster_keywords": q_cluster_keywords,
         "contamination_report": q_contamination_report,
         "customer_value_ranks": q_customer_value_ranks,
@@ -6218,6 +6233,7 @@ GROUP BY bucket_us""",
         # distinct key set; bounded-state semantics unit-pinned
         "streaming_exact_dedup": "SELECT DISTINCT event_type, user_id FROM events",
         "mmr_rerank": oracles.q_mmr_rerank(16, 8, 500),
+        "search_snippets": oracles.q_search_snippets(5, 12),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

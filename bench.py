@@ -169,7 +169,7 @@ BENCH_QUERIES = [
     "gdpr_sync_replay", "approx_distinct_hll_packed",
     "interval_overlap_two_level", "knn_ivf_sample_sweep",
     "embedding_dbscan", "bm25_rocchio_search", "lm_dirichlet_search",
-    "streaming_exact_dedup", "mmr_rerank",
+    "streaming_exact_dedup", "mmr_rerank", "search_snippets",
 ]
 
 

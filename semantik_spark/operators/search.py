@@ -293,6 +293,86 @@ def mmr_diversify(candidates: DataFrame, k: int = 8,
         out, "query_id string, doc_id bigint, mmr_micro bigint, mmr_rank int")
 
 
+def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
+                         window_tokens: int = 12,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Search-result snippet generation: for every (query, top-k doc)
+    pair, the best ``window_tokens``-token window of the document —
+    the one covering the most DISTINCT query terms (ties: more total
+    hits, then earliest start). The highlight feature every search UI
+    ships; the reference serves matched content back with results, this
+    picks WHICH slice to show.
+
+    The optimal window for a coverage objective can always be shifted
+    right until it starts ON a query-term hit, so only hit positions
+    are window-start candidates: hits per (query, doc) ≤ Σ tf of the
+    query's terms — a bounded self-join on the tiny hit table, never a
+    doc-length scan per candidate. Snippets are built from the
+    tokenizer's own token stream (lowercased, stopword-filtered), so
+    the whole operator — including the returned snippet string — is
+    engine-exact.
+
+    Shape: BM25 top-k (broadcast query side) → posexplode only the
+    top-k docs' tokens (|q|·k docs, not the corpus) → hit table →
+    bounded hit×hit window join → one argmax window → slice + join
+    back. Corpus cost is the retrieval it already paid.
+    """
+    from pyspark.sql import Window
+
+    # ONE tokenize pass shared between retrieval and snippet slicing
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    top = bm25.search(docs, queries, k=k, id_col=id_col,
+                      text_col=text_col, tokenized=tok)
+    # only the retrieved docs' token streams move forward
+    dtok = (
+        tok.join(top.select("doc_id").distinct(), "doc_id")
+        .select("doc_id", "tokens")
+    )
+    pos = dtok.select(
+        "doc_id", F.posexplode("tokens").alias("p", "term"))
+    qterms = (
+        bm25.tokenize(queries, id_col="query_id", text_col="query_text")
+        .select(F.col("doc_id").alias("query_id"),
+                F.explode("tokens").alias("term")).distinct()
+    )
+    hits = (
+        top.select("query_id", "doc_id", "rank")
+        .join(pos, "doc_id")
+        .join(qterms, ["query_id", "term"], "left_semi")
+        .select("query_id", "doc_id", "rank", "p", "term")
+    )
+    a = hits.select("query_id", "doc_id", "rank", F.col("p").alias("start"))
+    b = hits.select("query_id", "doc_id",
+                    F.col("p").alias("p2"), F.col("term").alias("t2"))
+    wins = (
+        a.join(b, ["query_id", "doc_id"])
+        .where((F.col("p2") >= F.col("start"))
+               & (F.col("p2") < F.col("start") + window_tokens))
+        .groupBy("query_id", "doc_id", "rank", "start")
+        .agg(F.count_distinct("t2").cast("int").alias("n_terms"),
+             F.count("*").cast("int").alias("n_hits"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("start"))
+    best = (
+        wins.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.join(dtok, "doc_id")
+        .select(
+            "query_id", "doc_id", F.col("rank").cast("int").alias("rank"),
+            F.col("start").cast("int").alias("snippet_start"),
+            "n_terms", "n_hits",
+            F.array_join(
+                F.slice("tokens", F.col("start") + 1, window_tokens), " "
+            ).alias("snippet"),
+        )
+    )
+
+
 def spell_suggestions(docs: DataFrame, words: DataFrame, k: int = 1,
                       id_col: str = "doc_id", text_col: str = "text",
                       word_col: str = "word") -> DataFrame:

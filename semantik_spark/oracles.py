@@ -490,6 +490,48 @@ selu1 AS MATERIALIZED (SELECT query_id, doc_id FROM s1){''.join(steps)}
 SELECT * FROM ({union}) u"""
 
 
+def q_search_snippets(k: int = 5, window_tokens: int = 12) -> str:
+    """Twin of search.best_window_snippets: hit-anchored best-coverage
+    window over the retrieved docs' token streams, argmax on
+    (distinct terms DESC, hits DESC, start ASC), snippet from the
+    tokenizer's own stream."""
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, k)},
+topd AS MATERIALIZED (
+  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {k}),
+dtok AS MATERIALIZED (
+  SELECT doc_id, tokens FROM tokl
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM topd)),
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(range(0, len(tokens))) AS p,
+         unnest(tokens) AS term
+  FROM dtok),
+qdist AS MATERIALIZED (
+  SELECT DISTINCT query_id, unnest(tokens) AS term FROM qtok),
+hits AS MATERIALIZED (
+  SELECT t.query_id, t.doc_id, t.rank, p.p, p.term
+  FROM topd t JOIN pos p USING (doc_id)
+  WHERE EXISTS (SELECT 1 FROM qdist q
+                WHERE q.query_id = t.query_id AND q.term = p.term)),
+wins AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id, a.rank, a.p AS start,
+         count(DISTINCT b.term)::INT AS n_terms, count(*)::INT AS n_hits
+  FROM hits a JOIN hits b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+   AND b.p >= a.p AND b.p < a.p + {window_tokens}
+  GROUP BY a.query_id, a.doc_id, a.rank, a.p),
+best AS (
+  SELECT query_id, doc_id, rank, start, n_terms, n_hits FROM (
+    SELECT w.*, row_number() OVER (
+      PARTITION BY query_id, doc_id
+      ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
+    FROM wins w) z WHERE rn = 1)
+SELECT b.query_id, b.doc_id, b.rank::INT AS rank,
+       b.start::INT AS snippet_start, b.n_terms, b.n_hits,
+       array_to_string(d.tokens[b.start + 1 : b.start + {window_tokens}], ' ') AS snippet
+FROM best b JOIN dtok d USING (doc_id)"""
+
+
 def q_dense_mock_search(k: int = 10) -> str:
     return (
         f"WITH {mock_dense_ctes(SEARCH_QUERIES, k)} "

@@ -33,6 +33,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "lm_dirichlet_search",
     "streaming_exact_dedup",
     "mmr_rerank",
+    "search_snippets",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds

@@ -115,3 +115,27 @@ def test_mmr_diversify_prefers_novel_over_duplicate(spark):
     # step 2: dup scores 0.5*9.9 - 0.5*1.0 = 4.45 < 0.5*9.0 - 0 = 4.5
     assert rows[2]["doc_id"] == 3 and rows[2]["mmr_micro"] == 4_500_000
     assert rows[3]["doc_id"] == 2
+
+
+def test_best_window_snippets_picks_max_coverage_window(spark):
+    """The window covering BOTH query terms must win over the earlier
+    window with only one, and the snippet text comes from the token
+    stream."""
+    from semantik_spark.operators.search import best_window_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "solar filler filler filler filler filler filler filler "
+             "filler filler filler filler filler filler "
+             "solar panels energy output winter months"),
+         (2, "unrelated cooking text about flour and sugar")],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "solar panels")],
+                              ["query_id", "query_text"])
+    rows = best_window_snippets(docs, q, k=5, window_tokens=4).collect()
+    assert len(rows) == 1  # only doc 1 matches
+    r = rows[0]
+    assert r["doc_id"] == 1 and r["n_terms"] == 2
+    # best window starts at the late 'solar' (covers solar+panels);
+    # token stream is stopword-filtered so positions are post-filter
+    assert r["snippet"].startswith("solar panels")
+    assert r["n_hits"] == 2
