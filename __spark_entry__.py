@@ -1203,6 +1203,63 @@ def q_approx_distinct_hll_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_exact", "rel_error")
 
 
+def q_sliding_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per (event_type, day) from DAILY
+    HLL register tables — the roll-up story that makes sketches the
+    100 TB answer: per-day registers are built ONCE, each day's state
+    contributes to its 7 target days by explode + register-wise MAX
+    (the union lattice), and the estimate folds per target day. The
+    trailing-uniques dashboard without ever re-scanning 7 days of raw
+    events; exact trailing distinct alongside, like the other sketch
+    queries. Oracle replays registers, merge and estimate bit-for-bit."""
+    from semantik_spark.operators import sketches
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "event_type", "user_id")
+    )
+    days = ev.select("event_type", "day").distinct()
+    regs = sketches.hll_registers(
+        ev.withColumn("g", F.struct("event_type", "day")), "g", "user_id",
+        p=8)
+    contrib = regs.select(
+        F.col("g.event_type").alias("event_type"),
+        F.explode(F.sequence(F.col("g.day"),
+                             F.date_add(F.col("g.day"), 6))).alias("t_day"),
+        "j", "mj",
+    )
+    merged = (
+        contrib.join(days.select("event_type", F.col("day").alias("t_day")),
+                     ["event_type", "t_day"], "left_semi")
+        .groupBy("event_type", "t_day", "j")
+        .agg(F.max("mj").cast("int").alias("mj"))
+    )
+    est = sketches.hll_estimate(
+        merged.select(F.struct("event_type", "t_day").alias("g"), "j", "mj"),
+        exact=None, group_col="g", p=8)
+    exact = (
+        ev.select("event_type",
+                  F.explode(F.sequence(F.col("day"),
+                                       F.date_add(F.col("day"), 6)))
+                  .alias("t_day"), "user_id")
+        .join(days.select("event_type", F.col("day").alias("t_day")),
+              ["event_type", "t_day"], "left_semi")
+        .groupBy("event_type", "t_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.select(
+            F.col("g.event_type").alias("event_type"),
+            F.col("g.t_day").cast("string").alias("day"),
+            "v_zero", "sum_scaled", "estimate_milli")
+        .join(exact.select("event_type",
+                           F.col("t_day").cast("string").alias("day"),
+                           "n_exact"),
+              ["event_type", "day"])
+    )
+
+
 def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed KMV: distinct users per (event_type, day) — the
     sketch composed with an event-time bucket, i.e. the daily-uniques
@@ -4733,6 +4790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_exact_dedup": q_streaming_exact_dedup,
         "mmr_rerank": q_mmr_rerank,
         "search_snippets": q_search_snippets,
+        "sliding_uniques_hll": q_sliding_uniques_hll,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -4781,13 +4839,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adding)
         "approx_distinct_daily": q_approx_distinct_daily,
         "artifact_roundtrip": q_artifact_roundtrip,
-        "audio_wav_segments": q_audio_wav_segments,
         # --- driver window boundary (50): everything below is
         # behavior-anchored by an earlier driver round (r4-r8,
         # CORRECTNESS_r04..r08 — every registered entry is green in at
         # least one). Touched-module entries are re-checked via
         # tools/check_oracle.py before commit per the behavior-anchored
         # contract (README 'Correctness window rotation').
+        "audio_wav_segments": q_audio_wav_segments,
         "bluegreen_swap": q_bluegreen_swap,
         "cluster_keywords": q_cluster_keywords,
         "contamination_report": q_contamination_report,
@@ -6234,6 +6292,7 @@ GROUP BY bucket_us""",
         "streaming_exact_dedup": "SELECT DISTINCT event_type, user_id FROM events",
         "mmr_rerank": oracles.q_mmr_rerank(16, 8, 500),
         "search_snippets": oracles.q_search_snippets(5, 12),
+        "sliding_uniques_hll": oracles.q_sliding_uniques_hll(8, 7),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "interval_overlap_two_level", "knn_ivf_sample_sweep",
     "embedding_dbscan", "bm25_rocchio_search", "lm_dirichlet_search",
     "streaming_exact_dedup", "mmr_rerank", "search_snippets",
+    "sliding_uniques_hll",
 ]
 
 

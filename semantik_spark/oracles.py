@@ -2594,6 +2594,64 @@ SELECT g AS event_type, v_zero, sum_scaled, estimate_milli{", n_exact, round(abs
 FROM est"""
 
 
+def q_sliding_uniques_hll(p: int = 8, window_days: int = 7) -> str:
+    """Twin of the sliding_uniques_hll composition: per-(type, day)
+    HLL registers (same deterministic layout as q_approx_distinct_hll)
+    exploded onto their ``window_days`` target days, merged by
+    register-wise MAX, estimated per target day; exact trailing
+    distinct alongside via the same day explosion."""
+    m = 1 << p
+    w = 60 - p
+    scale = w + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * m * m * float(1 << scale)
+    h = hash60_expr("user_id")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP)::DATE AS day, user_id
+  FROM events WHERE user_id IS NOT NULL),
+days AS MATERIALIZED (SELECT DISTINCT event_type, day FROM base),
+rnk AS (
+  SELECT event_type, day, {h} % {m} AS j,
+         CASE WHEN {h} // {m} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin({h} // {m})) END AS rank
+  FROM base),
+regs AS MATERIALIZED (
+  SELECT event_type, day, j, max(rank) AS mj FROM rnk GROUP BY 1, 2, 3),
+contrib AS (
+  SELECT r.event_type, r.day + i::INT AS t_day, r.j, r.mj
+  FROM regs r, generate_series(0, {window_days - 1}) AS s(i)),
+merged AS MATERIALIZED (
+  SELECT c.event_type, c.t_day, c.j, max(c.mj) AS mj
+  FROM contrib c
+  WHERE EXISTS (SELECT 1 FROM days d
+                WHERE d.event_type = c.event_type AND d.day = c.t_day)
+  GROUP BY 1, 2, 3),
+grp AS (
+  SELECT event_type, t_day,
+         sum((1::BIGINT << ({scale} - mj))::BIGINT)::BIGINT AS s_regs,
+         count(*)::BIGINT AS n_regs
+  FROM merged GROUP BY 1, 2),
+ex AS MATERIALIZED (
+  SELECT b.event_type, b.day + i::INT AS t_day,
+         count(DISTINCT b.user_id)::BIGINT AS n_exact
+  FROM base b, generate_series(0, {window_days - 1}) AS s(i)
+  WHERE EXISTS (SELECT 1 FROM days d
+                WHERE d.event_type = b.event_type AND d.day = b.day + i::INT)
+  GROUP BY 1, 2),
+o AS (
+  SELECT event_type, t_day, ({m} - n_regs)::BIGINT AS v_zero,
+         (s_regs + ({m} - n_regs) * (1::BIGINT << {scale}))::BIGINT AS sum_scaled
+  FROM grp),
+e AS (SELECT *, {c!r} / sum_scaled AS e_raw FROM o)
+SELECT e.event_type, strftime(e.t_day, '%Y-%m-%d') AS day, e.v_zero, e.sum_scaled,
+       floor((CASE WHEN e.e_raw <= {2.5 * m} AND e.v_zero > 0
+                   THEN {float(m)} * ln({float(m)} / e.v_zero)
+                   ELSE e.e_raw END) * 1000 + 0.5)::BIGINT AS estimate_milli,
+       ex.n_exact
+FROM e JOIN ex ON ex.event_type = e.event_type AND ex.t_day = e.t_day"""
+
+
 Q_TEXT_READABILITY = """
 WITH c AS (
   SELECT doc_id,

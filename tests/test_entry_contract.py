@@ -34,6 +34,7 @@ ROUND9_WINDOW_MUST: tuple = (
     "streaming_exact_dedup",
     "mmr_rerank",
     "search_snippets",
+    "sliding_uniques_hll",
     # the 37 longest-unrefreshed anchors (last driver-green row:
     # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
     # rounds
