@@ -440,8 +440,52 @@ def dbscan_projected(emb: DataFrame, eps_micro: int = 50_000,
         .join(core_ids, nbrs.b_id == core_ids.core_id, "left_semi")
         .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     )
-    cc = connected_components(core_edges, edges_canonical=True).select(
-        F.col("node").alias("core_id"), F.col("component").alias("cluster_id"))
+    # Tiered CC (same discipline as the MMR serve-batch collect): an
+    # eps-graph is CHAIN-shaped — min-label propagation needs
+    # ~log(diameter) rounds even with pointer jumping (measured: 21
+    # rounds / 172 scheduler jobs on a 1794-edge blob at sf0.1, ~10 s
+    # of pure per-round overhead) — while the core-core edge list of a
+    # well-tuned eps is ANSWER MASS, usually tiny. When it fits the
+    # driver comfortably, union-find locally (O(E α(E)), one collect
+    # job); genuinely huge cluster graphs take the distributed
+    # min-label path. Labels are identical by construction: component
+    # id = min node id.
+    from semantik_spark.functions.caching import cache
+
+    core_edges = cache(core_edges)
+    if core_edges.count() <= 200_000:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for row in core_edges.collect():
+            a, b = row["doc_a"], row["doc_b"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for node in nodes:
+            members.setdefault(find(node), []).append(node)
+        out_rows = [(n, min(group))
+                    for group in members.values() for n in group]
+        spark = emb.sparkSession
+        cc = spark.createDataFrame(
+            out_rows or [(None, None)],
+            "core_id bigint, cluster_id bigint"
+        ).where(F.col("core_id").isNotNull())
+    else:
+        cc = connected_components(core_edges, edges_canonical=True).select(
+            F.col("node").alias("core_id"),
+            F.col("component").alias("cluster_id"))
     # isolated cores (no core neighbor) are their own singleton cluster
     core_lab = core_ids.join(cc, "core_id", "left").select(
         "core_id", F.coalesce("cluster_id", "core_id").alias("cluster_id"))
