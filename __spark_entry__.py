@@ -473,6 +473,20 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, window_tokens=12)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (search.phrase_search, Lucene
+    PhraseQuery(slop=0) semantics): quoted bigram/trigram queries
+    matched by positional adjacency on the stopword-filtered token
+    stream — anchor = hit_pos - slot, HAVING all slots present — then
+    ranked occurrences DESC / first anchor ASC. The quoted-query
+    capability next to the term/dense/hybrid retrieval family."""
+    from semantik_spark.operators.search import phrase_search
+    from semantik_spark.oracles import PHRASE_QUERIES
+
+    phrases = spark.createDataFrame(PHRASE_QUERIES, ["query_id", "phrase"])
+    return phrase_search(_t(spark, sf_dir, "documents"), phrases, k=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4791,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "search_snippets": q_search_snippets,
         "sliding_uniques_hll": q_sliding_uniques_hll,
+        "phrase_search": q_phrase_search,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6293,6 +6308,7 @@ GROUP BY bucket_us""",
         "mmr_rerank": oracles.q_mmr_rerank(16, 8, 500),
         "search_snippets": oracles.q_search_snippets(5, 12),
         "sliding_uniques_hll": oracles.q_sliding_uniques_hll(8, 7),
+        "phrase_search": oracles.q_phrase_search(k=10),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -437,3 +437,64 @@ def spell_suggestions(docs: DataFrame, words: DataFrame, k: int = 1,
             "sug_rank",
         )
     )
+
+
+def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search over positional postings — Lucene
+    PhraseQuery(slop=0) semantics on the BM25 token stream (reference
+    serves term queries only, vecpipe/search/service.py; this closes
+    the quoted-query gap every search UI exposes).
+
+    Positions are indices into the SAME filtered token stream BM25 and
+    best_window_snippets use (lowercase, len>=2, stopwords dropped), so
+    "sort merge" matches "sort ... merge" only when the surviving
+    tokens are adjacent — the standard behavior of an analyzer chain
+    with stopword removal and no position increments.
+
+    Match rule: phrase tokens t_0..t_{n-1}; a document occurrence is an
+    anchor position p where token(p + i) == t_i for every slot i.
+    Implemented as anchor = hit_position - slot on the (term-matched)
+    hit table, grouped by anchor, HAVING every distinct slot present —
+    no per-candidate doc rescan. Repeated phrase terms are handled by
+    the slot-distinct count (each slot must independently find its
+    term at its offset).
+
+    Ranking: occurrences DESC, first anchor ASC, doc_id ASC → top-k.
+
+    Scale: the phrase side is tiny → broadcast; the hit table is
+    bounded by Σ tf of the phrase's terms (same bound as the snippet
+    operator), never corpus × phrase. One shuffle to group anchors.
+    """
+    pos = (
+        bm25.tokenize(docs, id_col=id_col, text_col=text_col)
+        .select(F.col("doc_id"), F.posexplode("tokens").alias("p", "term"))
+    )
+    ptok = (
+        bm25.tokenize(phrases, id_col="query_id", text_col="phrase")
+        .select(F.col("doc_id").alias("query_id"),
+                F.posexplode("tokens").alias("slot", "term"))
+    )
+    plen = ptok.groupBy("query_id").agg(
+        F.count_distinct("slot").alias("n_slots"))
+    hits = pos.join(F.broadcast(ptok), "term").select(
+        "query_id", "doc_id", "slot",
+        (F.col("p") - F.col("slot")).alias("anchor"))
+    occ = (
+        hits.where(F.col("anchor") >= 0)
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count_distinct("slot").alias("got"))
+        .join(F.broadcast(plen), "query_id")
+        .where(F.col("got") == F.col("n_slots"))
+    )
+    scored = occ.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("int").alias("n_occurrences"),
+        F.min("anchor").cast("int").alias("first_pos"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("first_pos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

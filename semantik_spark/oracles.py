@@ -38,6 +38,13 @@ IR_QUERY_TERMS: list[tuple[str, str]] = [
     ("m4", "batch"),
 ]
 
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p1", "table hash"),
+    ("p2", "merge order"),
+    ("p3", "slow hash batch"),
+    ("p4", "stream table hash"),
+]
+
 
 def queries_values_sql(pairs: list[tuple[str, str]], id_name: str = "query_id",
                        text_name: str = "query_text") -> str:
@@ -4891,3 +4898,47 @@ SELECT sp.doc_id,
        substr(text, s, e - s + 1) AS chunk_text
 FROM (SELECT * FROM spans UNION ALL SELECT * FROM tail) sp
 JOIN d USING (doc_id)"""
+
+
+def q_phrase_search(k: int = 10) -> str:
+    """Twin of search.phrase_search: exact-phrase (slop=0) matching on
+    the stopword-filtered token stream via the anchor = pos - slot
+    trick, ranked occurrences DESC / first anchor ASC / doc_id ASC."""
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(range(0, len(tokens))) AS p, unnest(tokens) AS term
+  FROM tokd),
+ph AS ({queries_values_sql(PHRASE_QUERIES, text_name="phrase")}),
+ptokl AS (
+  SELECT query_id,
+         list_filter(regexp_extract_all(lower(phrase), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS toks
+  FROM ph),
+ptok AS MATERIALIZED (
+  SELECT query_id, unnest(range(0, len(toks))) AS slot, unnest(toks) AS term
+  FROM ptokl),
+plen AS (SELECT query_id, count(DISTINCT slot) AS n_slots FROM ptok GROUP BY query_id),
+hits AS MATERIALIZED (
+  SELECT pt.query_id, pos.doc_id, pt.slot, pos.p - pt.slot AS anchor
+  FROM pos JOIN ptok pt USING (term)
+  WHERE pos.p - pt.slot >= 0),
+occ AS MATERIALIZED (
+  SELECT h.query_id, h.doc_id, h.anchor
+  FROM hits h JOIN plen USING (query_id)
+  GROUP BY h.query_id, h.doc_id, h.anchor, plen.n_slots
+  HAVING count(DISTINCT h.slot) = plen.n_slots),
+scored AS (
+  SELECT query_id, doc_id, count(*)::INT AS n_occurrences,
+         min(anchor)::INT AS first_pos
+  FROM occ GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, n_occurrences, first_pos, rank::INT AS rank FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_occurrences DESC, first_pos ASC, doc_id ASC) AS rank
+  FROM scored s) z
+WHERE rank <= {k}"""

@@ -139,3 +139,41 @@ def test_best_window_snippets_picks_max_coverage_window(spark):
     # token stream is stopword-filtered so positions are post-filter
     assert r["snippet"].startswith("solar panels")
     assert r["n_hits"] == 2
+
+
+def test_phrase_search_exact_adjacency(spark):
+    """Phrase matching is positional: 'hash join' matches only where
+    the filtered tokens are adjacent; occurrences are counted and
+    ranked; a stopword between the words does NOT break the phrase
+    (analyzer-chain semantics: positions are post-filter)."""
+    from semantik_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "hash join hash join plans beat nested loops"),  # 2 occ
+         (2, "join ordering matters before any hash step"),   # 0 occ
+         (3, "hash the join keys first"),                     # 'the' dropped -> adjacent
+         (4, "hash partition then merge join")],              # 0 occ
+        ["doc_id", "text"])
+    phrases = spark.createDataFrame([("p1", "hash join")],
+                                    ["query_id", "phrase"])
+    rows = {r["doc_id"]: r for r in phrase_search(docs, phrases, k=10).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_occurrences"] == 2 and rows[1]["rank"] == 1
+    assert rows[3]["n_occurrences"] == 1 and rows[3]["first_pos"] == 0
+
+
+def test_phrase_search_repeated_term_slots(spark):
+    """A phrase with a repeated term ('data data') must NOT match a doc
+    with a single 'data' — each slot independently needs its term at
+    its offset."""
+    from semantik_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "data quality checks on data data feeds"),  # has 'data data'
+         (2, "data quality checks only once")],
+        ["doc_id", "text"])
+    phrases = spark.createDataFrame([("p1", "data data")],
+                                    ["query_id", "phrase"])
+    rows = phrase_search(docs, phrases, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_occurrences"] == 1
