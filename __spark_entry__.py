@@ -487,6 +487,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), phrases, k=10)
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (search.facet_counts): per-query facet sidebar —
+    hit counts by source and lang over the BM25 top-50 result set, top
+    5 values per facet. Aggregation touches only the hit rows, never
+    the corpus."""
+    from semantik_spark.operators.search import facet_counts
+
+    return facet_counts(
+        _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES),
+        facet_cols=("source", "lang"), search_k=50, top_values=5)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4806,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": q_search_snippets,
         "sliding_uniques_hll": q_sliding_uniques_hll,
         "phrase_search": q_phrase_search,
+        "search_facets": q_search_facets,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6309,6 +6322,7 @@ GROUP BY bucket_us""",
         "search_snippets": oracles.q_search_snippets(5, 12),
         "sliding_uniques_hll": oracles.q_sliding_uniques_hll(8, 7),
         "phrase_search": oracles.q_phrase_search(k=10),
+        "search_facets": oracles.q_search_facets(50, 5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

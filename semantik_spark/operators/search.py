@@ -498,3 +498,44 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def facet_counts(docs: DataFrame, queries: DataFrame,
+                 facet_cols: tuple[str, ...] = ("source", "lang"),
+                 search_k: int = 50, top_values: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Faceted search — the per-query facet sidebar every search UI
+    renders next to results: for the BM25 top-``search_k`` hits, the
+    count of hits per value of each facet column, top ``top_values``
+    values per (query, facet) ranked count DESC / value ASC.
+
+    The facet unpivot is a JVM-side explode of an inline
+    struct array (no stack() string plumbing, no UDF), so the whole
+    plan is retrieval + one groupBy.
+
+    Scale: facet aggregation touches only the |q|·search_k hit rows —
+    constant per query regardless of corpus size; the docs join is a
+    hit-side semi-hydration (broadcast the hit ids at serve scale).
+    """
+    top = bm25.search(docs, queries, k=search_k,
+                      id_col=id_col, text_col=text_col)
+    hits = top.join(docs.select(F.col(id_col).alias("doc_id"),
+                                *facet_cols), "doc_id")
+    pairs = hits.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("facet"),
+                     F.col(c).cast("string").alias("value"))
+            for c in facet_cols
+        ])).alias("fv"),
+    ).select("query_id", "fv.facet", "fv.value")
+    counts = pairs.groupBy("query_id", "facet", "value").agg(
+        F.count("*").cast("int").alias("n_hits"))
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.desc("n_hits"), F.asc("value"))
+    return (
+        counts.withColumn("facet_rank", F.row_number().over(w))
+        .where(F.col("facet_rank") <= top_values)
+        .withColumn("facet_rank", F.col("facet_rank").cast("int"))
+    )

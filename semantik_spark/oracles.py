@@ -4942,3 +4942,27 @@ SELECT query_id, doc_id, n_occurrences, first_pos, rank::INT AS rank FROM (
     ORDER BY n_occurrences DESC, first_pos ASC, doc_id ASC) AS rank
   FROM scored s) z
 WHERE rank <= {k}"""
+
+
+def q_search_facets(search_k: int = 50, top_values: int = 5) -> str:
+    """Twin of search.facet_counts: facet value counts over the BM25
+    top-search_k hit set, top values per (query, facet)."""
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, search_k)},
+hits AS (
+  SELECT r.query_id, d.source, d.lang
+  FROM ranked r JOIN documents d USING (doc_id)
+  WHERE r.rank <= {search_k}),
+pairs AS (
+  SELECT query_id, 'source' AS facet, source AS value FROM hits
+  UNION ALL
+  SELECT query_id, 'lang' AS facet, lang AS value FROM hits),
+counts AS (
+  SELECT query_id, facet, value, count(*)::INT AS n_hits
+  FROM pairs GROUP BY query_id, facet, value)
+SELECT query_id, facet, value, n_hits, facet_rank::INT AS facet_rank FROM (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY query_id, facet
+    ORDER BY n_hits DESC, value ASC) AS facet_rank
+  FROM counts c) z
+WHERE facet_rank <= {top_values}"""

@@ -177,3 +177,26 @@ def test_phrase_search_repeated_term_slots(spark):
     rows = phrase_search(docs, phrases, k=10).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["n_occurrences"] == 1
+
+
+def test_facet_counts_over_hit_set_only(spark):
+    """Facet counts aggregate the HIT set: a doc that doesn't match the
+    query contributes to no facet; counts rank DESC with value ASC
+    ties."""
+    from semantik_spark.operators.search import facet_counts
+
+    docs = spark.createDataFrame(
+        [(1, "solar energy panels", "web", "en"),
+         (2, "solar roof panels", "web", "de"),
+         (3, "solar grid", "pdf", "en"),
+         (4, "cooking flour sugar", "web", "en")],  # no match
+        ["doc_id", "text", "source", "lang"])
+    q = spark.createDataFrame([("q1", "solar")], ["query_id", "query_text"])
+    rows = facet_counts(docs, q, search_k=10, top_values=5).collect()
+    by = {(r["facet"], r["value"]): r for r in rows}
+    assert by[("source", "web")]["n_hits"] == 2
+    assert by[("source", "pdf")]["n_hits"] == 1
+    assert by[("lang", "en")]["n_hits"] == 2
+    assert ("source", "web") in by and by[("source", "web")]["facet_rank"] == 1
+    assert ("lang", "de") in by and by[("lang", "de")]["n_hits"] == 1
+    assert not [r for r in rows if r["facet"] == "source" and r["value"] == "web" and r["n_hits"] != 2]
