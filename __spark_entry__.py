@@ -499,6 +499,20 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         facet_cols=("source", "lang"), search_k=50, top_values=5)
 
 
+def q_query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box autocomplete (search.prefix_completions): top-5
+    corpus-vocabulary completions per typed prefix, ranked by document
+    frequency. Prefix lengths broadcast-cross the df-bounded vocab so
+    the match is an equi-join on (length, prefix-key) — never a
+    vocab × prefixes LIKE scan."""
+    from semantik_spark.operators.search import prefix_completions
+    from semantik_spark.oracles import AUTOCOMPLETE_PREFIXES
+
+    pf = spark.createDataFrame([(p,) for p in AUTOCOMPLETE_PREFIXES],
+                               ["prefix"])
+    return prefix_completions(_t(spark, sf_dir, "documents"), pf, k=5)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4819,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_uniques_hll": q_sliding_uniques_hll,
         "phrase_search": q_phrase_search,
         "search_facets": q_search_facets,
+        "query_autocomplete": q_query_autocomplete,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6323,6 +6338,7 @@ GROUP BY bucket_us""",
         "sliding_uniques_hll": oracles.q_sliding_uniques_hll(8, 7),
         "phrase_search": oracles.q_phrase_search(k=10),
         "search_facets": oracles.q_search_facets(50, 5),
+        "query_autocomplete": oracles.q_query_autocomplete(k=5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

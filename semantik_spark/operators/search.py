@@ -539,3 +539,43 @@ def facet_counts(docs: DataFrame, queries: DataFrame,
         .where(F.col("facet_rank") <= top_values)
         .withColumn("facet_rank", F.col("facet_rank").cast("int"))
     )
+
+
+def prefix_completions(docs: DataFrame, prefixes: DataFrame, k: int = 5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Query autocomplete — top-``k`` corpus-vocabulary completions per
+    typed prefix, ranked by document frequency (df DESC, term ASC).
+    The search-box suggest feature over the same analyzed vocabulary
+    the BM25 index serves.
+
+    A `term LIKE prefix%` theta-join would plan as vocab × prefixes;
+    instead the (tiny, broadcast) distinct prefix LENGTHS cross the
+    vocab once, each term emits its substr at those lengths, and the
+    match is an equi-join on (length, prefix-key). Vocab is df-bounded,
+    never corpus-row-bounded.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col)
+    df_tab = (
+        tok.select("doc_id", F.explode("tokens").alias("term")).distinct()
+        .groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    )
+    pl = prefixes.select(
+        F.lower("prefix").alias("prefix"),
+        F.length(F.lower("prefix")).alias("plen"))
+    lens = pl.select("plen").distinct()
+    keyed = (
+        df_tab.join(F.broadcast(lens), F.length("term") >= F.col("plen"))
+        .withColumn("key", F.expr("substring(term, 1, plen)"))
+    )
+    # key == prefix alone suffices: a key built at length L has length
+    # exactly L, so it can only equal a prefix of the same length
+    cand = keyed.join(F.broadcast(pl.select("prefix")),
+                      keyed.key == F.col("prefix")) \
+                .select("prefix", "term", "df")
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("sug_rank", F.row_number().over(w))
+        .where(F.col("sug_rank") <= k)
+        .withColumn("sug_rank", F.col("sug_rank").cast("int"))
+    )

@@ -4966,3 +4966,33 @@ SELECT query_id, facet, value, n_hits, facet_rank::INT AS facet_rank FROM (
     ORDER BY n_hits DESC, value ASC) AS facet_rank
   FROM counts c) z
 WHERE facet_rank <= {top_values}"""
+
+
+AUTOCOMPLETE_PREFIXES: list[str] = ["s", "c", "f", "b", "va"]
+
+
+def q_query_autocomplete(k: int = 5) -> str:
+    """Twin of search.prefix_completions: df-ranked vocabulary
+    completions per prefix (df DESC, term ASC)."""
+    rows = ", ".join(f"('{p}')" for p in AUTOCOMPLETE_PREFIXES)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM documents),
+dftab AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM tokd)
+  GROUP BY term),
+pl AS (SELECT lower(prefix) AS prefix, length(prefix) AS plen
+       FROM (VALUES {rows}) AS _p(prefix)),
+cand AS (
+  SELECT pl.prefix, d.term, d.df
+  FROM dftab d JOIN pl
+    ON length(d.term) >= pl.plen AND substring(d.term, 1, pl.plen) = pl.prefix)
+SELECT prefix, term, df, sug_rank::INT AS sug_rank FROM (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY prefix ORDER BY df DESC, term ASC) AS sug_rank
+  FROM cand c) z
+WHERE sug_rank <= {k}"""

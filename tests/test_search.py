@@ -200,3 +200,25 @@ def test_facet_counts_over_hit_set_only(spark):
     assert ("source", "web") in by and by[("source", "web")]["facet_rank"] == 1
     assert ("lang", "de") in by and by[("lang", "de")]["n_hits"] == 1
     assert not [r for r in rows if r["facet"] == "source" and r["value"] == "web" and r["n_hits"] != 2]
+
+
+def test_prefix_completions_df_ranked(spark):
+    """Completions rank by document frequency (not term frequency):
+    a term in many docs beats a term repeated in one; prefix match is
+    on the analyzed vocabulary (stopwords never suggested)."""
+    from semantik_spark.operators.search import prefix_completions
+
+    docs = spark.createDataFrame(
+        [(1, "solar power"), (2, "solar grid"), (3, "solar farm"),
+         (4, "solid solid solid solid"),
+         (5, "the they them")],  # stopwords
+        ["doc_id", "text"])
+    pf = spark.createDataFrame([("so",), ("th",)], ["prefix"])
+    rows = [r for r in prefix_completions(docs, pf, k=5).collect()]
+    so = [r for r in rows if r["prefix"] == "so"]
+    assert [r["term"] for r in so] == ["solar", "solid"]
+    assert so[0]["df"] == 3 and so[1]["df"] == 1
+    th = [r for r in rows if r["prefix"] == "th"]
+    # 'the'/'they' are stopwords and never suggested; 'them' is not in
+    # the 88-word list and survives
+    assert [r["term"] for r in th] == ["them"]
