@@ -513,6 +513,17 @@ def q_query_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_completions(_t(spark, sf_dir, "documents"), pf, k=5)
 
 
+def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve
+    (timeseries.kaplan_meier_conversion, Kaplan & Meier 1958): integer-
+    hour durations from first event to first purchase, administratively
+    censored at 36h — the censoring-correct conversion-latency estimate.
+    Log factors cumulate as rounded DECIMAL(28,9) so the curve is
+    engine-exact."""
+    return timeseries.kaplan_meier_conversion(
+        _events(spark, sf_dir), window_hours=36, target_type="purchase")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4834,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "search_facets": q_search_facets,
         "query_autocomplete": q_query_autocomplete,
+        "user_survival": q_user_survival,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6339,6 +6351,7 @@ GROUP BY bucket_us""",
         "phrase_search": oracles.q_phrase_search(k=10),
         "search_facets": oracles.q_search_facets(50, 5),
         "query_autocomplete": oracles.q_query_autocomplete(k=5),
+        "user_survival": oracles.q_user_survival(36, "purchase"),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -824,3 +824,72 @@ def acf_daily(events: DataFrame, lags: tuple = (1, 2, 7, 14),
         .select(group_col, "n_days", F.col("_p.lag").alias("lag"),
                 F.col("_p.acf").alias("acf"))
     )
+
+
+def kaplan_meier_conversion(events: DataFrame, window_hours: int = 36,
+                            target_type: str = "purchase",
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type") -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion (Kaplan &
+    Meier 1958) — the censoring-correct answer to "how long until a
+    user converts?" that a naive average gets wrong: users who have not
+    converted by the end of the observation window are CENSORED at the
+    window boundary (they contribute risk-time, not a conversion), so
+    the estimate is unbiased under administrative censoring.
+
+    Duration = whole hours (integer µs floor-div) from the user's first
+    event to their first ``target_type`` event; users whose first
+    conversion falls outside ``window_hours`` (or never) are censored
+    at ``window_hours``. Output: one row per distinct duration t —
+    n_risk (at-risk just before t), n_events (conversions at t),
+    n_censored (censored at t), survival S(t) = Π_{u<=t} (1 - d_u/n_u).
+
+    Determinism (the bigram_logprob recipe): each event time's log
+    factor ln(1 - d/n) is rounded to 9 dp and cumulated as
+    DECIMAL(28,9); only the final exp is a double, rounded to 6 dp —
+    engine-exact against the oracle. A time where d == n (everyone
+    remaining converts) pins survival to exactly 0 from there on.
+
+    Scale: two groupBy(user) aggregates + one integer-hour groupBy;
+    the KM table itself is at most ``window_hours``+1 rows, so the
+    single-partition ordered window over it costs nothing. Per-user
+    state never materializes beyond (first_ts, first_conversion).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col(type_col) == target_type, us)).alias("tc"),
+    )
+    horizon = int(window_hours) * 3_600_000_000
+    dur = F.floor((F.col("tc") - F.col("t0")) / 3_600_000_000)
+    obs = F.col("tc").isNotNull() & ((F.col("tc") - F.col("t0")) < horizon)
+    per = per.select(
+        F.when(obs, dur).otherwise(F.lit(window_hours)).cast("int").alias("t"),
+        obs.cast("int").alias("observed"),
+    )
+    agg = per.groupBy("t").agg(
+        F.sum("observed").cast("bigint").alias("n_events"),
+        (F.count("*") - F.sum("observed")).cast("bigint").alias("n_censored"),
+    )
+    total = per.agg(F.count("*").alias("n_total"))  # 1-row broadcast
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_risk = (F.col("n_total") - F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+        F.lit(0))).cast("bigint").alias("n_risk")
+    km = agg.crossJoin(F.broadcast(total)).select(
+        "t", n_risk, "n_events", "n_censored")
+    lf = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 9)
+        .cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    dead = F.max(
+        (F.col("n_events") >= F.col("n_risk")).cast("int")).over(wcum)
+    return km.select(
+        "t", "n_risk", "n_events", "n_censored",
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(lf).over(wcum).cast("double")), 6)
+        ).alias("survival"),
+    )

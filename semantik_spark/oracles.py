@@ -4996,3 +4996,49 @@ SELECT prefix, term, df, sug_rank::INT AS sug_rank FROM (
     PARTITION BY prefix ORDER BY df DESC, term ASC) AS sug_rank
   FROM cand c) z
 WHERE sug_rank <= {k}"""
+
+
+def q_user_survival(window_hours: int = 36,
+                    target_type: str = "purchase") -> str:
+    """Twin of timeseries.kaplan_meier_conversion: KM estimator over
+    integer-hour time-to-conversion with administrative censoring at
+    the window boundary; log factors rounded to 9 dp and cumulated as
+    DECIMAL(28,9) before the single exp."""
+    horizon = window_hours * 3_600_000_000
+    return f"""
+WITH per0 AS (
+  SELECT user_id,
+         min(epoch_us(ts::TIMESTAMP))::BIGINT AS t0,
+         min(CASE WHEN event_type = '{target_type}'
+                  THEN epoch_us(ts::TIMESTAMP) END)::BIGINT AS tc
+  FROM events GROUP BY user_id),
+per AS (
+  SELECT CASE WHEN tc IS NOT NULL AND tc - t0 < {horizon}
+              THEN ((tc - t0) // 3600000000)::INT
+              ELSE {window_hours} END AS t,
+         CASE WHEN tc IS NOT NULL AND tc - t0 < {horizon}
+              THEN 1 ELSE 0 END AS observed
+  FROM per0),
+agg AS (
+  SELECT t, sum(observed)::BIGINT AS n_events,
+         (count(*) - sum(observed))::BIGINT AS n_censored
+  FROM per GROUP BY t),
+km AS (
+  SELECT t, n_events, n_censored,
+         ((SELECT count(*) FROM per)
+          - coalesce(sum(n_events + n_censored) OVER (
+              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0))::BIGINT AS n_risk
+  FROM agg),
+lfs AS (
+  SELECT *,
+         CASE WHEN n_events > 0 AND n_events < n_risk
+              THEN round(ln(1.0 - n_events / n_risk), 9)::DECIMAL(28,9)
+              ELSE 0::DECIMAL(28,9) END AS lf,
+         CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dies
+  FROM km)
+SELECT t, n_risk, n_events, n_censored,
+       CASE WHEN max(dies) OVER w = 1 THEN 0.0
+            ELSE round(exp((sum(lf) OVER w)::DOUBLE), 6) END AS survival
+FROM lfs
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""

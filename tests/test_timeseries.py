@@ -435,3 +435,49 @@ def test_acf_constant_series_and_alternating(spark):
     out = {r["lag"]: r["acf"] for r in acf_daily(ev, lags=(1, 2)).collect()}
     assert out[1] < -0.8
     assert out[2] > 0.7
+
+
+def test_kaplan_meier_censoring_correct(spark):
+    """KM with censoring: 4 users — two convert in hour 1, one in hour
+    2, one never (censored at the boundary). S(1) = 1 - 2/4 = 0.5,
+    S(2) = 0.5 * (1 - 1/2) = 0.25; the censored user holds a risk
+    row at t=36 without dropping survival."""
+    import datetime as dt
+
+    from semantik_spark.operators.timeseries import kaplan_meier_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, hours, typ):
+        return (u, t0 + dt.timedelta(hours=hours), typ)
+
+    events = spark.createDataFrame(
+        [ev(1, 0, "view"), ev(1, 1.5, "purchase"),
+         ev(2, 0, "view"), ev(2, 1.9, "purchase"),
+         ev(3, 0, "view"), ev(3, 2.5, "purchase"),
+         ev(4, 0, "view"), ev(4, 100, "view")],  # never converts
+        ["user_id", "ts", "event_type"])
+    rows = {r["t"]: r for r in
+            kaplan_meier_conversion(events, window_hours=36).collect()}
+    assert rows[1]["n_risk"] == 4 and rows[1]["n_events"] == 2
+    assert rows[1]["survival"] == 0.5
+    assert rows[2]["n_risk"] == 2 and rows[2]["n_events"] == 1
+    assert rows[2]["survival"] == 0.25
+    assert rows[36]["n_censored"] == 1 and rows[36]["n_events"] == 0
+    assert rows[36]["survival"] == 0.25  # censoring never drops S
+
+
+def test_kaplan_meier_all_convert_hits_zero(spark):
+    """When the last remaining users all convert, survival pins to
+    exactly 0.0 (no ln(0) path)."""
+    import datetime as dt
+
+    from semantik_spark.operators.timeseries import kaplan_meier_conversion
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, "view"), (1, t0 + dt.timedelta(hours=1), "purchase"),
+         (2, t0, "view"), (2, t0 + dt.timedelta(hours=1), "purchase")],
+        ["user_id", "ts", "event_type"])
+    rows = kaplan_meier_conversion(events, window_hours=36).collect()
+    assert len(rows) == 1 and rows[0]["survival"] == 0.0
