@@ -524,6 +524,16 @@ def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), window_hours=36, target_type="purchase")
 
 
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (profiling.benford_audit) over order
+    amounts: observed vs log10(1+1/d) leading-digit shares with a
+    rounded-term chi-square — the forensic screen for fabricated or
+    truncated monetary data. One scan into 9 counters."""
+    from semantik_spark.operators.profiling import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4846,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "query_autocomplete": q_query_autocomplete,
         "user_survival": q_user_survival,
+        "benford_audit": q_benford_audit,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6352,6 +6363,7 @@ GROUP BY bucket_us""",
         "search_facets": oracles.q_search_facets(50, 5),
         "query_autocomplete": oracles.q_query_autocomplete(k=5),
         "user_survival": oracles.q_user_survival(36, "purchase"),
+        "benford_audit": oracles.q_benford_audit("orders", "o_totalprice"),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

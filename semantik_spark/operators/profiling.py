@@ -132,3 +132,54 @@ def corpus_drift_psi(ref: DataFrame, cur: DataFrame, buckets: int = 32,
         F.col("psi_term").cast("double").alias("psi_term"),
         F.sum("psi_term").over(w).cast("double").alias("psi_total"),
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit (Benford 1938; the standard
+    forensic screen for fabricated or truncated monetary data): the
+    leading significant digit of naturally-occurring multi-magnitude
+    amounts follows P(d) = log10(1 + 1/d); a large chi-square against
+    that law flags synthetic, capped, or hand-entered figures.
+
+    Only strictly-positive values participate (zero/negative amounts
+    have no leading significant digit). Output: one row per digit 1-9
+    — n, observed_pct, expected_pct, chi2_term = (n - Np)²/(Np), and
+    chi2_total repeated per row (rounded-term DECIMAL sum, the
+    corpus_drift_psi discipline; df = 8 → 15.51 at α=0.05).
+
+    Scale: one scan collapsing map-side into 9 counters; everything
+    after is arithmetic on a 9-row frame.
+    """
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.where(F.col(value_col) >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spark = df.sparkSession
+    alld = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = alld.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
+    w = Window.partitionBy()
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    withp = full.select(
+        "digit", "n",
+        F.sum("n").over(w).alias("_N"),
+        expected.alias("_p"),
+    )
+    termed = withp.select(
+        "digit", "n",
+        F.round(F.col("n") / F.col("_N"), 6).alias("observed_pct"),
+        F.round("_p", 6).alias("expected_pct"),
+        F.round(
+            F.pow(F.col("n") - F.col("_N") * F.col("_p"), 2)
+            / (F.col("_N") * F.col("_p")), 6
+        ).cast("decimal(18,6)").alias("chi2_term"),
+    )
+    return termed.select(
+        "digit", "n", "observed_pct", "expected_pct",
+        F.col("chi2_term").cast("double").alias("chi2_term"),
+        F.sum("chi2_term").over(w).cast("double").alias("chi2_total"),
+    )

@@ -5042,3 +5042,31 @@ SELECT t, n_risk, n_events, n_censored,
             ELSE round(exp((sum(lf) OVER w)::DOUBLE), 6) END AS survival
 FROM lfs
 WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_benford_audit(table: str = "orders",
+                    value_col: str = "o_totalprice") -> str:
+    """Twin of profiling.benford_audit: first-significant-digit counts
+    vs log10(1 + 1/d), rounded chi-square terms summed as DECIMAL."""
+    return f"""
+WITH counts AS (
+  SELECT substring(floor({value_col})::BIGINT::VARCHAR, 1, 1)::INT AS digit,
+         count(*)::BIGINT AS n
+  FROM {table} WHERE {value_col} >= 1 GROUP BY 1),
+full_ AS (
+  SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n
+  FROM (SELECT unnest(range(1, 10))::INT AS digit) d
+  LEFT JOIN counts c USING (digit)),
+withp AS (
+  SELECT digit, n, sum(n) OVER () AS N_, log10(1.0 + 1.0 / digit) AS p_
+  FROM full_),
+termed AS (
+  SELECT digit, n,
+         round(n / N_, 6) AS observed_pct,
+         round(p_, 6) AS expected_pct,
+         round(pow(n - N_ * p_, 2) / (N_ * p_), 6)::DECIMAL(18,6) AS chi2_term
+  FROM withp)
+SELECT digit, n, observed_pct, expected_pct,
+       chi2_term::DOUBLE AS chi2_term,
+       (sum(chi2_term) OVER ())::DOUBLE AS chi2_total
+FROM termed"""

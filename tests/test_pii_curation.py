@@ -99,3 +99,37 @@ def test_pii_scan_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, "x a@b.co")], ["doc_id", "text"])
     plan = pii_report(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_benford_audit_uniform_digits_flagged(spark):
+    """A perfectly uniform first-digit distribution (clearly non-
+    Benford) must produce a large chi-square; all 9 digits present
+    even when some have zero rows; zero/negative values excluded."""
+    from semantik_spark.operators.profiling import benford_audit
+
+    rows = [(float(d) * 100.0,) for d in range(1, 10) for _ in range(10)]
+    rows += [(0.0,), (-5.0,)]  # excluded
+    df = spark.createDataFrame(rows, ["amount"])
+    out = {r["digit"]: r for r in benford_audit(df, "amount").collect()}
+    assert len(out) == 9
+    assert all(out[d]["n"] == 10 for d in range(1, 10))
+    # uniform vs Benford on N=90: chi2 ~ 23.8 >> 15.51 critical
+    assert out[1]["chi2_total"] > 15.51
+    assert out[1]["observed_pct"] == round(10 / 90, 6)
+
+
+def test_benford_audit_benford_sample_passes(spark):
+    """An exactly-Benford-proportioned sample scores a tiny chi-square
+    (only rounding residue)."""
+    import math
+
+    from semantik_spark.operators.profiling import benford_audit
+
+    n = 10000
+    rows = []
+    for d in range(1, 10):
+        cnt = round(n * math.log10(1 + 1 / d))
+        rows += [(float(d),)] * cnt
+    df = spark.createDataFrame(rows, ["amount"])
+    out = benford_audit(df, "amount").head()
+    assert out["chi2_total"] < 0.1
