@@ -534,6 +534,16 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration (textanalysis.token_gini): Gini
+    coefficient + Lorenz deciles of the corpus term-frequency
+    distribution — integer rank-weighted sums, one terminal division,
+    vocab-bounded window (the zipf_fit discipline)."""
+    from semantik_spark.operators.textanalysis import token_gini
+
+    return token_gini(_t(spark, sf_dir, "documents"), deciles=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4857,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_autocomplete": q_query_autocomplete,
         "user_survival": q_user_survival,
         "benford_audit": q_benford_audit,
+        "token_gini": q_token_gini,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6364,6 +6375,7 @@ GROUP BY bucket_us""",
         "query_autocomplete": oracles.q_query_autocomplete(k=5),
         "user_survival": oracles.q_user_survival(36, "purchase"),
         "benford_audit": oracles.q_benford_audit("orders", "o_totalprice"),
+        "token_gini": oracles.q_token_gini(10),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

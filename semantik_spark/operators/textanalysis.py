@@ -701,3 +701,61 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
             .alias("top_char_frac"),
         )
     )
+
+
+def token_gini(docs: DataFrame, deciles: int = 10,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gini coefficient + Lorenz curve of the corpus term-frequency
+    distribution — the concentration summary next to zipf_fit: how much
+    of the token mass the head of the vocabulary owns. A training-mix
+    diagnostic (a corpus whose Gini jumps after a scrape went wrong is
+    suddenly dominated by boilerplate tokens).
+
+    Terms sort by frequency ASC (term ASC ties); with rank i in 1..V,
+      gini = 2·Σ(i·f_i) / (V·Σf) − (V+1)/V
+    — integer sums all the way (DECIMAL(38,0)), one terminal double
+    division, so the score is engine-exact. The Lorenz curve reports,
+    per vocabulary decile, the cumulative share of token mass owned by
+    the poorest ceil(V·d/deciles) terms.
+
+    Scale: term counting is the corpus scan (map-side combined); the
+    sort/window runs over the VOCAB-bounded frequency table (the
+    zipf_fit discipline) — fine for any natural-language vocabulary.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    tf = (
+        docs.select(F.explode(whitespace_tokens(text_col)).alias("term"))
+        .groupBy("term").agg(F.count("*").cast("bigint").alias("f"))
+    )
+    wr = Window.orderBy(F.asc("f"), F.asc("term"))
+    ranked = tf.select(
+        "term", "f", F.row_number().over(wr).cast("bigint").alias("i"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy(F.asc("i")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    dec = F.ceil(F.col("i") * deciles / F.col("_V")).cast("int")
+    enriched = ranked.select(
+        "term", "f", "i",
+        F.count("*").over(wall).cast("bigint").alias("_V"),
+        F.sum("f").over(wall).cast("decimal(38,0)").alias("_S"),
+        F.sum(F.col("i").cast("decimal(38,0)")
+              * F.col("f").cast("decimal(38,0)")).over(wall).alias("_S1"),
+        F.sum(F.col("f").cast("decimal(38,0)")).over(wcum).alias("_cum"),
+    ).withColumn("decile", dec)
+    per_dec = enriched.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.max("_cum").alias("_cum_top"),
+        F.max("_S").alias("_S"), F.max("_S1").alias("_S1"),
+        F.max("_V").alias("_V"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("_S1").cast("double")
+        / (F.col("_V").cast("double") * F.col("_S").cast("double"))
+        - (F.col("_V") + 1).cast("double") / F.col("_V").cast("double"), 6)
+    return per_dec.select(
+        "decile", "n_terms",
+        F.round(F.col("_cum_top").cast("double")
+                / F.col("_S").cast("double"), 6).alias("lorenz_share"),
+        gini.alias("gini"),
+    )

@@ -5070,3 +5070,33 @@ SELECT digit, n, observed_pct, expected_pct,
        chi2_term::DOUBLE AS chi2_term,
        (sum(chi2_term) OVER ())::DOUBLE AS chi2_total
 FROM termed"""
+
+
+def q_token_gini(deciles: int = 10) -> str:
+    """Twin of textanalysis.token_gini: rank-weighted integer Gini over
+    the whitespace term-frequency table + Lorenz deciles."""
+    return f"""
+WITH tf AS (
+  SELECT term, count(*)::BIGINT AS f
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> length(t) > 0)) AS term
+        FROM documents)
+  GROUP BY term),
+ranked AS (
+  SELECT term, f,
+         row_number() OVER (ORDER BY f ASC, term ASC)::BIGINT AS i
+  FROM tf),
+enriched AS (
+  SELECT term, f, i,
+         count(*) OVER ()::BIGINT AS V_,
+         sum(f::DECIMAL(38,0)) OVER () AS S_,
+         sum(i::DECIMAL(38,0) * f::DECIMAL(38,0)) OVER () AS S1_,
+         sum(f::DECIMAL(38,0)) OVER (
+           ORDER BY i ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_,
+         ceil(i * {deciles} / (count(*) OVER ())::DOUBLE)::INT AS decile
+  FROM ranked)
+SELECT decile, count(*)::BIGINT AS n_terms,
+       round(max(cum_)::DOUBLE / max(S_)::DOUBLE, 6) AS lorenz_share,
+       round(2.0 * max(S1_)::DOUBLE / (max(V_)::DOUBLE * max(S_)::DOUBLE)
+             - (max(V_) + 1)::DOUBLE / max(V_)::DOUBLE, 6) AS gini
+FROM enriched GROUP BY decile"""

@@ -240,3 +240,34 @@ def test_corpus_drift_psi_detects_shift(spark):
     assert out2[0]["psi_total"] > 0.25
     for r in out2:
         assert r["psi_term"] >= 0.0
+
+
+def test_token_gini_extremes(spark):
+    """Uniform frequencies → Gini 0; deciles partition the vocab and
+    the top decile's lorenz_share is exactly 1."""
+    from semantik_spark.operators.textanalysis import token_gini
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd")], ["doc_id", "text"])
+    rows = {r["decile"]: r for r in token_gini(docs, deciles=4).collect()}
+    # V=4 terms, each f=2: perfectly equal -> gini = 2*S1/(V*S)-(V+1)/V
+    # S1 = 2*(1+2+3+4)=20, S=8, V=4 -> 40/32 - 5/4 = 0
+    assert rows[1]["gini"] == 0.0
+    assert rows[4]["lorenz_share"] == 1.0
+    assert sum(r["n_terms"] for r in rows.values()) == 4
+
+
+def test_token_gini_concentrated(spark):
+    """One whale term owning most of the mass drives Gini up and the
+    bottom decile's share down."""
+    from semantik_spark.operators.textanalysis import token_gini
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["whale"] * 96 + ["aa", "bb", "cc", "dd"]))],
+        ["doc_id", "text"])
+    rows = {r["decile"]: r for r in token_gini(docs, deciles=5).collect()}
+    # V=5, S=100; f sorted asc: 1,1,1,1,96; S1=1+2+3+4+5*96=490
+    # gini = 2*490/(5*100) - 6/5 = 1.96 - 1.2 = 0.76
+    assert rows[1]["gini"] == 0.76
+    assert rows[1]["lorenz_share"] == 0.01
+    assert rows[5]["lorenz_share"] == 1.0
