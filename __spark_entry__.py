@@ -544,6 +544,21 @@ def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_gini(_t(spark, sf_dir, "documents"), deciles=10)
 
 
+def q_knn_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed modularity (graph.label_modularity, Leicht & Newman
+    2008) of the embeddings' ground-truth labels judged on the 5-NN
+    cosine graph: Q = Σ e_cc/m - Σ dout·din/m² with DECIMAL-widened
+    products — the external-validation score tying the clustering
+    family to the graph family."""
+    from semantik_spark.operators.graph import knn_graph_edges, label_modularity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = knn_graph_edges(emb, k=5)
+    return label_modularity(
+        edges, emb.select("vec_id", "label"),
+        node_col="vec_id", label_col="label")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4868,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_survival": q_user_survival,
         "benford_audit": q_benford_audit,
         "token_gini": q_token_gini,
+        "knn_label_modularity": q_knn_label_modularity,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6376,6 +6392,7 @@ GROUP BY bucket_us""",
         "user_survival": oracles.q_user_survival(36, "purchase"),
         "benford_audit": oracles.q_benford_audit("orders", "o_totalprice"),
         "token_gini": oracles.q_token_gini(10),
+        "knn_label_modularity": oracles.q_knn_label_modularity(5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

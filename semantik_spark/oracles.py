@@ -5100,3 +5100,40 @@ SELECT decile, count(*)::BIGINT AS n_terms,
        round(2.0 * max(S1_)::DOUBLE / (max(V_)::DOUBLE * max(S_)::DOUBLE)
              - (max(V_) + 1)::DOUBLE / max(V_)::DOUBLE, 6) AS gini
 FROM enriched GROUP BY decile"""
+
+
+def q_knn_label_modularity(k: int = 5) -> str:
+    """Twin of graph.label_modularity over the kNN graph with the
+    embeddings' ground-truth labels as the partition."""
+    return f"""
+WITH {knn_edges_ctes(k)},
+lab AS (SELECT vec_id AS n_, label AS lab_ FROM embeddings),
+e AS (
+  SELECT ls.lab_ AS lab_s, ld.lab_ AS lab_d
+  FROM edges
+  JOIN lab ls ON edges.src = ls.n_
+  JOIN lab ld ON edges.dst = ld.n_),
+per AS (
+  SELECT lab_s AS label, count(*)::BIGINT AS d_out,
+         sum((lab_s = lab_d)::INT)::BIGINT AS e_within
+  FROM e GROUP BY lab_s),
+din AS (SELECT lab_d AS label, count(*)::BIGINT AS d_in FROM e GROUP BY lab_d),
+nodes AS (SELECT lab_ AS label, count(*)::BIGINT AS n_nodes FROM lab GROUP BY lab_),
+full_ AS (
+  SELECT n.label, n.n_nodes,
+         coalesce(p.e_within, 0)::BIGINT AS e_within,
+         coalesce(p.d_out, 0)::BIGINT AS d_out,
+         coalesce(d.d_in, 0)::BIGINT AS d_in
+  FROM nodes n LEFT JOIN per p USING (label) LEFT JOIN din d USING (label)),
+termed AS (
+  SELECT label, n_nodes, e_within, d_out, d_in,
+         round(e_within::DOUBLE / (sum(d_out) OVER ())::DOUBLE
+               - (d_out::DECIMAL(38,0) * d_in::DECIMAL(38,0))::DOUBLE
+                 / ((sum(d_out) OVER ())::DECIMAL(38,0)
+                    * (sum(d_out) OVER ())::DECIMAL(38,0))::DOUBLE,
+               6)::DECIMAL(12,6) AS q_contrib
+  FROM full_)
+SELECT label, n_nodes, e_within, d_out, d_in,
+       q_contrib::DOUBLE AS q_contrib,
+       (sum(q_contrib) OVER ())::DOUBLE AS q_total
+FROM termed"""

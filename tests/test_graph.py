@@ -114,3 +114,40 @@ def test_assortativity_signs(spark):
         [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
     c = degree_assortativity(cycle).collect()[0]
     assert c["n_edges"] == 5 and c["assortativity"] is None
+
+
+def test_label_modularity_two_cliques(spark):
+    """Two directed 3-cycles with a perfect 2-way partition: e_cc = 3
+    per community, m = 6, all degrees 1-in/1-out per node →
+    Q = 2*(3/6 - 9/36) = 0.5 — the textbook strong-community value."""
+    from semantik_spark.operators.graph import label_modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)], ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 7)],
+        ["node", "label"])
+    rows = {r["label"]: r for r in label_modularity(edges, labels).collect()}
+    assert rows["a"]["e_within"] == 3 and rows["a"]["d_out"] == 3
+    assert rows["a"]["q_contrib"] == 0.25
+    assert rows["a"]["q_total"] == 0.5
+
+
+def test_label_modularity_random_partition_near_zero(spark):
+    """A partition orthogonal to the structure (odd/even split of one
+    big cycle) contributes ~0; labels with no edges still get a row."""
+    from semantik_spark.operators.graph import label_modularity
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i % n) + 1) for i in range(1, n + 1)], ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(i, "odd" if i % 2 else "even") for i in range(1, n + 1)]
+        + [(99, "isolated")],
+        ["node", "label"])
+    rows = {r["label"]: r for r in label_modularity(edges, labels).collect()}
+    # cycle alternates odd->even: e_within = 0 for both -> Q = -0.5
+    assert rows["odd"]["e_within"] == 0
+    assert rows["isolated"]["n_nodes"] == 1 and rows["isolated"]["d_out"] == 0
+    assert rows["isolated"]["q_contrib"] == 0.0
+    assert rows["odd"]["q_total"] == -0.5
