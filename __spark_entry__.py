@@ -559,6 +559,17 @@ def q_knn_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_col="vec_id", label_col="label")
 
 
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document
+    (textanalysis.kneser_ney_logprob, Chen & Goodman 1998): absolute
+    discounting + continuation-count back-off — the production LM
+    smoothing next to lm_bigram's add-alpha, same DECIMAL log
+    accumulation discipline."""
+    from semantik_spark.operators.textanalysis import kneser_ney_logprob
+
+    return kneser_ney_logprob(_t(spark, sf_dir, "documents"), discount=0.75)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4884,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "token_gini": q_token_gini,
         "knn_label_modularity": q_knn_label_modularity,
+        "lm_kneser_ney": q_lm_kneser_ney,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6393,6 +6405,7 @@ GROUP BY bucket_us""",
         "benford_audit": oracles.q_benford_audit("orders", "o_totalprice"),
         "token_gini": oracles.q_token_gini(10),
         "knn_label_modularity": oracles.q_knn_label_modularity(5),
+        "lm_kneser_ney": oracles.q_lm_kneser_ney(0.75),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -759,3 +759,80 @@ def token_gini(docs: DataFrame, deciles: int = 10,
                 / F.col("_S").cast("double"), 6).alias("lorenz_share"),
         gini.alias("gini"),
     )
+
+
+def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.15) — the production-grade smoothing next
+    to bigram_logprob's add-alpha: absolute discounting plus a
+    CONTINUATION back-off (how many contexts a word completes, not how
+    often it occurs), the fix for "san francisco" inflating P(francisco)
+    in fresh contexts:
+
+      P(b|a) = max(c(ab) − D, 0)/c(a•) + (D·N1+(a•)/c(a•)) · N1+(•b)/N1+(••)
+
+    with c(a•) the bigram-context mass (Σ_b c(ab)), N1+ the distinct-
+    type counters, D = ``discount``. All counters are exact integers
+    off one bigram table; per-bigram log-probs round to 9 dp and sum as
+    DECIMAL(28,9) (the bigram_logprob determinism recipe).
+
+    Scale: identical shape to bigram_logprob — map-side bigram
+    extraction, vocab²-bounded model, one join back, one groupBy(doc).
+    The continuation tables are vocab-bounded groupBys of the model.
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      whitespace_tokens(text_col).alias("toks"))
+    sz = F.size("toks")
+    width = sz - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width))
+    pairs = F.when(
+        sz >= 2,
+        F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    dbg = (
+        tok.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.a").alias("wa"), F.col("p.b").alias("wb"),
+            F.concat_ws(" ", "p.a", "p.b").alias("gram"),
+        )
+        .persist()
+    )
+    bgc = dbg.groupBy("gram").agg(
+        F.first("wa").alias("wa"), F.first("wb").alias("wb"),
+        F.count("*").cast("bigint").alias("c12"),
+    ).persist()
+    fw = bgc.groupBy("wa").agg(
+        F.sum("c12").cast("bigint").alias("ctx1"),
+        F.count("*").cast("bigint").alias("n1p_fw"),
+    )
+    bw = bgc.groupBy("wb").agg(F.count("*").cast("bigint").alias("n1p_bw"))
+    types = bgc.agg(F.count("*").cast("bigint").alias("ntypes"))
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("ctx1")
+        + ((d * F.col("n1p_fw")) / F.col("ctx1"))
+        * (F.col("n1p_bw") / F.col("ntypes"))
+    )
+    model = (
+        bgc.join(fw, "wa").join(bw, "wb")
+        .crossJoin(F.broadcast(types))
+        .select("gram",
+                F.round(F.log(p), 9).cast("decimal(20,9)").alias("lp"))
+    )
+    agg = (
+        dbg.join(model, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("lp").cast("decimal(28,9)").alias("slp"),
+        )
+    )
+    avg = F.col("slp").cast("double") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id", "n_bigrams",
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )

@@ -5137,3 +5137,40 @@ SELECT label, n_nodes, e_within, d_out, d_in,
        q_contrib::DOUBLE AS q_contrib,
        (sum(q_contrib) OVER ())::DOUBLE AS q_total
 FROM termed"""
+
+
+def q_lm_kneser_ney(discount: float = 0.75) -> str:
+    """Twin of textanalysis.kneser_ney_logprob: interpolated KN bigram
+    perplexity per doc — same expression shape, same 9-dp DECIMAL log
+    accumulation."""
+    d = discount
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents),
+dbg AS (
+  SELECT doc_id, toks[r.i] AS wa, toks[r.i + 1] AS wb,
+         toks[r.i] || ' ' || toks[r.i + 1] AS gram
+  FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2),
+bgc AS (SELECT gram, any_value(wa) AS wa, any_value(wb) AS wb,
+               count(*)::BIGINT AS c12
+        FROM dbg GROUP BY gram),
+fw AS (SELECT wa, sum(c12)::BIGINT AS ctx1, count(*)::BIGINT AS n1p_fw
+       FROM bgc GROUP BY wa),
+bw AS (SELECT wb, count(*)::BIGINT AS n1p_bw FROM bgc GROUP BY wb),
+types AS (SELECT count(*)::BIGINT AS ntypes FROM bgc),
+model AS (
+  SELECT gram,
+         round(ln(greatest(c12 - {d}, 0.0) / ctx1
+                  + (({d} * n1p_fw) / ctx1) * (n1p_bw / ntypes)),
+               9)::DECIMAL(20,9) AS lp
+  FROM bgc JOIN fw USING (wa) JOIN bw USING (wb), types),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_bigrams, sum(lp)::DECIMAL(28,9) AS slp
+  FROM dbg JOIN model USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(slp::DOUBLE / n_bigrams, 6) AS avg_logprob,
+       round(exp(-(slp::DOUBLE / n_bigrams)), 6) AS ppl
+FROM agg"""

@@ -271,3 +271,31 @@ def test_token_gini_concentrated(spark):
     assert rows[1]["gini"] == 0.76
     assert rows[1]["lorenz_share"] == 0.01
     assert rows[5]["lorenz_share"] == 1.0
+
+
+def test_kneser_ney_continuation_backoff(spark):
+    """The KN signature: a word frequent only inside one collocation
+    ('francisco' after 'san') gets a LOW continuation weight, so a doc
+    using it in a fresh context scores worse under KN than a doc using
+    an equally-frequent but promiscuous word. Verify the closed form
+    on a tiny corpus."""
+    from semantik_spark.operators.textanalysis import kneser_ney_logprob
+
+    # corpus bigrams: 'san francisco' x3, 'the cat', 'the dog', 'the end'
+    docs = spark.createDataFrame(
+        [(1, "san francisco san francisco san francisco"),
+         (2, "the cat the dog the end")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            kneser_ney_logprob(docs, discount=0.75).collect()}
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 5
+    # hand-check one factor: P(francisco|san) with c=3, ctx(san)=3,
+    # N1+(san.)=1, N1+(.francisco)=1, types=6
+    # = (3-.75)/3 + (.75*1/3)*(1/6) = 0.75 + 0.0416667 = 0.7916667
+    import math
+    lp = round(math.log((3 - 0.75) / 3 + (0.75 * 1 / 3) * (1 / 6)), 9)
+    # doc 1 = 3x 'san francisco' + 2x 'francisco san'
+    c_fs = 2  # 'francisco san' count; ctx(francisco)=2, N1+(fran.)=1, N1+(.san)=1
+    lp2 = round(math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 6)), 9)
+    want = round((3 * lp + 2 * lp2) / 5, 6)
+    assert rows[1]["avg_logprob"] == want
