@@ -570,6 +570,22 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_logprob(_t(spark, sf_dir, "documents"), discount=0.75)
 
 
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (search.boolean_search, Lucene BooleanQuery
+    semantics): MUST / SHOULD / MUST_NOT clauses over the BM25 postings
+    — every MUST term present, no MUST_NOT term, >=1 SHOULD hit when
+    MUST is empty; score = summed impact weight over distinct matched
+    positive terms. The +term/-term operator layer every search UI puts
+    on top of free-text ranking."""
+    from semantik_spark.operators.search import boolean_search
+    from semantik_spark.oracles import BOOLEAN_QUERIES
+
+    bq = spark.createDataFrame(
+        BOOLEAN_QUERIES, ["query_id", "must", "should", "must_not"])
+    return boolean_search(_t(spark, sf_dir, "documents"), bq, k=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4896,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_gini": q_token_gini,
         "knn_label_modularity": q_knn_label_modularity,
         "lm_kneser_ney": q_lm_kneser_ney,
+        "boolean_search": q_boolean_search,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6406,6 +6423,7 @@ GROUP BY bucket_us""",
         "token_gini": oracles.q_token_gini(10),
         "knn_label_modularity": oracles.q_knn_label_modularity(5),
         "lm_kneser_ney": oracles.q_lm_kneser_ney(0.75),
+        "boolean_search": oracles.q_boolean_search(k=10),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -579,3 +579,89 @@ def prefix_completions(docs: DataFrame, prefixes: DataFrame, k: int = 5,
         .where(F.col("sug_rank") <= k)
         .withColumn("sug_rank", F.col("sug_rank").cast("int"))
     )
+
+
+def boolean_search(docs: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Boolean retrieval — Lucene BooleanQuery semantics (MUST /
+    SHOULD / MUST_NOT clauses) over the BM25 postings, the filtered
+    query capability next to free-text ranking (reference serves
+    term queries only, vecpipe/search/service.py; every search UI
+    exposes +term / -term operators on top).
+
+    ``queries``: query_id, must, should, must_not — each a
+    space-separated clause string run through the SAME analyzer as the
+    corpus (lowercase, len>=2, stopwords dropped, distinct).
+
+    Match rule (Lucene BooleanQuery):
+      * every distinct MUST term present in the doc (a MUST term absent
+        from the corpus vocabulary ⇒ zero hits for that query);
+      * no MUST_NOT term present;
+      * if the query has no MUST terms, at least one SHOULD term hits.
+    Score = Σ BM25 impact weight over the doc's matched MUST∪SHOULD
+    terms (each distinct term counted once, MUST wins on overlap);
+    rank score DESC, doc_id ASC → top-k.
+
+    Scale: all three clause tables are query-sized → broadcast into the
+    postings scan; candidates are bounded by the positive terms' posting
+    mass; the MUST_NOT exclusion is a broadcast left-anti join on the
+    negative terms' postings. Two groupBys ((query,doc) hit fold +
+    nothing else), no corpus × query blow-up anywhere.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    stats = bm25.corpus_stats(tok)
+    terms = bm25.term_stats(tok, stats)
+    post = bm25.postings(tok, terms, stats)
+
+    def clause(col: str) -> DataFrame:
+        return (
+            bm25.tokenize(queries.select("query_id",
+                                         F.col(col).alias("text")),
+                          id_col="query_id", text_col="text")
+            .select(F.col("doc_id").alias("query_id"),
+                    F.explode("tokens").alias("term"))
+            .distinct()
+        )
+
+    must = clause("must")
+    pos = (
+        must.withColumn("is_must", F.lit(1))
+        .unionByName(clause("should").withColumn("is_must", F.lit(0)))
+        .groupBy("query_id", "term")
+        .agg(F.max("is_must").alias("is_must"))
+    )
+    n_must = (
+        queries.select("query_id")
+        .join(must.groupBy("query_id").agg(
+            F.count("*").cast("int").alias("n_must")), "query_id", "left")
+        .na.fill({"n_must": 0})
+    )
+    hits = (
+        post.join(F.broadcast(pos), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            F.sum(F.col("is_must")).cast("int").alias("n_must_hit"),
+            F.sum("weight").alias("score"),
+        )
+    )
+    neg_docs = (
+        post.select("term", "doc_id")
+        .join(F.broadcast(clause("must_not")), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    cand = (
+        hits.join(F.broadcast(n_must), "query_id")
+        .where(F.col("n_must_hit") == F.col("n_must"))
+        .join(neg_docs, ["query_id", "doc_id"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_matched",
+                F.round("score", 6).alias("score"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -45,6 +45,13 @@ PHRASE_QUERIES: list[tuple[str, str]] = [
     ("p4", "stream table hash"),
 ]
 
+BOOLEAN_QUERIES: list[tuple[str, str, str, str]] = [
+    ("b1", "merge join", "fast sort", ""),
+    ("b2", "", "stream batch filter", "error"),
+    ("b3", "table", "", "slow"),
+    ("b4", "customer order", "data", "window"),
+]
+
 
 def queries_values_sql(pairs: list[tuple[str, str]], id_name: str = "query_id",
                        text_name: str = "query_text") -> str:
@@ -5174,3 +5181,52 @@ SELECT doc_id, n_bigrams,
        round(slp::DOUBLE / n_bigrams, 6) AS avg_logprob,
        round(exp(-(slp::DOUBLE / n_bigrams)), 6) AS ppl
 FROM agg"""
+
+
+def q_boolean_search(k: int = 10) -> str:
+    """Twin of search.boolean_search: Lucene BooleanQuery MUST/SHOULD/
+    MUST_NOT clause semantics over the BM25 postings — every MUST term
+    present, no MUST_NOT term, >=1 SHOULD hit when MUST is empty; score
+    = Σ impact weight over distinct matched positive terms."""
+    vals = ", ".join(
+        f"('{q}', '{m}', '{s}', '{n}')" for q, m, s, n in BOOLEAN_QUERIES)
+    tokf = (
+        "list_filter(regexp_extract_all(lower({c}), '" + TOKEN_PATTERN
+        + "'), t -> length(t) >= 2 AND NOT list_contains("
+        + STOPLIST_SQL + ", t))"
+    )
+    return f"""
+WITH {bm25_ctes()},
+bq AS (SELECT * FROM (VALUES {vals}) AS t(query_id, must, should, must_not)),
+mterm AS (SELECT DISTINCT query_id, unnest({tokf.format(c='must')}) AS term FROM bq),
+sterm AS (SELECT DISTINCT query_id, unnest({tokf.format(c='should')}) AS term FROM bq),
+nterm AS (SELECT DISTINCT query_id, unnest({tokf.format(c='must_not')}) AS term FROM bq),
+pos AS (
+  SELECT query_id, term, max(is_must) AS is_must FROM (
+    SELECT query_id, term, 1 AS is_must FROM mterm
+    UNION ALL SELECT query_id, term, 0 FROM sterm)
+  GROUP BY query_id, term),
+nmust AS (
+  SELECT bq.query_id, count(mterm.term)::INT AS n_must
+  FROM bq LEFT JOIN mterm USING (query_id) GROUP BY bq.query_id),
+hits AS (
+  SELECT pos.query_id, p.doc_id, count(*)::INT AS n_matched,
+         sum(pos.is_must)::INT AS n_must_hit, sum(p.weight) AS score
+  FROM post p JOIN pos USING (term)
+  GROUP BY pos.query_id, p.doc_id),
+neg AS (
+  SELECT DISTINCT nterm.query_id, p.doc_id
+  FROM post p JOIN nterm USING (term)),
+cand AS (
+  SELECT h.* FROM hits h JOIN nmust USING (query_id)
+  WHERE h.n_must_hit = nmust.n_must
+    AND NOT EXISTS (SELECT 1 FROM neg
+                    WHERE neg.query_id = h.query_id
+                      AND neg.doc_id = h.doc_id))
+SELECT query_id, doc_id, n_matched, round(score, 6) AS score,
+       rank::INT AS rank
+FROM (SELECT c.*, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS rank
+      FROM cand c) z
+WHERE rank <= {k}"""

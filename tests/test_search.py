@@ -222,3 +222,36 @@ def test_prefix_completions_df_ranked(spark):
     # 'the'/'they' are stopwords and never suggested; 'them' is not in
     # the 88-word list and survives
     assert [r["term"] for r in th] == ["them"]
+
+
+def test_boolean_search_clause_semantics(spark):
+    """Lucene BooleanQuery contract: MUST conjunctive, MUST_NOT
+    excludes, SHOULD only boosts when MUST is non-empty, pure-SHOULD
+    queries need >=1 hit, a MUST term absent from the corpus vocabulary
+    yields zero hits, and a term in both MUST and SHOULD counts once."""
+    from semantik_spark.operators.search import boolean_search
+
+    docs = spark.createDataFrame(
+        [(1, "solar energy panels roof"),
+         (2, "solar energy grid"),
+         (3, "wind energy farm"),
+         (4, "cooking flour sugar")],
+        ["doc_id", "text"])
+
+    def run(q):
+        bq = spark.createDataFrame([q], ["query_id", "must", "should", "must_not"])
+        return {r["doc_id"]: r for r in boolean_search(docs, bq, k=10).collect()}
+
+    # MUST conjunctive: both terms required
+    assert set(run(("q", "solar energy", "", ""))) == {1, 2}
+    # MUST_NOT excludes doc 1 (roof)
+    assert set(run(("q", "solar energy", "", "roof"))) == {2}
+    # pure SHOULD: any hit qualifies
+    assert set(run(("q", "", "solar wind", ""))) == {1, 2, 3}
+    # SHOULD boosts but never filters when MUST present
+    r = run(("q", "energy", "solar", ""))
+    assert set(r) == {1, 2, 3} and r[1]["n_matched"] == 2 and r[3]["n_matched"] == 1
+    # unknown MUST term: no results
+    assert run(("q", "solar plutonium", "", "")) == {}
+    # overlap MUST/SHOULD counts once
+    assert run(("q", "solar", "solar", ""))[2]["n_matched"] == 1
