@@ -586,6 +586,42 @@ def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_search(_t(spark, sf_dir, "documents"), bq, k=10)
 
 
+
+def q_stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution-shift test
+    (stattests.ks_test_2samp): sup-CDF distance between click and
+    purchase event values — integer-exact D over the value-level
+    table, Numerical Recipes asymptotic p — the statistical gate a
+    pipeline runs between stages to catch silent metric drift."""
+    from semantik_spark.operators.stattests import ks_test_2samp
+
+    return ks_test_2samp(
+        _events(spark, sf_dir), "event_type", "value", "click", "purchase")
+
+
+def q_stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (stattests.mann_whitney_u): did
+    purchase values shift vs views — doubled-rank exact rank sums,
+    tie-corrected variance, the nonparametric cohort-comparison test
+    for skewed metrics."""
+    from semantik_spark.operators.stattests import mann_whitney_u
+
+    return mann_whitney_u(
+        _events(spark, sf_dir), "event_type", "value", "view", "purchase")
+
+
+def q_stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test
+    (stattests.chi_square_independence): event-type mix vs user cohort
+    (user_id % 5) — exact contingency margins, 9-dp DECIMAL
+    contribution accumulation, dense margin cross with dof."""
+    from semantik_spark.operators.stattests import chi_square_independence
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 5).alias("cohort"))
+    return chi_square_independence(ev, "event_type", "cohort")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4913,6 +4949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_modularity": q_knn_label_modularity,
         "lm_kneser_ney": q_lm_kneser_ney,
         "boolean_search": q_boolean_search,
+        "stat_ks_test": q_stat_ks_test,
+        "stat_mann_whitney": q_stat_mann_whitney,
+        "stat_chi_square": q_stat_chi_square,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6424,6 +6463,9 @@ GROUP BY bucket_us""",
         "knn_label_modularity": oracles.q_knn_label_modularity(5),
         "lm_kneser_ney": oracles.q_lm_kneser_ney(0.75),
         "boolean_search": oracles.q_boolean_search(k=10),
+        "stat_ks_test": oracles.q_stat_ks_test("click", "purchase"),
+        "stat_mann_whitney": oracles.q_stat_mann_whitney("view", "purchase"),
+        "stat_chi_square": oracles.q_stat_chi_square(5),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

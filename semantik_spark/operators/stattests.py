@@ -1,0 +1,223 @@
+"""Distribution-comparison hypothesis tests — the statistical QA layer
+a large-scale data pipeline runs before/after every transformation
+(did the re-scrape shift the quality-score distribution? is conversion
+independent of cohort?). All statistics reduce to exact integer counts
+over a VALUE-LEVEL table (one row per distinct metric value), so the
+heavy input scan is a single map-side-combined groupBy and everything
+after is bounded by the metric's cardinality — quantize continuous
+metrics (e.g. to cents) to keep that table small at 100 TB.
+
+Determinism discipline (the repo-wide oracle contract): counts stay
+BIGINT, rank sums use doubled-rank integers (so tie midpoints never
+leave the integers), transcendental terms (exp in the KS tail) round
+to 9 dp and accumulate as DECIMAL before the terminal 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Truncation depth of the Kolmogorov asymptotic series
+# Q(λ) = 2 Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²): at j = 40 the dropped tail
+# is < exp(-3200 λ²) — below 1e-9 for any λ the two-sided test can
+# produce (λ ≥ 0.1), so the fixed unroll is exact at the 6-dp output.
+_KS_TERMS = 40
+
+
+def _value_level(df: DataFrame, group_col: str, value_col: str,
+                 a, b) -> DataFrame:
+    """One row per distinct value with per-group counts (n_a, n_b)."""
+    g = F.col(group_col)
+    return (
+        df.where(g.isin([a, b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == a, 1).otherwise(0)).cast("bigint").alias("na"),
+            F.sum(F.when(g == b, 1).otherwise(0)).cast("bigint").alias("nb"),
+        )
+    )
+
+
+def ks_test_2samp(df: DataFrame, group_col: str, value_col: str,
+                  group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = sup_x |F_a(x) − F_b(x)|
+    over the pooled empirical CDFs, with the asymptotic two-sided
+    p-value Q(λ), λ = (√n_e + 0.12 + 0.11/√n_e)·D (Numerical Recipes
+    §14.3; n_e = n_a·n_b/(n_a+n_b)) — the distribution-shift gate run
+    between pipeline stages.
+
+    D is EXACT: the sup is attained at a sample point, so scanning the
+    value-level table's cumulative counts finds it with pure integer
+    arithmetic (|c_a·n_b − c_b·n_a| / (n_a·n_b), maximized over the
+    integer numerator). The p-value series terms round to 9 dp and sum
+    as DECIMAL (fixed ascending order) so both engines agree bitwise.
+
+    Output (1 row): group_a, group_b, n_a, n_b, ks_d (6 dp),
+    p_value (6 dp).
+
+    Scale: one input scan → value-level groupBy (map-side combined);
+    the cumulative window runs over the metric-cardinality-bounded
+    table (quantize continuous metrics). Nothing downstream sees the
+    raw rows.
+    """
+    vl = _value_level(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vl.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = vl.agg(F.sum("na").cast("bigint").alias("n_a"),
+                 F.sum("nb").cast("bigint").alias("n_b"))
+    # sup |ca/n_a - cb/n_b| = max |ca*n_b - cb*n_a| / (n_a*n_b): the
+    # numerator is exact BIGINT so the argmax never depends on doubles
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(F.abs(F.col("ca") * F.col("n_b")
+                      - F.col("cb") * F.col("n_a")).alias("num"),
+                "n_a", "n_b")
+        .groupBy("n_a", "n_b")
+        .agg(F.max("num").cast("decimal(38,0)").alias("num"))
+    )
+    d = F.col("num").cast("double") / (F.col("n_a") * F.col("n_b"))
+    ne = (F.col("n_a") * F.col("n_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("ks_d")
+    term = lambda j: (  # noqa: E731
+        F.round(F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")), 9)
+        .cast("decimal(20,9)") * F.lit(2 * (1 if j % 2 == 1 else -1))
+    )
+    series = term(1)
+    for j in range(2, _KS_TERMS + 1):
+        series = series + term(j)
+    return (
+        dmax.select(
+            F.lit(str(group_a)).alias("group_a"),
+            F.lit(str(group_b)).alias("group_b"),
+            "n_a", "n_b",
+            F.round(d, 6).alias("ks_d"),
+        )
+        .withColumn("lam", lam)
+        .withColumn("p_value",
+                    F.round(F.least(F.lit(1.0),
+                                    F.greatest(F.lit(0.0),
+                                               series.cast("double"))), 6))
+        .drop("lam")
+    )
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction —
+    the nonparametric location test for "did values shift between
+    cohorts" when distributions are skewed (ledger amounts, dwell
+    times) and the t-test's normality assumption is garbage.
+
+    Average ranks for ties stay EXACT via doubled ranks: a tie run of
+    length t starting after c pooled items has average rank
+    (2c + t + 1)/2, so Σ n_a·avgrank doubles to the integer
+    Σ n_a·(2c + t + 1). U_a = R_a − n_a(n_a+1)/2; z uses the
+    tie-corrected variance σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+    (no continuity correction — documented, both engines identical).
+
+    Output (1 row): group_a, group_b, n_a, n_b, u_a, u_b, z (6 dp).
+
+    Scale: identical shape to ks_test_2samp — one scan, one bounded
+    cumulative window; every moment is integer until the terminal z.
+    """
+    vl = _value_level(df, group_col, value_col, group_a, group_b)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("na") + F.col("nb")
+    ranked = vl.select(
+        "na", "nb", t.alias("t"),
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w),
+                   F.lit(0)).cast("bigint").alias("c"),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("c") + F.col("t") + 1))
+        .cast("decimal(38,0)").alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("decimal(38,0)").alias("ties"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = (F.col("ra2").cast("double") / 2
+           - (F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2)
+    return (
+        agg.select(
+            F.lit(str(group_a)).alias("group_a"),
+            F.lit(str(group_b)).alias("group_b"),
+            "n_a", "n_b",
+            u_a.alias("u_a"),
+            ((F.col("n_a") * F.col("n_b")).cast("double") - u_a).alias("u_b"),
+            (
+                (u_a - (F.col("n_a") * F.col("n_b")).cast("double") / 2)
+                / F.sqrt(
+                    (F.col("n_a") * F.col("n_b")).cast("double") / 12.0
+                    * ((n + 1).cast("double")
+                       - F.col("ties").cast("double")
+                       / (n * (n - 1)).cast("double"))
+                )
+            ).alias("z"),
+        )
+        .select("group_a", "group_b", "n_a", "n_b",
+                F.round("u_a", 1).alias("u_a"), F.round("u_b", 1).alias("u_b"),
+                F.round("z", 6).alias("z"))
+    )
+
+
+def chi_square_independence(df: DataFrame, row_col: str,
+                            col_col: str) -> DataFrame:
+    """Pearson chi-square test of independence over a two-way
+    contingency table (row factor × column factor) — the categorical
+    drift gate: is event mix independent of weekday, is label mix
+    independent of source shard.
+
+    Observed counts are exact; expected_{ij} = rowtot_i·coltot_j / N is
+    a rational from exact integers; per-cell contributions
+    (o−e)²/e round to 9 dp and sum as DECIMAL into chi2_total so the
+    verdict is engine-exact. Cells with zero observed but positive
+    margin mass still contribute (dense cross of observed margins).
+
+    Output: one row per margin cell — row_val, col_val, observed,
+    expected (6 dp), contrib (6 dp), plus the repeated chi2_total
+    (6 dp) and dof = (r−1)(c−1).
+
+    Scale: one scan → groupBy(row,col) with map-side combine; the
+    margin cross is category²-bounded. No window over the input.
+    """
+    obs = (
+        df.groupBy(F.col(row_col).cast("string").alias("row_val"),
+                   F.col(col_col).cast("string").alias("col_val"))
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    rt = obs.groupBy("row_val").agg(F.sum("observed").cast("bigint").alias("rt"))
+    ct = obs.groupBy("col_val").agg(F.sum("observed").cast("bigint").alias("ct"))
+    tot = obs.agg(F.sum("observed").cast("bigint").alias("n"),
+                  F.count_distinct("row_val").cast("int").alias("nr"),
+                  F.count_distinct("col_val").cast("int").alias("nc"))
+    dense = (
+        rt.crossJoin(ct)
+        .join(obs, ["row_val", "col_val"], "left")
+        .na.fill({"observed": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    contrib = F.round(
+        (F.col("observed") - e) * (F.col("observed") - e) / e, 9
+    ).cast("decimal(20,9)")
+    cells = dense.select(
+        "row_val", "col_val", "observed",
+        F.round(e, 6).alias("expected"),
+        contrib.alias("c9"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        cells.withColumn(
+            "chi2_total",
+            F.round(F.sum("c9").over(w).cast("double"), 6))
+        .select("row_val", "col_val", "observed", "expected",
+                F.round(F.col("c9").cast("double"), 6).alias("contrib"),
+                "chi2_total", "dof")
+    )

@@ -5230,3 +5230,113 @@ FROM (SELECT c.*, row_number() OVER (
         ORDER BY score DESC, doc_id ASC) AS rank
       FROM cand c) z
 WHERE rank <= {k}"""
+
+
+def q_stat_ks_test(ga: str = "click", gb: str = "purchase") -> str:
+    """Twin of stattests.ks_test_2samp on events.value: integer-exact
+    sup |ca*n_b - cb*n_a|, Numerical Recipes lambda, 40-term Kolmogorov
+    series with 9-dp DECIMAL term accumulation."""
+    terms = " + ".join(
+        f"round(exp(((-2.0*{j}*{j})*lam)*lam), 9)::DECIMAL(20,9) * {2 if j % 2 == 1 else -2}"
+        for j in range(1, 41))
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{ga}', '{gb}')),
+vl AS (
+  SELECT v,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY v),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM vl),
+tot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM vl),
+dm AS (
+  SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a))::DECIMAL(38,0) AS num
+  FROM cum, tot GROUP BY n_a, n_b),
+d AS (
+  SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
+         round(num::DOUBLE / (n_a * n_b), 6) AS ks_d,
+         (sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)) + 0.12
+          + 0.11 / sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)))
+         * round(num::DOUBLE / (n_a * n_b), 6) AS lam
+  FROM dm)
+SELECT group_a, group_b, n_a, n_b, ks_d,
+       round(least(1.0, greatest(0.0, ({terms})::DOUBLE)), 6) AS p_value
+FROM d"""
+
+
+def q_stat_mann_whitney(ga: str = "view", gb: str = "purchase") -> str:
+    """Twin of stattests.mann_whitney_u on events.value: doubled-rank
+    integer rank sums, tie-corrected variance, no continuity
+    correction."""
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{ga}', '{gb}')),
+vl AS (
+  SELECT v,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY v),
+ranked AS (
+  SELECT na, nb, na + nb AS t,
+         coalesce(sum(na + nb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS c
+  FROM vl),
+agg AS (
+  SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+         sum(na * (2 * c + t + 1))::DECIMAL(38,0) AS ra2,
+         sum(t * t * t - t)::DECIMAL(38,0) AS ties
+  FROM ranked),
+ua AS (
+  SELECT n_a, n_b,
+         ra2::DOUBLE / 2 - (n_a * (n_a + 1))::DOUBLE / 2 AS u_a,
+         ties FROM agg)
+SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
+       round(u_a, 1) AS u_a,
+       round((n_a * n_b)::DOUBLE - u_a, 1) AS u_b,
+       round((u_a - (n_a * n_b)::DOUBLE / 2)
+             / sqrt((n_a * n_b)::DOUBLE / 12.0
+                    * ((n_a + n_b + 1)::DOUBLE
+                       - ties::DOUBLE
+                       / ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)), 6) AS z
+FROM ua"""
+
+
+def q_stat_chi_square(mod: int = 5) -> str:
+    """Twin of stattests.chi_square_independence on event_type ×
+    (user_id % mod) cohort: exact margins, 9-dp DECIMAL contribution
+    accumulation, dense margin cross."""
+    return f"""
+WITH obs AS (
+  SELECT event_type::VARCHAR AS row_val,
+         (user_id % {mod})::VARCHAR AS col_val,
+         count(*)::BIGINT AS observed
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT row_val, sum(observed)::BIGINT AS rt FROM obs GROUP BY row_val),
+ct AS (SELECT col_val, sum(observed)::BIGINT AS ct FROM obs GROUP BY col_val),
+tot AS (SELECT sum(observed)::BIGINT AS n,
+               count(DISTINCT row_val)::INT AS nr,
+               count(DISTINCT col_val)::INT AS nc FROM obs),
+dense AS (
+  SELECT rt.row_val, ct.col_val, coalesce(obs.observed, 0)::BIGINT AS observed,
+         rt.rt, ct.ct, tot.n, tot.nr, tot.nc
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs USING (row_val, col_val)
+  CROSS JOIN tot),
+cells AS (
+  SELECT row_val, col_val, observed,
+         round((rt * ct)::DOUBLE / n, 6) AS expected,
+         round((observed - (rt * ct)::DOUBLE / n)
+               * (observed - (rt * ct)::DOUBLE / n)
+               / ((rt * ct)::DOUBLE / n), 9)::DECIMAL(20,9) AS c9,
+         ((nr - 1) * (nc - 1))::INT AS dof
+  FROM dense)
+SELECT row_val, col_val, observed, expected,
+       round(c9::DOUBLE, 6) AS contrib,
+       round((sum(c9) OVER ())::DOUBLE, 6) AS chi2_total, dof
+FROM cells"""

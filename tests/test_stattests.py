@@ -1,0 +1,62 @@
+"""Hypothesis-test operators: hand-computed closed forms on tiny
+inline frames (the oracle twin covers the full-corpus path)."""
+
+import math
+
+import pytest
+
+
+def test_ks_disjoint_and_overlap(spark):
+    from semantik_spark.operators.stattests import ks_test_2samp
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0)], ["g", "v"])
+    r = ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+    assert r["ks_d"] == 1.0 and r["n_a"] == 3 and r["n_b"] == 3
+    # fully separated samples: p must be small
+    assert r["p_value"] < 0.2
+
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)], ["g", "v"])
+    r2 = ks_test_2samp(df2, "g", "v", "a", "b").collect()[0]
+    # CDF gaps: at 1 -> .5, at 2 -> .5, at 3 -> 0
+    assert r2["ks_d"] == 0.5
+
+
+def test_mann_whitney_exact_and_ties(spark):
+    from semantik_spark.operators.stattests import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], ["g", "v"])
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["u_a"] == 0.0 and r["u_b"] == 4.0
+    assert r["z"] == round(-2 / math.sqrt(4 / 12 * 5), 6)
+
+    # tie run: a=[1,1], b=[1,2] -> avg rank of the 1-run is 2,
+    # R_a = 4, U_a = 4 - 3 = 1
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], ["g", "v"])
+    r2 = mann_whitney_u(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["u_a"] == 1.0 and r2["u_b"] == 3.0
+
+
+def test_chi_square_independent_and_dependent(spark):
+    from semantik_spark.operators.stattests import chi_square_independence
+
+    # perfectly independent 2x2 (all margins equal)
+    rows = ([("x", "l")] * 5 + [("x", "r")] * 5
+            + [("y", "l")] * 5 + [("y", "r")] * 5)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_independence(df, "r", "c").collect()
+    assert all(o["chi2_total"] == 0.0 and o["dof"] == 1 for o in out)
+    assert all(o["expected"] == 5.0 and o["observed"] == 5 for o in out)
+
+    # fully dependent 2x2: chi2 = N
+    rows2 = [("x", "l")] * 4 + [("y", "r")] * 6
+    out2 = chi_square_independence(
+        spark.createDataFrame(rows2, ["r", "c"]), "r", "c").collect()
+    assert out2[0]["chi2_total"] == pytest.approx(10.0)
+    # zero-observed margin cells materialize
+    assert {(o["row_val"], o["col_val"]) for o in out2} == {
+        ("x", "l"), ("x", "r"), ("y", "l"), ("y", "r")}
