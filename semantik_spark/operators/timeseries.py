@@ -893,3 +893,75 @@ def kaplan_meier_conversion(events: DataFrame, window_hours: int = 36,
             F.round(F.exp(F.sum(lf).over(wcum).cast("double")), 6)
         ).alias("survival"),
     )
+
+
+def theil_sen_daily(df: DataFrame, date_col: str = "o_orderdate",
+                    value_col: str = "o_totalprice") -> DataFrame:
+    """Theil-Sen robust trend of the daily-total series: slope = median
+    of all pairwise day-to-day slopes (Theil 1950, Sen 1968), intercept
+    = median residual at day 0 (Siegel form) — the outlier-immune
+    counterpart to trend_ols: a single corrupted day moves OLS
+    arbitrarily but shifts a pairwise-slope median not at all (29.3%
+    breakdown point).
+
+    Exactness: daily totals aggregate in DECIMAL; day indices are
+    integers (datediff from the first day), so every pair slope is one
+    decimal-difference / integer-difference division — both engines
+    produce bit-identical doubles, the global sort agrees, and the
+    median (average of the two middles on even counts, via explicit
+    row_number) is engine-exact before the terminal 6-dp rounding.
+
+    Output (1 row): n_days, n_pairs, slope_per_day (6 dp),
+    intercept (6 dp).
+
+    Scale: the input scan collapses to the CALENDAR-bounded day table
+    (map-side combine); pairs are days² — constant in data volume, a
+    few million rows for decades of days — and the two medians sort
+    only that bounded table. At finer granularity, pre-bucket to a
+    bounded grid first (the interval_overlap discipline).
+    """
+    daily = df.groupBy(F.col(date_col).alias("day")).agg(
+        F.sum(value_col).cast("decimal(18,2)").alias("rev"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = (
+        daily.crossJoin(F.broadcast(d0))
+        .select(F.datediff("day", "d0").cast("bigint").alias("i"), "rev")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .select(((F.col("b.rev") - F.col("a.rev")).cast("double")
+                 / (F.col("b.i") - F.col("a.i"))).alias("s"))
+    )
+
+    def _median(vals: DataFrame, col: str) -> DataFrame:
+        """avg of the two middle values by explicit rank (1 row)."""
+        w = Window.orderBy(col)
+        ranked = vals.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("m"),
+        )
+        return (
+            ranked.where((F.col("rn") == F.floor((F.col("m") + 1) / 2))
+                         | (F.col("rn") == F.floor((F.col("m") + 2) / 2)))
+            .agg(F.avg(col).alias("med"), F.max("m").alias("m"))
+        )
+
+    med_s = _median(slopes, "s")
+    slope = med_s.select(F.col("med").alias("slope"), F.col("m").alias("n_pairs"))
+    res = (
+        idx.crossJoin(F.broadcast(slope))
+        .select((F.col("rev").cast("double")
+                 - F.col("slope") * F.col("i")).alias("r0"),
+                "slope", "n_pairs")
+    )
+    med_r = _median(res.select("r0"), "r0")
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(med_r.select(F.col("med").alias("icpt"))))
+        .select("n_days", F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                F.round("slope", 6).alias("slope_per_day"),
+                F.round("icpt", 6).alias("intercept"))
+    )

@@ -5340,3 +5340,31 @@ SELECT row_val, col_val, observed, expected,
        round(c9::DOUBLE, 6) AS contrib,
        round((sum(c9) OVER ())::DOUBLE, 6) AS chi2_total, dof
 FROM cells"""
+
+
+def q_theil_sen_trend() -> str:
+    """Twin of timeseries.theil_sen_daily on orders: calendar-bounded
+    pair slopes, explicit two-middle median, Siegel intercept."""
+    med = ("SELECT avg({c}) AS med, max(m)::BIGINT AS m FROM {t} "
+           "WHERE rn = floor((m+1)/2) OR rn = floor((m+2)/2)")
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS day, sum(o_totalprice)::DECIMAL(18,2) AS rev
+  FROM orders GROUP BY 1),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+idx AS (SELECT datediff('day', d0, day)::BIGINT AS i, rev FROM daily, d0),
+slopes AS (
+  SELECT ((b.rev - a.rev)::DOUBLE / (b.i - a.i)) AS s
+  FROM idx a JOIN idx b ON a.i < b.i),
+rs AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+              count(*) OVER () AS m FROM slopes),
+ms AS ({med.format(c='s', t='rs')}),
+res AS (SELECT (rev::DOUBLE - ms.med * i) AS r0 FROM idx, ms),
+rr AS (SELECT r0, row_number() OVER (ORDER BY r0) AS rn,
+              count(*) OVER () AS m FROM res),
+mr AS ({med.format(c='r0', t='rr')}),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+SELECT nd.n_days, ms.m AS n_pairs,
+       round(ms.med, 6) AS slope_per_day,
+       round(mr.med, 6) AS intercept
+FROM nd, ms, mr"""

@@ -481,3 +481,20 @@ def test_kaplan_meier_all_convert_hits_zero(spark):
         ["user_id", "ts", "event_type"])
     rows = kaplan_meier_conversion(events, window_hours=36).collect()
     assert len(rows) == 1 and rows[0]["survival"] == 0.0
+
+
+def test_theil_sen_outlier_immune(spark):
+    """One corrupted day (1000 vs the clean 10/day line) leaves the
+    pairwise-slope median at exactly 10 and the median residual at 10 —
+    the robustness OLS lacks; n_pairs = C(5,2)."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import theil_sen_daily
+
+    rows = [(datetime.date(2024, 1, 1 + i), float(v))
+            for i, v in enumerate([10, 20, 30, 40, 1000])]
+    df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+    r = theil_sen_daily(df).collect()[0]
+    assert r["n_days"] == 5 and r["n_pairs"] == 10
+    assert r["slope_per_day"] == 10.0
+    assert r["intercept"] == 10.0
