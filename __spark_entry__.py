@@ -634,6 +634,18 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_daily(_t(spark, sf_dir, "orders"))
 
 
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency spectrum (textanalysis.good_turing_spectrum,
+    Good 1953): frequency-of-frequencies N_r with Turing-adjusted counts
+    r* = (r+1)N_{r+1}/N_r and per-class probability mass — the unseen-
+    mass estimate (P_0 = N_1/N) every coverage/smoothing decision
+    reads."""
+    from semantik_spark.operators.textanalysis import good_turing_spectrum
+
+    return good_turing_spectrum(_t(spark, sf_dir, "documents"), max_r=20, n=2)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4965,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_mann_whitney": q_stat_mann_whitney,
         "stat_chi_square": q_stat_chi_square,
         "theil_sen_trend": q_theil_sen_trend,
+        "good_turing": q_good_turing,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6480,6 +6493,7 @@ GROUP BY bucket_us""",
         "stat_mann_whitney": oracles.q_stat_mann_whitney("view", "purchase"),
         "stat_chi_square": oracles.q_stat_chi_square(5),
         "theil_sen_trend": oracles.q_theil_sen_trend(),
+        "good_turing": oracles.q_good_turing(20, n=2),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

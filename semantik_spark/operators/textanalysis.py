@@ -836,3 +836,81 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75,
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("ppl"),
     )
+
+
+def good_turing_spectrum(docs: DataFrame, max_r: int = 20, n: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Good-Turing frequency spectrum (Good 1953): the frequency-of-
+    frequencies table N_r with the Turing-adjusted count
+    r* = (r+1)·N_{r+1}/N_r and per-class probability mass — the
+    smoothing table every count-based LM / coverage estimator reads,
+    and the "how much probability mass belongs to UNSEEN events"
+    answer (P_0 = N_1/N, the first output row's class mass shifted
+    down).
+
+    Raw (not regression-smoothed) Turing estimates — r* is NULL where
+    N_{r+1} = 0 (the standard raw-GT gap Simple GT's log-linear fit
+    would fill); rows are emitted for r ≤ ``max_r`` plus one rollup
+    row (r = -1) carrying the tail (r > max_r) token and type mass so
+    the spectrum always accounts for the full corpus.
+
+    Output: r, n_types, mass (= r·N_r), r_star (6 dp), p_class (6 dp,
+    class mass / corpus tokens).
+
+    ``n`` selects the event space: 1 = word types, 2/3 = word n-grams
+    (the spectrum the LM actually smooths; on a small closed vocabulary
+    the unigram spectrum degenerates into the tail row).
+
+    Scale: corpus scan → map-side-combined n-gram counts → groupBy(r)
+    over the VOCAB^n-bounded count table → self-join on r+1 over the
+    frequency-of-frequencies table (≤ √tokens rows). Nothing after the
+    scan exceeds the n-gram type count.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    toks = whitespace_tokens(text_col)
+    if n == 1:
+        grams = toks
+    else:
+        sz = F.size(toks)
+        width = sz - (n - 1)
+        zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(n)])
+        grams = F.when(
+            sz >= n,
+            F.transform(zipped, lambda s: F.concat_ws(
+                " ", *[s[str(i)] for i in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select(F.explode(grams).alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("r"))
+    )
+    ff = tf.groupBy("r").agg(
+        F.count("*").cast("bigint").alias("n_types"))
+    spec = (
+        ff.select(F.when(F.col("r") <= max_r, F.col("r"))
+                  .otherwise(F.lit(-1)).alias("r"),
+                  "n_types", (F.col("r") * F.col("n_types")).alias("m0"))
+        .groupBy("r")
+        .agg(F.sum("n_types").cast("bigint").alias("n_types"),
+             F.sum("m0").cast("bigint").alias("mass"))
+    )
+    # N_{r+1} joins from the UNBUCKETED spectrum so r* at r = max_r
+    # still sees the true next class (the tail rollup is display-only)
+    nxt = ff.select((F.col("r") - 1).alias("r"),
+                    F.col("n_types").alias("n_next"))
+    tot = spec.agg(F.sum("mass").cast("bigint").alias("n_tokens"))
+    return (
+        spec.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            "n_types", "mass",
+            F.round(F.when(
+                (F.col("r") >= 1) & F.col("n_next").isNotNull(),
+                (F.col("r") + 1) * F.col("n_next").cast("double")
+                / F.col("n_types")), 6).alias("r_star"),
+            F.round(F.col("mass").cast("double") / F.col("n_tokens"), 6)
+            .alias("p_class"),
+        )
+    )

@@ -5368,3 +5368,37 @@ SELECT nd.n_days, ms.m AS n_pairs,
        round(ms.med, 6) AS slope_per_day,
        round(mr.med, 6) AS intercept
 FROM nd, ms, mr"""
+
+
+def q_good_turing(max_r: int = 20, n: int = 1) -> str:
+    """Twin of textanalysis.good_turing_spectrum: frequency-of-
+    frequencies over word n-grams with Turing-adjusted r*, tail rollup
+    at r = -1."""
+    if n == 1:
+        gram_cte = "SELECT unnest(toks) AS w FROM tk"
+    else:
+        parts = " || ' ' || ".join(f"toks[r.i + {i}]" for i in range(n))
+        gram_cte = (f"SELECT {parts} AS w FROM tk, "
+                    f"LATERAL unnest(range(1, len(toks) - {n - 2})) AS r(i) "
+                    f"WHERE len(toks) >= {n}")
+    return f"""
+WITH tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+tf AS (SELECT w, count(*)::BIGINT AS r
+       FROM ({gram_cte}) GROUP BY w),
+ff AS (SELECT r, count(*)::BIGINT AS n_types FROM tf GROUP BY r),
+spec AS (
+  SELECT CASE WHEN r <= {max_r} THEN r ELSE -1 END AS r,
+         sum(n_types)::BIGINT AS n_types,
+         sum(r * n_types)::BIGINT AS mass
+  FROM ff GROUP BY 1),
+nxt AS (SELECT r - 1 AS r, n_types AS n_next FROM ff),
+tot AS (SELECT sum(mass)::BIGINT AS n_tokens FROM spec)
+SELECT spec.r::INT AS r, spec.n_types, spec.mass,
+       round(CASE WHEN spec.r >= 1 AND nxt.n_next IS NOT NULL
+                  THEN (spec.r + 1) * nxt.n_next::DOUBLE / spec.n_types
+             END, 6) AS r_star,
+       round(spec.mass::DOUBLE / tot.n_tokens, 6) AS p_class
+FROM spec LEFT JOIN nxt USING (r) CROSS JOIN tot"""

@@ -299,3 +299,28 @@ def test_kneser_ney_continuation_backoff(spark):
     lp2 = round(math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 6)), 9)
     want = round((3 * lp + 2 * lp2) / 5, 6)
     assert rows[1]["avg_logprob"] == want
+
+
+def test_good_turing_spectrum_closed_form(spark):
+    """'a a a b b c': N_1=N_2=N_3=1; r* = (r+1)N_{r+1}/N_r gives 2 and
+    3, NULL at the top class; tail rollup keeps full token mass and the
+    r* at max_r still sees the true unbucketed next class."""
+    from semantik_spark.operators.textanalysis import good_turing_spectrum
+
+    docs = spark.createDataFrame([(1, "a a a b b c")], ["doc_id", "text"])
+    rows = {r["r"]: r for r in good_turing_spectrum(docs, max_r=20).collect()}
+    assert rows[1]["n_types"] == 1 and rows[1]["r_star"] == 2.0
+    assert rows[2]["r_star"] == 3.0 and rows[3]["r_star"] is None
+    assert rows[3]["p_class"] == 0.5
+
+    # bucketed: r=3 ('a') rolls into the tail, but r*=3 at r=2 survives
+    rows2 = {r["r"]: r for r in good_turing_spectrum(docs, max_r=2).collect()}
+    assert rows2[-1]["mass"] == 3 and rows2[-1]["n_types"] == 1
+    assert rows2[2]["r_star"] == 3.0
+
+    # bigram space: 'a b' x2, 'b a', 'b c' (wrap through the sentence)
+    rows3 = {r["r"]: r
+             for r in good_turing_spectrum(
+                 spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"]),
+                 max_r=20, n=2).collect()}
+    assert rows3[1]["n_types"] == 2 and rows3[2]["n_types"] == 1
