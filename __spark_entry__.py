@@ -646,6 +646,21 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing_spectrum(_t(spark, sf_dir, "documents"), max_r=20, n=2)
 
 
+
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff held-out trigram scoring
+    (textanalysis.stupid_backoff_score, Brants et al. 2007): counts
+    from the even-doc_id half, odd docs scored through the
+    trigram -> 0.4*bigram -> 0.16*unigram backoff chain — the
+    web-scale unnormalized LM with a real backoff census."""
+    from semantik_spark.operators.textanalysis import stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1), alpha_milli=400)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -4978,6 +4993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_chi_square": q_stat_chi_square,
         "theil_sen_trend": q_theil_sen_trend,
         "good_turing": q_good_turing,
+        "stupid_backoff": q_stupid_backoff,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
         # window's job is RE-verification — these are the 37 entries
@@ -6494,6 +6510,7 @@ GROUP BY bucket_us""",
         "stat_chi_square": oracles.q_stat_chi_square(5),
         "theil_sen_trend": oracles.q_theil_sen_trend(),
         "good_turing": oracles.q_good_turing(20, n=2),
+        "stupid_backoff": oracles.q_stupid_backoff(400),
         "sole_fault_supplier": """
 WITH fault AS (
   SELECT DISTINCT l_orderkey, l_suppkey

@@ -914,3 +914,122 @@ def good_turing_spectrum(docs: DataFrame, max_r: int = 20, n: int = 1,
             .alias("p_class"),
         )
     )
+
+
+def stupid_backoff_score(train_docs: DataFrame, score_docs: DataFrame,
+                         alpha_milli: int = 400,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007 — "Large
+    Language Models in Machine Translation"): the web-scale LM that
+    skips normalization entirely,
+
+      S(w3|w1 w2) = c(w1w2w3)/c(w1w2)            if the trigram is seen
+                  = α · c(w2w3)/c(w2)            else if the bigram is
+                  = α² · c(w3)/N                 else if the word is
+                  = 0                            else (OOV),
+
+    α = ``alpha_milli``/1000 (0.4 in the paper). Counts come from
+    ``train_docs``; ``score_docs`` is scored against them — the
+    held-out-perplexity shape that actually exercises the backoff
+    chain (scoring the training corpus on itself never backs off).
+
+    Per scored doc: n_trigrams, n_tri_hit / n_bi_hit / n_uni_hit /
+    n_oov (the backoff-level census), avg_logscore (6 dp, mean log S
+    over non-OOV positions, 9-dp DECIMAL accumulation).
+
+    Scale: three map-side-combined count tables from one tokenized
+    train pass; scoring is four hash joins on n-gram keys (count
+    tables are type-bounded, co-partitionable on the gram key); one
+    groupBy(doc). No normalization pass — the paper's point.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    def toks(df):
+        return df.select(F.col(id_col).alias("doc_id"),
+                         whitespace_tokens(text_col).alias("toks"))
+
+    def grams(tok, n, out):
+        sz = F.size("toks")
+        width = sz - (n - 1)
+        zipped = F.arrays_zip(*[F.slice("toks", i + 1, width)
+                                for i in range(n)])
+        g = F.when(sz >= n, F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+        )).otherwise(F.array().cast("array<string>"))
+        return tok.select("doc_id", F.explode(g).alias(out))
+
+    tr = toks(train_docs).persist()
+    c1 = grams(tr, 1, "g").groupBy("g").agg(
+        F.count("*").cast("bigint").alias("c1"))
+    c2 = grams(tr, 2, "g").groupBy("g").agg(
+        F.count("*").cast("bigint").alias("c2"))
+    c3 = grams(tr, 3, "g").groupBy("g").agg(
+        F.count("*").cast("bigint").alias("c3"))
+    tot = c1.agg(F.sum("c1").cast("bigint").alias("n_tokens"))
+
+    sc = toks(score_docs)
+    sz = F.size("toks")
+    width = sz - 2
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width),
+                          F.slice("toks", 3, width))
+    tri = F.when(sz >= 3, F.transform(
+        zipped, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2"),
+                                   s["2"].alias("w3")))
+    ).otherwise(F.array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"))
+    pos = sc.select("doc_id", F.explode(tri).alias("t")).select(
+        "doc_id",
+        F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("g3"),
+        F.concat_ws(" ", "t.w1", "t.w2").alias("g12"),
+        F.concat_ws(" ", "t.w2", "t.w3").alias("g23"),
+        F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3"),
+    )
+    j = (
+        pos.join(c3.select(F.col("g").alias("g3"), "c3"), "g3", "left")
+        .join(c2.select(F.col("g").alias("g12"),
+                        F.col("c2").alias("c12")), "g12", "left")
+        .join(c2.select(F.col("g").alias("g23"),
+                        F.col("c2").alias("c23")), "g23", "left")
+        .join(c1.select(F.col("g").alias("w2"),
+                        F.col("c1").alias("cw2")), "w2", "left")
+        .join(c1.select(F.col("g").alias("w3"),
+                        F.col("c1").alias("cw3")), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(alpha_milli).cast("double") / 1000.0
+    lvl = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .when(F.col("cw3").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    s = (
+        F.when(lvl == 3, F.col("c3").cast("double") / F.col("c12"))
+        .when(lvl == 2, a * (F.col("c23").cast("double") / F.col("cw2")))
+        .when(lvl == 1, a * a * (F.col("cw3").cast("double")
+                                 / F.col("n_tokens")))
+    )
+    scored = j.select(
+        "doc_id", lvl.alias("lvl"),
+        F.when(lvl > 0, F.round(F.log(s), 9).cast("decimal(20,9)"))
+        .alias("ls"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_trigrams"),
+        F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).cast("int")
+        .alias("n_tri_hit"),
+        F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).cast("int")
+        .alias("n_bi_hit"),
+        F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).cast("int")
+        .alias("n_uni_hit"),
+        F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).cast("int")
+        .alias("n_oov"),
+        F.sum("ls").cast("decimal(28,9)").alias("sls"),
+    )
+    return agg.select(
+        "doc_id", "n_trigrams", "n_tri_hit", "n_bi_hit", "n_uni_hit",
+        "n_oov",
+        F.round(F.col("sls").cast("double")
+                / (F.col("n_trigrams") - F.col("n_oov")), 6)
+        .alias("avg_logscore"),
+    )

@@ -5402,3 +5402,68 @@ SELECT spec.r::INT AS r, spec.n_types, spec.mass,
              END, 6) AS r_star,
        round(spec.mass::DOUBLE / tot.n_tokens, 6) AS p_class
 FROM spec LEFT JOIN nxt USING (r) CROSS JOIN tot"""
+
+
+def q_stupid_backoff(alpha_milli: int = 400) -> str:
+    """Twin of textanalysis.stupid_backoff_score: train on even
+    doc_ids, score odd — trigram/bigram/unigram backoff chain with
+    alpha = alpha_milli/1000, 9-dp DECIMAL log accumulation."""
+    a = f"({alpha_milli}/1000.0)"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents),
+trt AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+sct AS (SELECT * FROM tk WHERE doc_id % 2 = 1),
+c1 AS (SELECT w AS g, count(*)::BIGINT AS c1
+       FROM (SELECT unnest(toks) AS w FROM trt) GROUP BY w),
+c2 AS (SELECT toks[r.i] || ' ' || toks[r.i + 1] AS g, count(*)::BIGINT AS c2
+       FROM trt, LATERAL unnest(range(1, len(toks))) AS r(i)
+       WHERE len(toks) >= 2 GROUP BY 1),
+c3 AS (SELECT toks[r.i] || ' ' || toks[r.i + 1] || ' ' || toks[r.i + 2] AS g,
+              count(*)::BIGINT AS c3
+       FROM trt, LATERAL unnest(range(1, len(toks) - 1)) AS r(i)
+       WHERE len(toks) >= 3 GROUP BY 1),
+tot AS (SELECT sum(c1)::BIGINT AS n_tokens FROM c1),
+pos AS (
+  SELECT doc_id,
+         toks[r.i] || ' ' || toks[r.i + 1] || ' ' || toks[r.i + 2] AS g3,
+         toks[r.i] || ' ' || toks[r.i + 1] AS g12,
+         toks[r.i + 1] || ' ' || toks[r.i + 2] AS g23,
+         toks[r.i + 1] AS w2, toks[r.i + 2] AS w3
+  FROM sct, LATERAL unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3),
+j AS (
+  SELECT pos.doc_id, c3.c3, a2.c2 AS c12, b2.c2 AS c23,
+         u2.c1 AS cw2, u3.c1 AS cw3, tot.n_tokens
+  FROM pos
+  LEFT JOIN c3 ON pos.g3 = c3.g
+  LEFT JOIN c2 a2 ON pos.g12 = a2.g
+  LEFT JOIN c2 b2 ON pos.g23 = b2.g
+  LEFT JOIN c1 u2 ON pos.w2 = u2.g
+  LEFT JOIN c1 u3 ON pos.w3 = u3.g
+  CROSS JOIN tot),
+lv AS (
+  SELECT doc_id,
+         CASE WHEN c3 IS NOT NULL THEN 3 WHEN c23 IS NOT NULL THEN 2
+              WHEN cw3 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+         CASE WHEN c3 IS NOT NULL THEN c3::DOUBLE / c12
+              WHEN c23 IS NOT NULL THEN {a} * (c23::DOUBLE / cw2)
+              WHEN cw3 IS NOT NULL THEN {a} * {a} * (cw3::DOUBLE / n_tokens)
+         END AS s
+  FROM j),
+sc AS (SELECT doc_id, lvl,
+              CASE WHEN lvl > 0 THEN round(ln(s), 9)::DECIMAL(20,9) END AS ls
+       FROM lv),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_trigrams,
+         sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END)::INT AS n_tri_hit,
+         sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END)::INT AS n_bi_hit,
+         sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END)::INT AS n_uni_hit,
+         sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END)::INT AS n_oov,
+         sum(ls)::DECIMAL(28,9) AS sls
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_trigrams, n_tri_hit, n_bi_hit, n_uni_hit, n_oov,
+       round(sls::DOUBLE / (n_trigrams - n_oov), 6) AS avg_logscore
+FROM agg"""

@@ -324,3 +324,35 @@ def test_good_turing_spectrum_closed_form(spark):
                  spark.createDataFrame([(1, "a b a b c")], ["doc_id", "text"]),
                  max_r=20, n=2).collect()}
     assert rows3[1]["n_types"] == 2 and rows3[2]["n_types"] == 1
+
+
+def test_stupid_backoff_chain(spark):
+    """Each backoff level hit exactly: a seen trigram scores c3/c12; an
+    unseen trigram with seen (w2,w3) bigram scores 0.4*c23/cw2; bigram
+    miss with known word backs off to 0.16*c1/N; OOV words count but
+    never enter the log sum."""
+    import math
+
+    from semantik_spark.operators.textanalysis import stupid_backoff_score
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b d"), (2, "c d e")], ["doc_id", "text"])
+    # N=9 tokens; c3('a b c')=1, c12('a b')=2; c2('c d')=1, c1('c')=2;
+    # score doc trigrams:
+    #  'a b c' -> seen: 1/2
+    #  'x c d' -> tri miss, bigram 'c d' seen: .4 * 1/2
+    #  'c d z' -> bigram 'd z' miss, 'z' unseen -> OOV
+    #  'd z e' -> bigram miss, 'e' seen -> .16 * 1/9
+    score = spark.createDataFrame(
+        [(1, "a b c"), (3, "x c d z e")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r
+            for r in stupid_backoff_score(train, score).collect()}
+    r1 = rows[1]
+    assert (r1["n_trigrams"], r1["n_tri_hit"]) == (1, 1)
+    assert r1["avg_logscore"] == round(round(math.log(0.5), 9), 6)
+    r3 = rows[3]
+    assert (r3["n_trigrams"], r3["n_tri_hit"], r3["n_bi_hit"],
+            r3["n_uni_hit"], r3["n_oov"]) == (3, 0, 1, 1, 1)
+    exp = (round(math.log(0.4 * 0.5), 9)
+           + round(math.log(0.4 * 0.4 * (1 / 9)), 9)) / 2
+    assert r3["avg_logscore"] == round(exp, 6)
