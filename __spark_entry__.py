@@ -4996,9 +4996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         # --- staleness rotation (VERDICT r8 item 2): with all 236
         # pre-r9 entries driver-verified at least once (r3..r8), the
-        # window's job is RE-verification — these are the 37 entries
-        # whose last driver-green row is CORRECTNESS_r04, the oldest
-        # anchors in the registry
+        # window's job is RE-verification — these are the oldest
+        # anchors (last driver-green row CORRECTNESS_r04). Only the
+        # first 24 fit behind the 26-query new block; the trailing 13
+        # sit just past the boundary and head the round-10 window
+        # (tests/test_entry_contract.py::ROUND10_WINDOW_MUST)
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "chunk_collapse": q_chunk_collapse,
         "chunk_fixed": q_chunk_fixed,

@@ -35,9 +35,26 @@ ROUND9_WINDOW_MUST: tuple = (
     "mmr_rerank",
     "search_snippets",
     "sliding_uniques_hll",
-    # the 37 longest-unrefreshed anchors (last driver-green row:
-    # CORRECTNESS_r04) — re-taking a row so no entry ages past ~4
-    # rounds
+    "phrase_search",
+    "search_facets",
+    "query_autocomplete",
+    "user_survival",
+    "benford_audit",
+    "token_gini",
+    "knn_label_modularity",
+    "lm_kneser_ney",
+    "boolean_search",
+    "stat_ks_test",
+    "stat_mann_whitney",
+    "stat_chi_square",
+    "theil_sen_trend",
+    "good_turing",
+    "stupid_backoff",
+    # the longest-unrefreshed anchors (last driver-green row:
+    # CORRECTNESS_r04) that still FIT after the new-query block: new
+    # queries take window priority (a first-ever driver row beats a
+    # refresh), so 24 of the 37 r4 anchors refresh this round and the
+    # displaced 13 head the round-10 window (ROUND10_WINDOW_MUST)
     "approx_distinct_kmv",
     "chunk_collapse",
     "chunk_fixed",
@@ -62,6 +79,16 @@ ROUND9_WINDOW_MUST: tuple = (
     "parse_routed",
     "pricing_summary",
     "rerank_search",
+)
+
+
+# Entries added AFTER the round-9 window fills (50/50), if any: never
+# driver-evaluated, verified locally via tools/check_oracle.py. These
+# MUST head the round-10 window — promote this tuple into the next
+# round's WINDOW_MUST list during rotation.
+ROUND10_WINDOW_MUST: tuple = (
+    # r4-anchored entries displaced from the round-9 window by the
+    # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",
     "sniff_formats",
     "text_collocations",
@@ -76,13 +103,6 @@ ROUND9_WINDOW_MUST: tuple = (
     "user_sessions",
     "value_percentiles",
 )
-
-
-# Entries added AFTER the round-9 window fills (50/50), if any: never
-# driver-evaluated, verified locally via tools/check_oracle.py. These
-# MUST head the round-10 window — promote this tuple into the next
-# round's WINDOW_MUST list during rotation.
-ROUND10_WINDOW_MUST: tuple = ()
 
 
 def test_every_query_has_an_oracle():
