@@ -661,6 +661,17 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1), alpha_milli=400)
 
 
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (textanalysis.heaps_law): cumulative
+    trigram-vocabulary V(n) checkpoints over 32 doc-id-range buckets, K*n^beta
+    regr_* fit — the duplication/noise telltale next to zipf_fit (flat
+    curve = boilerplate, linear = random noise)."""
+    from semantik_spark.operators.textanalysis import heaps_law
+
+    return heaps_law(_t(spark, sf_dir, "documents"), buckets=32, n=3)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5247,6 +5258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": q_parts_supplier_count,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
+        # --- round-10 candidates: added after the r9 window filled;
+        # locally verified via tools/check_oracle.py, first driver row
+        # at the next rotation (test_entry_contract.ROUND10_WINDOW_MUST)
+        "heaps_law": q_heaps_law,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6690,6 +6705,7 @@ SELECT b.event_type, strftime(b.day, '%Y-%m-%d') AS day, b.n, b.forecast,
        abs((b.residual - st.rmean) / st.rsd) > 2.0 AS is_anomaly
 FROM base b JOIN st USING (event_type)
 WHERE st.nn >= 2 AND st.rsd > 0""",
+        "heaps_law": oracles.q_heaps_law(32, n=3),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -1033,3 +1033,87 @@ def stupid_backoff_score(train_docs: DataFrame, score_docs: DataFrame,
                 / (F.col("n_trigrams") - F.col("n_oov")), 6)
         .alias("avg_logscore"),
     )
+
+
+def heaps_law(docs: DataFrame, buckets: int = 32, n: int = 1,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary growth fit (Heaps 1978): V(n) ≈ K·n^β over
+    cumulative corpus checkpoints — the dedup/quality telltale next to
+    zipf_fit: natural text grows vocabulary with β ≈ 0.4–0.6; a flat
+    curve means boilerplate/duplication, a near-linear one means noise
+    (random strings never repeat).
+
+    The corpus is ordered by doc_id and cut into ``buckets`` equal
+    doc-id ranges; per checkpoint the cumulative token count n and
+    cumulative distinct vocabulary V (a term counts at its FIRST
+    occurrence bucket — min doc_id per term, no rescans). β and log K
+    come from regr_slope/regr_intercept of ln V on ln n over the
+    checkpoint table (the zipf_fit discipline: identical SQL aggregate
+    definitions in both engines).
+
+    Output: one row per non-empty checkpoint — bucket, n_tokens_cum,
+    vocab_cum, plus the repeated fit columns heaps_beta, heaps_k,
+    r2 (6 dp).
+
+    ``n`` picks the vocabulary space: 1 = word types, 2/3 = word
+    n-gram types (on a small closed vocabulary the unigram curve
+    saturates immediately and the fit degenerates — n-grams keep
+    growing and are the standard Heaps generalization).
+
+    Scale: one tokenize pass → per-doc token counts (map-only) and a
+    min(doc_id)-per-term groupBy (type-bounded, map-side combined);
+    the cumulative window and the regression run over the
+    BUCKETS-bounded checkpoint table only.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    base = whitespace_tokens(text_col)
+    if n > 1:
+        sz = F.size(base)
+        width = sz - (n - 1)
+        zipped = F.arrays_zip(*[F.slice(base, i + 1, width)
+                                for i in range(n)])
+        base = F.when(sz >= n, F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+        )).otherwise(F.array().cast("array<string>"))
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      base.alias("toks")).persist()
+    per_doc = tok.select("doc_id", F.size("toks").cast("bigint").alias("nt"))
+    bounds = per_doc.agg(F.min("doc_id").alias("lo"),
+                         F.max("doc_id").alias("hi"))
+
+    def bucket_of(c):
+        return F.floor(
+            (c - F.col("lo")).cast("double") * buckets
+            / (F.col("hi") - F.col("lo") + 1)).cast("int")
+
+    btok = (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bucket"))
+        .agg(F.sum("nt").cast("bigint").alias("toks_in"))
+    )
+    first = (
+        tok.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.min("doc_id").alias("fdoc"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("fdoc")).alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        btok.join(first, "bucket", "left")
+        .na.fill({"n_new": 0})
+        .select("bucket",
+                F.sum("toks_in").over(w).alias("n_tokens_cum"),
+                F.sum("n_new").over(w).alias("vocab_cum"))
+        .where(F.col("n_tokens_cum") > 0)
+    )
+    fit = series.agg(
+        F.round(F.expr("regr_slope(ln(vocab_cum), ln(n_tokens_cum))"), 6)
+        .alias("heaps_beta"),
+        F.round(F.expr("exp(regr_intercept(ln(vocab_cum), ln(n_tokens_cum)))"), 6)
+        .alias("heaps_k"),
+        F.round(F.expr("regr_r2(ln(vocab_cum), ln(n_tokens_cum))"), 6)
+        .alias("r2"),
+    )
+    return series.crossJoin(F.broadcast(fit))

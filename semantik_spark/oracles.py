@@ -5467,3 +5467,47 @@ agg AS (
 SELECT doc_id, n_trigrams, n_tri_hit, n_bi_hit, n_uni_hit, n_oov,
        round(sls::DOUBLE / (n_trigrams - n_oov), 6) AS avg_logscore
 FROM agg"""
+
+
+def q_heaps_law(buckets: int = 32, n: int = 1) -> str:
+    """Twin of textanalysis.heaps_law: doc-id-range checkpoint buckets,
+    first-occurrence n-gram vocabulary accounting, regr_* fit of ln V
+    on ln n."""
+    b = (f"floor(({{c}} - lo)::DOUBLE * {buckets} / (hi - lo + 1))::INT")
+    if n == 1:
+        gram = "SELECT doc_id, unnest(toks) AS w FROM tk"
+    else:
+        parts = " || ' ' || ".join(f"toks[r.i + {i}]" for i in range(n))
+        gram = (f"SELECT doc_id, {parts} AS w FROM tk, "
+                f"LATERAL unnest(range(1, len(toks) - {n - 2})) AS r(i) "
+                f"WHERE len(toks) >= {n}")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents),
+per_doc AS (SELECT doc_id, (CASE WHEN len(toks) >= {n} THEN len(toks) - {n} + 1 ELSE 0 END)::BIGINT AS nt FROM tk),
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM per_doc),
+btok AS (
+  SELECT {b.format(c='doc_id')} AS bucket, sum(nt)::BIGINT AS toks_in
+  FROM per_doc, bounds GROUP BY 1),
+first AS (
+  SELECT {b.format(c='fdoc')} AS bucket, count(*)::BIGINT AS n_new
+  FROM (SELECT w, min(doc_id) AS fdoc FROM ({gram}) GROUP BY w),
+       bounds
+  GROUP BY 1),
+series AS (
+  SELECT bucket,
+         (sum(toks_in) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS n_tokens_cum,
+         (sum(coalesce(n_new, 0)) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS vocab_cum
+  FROM btok LEFT JOIN first USING (bucket)),
+nz AS (SELECT * FROM series WHERE n_tokens_cum > 0),
+fit AS (
+  SELECT round(regr_slope(ln(vocab_cum), ln(n_tokens_cum)), 6) AS heaps_beta,
+         round(exp(regr_intercept(ln(vocab_cum), ln(n_tokens_cum))), 6) AS heaps_k,
+         round(regr_r2(ln(vocab_cum), ln(n_tokens_cum)), 6) AS r2
+  FROM nz)
+SELECT bucket, n_tokens_cum, vocab_cum, heaps_beta, heaps_k, r2
+FROM nz, fit"""

@@ -87,6 +87,9 @@ ROUND9_WINDOW_MUST: tuple = (
 # MUST head the round-10 window — promote this tuple into the next
 # round's WINDOW_MUST list during rotation.
 ROUND10_WINDOW_MUST: tuple = (
+    # queries added after the r9 window filled — locally oracle-
+    # verified, first driver row next rotation
+    "heaps_law",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -356,3 +356,23 @@ def test_stupid_backoff_chain(spark):
     exp = (round(math.log(0.4 * 0.5), 9)
            + round(math.log(0.4 * 0.4 * (1 / 9)), 9)) / 2
     assert r3["avg_logscore"] == round(exp, 6)
+
+
+def test_heaps_law_checkpoints(spark):
+    """First-occurrence accounting: vocab_cum counts a type at its
+    earliest bucket only; token mass accumulates per doc-id-range
+    bucket; n-gram mode counts gram instances."""
+    from semantik_spark.operators.textanalysis import heaps_law
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "a b"), (3, "d e")],
+        ["doc_id", "text"])
+    rows = {r["bucket"]: r for r in heaps_law(docs, buckets=4).collect()}
+    assert [rows[i]["n_tokens_cum"] for i in range(4)] == [2, 4, 6, 8]
+    assert [rows[i]["vocab_cum"] for i in range(4)] == [2, 3, 3, 5]
+
+    # bigram space: doc0 grams {'a b'}, doc1 {'a c'}, doc2 {'a b'} dup
+    rows2 = {r["bucket"]: r
+             for r in heaps_law(docs, buckets=4, n=2).collect()}
+    assert [rows2[i]["n_tokens_cum"] for i in range(4)] == [1, 2, 3, 4]
+    assert [rows2[i]["vocab_cum"] for i in range(4)] == [1, 2, 2, 3]
