@@ -672,6 +672,20 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law(_t(spark, sf_dir, "documents"), buckets=32, n=3)
 
 
+
+def q_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Jensen-Shannon drift with attribution
+    (profiling.corpus_drift_jsd): the src0-9 half vs the src10-19 half
+    of the corpus — PSI's hashed buckets say THAT the distribution
+    moved, JSD's top-20 term contributions say WHAT moved."""
+    from semantik_spark.operators.profiling import corpus_drift_jsd
+
+    docs = _t(spark, sf_dir, "documents")
+    sfx = F.substring("source", 4, 10).cast("int")
+    return corpus_drift_jsd(
+        docs.where(sfx < 10), docs.where(sfx >= 10), top_k=20)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5262,6 +5276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally verified via tools/check_oracle.py, first driver row
         # at the next rotation (test_entry_contract.ROUND10_WINDOW_MUST)
         "heaps_law": q_heaps_law,
+        "corpus_drift_jsd": q_corpus_drift_jsd,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6706,6 +6721,7 @@ SELECT b.event_type, strftime(b.day, '%Y-%m-%d') AS day, b.n, b.forecast,
 FROM base b JOIN st USING (event_type)
 WHERE st.nn >= 2 AND st.rsd > 0""",
         "heaps_law": oracles.q_heaps_law(32, n=3),
+        "corpus_drift_jsd": oracles.q_corpus_drift_jsd(20),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

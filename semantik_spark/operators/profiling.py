@@ -183,3 +183,64 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         F.col("chi2_term").cast("double").alias("chi2_term"),
         F.sum("chi2_term").over(w).cast("double").alias("chi2_total"),
     )
+
+
+def corpus_drift_jsd(ref: DataFrame, cur: DataFrame, top_k: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence between two corpus snapshots over the
+    RAW token distribution, with per-term drift attribution — the
+    companion to corpus_drift_psi: PSI watches hashed buckets (cheap,
+    anonymous), JSD names the tokens that moved. Bounded in [0, ln 2],
+    symmetric, defined even where one side has zero mass (no smoothing
+    needed — 0·ln 0 = 0 by continuity).
+
+      contrib(t) = ½ p ln(p/m) + ½ q ln(q/m),  m = (p+q)/2
+      jsd_total  = Σ_t contrib(t)
+
+    p, q are exact count ratios; contributions round to 9 dp and sum
+    as DECIMAL over the vocabulary (order-independent), total at 6 dp.
+    Output: the ``top_k`` terms by contribution (DESC, term ASC ties)
+    with n_ref, n_cur, contrib (9 dp as double), and the repeated
+    jsd_total — the "what changed" report, not just the score.
+
+    Scale: two corpus-linear token scans collapsing map-side into
+    vocab-bounded count tables; one full-outer merge on term (vocab-
+    scale shuffle); top-k is TakeOrdered. Nothing after the scans
+    exceeds vocabulary size.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda t: F.length(t) > 0)
+        return (
+            df.select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    merged = (
+        counts(ref, "n_ref").join(counts(cur, "n_cur"), "term", "full_outer")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = merged.agg(F.sum("n_ref").cast("bigint").alias("tr"),
+                     F.sum("n_cur").cast("bigint").alias("tc"))
+    base = merged.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    q = F.col("n_cur").cast("double") / F.col("tc")
+    m = (p + q) / 2
+    contrib = (
+        F.when(F.col("n_ref") > 0, F.lit(0.5) * p * F.log(p / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("n_cur") > 0, F.lit(0.5) * q * F.log(q / m))
+        .otherwise(F.lit(0.0))
+    )
+    scored = base.select(
+        "term", "n_ref", "n_cur",
+        F.round(contrib, 9).cast("decimal(20,9)").alias("c9"))
+    total = scored.agg(
+        F.round(F.sum("c9").cast("double"), 6).alias("jsd_total"))
+    return (
+        scored.orderBy(F.desc("c9"), F.asc("term")).limit(top_k)
+        .crossJoin(F.broadcast(total))
+        .select("term", "n_ref", "n_cur",
+                F.col("c9").cast("double").alias("contrib"), "jsd_total")
+    )

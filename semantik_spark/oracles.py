@@ -5511,3 +5511,39 @@ fit AS (
   FROM nz)
 SELECT bucket, n_tokens_cum, vocab_cum, heaps_beta, heaps_k, r2
 FROM nz, fit"""
+
+
+def q_corpus_drift_jsd(top_k: int = 20) -> str:
+    """Twin of profiling.corpus_drift_jsd between the src0-9 and
+    src10-19 document halves: exact count ratios, 9-dp DECIMAL
+    contribution accumulation, top-k attribution."""
+    tok = ("SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+           "'\\s+'), x -> length(x) > 0)) AS term FROM {t}")
+    return f"""
+WITH refd AS (SELECT text FROM documents WHERE substr(source, 4)::INT < 10),
+curd AS (SELECT text FROM documents WHERE substr(source, 4)::INT >= 10),
+cr AS (SELECT term, count(*)::BIGINT AS n_ref FROM ({tok.format(t='refd')}) GROUP BY term),
+cc AS (SELECT term, count(*)::BIGINT AS n_cur FROM ({tok.format(t='curd')}) GROUP BY term),
+merged AS (
+  SELECT coalesce(cr.term, cc.term) AS term,
+         coalesce(n_ref, 0)::BIGINT AS n_ref,
+         coalesce(n_cur, 0)::BIGINT AS n_cur
+  FROM cr FULL OUTER JOIN cc ON cr.term = cc.term),
+tot AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc FROM merged),
+scored AS (
+  SELECT term, n_ref, n_cur,
+         round(
+           (CASE WHEN n_ref > 0
+                 THEN 0.5 * (n_ref::DOUBLE / tr)
+                      * ln((n_ref::DOUBLE / tr)
+                           / ((n_ref::DOUBLE / tr + n_cur::DOUBLE / tc) / 2))
+                 ELSE 0.0 END)
+           + (CASE WHEN n_cur > 0
+                   THEN 0.5 * (n_cur::DOUBLE / tc)
+                        * ln((n_cur::DOUBLE / tc)
+                             / ((n_ref::DOUBLE / tr + n_cur::DOUBLE / tc) / 2))
+                   ELSE 0.0 END), 9)::DECIMAL(20,9) AS c9
+  FROM merged, tot),
+total AS (SELECT round((sum(c9))::DOUBLE, 6) AS jsd_total FROM scored)
+SELECT term, n_ref, n_cur, c9::DOUBLE AS contrib, jsd_total
+FROM (SELECT * FROM scored ORDER BY c9 DESC, term ASC LIMIT {top_k}) z, total"""

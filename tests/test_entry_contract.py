@@ -90,6 +90,7 @@ ROUND10_WINDOW_MUST: tuple = (
     # queries added after the r9 window filled — locally oracle-
     # verified, first driver row next rotation
     "heaps_law",
+    "corpus_drift_jsd",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",
