@@ -686,6 +686,20 @@ def q_corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(sfx < 10), docs.where(sfx >= 10), top_k=20)
 
 
+
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item collaborative filtering (recsys.item_item_cosine,
+    Sarwar et al. 2001): co-visitation cosine over distinct
+    (user, props.$.k) interactions with recency-capped histories — the
+    hot-user escape makes the quadratic stage cap-bounded."""
+    from semantik_spark.operators.recsys import item_item_cosine
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"))
+    return item_item_cosine(ev, top_k=50, max_items_per_user=50)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5277,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at the next rotation (test_entry_contract.ROUND10_WINDOW_MUST)
         "heaps_law": q_heaps_law,
         "corpus_drift_jsd": q_corpus_drift_jsd,
+        "item_item_cf": q_item_item_cf,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6722,6 +6737,7 @@ FROM base b JOIN st USING (event_type)
 WHERE st.nn >= 2 AND st.rsd > 0""",
         "heaps_law": oracles.q_heaps_law(32, n=3),
         "corpus_drift_jsd": oracles.q_corpus_drift_jsd(20),
+        "item_item_cf": oracles.q_item_item_cf(50, 50),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

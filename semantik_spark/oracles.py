@@ -5547,3 +5547,37 @@ scored AS (
 total AS (SELECT round((sum(c9))::DOUBLE, 6) AS jsd_total FROM scored)
 SELECT term, n_ref, n_cur, c9::DOUBLE AS contrib, jsd_total
 FROM (SELECT * FROM scored ORDER BY c9 DESC, term ASC LIMIT {top_k}) z, total"""
+
+
+def q_item_item_cf(top_k: int = 50, cap: int = 50) -> str:
+    """Twin of recsys.item_item_cosine over events (item = props.$.k):
+    recency-capped per-user histories, within-user pair fan-out,
+    co-occurrence cosine."""
+    return f"""
+WITH inter AS (
+  SELECT user_id AS u,
+         try_cast(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         max(ts::TIMESTAMP) AS last_ts
+  FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT u, item FROM (
+    SELECT u, item, row_number() OVER (
+      PARTITION BY u ORDER BY last_ts DESC, item ASC) AS rn
+    FROM inter) z
+  WHERE rn <= {cap}),
+ni AS (SELECT item, count(*)::BIGINT AS n_users FROM hist GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS co_count
+  FROM hist a JOIN hist b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2),
+scored AS (
+  SELECT item_a, item_b, na.n_users AS n_a, nb.n_users AS n_b, co_count,
+         round(co_count::DOUBLE
+               / sqrt((na.n_users * nb.n_users)::DOUBLE), 6) AS cosine
+  FROM pairs
+  JOIN ni na ON pairs.item_a = na.item
+  JOIN ni nb ON pairs.item_b = nb.item)
+SELECT item_a, item_b, n_a, n_b, co_count, cosine,
+       row_number() OVER (ORDER BY cosine DESC, item_a, item_b)::INT AS rank
+FROM (SELECT * FROM scored
+      ORDER BY cosine DESC, item_a, item_b LIMIT {top_k}) z"""

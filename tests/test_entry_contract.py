@@ -91,6 +91,7 @@ ROUND10_WINDOW_MUST: tuple = (
     # verified, first driver row next rotation
     "heaps_law",
     "corpus_drift_jsd",
+    "item_item_cf",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",
