@@ -700,6 +700,18 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine(ev, top_k=50, max_items_per_user=50)
 
 
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry (textanalysis.burrows_delta, Burrows
+    2002): per-probe nearest documents in z-scored top-30-word
+    relative-frequency space — the shared-source/template detector
+    that survives topic shifts."""
+    from semantik_spark.operators.textanalysis import burrows_delta
+
+    return burrows_delta(_t(spark, sf_dir, "documents"),
+                         n_words=30, probes=4, top_k=5, probe_mod=125)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5292,6 +5304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "corpus_drift_jsd": q_corpus_drift_jsd,
         "item_item_cf": q_item_item_cf,
+        "burrows_delta": q_burrows_delta,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6738,6 +6751,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "heaps_law": oracles.q_heaps_law(32, n=3),
         "corpus_drift_jsd": oracles.q_corpus_drift_jsd(20),
         "item_item_cf": oracles.q_item_item_cf(50, 50),
+        "burrows_delta": oracles.q_burrows_delta(30, 4, 5, 125),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

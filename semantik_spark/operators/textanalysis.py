@@ -1117,3 +1117,103 @@ def heaps_law(docs: DataFrame, buckets: int = 32, n: int = 1,
         .alias("r2"),
     )
     return series.crossJoin(F.broadcast(fit))
+
+
+def burrows_delta(docs: DataFrame, n_words: int = 30, probes: int = 4,
+                  top_k: int = 5, probe_mod: int = 125,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Burrows' Delta authorship attribution (Burrows 2002; Evert et
+    al. 2017): distance between documents in z-scored relative-
+    frequency space over the ``n_words`` most frequent corpus words
+    (the function-word profile that survives topic shifts) —
+
+      Delta(d, p) = mean_w |z_d(w) − z_p(w)|,
+      z_d(w) = (f_d(w) − μ_w) / σ_w
+
+    — the stylometric "which docs share a source/author/template"
+    probe. Each probe document (doc_id ≡ 0 mod ``probe_mod``, capped
+    at ``probes``) reports its ``top_k`` nearest non-self documents.
+
+    Determinism: f is an exact count ratio rounded at 9 dp into
+    DECIMAL; μ and σ come from DECIMAL moment sums (population σ, the
+    trend_ols recipe); each |Δz| rounds at 9 dp and the per-pair sum
+    accumulates in DECIMAL, so ranking never depends on float
+    summation order. Zero-variance words drop out (z undefined).
+
+    Scale: one token-count pass → global top-N words (TakeOrdered,
+    broadcast) → DENSE doc×N grid (corpus-linear map with a broadcast
+    join — absent words matter: their z is −μ/σ) → one groupBy(w) for
+    moments → probe×corpus scoring with the probe side broadcast.
+    Nothing quadratic in the corpus.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      whitespace_tokens(text_col).alias("toks")).persist()
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("dl")) \
+        .where(F.col("dl") > 0)
+    cnt = (
+        tok.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = (
+        cnt.groupBy("w").agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("w")).limit(n_words)
+        .select("w")
+    )
+    dense = (
+        lens.crossJoin(F.broadcast(top))
+        .join(cnt, ["doc_id", "w"], "left")
+        .na.fill({"c": 0})
+        .select("doc_id", "w",
+                F.round(F.col("c").cast("double") / F.col("dl"), 9)
+                .cast("decimal(15,9)").alias("f"))
+    )
+    mom = dense.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("f").cast("decimal(28,9)").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("decimal(38,18)").alias("sff"),
+    )
+    var = (F.col("n").cast("double") * F.col("sff").cast("double")
+           - F.col("sf").cast("double") * F.col("sf").cast("double")) \
+        / (F.col("n") * F.col("n")).cast("double")
+    stats = (
+        mom.select("w",
+                   (F.col("sf").cast("double") / F.col("n")).alias("mu"),
+                   F.sqrt(var).alias("sigma"))
+        .where(F.col("sigma") > 0)
+    )
+    z = (
+        dense.join(F.broadcast(stats), "w")
+        .select("doc_id", "w",
+                ((F.col("f").cast("double") - F.col("mu"))
+                 / F.col("sigma")).alias("z"))
+    )
+    probe_ids = (
+        lens.where(F.col("doc_id") % probe_mod == 0)
+        .orderBy("doc_id").limit(probes).select("doc_id")
+    )
+    pz = (
+        z.join(F.broadcast(probe_ids), "doc_id")
+        .select(F.col("doc_id").alias("probe_id"), "w",
+                F.col("z").alias("zp"))
+    )
+    pair = (
+        z.join(F.broadcast(pz), "w")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.round(F.abs(F.col("z") - F.col("zp")), 9)
+                   .cast("decimal(20,9)")).cast("decimal(28,9)").alias("sd"),
+             F.count("*").cast("int").alias("nw"))
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.asc("delta"), F.asc("doc_id"))
+    return (
+        pair.select("probe_id", "doc_id",
+                    F.round(F.col("sd").cast("double") / F.col("nw"), 6)
+                    .alias("delta"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

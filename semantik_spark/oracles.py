@@ -5581,3 +5581,55 @@ SELECT item_a, item_b, n_a, n_b, co_count, cosine,
        row_number() OVER (ORDER BY cosine DESC, item_a, item_b)::INT AS rank
 FROM (SELECT * FROM scored
       ORDER BY cosine DESC, item_a, item_b LIMIT {top_k}) z"""
+
+
+def q_burrows_delta(n_words: int = 30, probes: int = 4,
+                    top_k: int = 5, probe_mod: int = 125) -> str:
+    """Twin of textanalysis.burrows_delta: z-scored relative
+    frequencies over the top-N corpus words, DECIMAL moment sums,
+    9-dp |dz| accumulation, per-probe nearest-doc ranking."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+  FROM documents),
+lens AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk WHERE len(toks) > 0),
+cnt AS (SELECT doc_id, w, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY 1, 2),
+top AS (SELECT w FROM (SELECT w, sum(c) AS tot FROM cnt GROUP BY w
+                       ORDER BY tot DESC, w ASC LIMIT {n_words}) z),
+dense AS (
+  SELECT lens.doc_id, top.w,
+         round(coalesce(cnt.c, 0)::DOUBLE / lens.dl, 9)::DECIMAL(15,9) AS f
+  FROM lens CROSS JOIN top
+  LEFT JOIN cnt ON cnt.doc_id = lens.doc_id AND cnt.w = top.w),
+mom AS (SELECT w, count(*)::BIGINT AS n, sum(f)::DECIMAL(28,9) AS sf,
+               sum(f * f)::DECIMAL(38,18) AS sff
+        FROM dense GROUP BY w),
+stats AS (
+  SELECT * FROM (
+    SELECT w, sf::DOUBLE / n AS mu,
+           sqrt((n::DOUBLE * sff::DOUBLE - sf::DOUBLE * sf::DOUBLE)
+                / (n * n)::DOUBLE) AS sigma
+    FROM mom) s
+  WHERE sigma > 0),
+z AS (SELECT doc_id, w, (f::DOUBLE - mu) / sigma AS z
+      FROM dense JOIN stats USING (w)),
+probes AS (SELECT doc_id FROM lens WHERE doc_id % {probe_mod} = 0
+           ORDER BY doc_id LIMIT {probes}),
+pz AS (SELECT z.doc_id AS probe_id, z.w, z.z AS zp
+       FROM z JOIN probes ON z.doc_id = probes.doc_id),
+pair AS (
+  SELECT pz.probe_id, z.doc_id,
+         sum(round(abs(z.z - pz.zp), 9)::DECIMAL(20,9))::DECIMAL(28,9) AS sd,
+         count(*)::INT AS nw
+  FROM z JOIN pz USING (w)
+  WHERE z.doc_id != pz.probe_id
+  GROUP BY 1, 2)
+SELECT probe_id, doc_id, delta, rank::INT AS rank FROM (
+  SELECT probe_id, doc_id, round(sd::DOUBLE / nw, 6) AS delta,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(sd::DOUBLE / nw, 6) ASC,
+                                     doc_id ASC) AS rank
+  FROM pair) r
+WHERE rank <= {top_k}"""

@@ -376,3 +376,23 @@ def test_heaps_law_checkpoints(spark):
              for r in heaps_law(docs, buckets=4, n=2).collect()}
     assert [rows2[i]["n_tokens_cum"] for i in range(4)] == [1, 2, 3, 4]
     assert [rows2[i]["vocab_cum"] for i in range(4)] == [1, 2, 2, 3]
+
+
+def test_burrows_delta_groups_style(spark):
+    """Docs built from the same function-word profile rank nearest:
+    probe doc 0 ('the of' heavy) picks doc 2 (same style) over docs 3/4
+    ('and to' heavy); zero-variance words drop out without error."""
+    from semantik_spark.operators.textanalysis import burrows_delta
+
+    style_a = "the of the of the in a x"
+    style_b = "and to and to and by a y"
+    docs = spark.createDataFrame(
+        [(0, style_a), (2, style_a + " z"), (3, style_b),
+         (4, style_b + " w")],
+        ["doc_id", "text"])
+    rows = burrows_delta(docs, n_words=8, probes=1, top_k=3,
+                         probe_mod=100).collect()
+    assert all(r["probe_id"] == 0 for r in rows)
+    assert rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
+    assert rows[0]["delta"] < rows[1]["delta"]
+    assert {r["doc_id"] for r in rows} == {2, 3, 4}
