@@ -712,6 +712,18 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_words=30, probes=4, top_k=5, probe_mod=125)
 
 
+
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index sweep (stattests.hill_tail_index, Hill 1975)
+    over order amounts: H(k) and alpha(k) at k in {50,100,200,500} —
+    the heavy-tail diagnostic (alpha <= 2 means infinite variance:
+    winsorize before averaging)."""
+    from semantik_spark.operators.stattests import hill_tail_index
+
+    return hill_tail_index(_t(spark, sf_dir, "orders"), "o_totalprice",
+                           ks=(50, 100, 200, 500))
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5305,6 +5317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_jsd": q_corpus_drift_jsd,
         "item_item_cf": q_item_item_cf,
         "burrows_delta": q_burrows_delta,
+        "hill_tail": q_hill_tail,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6752,6 +6765,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "corpus_drift_jsd": oracles.q_corpus_drift_jsd(20),
         "item_item_cf": oracles.q_item_item_cf(50, 50),
         "burrows_delta": oracles.q_burrows_delta(30, 4, 5, 125),
+        "hill_tail": oracles.q_hill_tail((50, 100, 200, 500)),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -221,3 +221,55 @@ def chi_square_independence(df: DataFrame, row_col: str,
                 F.round(F.col("c9").cast("double"), 6).alias("contrib"),
                 "chi2_total", "dof")
     )
+
+
+def hill_tail_index(df: DataFrame, value_col: str,
+                    ks: tuple = (50, 100, 200, 500)) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975) at a
+    sweep of order statistics — the heavy-tail diagnostic for ledger
+    amounts, degree distributions, and token frequencies:
+
+      H(k) = (1/k) Σ_{i≤k} ln(X_(i) / X_(k+1)),   alpha(k) = 1/H(k)
+
+    with X_(1) ≥ X_(2) ≥ … the upper order statistics. A stable
+    alpha across k (the flat region of the Hill plot) is the tail
+    exponent; alpha ≤ 2 means infinite variance — winsorize before
+    averaging anything.
+
+    Output: one row per k — k, x_threshold (= X_(k+1)), hill (6 dp),
+    alpha (6 dp). Values must be > 0 (filtered).
+
+    Determinism: per-term logs round at 9 dp and sum as DECIMAL.
+
+    Scale: TakeOrdered(max k + 1) collapses the corpus map-side — the
+    only full-data pass; the sweep is arithmetic on a ≤ max k + 1 row
+    table (rank window over the bounded survivor set only).
+    """
+    kmax = max(ks)
+    top = (
+        df.where(F.col(value_col) > 0)
+        .select(F.col(value_col).cast("double").alias("v"))
+        .orderBy(F.desc("v")).limit(kmax + 1)
+    )
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("v"))))
+    kdf = ranked.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k int")
+    thr = (
+        ranked.join(F.broadcast(kdf), F.col("rnk") == F.col("k") + 1)
+        .select("k", F.col("v").alias("x_threshold"))
+    )
+    terms = (
+        ranked.crossJoin(F.broadcast(kdf.select("k")))
+        .where(F.col("rnk") <= F.col("k"))
+        .join(F.broadcast(thr), "k")
+        .groupBy("k", "x_threshold")
+        .agg(F.sum(F.round(F.log(F.col("v") / F.col("x_threshold")), 9)
+                   .cast("decimal(20,9)")).cast("decimal(28,9)").alias("sl"))
+    )
+    h = F.col("sl").cast("double") / F.col("k")
+    return terms.select(
+        "k", F.round("x_threshold", 6).alias("x_threshold"),
+        F.round(h, 6).alias("hill"),
+        F.round(F.lit(1.0) / h, 6).alias("alpha"),
+    ).orderBy("k")

@@ -5633,3 +5633,29 @@ SELECT probe_id, doc_id, delta, rank::INT AS rank FROM (
                                      doc_id ASC) AS rank
   FROM pair) r
 WHERE rank <= {top_k}"""
+
+
+def q_hill_tail(ks: tuple = (50, 100, 200, 500)) -> str:
+    """Twin of stattests.hill_tail_index on o_totalprice: top-(k+1)
+    order statistics, 9-dp DECIMAL log accumulation, k sweep."""
+    kvals = ", ".join(f"({k})" for k in ks)
+    kmax = max(ks)
+    return f"""
+WITH top AS (
+  SELECT o_totalprice::DOUBLE AS v FROM orders
+  WHERE o_totalprice > 0 ORDER BY v DESC LIMIT {kmax + 1}),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rnk FROM top),
+kdf AS (SELECT * FROM (VALUES {kvals}) AS t(k)),
+thr AS (SELECT k, v AS x_threshold FROM ranked JOIN kdf ON rnk = k + 1),
+terms AS (
+  SELECT kdf.k, thr.x_threshold,
+         sum(round(ln(r.v / thr.x_threshold), 9)::DECIMAL(20,9))
+           ::DECIMAL(28,9) AS sl
+  FROM ranked r CROSS JOIN kdf
+  JOIN thr ON thr.k = kdf.k
+  WHERE r.rnk <= kdf.k
+  GROUP BY kdf.k, thr.x_threshold)
+SELECT k::INT AS k, round(x_threshold, 6) AS x_threshold,
+       round(sl::DOUBLE / k, 6) AS hill,
+       round(1.0 / (sl::DOUBLE / k), 6) AS alpha
+FROM terms ORDER BY k"""

@@ -93,6 +93,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "corpus_drift_jsd",
     "item_item_cf",
     "burrows_delta",
+    "hill_tail",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

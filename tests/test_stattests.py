@@ -60,3 +60,19 @@ def test_chi_square_independent_and_dependent(spark):
     # zero-observed margin cells materialize
     assert {(o["row_val"], o["col_val"]) for o in out2} == {
         ("x", "l"), ("x", "r"), ("y", "l"), ("y", "r")}
+
+
+def test_hill_tail_closed_form(spark):
+    """Powers of two: H(4) = (4+3+2+1)ln2/4 = 2.5 ln2 with X_(5)=1 as
+    threshold; non-positive values are excluded before ranking."""
+    import math
+
+    from semantik_spark.operators.stattests import hill_tail_index
+
+    df = spark.createDataFrame(
+        [(16.0,), (8.0,), (4.0,), (2.0,), (1.0,), (0.0,), (-3.0,)], ["v"])
+    r = hill_tail_index(df, "v", ks=(4,)).collect()[0]
+    assert r["k"] == 4 and r["x_threshold"] == 1.0
+    h = sum(round(math.log(x), 9) for x in (16, 8, 4, 2)) / 4
+    assert r["hill"] == round(h, 6)
+    assert r["alpha"] == round(1 / h, 6)
