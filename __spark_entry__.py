@@ -724,6 +724,19 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ks=(50, 100, 200, 500))
 
 
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank training-table extraction (search.ltr_features):
+    BM25 ∪ dense top-20 candidates per query, each as a feature row
+    (branch ranks, sparse score, matched-term census, mock cosine,
+    doc length) — the join every LambdaMART-style ranker trains on."""
+    from semantik_spark.operators.search import ltr_features
+
+    return ltr_features(
+        _t(spark, sf_dir, "documents"),
+        _queries_df(spark, SEARCH_QUERIES), k=20)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5318,6 +5331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_item_cf": q_item_item_cf,
         "burrows_delta": q_burrows_delta,
         "hill_tail": q_hill_tail,
+        "ltr_features": q_ltr_features,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6766,6 +6780,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "item_item_cf": oracles.q_item_item_cf(50, 50),
         "burrows_delta": oracles.q_burrows_delta(30, 4, 5, 125),
         "hill_tail": oracles.q_hill_tail((50, 100, 200, 500)),
+        "ltr_features": oracles.q_ltr_features(20),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -665,3 +665,89 @@ def boolean_search(docs: DataFrame, queries: DataFrame, k: int = 10,
                 F.round("score", 6).alias("score"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ltr_features(docs: DataFrame, queries: DataFrame, k: int = 20,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Learning-to-rank feature extraction (the LambdaMART-style
+    training-table builder — Burges 2010; reference serves single
+    scores, vecpipe/search/service.py, but every ranker TRAINED on a
+    search log starts from exactly this join): for each query, the
+    union of the BM25 top-k and dense top-k candidate sets, each
+    candidate materialized as a feature row
+
+      bm25_rank, dense_rank   (0 = outside that branch's top-k)
+      bm25_score              sparse dot product (0 if no shared term)
+      n_matched, sum_idf      matched-term census (9-dp DECIMAL sum)
+      cosine                  mock-embedding cosine (model-free mode)
+      doc_len                 analyzed token count
+
+    Scale: candidates are 2k per query (query-bounded); features come
+    from broadcast joins of the query side into the postings/index
+    tables — the corpus is scanned once for postings and once for
+    embeddings, nothing is corpus × query except the dense scan the
+    dense branch already does. Ranks tie-break on doc_id; every float
+    rounds at 6 dp.
+    """
+    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    stats = bm25.corpus_stats(tok)
+    terms = bm25.term_stats(tok, stats)
+    post = bm25.postings(tok, terms, stats)
+    enc = bm25.encode_queries(queries, terms)
+    scored = bm25.score(post, enc)
+    wb = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc("doc_id"))
+    btop = (
+        scored.withColumn("bm25_rank", F.row_number().over(wb))
+        .where(F.col("bm25_rank") <= k)
+    )
+    dtop = mock_dense_search(docs, queries, k=k, id_col=id_col,
+                             text_col=text_col)
+    cand = (
+        btop.select("query_id", "doc_id")
+        .unionByName(dtop.select("query_id", "doc_id"))
+        .distinct()
+    )
+    hits = (
+        post.join(F.broadcast(enc.select("query_id", "term")), "term")
+        .join(terms.select("term", "idf"), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("int").alias("n_matched"),
+             F.sum(F.round("idf", 9).cast("decimal(20,9)"))
+             .cast("decimal(28,9)").alias("sum_idf"))
+    )
+    qv = queries.select(F.col("query_id"),
+                        mock_embedding("query_text").alias("qe"))
+    emb = docs.select(F.col(id_col).alias("doc_id"),
+                      mock_embedding(text_col).alias("e"))
+    cos = (
+        cand.join(emb, "doc_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "doc_id", cosine("e", "qe").alias("cosine"))
+    )
+    dl = tok.select("doc_id", F.size("tokens").cast("bigint").alias("doc_len"))
+    return (
+        cand
+        .join(btop.select("query_id", "doc_id", "bm25_rank",
+                          F.col("score").alias("bm25_score")),
+              ["query_id", "doc_id"], "left")
+        .join(dtop.select("query_id", "doc_id",
+                          F.col("rank").alias("dense_rank")),
+              ["query_id", "doc_id"], "left")
+        .join(hits, ["query_id", "doc_id"], "left")
+        .join(cos, ["query_id", "doc_id"])
+        .join(dl, "doc_id")
+        .select(
+            "query_id", "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+            F.round(F.coalesce("bm25_score", F.lit(0.0)), 6)
+            .alias("bm25_score"),
+            F.coalesce("n_matched", F.lit(0)).cast("int").alias("n_matched"),
+            F.round(F.coalesce(F.col("sum_idf").cast("double"), F.lit(0.0)),
+                    6).alias("sum_idf"),
+            F.round("cosine", 6).alias("cosine"),
+            "doc_len",
+        )
+    )

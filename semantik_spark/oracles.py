@@ -5659,3 +5659,41 @@ SELECT k::INT AS k, round(x_threshold, 6) AS x_threshold,
        round(sl::DOUBLE / k, 6) AS hill,
        round(1.0 / (sl::DOUBLE / k), 6) AS alpha
 FROM terms ORDER BY k"""
+
+
+def q_ltr_features(k: int = 20) -> str:
+    """Twin of search.ltr_features: BM25 ∪ dense top-k candidates per
+    query, feature row per candidate (ranks, scores, matched-term
+    census, mock cosine, doc length)."""
+    return f"""
+WITH {bm25_search_ctes(SEARCH_QUERIES, k)}, {mock_dense_ctes(SEARCH_QUERIES, k)},
+btop AS (SELECT query_id, doc_id, rank AS bm25_rank, score
+         FROM ranked WHERE rank <= {k}),
+dtop AS (SELECT query_id, doc_id, rank AS dense_rank
+         FROM dranked WHERE rank <= {k}),
+cand AS (SELECT DISTINCT query_id, doc_id FROM (
+           SELECT query_id, doc_id FROM btop
+           UNION ALL SELECT query_id, doc_id FROM dtop) u),
+hits AS (
+  SELECT qenc.query_id, p.doc_id, count(*)::INT AS n_matched,
+         sum(round(terms.idf, 9)::DECIMAL(20,9))::DECIMAL(28,9) AS sum_idf
+  FROM post p JOIN qenc USING (term) JOIN terms USING (term)
+  GROUP BY 1, 2),
+cosf AS (
+  SELECT cand.query_id, cand.doc_id, {cosine_expr('e', 'qe')} AS cosine
+  FROM cand JOIN dindex USING (doc_id) JOIN dquer USING (query_id)),
+dl AS (SELECT doc_id, doc_len::BIGINT AS doc_len FROM tokl)
+SELECT cand.query_id, cand.doc_id,
+       coalesce(btop.bm25_rank, 0)::INT AS bm25_rank,
+       coalesce(dtop.dense_rank, 0)::INT AS dense_rank,
+       round(coalesce(btop.score, 0.0), 6) AS bm25_score,
+       coalesce(hits.n_matched, 0)::INT AS n_matched,
+       round(coalesce(hits.sum_idf::DOUBLE, 0.0), 6) AS sum_idf,
+       round(cosf.cosine, 6) AS cosine,
+       dl.doc_len
+FROM cand
+LEFT JOIN btop USING (query_id, doc_id)
+LEFT JOIN dtop USING (query_id, doc_id)
+LEFT JOIN hits USING (query_id, doc_id)
+JOIN cosf USING (query_id, doc_id)
+JOIN dl USING (doc_id)"""

@@ -255,3 +255,24 @@ def test_boolean_search_clause_semantics(spark):
     assert run(("q", "solar plutonium", "", "")) == {}
     # overlap MUST/SHOULD counts once
     assert run(("q", "solar", "solar", ""))[2]["n_matched"] == 1
+
+
+def test_ltr_features_candidate_union(spark):
+    """A doc in only one branch still gets a full feature row with the
+    other branch's rank = 0; bm25-absent candidates score 0 with
+    n_matched 0; doc_len is the analyzed (stopword-filtered) count."""
+    from semantik_spark.operators.search import ltr_features
+
+    docs = spark.createDataFrame(
+        [(1, "solar energy panels"), (2, "solar grid"),
+         (3, "the of and or but")],  # all stopwords -> never BM25-hit
+        ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "solar")], ["query_id", "query_text"])
+    rows = {r["doc_id"]: r for r in ltr_features(docs, q, k=3).collect()}
+    # docs 1,2 hit BM25; doc 3 can only arrive via the dense branch
+    assert rows[1]["bm25_rank"] > 0 and rows[1]["n_matched"] == 1
+    assert rows[1]["sum_idf"] > 0 and rows[1]["doc_len"] == 3
+    assert rows[3]["bm25_rank"] == 0 and rows[3]["bm25_score"] == 0.0
+    assert rows[3]["n_matched"] == 0 and rows[3]["doc_len"] == 0
+    assert all(r["dense_rank"] > 0 or r["bm25_rank"] > 0
+               for r in rows.values())
