@@ -289,14 +289,15 @@ def test_kneser_ney_continuation_backoff(spark):
     rows = {r["doc_id"]: r for r in
             kneser_ney_logprob(docs, discount=0.75).collect()}
     assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 5
-    # hand-check one factor: P(francisco|san) with c=3, ctx(san)=3,
-    # N1+(san.)=1, N1+(.francisco)=1, types=6
-    # = (3-.75)/3 + (.75*1/3)*(1/6) = 0.75 + 0.0416667 = 0.7916667
+    # bigram TYPES: san-francisco, francisco-san, the-cat, cat-the,
+    # the-dog, dog-the, the-end -> N1+(..) = 7
+    # hand-check P(francisco|san): c=3, ctx(san)=3, N1+(san.)=1,
+    # N1+(.francisco)=1 -> (3-.75)/3 + (.75*1/3)*(1/7)
     import math
-    lp = round(math.log((3 - 0.75) / 3 + (0.75 * 1 / 3) * (1 / 6)), 9)
-    # doc 1 = 3x 'san francisco' + 2x 'francisco san'
-    c_fs = 2  # 'francisco san' count; ctx(francisco)=2, N1+(fran.)=1, N1+(.san)=1
-    lp2 = round(math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 6)), 9)
+    lp = round(math.log((3 - 0.75) / 3 + (0.75 * 1 / 3) * (1 / 7)), 9)
+    # P(san|francisco): c=2, ctx(francisco)=2, N1+(francisco.)=1,
+    # N1+(.san)=1 -> (2-.75)/2 + (.75*1/2)*(1/7)
+    lp2 = round(math.log((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 7)), 9)
     want = round((3 * lp + 2 * lp2) / 5, 6)
     assert rows[1]["avg_logprob"] == want
 
