@@ -737,6 +737,19 @@ def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _queries_df(spark, SEARCH_QUERIES), k=20)
 
 
+
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier concentration per nation
+    (profiling.market_concentration_hhi): revenue shares squared on the
+    x10000 antitrust scale — the market-structure rollup over the
+    supplier dimension."""
+    from semantik_spark.operators.profiling import market_concentration_hhi
+
+    return market_concentration_hhi(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"))
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5332,6 +5345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": q_burrows_delta,
         "hill_tail": q_hill_tail,
         "ltr_features": q_ltr_features,
+        "market_hhi": q_market_hhi,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6781,6 +6795,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "burrows_delta": oracles.q_burrows_delta(30, 4, 5, 125),
         "hill_tail": oracles.q_hill_tail((50, 100, 200, 500)),
         "ltr_features": oracles.q_ltr_features(20),
+        "market_hhi": oracles.q_market_hhi(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -244,3 +244,63 @@ def corpus_drift_jsd(ref: DataFrame, cur: DataFrame, top_k: int = 20,
         .select("term", "n_ref", "n_cur",
                 F.col("c9").cast("double").alias("contrib"), "jsd_total")
     )
+
+
+def market_concentration_hhi(lineitem: DataFrame, supplier: DataFrame,
+                             nation: DataFrame) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation —
+    the antitrust/market-structure summary (DoJ bands: < 1500
+    unconcentrated, 1500–2500 moderate, > 2500 concentrated on the
+    ×10000 scale): HHI = 10000 · Σ_s share_s², share over supplier
+    revenue (l_extendedprice·(1−l_discount), the TPC-H revenue form).
+
+    Output: one row per nation — n_name, n_suppliers, total_revenue
+    (2 dp), top_share (6 dp), hhi (6 dp).
+
+    Determinism: per-supplier revenue aggregates in DECIMAL (exact);
+    shares are decimal/decimal → double divisions; share² terms round
+    at 9 dp and sum as DECIMAL per nation.
+
+    Scale: one lineitem scan with map-side combine on suppkey (the
+    natural key, no skew — suppliers are many) → broadcast joins to
+    supplier/nation dims → nation-level groupBy over the
+    SUPPLIER-bounded table. Nothing after the scan is corpus-sized.
+    """
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .cast("decimal(18,2)").alias("srev"))
+    )
+    base = (
+        rev.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                 rev.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    ntot = base.groupBy("n_name").agg(
+        F.sum("srev").cast("decimal(18,2)").alias("trev"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max("srev").alias("maxrev"),
+    )
+    share2 = (
+        base.join(ntot.select("n_name", "trev"), "n_name")
+        .select("n_name",
+                F.round((F.col("srev").cast("double")
+                         / F.col("trev").cast("double"))
+                        * (F.col("srev").cast("double")
+                           / F.col("trev").cast("double")), 9)
+                .cast("decimal(20,9)").alias("s2"))
+        .groupBy("n_name")
+        .agg(F.sum("s2").cast("decimal(28,9)").alias("ss"))
+    )
+    return (
+        ntot.join(share2, "n_name")
+        .select(
+            "n_name", "n_suppliers",
+            F.round(F.col("trev").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("maxrev").cast("double")
+                    / F.col("trev").cast("double"), 6).alias("top_share"),
+            F.round(F.lit(10000.0) * F.col("ss").cast("double"), 6)
+            .alias("hhi"),
+        )
+    )

@@ -5697,3 +5697,33 @@ LEFT JOIN dtop USING (query_id, doc_id)
 LEFT JOIN hits USING (query_id, doc_id)
 JOIN cosf USING (query_id, doc_id)
 JOIN dl USING (doc_id)"""
+
+
+def q_market_hhi() -> str:
+    """Twin of profiling.market_concentration_hhi: supplier revenue
+    shares per nation, 9-dp DECIMAL share² accumulation, x10000 HHI."""
+    return """
+WITH rev AS (
+  SELECT l_suppkey,
+         (sum(l_extendedprice * (1 - l_discount)))::DECIMAL(18,2) AS srev
+  FROM lineitem GROUP BY l_suppkey),
+base AS (
+  SELECT n.n_name, rev.srev
+  FROM rev
+  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+ntot AS (
+  SELECT n_name, (sum(srev))::DECIMAL(18,2) AS trev,
+         count(*)::BIGINT AS n_suppliers, max(srev) AS maxrev
+  FROM base GROUP BY n_name),
+share2 AS (
+  SELECT base.n_name,
+         sum(round((srev::DOUBLE / trev::DOUBLE)
+                   * (srev::DOUBLE / trev::DOUBLE), 9)::DECIMAL(20,9)
+             )::DECIMAL(28,9) AS ss
+  FROM base JOIN ntot USING (n_name)
+  GROUP BY base.n_name)
+SELECT ntot.n_name, n_suppliers, round(trev::DOUBLE, 2) AS total_revenue,
+       round(maxrev::DOUBLE / trev::DOUBLE, 6) AS top_share,
+       round(10000.0 * ss::DOUBLE, 6) AS hhi
+FROM ntot JOIN share2 USING (n_name)"""

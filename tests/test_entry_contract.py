@@ -95,6 +95,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "burrows_delta",
     "hill_tail",
     "ltr_features",
+    "market_hhi",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -20,3 +20,24 @@ def test_corpus_drift_jsd_bounds_and_attribution(spark):
     rows = corpus_drift_jsd(a, c).collect()
     assert {rows[0]["term"], rows[1]["term"]} == {"z", "w"}
     assert rows[0]["contrib"] > rows[2]["contrib"]
+
+
+def test_market_hhi_closed_forms(spark):
+    """Monopoly nation -> HHI 10000; two equal suppliers -> 5000;
+    shares count the capped decimal revenue."""
+    from semantik_spark.operators.profiling import market_concentration_hhi
+
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0), (2, 50.0, 0.0), (3, 50.0, 0.0)],
+        ["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20)], ["s_suppkey", "s_nationkey"])
+    nat = spark.createDataFrame(
+        [(10, "MONO"), (20, "DUO")], ["n_nationkey", "n_name"])
+    rows = {r["n_name"]: r
+            for r in market_concentration_hhi(li, sup, nat).collect()}
+    assert rows["MONO"]["hhi"] == 10000.0
+    assert rows["MONO"]["top_share"] == 1.0 and rows["MONO"]["n_suppliers"] == 1
+    assert rows["DUO"]["hhi"] == 5000.0
+    assert rows["DUO"]["top_share"] == 0.5
+    assert rows["DUO"]["total_revenue"] == 100.0
