@@ -750,6 +750,18 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "nation"))
 
 
+
+def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (stattests.cuped_adjust, Deng et al.
+    2013): user_id%2 arms, pre/post split at the event-window midpoint
+    — pooled theta from DECIMAL moment sums, closed-form adjusted arm
+    means/variances, the experiment-sensitivity standard."""
+    from semantik_spark.operators.stattests import cuped_adjust
+
+    return cuped_adjust(_events(spark, sf_dir), "2024-01-16 00:00:00",
+                        arms=2)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5346,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_hill_tail,
         "ltr_features": q_ltr_features,
         "market_hhi": q_market_hhi,
+        "cuped_ab": q_cuped_ab,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6796,6 +6809,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "hill_tail": oracles.q_hill_tail((50, 100, 200, 500)),
         "ltr_features": oracles.q_ltr_features(20),
         "market_hhi": oracles.q_market_hhi(),
+        "cuped_ab": oracles.q_cuped("2024-01-16 00:00:00", 2),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -273,3 +273,95 @@ def hill_tail_index(df: DataFrame, value_col: str,
         F.round(h, 6).alias("hill"),
         F.round(F.lit(1.0) / h, 6).alias("alpha"),
     ).orderBy("k")
+
+
+def cuped_adjust(events: DataFrame, split_ts: str,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value", arms: int = 2) -> DataFrame:
+    """CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi &
+    Walker 2013): adjust each user's post-period metric y by their
+    PRE-period covariate x,
+
+      θ = cov(x, y) / var(x)   (pooled across arms),
+      ŷ = y − θ·(x − x̄),        var(ŷ) = var(y) − θ²·var(x)
+
+    — the standard experiment-sensitivity trick: pre-period behavior
+    explains individual variance that has nothing to do with the
+    treatment, so removing it shrinks confidence intervals for free.
+    Arms are assigned deterministically (user_id mod ``arms``).
+
+    All adjusted-group statistics come from CLOSED FORMS over per-arm
+    moment sums (mean ŷ_g = ȳ_g − θ(x̄_g − x̄); var ŷ_g = var y_g −
+    2θ·cov_g + θ²·var x_g), so no per-user float accumulation exists:
+    per-user pre/post sums quantize to DECIMAL(18,6) (the trend_ols
+    recipe), moments sum exactly, and only the terminal divisions are
+    doubles.
+
+    Output: one row per arm — arm, n_users, mean_y, mean_y_cuped,
+    var_y, var_y_cuped, var_reduction_pct, theta (all 6 dp).
+
+    Scale: one event scan → per-user pre/post sums (one groupBy on
+    user, map-side combined) → per-arm moment aggregation (arms rows)
+    → arithmetic. Nothing after the user rollup exceeds `arms` rows.
+    """
+    ts = F.col(ts_col)
+    split = F.lit(split_ts).cast("timestamp")
+    v = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            # per-user sums stay in DECIMAL(18,6): the later x·y
+            # products must fit (38,12) EXACTLY in both engines —
+            # (28,6)² would overflow DuckDB's 38-digit cap
+            F.sum(F.when(ts < split, v).otherwise(F.lit(0))
+                  ).cast("decimal(18,6)").alias("x"),
+            F.sum(F.when(ts >= split, v).otherwise(F.lit(0))
+                  ).cast("decimal(18,6)").alias("y"),
+        )
+        .select((F.col("u") % arms).cast("int").alias("arm"), "x", "y")
+    )
+    d12 = "decimal(38,12)"
+    mom = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d12)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d12)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d12)).alias("sxy"),
+    )
+    pooled = mom.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("decimal(38,6)").alias("psx"),
+        F.sum("sy").cast("decimal(38,6)").alias("psy"),
+        F.sum("sxx").cast(d12).alias("psxx"),
+        F.sum("sxy").cast(d12).alias("psxy"),
+    )
+    pn = F.col("pn").cast("double")
+    theta = (
+        (pn * F.col("psxy").cast("double")
+         - F.col("psx").cast("double") * F.col("psy").cast("double"))
+        / (pn * F.col("psxx").cast("double")
+           - F.col("psx").cast("double") * F.col("psx").cast("double"))
+    )
+    g = mom.crossJoin(F.broadcast(
+        pooled.select(theta.alias("theta"),
+                      (F.col("psx").cast("double") / pn).alias("xbar"))))
+    n = F.col("n").cast("double")
+    my = F.col("sy").cast("double") / n
+    mx = F.col("sx").cast("double") / n
+    var_y = F.col("syy").cast("double") / n - my * my
+    var_x = F.col("sxx").cast("double") / n - mx * mx
+    cov = F.col("sxy").cast("double") / n - mx * my
+    var_c = var_y - 2 * F.col("theta") * cov \
+        + F.col("theta") * F.col("theta") * var_x
+    return g.select(
+        "arm", F.col("n").alias("n_users"),
+        F.round(my, 6).alias("mean_y"),
+        F.round(my - F.col("theta") * (mx - F.col("xbar")), 6)
+        .alias("mean_y_cuped"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_c, 6).alias("var_y_cuped"),
+        F.round(F.when(var_y > 0, 100.0 * (var_y - var_c) / var_y), 6)
+        .alias("var_reduction_pct"),
+        F.round(F.col("theta"), 6).alias("theta"),
+    ).orderBy("arm")

@@ -5727,3 +5727,53 @@ SELECT ntot.n_name, n_suppliers, round(trev::DOUBLE, 2) AS total_revenue,
        round(maxrev::DOUBLE / trev::DOUBLE, 6) AS top_share,
        round(10000.0 * ss::DOUBLE, 6) AS hhi
 FROM ntot JOIN share2 USING (n_name)"""
+
+
+def q_cuped(split: str = "2024-01-16 00:00:00", arms: int = 2) -> str:
+    """Twin of stattests.cuped_adjust: per-user DECIMAL(18,6) pre/post
+    sums, pooled theta, closed-form adjusted group moments."""
+    return f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         (sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '{split}'
+                   THEN round(value, 6)::DECIMAL(18,6)
+                   ELSE 0 END))::DECIMAL(18,6) AS x,
+         (sum(CASE WHEN ts::TIMESTAMP >= TIMESTAMP '{split}'
+                   THEN round(value, 6)::DECIMAL(18,6)
+                   ELSE 0 END))::DECIMAL(18,6) AS y
+  FROM events GROUP BY 1),
+pa AS (SELECT (u % {arms})::INT AS arm, x, y FROM pu),
+mom AS (
+  SELECT arm, count(*)::BIGINT AS n,
+         sum(x)::DECIMAL(38,6) AS sx, sum(y)::DECIMAL(38,6) AS sy,
+         sum(x::DECIMAL(19,6) * x::DECIMAL(19,6)) AS sxx,
+         sum(y::DECIMAL(19,6) * y::DECIMAL(19,6)) AS syy,
+         sum(x::DECIMAL(19,6) * y::DECIMAL(19,6)) AS sxy
+  FROM pa GROUP BY arm),
+pooled AS (
+  SELECT sum(n)::BIGINT AS pn, sum(sx)::DECIMAL(38,6) AS psx,
+         sum(sy)::DECIMAL(38,6) AS psy,
+         sum(sxx)::DECIMAL(38,12) AS psxx,
+         sum(sxy)::DECIMAL(38,12) AS psxy
+  FROM mom),
+th AS (
+  SELECT (pn::DOUBLE * psxy::DOUBLE - psx::DOUBLE * psy::DOUBLE)
+         / (pn::DOUBLE * psxx::DOUBLE - psx::DOUBLE * psx::DOUBLE) AS theta,
+         psx::DOUBLE / pn::DOUBLE AS xbar
+  FROM pooled),
+g AS (
+  SELECT mom.*, th.theta, th.xbar,
+         sy::DOUBLE / n::DOUBLE AS my, sx::DOUBLE / n::DOUBLE AS mx,
+         syy::DOUBLE / n::DOUBLE - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS var_y,
+         sxx::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE) AS var_x,
+         sxy::DOUBLE / n::DOUBLE - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS cov
+  FROM mom, th)
+SELECT arm, n AS n_users, round(my, 6) AS mean_y,
+       round(my - theta * (mx - xbar), 6) AS mean_y_cuped,
+       round(var_y, 6) AS var_y,
+       round(var_y - 2 * theta * cov + theta * theta * var_x, 6) AS var_y_cuped,
+       round(CASE WHEN var_y > 0 THEN 100.0
+                  * (var_y - (var_y - 2 * theta * cov + theta * theta * var_x))
+                  / var_y END, 6) AS var_reduction_pct,
+       round(theta, 6) AS theta
+FROM g ORDER BY arm"""

@@ -76,3 +76,29 @@ def test_hill_tail_closed_form(spark):
     h = sum(round(math.log(x), 9) for x in (16, 8, 4, 2)) / 4
     assert r["hill"] == round(h, 6)
     assert r["alpha"] == round(1 / h, 6)
+
+
+def test_cuped_variance_reduction(spark):
+    """Perfectly-correlated pre/post users: theta = 1, adjusted
+    variance collapses to 0 and arm means shift by their covariate
+    imbalance; n splits by user_id % 2."""
+    import datetime
+
+    from semantik_spark.operators.stattests import cuped_adjust
+
+    pre = datetime.datetime(2024, 1, 1)
+    post = datetime.datetime(2024, 2, 1)
+    rows = []
+    # users 0..3: post metric == pre metric (y = x), arms alternate
+    for u, v in [(0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0)]:
+        rows += [(u, pre, v), (u, post, v)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["arm"]: r
+           for r in cuped_adjust(ev, "2024-01-15 00:00:00").collect()}
+    assert out[0]["theta"] == 1.0
+    assert out[0]["n_users"] == 2 and out[1]["n_users"] == 2
+    # var(y) per arm = var({10,30}) = 100; adjusted -> 0
+    assert out[0]["var_y"] == 100.0 and out[0]["var_y_cuped"] == 0.0
+    assert out[0]["var_reduction_pct"] == 100.0
+    # adjusted means equalize to the pooled mean (y==x everywhere)
+    assert out[0]["mean_y_cuped"] == out[1]["mean_y_cuped"] == 25.0
