@@ -762,6 +762,18 @@ def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arms=2)
 
 
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (timeseries.logrank_conversion, Mantel
+    1966): user_id%2 cohorts' time-to-purchase compared by
+    hypergeometric O-E accumulation over the KM event times — the
+    censoring-correct latency A/B verdict next to user_survival."""
+    from semantik_spark.operators.timeseries import logrank_conversion
+
+    return logrank_conversion(_events(spark, sf_dir), window_hours=36,
+                              target_type="purchase", arms=2)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5359,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         "market_hhi": q_market_hhi,
         "cuped_ab": q_cuped_ab,
+        "logrank_test": q_logrank_test,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6810,6 +6823,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "ltr_features": oracles.q_ltr_features(20),
         "market_hhi": oracles.q_market_hhi(),
         "cuped_ab": oracles.q_cuped("2024-01-16 00:00:00", 2),
+        "logrank_test": oracles.q_logrank(36, "purchase", 2),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

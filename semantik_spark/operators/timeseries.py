@@ -965,3 +965,98 @@ def theil_sen_daily(df: DataFrame, date_col: str = "o_orderdate",
                 F.round("slope", 6).alias("slope_per_day"),
                 F.round("icpt", 6).alias("intercept"))
     )
+
+
+def logrank_conversion(events: DataFrame, window_hours: int = 36,
+                       target_type: str = "purchase",
+                       arms: int = 2,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) on time-to-conversion
+    between deterministic cohorts (user_id mod ``arms``; arm 0 vs the
+    rest) — the censoring-correct "did the treatment change conversion
+    latency" companion to kaplan_meier_conversion: at every conversion
+    time t the observed arm-0 conversions d₀(t) compare against the
+    hypergeometric expectation d(t)·n₀(t)/n(t), with variance
+    d·(n₀/n)·(n₁/n)·(n−d)/(n−1); χ² = (Σ(d₀−e₀))²/Σv on 1 dof.
+
+    Durations and censoring exactly as kaplan_meier_conversion
+    (integer hours, administrative censoring at the window edge).
+    O−E and v terms are rationals of exact integers, rounded at 9 dp
+    and summed as DECIMAL — engine-exact.
+
+    Output (1 row): n_users_0, n_users_1, observed_0, expected_0
+    (6 dp), chi2 (6 dp).
+
+    Scale: the kaplan_meier shape — per-user rollup (one groupBy),
+    hour-level counts, all windows over the ≤ window_hours+1 row
+    table.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col(type_col) == target_type, us)).alias("tc"),
+    )
+    horizon = int(window_hours) * 3_600_000_000
+    dur = F.floor((F.col("tc") - F.col("t0")) / 3_600_000_000)
+    obs = F.col("tc").isNotNull() & ((F.col("tc") - F.col("t0")) < horizon)
+    per = per.select(
+        F.when(obs, dur).otherwise(F.lit(window_hours)).cast("int").alias("t"),
+        obs.cast("int").alias("observed"),
+        (F.col("u") % arms == 0).cast("int").alias("g0"),
+    )
+    agg = per.groupBy("t").agg(
+        F.sum(F.col("observed") * F.col("g0")).cast("bigint").alias("d0"),
+        F.sum(F.col("observed") * (1 - F.col("g0"))).cast("bigint").alias("d1"),
+        F.sum((1 - F.col("observed")) * F.col("g0")).cast("bigint").alias("c0"),
+        F.sum((1 - F.col("observed")) * (1 - F.col("g0"))).cast("bigint")
+        .alias("c1"),
+    )
+    tot = per.agg(F.sum("g0").cast("bigint").alias("nu0"),
+                  F.sum(1 - F.col("g0")).cast("bigint").alias("nu1"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risks = agg.crossJoin(F.broadcast(tot)).select(
+        "t", "d0", "d1",
+        (F.col("nu0") - F.coalesce(
+            F.sum(F.col("d0") + F.col("c0")).over(wprev), F.lit(0)))
+        .cast("bigint").alias("n0"),
+        (F.col("nu1") - F.coalesce(
+            F.sum(F.col("d1") + F.col("c1")).over(wprev), F.lit(0)))
+        .cast("bigint").alias("n1"),
+        "nu0", "nu1",
+    )
+    d = F.col("d0") + F.col("d1")
+    n = F.col("n0") + F.col("n1")
+    e0 = d.cast("double") * F.col("n0") / n
+    v = F.when(
+        (d > 0) & (n > 1),
+        d.cast("double") * (F.col("n0").cast("double") / n)
+        * (F.col("n1").cast("double") / n)
+        * (n - d).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+    terms = risks.select(
+        "nu0", "nu1", "d0",
+        F.when(d > 0, F.round(F.col("d0") - e0, 9)).otherwise(F.lit(0.0))
+        .cast("decimal(20,9)").alias("oe"),
+        F.when(d > 0, F.round(e0, 9)).otherwise(F.lit(0.0))
+        .cast("decimal(20,9)").alias("e9"),
+        F.round(v, 9).cast("decimal(20,9)").alias("v9"),
+    )
+    out = terms.groupBy("nu0", "nu1").agg(
+        F.sum("d0").cast("bigint").alias("observed_0"),
+        F.sum("oe").cast("decimal(28,9)").alias("soe"),
+        F.sum("e9").cast("decimal(28,9)").alias("se"),
+        F.sum("v9").cast("decimal(28,9)").alias("sv"),
+    )
+    # a degenerate cohort (one arm empty, or no conversions) zeroes
+    # every variance term: chi2 is undefined -> NULL, never a
+    # DIVIDE_BY_ZERO abort (the degree_assortativity lesson)
+    chi2 = F.try_divide(
+        F.col("soe").cast("double") * F.col("soe").cast("double"),
+        F.col("sv").cast("double"))
+    return out.select(
+        F.col("nu0").alias("n_users_0"), F.col("nu1").alias("n_users_1"),
+        "observed_0",
+        F.round(F.col("se").cast("double"), 6).alias("expected_0"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -5777,3 +5777,62 @@ SELECT arm, n AS n_users, round(my, 6) AS mean_y,
                   / var_y END, 6) AS var_reduction_pct,
        round(theta, 6) AS theta
 FROM g ORDER BY arm"""
+
+
+def q_logrank(window_hours: int = 36, target_type: str = "purchase",
+              arms: int = 2) -> str:
+    """Twin of timeseries.logrank_conversion: hypergeometric O-E and
+    variance terms per conversion hour, 9-dp DECIMAL accumulation."""
+    horizon = window_hours * 3_600_000_000
+    return f"""
+WITH per0 AS (
+  SELECT user_id,
+         min(epoch_us(ts::TIMESTAMP))::BIGINT AS t0,
+         min(CASE WHEN event_type = '{target_type}'
+                  THEN epoch_us(ts::TIMESTAMP) END)::BIGINT AS tc
+  FROM events GROUP BY user_id),
+per AS (
+  SELECT CASE WHEN tc IS NOT NULL AND tc - t0 < {horizon}
+              THEN ((tc - t0) // 3600000000)::INT
+              ELSE {window_hours} END AS t,
+         CASE WHEN tc IS NOT NULL AND tc - t0 < {horizon}
+              THEN 1 ELSE 0 END AS observed,
+         CASE WHEN user_id % {arms} = 0 THEN 1 ELSE 0 END AS g0
+  FROM per0),
+agg AS (
+  SELECT t,
+         sum(observed * g0)::BIGINT AS d0,
+         sum(observed * (1 - g0))::BIGINT AS d1,
+         sum((1 - observed) * g0)::BIGINT AS c0,
+         sum((1 - observed) * (1 - g0))::BIGINT AS c1
+  FROM per GROUP BY t),
+tot AS (SELECT sum(g0)::BIGINT AS nu0, sum(1 - g0)::BIGINT AS nu1 FROM per),
+risks AS (
+  SELECT t, d0, d1, nu0, nu1,
+         (nu0 - coalesce(sum(d0 + c0) OVER (
+            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0))::BIGINT AS n0,
+         (nu1 - coalesce(sum(d1 + c1) OVER (
+            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0))::BIGINT AS n1
+  FROM agg, tot),
+terms AS (
+  SELECT nu0, nu1, d0,
+         CASE WHEN d0 + d1 > 0
+              THEN round(d0 - (d0 + d1)::DOUBLE * n0 / (n0 + n1), 9)
+              ELSE 0.0 END::DECIMAL(20,9) AS oe,
+         CASE WHEN d0 + d1 > 0
+              THEN round((d0 + d1)::DOUBLE * n0 / (n0 + n1), 9)
+              ELSE 0.0 END::DECIMAL(20,9) AS e9,
+         round(CASE WHEN d0 + d1 > 0 AND n0 + n1 > 1
+                    THEN (d0 + d1)::DOUBLE * (n0::DOUBLE / (n0 + n1))
+                         * (n1::DOUBLE / (n0 + n1))
+                         * (n0 + n1 - d0 - d1)::DOUBLE / (n0 + n1 - 1)
+                    ELSE 0.0 END, 9)::DECIMAL(20,9) AS v9
+  FROM risks)
+SELECT nu0 AS n_users_0, nu1 AS n_users_1,
+       sum(d0)::BIGINT AS observed_0,
+       round((sum(e9))::DOUBLE, 6) AS expected_0,
+       round((sum(oe))::DOUBLE * (sum(oe))::DOUBLE / (sum(v9))::DOUBLE, 6)
+         AS chi2
+FROM terms GROUP BY nu0, nu1"""

@@ -498,3 +498,35 @@ def test_theil_sen_outlier_immune(spark):
     assert r["n_days"] == 5 and r["n_pairs"] == 10
     assert r["slope_per_day"] == 10.0
     assert r["intercept"] == 10.0
+
+
+def test_logrank_identical_and_separated(spark):
+    """Identical conversion patterns across arms -> O-E sums to 0 and
+    chi2 ~ 0; a degenerate single-arm cohort yields NULL chi2 (no
+    DIVIDE_BY_ZERO abort)."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import logrank_conversion
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(u, hours, typ):
+        return (u, t0 + datetime.timedelta(hours=hours), typ)
+
+    # arms identical: users 0/1 convert at 2h, users 2/3 at 5h
+    rows = []
+    for u, h in [(0, 2), (1, 2), (2, 5), (3, 5)]:
+        rows += [ev(u, 0, "view"), ev(u, h, "purchase")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    r = logrank_conversion(df, window_hours=36, arms=2).collect()[0]
+    assert r["n_users_0"] == 2 and r["n_users_1"] == 2
+    assert r["observed_0"] == 2
+    assert r["chi2"] == 0.0 and r["expected_0"] == 2.0
+
+    # all users in arm 0 (even ids): variance terms vanish -> NULL
+    rows2 = []
+    for u, h in [(0, 2), (2, 5)]:
+        rows2 += [ev(u, 0, "view"), ev(u, h, "purchase")]
+    df2 = spark.createDataFrame(rows2, ["user_id", "ts", "event_type"])
+    r2 = logrank_conversion(df2, window_hours=36, arms=2).collect()[0]
+    assert r2["n_users_1"] == 0 and r2["chi2"] is None
