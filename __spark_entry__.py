@@ -774,6 +774,19 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                               target_type="purchase", arms=2)
 
 
+
+def q_knn_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-coefficient distribution + global transitivity of the
+    5-NN cosine graph (graph.clustering_coefficients, Watts-Strogatz
+    1998): decile histogram of local C_i with integer-exact wedge
+    counts — the clumpy-vs-hub-and-spoke summary next to
+    knn_triangles."""
+    from semantik_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_knn_edges(spark, sf_dir, k=5),
+                                   buckets=10)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5372,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_hhi": q_market_hhi,
         "cuped_ab": q_cuped_ab,
         "logrank_test": q_logrank_test,
+        "knn_clustering": q_knn_clustering,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6824,6 +6838,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "market_hhi": oracles.q_market_hhi(),
         "cuped_ab": oracles.q_cuped("2024-01-16 00:00:00", 2),
         "logrank_test": oracles.q_logrank(36, "purchase", 2),
+        "knn_clustering": oracles.q_knn_clustering(5, 10),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

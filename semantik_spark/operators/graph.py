@@ -530,3 +530,85 @@ def label_modularity(edges: DataFrame, labels: DataFrame,
         F.col("q_contrib").cast("double").alias("q_contrib"),
         F.sum("q_contrib").over(w).cast("double").alias("q_total"),
     )
+
+
+def clustering_coefficients(edges: DataFrame, buckets: int = 10,
+                            src: str = "src", dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient distribution + global transitivity
+    (Watts & Strogatz 1998; Newman 2003) of the undirected closure:
+
+      C_i = 2·T_i / (d_i·(d_i − 1))      (0 where d_i < 2)
+      transitivity = 3·triangles / wedges,  wedges = Σ_i C(d_i, 2)
+
+    — the "is this graph clumpy or hub-and-spoke" summary: semantic
+    kNN graphs cluster (C ≈ 0.2–0.6); random graphs don't (C ≈ d/n).
+
+    Output: one row per coefficient decile bucket (floor(C·buckets),
+    C = 1 rolled into the top bucket) — bucket, n_nodes, avg_c (6 dp),
+    plus repeated global columns n_triangles, n_wedges, transitivity
+    (6 dp), avg_clustering (6 dp, the Watts-Strogatz mean of C_i over
+    nodes with d ≥ 2). C_i ratios are exact-integer rationals; means
+    accumulate as 9-dp DECIMAL.
+
+    Shape: triangle join chain exactly as triangle_counts (equi-joins
+    only), one degree groupBy, one node-level join, one bucket
+    groupBy. Everything after the triangle join is node-bounded.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d"))
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcount = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count("*").cast("bigint").alias("t"))
+    )
+    node = (
+        deg.join(tcount, "id", "left")
+        .na.fill({"t": 0})
+        .select(
+            "id", "d", "t",
+            F.when(F.col("d") >= 2,
+                   (2 * F.col("t")).cast("double")
+                   / (F.col("d") * (F.col("d") - 1)))
+            .otherwise(F.lit(0.0)).alias("c"),
+        )
+    )
+    # wedge counts stay INTEGER end-to-end: d(d-1) is even, so the
+    # per-row `div 2` is exact, and sum(t) is 3 x triangles by
+    # construction — no double sneaks in before the terminal ratio
+    wedges_row = F.expr("(d * (d - 1)) div 2")
+    glob = node.agg(
+        F.expr("sum(t) div 3").cast("bigint").alias("n_triangles"),
+        F.sum(wedges_row).cast("bigint").alias("n_wedges"),
+        F.round(F.try_divide(F.sum("t").cast("double"),
+                             F.sum(wedges_row).cast("double")), 6)
+        .alias("transitivity"),
+        F.round(F.try_divide(
+            F.sum(F.when(F.col("d") >= 2,
+                         F.round(F.col("c"), 9).cast("decimal(20,9)"))
+                  .otherwise(F.lit(0).cast("decimal(20,9)")))
+            .cast("double"),
+            F.sum((F.col("d") >= 2).cast("int")).cast("double")), 6)
+        .alias("avg_clustering"),
+    )
+    bucket = F.least(F.floor(F.col("c") * buckets).cast("int"),
+                     F.lit(buckets - 1))
+    dist = (
+        node.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_nodes"),
+             F.round(F.sum(F.round(F.col("c"), 9).cast("decimal(20,9)"))
+                     .cast("double") / F.count("*"), 6).alias("avg_c"))
+    )
+    return dist.crossJoin(F.broadcast(glob)).orderBy("bucket")

@@ -5836,3 +5836,51 @@ SELECT nu0 AS n_users_0, nu1 AS n_users_1,
        round((sum(oe))::DOUBLE * (sum(oe))::DOUBLE / (sum(v9))::DOUBLE, 6)
          AS chi2
 FROM terms GROUP BY nu0, nu1"""
+
+
+def q_knn_clustering(k: int = 5, buckets: int = 10) -> str:
+    """Twin of graph.clustering_coefficients over graph.knn_graph_edges:
+    integer-exact wedge counts, 9-dp DECIMAL coefficient means, decile
+    distribution + global transitivity."""
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+adj AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u AS id, count(*)::BIGINT AS d FROM adj GROUP BY u),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+tcount AS (
+  SELECT id, count(*)::BIGINT AS t
+  FROM (SELECT unnest([a, b, c]) AS id FROM tri) s GROUP BY id),
+node AS (
+  SELECT deg.id, deg.d, coalesce(tcount.t, 0)::BIGINT AS t,
+         CASE WHEN deg.d >= 2
+              THEN (2 * coalesce(tcount.t, 0))::DOUBLE
+                   / (deg.d * (deg.d - 1))
+              ELSE 0.0 END AS c
+  FROM deg LEFT JOIN tcount USING (id)),
+gstats AS (
+  SELECT (sum(t) // 3)::BIGINT AS n_triangles,
+         sum((d * (d - 1)) // 2)::BIGINT AS n_wedges,
+         round(sum(t)::DOUBLE / (sum((d * (d - 1)) // 2))::DOUBLE, 6)
+           AS transitivity,
+         round((sum(CASE WHEN d >= 2
+                         THEN round(c, 9)::DECIMAL(20,9)
+                         ELSE 0::DECIMAL(20,9) END))::DOUBLE
+               / (sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END))::DOUBLE, 6)
+           AS avg_clustering
+  FROM node),
+dist AS (
+  SELECT (least(floor(c * {buckets}), {buckets} - 1))::INT AS bucket,
+         count(*)::BIGINT AS n_nodes,
+         round((sum(round(c, 9)::DECIMAL(20,9)))::DOUBLE / count(*), 6)
+           AS avg_c
+  FROM node GROUP BY 1)
+SELECT bucket, n_nodes, avg_c, n_triangles, n_wedges, transitivity,
+       avg_clustering
+FROM dist, gstats ORDER BY bucket"""

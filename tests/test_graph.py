@@ -151,3 +151,25 @@ def test_label_modularity_random_partition_near_zero(spark):
     assert rows["isolated"]["n_nodes"] == 1 and rows["isolated"]["d_out"] == 0
     assert rows["isolated"]["q_contrib"] == 0.0
     assert rows["odd"]["q_total"] == -0.5
+
+
+def test_clustering_coefficients_closed_forms(spark):
+    """Triangle + pendant: C=1 for the triangle nodes with degree 2,
+    C=1/3 for the junction (d=3, 1 triangle), C=0 for the pendant;
+    transitivity = 3T/wedges = 3/5; buckets split accordingly."""
+    from semantik_spark.operators.graph import clustering_coefficients
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    rows = clustering_coefficients(edges, buckets=10).collect()
+    g = rows[0]
+    assert g["n_triangles"] == 1
+    # wedges: d=(2,2,3,1) -> 1+1+3+0 = 5
+    assert g["n_wedges"] == 5
+    assert g["transitivity"] == 0.6
+    # avg over d>=2 nodes: (1 + 1 + 1/3)/3
+    assert g["avg_clustering"] == round((2 + 1 / 3) / 3, 6)
+    by = {r["bucket"]: r for r in rows}
+    assert by[9]["n_nodes"] == 2          # the two C=1 nodes
+    assert by[3]["n_nodes"] == 1          # C = 1/3
+    assert by[0]["n_nodes"] == 1          # pendant C = 0
