@@ -787,6 +787,18 @@ def q_knn_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    buckets=10)
 
 
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand own-price elasticity (timeseries.price_elasticity):
+    regr_slope(ln qty, ln unit_price) over line items with a broadcast
+    part join — the log-log demand curve per brand, one
+    partial-aggregable pass."""
+    from semantik_spark.operators.timeseries import price_elasticity
+
+    return price_elasticity(_t(spark, sf_dir, "lineitem"),
+                            _t(spark, sf_dir, "part"), min_obs=50)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5386,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_ab": q_cuped_ab,
         "logrank_test": q_logrank_test,
         "knn_clustering": q_knn_clustering,
+        "price_elasticity": q_price_elasticity,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6839,6 +6852,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "cuped_ab": oracles.q_cuped("2024-01-16 00:00:00", 2),
         "logrank_test": oracles.q_logrank(36, "purchase", 2),
         "knn_clustering": oracles.q_knn_clustering(5, 10),
+        "price_elasticity": oracles.q_price_elasticity(50),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

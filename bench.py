@@ -170,7 +170,14 @@ BENCH_QUERIES = [
     "interval_overlap_two_level", "knn_ivf_sample_sweep",
     "embedding_dbscan", "bm25_rocchio_search", "lm_dirichlet_search",
     "streaming_exact_dedup", "mmr_rerank", "search_snippets",
-    "sliding_uniques_hll",
+    "sliding_uniques_hll", "phrase_search", "search_facets",
+    "query_autocomplete", "user_survival", "benford_audit", "token_gini",
+    "knn_label_modularity", "lm_kneser_ney", "boolean_search",
+    "stat_ks_test", "stat_mann_whitney", "stat_chi_square",
+    "theil_sen_trend", "good_turing", "stupid_backoff", "heaps_law",
+    "corpus_drift_jsd", "item_item_cf", "burrows_delta", "hill_tail",
+    "ltr_features", "market_hhi", "cuped_ab", "logrank_test",
+    "knn_clustering", "price_elasticity",
 ]
 
 

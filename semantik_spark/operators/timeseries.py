@@ -1060,3 +1060,48 @@ def logrank_conversion(events: DataFrame, window_hours: int = 36,
         F.round(F.col("se").cast("double"), 6).alias("expected_0"),
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def price_elasticity(lineitem: DataFrame, part: DataFrame,
+                     min_obs: int = 50) -> DataFrame:
+    """Per-brand log-log demand curve: regr_slope(ln quantity,
+    ln unit_price) over line items — the textbook own-price elasticity
+    estimate (a slope of −1.2 reads "a 1% price increase loses 1.2% of
+    quantity"), the merchandising analytics staple on any sales fact
+    table.
+
+    unit_price = l_extendedprice / l_quantity (the TPC-H convention:
+    extendedprice is quantity-scaled). Brands with fewer than
+    ``min_obs`` observations are dropped (elasticity from a handful of
+    points is noise). Uses the SQL regression aggregates
+    (regr_slope/intercept/r2 — identical definitions in Spark and
+    DuckDB, the zipf_fit discipline), so the whole estimate is one
+    partial-aggregable pass.
+
+    Output: one row per surviving brand — p_brand, n_obs, elasticity
+    (6 dp), intercept (6 dp), r2 (6 dp).
+
+    Scale: one fact scan with a broadcast part join → one
+    groupBy(brand) carrying the regression moments map-side; output is
+    brand-bounded. No window, no second pass.
+    """
+    j = (
+        lineitem
+        .where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand",
+                F.log(F.col("l_quantity")).alias("ly"),
+                F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                .alias("lx"))
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.round(F.expr("regr_slope(ly, lx)"), 6).alias("elasticity"),
+            F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+        )
+        .where(F.col("n_obs") >= min_obs)
+    )

@@ -5884,3 +5884,19 @@ dist AS (
 SELECT bucket, n_nodes, avg_c, n_triangles, n_wedges, transitivity,
        avg_clustering
 FROM dist, gstats ORDER BY bucket"""
+
+
+def q_price_elasticity(min_obs: int = 50) -> str:
+    """Twin of timeseries.price_elasticity: per-brand log-log
+    regression of quantity on unit price via regr_* aggregates."""
+    return f"""
+WITH j AS (
+  SELECT p.p_brand, ln(l_quantity) AS ly,
+         ln(l_extendedprice / l_quantity) AS lx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0)
+SELECT p_brand, count(*)::BIGINT AS n_obs,
+       round(regr_slope(ly, lx), 6) AS elasticity,
+       round(regr_intercept(ly, lx), 6) AS intercept,
+       round(regr_r2(ly, lx), 6) AS r2
+FROM j GROUP BY p_brand HAVING count(*) >= {min_obs}"""

@@ -530,3 +530,23 @@ def test_logrank_identical_and_separated(spark):
     df2 = spark.createDataFrame(rows2, ["user_id", "ts", "event_type"])
     r2 = logrank_conversion(df2, window_hours=36, arms=2).collect()[0]
     assert r2["n_users_1"] == 0 and r2["chi2"] is None
+
+
+def test_price_elasticity_recovers_exponent(spark):
+    """Synthetic constant-elasticity demand qty = price^-2 recovers
+    slope -2 with r2 = 1; unit price derives from extendedprice/qty;
+    thin brands drop below min_obs."""
+    from semantik_spark.operators.timeseries import price_elasticity
+
+    rows = []
+    for i, price in enumerate([1.0, 2.0, 4.0, 8.0]):
+        qty = price ** -2
+        rows.append((i, 1, qty, price * qty))  # extendedprice = p*q
+    rows.append((9, 2, 1.0, 1.0))  # thin brand
+    li = spark.createDataFrame(
+        rows, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"])
+    part = spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], ["p_partkey", "p_brand"])
+    out = price_elasticity(li, part, min_obs=3).collect()
+    assert len(out) == 1 and out[0]["p_brand"] == "Brand#A"
+    assert out[0]["elasticity"] == -2.0 and out[0]["r2"] == 1.0
