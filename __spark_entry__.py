@@ -799,6 +799,19 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             _t(spark, sf_dir, "part"), min_obs=50)
 
 
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest with MASE
+    (timeseries.forecast_backtest_snaive, Hyndman & Koehler 2006):
+    lag-7 persistence forecasts on the last 28 days of daily revenue,
+    scaled by the train-period seasonal MAE — the "does anything beat
+    persistence" gate, DECIMAL-exact end to end."""
+    from semantik_spark.operators.timeseries import forecast_backtest_snaive
+
+    return forecast_backtest_snaive(_t(spark, sf_dir, "orders"),
+                                    season=7, holdout=28)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5399,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_test": q_logrank_test,
         "knn_clustering": q_knn_clustering,
         "price_elasticity": q_price_elasticity,
+        "forecast_backtest": q_forecast_backtest,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6853,6 +6867,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "logrank_test": oracles.q_logrank(36, "purchase", 2),
         "knn_clustering": oracles.q_knn_clustering(5, 10),
         "price_elasticity": oracles.q_price_elasticity(50),
+        "forecast_backtest": oracles.q_forecast_backtest(7, 28),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

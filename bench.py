@@ -177,7 +177,7 @@ BENCH_QUERIES = [
     "theil_sen_trend", "good_turing", "stupid_backoff", "heaps_law",
     "corpus_drift_jsd", "item_item_cf", "burrows_delta", "hill_tail",
     "ltr_features", "market_hhi", "cuped_ab", "logrank_test",
-    "knn_clustering", "price_elasticity",
+    "knn_clustering", "price_elasticity", "forecast_backtest",
 ]
 
 

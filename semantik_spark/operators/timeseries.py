@@ -1105,3 +1105,75 @@ def price_elasticity(lineitem: DataFrame, part: DataFrame,
         )
         .where(F.col("n_obs") >= min_obs)
     )
+
+
+def forecast_backtest_snaive(df: DataFrame, season: int = 7,
+                             holdout: int = 28,
+                             date_col: str = "o_orderdate",
+                             value_col: str = "o_totalprice") -> DataFrame:
+    """Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    2006) over the daily-total series: forecast ŷ_i = y_{i−season}
+    (one-step rolling), evaluated on the last ``holdout`` days, scaled
+    by the TRAIN-period seasonal-naive MAE —
+
+      MASE = mean_{holdout}|y − ŷ| / mean_{train}|y_i − y_{i−season}|
+
+    — the scale-free "is any fancier model even beating persistence"
+    gate every forecasting pipeline runs first. MASE < 1 beats naive.
+
+    Fully EXACT arithmetic: daily totals and errors stay DECIMAL end
+    to end (no transcendentals anywhere); only the two terminal mean
+    divisions are doubles, rounded at 6 dp.
+
+    Output: one row per holdout day — day, day_idx, actual, forecast,
+    abs_err (2 dp each), plus repeated mase_denom, mae, mase (6 dp).
+    Days whose lag falls before the series start are skipped (NULL
+    forecast would poison the mean).
+
+    Scale: the theil_sen shape — one scan collapses to the
+    CALENDAR-bounded day table; the lag is a self-join on the integer
+    day index over that bounded table; every aggregate runs on ≤
+    calendar rows.
+    """
+    daily = df.groupBy(F.col(date_col).alias("day")).agg(
+        F.sum(value_col).cast("decimal(18,2)").alias("rev"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    idx = (
+        daily.crossJoin(F.broadcast(bounds))
+        .select("day", "rev",
+                F.datediff("day", "d0").cast("bigint").alias("i"),
+                F.datediff("d1", "d0").cast("bigint").alias("imax"))
+    )
+    lag = idx.select((F.col("i") + season).alias("i"),
+                     F.col("rev").alias("prev"))
+    j = (
+        idx.join(lag, "i")
+        .select("day", "i", "imax", "rev", "prev",
+                F.abs(F.col("rev") - F.col("prev"))
+                .cast("decimal(18,2)").alias("ae"),
+                (F.col("i") > F.col("imax") - holdout).alias("is_holdout"))
+    )
+    stats = j.agg(
+        F.round(F.try_divide(
+            F.sum(F.when(~F.col("is_holdout"), F.col("ae"))).cast("double"),
+            F.sum(F.when(~F.col("is_holdout"), 1).otherwise(0))
+            .cast("double")), 6).alias("mase_denom"),
+        F.round(F.try_divide(
+            F.sum(F.when(F.col("is_holdout"), F.col("ae"))).cast("double"),
+            F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
+            .cast("double")), 6).alias("mae"),
+    )
+    return (
+        j.where(F.col("is_holdout"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("i").cast("int").alias("day_idx"),
+            F.round(F.col("rev").cast("double"), 2).alias("actual"),
+            F.round(F.col("prev").cast("double"), 2).alias("forecast"),
+            F.round(F.col("ae").cast("double"), 2).alias("abs_err"),
+            "mase_denom", "mae",
+            F.round(F.try_divide(F.col("mae"), F.col("mase_denom")), 6)
+            .alias("mase"),
+        )
+    )

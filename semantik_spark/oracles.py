@@ -5900,3 +5900,38 @@ SELECT p_brand, count(*)::BIGINT AS n_obs,
        round(regr_intercept(ly, lx), 6) AS intercept,
        round(regr_r2(ly, lx), 6) AS r2
 FROM j GROUP BY p_brand HAVING count(*) >= {min_obs}"""
+
+
+def q_forecast_backtest(season: int = 7, holdout: int = 28) -> str:
+    """Twin of timeseries.forecast_backtest_snaive: DECIMAL-exact
+    seasonal-naive errors on the calendar-bounded day table, MASE
+    scaling by the train-period seasonal MAE."""
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS day, sum(o_totalprice)::DECIMAL(18,2) AS rev
+  FROM orders GROUP BY 1),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+idx AS (
+  SELECT day, rev, datediff('day', d0, day)::BIGINT AS i,
+         datediff('day', d0, d1)::BIGINT AS imax
+  FROM daily, bounds),
+lag_t AS (SELECT i + {season} AS i, rev AS prev FROM idx),
+j AS (
+  SELECT idx.day, idx.i, idx.imax, idx.rev, lag_t.prev,
+         abs(idx.rev - lag_t.prev)::DECIMAL(18,2) AS ae,
+         idx.i > idx.imax - {holdout} AS is_holdout
+  FROM idx JOIN lag_t USING (i)),
+stats AS (
+  SELECT round((sum(CASE WHEN NOT is_holdout THEN ae END))::DOUBLE
+               / (sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END))::DOUBLE,
+               6) AS mase_denom,
+         round((sum(CASE WHEN is_holdout THEN ae END))::DOUBLE
+               / (sum(CASE WHEN is_holdout THEN 1 ELSE 0 END))::DOUBLE,
+               6) AS mae
+  FROM j)
+SELECT day::VARCHAR AS day, i::INT AS day_idx,
+       round(rev::DOUBLE, 2) AS actual,
+       round(prev::DOUBLE, 2) AS forecast,
+       round(ae::DOUBLE, 2) AS abs_err,
+       mase_denom, mae, round(mae / mase_denom, 6) AS mase
+FROM j, stats WHERE is_holdout"""

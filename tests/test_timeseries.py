@@ -550,3 +550,21 @@ def test_price_elasticity_recovers_exponent(spark):
     out = price_elasticity(li, part, min_obs=3).collect()
     assert len(out) == 1 and out[0]["p_brand"] == "Brand#A"
     assert out[0]["elasticity"] == -2.0 and out[0]["r2"] == 1.0
+
+
+def test_forecast_backtest_mase_one_for_linear(spark):
+    """A linear series has constant seasonal-naive error (= slope *
+    season) in both train and holdout, so MASE is exactly 1; rows
+    cover only holdout days with a valid lag."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import forecast_backtest_snaive
+
+    rows = [(datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+             float(10 * i + 100)) for i in range(21)]
+    df = spark.createDataFrame(rows, ["o_orderdate", "o_totalprice"])
+    out = forecast_backtest_snaive(df, season=7, holdout=7).collect()
+    assert len(out) == 7
+    assert all(r["abs_err"] == 70.0 for r in out)
+    assert out[0]["mase_denom"] == 70.0 and out[0]["mase"] == 1.0
+    assert all(r["forecast"] == r["actual"] - 70.0 for r in out)
