@@ -812,6 +812,37 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     season=7, holdout=28)
 
 
+
+def q_streaming_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi-square drift end-to-end
+    (streaming.incremental.streaming_contingency): the
+    (event_type, user_id%5) stream delivered as four real
+    micro-batches, each batch's contingency counts merged into
+    persisted state by cell-wise addition; the independence verdict
+    serves from the state and must hash-match the BATCH test over the
+    same rows (counts compose exactly), so the oracle is the batch
+    chi-square twin."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        contingency_chi_square, stream_files, streaming_contingency,
+    )
+
+    base = _scratch("stream_chi2")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 5).alias("cohort"))
+    drop = f"{base}/drop"
+    ev.repartition(4).write.parquet(drop)
+    q = streaming_contingency(
+        stream_files(spark, drop, "event_type string, cohort bigint",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "event_type", "cohort",
+    )
+    q.awaitTermination(300)
+    return contingency_chi_square(spark, f"{base}/state")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5413,6 +5444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_clustering": q_knn_clustering,
         "price_elasticity": q_price_elasticity,
         "forecast_backtest": q_forecast_backtest,
+        "streaming_chi_square": q_streaming_chi_square,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6868,6 +6900,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "knn_clustering": oracles.q_knn_clustering(5, 10),
         "price_elasticity": oracles.q_price_elasticity(50),
         "forecast_backtest": oracles.q_forecast_backtest(7, 28),
+        "streaming_chi_square": oracles.q_stat_chi_square(5),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

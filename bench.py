@@ -55,7 +55,7 @@ ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
                    # equality pin, not the wall time — their cost is
                    # the replay's step count by construction
                    "bm25_append_delete_replay", "gdpr_sync_replay",
-                   "streaming_exact_dedup"}
+                   "streaming_exact_dedup", "streaming_chi_square"}
 
 # Fixed-overhead replays excluded from the suite "value" (VERDICT r7
 # item 6): their cost is micro-batch scheduler constants / in-query
@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "corpus_drift_jsd", "item_item_cf", "burrows_delta", "hill_tail",
     "ltr_features", "market_hhi", "cuped_ab", "logrank_test",
     "knn_clustering", "price_elasticity", "forecast_backtest",
+    "streaming_chi_square",
 ]
 
 

@@ -191,6 +191,14 @@ def chi_square_independence(df: DataFrame, row_col: str,
                    F.col(col_col).cast("string").alias("col_val"))
         .agg(F.count("*").cast("bigint").alias("observed"))
     )
+    return chi_square_from_counts(obs)
+
+
+def chi_square_from_counts(obs: DataFrame) -> DataFrame:
+    """chi_square_independence's verdict from an ALREADY-AGGREGATED
+    contingency table (row_val, col_val, observed) — the serve path for
+    mergeable streaming/incremental count state (counts are a
+    commutative monoid, so pre-aggregated partials compose exactly)."""
     rt = obs.groupBy("row_val").agg(F.sum("observed").cast("bigint").alias("rt"))
     ct = obs.groupBy("col_val").agg(F.sum("observed").cast("bigint").alias("ct"))
     tot = obs.agg(F.sum("observed").cast("bigint").alias("n"),

@@ -996,3 +996,68 @@ def hll_state_estimates(spark: SparkSession, state_path: str,
 
     return hll_estimate(spark.read.parquet(state_path),
                         exact=None, group_col=group_col, p=p)
+
+
+def streaming_contingency(stream: DataFrame, state_path: str,
+                          checkpoint: str, row_col: str, col_col: str):
+    """Streaming two-way contingency counts — the drift-test state
+    operator next to the mergeable-sketch family (streaming_count_min /
+    streaming_hll): each micro-batch's (row, col) count table merges
+    into the persisted state by CELL-WISE ADDITION (counts are a
+    commutative monoid), so the state after N batches is exactly the
+    batch groupBy over all rows for any split; exactly-once comes from
+    the checkpointed availableNow replay, as for every additive state
+    here (contrast streaming_hll's idempotent lattice, which also
+    absorbs re-delivery).
+
+    State is one parquet table (row_val, col_val, n) — category²
+    rows forever, regardless of stream volume. The chi-square
+    independence verdict serves from the state via
+    stattests.chi_square_from_counts (counts compose exactly, so the
+    served verdict hash-matches the batch test over the same rows).
+    """
+    import os
+    import shutil
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.groupBy(F.col(row_col).cast("string").alias("row_val"),
+                          F.col(col_col).cast("string").alias("col_val"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        old = _read_state(spark, state_path)
+        if old is not None:
+            merged = (
+                old.unionByName(partial)
+                .groupBy("row_val", "col_val")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = partial
+        tmp = state_path + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = state_path + "__old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old_dir)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def contingency_chi_square(spark: SparkSession, state_path: str):
+    """Serve the chi-square independence verdict from the streaming
+    contingency state — identical output to
+    stattests.chi_square_independence over the same rows."""
+    from semantik_spark.operators.stattests import chi_square_from_counts
+
+    state = spark.read.parquet(state_path).select(
+        "row_val", "col_val", F.col("n").cast("bigint").alias("observed"))
+    return chi_square_from_counts(state)

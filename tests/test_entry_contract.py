@@ -101,6 +101,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "knn_clustering",
     "price_elasticity",
     "forecast_backtest",
+    "streaming_chi_square",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -785,3 +785,34 @@ def test_streaming_hll_state_equals_batch_and_absorbs_redelivery(spark, tmp_path
     assert again == batch
     est = hll_state_estimates(spark, str(tmp_path / "state"), "g").collect()
     assert len(est) == 3
+
+
+def test_streaming_contingency_merge_equals_batch(spark, tmp_path):
+    """Additive merge across arbitrary micro-batch splits equals the
+    batch contingency groupBy, so the served chi-square verdict
+    hash-matches the batch test over the same rows."""
+    from semantik_spark.operators.stattests import chi_square_independence
+    from semantik_spark.streaming.incremental import (
+        contingency_chi_square, stream_files, streaming_contingency,
+    )
+
+    rows = ([("x", 0)] * 6 + [("x", 1)] * 2
+            + [("y", 0)] * 3 + [("y", 1)] * 9)
+    df = spark.createDataFrame(rows, ["r", "c"])
+    drop = str(tmp_path / "drop")
+    df.repartition(3).write.parquet(drop)
+    q = streaming_contingency(
+        stream_files(spark, drop, "r string, c bigint", fmt="parquet",
+                     max_files_per_trigger=1),
+        str(tmp_path / "state"), str(tmp_path / "ckpt"), "r", "c")
+    q.awaitTermination(120)
+    served = {(r["row_val"], r["col_val"]): r
+              for r in contingency_chi_square(
+                  spark, str(tmp_path / "state")).collect()}
+    batch = {(r["row_val"], r["col_val"]): r
+             for r in chi_square_independence(df, "r", "c").collect()}
+    assert set(served) == set(batch)
+    for k in batch:
+        assert served[k]["observed"] == batch[k]["observed"]
+        assert served[k]["chi2_total"] == batch[k]["chi2_total"]
+        assert served[k]["expected"] == batch[k]["expected"]
