@@ -843,6 +843,18 @@ def q_streaming_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_chi_square(spark, f"{base}/state")
 
 
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-transition Markov chain
+    (timeseries.markov_stationary): pico-unit-quantized power iteration
+    on the K x K count matrix (driver-local on the type-alphabet-
+    bounded state, the codebook-trainer discipline) — where user
+    journeys spend their time in the long run."""
+    from semantik_spark.operators.timeseries import markov_stationary
+
+    return markov_stationary(_events(spark, sf_dir), iterations=30)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5445,6 +5457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_elasticity": q_price_elasticity,
         "forecast_backtest": q_forecast_backtest,
         "streaming_chi_square": q_streaming_chi_square,
+        "markov_stationary": q_markov_stationary,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6901,6 +6914,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "price_elasticity": oracles.q_price_elasticity(50),
         "forecast_backtest": oracles.q_forecast_backtest(7, 28),
         "streaming_chi_square": oracles.q_stat_chi_square(5),
+        "markov_stationary": oracles.q_markov_stationary(30),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -178,7 +178,7 @@ BENCH_QUERIES = [
     "corpus_drift_jsd", "item_item_cf", "burrows_delta", "hill_tail",
     "ltr_features", "market_hhi", "cuped_ab", "logrank_test",
     "knn_clustering", "price_elasticity", "forecast_backtest",
-    "streaming_chi_square",
+    "streaming_chi_square", "markov_stationary",
 ]
 
 

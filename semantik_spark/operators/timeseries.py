@@ -1177,3 +1177,78 @@ def forecast_backtest_snaive(df: DataFrame, season: int = 7,
             .alias("mase"),
         )
     )
+
+
+def markov_stationary(events: DataFrame, iterations: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """Stationary distribution of the first-order event-transition
+    Markov chain — where user journeys SPEND their time in the long
+    run (the PageRank of event types): π = πP iterated to the fixed
+    point from uniform, P the row-normalized within-user transition
+    counts.
+
+    Exact-replay determinism for an ITERATIVE float algorithm: each
+    update term π_j·(c_jk/rowtot_j) rounds at 12 dp and the per-state
+    sums accumulate as DECIMAL, then π quantizes back to 12 dp before
+    the next iteration — so iteration N's state is a pure function of
+    the integer count matrix on ANY engine, and the DuckDB twin
+    replays the identical 30-step unroll. States with no outgoing
+    transitions (absorbing in the observed data) keep their mass
+    (self-loop completion, the standard dangling-row fix).
+
+    Output: one row per state — state, n_out (outgoing transition
+    count), pi (6 dp), pi0 (the uniform start, for reference).
+
+    Scale: one lag window per user partition + one pair groupBy gives
+    the K×K count matrix (K = event-type cardinality); the iteration
+    runs DRIVER-LOCAL on that K²-bounded matrix (the union-find /
+    codebook-trainer discipline: driver state bounded by the type
+    alphabet, never by data volume) and returns as a broadcast-sized
+    DataFrame.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("a"), F.col(type_col).alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cells = pairs.collect()  # K² rows — bounded by the type alphabet
+    states = sorted({r["a"] for r in cells} | {r["b"] for r in cells})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    cnt = [[0] * k for _ in range(k)]
+    for r in cells:
+        cnt[idx[r["a"]]][idx[r["b"]]] = r["c"]
+    import math
+
+    rowtot = [sum(row) for row in cnt]
+    # π lives in integer PICO-units (1e-12): every term quantizes via
+    # floor(x·1e12 + 0.5) — the same expression the SQL twin unrolls,
+    # chosen over round() because Python's float round() is half-EVEN
+    # while SQL round() is half-away (an iterative algorithm amplifies
+    # any such divergence)
+    pi0_micro = math.floor(1e12 / k + 0.5) if k else 0
+    pim = [pi0_micro] * k
+    for _ in range(iterations):
+        nxt = []
+        for j in range(k):
+            acc = 0
+            for i in range(k):
+                p_i = pim[i] / 1e12
+                if rowtot[i] == 0:
+                    term = p_i if i == j else 0.0  # dangling self-loop
+                else:
+                    term = p_i * (cnt[i][j] / rowtot[i])
+                acc += math.floor(term * 1e12 + 0.5)
+            nxt.append(acc)
+        pim = nxt
+    spark = events.sparkSession
+    rows = [(s, int(rowtot[idx[s]]), pim[idx[s]] / 1e12, pi0_micro / 1e12)
+            for s in states]
+    out = spark.createDataFrame(rows, "state string, n_out bigint, "
+                                      "pi double, pi0 double")
+    return out.select("state", "n_out", F.round("pi", 6).alias("pi"),
+                      F.round("pi0", 6).alias("pi0"))

@@ -5935,3 +5935,47 @@ SELECT day::VARCHAR AS day, i::INT AS day_idx,
        round(ae::DOUBLE, 2) AS abs_err,
        mase_denom, mae, round(mae / mase_denom, 6) AS mase
 FROM j, stats WHERE is_holdout"""
+
+
+def q_markov_stationary(iterations: int = 30) -> str:
+    """Twin of timeseries.markov_stationary: the identical 30-step
+    pico-unit power iteration unrolled as chained CTEs — every term
+    floor(x*1e12 + 0.5), so iteration N is a pure function of the
+    integer count matrix on both engines."""
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+it{t} AS MATERIALIZED (
+  SELECT g.j AS state,
+         (sum(floor((CASE WHEN g.rowtot = 0
+                          THEN CASE WHEN g.i = g.j
+                               THEN p.micro / 1e12 ELSE 0.0 END
+                          ELSE (p.micro / 1e12) * (g.c::DOUBLE / g.rowtot)
+                     END) * 1e12 + 0.5)))::BIGINT AS micro
+  FROM grid g JOIN it{t - 1} p ON p.state = g.i
+  GROUP BY g.j)""")
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event
+  FROM events),
+counts AS (
+  SELECT prev_event AS a, event_type AS b, count(*)::BIGINT AS c
+  FROM seq WHERE prev_event IS NOT NULL GROUP BY 1, 2),
+states AS (SELECT DISTINCT s FROM (
+  SELECT a AS s FROM counts UNION SELECT b FROM counts) u),
+kk AS (SELECT count(*)::BIGINT AS k FROM states),
+rt AS (SELECT a, sum(c)::BIGINT AS rowtot FROM counts GROUP BY a),
+grid AS MATERIALIZED (
+  SELECT s1.s AS i, s2.s AS j, coalesce(c.c, 0)::BIGINT AS c,
+         coalesce(rt.rowtot, 0)::BIGINT AS rowtot
+  FROM states s1 CROSS JOIN states s2
+  LEFT JOIN counts c ON c.a = s1.s AND c.b = s2.s
+  LEFT JOIN rt ON rt.a = s1.s),
+it0 AS MATERIALIZED (SELECT s AS state, floor(1e12 / k + 0.5)::BIGINT AS micro
+        FROM states, kk),{",".join(its)}
+SELECT f.state, coalesce(rt.rowtot, 0)::BIGINT AS n_out,
+       round(f.micro / 1e12, 6) AS pi,
+       round((SELECT floor(1e12 / k + 0.5) / 1e12 FROM kk), 6) AS pi0
+FROM it{iterations} f LEFT JOIN rt ON rt.a = f.state"""

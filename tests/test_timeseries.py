@@ -568,3 +568,31 @@ def test_forecast_backtest_mase_one_for_linear(spark):
     assert all(r["abs_err"] == 70.0 for r in out)
     assert out[0]["mase_denom"] == 70.0 and out[0]["mase"] == 1.0
     assert all(r["forecast"] == r["actual"] - 70.0 for r in out)
+
+
+def test_markov_stationary_two_state(spark):
+    """Two-state chain a->b always, b->a always: stationary = (.5,.5);
+    an absorbing state (no outgoing rows) keeps accumulating mass via
+    the dangling self-loop."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import markov_stationary
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, u, t0 + datetime.timedelta(minutes=i), typ)
+
+    # user 1: a b a b a -> transitions a->b x2, b->a x2
+    rows = [ev(i, 1, t) for i, t in enumerate(["a", "b", "a", "b", "a"])]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["state"]: r for r in markov_stationary(df, iterations=30).collect()}
+    assert out["a"]["pi"] == 0.5 and out["b"]["pi"] == 0.5
+    assert out["a"]["n_out"] == 2
+
+    # a -> b, b absorbing: all mass drains to b
+    rows2 = [ev(i, 1, t) for i, t in enumerate(["a", "b"])]
+    df2 = spark.createDataFrame(rows2, ["event_id", "user_id", "ts", "event_type"])
+    out2 = {r["state"]: r for r in markov_stationary(df2, iterations=30).collect()}
+    assert out2["b"]["pi"] == 1.0 and out2["a"]["pi"] == 0.0
+    assert out2["b"]["n_out"] == 0
