@@ -855,6 +855,18 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_stationary(_events(spark, sf_dir), iterations=30)
 
 
+
+def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summaries (extract.textrank_sentences,
+    Mihalcea & Tarau 2004 §4): per-doc sentence graphs over shared
+    analyzed tokens, weighted PageRank, top-3 central sentences — the
+    unsupervised summarizer as one corpus pass."""
+    from semantik_spark.operators.extract import textrank_sentences
+
+    return textrank_sentences(_t(spark, sf_dir, "documents"),
+                              top_k=3, iterations=8)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5458,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "streaming_chi_square": q_streaming_chi_square,
         "markov_stationary": q_markov_stationary,
+        "textrank_sentences": q_textrank_sentences,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6915,6 +6928,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "forecast_backtest": oracles.q_forecast_backtest(7, 28),
         "streaming_chi_square": oracles.q_stat_chi_square(5),
         "markov_stationary": oracles.q_markov_stationary(30),
+        "textrank_sentences": oracles.q_textrank_sentences(3, 0.85, 8),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

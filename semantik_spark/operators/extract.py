@@ -194,3 +194,120 @@ def textrank_keywords(docs: DataFrame, top_k: int = 20, damping: float = 0.85,
         .withColumn("kw_rank", F.row_number().over(w_rank))
         .where(F.col("kw_rank") <= top_k)
     )
+
+
+def textrank_sentences(docs: DataFrame, top_k: int = 3,
+                       damping: float = 0.85, iterations: int = 8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004 §4):
+    per document, sentences become nodes, edge weight = shared-
+    analyzed-token count normalized by ln|S_a| + ln|S_b| (the paper's
+    similarity), and weighted PageRank picks the ``top_k`` most
+    central sentences — the classic unsupervised summarizer, here
+    partitioned per doc so one pass summarizes the whole corpus.
+
+    Sentences split on [.!?]+ runs, keyed by their ORIGINAL segment
+    position (identical split semantics both engines); one-token
+    sentences pair only through a positive denominator (ln1 + ln1 = 0
+    pairs are dropped); isolated sentences keep the damping base mass.
+
+    Determinism: the textrank_keywords recipe — per-edge contributions
+    round at 12 dp into DECIMAL before the per-node sum, ranks
+    re-quantize at 9 dp per round, so every round is a pure function
+    of the integer overlap counts.
+
+    Output: doc_id, sent_rank (1..top_k), sid (original position),
+    sentence (trimmed), score (PageRank × n_sentences, 6 dp).
+
+    Scale: sentence explode is map-only; the token-overlap join
+    shuffles on (doc, term) — bounded by per-doc sentence counts, not
+    corpus pairs; each PageRank round joins the per-doc adjacency to
+    the per-doc rank table partitioned on doc_id (the |E|-row loop
+    profile of textrank_keywords, with the doc key carried through).
+    """
+    from semantik_spark.functions.text import bm25_tokens
+
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("sid", "seg"),
+    ).select("doc_id", "sid", F.trim("seg").alias("sentence")) \
+        .where(F.length("sentence") > 0)
+    stok = segs.select(
+        "doc_id", "sid",
+        F.array_distinct(bm25_tokens("sentence")).alias("toks"),
+    ).persist()
+    lens = stok.select("doc_id", "sid",
+                       F.size("toks").cast("bigint").alias("sl"))
+    terms = stok.select("doc_id", "sid", F.explode("toks").alias("term"))
+    a, b = terms.alias("a"), terms.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") == F.col("b.term"))
+               & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"),
+                 F.col("a.sid").alias("su"), F.col("b.sid").alias("sv"))
+        .agg(F.count("*").cast("bigint").alias("ov"))
+    )
+    la = lens.select(F.col("doc_id"), F.col("sid").alias("su"),
+                     F.col("sl").alias("lu"))
+    lb = lens.select(F.col("doc_id"), F.col("sid").alias("sv"),
+                     F.col("sl").alias("lv"))
+    # weights quantize at 9 dp into DECIMAL: unlike textrank_keywords
+    # (integer co-occurrence counts, exact in double), ln-normalized
+    # similarities are irrational — the per-node out-weight SUM must
+    # not depend on float summation order
+    wedges = (
+        overlap.join(la, ["doc_id", "su"]).join(lb, ["doc_id", "sv"])
+        .select("doc_id", "su", "sv",
+                F.round(F.col("ov").cast("double")
+                        / (F.log(F.col("lu").cast("double"))
+                           + F.log(F.col("lv").cast("double"))), 9)
+                .cast("decimal(20,9)").alias("w"))
+        .where(F.col("w") > 0)
+    )
+    adj = wedges.select("doc_id", F.col("su").alias("src"),
+                        F.col("sv").alias("dst"), "w") \
+        .unionByName(wedges.select("doc_id", F.col("sv").alias("src"),
+                                   F.col("su").alias("dst"), "w")).persist()
+    outw = adj.groupBy("doc_id", "src").agg(
+        F.sum("w").cast("decimal(28,9)").alias("ow"))
+    nodes = segs.select("doc_id", F.col("sid").alias("id"))
+    nd = nodes.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nd"))
+    ranks = nodes.join(nd, "doc_id").select(
+        "doc_id", "id",
+        F.round(F.lit(1.0) / F.col("nd"), 9).alias("pr"))
+    ed = adj.join(outw, ["doc_id", "src"])
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.select("doc_id", F.col("id").alias("src"), "pr"),
+                    ["doc_id", "src"])
+            .select("doc_id", F.col("dst").alias("id"),
+                    F.round(F.col("pr") * F.col("w").cast("double")
+                            / F.col("ow").cast("double"), 12)
+                    .cast("decimal(28,12)").alias("c"))
+            .groupBy("doc_id", "id")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(nd, "doc_id")
+            .join(contribs, ["doc_id", "id"], "left")
+            .select(
+                "doc_id", "id",
+                F.round(
+                    (F.lit(1.0) - damping) / F.col("nd")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9).alias("pr"),
+            )
+        )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("sid"))
+    return (
+        ranks.join(nd, "doc_id")
+        .select("doc_id", F.col("id").alias("sid"),
+                F.round(F.col("pr") * F.col("nd"), 6).alias("score"))
+        .join(segs, ["doc_id", "sid"])
+        .withColumn("sent_rank", F.row_number().over(wr))
+        .where(F.col("sent_rank") <= top_k)
+        .select("doc_id", F.col("sent_rank").cast("int").alias("sent_rank"),
+                F.col("sid").cast("int").alias("sid"), "sentence", "score")
+    )

@@ -5979,3 +5979,82 @@ SELECT f.state, coalesce(rt.rowtot, 0)::BIGINT AS n_out,
        round(f.micro / 1e12, 6) AS pi,
        round((SELECT floor(1e12 / k + 0.5) / 1e12 FROM kk), 6) AS pi0
 FROM it{iterations} f LEFT JOIN rt ON rt.a = f.state"""
+
+
+def q_textrank_sentences(top_k: int = 3, damping: float = 0.85,
+                         iterations: int = 8) -> str:
+    """Twin of extract.textrank_sentences: per-doc sentence PageRank
+    with the identical 12-dp edge / 9-dp rank quantization, iterations
+    unrolled as MATERIALIZED CTEs."""
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+pr{t} AS MATERIALIZED (
+  SELECT n.doc_id, n.id,
+         round((1.0 - {damping}) / n.nd
+               + {damping} * coalesce(c.s, 0.0), 9) AS pr
+  FROM nodes n
+  LEFT JOIN (
+    SELECT ed.doc_id, ed.dst AS id,
+           (sum(round(p.pr * ed.w::DOUBLE / ed.ow::DOUBLE, 12)
+                ::DECIMAL(28,12)))::DOUBLE AS s
+    FROM ed JOIN pr{t - 1} p
+      ON p.doc_id = ed.doc_id AND p.id = ed.src
+    GROUP BY ed.doc_id, ed.dst) c
+  ON c.doc_id = n.doc_id AND c.id = n.id)""")
+    return f"""
+WITH segs AS MATERIALIZED (
+  SELECT doc_id, r.i - 1 AS sid, trim(parts[r.i]) AS sentence
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+        FROM documents) d,
+  LATERAL unnest(range(1, len(parts) + 1)) AS r(i)
+  WHERE length(trim(parts[r.i])) > 0),
+stok AS MATERIALIZED (
+  SELECT doc_id, sid,
+         list_distinct(list_filter(
+           regexp_extract_all(lower(sentence), '{TOKEN_PATTERN}'),
+           t -> length(t) >= 2
+                AND NOT list_contains({STOPLIST_SQL}, t))) AS toks
+  FROM segs),
+lens AS (SELECT doc_id, sid, len(toks)::BIGINT AS sl FROM stok),
+terms AS (SELECT doc_id, sid, unnest(toks) AS term FROM stok),
+overlap AS (
+  SELECT a.doc_id, a.sid AS su, b.sid AS sv, count(*)::BIGINT AS ov
+  FROM terms a JOIN terms b
+    ON a.doc_id = b.doc_id AND a.term = b.term AND a.sid < b.sid
+  GROUP BY 1, 2, 3),
+wedges AS (
+  SELECT o.doc_id, o.su, o.sv,
+         round(o.ov::DOUBLE / (ln(la.sl::DOUBLE) + ln(lb.sl::DOUBLE)),
+               9)::DECIMAL(20,9) AS w
+  FROM overlap o
+  JOIN lens la ON la.doc_id = o.doc_id AND la.sid = o.su
+  JOIN lens lb ON lb.doc_id = o.doc_id AND lb.sid = o.sv
+  WHERE o.ov::DOUBLE / (ln(la.sl::DOUBLE) + ln(lb.sl::DOUBLE)) > 0),
+adj AS MATERIALIZED (
+  SELECT doc_id, su AS src, sv AS dst, w FROM wedges
+  UNION ALL SELECT doc_id, sv AS src, su AS dst, w FROM wedges),
+outw AS (SELECT doc_id, src, sum(w)::DECIMAL(28,9) AS ow
+         FROM adj GROUP BY 1, 2),
+ed AS MATERIALIZED (
+  SELECT adj.doc_id, adj.src, adj.dst, adj.w, outw.ow
+  FROM adj JOIN outw ON outw.doc_id = adj.doc_id AND outw.src = adj.src),
+ndt AS (SELECT doc_id, count(*)::BIGINT AS nd FROM segs GROUP BY doc_id),
+nodes AS MATERIALIZED (
+  SELECT segs.doc_id, segs.sid AS id, ndt.nd
+  FROM segs JOIN ndt USING (doc_id)),
+pr0 AS MATERIALIZED (
+  SELECT doc_id, id, round(1.0 / nd, 9) AS pr FROM nodes),{",".join(its)},
+scored AS (
+  SELECT p.doc_id, p.id AS sid,
+         round(p.pr * n.nd, 6) AS score
+  FROM pr{iterations} p
+  JOIN nodes n ON n.doc_id = p.doc_id AND n.id = p.id)
+SELECT doc_id, sent_rank::INT AS sent_rank, sid::INT AS sid, sentence,
+       score
+FROM (
+  SELECT s.doc_id, s.sid, s.score, segs.sentence,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.score DESC, s.sid ASC) AS sent_rank
+  FROM scored s JOIN segs ON segs.doc_id = s.doc_id AND segs.sid = s.sid) z
+WHERE sent_rank <= {top_k}"""

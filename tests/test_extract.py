@@ -49,3 +49,22 @@ def test_entities_classes(spark):
     assert found[("number", "1250.50")] == 2
     assert any(t == "url" for t, _ in found)
     assert not [r for r in rows if r.doc_id == 2]
+
+
+def test_textrank_sentences_centrality(spark):
+    """The hub sentence sharing vocabulary with every other sentence
+    ranks first; sids key the ORIGINAL segment positions; isolated
+    sentences survive on base mass but rank last."""
+    from semantik_spark.operators.extract import textrank_sentences
+
+    text = ("solar panels power grids. solar panels need inverters. "
+            "power grids need storage. cooking pasta tonight.")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = textrank_sentences(docs, top_k=4, iterations=8).collect()
+    assert [r["sent_rank"] for r in rows] == [1, 2, 3, 4]
+    # sentence 0 shares tokens with both 1 and 2 -> most central
+    assert rows[0]["sid"] == 0
+    assert rows[0]["sentence"].startswith("solar panels power")
+    # the isolated cooking sentence is last
+    assert rows[3]["sentence"] == "cooking pasta tonight"
+    assert rows[0]["score"] > rows[3]["score"]
