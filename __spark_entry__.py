@@ -867,6 +867,28 @@ def q_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                               top_k=3, iterations=8)
 
 
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit (profiling.referential_integrity): all
+    seven TPC-H snowflake relations plus the cross-domain
+    events.user_id -> customer probe — the promote-gate data-quality
+    suite as one unioned aggregate."""
+    from semantik_spark.operators.profiling import referential_integrity
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    ev = _events(spark, sf_dir)
+    return referential_integrity([
+        (t("lineitem"), "l_orderkey", "lineitem", t("orders"), "o_orderkey", "orders"),
+        (t("lineitem"), "l_partkey", "lineitem", t("part"), "p_partkey", "part"),
+        (t("lineitem"), "l_suppkey", "lineitem", t("supplier"), "s_suppkey", "supplier"),
+        (t("orders"), "o_custkey", "orders", t("customer"), "c_custkey", "customer"),
+        (t("customer"), "c_nationkey", "customer", t("nation"), "n_nationkey", "nation"),
+        (t("supplier"), "s_nationkey", "supplier", t("nation"), "n_nationkey", "nation"),
+        (t("nation"), "n_regionkey", "nation", t("region"), "r_regionkey", "region"),
+        (ev, "user_id", "events", t("customer"), "c_custkey", "customer"),
+    ])
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5471,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_chi_square": q_streaming_chi_square,
         "markov_stationary": q_markov_stationary,
         "textrank_sentences": q_textrank_sentences,
+        "referential_integrity": q_referential_integrity,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6929,6 +6952,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "streaming_chi_square": oracles.q_stat_chi_square(5),
         "markov_stationary": oracles.q_markov_stationary(30),
         "textrank_sentences": oracles.q_textrank_sentences(3, 0.85, 8),
+        "referential_integrity": oracles.q_referential_integrity(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -179,7 +179,7 @@ BENCH_QUERIES = [
     "ltr_features", "market_hhi", "cuped_ab", "logrank_test",
     "knn_clustering", "price_elasticity", "forecast_backtest",
     "streaming_chi_square", "markov_stationary",
-    "textrank_sentences",
+    "textrank_sentences", "referential_integrity",
 ]
 
 

@@ -6058,3 +6058,33 @@ FROM (
                             ORDER BY s.score DESC, s.sid ASC) AS sent_rank
   FROM scored s JOIN segs ON segs.doc_id = s.doc_id AND segs.sid = s.sid) z
 WHERE sent_rank <= {top_k}"""
+
+
+def q_referential_integrity() -> str:
+    """Twin of profiling.referential_integrity over the TPC-H snowflake
+    + the cross-domain events.user_id probe."""
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    parts = []
+    for c, fk, p, pk in rels:
+        parts.append(f"""
+SELECT '{c}.{fk} -> {p}.{pk}' AS relation,
+       count(*)::BIGINT AS n_child,
+       sum(CASE WHEN ch.{fk} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_fk,
+       sum(CASE WHEN ch.{fk} IS NOT NULL AND pk.__pk IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {p}) pk
+  ON ch.{fk} = pk.__pk""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+SELECT relation, n_child, n_null_fk, n_orphans,
+       round(n_orphans::DOUBLE / n_child, 6) AS orphan_pct
+FROM ({u}) z"""

@@ -104,6 +104,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "streaming_chi_square",
     "markov_stationary",
     "textrank_sentences",
+    "referential_integrity",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

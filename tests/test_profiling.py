@@ -41,3 +41,19 @@ def test_market_hhi_closed_forms(spark):
     assert rows["DUO"]["hhi"] == 5000.0
     assert rows["DUO"]["top_share"] == 0.5
     assert rows["DUO"]["total_revenue"] == 100.0
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    """Orphans and NULL fks count separately; clean relations report
+    zero; pct is orphans over ALL child rows."""
+    from semantik_spark.operators.profiling import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    rows = referential_integrity(
+        [(child, "fk", "c", parent, "pk", "p")]).collect()
+    r = rows[0]
+    assert r["relation"] == "c.fk -> p.pk"
+    assert r["n_child"] == 4 and r["n_null_fk"] == 1
+    assert r["n_orphans"] == 1 and r["orphan_pct"] == 0.25
