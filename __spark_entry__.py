@@ -889,6 +889,22 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution
+    (timeseries.markov_attribution, Anderl et al. 2014): journeys to
+    first purchase as an absorbing chain; each channel's credit is the
+    conversion-probability drop when its paths are removed —
+    driver-local pico-quantized iteration on the alphabet-bounded
+    matrix, the data-driven alternative to last-touch."""
+    from semantik_spark.operators.timeseries import markov_attribution
+
+    return markov_attribution(
+        _events(spark, sf_dir),
+        channels=["click", "error", "signup", "view"],
+        target_type="purchase", iterations=50)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5494,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "textrank_sentences": q_textrank_sentences,
         "referential_integrity": q_referential_integrity,
+        "markov_attribution": q_markov_attribution,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6953,6 +6970,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "markov_stationary": oracles.q_markov_stationary(30),
         "textrank_sentences": oracles.q_textrank_sentences(3, 0.85, 8),
         "referential_integrity": oracles.q_referential_integrity(),
+        "markov_attribution": oracles.q_markov_attribution(("click", "error", "signup", "view"), "purchase", 50),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

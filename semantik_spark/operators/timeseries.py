@@ -1252,3 +1252,116 @@ def markov_stationary(events: DataFrame, iterations: int = 30,
                                       "pi double, pi0 double")
     return out.select("state", "n_out", F.round("pi", 6).alias("pi"),
                       F.round("pi0", 6).alias("pi0"))
+
+
+def markov_attribution(events: DataFrame, channels: list,
+                       target_type: str = "purchase",
+                       iterations: int = 50,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to last-touch: journeys become a chain
+    START → channel* → CONV (first ``target_type``) or NULL (journey
+    ends unconverted); each channel's credit is its REMOVAL EFFECT,
+    1 − P(conv | channel's absorption forced to 0) / P(conv), shares
+    normalized over channels.
+
+    Absorption probabilities iterate p ← P·p with p(CONV)=1,
+    p(NULL)=0 (and p(channel)=0 for the removal variant), each state
+    pico-quantized per step (floor(x·1e12 + 0.5)) — the
+    markov_stationary discipline, so the iterative fixed point is a
+    pure function of the integer transition counts on both engines.
+    Removal effects quantize at 9 dp into DECIMAL before the share
+    normalization so the split is order-free.
+
+    Output: one row per channel — channel, p_full, p_removed,
+    removal_effect, attribution (all 6 dp; NULL via try-division
+    semantics when no journey converts).
+
+    Scale: one rank window + lag per user partition → the (K+3)²
+    count matrix; all variants iterate DRIVER-LOCAL on that bounded
+    state (channels+3 states, channels+1 variants).
+    """
+    import math
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ranked = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fp = ranked.where(F.col("et") == target_type).groupBy("u").agg(
+        F.min("rn").alias("fp"))
+    kept = (
+        ranked.join(fp, "u", "left")
+        .where(F.col("fp").isNull() | (F.col("rn") <= F.col("fp")))
+        .select("u", "rn",
+                F.when(F.col("et") == target_type, F.lit("CONV"))
+                .otherwise(F.col("et")).alias("st"),
+                F.col("fp").isNotNull().alias("conv"))
+    )
+    wl = Window.partitionBy("u").orderBy("rn")
+    trans = kept.select(
+        F.coalesce(F.lag("st").over(wl), F.lit("START")).alias("a"),
+        F.col("st").alias("b"),
+    )
+    last = (
+        kept.where(~F.col("conv"))
+        .groupBy("u").agg(F.max_by("st", "rn").alias("a"))
+        .select("a", F.lit("NULL").alias("b"))
+    )
+    counts = trans.unionByName(last).groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("c"))
+    cells = counts.collect()  # (K+3)^2-bounded driver state
+    rowtot = {}
+    mat = {}
+    for r in cells:
+        mat[(r["a"], r["b"])] = r["c"]
+        rowtot[r["a"]] = rowtot.get(r["a"], 0) + r["c"]
+    states = sorted({a for a, _ in mat} | {b for _, b in mat}
+                    | {"CONV", "NULL"})
+
+    def absorb(clamped: str | None) -> int:
+        p = {s: (10**12 if s == "CONV" else 0) for s in states}
+        for _ in range(iterations):
+            new = {}
+            for a_s in states:
+                if rowtot.get(a_s, 0) > 0:
+                    acc = 0
+                    for b_s in states:
+                        c = mat.get((a_s, b_s), 0)
+                        if c:
+                            acc += math.floor(
+                                ((c / rowtot[a_s]) * (p[b_s] / 1e12))
+                                * 1e12 + 0.5)
+                    new[a_s] = acc
+            p = {s: (10**12 if s == "CONV" else 0 if s == "NULL" else
+                     0 if s == clamped else new.get(s, 0))
+                 for s in states}
+        return p.get("START", 0)
+
+    pf = absorb(None)
+    rows = []
+    for ch in sorted(channels):
+        pr = absorb(ch)
+        rows.append((ch, pf / 1e12, pr / 1e12))
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        rows, "channel string, p_full double, p_removed double")
+    re9 = F.round(F.lit(1.0) - F.try_divide(F.col("p_removed"),
+                                            F.col("p_full")), 9) \
+        .cast("decimal(20,9)")
+    base = out.select("channel", "p_full", "p_removed", re9.alias("re"))
+    tot = base.agg(F.sum("re").cast("decimal(28,9)").alias("sre"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.round("p_full", 6).alias("p_full"),
+            F.round("p_removed", 6).alias("p_removed"),
+            F.round(F.col("re").cast("double"), 6).alias("removal_effect"),
+            F.round(F.try_divide(F.col("re").cast("double"),
+                                 F.col("sre").cast("double")), 6)
+            .alias("attribution"),
+        )
+    )

@@ -6088,3 +6088,81 @@ FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {p}) pk
 SELECT relation, n_child, n_null_fk, n_orphans,
        round(n_orphans::DOUBLE / n_child, 6) AS orphan_pct
 FROM ({u}) z"""
+
+
+def q_markov_attribution(channels: tuple = ("click", "error", "signup",
+                                            "view"),
+                         target: str = "purchase",
+                         iterations: int = 50) -> str:
+    """Twin of timeseries.markov_attribution: variant-tagged absorbing
+    iteration (full + one removal variant per channel) unrolled as
+    MATERIALIZED CTEs with the identical pico-unit quantization."""
+    vvals = ", ".join(f"('{c}')" for c in ("__full__",) + tuple(channels))
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+ap{t} AS MATERIALIZED (
+  SELECT vs.variant, vs.state,
+         (CASE WHEN vs.state = 'CONV' THEN 1000000000000
+               WHEN vs.state = 'NULL' THEN 0
+               WHEN vs.state = vs.variant THEN 0
+               ELSE coalesce(agg.micro, 0) END)::BIGINT AS micro
+  FROM vs LEFT JOIN (
+    SELECT p.variant, g.a AS state,
+           (sum(floor(((g.c::DOUBLE / g.rowtot) * (p.micro / 1e12))
+                      * 1e12 + 0.5)))::BIGINT AS micro
+    FROM grid g JOIN ap{t - 1} p ON p.state = g.b
+    GROUP BY p.variant, g.a) agg
+  ON agg.variant = vs.variant AND agg.state = vs.state)""")
+    return f"""
+WITH ranked AS (
+  SELECT user_id AS u, event_type AS et,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+fp AS (SELECT u, min(rn) AS fp FROM ranked WHERE et = '{target}'
+       GROUP BY u),
+kept AS (
+  SELECT r.u, r.rn,
+         CASE WHEN r.et = '{target}' THEN 'CONV' ELSE r.et END AS st,
+         fp.fp IS NOT NULL AS conv
+  FROM ranked r LEFT JOIN fp ON fp.u = r.u
+  WHERE fp.fp IS NULL OR r.rn <= fp.fp),
+trans AS (
+  SELECT coalesce(lag(st) OVER (PARTITION BY u ORDER BY rn),
+                  'START') AS a, st AS b
+  FROM kept),
+lastt AS (SELECT max_by(st, rn) AS a, 'NULL' AS b FROM kept
+          WHERE NOT conv GROUP BY u),
+counts AS (
+  SELECT a, b, count(*)::BIGINT AS c FROM (
+    SELECT a, b FROM trans UNION ALL SELECT a, b FROM lastt) z
+  GROUP BY a, b),
+rt AS (SELECT a, sum(c)::BIGINT AS rowtot FROM counts GROUP BY a),
+states AS (SELECT DISTINCT s FROM (
+  SELECT a AS s FROM counts UNION SELECT b FROM counts
+  UNION SELECT 'CONV' UNION SELECT 'NULL') u),
+variants AS (SELECT * FROM (VALUES {vvals}) v(variant)),
+vs AS MATERIALIZED (SELECT variant, s AS state FROM variants, states),
+grid AS MATERIALIZED (
+  SELECT c.a, c.b, c.c, rt.rowtot FROM counts c JOIN rt ON rt.a = c.a),
+ap0 AS MATERIALIZED (
+  SELECT variant, state,
+         (CASE WHEN state = 'CONV' THEN 1000000000000
+               ELSE 0 END)::BIGINT AS micro
+  FROM vs),{",".join(its)},
+res AS (SELECT variant, micro / 1e12 AS p FROM ap{iterations}
+        WHERE state = 'START'),
+fullp AS (SELECT p AS p_full FROM res WHERE variant = '__full__'),
+chan AS (SELECT variant AS channel, p AS p_removed FROM res
+         WHERE variant <> '__full__'),
+base AS (
+  SELECT channel, p_full, p_removed,
+         round(1.0 - p_removed / p_full, 9)::DECIMAL(20,9) AS re
+  FROM chan, fullp),
+tot AS (SELECT sum(re)::DECIMAL(28,9) AS sre FROM base)
+SELECT channel, round(p_full, 6) AS p_full,
+       round(p_removed, 6) AS p_removed,
+       round(re::DOUBLE, 6) AS removal_effect,
+       round(re::DOUBLE / sre::DOUBLE, 6) AS attribution
+FROM base, tot"""

@@ -105,6 +105,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "markov_stationary",
     "textrank_sentences",
     "referential_integrity",
+    "markov_attribution",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

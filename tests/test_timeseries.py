@@ -596,3 +596,30 @@ def test_markov_stationary_two_state(spark):
     out2 = {r["state"]: r for r in markov_stationary(df2, iterations=30).collect()}
     assert out2["b"]["pi"] == 1.0 and out2["a"]["pi"] == 0.0
     assert out2["b"]["n_out"] == 0
+
+
+def test_markov_attribution_removal_effect(spark):
+    """A channel on EVERY converting path carries full removal effect;
+    a channel only on dead-end paths carries none; shares normalize
+    to 1."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import markov_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, u, t0 + datetime.timedelta(minutes=i), typ)
+
+    # user 1: click -> purchase (converts through click)
+    # user 2: view (never converts)
+    rows = [ev(0, 1, "click"), ev(1, 1, "purchase"), ev(2, 2, "view")]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {r["channel"]: r
+           for r in markov_attribution(df, ["click", "view"]).collect()}
+    assert out["click"]["p_full"] == 0.5
+    assert out["click"]["p_removed"] == 0.0
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["view"]["removal_effect"] == 0.0
+    assert out["click"]["attribution"] == 1.0
+    assert out["view"]["attribution"] == 0.0
