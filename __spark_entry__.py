@@ -905,6 +905,19 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_type="purchase", iterations=50)
 
 
+
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed sequential patterns over sessions
+    (timeseries.sequential_patterns, the PrefixSpan length-2 core):
+    a-before-b containment via per-(session,type) min/max positions
+    with direction asymmetry — subsequence order, not adjacency
+    (events_transitions covers that)."""
+    from semantik_spark.operators.timeseries import sequential_patterns
+
+    return sequential_patterns(_events(spark, sf_dir), gap_minutes=30,
+                               min_sessions=5, top_k=20)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5511,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_sentences": q_textrank_sentences,
         "referential_integrity": q_referential_integrity,
         "markov_attribution": q_markov_attribution,
+        "sequential_patterns": q_sequential_patterns,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6971,6 +6985,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "textrank_sentences": oracles.q_textrank_sentences(3, 0.85, 8),
         "referential_integrity": oracles.q_referential_integrity(),
         "markov_attribution": oracles.q_markov_attribution(("click", "error", "signup", "view"), "purchase", 50),
+        "sequential_patterns": oracles.q_sequential_patterns(30, 5, 20),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

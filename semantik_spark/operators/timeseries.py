@@ -1365,3 +1365,82 @@ def markov_attribution(events: DataFrame, channels: list,
             .alias("attribution"),
         )
     )
+
+
+def sequential_patterns(events: DataFrame, gap_minutes: int = 30,
+                        min_sessions: int = 5, top_k: int = 20,
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Directed sequential-pattern mining over gap-based sessions (the
+    length-2 PrefixSpan core, Pei et al. 2001): for each ordered type
+    pair (a → b), the number of sessions containing an occurrence of
+    ``a`` BEFORE an occurrence of ``b`` (gaps allowed — the
+    subsequence relation, not adjacency, which is what
+    events_transitions already counts) plus the direction asymmetry
+    n_ab/(n_ab + n_ba) — "do users sign up before they purchase, or
+    after?".
+
+    Containment needs only two numbers per (session, type): a ``a``
+    precedes ``b`` in a session iff min_pos(a) < max_pos(b). So the
+    whole pattern table reduces to a min/max groupBy and a
+    session-key self-join with per-session fan-out ≤ |alphabet|².
+
+    Output: item_a, item_b (directed, a ≠ b), n_sessions (with a→b),
+    n_reverse, asymmetry (6 dp), support (6 dp over all sessions);
+    pairs below ``min_sessions`` drop; top_k by (n_sessions DESC,
+    item_a, item_b).
+
+    Scale: the session_associations shape — sessionize windows (one
+    user shuffle), a (session, type) min/max rollup, an
+    alphabet-bounded self-join per session. Never corpus-quadratic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.lit(gap_minutes * 60)
+    sess = events.withColumn(
+        "_new",
+        F.when(F.col(ts_col).cast("double")
+               - F.lag(F.col(ts_col)).over(w).cast("double") > gap, 1)
+        .otherwise(0),
+    ).withColumn(
+        "_sid",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    ).withColumn("_pos", F.row_number().over(w))
+    spans = (
+        sess.groupBy(F.col(user_col).alias("u"), F.col("_sid").alias("s"),
+                     F.col(type_col).alias("item"))
+        .agg(F.min("_pos").alias("minp"), F.max("_pos").alias("maxp"))
+    )
+    n_sess = spans.select("u", "s").distinct().agg(
+        F.count("*").cast("bigint").alias("n_total"))
+    a, b = spans.alias("a"), spans.alias("b")
+    ab = (
+        a.join(b, (F.col("a.u") == F.col("b.u"))
+               & (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.item") != F.col("b.item"))
+               & (F.col("a.minp") < F.col("b.maxp")))
+        .groupBy(F.col("a.item").alias("item_a"),
+                 F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+    )
+    rev = ab.select(F.col("item_a").alias("item_b"),
+                    F.col("item_b").alias("item_a"),
+                    F.col("n_sessions").alias("n_reverse"))
+    out = (
+        ab.join(rev, ["item_a", "item_b"], "left")
+        .na.fill({"n_reverse": 0})
+        .where(F.col("n_sessions") >= min_sessions)
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "item_a", "item_b", "n_sessions", "n_reverse",
+            F.round(F.col("n_sessions").cast("double")
+                    / (F.col("n_sessions") + F.col("n_reverse")), 6)
+            .alias("asymmetry"),
+            F.round(F.col("n_sessions").cast("double") / F.col("n_total"),
+                    6).alias("support"),
+        )
+    )
+    return out.orderBy(F.desc("n_sessions"), F.asc("item_a"),
+                       F.asc("item_b")).limit(top_k)

@@ -6166,3 +6166,47 @@ SELECT channel, round(p_full, 6) AS p_full,
        round(re::DOUBLE, 6) AS removal_effect,
        round(re::DOUBLE / sre::DOUBLE, 6) AS attribution
 FROM base, tot"""
+
+
+def q_sequential_patterns(gap_minutes: int = 30, min_sessions: int = 5,
+                          top_k: int = 20) -> str:
+    """Twin of timeseries.sequential_patterns: gap-based sessions,
+    min/max position containment (a before b iff min_pos(a) <
+    max_pos(b)), directed pair counts with asymmetry."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts::TIMESTAMP)::BIGINT AS us
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_s,
+         row_number() OVER w AS pos
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (
+  SELECT user_id AS u, event_type AS item, pos,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS s
+  FROM flagged),
+spans AS (
+  SELECT u, s, item, min(pos)::BIGINT AS minp, max(pos)::BIGINT AS maxp
+  FROM sess GROUP BY 1, 2, 3),
+ntot AS (SELECT count(*)::BIGINT AS n_total
+         FROM (SELECT DISTINCT u, s FROM spans) z),
+ab AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_sessions
+  FROM spans a JOIN spans b
+    ON a.u = b.u AND a.s = b.s AND a.item <> b.item AND a.minp < b.maxp
+  GROUP BY 1, 2),
+joined AS (
+  SELECT ab.item_a, ab.item_b, ab.n_sessions,
+         coalesce(r.n_sessions, 0)::BIGINT AS n_reverse
+  FROM ab LEFT JOIN ab r
+    ON r.item_a = ab.item_b AND r.item_b = ab.item_a
+  WHERE ab.n_sessions >= {min_sessions})
+SELECT item_a, item_b, n_sessions, n_reverse,
+       round(n_sessions::DOUBLE / (n_sessions + n_reverse), 6) AS asymmetry,
+       round(n_sessions::DOUBLE / ntot.n_total, 6) AS support
+FROM joined, ntot
+ORDER BY n_sessions DESC, item_a, item_b LIMIT {top_k}"""

@@ -623,3 +623,35 @@ def test_markov_attribution_removal_effect(spark):
     assert out["view"]["removal_effect"] == 0.0
     assert out["click"]["attribution"] == 1.0
     assert out["view"]["attribution"] == 0.0
+
+
+def test_sequential_patterns_order_and_gaps(spark):
+    """Subsequence containment with gaps: a..b counts even with c
+    between; direction asymmetry separates a->b from b->a; the session
+    gap splits sequences."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import sequential_patterns
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, minutes, typ):
+        return (i, u, t0 + datetime.timedelta(minutes=minutes), typ)
+
+    rows = [
+        # session 1 (user 1): a c b  -> a before b (gap allowed)
+        ev(0, 1, 0, "a"), ev(1, 1, 1, "c"), ev(2, 1, 2, "b"),
+        # session 2 (user 1, after 60min gap): b a -> b before a
+        ev(3, 1, 90, "b"), ev(4, 1, 91, "a"),
+        # user 2: a b
+        ev(5, 2, 0, "a"), ev(6, 2, 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = {(r["item_a"], r["item_b"]): r
+           for r in sequential_patterns(df, gap_minutes=30,
+                                        min_sessions=1, top_k=50).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_sessions"] == 2 and ab["n_reverse"] == 1
+    assert ab["asymmetry"] == round(2 / 3, 6)
+    assert ab["support"] == round(2 / 3, 6)  # 3 sessions total
+    assert out[("a", "c")]["n_sessions"] == 1
