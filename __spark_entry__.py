@@ -918,6 +918,21 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                                min_sessions=5, top_k=20)
 
 
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean order value
+    (stattests.poisson_bootstrap_mean, Chamandy et al. 2012): 200
+    derandomized Poisson(1)-weighted replicates — the bootstrap that
+    distributes (one weighted aggregate per replicate, no global
+    resampling), reproducible because weights come from the portable
+    hash ladder."""
+    from semantik_spark.operators.stattests import poisson_bootstrap_mean
+
+    return poisson_bootstrap_mean(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey",
+        replicates=200, alpha_pct=5)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5525,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "markov_attribution": q_markov_attribution,
         "sequential_patterns": q_sequential_patterns,
+        "poisson_bootstrap": q_poisson_bootstrap,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -6986,6 +7002,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "referential_integrity": oracles.q_referential_integrity(),
         "markov_attribution": oracles.q_markov_attribution(("click", "error", "signup", "view"), "purchase", 50),
         "sequential_patterns": oracles.q_sequential_patterns(30, 5, 20),
+        "poisson_bootstrap": oracles.q_poisson_bootstrap(200, 5),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -180,7 +180,7 @@ BENCH_QUERIES = [
     "knn_clustering", "price_elasticity", "forecast_backtest",
     "streaming_chi_square", "markov_stationary",
     "textrank_sentences", "referential_integrity",
-    "markov_attribution", "sequential_patterns",
+    "markov_attribution", "sequential_patterns", "poisson_bootstrap",
 ]
 
 

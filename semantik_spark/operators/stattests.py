@@ -373,3 +373,78 @@ def cuped_adjust(events: DataFrame, split_ts: str,
         .alias("var_reduction_pct"),
         F.round(F.col("theta"), 6).alias("theta"),
     ).orderBy("arm")
+
+
+# P(Poisson(1) <= k) for k = 0..8, rounded to 9 dp — the inverse-CDF
+# thresholds both engines share as literals. P(k > 8) < 1e-6, so the
+# CASE chain caps the weight at 9 (bias < 1e-6 resamples per million).
+_POIS1_CDF9 = (0.367879441, 0.735758882, 0.919698603, 0.981011843,
+               0.996340153, 0.999405815, 0.999916758, 0.999989891,
+               0.999998874)
+
+
+def poisson_bootstrap_mean(df: DataFrame, value_col: str, key_col: str,
+                           replicates: int = 200,
+                           alpha_pct: int = 5) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean (Chamandy et
+    al. 2012, "Estimating Uncertainty for Massive Data Streams") — the
+    bootstrap that actually distributes: instead of drawing n rows
+    with replacement (which needs global coordination), each row
+    enters replicate b with weight w ~ Poisson(1), independent across
+    rows and replicates, so every replicate is one weighted aggregate
+    and the whole thing is a map-side-combinable explode.
+
+    Weights are DERANDOMIZED: w = InversePoissonCDF(u) with
+    u = hash60(key, b)/2^60 against the shared 9-dp threshold ladder
+    (_POIS1_CDF9) — both engines draw identical weights, so the CI is
+    oracle-checkable, and any rerun reproduces it (the weighted_sample
+    / Efraimidis-Spirakis discipline).
+
+    Output (1 row): n_rows, mean_full (6 dp), ci_lo, ci_hi (the
+    alpha/2 and 1-alpha/2 replicate-mean percentiles by explicit
+    index = floor(q*(B-1)) over the sorted replicate means, 6 dp),
+    n_replicates.
+
+    Scale: one explode × B (the replicate table broadcast), one
+    groupBy(replicate) with map-side combine over DECIMAL sums, then
+    percentile arithmetic on B rows. No global sort of data, no
+    coordination — the reason this bootstrap runs at stream scale.
+    """
+    from semantik_spark.functions.hashing import hash60
+
+    spark = df.sparkSession
+    reps = spark.createDataFrame([(b,) for b in range(replicates)], "b int")
+    u = hash60(F.concat_ws(":", F.lit("boot"), F.col(key_col).cast("string"),
+                           F.col("b").cast("string"))).cast("double") \
+        / F.lit(float(2 ** 60))
+    w = F.lit(len(_POIS1_CDF9))
+    for k in range(len(_POIS1_CDF9) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF9[k]), F.lit(k)).otherwise(w)
+    v = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    base = df.select(F.col(key_col), v.alias("v")).crossJoin(
+        F.broadcast(reps))
+    repmeans = (
+        base.select("b", w.cast("bigint").alias("w"), "v")
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("v")).cast("double")
+              / F.sum("w")).alias("m"))
+    )
+    wr = Window.orderBy("m")
+    ranked = repmeans.select(
+        "m", (F.row_number().over(wr) - 1).alias("r"))
+    lo_i = int((alpha_pct / 100 / 2) * (replicates - 1))
+    hi_i = int((1 - alpha_pct / 100 / 2) * (replicates - 1))
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == lo_i, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("r") == hi_i, F.col("m"))).alias("hi"),
+        F.count("*").cast("int").alias("n_replicates"),
+    )
+    full = df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.sum(v).cast("double") / F.count("*")).alias("mean_full"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows", F.round("mean_full", 6).alias("mean_full"),
+        F.round("lo", 6).alias("ci_lo"), F.round("hi", 6).alias("ci_hi"),
+        "n_replicates",
+    )

@@ -6210,3 +6210,44 @@ SELECT item_a, item_b, n_sessions, n_reverse,
        round(n_sessions::DOUBLE / ntot.n_total, 6) AS support
 FROM joined, ntot
 ORDER BY n_sessions DESC, item_a, item_b LIMIT {top_k}"""
+
+
+def q_poisson_bootstrap(replicates: int = 200, alpha_pct: int = 5) -> str:
+    """Twin of stattests.poisson_bootstrap_mean on o_totalprice:
+    derandomized Poisson(1) weights from the shared hash60 ladder,
+    explicit-index percentile over sorted replicate means."""
+    from semantik_spark.operators.stattests import _POIS1_CDF9
+    chain = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF9)
+    ) + f" ELSE {len(_POIS1_CDF9)} END"
+    lo_i = int((alpha_pct / 100 / 2) * (replicates - 1))
+    hi_i = int((1 - alpha_pct / 100 / 2) * (replicates - 1))
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {replicates}))::INT AS b),
+base AS (SELECT o_orderkey AS key,
+                round(o_totalprice, 6)::DECIMAL(18,6) AS v
+         FROM orders),
+ub AS (
+  SELECT reps.b, base.v,
+         (('0x' || substr(md5('boot:' || base.key::VARCHAR || ':'
+                              || reps.b::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+         / 1152921504606846976.0 AS u
+  FROM base CROSS JOIN reps),
+wt AS (SELECT b, v, ({chain})::BIGINT AS w FROM ub),
+repmeans AS (
+  SELECT b, (sum(w * v))::DOUBLE / sum(w) AS m FROM wt GROUP BY b),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) - 1 AS r
+           FROM repmeans),
+ci AS (
+  SELECT max(CASE WHEN r = {lo_i} THEN m END) AS lo,
+         max(CASE WHEN r = {hi_i} THEN m END) AS hi,
+         count(*)::INT AS n_replicates
+  FROM ranked),
+fullm AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         (sum(round(o_totalprice, 6)::DECIMAL(18,6)))::DOUBLE / count(*)
+           AS mean_full
+  FROM orders)
+SELECT n_rows, round(mean_full, 6) AS mean_full,
+       round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi, n_replicates
+FROM fullm, ci"""

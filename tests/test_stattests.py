@@ -102,3 +102,19 @@ def test_cuped_variance_reduction(spark):
     assert out[0]["var_reduction_pct"] == 100.0
     # adjusted means equalize to the pooled mean (y==x everywhere)
     assert out[0]["mean_y_cuped"] == out[1]["mean_y_cuped"] == 25.0
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """Derandomized weights are reproducible (two runs identical), the
+    CI brackets the full-sample mean for a well-behaved sample, and
+    replicate count survives."""
+    from semantik_spark.operators.stattests import poisson_bootstrap_mean
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i % 7))) for i in range(400)], ["k", "v"])
+    r1 = poisson_bootstrap_mean(df, "v", "k", replicates=50).collect()[0]
+    r2 = poisson_bootstrap_mean(df, "v", "k", replicates=50).collect()[0]
+    assert r1 == r2  # derandomized
+    assert r1["n_replicates"] == 50 and r1["n_rows"] == 400
+    assert r1["ci_lo"] <= r1["mean_full"] <= r1["ci_hi"]
+    assert r1["ci_hi"] - r1["ci_lo"] < 2.0  # tight for sd~2, n=400
