@@ -933,6 +933,18 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         replicates=200, alpha_pct=5)
 
 
+
+def q_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversions with Wilson score intervals
+    (timeseries.funnel_wilson, Wilson 1927): per consecutive-step rate
+    of the view->click->purchase funnel, the [0,1]-safe CI every A/B
+    dashboard quotes instead of the collapsing normal interval."""
+    from semantik_spark.operators.timeseries import funnel_wilson
+
+    return funnel_wilson(_events(spark, sf_dir),
+                         ["view", "click", "purchase"], z_milli=1960)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5541,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": q_markov_attribution,
         "sequential_patterns": q_sequential_patterns,
         "poisson_bootstrap": q_poisson_bootstrap,
+        "funnel_wilson": q_funnel_wilson,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7003,6 +7016,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "markov_attribution": oracles.q_markov_attribution(("click", "error", "signup", "view"), "purchase", 50),
         "sequential_patterns": oracles.q_sequential_patterns(30, 5, 20),
         "poisson_bootstrap": oracles.q_poisson_bootstrap(200, 5),
+        "funnel_wilson": oracles.q_funnel_wilson(1960),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

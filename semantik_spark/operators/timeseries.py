@@ -1444,3 +1444,49 @@ def sequential_patterns(events: DataFrame, gap_minutes: int = 30,
     )
     return out.orderBy(F.desc("n_sessions"), F.asc("item_a"),
                        F.asc("item_b")).limit(top_k)
+
+
+def funnel_wilson(events: DataFrame, steps: list,
+                  z_milli: int = 1960,
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Per-transition funnel conversion rates with Wilson score
+    intervals (Wilson 1927) — the CI that stays inside [0,1] and
+    behaves at small counts where the naive normal interval collapses
+    (the reason every A/B dashboard quotes Wilson, Agresti-Coull, or
+    Jeffreys instead of p ± z√(pq/n)):
+
+      center = (p + z²/2n) / (1 + z²/n)
+      half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+
+    z = ``z_milli``/1000 (1.96 for 95%). Rates are between CONSECUTIVE
+    steps (n_to / n_from over funnel()'s earliest-valid-chain counts).
+
+    Output: one row per transition — step_from, step_to, n_from, n_to,
+    p (6 dp), ci_lo, ci_hi (6 dp, clamped to [0,1]).
+
+    Scale: funnel()'s join-chain plan (one filtered aggregate + one
+    user equi-join per step); the Wilson arithmetic runs on the
+    steps-bounded count table.
+    """
+    base = funnel(events, steps, user_col=user_col, type_col=type_col,
+                  ts_col=ts_col).select("step_index", "step", "n_users")
+    nxt = base.select((F.col("step_index") - 1).alias("step_index"),
+                      F.col("step").alias("step_to"),
+                      F.col("n_users").alias("n_to"))
+    j = base.join(nxt, "step_index").select(
+        F.col("step").alias("step_from"), "step_to",
+        F.col("n_users").alias("n_from"), "n_to")
+    z = F.lit(z_milli).cast("double") / 1000.0
+    n = F.col("n_from").cast("double")
+    p = F.col("n_to").cast("double") / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n
+                      + z * z / (4.0 * n * n)) / denom
+    return j.select(
+        "step_from", "step_to", "n_from", "n_to",
+        F.round(p, 6).alias("p"),
+        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci_lo"),
+        F.round(F.least(F.lit(1.0), center + half), 6).alias("ci_hi"),
+    )

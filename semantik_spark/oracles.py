@@ -6251,3 +6251,41 @@ fullm AS (
 SELECT n_rows, round(mean_full, 6) AS mean_full,
        round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi, n_replicates
 FROM fullm, ci"""
+
+
+def q_funnel_wilson(z_milli: int = 1960) -> str:
+    """Twin of timeseries.funnel_wilson over the view->click->purchase
+    funnel: Wilson score intervals on consecutive-step conversions."""
+    z = f"({z_milli}/1000.0)"
+    return f"""
+WITH e AS (
+  SELECT user_id AS u, event_type AS et,
+         epoch_us(ts::TIMESTAMP)::BIGINT AS us FROM events),
+r0 AS (SELECT u, min(us) AS t FROM e WHERE et = 'view' GROUP BY u),
+r1 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r0 USING (u)
+       WHERE e.et = 'click' AND e.us > r0.t GROUP BY e.u),
+r2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN r1 USING (u)
+       WHERE e.et = 'purchase' AND e.us > r1.t GROUP BY e.u),
+c AS (
+  SELECT 0 AS i, 'view' AS step, count(*)::BIGINT AS n FROM r0
+  UNION ALL SELECT 1, 'click', count(*)::BIGINT FROM r1
+  UNION ALL SELECT 2, 'purchase', count(*)::BIGINT FROM r2),
+j AS (
+  SELECT a.step AS step_from, b.step AS step_to,
+         a.n AS n_from, b.n AS n_to
+  FROM c a JOIN c b ON b.i = a.i + 1),
+w AS (
+  SELECT step_from, step_to, n_from, n_to,
+         n_to::DOUBLE / n_from::DOUBLE AS p,
+         n_from::DOUBLE AS n
+  FROM j)
+SELECT step_from, step_to, n_from, n_to, round(p, 6) AS p,
+       round(greatest(0.0,
+         (p + {z} * {z} / (2.0 * n)) / (1.0 + {z} * {z} / n)
+         - {z} * sqrt(p * (1.0 - p) / n + {z} * {z} / (4.0 * n * n))
+           / (1.0 + {z} * {z} / n)), 6) AS ci_lo,
+       round(least(1.0,
+         (p + {z} * {z} / (2.0 * n)) / (1.0 + {z} * {z} / n)
+         + {z} * sqrt(p * (1.0 - p) / n + {z} * {z} / (4.0 * n * n))
+           / (1.0 + {z} * {z} / n)), 6) AS ci_hi
+FROM w"""

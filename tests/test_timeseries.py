@@ -655,3 +655,29 @@ def test_sequential_patterns_order_and_gaps(spark):
     assert ab["asymmetry"] == round(2 / 3, 6)
     assert ab["support"] == round(2 / 3, 6)  # 3 sessions total
     assert out[("a", "c")]["n_sessions"] == 1
+
+
+def test_funnel_wilson_known_interval(spark):
+    """4-of-8 converts: p=0.5, Wilson z=1.96 CI = (0.21521, 0.78479); the
+    interval stays in [0,1] even at p=1."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import funnel_wilson
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(8):
+        rows.append((u, t0, "view"))
+        if u < 4:
+            rows.append((u, t0 + datetime.timedelta(minutes=1), "click"))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    r = funnel_wilson(df, ["view", "click"]).collect()[0]
+    assert (r["n_from"], r["n_to"], r["p"]) == (8, 4, 0.5)
+    assert r["ci_lo"] == 0.215213 and r["ci_hi"] == 0.784787
+
+    # all convert -> upper clamps at 1
+    rows2 = [(u, t0, "view") for u in range(3)] + \
+            [(u, t0 + datetime.timedelta(minutes=1), "click") for u in range(3)]
+    df2 = spark.createDataFrame(rows2, ["user_id", "ts", "event_type"])
+    r2 = funnel_wilson(df2, ["view", "click"]).collect()[0]
+    assert r2["p"] == 1.0 and r2["ci_hi"] == 1.0 and r2["ci_lo"] < 1.0
