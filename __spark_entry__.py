@@ -945,6 +945,20 @@ def q_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["view", "click", "purchase"], z_milli=1960)
 
 
+
+def q_eb_item_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-item purchase rates
+    (stattests.eb_shrunk_rates, Robbins/Efron-Morris beta-binomial
+    MoM): posterior means that stop 1-of-1 items outranking
+    980-of-1000 items on any rate leaderboard."""
+    from semantik_spark.operators.stattests import eb_shrunk_rates
+
+    ev = _events(spark, sf_dir).select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"))
+    return eb_shrunk_rates(ev, "item", "is_purchase")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5554,6 +5568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_patterns": q_sequential_patterns,
         "poisson_bootstrap": q_poisson_bootstrap,
         "funnel_wilson": q_funnel_wilson,
+        "eb_item_rates": q_eb_item_rates,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7017,6 +7032,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "sequential_patterns": oracles.q_sequential_patterns(30, 5, 20),
         "poisson_bootstrap": oracles.q_poisson_bootstrap(200, 5),
         "funnel_wilson": oracles.q_funnel_wilson(1960),
+        "eb_item_rates": oracles.q_eb_rates(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -448,3 +448,64 @@ def poisson_bootstrap_mean(df: DataFrame, value_col: str, key_col: str,
         F.round("lo", 6).alias("ci_lo"), F.round("hi", 6).alias("ci_hi"),
         "n_replicates",
     )
+
+
+def eb_shrunk_rates(df: DataFrame, item_col: str, success_col: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-item binomial rates (Robbins
+    1956; the beta-binomial method-of-moments recipe Efron & Morris
+    popularized): fit Beta(α, β) to the observed per-item rates, then
+    report each item's posterior mean
+
+      eb_rate = (s + α) / (n + α + β),
+      α+β = m(1−m)/v − 1,  α = m·(α+β)
+
+    — the fix for "a 1/1 item outranks a 980/1000 item" that every
+    rate leaderboard needs. ``success_col`` is a 0/1 integer column.
+
+    Determinism: per-item rates are exact rationals rounded at 9 dp
+    into DECIMAL; m and v come from DECIMAL moment sums (population
+    variance); only the terminal divisions are doubles. Degenerate
+    corpora (zero rate variance, or v ≥ m(1−m) ⇒ non-positive
+    concentration) fall back to the raw rate with NULL α/β.
+
+    Output: one row per item — item, n, s, raw_rate, eb_rate (6 dp),
+    plus repeated alpha, beta (6 dp; NULL on fallback).
+
+    Scale: one scan → per-item (n, s) groupBy (map-side combined) →
+    1-row broadcast moments → map-only posterior arithmetic on the
+    item-bounded table.
+    """
+    per = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(success_col).cast("bigint")).cast("bigint").alias("s"),
+    )
+    p9 = F.round(F.col("s").cast("double") / F.col("n"), 9) \
+        .cast("decimal(15,9)")
+    base = per.select("item", "n", "s", p9.alias("p"))
+    mom = base.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("p").cast("decimal(28,9)").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(38,18)").alias("spp"),
+    )
+    k = F.col("k").cast("double")
+    m = F.col("sp").cast("double") / k
+    v = F.col("spp").cast("double") / k - m * m
+    conc = F.when((v > 0) & (m > 0) & (m < 1),
+                  m * (1.0 - m) / v - 1.0)
+    params = mom.select(
+        F.when(conc > 0, m * conc).alias("alpha"),
+        F.when(conc > 0, (1.0 - m) * conc).alias("beta"),
+    )
+    j = base.crossJoin(F.broadcast(params))
+    eb = F.when(
+        F.col("alpha").isNotNull(),
+        (F.col("s") + F.col("alpha"))
+        / (F.col("n") + F.col("alpha") + F.col("beta")),
+    ).otherwise(F.col("p").cast("double"))
+    return j.select(
+        "item", "n", "s",
+        F.round(F.col("p").cast("double"), 6).alias("raw_rate"),
+        F.round(eb, 6).alias("eb_rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )

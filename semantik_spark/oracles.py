@@ -6289,3 +6289,39 @@ SELECT step_from, step_to, n_from, n_to, round(p, 6) AS p,
          + {z} * sqrt(p * (1.0 - p) / n + {z} * {z} / (4.0 * n * n))
            / (1.0 + {z} * {z} / n)), 6) AS ci_hi
 FROM w"""
+
+
+def q_eb_rates() -> str:
+    """Twin of stattests.eb_shrunk_rates over per-item (props.$.k)
+    purchase rates: 9-dp DECIMAL rate moments, beta-binomial MoM,
+    posterior-mean shrinkage with degenerate fallback."""
+    return """
+WITH per AS (
+  SELECT try_cast(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM events GROUP BY 1),
+base AS (SELECT item, n, s,
+                round(s::DOUBLE / n, 9)::DECIMAL(15,9) AS p FROM per),
+mom AS (
+  SELECT count(*)::BIGINT AS k, sum(p)::DECIMAL(28,9) AS sp,
+         sum(p::DECIMAL(19,9) * p::DECIMAL(19,9)) AS spp
+  FROM base),
+mv AS (
+  SELECT sp::DOUBLE / k::DOUBLE AS m,
+         spp::DOUBLE / k::DOUBLE
+         - (sp::DOUBLE / k::DOUBLE) * (sp::DOUBLE / k::DOUBLE) AS v
+  FROM mom),
+params AS (
+  SELECT CASE WHEN conc > 0 THEN m * conc END AS alpha,
+         CASE WHEN conc > 0 THEN (1.0 - m) * conc END AS beta
+  FROM (SELECT m, v,
+               CASE WHEN v > 0 AND m > 0 AND m < 1
+                    THEN m * (1.0 - m) / v - 1.0 END AS conc
+        FROM mv) z)
+SELECT item, n, s, round(p::DOUBLE, 6) AS raw_rate,
+       round(CASE WHEN alpha IS NOT NULL
+                  THEN (s + alpha) / (n + alpha + beta)
+                  ELSE p::DOUBLE END, 6) AS eb_rate,
+       round(alpha, 6) AS alpha, round(beta, 6) AS beta
+FROM base, params"""

@@ -118,3 +118,29 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert r1["n_replicates"] == 50 and r1["n_rows"] == 400
     assert r1["ci_lo"] <= r1["mean_full"] <= r1["ci_hi"]
     assert r1["ci_hi"] - r1["ci_lo"] < 2.0  # tight for sd~2, n=400
+
+
+def test_eb_shrinkage_pulls_thin_items(spark):
+    """A 1-of-1 item shrinks far toward the prior mean while a
+    500-of-1000 item barely moves; the degenerate equal-rates corpus
+    falls back to raw rates with NULL params."""
+    from semantik_spark.operators.stattests import eb_shrunk_rates
+
+    rows = []
+    rows += [(1, 1)]                      # item 1: 1/1
+    rows += [(2, 1)] * 500 + [(2, 0)] * 500   # item 2: 500/1000
+    rows += [(3, 0)] * 50                 # item 3: 0/50
+    rows += [(4, 1)] * 5 + [(4, 0)] * 5   # item 4: 5/10
+    df = spark.createDataFrame(rows, ["item", "y"])
+    out = {r["item"]: r for r in eb_shrunk_rates(df, "item", "y").collect()}
+    assert out[1]["raw_rate"] == 1.0 and out[1]["eb_rate"] < 0.8
+    assert abs(out[2]["eb_rate"] - 0.5) < 0.02
+    assert out[3]["eb_rate"] > 0.0  # zero-rate item pulled up
+    # shrinkage magnitude ordering: thin moves more than thick
+    assert abs(out[1]["eb_rate"] - 1.0) > abs(out[4]["eb_rate"] - 0.5)
+
+    same = spark.createDataFrame([(1, 1), (1, 0), (2, 1), (2, 0)],
+                                 ["item", "y"])
+    out2 = eb_shrunk_rates(same, "item", "y").collect()
+    assert all(r["alpha"] is None and r["eb_rate"] == r["raw_rate"]
+               for r in out2)
