@@ -959,6 +959,19 @@ def q_eb_item_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb_shrunk_rates(ev, "item", "is_purchase")
 
 
+
+def q_ks_family_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest KS drift tests for every event type with
+    Benjamini-Hochberg FDR control (stattests.ks_family_bh, Benjamini
+    & Hochberg 1995): the multiple-testing discipline for segment
+    screens — q-values from the reverse running min, all segments in
+    one dense pass."""
+    from semantik_spark.operators.stattests import ks_family_bh
+
+    return ks_family_bh(_events(spark, sf_dir), "event_type", "value",
+                        alpha_milli=50)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5569,6 +5582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_bootstrap": q_poisson_bootstrap,
         "funnel_wilson": q_funnel_wilson,
         "eb_item_rates": q_eb_item_rates,
+        "ks_family_bh": q_ks_family_bh,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7033,6 +7047,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "poisson_bootstrap": oracles.q_poisson_bootstrap(200, 5),
         "funnel_wilson": oracles.q_funnel_wilson(1960),
         "eb_item_rates": oracles.q_eb_rates(),
+        "ks_family_bh": oracles.q_ks_family_bh(50),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

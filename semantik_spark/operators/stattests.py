@@ -98,9 +98,16 @@ def ks_test_2samp(df: DataFrame, group_col: str, value_col: str,
         )
         .withColumn("lam", lam)
         .withColumn("p_value",
-                    F.round(F.least(F.lit(1.0),
-                                    F.greatest(F.lit(0.0),
-                                               series.cast("double"))), 6))
+                    # the alternating series needs its terms to decay
+                    # inside the 40-term unroll: below lam = 0.1 the
+                    # truncation garbage dominates (at lam = 0 the
+                    # partial sums oscillate 2,0,2,0 — p must be 1)
+                    F.when(F.col("lam") < 0.1, F.lit(1.0))
+                    .otherwise(
+                        F.round(F.least(F.lit(1.0),
+                                        F.greatest(F.lit(0.0),
+                                                   series.cast("double"))),
+                                6)))
         .drop("lam")
     )
 
@@ -509,3 +516,97 @@ def eb_shrunk_rates(df: DataFrame, item_col: str, success_col: str) -> DataFrame
         F.round("alpha", 6).alias("alpha"),
         F.round("beta", 6).alias("beta"),
     )
+
+
+def ks_family_bh(df: DataFrame, group_col: str, value_col: str,
+                 alpha_milli: int = 50) -> DataFrame:
+    """One-vs-rest KS tests for EVERY group with Benjamini-Hochberg
+    FDR control (Benjamini & Hochberg 1995) — the multiple-testing
+    discipline a drift monitor needs: screening K segments at p < .05
+    each yields K·.05 false alarms; BH caps the FALSE DISCOVERY RATE
+    instead,
+
+      q_(i) = min_{j ≥ i} p_(j)·m/j,  reject where q ≤ α.
+
+    Each group's sample is compared against the pooled rest (same D
+    and asymptotic p as ks_test_2samp, computed for all groups in ONE
+    dense pass — no per-group jobs). α = ``alpha_milli``/1000.
+
+    Output: one row per group — group_val, n_group, n_rest, ks_d,
+    p_value, bh_rank, q_value (6 dp), significant.
+
+    Scale: one scan → (value, group) counts → dense value×group grid
+    (alphabet-bounded multiplier) → per-group cumulative windows over
+    the value-level table; BH runs on the alphabet-row result.
+    """
+    vl = (
+        df.groupBy(F.col(value_col).alias("v"),
+                   F.col(group_col).cast("string").alias("g"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    vals = vl.groupBy("v").agg(F.sum("c").cast("bigint").alias("tot"))
+    groups = vl.select("g").distinct()
+    grid = (
+        vals.crossJoin(groups)
+        .join(vl, ["v", "g"], "left")
+        .na.fill({"c": 0})
+    )
+    w = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "g",
+        F.sum("c").over(w).alias("ca"),
+        (F.sum("tot").over(w) - F.sum("c").over(w)).alias("cb"),
+    )
+    tots = grid.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_a"),
+        F.sum(F.col("tot") - F.col("c")).cast("bigint").alias("n_b"),
+    )
+    dmax = (
+        cum.join(tots, "g")
+        .groupBy("g", "n_a", "n_b")
+        .agg(F.max(F.abs(F.col("ca") * F.col("n_b")
+                         - F.col("cb") * F.col("n_a")))
+             .cast("decimal(38,0)").alias("num"))
+    )
+    d = F.col("num").cast("double") / (F.col("n_a") * F.col("n_b"))
+    ne = (F.col("n_a") * F.col("n_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b"))
+    base = dmax.select(
+        F.col("g").alias("group_val"), "n_a", "n_b",
+        F.round(d, 6).alias("ks_d"),
+    ).withColumn(
+        "lam",
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+        * F.col("ks_d"))
+    term = lambda j: (  # noqa: E731
+        F.round(F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")), 9)
+        .cast("decimal(20,9)") * F.lit(2 * (1 if j % 2 == 1 else -1))
+    )
+    series = term(1)
+    for j in range(2, _KS_TERMS + 1):
+        series = series + term(j)
+    withp = base.withColumn(
+        "p_value",
+        # same small-lam truncation guard as ks_test_2samp
+        F.when(F.col("lam") < 0.1, F.lit(1.0))
+        .otherwise(
+            F.round(F.least(F.lit(1.0),
+                            F.greatest(F.lit(0.0), series.cast("double"))),
+                    6))
+    ).drop("lam")
+    m = withp.agg(F.count("*").cast("bigint").alias("m"))
+    wr = Window.orderBy("p_value", "group_val")
+    ranked = withp.crossJoin(F.broadcast(m)).withColumn(
+        "bh_rank", F.row_number().over(wr))
+    wrev = Window.orderBy(F.desc("bh_rank")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    alpha = F.lit(alpha_milli).cast("double") / 1000.0
+    return ranked.select(
+        "group_val", F.col("n_a").alias("n_group"),
+        F.col("n_b").alias("n_rest"), "ks_d", "p_value",
+        F.col("bh_rank").cast("int").alias("bh_rank"),
+        F.round(F.least(F.lit(1.0), F.min(
+            F.col("p_value") * F.col("m") / F.col("bh_rank")).over(wrev)),
+            6).alias("q_value"),
+    ).withColumn("significant", F.col("q_value") <= alpha)

@@ -5264,7 +5264,9 @@ d AS (
          * round(num::DOUBLE / (n_a * n_b), 6) AS lam
   FROM dm)
 SELECT group_a, group_b, n_a, n_b, ks_d,
-       round(least(1.0, greatest(0.0, ({terms})::DOUBLE)), 6) AS p_value
+       CASE WHEN lam < 0.1 THEN 1.0
+            ELSE round(least(1.0, greatest(0.0, ({terms})::DOUBLE)), 6)
+       END AS p_value
 FROM d"""
 
 
@@ -6325,3 +6327,59 @@ SELECT item, n, s, round(p::DOUBLE, 6) AS raw_rate,
                   ELSE p::DOUBLE END, 6) AS eb_rate,
        round(alpha, 6) AS alpha, round(beta, 6) AS beta
 FROM base, params"""
+
+
+def q_ks_family_bh(alpha_milli: int = 50) -> str:
+    """Twin of stattests.ks_family_bh over event_type vs rest on
+    events.value: dense one-vs-rest KS pass + Benjamini-Hochberg
+    reverse-running-min q-values."""
+    terms = " + ".join(
+        f"round(exp(((-2.0*{j}*{j})*lam)*lam), 9)::DECIMAL(20,9) * {2 if j % 2 == 1 else -2}"
+        for j in range(1, 41))
+    a = f"({alpha_milli}/1000.0)"
+    return f"""
+WITH vl AS (SELECT value AS v, event_type AS g, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+vals AS (SELECT v, sum(c)::BIGINT AS tot FROM vl GROUP BY v),
+groups AS (SELECT DISTINCT g FROM vl),
+grid AS (
+  SELECT vals.v, groups.g, coalesce(vl.c, 0)::BIGINT AS c, vals.tot
+  FROM vals CROSS JOIN groups
+  LEFT JOIN vl ON vl.v = vals.v AND vl.g = groups.g),
+cum AS (
+  SELECT g, sum(c) OVER w AS ca,
+         (sum(tot) OVER w - sum(c) OVER w) AS cb
+  FROM grid
+  WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)),
+tots AS (SELECT g, sum(c)::BIGINT AS n_a, sum(tot - c)::BIGINT AS n_b
+         FROM grid GROUP BY g),
+dmax AS (
+  SELECT cum.g, tots.n_a, tots.n_b,
+         max(abs(ca * n_b - cb * n_a))::DECIMAL(38,0) AS num
+  FROM cum JOIN tots USING (g) GROUP BY 1, 2, 3),
+base AS (
+  SELECT g AS group_val, n_a, n_b,
+         round(num::DOUBLE / (n_a * n_b), 6) AS ks_d,
+         (sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)) + 0.12
+          + 0.11 / sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)))
+         * round(num::DOUBLE / (n_a * n_b), 6) AS lam
+  FROM dmax),
+withp AS (
+  SELECT group_val, n_a, n_b, ks_d,
+         CASE WHEN lam < 0.1 THEN 1.0
+              ELSE round(least(1.0, greatest(0.0, ({terms})::DOUBLE)), 6)
+         END AS p_value
+  FROM base),
+m AS (SELECT count(*)::BIGINT AS m FROM withp),
+ranked AS (
+  SELECT w.*, m.m,
+         row_number() OVER (ORDER BY p_value, group_val) AS bh_rank
+  FROM withp w, m)
+SELECT group_val, n_a AS n_group, n_b AS n_rest, ks_d, p_value,
+       bh_rank::INT AS bh_rank,
+       round(least(1.0, min(p_value * m / bh_rank) OVER (
+         ORDER BY bh_rank DESC ROWS UNBOUNDED PRECEDING)), 6) AS q_value,
+       round(least(1.0, min(p_value * m / bh_rank) OVER (
+         ORDER BY bh_rank DESC ROWS UNBOUNDED PRECEDING)), 6) <= {a}
+         AS significant
+FROM ranked"""

@@ -144,3 +144,31 @@ def test_eb_shrinkage_pulls_thin_items(spark):
     out2 = eb_shrunk_rates(same, "item", "y").collect()
     assert all(r["alpha"] is None and r["eb_rate"] == r["raw_rate"]
                for r in out2)
+
+
+def test_ks_family_bh_monotone_q(spark):
+    """BH q-values are the reverse running min of p*m/rank (monotone
+    nondecreasing in rank), the shifted group is flagged, identical
+    groups are not."""
+    from semantik_spark.operators.stattests import ks_family_bh
+
+    rows = ([("a", float(v)) for v in range(100)]
+            + [("b", float(v)) for v in range(100)]
+            + [("c", float(v + 500)) for v in range(100)])  # shifted
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = sorted(ks_family_bh(df, "g", "v").collect(),
+                 key=lambda r: r["bh_rank"])
+    qs = [r["q_value"] for r in out]
+    assert qs == sorted(qs)  # monotone in rank
+    by = {r["group_val"]: r for r in out}
+    # one shifted group contaminates every one-vs-rest contrast: all 3
+    # flag, with c the extreme (fully separated)
+    assert by["c"]["significant"] and by["c"]["ks_d"] == 1.0
+    assert by["a"]["significant"] and by["a"]["ks_d"] == 0.5
+    assert by["a"]["n_group"] == 100 and by["a"]["n_rest"] == 200
+
+    # identically-distributed groups: nothing survives BH
+    rows2 = [(g, float(v)) for g in "ab" for v in range(100)]
+    out2 = ks_family_bh(
+        spark.createDataFrame(rows2, ["g", "v"]), "g", "v").collect()
+    assert all(not r["significant"] and r["q_value"] == 1.0 for r in out2)
