@@ -972,6 +972,20 @@ def q_ks_family_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         alpha_milli=50)
 
 
+
+def q_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the BM25 and dense rankings of each
+    query's hybrid candidates (metrics.rank_correlation_tau): the
+    branch-agreement diagnostic — tau near 1 means fusion adds little,
+    near 0 means RRF does real work. Exact integer pair counts,
+    k²-bounded per query."""
+    from semantik_spark.operators.metrics import rank_correlation_tau
+
+    return rank_correlation_tau(
+        _t(spark, sf_dir, "documents"),
+        _queries_df(spark, SEARCH_QUERIES), k=20)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5583,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_wilson": q_funnel_wilson,
         "eb_item_rates": q_eb_item_rates,
         "ks_family_bh": q_ks_family_bh,
+        "rank_tau": q_rank_tau,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7048,6 +7063,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "funnel_wilson": oracles.q_funnel_wilson(1960),
         "eb_item_rates": oracles.q_eb_rates(),
         "ks_family_bh": oracles.q_ks_family_bh(50),
+        "rank_tau": oracles.q_rank_tau(20),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -181,7 +181,7 @@ BENCH_QUERIES = [
     "streaming_chi_square", "markov_stationary",
     "textrank_sentences", "referential_integrity",
     "markov_attribution", "sequential_patterns", "poisson_bootstrap",
-    "funnel_wilson", "eb_item_rates", "ks_family_bh",
+    "funnel_wilson", "eb_item_rates", "ks_family_bh", "rank_tau",
 ]
 
 

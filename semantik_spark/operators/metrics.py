@@ -171,3 +171,64 @@ def hard_negatives(retrieved: DataFrame, qrels: DataFrame,
         .where(F.col("neg_rank") <= n)
         .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "neg_rank")
     )
+
+
+def rank_correlation_tau(docs: DataFrame, queries: DataFrame, k: int = 20,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Kendall tau-b between the BM25 and dense rankings of each
+    query's hybrid candidate set — the branch-agreement diagnostic for
+    hybrid search: tau near 1 means the dense model mostly re-ranks
+    what BM25 already found (fusion adds little), tau near 0 means the
+    branches disagree and RRF is doing real work.
+
+      tau_b = (C − D) / √((T − t_x)(T − t_y)),   T = n(n−1)/2
+
+    over the candidate union (ltr_features' table: rank 0 = outside
+    that branch's top-k, a legitimate tie class). C/D/t are exact
+    integer pair counts from a per-query self-join — candidates are
+    2k per query, so the pair stage is k²-bounded per query, never
+    corpus-bounded.
+
+    Output: one row per query — query_id, n_candidates, concordant,
+    discordant, tau_b (6 dp, NULL when a branch is fully tied via
+    try-division).
+    """
+    from semantik_spark.operators.search import ltr_features
+
+    feats = ltr_features(docs, queries, k=k, id_col=id_col,
+                         text_col=text_col) \
+        .select("query_id", "doc_id", "bm25_rank", "dense_rank")
+    a, b = feats.alias("a"), feats.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            (F.col("a.bm25_rank") - F.col("b.bm25_rank")).alias("dx"),
+            (F.col("a.dense_rank") - F.col("b.dense_rank")).alias("dy"),
+        )
+    )
+    sgn = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    agg = pairs.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("t_pairs"),
+        F.sum(F.when(sgn(F.col("dx")) * sgn(F.col("dy")) == 1, 1)
+              .otherwise(0)).cast("bigint").alias("concordant"),
+        F.sum(F.when(sgn(F.col("dx")) * sgn(F.col("dy")) == -1, 1)
+              .otherwise(0)).cast("bigint").alias("discordant"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("tx"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("ty"),
+    )
+    n = feats.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_candidates"))
+    tau = F.try_divide(
+        (F.col("concordant") - F.col("discordant")).cast("double"),
+        F.sqrt((F.col("t_pairs") - F.col("tx")).cast("double")
+               * (F.col("t_pairs") - F.col("ty")).cast("double")))
+    return (
+        agg.join(n, "query_id")
+        .select("query_id", "n_candidates", "concordant", "discordant",
+                F.round(tau, 6).alias("tau_b"))
+    )

@@ -6383,3 +6383,31 @@ SELECT group_val, n_a AS n_group, n_b AS n_rest, ks_d, p_value,
          ORDER BY bh_rank DESC ROWS UNBOUNDED PRECEDING)), 6) <= {a}
          AS significant
 FROM ranked"""
+
+
+def q_rank_tau(k: int = 20) -> str:
+    """Twin of metrics.rank_correlation_tau: Kendall tau-b over the
+    ltr_features candidate table's (bm25_rank, dense_rank) pairs."""
+    inner = q_ltr_features(k)
+    return f"""
+WITH feats AS ({inner}),
+f AS (SELECT query_id, doc_id, bm25_rank, dense_rank FROM feats),
+pairs AS (
+  SELECT a.query_id,
+         sign(a.bm25_rank - b.bm25_rank) AS sx,
+         sign(a.dense_rank - b.dense_rank) AS sy
+  FROM f a JOIN f b
+    ON a.query_id = b.query_id AND a.doc_id < b.doc_id),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS t_pairs,
+         sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+         sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+         sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+         sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END)::BIGINT AS ty
+  FROM pairs GROUP BY query_id),
+n AS (SELECT query_id, count(*)::INT AS n_candidates FROM f GROUP BY query_id)
+SELECT agg.query_id, n.n_candidates, agg.concordant, agg.discordant,
+       round((concordant - discordant)::DOUBLE
+             / sqrt((t_pairs - tx)::DOUBLE * (t_pairs - ty)::DOUBLE),
+             6) AS tau_b
+FROM agg JOIN n USING (query_id)"""

@@ -111,6 +111,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "funnel_wilson",
     "eb_item_rates",
     "ks_family_bh",
+    "rank_tau",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

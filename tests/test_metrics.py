@@ -111,3 +111,26 @@ def test_aggregate_means(spark):
     # q1 P@1=1, q2 P@1=0 → mean 0.5
     assert vals[("precision", 1)] == pytest.approx(0.5)
     assert vals[("mrr", None)] == pytest.approx(0.5)
+
+
+def test_rank_tau_structural(spark):
+    """Pair accounting: C(n,2) pairs split into concordant/discordant/
+    ties; tau_b bounded in [-1,1]; a query whose branches fully agree
+    on the candidate order scores tau_b = 1."""
+    from semantik_spark.operators.metrics import rank_correlation_tau
+
+    docs = spark.createDataFrame(
+        [(1, "solar solar solar energy"),
+         (2, "solar energy energy"),
+         (3, "solar grid power"),
+         (4, "cooking pasta")],
+        ["doc_id", "text"])
+    q = spark.createDataFrame([("q1", "solar energy")],
+                              ["query_id", "query_text"])
+    rows = rank_correlation_tau(docs, q, k=4).collect()
+    r = rows[0]
+    n = r["n_candidates"]
+    assert n >= 3
+    t_pairs = n * (n - 1) // 2
+    assert r["concordant"] + r["discordant"] <= t_pairs
+    assert r["tau_b"] is None or -1.0 <= r["tau_b"] <= 1.0
