@@ -986,6 +986,18 @@ def q_rank_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         _queries_df(spark, SEARCH_QUERIES), k=20)
 
 
+
+def q_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood collocations
+    (textanalysis.collocations_llr, Dunning 1993): G² over the 2x2
+    bigram contingency — the evidence-mass measure next to
+    text_collocations' PMI (which maxes out on hapax pairs)."""
+    from semantik_spark.operators.textanalysis import collocations_llr
+
+    return collocations_llr(_t(spark, sf_dir, "documents"),
+                            min_count=5, top_k=50)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5598,6 +5610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_item_rates": q_eb_item_rates,
         "ks_family_bh": q_ks_family_bh,
         "rank_tau": q_rank_tau,
+        "collocations_llr": q_collocations_llr,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7064,6 +7077,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "eb_item_rates": oracles.q_eb_rates(),
         "ks_family_bh": oracles.q_ks_family_bh(50),
         "rank_tau": oracles.q_rank_tau(20),
+        "collocations_llr": oracles.q_collocations_llr(5, 50),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -1217,3 +1217,70 @@ def burrows_delta(docs: DataFrame, n_words: int = 30, probes: int = 4,
         .where(F.col("rank") <= top_k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+def collocations_llr(docs: DataFrame, min_count: int = 5, top_k: int = 50,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio
+    (Dunning 1993) — the measure that fixes PMI's rare-pair mania
+    (PMI maxes out on hapax pairs; G² weighs evidence MASS, so
+    "strongly associated AND well-attested" wins):
+
+      G² = 2·Σ_cells O·ln(O/E) over the 2×2 bigram table
+         = 2·(Σ xlx(k) − Σ xlx(rows) − Σ xlx(cols) + xlx(N))
+
+    with k11 = c(ab), margins from first-/second-position counts and
+    N the corpus bigram total. Every xlx(x) = x·ln x term is computed
+    from an exact integer, rounded at 6 dp and summed as DECIMAL —
+    the fixed 9-term sum is order-free on both engines.
+
+    Output: word_a, word_b, n_pair, n_a (first-position), n_b
+    (second-position), llr (4 dp), top_k by (llr DESC, word_a,
+    word_b), pairs under ``min_count`` dropped.
+
+    Scale: the collocations() shape — bigram + positional-margin
+    groupBys (map-side combined, vocab-bounded outputs), broadcast
+    total, TakeOrdered top-k.
+    """
+    from semantik_spark.functions.text import whitespace_tokens
+
+    tok = docs.select(whitespace_tokens(text_col).alias("toks"))
+    sz = F.size("toks")
+    width = sz - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, width), F.slice("toks", 2, width))
+    prs = F.when(sz >= 2, F.transform(
+        zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b")))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = tok.select(F.explode(prs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair = bg.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("n_pair"))
+    fw = bg.groupBy("a").agg(F.count("*").cast("bigint").alias("n_a"))
+    bw = bg.groupBy("b").agg(F.count("*").cast("bigint").alias("n_b"))
+    tot = bg.agg(F.count("*").cast("bigint").alias("nn"))
+    j = (
+        pair.where(F.col("n_pair") >= min_count)
+        .join(fw, "a").join(bw, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("n_pair")
+    k12 = F.col("n_a") - k11
+    k21 = F.col("n_b") - k11
+    k22 = F.col("nn") - F.col("n_a") - F.col("n_b") + k11
+
+    def xlx(c):
+        return F.when(c > 0,
+                      F.round(c.cast("double") * F.log(c.cast("double")), 6)
+                      ).otherwise(F.lit(0.0)).cast("decimal(24,6)")
+
+    g2 = 2.0 * (
+        (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+         - xlx(F.col("n_a")) - xlx(F.col("nn") - F.col("n_a"))
+         - xlx(F.col("n_b")) - xlx(F.col("nn") - F.col("n_b"))
+         + xlx(F.col("nn"))).cast("double"))
+    scored = j.select(
+        F.col("a").alias("word_a"), F.col("b").alias("word_b"),
+        "n_pair", "n_a", "n_b", F.round(g2, 4).alias("llr"))
+    return scored.orderBy(F.desc("llr"), F.asc("word_a"),
+                          F.asc("word_b")).limit(top_k)

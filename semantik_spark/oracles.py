@@ -6411,3 +6411,40 @@ SELECT agg.query_id, n.n_candidates, agg.concordant, agg.discordant,
              / sqrt((t_pairs - tx)::DOUBLE * (t_pairs - ty)::DOUBLE),
              6) AS tau_b
 FROM agg JOIN n USING (query_id)"""
+
+
+def q_collocations_llr(min_count: int = 5, top_k: int = 50) -> str:
+    """Twin of textanalysis.collocations_llr: Dunning G² from 6-dp
+    DECIMAL xlx terms over the 2x2 bigram contingency."""
+    xlx = ("(CASE WHEN {c} > 0 THEN round(({c})::DOUBLE * ln(({c})::DOUBLE), 6)"
+           " ELSE 0.0 END)::DECIMAL(24,6)")
+    return f"""
+WITH tk AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+bg AS (
+  SELECT toks[r.i] AS a, toks[r.i + 1] AS b
+  FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)
+  WHERE len(toks) >= 2),
+pair AS (SELECT a, b, count(*)::BIGINT AS n_pair FROM bg GROUP BY a, b),
+fw AS (SELECT a, count(*)::BIGINT AS n_a FROM bg GROUP BY a),
+bw AS (SELECT b, count(*)::BIGINT AS n_b FROM bg GROUP BY b),
+tot AS (SELECT count(*)::BIGINT AS nn FROM bg),
+j AS (
+  SELECT pair.a, pair.b, pair.n_pair, fw.n_a, bw.n_b, tot.nn
+  FROM pair JOIN fw USING (a) JOIN bw USING (b) CROSS JOIN tot
+  WHERE pair.n_pair >= {min_count}),
+scored AS (
+  SELECT a AS word_a, b AS word_b, n_pair, n_a, n_b,
+         round(2.0 * (({xlx.format(c='n_pair')}
+            + {xlx.format(c='n_a - n_pair')}
+            + {xlx.format(c='n_b - n_pair')}
+            + {xlx.format(c='nn - n_a - n_b + n_pair')}
+            - {xlx.format(c='n_a')}
+            - {xlx.format(c='nn - n_a')}
+            - {xlx.format(c='n_b')}
+            - {xlx.format(c='nn - n_b')}
+            + {xlx.format(c='nn')})::DOUBLE), 4) AS llr
+  FROM j)
+SELECT * FROM scored ORDER BY llr DESC, word_a, word_b LIMIT {top_k}"""

@@ -112,6 +112,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "eb_item_rates",
     "ks_family_bh",
     "rank_tau",
+    "collocations_llr",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

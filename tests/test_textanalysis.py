@@ -397,3 +397,20 @@ def test_burrows_delta_groups_style(spark):
     assert rows[0]["doc_id"] == 2 and rows[0]["rank"] == 1
     assert rows[0]["delta"] < rows[1]["delta"]
     assert {r["doc_id"] for r in rows} == {2, 3, 4}
+
+
+def test_collocations_llr_prefers_attested(spark):
+    """G² ranks the well-attested exclusive pair above an equally-
+    exclusive hapax pair (PMI would tie them); zero-cell contingencies
+    evaluate without error via the xlx(0)=0 convention."""
+    from semantik_spark.operators.textanalysis import collocations_llr
+
+    text = " ".join(["hong kong"] * 20 + ["rare pair"]
+                    + ["the dog", "the cat", "a dog", "a cat"] * 5)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = collocations_llr(docs, min_count=1, top_k=10).collect()
+    by = {(r["word_a"], r["word_b"]): r for r in rows}
+    hk = by[("hong", "kong")]
+    assert hk["n_pair"] == 20
+    assert hk["llr"] > by[("rare", "pair")]["llr"]
+    assert rows[0]["llr"] >= rows[-1]["llr"]
