@@ -998,6 +998,19 @@ def q_collocations_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_count=5, top_k=50)
 
 
+
+def q_knn_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of the 5-NN cosine graph
+    (graph.harmonic_centrality, Boldi & Vigna 2014): 3-hop BFS with
+    integer distances and shared 6-dp 1/d weights — the
+    disconnection-safe closeness measure, hop-capped exactly like
+    nprobe caps IVF."""
+    from semantik_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(_knn_edges(spark, sf_dir, k=5),
+                               hops=3, top_k=20)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5611,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_family_bh": q_ks_family_bh,
         "rank_tau": q_rank_tau,
         "collocations_llr": q_collocations_llr,
+        "knn_harmonic": q_knn_harmonic,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7078,6 +7092,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "ks_family_bh": oracles.q_ks_family_bh(50),
         "rank_tau": oracles.q_rank_tau(20),
         "collocations_llr": oracles.q_collocations_llr(5, 50),
+        "knn_harmonic": oracles.q_knn_harmonic(5, 3, 20),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

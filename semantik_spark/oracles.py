@@ -6448,3 +6448,38 @@ scored AS (
             + {xlx.format(c='nn')})::DOUBLE), 4) AS llr
   FROM j)
 SELECT * FROM scored ORDER BY llr DESC, word_a, word_b LIMIT {top_k}"""
+
+
+def q_knn_harmonic(k: int = 5, hops: int = 3, top_k: int = 20) -> str:
+    """Twin of graph.harmonic_centrality over graph.knn_graph_edges:
+    unrolled BFS rounds (anti-join dedup), shared 6-dp 1/d weights."""
+    rounds = []
+    for t in range(2, hops + 1):
+        rounds.append(f"""
+new{t} AS MATERIALIZED (
+  SELECT c.u, c.w, {t} AS d FROM (
+    SELECT DISTINCT f.u, a2.v AS w
+    FROM new{t - 1} f JOIN adj a2 ON a2.u = f.w
+    WHERE f.u <> a2.v) c
+  WHERE NOT EXISTS (SELECT 1 FROM best{t - 1} b
+                    WHERE b.u = c.u AND b.w = c.w)),
+best{t} AS MATERIALIZED (
+  SELECT u, w, d FROM best{t - 1}
+  UNION ALL SELECT u, w, d FROM new{t})""")
+    wcase = "CASE " + " ".join(
+        f"WHEN d = {d} THEN {round(1.0 / d, 6)}" for d in range(1, hops + 1)
+    ) + " ELSE d::DOUBLE END"
+    return f"""
+WITH {knn_edges_ctes(k)},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+best1 AS MATERIALIZED (SELECT u, v AS w, 1 AS d FROM adj),
+new1 AS MATERIALIZED (SELECT u, w, d FROM best1),{",".join(rounds)}
+SELECT id, n_reached, harmonic FROM (
+  SELECT u AS id, count(*)::BIGINT AS n_reached,
+         round((sum(({wcase})::DECIMAL(12,6)))::DOUBLE, 6) AS harmonic
+  FROM best{hops} GROUP BY u) z
+ORDER BY harmonic DESC, id ASC LIMIT {top_k}"""

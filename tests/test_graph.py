@@ -173,3 +173,20 @@ def test_clustering_coefficients_closed_forms(spark):
     assert by[9]["n_nodes"] == 2          # the two C=1 nodes
     assert by[3]["n_nodes"] == 1          # C = 1/3
     assert by[0]["n_nodes"] == 1          # pendant C = 0
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 1-2-3-4-5, hops=3: the center reaches everyone (1+1+.5+.5
+    = 3.0 at d<=2... exactly: node 3 -> d1:{2,4}, d2:{1,5} ->
+    2*1 + 2*0.5 = 3.0); the end node 1 -> d1:{2}, d2:{3}, d3:{4} ->
+    1 + .5 + .333333; unreachable node 9 contributes nothing."""
+    from semantik_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)], ["src", "dst"])
+    rows = {r["id"]: r
+            for r in harmonic_centrality(edges, hops=3, top_k=20).collect()}
+    assert rows[3]["harmonic"] == 3.0 and rows[3]["n_reached"] == 4
+    assert rows[1]["harmonic"] == round(1 + 0.5 + 0.333333, 6)
+    assert rows[1]["n_reached"] == 3
+    assert rows[9]["harmonic"] == 1.0  # only its pair
