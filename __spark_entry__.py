@@ -1011,6 +1011,17 @@ def q_knn_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                hops=3, top_k=20)
 
 
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix
+    (similarity.label_centroid_similarity): the class-geometry map of
+    the embedding space — which labels a kNN search will bleed
+    between, from DECIMAL-exact centroid sums."""
+    from semantik_spark.operators.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5625,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tau": q_rank_tau,
         "collocations_llr": q_collocations_llr,
         "knn_harmonic": q_knn_harmonic,
+        "label_centroids": q_label_centroids,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7093,6 +7105,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "rank_tau": oracles.q_rank_tau(20),
         "collocations_llr": oracles.q_collocations_llr(5, 50),
         "knn_harmonic": oracles.q_knn_harmonic(5, 3, 20),
+        "label_centroids": oracles.q_label_centroids(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

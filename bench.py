@@ -182,7 +182,7 @@ BENCH_QUERIES = [
     "textrank_sentences", "referential_integrity",
     "markov_attribution", "sequential_patterns", "poisson_bootstrap",
     "funnel_wilson", "eb_item_rates", "ks_family_bh", "rank_tau",
-    "collocations_llr", "knn_harmonic",
+    "collocations_llr", "knn_harmonic", "label_centroids",
 ]
 
 

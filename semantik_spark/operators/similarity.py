@@ -886,3 +886,68 @@ def knn_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def label_centroid_similarity(embeddings: DataFrame,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label") -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS — the
+    class-geometry map of an embedding space (which classes the
+    encoder conflates; the 10×10 table a confusion matrix converges to
+    without needing a classifier). High off-diagonal cosine = classes
+    a kNN search will bleed between.
+
+    Exactness: centroids come from per-(label, dim) DECIMAL sums of
+    6-dp-quantized components (float array order never matters);
+    centroid dot/norm products round at 9 dp into DECIMAL per
+    dimension before the pair sum, so the matrix is engine-exact.
+
+    Output: one row per unordered label pair incl. self —
+    label_a ≤ label_b, n_a, n_b, cosine (6 dp; self-pairs pin 1.0
+    up to rounding).
+
+    Scale: one explode to (label, dim, value) — map-side combined into
+    the LABELS×DIMS-bounded centroid table; the pair stage is
+    labels²×dims, constant in corpus size.
+    """
+    comp = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select("lbl", "dim",
+             F.round(F.col("x").cast("double"), 6)
+             .cast("decimal(18,6)").alias("x"))
+    cent = comp.groupBy("lbl", "dim").agg(
+        F.sum("x").cast("decimal(28,6)").alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select("lbl", "dim",
+             (F.col("sx").cast("double") / F.col("n")).alias("c"),
+             "n")
+    sizes = cent.groupBy("lbl").agg(F.max("n").cast("bigint").alias("n_vec"))
+    a = cent.select(F.col("lbl").alias("la"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("lbl").alias("lb"), "dim", F.col("c").alias("cb"))
+    prods = (
+        a.join(b, "dim")
+        .where(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.round(F.col("ca") * F.col("cb"), 9)
+                  .cast("decimal(28,9)")).cast("decimal(38,9)").alias("dot"),
+            F.sum(F.round(F.col("ca") * F.col("ca"), 9)
+                  .cast("decimal(28,9)")).cast("decimal(38,9)").alias("na2"),
+            F.sum(F.round(F.col("cb") * F.col("cb"), 9)
+                  .cast("decimal(28,9)")).cast("decimal(38,9)").alias("nb2"),
+        )
+    )
+    cos = F.try_divide(
+        F.col("dot").cast("double"),
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    return (
+        prods
+        .join(sizes.select(F.col("lbl").alias("la"),
+                           F.col("n_vec").alias("n_a")), "la")
+        .join(sizes.select(F.col("lbl").alias("lb"),
+                           F.col("n_vec").alias("n_b")), "lb")
+        .select(F.col("la").alias("label_a"), F.col("lb").alias("label_b"),
+                "n_a", "n_b", F.round(cos, 6).alias("cosine"))
+    )

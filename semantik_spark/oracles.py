@@ -6483,3 +6483,31 @@ SELECT id, n_reached, harmonic FROM (
          round((sum(({wcase})::DECIMAL(12,6)))::DOUBLE, 6) AS harmonic
   FROM best{hops} GROUP BY u) z
 ORDER BY harmonic DESC, id ASC LIMIT {top_k}"""
+
+
+def q_label_centroids() -> str:
+    """Twin of similarity.label_centroid_similarity over embeddings:
+    DECIMAL centroid sums, 9-dp per-dimension product accumulation."""
+    return """
+WITH comp AS (
+  SELECT label AS lbl, r.i - 1 AS dim,
+         round(embedding[r.i]::DOUBLE, 6)::DECIMAL(18,6) AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS r(i)),
+cent AS (
+  SELECT lbl, dim, (sum(x)::DECIMAL(28,6))::DOUBLE / count(*) AS c,
+         count(*)::BIGINT AS n
+  FROM comp GROUP BY lbl, dim),
+sizes AS (SELECT lbl, max(n)::BIGINT AS n_vec FROM cent GROUP BY lbl),
+prods AS (
+  SELECT a.lbl AS la, b.lbl AS lb,
+         sum(round(a.c * b.c, 9)::DECIMAL(28,9))::DECIMAL(38,9) AS dot,
+         sum(round(a.c * a.c, 9)::DECIMAL(28,9))::DECIMAL(38,9) AS na2,
+         sum(round(b.c * b.c, 9)::DECIMAL(28,9))::DECIMAL(38,9) AS nb2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl <= b.lbl
+  GROUP BY a.lbl, b.lbl)
+SELECT la AS label_a, lb AS label_b, sa.n_vec AS n_a, sb.n_vec AS n_b,
+       round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+         AS cosine
+FROM prods
+JOIN sizes sa ON sa.lbl = prods.la
+JOIN sizes sb ON sb.lbl = prods.lb"""

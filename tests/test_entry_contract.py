@@ -114,6 +114,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "rank_tau",
     "collocations_llr",
     "knn_harmonic",
+    "label_centroids",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

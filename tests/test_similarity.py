@@ -579,3 +579,22 @@ def test_sampled_codebook_training_recall_matches_full(spark):
     full, sampled = recall_with(None), recall_with(3)
     assert full >= 0.9, full
     assert sampled >= full - 0.1, (sampled, full)
+
+
+def test_label_centroid_similarity_geometry(spark):
+    """Orthogonal class centroids -> cosine 0; identical -> 1;
+    self-pairs pin 1.0; counts per label survive."""
+    from semantik_spark.operators.similarity import label_centroid_similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),      # label 0 -> (1,0)
+        (2, [0.0, 1.0], 1),                           # label 1 -> (0,1)
+        (3, [2.0, 0.0], 2),                           # label 2 -> (2,0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {(r["label_a"], r["label_b"]): r
+           for r in label_centroid_similarity(df).collect()}
+    assert out[(0, 0)]["cosine"] == 1.0 and out[(0, 0)]["n_a"] == 2
+    assert out[(0, 1)]["cosine"] == 0.0
+    assert out[(0, 2)]["cosine"] == 1.0  # same direction, scale-free
+    assert out[(1, 2)]["cosine"] == 0.0
