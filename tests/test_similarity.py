@@ -164,7 +164,12 @@ def test_quantize_float16_matches_ieee_half(spark):
     got = {r["i"]: r["q"] for r in
            df.select("i", quantize_float16("v").alias("q")).collect()}
     for i, v in enumerate(vecs):
-        expect = np.array(v, dtype=np.float64).astype(np.float16).astype(np.float64)
+        # the 70000.0 probe intentionally overflows float16 — silence
+        # numpy's cast warning so REAL warnings stay visible in CI
+        # (VERDICT r8 minor #2)
+        with np.errstate(over="ignore"):
+            expect = np.array(v, dtype=np.float64).astype(
+                np.float16).astype(np.float64)
         # the engine saturates overflow to ±65504 (storage semantics)
         # where IEEE would produce ±inf
         expect = np.clip(expect, -65504.0, 65504.0)
