@@ -1022,6 +1022,22 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
 
+
+def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit (stattests.simpson_slope_audit): pooled
+    vs per-brand slope of quantity on discount — the aggregation-trap
+    detector every BI rollup needs before quoting a pooled trend."""
+    from semantik_spark.operators.stattests import simpson_slope_audit
+
+    j = (_t(spark, sf_dir, "lineitem")
+         .join(F.broadcast(_t(spark, sf_dir, "part")
+                           .select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .select("p_brand", F.col("l_discount").alias("x"),
+                 F.col("l_quantity").alias("y")))
+    return simpson_slope_audit(j, "x", "y", "p_brand")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5637,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_llr": q_collocations_llr,
         "knn_harmonic": q_knn_harmonic,
         "label_centroids": q_label_centroids,
+        "simpson_audit": q_simpson_audit,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7106,6 +7123,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "collocations_llr": oracles.q_collocations_llr(5, 50),
         "knn_harmonic": oracles.q_knn_harmonic(5, 3, 20),
         "label_centroids": oracles.q_label_centroids(),
+        "simpson_audit": oracles.q_simpson_audit(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -610,3 +610,49 @@ def ks_family_bh(df: DataFrame, group_col: str, value_col: str,
             F.col("p_value") * F.col("m") / F.col("bh_rank")).over(wrev)),
             6).alias("q_value"),
     ).withColumn("significant", F.col("q_value") <= alpha)
+
+
+def simpson_slope_audit(df: DataFrame, x_col: str, y_col: str,
+                        stratum_col: str) -> DataFrame:
+    """Simpson's-paradox audit for a regression relationship: the
+    pooled slope of y on x next to every stratum's slope — the
+    aggregation trap detector (pooled "discount raises quantity" can
+    invert inside every brand when the mix is confounded; Simpson
+    1951, Bickel et al. 1975's Berkeley case). A stratum whose slope
+    SIGN disagrees with the pooled sign gets flagged.
+
+    Uses the regr_* aggregates (zipf_fit discipline — identical
+    definitions both engines); the pooled row rides along with
+    stratum = '__pooled__'.
+
+    Output: one row per stratum + the pooled row — stratum, n_obs,
+    slope (6 dp), r2 (6 dp), pooled_slope (6 dp, repeated),
+    sign_flip (NULL slopes never flag).
+
+    Scale: one scan aggregated twice (per-stratum + pooled — both
+    map-side combinable; at 100 TB compute both from one pass via
+    grouping sets); output is strata-bounded.
+    """
+    per = df.groupBy(F.col(stratum_col).cast("string").alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(F.expr(f"regr_slope({y_col}, {x_col})"), 6).alias("slope"),
+        F.round(F.expr(f"regr_r2({y_col}, {x_col})"), 6).alias("r2"),
+    )
+    pooled = df.agg(
+        F.lit("__pooled__").alias("stratum"),
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(F.expr(f"regr_slope({y_col}, {x_col})"), 6).alias("slope"),
+        F.round(F.expr(f"regr_r2({y_col}, {x_col})"), 6).alias("r2"),
+    )
+    ps = pooled.select(F.col("slope").alias("pooled_slope"))
+    return (
+        per.unionByName(pooled)
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "stratum", "n_obs", "slope", "r2", "pooled_slope",
+            (F.col("slope").isNotNull()
+             & F.col("pooled_slope").isNotNull()
+             & (F.signum("slope") * F.signum("pooled_slope") < 0))
+            .alias("sign_flip"),
+        )
+    )

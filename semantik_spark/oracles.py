@@ -6511,3 +6511,28 @@ SELECT la AS label_a, lb AS label_b, sa.n_vec AS n_a, sb.n_vec AS n_b,
 FROM prods
 JOIN sizes sa ON sa.lbl = prods.la
 JOIN sizes sb ON sb.lbl = prods.lb"""
+
+
+def q_simpson_audit() -> str:
+    """Twin of stattests.simpson_slope_audit: per-brand vs pooled
+    regr_slope of quantity on discount over lineitem."""
+    return """
+WITH j AS (
+  SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+per AS (
+  SELECT p_brand::VARCHAR AS stratum, count(*)::BIGINT AS n_obs,
+         round(regr_slope(y, x), 6) AS slope,
+         round(regr_r2(y, x), 6) AS r2
+  FROM j GROUP BY p_brand),
+pooled AS (
+  SELECT '__pooled__' AS stratum, count(*)::BIGINT AS n_obs,
+         round(regr_slope(y, x), 6) AS slope,
+         round(regr_r2(y, x), 6) AS r2
+  FROM j),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM pooled),
+ps AS (SELECT slope AS pooled_slope FROM pooled)
+SELECT stratum, n_obs, slope, r2, pooled_slope,
+       (slope IS NOT NULL AND pooled_slope IS NOT NULL
+        AND sign(slope) * sign(pooled_slope) < 0) AS sign_flip
+FROM u, ps"""

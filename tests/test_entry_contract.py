@@ -115,6 +115,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "collocations_llr",
     "knn_harmonic",
     "label_centroids",
+    "simpson_audit",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

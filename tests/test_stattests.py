@@ -172,3 +172,26 @@ def test_ks_family_bh_monotone_q(spark):
     out2 = ks_family_bh(
         spark.createDataFrame(rows2, ["g", "v"]), "g", "v").collect()
     assert all(not r["significant"] and r["q_value"] == 1.0 for r in out2)
+
+
+def test_simpson_audit_detects_reversal(spark):
+    """The classic construction: within each stratum y falls with x,
+    but strata with larger x also have larger y, so the pooled slope
+    is positive — every stratum flags sign_flip, the pooled row never
+    flags itself."""
+    from semantik_spark.operators.stattests import simpson_slope_audit
+
+    rows = []
+    # stratum A around x~1 (high y), slope -1 inside
+    for x, y in [(0.8, 10.2), (1.0, 10.0), (1.2, 9.8)]:
+        rows.append(("A", x, y))
+    # stratum B around x~5 (much higher y), slope -1 inside
+    for x, y in [(4.8, 20.2), (5.0, 20.0), (5.2, 19.8)]:
+        rows.append(("B", x, y))
+    df = spark.createDataFrame(rows, ["s", "x", "y"])
+    out = {r["stratum"]: r
+           for r in simpson_slope_audit(df, "x", "y", "s").collect()}
+    assert out["A"]["slope"] == -1.0 and out["B"]["slope"] == -1.0
+    assert out["__pooled__"]["slope"] > 0
+    assert out["A"]["sign_flip"] and out["B"]["sign_flip"]
+    assert not out["__pooled__"]["sign_flip"]
