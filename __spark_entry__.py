@@ -1038,6 +1038,18 @@ def q_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simpson_slope_audit(j, "x", "y", "p_brand")
 
 
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + Theil's U between document language and
+    source shard (stattests.mutual_information): the effect-size
+    companion to chi-square — how many nats of the language mix each
+    source explains."""
+    from semantik_spark.operators.stattests import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"),
+                              "lang", "source")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5654,6 +5666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_harmonic": q_knn_harmonic,
         "label_centroids": q_label_centroids,
         "simpson_audit": q_simpson_audit,
+        "mutual_information": q_mutual_information,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7124,6 +7137,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "knn_harmonic": oracles.q_knn_harmonic(5, 3, 20),
         "label_centroids": oracles.q_label_centroids(),
         "simpson_audit": oracles.q_simpson_audit(),
+        "mutual_information": oracles.q_mutual_information(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

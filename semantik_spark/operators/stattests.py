@@ -656,3 +656,76 @@ def simpson_slope_audit(df: DataFrame, x_col: str, y_col: str,
             .alias("sign_flip"),
         )
     )
+
+
+def mutual_information(df: DataFrame, row_col: str,
+                       col_col: str) -> DataFrame:
+    """Mutual information and uncertainty coefficients over a two-way
+    contingency table — the effect-size companion to the chi-square
+    test (chi² says WHETHER two factors associate; I(X;Y) says HOW
+    MUCH, in nats, and Theil's U says what fraction of each factor's
+    entropy the other explains — asymmetric, unlike Cramér's V):
+
+      I(X;Y) = Σ_ij p_ij ln(p_ij / (p_i·p_j))
+      U(X|Y) = I/H(X),  U(Y|X) = I/H(Y)
+
+    All probabilities are exact count ratios; per-cell contributions
+    and entropy terms round at 9 dp into DECIMAL so the totals are
+    engine-exact; zero cells contribute 0 by continuity.
+
+    Output: one row per observed cell — row_val, col_val, n,
+    mi_term (9 dp as double), plus repeated mi_total, h_row, h_col,
+    u_row_given_col, u_col_given_row (6 dp; U via try-division,
+    NULL when a factor is constant).
+
+    Scale: the chi_square_independence shape — one scan, category²
+    margins, everything after the groupBy is alphabet-bounded.
+    """
+    obs = (
+        df.groupBy(F.col(row_col).cast("string").alias("row_val"),
+                   F.col(col_col).cast("string").alias("col_val"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rt = obs.groupBy("row_val").agg(F.sum("n").cast("bigint").alias("rt"))
+    ct = obs.groupBy("col_val").agg(F.sum("n").cast("bigint").alias("ct"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("nn"))
+    base = (
+        obs.join(rt, "row_val").join(ct, "col_val")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n").cast("double") / F.col("nn")
+    pi = F.col("rt").cast("double") / F.col("nn")
+    pj = F.col("ct").cast("double") / F.col("nn")
+    term = F.round(p * F.log(p / (pi * pj)), 9).cast("decimal(20,9)")
+    cells = base.select("row_val", "col_val", "n", term.alias("t9"))
+    mi = cells.agg(F.sum("t9").cast("decimal(28,9)").alias("smi"))
+
+    def entropy(margin: DataFrame, cnt: str) -> DataFrame:
+        pm = F.col(cnt).cast("double") / F.col("nn")
+        return (
+            margin.crossJoin(F.broadcast(tot))
+            .select(F.round(-pm * F.log(pm), 9).cast("decimal(20,9)")
+                    .alias("e9"))
+            .agg(F.sum("e9").cast("decimal(28,9)").alias("h"))
+        )
+    hr = entropy(rt, "rt").select(F.col("h").alias("h_row"))
+    hc = entropy(ct, "ct").select(F.col("h").alias("h_col"))
+    stats = (
+        mi.crossJoin(F.broadcast(hr)).crossJoin(F.broadcast(hc))
+        .select(
+            F.round(F.col("smi").cast("double"), 6).alias("mi_total"),
+            F.round(F.col("h_row").cast("double"), 6).alias("h_row"),
+            F.round(F.col("h_col").cast("double"), 6).alias("h_col"),
+            F.round(F.try_divide(F.col("smi").cast("double"),
+                                 F.col("h_row").cast("double")), 6)
+            .alias("u_row_given_col"),
+            F.round(F.try_divide(F.col("smi").cast("double"),
+                                 F.col("h_col").cast("double")), 6)
+            .alias("u_col_given_row"),
+        )
+    )
+    return (
+        cells.select("row_val", "col_val", "n",
+                     F.col("t9").cast("double").alias("mi_term"))
+        .crossJoin(F.broadcast(stats))
+    )

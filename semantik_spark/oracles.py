@@ -6536,3 +6536,38 @@ SELECT stratum, n_obs, slope, r2, pooled_slope,
        (slope IS NOT NULL AND pooled_slope IS NOT NULL
         AND sign(slope) * sign(pooled_slope) < 0) AS sign_flip
 FROM u, ps"""
+
+
+def q_mutual_information() -> str:
+    """Twin of stattests.mutual_information over documents lang x
+    source: 9-dp DECIMAL MI/entropy accumulation, Theil's U."""
+    return """
+WITH obs AS (
+  SELECT lang::VARCHAR AS row_val, source::VARCHAR AS col_val,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2),
+rt AS (SELECT row_val, sum(n)::BIGINT AS rt FROM obs GROUP BY row_val),
+ct AS (SELECT col_val, sum(n)::BIGINT AS ct FROM obs GROUP BY col_val),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM obs),
+cells AS (
+  SELECT obs.row_val, obs.col_val, obs.n,
+         round((obs.n::DOUBLE / nn)
+               * ln((obs.n::DOUBLE / nn)
+                    / ((rt::DOUBLE / nn) * (ct::DOUBLE / nn))),
+               9)::DECIMAL(20,9) AS t9
+  FROM obs JOIN rt USING (row_val) JOIN ct USING (col_val)
+  CROSS JOIN tot),
+mi AS (SELECT sum(t9)::DECIMAL(28,9) AS smi FROM cells),
+hr AS (SELECT sum(round(-(rt::DOUBLE / nn) * ln(rt::DOUBLE / nn),
+                        9)::DECIMAL(20,9))::DECIMAL(28,9) AS h_row
+       FROM rt, tot),
+hc AS (SELECT sum(round(-(ct::DOUBLE / nn) * ln(ct::DOUBLE / nn),
+                        9)::DECIMAL(20,9))::DECIMAL(28,9) AS h_col
+       FROM ct, tot)
+SELECT row_val, col_val, n, t9::DOUBLE AS mi_term,
+       round(smi::DOUBLE, 6) AS mi_total,
+       round(h_row::DOUBLE, 6) AS h_row,
+       round(h_col::DOUBLE, 6) AS h_col,
+       round(smi::DOUBLE / h_row::DOUBLE, 6) AS u_row_given_col,
+       round(smi::DOUBLE / h_col::DOUBLE, 6) AS u_col_given_row
+FROM cells, mi, hr, hc"""

@@ -195,3 +195,23 @@ def test_simpson_audit_detects_reversal(spark):
     assert out["__pooled__"]["slope"] > 0
     assert out["A"]["sign_flip"] and out["B"]["sign_flip"]
     assert not out["__pooled__"]["sign_flip"]
+
+
+def test_mutual_information_closed_forms(spark):
+    """Independent factors -> MI 0; a deterministic bijection -> MI =
+    H(X) = H(Y) and both Theil U = 1."""
+    import math
+
+    from semantik_spark.operators.stattests import mutual_information
+
+    indep = ([("x", "l")] * 4 + [("x", "r")] * 4
+             + [("y", "l")] * 4 + [("y", "r")] * 4)
+    r = mutual_information(
+        spark.createDataFrame(indep, ["a", "b"]), "a", "b").collect()[0]
+    assert r["mi_total"] == 0.0 and r["h_row"] == round(math.log(2), 6)
+
+    bij = [("x", "l")] * 3 + [("y", "r")] * 3
+    r2 = mutual_information(
+        spark.createDataFrame(bij, ["a", "b"]), "a", "b").collect()[0]
+    assert r2["mi_total"] == round(math.log(2), 6)
+    assert r2["u_row_given_col"] == 1.0 and r2["u_col_given_row"] == 1.0
