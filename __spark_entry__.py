@@ -1050,6 +1050,22 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "lang", "source")
 
 
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa on the NB held-out confusion
+    (metrics.cohens_kappa, Cohen 1960): chance-corrected agreement —
+    the classifier quality number that survives class imbalance,
+    computed over nb_classify's predictions."""
+    from semantik_spark.operators.classify import naive_bayes_classify
+    from semantik_spark.operators.metrics import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = naive_bayes_classify(docs.where(F.col("doc_id") % 5 != 0),
+                                docs.where(F.col("doc_id") % 5 == 0),
+                                label_col="lang")
+    return cohens_kappa(pred, "label", "predicted")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5667,6 +5683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "simpson_audit": q_simpson_audit,
         "mutual_information": q_mutual_information,
+        "cohens_kappa": q_cohens_kappa,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7138,6 +7155,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "label_centroids": oracles.q_label_centroids(),
         "simpson_audit": oracles.q_simpson_audit(),
         "mutual_information": oracles.q_mutual_information(),
+        "cohens_kappa": oracles.q_cohens_kappa(),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

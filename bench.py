@@ -183,7 +183,7 @@ BENCH_QUERIES = [
     "markov_attribution", "sequential_patterns", "poisson_bootstrap",
     "funnel_wilson", "eb_item_rates", "ks_family_bh", "rank_tau",
     "collocations_llr", "knn_harmonic", "label_centroids",
-    "simpson_audit", "mutual_information",
+    "simpson_audit", "mutual_information", "cohens_kappa",
 ]
 
 

@@ -232,3 +232,51 @@ def rank_correlation_tau(docs: DataFrame, queries: DataFrame, k: int = 20,
         .select("query_id", "n_candidates", "concordant", "discordant",
                 F.round(tau, 6).alias("tau_b"))
     )
+
+
+def cohens_kappa(pred: DataFrame, label_col: str = "label",
+                 pred_col: str = "predicted") -> DataFrame:
+    """Cohen's kappa (Cohen 1960) over a (label, predicted) table —
+    chance-corrected agreement, the accuracy number that survives
+    class imbalance (predicting the majority class everywhere can
+    score 90% accuracy but kappa ≈ 0):
+
+      κ = (p_o − p_e) / (1 − p_e),
+      p_e = Σ_c (row_c/N)·(col_c/N)
+
+    Exactness: p_o and p_e are rationals of exact counts; p_e's
+    per-class products round at 9 dp into DECIMAL before the sum; the
+    terminal division is one double (NULL when p_e = 1, the
+    single-class degeneracy, via try-division).
+
+    Output (1 row): n, n_agree, accuracy (6 dp), expected_accuracy
+    (6 dp), kappa (6 dp).
+
+    Scale: one pass for the confusion diagonal + two class margins
+    (all map-side combinable); everything after is class-bounded.
+    """
+    base = pred.select(F.col(label_col).cast("string").alias("y"),
+                       F.col(pred_col).cast("string").alias("p"))
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("y") == F.col("p")).cast("int")).cast("bigint")
+        .alias("n_agree"),
+    )
+    rows = base.groupBy("y").agg(F.count("*").cast("bigint").alias("r"))
+    cols = base.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
+    pe = (
+        rows.join(cols, rows.y == cols.p)
+        .crossJoin(F.broadcast(tot))
+        .select(F.round((F.col("r").cast("double") / F.col("n"))
+                        * (F.col("c").cast("double") / F.col("n")), 9)
+                .cast("decimal(20,9)").alias("e9"))
+        .agg(F.sum("e9").cast("decimal(28,9)").alias("pe"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n")
+    ped = F.col("pe").cast("double")
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n", "n_agree",
+        F.round(po, 6).alias("accuracy"),
+        F.round(ped, 6).alias("expected_accuracy"),
+        F.round(F.try_divide(po - ped, F.lit(1.0) - ped), 6).alias("kappa"),
+    )

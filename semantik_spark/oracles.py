@@ -6571,3 +6571,28 @@ SELECT row_val, col_val, n, t9::DOUBLE AS mi_term,
        round(smi::DOUBLE / h_row::DOUBLE, 6) AS u_row_given_col,
        round(smi::DOUBLE / h_col::DOUBLE, 6) AS u_col_given_row
 FROM cells, mi, hr, hc"""
+
+
+def q_cohens_kappa() -> str:
+    """Twin of metrics.cohens_kappa over the NB held-out predictions:
+    wraps the nb_classify twin and computes chance-corrected
+    agreement."""
+    inner = q_nb_classify(5, "lang")
+    return f"""
+WITH nb AS ({inner}),
+base AS (SELECT label AS y, predicted AS p FROM nb),
+tot AS (SELECT count(*)::BIGINT AS n,
+               sum(CASE WHEN y = p THEN 1 ELSE 0 END)::BIGINT AS n_agree
+        FROM base),
+rws AS (SELECT y, count(*)::BIGINT AS r FROM base GROUP BY y),
+cls AS (SELECT p, count(*)::BIGINT AS c FROM base GROUP BY p),
+pe AS (
+  SELECT sum(round((r::DOUBLE / n) * (c::DOUBLE / n), 9)::DECIMAL(20,9)
+             )::DECIMAL(28,9) AS pe
+  FROM rws JOIN cls ON rws.y = cls.p CROSS JOIN tot)
+SELECT n, n_agree,
+       round(n_agree::DOUBLE / n, 6) AS accuracy,
+       round(pe::DOUBLE, 6) AS expected_accuracy,
+       round((n_agree::DOUBLE / n - pe::DOUBLE) / (1.0 - pe::DOUBLE), 6)
+         AS kappa
+FROM tot, pe"""

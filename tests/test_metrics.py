@@ -134,3 +134,25 @@ def test_rank_tau_structural(spark):
     t_pairs = n * (n - 1) // 2
     assert r["concordant"] + r["discordant"] <= t_pairs
     assert r["tau_b"] is None or -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_cohens_kappa_closed_forms(spark):
+    """Perfect agreement -> kappa 1; majority-class predictor -> high
+    accuracy but kappa 0; constant truth AND prediction degenerates to
+    NULL via p_e = 1."""
+    from semantik_spark.operators.metrics import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 2, ["label", "predicted"])
+    r = cohens_kappa(perfect).collect()[0]
+    assert r["kappa"] == 1.0 and r["accuracy"] == 1.0
+
+    # 9 of 10 are 'a'; predictor always says 'a': accuracy .9, kappa 0
+    lazy = spark.createDataFrame(
+        [("a", "a")] * 9 + [("b", "a")], ["label", "predicted"])
+    r2 = cohens_kappa(lazy).collect()[0]
+    assert r2["accuracy"] == 0.9 and r2["kappa"] == 0.0
+
+    const = spark.createDataFrame([("a", "a")] * 4, ["label", "predicted"])
+    r3 = cohens_kappa(const).collect()[0]
+    assert r3["kappa"] is None and r3["expected_accuracy"] == 1.0
