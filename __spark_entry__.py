@@ -1066,6 +1066,17 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(pred, "label", "predicted")
 
 
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau over the daily-count ACF per event type
+    (timeseries.ljung_box, Ljung & Box 1978): Q = n(n+2) sum r^2/(n-k)
+    on the {1,2,7} lag set vs the df=3 critical value — the
+    any-autocorrelation-left gate for residual/whiteness checks."""
+    from semantik_spark.operators.timeseries import ljung_box
+
+    return ljung_box(_events(spark, sf_dir), lags=(1, 2, 7))
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5684,6 +5695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_audit": q_simpson_audit,
         "mutual_information": q_mutual_information,
         "cohens_kappa": q_cohens_kappa,
+        "ljung_box": q_ljung_box,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7164,6 +7176,8 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     # result set to the one-level join, so it shares its raw-range
     # oracle verbatim — the hash match IS the equality pin at SF
     out["interval_overlap_two_level"] = out["interval_overlap"]
+    # Ljung-Box composes the events_acf twin (Q-fold over its rows)
+    out["ljung_box"] = oracles.q_ljung_box(out["events_acf"], 3)
     out["text_entropy"] = """
 WITH chars AS (
   SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),

@@ -1490,3 +1490,47 @@ def funnel_wilson(events: DataFrame, steps: list,
         F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci_lo"),
         F.round(F.least(F.lit(1.0), center + half), 6).alias("ci_hi"),
     )
+
+
+def ljung_box(events: DataFrame, lags: tuple = (1, 2, 7),
+              ts_col: str = "ts", group_col: str = "event_type") -> DataFrame:
+    """Ljung-Box portmanteau statistic (Ljung & Box 1978) over the
+    daily-count ACF per group:
+
+      Q = n(n+2) · Σ_k r_k² / (n − k)
+
+    — the "is there ANY autocorrelation left" test run on forecast
+    residuals and on raw series before claiming white noise. Computed
+    over the SELECTED lags (acf_daily's set — a portmanteau over
+    {1,2,7} targets the daily/weekly structure specifically; the
+    classic form uses 1..h). Compare Q against the chi-square critical
+    value at df = |lags| (7.815 at α=.05 for df 3).
+
+    r_k comes 6-dp-quantized from acf_daily, so every term
+    r²/(n−k) rounds at 9 dp into DECIMAL and Q is engine-exact.
+
+    Output: one row per group — event_type, n_days, q_stat (6 dp),
+    df; q_exceeds_05 against the hard-coded df∈{1..10} critical row.
+
+    Scale: acf_daily's shape (densified calendar, group×day bounded);
+    the Q fold runs on |groups|×|lags| rows.
+    """
+    crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+            6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307}
+    acf = acf_daily(events, lags=lags, ts_col=ts_col, group_col=group_col)
+    term = F.round(
+        (F.col("acf") * F.col("acf"))
+        / (F.col("n_days") - F.col("lag")).cast("double"), 9
+    ).cast("decimal(20,9)")
+    agg = acf.groupBy("event_type", "n_days").agg(
+        F.sum(term).cast("decimal(28,9)").alias("s"),
+        F.count("*").cast("int").alias("df"),
+    )
+    q = (F.col("n_days") * (F.col("n_days") + 2)).cast("double") \
+        * F.col("s").cast("double")
+    cv = F.lit(crit[len(lags)])
+    return agg.select(
+        "event_type", "n_days",
+        F.round(q, 6).alias("q_stat"), "df",
+        (F.round(q, 6) > cv).alias("q_exceeds_05"),
+    )

@@ -6596,3 +6596,26 @@ SELECT n, n_agree,
        round((n_agree::DOUBLE / n - pe::DOUBLE) / (1.0 - pe::DOUBLE), 6)
          AS kappa
 FROM tot, pe"""
+
+
+def q_ljung_box(acf_sql: str, n_lags: int = 3) -> str:
+    """Twin of timeseries.ljung_box: wraps the events_acf twin
+    (passed in as ``acf_sql``) and folds Q = n(n+2)·Σ r²/(n−k) with
+    9-dp DECIMAL terms against the df critical value."""
+    crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+            6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307}
+    cv = crit[n_lags]
+    return f"""
+WITH acf_rows AS ({acf_sql}),
+agg AS (
+  SELECT event_type, n_days,
+         sum(round((acf * acf) / (n_days - lag)::DOUBLE, 9)
+             ::DECIMAL(20,9))::DECIMAL(28,9) AS s,
+         count(*)::INT AS df
+  FROM acf_rows GROUP BY event_type, n_days)
+SELECT event_type, n_days,
+       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) AS q_stat,
+       df,
+       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) > {cv}
+         AS q_exceeds_05
+FROM agg"""

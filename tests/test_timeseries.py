@@ -681,3 +681,31 @@ def test_funnel_wilson_known_interval(spark):
     df2 = spark.createDataFrame(rows2, ["user_id", "ts", "event_type"])
     r2 = funnel_wilson(df2, ["view", "click"]).collect()[0]
     assert r2["p"] == 1.0 and r2["ci_hi"] == 1.0 and r2["ci_lo"] < 1.0
+
+
+def test_ljung_box_white_vs_weekly(spark):
+    """A strongly weekly series exceeds the df=3 critical value; Q
+    accounting matches the hand fold of the 6-dp ACF values."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import acf_daily, ljung_box
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # 8 weeks of a hard weekly cycle: 10 events on Mondays, 1 otherwise
+    eid = 0
+    for d in range(56):
+        n = 10 if d % 7 == 0 else 1
+        for j in range(n):
+            rows.append((eid, 1, t0 + datetime.timedelta(days=d, minutes=j),
+                         "cycle"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    r = ljung_box(df, lags=(1, 2, 7)).collect()[0]
+    assert r["df"] == 3 and r["q_exceeds_05"]
+    acf = {a["lag"]: a["acf"] for a in acf_daily(df, lags=(1, 2, 7)).collect()}
+    assert acf[7] > 0.8  # the weekly peak (biased-denominator estimator)
+    n = r["n_days"]
+    want = round(n * (n + 2) * sum(
+        round(acf[k] * acf[k] / (n - k), 9) for k in (1, 2, 7)), 6)
+    assert r["q_stat"] == want
