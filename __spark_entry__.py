@@ -1077,6 +1077,26 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box(_events(spark, sf_dir), lags=(1, 2, 7))
 
 
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by rank-sum (metrics.roc_auc_exact, Hanley &
+    McNeil 1982): how well the English-stopword ratio separates
+    English from non-English docs — threshold-free, tie-exact, no
+    curve materialized."""
+    from semantik_spark.operators.metrics import roc_auc_exact
+    from semantik_spark.operators.textanalysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        quality_features(docs)
+        .select("doc_id", F.round("stopword_ratio", 6).alias("v"))
+        .join(docs.select("doc_id",
+                          (F.col("lang") == "en").cast("int").alias("y")),
+              "doc_id")
+    )
+    return roc_auc_exact(scored, "v", "y")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5696,6 +5716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "cohens_kappa": q_cohens_kappa,
         "ljung_box": q_ljung_box,
+        "roc_auc": q_roc_auc,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7178,6 +7199,8 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     out["interval_overlap_two_level"] = out["interval_overlap"]
     # Ljung-Box composes the events_acf twin (Q-fold over its rows)
     out["ljung_box"] = oracles.q_ljung_box(out["events_acf"], 3)
+    # ROC AUC composes the text_quality twin (stopword_ratio score)
+    out["roc_auc"] = oracles.q_roc_auc(out["text_quality"])
     out["text_entropy"] = """
 WITH chars AS (
   SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),

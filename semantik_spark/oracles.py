@@ -6619,3 +6619,39 @@ SELECT event_type, n_days,
        round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) > {cv}
          AS q_exceeds_05
 FROM agg"""
+
+
+def q_roc_auc(quality_sql: str) -> str:
+    """Twin of metrics.roc_auc_exact on stopword_ratio predicting
+    lang='en': composes the text_quality twin, then the doubled-rank
+    U fold and the Hanley-McNeil SE."""
+    return f"""
+WITH tq AS ({quality_sql}),
+base AS (
+  SELECT round(tq.stopword_ratio, 6) AS v,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM tq JOIN documents d USING (doc_id)),
+vl AS (SELECT v, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+       FROM base GROUP BY v),
+ranked AS (
+  SELECT np, nn, np + nn AS t,
+         coalesce(sum(np + nn) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS c
+  FROM vl),
+agg AS (
+  SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         sum(np * (2 * c + t + 1))::DECIMAL(38,0) AS rp2
+  FROM ranked),
+au AS (
+  SELECT n_pos, n_neg,
+         (rp2::DOUBLE / 2 - (n_pos * (n_pos + 1))::DOUBLE / 2)
+         / (n_pos * n_neg)::DOUBLE AS auc
+  FROM agg)
+SELECT n_pos, n_neg, round(auc, 6) AS auc,
+       round(sqrt((auc * (1.0 - auc)
+                   + (n_pos - 1)::DOUBLE * (auc / (2.0 - auc) - auc * auc)
+                   + (n_neg - 1)::DOUBLE
+                     * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
+                  / (n_pos * n_neg)::DOUBLE), 6) AS se
+FROM au"""

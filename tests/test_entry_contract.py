@@ -119,6 +119,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "mutual_information",
     "cohens_kappa",
     "ljung_box",
+    "roc_auc",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -156,3 +156,28 @@ def test_cohens_kappa_closed_forms(spark):
     const = spark.createDataFrame([("a", "a")] * 4, ["label", "predicted"])
     r3 = cohens_kappa(const).collect()[0]
     assert r3["kappa"] is None and r3["expected_accuracy"] == 1.0
+
+
+def test_roc_auc_closed_forms(spark):
+    """Perfect separation -> 1; anti-separation -> 0; all-tied scores
+    -> 0.5 exactly (tie-half counting); matches the hand rank-sum."""
+    from semantik_spark.operators.metrics import roc_auc_exact
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], ["v", "y"])
+    r = roc_auc_exact(perfect, "v", "y").collect()[0]
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+    anti = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], ["v", "y"])
+    assert roc_auc_exact(anti, "v", "y").collect()[0]["auc"] == 0.0
+
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)], ["v", "y"])
+    assert roc_auc_exact(tied, "v", "y").collect()[0]["auc"] == 0.5
+
+    # mixed with a tie across classes: pairs = 1*1; ties count half
+    # scores: pos {0.5, 0.9}, neg {0.1, 0.5} -> wins 3, tie 1 of 4
+    mixed = spark.createDataFrame(
+        [(0.5, 1), (0.9, 1), (0.1, 0), (0.5, 0)], ["v", "y"])
+    assert roc_auc_exact(mixed, "v", "y").collect()[0]["auc"] == 0.875
