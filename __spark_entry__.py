@@ -1097,6 +1097,18 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc_exact(scored, "v", "y")
 
 
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation via Durbin-Levinson
+    (timeseries.pacf_daily, Durbin 1960): the AR-order selector over
+    the daily-count ACF at lags 1..7 — pico-quantized recursion,
+    driver-local on the alphabet-bounded ACF table, both engines
+    replaying identical steps."""
+    from semantik_spark.operators.timeseries import pacf_daily
+
+    return pacf_daily(_events(spark, sf_dir), max_lag=7)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5717,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "ljung_box": q_ljung_box,
         "roc_auc": q_roc_auc,
+        "pacf_daily": q_pacf_daily,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7201,6 +7214,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     out["ljung_box"] = oracles.q_ljung_box(out["events_acf"], 3)
     # ROC AUC composes the text_quality twin (stopword_ratio score)
     out["roc_auc"] = oracles.q_roc_auc(out["text_quality"])
+    out["pacf_daily"] = oracles.q_pacf_daily(7)
     out["text_entropy"] = """
 WITH chars AS (
   SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),

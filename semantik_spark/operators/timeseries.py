@@ -1534,3 +1534,71 @@ def ljung_box(events: DataFrame, lags: tuple = (1, 2, 7),
         F.round(q, 6).alias("q_stat"), "df",
         (F.round(q, 6) > cv).alias("q_exceeds_05"),
     )
+
+
+def pacf_daily(events: DataFrame, max_lag: int = 7,
+               ts_col: str = "ts", group_col: str = "event_type") -> DataFrame:
+    """Partial autocorrelation of the per-group daily count series via
+    the Durbin-Levinson recursion (Durbin 1960) — the AR-order
+    selector ACF can't give you: PACF at lag k is the correlation
+    left AFTER regressing out lags 1..k−1, so an AR(p) process cuts
+    off sharply at p (the Box-Jenkins identification step that picks
+    the model order a forecaster fits).
+
+      φ_{k,k} = (r_k − Σ_j φ_{k−1,j} r_{k−j}) / (1 − Σ_j φ_{k−1,j} r_j)
+      φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    over acf_daily's 6-dp autocorrelations at lags 1..``max_lag``.
+
+    Exact-replay determinism for the nested recursion: every φ lives
+    in integer PICO-units; every product/dot-term and every φ update
+    quantizes via floor(x·1e12 + 0.5) (the markov_stationary
+    discipline), so step k is a pure function of the 6-dp ACF vector
+    on both engines — the DuckDB twin unrolls the identical k blocks.
+
+    Output: one row per (event_type, lag) — event_type, n_days, lag,
+    acf (the input), pacf (6 dp).
+
+    Scale: acf_daily's shape for the data pass; the recursion runs
+    DRIVER-LOCAL on the groups×max_lag ACF table (alphabet-bounded
+    state — the codebook-trainer discipline).
+    """
+    import math
+
+    acf = acf_daily(events, lags=tuple(range(1, max_lag + 1)),
+                    ts_col=ts_col, group_col=group_col)
+    rows = acf.collect()  # groups × max_lag — bounded
+    by_g: dict = {}
+    nd: dict = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], {})[r["lag"]] = r["acf"]
+        nd[r["event_type"]] = r["n_days"]
+
+    def q(x: float) -> int:
+        return math.floor(x * 1e12 + 0.5)
+
+    out = []
+    for g, rv in by_g.items():
+        phi = {1: q(rv[1])}  # pico units, keyed by j for current k
+        out.append((g, int(nd[g]), 1, float(rv[1]), phi[1] / 1e12))
+        for k in range(2, max_lag + 1):
+            if any(rv.get(i) is None for i in range(1, k + 1)):
+                break
+            sn = sum(q((phi[j] / 1e12) * rv[k - j]) for j in range(1, k))
+            sd = sum(q((phi[j] / 1e12) * rv[j]) for j in range(1, k))
+            den = 1.0 - sd / 1e12
+            num = rv[k] - sn / 1e12
+            kk = 0 if den == 0.0 else q(num / den)
+            nxt = {
+                j: q(phi[j] / 1e12 - (kk / 1e12) * (phi[k - j] / 1e12))
+                for j in range(1, k)
+            }
+            nxt[k] = kk
+            phi = nxt
+            out.append((g, int(nd[g]), k, float(rv[k]), kk / 1e12))
+    spark = events.sparkSession
+    df = spark.createDataFrame(
+        out, "event_type string, n_days bigint, lag int, acf double, "
+             "pacf double")
+    return df.select("event_type", "n_days", "lag", "acf",
+                     F.round("pacf", 6).alias("pacf"))

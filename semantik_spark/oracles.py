@@ -6655,3 +6655,90 @@ SELECT n_pos, n_neg, round(auc, 6) AS auc,
                      * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
                   / (n_pos * n_neg)::DOUBLE), 6) AS se
 FROM au"""
+
+
+def q_pacf_daily(max_lag: int = 7) -> str:
+    """Twin of timeseries.pacf_daily: the generalized-lag ACF block
+    (events_acf's shape at lags 1..max_lag) + the Durbin-Levinson
+    recursion unrolled as MATERIALIZED CTEs with identical pico-unit
+    quantization."""
+    leads = ",\n".join(
+        f"         (lead(x, {k}) OVER w * n - s)::DECIMAL(18,0) AS c{k}"
+        for k in range(1, max_lag + 1))
+    sums = ",\n".join(
+        f"         sum(c0 * c{k}) AS n{k}" for k in range(1, max_lag + 1))
+    case = " ".join(
+        f"WHEN {k} THEN n{k}" for k in range(1, max_lag + 1))
+    lagvals = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+    blocks = []
+    for k in range(2, max_lag + 1):
+        blocks.append(f"""
+sn{k} AS (
+  SELECT p.g, sum(floor((p.phi / 1e12) * r.acf * 1e12 + 0.5))::BIGINT AS sn
+  FROM phi{k - 1} p JOIN acf_rows r
+    ON r.g = p.g AND r.lag = {k} - p.j
+  GROUP BY p.g),
+sd{k} AS (
+  SELECT p.g, sum(floor((p.phi / 1e12) * r.acf * 1e12 + 0.5))::BIGINT AS sd
+  FROM phi{k - 1} p JOIN acf_rows r ON r.g = p.g AND r.lag = p.j
+  GROUP BY p.g),
+kk{k} AS MATERIALIZED (
+  SELECT a.g,
+         (CASE WHEN (1.0 - coalesce(sd{k}.sd, 0) / 1e12) = 0.0 THEN 0
+               ELSE floor(((a.acf - coalesce(sn{k}.sn, 0) / 1e12)
+                           / (1.0 - coalesce(sd{k}.sd, 0) / 1e12))
+                          * 1e12 + 0.5) END)::BIGINT AS kk
+  FROM acf_rows a
+  LEFT JOIN sn{k} ON sn{k}.g = a.g
+  LEFT JOIN sd{k} ON sd{k}.g = a.g
+  WHERE a.lag = {k}),
+phi{k} AS MATERIALIZED (
+  SELECT p.g, p.j,
+         floor((p.phi / 1e12 - (kk{k}.kk / 1e12) * (pp.phi / 1e12))
+               * 1e12 + 0.5)::BIGINT AS phi
+  FROM phi{k - 1} p
+  JOIN kk{k} ON kk{k}.g = p.g
+  JOIN phi{k - 1} pp ON pp.g = p.g AND pp.j = {k} - p.j
+  UNION ALL SELECT g, {k} AS j, kk AS phi FROM kk{k})""")
+    punion = "\nUNION ALL ".join(
+        f"SELECT g, {k} AS lag, phi FROM phi{k} WHERE j = {k}"
+        for k in range(1, max_lag + 1))
+    return f"""
+WITH span AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1 FROM events
+), cal AS (
+  SELECT g, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span CROSS JOIN (SELECT DISTINCT event_type AS g FROM events)
+), counts AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT cal.g, cal.day, coalesce(x, 0)::DECIMAL(18,0) AS x
+  FROM cal LEFT JOIN counts ON cal.g = counts.g AND cal.day = counts.day
+), stats AS (
+  SELECT g, sum(x)::DECIMAL(18,0) AS s, count(*)::DECIMAL(18,0) AS n
+  FROM dense GROUP BY 1
+), wid AS (
+  SELECT dense.g, n,
+         (x * n - s)::DECIMAL(18,0) AS c0,
+{leads}
+  FROM dense JOIN stats ON dense.g = stats.g
+  WINDOW w AS (PARTITION BY dense.g ORDER BY day)
+), agg AS (
+  SELECT g, max(n)::BIGINT AS n_days, sum(c0 * c0) AS den,
+{sums}
+  FROM wid GROUP BY 1
+), acf_rows AS MATERIALIZED (
+  SELECT g, n_days, l.lag,
+         round((CASE l.lag {case} END)::DOUBLE / den::DOUBLE, 6) AS acf
+  FROM agg CROSS JOIN (VALUES {lagvals}) AS l(lag)
+),
+phi1 AS MATERIALIZED (
+  SELECT g, 1 AS j, floor(acf * 1e12 + 0.5)::BIGINT AS phi
+  FROM acf_rows WHERE lag = 1),{",".join(blocks)},
+pacfu AS ({punion})
+SELECT a.g AS event_type, a.n_days, a.lag, a.acf,
+       round(p.phi / 1e12, 6) AS pacf
+FROM acf_rows a JOIN pacfu p ON p.g = a.g AND p.lag = a.lag"""

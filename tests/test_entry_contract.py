@@ -120,6 +120,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "cohens_kappa",
     "ljung_box",
     "roc_auc",
+    "pacf_daily",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -709,3 +709,33 @@ def test_ljung_box_white_vs_weekly(spark):
     want = round(n * (n + 2) * sum(
         round(acf[k] * acf[k] / (n - k), 9) for k in (1, 2, 7)), 6)
     assert r["q_stat"] == want
+
+
+def test_pacf_matches_durbin_levinson_fold(spark):
+    """PACF(1) equals ACF(1); PACF(2) matches the hand Durbin-Levinson
+    fold of the 6-dp ACF values with pico quantization."""
+    import datetime
+    import math
+
+    from semantik_spark.operators.timeseries import acf_daily, pacf_daily
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # alternating 9/1 days -> strong negative lag-1 structure
+    for d in range(30):
+        for j in range(9 if d % 2 == 0 else 1):
+            rows.append((eid, 1, t0 + datetime.timedelta(days=d, minutes=j),
+                         "alt"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    acf = {r["lag"]: r["acf"] for r in acf_daily(
+        df, lags=(1, 2)).collect()}
+    out = {r["lag"]: r["pacf"] for r in pacf_daily(df, max_lag=2).collect()}
+    q = lambda x: math.floor(x * 1e12 + 0.5)  # noqa: E731
+    assert out[1] == round(q(acf[1]) / 1e12, 6) == round(acf[1], 6)
+    phi11 = q(acf[1])
+    sn = q((phi11 / 1e12) * acf[1])
+    kk = q((acf[2] - sn / 1e12) / (1.0 - sn / 1e12))
+    assert out[2] == round(kk / 1e12, 6)
+    assert acf[1] < -0.8  # the alternation is visible
