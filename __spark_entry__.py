@@ -1109,6 +1109,17 @@ def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_daily(_events(spark, sf_dir), max_lag=7)
 
 
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test
+    (stattests.brown_forsythe, 1974): one-way F over |x - median_g|
+    across event types — the robust heteroscedasticity gate before any
+    pooled-variance comparison."""
+    from semantik_spark.operators.stattests import brown_forsythe
+
+    return brown_forsythe(_events(spark, sf_dir), "event_type", "value")
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR result diversification (search.mmr_diversify, Carbonell &
     Goldstein 1998): the BM25 top-16 pool per query greedily re-ranked
@@ -5730,6 +5741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "roc_auc": q_roc_auc,
         "pacf_daily": q_pacf_daily,
+        "brown_forsythe": q_brown_forsythe,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7215,6 +7227,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     # ROC AUC composes the text_quality twin (stopword_ratio score)
     out["roc_auc"] = oracles.q_roc_auc(out["text_quality"])
     out["pacf_daily"] = oracles.q_pacf_daily(7)
+    out["brown_forsythe"] = oracles.q_brown_forsythe()
     out["text_entropy"] = """
 WITH chars AS (
   SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) + 1),

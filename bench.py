@@ -184,7 +184,7 @@ BENCH_QUERIES = [
     "funnel_wilson", "eb_item_rates", "ks_family_bh", "rank_tau",
     "collocations_llr", "knn_harmonic", "label_centroids",
     "simpson_audit", "mutual_information", "cohens_kappa",
-    "ljung_box", "roc_auc", "pacf_daily",
+    "ljung_box", "roc_auc", "pacf_daily", "brown_forsythe",
 ]
 
 

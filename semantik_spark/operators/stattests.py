@@ -729,3 +729,97 @@ def mutual_information(df: DataFrame, row_col: str,
                      F.col("t9").cast("double").alias("mi_term"))
         .crossJoin(F.broadcast(stats))
     )
+
+
+def brown_forsythe(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Brown-Forsythe test for equality of variances (Brown & Forsythe
+    1974 — Levene's test with the MEDIAN center, the robust form):
+    one-way ANOVA F over z = |x − median_g| across all groups — the
+    heteroscedasticity gate run before any pooled-variance t/F test,
+    median-centered so heavy tails don't trigger it spuriously.
+
+    Group medians come from per-group value-level cumulative counts
+    (explicit two-middle, the theil_sen recipe — no raw-row sort);
+    z quantizes at 6 dp into DECIMAL, every moment is a DECIMAL sum,
+    and F's numerator/denominator assemble from closed forms over
+    group moments — no per-row float accumulation anywhere.
+
+    Output: one row per group — group_val, n, median (6 dp),
+    mean_absdev (6 dp), plus repeated f_stat (6 dp), df1, df2
+    (try-division: NULL F when a single group or zero within-group
+    spread).
+
+    Scale: one scan → per-(group, value) counts (map-side combined) →
+    per-group cumulative window over the value-level table → one
+    z-moment groupBy. Alphabet × value-cardinality bounded after the
+    scan.
+    """
+    vl = (
+        df.groupBy(F.col(group_col).cast("string").alias("g"),
+                   F.col(value_col).alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = vl.select("g", "v", "c", F.sum("c").over(w).alias("cc"),
+                    F.sum("c").over(Window.partitionBy("g")).alias("n"))
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        cum.where((F.col("cc") - F.col("c") < lo) & (F.col("cc") >= lo)
+                  | ((F.col("cc") - F.col("c") < hi) & (F.col("cc") >= hi)))
+        .groupBy("g")
+        .agg(((F.max(F.when((F.col("cc") - F.col("c") < lo)
+                            & (F.col("cc") >= lo), F.col("v")))
+               + F.max(F.when((F.col("cc") - F.col("c") < hi)
+                              & (F.col("cc") >= hi), F.col("v")))) / 2)
+             .alias("med"))
+    )
+    z = (
+        vl.join(med, "g")
+        .select("g", "c",
+                F.round(F.abs(F.col("v") - F.col("med")), 6)
+                .cast("decimal(18,6)").alias("z"), "med")
+    )
+    # operand widths are deliberately narrow — (12,6)x(12,0) and
+    # (24,12)x(12,0) stay inside BOTH engines' 38-digit decimal cap
+    # (DuckDB errors, Spark silently rounds, past it)
+    zc = F.col("z").cast("decimal(12,6)")
+    cw = F.col("c").cast("decimal(12,0)")
+    gm = z.groupBy("g", "med").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(zc * cw).cast("decimal(28,6)").alias("sz"),
+        F.sum((zc * zc) * cw).cast("decimal(38,12)").alias("szz"),
+    )
+    tot = gm.agg(F.sum("n").cast("bigint").alias("nn"),
+                 F.sum("sz").cast("decimal(38,6)").alias("tsz"),
+                 F.count("*").cast("int").alias("k"))
+    j = gm.crossJoin(F.broadcast(tot))
+    zbar_g = F.col("sz").cast("double") / F.col("n")
+    zbar = F.col("tsz").cast("double") / F.col("nn")
+    between = F.round(F.col("n") * (zbar_g - zbar) * (zbar_g - zbar), 9) \
+        .cast("decimal(28,9)")
+    within = F.round(F.col("szz").cast("double")
+                     - F.col("n") * zbar_g * zbar_g, 9).cast("decimal(28,9)")
+    per = j.select("g", "n", "med", zbar_g.alias("mad"),
+                   between.alias("b9"), within.alias("w9"),
+                   "nn", "k")
+    agg = per.groupBy("nn", "k").agg(
+        F.sum("b9").cast("decimal(38,9)").alias("sb"),
+        F.sum("w9").cast("decimal(38,9)").alias("sw"),
+    )
+    f = F.try_divide(
+        F.col("sb").cast("double") / (F.col("k") - 1).cast("double"),
+        F.col("sw").cast("double") / (F.col("nn") - F.col("k")).cast("double"))
+    stats = agg.select(
+        F.round(f, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        (F.col("nn") - F.col("k")).cast("int").alias("df2"),
+    )
+    return (
+        per.select(F.col("g").alias("group_val"), "n",
+                   F.round(F.col("med").cast("double"), 6).alias("median"),
+                   F.round("mad", 6).alias("mean_absdev"))
+        .crossJoin(F.broadcast(stats))
+    )

@@ -6742,3 +6742,60 @@ pacfu AS ({punion})
 SELECT a.g AS event_type, a.n_days, a.lag, a.acf,
        round(p.phi / 1e12, 6) AS pacf
 FROM acf_rows a JOIN pacfu p ON p.g = a.g AND p.lag = a.lag"""
+
+
+def q_brown_forsythe() -> str:
+    """Twin of stattests.brown_forsythe on events.value by event_type:
+    value-level group medians, 6-dp DECIMAL z moments, closed-form
+    one-way F over |x - median_g|."""
+    return """
+WITH vl AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM vl),
+med AS (
+  SELECT g,
+         (max(CASE WHEN cc - c < floor((n + 1) / 2)
+                    AND cc >= floor((n + 1) / 2) THEN v END)
+          + max(CASE WHEN cc - c < floor((n + 2) / 2)
+                      AND cc >= floor((n + 2) / 2) THEN v END)) / 2 AS med
+  FROM cum
+  WHERE (cc - c < floor((n + 1) / 2) AND cc >= floor((n + 1) / 2))
+     OR (cc - c < floor((n + 2) / 2) AND cc >= floor((n + 2) / 2))
+  GROUP BY g),
+z AS (
+  SELECT vl.g, vl.c, med.med,
+         round(abs(vl.v - med.med), 6)::DECIMAL(12,6) AS z
+  FROM vl JOIN med USING (g)),
+gm AS (
+  SELECT g, med, sum(c)::BIGINT AS n,
+         sum(z * c::DECIMAL(12,0))::DECIMAL(28,6) AS sz,
+         sum((z * z) * c::DECIMAL(12,0))::DECIMAL(38,12) AS szz
+  FROM z GROUP BY g, med),
+tot AS (SELECT sum(n)::BIGINT AS nn, sum(sz)::DECIMAL(38,6) AS tsz,
+               count(*)::INT AS k FROM gm),
+per AS (
+  SELECT g, n, med, sz::DOUBLE / n AS mad,
+         round(n * (sz::DOUBLE / n - tsz::DOUBLE / nn)
+                 * (sz::DOUBLE / n - tsz::DOUBLE / nn),
+               9)::DECIMAL(28,9) AS b9,
+         round(szz::DOUBLE
+               - n * (sz::DOUBLE / n) * (sz::DOUBLE / n),
+               9)::DECIMAL(28,9) AS w9,
+         nn, k
+  FROM gm, tot),
+agg AS (
+  SELECT nn, k, sum(b9)::DECIMAL(38,9) AS sb, sum(w9)::DECIMAL(38,9) AS sw
+  FROM per GROUP BY nn, k),
+stats AS (
+  SELECT round((sb::DOUBLE / (k - 1)::DOUBLE)
+               / (sw::DOUBLE / (nn - k)::DOUBLE), 6) AS f_stat,
+         (k - 1)::INT AS df1, (nn - k)::INT AS df2
+  FROM agg)
+SELECT g AS group_val, n, round(med::DOUBLE, 6) AS median,
+       round(mad, 6) AS mean_absdev, f_stat, df1, df2
+FROM per, stats"""

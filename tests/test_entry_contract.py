@@ -121,6 +121,7 @@ ROUND10_WINDOW_MUST: tuple = (
     "ljung_box",
     "roc_auc",
     "pacf_daily",
+    "brown_forsythe",
     # r4-anchored entries displaced from the round-9 window by the
     # round's 26 new queries — their refresh rolls to round 10
     "rollup_agg",

@@ -215,3 +215,25 @@ def test_mutual_information_closed_forms(spark):
         spark.createDataFrame(bij, ["a", "b"]), "a", "b").collect()[0]
     assert r2["mi_total"] == round(math.log(2), 6)
     assert r2["u_row_given_col"] == 1.0 and r2["u_col_given_row"] == 1.0
+
+
+def test_brown_forsythe_equal_and_unequal_spread(spark):
+    """Equal absolute-deviation profiles -> F = 0 regardless of level
+    shift; a wide group drives F up; medians via the two-middle rule."""
+    from semantik_spark.operators.stattests import brown_forsythe
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 10.0), ("b", 11.0), ("b", 12.0)], ["g", "v"])
+    rows = {r["group_val"]: r for r in brown_forsythe(same, "g", "v").collect()}
+    assert rows["a"]["median"] == 2.0 and rows["b"]["median"] == 11.0
+    assert rows["a"]["f_stat"] == 0.0
+    assert rows["a"]["mean_absdev"] == rows["b"]["mean_absdev"]
+    assert rows["a"]["df1"] == 1 and rows["a"]["df2"] == 4
+
+    het = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 10.0), ("b", 30.0), ("b", 50.0)], ["g", "v"])
+    r2 = brown_forsythe(het, "g", "v").collect()[0]
+    # hand fold: between=240.666667 (df1=1), within=267.333333 (df2=4)
+    assert r2["f_stat"] == 3.600998
