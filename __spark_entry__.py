@@ -2,10 +2,12 @@
 
 ``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
 the training-data-pipeline extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for EVERY entry — since round 4 all 80 queries
-are value-checked (the last rows-only entry, pca_projection, now emits
-sign/rotation-invariant spectrum scalars with a pure-SQL eigensolve
-oracle).
+DuckDB-equivalent SQL for EVERY entry (tests/test_entry_contract.py
+asserts the key sets are identical, so no entry can be rows-only).
+Every registered query is value-checked: by a driver hash row within
+the last ~4 rotation rounds for the first-50 window, and by
+tools/check_oracle.py locally for entries added since (runs appended
+to ORACLE_CHECKS.jsonl).
 
 All float outputs are rounded to 6 decimals on BOTH sides; ranks use
 deterministic id tie-breaks; large money sums go through decimal casts
@@ -5408,25 +5410,93 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 9 — VERDICT r8 item 2): the
-    # correctness driver evaluates only the first 50 entries. As of r8
-    # every registered query has a driver-green row (r3∪..∪r8), so the
-    # window's job from round 9 on is STALENESS ROTATION: new queries
-    # first, then the longest-unrefreshed anchors (the 37 entries whose
-    # last driver row is CORRECTNESS_r04), then next-oldest (r5) fill —
-    # so no entry's driver verification ages past ~4 rounds.
+    # ORDERING CONTRACT (rotated for round 10 — VERDICT r9 item 1): the
+    # correctness driver evaluates only the first 50 entries, and the
+    # window's job is STALENESS ROTATION — first-ever driver rows for
+    # queries added since the last rotation, then the longest-
+    # unrefreshed anchors, so no entry's driver verification ages past
+    # ~4 rounds. The round-10 window = the 46 pre-wired
+    # ROUND10_WINDOW_MUST entries (33 round-9 late additions + the 13
+    # r4 anchors displaced from the r9 window) + 4 oldest r5 anchors.
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
     # boundary is one whose last driver-green round produced the same
     # rows it produces today; whenever a module behind a past-boundary
     # query is touched, `tools/check_oracle.py <query...>` is re-run on
-    # every affected query before commit and the run is recorded in
-    # PROGRESS.jsonl. See README "Correctness window rotation".
+    # every affected query before commit and the run is appended to
+    # ORACLE_CHECKS.jsonl (one JSON line per run — the tool logs this
+    # itself). See README "Correctness window rotation".
     _q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- r9 window head (tests/test_entry_contract.py
-        # ROUND9_WINDOW_MUST): queries ADDED in round 9 — each takes
-        # its first driver row this round
+        # --- r10 window head (tests/test_entry_contract.py
+        # ROUND10_WINDOW_MUST, pre-wired by the r9 rotation): the 33
+        # round-9 late additions take their FIRST driver row this round
+        "heaps_law": q_heaps_law,
+        "corpus_drift_jsd": q_corpus_drift_jsd,
+        "item_item_cf": q_item_item_cf,
+        "burrows_delta": q_burrows_delta,
+        "hill_tail": q_hill_tail,
+        "ltr_features": q_ltr_features,
+        "market_hhi": q_market_hhi,
+        "cuped_ab": q_cuped_ab,
+        "logrank_test": q_logrank_test,
+        "knn_clustering": q_knn_clustering,
+        "price_elasticity": q_price_elasticity,
+        "forecast_backtest": q_forecast_backtest,
+        "streaming_chi_square": q_streaming_chi_square,
+        "markov_stationary": q_markov_stationary,
+        "textrank_sentences": q_textrank_sentences,
+        "referential_integrity": q_referential_integrity,
+        "markov_attribution": q_markov_attribution,
+        "sequential_patterns": q_sequential_patterns,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "funnel_wilson": q_funnel_wilson,
+        "eb_item_rates": q_eb_item_rates,
+        "ks_family_bh": q_ks_family_bh,
+        "rank_tau": q_rank_tau,
+        "collocations_llr": q_collocations_llr,
+        "knn_harmonic": q_knn_harmonic,
+        "label_centroids": q_label_centroids,
+        "simpson_audit": q_simpson_audit,
+        "mutual_information": q_mutual_information,
+        "cohens_kappa": q_cohens_kappa,
+        "ljung_box": q_ljung_box,
+        "roc_auc": q_roc_auc,
+        "pacf_daily": q_pacf_daily,
+        "brown_forsythe": q_brown_forsythe,
+        # --- the 13 r4-anchored entries displaced from the round-9
+        # window (last driver-green row CORRECTNESS_r04) — their refresh
+        # lands here per the rotation contract
+        "rollup_agg": q_rollup_agg,
+        "sniff_formats": q_sniff_formats,
+        "text_collocations": q_text_collocations,
+        "text_curation": q_text_curation,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
+        "text_token_counts": q_text_token_counts,
+        "topk_per_group": q_topk_per_group,
+        "user_retention": q_user_retention,
+        "user_sessions": q_user_sessions,
+        "value_percentiles": q_value_percentiles,
+        # --- r5-anchored fill to the 50-slot capacity (next-oldest
+        # anchors, last driver row CORRECTNESS_r05); an r10 query added
+        # later displaces from HERE — extend ROUND10_WINDOW_MUST when
+        # adding
+        "audio_wav_segments": q_audio_wav_segments,
+        "bluegreen_swap": q_bluegreen_swap,
+        "cluster_keywords": q_cluster_keywords,
+        "contamination_report": q_contamination_report,
+        # --- driver window boundary (50): everything below is
+        # behavior-anchored by an earlier driver round (r4-r9 — every
+        # entry above this comment plus the first 50 of r9 are green in
+        # CORRECTNESS_r09; the block immediately below is the remaining
+        # r5 anchor set, PLANNED TO FILL THE ROUND-11 WINDOW together
+        # with any r10 additions so no anchor ages past ~4 rounds).
+        # Touched-module entries are re-checked via tools/check_oracle.py
+        # before commit per the behavior-anchored contract (README
+        # 'Correctness window rotation').
         "gdpr_sync_replay": q_gdpr_sync_replay,
         "approx_distinct_hll_packed": q_approx_distinct_hll_packed,
         "interval_overlap_two_level": q_interval_overlap_two_level,
@@ -5453,13 +5523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "good_turing": q_good_turing,
         "stupid_backoff": q_stupid_backoff,
-        # --- staleness rotation (VERDICT r8 item 2): with all 236
-        # pre-r9 entries driver-verified at least once (r3..r8), the
-        # window's job is RE-verification — these are the oldest
-        # anchors (last driver-green row CORRECTNESS_r04). Only the
-        # first 24 fit behind the 26-query new block; the trailing 13
-        # sit just past the boundary and head the round-10 window
-        # (tests/test_entry_contract.py::ROUND10_WINDOW_MUST)
         "approx_distinct_kmv": q_approx_distinct_kmv,
         "chunk_collapse": q_chunk_collapse,
         "chunk_fixed": q_chunk_fixed,
@@ -5484,35 +5547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_routed": q_parse_routed,
         "pricing_summary": q_pricing_summary,
         "rerank_search": q_rerank_search,
-        "rollup_agg": q_rollup_agg,
-        "sniff_formats": q_sniff_formats,
-        "text_collocations": q_text_collocations,
-        "text_curation": q_text_curation,
-        "text_fingerprint": q_text_fingerprint,
-        "text_lang_id": q_text_lang_id,
-        "text_quality": q_text_quality,
-        "text_repetition": q_text_repetition,
-        "text_token_counts": q_text_token_counts,
-        "topk_per_group": q_topk_per_group,
-        "user_retention": q_user_retention,
-        "user_sessions": q_user_sessions,
-        "value_percentiles": q_value_percentiles,
-        # --- r5-anchored fill to the 50-slot capacity (next-oldest
-        # anchors; an r9 query added later displaces from HERE, never
-        # from the r4 block above — extend ROUND9_WINDOW_MUST when
-        # adding)
         "approx_distinct_daily": q_approx_distinct_daily,
         "artifact_roundtrip": q_artifact_roundtrip,
-        # --- driver window boundary (50): everything below is
-        # behavior-anchored by an earlier driver round (r4-r8,
-        # CORRECTNESS_r04..r08 — every registered entry is green in at
-        # least one). Touched-module entries are re-checked via
-        # tools/check_oracle.py before commit per the behavior-anchored
-        # contract (README 'Correctness window rotation').
-        "audio_wav_segments": q_audio_wav_segments,
-        "bluegreen_swap": q_bluegreen_swap,
-        "cluster_keywords": q_cluster_keywords,
-        "contamination_report": q_contamination_report,
         "customer_value_ranks": q_customer_value_ranks,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "discounted_revenue": q_discounted_revenue,
@@ -5706,42 +5742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": q_parts_supplier_count,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
-        # --- round-10 candidates: added after the r9 window filled;
-        # locally verified via tools/check_oracle.py, first driver row
-        # at the next rotation (test_entry_contract.ROUND10_WINDOW_MUST)
-        "heaps_law": q_heaps_law,
-        "corpus_drift_jsd": q_corpus_drift_jsd,
-        "item_item_cf": q_item_item_cf,
-        "burrows_delta": q_burrows_delta,
-        "hill_tail": q_hill_tail,
-        "ltr_features": q_ltr_features,
-        "market_hhi": q_market_hhi,
-        "cuped_ab": q_cuped_ab,
-        "logrank_test": q_logrank_test,
-        "knn_clustering": q_knn_clustering,
-        "price_elasticity": q_price_elasticity,
-        "forecast_backtest": q_forecast_backtest,
-        "streaming_chi_square": q_streaming_chi_square,
-        "markov_stationary": q_markov_stationary,
-        "textrank_sentences": q_textrank_sentences,
-        "referential_integrity": q_referential_integrity,
-        "markov_attribution": q_markov_attribution,
-        "sequential_patterns": q_sequential_patterns,
-        "poisson_bootstrap": q_poisson_bootstrap,
-        "funnel_wilson": q_funnel_wilson,
-        "eb_item_rates": q_eb_item_rates,
-        "ks_family_bh": q_ks_family_bh,
-        "rank_tau": q_rank_tau,
-        "collocations_llr": q_collocations_llr,
-        "knn_harmonic": q_knn_harmonic,
-        "label_centroids": q_label_centroids,
-        "simpson_audit": q_simpson_audit,
-        "mutual_information": q_mutual_information,
-        "cohens_kappa": q_cohens_kappa,
-        "ljung_box": q_ljung_box,
-        "roc_auc": q_roc_auc,
-        "pacf_daily": q_pacf_daily,
-        "brown_forsythe": q_brown_forsythe,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
