@@ -14,12 +14,11 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 
-# Queries that MUST sit inside the first-50 driver window this round.
-# Round 9 is the first STALENESS-ROTATION round (VERDICT r8 item 2):
-# every registered entry already has a driver-green row (r3..r8), so
-# the window re-verifies the oldest anchors. Extend the first block
-# when adding a query — never bump a count constant (VERDICT r4 #1:
-# the count-based assert rotted; set-based invariants cannot).
+# Queries that MUST sit inside the first-50 driver window this round
+# (round 10): see ROUND10_WINDOW_MUST below. ROUND9_WINDOW_MUST is kept
+# as the historical r9 window record — its entries are now
+# behavior-anchored past the boundary (every one green in
+# CORRECTNESS_r09) and must stay registered.
 ROUND9_WINDOW_MUST: tuple = (
     # added in round 9 — each takes its FIRST driver row this round;
     # extend as queries land (displaces the r5 fill, never the r4
@@ -82,10 +81,11 @@ ROUND9_WINDOW_MUST: tuple = (
 )
 
 
-# Entries added AFTER the round-9 window fills (50/50), if any: never
-# driver-evaluated, verified locally via tools/check_oracle.py. These
-# MUST head the round-10 window — promote this tuple into the next
-# round's WINDOW_MUST list during rotation.
+# The round-10 driver window MUST list (VERDICT r9 item 1): the 33
+# round-9 late additions (first-ever driver row) + the 13 r4 anchors
+# displaced from the r9 window. The remaining 4 slots are the oldest
+# r5 anchors (ROUND10_R5_FILL). Extend ROUND11_WINDOW_MUST — never a
+# count constant — when adding a query this round.
 ROUND10_WINDOW_MUST: tuple = (
     # queries added after the r9 window filled — locally oracle-
     # verified, first driver row next rotation
@@ -139,6 +139,25 @@ ROUND10_WINDOW_MUST: tuple = (
     "value_percentiles",
 )
 
+# The 4 oldest r5 anchors filling the round-10 window to capacity.
+# A query added THIS round displaces from here (it rolls to the
+# round-11 window head via ROUND11_WINDOW_MUST).
+ROUND10_R5_FILL: tuple = (
+    "audio_wav_segments",
+    "bluegreen_swap",
+    "cluster_keywords",
+    "contamination_report",
+)
+
+# Entries added AFTER the round-10 rotation (round-10 additions):
+# never driver-evaluated, verified locally via tools/check_oracle.py
+# (runs logged to ORACLE_CHECKS.jsonl). These MUST head the round-11
+# window, followed by the remaining 46 r5 anchors (README anchor map).
+# Growth is throttled to window capacity: keep this list ≤ ~10
+# (VERDICT r9 item 2).
+ROUND11_WINDOW_MUST: tuple = (
+)
+
 
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
@@ -151,15 +170,21 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-9 window contract (README 'Correctness window rotation'):
-    new queries and the longest-unrefreshed anchors sit in the first 50."""
+    """Round-10 window contract (README 'Correctness window rotation'):
+    the 46 MUST entries + the 4 oldest r5 anchors fill the first 50."""
     window = list(entrymod.queries())[:50]
-    for must in ROUND9_WINDOW_MUST:
-        assert must in window, f"{must} fell out of the driver window"
-    # round-10 candidates (post-window additions) are registered, past
-    # the boundary, awaiting their first driver row next rotation
-    names = set(entrymod.queries())
     for must in ROUND10_WINDOW_MUST:
+        assert must in window, f"{must} fell out of the driver window"
+    for fill in ROUND10_R5_FILL:
+        assert fill in window, f"{fill} (r5 fill) fell out of the window"
+    # the r9 window entries are behavior-anchored past the boundary
+    # (green in CORRECTNESS_r09) — they must stay registered
+    names = set(entrymod.queries())
+    for must in ROUND9_WINDOW_MUST:
+        assert must in names, f"{must} (r9 anchor) not registered"
+    # round-11 candidates (added this round, past the boundary):
+    # registered, awaiting their first driver row next rotation
+    for must in ROUND11_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 

@@ -9,6 +9,10 @@ sorted-row equality (with a small float report). Usage:
 
 from __future__ import annotations
 
+import datetime
+import json
+import os
+import subprocess
 import sys
 import time
 import traceback
@@ -100,6 +104,33 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> str:
     return "; ".join(problems) if problems else ""
 
 
+def _log_run(sf_dir: str, results: dict[str, str], n_pass: int, n_fail: int) -> None:
+    """Append one JSON line per run to ORACLE_CHECKS.jsonl.
+
+    This is the measurement log the rotation contract points at (README
+    "Correctness window rotation"): past-boundary re-checks are auditable
+    here rather than in commit messages.
+    """
+    try:
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
+    line = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "sf_dir": sf_dir,
+        "git_head": head,
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "results": results,
+    }
+    path = os.path.join("/root/repo", "ORACLE_CHECKS.jsonl")
+    with open(path, "a") as fh:
+        fh.write(json.dumps(line, sort_keys=True) + "\n")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if not a.startswith("/")]
@@ -110,6 +141,7 @@ def main() -> None:
     qs = entrymod.queries()
     oqs = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -120,25 +152,31 @@ def main() -> None:
             print(f"FAIL {name}: SPARK ERROR")
             traceback.print_exc(limit=8)
             n_fail += 1
+            results[name] = "FAIL: SPARK ERROR"
             continue
         if name not in oqs:
             print(f"pass {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            results[name] = f"pass rows-only ({len(sdf)} rows)"
             continue
         try:
             odf = con.sql(oqs[name]).df()
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {str(e)[:300]}")
             n_fail += 1
+            results[name] = f"FAIL: ORACLE ERROR {str(e)[:200]}"
             continue
         msg = compare(name, sdf, odf)
         if msg:
             print(f"FAIL {name}: {msg}")
             n_fail += 1
+            results[name] = f"FAIL: {msg[:200]}"
         else:
             print(f"pass {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            results[name] = f"pass ({len(sdf)} rows)"
     print(f"== {n_pass} pass, {n_fail} fail")
+    _log_run(sf_dir, results, n_pass, n_fail)
 
 
 if __name__ == "__main__":
