@@ -303,7 +303,13 @@ def roc_auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """
     y = F.col(label_col).cast("int")
     vl = (
-        df.groupBy(F.col(score_col).alias("v"))
+        # NULL scores/labels excluded: a NULL score row would take a
+        # different window position in Spark (NULLS FIRST) vs DuckDB
+        # (NULLS LAST), and a NULL label silently drops from np but
+        # not nn — filter both, oracle carries the matching predicate
+        df.where(F.col(score_col).isNotNull()
+                 & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("v"))
         .agg(F.sum(y).cast("bigint").alias("np"),
              F.sum(1 - y).cast("bigint").alias("nn"))
     )
@@ -314,15 +320,19 @@ def roc_auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w),
                    F.lit(0)).cast("bigint").alias("c"),
     )
+    # DECIMAL(38,0) widening BEFORE the doubled-rank product and the
+    # n_pos·n_neg denominators — np·2c ~ n² wraps BIGINT at 100 TB row
+    # counts (the stattests.mann_whitney_u guard, same identity)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = ranked.agg(
         F.sum("np").cast("bigint").alias("n_pos"),
         F.sum("nn").cast("bigint").alias("n_neg"),
-        F.sum(F.col("np") * (2 * F.col("c") + F.col("t") + 1))
+        F.sum(d38("np") * (2 * d38("c") + d38("t") + 1))
         .cast("decimal(38,0)").alias("rp2"),
     )
     u = (F.col("rp2").cast("double") / 2
-         - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / 2)
-    auc = F.try_divide(u, (F.col("n_pos") * F.col("n_neg")).cast("double"))
+         - (d38("n_pos") * (d38("n_pos") + 1)).cast("double") / 2)
+    auc = F.try_divide(u, (d38("n_pos") * d38("n_neg")).cast("double"))
     q1 = F.col("auc") / (2.0 - F.col("auc"))
     q2 = 2.0 * F.col("auc") * F.col("auc") / (1.0 + F.col("auc"))
     a2 = F.col("auc") * F.col("auc")
@@ -330,7 +340,7 @@ def roc_auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         (F.col("auc") * (1.0 - F.col("auc"))
          + (F.col("n_pos") - 1).cast("double") * (q1 - a2)
          + (F.col("n_neg") - 1).cast("double") * (q2 - a2))
-        / (F.col("n_pos") * F.col("n_neg")).cast("double"))
+        / (d38("n_pos") * d38("n_neg")).cast("double"))
     return (
         agg.withColumn("auc", auc)
         .select("n_pos", "n_neg",

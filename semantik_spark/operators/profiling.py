@@ -142,20 +142,38 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     that law flags synthetic, capped, or hand-entered figures.
 
     Only strictly-positive values participate (zero/negative amounts
-    have no leading significant digit). Output: one row per digit 1-9
-    — n, observed_pct, expected_pct, chi2_term = (n - Np)²/(Np), and
-    chi2_total repeated per row (rounded-term DECIMAL sum, the
-    corpus_drift_psi discipline; df = 8 → 15.51 at α=0.05).
+    have no leading significant digit). Values in (0,1) take their
+    first SIGNIFICANT digit (0.042 → 4) via an exact fixed-point
+    decimal-string scan — no float log10/pow, whose ULP disagreements
+    between engines would flip digits at powers of ten. Positive
+    values below 1e-18 round to zero at the scan's DECIMAL(38,18)
+    scale and are excluded (documented bound). Output: one row per
+    digit 1-9 — n, observed_pct, expected_pct, chi2_term =
+    (n - Np)²/(Np), and chi2_total repeated per row (rounded-term
+    DECIMAL sum, the corpus_drift_psi discipline; df = 8 → 15.51 at
+    α=0.05).
 
     Scale: one scan collapsing map-side into 9 counters; everything
     after is arithmetic on a 9-row frame.
     """
-    digit = F.substring(
-        F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
-    ).cast("int")
+    v = F.col(value_col)
+    digit = F.when(
+        v >= 1,
+        # integer part's first character — exact, no string of a float
+        F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1)
+        .cast("int"),
+    ).otherwise(
+        # (0,1): fixed-point decimal render (never scientific
+        # notation), first non-zero digit char
+        F.nullif(
+            F.regexp_extract(v.cast("decimal(38,18)").cast("string"),
+                             "[1-9]", 0),
+            F.lit("")).cast("int")
+    )
     counts = (
-        df.where(F.col(value_col) >= 1)
+        df.where(v > 0)
         .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull())
         .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
     )
     spark = df.sparkSession

@@ -27,10 +27,18 @@ _KS_TERMS = 40
 
 def _value_level(df: DataFrame, group_col: str, value_col: str,
                  a, b) -> DataFrame:
-    """One row per distinct value with per-group counts (n_a, n_b)."""
+    """One row per distinct value with per-group counts (n_a, n_b).
+
+    NULL metric values are excluded HERE (not assumed away): a NULL
+    would become a value-level row whose window position differs
+    between engines (Spark ORDER BY sorts NULLS FIRST, DuckDB NULLS
+    LAST), silently corrupting both the statistic and the cross-engine
+    hash contract. The oracle twins carry the matching
+    ``IS NOT NULL`` predicate.
+    """
     g = F.col(group_col)
     return (
-        df.where(g.isin([a, b]))
+        df.where(g.isin([a, b]) & F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("v"))
         .agg(
             F.sum(F.when(g == a, 1).otherwise(0)).cast("bigint").alias("na"),
@@ -70,17 +78,22 @@ def ks_test_2samp(df: DataFrame, group_col: str, value_col: str,
     tot = vl.agg(F.sum("na").cast("bigint").alias("n_a"),
                  F.sum("nb").cast("bigint").alias("n_b"))
     # sup |ca/n_a - cb/n_b| = max |ca*n_b - cb*n_a| / (n_a*n_b): the
-    # numerator is exact BIGINT so the argmax never depends on doubles
+    # numerator is exact so the argmax never depends on doubles. The
+    # operands widen to DECIMAL(38,0) BEFORE the product (the
+    # assortativity overflow lesson, graph.py): at 100 TB row counts
+    # ca*n_b can exceed the 9.2e18 BIGINT ceiling, where Spark wraps
+    # silently while DuckDB errors — DECIMAL keeps both exact.
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     dmax = (
         cum.crossJoin(F.broadcast(tot))
-        .select(F.abs(F.col("ca") * F.col("n_b")
-                      - F.col("cb") * F.col("n_a")).alias("num"),
+        .select(F.abs(d38("ca") * d38("n_b")
+                      - d38("cb") * d38("n_a")).alias("num"),
                 "n_a", "n_b")
         .groupBy("n_a", "n_b")
         .agg(F.max("num").cast("decimal(38,0)").alias("num"))
     )
-    d = F.col("num").cast("double") / (F.col("n_a") * F.col("n_b"))
-    ne = (F.col("n_a") * F.col("n_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    d = F.col("num").cast("double") / (d38("n_a") * d38("n_b")).cast("double")
+    ne = (d38("n_a") * d38("n_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
     lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("ks_d")
     term = lambda j: (  # noqa: E731
         F.round(F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")), 9)
@@ -139,31 +152,37 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
         F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w),
                    F.lit(0)).cast("bigint").alias("c"),
     )
+    # per-term products and the tie cubes widen to DECIMAL(38,0) BEFORE
+    # multiplying (same 100 TB BIGINT-wrap hazard as ks_test_2samp:
+    # na·2c ~ n² and t³ both blow past 9.2e18 long before the counts do)
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = ranked.agg(
         F.sum("na").cast("bigint").alias("n_a"),
         F.sum("nb").cast("bigint").alias("n_b"),
-        F.sum(F.col("na") * (2 * F.col("c") + F.col("t") + 1))
+        F.sum(d38("na") * (2 * d38("c") + d38("t") + 1))
         .cast("decimal(38,0)").alias("ra2"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        F.sum(d38("t") * d38("t") * d38("t") - d38("t"))
         .cast("decimal(38,0)").alias("ties"),
     )
     n = F.col("n_a") + F.col("n_b")
+    nanb = (d38("n_a") * d38("n_b")).cast("double")
     u_a = (F.col("ra2").cast("double") / 2
-           - (F.col("n_a") * (F.col("n_a") + 1)).cast("double") / 2)
+           - (d38("n_a") * (d38("n_a") + 1)).cast("double") / 2)
     return (
         agg.select(
             F.lit(str(group_a)).alias("group_a"),
             F.lit(str(group_b)).alias("group_b"),
             "n_a", "n_b",
             u_a.alias("u_a"),
-            ((F.col("n_a") * F.col("n_b")).cast("double") - u_a).alias("u_b"),
+            (nanb - u_a).alias("u_b"),
             (
-                (u_a - (F.col("n_a") * F.col("n_b")).cast("double") / 2)
+                (u_a - nanb / 2)
                 / F.sqrt(
-                    (F.col("n_a") * F.col("n_b")).cast("double") / 12.0
+                    nanb / 12.0
                     * ((n + 1).cast("double")
                        - F.col("ties").cast("double")
-                       / (n * (n - 1)).cast("double"))
+                       / (n.cast("decimal(38,0)")
+                          * (n - 1).cast("decimal(38,0)")).cast("double"))
                 )
             ).alias("z"),
         )
@@ -540,8 +559,11 @@ def ks_family_bh(df: DataFrame, group_col: str, value_col: str,
     the value-level table; BH runs on the alphabet-row result.
     """
     vl = (
-        df.groupBy(F.col(value_col).alias("v"),
-                   F.col(group_col).cast("string").alias("g"))
+        # NULL metric values excluded for the same engine-ordering
+        # reason as _value_level (oracle carries the matching filter)
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"),
+                 F.col(group_col).cast("string").alias("g"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     vals = vl.groupBy("v").agg(F.sum("c").cast("bigint").alias("tot"))
@@ -562,15 +584,18 @@ def ks_family_bh(df: DataFrame, group_col: str, value_col: str,
         F.sum("c").cast("bigint").alias("n_a"),
         F.sum(F.col("tot") - F.col("c")).cast("bigint").alias("n_b"),
     )
+    # DECIMAL(38,0) widening before the cross products — the ks_test_2samp
+    # 100 TB BIGINT-wrap guard, applied to the one-vs-rest grid too
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     dmax = (
         cum.join(tots, "g")
         .groupBy("g", "n_a", "n_b")
-        .agg(F.max(F.abs(F.col("ca") * F.col("n_b")
-                         - F.col("cb") * F.col("n_a")))
+        .agg(F.max(F.abs(d38("ca") * d38("n_b")
+                         - d38("cb") * d38("n_a")))
              .cast("decimal(38,0)").alias("num"))
     )
-    d = F.col("num").cast("double") / (F.col("n_a") * F.col("n_b"))
-    ne = (F.col("n_a") * F.col("n_b")).cast("double") \
+    d = F.col("num").cast("double") / (d38("n_a") * d38("n_b")).cast("double")
+    ne = (d38("n_a") * d38("n_b")).cast("double") \
         / (F.col("n_a") + F.col("n_b"))
     base = dmax.select(
         F.col("g").alias("group_val"), "n_a", "n_b",

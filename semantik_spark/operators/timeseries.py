@@ -1510,13 +1510,22 @@ def ljung_box(events: DataFrame, lags: tuple = (1, 2, 7),
     r²/(n−k) rounds at 9 dp into DECIMAL and Q is engine-exact.
 
     Output: one row per group — event_type, n_days, q_stat (6 dp),
-    df; q_exceeds_05 against the hard-coded df∈{1..10} critical row.
+    df; q_exceeds_05 against the df∈{1..10} critical row looked up by
+    the PER-GROUP df (a group whose series is shorter than a lag loses
+    that NULL ACF term from both Q and df, so the verdict compares Q
+    against the chi-square row it actually has — not len(lags)).
+    Groups with df = 0 (or beyond the hard-coded table) get a NULL
+    verdict rather than a wrong one.
 
     Scale: acf_daily's shape (densified calendar, group×day bounded);
     the Q fold runs on |groups|×|lags| rows.
     """
     crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
             6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307}
+    if not 1 <= len(lags) <= 10:
+        raise ValueError(
+            f"ljung_box supports 1..10 lags (chi-square table bound), "
+            f"got {len(lags)}")
     acf = acf_daily(events, lags=lags, ts_col=ts_col, group_col=group_col)
     term = F.round(
         (F.col("acf") * F.col("acf"))
@@ -1524,11 +1533,15 @@ def ljung_box(events: DataFrame, lags: tuple = (1, 2, 7),
     ).cast("decimal(20,9)")
     agg = acf.groupBy("event_type", "n_days").agg(
         F.sum(term).cast("decimal(28,9)").alias("s"),
-        F.count("*").cast("int").alias("df"),
+        # df counts the lags that CONTRIBUTED (non-null ACF) — a short
+        # series' missing lags shrink df alongside Q
+        F.count("acf").cast("int").alias("df"),
     )
     q = (F.col("n_days") * (F.col("n_days") + 2)).cast("double") \
         * F.col("s").cast("double")
-    cv = F.lit(crit[len(lags)])
+    cv = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(crit.items()) for x in kv]),
+        F.col("df"))
     return agg.select(
         "event_type", "n_days",
         F.round(q, 6).alias("q_stat"), "df",

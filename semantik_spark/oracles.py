@@ -4951,6 +4951,54 @@ SELECT query_id, doc_id, n_occurrences, first_pos, rank::INT AS rank FROM (
 WHERE rank <= {k}"""
 
 
+def q_phrase_search_slop(k: int = 10, slop: int = 1) -> str:
+    """Twin of search.phrase_search(slop>0): "ordered near" matching —
+    an occurrence is a window start ``a`` from the doc's anchor set
+    with every slot's anchor inside [a, a+slop]."""
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS tokens
+  FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(range(0, len(tokens))) AS p, unnest(tokens) AS term
+  FROM tokd),
+ph AS ({queries_values_sql(PHRASE_QUERIES, text_name="phrase")}),
+ptokl AS (
+  SELECT query_id,
+         list_filter(regexp_extract_all(lower(phrase), '{TOKEN_PATTERN}'),
+                     t -> length(t) >= 2 AND NOT list_contains({STOPLIST_SQL}, t)) AS toks
+  FROM ph),
+ptok AS MATERIALIZED (
+  SELECT query_id, unnest(range(0, len(toks))) AS slot, unnest(toks) AS term
+  FROM ptokl),
+plen AS (SELECT query_id, count(DISTINCT slot) AS n_slots FROM ptok GROUP BY query_id),
+hits AS MATERIALIZED (
+  SELECT pt.query_id, pos.doc_id, pt.slot, pos.p - pt.slot AS anchor
+  FROM pos JOIN ptok pt USING (term)),
+starts AS (
+  SELECT DISTINCT query_id, doc_id, anchor AS a FROM hits),
+occ AS MATERIALIZED (
+  SELECT h.query_id, h.doc_id, s.a AS anchor
+  FROM hits h
+  JOIN starts s ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+   AND h.anchor BETWEEN s.a AND s.a + {slop}
+  JOIN plen ON plen.query_id = h.query_id
+  GROUP BY h.query_id, h.doc_id, s.a, plen.n_slots
+  HAVING count(DISTINCT h.slot) = plen.n_slots),
+scored AS (
+  SELECT query_id, doc_id, count(*)::INT AS n_occurrences,
+         min(anchor)::INT AS first_pos
+  FROM occ GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, n_occurrences, first_pos, rank::INT AS rank FROM (
+  SELECT s.*, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_occurrences DESC, first_pos ASC, doc_id ASC) AS rank
+  FROM scored s) z
+WHERE rank <= {k}"""
+
+
 def q_search_facets(search_k: int = 50, top_values: int = 5) -> str:
     """Twin of search.facet_counts: facet value counts over the BM25
     top-search_k hit set, top values per (query, facet)."""
@@ -5054,12 +5102,21 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 def q_benford_audit(table: str = "orders",
                     value_col: str = "o_totalprice") -> str:
     """Twin of profiling.benford_audit: first-significant-digit counts
-    vs log10(1 + 1/d), rounded chi-square terms summed as DECIMAL."""
+    vs log10(1 + 1/d), rounded chi-square terms summed as DECIMAL.
+    Sub-1 values take the same exact fixed-point decimal-string scan
+    as the Spark side (0.042 → 4; positives below 1e-18 excluded)."""
     return f"""
-WITH counts AS (
-  SELECT substring(floor({value_col})::BIGINT::VARCHAR, 1, 1)::INT AS digit,
-         count(*)::BIGINT AS n
-  FROM {table} WHERE {value_col} >= 1 GROUP BY 1),
+WITH digits AS (
+  SELECT CASE WHEN {value_col} >= 1
+              THEN substring(floor({value_col})::BIGINT::VARCHAR, 1, 1)::INT
+              ELSE nullif(regexp_extract(
+                     ({value_col}::DECIMAL(38,18))::VARCHAR, '[1-9]', 0),
+                   '')::INT
+         END AS digit
+  FROM {table} WHERE {value_col} > 0),
+counts AS (
+  SELECT digit, count(*)::BIGINT AS n
+  FROM digits WHERE digit IS NOT NULL GROUP BY 1),
 full_ AS (
   SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n
   FROM (SELECT unnest(range(1, 10))::INT AS digit) d
@@ -5242,7 +5299,7 @@ def q_stat_ks_test(ga: str = "click", gb: str = "purchase") -> str:
     return f"""
 WITH base AS (
   SELECT event_type AS g, value AS v FROM events
-  WHERE event_type IN ('{ga}', '{gb}')),
+  WHERE event_type IN ('{ga}', '{gb}') AND value IS NOT NULL),
 vl AS (
   SELECT v,
          sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
@@ -5254,14 +5311,17 @@ cum AS (
   FROM vl),
 tot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM vl),
 dm AS (
-  SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a))::DECIMAL(38,0) AS num
+  -- HUGEINT widening before the cross products: the Spark twin uses
+  -- DECIMAL(38,0); both stay exact where BIGINT would wrap at 100 TB
+  SELECT n_a, n_b,
+         max(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a))::DECIMAL(38,0) AS num
   FROM cum, tot GROUP BY n_a, n_b),
 d AS (
   SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
-         round(num::DOUBLE / (n_a * n_b), 6) AS ks_d,
-         (sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)) + 0.12
-          + 0.11 / sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)))
-         * round(num::DOUBLE / (n_a * n_b), 6) AS lam
+         round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
+         (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
+          + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
+         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
   FROM dm)
 SELECT group_a, group_b, n_a, n_b, ks_d,
        CASE WHEN lam < 0.1 THEN 1.0
@@ -5277,7 +5337,7 @@ def q_stat_mann_whitney(ga: str = "view", gb: str = "purchase") -> str:
     return f"""
 WITH base AS (
   SELECT event_type AS g, value AS v FROM events
-  WHERE event_type IN ('{ga}', '{gb}')),
+  WHERE event_type IN ('{ga}', '{gb}') AND value IS NOT NULL),
 vl AS (
   SELECT v,
          sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
@@ -5290,22 +5350,26 @@ ranked AS (
            0)::BIGINT AS c
   FROM vl),
 agg AS (
+  -- HUGEINT widening before the doubled-rank products and tie cubes
+  -- (na*2c ~ n², t³ — both wrap BIGINT at 100 TB; Spark twin uses
+  -- DECIMAL(38,0))
   SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
-         sum(na * (2 * c + t + 1))::DECIMAL(38,0) AS ra2,
-         sum(t * t * t - t)::DECIMAL(38,0) AS ties
+         sum(na::HUGEINT * (2 * c::HUGEINT + t + 1))::DECIMAL(38,0) AS ra2,
+         sum(t::HUGEINT * t * t - t)::DECIMAL(38,0) AS ties
   FROM ranked),
 ua AS (
   SELECT n_a, n_b,
-         ra2::DOUBLE / 2 - (n_a * (n_a + 1))::DOUBLE / 2 AS u_a,
+         ra2::DOUBLE / 2 - (n_a::HUGEINT * (n_a + 1))::DOUBLE / 2 AS u_a,
          ties FROM agg)
 SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
        round(u_a, 1) AS u_a,
-       round((n_a * n_b)::DOUBLE - u_a, 1) AS u_b,
-       round((u_a - (n_a * n_b)::DOUBLE / 2)
-             / sqrt((n_a * n_b)::DOUBLE / 12.0
+       round((n_a::HUGEINT * n_b)::DOUBLE - u_a, 1) AS u_b,
+       round((u_a - (n_a::HUGEINT * n_b)::DOUBLE / 2)
+             / sqrt((n_a::HUGEINT * n_b)::DOUBLE / 12.0
                     * ((n_a + n_b + 1)::DOUBLE
                        - ties::DOUBLE
-                       / ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)), 6) AS z
+                       / ((n_a + n_b)::HUGEINT
+                          * (n_a + n_b - 1))::DOUBLE)), 6) AS z
 FROM ua"""
 
 
@@ -6339,7 +6403,7 @@ def q_ks_family_bh(alpha_milli: int = 50) -> str:
     a = f"({alpha_milli}/1000.0)"
     return f"""
 WITH vl AS (SELECT value AS v, event_type AS g, count(*)::BIGINT AS c
-            FROM events GROUP BY 1, 2),
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 vals AS (SELECT v, sum(c)::BIGINT AS tot FROM vl GROUP BY v),
 groups AS (SELECT DISTINCT g FROM vl),
 grid AS (
@@ -6354,15 +6418,16 @@ cum AS (
 tots AS (SELECT g, sum(c)::BIGINT AS n_a, sum(tot - c)::BIGINT AS n_b
          FROM grid GROUP BY g),
 dmax AS (
+  -- HUGEINT widening before the cross products (Spark: DECIMAL(38,0))
   SELECT cum.g, tots.n_a, tots.n_b,
-         max(abs(ca * n_b - cb * n_a))::DECIMAL(38,0) AS num
+         max(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a))::DECIMAL(38,0) AS num
   FROM cum JOIN tots USING (g) GROUP BY 1, 2, 3),
 base AS (
   SELECT g AS group_val, n_a, n_b,
-         round(num::DOUBLE / (n_a * n_b), 6) AS ks_d,
-         (sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)) + 0.12
-          + 0.11 / sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)))
-         * round(num::DOUBLE / (n_a * n_b), 6) AS lam
+         round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
+         (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
+          + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
+         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
   FROM dmax),
 withp AS (
   SELECT group_val, n_a, n_b, ks_d,
@@ -6604,20 +6669,24 @@ def q_ljung_box(acf_sql: str, n_lags: int = 3) -> str:
     9-dp DECIMAL terms against the df critical value."""
     crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
             6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307}
-    cv = crit[n_lags]
+    if not 1 <= n_lags <= 10:
+        raise ValueError(f"ljung_box oracle supports 1..10 lags, got {n_lags}")
+    # critical value looked up by the PER-GROUP df (count of non-null
+    # ACF terms), mirroring timeseries.ljung_box's short-series rule
+    cv = " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(crit.items()))
     return f"""
 WITH acf_rows AS ({acf_sql}),
 agg AS (
   SELECT event_type, n_days,
          sum(round((acf * acf) / (n_days - lag)::DOUBLE, 9)
              ::DECIMAL(20,9))::DECIMAL(28,9) AS s,
-         count(*)::INT AS df
+         count(acf)::INT AS df
   FROM acf_rows GROUP BY event_type, n_days)
 SELECT event_type, n_days,
        round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) AS q_stat,
        df,
-       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) > {cv}
-         AS q_exceeds_05
+       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6)
+         > (CASE df {cv} END) AS q_exceeds_05
 FROM agg"""
 
 
@@ -6630,7 +6699,8 @@ WITH tq AS ({quality_sql}),
 base AS (
   SELECT round(tq.stopword_ratio, 6) AS v,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-  FROM tq JOIN documents d USING (doc_id)),
+  FROM tq JOIN documents d USING (doc_id)
+  WHERE tq.stopword_ratio IS NOT NULL AND d.lang IS NOT NULL),
 vl AS (SELECT v, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
        FROM base GROUP BY v),
 ranked AS (
@@ -6640,20 +6710,22 @@ ranked AS (
            0)::BIGINT AS c
   FROM vl),
 agg AS (
+  -- HUGEINT widening before the doubled-rank product (np*2c ~ n²
+  -- wraps BIGINT at 100 TB; Spark twin uses DECIMAL(38,0))
   SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
-         sum(np * (2 * c + t + 1))::DECIMAL(38,0) AS rp2
+         sum(np::HUGEINT * (2 * c::HUGEINT + t + 1))::DECIMAL(38,0) AS rp2
   FROM ranked),
 au AS (
   SELECT n_pos, n_neg,
-         (rp2::DOUBLE / 2 - (n_pos * (n_pos + 1))::DOUBLE / 2)
-         / (n_pos * n_neg)::DOUBLE AS auc
+         (rp2::DOUBLE / 2 - (n_pos::HUGEINT * (n_pos + 1))::DOUBLE / 2)
+         / (n_pos::HUGEINT * n_neg)::DOUBLE AS auc
   FROM agg)
 SELECT n_pos, n_neg, round(auc, 6) AS auc,
        round(sqrt((auc * (1.0 - auc)
                    + (n_pos - 1)::DOUBLE * (auc / (2.0 - auc) - auc * auc)
                    + (n_neg - 1)::DOUBLE
                      * (2.0 * auc * auc / (1.0 + auc) - auc * auc))
-                  / (n_pos * n_neg)::DOUBLE), 6) AS se
+                  / (n_pos::HUGEINT * n_neg)::DOUBLE), 6) AS se
 FROM au"""
 
 

@@ -133,3 +133,18 @@ def test_benford_audit_benford_sample_passes(spark):
     df = spark.createDataFrame(rows, ["amount"])
     out = benford_audit(df, "amount").head()
     assert out["chi2_total"] < 0.1
+
+
+def test_benford_audit_sub1_first_significant_digit(spark):
+    """Values in (0,1) participate with their first SIGNIFICANT digit
+    (0.042 -> 4), via the exact fixed-point decimal-string scan; a
+    positive value below the DECIMAL(38,18) scale is excluded."""
+    from semantik_spark.operators.profiling import benford_audit
+
+    rows = [(0.042,), (0.042,), (0.7,), (300.0,), (0.0003,), (1e-25,)]
+    df = spark.createDataFrame(rows, ["amount"])
+    out = {r["digit"]: r["n"] for r in benford_audit(df, "amount").collect()}
+    assert out[4] == 2   # 0.042 twice
+    assert out[7] == 1   # 0.7
+    assert out[3] == 2   # 300.0 and 0.0003; 1e-25 rounds to zero scale
+    assert sum(out.values()) == 5

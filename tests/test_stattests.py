@@ -237,3 +237,33 @@ def test_brown_forsythe_equal_and_unequal_spread(spark):
     r2 = brown_forsythe(het, "g", "v").collect()[0]
     # hand fold: between=240.666667 (df1=1), within=267.333333 (df2=4)
     assert r2["f_stat"] == 3.600998
+
+
+def test_value_level_tests_ignore_null_values(spark):
+    """NULL metric values are excluded from the value-level table —
+    they would otherwise take engine-dependent window positions
+    (Spark NULLS FIRST vs DuckDB NULLS LAST) and corrupt D/U."""
+    from semantik_spark.operators.stattests import (ks_test_2samp,
+                                                    mann_whitney_u)
+
+    base = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    with_nulls = base + [("a", None), ("b", None)]
+    clean = spark.createDataFrame(base, ["g", "v"])
+    dirty = spark.createDataFrame(with_nulls, ["g", "v"])
+    for fn in (ks_test_2samp, mann_whitney_u):
+        r_clean = fn(clean, "g", "v", "a", "b").collect()[0]
+        r_dirty = fn(dirty, "g", "v", "a", "b").collect()[0]
+        assert r_clean == r_dirty, fn.__name__
+
+
+def test_roc_auc_ignores_null_scores_and_labels(spark):
+    from semantik_spark.operators.metrics import roc_auc_exact
+
+    base = [(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)]
+    clean = spark.createDataFrame(base, ["v", "y"])
+    dirty = spark.createDataFrame(
+        base + [(None, 1), (0.5, None)], ["v", "y"])
+    assert (roc_auc_exact(clean, "v", "y").collect()
+            == roc_auc_exact(dirty, "v", "y").collect())
+    assert roc_auc_exact(clean, "v", "y").collect()[0]["auc"] == 1.0

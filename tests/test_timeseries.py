@@ -739,3 +739,39 @@ def test_pacf_matches_durbin_levinson_fold(spark):
     kk = q((acf[2] - sn / 1e12) / (1.0 - sn / 1e12))
     assert out[2] == round(kk / 1e12, 6)
     assert acf[1] < -0.8  # the alternation is visible
+
+
+def test_ljung_box_rejects_oversized_lag_set(spark):
+    import pytest as _pytest
+
+    from semantik_spark.operators.timeseries import ljung_box
+
+    df = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1), "x")],
+        ["event_id", "user_id", "ts", "event_type"])
+    with _pytest.raises(ValueError, match="1..10 lags"):
+        ljung_box(df, lags=tuple(range(1, 12)))
+
+
+def test_ljung_box_short_series_df_shrinks(spark):
+    """A group whose daily series is shorter than a requested lag
+    loses that NULL ACF term from BOTH Q and df, and the verdict
+    compares against the chi-square row for the shrunken df."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import ljung_box
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 5-day series: lag 7 has no pairs -> NULL ACF -> df = 2, not 3
+    for d in range(5):
+        for j in range(2 + d % 2):
+            rows.append((eid, 1, t0 + datetime.timedelta(days=d, minutes=j),
+                         "short"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    r = ljung_box(df, lags=(1, 2, 7)).collect()[0]
+    assert r["df"] == 2
+    assert r["q_exceeds_05"] is not None  # critical row exists for df=2
