@@ -489,6 +489,22 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_t(spark, sf_dir, "documents"), phrases, k=10)
 
 
+def q_phrase_search_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase search (search.phrase_search, slop=1): "ordered
+    near" matching — every phrase term within 1 position of its
+    in-phrase offset relative to a common window base, admitting one
+    insertion ("sort fast merge" matches "sort merge"). Same anchor
+    table as the exact path with a range condition on anchor spread;
+    candidate mass stays posting-bounded (per-doc-tf² window pairs,
+    partition-local)."""
+    from semantik_spark.operators.search import phrase_search
+    from semantik_spark.oracles import PHRASE_QUERIES
+
+    phrases = spark.createDataFrame(PHRASE_QUERIES, ["query_id", "phrase"])
+    return phrase_search(_t(spark, sf_dir, "documents"), phrases, k=10,
+                         slop=1)
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search (search.facet_counts): per-query facet sidebar —
     hit counts by source and lang over the BM25 top-50 result set, top
@@ -5742,6 +5758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_count": q_parts_supplier_count,
         "small_qty_revenue": q_small_qty_revenue,
         "large_orders": q_large_orders,
+        # --- round-10 additions (past the boundary; first driver row
+        # next rotation — tests/test_entry_contract.py
+        # ROUND11_WINDOW_MUST; growth capped ~10, VERDICT r9 item 2)
+        "phrase_search_slop": q_phrase_search_slop,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7214,6 +7234,8 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "simpson_audit": oracles.q_simpson_audit(),
         "mutual_information": oracles.q_mutual_information(),
         "cohens_kappa": oracles.q_cohens_kappa(),
+        # --- round-10 additions
+        "phrase_search_slop": oracles.q_phrase_search_slop(k=10, slop=1),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

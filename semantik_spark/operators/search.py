@@ -220,7 +220,8 @@ def maxsim_rerank(docs: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def mmr_diversify(candidates: DataFrame, k: int = 8,
-                  lambda_milli: int = 700) -> DataFrame:
+                  lambda_milli: int = 700,
+                  max_pool_rows: int = 50_000) -> DataFrame:
     """Maximal Marginal Relevance result diversification (Carbonell &
     Goldstein 1998): greedily re-rank a per-query candidate pool so
     each pick balances relevance against redundancy with what is
@@ -245,11 +246,27 @@ def mmr_diversify(candidates: DataFrame, k: int = 8,
     sequential dependency costs zero Spark jobs instead of ~5k per
     step. IEEE doubles in CPython are the same doubles as in the JVM
     and DuckDB, so the trajectory is engine-portable bit-for-bit.
+
+    The contract is ENFORCED, not assumed (the DBSCAN tiered-CC
+    discipline): the collect is capped at ``max_pool_rows`` via
+    limit(cap+1) — same single job as the plain collect — and a pool
+    past the cap raises instead of collecting the world. Callers with
+    an unbounded candidate table must pre-bound per query (a rank ≤
+    candidate-k window) or shard the serve batch.
     """
     import math
 
     lam = float(lambda_milli) / 1000.0
-    rows = candidates.select("query_id", "doc_id", "rel", "e").collect()
+    rows = (candidates.select("query_id", "doc_id", "rel", "e")
+            .limit(max_pool_rows + 1).collect())
+    if len(rows) > max_pool_rows:
+        raise ValueError(
+            f"mmr_diversify candidate pool exceeds max_pool_rows="
+            f"{max_pool_rows}: the serve-batch contract (candidate-k "
+            f"clamped to [20,200] per query × a bounded query batch) was "
+            f"violated. Pre-bound candidates per query with a rank<=k "
+            f"window, shard the serve batch, or raise max_pool_rows "
+            f"deliberately.")
     by_q: dict = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(
@@ -440,12 +457,13 @@ def spell_suggestions(docs: DataFrame, words: DataFrame, k: int = 1,
 
 
 def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
+                  slop: int = 0,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Exact phrase search over positional postings — Lucene
-    PhraseQuery(slop=0) semantics on the BM25 token stream (reference
-    serves term queries only, vecpipe/search/service.py; this closes
-    the quoted-query gap every search UI exposes).
+    """Phrase search over positional postings — Lucene PhraseQuery
+    semantics on the BM25 token stream, exact (slop=0) or sloppy
+    (reference serves term queries only, vecpipe/search/service.py;
+    this closes the quoted-query gap every search UI exposes).
 
     Positions are indices into the SAME filtered token stream BM25 and
     best_window_snippets use (lowercase, len>=2, stopwords dropped), so
@@ -453,20 +471,37 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
     tokens are adjacent — the standard behavior of an analyzer chain
     with stopword removal and no position increments.
 
-    Match rule: phrase tokens t_0..t_{n-1}; a document occurrence is an
-    anchor position p where token(p + i) == t_i for every slot i.
-    Implemented as anchor = hit_position - slot on the (term-matched)
-    hit table, grouped by anchor, HAVING every distinct slot present —
-    no per-candidate doc rescan. Repeated phrase terms are handled by
-    the slot-distinct count (each slot must independently find its
-    term at its offset).
+    Match rule (slop=0): phrase tokens t_0..t_{n-1}; a document
+    occurrence is an anchor position p where token(p + i) == t_i for
+    every slot i. Implemented as anchor = hit_position - slot on the
+    (term-matched) hit table, grouped by anchor, HAVING every distinct
+    slot present — no per-candidate doc rescan. Repeated phrase terms
+    are handled by the slot-distinct count (each slot must
+    independently find its term at its offset).
+
+    Match rule (slop>0) — "ordered near" with bounded displacement,
+    the same anchor table with a RANGE condition on anchor spread: an
+    occurrence is a window start ``a`` (drawn from the doc's own
+    anchor set) such that every slot has some hit with anchor in
+    [a, a+slop] — i.e. every term sits within ``slop`` positions of
+    its in-phrase offset relative to a common base. slop=0 reduces to
+    the exact rule; small slops admit insertions ("sort fast merge"
+    matches "sort merge" at slop 1) and, at slop ≥ 2, adjacent
+    transpositions — Lucene's sloppy behavior for two-term phrases,
+    and a documented max-displacement (not summed-moves) variant for
+    longer ones. Occurrences = distinct matching window starts.
 
     Ranking: occurrences DESC, first anchor ASC, doc_id ASC → top-k.
 
     Scale: the phrase side is tiny → broadcast; the hit table is
     bounded by Σ tf of the phrase's terms (same bound as the snippet
     operator), never corpus × phrase. One shuffle to group anchors.
+    The sloppy window join pairs each doc's hits with ITS OWN anchor
+    starts — per-doc-tf² rows keyed by (query, doc), partition-local
+    after the one shuffle, never corpus-quadratic.
     """
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     pos = (
         bm25.tokenize(docs, id_col=id_col, text_col=text_col)
         .select(F.col("doc_id"), F.posexplode("tokens").alias("p", "term"))
@@ -481,13 +516,26 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
     hits = pos.join(F.broadcast(ptok), "term").select(
         "query_id", "doc_id", "slot",
         (F.col("p") - F.col("slot")).alias("anchor"))
-    occ = (
-        hits.where(F.col("anchor") >= 0)
-        .groupBy("query_id", "doc_id", "anchor")
-        .agg(F.count_distinct("slot").alias("got"))
-        .join(F.broadcast(plen), "query_id")
-        .where(F.col("got") == F.col("n_slots"))
-    )
+    if slop == 0:
+        occ = (
+            hits.where(F.col("anchor") >= 0)
+            .groupBy("query_id", "doc_id", "anchor")
+            .agg(F.count_distinct("slot").alias("got"))
+            .join(F.broadcast(plen), "query_id")
+            .where(F.col("got") == F.col("n_slots"))
+        )
+    else:
+        starts = hits.select("query_id", "doc_id",
+                             F.col("anchor").alias("a")).distinct()
+        occ = (
+            hits.join(starts, ["query_id", "doc_id"])
+            .where((F.col("anchor") >= F.col("a"))
+                   & (F.col("anchor") <= F.col("a") + slop))
+            .groupBy("query_id", "doc_id", F.col("a").alias("anchor"))
+            .agg(F.count_distinct("slot").alias("got"))
+            .join(F.broadcast(plen), "query_id")
+            .where(F.col("got") == F.col("n_slots"))
+        )
     scored = occ.groupBy("query_id", "doc_id").agg(
         F.count("*").cast("int").alias("n_occurrences"),
         F.min("anchor").cast("int").alias("first_pos"))

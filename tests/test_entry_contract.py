@@ -156,6 +156,7 @@ ROUND10_R5_FILL: tuple = (
 # Growth is throttled to window capacity: keep this list ≤ ~10
 # (VERDICT r9 item 2).
 ROUND11_WINDOW_MUST: tuple = (
+    "phrase_search_slop",
 )
 
 

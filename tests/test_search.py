@@ -276,3 +276,47 @@ def test_ltr_features_candidate_union(spark):
     assert rows[3]["n_matched"] == 0 and rows[3]["doc_len"] == 0
     assert all(r["dense_rank"] > 0 or r["bm25_rank"] > 0
                for r in rows.values())
+
+
+def test_mmr_diversify_guards_unbounded_pool(spark):
+    """A candidate pool past max_pool_rows raises loudly instead of
+    collecting the world (serve-batch contract enforcement)."""
+    import pytest as _pytest
+
+    from semantik_spark.operators.search import mmr_diversify
+
+    rows = [("q1", i, 1.0, [1.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "rel", "e"])
+    with _pytest.raises(ValueError, match="max_pool_rows"):
+        mmr_diversify(df, k=3, max_pool_rows=5)
+    # under the cap the greedy path is unchanged
+    out = mmr_diversify(df, k=3, max_pool_rows=10).collect()
+    assert len(out) == 3
+
+
+def test_phrase_search_slop_semantics(spark):
+    """slop=0 requires adjacency; slop=1 admits one insertion; slop=2
+    admits an adjacent transposition (Lucene sloppy behavior for
+    two-term phrases)."""
+    from semantik_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort wins"),          # exact "merge sort"
+         (2, "merge quick sort wins"),    # one insertion
+         (3, "sort merge wins"),          # transposed
+         (4, "merge wins")],              # missing term
+        ["doc_id", "text"])
+    ph = spark.createDataFrame([("q", "merge sort")],
+                               ["query_id", "phrase"])
+
+    def hit_docs(slop):
+        return {r["doc_id"]
+                for r in phrase_search(docs, ph, k=10, slop=slop).collect()}
+
+    assert hit_docs(0) == {1}
+    assert hit_docs(1) == {1, 2}
+    assert hit_docs(2) == {1, 2, 3}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="slop"):
+        phrase_search(docs, ph, slop=-1)
