@@ -1093,3 +1093,35 @@ def test_dedup_canonical_job_count_pin(spark):
         sc.setJobGroup(None, None)
     jobs = len(tracker.getJobIdsForGroup("gate_canon"))
     assert 0 < jobs <= 44, jobs
+
+
+def test_heavy_query_job_count_pins(spark):
+    """Counter pins for the top of the round-9 non-replay cost table
+    (VERDICT r9 item 7): these queries' shapes are sweep-bounded
+    (ivf_sample_sweep), calendar-pair-bounded (theil_sen), k²-bounded
+    (rank_tau), and posting-mass-bounded (search_snippets) — their job
+    counts are plan-determined at a fixed SF, so a refactor that adds
+    a per-item action or an unexpected exchange trips the pin before
+    any wall-clock number moves. Bounds = warmed sf0.001 counts +
+    small headroom; <= so only regressions trip."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    pins = [
+        ("knn_ivf_sample_sweep", 48),
+        ("theil_sen_trend", 14),
+        ("rank_tau", 165),
+        ("search_snippets", 145),
+    ]
+    for name, bound in pins:
+        qs[name](spark, sf).count()  # warm: AQE stats settle
+        sc.setJobGroup(f"gate_{name}", name)
+        try:
+            qs[name](spark, sf).count()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(tracker.getJobIdsForGroup(f"gate_{name}"))
+        assert 0 < jobs <= bound, (name, jobs, bound)
