@@ -1498,6 +1498,36 @@ def q_knn_ivf_sample_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ivf_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift detection + retrain trigger for frozen-codebook
+    IVF appends (similarity.ivf_assignment_drift, VERDICT r9 item 4):
+    codebook trained on base (corpus minus the vec_id%5==0 fifth);
+    the held-out fifth arrives as an append batch either
+    ABS-TRANSFORMED (a real distribution shift) or untouched; PSI over
+    the per-cell assignment histograms of the BATCH vs the build-time
+    corpus under the frozen codebook. Both scenarios are emitted so
+    the detector's discrimination is itself hash-pinned: the drifted
+    batch fires retrain_needed (PSI ≈ 1.6 ≫ 0.2), the in-distribution
+    batch does not (≈ 0.15). The operational knob knn_ivf_append left
+    open: WHEN to blue/green-retrain (maintenance.bluegreen is the
+    swap; reference reindex webui/tasks/reindex.py:275-304)."""
+    corpus, _ = _emb_split(spark, sf_dir)
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    held = corpus.where(F.col("vec_id") % 5 == 0)
+    drifted = held.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.abs(x)).alias("embedding"))
+    cent = similarity.ivf_refine(
+        base, similarity.ivf_centroids(base, 16), iters=1)
+    out = None
+    for label, batch in (("drifted", drifted), ("in_distribution", held)):
+        r = (similarity.ivf_assignment_drift(base, batch, cent)
+             .withColumn("batch", F.lit(label)))
+        out = r if out is None else out.unionByName(r)
+    return out.select("batch", "centroid_id", "n_ref", "n_cur",
+                      "psi_term", "psi_total", "retrain_needed")
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: m=8 one-byte codes per vector (32×
     storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
@@ -5762,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation — tests/test_entry_contract.py
         # ROUND11_WINDOW_MUST; growth capped ~10, VERDICT r9 item 2)
         "phrase_search_slop": q_phrase_search_slop,
+        "ivf_codebook_drift": q_ivf_codebook_drift,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7236,6 +7267,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "cohens_kappa": oracles.q_cohens_kappa(),
         # --- round-10 additions
         "phrase_search_slop": oracles.q_phrase_search_slop(k=10, slop=1),
+        "ivf_codebook_drift": oracles.q_ivf_codebook_drift(16, 200),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -670,6 +670,94 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     )
 
 
+def ivf_assignment_drift(ref: DataFrame, cur: DataFrame, cent_rows: list,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         threshold_milli: int = 200) -> DataFrame:
+    """Codebook-staleness detector for frozen-codebook IVF appends —
+    per-cell assignment-mass drift (PSI) between the corpus the
+    codebook was TRAINED on (``ref``) and an incoming corpus slice
+    (``cur``, typically the APPEND BATCH), both assigned under the
+    SAME frozen codebook (``cent_rows``). ivf_append proves frozen
+    appends serve exactly; this answers the missing operational
+    question: when has the data drifted far enough that the quantizer
+    needs a blue/green retrain (maintenance.bluegreen is the swap
+    path — reference reindex webui/tasks/reindex.py:275-304)?
+
+    Compare the BATCH against build-time, not the merged corpus: a
+    drifted batch diluted into N× existing mass moves the pooled
+    histogram by at most its mixture fraction (a 20% drifted append
+    reads PSI ≈ 0.09 pooled vs 1.6 batch-vs-build on the same data),
+    so the pooled comparison only fires after the damage is done.
+
+      PSI = Σ_cells (p_c − q_c)·ln(p_c/q_c),  +1-smoothed shares
+      q_c = (n_ref_c + 1)/(N_ref + C),  p_c = (n_cur_c + 1)/(N_cur + C)
+
+    (corpus_drift_psi's exact smoothing/rounding discipline: terms
+    round to 6 dp into DECIMAL so the fold is engine-exact). The
+    standard PSI bands apply: < 0.1 stable, 0.1–0.25 watch, > 0.25
+    shifted; ``threshold_milli``/1000 (default 0.2) is the retrain
+    trigger. tests/test_similarity.py pins the contract end-to-end: a
+    drifted append pushes PSI past the trigger AND retraining at the
+    trigger restores the recall the frozen codebook lost.
+
+    Output: one row per codebook cell — centroid_id, n_ref, n_cur,
+    psi_term (6 dp), psi_total (repeated), retrain_needed.
+
+    Scale: two broadcast-codebook assignment maps (narrow, no shuffle)
+    + two cell-bounded groupBys; everything after runs on the
+    n_centroids-row cell table. In the steady sync loop ``ref``'s
+    histogram is a build-time artifact read back, not a re-scan — the
+    counts are a commutative monoid, so per-append partials merge.
+    """
+    spark = ref.sparkSession
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        c = df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+        assigned = c.crossJoin(codebook).withColumn(
+            "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
+        ).drop("cents")
+        return assigned.groupBy("centroid_id").agg(
+            F.count("*").cast("bigint").alias(name))
+
+    n_cells = len(cent_rows)
+    cells = spark.createDataFrame(
+        [(int(r["cid"]),) for r in cent_rows], "centroid_id bigint")
+    j = (
+        cells
+        .join(hist(ref, "_nr"), "centroid_id", "left")
+        .join(hist(cur, "_nc"), "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("_nr", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy()
+    smoothed = j.select(
+        "centroid_id", "n_ref", "n_cur",
+        ((F.col("n_ref") + 1).cast("double")
+         / (F.sum("n_ref").over(w) + F.lit(n_cells)).cast("double"))
+        .alias("_q"),
+        ((F.col("n_cur") + 1).cast("double")
+         / (F.sum("n_cur").over(w) + F.lit(n_cells)).cast("double"))
+        .alias("_p"),
+    )
+    termed = smoothed.select(
+        "centroid_id", "n_ref", "n_cur",
+        F.round((F.col("_p") - F.col("_q"))
+                * F.log(F.col("_p") / F.col("_q")), 6)
+        .cast("decimal(12,6)").alias("psi_term"),
+    )
+    thr = F.lit(threshold_milli).cast("double") / 1000.0
+    return termed.select(
+        "centroid_id", "n_ref", "n_cur",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.sum("psi_term").over(w).cast("double").alias("psi_total"),
+    ).withColumn("retrain_needed", F.col("psi_total") > thr)
+
+
 def cluster_profile(corpus: DataFrame, n_centroids: int = 16,
                     refine_iters: int = 1, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -1632,6 +1632,89 @@ rk AS (
 SELECT query_id, vec_id, round(cos, 6) AS cos, rank::INT AS rank FROM rk WHERE rank <= {k}"""
 
 
+def q_ivf_codebook_drift(n_centroids: int = 16,
+                         threshold_milli: int = 200) -> str:
+    """Twin of similarity.ivf_assignment_drift on the frozen-codebook
+    drift scenario: codebook trained (seed + 1 Lloyd step, 6-dp means)
+    on base = corpus with vec_id % 5 != 0; the held-out fifth arrives
+    as an append BATCH either abs-transformed ('drifted') or untouched
+    ('in_distribution'); PSI over the per-cell assignment histograms
+    of batch vs build-time corpus under the frozen codebook — both
+    scenarios emitted so the detector's discrimination is pinned."""
+    thr = threshold_milli / 1000.0
+
+    def branch(label: str, delta_cte: str) -> str:
+        s = label[:2]
+        return f"""
+d{s} AS ({delta_cte}),
+a{s} AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT c.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {cosine_expr("c.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM d{s} c CROSS JOIN cent) WHERE rn = 1),
+h{s} AS (SELECT centroid_id, count(*)::BIGINT AS n FROM a{s} GROUP BY 1),
+j{s} AS (
+  SELECT cent.cid AS centroid_id,
+         coalesce(href.n, 0)::BIGINT AS n_ref,
+         coalesce(h{s}.n, 0)::BIGINT AS n_cur
+  FROM cent
+  LEFT JOIN href ON href.centroid_id = cent.cid
+  LEFT JOIN h{s} ON h{s}.centroid_id = cent.cid),
+sm{s} AS (
+  SELECT centroid_id, n_ref, n_cur,
+         (n_ref + 1)::DOUBLE / (sum(n_ref) OVER () + {n_centroids})::DOUBLE AS q_,
+         (n_cur + 1)::DOUBLE / (sum(n_cur) OVER () + {n_centroids})::DOUBLE AS p_
+  FROM j{s}),
+t{s} AS (
+  SELECT '{label}' AS batch, centroid_id, n_ref, n_cur,
+         round((p_ - q_) * ln(p_ / q_), 6)::DECIMAL(12,6) AS psi_term
+  FROM sm{s})"""
+
+    drifted = branch(
+        "drifted",
+        "SELECT vec_id, list_transform(v, x -> abs(x)) AS v "
+        "FROM corpus WHERE vec_id % 5 = 0")
+    indist = branch(
+        "in_distribution",
+        "SELECT vec_id, v FROM corpus WHERE vec_id % 5 = 0")
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+base AS (SELECT * FROM corpus WHERE vec_id % 5 != 0),
+cent0 AS (SELECT vec_id AS cid, v AS cv FROM base ORDER BY vec_id LIMIT {n_centroids}),
+rassign0 AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT t.vec_id, t.v, cent0.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cosine_expr("t.v", "cent0.cv")} DESC, cent0.cid ASC) AS rn
+    FROM base t CROSS JOIN cent0) WHERE rn = 1),
+rmeans0 AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM rassign0)
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+cent AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM cent0 c LEFT JOIN rmeans0 m USING (cid)),
+aref AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT b.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {cosine_expr("b.v", "cent.cv")} DESC, cent.cid ASC) AS rn
+    FROM base b CROSS JOIN cent) WHERE rn = 1),
+href AS (SELECT centroid_id, count(*)::BIGINT AS n FROM aref GROUP BY 1),
+{drifted},
+{indist}
+SELECT batch, centroid_id, n_ref, n_cur,
+       psi_term::DOUBLE AS psi_term,
+       (sum(psi_term) OVER (PARTITION BY batch))::DOUBLE AS psi_total,
+       (sum(psi_term) OVER (PARTITION BY batch))::DOUBLE > {thr}
+         AS retrain_needed
+FROM (SELECT * FROM tdr UNION ALL SELECT * FROM tin) u"""
+
+
 def _hyperplane_literals(dim: int, nbits: int) -> list[str]:
     """Python-side replay of similarity._hyperplane: hash60('hp:b:j')
     scaled by /2^59 - 1. md5 is identical everywhere, so these literals

@@ -157,6 +157,7 @@ ROUND10_R5_FILL: tuple = (
 # (VERDICT r9 item 2).
 ROUND11_WINDOW_MUST: tuple = (
     "phrase_search_slop",
+    "ivf_codebook_drift",
 )
 
 

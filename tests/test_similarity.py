@@ -603,3 +603,52 @@ def test_label_centroid_similarity_geometry(spark):
     assert out[(0, 1)]["cosine"] == 0.0
     assert out[(0, 2)]["cosine"] == 1.0  # same direction, scale-free
     assert out[(1, 2)]["cosine"] == 0.0
+
+
+def test_codebook_drift_trigger_and_retrain_restores_recall(spark):
+    """The full codebook-lifecycle contract (VERDICT r9 item 4):
+    (1) a drifted append batch pushes batch-vs-build assignment PSI
+    past the 0.2 retrain trigger while an in-distribution batch stays
+    under it (the detector discriminates), and (2) blue/green
+    retraining at the trigger restores the recall the frozen codebook
+    lost on the drifted workload."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.functions.caching import cache
+    from semantik_spark.operators import similarity
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    corpus = emb.where(F.col("vec_id") >= 10)
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    held = corpus.where(F.col("vec_id") % 5 == 0)
+    drifted = held.select(
+        "vec_id", F.transform("embedding", lambda x: F.abs(x)).alias("embedding"))
+
+    stale = similarity.ivf_refine(
+        base, similarity.ivf_centroids(base, 16), iters=1)
+
+    # (1) detector: drifted batch fires, in-distribution batch doesn't
+    psi_bad = similarity.ivf_assignment_drift(base, drifted, stale).head()
+    psi_ok = similarity.ivf_assignment_drift(base, held, stale).head()
+    assert psi_bad["retrain_needed"] and psi_bad["psi_total"] > 0.2
+    assert not psi_ok["retrain_needed"]
+
+    # (2) retrain at the trigger restores recall on the drifted workload
+    combined = base.unionByName(drifted)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: F.abs(x)).alias("query_vec"))
+    exact = cache(similarity.knn_bruteforce(combined, queries, k=5))
+    fresh = similarity.ivf_refine(
+        combined, similarity.ivf_centroids(combined, 16), iters=1)
+    r_stale = similarity.recall_at_k(
+        exact, similarity.knn_ivf(combined, queries, k=5, nprobe=4,
+                                  cent_rows=stale), "stale").head()
+    r_fresh = similarity.recall_at_k(
+        exact, similarity.knn_ivf(combined, queries, k=5, nprobe=4,
+                                  cent_rows=fresh), "fresh").head()
+    assert r_stale["recall"] < 1.0          # the frozen codebook lost recall
+    assert r_fresh["recall"] > r_stale["recall"]
+    assert r_fresh["recall"] == 1.0         # retrain restored it (measured)
