@@ -70,6 +70,19 @@ def ks_test_2samp(df: DataFrame, group_col: str, value_col: str,
     raw rows.
     """
     vl = _value_level(df, group_col, value_col, group_a, group_b)
+    return ks_from_value_counts(vl, group_a, group_b)
+
+
+def ks_from_value_counts(vl: DataFrame, group_a, group_b) -> DataFrame:
+    """ks_test_2samp's statistic from an ALREADY-AGGREGATED value-level
+    count table (v, na, nb) — the mergeable serve path
+    (chi_square_from_counts' pattern): counts are a commutative
+    monoid, so per-shard/per-epoch partial tables compose exactly via
+    groupBy(v).sum before this fold. Feed DDSketch bucket indices as
+    ``v`` for the constant-size incremental variant
+    (stat_tests_from_sketch pins its accuracy against the exact
+    test). Ordering of ``v`` must be the value order (bucket indices
+    are monotone in the value, so they qualify)."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = vl.select(
         F.sum("na").over(w).alias("ca"),
@@ -145,6 +158,16 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     cumulative window; every moment is integer until the terminal z.
     """
     vl = _value_level(df, group_col, value_col, group_a, group_b)
+    return mwu_from_value_counts(vl, group_a, group_b)
+
+
+def mwu_from_value_counts(vl: DataFrame, group_a, group_b) -> DataFrame:
+    """mann_whitney_u's statistic from an ALREADY-AGGREGATED
+    value-level count table (v, na, nb) — the mergeable serve path,
+    same monoid contract as ks_from_value_counts. Bucketed input
+    (DDSketch indices as ``v``) coarsens ties within a bucket; the
+    tie-corrected variance absorbs that, and stat_tests_from_sketch
+    pins the residual z error against the exact test."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     t = F.col("na") + F.col("nb")
     ranked = vl.select(

@@ -5456,6 +5456,84 @@ SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
 FROM ua"""
 
 
+def q_stat_tests_from_sketch(ga: str = "click", gb: str = "purchase",
+                             alpha: float = 0.01) -> str:
+    """Twin of the stat_tests_from_sketch serve path: KS D and
+    Mann-Whitney z folded over BOTH the exact value-level table and
+    the DDSketch bucket table (identical repr gamma literal), emitted
+    as exact-vs-sketch comparison rows with the pinned tolerances."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, _ = ddsketch_params(alpha)
+
+    def ksd(vl: str, s: str) -> str:
+        return f"""
+cum{s} AS (
+  SELECT sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM {vl}),
+tot{s} AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM {vl}),
+dm{s} AS (
+  SELECT n_a, n_b,
+         max(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a))::DECIMAL(38,0) AS num
+  FROM cum{s}, tot{s} GROUP BY n_a, n_b),
+d{s} AS (
+  SELECT round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d
+  FROM dm{s})"""
+
+    def mwz(vl: str, s: str) -> str:
+        return f"""
+rk{s} AS (
+  SELECT na, nb, na + nb AS t,
+         coalesce(sum(na + nb) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS c
+  FROM {vl}),
+ag{s} AS (
+  SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+         sum(na::HUGEINT * (2 * c::HUGEINT + t + 1))::DECIMAL(38,0) AS ra2,
+         sum(t::HUGEINT * t * t - t)::DECIMAL(38,0) AS ties
+  FROM rk{s}),
+z{s} AS (
+  SELECT round(((ra2::DOUBLE / 2 - (n_a::HUGEINT * (n_a + 1))::DOUBLE / 2)
+                - (n_a::HUGEINT * n_b)::DOUBLE / 2)
+               / sqrt((n_a::HUGEINT * n_b)::DOUBLE / 12.0
+                      * ((n_a + n_b + 1)::DOUBLE
+                         - ties::DOUBLE
+                         / ((n_a + n_b)::HUGEINT
+                            * (n_a + n_b - 1))::DOUBLE)), 6) AS z
+  FROM ag{s})"""
+
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{ga}', '{gb}') AND value IS NOT NULL),
+vle AS (
+  SELECT v,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY v),
+vls AS (
+  SELECT CASE WHEN v > 0 THEN ceil(ln(v) * {inv_lg!r})::INT
+              ELSE -2147483648 END AS v,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY 1),
+{ksd("vle", "e")},
+{ksd("vls", "s")},
+{mwz("vle", "e")},
+{mwz("vls", "s")}
+SELECT 'ks_d' AS test, de.ks_d AS exact_stat, ds.ks_d AS sketch_stat,
+       round(abs(de.ks_d - ds.ks_d), 6) AS abs_err,
+       round(abs(de.ks_d - ds.ks_d), 6) <= 0.01 AS within_tol
+FROM de, ds
+UNION ALL
+SELECT 'mwu_z', ze.z, zs.z,
+       round(abs(ze.z - zs.z), 6),
+       round(abs(ze.z - zs.z), 6) <= 0.05
+FROM ze, zs"""
+
+
 def q_stat_chi_square(mod: int = 5) -> str:
     """Twin of stattests.chi_square_independence on event_type ×
     (user_id % mod) cohort: exact margins, 9-dp DECIMAL contribution

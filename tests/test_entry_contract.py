@@ -158,6 +158,7 @@ ROUND10_R5_FILL: tuple = (
 ROUND11_WINDOW_MUST: tuple = (
     "phrase_search_slop",
     "ivf_codebook_drift",
+    "stat_tests_from_sketch",
 )
 
 

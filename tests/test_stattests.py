@@ -267,3 +267,32 @@ def test_roc_auc_ignores_null_scores_and_labels(spark):
     assert (roc_auc_exact(clean, "v", "y").collect()
             == roc_auc_exact(dirty, "v", "y").collect())
     assert roc_auc_exact(clean, "v", "y").collect()[0]["auc"] == 1.0
+
+
+def test_from_counts_state_is_mergeable(spark):
+    """The from-counts serve contract: per-shard value-level partials
+    merged by groupBy(v).sum produce the EXACT same KS and
+    Mann-Whitney output as the one-shot fold — counts are a
+    commutative monoid, so the tests run incrementally at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.stattests import (
+        _value_level, ks_from_value_counts, ks_test_2samp,
+        mann_whitney_u, mwu_from_value_counts)
+
+    rows = [(i % 3, "a" if i % 3 else "b", float(i % 17) + (i % 5) * 0.5)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["shard", "g", "v"])
+    shards = [df.where(F.col("shard") == s) for s in range(3)]
+    merged = None
+    for s in shards:
+        part = _value_level(s, "g", "v", "a", "b")
+        merged = part if merged is None else merged.unionByName(part)
+    merged = merged.groupBy("v").agg(
+        F.sum("na").cast("bigint").alias("na"),
+        F.sum("nb").cast("bigint").alias("nb"))
+
+    assert (ks_from_value_counts(merged, "a", "b").collect()
+            == ks_test_2samp(df, "g", "v", "a", "b").collect())
+    assert (mwu_from_value_counts(merged, "a", "b").collect()
+            == mann_whitney_u(df, "g", "v", "a", "b").collect())
