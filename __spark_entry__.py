@@ -1583,6 +1583,40 @@ def q_ivf_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "psi_term", "psi_total", "retrain_needed")
 
 
+def q_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger's PAYOFF as a hash-pinned driver row
+    (companion to ivf_codebook_drift, VERDICT r9 item 4): recall@5 on
+    the drifted workload (abs-transformed queries) over combined =
+    base ∪ abs-drifted fifth, served under the STALE codebook (trained
+    on base — what ivf_codebook_drift flags) vs the FRESH one
+    (blue/green retrained on combined). Fresh restores the recall the
+    frozen codebook lost (tests/test_similarity.py pins 0.86 → 1.0 at
+    sf0.001). Both trainings replayed bit-for-bit by the oracle."""
+    from semantik_spark.functions.caching import cache
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = emb.where(F.col("vec_id") >= 10)
+    base = corpus.where(F.col("vec_id") % 5 != 0)
+    drifted = corpus.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.abs(x)).alias("embedding"))
+    combined = base.unionByName(drifted)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: F.abs(x)).alias("query_vec"))
+    exact = cache(similarity.knn_bruteforce(combined, queries, k=5))
+    out = None
+    for label, train in (("stale", base), ("fresh", combined)):
+        cent = similarity.ivf_refine(
+            train, similarity.ivf_centroids(train, 16), iters=1)
+        approx = similarity.knn_ivf(combined, queries, k=5, nprobe=4,
+                                    cent_rows=cent)
+        r = similarity.recall_at_k(exact, approx, label)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: m=8 one-byte codes per vector (32×
     storage cut), ADC-equivalent reconstructed-cosine phase 1, exact
@@ -5849,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_slop": q_phrase_search_slop,
         "ivf_codebook_drift": q_ivf_codebook_drift,
         "stat_tests_from_sketch": q_stat_tests_from_sketch,
+        "ivf_retrain_recall": q_ivf_retrain_recall,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7326,6 +7361,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "ivf_codebook_drift": oracles.q_ivf_codebook_drift(16, 200),
         "stat_tests_from_sketch": oracles.q_stat_tests_from_sketch(
             "click", "purchase", 0.01),
+        "ivf_retrain_recall": oracles.q_ivf_retrain_recall(5, 16, 4),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

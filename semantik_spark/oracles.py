@@ -1715,6 +1715,88 @@ SELECT batch, centroid_id, n_ref, n_cur,
 FROM (SELECT * FROM tdr UNION ALL SELECT * FROM tin) u"""
 
 
+def q_ivf_retrain_recall(k: int = 5, n_centroids: int = 16,
+                         nprobe: int = 4) -> str:
+    """Twin of ivf_retrain_recall: recall@k on the drifted workload
+    (abs-transformed queries) over combined = base ∪ abs-drifted
+    fifth, under the STALE codebook (trained on base) vs the FRESH
+    one (retrained on combined) — the blue/green retrain's payoff as
+    a hash-pinned row. Replays both trainings (seed + 1 Lloyd step,
+    6-dp means) exactly like q_knn_ivf."""
+
+    def branch(label: str, train: str) -> str:
+        s = label[:2]
+        return f"""
+c0{s} AS (SELECT vec_id AS cid, v AS cv FROM {train} ORDER BY vec_id LIMIT {n_centroids}),
+ra{s} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT t.vec_id, t.v, c0{s}.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cosine_expr("t.v", f"c0{s}.cv")} DESC, c0{s}.cid ASC) AS rn
+    FROM {train} t CROSS JOIN c0{s}) WHERE rn = 1),
+rm{s} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT centroid_id AS cid, dim, round(sum(val) / count(*), 6) AS m
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 unnest(range(1, len(v) + 1)) AS dim FROM ra{s})
+    GROUP BY centroid_id, dim)
+  GROUP BY cid),
+ct{s} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM c0{s} c LEFT JOIN rm{s} m USING (cid)),
+as{s} AS (
+  SELECT vec_id, v, cid AS centroid_id FROM (
+    SELECT combined.vec_id, combined.v, ct{s}.cid,
+           row_number() OVER (PARTITION BY combined.vec_id
+                              ORDER BY {cosine_expr("combined.v", f"ct{s}.cv")} DESC, ct{s}.cid ASC) AS rn
+    FROM combined CROSS JOIN ct{s}) WHERE rn = 1),
+pr{s} AS (
+  SELECT query_id, qv, cid AS centroid_id FROM (
+    SELECT q.query_id, q.qv, ct{s}.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cosine_expr("q.qv", f"ct{s}.cv")} DESC, ct{s}.cid ASC) AS rn
+    FROM q CROSS JOIN ct{s}) WHERE rn <= {nprobe}),
+sc{s} AS (
+  SELECT p.query_id, a.vec_id, {cosine_expr("a.v", "p.qv")} AS cos
+  FROM as{s} a JOIN pr{s} p USING (centroid_id)),
+tk{s} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM sc{s}) WHERE rank <= {k}),
+re{s} AS (
+  SELECT '{label}' AS method,
+         (SELECT count(*)::BIGINT FROM bf JOIN tk{s} USING (query_id, vec_id)) AS n_hit,
+         (SELECT count(*)::BIGINT FROM bf) AS n_exact)"""
+
+    return f"""
+WITH corpus0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+base AS (SELECT * FROM corpus0 WHERE vec_id % 5 != 0),
+combined AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id, list_transform(v, x -> abs(x)) AS v
+  FROM corpus0 WHERE vec_id % 5 = 0),
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding::DOUBLE[], x -> abs(x)) AS qv
+      FROM embeddings WHERE vec_id < 10),
+bfsc AS (
+  SELECT q.query_id, combined.vec_id, {cosine_expr("combined.v", "q.qv")} AS cos
+  FROM combined CROSS JOIN q),
+bf AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM bfsc) WHERE rank <= {k}),
+{branch("stale", "base")},
+{branch("fresh", "combined")}
+SELECT method, n_hit, n_exact,
+       round(n_hit::DOUBLE / n_exact, 6) AS recall
+FROM (SELECT * FROM rest UNION ALL SELECT * FROM refr) u"""
+
+
 def _hyperplane_literals(dim: int, nbits: int) -> list[str]:
     """Python-side replay of similarity._hyperplane: hash60('hp:b:j')
     scaled by /2^59 - 1. md5 is identical everywhere, so these literals

@@ -159,6 +159,7 @@ ROUND11_WINDOW_MUST: tuple = (
     "phrase_search_slop",
     "ivf_codebook_drift",
     "stat_tests_from_sketch",
+    "ivf_retrain_recall",
 )
 
 
