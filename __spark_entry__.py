@@ -917,6 +917,36 @@ def q_streaming_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_streaming_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor end-to-end
+    (streaming.incremental.streaming_ddsketch + ddsketch_state_ks):
+    the events stream delivered as four real micro-batches, each
+    batch's DDSketch bucket counts merged into persisted state by
+    count addition; the two-sample KS verdict (click vs purchase)
+    serves from the state and must hash-match the BATCH sketch fold
+    over the same rows (the merge is exact), which is itself within
+    the pinned tolerance of the exact test (stat_tests_from_sketch)."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        ddsketch_state_ks, stream_files, streaming_ddsketch,
+    )
+
+    base = _scratch("stream_ks")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    drop = f"{base}/drop"
+    ev.repartition(4).write.parquet(drop)
+    q = streaming_ddsketch(
+        stream_files(spark, drop, "event_type string, value double",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "event_type", "value",
+        alpha=0.01,
+    )
+    q.awaitTermination(300)
+    return ddsketch_state_ks(spark, f"{base}/state", "click", "purchase")
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-transition Markov chain
     (timeseries.markov_stationary): pico-unit-quantized power iteration
@@ -5884,6 +5914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_codebook_drift": q_ivf_codebook_drift,
         "stat_tests_from_sketch": q_stat_tests_from_sketch,
         "ivf_retrain_recall": q_ivf_retrain_recall,
+        "streaming_ks": q_streaming_ks,
     }
     return {k: _fresh(fn) for k, fn in _q.items()}
 
@@ -7362,6 +7393,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "stat_tests_from_sketch": oracles.q_stat_tests_from_sketch(
             "click", "purchase", 0.01),
         "ivf_retrain_recall": oracles.q_ivf_retrain_recall(5, 16, 4),
+        "streaming_ks": oracles.q_streaming_ks("click", "purchase", 0.01),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

@@ -5616,6 +5616,52 @@ SELECT 'mwu_z', ze.z, zs.z,
 FROM ze, zs"""
 
 
+def q_streaming_ks(ga: str = "click", gb: str = "purchase",
+                   alpha: float = 0.01) -> str:
+    """Twin of streaming_ks: the state after all micro-batches exactly
+    equals the batch DDSketch bucket table (count-addition merge), so
+    the oracle is ks_from_value_counts' fold over the batch buckets —
+    identical CASE mapping (NULL/non-positive values pool in the
+    reserved INT_MIN bucket, as in sketches.ddsketch_buckets)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, _ = ddsketch_params(alpha)
+    terms = " + ".join(
+        f"round(exp(((-2.0*{j}*{j})*lam)*lam), 9)::DECIMAL(20,9) * {2 if j % 2 == 1 else -2}"
+        for j in range(1, 41))
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{ga}', '{gb}')),
+vl AS (
+  SELECT CASE WHEN v > 0 THEN ceil(ln(v) * {inv_lg!r})::INT
+              ELSE -2147483648 END AS v,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM base GROUP BY 1),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM vl),
+tot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM vl),
+dm AS (
+  SELECT n_a, n_b,
+         max(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a))::DECIMAL(38,0) AS num
+  FROM cum, tot GROUP BY n_a, n_b),
+d AS (
+  SELECT '{ga}' AS group_a, '{gb}' AS group_b, n_a, n_b,
+         round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
+         (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
+          + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
+         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
+  FROM dm)
+SELECT group_a, group_b, n_a, n_b, ks_d,
+       CASE WHEN lam < 0.1 THEN 1.0
+            ELSE round(least(1.0, greatest(0.0, ({terms})::DOUBLE)), 6)
+       END AS p_value
+FROM d"""
+
+
 def q_stat_chi_square(mod: int = 5) -> str:
     """Twin of stattests.chi_square_independence on event_type ×
     (user_id % mod) cohort: exact margins, 9-dp DECIMAL contribution

@@ -160,6 +160,7 @@ ROUND11_WINDOW_MUST: tuple = (
     "ivf_codebook_drift",
     "stat_tests_from_sketch",
     "ivf_retrain_recall",
+    "streaming_ks",
 )
 
 
