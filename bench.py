@@ -55,7 +55,12 @@ ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
                    # equality pin, not the wall time — their cost is
                    # the replay's step count by construction
                    "bm25_append_delete_replay", "gdpr_sync_replay",
-                   "streaming_exact_dedup", "streaming_chi_square"}
+                   "streaming_exact_dedup", "streaming_chi_square",
+                   # r10: micro-batch state loop (streaming_ks) and the
+                   # two-trainings-in-query lifecycle check
+                   # (ivf_retrain_recall) — both fixed-overhead
+                   # replays, not latency paths
+                   "streaming_ks", "ivf_retrain_recall"}
 
 # Fixed-overhead replays excluded from the suite "value" (VERDICT r7
 # item 6): their cost is micro-batch scheduler constants / in-query
