@@ -1125,3 +1125,19 @@ def test_heavy_query_job_count_pins(spark):
             sc.setJobGroup(None, None)
         jobs = len(tracker.getJobIdsForGroup(f"gate_{name}"))
         assert 0 < jobs <= bound, (name, jobs, bound)
+
+
+def test_sloppy_phrase_window_join_is_equijoin(spark):
+    """phrase_search(slop>0)'s window join must key on
+    (query_id, doc_id) with the anchor range as a RESIDUAL condition —
+    per-doc-tf² rows, partition-local — never a nested-loop/cartesian
+    over the hit table."""
+    from semantik_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i} alpha beta") for i in range(30)],
+        ["doc_id", "text"])
+    ph = spark.createDataFrame([("q", "alpha gamma")], ["query_id", "phrase"])
+    plan = _plan(phrase_search(docs, ph, k=5, slop=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
