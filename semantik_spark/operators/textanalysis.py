@@ -1274,13 +1274,20 @@ def collocations_llr(docs: DataFrame, min_count: int = 5, top_k: int = 50,
                       F.round(c.cast("double") * F.log(c.cast("double")), 6)
                       ).otherwise(F.lit(0.0)).cast("decimal(24,6)")
 
-    g2 = 2.0 * (
+    # the ×2 and the terminal 4-dp round BOTH stay in DECIMAL: the
+    # 6-dp term sum can land exactly on a 4-dp half-point (measured:
+    # sum 2.375275 → g2 4.750550 at sf0.001), where a double-typed
+    # round diverges between engines (Spark rounds the shortest
+    # decimal rendering, DuckDB the binary value) — decimal HALF_UP is
+    # exact on both
+    g2 = (
         (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
          - xlx(F.col("n_a")) - xlx(F.col("nn") - F.col("n_a"))
          - xlx(F.col("n_b")) - xlx(F.col("nn") - F.col("n_b"))
-         + xlx(F.col("nn"))).cast("double"))
+         + xlx(F.col("nn"))).cast("decimal(32,6)") * 2)
     scored = j.select(
         F.col("a").alias("word_a"), F.col("b").alias("word_b"),
-        "n_pair", "n_a", "n_b", F.round(g2, 4).alias("llr"))
+        "n_pair", "n_a", "n_b",
+        F.round(g2, 4).cast("double").alias("llr"))
     return scored.orderBy(F.desc("llr"), F.asc("word_a"),
                           F.asc("word_b")).limit(top_k)

@@ -6769,7 +6769,8 @@ FROM agg JOIN n USING (query_id)"""
 
 def q_collocations_llr(min_count: int = 5, top_k: int = 50) -> str:
     """Twin of textanalysis.collocations_llr: Dunning G² from 6-dp
-    DECIMAL xlx terms over the 2x2 bigram contingency."""
+    DECIMAL xlx terms over the 2x2 bigram contingency; the ×2 and the
+    4-dp round stay in DECIMAL (half-point-exact on both engines)."""
     xlx = ("(CASE WHEN {c} > 0 THEN round(({c})::DOUBLE * ln(({c})::DOUBLE), 6)"
            " ELSE 0.0 END)::DECIMAL(24,6)")
     return f"""
@@ -6791,7 +6792,7 @@ j AS (
   WHERE pair.n_pair >= {min_count}),
 scored AS (
   SELECT a AS word_a, b AS word_b, n_pair, n_a, n_b,
-         round(2.0 * (({xlx.format(c='n_pair')}
+         round((({xlx.format(c='n_pair')}
             + {xlx.format(c='n_a - n_pair')}
             + {xlx.format(c='n_b - n_pair')}
             + {xlx.format(c='nn - n_a - n_b + n_pair')}
@@ -6799,7 +6800,7 @@ scored AS (
             - {xlx.format(c='nn - n_a')}
             - {xlx.format(c='n_b')}
             - {xlx.format(c='nn - n_b')}
-            + {xlx.format(c='nn')})::DOUBLE), 4) AS llr
+            + {xlx.format(c='nn')})::DECIMAL(32,6) * 2), 4)::DOUBLE AS llr
   FROM j)
 SELECT * FROM scored ORDER BY llr DESC, word_a, word_b LIMIT {top_k}"""
 
