@@ -124,7 +124,9 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame,
         .select(
             "doc_id", "label",
             F.col("cand").alias("predicted"),
-            F.round(F.col("score_dec").cast("double"), 4).alias("score"),
+            # decimal round before the cast (half-point-exact both
+            # engines — the collocations_llr knife-edge)
+            F.round(F.col("score_dec"), 4).cast("double").alias("score"),
             (F.col("cand") == F.col("label")).cast("int").alias("correct"),
         )
     )

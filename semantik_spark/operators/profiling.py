@@ -254,8 +254,9 @@ def corpus_drift_jsd(ref: DataFrame, cur: DataFrame, top_k: int = 20,
     scored = base.select(
         "term", "n_ref", "n_cur",
         F.round(contrib, 9).cast("decimal(20,9)").alias("c9"))
+    # decimal round before the cast (half-point-exact on both engines)
     total = scored.agg(
-        F.round(F.sum("c9").cast("double"), 6).alias("jsd_total"))
+        F.round(F.sum("c9"), 6).cast("double").alias("jsd_total"))
     return (
         scored.orderBy(F.desc("c9"), F.asc("term")).limit(top_k)
         .crossJoin(F.broadcast(total))

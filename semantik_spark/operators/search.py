@@ -213,8 +213,11 @@ def maxsim_rerank(docs: DataFrame, queries: DataFrame, k: int = 5,
         )
     )
     scored = (
+        # decimal round before the cast: the 9-dp term sum can land on
+        # a 6-dp half-point where double-typed rounds diverge between
+        # engines (the collocations_llr knife-edge)
         terms.groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("term").cast("double"), 6).alias("score"))
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("score"))
     )
     return _topk(scored, k)
 

@@ -270,12 +270,15 @@ def chi_square_from_counts(obs: DataFrame) -> DataFrame:
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("int").alias("dof"),
     )
     w = Window.partitionBy(F.lit(1))
+    # round in DECIMAL, then cast: the 9-dp contribution sum can land
+    # exactly on a 6-dp half-point, where a double-typed round
+    # diverges between engines (the collocations_llr knife-edge)
     return (
         cells.withColumn(
             "chi2_total",
-            F.round(F.sum("c9").over(w).cast("double"), 6))
+            F.round(F.sum("c9").over(w), 6).cast("double"))
         .select("row_val", "col_val", "observed", "expected",
-                F.round(F.col("c9").cast("double"), 6).alias("contrib"),
+                F.round(F.col("c9"), 6).cast("double").alias("contrib"),
                 "chi2_total", "dof")
     )
 

@@ -1537,15 +1537,19 @@ def ljung_box(events: DataFrame, lags: tuple = (1, 2, 7),
         # series' missing lags shrink df alongside Q
         F.count("acf").cast("int").alias("df"),
     )
-    q = (F.col("n_days") * (F.col("n_days") + 2)).cast("double") \
-        * F.col("s").cast("double")
+    # n(n+2)·s stays DECIMAL through the terminal round: the 9-dp term
+    # sum times an integer can land exactly on a 6-dp half-point,
+    # where a double-typed round diverges between engines (the
+    # collocations_llr knife-edge, fixed the same way)
+    q = F.col("s") * (F.col("n_days") * (F.col("n_days") + 2))
+    q6 = F.round(q, 6).cast("double")
     cv = F.element_at(
         F.create_map(*[F.lit(x) for kv in sorted(crit.items()) for x in kv]),
         F.col("df"))
     return agg.select(
         "event_type", "n_days",
-        F.round(q, 6).alias("q_stat"), "df",
-        (F.round(q, 6) > cv).alias("q_exceeds_05"),
+        q6.alias("q_stat"), "df",
+        (q6 > cv).alias("q_exceeds_05"),
     )
 
 

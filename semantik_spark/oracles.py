@@ -2560,7 +2560,7 @@ rk AS (
   FROM sc
 )
 SELECT te.doc_id, te.label AS label, rk.cand AS predicted,
-       round(rk.score_dec::DOUBLE, 4) AS score,
+       round(rk.score_dec, 4)::DOUBLE AS score,
        (CASE WHEN rk.cand = te.label THEN 1 ELSE 0 END)::INT AS correct
 FROM rk JOIN te ON rk.doc_id = te.doc_id
 WHERE rk.rn = 1"""
@@ -4843,7 +4843,7 @@ term AS (
 ),
 mscored AS (
   SELECT query_id, doc_id,
-         round(CAST(sum(term) AS DOUBLE), 6) AS score
+         round(sum(term), 6)::DOUBLE AS score
   FROM term GROUP BY query_id, doc_id
 )
 SELECT query_id, doc_id, score, rank::INT AS rank FROM (
@@ -5692,8 +5692,8 @@ cells AS (
          ((nr - 1) * (nc - 1))::INT AS dof
   FROM dense)
 SELECT row_val, col_val, observed, expected,
-       round(c9::DOUBLE, 6) AS contrib,
-       round((sum(c9) OVER ())::DOUBLE, 6) AS chi2_total, dof
+       round(c9, 6)::DOUBLE AS contrib,
+       round(sum(c9) OVER (), 6)::DOUBLE AS chi2_total, dof
 FROM cells"""
 
 
@@ -5899,7 +5899,7 @@ scored AS (
                              / ((n_ref::DOUBLE / tr + n_cur::DOUBLE / tc) / 2))
                    ELSE 0.0 END), 9)::DECIMAL(20,9) AS c9
   FROM merged, tot),
-total AS (SELECT round((sum(c9))::DOUBLE, 6) AS jsd_total FROM scored)
+total AS (SELECT round(sum(c9), 6)::DOUBLE AS jsd_total FROM scored)
 SELECT term, n_ref, n_cur, c9::DOUBLE AS contrib, jsd_total
 FROM (SELECT * FROM scored ORDER BY c9 DESC, term ASC LIMIT {top_k}) z, total"""
 
@@ -6973,9 +6973,9 @@ agg AS (
          count(acf)::INT AS df
   FROM acf_rows GROUP BY event_type, n_days)
 SELECT event_type, n_days,
-       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6) AS q_stat,
+       round(s * (n_days * (n_days + 2)), 6)::DOUBLE AS q_stat,
        df,
-       round((n_days * (n_days + 2))::DOUBLE * s::DOUBLE, 6)
+       round(s * (n_days * (n_days + 2)), 6)::DOUBLE
          > (CASE df {cv} END) AS q_exceeds_05
 FROM agg"""
 
