@@ -69,8 +69,15 @@ def item_item_cosine(events: DataFrame, top_k: int = 50,
                              F.col("n_users").alias("n_b")), "item_b")
         .select(
             "item_a", "item_b", "n_a", "n_b", "co_count",
+            # n_a·n_b widens to DECIMAL(38,0) BEFORE the product (the
+            # ks_test_2samp 100 TB guard): two ~3e9-user items overflow
+            # BIGINT (ANSI error — the job dies — or a silent legacy
+            # wrap); the double cast after an exact product is
+            # bit-identical in range either way
             F.round(F.col("co_count").cast("double")
-                    / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                    / F.sqrt((F.col("n_a").cast("decimal(38,0)")
+                              * F.col("n_b").cast("decimal(38,0)"))
+                             .cast("double")),
                     6).alias("cosine"),
         )
     )

@@ -1175,9 +1175,13 @@ def burrows_delta(docs: DataFrame, n_words: int = 30, probes: int = 4,
         F.sum("f").cast("decimal(28,9)").alias("sf"),
         F.sum(F.col("f") * F.col("f")).cast("decimal(38,18)").alias("sff"),
     )
+    # n² widens to DECIMAL(38,0) before the product (the ks_test_2samp
+    # 100 TB guard): n is the doc count, and doc-count² overflows BIGINT
+    # past ~3e9 docs (ANSI error — the job dies — or a silent legacy wrap); same double after the cast
     var = (F.col("n").cast("double") * F.col("sff").cast("double")
            - F.col("sf").cast("double") * F.col("sf").cast("double")) \
-        / (F.col("n") * F.col("n")).cast("double")
+        / (F.col("n").cast("decimal(38,0)")
+           * F.col("n").cast("decimal(38,0)")).cast("double")
     stats = (
         mom.select("w",
                    (F.col("sf").cast("double") / F.col("n")).alias("mu"),

@@ -410,8 +410,18 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
         .select(
             "item_a", "item_b", "n_pair", "n_a", "n_b",
             F.round(F.col("n_pair") / F.col("n_baskets"), 6).alias("support"),
+            # both count products widen to DECIMAL(38,0) BEFORE
+            # multiplying (the ks_test_2samp 100 TB guard — n_pair ×
+            # basket count overflows BIGINT long before the counts do:
+            # an ANSI error that kills the job, or a silent legacy wrap);
+            # each product casts to double before the division so the
+            # result keeps the exact double/double semantics BIGINT
+            # division had
             F.round(
-                F.col("n_pair") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")), 6
+                (F.col("n_pair").cast("decimal(38,0)")
+                 * F.col("n_baskets").cast("decimal(38,0)")).cast("double")
+                / (F.col("n_a").cast("decimal(38,0)")
+                   * F.col("n_b").cast("decimal(38,0)")).cast("double"), 6
             ).alias("lift"),
         )
     )
