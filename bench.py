@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "collocations_llr", "knn_harmonic", "label_centroids",
     "simpson_audit", "mutual_information", "cohens_kappa",
     "ljung_box", "roc_auc", "pacf_daily", "brown_forsythe",
+    # round-10 additions (streaming_ks / ivf_retrain_recall are
+    # one-rep replays — see ONE_REP_QUERIES)
+    "phrase_search_slop", "ivf_codebook_drift", "stat_tests_from_sketch",
+    "ivf_retrain_recall", "streaming_ks",
 ]
 
 
@@ -459,7 +463,14 @@ def main() -> None:
     counters: dict[str, dict] = {}
     pc = PlanCounters(spark)
     canary_start = _bench_canary(spark, sf_dir)
-    for name in BENCH_QUERIES:
+    # iteration filter: SPARK_GRAFT_ONLY="q1,q2" benches a subset (the
+    # suite is ~300 queries now, far past the quick-loop budget); the
+    # driver never sets it, so round artifacts stay full-suite. The
+    # subset run skips the serving/skew sections and overwrites
+    # BENCH_DETAIL.json, so copy artifacts aside before iterating.
+    only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
+    bench_list = [q for q in BENCH_QUERIES if not only or q in only]
+    for name in bench_list:
         times = []
         n = 0
         reps = 1 if name in ONE_REP_QUERIES else REPS
@@ -479,8 +490,9 @@ def main() -> None:
               if c else "")
         _record(name, times, med, lo, hi, extra=f"  ({n} rows){cx}")
 
-    _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
-    _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
+    if not only:
+        _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
+        _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
     # canary measured at both ends: the mean tracks the round's overall
     # contention level, the delta shows drift within the run
     canary_end = _bench_canary(spark, sf_dir)
