@@ -1115,6 +1115,15 @@ def test_heavy_query_job_count_pins(spark):
         ("theil_sen_trend", 14),
         ("rank_tau", 165),
         ("search_snippets", 145),
+        # round-10 additions: drift is two broadcast-assign maps + two
+        # cell groupBys (7 warmed); the sketch serve folds run on
+        # bucket rows only (16); the retrain check is two trainings +
+        # two serves + one cached baseline (30); sloppy phrase is the
+        # anchor equi-join (12)
+        ("ivf_codebook_drift", 11),
+        ("stat_tests_from_sketch", 22),
+        ("ivf_retrain_recall", 40),
+        ("phrase_search_slop", 17),
     ]
     for name, bound in pins:
         qs[name](spark, sf).count()  # warm: AQE stats settle
