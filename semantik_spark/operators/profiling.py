@@ -141,13 +141,16 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     amounts follows P(d) = log10(1 + 1/d); a large chi-square against
     that law flags synthetic, capped, or hand-entered figures.
 
-    Only strictly-positive values participate (zero/negative amounts
-    have no leading significant digit). Values in (0,1) take their
-    first SIGNIFICANT digit (0.042 → 4) via an exact fixed-point
-    decimal-string scan — no float log10/pow, whose ULP disagreements
-    between engines would flip digits at powers of ten. Positive
-    values below 1e-18 round to zero at the scan's DECIMAL(38,18)
-    scale and are excluded (documented bound). Output: one row per
+    Only strictly-positive values in [1e-18, 1e32) participate
+    (zero/negative amounts have no leading significant digit; the
+    bounds are the two scan scales' ranges, documented below). Every
+    digit comes from an exact fixed-point decimal-string scan — no
+    float log10/pow, whose ULP disagreements between engines would
+    flip digits at powers of ten, and no floor()→BIGINT, which
+    overflows past ~9.2e18. Values ≥ 1 scan at DECIMAL(38,6) (range
+    bound 1e32); values in (0,1) take their first SIGNIFICANT digit
+    (0.042 → 4) at DECIMAL(38,18), so positives below 1e-18 round to
+    zero and are excluded. Output: one row per
     digit 1-9 — n, observed_pct, expected_pct, chi2_term =
     (n - Np)²/(Np), and chi2_total repeated per row (rounded-term
     DECIMAL sum, the corpus_drift_psi discipline; df = 8 → 15.51 at
@@ -159,9 +162,18 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     v = F.col(value_col)
     digit = F.when(
         v >= 1,
-        # integer part's first character — exact, no string of a float
-        F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1)
-        .cast("int"),
+        # >= 1: the same exact fixed-point decimal-string scan as the
+        # sub-1 branch, at integer-friendly scale — NOT floor()->BIGINT,
+        # which overflows at ~9.2e18 (ANSI error / legacy NULL) while
+        # DuckDB raises: the very count-product class this module's
+        # guards exist for. DECIMAL(38,6) admits values to 1e32 (the
+        # audit's documented upper bound); the 6-dp half-up render
+        # defines the knife-edge deterministically on both engines
+        # (9.9999996 renders "10.000000" -> digit 1)
+        F.nullif(
+            F.regexp_extract(v.cast("decimal(38,6)").cast("string"),
+                             "[1-9]", 0),
+            F.lit("")).cast("int"),
     ).otherwise(
         # (0,1): fixed-point decimal render (never scientific
         # notation), first non-zero digit char
@@ -171,7 +183,7 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             F.lit("")).cast("int")
     )
     counts = (
-        df.where(v > 0)
+        df.where((v > 0) & (v < F.lit(1e32)))
         .select(digit.alias("digit"))
         .where(F.col("digit").isNotNull())
         .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))

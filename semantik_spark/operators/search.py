@@ -492,7 +492,12 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
     matches "sort merge" at slop 1) and, at slop ≥ 2, adjacent
     transpositions — Lucene's sloppy behavior for two-term phrases,
     and a documented max-displacement (not summed-moves) variant for
-    longer ones. Occurrences = distinct matching window starts.
+    longer ones. Occurrences = maximal RUNS of consecutive matching
+    window starts (adjacent starts are shifted windows over the same
+    evidence — a repeated-term phrase would otherwise count once per
+    admissible shift); first_pos is the occurrence's first matched
+    token position, a real index ≥ 0 even when the canonical window
+    start is negative (a transposed term left of its offset).
 
     Ranking: occurrences DESC, first anchor ASC, doc_id ASC → top-k.
 
@@ -530,14 +535,33 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
     else:
         starts = hits.select("query_id", "doc_id",
                              F.col("anchor").alias("a")).distinct()
-        occ = (
+        win = (
             hits.join(starts, ["query_id", "doc_id"])
             .where((F.col("anchor") >= F.col("a"))
                    & (F.col("anchor") <= F.col("a") + slop))
-            .groupBy("query_id", "doc_id", F.col("a").alias("anchor"))
-            .agg(F.count_distinct("slot").alias("got"))
+            .groupBy("query_id", "doc_id", "a")
+            .agg(F.count_distinct("slot").alias("got"),
+                 # first matched TOKEN position inside this window
+                 # (anchor + slot = p) — a real position, never the
+                 # window start, which can be negative when a term
+                 # sits left of its in-phrase offset (transpositions)
+                 F.min(F.col("anchor") + F.col("slot")).alias("first_hit"))
             .join(F.broadcast(plen), "query_id")
             .where(F.col("got") == F.col("n_slots"))
+        )
+        # canonicalize: adjacent matching starts are shifted windows
+        # over the SAME physical evidence (a repeated-term phrase
+        # would otherwise count one occurrence per admissible shift);
+        # an occurrence = a maximal run of consecutive matching
+        # starts, represented by its run head. The lag window runs on
+        # matched (query, doc) rows only — per-doc-tf-bounded.
+        wr = Window.partitionBy("query_id", "doc_id").orderBy("a")
+        occ = (
+            win.withColumn("_prev", F.lag("a").over(wr))
+            .where(F.col("_prev").isNull()
+                   | (F.col("a") - F.col("_prev") > 1))
+            .select("query_id", "doc_id",
+                    F.col("first_hit").alias("anchor"))
         )
     scored = occ.groupBy("query_id", "doc_id").agg(
         F.count("*").cast("int").alias("n_occurrences"),

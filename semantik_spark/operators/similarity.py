@@ -670,9 +670,32 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
     )
 
 
-def ivf_assignment_drift(ref: DataFrame, cur: DataFrame, cent_rows: list,
+def ivf_cell_histogram(df: DataFrame, cent_rows: list,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Per-cell assignment counts (centroid_id, n) of ``df`` under the
+    frozen codebook — ivf_assignment_drift's build-time artifact, made
+    reusable: persist it at index build (or cache it when monitoring
+    several append batches against the same build) so each drift check
+    pays ONE corpus-scale assignment map instead of re-deriving the
+    reference histogram per call. Counts are a commutative monoid, so
+    per-append partials merge by groupBy(centroid_id).sum."""
+    spark = df.sparkSession
+    codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    c = df.select(F.col(id_col).alias("vec_id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = c.crossJoin(codebook).withColumn(
+        "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
+    ).drop("cents")
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("bigint").alias("n"))
+
+
+def ivf_assignment_drift(ref: DataFrame | None, cur: DataFrame,
+                         cent_rows: list,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         threshold_milli: int = 200) -> DataFrame:
+                         threshold_milli: int = 200,
+                         ref_hist: DataFrame | None = None) -> DataFrame:
     """Codebook-staleness detector for frozen-codebook IVF appends —
     per-cell assignment-mass drift (PSI) between the corpus the
     codebook was TRAINED on (``ref``) and an incoming corpus slice
@@ -705,29 +728,31 @@ def ivf_assignment_drift(ref: DataFrame, cur: DataFrame, cent_rows: list,
 
     Scale: two broadcast-codebook assignment maps (narrow, no shuffle)
     + two cell-bounded groupBys; everything after runs on the
-    n_centroids-row cell table. In the steady sync loop ``ref``'s
-    histogram is a build-time artifact read back, not a re-scan — the
-    counts are a commutative monoid, so per-append partials merge.
+    n_centroids-row cell table. In the steady sync loop pass
+    ``ref_hist`` — the build-time ivf_cell_histogram artifact read
+    back (or cached) — instead of ``ref``, so checking N append
+    batches against one build pays the reference assignment pass once,
+    not N times; the counts are a commutative monoid, so per-append
+    partials merge.
     """
-    spark = ref.sparkSession
-    codebook = F.broadcast(_codebook_df(spark, cent_rows))
-
-    def hist(df: DataFrame, name: str) -> DataFrame:
-        c = df.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-        assigned = c.crossJoin(codebook).withColumn(
-            "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
-        ).drop("cents")
-        return assigned.groupBy("centroid_id").agg(
-            F.count("*").cast("bigint").alias(name))
+    if (ref is None) == (ref_hist is None):
+        raise ValueError(
+            "pass exactly one of ref (raw build corpus) or ref_hist "
+            "(precomputed ivf_cell_histogram artifact)")
+    spark = cur.sparkSession
+    if ref_hist is None:
+        ref_hist = ivf_cell_histogram(ref, cent_rows, id_col, vec_col)
 
     n_cells = len(cent_rows)
     cells = spark.createDataFrame(
         [(int(r["cid"]),) for r in cent_rows], "centroid_id bigint")
     j = (
         cells
-        .join(hist(ref, "_nr"), "centroid_id", "left")
-        .join(hist(cur, "_nc"), "centroid_id", "left")
+        .join(ref_hist.select("centroid_id", F.col("n").alias("_nr")),
+              "centroid_id", "left")
+        .join(ivf_cell_histogram(cur, cent_rows, id_col, vec_col)
+              .select("centroid_id", F.col("n").alias("_nc")),
+              "centroid_id", "left")
         .select(
             "centroid_id",
             F.coalesce("_nr", F.lit(0)).cast("bigint").alias("n_ref"),

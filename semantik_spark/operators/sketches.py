@@ -170,9 +170,17 @@ def ddsketch_buckets(df: DataFrame, group_col: str, value_col: str,
                      alpha: float = 0.01) -> DataFrame:
     """Per-group DDSketch bucket counts: (group, bucket, n).
 
-    Bucket index for x > 0 is ``ceil(ln(x) * 1/ln(gamma))`` with
-    ``gamma = (1+alpha)/(1-alpha)`` — every x in bucket i is within
-    relative error alpha of the midpoint estimate ``2*gamma^i/(gamma+1)``.
+    Bucket index for x > 0 is ``ceil(round(ln(x) * 1/ln(gamma), 9))``
+    with ``gamma = (1+alpha)/(1-alpha)`` — every x in bucket i is
+    within relative error alpha of the midpoint estimate
+    ``2*gamma^i/(gamma+1)``. The 9-dp round BEFORE the ceil pins the
+    bucket boundary across engines: JVM Math.log (1-ulp spec, not
+    correctly rounded) and libm log can return adjacent doubles for
+    the same x, and a 1-ULP disagreement at an integer boundary would
+    flip ceil by one — moving a count to the adjacent bucket and
+    breaking the cross-engine hash on every sketch-served query (the
+    benford_audit no-float-digits discipline applied to the bucket
+    index; both engines agree on round-to-9dp far beyond ULP scale).
     Non-positive values land in a reserved NULL-estimate bucket
     (``bucket = INT_MIN``) so nothing is silently dropped.
 
@@ -186,7 +194,8 @@ def ddsketch_buckets(df: DataFrame, group_col: str, value_col: str,
     gamma, inv_lg, _ = ddsketch_params(alpha)
     x = F.col(value_col)
     bucket = F.when(
-        x > 0.0, F.ceil(F.log(x) * F.lit(inv_lg)).cast("int")
+        x > 0.0,
+        F.ceil(F.round(F.log(x) * F.lit(inv_lg), 9)).cast("int")
     ).otherwise(F.lit(-(2**31)).cast("int"))
     return (
         df.select(F.col(group_col).alias("g"), bucket.alias("bucket"))

@@ -3526,7 +3526,7 @@ def q_quantile_sketch(alpha: float = 0.02,
     qrows = ", ".join(f"({float(q)!r}::DOUBLE)" for q in quantiles)
     return f"""
 WITH b AS (
-  SELECT event_type AS g, ceil(ln(value) * {inv_lg!r})::INT AS bucket,
+  SELECT event_type AS g, ceil(round(ln(value) * {inv_lg!r}, 9))::INT AS bucket,
          count(*)::BIGINT AS n
   FROM events WHERE value > 0 GROUP BY 1, 2
 ),
@@ -5118,8 +5118,11 @@ WHERE rank <= {k}"""
 
 def q_phrase_search_slop(k: int = 10, slop: int = 1) -> str:
     """Twin of search.phrase_search(slop>0): "ordered near" matching —
-    an occurrence is a window start ``a`` from the doc's anchor set
-    with every slot's anchor inside [a, a+slop]."""
+    a matching window start ``a`` is one from the doc's anchor set
+    with every slot's anchor inside [a, a+slop]; occurrences are
+    maximal RUNS of consecutive matching starts (lag-collapse, same
+    as the Spark side) and first_pos is the run head's first matched
+    token position (anchor + slot), never the raw window start."""
     return f"""
 WITH tokd AS (
   SELECT doc_id,
@@ -5144,14 +5147,21 @@ hits AS MATERIALIZED (
   FROM pos JOIN ptok pt USING (term)),
 starts AS (
   SELECT DISTINCT query_id, doc_id, anchor AS a FROM hits),
-occ AS MATERIALIZED (
-  SELECT h.query_id, h.doc_id, s.a AS anchor
+win AS MATERIALIZED (
+  SELECT h.query_id, h.doc_id, s.a,
+         min(h.anchor + h.slot) AS first_hit
   FROM hits h
   JOIN starts s ON s.query_id = h.query_id AND s.doc_id = h.doc_id
    AND h.anchor BETWEEN s.a AND s.a + {slop}
   JOIN plen ON plen.query_id = h.query_id
   GROUP BY h.query_id, h.doc_id, s.a, plen.n_slots
   HAVING count(DISTINCT h.slot) = plen.n_slots),
+occ AS (
+  SELECT query_id, doc_id, first_hit AS anchor
+  FROM (SELECT w.*, lag(a) OVER (
+          PARTITION BY query_id, doc_id ORDER BY a) AS prev_a
+        FROM win w) r
+  WHERE prev_a IS NULL OR a - prev_a > 1),
 scored AS (
   SELECT query_id, doc_id, count(*)::INT AS n_occurrences,
          min(anchor)::INT AS first_pos
@@ -5268,17 +5278,21 @@ def q_benford_audit(table: str = "orders",
                     value_col: str = "o_totalprice") -> str:
     """Twin of profiling.benford_audit: first-significant-digit counts
     vs log10(1 + 1/d), rounded chi-square terms summed as DECIMAL.
-    Sub-1 values take the same exact fixed-point decimal-string scan
-    as the Spark side (0.042 → 4; positives below 1e-18 excluded)."""
+    Both branches take the Spark side's exact fixed-point
+    decimal-string scan — DECIMAL(38,6) for values >= 1 (no
+    floor->BIGINT, which overflows at ~9.2e18), DECIMAL(38,18) for
+    (0,1) (0.042 -> 4); participation bound [1e-18, 1e32)."""
     return f"""
 WITH digits AS (
   SELECT CASE WHEN {value_col} >= 1
-              THEN substring(floor({value_col})::BIGINT::VARCHAR, 1, 1)::INT
+              THEN nullif(regexp_extract(
+                     ({value_col}::DECIMAL(38,6))::VARCHAR, '[1-9]', 0),
+                   '')::INT
               ELSE nullif(regexp_extract(
                      ({value_col}::DECIMAL(38,18))::VARCHAR, '[1-9]', 0),
                    '')::INT
          END AS digit
-  FROM {table} WHERE {value_col} > 0),
+  FROM {table} WHERE {value_col} > 0 AND {value_col} < 1e32),
 counts AS (
   SELECT digit, count(*)::BIGINT AS n
   FROM digits WHERE digit IS NOT NULL GROUP BY 1),
@@ -5596,7 +5610,7 @@ vle AS (
          sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
   FROM base GROUP BY v),
 vls AS (
-  SELECT CASE WHEN v > 0 THEN ceil(ln(v) * {inv_lg!r})::INT
+  SELECT CASE WHEN v > 0 THEN ceil(round(ln(v) * {inv_lg!r}, 9))::INT
               ELSE -2147483648 END AS v,
          sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
          sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb
@@ -5634,7 +5648,7 @@ WITH base AS (
   SELECT event_type AS g, value AS v FROM events
   WHERE event_type IN ('{ga}', '{gb}')),
 vl AS (
-  SELECT CASE WHEN v > 0 THEN ceil(ln(v) * {inv_lg!r})::INT
+  SELECT CASE WHEN v > 0 THEN ceil(round(ln(v) * {inv_lg!r}, 9))::INT
               ELSE -2147483648 END AS v,
          sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS na,
          sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS nb

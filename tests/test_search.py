@@ -320,3 +320,33 @@ def test_phrase_search_slop_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="slop"):
         phrase_search(docs, ph, slop=-1)
+
+
+def test_phrase_search_slop_canonical_occurrences(spark):
+    """The sloppy branch's occurrence canonicalization: (1) first_pos
+    is a real token position (>= 0) even when the only matching window
+    start is negative (transposed term left of its in-phrase offset),
+    and (2) a repeated-term phrase counts ONE occurrence per physical
+    match, not one per admissible window shift."""
+    from semantik_spark.operators.search import phrase_search
+
+    # transposition: sole matching start is a = -1; first matched
+    # token ("sort", position 0) must be reported, never -1
+    docs = spark.createDataFrame([(1, "sort merge wins")],
+                                 ["doc_id", "text"])
+    ph = spark.createDataFrame([("q", "merge sort")],
+                               ["query_id", "phrase"])
+    row = phrase_search(docs, ph, k=5, slop=2).collect()[0]
+    assert row["first_pos"] == 0
+    assert row["n_occurrences"] == 1
+
+    # repeated phrase term: starts -1 and 0 both admit the single
+    # physical "alpha beta beta"; the run-collapse counts it once, so
+    # it cannot outrank a doc with one occurrence of a clean match
+    docs2 = spark.createDataFrame([(1, "alpha beta beta")],
+                                  ["doc_id", "text"])
+    ph2 = spark.createDataFrame([("q", "alpha beta beta")],
+                                ["query_id", "phrase"])
+    row2 = phrase_search(docs2, ph2, k=5, slop=1).collect()[0]
+    assert row2["n_occurrences"] == 1
+    assert row2["first_pos"] == 0

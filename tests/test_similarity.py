@@ -652,3 +652,34 @@ def test_codebook_drift_trigger_and_retrain_restores_recall(spark):
     assert r_stale["recall"] < 1.0          # the frozen codebook lost recall
     assert r_fresh["recall"] > r_stale["recall"]
     assert r_fresh["recall"] == 1.0         # retrain restored it (measured)
+
+
+def test_assignment_drift_accepts_precomputed_ref_histogram(spark):
+    """The sync-loop artifact path: drift from a precomputed
+    ivf_cell_histogram equals drift from the raw reference corpus, and
+    passing both (or neither) fails loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators import similarity
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    cur = emb.where(F.col("vec_id") % 5 == 0)
+    cent = similarity.ivf_refine(
+        base, similarity.ivf_centroids(base, 16), iters=1)
+
+    from_raw = similarity.ivf_assignment_drift(base, cur, cent).collect()
+    hist = similarity.ivf_cell_histogram(base, cent)
+    from_hist = similarity.ivf_assignment_drift(
+        None, cur, cent, ref_hist=hist).collect()
+    key = lambda r: r["centroid_id"]  # noqa: E731
+    assert sorted(map(tuple, from_raw), key=lambda t: t[0]) == \
+        sorted(map(tuple, from_hist), key=lambda t: t[0])
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        similarity.ivf_assignment_drift(base, cur, cent, ref_hist=hist)
+    with _pytest.raises(ValueError, match="exactly one"):
+        similarity.ivf_assignment_drift(None, cur, cent)
