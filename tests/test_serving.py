@@ -374,3 +374,36 @@ def test_merge_dense_append_then_delete_equals_rebuild(spark, tmp_path):
             for r in spark.read.parquet(f"{path}/dense").collect())
 
     assert dense_of(idx) == dense_of(ref)
+
+
+def test_driver_side_twins_are_bit_identical_to_columns(spark):
+    """The probe-planning contract dense_serve_ivf/ivfpq_serve stand
+    on: _mock_embedding_py and _cosine_py must produce BIT-identical
+    doubles to the mock_embedding / cosine Column expressions — a
+    single ULP of drift and the driver picks different probe cells
+    than the executors would score. Pinned over a diverse string
+    sample (unicode, whitespace, long, numeric) with exact ==, no
+    tolerance."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.functions.vectors import cosine, mock_embedding
+    from semantik_spark.operators.serving import (
+        _cosine_py,
+        _mock_embedding_py,
+    )
+
+    texts = (["", " ", "a", "hello world", "Hello, World!", "émigré café",
+              "日本語のテキスト", "x" * 5000, "123.456e-7", "\ttab\nnewline",
+              "the quick brown fox jumps over the lazy dog"]
+             + [f"doc-{i}-{i * 31 % 97}" for i in range(50)])
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["i", "text"])
+    rows = (df.select("i", "text",
+                      mock_embedding("text").alias("v"))
+            .withColumn("c", cosine("v", F.reverse("v")))
+            .collect())
+    assert len(rows) == len(texts)
+    for r in rows:
+        pv = _mock_embedding_py(r["text"])
+        assert list(r["v"]) == pv, (r["text"], r["v"], pv)  # exact ==
+        assert r["c"] == _cosine_py(pv, list(reversed(pv))), r["text"]
