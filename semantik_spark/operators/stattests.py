@@ -107,7 +107,33 @@ def ks_from_value_counts(vl: DataFrame, group_a, group_b) -> DataFrame:
     )
     d = F.col("num").cast("double") / (d38("n_a") * d38("n_b")).cast("double")
     ne = (d38("n_a") * d38("n_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
-    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("ks_d")
+    # lambda from the UNROUNDED exact rational D: ks_d is reported at
+    # 6 dp, but sqrt(n_e) multiplies any report-rounding error back up
+    # (5e-7 · sqrt(n_e) ≈ 0.02 at n_e ~ 2e9 — material p shift near
+    # the decision region, and both engines would agree on the wrong
+    # value, so the parity gate can't catch it)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    return (
+        dmax.select(
+            F.lit(str(group_a)).alias("group_a"),
+            F.lit(str(group_b)).alias("group_b"),
+            "n_a", "n_b",
+            F.round(d, 6).alias("ks_d"),
+            lam.alias("lam"),
+        )
+        .withColumn("p_value", _ks_p_from_lam())
+        .drop("lam")
+    )
+
+
+def _ks_p_from_lam() -> "F.Column":
+    """Kolmogorov asymptotic p-value from the ``lam`` column: 40-term
+    alternating series with 9-dp DECIMAL term rounds (engine-exact
+    fold) and the small-lambda truncation guard — below lam = 0.1 the
+    terms don't decay inside the unroll (at lam = 0 the partial sums
+    oscillate 2,0,2,0 — p must be 1). ONE definition shared by
+    ks_from_value_counts and ks_family_bh, so every knife-edge fix to
+    the series lands in both paths at once."""
     term = lambda j: (  # noqa: E731
         F.round(F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")), 9)
         .cast("decimal(20,9)") * F.lit(2 * (1 if j % 2 == 1 else -1))
@@ -116,25 +142,11 @@ def ks_from_value_counts(vl: DataFrame, group_a, group_b) -> DataFrame:
     for j in range(2, _KS_TERMS + 1):
         series = series + term(j)
     return (
-        dmax.select(
-            F.lit(str(group_a)).alias("group_a"),
-            F.lit(str(group_b)).alias("group_b"),
-            "n_a", "n_b",
-            F.round(d, 6).alias("ks_d"),
-        )
-        .withColumn("lam", lam)
-        .withColumn("p_value",
-                    # the alternating series needs its terms to decay
-                    # inside the 40-term unroll: below lam = 0.1 the
-                    # truncation garbage dominates (at lam = 0 the
-                    # partial sums oscillate 2,0,2,0 — p must be 1)
-                    F.when(F.col("lam") < 0.1, F.lit(1.0))
-                    .otherwise(
-                        F.round(F.least(F.lit(1.0),
-                                        F.greatest(F.lit(0.0),
-                                                   series.cast("double"))),
-                                6)))
-        .drop("lam")
+        F.when(F.col("lam") < 0.1, F.lit(1.0))
+        .otherwise(
+            F.round(F.least(F.lit(1.0),
+                            F.greatest(F.lit(0.0), series.cast("double"))),
+                    6))
     )
 
 
@@ -232,12 +244,21 @@ def chi_square_independence(df: DataFrame, row_col: str,
     expected (6 dp), contrib (6 dp), plus the repeated chi2_total
     (6 dp) and dof = (r−1)(c−1).
 
+    NULL categories are excluded BEFORE counting: a NULL-keyed cell
+    would carry margin mass but never match the equi-join back to its
+    observed count (NULL != NULL), so its observed mass silently
+    vanishes while its full expected mass still lands in chi2_total —
+    guaranteed false rejection — and count_distinct-based dof would
+    exclude the category the grid includes. (The _value_level NULL
+    discipline, applied to both factors.)
+
     Scale: one scan → groupBy(row,col) with map-side combine; the
     margin cross is category²-bounded. No window over the input.
     """
     obs = (
-        df.groupBy(F.col(row_col).cast("string").alias("row_val"),
-                   F.col(col_col).cast("string").alias("col_val"))
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).cast("string").alias("row_val"),
+                 F.col(col_col).cast("string").alias("col_val"))
         .agg(F.count("*").cast("bigint").alias("observed"))
     )
     return chi_square_from_counts(obs)
@@ -259,7 +280,11 @@ def chi_square_from_counts(obs: DataFrame) -> DataFrame:
         .na.fill({"observed": 0})
         .crossJoin(F.broadcast(tot))
     )
-    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    # margin product widens to DECIMAL(38,0) BEFORE multiplying (the
+    # ks_test_2samp 100 TB guard): rt·ct ~ 1e23 at N ~ 1e12 blows the
+    # BIGINT ceiling long before the counts do
+    e = (F.col("rt").cast("decimal(38,0)")
+         * F.col("ct").cast("decimal(38,0)")).cast("double") / F.col("n")
     contrib = F.round(
         (F.col("observed") - e) * (F.col("observed") - e) / e, 9
     ).cast("decimal(20,9)")
@@ -378,7 +403,11 @@ def cuped_adjust(events: DataFrame, split_ts: str,
             F.sum(F.when(ts >= split, v).otherwise(F.lit(0))
                   ).cast("decimal(18,6)").alias("y"),
         )
-        .select((F.col("u") % arms).cast("int").alias("arm"), "x", "y")
+        # pmod, not %: Spark's % follows the dividend's sign, so
+        # negative user ids (64-bit hashed ids) would mint negative
+        # arm labels and fragment `arms` cohorts into up to 2·arms−1
+        .select(F.pmod(F.col("u"), F.lit(arms)).cast("int").alias("arm"),
+                "x", "y")
     )
     d12 = "decimal(38,12)"
     mom = per_user.groupBy("arm").agg(
@@ -626,26 +655,11 @@ def ks_family_bh(df: DataFrame, group_col: str, value_col: str,
     base = dmax.select(
         F.col("g").alias("group_val"), "n_a", "n_b",
         F.round(d, 6).alias("ks_d"),
-    ).withColumn(
-        "lam",
-        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
-        * F.col("ks_d"))
-    term = lambda j: (  # noqa: E731
-        F.round(F.exp(F.lit(-2.0 * j * j) * F.col("lam") * F.col("lam")), 9)
-        .cast("decimal(20,9)") * F.lit(2 * (1 if j % 2 == 1 else -1))
+        # unrounded-D lambda, same rationale as ks_from_value_counts
+        ((F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d)
+        .alias("lam"),
     )
-    series = term(1)
-    for j in range(2, _KS_TERMS + 1):
-        series = series + term(j)
-    withp = base.withColumn(
-        "p_value",
-        # same small-lam truncation guard as ks_test_2samp
-        F.when(F.col("lam") < 0.1, F.lit(1.0))
-        .otherwise(
-            F.round(F.least(F.lit(1.0),
-                            F.greatest(F.lit(0.0), series.cast("double"))),
-                    6))
-    ).drop("lam")
+    withp = base.withColumn("p_value", _ks_p_from_lam()).drop("lam")
     m = withp.agg(F.count("*").cast("bigint").alias("m"))
     wr = Window.orderBy("p_value", "group_val")
     ranked = withp.crossJoin(F.broadcast(m)).withColumn(
@@ -733,8 +747,13 @@ def mutual_information(df: DataFrame, row_col: str,
     margins, everything after the groupBy is alphabet-bounded.
     """
     obs = (
-        df.groupBy(F.col(row_col).cast("string").alias("row_val"),
-                   F.col(col_col).cast("string").alias("col_val"))
+        # NULL categories excluded (chi_square_independence's NULL
+        # discipline): the inner joins back to the margins drop
+        # NULL-keyed cells from I while the entropy margins keep them,
+        # making U = I/H inconsistent
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).cast("string").alias("row_val"),
+                 F.col(col_col).cast("string").alias("col_val"))
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     rt = obs.groupBy("row_val").agg(F.sum("n").cast("bigint").alias("rt"))
@@ -807,8 +826,13 @@ def brown_forsythe(df: DataFrame, group_col: str,
     scan.
     """
     vl = (
-        df.groupBy(F.col(group_col).cast("string").alias("g"),
-                   F.col(value_col).alias("v"))
+        # NULL metric values excluded (the _value_level discipline): a
+        # NULL row would inflate n AND occupy the first cumulative
+        # positions (Spark NULLS FIRST), shifting — or NULLing — the
+        # group median and corrupting every moment downstream
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"),
+                 F.col(value_col).alias("v"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     w = Window.partitionBy("g").orderBy("v") \
@@ -833,15 +857,24 @@ def brown_forsythe(df: DataFrame, group_col: str,
                 F.round(F.abs(F.col("v") - F.col("med")), 6)
                 .cast("decimal(18,6)").alias("z"), "med")
     )
-    # operand widths are deliberately narrow — (12,6)x(12,0) and
-    # (24,12)x(12,0) stay inside BOTH engines' 38-digit decimal cap
-    # (DuckDB errors, Spark silently rounds, past it)
-    zc = F.col("z").cast("decimal(12,6)")
+    # operand widths: z stays at its full (18,6) quantization for the
+    # first moment ((18,6)×(12,0) = (31,6), inside the 38-digit cap);
+    # the square is computed exactly at (37,12) then re-rounded to
+    # (25,6) BEFORE the count product so (25,6)×(12,0) = (38,6) fits.
+    # This raises the silent-overflow ceiling on |v − median| from the
+    # old (12,6) cast's 1e6 — where a big deviation became NULL and
+    # simply VANISHED from the spread moments, passing data the gate
+    # should fail — to ~3e9 (documented bound), at the cost of the
+    # second moment carrying 6 fractional digits instead of 12 (both
+    # engines apply the same half-up re-round, so the fold stays
+    # engine-exact; the F statistic assembles in doubles anyway)
+    zc = F.col("z")
     cw = F.col("c").cast("decimal(12,0)")
     gm = z.groupBy("g", "med").agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum(zc * cw).cast("decimal(28,6)").alias("sz"),
-        F.sum((zc * zc) * cw).cast("decimal(38,12)").alias("szz"),
+        F.sum((zc * zc).cast("decimal(25,6)") * cw)
+        .cast("decimal(38,6)").alias("szz"),
     )
     tot = gm.agg(F.sum("n").cast("bigint").alias("nn"),
                  F.sum("sz").cast("decimal(38,6)").alias("tsz"),

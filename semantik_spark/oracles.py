@@ -5500,7 +5500,7 @@ d AS (
          round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
          (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
           + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
-         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
+         * (num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE) AS lam
   FROM dm)
 SELECT group_a, group_b, n_a, n_b, ks_d,
        CASE WHEN lam < 0.1 THEN 1.0
@@ -5667,7 +5667,7 @@ d AS (
          round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
          (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
           + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
-         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
+         * (num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE) AS lam
   FROM dm)
 SELECT group_a, group_b, n_a, n_b, ks_d,
        CASE WHEN lam < 0.1 THEN 1.0
@@ -5685,7 +5685,9 @@ WITH obs AS (
   SELECT event_type::VARCHAR AS row_val,
          (user_id % {mod})::VARCHAR AS col_val,
          count(*)::BIGINT AS observed
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2),
 rt AS (SELECT row_val, sum(observed)::BIGINT AS rt FROM obs GROUP BY row_val),
 ct AS (SELECT col_val, sum(observed)::BIGINT AS ct FROM obs GROUP BY col_val),
 tot AS (SELECT sum(observed)::BIGINT AS n,
@@ -5699,10 +5701,10 @@ dense AS (
   CROSS JOIN tot),
 cells AS (
   SELECT row_val, col_val, observed,
-         round((rt * ct)::DOUBLE / n, 6) AS expected,
-         round((observed - (rt * ct)::DOUBLE / n)
-               * (observed - (rt * ct)::DOUBLE / n)
-               / ((rt * ct)::DOUBLE / n), 9)::DECIMAL(20,9) AS c9,
+         round((rt::HUGEINT * ct)::DOUBLE / n, 6) AS expected,
+         round((observed - (rt::HUGEINT * ct)::DOUBLE / n)
+               * (observed - (rt::HUGEINT * ct)::DOUBLE / n)
+               / ((rt::HUGEINT * ct)::DOUBLE / n), 9)::DECIMAL(20,9) AS c9,
          ((nr - 1) * (nc - 1))::INT AS dof
   FROM dense)
 SELECT row_val, col_val, observed, expected,
@@ -6111,7 +6113,7 @@ WITH pu AS (
                    THEN round(value, 6)::DECIMAL(18,6)
                    ELSE 0 END))::DECIMAL(18,6) AS y
   FROM events GROUP BY 1),
-pa AS (SELECT (u % {arms})::INT AS arm, x, y FROM pu),
+pa AS (SELECT (((u % {arms}) + {arms}) % {arms})::INT AS arm, x, y FROM pu),
 mom AS (
   SELECT arm, count(*)::BIGINT AS n,
          sum(x)::DECIMAL(38,6) AS sx, sum(y)::DECIMAL(38,6) AS sy,
@@ -6730,7 +6732,7 @@ base AS (
          round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS ks_d,
          (sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)) + 0.12
           + 0.11 / sqrt((n_a::HUGEINT * n_b)::DOUBLE / (n_a + n_b)))
-         * round(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS lam
+         * (num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE) AS lam
   FROM dmax),
 withp AS (
   SELECT group_val, n_a, n_b, ks_d,
@@ -6914,7 +6916,9 @@ def q_mutual_information() -> str:
 WITH obs AS (
   SELECT lang::VARCHAR AS row_val, source::VARCHAR AS col_val,
          count(*)::BIGINT AS n
-  FROM documents GROUP BY 1, 2),
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
 rt AS (SELECT row_val, sum(n)::BIGINT AS rt FROM obs GROUP BY row_val),
 ct AS (SELECT col_val, sum(n)::BIGINT AS ct FROM obs GROUP BY col_val),
 tot AS (SELECT sum(n)::BIGINT AS nn FROM obs),
@@ -7126,7 +7130,7 @@ def q_brown_forsythe() -> str:
     one-way F over |x - median_g|."""
     return """
 WITH vl AS (SELECT event_type AS g, value AS v, count(*)::BIGINT AS c
-            FROM events GROUP BY 1, 2),
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT g, v, c,
          sum(c) OVER (PARTITION BY g ORDER BY v
@@ -7145,12 +7149,12 @@ med AS (
   GROUP BY g),
 z AS (
   SELECT vl.g, vl.c, med.med,
-         round(abs(vl.v - med.med), 6)::DECIMAL(12,6) AS z
+         round(abs(vl.v - med.med), 6)::DECIMAL(18,6) AS z
   FROM vl JOIN med USING (g)),
 gm AS (
   SELECT g, med, sum(c)::BIGINT AS n,
          sum(z * c::DECIMAL(12,0))::DECIMAL(28,6) AS sz,
-         sum((z * z) * c::DECIMAL(12,0))::DECIMAL(38,12) AS szz
+         sum((z * z)::DECIMAL(25,6) * c::DECIMAL(12,0))::DECIMAL(38,6) AS szz
   FROM z GROUP BY g, med),
 tot AS (SELECT sum(n)::BIGINT AS nn, sum(sz)::DECIMAL(38,6) AS tsz,
                count(*)::INT AS k FROM gm),

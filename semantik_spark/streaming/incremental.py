@@ -1048,8 +1048,13 @@ def streaming_contingency(stream: DataFrame, state_path: str,
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         partial = (
-            batch.groupBy(F.col(row_col).cast("string").alias("row_val"),
-                          F.col(col_col).cast("string").alias("col_val"))
+            # NULL categories excluded per chi_square_independence's
+            # NULL discipline — the state must hold exactly the cells
+            # the batch test counts
+            batch.where(F.col(row_col).isNotNull()
+                        & F.col(col_col).isNotNull())
+            .groupBy(F.col(row_col).cast("string").alias("row_val"),
+                     F.col(col_col).cast("string").alias("col_val"))
             .agg(F.count("*").cast("bigint").alias("n"))
         )
         old = _read_state(spark, state_path)

@@ -296,3 +296,70 @@ def test_from_counts_state_is_mergeable(spark):
             == ks_test_2samp(df, "g", "v", "a", "b").collect())
     assert (mwu_from_value_counts(merged, "a", "b").collect()
             == mann_whitney_u(df, "g", "v", "a", "b").collect())
+
+
+def test_chi_square_and_mi_exclude_null_categories(spark):
+    """NULL-keyed cells can't survive the margin equi-joins (NULL !=
+    NULL), so keeping them would strand observed mass while the full
+    expected mass still lands in the statistic: NULL categories must
+    be excluded before counting, identically in chi-square and MI."""
+    from semantik_spark.operators.stattests import (
+        chi_square_independence,
+        mutual_information,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 3 + [("b", "x")] * 2
+        + [("b", "y")] * 6, ["r", "c"])
+    noisy = clean.unionByName(spark.createDataFrame(
+        [(None, "x")] * 4 + [("a", None)] * 3 + [(None, None)] * 2,
+        "r string, c string"))
+
+    assert (chi_square_independence(noisy, "r", "c").collect()
+            == chi_square_independence(clean, "r", "c").collect())
+    assert (mutual_information(noisy, "r", "c").collect()
+            == mutual_information(clean, "r", "c").collect())
+
+
+def test_brown_forsythe_null_values_and_large_deviations(spark):
+    """NULL metric rows must not shift the group median (Spark sorts
+    NULLS FIRST in the cumulative window), and a deviation past the
+    old DECIMAL(12,6) cast's 1e6 ceiling must CONTRIBUTE to the spread
+    moments instead of silently becoming NULL and vanishing."""
+    from semantik_spark.operators.stattests import brown_forsythe
+
+    clean = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+         ("g2", 10.0), ("g2", 20.0), ("g2", 30.0)], ["g", "v"])
+    noisy = clean.unionByName(spark.createDataFrame(
+        [("g1", None), ("g1", None)], "g string, v double"))
+    assert (brown_forsythe(noisy, "g", "v").collect()
+            == brown_forsythe(clean, "g", "v").collect())
+
+    big = spark.createDataFrame(
+        [("h", 0.0), ("h", 1.0e6), ("h", 4.0e6),
+         ("i", 1.0), ("i", 2.0), ("i", 4.0)], ["g", "v"])
+    rows = {r["group_val"]: r for r in brown_forsythe(big, "g", "v").collect()}
+    # h's deviations are 1e6, 0, 3e6 — two past the old 1e6 ceiling,
+    # where they became NULL and vanished from the moments
+    assert abs(rows["h"]["mean_absdev"] - 4.0e6 / 3) < 1.0
+    assert rows["h"]["f_stat"] is not None
+
+
+def test_cuped_negative_user_ids_fold_into_nonnegative_arms(spark):
+    """Hashed 64-bit user ids go negative; arm = pmod(u, arms) must
+    produce exactly `arms` non-negative labels, with -3 and 1 landing
+    in the same arm for arms=2."""
+    import datetime
+
+    from semantik_spark.operators.stattests import cuped_adjust
+
+    t0 = datetime.datetime(2024, 1, 10)
+    t1 = datetime.datetime(2024, 1, 20)
+    rows = [(u, t, float(abs(u) + i))
+            for i, (u, t) in enumerate(
+                [(-3, t0), (-3, t1), (1, t0), (1, t1),
+                 (-2, t0), (-2, t1), (4, t0), (4, t1)])]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = cuped_adjust(ev, split_ts="2024-01-16 00:00:00", arms=2).collect()
+    assert sorted(r["arm"] for r in out) == [0, 1]
