@@ -6808,16 +6808,18 @@ uni AS (
   SELECT w, count(*)::BIGINT AS n_w
   FROM (SELECT unnest(toks) AS w FROM tk) s GROUP BY w
 ),
-bg AS (
+bg_all AS (
   SELECT word_a, word_b, count(*)::BIGINT AS n_pair FROM (
     SELECT toks[r.i] AS word_a, toks[r.i + 1] AS word_b
     FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)
     WHERE len(toks) >= 2
-  ) s GROUP BY word_a, word_b HAVING count(*) >= 5
+  ) s GROUP BY word_a, word_b
 ),
+bg AS (SELECT * FROM bg_all WHERE n_pair >= 5),
 tot AS (
+  -- P(ab) normalizes by the PRE-filter bigram total (Church & Hanks)
   SELECT (SELECT sum(n_w)::DOUBLE FROM uni) AS t_uni,
-         (SELECT sum(n_pair)::DOUBLE FROM bg) AS t_big
+         (SELECT sum(n_pair)::DOUBLE FROM bg_all) AS t_big
 ),
 sc AS (
   SELECT word_a, word_b, n_pair, a.n_w AS n_a, b.n_w AS n_b,

@@ -36,9 +36,12 @@ def language_scores(text_col: str) -> dict[str, Column]:
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id, lang_pred, lang_hits — function-word-hit language ID.
 
-    argmax over per-language function-word hit counts; ties and
-    zero-hit docs resolve to 'unknown' < alphabetical order via the
-    sort on (hits desc, lang asc) with a minimum-hits floor of 1.
+    argmax over per-language function-word hit counts. Tie rule
+    (driver-pinned, mirrored by the oracle's fr→es→en→de CASE
+    priority): equal hit counts resolve to the alphabetically LAST
+    language — array_max compares (hits, lang) structs
+    lexicographically, so the greater lang string wins the tie.
+    Zero-hit docs resolve to 'unknown'.
     """
     # let-bind the token array: every language's hit count references it,
     # and Catalyst would re-run the regex tokenizer once per language
@@ -51,7 +54,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             for lang in sorted(LANG_STOPWORDS)
         ])
 
-    # max by (hits, then reverse-alpha so earlier alphabet wins ties)
+    # max by (hits, lang) struct order — ties go to the LATER alphabet
+    # (see docstring tie rule; the oracle's CASE priority mirrors it)
     best = _bind(raw_tokens(text_col), lambda t: F.array_max(F.transform(
         _pairs(t), lambda p: F.struct(p["hits"].alias("hits"), p["lang"].alias("lang"))
     )))
@@ -331,17 +335,22 @@ def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 50,
         sz >= 2,
         F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    big = (
+    big_all = (
         tok.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("word_a"), F.col("p.b").alias("word_b"))
         .groupBy("word_a", "word_b")
         .agg(F.count("*").cast("bigint").alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
     )
+    big = big_all.where(F.col("n_pair") >= min_count)
     totals = uni.agg(
         F.sum("n_w").cast("double").alias("t_uni")
     ).crossJoin(
-        big.agg(F.sum("n_pair").cast("double").alias("t_big"))
+        # P(ab) normalizes by the TOTAL bigram mass, computed BEFORE
+        # the min_count cut: normalizing by the filtered total would
+        # overstate every PMI by the constant log2 of the dropped tail
+        # mass (Church & Hanks define P(ab) = c(ab)/N over all
+        # bigrams; collocations_llr's nn already does this correctly)
+        big_all.agg(F.sum("n_pair").cast("double").alias("t_big"))
     )
     scored = (
         big.join(uni.select(F.col("w").alias("word_a"), F.col("n_w").alias("n_a")), "word_a")

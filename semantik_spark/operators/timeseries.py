@@ -55,6 +55,14 @@ def asof_join(
         raise ValueError(f"asof_join: missing required columns: {missing}")
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(*keys, ts_col, *right_cols).withColumn("__side", F.lit(0))
+    # ASOF equality semantics for NULL keys (DuckDB's ASOF LEFT JOIN:
+    # NULL = NULL is not a match): the union-window formulation would
+    # otherwise co-partition NULL-key rows from BOTH sides and carry
+    # right values onto NULL-key left rows. Right rows with a NULL key
+    # can never match anything — drop them; NULL-key left rows then
+    # sit in a partition with no right rows and keep their NULLs.
+    for k in keys:
+        rt = rt.where(F.col(k).isNotNull())
     u = lt.unionByName(rt, allowMissingColumns=True)
     # right rows (__side=0) sort before left rows at the same timestamp,
     # which is what makes the match inclusive at ts equality
@@ -136,7 +144,11 @@ def funnel(events: DataFrame, steps: list[str],
     )
     return counts.crossJoin(F.broadcast(base)).select(
         "step_index", "step", "n_users",
-        F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
+        # try_divide: an unmatched first step gives n_base = 0 — the
+        # funnel must report zero-count rows with NULL conversion, not
+        # die on an ANSI division error
+        F.round(F.try_divide(F.col("n_users"), F.col("n_base")), 6)
+        .alias("conversion"),
     )
 
 
@@ -461,7 +473,9 @@ def ewm_smooth(events: DataFrame, alpha: float = 0.3, window: int = 8,
         id_col,
         F.unix_micros(F.col(ts_col)).alias("us"),
         F.col(value_col).alias("value"),
-        F.round(num / den, 6).alias("ewma"),
+        # try_divide: a row whose own value AND every trailing lag
+        # are NULL has den = 0.0 — ewma must be NULL, not an ANSI abort
+        F.round(F.try_divide(num, den), 6).alias("ewma"),
     )
 
 
@@ -584,7 +598,10 @@ def trend_ols(events: DataFrame, type_col: str = "event_type",
     cov_n = n * sxy - sx * sy
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
-    slope = cov_n / var_x
+    # try_divide: a zero-variance group (single event, or all rows at
+    # one microsecond) must yield NULL slope, not an ANSI
+    # DIVIDE_BY_ZERO that kills the whole job (r2 was already guarded)
+    slope = F.try_divide(cov_n, var_x)
     return sums.select(
         F.col("etype").alias(type_col),
         F.col("n").alias("n_obs"),
@@ -823,9 +840,13 @@ def acf_daily(events: DataFrame, lags: tuple = (1, 2, 7, 14),
     for l in lags:
         pairs.append(F.struct(
             F.lit(int(l)).alias("lag"),
-            F.round(
-                F.col(f"_num{int(l)}").cast("double")
-                / F.col("_den").cast("double"), 6).alias("acf"),
+            # try_divide: a constant daily series (e.g. a heartbeat
+            # type firing k times every day) has _den = 0 — NULL acf
+            # (handled downstream) instead of an ANSI job abort that
+            # would also take ljung_box and pacf_daily down
+            F.round(F.try_divide(
+                F.col(f"_num{int(l)}").cast("double"),
+                F.col("_den").cast("double")), 6).alias("acf"),
         ))
     return (
         out.select(
@@ -1494,11 +1515,18 @@ def funnel_wilson(events: DataFrame, steps: list,
     center = (p + z * z / (2.0 * n)) / denom
     half = z * F.sqrt(p * (1.0 - p) / n
                       + z * z / (4.0 * n * n)) / denom
+    # per-row when() guard (If short-circuits per row): a mid-funnel
+    # step with zero users must yield NULL p/CI rows, not an ANSI
+    # DIVIDE_BY_ZERO abort; the non-degenerate arithmetic keeps its
+    # exact operation order, so populated rows stay bit-identical
+    nz = F.col("n_from") > 0
     return j.select(
         "step_from", "step_to", "n_from", "n_to",
-        F.round(p, 6).alias("p"),
-        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci_lo"),
-        F.round(F.least(F.lit(1.0), center + half), 6).alias("ci_hi"),
+        F.round(F.when(nz, p), 6).alias("p"),
+        F.round(F.when(nz, F.greatest(F.lit(0.0), center - half)), 6)
+        .alias("ci_lo"),
+        F.round(F.when(nz, F.least(F.lit(1.0), center + half)), 6)
+        .alias("ci_hi"),
     )
 
 
@@ -1606,6 +1634,11 @@ def pacf_daily(events: DataFrame, max_lag: int = 7,
 
     out = []
     for g, rv in by_g.items():
+        if rv.get(1) is None:
+            # single-day global span: no lag-1 ACF exists, so no PACF
+            # rows for this group (the k>=2 missing-ACF guard can't
+            # cover lag 1 — q(None) would TypeError on the driver)
+            continue
         phi = {1: q(rv[1])}  # pico units, keyed by j for current k
         out.append((g, int(nd[g]), 1, float(rv[1]), phi[1] / 1e12))
         for k in range(2, max_lag + 1):

@@ -775,3 +775,69 @@ def test_ljung_box_short_series_df_shrinks(spark):
     r = ljung_box(df, lags=(1, 2, 7)).collect()[0]
     assert r["df"] == 2
     assert r["q_exceeds_05"] is not None  # critical row exists for df=2
+
+
+def test_degenerate_inputs_yield_null_not_ansi_abort(spark):
+    """ANSI mode turns x/0 into a job-killing error: zero-variance
+    trend groups, all-NULL ewma windows, constant daily series, and
+    empty funnel bases must yield NULL statistics, not abort."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import (
+        acf_daily,
+        ewm_smooth,
+        funnel,
+        trend_ols,
+        funnel_wilson,
+    )
+
+    t = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    one = spark.createDataFrame([(1, "solo", t, 5.0)],
+                                ["event_id", "event_type", "ts", "value"])
+    r = trend_ols(one).collect()[0]
+    assert r["slope_per_day"] is None and r["r2"] is None
+
+    nulls = spark.createDataFrame(
+        [(1, "a", t, None), (2, "a", t + datetime.timedelta(hours=1), 3.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    rows = {x["event_id"]: x["ewma"] for x in ewm_smooth(nulls).collect()}
+    assert rows[1] is None and rows[2] == 3.0
+
+    # constant daily series: two event types, one firing exactly once
+    # per day (zero variance -> NULL acf), one varying
+    const = [(i, "beat", datetime.datetime(2024, 1, 1 + i), 1.0)
+             for i in range(5)]
+    vary = [(100 + i + j, "vary", datetime.datetime(2024, 1, 1 + i), 1.0)
+            for i in range(5) for j in range(i + 1)]
+    ev = spark.createDataFrame(const + vary,
+                               ["event_id", "event_type", "ts", "value"])
+    acf = {(r["event_type"], r["lag"]): r["acf"]
+           for r in acf_daily(ev, lags=(1,)).collect()}
+    assert acf[("beat", 1)] is None
+    assert acf[("vary", 1)] is not None
+
+    f = funnel(ev, ["no_such_step", "vary"], user_col="event_id").collect()
+    assert all(r["conversion"] is None for r in f)
+    w = funnel_wilson(ev, ["vary", "no_such_step", "beat"],
+                      user_col="event_id")
+    for r in w.collect():
+        if r["n_from"] == 0:
+            assert r["p"] is None and r["ci_lo"] is None
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """ASOF equality semantics: NULL keys match nothing (the DuckDB
+    ASOF LEFT JOIN contract) — a NULL-key left row must keep NULL
+    right attributes even when a NULL-key right row precedes it."""
+    from semantik_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "L1"), ("k", 10, "L2")],
+        "key string, ts int, tag string")
+    right = spark.createDataFrame(
+        [(None, 5, 1.0), ("k", 5, 2.0)],
+        "key string, ts int, px double")
+    out = {r["tag"]: r["px"]
+           for r in asof_join(left, right, ["key"], "ts", ["px"]).collect()}
+    assert out["L1"] is None   # NULL key: no match
+    assert out["L2"] == 2.0    # real key still matches
