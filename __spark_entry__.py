@@ -7260,10 +7260,12 @@ cw AS (
 SELECT e.event_type, count(*)::BIGINT AS n,
        sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
        sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
-       round(sum(least(greatest(value, lo), hi)::DECIMAL(28,8))::DOUBLE
+       round(sum((CASE WHEN lo IS NOT NULL
+                       THEN least(greatest(value, lo), hi)
+                       ELSE value END)::DECIMAL(28,8))::DOUBLE
              / count(*), 6) AS winsorized_mean,
        round(sum(value::DECIMAL(28,8))::DOUBLE / count(*), 6) AS raw_mean
-FROM events e JOIN cw USING (event_type)
+FROM events e LEFT JOIN cw USING (event_type)
 GROUP BY e.event_type""",
         "nation_trade_volume": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

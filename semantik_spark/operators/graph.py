@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import cache
+
 
 def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 5,
              src: str = "src", dst: str = "dst") -> DataFrame:
@@ -44,6 +46,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 5,
         .distinct()
     )
     n = nodes.count()  # one driver scalar, same class as the IVF codebook
+    if n == 0:
+        # an upstream filter selecting zero edges must yield an empty
+        # result, not a driver ZeroDivisionError from 1.0 / n
+        return nodes.select("id", F.lit(0.0).alias("pr")).where(F.lit(False))
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("out_deg"))
     ed = e.join(deg, "src")
     ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
@@ -230,8 +236,12 @@ def kcore_numbers(edges: DataFrame, rounds: int = 8,
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))).persist()
+    # cache(), not bare persist(): the session-lifetime registry
+    # (functions/caching.release_all) reclaims executor storage after
+    # each entry query — a bare persist leaks across a 50-query run
+    adj = cache(und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                .union(und.select(F.col("v").alias("src"),
+                                  F.col("u").alias("dst"))))
     degrees = adj.groupBy("src").agg(
         F.count("*").cast("bigint").alias("est")
     )
@@ -282,8 +292,12 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     )
     s = seeds.select(F.col("id")).distinct()
     ns = s.count()  # driver scalar, codebook class
-    marked = nodes.join(s.withColumn("_s", F.lit(1)), "id", "left") \
-        .select("id", F.coalesce("_s", F.lit(0)).alias("_s")).persist()
+    if ns == 0:
+        # empty seed set: restart mass is undefined — empty result,
+        # not a driver ZeroDivisionError
+        return nodes.select("id", F.lit(0.0).alias("ppr")).where(F.lit(False))
+    marked = cache(nodes.join(s.withColumn("_s", F.lit(1)), "id", "left")
+                   .select("id", F.coalesce("_s", F.lit(0)).alias("_s")))
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("out_deg"))
     ed = e.join(deg, "src")
     ranks = marked.select(
@@ -353,9 +367,13 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 20,
     )
     deg = adj.groupBy(F.col("u").alias("z")).agg(
         F.count("*").cast("bigint").alias("deg"))
-    # per-center AA term, quantized once per z (deg >= 2 for any wedge
-    # center, so ln(deg) >= ln 2 > 0)
-    term = deg.withColumn(
+    # per-center AA term, quantized once per z. The deg >= 2 filter
+    # sits BEFORE the projection: leaf nodes (deg = 1) have ln(deg) =
+    # 0, and relying on predicate pushdown to keep 1e6/0 unevaluated
+    # breaks the moment anything materializes this frame (a cache, a
+    # checkpoint, a collapsed-projection barrier) — only wedge centers
+    # (deg >= 2) ever carry a term anyway
+    term = deg.where(F.col("deg") >= 2).withColumn(
         "term_micro",
         F.floor(F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))
                 + F.lit(0.5)).cast("bigint"),
@@ -385,7 +403,7 @@ def adamic_adar_links(edges: DataFrame, top_k: int = 20,
     non_edges = wedges.join(
         und, (wedges.a == und.u) & (wedges.b == und.v), "left_anti")
     scored = (
-        non_edges.join(term.where(F.col("deg") >= 2), "z")
+        non_edges.join(term, "z")
         .groupBy(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
         .agg(
             F.count("*").cast("bigint").alias("common_neighbors"),
@@ -440,8 +458,11 @@ def degree_assortativity(edges: DataFrame,
     ddy = F.col("dy").cast("decimal(19,0)")
     m = pairs.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("dx").cast("decimal(19,0)").alias("sx"),
-        F.sum("dy").cast("decimal(19,0)").alias("sy"),
+        # first moments also accumulate in DECIMAL (a ~3e9-degree hub
+        # contributes its deg² ≈ 9e18 to Σdx via the endpoint rows,
+        # wrapping a BIGINT accumulator before any post-sum cast)
+        F.sum(ddx).cast("decimal(19,0)").alias("sx"),
+        F.sum(ddy).cast("decimal(19,0)").alias("sy"),
         F.sum(ddx * ddx).cast("decimal(19,0)").alias("sxx"),
         F.sum(ddy * ddy).cast("decimal(19,0)").alias("syy"),
         F.sum(ddx * ddy).cast("decimal(19,0)").alias("sxy"),
@@ -517,11 +538,15 @@ def label_modularity(edges: DataFrame, labels: DataFrame,
     )
     w = Window.partitionBy()
     m = F.sum("d_out").over(w).cast("decimal(38,0)")
+    # try_divide: an empty edge set (or labels matching no endpoint)
+    # gives m = 0 — NULL contributions, not an ANSI job abort (the
+    # degree_assortativity zero-variance lesson)
     contrib = F.round(
-        F.col("e_within").cast("double") / m.cast("double")
-        - (F.col("d_out").cast("decimal(38,0)")
-           * F.col("d_in").cast("decimal(38,0)")).cast("double")
-        / (m * m).cast("double"), 6
+        F.try_divide(F.col("e_within").cast("double"), m.cast("double"))
+        - F.try_divide(
+            (F.col("d_out").cast("decimal(38,0)")
+             * F.col("d_in").cast("decimal(38,0)")).cast("double"),
+            (m * m).cast("double")), 6
     ).cast("decimal(12,6)")
     termed = full.select("label", "n_nodes", "e_within", "d_out", "d_in",
                          contrib.alias("q_contrib"))
@@ -645,10 +670,12 @@ def harmonic_centrality(edges: DataFrame, hops: int = 3, top_k: int = 20,
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    adj = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    best = adj.select("u", F.col("v").alias("w"),
-                      F.lit(1).alias("d")).persist()
+    # cache() registry, not bare persist(): the per-round re-persists
+    # below pin every BFS generation until release_all() runs
+    adj = cache(und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    best = cache(adj.select("u", F.col("v").alias("w"),
+                            F.lit(1).alias("d")))
     frontier = best
     for t in range(2, hops + 1):
         cand = (
@@ -658,9 +685,10 @@ def harmonic_centrality(edges: DataFrame, hops: int = 3, top_k: int = 20,
             .where(F.col("u") != F.col("w"))
             .distinct()
         )
-        new = cand.join(best.select("u", "w"), ["u", "w"], "left_anti") \
-            .select("u", "w", F.lit(t).alias("d")).persist()
-        best = best.unionByName(new).persist()
+        new = cache(cand.join(best.select("u", "w"), ["u", "w"],
+                              "left_anti")
+                    .select("u", "w", F.lit(t).alias("d")))
+        best = cache(best.unionByName(new))
         frontier = new
     weights = {d: round(1.0 / d, 6) for d in range(1, hops + 1)}
     wexpr = F.col("d").cast("double")

@@ -162,6 +162,37 @@ def tsne_project(emb: DataFrame, cap: int = 2000, perplexity: float = 30.0,
     return spark.createDataFrame(out)
 
 
+def _fit_umap_ab(min_dist: float, spread: float = 1.0) -> tuple:
+    """Deterministic least-squares fit of the UMAP low-dimensional
+    kernel 1/(1 + a·x^(2b)) to the target membership curve
+    psi(x) = 1 for x <= min_dist, exp(-(x - min_dist)/spread) after —
+    the same objective umap-learn hands to scipy's curve_fit, solved
+    here by a coarse-to-fine grid search (3 refinement rounds over a
+    120x120 (a,b) grid on 300 sample points): no SciPy dependency, no
+    RNG, identical (a, b) for identical min_dist on every run."""
+    import numpy as np
+
+    xs = np.linspace(0.0, 3.0 * spread, 300)
+    psi = np.where(xs <= min_dist, 1.0,
+                   np.exp(-(xs - min_dist) / spread))
+    a_lo, a_hi, b_lo, b_hi = 0.01, 10.0, 0.1, 2.5
+    best_a, best_b = 1.0, 1.0
+    for _ in range(3):
+        a_grid = np.linspace(a_lo, a_hi, 120)
+        b_grid = np.linspace(b_lo, b_hi, 120)
+        # xs^(2b) per b row, then broadcast the a axis
+        xp = np.power(xs[None, :], 2.0 * b_grid[:, None])  # (B, X)
+        f = 1.0 / (1.0 + a_grid[:, None, None] * xp[None, :, :])
+        sse = ((f - psi[None, None, :]) ** 2).sum(axis=2)  # (A, B)
+        ia, ib = np.unravel_index(np.argmin(sse), sse.shape)
+        best_a, best_b = float(a_grid[ia]), float(b_grid[ib])
+        da = (a_hi - a_lo) / 119.0
+        db = (b_hi - b_lo) / 119.0
+        a_lo, a_hi = max(0.001, best_a - da), best_a + da
+        b_lo, b_hi = max(0.05, best_b - db), best_b + db
+    return best_a, best_b
+
+
 def _umap_fit(X, n_neighbors: int = 15, n_iter: int = 200,
               min_dist: float = 0.1, lr: float = 1.0):
     """Deterministic full-batch UMAP (McInnes, Healy & Melville 2018)
@@ -191,9 +222,17 @@ def _umap_fit(X, n_neighbors: int = 15, n_iter: int = 200,
     if n <= 3:  # too few points for a graph; trivial stable layout
         return np.zeros((n, 2))
     k = min(n_neighbors, n - 1)
-    # (a, b) for min_dist=0.1 per the umap-learn curve fit; other
-    # min_dist values re-fit offline the same way
-    a, b = (1.577, 0.8951) if abs(min_dist - 0.1) < 1e-9 else (1.929, 0.7915)
+    # (a, b): umap-learn's least-squares fit of 1/(1 + a·x^(2b)) to
+    # psi(x) = 1 for x <= min_dist else exp(-(x - min_dist)). The
+    # min_dist = 0.1 default keeps the exact published literal (layout
+    # stability for pinned queries); any OTHER min_dist is fitted here
+    # deterministically — previously every non-0.1 value silently fell
+    # back to the min_dist≈0 pair, making the parameter a boolean in
+    # disguise
+    if abs(min_dist - 0.1) < 1e-9:
+        a, b = 1.577, 0.8951
+    else:
+        a, b = _fit_umap_ab(min_dist)
 
     ss = (X ** 2).sum(1)
     D = np.sqrt(np.maximum(ss[:, None] + ss[None, :] - 2.0 * (X @ X.T), 0.0))
@@ -478,9 +517,13 @@ def dbscan_projected(emb: DataFrame, eps_micro: int = 50_000,
         out_rows = [(n, min(group))
                     for group in members.values() for n in group]
         spark = emb.sparkSession
+        # schema follows the caller's id type — a hardcoded BIGINT
+        # would make string-keyed corpora crash ONLY on the small
+        # (<=200k-edge) path while the distributed CC branch succeeds
+        id_type = dict(emb.dtypes)[id_col]
         cc = spark.createDataFrame(
             out_rows or [(None, None)],
-            "core_id bigint, cluster_id bigint"
+            f"core_id {id_type}, cluster_id {id_type}"
         ).where(F.col("core_id").isNotNull())
     else:
         cc = connected_components(core_edges, edges_canonical=True).select(

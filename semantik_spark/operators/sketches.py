@@ -96,7 +96,10 @@ def kmv_distinct(
         "n_exact",
         n_sketch.cast("int").alias("n_sketch"),
         F.round(est, 6).alias("kmv_estimate"),
-        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+        # try_divide: an all-NULL group has an empty sketch and
+        # n_exact = 0 — NULL rel_error, not an ANSI job abort
+        F.round(F.try_divide(F.abs(est - F.col("n_exact")),
+                             F.col("n_exact")), 6).alias("rel_error"),
     )
 
 
@@ -150,7 +153,9 @@ def kmv_set_ops(df: DataFrame, group_col: str, value_col: str,
         F.round(est_b, 6).alias("est_b"),
         F.round(est_u, 6).alias("est_union"),
         F.round(est_i, 6).alias("est_intersect"),
-        F.round(est_i / est_u, 6).alias("jaccard_est"),
+        # try_divide: two all-NULL groups give est_u = 0 — NULL
+        # jaccard, not an ANSI job abort
+        F.round(F.try_divide(est_i, est_u), 6).alias("jaccard_est"),
     )
 
 
@@ -319,8 +324,14 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
         F.min("estimate").alias("lo"), F.max("estimate").alias("hi")
     )
     v = F.col(value_col)
-    clamped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
-    joined = df.join(F.broadcast(cw), group_col)
+    # LEFT join + passthrough: a group with no positive mass has no
+    # sketch cutpoints (every value lands in the reserved non-positive
+    # bucket) — it must report its raw mean unclamped, not silently
+    # vanish through an inner join
+    clamped = F.when(F.col("lo").isNotNull(),
+                     F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+                     ).otherwise(v)
+    joined = df.join(F.broadcast(cw), group_col, "left")
     return joined.groupBy(group_col).agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.when(v < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_lo"),

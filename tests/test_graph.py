@@ -190,3 +190,25 @@ def test_harmonic_centrality_path_graph(spark):
     assert rows[1]["harmonic"] == round(1 + 0.5 + 0.333333, 6)
     assert rows[1]["n_reached"] == 3
     assert rows[9]["harmonic"] == 1.0  # only its pair
+
+
+def test_empty_and_degenerate_graph_inputs(spark):
+    """Empty edge sets and zero-mass label joins must yield empty/NULL
+    results, not driver ZeroDivisionErrors or ANSI job aborts."""
+    from semantik_spark.operators.graph import (
+        label_modularity,
+        pagerank,
+        personalized_pagerank,
+    )
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(empty).count() == 0
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    no_seeds = spark.createDataFrame([], "id bigint")
+    assert personalized_pagerank(edges, no_seeds).count() == 0
+
+    # labels matching no edge endpoint: m = 0 -> NULL contributions
+    labels = spark.createDataFrame([(99, "z")], ["node", "label"])
+    rows = label_modularity(empty, labels).collect()
+    assert all(r["q_contrib"] is None for r in rows)

@@ -304,3 +304,34 @@ def test_hll_packed_merge_lattice(spark):
     out = {r["g"]: list(r["regs"])
            for r in hll_merge_packed(am, b).collect()}
     assert out["zz"] == want_zz and sum(1 for x in out["zz"] if x > 0) == 1
+
+
+def test_kmv_and_winsorized_degenerate_groups(spark):
+    """All-NULL groups produce empty sketches (n_exact = 0): rel_error
+    and jaccard must be NULL, not ANSI aborts; and a group with no
+    positive mass must keep its rows (raw mean, no clamping) instead
+    of vanishing through the winsorized cutpoint join."""
+    from semantik_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_set_ops,
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "v1"), ("b", "v2")],
+        "g string, val string")
+    rows = {r["g"]: r for r in kmv_distinct(df, "g", "val").collect()}
+    assert rows["a"]["n_exact"] == 0 and rows["a"]["rel_error"] is None
+    assert rows["b"]["rel_error"] is not None
+    pair = kmv_set_ops(df.where("g = 'a'").unionByName(
+        spark.createDataFrame([("c", None)], "g string, val string")),
+        "g", "val").collect()[0]
+    assert pair["jaccard_est"] is None
+
+    w = spark.createDataFrame(
+        [("zero", 0.0)] * 4 + [("pos", float(i)) for i in range(1, 60)],
+        "g string, v double")
+    out = {r["g"]: r for r in winsorized_stats(w, "g", "v").collect()}
+    assert "zero" in out                       # group not dropped
+    assert out["zero"]["winsorized_mean"] == 0.0
+    assert out["zero"]["n_lo"] == 0 and out["zero"]["n_hi"] == 0
