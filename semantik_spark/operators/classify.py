@@ -69,7 +69,13 @@ def naive_bayes_model(train: DataFrame, label_col: str = "lang",
     grid = vocab.crossJoin(F.broadcast(class_docs.select("label")))
     model = (
         grid.join(tok_counts, ["label", "term"], "left")
-        .join(F.broadcast(label_tokens), "label")
+        # LEFT join + 0 fill: a label whose training docs tokenize to
+        # NOTHING (all stopwords / sub-2-char tokens) has no
+        # label_tokens row; an inner join would delete its whole vocab
+        # grid and make the class unpredictable, when its Laplace
+        # log-likelihood ln(1/(0+|V|)) is perfectly well-defined
+        .join(F.broadcast(label_tokens), "label", "left")
+        .na.fill({"n_tok": 0})
         .crossJoin(F.broadcast(vsize))
         .select(
             "label", "term",
@@ -221,7 +227,10 @@ def logreg_hashed_scores(docs: DataFrame, label: F.Column,
             )
         )
 
-    for _ in range(iters):
+    # zero docs: skip training entirely (the weight update divides by
+    # n_docs — a driver ZeroDivisionError otherwise) and fall through
+    # to margins(), which is empty for an empty input
+    for _ in range(iters if n_docs > 0 else 0):
         m = margins()
         gb = (
             feats.join(m.select("doc_id", "y", "p"), "doc_id")

@@ -40,9 +40,15 @@ from semantik_spark.functions.text import shingles_from_tokens, whitespace_token
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical docs: content_hash, n_docs, keep_doc_id
     (min id = survivor), duplicate_ids (sorted array of the rest)."""
-    h = docs.select(F.col(id_col).alias("doc_id"), content_hash(text_col).alias("content_hash"))
+    h = docs.select(F.col(id_col).alias("doc_id"),
+                    content_hash(text_col).alias("content_hash"))
     return (
-        h.groupBy("content_hash")
+        # NULL hashes (NULL text — failed extractions) are excluded:
+        # groupBy treats NULLs as equal, so keeping them would report
+        # never-compared docs as one byte-identical duplicate group
+        # and a downstream dedup pass would delete them
+        h.where(F.col("content_hash").isNotNull())
+        .groupBy("content_hash")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
@@ -302,6 +308,13 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     bucket's quadratic pair fan-out; the candidate set is identical
     either way (None disables the size probe).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # a silent remainder changes the advertised (1-j^r)^b miss
+        # curve; bands > num_hashes degenerates to rows_per_band = 0,
+        # one universal '' band key, and the full O(N^2) candidate set
+        raise ValueError(
+            f"bands must divide num_hashes exactly: got num_hashes="
+            f"{num_hashes}, bands={bands}")
     rows_per_band = num_hashes // bands
     # the shingle arrays feed signature computation + verification —
     # materialize once; at cluster scale this would be a checkpointed
@@ -1335,8 +1348,12 @@ def simhash_radius_report(docs: DataFrame, radii: tuple = (2, 4, 6, 8),
         .crossJoin(F.broadcast(n_exact))
         .select(
             "radius", "n_found", "n_true_found", "n_exact",
-            F.round(F.col("n_true_found") / F.col("n_found"), 6).alias("precision"),
-            F.round(F.col("n_true_found") / F.col("n_exact"), 6).alias("recall"),
+            # try_divide: zero candidates / empty ground truth must
+            # yield NULL precision/recall, not an ANSI job abort
+            F.round(F.try_divide(F.col("n_true_found"),
+                                 F.col("n_found")), 6).alias("precision"),
+            F.round(F.try_divide(F.col("n_true_found"),
+                                 F.col("n_exact")), 6).alias("recall"),
         )
     )
 

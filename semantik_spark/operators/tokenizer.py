@@ -670,8 +670,14 @@ def wordpiece_train(docs: DataFrame, num_merges: int = 8,
         ur = uni.select(F.col("sym").alias("right"), F.col("ucnt").alias("cr"))
         best = (
             pairs.join(ul, "left").join(ur, "right")
-            .withColumn("denom", (F.col("cl") * F.col("cr")).cast("bigint"))
-            .withColumn("score", F.col("cnt") / F.col("denom"))
+            # DECIMAL(38,0) before the product (the count-product
+            # overflow class): two ~3e9-count symbols wrap cl*cr in
+            # BIGINT (ANSI abort / legacy wrap that inflates exactly
+            # the most common pairs' scores)
+            .withColumn("denom", (F.col("cl").cast("decimal(38,0)")
+                                  * F.col("cr").cast("decimal(38,0)")))
+            .withColumn("score", F.col("cnt").cast("double")
+                        / F.col("denom").cast("double"))
             .orderBy(F.desc("score"), F.asc("left"), F.asc("right"))
             .limit(1)
             .collect()
@@ -742,7 +748,13 @@ def wordpiece_encode_words(words: DataFrame, vocab: list[str],
     def enc(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["pieces"] = [wordpiece_encode_word(w, vset) for w in pdf[word_col]]
+            # unencodable words (a char outside the trained alphabet)
+            # surface as a single [UNK] piece — a NULL array would
+            # posexplode to ZERO rows, silently dropping the word from
+            # every fertility/count computed over this output
+            pdf["pieces"] = [
+                wordpiece_encode_word(w, vset) or ["[UNK]"]
+                for w in pdf[word_col]]
             yield pdf
 
     return (

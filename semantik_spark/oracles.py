@@ -3783,7 +3783,13 @@ tw AS (
 s0 AS MATERIALIZED (SELECT word, 0 AS pos, []::VARCHAR[] AS pieces FROM tw),{','.join(steps)}
 SELECT word, i::INT AS piece_index, pieces[i + 1] AS piece FROM (
   SELECT word, pieces, unnest(range(0, len(pieces))) AS i FROM s{max_steps}
-  WHERE pos >= length(word))"""
+  WHERE pos >= length(word))
+UNION ALL
+-- unencodable words (stuck before consuming every char) surface as a
+-- single [UNK] row, mirroring the Spark encoder
+SELECT word, 0::INT AS piece_index, '[UNK]' AS piece
+FROM tw WHERE word NOT IN (
+  SELECT word FROM s{max_steps} WHERE pos >= length(word))"""
 
 
 def q_bpe_merges(num_merges: int = 8) -> str:

@@ -99,6 +99,8 @@ def test_logreg_learns_separable_labels(spark):
     zero-token docs must surface with margin == bias, not vanish."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as F
+
     from semantik_spark.operators.classify import logreg_hashed_scores
 
     good = ["alpha beta gamma delta", "alpha gamma beta", "beta delta alpha epsilon"]
@@ -127,6 +129,8 @@ def test_logreg_weight_state_is_corpus_independent(spark):
     for all docs and margins are 6dp-decimal-derived doubles."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as F
+
     from semantik_spark.operators.classify import logreg_hashed_scores
 
     rows = [(i, "alpha beta " * (1 + i % 3), i % 2) for i in range(40)]
@@ -138,3 +142,35 @@ def test_logreg_weight_state_is_corpus_independent(spark):
     for r in rs:
         # margins are exact decimal sums surfaced as doubles: 6dp grid
         assert abs(r["margin"] * 1e6 - round(r["margin"] * 1e6)) < 1e-3
+
+
+def test_zero_token_label_still_predictable(spark):
+    """A training label whose docs tokenize to nothing (all stopwords /
+    1-char tokens) must stay scoreable at the Laplace floor, not be
+    silently deleted from the model grid by an inner join."""
+    from semantik_spark.operators.classify import naive_bayes_model
+
+    train = spark.createDataFrame(
+        [(1, "quantum relativity physics theory", "sci"),
+         (2, "a b c d", "noise"),          # every token < 2 chars
+         (3, "football match goal score", "sport")],
+        ["doc_id", "text", "label"])
+    model, priors = naive_bayes_model(train, "label")
+    labels_in_model = {r["label"] for r in
+                       model.select("label").distinct().collect()}
+    assert "noise" in labels_in_model
+    # its loglik is the uniform Laplace floor ln(1/|V|) on every term
+    row = model.where("label = 'noise'").limit(1).collect()[0]
+    assert row["loglik"] is not None
+
+
+def test_logreg_empty_input_returns_empty(spark):
+    """Zero training docs: no driver ZeroDivisionError from the
+    n_docs-normalized weight update — an empty result frame."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.classify import logreg_hashed_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string, y int")
+    out = logreg_hashed_scores(empty, F.col("y") == 1)
+    assert out.count() == 0

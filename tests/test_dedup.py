@@ -575,3 +575,31 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.5  # Jaccard alone would have missed it
+
+
+def test_lsh_band_config_validation_and_null_hash_exclusion(spark):
+    """bands must divide num_hashes (a silent remainder changes the
+    miss curve; bands > num_hashes degenerates to one universal
+    bucket and the full O(N^2) candidate set); NULL-text docs must
+    never be reported as one byte-identical duplicate group."""
+    import pytest as _pytest
+
+    from semantik_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=20)
+
+    nulls = docs.unionByName(spark.createDataFrame(
+        [(3, None), (4, None)], "doc_id long, text string"))
+    groups = exact_duplicates(nulls).collect()
+    dup_ids = {i for r in groups for i in r["duplicate_ids"]}
+    assert 3 not in dup_ids and 4 not in dup_ids
+    assert any(r["n_docs"] == 2 for r in groups)  # the real pair found
