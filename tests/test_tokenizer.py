@@ -318,3 +318,18 @@ def test_wordpiece_encode_words_matches_local(spark):
     assert [p for _, p in sorted(got["hello"])] == wordpiece_encode_word(
         "hello", set(vocab))
     assert [p for _, p in sorted(got["he"])] == ["he"]
+
+
+def test_wordpiece_unencodable_word_emits_unk(spark):
+    """A word with a char outside the trained alphabet must surface as
+    one [UNK] piece, not vanish from the encode output."""
+    from semantik_spark.operators.tokenizer import wordpiece_encode_words
+
+    words = spark.createDataFrame([("hello",), ("héllo",)], ["word"])
+    vocab = ["h", "##e", "##l", "##o", "hello"]
+    out = wordpiece_encode_words(words, vocab).collect()
+    by_word: dict = {}
+    for r in out:
+        by_word.setdefault(r["word"], []).append(r["piece"])
+    assert by_word["hello"] == ["hello"]
+    assert by_word["héllo"] == ["[UNK]"]
