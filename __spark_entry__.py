@@ -6104,7 +6104,8 @@ WITH span AS (
   FROM events
 ), tagged AS (
   SELECT event_type, user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us,
-         CASE WHEN epoch_us(ts::TIMESTAMP) < t0 + ((t1 - t0) * 8) // 10
+         CASE WHEN ts IS NULL THEN 'unknown'
+              WHEN epoch_us(ts::TIMESTAMP) < t0 + ((t1 - t0) * 8) // 10
               THEN 'train'
               WHEN epoch_us(ts::TIMESTAMP) < t0 + ((t1 - t0) * 8) // 10
                                                 + 2 * 86400000000
@@ -6751,12 +6752,13 @@ FROM q""".format(q=_ORACLE_QUALITY,
                  h=oracles.hash60_expr("doc_id::VARCHAR || '#sample'")),
         "pca_projection": oracles.q_pca_spectrum(),
         "stratified_sample": """
-WITH c AS (SELECT source, count(*)::BIGINT AS stratum_size FROM documents GROUP BY source)
-SELECT doc_id, source AS stratum, stratum_size,
+WITH d AS (SELECT doc_id, coalesce(source, '__null__') AS stratum FROM documents),
+c AS (SELECT stratum, count(*)::BIGINT AS stratum_size FROM d GROUP BY stratum)
+SELECT doc_id, stratum, stratum_size,
        round(least(1.0, 50.0 / stratum_size), 6) AS sample_rate,
        ({h} % 1000000)
          < floor(round(least(1.0, 50.0 / stratum_size), 6) * 1e6)::BIGINT AS kept
-FROM documents JOIN c USING (source)""".format(
+FROM d JOIN c USING (stratum)""".format(
             h=oracles.hash60_expr("doc_id::VARCHAR || '#strat'")),
         "dedup_canonical": _ORACLE_DEDUP_CANONICAL.format(q=_ORACLE_QUALITY),
         "dedup_passages": oracles.q_repeated_passages(k=10, min_docs=2),

@@ -156,7 +156,10 @@ def stats_from_state(state: DataFrame) -> DataFrame:
     independent of how many merges built the state."""
     return state.select(
         "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        # try_divide: a fully-retracted state (GDPR: every doc erased)
+        # holds exact (0, 0) — NULL avgdl, not an ANSI job abort
+        F.try_divide(F.col("sum_dl").cast("double"),
+                     F.col("n_docs")).alias("avgdl"),
     )
 
 
@@ -465,8 +468,16 @@ def lm_dirichlet_search(docs: DataFrame, queries: DataFrame, k: int = 10,
         .groupBy("query_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf_q"))
     )
-    qlen = qtf.groupBy("query_id").agg(
-        F.sum("tf_q").cast("bigint").alias("qlen"))
+    # qlen counts IN-VOCABULARY query terms only: the Zhai-Lafferty
+    # per-doc decomposition is valid for terms with P(w|C) > 0, and an
+    # OOV term would otherwise inflate every doc's length prior
+    # (qlen·ln(mu/(dl+mu))) while contributing nothing to s_match —
+    # enough to flip close rankings; encode_queries' inner join drops
+    # unknown terms for BM25 the same way
+    qlen = (
+        qtf.join(F.broadcast(cf.select("term")), "term", "left_semi")
+        .groupBy("query_id")
+        .agg(F.sum("tf_q").cast("bigint").alias("qlen")))
     mu_l = F.lit(float(mu))
     ov = (
         tf.join(F.broadcast(qtf), "term")

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import cache
 from semantik_spark.operators import bm25
 
 # entity classes: name → extraction regex (Java + RE2 compatible)
@@ -47,8 +48,12 @@ def keywords(docs: DataFrame, top_k: int = 5, id_col: str = "doc_id",
     Stats come from the same single tokenize pass BM25 uses; at scale
     the idf table is |vocab|-sized and broadcastable.
     """
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col)
-    terms = bm25.term_stats(tok)
+    # persist + pass stats: term_stats alone scans the tokenize output
+    # twice (term state + corpus stats) and the tf aggregation a third
+    # time — the regex tokenizer would re-run 3x per doc (bm25.search's
+    # documented hazard; it persists for the same reason)
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
+    terms = bm25.term_stats(tok, stats=bm25.corpus_stats(tok))
     tf = (
         tok.select("doc_id", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term")
@@ -159,12 +164,20 @@ def textrank_keywords(docs: DataFrame, top_k: int = 20, damping: float = 0.85,
     wedges = pairs.groupBy("u", "v").agg(
         F.count("*").cast("double").alias("w")
     )
-    adj = wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w") \
+    adj = cache(
+        wedges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
         .union(wedges.select(F.col("v").alias("src"),
-                             F.col("u").alias("dst"), "w")).persist()
+                             F.col("u").alias("dst"), "w")))
     outw = adj.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = adj.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # driver scalar, codebook class
+    if n == 0:
+        # no co-occurrence edges (every doc under 2 surviving tokens):
+        # empty result, not a driver ZeroDivisionError from 1.0 / n
+        return nodes.select(
+            F.col("id").alias("word"), F.lit(0.0).alias("score"),
+            F.lit(0).alias("kw_rank"),
+        ).where(F.lit(False))
     ranks = nodes.select("id", F.round(F.lit(1.0 / n), 9).alias("pr"))
     base = (1.0 - damping) / n
     ed = adj.join(outw, "src")
@@ -260,16 +273,22 @@ def textrank_sentences(docs: DataFrame, top_k: int = 3,
     wedges = (
         overlap.join(la, ["doc_id", "su"]).join(lb, ["doc_id", "sv"])
         .select("doc_id", "su", "sv",
-                F.round(F.col("ov").cast("double")
-                        / (F.log(F.col("lu").cast("double"))
-                           + F.log(F.col("lv").cast("double"))), 9)
+                # try_divide: two single-token sentences (ln1+ln1 = 0
+                # denominator) must drop as NULL through the w>0
+                # filter, not abort the job under ANSI — the filter
+                # runs AFTER this expression, so it cannot guard it
+                F.round(F.try_divide(
+                    F.col("ov").cast("double"),
+                    F.log(F.col("lu").cast("double"))
+                    + F.log(F.col("lv").cast("double"))), 9)
                 .cast("decimal(20,9)").alias("w"))
         .where(F.col("w") > 0)
     )
-    adj = wedges.select("doc_id", F.col("su").alias("src"),
-                        F.col("sv").alias("dst"), "w") \
+    adj = cache(
+        wedges.select("doc_id", F.col("su").alias("src"),
+                      F.col("sv").alias("dst"), "w")
         .unionByName(wedges.select("doc_id", F.col("sv").alias("src"),
-                                   F.col("su").alias("dst"), "w")).persist()
+                                   F.col("su").alias("dst"), "w")))
     outw = adj.groupBy("doc_id", "src").agg(
         F.sum("w").cast("decimal(28,9)").alias("ow"))
     nodes = segs.select("doc_id", F.col("sid").alias("id"))

@@ -40,7 +40,11 @@ def dataset_split(docs: DataFrame, weights: tuple[int, int, int] = (80, 10, 10),
     Pure per-row expressions; no shuffle.
     """
     train, val, _ = weights
-    bucket = (hash60(F.col(text_col)) % 100).cast("int")
+    # NULL content hashes as the EMPTY document (coalesce): hash60 of
+    # NULL is NULL, which would fall through both when() branches and
+    # silently concentrate every failed-extraction row in 'test'
+    bucket = (hash60(F.coalesce(F.col(text_col), F.lit("")))
+              % 100).cast("int")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         bucket.alias("bucket"),
@@ -189,8 +193,14 @@ def stratified_sample(docs: DataFrame, stratum_col: str = "source",
     stratum, which would shuffle the full corpus by a skewed key. The
     kept-decision itself is map-only.
     """
+    # NULL strata coalesce to a sentinel BEFORE the groupBy: groupBy
+    # treats NULLs as one group but the equi-join back never matches
+    # NULL keys, so NULL-stratum rows would silently vanish (neither
+    # kept nor rejected) from the sampled mix
+    stratum = F.coalesce(F.col(stratum_col).cast("string"),
+                         F.lit("__null__"))
     sizes = (
-        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        docs.groupBy(stratum.alias("stratum"))
         .agg(F.count("*").cast("bigint").alias("stratum_size"))
     )
     rate = F.round(
@@ -198,7 +208,7 @@ def stratified_sample(docs: DataFrame, stratum_col: str = "source",
     )
     residue = hash60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))) % 1000000
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum"))
+        docs.select(F.col(id_col).alias("doc_id"), stratum.alias("stratum"))
         .join(F.broadcast(sizes), "stratum")
         .select(
             "doc_id", "stratum", "stratum_size",
@@ -400,7 +410,12 @@ def length_bins(docs: DataFrame, n_bins: int = 16, id_col: str = "doc_id",
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
         F.sum("n_tokens").alias("sum_tokens"),
-        (F.count("*") * F.max("n_tokens") - F.sum("n_tokens")).cast("bigint").alias("pad_waste"),
+        # count x max widens to DECIMAL(38,0) before multiplying (the
+        # count-product overflow class fixed repo-wide)
+        (F.count("*").cast("decimal(38,0)")
+         * F.max("n_tokens").cast("decimal(38,0)")
+         - F.sum("n_tokens").cast("decimal(38,0)"))
+        .cast("bigint").alias("pad_waste"),
     )
 
 
@@ -437,7 +452,8 @@ def weighted_sample(docs: DataFrame, k: int = 50, id_col: str = "doc_id",
 
 
 def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 target_text_col: str | None = None) -> DataFrame:
     """DSIR data-selection importance weights (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling"):
     score every raw document by how target-like its hashed n-gram
@@ -464,9 +480,9 @@ def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
     (weight/n_grams, 6 dp) — resample by weight or threshold the
     per-gram normalization for length-invariant selection.
     """
-    def grams(df: DataFrame) -> DataFrame:
+    def gram_col(txt: str):
         toks = F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+            F.split(F.lower(F.col(txt)), r"\s+"), lambda t: F.length(t) > 0
         )
         uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
         sz = F.size(toks)
@@ -475,14 +491,20 @@ def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
             F.arrays_zip(F.slice(toks, 1, width), F.slice(toks, 2, width)),
             lambda p: F.concat(F.lit("b:"), p["0"], F.lit(" "), p["1"]),
         )
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.concat(uni, bi)).alias("g"),
-        ).select("doc_id", F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+        return F.concat(uni, bi)
 
-    raw_feats = grams(docs)
+    raw_feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(gram_col(text_col)).alias("g"),
+    ).select("doc_id", F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+    # the target's id is never used, so its schema needs ONLY a text
+    # column (decontaminate's eval_text_col pattern) — previously the
+    # docs id_col name was imposed on the target frame too
+    t_txt = target_text_col or text_col
     t_counts = (
-        grams(target).groupBy("bucket").agg(F.count("*").cast("bigint").alias("tc"))
+        target.select(F.explode(gram_col(t_txt)).alias("g"))
+        .select(F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").cast("bigint").alias("tc"))
     )
     r_counts = raw_feats.groupBy("bucket").agg(F.count("*").cast("bigint").alias("rc"))
     all_buckets = docs.sparkSession.range(buckets).select(
@@ -654,7 +676,11 @@ def temporal_split(df: DataFrame, ts_col: str = "ts",
         df.crossJoin(F.broadcast(span))
         .withColumn(
             "split",
-            F.when(us < cutoff, F.lit("train"))
+            # NULL timestamps fail BOTH when() predicates and would
+            # silently land in 'test', violating the purged-split
+            # guarantee for rows whose time is unknown — flag them
+            F.when(us.isNull(), F.lit("unknown"))
+            .when(us < cutoff, F.lit("train"))
             .when(us < cutoff + F.lit(embargo_us), F.lit("embargo"))
             .otherwise(F.lit("test")),
         )

@@ -404,7 +404,8 @@ qtf AS (
   FROM (SELECT query_id, unnest(tokens) AS term FROM qtok)
   GROUP BY query_id, term
 ),
-qlen AS (SELECT query_id, sum(tf_q)::BIGINT AS qlen FROM qtf GROUP BY 1),
+qlen AS (SELECT query_id, sum(tf_q)::BIGINT AS qlen FROM qtf
+         WHERE term IN (SELECT term FROM cf) GROUP BY 1),
 ov AS (
   SELECT q.query_id, tf.doc_id, tf.doc_len,
          sum(q.tf_q * ln(1.0 + tf.tf / ({m} * (cf.cf / (SELECT t_tokens FROM coll))))) AS s_match
@@ -2218,9 +2219,9 @@ def q_dataset_split(weights: tuple[int, int, int] = (80, 10, 10)) -> str:
     training.dataset_split."""
     train, val, _ = weights
     return f"""
-SELECT doc_id, ({hash60_expr('text')} % 100)::INT AS bucket,
-       CASE WHEN {hash60_expr('text')} % 100 < {train} THEN 'train'
-            WHEN {hash60_expr('text')} % 100 < {train + val} THEN 'val'
+SELECT doc_id, ({hash60_expr("coalesce(text, '')")} % 100)::INT AS bucket,
+       CASE WHEN {hash60_expr("coalesce(text, '')")} % 100 < {train} THEN 'train'
+            WHEN {hash60_expr("coalesce(text, '')")} % 100 < {train + val} THEN 'val'
             ELSE 'test' END AS split
 FROM documents"""
 

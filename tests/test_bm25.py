@@ -288,3 +288,34 @@ def test_lm_dirichlet_ranking_properties(spark):
     rows2 = bm25.lm_dirichlet_search(docs, q2, k=1, mu=10.0).collect()
     top = {r["query_id"]: r["score"] for r in rows2}
     assert top["qr"] > top["qc"]
+
+
+def test_stats_from_fully_retracted_state_and_oov_qlen(spark):
+    """A fully-retracted corpus state (GDPR: everything erased) yields
+    NULL avgdl instead of an ANSI abort; and an out-of-vocabulary
+    query term must not inflate the Dirichlet length prior."""
+    from semantik_spark.operators.bm25 import (
+        corpus_state,
+        lm_dirichlet_search,
+        retract_corpus_state,
+        stats_from_state,
+        tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine data processing"),
+         (2, "spark data " + "engine " * 40)], ["doc_id", "text"])
+    tok = tokenize(docs)
+    empty_state = retract_corpus_state(corpus_state(tok), tok)
+    r = stats_from_state(empty_state).collect()[0]
+    assert r["n_docs"] == 0 and r["avgdl"] is None
+
+    q_in = spark.createDataFrame([("q", "engine")],
+                                 ["query_id", "query_text"])
+    q_oov = spark.createDataFrame([("q", "engine qzxqzx")],
+                                  ["query_id", "query_text"])
+    s_in = {r["doc_id"]: r["score"]
+            for r in lm_dirichlet_search(docs, q_in, k=5).collect()}
+    s_oov = {r["doc_id"]: r["score"]
+             for r in lm_dirichlet_search(docs, q_oov, k=5).collect()}
+    assert s_in == s_oov   # OOV term contributes nothing, incl. qlen

@@ -68,3 +68,23 @@ def test_textrank_sentences_centrality(spark):
     # the isolated cooking sentence is last
     assert rows[3]["sentence"] == "cooking pasta tonight"
     assert rows[0]["score"] > rows[3]["score"]
+
+
+def test_textrank_degenerate_inputs(spark):
+    """Single-token sentence pairs (ln1+ln1 = 0 denominator) and
+    empty co-occurrence graphs must not abort the job / crash the
+    driver."""
+    from semantik_spark.operators.extract import (
+        textrank_keywords,
+        textrank_sentences,
+    )
+
+    doc = spark.createDataFrame(
+        [(1, "Spark. Spark. Engines process data quickly and engines "
+             "process data.")], ["doc_id", "text"])
+    rows = textrank_sentences(doc).collect()
+    assert len(rows) > 0                        # survives the 0-denom pair
+
+    tiny = spark.createDataFrame([(1, "spark"), (2, "data")],
+                                 ["doc_id", "text"])
+    assert textrank_keywords(tiny).count() == 0

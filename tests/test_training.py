@@ -295,3 +295,54 @@ def test_temporal_split_embargo_separates_windows(spark):
     assert agg["test"][0] - agg["train"][1] >= 10 * 3_600_000_000
     # boundaries ordered
     assert agg["train"][1] < agg["embargo"][0] <= agg["embargo"][1] < agg["test"][0]
+
+
+def test_splits_route_null_values_deterministically(spark):
+    """NULL text/stratum/timestamp rows must not silently skew or
+    vanish from splits: NULL content hashes as the empty document,
+    NULL strata sample under a sentinel group, NULL timestamps are
+    flagged 'unknown' instead of leaking into 'test'."""
+    import datetime
+
+    from semantik_spark.operators.training import (
+        dataset_split,
+        stratified_sample,
+        temporal_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dataset_split(docs).collect()}
+    assert rows[2]["bucket"] is not None
+    assert rows[2]["split"] == rows[3]["split"]  # NULL == empty doc
+
+    strat = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "web")],
+        "doc_id long, source string")
+    out = stratified_sample(strat, stratum_col="source")
+    assert out.count() == 3                      # nothing vanishes
+    assert out.where("stratum = '__null__'").count() == 1
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0), (2, t0 + datetime.timedelta(days=10)), (3, None)],
+        "event_id long, ts timestamp")
+    splits = {r["event_id"]: r["split"]
+              for r in temporal_split(ev).collect()}
+    assert splits[3] == "unknown"
+
+
+def test_dsir_target_needs_only_a_text_column(spark):
+    """The target corpus has its own schema — only a text column is
+    required (previously the docs id_col name was imposed on it)."""
+    from semantik_spark.operators.training import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "spark engine data"), (2, "cooking recipe food")],
+        ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [("q1", "spark data pipelines")], ["query_id", "query_text"])
+    out = dsir_weights(docs, target, target_text_col="query_text").collect()
+    w = {r["doc_id"]: r["dsir_logweight"] for r in out}
+    assert w[1] > w[2]                           # target-like doc wins
