@@ -48,18 +48,98 @@ def build_sparse(docs: DataFrame, path: str,
     terms = bm25.term_stats(tok, stats)
     post = bm25.postings(tok, terms, stats)
     terms.write.mode("overwrite").parquet(f"{path}/terms")
-    post.write.mode("overwrite").parquet(f"{path}/postings")
+    # the persisted postings drop term_id: appended batches are scored
+    # under a GROWN vocabulary whose rank-based ids shift, so a stored
+    # id column would mix id spaces across append generations — the
+    # terms table is the single id authority; join on the term string
+    post.drop("term_id").write.mode("overwrite").parquet(f"{path}/postings")
+
     # reset the mergeable stats state so a later APPEND-path
-    # merge_sparse_append continues from this exact rebuild
-    bm25.corpus_state(tok).write.mode("overwrite") \
-        .parquet(f"{path}/bm25_state/corpus")
-    bm25.term_state(tok).write.mode("overwrite") \
-        .parquet(f"{path}/bm25_state/terms")
+    # merge_sparse_append continues from this exact rebuild — via the
+    # atomic whole-directory swap, never two in-place overwrites
+    def _write_state(tmp: str) -> None:
+        bm25.corpus_state(tok).write.mode("overwrite") \
+            .parquet(f"{tmp}/corpus")
+        bm25.term_state(tok).write.mode("overwrite") \
+            .parquet(f"{tmp}/terms")
+
+    _bm25_state_swap(path, _write_state)
     tok.unpersist()
 
 
+def _bm25_state_read(spark: SparkSession, path: str, sub: str):
+    """Read {path}/bm25_state/{sub} with the __old crash-window
+    fallback. Returns None ONLY when neither location exists (a
+    genuinely first batch); a read failure on an EXISTING state
+    propagates — the previous bare except treated any transient read
+    error as first-batch and silently reset the corpus-global BM25
+    stats to the latest delta batch."""
+    import os
+
+    base = os.path.join(path, "bm25_state", sub)
+    old = os.path.join(path, "bm25_state__old", sub)
+    if os.path.exists(base):
+        try:
+            return spark.read.parquet(base)
+        except Exception:
+            if os.path.exists(old):
+                return spark.read.parquet(old)
+            raise
+    if os.path.exists(old):
+        return spark.read.parquet(old)
+    return None
+
+
+def _bm25_state_swap(path: str, write_fn, batch_id: int | None = None) -> None:
+    """Atomically publish a new bm25_state: ``write_fn(staging_dir)``
+    writes corpus/ and terms/ into the staging dir, then the rename
+    pair swaps the WHOLE directory in — a crash can no longer leave
+    n_docs including a batch whose df is missing (the old in-place
+    overwrites had exactly that window). ``batch_id`` writes the
+    ``_last_batch`` replay marker into the staging dir so it publishes
+    atomically with the state; non-streaming writers (exact rebuild,
+    GDPR delete) preserve the stream's existing watermark instead."""
+    import os
+    import shutil
+
+    base = os.path.join(path, "bm25_state")
+    tmp = base + "__tmp"
+    old = base + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    marker = os.path.join(base, "_last_batch")
+    if batch_id is not None:
+        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
+            fh.write(str(int(batch_id)))
+    elif os.path.exists(marker):
+        shutil.copy(marker, os.path.join(tmp, "_last_batch"))
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(base):
+        os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _bm25_last_batch(path: str) -> int | None:
+    """The bm25_state ``_last_batch`` replay marker (with the __old
+    crash-window fallback): Structured Streaming replays a crashed
+    batch under the SAME batch_id, so ``batch_id <= marker`` means the
+    state already merged this batch — merging again would double-add
+    n_docs/sum_dl/df."""
+    import os
+
+    for base in (os.path.join(path, "bm25_state"),
+                 os.path.join(path, "bm25_state__old")):
+        f = os.path.join(base, "_last_batch")
+        if os.path.exists(f):
+            with open(f) as fh:
+                return int(fh.read().strip())
+    return None
+
+
 def merge_sparse_append(delta_docs: DataFrame, path: str,
-                        id_col: str = "doc_id", text_col: str = "text") -> None:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        batch_id: int | None = None) -> None:
     """APPEND-path sparse maintenance (VERDICT r6 item 7; reference
     incremental-sync semantics bm25_sparse_indexer.py:545-591): instead
     of re-scanning the corpus, delta-merge the MERGEABLE stats state —
@@ -82,28 +162,37 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
     makes (incremental_index docstring). Only valid for NEW doc ids;
     updates must route through the exact rebuild.
     """
-    tok = bm25.tokenize(delta_docs, id_col=id_col, text_col=text_col).persist()
     spark = delta_docs.sparkSession
-    state_c = f"{path}/bm25_state/corpus"
-    state_t = f"{path}/bm25_state/terms"
-    try:
-        old_c = spark.read.parquet(state_c)
-        old_t = spark.read.parquet(state_t)
+    if batch_id is not None:
+        last = _bm25_last_batch(path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
+    tok = bm25.tokenize(delta_docs, id_col=id_col, text_col=text_col).persist()
+    old_c = _bm25_state_read(spark, path, "corpus")
+    old_t = _bm25_state_read(spark, path, "terms")
+    if old_c is not None and old_t is not None:
         new_c = bm25.merge_corpus_state(old_c, tok)
         new_t = bm25.merge_term_state(old_t, tok)
-    except Exception:  # first batch: no state yet
+    else:  # genuinely first batch: neither state location exists
         new_c = bm25.corpus_state(tok)
         new_t = bm25.term_state(tok)
-    # localCheckpoint before overwrite: the merged plans read the very
+    # localCheckpoint before the swap: the merged plans read the very
     # files being replaced; cutting lineage materializes them first
     new_c = new_c.localCheckpoint()
     new_t = new_t.localCheckpoint()
-    new_c.write.mode("overwrite").parquet(state_c)
-    new_t.write.mode("overwrite").parquet(state_t)
+
+    def _write_state(tmp: str) -> None:
+        new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
+        new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
+
+    _bm25_state_swap(path, _write_state, batch_id=batch_id)
     stats = bm25.stats_from_state(new_c)
     terms = bm25.term_stats_from_state(new_t, stats).localCheckpoint()
     terms.write.mode("overwrite").parquet(f"{path}/terms")
-    bm25.postings(tok, terms, stats).write.mode("append") \
+    # term_id dropped from the persisted rows (see build_sparse): the
+    # grown vocabulary re-ranks ids, so a stored id column would mix
+    # id spaces between this batch and earlier generations
+    bm25.postings(tok, terms, stats).drop("term_id").write.mode("append") \
         .parquet(f"{path}/postings")
     tok.unpersist()
 
@@ -413,6 +502,31 @@ def _load_codebook(spark: SparkSession, path: str) -> list:
     return rows
 
 
+def _plan_text_probes(spark: SparkSession, queries: DataFrame,
+                      cent_rows: list, nprobe: int,
+                      query_id_col: str = "query_id",
+                      query_text_col: str = "query_text"):
+    """Driver-side probe planning shared by dense_serve_ivf and
+    hybrid_serve_approx: embed each query with the bit-identical
+    Python twin, rank codebook cells, and build the probes table as
+    literals — ONE Spark job per serve. The query-id column keeps the
+    CALLER'S type (derived from the queries schema, the ivfpq_serve
+    recipe) — a hardcoded string type rejected integer-keyed query
+    batches on these two paths only. Returns (probes_df, probed_cells)."""
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probe_rows = []
+    for r in queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(query_text_col).alias("query_text")).collect():
+        qv = _mock_embedding_py(str(r["query_text"]))
+        ranked = sorted(((_cosine_py(qv, cv), -cid) for cid, cv in cent_rows),
+                        reverse=True)[:nprobe]
+        probe_rows += [(r["query_id"], qv, -negcid) for _, negcid in ranked]
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"query_id {qid_type}, qv array<double>, centroid_id bigint")
+    return probes, sorted({cid for _, _, cid in probe_rows})
+
+
 def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
                     k: int = 10, nprobe: int = 4, predicate: dict | None = None,
                     query_id_col: str = "query_id",
@@ -435,17 +549,8 @@ def dense_serve_ivf(spark: SparkSession, path: str, queries: DataFrame,
     from semantik_spark.functions.vectors import cosine
 
     cent_rows = _load_codebook(spark, path)
-    probe_rows = []
-    for r in queries.select(F.col(query_id_col).alias("query_id"),
-                            F.col(query_text_col).alias("query_text")).collect():
-        qv = _mock_embedding_py(str(r["query_text"]))
-        ranked = sorted(((_cosine_py(qv, cv), -cid) for cid, cv in cent_rows),
-                        reverse=True)[:nprobe]
-        probe_rows += [(r["query_id"], qv, -negcid) for _, negcid in ranked]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id string, qv array<double>, centroid_id bigint"
-    )
-    probed_cells = sorted({cid for _, _, cid in probe_rows})
+    probes, probed_cells = _plan_text_probes(
+        spark, queries, cent_rows, nprobe, query_id_col, query_text_col)
     # filtered ANN (F2 ∘ probe pruning): partition pruning on
     # centroid_id AND payload PushedFilters compose on the same scan,
     # pre-ranking — k fills from eligible docs inside probed cells only
@@ -716,16 +821,7 @@ def hybrid_serve_approx(spark: SparkSession, path: str, queries: DataFrame,
     from semantik_spark.functions.vectors import cosine
 
     cent_rows = _load_codebook(spark, path)
-    probe_rows = []
-    for r in queries.select("query_id", "query_text").collect():
-        qv = _mock_embedding_py(str(r["query_text"]))
-        ranked = sorted(((_cosine_py(qv, cv), -cid) for cid, cv in cent_rows),
-                        reverse=True)[:nprobe]
-        probe_rows += [(r["query_id"], qv, -negcid) for _, negcid in ranked]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id string, qv array<double>, centroid_id bigint"
-    )
-    probed_cells = sorted({cid for _, _, cid in probe_rows})
+    probes, probed_cells = _plan_text_probes(spark, queries, cent_rows, nprobe)
     index = spark.read.parquet(f"{path}/dense_ivf").where(
         F.col("centroid_id").isin(probed_cells)
     )
@@ -745,8 +841,13 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
     deletes collections/documents through its DB cascade; here the
     cascade is explicit because the artifacts are separate tables):
 
-      dense/            rows for the ids removed (anti-join rewrite)
-      postings/         rows for the ids removed
+      dense/ postings/  rows for the ids removed (anti-join rewrite)
+      dense_ivf/ postings_pruned/ ivfpq_codes/ ivfpq_full/ dense_log/
+                        same rewrite for every OPTIONAL artifact that
+                        exists under the root (partitioned layouts
+                        keep their partitioning) — the approximate and
+                        streaming serve paths must stop returning the
+                        erased doc too
       terms/            rebuilt EXACTLY from the retracted mergeable
                         state — df decremented per deleted doc, terms
                         hitting df=0 leave the vocabulary, n_docs/avgdl
@@ -758,7 +859,11 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
 
     ``deleted_docs`` carries (id, text) — the catalog rows being
     purged: exact df retraction needs the deleted docs' term sets, and
-    a deletion request always has the catalog row in hand. Remaining
+    a deletion request always has the catalog row in hand. The cascade
+    is IDEMPOTENT: ids are first restricted to docs actually present
+    and not already tombstoned, so a retried deletion job (the normal
+    case for an erasure pipeline) cannot double-decrement the
+    mergeable state. Remaining
     postings keep their index-time weights until the next full
     build_sparse — the same measured staleness trade as the append
     path (merge_sparse_append docstring).
@@ -769,24 +874,67 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
     the bytes); at 100 TB they run partition-restricted if the tables
     are partitioned by id range.
     """
+    import os
+
     ids = deleted_docs.select(F.col(id_col).alias("_del_id")).distinct()
-    tok = bm25.tokenize(deleted_docs, id_col=id_col, text_col=text_col).persist()
-    state_c = f"{path}/bm25_state/corpus"
-    state_t = f"{path}/bm25_state/terms"
-    new_c = bm25.retract_corpus_state(spark.read.parquet(state_c), tok) \
-        .localCheckpoint()
-    new_t = bm25.retract_term_state(spark.read.parquet(state_t), tok) \
-        .localCheckpoint()
-    new_c.write.mode("overwrite").parquet(state_c)
-    new_t.write.mode("overwrite").parquet(state_t)
+    # IDEMPOTENCE GUARD: the state retraction is only valid for docs
+    # present exactly once (bm25.retract_* contract) — a retried
+    # deletion job or a request naming never-indexed ids would
+    # double-decrement n_docs/df and silently corrupt idf/avgdl. Live
+    # ids = present in the index AND not already tombstoned.
+    # presence authority = postings (every sparsely-indexed doc has
+    # posting rows; the dense table can lag behind sparse-only appends
+    # whose embeddings ride the dense LOG instead)
+    live_src = f"{path}/postings" if os.path.exists(f"{path}/postings") \
+        else f"{path}/dense"
+    live = spark.read.parquet(live_src) \
+        .select(F.col("doc_id").alias("_del_id")).distinct()
+    ids = ids.join(live, "_del_id", "left_semi")
+    if os.path.exists(f"{path}/tombstones"):
+        tombs = spark.read.parquet(f"{path}/tombstones") \
+            .select(F.col("doc_id").alias("_del_id"))
+        ids = ids.join(tombs, "_del_id", "left_anti")
+    ids = ids.localCheckpoint()
+    live_deleted = deleted_docs.join(
+        ids, deleted_docs[id_col] == F.col("_del_id"), "left_semi")
+    tok = bm25.tokenize(live_deleted, id_col=id_col, text_col=text_col).persist()
+    new_c = bm25.retract_corpus_state(
+        _bm25_state_read(spark, path, "corpus"), tok).localCheckpoint()
+    new_t = bm25.retract_term_state(
+        _bm25_state_read(spark, path, "terms"), tok).localCheckpoint()
+
+    def _write_state(tmp: str) -> None:
+        new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
+        new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
+
+    _bm25_state_swap(path, _write_state)
     terms = bm25.term_stats_from_state(
         new_t, bm25.stats_from_state(new_c)).localCheckpoint()
     terms.write.mode("overwrite").parquet(f"{path}/terms")
-    for sub, key in (("postings", "doc_id"), ("dense", "doc_id")):
-        kept = spark.read.parquet(f"{path}/{sub}").join(
+    # the cascade reaches EVERY artifact that exists under the index
+    # root — the flat tables, the partitioned ANN layouts, the pruned
+    # postings, and the streaming dense log — not just dense/postings:
+    # an erased doc must stop being servable from the approximate and
+    # streaming paths too, or physical erasure silently fails there
+    artifacts = (
+        ("postings", None), ("dense", None),
+        ("dense_ivf", "centroid_id"), ("postings_pruned", None),
+        ("ivfpq_codes", "centroid_id"), ("ivfpq_full", None),
+        ("dense_log", None),
+    )
+    for sub, part in artifacts:
+        p = f"{path}/{sub}"
+        if not os.path.exists(p):
+            continue
+        tbl = spark.read.parquet(p)
+        key = "doc_id" if "doc_id" in tbl.columns else "vec_id"
+        kept = tbl.join(
             ids, F.col(key) == F.col("_del_id"), "left_anti"
         ).localCheckpoint()
-        kept.write.mode("overwrite").parquet(f"{path}/{sub}")
+        w = kept.write.mode("overwrite")
+        if part is not None and part in kept.columns:
+            w = w.partitionBy(part)
+        w.parquet(p)
     ids.select(F.col("_del_id").alias("doc_id")).write.mode("append") \
         .parquet(f"{path}/tombstones")
     tok.unpersist()

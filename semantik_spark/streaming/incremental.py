@@ -49,10 +49,14 @@ def incremental_ingest(stream: DataFrame, catalog_path: str, checkpoint: str,
             old = spark.read.parquet(catalog_path).select(
                 F.col(id_col).alias("_old_id"), F.col("content_hash").alias("_old_hash")
             )
+            # eqNullSafe: a NULL text (sha2 -> NULL hash) or NULL id
+            # must match its own prior delivery — plain equality is
+            # NULL for those rows, the anti-join keeps them forever,
+            # and every re-delivery re-appends them
             changed = hashed.join(
                 old,
-                (hashed[id_col] == F.col("_old_id"))
-                & (F.col("content_hash") == F.col("_old_hash")),
+                hashed[id_col].eqNullSafe(F.col("_old_id"))
+                & F.col("content_hash").eqNullSafe(F.col("_old_hash")),
                 "left_anti",
             )
         except Exception:  # first batch: no catalog yet
@@ -158,10 +162,14 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
             old = spark.read.parquet(catalog_path).select(
                 F.col(id_col).alias("_old_id"), F.col("content_hash").alias("_old_hash")
             )
+            # eqNullSafe: a NULL text (sha2 -> NULL hash) or NULL id
+            # must match its own prior delivery — plain equality is
+            # NULL for those rows, the anti-join keeps them forever,
+            # and every re-delivery re-appends them
             changed = hashed.join(
                 old,
-                (hashed[id_col] == F.col("_old_id"))
-                & (F.col("content_hash") == F.col("_old_hash")),
+                hashed[id_col].eqNullSafe(F.col("_old_id"))
+                & F.col("content_hash").eqNullSafe(F.col("_old_hash")),
                 "left_anti",
             )
             if sparse_refresh == "merge":
@@ -179,28 +187,45 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
         changed = changed.withColumn(
             "_batch_id", F.lit(batch_id).cast("bigint")
         ).localCheckpoint()  # one evaluation, three sinks
-        changed.write.mode("append").parquet(catalog_path)
+        # SINK ORDER: the catalog append is the batch's idempotence
+        # fence (the change-detection anti-join keys on it), so it
+        # commits LAST. A crash before it means the replay re-detects
+        # the same docs and redoes the index sinks — the dense log
+        # tolerates duplicate (doc, _batch_id) rows (dense_latest picks
+        # one identical row), the exact sparse rebuild is idempotent,
+        # and the merge path skips replayed batch ids via the state's
+        # _last_batch marker. Previously the catalog committed FIRST:
+        # a crash after it silently dropped the batch from the index
+        # forever (the replay's anti-join matched everything).
         changed.select(
             F.col(id_col).alias("doc_id"),
             mock_embedding(text_col).alias("embedding"),
             "_batch_id",
         ).write.mode("append").parquet(f"{idx_dir}/dense_log")
         if sparse_refresh == "merge" and n_updates == 0:
-            # APPEND path: batch-sized stats delta-merge, no corpus scan
+            # APPEND path: batch-sized stats delta-merge, no corpus
+            # scan; batch_id makes a checkpoint replay a no-op
             serving.merge_sparse_append(changed, idx_dir,
-                                        id_col=id_col, text_col=text_col)
+                                        id_col=id_col, text_col=text_col,
+                                        batch_id=batch_id)
         elif sparse_refresh:
             from pyspark.sql import Window
 
             # the catalog is an append log (batch-stamped): resolve to
-            # the newest version per doc before the exact sparse rebuild
-            catalog = spark.read.parquet(catalog_path)
+            # the newest version per doc — INCLUDING this batch, which
+            # is not in the catalog yet — before the exact rebuild
+            try:
+                catalog = spark.read.parquet(catalog_path) \
+                    .unionByName(changed, allowMissingColumns=True)
+            except Exception:  # first batch: no catalog yet
+                catalog = changed
             w = Window.partitionBy(id_col).orderBy(F.desc("_batch_id"))
             latest = (
                 catalog.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn")
             )
             serving.build_sparse(latest, idx_dir, id_col=id_col, text_col=text_col)
+        changed.write.mode("append").parquet(catalog_path)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -303,11 +328,13 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     a crash between the two renames leaves the sketch ONLY at
     ``state__old``. A bare read-or-None here would silently restart the
     sketch from empty (ADVICE r5): fall back to ``__old`` before
-    treating the read failure as first-batch, so the worst case after
-    any single crash is re-merging one batch (idempotent for KMV's
-    set-union; for count-addition sketches the checkpoint replays the
-    same batch against the recovered pre-batch state, which is the
-    exactly-once contract foreachBatch already relies on)."""
+    treating the read failure as first-batch. Set-union merges (KMV,
+    HLL, SCD2's lattice) are idempotent under replay by algebra;
+    count-ADDITION sketches are NOT — a crash after the swap completes
+    but before the streaming checkpoint commits would replay the batch
+    against the POST-batch state and double-add it, which is why every
+    additive sink also carries the ``_last_batch`` marker
+    (_last_merged_batch) and skips replayed batch ids."""
     try:
         return spark.read.parquet(state_path)
     except Exception:
@@ -315,6 +342,63 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
             return spark.read.parquet(state_path + "__old")
         except Exception:  # genuinely first batch: no state yet
             return None
+
+
+def _swap_state(merged: DataFrame, state_path: str,
+                batch_id: int | None = None) -> None:
+    """Atomic publish of a merged state: write to ``__merging``, rename
+    the current state to ``__old``, rename ``__merging`` in, drop
+    ``__old`` — the staging-dir+rename shape every sink here used
+    inline, deduplicated. With ``batch_id``, a ``_last_batch`` marker
+    file rides INSIDE the staging dir (the underscore prefix keeps it
+    invisible to parquet readers), so the publishing rename makes the
+    state and its batch watermark visible atomically."""
+    import os
+    import shutil
+
+    tmp = state_path + "__merging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
+            fh.write(str(int(batch_id)))
+    old_dir = state_path + "__old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, old_dir)
+    os.rename(tmp, state_path)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def _last_merged_batch(state_path: str) -> int | None:
+    """The state's ``_last_batch`` marker, with the same ``__old``
+    crash-window fallback as _read_state. Additive (count-sum) sinks
+    check it at the top of process(): Structured Streaming replays a
+    crashed batch under the SAME batch_id, so ``batch_id <= marker``
+    means the state already contains this batch and merging it again
+    would double-add — the replay becomes a no-op instead."""
+    import os
+
+    for p in (state_path, state_path + "__old"):
+        f = os.path.join(p, "_last_batch")
+        if os.path.exists(f):
+            with open(f) as fh:
+                return int(fh.read().strip())
+    return None
+
+
+def _served_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Reader-side twin of _read_state: every *_from_state server rides
+    the same __old crash-window fallback the writers use — a crash
+    between the two publish renames must not black out serving until
+    the next micro-batch happens to run — and a genuinely missing
+    state raises a clear error instead of an opaque parquet exception."""
+    st = _read_state(spark, state_path)
+    if st is None:
+        raise FileNotFoundError(
+            f"no sketch state at {state_path} (nor its __old crash-window "
+            f"fallback) — run the corresponding streaming sink first")
+    return st
 
 
 def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
@@ -342,6 +426,9 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         u = (hash60(F.col(value_col)) + F.lit(1)) / F.lit(float(2**60))
         partial = (
             batch.select(F.col(group_col).alias("g"), u.alias("u"))
@@ -362,14 +449,7 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
             )
         else:
             merged = partial
-        tmp = state_path + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -382,7 +462,7 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
 def kmv_state_estimates(spark: SparkSession, state_path: str, k: int = 64) -> DataFrame:
     """Read the streaming KMV state into (group, n_sketch,
     kmv_estimate) — the serving view of streaming_kmv."""
-    st = spark.read.parquet(state_path)
+    st = _served_state(spark, state_path)
     n_sketch = F.size("us")
     est = F.when(n_sketch < k, n_sketch.cast("double")).otherwise(
         F.lit(float(k - 1)) / F.array_max("us")
@@ -419,6 +499,9 @@ def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         partial = ddsketch_buckets(batch, group_col, value_col, alpha)
         old = _read_state(spark, state_path)
         if old is not None:
@@ -431,14 +514,7 @@ def streaming_ddsketch(stream: DataFrame, state_path: str, checkpoint: str,
             merged = partial
         if max_buckets is not None:
             merged = ddsketch_collapse(merged, max_buckets)
-        tmp = state_path + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -456,7 +532,7 @@ def ddsketch_state_quantiles(spark: SparkSession, state_path: str,
     only, as in the batch operator)."""
     from semantik_spark.operators.sketches import ddsketch_quantiles
 
-    st = spark.read.parquet(state_path)
+    st = _served_state(spark, state_path)
     return ddsketch_quantiles(None, "g", "v", alpha=alpha,
                               quantiles=quantiles, buckets=st)
 
@@ -485,6 +561,9 @@ def streaming_heavy_hitters(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         keys = batch.select(F.col(key_col).cast("string").alias("k")).where(
             F.col("k").isNotNull()
         )
@@ -505,14 +584,7 @@ def streaming_heavy_hitters(stream: DataFrame, state_path: str, checkpoint: str,
         state = merged.unionByName(
             total.select(F.lit(None).cast("string").alias("k"), "c")
         )
-        tmp = state_path + "__merging"
-        state.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(state, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -534,7 +606,7 @@ def heavy_hitters_from_state(spark: SparkSession, state_path: str,
     candidate set maintained incrementally instead of recomputed."""
     from semantik_spark.operators.frequency import heavy_hitters_exact
 
-    st = spark.read.parquet(state_path)
+    st = _served_state(spark, state_path)
     total = st.where(F.col("k").isNull()).select("c").collect()[0]["c"]
     cand = st.where(F.col("k").isNotNull())
     return heavy_hitters_exact(source, key_col, cand, total, m)
@@ -560,10 +632,20 @@ def merge_counters(state: DataFrame, delta: DataFrame,
     """
     keys = keys or ["event_type", "day"]
     zero = F.lit(0).cast("bigint")
+    # eqNullSafe key alignment: groupBy puts NULL keys in one group,
+    # but a null-UNSAFE full_outer join would never align the state
+    # and delta rows for that group — each merge would then DUPLICATE
+    # the NULL-key row instead of adding it, breaking the IVM
+    # "merge == recompute" invariant (empirically: 3 + 2 became two
+    # rows, not 5). Keys coalesce from whichever side is present.
+    cond = None
+    for k in keys:
+        c = state[k].eqNullSafe(delta[k])
+        cond = c if cond is None else (cond & c)
     return (
-        state.join(delta, keys, "full_outer")
+        state.join(delta, cond, "full_outer")
         .select(
-            *keys,
+            *[F.coalesce(state[k], delta[k]).alias(k) for k in keys],
             (F.coalesce(state["n"], zero) + F.coalesce(delta["n"], zero)).alias("n"),
             (F.coalesce(state["sum_value"], F.lit(0).cast("decimal(38,8)"))
              + F.coalesce(delta["sum_value"], F.lit(0).cast("decimal(38,8)"))
@@ -611,6 +693,9 @@ def streaming_count_min(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         partial = count_min_cells(batch, key_col, depth, width)
         old = _read_state(spark, state_path)
         if old is not None:
@@ -621,14 +706,7 @@ def streaming_count_min(stream: DataFrame, state_path: str, checkpoint: str,
             )
         else:
             merged = partial
-        tmp = state_path + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -646,7 +724,7 @@ def count_min_state_estimates(spark: SparkSession, state_path: str,
     frequency.count_min_estimate against the persisted cells."""
     from semantik_spark.operators.frequency import count_min_estimate
 
-    cells = spark.read.parquet(state_path)
+    cells = _served_state(spark, state_path)
     return count_min_estimate(cells, probes, key_col, depth, width)
 
 
@@ -920,20 +998,16 @@ def streaming_scd2(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         old = _read_state(spark, state_path)
         if old is None:
             new = scd.scd2_history(batch, key_col, attr_cols, ts_col, seq_col)
         else:
             new = scd.scd2_merge(old, batch, key_col, attr_cols,
                                  ts_col, seq_col)
-        tmp = state_path + "__merging"
-        new.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(new, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -967,17 +1041,13 @@ def streaming_hll(stream: DataFrame, state_path: str, checkpoint: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         partial = hll_registers(batch, group_col, value_col, p)
         old = _read_state(spark, state_path)
         merged = partial if old is None else hll_merge_registers(old, partial)
-        tmp = state_path + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -994,7 +1064,7 @@ def hll_state_estimates(spark: SparkSession, state_path: str,
     batch hll_estimate over the same rows."""
     from semantik_spark.operators.sketches import hll_estimate
 
-    return hll_estimate(spark.read.parquet(state_path),
+    return hll_estimate(_served_state(spark, state_path),
                         exact=None, group_col=group_col, p=p)
 
 
@@ -1012,7 +1082,7 @@ def ddsketch_state_ks(spark: SparkSession, state_path: str,
     needs. Runs on sketch rows only; the stream is never rescanned."""
     from semantik_spark.operators.stattests import ks_from_value_counts
 
-    st = spark.read.parquet(state_path)
+    st = _served_state(spark, state_path)
     vl = (
         st.where(F.col("g").isin([group_a, group_b]))
         .groupBy(F.col("bucket").alias("v"))
@@ -1047,6 +1117,9 @@ def streaming_contingency(stream: DataFrame, state_path: str,
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        last = _last_merged_batch(state_path)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-merged batch
         partial = (
             # NULL categories excluded per chi_square_independence's
             # NULL discipline — the state must hold exactly the cells
@@ -1066,14 +1139,7 @@ def streaming_contingency(stream: DataFrame, state_path: str,
             )
         else:
             merged = partial
-        tmp = state_path + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        old_dir = state_path + "__old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old_dir)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -1089,6 +1155,6 @@ def contingency_chi_square(spark: SparkSession, state_path: str):
     stattests.chi_square_independence over the same rows."""
     from semantik_spark.operators.stattests import chi_square_from_counts
 
-    state = spark.read.parquet(state_path).select(
+    state = _served_state(spark, state_path).select(
         "row_val", "col_val", F.col("n").cast("bigint").alias("observed"))
     return chi_square_from_counts(state)

@@ -407,3 +407,64 @@ def test_driver_side_twins_are_bit_identical_to_columns(spark):
         pv = _mock_embedding_py(r["text"])
         assert list(r["v"]) == pv, (r["text"], r["v"], pv)  # exact ==
         assert r["c"] == _cosine_py(pv, list(reversed(pv))), r["text"]
+
+
+def test_delete_cascade_reaches_every_artifact_and_is_idempotent(spark, tmp_path):
+    """GDPR erasure must remove the doc from the approximate layouts
+    (dense_ivf, postings_pruned, ivfpq_full) too, and a RETRIED delete
+    (the normal erasure-pipeline case) must be a no-op instead of
+    double-decrementing the mergeable state."""
+    from semantik_spark.operators.serving import (
+        build_dense_ivf,
+        build_index,
+        build_sparse_pruned,
+        delete_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha shared{i % 4} beta unique{i}") for i in range(30)],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "gidx")
+    build_index(docs, idx)
+    build_dense_ivf(docs, idx, n_centroids=4)
+    build_sparse_pruned(spark, idx, keep=8)
+
+    gone = docs.where("doc_id % 3 = 0")
+    delete_from_index(spark, idx, gone)
+    gone_ids = {r["doc_id"] for r in gone.collect()}
+    for sub in ("dense", "postings", "dense_ivf", "postings_pruned"):
+        left = {r["doc_id"] for r in spark.read.parquet(f"{idx}/{sub}")
+                .select("doc_id").distinct().collect()}
+        assert left.isdisjoint(gone_ids), sub
+
+    # dense_ivf keeps its partition layout (pruning still works)
+    import os
+    assert any(d.startswith("centroid_id=")
+               for d in os.listdir(f"{idx}/dense_ivf"))
+
+    # retry: same request again — state must be unchanged
+    before = spark.read.parquet(f"{idx}/bm25_state/corpus").collect()
+    delete_from_index(spark, idx, gone)
+    after = spark.read.parquet(f"{idx}/bm25_state/corpus").collect()
+    assert before == after
+    ref = str(tmp_path / "gref")
+    build_index(docs.where("doc_id % 3 <> 0"), ref)
+    t = lambda p: sorted(  # noqa: E731
+        (r["term"], r["df"]) for r in spark.read.parquet(f"{p}/terms").collect())
+    assert t(idx) == t(ref)
+
+
+def test_ivf_serve_accepts_integer_query_ids(spark, tmp_path):
+    """The driver-planned probes table keeps the caller's query-id
+    type; a hardcoded string schema rejected integer-keyed batches on
+    the IVF paths only."""
+    from semantik_spark.operators.serving import build_dense_ivf, dense_serve_ivf
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta unique{i}") for i in range(20)], ["doc_id", "text"])
+    idx = str(tmp_path / "iidx")
+    build_dense_ivf(docs, idx, n_centroids=4)
+    q = spark.createDataFrame([(7, "alpha unique3")],
+                              ["query_id", "query_text"])
+    rows = dense_serve_ivf(spark, idx, q, k=3).collect()
+    assert rows and all(r["query_id"] == 7 for r in rows)

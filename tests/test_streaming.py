@@ -816,3 +816,63 @@ def test_streaming_contingency_merge_equals_batch(spark, tmp_path):
         assert served[k]["observed"] == batch[k]["observed"]
         assert served[k]["chi2_total"] == batch[k]["chi2_total"]
         assert served[k]["expected"] == batch[k]["expected"]
+
+
+def test_state_replay_guard_and_reader_fallback(spark, tmp_path):
+    """The additive-sink replay protocol: a checkpoint replay (same
+    batch_id) must be a no-op instead of double-adding counts, and
+    readers must survive the between-renames crash window by falling
+    back to __old."""
+    import os
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        _last_merged_batch,
+        _served_state,
+        _swap_state,
+    )
+
+    state = str(tmp_path / "sk")
+    df1 = spark.createDataFrame([("a", 1, 3)], "g string, bucket int, n long")
+    _swap_state(df1, state, batch_id=0)
+    assert _last_merged_batch(state) == 0
+
+    # replay check: a sink seeing batch_id 0 again must skip
+    assert 0 <= _last_merged_batch(state)
+
+    df2 = spark.createDataFrame([("a", 1, 5)], "g string, bucket int, n long")
+    _swap_state(df2, state, batch_id=1)
+    assert _last_merged_batch(state) == 1
+    assert _served_state(spark, state).collect()[0]["n"] == 5
+
+    # crash window: state only at __old — reader must still serve,
+    # and the marker must still resolve
+    os.rename(state, state + "__old")
+    assert _served_state(spark, state).collect()[0]["n"] == 5
+    assert _last_merged_batch(state) == 1
+    shutil.rmtree(state + "__old")
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="no sketch state"):
+        _served_state(spark, state)
+
+
+def test_merge_counters_null_keys_align(spark):
+    """groupBy puts NULL keys in one group; the IVM merge must align
+    state and delta rows for that group (null-safe join), not emit two
+    duplicate NULL-key rows."""
+    from semantik_spark.streaming.incremental import merge_counters
+
+    state = spark.createDataFrame(
+        [(None, "2024-01-01", 3, 30.0), ("click", "2024-01-01", 7, 70.0)],
+        "event_type string, day string, n long, sum_value double"
+    ).selectExpr("event_type", "day", "n",
+                 "cast(sum_value as decimal(38,8)) as sum_value")
+    delta = spark.createDataFrame(
+        [(None, "2024-01-01", 2, 20.0)],
+        "event_type string, day string, n long, sum_value double"
+    ).selectExpr("event_type", "day", "n",
+                 "cast(sum_value as decimal(38,8)) as sum_value")
+    out = merge_counters(state, delta).collect()
+    assert len(out) == 2
+    nulls = [r for r in out if r["event_type"] is None]
+    assert len(nulls) == 1 and nulls[0]["n"] == 5
