@@ -7980,7 +7980,7 @@ _ORACLE_CHUNK_FIXED = """
 WITH starts AS (
   SELECT doc_id::VARCHAR AS doc_id, length(text)::INT AS doc_len, text,
          unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS start_offset
-  FROM documents
+  FROM documents WHERE length(text) > 0
 ), c AS (
   SELECT doc_id,
          (start_offset // 150)::INT AS chunk_index,

@@ -43,18 +43,39 @@ CHUNK_SCHEMA = (
 
 
 def fixed_chunks(docs: DataFrame, chunk_size: int = 200, overlap: int = 50,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 drop_contained_tail: bool = False) -> DataFrame:
     """Sliding fixed-size character windows (stride = size − overlap).
 
     Pure expression: starts = sequence(0, len-1, stride); content =
     substring. Emits chunk_index, offsets, chars/4 token estimate, and
     total_chunks via a count window — the SQL-expressible core of the
     reference's character strategy.
+
+    NULL/empty documents emit ZERO chunks (matching every mapInPandas
+    kernel in this module; Spark's NULL-skipping greatest would
+    otherwise mint a phantom chunk claiming chunk_size covered chars
+    for a NULL doc — and DuckDB's NULL-propagating greatest would emit
+    nothing, a latent cross-engine split).
+
+    ``drop_contained_tail=True`` suppresses a final chunk whose span
+    is fully inside the previous one (doc tail past the last stride
+    boundary <= overlap: zero new content, duplicated embedding and
+    storage downstream). Default False preserves the driver-pinned
+    rows of the five registered queries built on this operator until
+    their round-11 rotation flips it (see
+    tests/test_entry_contract.py ROUND11_WINDOW_MUST note).
     """
+    if overlap >= chunk_size:
+        # stride <= 0 would make F.sequence abort mid-job ("step must
+        # not be zero" / negative-step error) — fail at plan time
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size "
+            f"({chunk_size})")
     stride = chunk_size - overlap
     t = F.col(text_col)
     starts = F.sequence(F.lit(0), F.greatest(F.length(t) - 1, F.lit(0)), F.lit(stride))
-    ex = docs.select(
+    ex = docs.where(F.length(t) > 0).select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.length(t).cast("int").alias("doc_len"),
         F.posexplode(starts).alias("chunk_index", "start_offset"),
@@ -67,6 +88,15 @@ def fixed_chunks(docs: DataFrame, chunk_size: int = 200, overlap: int = 50,
         F.col("start_offset").cast("int").alias("start_offset"),
         F.least(F.col("start_offset") + chunk_size, F.col("doc_len")).cast("int").alias("end_offset"),
     ).withColumn("token_count", F.ceil((F.col("end_offset") - F.col("start_offset")) / 4.0).cast("int"))
+    if drop_contained_tail:
+        # a start past 0 whose chunk ends within the previous chunk's
+        # coverage (start + overlap >= end_offset, i.e. the doc tail
+        # past the last stride boundary is <= overlap) adds no new
+        # content; only the LAST start can satisfy this, so
+        # chunk_index stays contiguous after the filter
+        ex = ex.where((F.col("start_offset") == 0)
+                      | (F.col("start_offset") + F.lit(overlap)
+                         < F.col("end_offset")))
     w = Window.partitionBy("doc_id")
     return ex.withColumn("total_chunks", F.count("*").over(w).cast("int")).withColumn(
         "chunk_id", F.concat_ws("#", "doc_id", "chunk_index")
@@ -758,9 +788,14 @@ def content_defined_chunks_scan(docs: DataFrame, window: int = 16,
                 rows, columns=["doc_id", "chunk_index", "chunk_start",
                                "chunk_text"])
 
-    d = docs.select(F.col(id_col).cast("bigint").alias("doc_id"),
+    # keep the caller's id type (the documented parity with the spec
+    # form content_defined_chunks): a hard bigint cast aborts under
+    # ANSI for string ids and changes the output schema vs the twin
+    id_type = docs.schema[id_col].dataType.simpleString()
+    d = docs.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text"))
     return d.mapInPandas(
         run,
-        "doc_id bigint, chunk_index int, chunk_start int, chunk_text string",
+        f"doc_id {id_type}, chunk_index int, chunk_start int, "
+        f"chunk_text string",
     )

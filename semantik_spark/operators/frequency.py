@@ -38,21 +38,15 @@ from semantik_spark.functions.caching import cache
 
 
 def _mg_candidates(m: int):
-    """Per-partition mergeable Misra-Gries: fold each Arrow batch's
-    value_counts into the counter dict; when over m-1 counters, subtract
-    the m-th largest count from all and drop the non-positive (the
-    PODS'12 merge step — error stays ≤ N_p/m)."""
+    """Per-partition mergeable Misra-Gries candidate keys — the same
+    fold as _mg_counters with the counts projected away, so the trim
+    rule lives in exactly one place (a fix applied to one copy and not
+    the other would silently change the candidate-superset guarantee)."""
+    counters_fn = _mg_counters(m)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: pd.Series = pd.Series(dtype="int64")
-        for pdf in it:
-            batch = pdf["k"].value_counts()
-            counters = counters.add(batch, fill_value=0)
-            if len(counters) > m - 1:
-                cut = counters.nlargest(m).iloc[-1]
-                counters = counters - cut
-                counters = counters[counters > 0]
-        yield pd.DataFrame({"k": counters.index.astype(str)})
+        for pdf in counters_fn(it):
+            yield pdf[["k"]]
 
     return run
 

@@ -259,7 +259,9 @@ def audio_segments(media: DataFrame, segment_ms: int = 5000,
         rows = []
         for pdf in batches:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                content = bytes(content)
+                # NULL binary degrades like image_features' guard —
+                # bytes(None) would TypeError and kill the whole task
+                content = bytes(content) if content is not None else b""
                 wav = decode_wav_meta(content)
                 if wav is not None:
                     duration_ms = max(1, wav[3])

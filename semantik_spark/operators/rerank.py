@@ -44,8 +44,16 @@ def hydrate(results: DataFrame, docs: DataFrame,
     is fetched only for winners (service.py:248-277 two-phase fetch)."""
     payload = docs.select(F.col(id_col).alias("doc_id"), *payload_cols)
     # results (hits) are small post-top-k; the payload side is the big
-    # table — broadcast the HITS into its scan, not the other way round.
-    return F.broadcast(results).join(payload, "doc_id", "left")
+    # table. BroadcastHashJoin cannot build the LEFT side of a left
+    # outer join (a broadcast hint there is silently discarded and the
+    # whole payload table shuffles), so: broadcast the hit IDS as a
+    # semi-join prefilter on the payload scan, then broadcast the
+    # hits-sized survivor set into the left join — both joins
+    # broadcast, the corpus never shuffles.
+    wanted = payload.join(
+        F.broadcast(results.select("doc_id").distinct()),
+        "doc_id", "left_semi")
+    return results.join(F.broadcast(wanted), "doc_id", "left")
 
 
 def mock_rerank_score(query_text: Column | str, content: Column | str) -> Column:

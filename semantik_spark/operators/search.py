@@ -549,19 +549,19 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
             .join(F.broadcast(plen), "query_id")
             .where(F.col("got") == F.col("n_slots"))
         )
-        # canonicalize: adjacent matching starts are shifted windows
-        # over the SAME physical evidence (a repeated-term phrase
-        # would otherwise count one occurrence per admissible shift);
-        # an occurrence = a maximal run of consecutive matching
-        # starts, represented by its run head. The lag window runs on
-        # matched (query, doc) rows only — per-doc-tf-bounded.
-        wr = Window.partitionBy("query_id", "doc_id").orderBy("a")
+        # canonicalize by the FIRST MATCHED TOKEN POSITION: shifted
+        # windows over the same physical evidence share their first
+        # matched token, so distinct first_hit = distinct occurrence.
+        # (A repeated-term phrase would otherwise count one occurrence
+        # per admissible window shift; the earlier run-collapse over
+        # adjacent starts over-merged the other way — dense repeats of
+        # a term produce CONSECUTIVE starts with DISTINCT evidence,
+        # e.g. one-token phrases, where looser slop must never report
+        # fewer occurrences than exact matching.)
         occ = (
-            win.withColumn("_prev", F.lag("a").over(wr))
-            .where(F.col("_prev").isNull()
-                   | (F.col("a") - F.col("_prev") > 1))
-            .select("query_id", "doc_id",
-                    F.col("first_hit").alias("anchor"))
+            win.select("query_id", "doc_id",
+                       F.col("first_hit").alias("anchor"))
+            .distinct()
         )
     scored = occ.groupBy("query_id", "doc_id").agg(
         F.count("*").cast("int").alias("n_occurrences"),
@@ -604,7 +604,11 @@ def facet_counts(docs: DataFrame, queries: DataFrame,
                      F.col(c).cast("string").alias("value"))
             for c in facet_cols
         ])).alias("fv"),
-    ).select("query_id", "fv.facet", "fv.value")
+    ).select("query_id", "fv.facet", "fv.value").where(
+        # docs with a NULL facet value are excluded from that facet's
+        # sidebar (they'd otherwise form a NULL "value" that outranks
+        # real values on count ties — ASC NULLS FIRST)
+        F.col("value").isNotNull())
     counts = pairs.groupBy("query_id", "facet", "value").agg(
         F.count("*").cast("int").alias("n_hits"))
     w = Window.partitionBy("query_id", "facet").orderBy(

@@ -3362,7 +3362,7 @@ WITH e AS (
   FROM events
 ), flagged AS (
   SELECT user_id, event_id, event_type, us,
-         CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_s
+         CASE WHEN us - lag(us) OVER w >= {gap_us} THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), sess AS (
   SELECT user_id, event_type,
@@ -5164,11 +5164,7 @@ win AS MATERIALIZED (
   GROUP BY h.query_id, h.doc_id, s.a, plen.n_slots
   HAVING count(DISTINCT h.slot) = plen.n_slots),
 occ AS (
-  SELECT query_id, doc_id, first_hit AS anchor
-  FROM (SELECT w.*, lag(a) OVER (
-          PARTITION BY query_id, doc_id ORDER BY a) AS prev_a
-        FROM win w) r
-  WHERE prev_a IS NULL OR a - prev_a > 1),
+  SELECT DISTINCT query_id, doc_id, first_hit AS anchor FROM win),
 scored AS (
   SELECT query_id, doc_id, count(*)::INT AS n_occurrences,
          min(anchor)::INT AS first_pos
@@ -6559,7 +6555,7 @@ WITH e AS (
   FROM events),
 flagged AS (
   SELECT user_id, event_id, event_type, us,
-         CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS new_s,
+         CASE WHEN us - lag(us) OVER w >= {gap_us} THEN 1 ELSE 0 END AS new_s,
          row_number() OVER w AS pos
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
 sess AS (

@@ -45,17 +45,20 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     """Gap-based sessionization (batch form): user_id, session_id
     (0-based per user), session_start, session_end, n_events.
 
-    lag(ts) per user → new-session flag on gap > threshold → running sum
-    = session id. The streaming twin is session_window(ts, gap) in
+    lag(ts) per user → new-session flag on gap >= threshold → running
+    sum = session id. The streaming twin is session_window(ts, gap) in
     incremental.py; batch form is lag+cumsum so the DuckDB oracle can
-    replay it exactly.
+    replay it exactly. The boundary is >= (not >): session_window gives
+    each event a HALF-OPEN [ts, ts+gap) window, so two events exactly
+    gap apart do NOT merge there — the batch form must split them too
+    or batch and streaming session counts diverge on exact-gap data.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     gap = F.lit(gap_minutes * 60)
     with_flag = events.withColumn(
         "_new",
         F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double") > gap, 1
+            F.col(ts_col).cast("double") - F.lag(F.col(ts_col)).over(w).cast("double") >= gap, 1
         ).otherwise(0),
     ).withColumn(
         "session_id",

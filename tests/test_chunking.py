@@ -101,3 +101,36 @@ def test_empty_doc_yields_no_chunks(spark):
     df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
     assert character_chunks(df).count() == 0
     assert recursive_chunks(df).count() == 0
+
+
+def test_fixed_chunks_degenerate_docs_and_tail_mode(spark):
+    """NULL/empty docs emit zero chunks (no phantom chunk_size-wide
+    chunk); overlap >= chunk_size fails at plan time; and
+    drop_contained_tail suppresses a final chunk fully inside the
+    previous one while leaving genuinely-new tails alone."""
+    import pytest as _pytest
+
+    from semantik_spark.operators.chunking import fixed_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 160),   # tail [150,160) inside chunk 0's [0,160)
+         (2, "x" * 210),   # tail [150,210) has new content [200,210)
+         (3, None),
+         (4, "")],
+        "doc_id long, text string")
+    base = fixed_chunks(docs)
+    counts = {r["doc_id"]: r["total_chunks"]
+              for r in base.select("doc_id", "total_chunks")
+              .distinct().collect()}
+    assert "3" not in counts and "4" not in counts   # zero chunks
+    assert counts["1"] == 2 and counts["2"] == 2     # default keeps tail
+
+    trimmed = fixed_chunks(docs, drop_contained_tail=True)
+    tcounts = {r["doc_id"]: r["total_chunks"]
+               for r in trimmed.select("doc_id", "total_chunks")
+               .distinct().collect()}
+    assert tcounts["1"] == 1     # contained tail dropped
+    assert tcounts["2"] == 2     # new-content tail kept
+
+    with _pytest.raises(ValueError, match="overlap"):
+        fixed_chunks(docs, chunk_size=100, overlap=100)

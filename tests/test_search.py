@@ -341,8 +341,9 @@ def test_phrase_search_slop_canonical_occurrences(spark):
     assert row["n_occurrences"] == 1
 
     # repeated phrase term: starts -1 and 0 both admit the single
-    # physical "alpha beta beta"; the run-collapse counts it once, so
-    # it cannot outrank a doc with one occurrence of a clean match
+    # physical "alpha beta beta"; distinct-first_hit canonicalization
+    # counts it once, so it cannot outrank a doc with one occurrence
+    # of a clean match
     docs2 = spark.createDataFrame([(1, "alpha beta beta")],
                                   ["doc_id", "text"])
     ph2 = spark.createDataFrame([("q", "alpha beta beta")],
@@ -350,3 +351,15 @@ def test_phrase_search_slop_canonical_occurrences(spark):
     row2 = phrase_search(docs2, ph2, k=5, slop=1).collect()[0]
     assert row2["n_occurrences"] == 1
     assert row2["first_pos"] == 0
+
+    # monotonicity: dense repeats of a single token are DISTINCT
+    # occurrences with distinct first positions — a looser slop must
+    # never report fewer occurrences than exact matching (the earlier
+    # run-collapse over adjacent starts merged these to one)
+    docs3 = spark.createDataFrame([(1, "token token token")],
+                                  ["doc_id", "text"])
+    ph3 = spark.createDataFrame([("q", "token")], ["query_id", "phrase"])
+    exact = phrase_search(docs3, ph3, k=5, slop=0).collect()[0]
+    sloppy = phrase_search(docs3, ph3, k=5, slop=1).collect()[0]
+    assert exact["n_occurrences"] == 3
+    assert sloppy["n_occurrences"] >= exact["n_occurrences"]
