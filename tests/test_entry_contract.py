@@ -163,6 +163,15 @@ ROUND11_WINDOW_MUST: tuple = (
     "streaming_ks",
 )
 
+# Round-11 builder note (chunking.fixed_chunks): flip the five
+# fixed-chunk queries (chunk_fixed, chunk_collapse, ingest_index,
+# gc_orphans, pipeline_config) to drop_contained_tail=True, mirror the
+# start-filter in their oracle SQL, and rotate all five into the
+# round-11 window — the flag suppresses the zero-new-content tail
+# chunk (doc tail <= overlap) and changes their driver-pinned rows,
+# which is why it ships default-off this round (5 changed entries
+# would not fit the r10 window's 4 free fill slots).
+
 
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
