@@ -173,10 +173,16 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 anti-join. The right side is restricted to URGENT orders so
+    the result is NON-EMPTY at every gate SF (VERDICT r10 item 6: this
+    testdata gives every customer at least one order, so the unfiltered
+    anti-join returned 0 rows — and a 0-row hash match is a vacuous
+    check; any two empty results agree)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -1017,8 +1023,11 @@ def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_transitions covers that)."""
     from semantik_spark.operators.timeseries import sequential_patterns
 
+    # min_sessions=3: non-empty at EVERY gate SF (9 rows at sf0.001,
+    # 20 at sf0.01) — min_sessions=5 returned 0 rows at sf0.001 and a
+    # 0-row hash match is a vacuous check (VERDICT r10 item 6)
     return sequential_patterns(_events(spark, sf_dir), gap_minutes=30,
-                               min_sessions=5, top_k=20)
+                               min_sessions=3, top_k=20)
 
 
 
@@ -5582,15 +5591,86 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
     return wrapped
 
 
+# The round-11 driver window, authoritative ORDER (VERDICT r10 item 3):
+# queries() returns these 50 first, then every other registered entry in
+# declaration order. tests/test_entry_contract.py asserts the window
+# exactly. Composition: the 5 round-10 additions (first-ever driver
+# rows), the 5 fixed-chunk queries whose rows changed under the
+# drop_contained_tail=True flip (behavior change ⇒ must sit inside the
+# window), the 2 non-empty-fixture fixes (same rule), then 38 of the
+# 46 r5 anchors (alphabetical; the remaining 8 — source_mix_temp,
+# splade_vocab, state_islands, text_boilerplate, text_readability,
+# value_correlation, weighted_sample, zipf_fit — head the r12 fill).
+ROUND11_WINDOW: tuple = (
+    # round-10 additions — first driver rows
+    "phrase_search_slop",
+    "ivf_codebook_drift",
+    "stat_tests_from_sketch",
+    "ivf_retrain_recall",
+    "streaming_ks",
+    # drop_contained_tail=True flip (r11): rows changed, re-pinned here
+    "chunk_fixed",
+    "chunk_collapse",
+    "ingest_index",
+    "gc_orphans",
+    "pipeline_config",
+    # non-empty-fixture fixes (VERDICT r10 item 6): rows changed
+    "customers_without_orders",
+    "sequential_patterns",
+    # 40 oldest anchors (last driver-green row CORRECTNESS_r05)
+    "approx_distinct_daily",
+    "artifact_roundtrip",
+    "customer_value_ranks",
+    "dedup_jaccard_prefix",
+    "discounted_revenue",
+    "doc_outliers",
+    "event_assoc",
+    "events_dedup_first",
+    "events_ewma",
+    "events_pivot",
+    "events_rolling",
+    "events_transitions",
+    "events_twap",
+    "funnel_latency",
+    "fuzzy_pairs",
+    "hard_negatives",
+    "hybrid_weighted",
+    "ivm_counters",
+    "kmv_set_ops",
+    "knn_pagerank",
+    "knn_triangles",
+    "large_orders",
+    "late_shipment_priority",
+    "length_bins",
+    "lm_bigram",
+    "local_supplier_revenue",
+    "multimodal_features",
+    "multimodal_frames",
+    "parts_supplier_count",
+    "priority_grouping_sets",
+    "profile_table",
+    "promo_revenue",
+    "purchase_attribution",
+    "returned_items",
+    "session_paths",
+    "shipping_priority",
+    "small_qty_revenue",
+    "source_mix",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 10 — VERDICT r9 item 1): the
+    # ORDERING CONTRACT (rotated for round 11 — VERDICT r10 item 3): the
     # correctness driver evaluates only the first 50 entries, and the
     # window's job is STALENESS ROTATION — first-ever driver rows for
-    # queries added since the last rotation, then the longest-
-    # unrefreshed anchors, so no entry's driver verification ages past
-    # ~4 rounds. The round-10 window = the 46 pre-wired
-    # ROUND10_WINDOW_MUST entries (33 round-9 late additions + the 13
-    # r4 anchors displaced from the r9 window) + 4 oldest r5 anchors.
+    # queries added since the last rotation, behavior-changed entries,
+    # then the longest-unrefreshed anchors. ROUND11_WINDOW above is the
+    # authoritative order; the dict below keeps its historical (r10)
+    # declaration order and is reordered at return. Window arithmetic:
+    # with 300 registered entries and a 50-slot window the refresh
+    # floor is a SIX-round cycle (300/50) — the window drains the
+    # oldest block each round (r11 takes 40 of 46 r5 anchors; r12
+    # takes the last 6 + the r6 block).
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -5924,7 +6004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_retrain_recall": q_ivf_retrain_recall,
         "streaming_ks": q_streaming_ks,
     }
-    return {k: _fresh(fn) for k, fn in _q.items()}
+    # reorder to the round-11 window contract: ROUND11_WINDOW first
+    # (the driver hash-checks exactly these 50), then declaration order
+    window = set(ROUND11_WINDOW)
+    ordered = list(ROUND11_WINDOW) + [k for k in _q if k not in window]
+    return {k: _fresh(_q[k]) for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5954,7 +6038,9 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name""",
         "customers_without_orders": """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')""",
         "rollup_agg": """
 SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
@@ -7389,7 +7475,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "textrank_sentences": oracles.q_textrank_sentences(3, 0.85, 8),
         "referential_integrity": oracles.q_referential_integrity(),
         "markov_attribution": oracles.q_markov_attribution(("click", "error", "signup", "view"), "purchase", 50),
-        "sequential_patterns": oracles.q_sequential_patterns(30, 5, 20),
+        "sequential_patterns": oracles.q_sequential_patterns(30, 3, 20),
         "poisson_bootstrap": oracles.q_poisson_bootstrap(200, 5),
         "funnel_wilson": oracles.q_funnel_wilson(1960),
         "eb_item_rates": oracles.q_eb_rates(),
@@ -7988,6 +8074,9 @@ WITH starts AS (
          start_offset::INT AS start_offset,
          least(start_offset + 200, doc_len)::INT AS end_offset
   FROM starts
+  -- drop_contained_tail (default since r11): suppress the zero-new-
+  -- content tail chunk (doc tail past the last stride <= overlap)
+  WHERE start_offset = 0 OR start_offset + 50 < least(start_offset + 200, doc_len)
 )
 SELECT doc_id, doc_id || '#' || chunk_index AS chunk_id, chunk_index, content,
        start_offset, end_offset,

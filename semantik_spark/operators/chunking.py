@@ -44,7 +44,7 @@ CHUNK_SCHEMA = (
 
 def fixed_chunks(docs: DataFrame, chunk_size: int = 200, overlap: int = 50,
                  id_col: str = "doc_id", text_col: str = "text",
-                 drop_contained_tail: bool = False) -> DataFrame:
+                 drop_contained_tail: bool = True) -> DataFrame:
     """Sliding fixed-size character windows (stride = size − overlap).
 
     Pure expression: starts = sequence(0, len-1, stride); content =
@@ -58,13 +58,13 @@ def fixed_chunks(docs: DataFrame, chunk_size: int = 200, overlap: int = 50,
     for a NULL doc — and DuckDB's NULL-propagating greatest would emit
     nothing, a latent cross-engine split).
 
-    ``drop_contained_tail=True`` suppresses a final chunk whose span
-    is fully inside the previous one (doc tail past the last stride
-    boundary <= overlap: zero new content, duplicated embedding and
-    storage downstream). Default False preserves the driver-pinned
-    rows of the five registered queries built on this operator until
-    their round-11 rotation flips it (see
-    tests/test_entry_contract.py ROUND11_WINDOW_MUST note).
+    ``drop_contained_tail=True`` (the default since round 11, per the
+    pre-wired flip plan) suppresses a final chunk whose span is fully
+    inside the previous one (doc tail past the last stride boundary
+    <= overlap: zero new content, duplicated embedding and storage
+    downstream). The five registered queries built on this operator
+    rotated into the round-11 driver window under the new semantics;
+    their oracle twins mirror the same start-filter.
     """
     if overlap >= chunk_size:
         # stride <= 0 would make F.sequence abort mid-job ("step must

@@ -80,7 +80,15 @@ def rerank(candidates: DataFrame, queries: DataFrame, docs: DataFrame, k: int = 
     already clamped to candidate_k(k) rows per query.
     Output: query_id, doc_id, rerank_score, rank.
     """
-    with_content = hydrate(candidates.select("query_id", "doc_id"), docs)
+    # localCheckpoint the candidate set BEFORE hydrate: hydrate
+    # references its input lineage twice (distinct-ids semi-join
+    # prefilter + final join left side), and the uncached first-stage
+    # lineage is the full hybrid search — without materialization it
+    # executes end-to-end twice (counter-proven r10: 45→82 jobs, 2×
+    # shuffle). The set is bounded ≤ |queries|·candidate_k rows by the
+    # W3 clamp, so the checkpoint is tiny.
+    hits = candidates.select("query_id", "doc_id").localCheckpoint(eager=True)
+    with_content = hydrate(hits, docs)
     with_q = with_content.join(
         F.broadcast(queries.select("query_id", "query_text")), "query_id"
     )

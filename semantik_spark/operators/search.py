@@ -492,12 +492,14 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, k: int = 10,
     matches "sort merge" at slop 1) and, at slop ≥ 2, adjacent
     transpositions — Lucene's sloppy behavior for two-term phrases,
     and a documented max-displacement (not summed-moves) variant for
-    longer ones. Occurrences = maximal RUNS of consecutive matching
-    window starts (adjacent starts are shifted windows over the same
-    evidence — a repeated-term phrase would otherwise count once per
-    admissible shift); first_pos is the occurrence's first matched
-    token position, a real index ≥ 0 even when the canonical window
-    start is negative (a transposed term left of its offset).
+    longer ones. Occurrences canonicalize by DISTINCT FIRST MATCHED
+    TOKEN POSITION: shifted windows over the same physical evidence
+    share their first matched token, so distinct first_hit = distinct
+    occurrence (a repeated-term phrase would otherwise count once per
+    admissible shift; the rejected run-collapse alternative over-merged
+    the other way — see the inline comment). first_pos is that first
+    matched token position, a real index ≥ 0 even when the canonical
+    window start is negative (a transposed term left of its offset).
 
     Ranking: occurrences DESC, first anchor ASC, doc_id ASC → top-k.
 

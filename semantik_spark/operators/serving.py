@@ -185,16 +185,57 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
         new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
         new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
 
-    _bm25_state_swap(path, _write_state, batch_id=batch_id)
+    # postings + terms are written BEFORE the state swap: the swap
+    # publishes the _last_batch replay marker, so it must be the SINGLE
+    # COMMIT POINT. The old order (swap, then terms/postings) had a
+    # crash window where the marker fenced the replay (batch_id <=
+    # marker → no-op) while the batch's postings were never written —
+    # n_docs/df counted docs that were permanently unsearchable on the
+    # sparse path. Every pre-swap write is idempotent under replay:
+    # the merged state is recomputed deterministically from the same
+    # (old state, delta) inputs, terms is a plain overwrite, and the
+    # postings append goes through _replace_batch_postings (leftover
+    # files from a crashed attempt are removed before the re-append).
     stats = bm25.stats_from_state(new_c)
     terms = bm25.term_stats_from_state(new_t, stats).localCheckpoint()
-    terms.write.mode("overwrite").parquet(f"{path}/terms")
     # term_id dropped from the persisted rows (see build_sparse): the
     # grown vocabulary re-ranks ids, so a stored id column would mix
     # id spaces between this batch and earlier generations
-    bm25.postings(tok, terms, stats).drop("term_id").write.mode("append") \
-        .parquet(f"{path}/postings")
+    post = bm25.postings(tok, terms, stats).drop("term_id")
+    if batch_id is None:
+        # non-streaming caller: no replay semantics, plain append
+        post.write.mode("append").parquet(f"{path}/postings")
+    else:
+        _replace_batch_postings(post, path, batch_id)
+    terms.write.mode("overwrite").parquet(f"{path}/terms")
+    _bm25_state_swap(path, _write_state, batch_id=batch_id)
     tok.unpersist()
+
+
+def _replace_batch_postings(post: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent, replay-safe postings append for one streaming batch:
+    stage the batch's part files, remove any files a crashed earlier
+    attempt left for the SAME batch (batch-prefixed names make them
+    identifiable), then move the staged files in. Re-running a batch
+    converges to exactly one copy of its rows, which is what lets the
+    _last_batch marker swap act as the single commit point. Local-FS
+    rename semantics; an object-store deployment would write to a
+    per-batch key prefix and commit via a manifest instead."""
+    import glob
+    import os
+    import shutil
+
+    staging = f"{path}/postings__batch_{int(batch_id)}_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    post.write.mode("overwrite").parquet(staging)
+    dest = f"{path}/postings"
+    os.makedirs(dest, exist_ok=True)
+    prefix = f"batch{int(batch_id)}-"
+    for leftover in glob.glob(os.path.join(dest, prefix + "*")):
+        os.remove(leftover)
+    for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+        os.rename(f, os.path.join(dest, prefix + os.path.basename(f)))
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def merge_dense_append(delta_docs: DataFrame, path: str,
@@ -882,14 +923,28 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
     # deletion job or a request naming never-indexed ids would
     # double-decrement n_docs/df and silently corrupt idf/avgdl. Live
     # ids = present in the index AND not already tombstoned.
-    # presence authority = postings (every sparsely-indexed doc has
-    # posting rows; the dense table can lag behind sparse-only appends
-    # whose embeddings ride the dense LOG instead)
-    live_src = f"{path}/postings" if os.path.exists(f"{path}/postings") \
-        else f"{path}/dense"
-    live = spark.read.parquet(live_src) \
-        .select(F.col("doc_id").alias("_del_id")).distinct()
-    ids = ids.join(live, "_del_id", "left_semi")
+    # presence authority = the UNION of doc ids across postings, dense,
+    # and the streaming dense log (whichever exist). Postings alone is
+    # not enough: a doc whose text yields zero BM25 tokens (NULL/empty
+    # text, all sub-length tokens) has NO postings rows while still
+    # being servable from dense/dense_log and counted in corpus n_docs
+    # (tokenize keeps it with an empty token array) — postings-only
+    # presence silently filtered its deletion request out, so physical
+    # erasure failed for exactly the failed-extraction docs most likely
+    # to be purged. Zero-token docs retract cleanly (n_docs−1, sum_dl−0).
+    live_parts = []
+    for live_sub in ("postings", "dense", "dense_log"):
+        lp = f"{path}/{live_sub}"
+        if os.path.exists(lp):
+            live_parts.append(spark.read.parquet(lp)
+                              .select(F.col("doc_id").alias("_del_id")))
+    if not live_parts:  # no artifact exists: same failure as before
+        live_parts.append(spark.read.parquet(f"{path}/dense")
+                          .select(F.col("doc_id").alias("_del_id")))
+    live = live_parts[0]
+    for lp_df in live_parts[1:]:
+        live = live.unionByName(lp_df)
+    ids = ids.join(live.distinct(), "_del_id", "left_semi")
     if os.path.exists(f"{path}/tombstones"):
         tombs = spark.read.parquet(f"{path}/tombstones") \
             .select(F.col("doc_id").alias("_del_id"))

@@ -305,6 +305,10 @@ def chi_square_from_counts(obs: DataFrame) -> DataFrame:
         .select("row_val", "col_val", "observed", "expected",
                 F.round(F.col("c9"), 6).cast("double").alias("contrib"),
                 "chi2_total", "dof")
+        # deterministic row order: per-cell output otherwise inherits
+        # the physical plan's order, which differs between e.g. a
+        # unioned input and a plain scan (the r10 flaky-test lesson)
+        .orderBy("row_val", "col_val")
     )
 
 
@@ -798,6 +802,8 @@ def mutual_information(df: DataFrame, row_col: str,
         cells.select("row_val", "col_val", "n",
                      F.col("t9").cast("double").alias("mi_term"))
         .crossJoin(F.broadcast(stats))
+        # deterministic row order (chi_square_independence discipline)
+        .orderBy("row_val", "col_val")
     )
 
 

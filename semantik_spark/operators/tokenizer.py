@@ -751,9 +751,15 @@ def wordpiece_encode_words(words: DataFrame, vocab: list[str],
             # unencodable words (a char outside the trained alphabet)
             # surface as a single [UNK] piece — a NULL array would
             # posexplode to ZERO rows, silently dropping the word from
-            # every fertility/count computed over this output
+            # every fertility/count computed over this output. Test
+            # the documented None sentinel EXPLICITLY: the encoder
+            # returns [] (also falsy) for an EMPTY word, which must
+            # posexplode to zero rows — `or ["[UNK]"]` minted a
+            # spurious [UNK] row for it while the DuckDB twin emits
+            # none (ADVICE r10)
             pdf["pieces"] = [
-                wordpiece_encode_word(w, vset) or ["[UNK]"]
+                (lambda p: ["[UNK]"] if p is None else p)(
+                    wordpiece_encode_word(w, vset))
                 for w in pdf[word_col]]
             yield pdf
 

@@ -676,6 +676,10 @@ fchunks AS (
          start_offset::INT AS start_offset,
          least(start_offset + {chunk_size}, doc_len)::INT AS end_offset
   FROM cstarts
+  -- drop_contained_tail (default since r11): a start past 0 whose
+  -- chunk ends within the previous chunk's coverage adds no content
+  WHERE start_offset = 0
+     OR start_offset + {overlap} < least(start_offset + {chunk_size}, doc_len)
 )"""
 
 
@@ -5126,10 +5130,11 @@ WHERE rank <= {k}"""
 def q_phrase_search_slop(k: int = 10, slop: int = 1) -> str:
     """Twin of search.phrase_search(slop>0): "ordered near" matching —
     a matching window start ``a`` is one from the doc's anchor set
-    with every slot's anchor inside [a, a+slop]; occurrences are
-    maximal RUNS of consecutive matching starts (lag-collapse, same
-    as the Spark side) and first_pos is the run head's first matched
-    token position (anchor + slot), never the raw window start."""
+    with every slot's anchor inside [a, a+slop]; occurrences
+    canonicalize by DISTINCT FIRST MATCHED TOKEN POSITION (same as the
+    Spark side — shifted windows over the same evidence share their
+    first matched token) and first_pos is that first matched token
+    position (anchor + slot), never the raw window start."""
     return f"""
 WITH tokd AS (
   SELECT doc_id,

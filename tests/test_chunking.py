@@ -118,14 +118,14 @@ def test_fixed_chunks_degenerate_docs_and_tail_mode(spark):
          (3, None),
          (4, "")],
         "doc_id long, text string")
-    base = fixed_chunks(docs)
+    base = fixed_chunks(docs, drop_contained_tail=False)
     counts = {r["doc_id"]: r["total_chunks"]
               for r in base.select("doc_id", "total_chunks")
               .distinct().collect()}
     assert "3" not in counts and "4" not in counts   # zero chunks
-    assert counts["1"] == 2 and counts["2"] == 2     # default keeps tail
+    assert counts["1"] == 2 and counts["2"] == 2     # opt-out keeps tail
 
-    trimmed = fixed_chunks(docs, drop_contained_tail=True)
+    trimmed = fixed_chunks(docs)   # default drops the contained tail (r11 flip)
     tcounts = {r["doc_id"]: r["total_chunks"]
                for r in trimmed.select("doc_id", "total_chunks")
                .distinct().collect()}

@@ -149,28 +149,52 @@ ROUND10_R5_FILL: tuple = (
     "contamination_report",
 )
 
-# Entries added AFTER the round-10 rotation (round-10 additions):
-# never driver-evaluated, verified locally via tools/check_oracle.py
-# (runs logged to ORACLE_CHECKS.jsonl). These MUST head the round-11
-# window, followed by the remaining 46 r5 anchors (README anchor map).
-# Growth is throttled to window capacity: keep this list ≤ ~10
-# (VERDICT r9 item 2).
+# Round-11 window MUSTs (VERDICT r10 item 3), all inside
+# __spark_entry__.ROUND11_WINDOW (the authoritative full-order list):
+# the 5 round-10 additions take first driver rows; the 5 fixed-chunk
+# queries changed behavior under the drop_contained_tail=True flip
+# (executed this round — operator default flipped, oracle twins mirror
+# the start-filter, all 5 re-verified via tools/check_oracle.py at
+# sf0.001 + sf0.01).
 ROUND11_WINDOW_MUST: tuple = (
     "phrase_search_slop",
     "ivf_codebook_drift",
     "stat_tests_from_sketch",
     "ivf_retrain_recall",
     "streaming_ks",
+    "chunk_fixed",
+    "chunk_collapse",
+    "ingest_index",
+    "gc_orphans",
+    "pipeline_config",
+    # non-empty-fixture fixes (VERDICT r10 item 6): both queries'
+    # rows changed (urgent-order anti-join; min_sessions 5 → 3), so
+    # both rotate into the window under the behavior-change rule
+    "customers_without_orders",
+    "sequential_patterns",
 )
 
-# Round-11 builder note (chunking.fixed_chunks): flip the five
-# fixed-chunk queries (chunk_fixed, chunk_collapse, ingest_index,
-# gc_orphans, pipeline_config) to drop_contained_tail=True, mirror the
-# start-filter in their oracle SQL, and rotate all five into the
-# round-11 window — the flag suppresses the zero-new-content tail
-# chunk (doc tail <= overlap) and changes their driver-pinned rows,
-# which is why it ships default-off this round (5 changed entries
-# would not fit the r10 window's 4 free fill slots).
+# The 8 r5 anchors that did NOT fit the round-11 window (38 of 46
+# rotated in). These MUST head the round-12 fill, followed by the r6
+# block (49 entries). Window arithmetic: 300 entries / 50 slots = a
+# SIX-round refresh floor; r12's free capacity after these 8 is ~42
+# slots minus any r11 additions, so keep r11 registry growth ≤ ~6
+# (VERDICT r10 item 10).
+ROUND12_R5_CARRY: tuple = (
+    "source_mix_temp",
+    "splade_vocab",
+    "state_islands",
+    "text_boilerplate",
+    "text_readability",
+    "value_correlation",
+    "weighted_sample",
+    "zipf_fit",
+)
+
+# Entries added AFTER the round-11 rotation: never driver-evaluated,
+# verified locally via tools/check_oracle.py (ORACLE_CHECKS.jsonl).
+# These MUST head the round-12 window, before ROUND12_R5_CARRY.
+ROUND12_WINDOW_MUST: tuple = ()
 
 
 def test_every_query_has_an_oracle():
@@ -184,21 +208,23 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-10 window contract (README 'Correctness window rotation'):
-    the 46 MUST entries + the 4 oldest r5 anchors fill the first 50."""
+    """Round-11 window contract (README 'Correctness window rotation'):
+    the first 50 queries() entries ARE __spark_entry__.ROUND11_WINDOW,
+    in order — the driver hash-checks exactly this slice."""
     window = list(entrymod.queries())[:50]
-    for must in ROUND10_WINDOW_MUST:
-        assert must in window, f"{must} fell out of the driver window"
-    for fill in ROUND10_R5_FILL:
-        assert fill in window, f"{fill} (r5 fill) fell out of the window"
-    # the r9 window entries are behavior-anchored past the boundary
-    # (green in CORRECTNESS_r09) — they must stay registered
-    names = set(entrymod.queries())
-    for must in ROUND9_WINDOW_MUST:
-        assert must in names, f"{must} (r9 anchor) not registered"
-    # round-11 candidates (added this round, past the boundary):
-    # registered, awaiting their first driver row next rotation
+    assert window == list(entrymod.ROUND11_WINDOW), (
+        "driver window diverged from ROUND11_WINDOW")
     for must in ROUND11_WINDOW_MUST:
+        assert must in window, f"{must} fell out of the driver window"
+    # past-boundary entries are behavior-anchored by earlier driver
+    # rounds (r6-r10 green rows) — they must stay registered
+    names = set(entrymod.queries())
+    for must in (ROUND9_WINDOW_MUST + ROUND10_WINDOW_MUST
+                 + ROUND10_R5_FILL + ROUND12_R5_CARRY):
+        assert must in names, f"{must} (anchor) not registered"
+    # round-12 candidates (added this round, past the boundary):
+    # registered, awaiting their first driver row next rotation
+    for must in ROUND12_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 

@@ -1124,6 +1124,15 @@ def test_heavy_query_job_count_pins(spark):
         ("stat_tests_from_sketch", 22),
         ("ivf_retrain_recall", 40),
         ("phrase_search_slop", 17),
+        # round-11 pins (VERDICT r10 items 2+7): the flagship rerank
+        # serve path — 39 warmed jobs after the localCheckpoint fix
+        # (the r10 double-lineage regression was 82; this pin makes a
+        # silent re-doubling a CI failure) — and the remaining heavy
+        # non-replay movers-in-waiting
+        ("rerank_search", 50),
+        ("knn_nprobe_sweep", 50),
+        ("logreg_scores", 54),
+        ("incremental_clusters", 85),
     ]
     for name, bound in pins:
         qs[name](spark, sf).count()  # warm: AQE stats settle
@@ -1134,6 +1143,33 @@ def test_heavy_query_job_count_pins(spark):
             sc.setJobGroup(None, None)
         jobs = len(tracker.getJobIdsForGroup(f"gate_{name}"))
         assert 0 < jobs <= bound, (name, jobs, bound)
+
+
+def test_ivfpq_index_build_job_count_pin(spark, tmp_path):
+    """Counter pin for the bench's index_build_ivfpq path (VERDICT r10
+    item 7): write_ivfpq_index at the bench parameters is
+    plan-determined (sampled coarse training + m sub-quantizer
+    trainings + the assignment/encode passes) — 15 warmed jobs at
+    sf0.001; headroom to 20 so only a structural regression trips."""
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators import serving
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = emb.where("vec_id >= 10")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    serving.write_ivfpq_index(corpus, str(tmp_path / "warm"), dim=64,
+                              n_centroids=16, m=8, pq_centroids=16)
+    sc.setJobGroup("gate_ivfpq_build", "build")
+    try:
+        serving.write_ivfpq_index(corpus, str(tmp_path / "idx"), dim=64,
+                                  n_centroids=16, m=8, pq_centroids=16)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(tracker.getJobIdsForGroup("gate_ivfpq_build"))
+    assert 0 < jobs <= 20, jobs
 
 
 def test_sloppy_phrase_window_join_is_equijoin(spark):

@@ -468,3 +468,95 @@ def test_ivf_serve_accepts_integer_query_ids(spark, tmp_path):
                               ["query_id", "query_text"])
     rows = dense_serve_ivf(spark, idx, q, k=3).collect()
     assert rows and all(r["query_id"] == 7 for r in rows)
+
+
+def test_merge_sparse_append_replay_after_crash_before_swap(spark, tmp_path):
+    """Replay safety of the append path's commit ordering (ADVICE r10):
+    postings/terms are written BEFORE the _last_batch marker swap, so a
+    crash between them leaves the marker old and the streaming replay
+    re-runs the whole merge — which must CONVERGE: exactly one copy of
+    the batch's postings rows (batch-prefixed files from the crashed
+    attempt are removed) and a terms table equal to a full rebuild.
+    The old order (swap first) made the replay a fenced no-op with the
+    batch's postings permanently missing."""
+    from semantik_spark.operators import serving
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha shared{i % 3} beta unique{i}") for i in range(12)],
+        ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    serving.build_sparse(docs.where("doc_id < 8"), idx)
+    delta = docs.where("doc_id >= 8")
+
+    # crash AT the swap: postings + terms already written, marker not
+    real_swap = serving._bm25_state_swap
+    def exploding_swap(*a, **kw):
+        raise RuntimeError("simulated crash before marker swap")
+    serving._bm25_state_swap = exploding_swap
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            serving.merge_sparse_append(delta, idx, batch_id=7)
+    finally:
+        serving._bm25_state_swap = real_swap
+    assert serving._bm25_last_batch(idx) is None  # marker never advanced
+
+    # the streaming replay re-runs the SAME batch — must converge
+    serving.merge_sparse_append(delta, idx, batch_id=7)
+    assert serving._bm25_last_batch(idx) == 7
+
+    post = spark.read.parquet(f"{idx}/postings")
+    dup = (post.groupBy("doc_id", "term").count().where("count > 1").count())
+    assert dup == 0, "replay duplicated the batch's postings rows"
+    assert {r["doc_id"] for r in post.select("doc_id").distinct().collect()} \
+        == {str(i) if isinstance(i, str) else i for i in range(12)}
+
+    ref = str(tmp_path / "ref")
+    serving.build_sparse(docs, ref)
+    norm = lambda p: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in spark.read.parquet(f"{p}/terms").collect())
+    assert norm(idx) == norm(ref)
+
+    # a second replay of the already-committed batch is a fenced no-op
+    serving.merge_sparse_append(delta, idx, batch_id=7)
+    assert spark.read.parquet(f"{idx}/postings").count() == post.count()
+
+
+def test_delete_from_index_erases_zero_token_docs(spark, tmp_path):
+    """Erasure presence authority (ADVICE r10): a doc whose text yields
+    ZERO BM25 tokens (stopword-only) has no postings rows but is still
+    servable from dense/ and counted in n_docs — its deletion request
+    must not be silently filtered out by a postings-only live-id set.
+    After the cascade: dense row gone, tombstone written, terms/state
+    equal a rebuild over the survivors (n_docs retracted)."""
+    from semantik_spark.operators.serving import build_index, delete_from_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha unique1 beta"), (2, "gamma unique2 delta"),
+         (3, "the of and to a in is it")],   # all stopwords: 0 tokens
+        ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    build_index(docs, idx)
+    post_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/postings")
+                .select("doc_id").distinct().collect()}
+    assert 3 not in post_ids, "fixture regression: doc 3 must be token-free"
+
+    delete_from_index(spark, idx, docs.where("doc_id = 3"))
+
+    dense_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/dense")
+                 .select("doc_id").distinct().collect()}
+    assert 3 not in dense_ids, "zero-token doc still servable from dense/"
+    tombs = {r["doc_id"] for r in
+             spark.read.parquet(f"{idx}/tombstones").collect()}
+    assert tombs == {3}
+
+    ref = str(tmp_path / "ref")
+    build_index(docs.where("doc_id <> 3"), ref)
+    norm = lambda p: sorted(  # noqa: E731
+        (r["term"], r["term_id"], r["df"], round(r["idf"], 10))
+        for r in spark.read.parquet(f"{p}/terms").collect())
+    assert norm(idx) == norm(ref)
+    n_docs = spark.read.parquet(f"{idx}/bm25_state/corpus") \
+        .collect()[0]["n_docs"]
+    assert n_docs == 2, "n_docs not retracted for the zero-token doc"

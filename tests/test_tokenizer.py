@@ -333,3 +333,16 @@ def test_wordpiece_unencodable_word_emits_unk(spark):
         by_word.setdefault(r["word"], []).append(r["piece"])
     assert by_word["hello"] == ["hello"]
     assert by_word["héllo"] == ["[UNK]"]
+
+
+def test_wordpiece_empty_word_emits_zero_rows(spark):
+    """An EMPTY word encodes to [] (not None): it must posexplode to
+    ZERO rows, matching the DuckDB twin — not a spurious [UNK] row
+    (the `or ["[UNK]"]` falsy-conflation bug, ADVICE r10)."""
+    from semantik_spark.operators.tokenizer import wordpiece_encode_words
+
+    words = spark.createDataFrame([("hello",), ("",)], ["word"])
+    vocab = ["h", "##e", "##l", "##o", "hello"]
+    out = wordpiece_encode_words(words, vocab).collect()
+    assert {r["word"] for r in out} == {"hello"}
+    assert [r["piece"] for r in out if r["word"] == "hello"] == ["hello"]
