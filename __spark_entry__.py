@@ -689,6 +689,68 @@ def q_stat_tests_from_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stat_bf_from_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe served from MERGEABLE DDSketch state (VERDICT
+    r10 item 5, extending the stat_tests_from_sketch pattern): the
+    per-(group, value) count table is replaced by DDSketch bucket
+    counts whose REPRESENTATIVE values (2·gamma^i/(gamma+1), the
+    alpha-relative-error midpoint) feed stattests.bf_from_value_counts
+    — unlike KS/MWU the BF moments need value magnitudes, not just
+    order, so indices alone don't qualify. Emits exact-vs-sketch rows
+    per group median + mean-absdev and the F statistic, with RELATIVE
+    tolerances pinned: medians/mads within 1% (the DDSketch alpha
+    guarantee: the sketch median is the representative of the bucket
+    holding the true median), F within 5% (measured 0.37% at sf0.1,
+    3.2% at sf0.001 where F itself is near-noise)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+    from semantik_spark.operators.stattests import (
+        bf_from_value_counts, brown_forsythe)
+
+    ev = _events(spark, sf_dir)
+    _, inv_lg, coeff = ddsketch_params(0.01)
+    lg = 1.0 / inv_lg
+    x = F.col("value")
+    bucket = F.when(
+        x > 0, F.ceil(F.round(F.log(x) * F.lit(inv_lg), 9)).cast("int")
+    ).otherwise(F.lit(-(2 ** 31)).cast("int"))
+    # bucket representative value; the reserved non-positive bucket
+    # maps to 0.0 (exact for the zero values this dataset carries)
+    rep = F.when(bucket == -(2 ** 31), F.lit(0.0)).otherwise(
+        F.round(F.lit(coeff) * F.exp(bucket.cast("double") * F.lit(lg)), 9))
+    vl = (
+        ev.where(x.isNotNull())
+        .groupBy(F.col("event_type").cast("string").alias("g"),
+                 rep.alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    e = brown_forsythe(ev, "event_type", "value")
+    s = bf_from_value_counts(vl)
+
+    def cmp(test_col, e_col, s_col, tol: float):
+        # both stats are already 6-dp, so abs_err is an exact multiple
+        # of 1e-6 and the tol·|exact| comparison is engine-identical
+        diff = F.round(F.abs(e_col - s_col), 6)
+        return (test_col.alias("test"),
+                e_col.alias("exact_stat"), s_col.alias("sketch_stat"),
+                diff.alias("abs_err"), F.lit(tol).alias("rel_tol"),
+                (diff <= F.lit(tol) * F.abs(e_col)).alias("within_tol"))
+
+    j = (e.select(F.col("group_val"), F.col("median").alias("med_e"),
+                  F.col("mean_absdev").alias("mad_e"))
+         .join(s.select(F.col("group_val"), F.col("median").alias("med_s"),
+                        F.col("mean_absdev").alias("mad_s")), "group_val"))
+    med_rows = j.select(*cmp(F.concat(F.lit("median:"), F.col("group_val")),
+                             F.col("med_e"), F.col("med_s"), 0.01))
+    mad_rows = j.select(*cmp(F.concat(F.lit("mad:"), F.col("group_val")),
+                             F.col("mad_e"), F.col("mad_s"), 0.01))
+    f_row = (e.select(F.col("f_stat").alias("f_e")).distinct()
+             .crossJoin(s.select(F.col("f_stat").alias("f_s")).distinct())
+             .select(*cmp(F.lit("bf_f_stat"), F.col("f_e"), F.col("f_s"),
+                          0.05)))
+    return (med_rows.unionByName(mad_rows).unionByName(f_row)
+            .orderBy("test"))
+
+
 def q_stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test
     (stattests.chi_square_independence): event-type mix vs user cohort
@@ -6003,6 +6065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_tests_from_sketch": q_stat_tests_from_sketch,
         "ivf_retrain_recall": q_ivf_retrain_recall,
         "streaming_ks": q_streaming_ks,
+        # --- round-11 additions (past the boundary; first driver row
+        # next rotation — tests/test_entry_contract.py
+        # ROUND12_WINDOW_MUST; growth capped ~6, VERDICT r10 item 10)
+        "stat_bf_from_sketch": q_stat_bf_from_sketch,
     }
     # reorder to the round-11 window contract: ROUND11_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
@@ -7494,6 +7560,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
             "click", "purchase", 0.01),
         "ivf_retrain_recall": oracles.q_ivf_retrain_recall(5, 16, 4),
         "streaming_ks": oracles.q_streaming_ks("click", "purchase", 0.01),
+        "stat_bf_from_sketch": oracles.q_stat_bf_from_sketch(0.01),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

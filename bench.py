@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     # one-rep replays — see ONE_REP_QUERIES)
     "phrase_search_slop", "ivf_codebook_drift", "stat_tests_from_sketch",
     "ivf_retrain_recall", "streaming_ks",
+    # round-11 additions
+    "stat_bf_from_sketch",
 ]
 
 

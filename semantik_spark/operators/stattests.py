@@ -841,6 +841,20 @@ def brown_forsythe(df: DataFrame, group_col: str,
                  F.col(value_col).alias("v"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    return bf_from_value_counts(vl)
+
+
+def bf_from_value_counts(vl: DataFrame) -> DataFrame:
+    """brown_forsythe's verdict from an ALREADY-AGGREGATED per-(group,
+    value) count table (g, v, c) — the mergeable serve path
+    (chi_square_from_counts / ks_from_value_counts pattern): counts
+    are a commutative monoid, so per-shard/per-epoch partials compose
+    exactly via groupBy(g, v).sum before this fold. Feed DDSketch
+    bucket REPRESENTATIVE VALUES (2·gamma^i/(gamma+1)) as ``v`` for
+    the constant-size incremental variant — unlike KS/MWU, the BF
+    moments need value MAGNITUDES, not just value order, so bucket
+    indices alone do not qualify (stat_bf_from_sketch pins the
+    resulting accuracy against the exact test)."""
     w = Window.partitionBy("g").orderBy("v") \
         .rowsBetween(Window.unboundedPreceding, 0)
     cum = vl.select("g", "v", "c", F.sum("c").over(w).alias("cc"),

@@ -5638,6 +5638,99 @@ SELECT 'mwu_z', ze.z, zs.z,
 FROM ze, zs"""
 
 
+def q_stat_bf_from_sketch(alpha: float = 0.01) -> str:
+    """Twin of stat_bf_from_sketch: the Brown-Forsythe fold
+    (q_brown_forsythe's CTE chain) run over BOTH the exact
+    per-(group, value) table and the DDSketch bucket table with
+    representative values (identical coeff/lg double literals),
+    emitted as exact-vs-sketch comparison rows with the pinned
+    relative tolerances (1% medians/mads, 5% F)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, coeff = ddsketch_params(alpha)
+    lg = 1.0 / inv_lg
+
+    def fold(vl: str, p: str) -> str:
+        return f"""
+cum{p} AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM {vl}),
+med{p} AS (
+  SELECT g,
+         (max(CASE WHEN cc - c < floor((n + 1) / 2)
+                    AND cc >= floor((n + 1) / 2) THEN v END)
+          + max(CASE WHEN cc - c < floor((n + 2) / 2)
+                      AND cc >= floor((n + 2) / 2) THEN v END)) / 2 AS med
+  FROM cum{p}
+  WHERE (cc - c < floor((n + 1) / 2) AND cc >= floor((n + 1) / 2))
+     OR (cc - c < floor((n + 2) / 2) AND cc >= floor((n + 2) / 2))
+  GROUP BY g),
+z{p} AS (
+  SELECT t.g, t.c, m.med,
+         round(abs(t.v - m.med), 6)::DECIMAL(18,6) AS z
+  FROM {vl} t JOIN med{p} m USING (g)),
+gm{p} AS (
+  SELECT g, med, sum(c)::BIGINT AS n,
+         sum(z * c::DECIMAL(12,0))::DECIMAL(28,6) AS sz,
+         sum((z * z)::DECIMAL(25,6) * c::DECIMAL(12,0))::DECIMAL(38,6) AS szz
+  FROM z{p} GROUP BY g, med),
+tot{p} AS (SELECT sum(n)::BIGINT AS nn, sum(sz)::DECIMAL(38,6) AS tsz,
+                  count(*)::INT AS k FROM gm{p}),
+per{p} AS (
+  SELECT g, n, med, sz::DOUBLE / n AS mad,
+         round(n * (sz::DOUBLE / n - tsz::DOUBLE / nn)
+                 * (sz::DOUBLE / n - tsz::DOUBLE / nn),
+               9)::DECIMAL(28,9) AS b9,
+         round(szz::DOUBLE
+               - n * (sz::DOUBLE / n) * (sz::DOUBLE / n),
+               9)::DECIMAL(28,9) AS w9,
+         nn, k
+  FROM gm{p}, tot{p}),
+stats{p} AS (
+  SELECT round((sum(b9)::DOUBLE / (k - 1)::DOUBLE)
+               / (sum(w9)::DOUBLE / (nn - k)::DOUBLE), 6) AS f_stat
+  FROM per{p} GROUP BY nn, k)"""
+
+    return f"""
+WITH base AS (
+  SELECT event_type::VARCHAR AS g, value AS v FROM events
+  WHERE value IS NOT NULL),
+vle AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+vls AS (
+  SELECT g,
+         CASE WHEN bb = -2147483648 THEN 0.0
+              ELSE round({coeff!r} * exp(bb * {lg!r}), 9) END AS v,
+         sum(c)::BIGINT AS c
+  FROM (SELECT g,
+               CASE WHEN v > 0
+                    THEN ceil(round(ln(v) * {inv_lg!r}, 9))::INT
+                    ELSE -2147483648 END AS bb,
+               count(*)::BIGINT AS c
+        FROM base GROUP BY 1, 2) q
+  GROUP BY 1, 2),
+{fold("vle", "e")},
+{fold("vls", "s")},
+cmpm AS (
+  SELECT 'median:' || pe.g AS test,
+         round(pe.med::DOUBLE, 6) AS exact_stat,
+         round(ps.med::DOUBLE, 6) AS sketch_stat, 0.01 AS rel_tol
+  FROM pere pe JOIN pers ps ON pe.g = ps.g
+  UNION ALL
+  SELECT 'mad:' || pe.g, round(pe.mad, 6), round(ps.mad, 6), 0.01
+  FROM pere pe JOIN pers ps ON pe.g = ps.g
+  UNION ALL
+  SELECT 'bf_f_stat', se.f_stat, ss.f_stat, 0.05
+  FROM statse se, statss ss)
+SELECT test, exact_stat, sketch_stat,
+       round(abs(exact_stat - sketch_stat), 6) AS abs_err, rel_tol,
+       round(abs(exact_stat - sketch_stat), 6)
+         <= rel_tol * abs(exact_stat) AS within_tol
+FROM cmpm ORDER BY test"""
+
+
 def q_streaming_ks(ga: str = "click", gb: str = "purchase",
                    alpha: float = 0.01) -> str:
     """Twin of streaming_ks: the state after all micro-batches exactly
