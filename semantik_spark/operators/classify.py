@@ -194,9 +194,15 @@ def logreg_hashed_scores(docs: DataFrame, label: F.Column,
                             label.cast("int").alias("y")))
     n_docs = ydf.count()
 
+    from semantik_spark.functions.quant import round_half_away
+
     w = {b: Decimal("0") for b in range(buckets)}
     bias = Decimal("0")
-    q6 = lambda v: Decimal(str(round(float(v), 6)))
+    # half-AWAY quantization (functions.quant): the oracle replays the
+    # weight update with SQL round() (half-away); Python's half-even
+    # round() diverges on an exact half-point tie, and an iterative
+    # trainer amplifies any one-step divergence
+    q6 = lambda v: Decimal(str(round_half_away(float(v), 6)))
 
     def weights_df():
         return spark.createDataFrame(

@@ -41,8 +41,16 @@ def item_item_cosine(events: DataFrame, top_k: int = 50,
     co / √(exact·exact) — engine-identical doubles.
     """
     inter = (
-        events.groupBy(F.col(user_col).alias("u"),
-                       F.col(item_col).alias("item"))
+        # NULL users/items excluded BEFORE counting (the _value_level
+        # NULL discipline): a NULL item is not an interaction — left
+        # in, it STEALS a recency-cap slot from a real item and lands
+        # in n_items, while the pair join silently drops it (NULL
+        # never equates), so the cosine denominators go inconsistent
+        # exactly when item ids come from optional payload fields
+        events.where(F.col(user_col).isNotNull()
+                     & F.col(item_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"),
+                 F.col(item_col).alias("item"))
         .agg(F.max(ts_col).alias("last_ts"))
     )
     w = Window.partitionBy("u").orderBy(F.desc("last_ts"), F.asc("item"))

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.functions.caching import cache
+from semantik_spark.functions.quant import round_half_away
 from semantik_spark.functions.vectors import cosine
 
 
@@ -167,8 +168,12 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
+            # half-AWAY rounding (functions.quant): the oracle replays
+            # this mean with SQL round(), which is half-away — Python's
+            # half-even round() would diverge on an exact half-point
+            # tie and every downstream distance would then disagree
             by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = \
-                round(float(r["s"]) / int(r["n"]), round_dp)
+                round_half_away(float(r["s"]) / int(r["n"]), round_dp)
         rows = [
             {"cid": row["cid"],
              "cv": [by_cid[row["cid"]][i] for i in range(dim)]

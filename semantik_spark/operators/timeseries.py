@@ -1184,14 +1184,20 @@ def forecast_backtest_snaive(df: DataFrame, season: int = 7,
                 .cast("decimal(18,2)").alias("ae"),
                 (F.col("i") > F.col("imax") - holdout).alias("is_holdout"))
     )
+    # the means count only rows whose error EXISTS: a day whose total
+    # is NULL (all-NULL values) yields ae NULL, which the numerator
+    # sum skips — an unconditioned count would silently deflate the
+    # mean (the _value_level NULL discipline applied to both periods)
     stats = j.agg(
         F.round(F.try_divide(
             F.sum(F.when(~F.col("is_holdout"), F.col("ae"))).cast("double"),
-            F.sum(F.when(~F.col("is_holdout"), 1).otherwise(0))
+            F.sum(F.when(~F.col("is_holdout")
+                         & F.col("ae").isNotNull(), 1).otherwise(0))
             .cast("double")), 6).alias("mase_denom"),
         F.round(F.try_divide(
             F.sum(F.when(F.col("is_holdout"), F.col("ae"))).cast("double"),
-            F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
+            F.sum(F.when(F.col("is_holdout")
+                         & F.col("ae").isNotNull(), 1).otherwise(0))
             .cast("double")), 6).alias("mae"),
     )
     return (
@@ -1239,9 +1245,18 @@ def markov_stationary(events: DataFrame, iterations: int = 30,
     alphabet, never by data volume) and returns as a broadcast-sized
     DataFrame.
     """
+    # NULL-keyed rows excluded BEFORE the lag (the _value_level NULL
+    # discipline): a NULL user would fuse every anonymous event into
+    # one giant pseudo-journey; a NULL type would crash the driver-
+    # local sort (None is unorderable against str) or mint a phantom
+    # state; a NULL ts would order differently across engines (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST under the same ORDER BY)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (
-        events.withColumn("__prev", F.lag(type_col).over(w))
+        events.where(F.col(user_col).isNotNull()
+                     & F.col(type_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+        .withColumn("__prev", F.lag(type_col).over(w))
         .where(F.col("__prev").isNotNull())
         .groupBy(F.col("__prev").alias("a"), F.col(type_col).alias("b"))
         .agg(F.count("*").cast("bigint").alias("c"))
@@ -1316,8 +1331,14 @@ def markov_attribution(events: DataFrame, channels: list,
     """
     import math
 
+    # NULL-keyed rows excluded BEFORE the rank window (the
+    # markov_stationary NULL discipline: NULL user fuses journeys,
+    # NULL type mints a phantom channel state, NULL ts splits the
+    # engines on window order)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    ranked = events.select(
+    ranked = events.where(F.col(user_col).isNotNull()
+                          & F.col(type_col).isNotNull()
+                          & F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("u"), F.col(type_col).alias("et"),
         F.row_number().over(w).alias("rn"),
     )

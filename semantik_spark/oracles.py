@@ -6030,7 +6030,12 @@ WITH inter AS (
   SELECT user_id AS u,
          try_cast(json_extract_string(props, '$.k') AS BIGINT) AS item,
          max(ts::TIMESTAMP) AS last_ts
-  FROM events GROUP BY 1, 2),
+  FROM events
+  -- NULL users/items excluded before counting (recsys NULL
+  -- discipline: a NULL item would steal a cap slot + inflate n_users)
+  WHERE user_id IS NOT NULL
+    AND try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+  GROUP BY 1, 2),
 hist AS (
   SELECT u, item FROM (
     SELECT u, item, row_number() OVER (
@@ -6394,11 +6399,16 @@ j AS (
          idx.i > idx.imax - {holdout} AS is_holdout
   FROM idx JOIN lag_t USING (i)),
 stats AS (
+  -- means count only rows whose error EXISTS (NULL-total days yield
+  -- ae NULL, skipped by the numerator sum — the denominator must
+  -- skip them too)
   SELECT round((sum(CASE WHEN NOT is_holdout THEN ae END))::DOUBLE
-               / (sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END))::DOUBLE,
+               / (sum(CASE WHEN NOT is_holdout AND ae IS NOT NULL
+                           THEN 1 ELSE 0 END))::DOUBLE,
                6) AS mase_denom,
          round((sum(CASE WHEN is_holdout THEN ae END))::DOUBLE
-               / (sum(CASE WHEN is_holdout THEN 1 ELSE 0 END))::DOUBLE,
+               / (sum(CASE WHEN is_holdout AND ae IS NOT NULL
+                           THEN 1 ELSE 0 END))::DOUBLE,
                6) AS mae
   FROM j)
 SELECT day::VARCHAR AS day, i::INT AS day_idx,
@@ -6431,7 +6441,10 @@ WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_event
-  FROM events),
+  FROM events
+  -- NULL-keyed rows excluded before the lag (markov NULL discipline)
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL),
 counts AS (
   SELECT prev_event AS a, event_type AS b, count(*)::BIGINT AS c
   FROM seq WHERE prev_event IS NOT NULL GROUP BY 1, 2),
@@ -6591,7 +6604,10 @@ WITH ranked AS (
   SELECT user_id AS u, event_type AS et,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events
+  -- NULL-keyed rows excluded before the rank (markov NULL discipline)
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL),
 fp AS (SELECT u, min(rn) AS fp FROM ranked WHERE et = '{target}'
        GROUP BY u),
 kept AS (

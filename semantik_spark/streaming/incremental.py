@@ -334,14 +334,25 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     but before the streaming checkpoint commits would replay the batch
     against the POST-batch state and double-add it, which is why every
     additive sink also carries the ``_last_batch`` marker
-    (_last_merged_batch) and skips replayed batch ids."""
-    try:
-        return spark.read.parquet(state_path)
-    except Exception:
+    (_last_merged_batch) and skips replayed batch ids.
+
+    Returns None ONLY when neither location exists (a genuinely first
+    batch); a read failure on an EXISTING state propagates — the
+    previous bare except treated any transient read error as
+    first-batch and silently reset the sketch to the latest delta
+    batch (the serving._bm25_state_read hardening, applied here)."""
+    import os
+
+    if os.path.exists(state_path):
         try:
-            return spark.read.parquet(state_path + "__old")
-        except Exception:  # genuinely first batch: no state yet
-            return None
+            return spark.read.parquet(state_path)
+        except Exception:
+            if os.path.exists(state_path + "__old"):
+                return spark.read.parquet(state_path + "__old")
+            raise
+    if os.path.exists(state_path + "__old"):
+        return spark.read.parquet(state_path + "__old")
+    return None
 
 
 def _swap_state(merged: DataFrame, state_path: str,
@@ -429,11 +440,22 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
         last = _last_merged_batch(state_path)
         if last is not None and batch_id <= last:
             return  # checkpoint replay of an already-merged batch
+        from pyspark.sql import Window
+
         u = (hash60(F.col(value_col)) + F.lit(1)) / F.lit(float(2**60))
+        # k smallest per group via distinct + rank window, NOT
+        # collect_set: collect_set materializes EVERY distinct hash of
+        # a group in one executor array before the slice — unbounded
+        # per-group memory on a high-cardinality batch; the window
+        # keeps only k rows per group past the exchange and the final
+        # collect_list is k-bounded by construction
+        d = batch.select(F.col(group_col).alias("g"), u.alias("u")).distinct()
+        wk = Window.partitionBy("g").orderBy("u")
         partial = (
-            batch.select(F.col(group_col).alias("g"), u.alias("u"))
+            d.withColumn("_rn", F.row_number().over(wk))
+            .where(F.col("_rn") <= k)
             .groupBy("g")
-            .agg(F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("us"))
+            .agg(F.array_sort(F.collect_list("u")).alias("us"))
         )
         old = _read_state(spark, state_path)
         if old is not None:

@@ -44,3 +44,29 @@ def test_item_item_recency_cap(spark):
     assert set(rows) == {(20, 30)}
     assert rows[(20, 30)]["co_count"] == 2
     assert rows[(20, 30)]["cosine"] == 1.0
+
+
+def test_item_item_null_keys_excluded_before_counting(spark):
+    """NULL items/users are NOT interactions: left in, a NULL item
+    steals a recency-cap slot and inflates n_users while the pair join
+    silently drops it. With cap=2 and a NULL item as user 1's most
+    recent event, the (10,20) pair must still form."""
+    import datetime
+
+    from semantik_spark.operators.recsys import item_item_cosine
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, 10, t(0)), (1, 20, t(1)), (1, None, t(9)),   # NULL newest
+         (2, 10, t(0)), (2, 20, t(1)),
+         (None, 10, t(0)), (None, 20, t(1))],             # NULL user
+        "user_id long, item long, ts timestamp")
+    rows = {(r["item_a"], r["item_b"]): r
+            for r in item_item_cosine(ev, top_k=10,
+                                      max_items_per_user=2).collect()}
+    assert set(rows) == {(10, 20)}
+    r = rows[(10, 20)]
+    # two real users only: the NULL user contributes to neither the
+    # pair count nor the item counts
+    assert r["co_count"] == 2 and r["n_a"] == 2 and r["n_b"] == 2
+    assert r["cosine"] == 1.0

@@ -386,3 +386,24 @@ def test_sketch_stat_error_bounds_hold_at_sf01(spark):
         (r["test"], r["abs_err"]) for r in bf if not r["within_tol"]]
     f_row = next(r for r in bf if r["test"] == "bf_f_stat")
     assert f_row["abs_err"] <= 0.02 * abs(f_row["exact_stat"]), f_row
+
+
+def test_round_half_away_matches_sql_semantics(spark):
+    """functions.quant.round_half_away ties go AWAY from zero on both
+    signs — the SQL round() convention both engines share — unlike
+    Python's half-even round(); driver-local quantized algorithms
+    (ivf_refine means, logreg weight updates) depend on this to stay
+    replayable by their SQL oracle twins."""
+    from semantik_spark.functions.quant import round_half_away
+
+    assert round_half_away(0.0000005, 6) == 0.000001
+    assert round_half_away(-0.0000005, 6) == -0.000001
+    assert round_half_away(2.5, 0) == 3.0
+    assert round_half_away(-2.5, 0) == -3.0
+    assert round(2.5) == 2  # the Python builtin disagrees: half-even
+    # agreement with Spark's F.round on the same literals
+    from pyspark.sql import functions as F
+    row = spark.range(1).select(
+        F.round(F.lit(2.5), 0).alias("a"),
+        F.round(F.lit(-2.5), 0).alias("b")).collect()[0]
+    assert row["a"] == 3.0 and row["b"] == -3.0

@@ -876,3 +876,31 @@ def test_merge_counters_null_keys_align(spark):
     assert len(out) == 2
     nulls = [r for r in out if r["event_type"] is None]
     assert len(nulls) == 1 and nulls[0]["n"] == 5
+
+
+def test_read_state_propagates_error_on_existing_unreadable_state(spark, tmp_path):
+    """_read_state must NOT treat a read failure on an EXISTING state
+    dir as first-batch (that silently resets the sketch to the latest
+    delta); only a genuinely-missing state returns None, and the __old
+    crash-window fallback still applies."""
+    import os
+
+    import pytest as _pytest
+
+    from semantik_spark.streaming.incremental import _read_state
+
+    missing = str(tmp_path / "nope")
+    assert _read_state(spark, missing) is None
+
+    corrupt = str(tmp_path / "state")
+    os.makedirs(corrupt)
+    with open(os.path.join(corrupt, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    with _pytest.raises(Exception):
+        _read_state(spark, corrupt)
+
+    # crash-window fallback: __old holds the last good state
+    good = spark.createDataFrame([("a", 1)], "g string, n long")
+    good.write.mode("overwrite").parquet(corrupt + "__old")
+    rows = _read_state(spark, corrupt).collect()
+    assert [(r["g"], r["n"]) for r in rows] == [("a", 1)]

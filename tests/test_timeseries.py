@@ -841,3 +841,55 @@ def test_asof_join_null_keys_never_match(spark):
            for r in asof_join(left, right, ["key"], "ts", ["px"]).collect()}
     assert out["L1"] is None   # NULL key: no match
     assert out["L2"] == 2.0    # real key still matches
+
+
+def test_markov_null_keyed_rows_excluded(spark):
+    """markov_stationary/_attribution exclude NULL-keyed rows before
+    the per-user windows: a NULL type would crash the driver-local
+    state sort (None vs str) and a NULL user would fuse every
+    anonymous event into one pseudo-journey."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import (
+        markov_attribution, markov_stationary)
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, "a", t(0), 1), (1, "b", t(1), 2),
+         (2, "a", t(0), 3), (2, "purchase", t(1), 4),
+         (1, None, t(2), 5),            # NULL type: excluded, no crash
+         (None, "b", t(0), 6),          # NULL user: no pseudo-journey
+         (2, "b", None, 7)],            # NULL ts: excluded
+        "user_id long, event_type string, ts timestamp, event_id long")
+    pi = {r["state"]: r for r in markov_stationary(ev, iterations=5).collect()}
+    assert set(pi) == {"a", "b", "purchase"}
+    att = {r["channel"]: r for r in markov_attribution(
+        ev, channels=["a", "b"], target_type="purchase",
+        iterations=10).collect()}
+    assert set(att) == {"a", "b"}
+    # only user 2 converts and only via 'a': all credit lands there
+    assert att["a"]["attribution"] == 1.0
+    assert att["b"]["attribution"] == 0.0
+
+
+def test_forecast_backtest_null_day_total_not_counted_in_means(spark):
+    """A day whose revenue total is NULL yields a NULL error; the MASE
+    means must skip that row in BOTH numerator and denominator — an
+    unconditioned count silently deflated the mean."""
+    import datetime
+
+    from semantik_spark.operators.timeseries import forecast_backtest_snaive
+
+    rows = []
+    for d in range(14):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=d)
+        # day 3 exists but carries only a NULL value
+        rows.append((day, None if d == 3 else 100.0 + d))
+    df = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    out = forecast_backtest_snaive(df, season=7, holdout=3).collect()
+    assert out, "holdout window empty"
+    # train errors: |y_i - y_{i-7}| = 7.0 on the non-NULL lag pairs;
+    # day 3 and day 10 (whose lag is day 3) are NULL and must be
+    # skipped entirely, leaving the mean exactly 7.0
+    assert out[0]["mase_denom"] == 7.0
+    assert all(r["mase"] == r["mae"] / 7.0 for r in out if r["mase"] is not None)
