@@ -8065,7 +8065,10 @@ res AS (
 res2 AS (
   SELECT *,
     CASE WHEN resolved_doc_id IS NOT NULL THEN NULL
-         WHEN content_hash IS NOT NULL AND hc > 1 THEN 'ambiguous'
+         -- ambiguous only when the hash IS the priority field used
+         -- (no fall-through — mirrors benchmark.resolve_doc_refs)
+         WHEN content_hash IS NOT NULL AND document_id IS NULL
+              AND uri IS NULL AND hc > 1 THEN 'ambiguous'
          WHEN file_name IS NOT NULL AND document_id IS NULL AND uri IS NULL
               AND content_hash IS NULL AND path IS NULL AND nc > 1 THEN 'ambiguous'
          WHEN document_id IS NOT NULL OR uri IS NOT NULL OR content_hash IS NOT NULL

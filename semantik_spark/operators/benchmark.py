@@ -69,7 +69,14 @@ def resolve_doc_refs(refs: DataFrame, catalog: DataFrame) -> DataFrame:
     )
     reason = (
         F.when(resolved.isNotNull(), F.lit(None).cast("string"))
-        .when(F.col("content_hash").isNotNull() & (F.col("_hash_cnt") > 1), "ambiguous")
+        # "ambiguous" only when the hash IS the priority field actually
+        # used: resolution has NO fall-through, so a ref whose
+        # document_id/uri was present-but-unmatched failed as
+        # not_found on THAT field — a lower-priority ambiguous hash
+        # was never consulted (resolve_single_doc_ref:49-117)
+        .when(F.col("content_hash").isNotNull()
+              & F.col("document_id").isNull() & F.col("uri").isNull()
+              & (F.col("_hash_cnt") > 1), "ambiguous")
         .when(F.col("file_name").isNotNull() & F.col("document_id").isNull()
               & F.col("uri").isNull() & F.col("content_hash").isNull()
               & F.col("path").isNull() & (F.col("_name_cnt") > 1), "ambiguous")

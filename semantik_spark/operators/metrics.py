@@ -255,8 +255,17 @@ def cohens_kappa(pred: DataFrame, label_col: str = "label",
     Scale: one pass for the confusion diagonal + two class margins
     (all map-side combinable); everything after is class-bounded.
     """
-    base = pred.select(F.col(label_col).cast("string").alias("y"),
-                       F.col(pred_col).cast("string").alias("p"))
+    base = (
+        # NULL labels/predictions excluded BEFORE counting (the
+        # chi_square_independence NULL discipline): a NULL-keyed row
+        # lands in n and the margins but its class never equi-joins
+        # into p_e and (y == p) is NULL — it would silently count as
+        # disagreement while its chance-agreement mass vanishes
+        pred.where(F.col(label_col).isNotNull()
+                   & F.col(pred_col).isNotNull())
+        .select(F.col(label_col).cast("string").alias("y"),
+                F.col(pred_col).cast("string").alias("p"))
+    )
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum((F.col("y") == F.col("p")).cast("int")).cast("bigint")

@@ -7070,7 +7070,10 @@ def q_cohens_kappa() -> str:
     inner = q_nb_classify(5, "lang")
     return f"""
 WITH nb AS ({inner}),
-base AS (SELECT label AS y, predicted AS p FROM nb),
+-- NULL labels/predictions excluded before counting (the kappa NULL
+-- discipline — mirrors metrics.cohens_kappa)
+base AS (SELECT label AS y, predicted AS p FROM nb
+         WHERE label IS NOT NULL AND predicted IS NOT NULL),
 tot AS (SELECT count(*)::BIGINT AS n,
                sum(CASE WHEN y = p THEN 1 ELSE 0 END)::BIGINT AS n_agree
         FROM base),

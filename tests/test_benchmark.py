@@ -30,6 +30,10 @@ REFS = [
     (10, "ds", "c1", 99, "s/1", None, None, None),     # not_found (no fall-through)
     (11, "ds", "c2", 1, None, None, None, None),       # all-resolved mapping
     (12, "ds", "c3", 99, None, None, None, None),      # none-resolved mapping
+    # no-fall-through applies to the REASON too: document_id is the
+    # priority field used, so its miss is not_found — the ambiguous
+    # lower-priority hash was never consulted
+    (13, "ds", "c1", 99, None, "hdup", None, None),
 ]
 
 COLS = ["ref_id", "dataset_id", "collection_id", "document_id", "uri",
@@ -65,6 +69,11 @@ def test_no_fall_through(resolved):
     uri lookup (reference returns not_found immediately)."""
     assert resolved[10]["resolved_doc_id"] is None
     assert resolved[10]["failure_reason"] == "not_found"
+    # the reason follows the priority field as well: an unmatched
+    # document_id with an ambiguous hash beneath it is not_found,
+    # not ambiguous
+    assert resolved[13]["resolved_doc_id"] is None
+    assert resolved[13]["failure_reason"] == "not_found"
 
 
 def test_mapping_status(spark, resolved):
@@ -76,7 +85,9 @@ def test_mapping_status(spark, resolved):
     assert st["c1"]["mapping_status"] == "partial"
     assert st["c2"]["mapping_status"] == "resolved"
     assert st["c3"]["mapping_status"] == "pending"
-    assert st["c1"]["total_count"] == 10
+    # ref 13 (unmatched document_id over an ambiguous hash) is a third
+    # not_found — NOT a third ambiguous (the no-fall-through reason)
+    assert st["c1"]["total_count"] == 11
     assert st["c1"]["mapped_count"] == 5
     assert st["c1"]["n_ambiguous"] == 2
-    assert st["c1"]["n_not_found"] == 2
+    assert st["c1"]["n_not_found"] == 3
