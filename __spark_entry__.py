@@ -1015,6 +1015,36 @@ def q_streaming_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_state_ks(spark, f"{base}/state", "click", "purchase")
 
 
+def q_streaming_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Brown-Forsythe variance-drift monitor end-to-end
+    (streaming_ddsketch + ddsketch_state_bf, closing the incremental
+    stat-serve family: KS ✓, chi-square ✓, BF now): the events stream
+    delivered as four real micro-batches, DDSketch bucket counts
+    merged into persisted state by count addition; the k-group BF
+    verdict decodes bucket representative values from the state and
+    must hash-match the batch sketch fold (the merge is exact), which
+    is itself within the stat_bf_from_sketch pins of the exact test."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        ddsketch_state_bf, stream_files, streaming_ddsketch,
+    )
+
+    base = _scratch("stream_bf")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    drop = f"{base}/drop"
+    ev.repartition(4).write.parquet(drop)
+    q = streaming_ddsketch(
+        stream_files(spark, drop, "event_type string, value double",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "event_type", "value",
+        alpha=0.01,
+    )
+    q.awaitTermination(300)
+    return ddsketch_state_bf(spark, f"{base}/state", alpha=0.01)
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-transition Markov chain
     (timeseries.markov_stationary): pico-unit-quantized power iteration
@@ -6069,6 +6099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next rotation — tests/test_entry_contract.py
         # ROUND12_WINDOW_MUST; growth capped ~6, VERDICT r10 item 10)
         "stat_bf_from_sketch": q_stat_bf_from_sketch,
+        "streaming_bf": q_streaming_bf,
     }
     # reorder to the round-11 window contract: ROUND11_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
@@ -7561,6 +7592,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "ivf_retrain_recall": oracles.q_ivf_retrain_recall(5, 16, 4),
         "streaming_ks": oracles.q_streaming_ks("click", "purchase", 0.01),
         "stat_bf_from_sketch": oracles.q_stat_bf_from_sketch(0.01),
+        "streaming_bf": oracles.q_streaming_bf(0.01),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

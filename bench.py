@@ -60,7 +60,10 @@ ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
                    # two-trainings-in-query lifecycle check
                    # (ivf_retrain_recall) — both fixed-overhead
                    # replays, not latency paths
-                   "streaming_ks", "ivf_retrain_recall"}
+                   "streaming_ks", "ivf_retrain_recall",
+                   # r11: the streaming BF micro-batch state loop —
+                   # same fixed-overhead replay class as streaming_ks
+                   "streaming_bf"}
 
 # Fixed-overhead replays excluded from the suite "value" (VERDICT r7
 # item 6): their cost is micro-batch scheduler constants / in-query
@@ -194,8 +197,8 @@ BENCH_QUERIES = [
     # one-rep replays — see ONE_REP_QUERIES)
     "phrase_search_slop", "ivf_codebook_drift", "stat_tests_from_sketch",
     "ivf_retrain_recall", "streaming_ks",
-    # round-11 additions
-    "stat_bf_from_sketch",
+    # round-11 additions (streaming_bf is a one-rep replay)
+    "stat_bf_from_sketch", "streaming_bf",
 ]
 
 

@@ -5638,20 +5638,14 @@ SELECT 'mwu_z', ze.z, zs.z,
 FROM ze, zs"""
 
 
-def q_stat_bf_from_sketch(alpha: float = 0.01) -> str:
-    """Twin of stat_bf_from_sketch: the Brown-Forsythe fold
-    (q_brown_forsythe's CTE chain) run over BOTH the exact
-    per-(group, value) table and the DDSketch bucket table with
-    representative values (identical coeff/lg double literals),
-    emitted as exact-vs-sketch comparison rows with the pinned
-    relative tolerances (1% medians/mads, 5% F)."""
-    from semantik_spark.operators.sketches import ddsketch_params
-
-    _, inv_lg, coeff = ddsketch_params(alpha)
-    lg = 1.0 / inv_lg
-
-    def fold(vl: str, p: str) -> str:
-        return f"""
+def _bf_fold_ctes(vl: str, p: str) -> str:
+    """The Brown-Forsythe CTE fold (q_brown_forsythe's chain) over an
+    arbitrary per-(group, value) count table ``{vl}(g, v, c)``, with
+    every CTE suffixed ``{p}`` — shared by q_stat_bf_from_sketch (runs
+    it twice, exact vs sketch) and q_streaming_bf (runs it over the
+    decoded streaming sketch state). Terminal CTEs: per{p}(g, n, med,
+    mad, …) and stats{p}(f_stat, df1, df2)."""
+    return f"""
 cum{p} AS (
   SELECT g, v, c,
          sum(c) OVER (PARTITION BY g ORDER BY v
@@ -5691,8 +5685,23 @@ per{p} AS (
   FROM gm{p}, tot{p}),
 stats{p} AS (
   SELECT round((sum(b9)::DOUBLE / (k - 1)::DOUBLE)
-               / (sum(w9)::DOUBLE / (nn - k)::DOUBLE), 6) AS f_stat
+               / (sum(w9)::DOUBLE / (nn - k)::DOUBLE), 6) AS f_stat,
+         (min(k) - 1)::INT AS df1, (min(nn) - min(k))::INT AS df2
   FROM per{p} GROUP BY nn, k)"""
+
+
+def q_stat_bf_from_sketch(alpha: float = 0.01) -> str:
+    """Twin of stat_bf_from_sketch: the Brown-Forsythe fold
+    (_bf_fold_ctes) run over BOTH the exact per-(group, value) table
+    and the DDSketch bucket table with representative values
+    (identical coeff/lg double literals), emitted as exact-vs-sketch
+    comparison rows with the pinned relative tolerances (1%
+    medians/mads, 5% F)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, coeff = ddsketch_params(alpha)
+    lg = 1.0 / inv_lg
+    fold = _bf_fold_ctes
 
     return f"""
 WITH base AS (
@@ -5729,6 +5738,38 @@ SELECT test, exact_stat, sketch_stat,
        round(abs(exact_stat - sketch_stat), 6)
          <= rel_tol * abs(exact_stat) AS within_tol
 FROM cmpm ORDER BY test"""
+
+
+def q_streaming_bf(alpha: float = 0.01) -> str:
+    """Twin of streaming_bf: the state after all micro-batches exactly
+    equals the batch DDSketch bucket table (count-addition merge), so
+    the oracle decodes batch bucket indices to their representative
+    values (identical coeff/lg literals, reserved non-positive bucket
+    → 0.0) and runs the shared Brown-Forsythe fold (_bf_fold_ctes)
+    over them — the full per-group verdict ddsketch_state_bf serves."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, coeff = ddsketch_params(alpha)
+    lg = 1.0 / inv_lg
+    return f"""
+WITH base AS (
+  SELECT event_type::VARCHAR AS g, value AS v FROM events),
+vls AS (
+  SELECT g,
+         CASE WHEN bb = -2147483648 THEN 0.0
+              ELSE round({coeff!r} * exp(bb * {lg!r}), 9) END AS v,
+         sum(c)::BIGINT AS c
+  FROM (SELECT g,
+               CASE WHEN v > 0
+                    THEN ceil(round(ln(v) * {inv_lg!r}, 9))::INT
+                    ELSE -2147483648 END AS bb,
+               count(*)::BIGINT AS c
+        FROM base GROUP BY 1, 2) q
+  GROUP BY 1, 2),
+{_bf_fold_ctes("vls", "s")}
+SELECT g AS group_val, n, round(med::DOUBLE, 6) AS median,
+       round(mad, 6) AS mean_absdev, f_stat, df1, df2
+FROM pers, statss"""
 
 
 def q_streaming_ks(ga: str = "click", gb: str = "purchase",

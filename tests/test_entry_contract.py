@@ -196,6 +196,7 @@ ROUND12_R5_CARRY: tuple = (
 # These MUST head the round-12 window, before ROUND12_R5_CARRY.
 ROUND12_WINDOW_MUST: tuple = (
     "stat_bf_from_sketch",
+    "streaming_bf",
 )
 
 
