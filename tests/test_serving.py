@@ -560,3 +560,35 @@ def test_delete_from_index_erases_zero_token_docs(spark, tmp_path):
     n_docs = spark.read.parquet(f"{idx}/bm25_state/corpus") \
         .collect()[0]["n_docs"]
     assert n_docs == 2, "n_docs not retracted for the zero-token doc"
+
+
+def test_replace_batch_postings_converges_after_partial_move(spark, tmp_path):
+    """A crash MID-move leaves some batch-prefixed files in postings/;
+    the replay must remove them before re-moving, converging to exactly
+    one copy of the batch's rows (idempotence of the per-batch append,
+    the other half of the merge_sparse_append crash-window fix)."""
+    import glob
+    import os
+
+    from semantik_spark.operators import serving
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(f"{idx}/postings")
+    post = spark.createDataFrame(
+        [(i, f"t{i % 3}", 1, 0.5) for i in range(30)],
+        "doc_id long, term string, tf long, weight double").repartition(4)
+
+    serving._replace_batch_postings(post, idx, batch_id=3)
+    files = glob.glob(f"{idx}/postings/batch3-*")
+    assert files, "no batch-prefixed files landed"
+    # simulate the crashed attempt: delete one moved file (as if the
+    # crash happened before it moved) — rows are now partial
+    os.remove(files[0])
+    partial = spark.read.parquet(f"{idx}/postings").count()
+    assert partial < 30
+
+    # replay: leftovers removed, full set re-moved, exactly one copy
+    serving._replace_batch_postings(post, idx, batch_id=3)
+    again = spark.read.parquet(f"{idx}/postings")
+    assert again.count() == 30
+    assert again.groupBy("doc_id", "term").count().where("count > 1").count() == 0
