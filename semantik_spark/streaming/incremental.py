@@ -449,7 +449,13 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
         # per-group memory on a high-cardinality batch; the window
         # keeps only k rows per group past the exchange and the final
         # collect_list is k-bounded by construction
-        d = batch.select(F.col(group_col).alias("g"), u.alias("u")).distinct()
+        # NULL values hash to NULL u — drop them BEFORE the window:
+        # NULLS FIRST under ascending order would hand a NULL rank 1
+        # in every group, stealing a k-slot from a real hash (the old
+        # collect_set dropped NULLs implicitly; the filter keeps that
+        # contract explicit)
+        d = (batch.select(F.col(group_col).alias("g"), u.alias("u"))
+             .where(F.col("u").isNotNull()).distinct())
         wk = Window.partitionBy("g").orderBy("u")
         partial = (
             d.withColumn("_rn", F.row_number().over(wk))

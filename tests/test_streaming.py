@@ -904,3 +904,32 @@ def test_read_state_propagates_error_on_existing_unreadable_state(spark, tmp_pat
     good.write.mode("overwrite").parquet(corrupt + "__old")
     rows = _read_state(spark, corrupt).collect()
     assert [(r["g"], r["n"]) for r in rows] == [("a", 1)]
+
+
+def test_streaming_kmv_null_values_never_steal_slots(spark, tmp_path):
+    """A NULL value hashes to NULL u; under ascending window order
+    NULLS sort FIRST, so an unfiltered NULL would take rank 1 in every
+    group and displace a real hash from the k-smallest state. The
+    batch partial must drop NULLs before ranking (the old collect_set
+    contract, kept explicit)."""
+    import glob
+    import os
+
+    from semantik_spark.streaming.incremental import (
+        kmv_state_estimates, stream_files, streaming_kmv,
+    )
+
+    base = str(tmp_path / "kmv")
+    rows = [("g", f"v{i}") for i in range(8)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v string")
+    df.repartition(2).write.parquet(f"{base}/drop")
+    q = streaming_kmv(
+        stream_files(spark, f"{base}/drop", "g string, v string",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "g", "v", k=4)
+    q.awaitTermination(120)
+    st = spark.read.parquet(f"{base}/state").collect()
+    assert len(st) == 1
+    us = st[0]["us"]
+    # k slots, all real hashes — no NULL leaked in, none displaced
+    assert len(us) == 4 and all(u is not None for u in us)
