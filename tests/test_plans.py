@@ -1133,6 +1133,12 @@ def test_heavy_query_job_count_pins(spark):
         ("knn_nprobe_sweep", 50),
         ("logreg_scores", 54),
         ("incremental_clusters", 85),
+        # round-11 additions: the exact-vs-sketch BF comparison runs
+        # two full BF folds + the comparison joins (45 warmed); the
+        # streaming BF serve is the micro-batch replay + one
+        # sketch-table fold (19 warmed)
+        ("stat_bf_from_sketch", 52),
+        ("streaming_bf", 25),
     ]
     for name, bound in pins:
         qs[name](spark, sf).count()  # warm: AQE stats settle
