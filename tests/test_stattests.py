@@ -407,3 +407,36 @@ def test_round_half_away_matches_sql_semantics(spark):
         F.round(F.lit(2.5), 0).alias("a"),
         F.round(F.lit(-2.5), 0).alias("b")).collect()[0]
     assert row["a"] == 3.0 and row["b"] == -3.0
+
+
+def test_round_half_away_agrees_with_spark_round_broadly(spark):
+    """Batch agreement check between the driver-side quant helper and
+    Spark's F.round over adversarial half-point patterns and a
+    deterministic pseudo-random spread in the magnitude range the
+    quantized driver algorithms actually see (centroid means, logreg
+    weights: |x| <= ~1e6) — one Spark job, vectorized compare."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from semantik_spark.functions.quant import round_half_away
+
+    vals = []
+    # half-point knife-edges on both signs at several scales
+    for mag in (0.0000005, 0.0000015, 0.1234565, 2.5, 123.4567895):
+        vals += [mag, -mag]
+    # deterministic pseudo-random doubles from a hash ladder
+    seed = 0x9E3779B97F4A7C15
+    x = seed
+    for _ in range(2000):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        frac = (x >> 11) / float(1 << 53)          # [0, 1)
+        mag = (frac - 0.5) * 2e6                   # [-1e6, 1e6)
+        vals.append(mag)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select("v", F.round("v", 6).alias("r")).collect()
+    bad = [(r["v"], r["r"], round_half_away(r["v"], 6))
+           for r in rows
+           if struct.pack("d", r["r"]) != struct.pack(
+               "d", round_half_away(r["v"], 6))]
+    assert bad == [], f"{len(bad)} disagreements, first: {bad[:3]}"
