@@ -1045,6 +1045,35 @@ def q_streaming_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_state_bf(spark, f"{base}/state", alpha=0.01)
 
 
+def q_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor end-to-end (streaming_ddsketch +
+    ddsketch_state_psi): four real micro-batches merge DDSketch bucket
+    counts into persisted state; the click-vs-purchase value PSI
+    serves from the state's own log-buckets and hash-matches the batch
+    sketch fold (the merge is exact). Completes the incremental drift
+    trio from ONE persisted artifact: KS (shape), BF (variance), PSI
+    (banded mass score with the standard monitoring bands)."""
+    import shutil
+
+    from semantik_spark.streaming.incremental import (
+        ddsketch_state_psi, stream_files, streaming_ddsketch,
+    )
+
+    base = _scratch("stream_psi")
+    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    drop = f"{base}/drop"
+    ev.repartition(4).write.parquet(drop)
+    q = streaming_ddsketch(
+        stream_files(spark, drop, "event_type string, value double",
+                     fmt="parquet", max_files_per_trigger=1),
+        f"{base}/state", f"{base}/ckpt", "event_type", "value",
+        alpha=0.01,
+    )
+    q.awaitTermination(300)
+    return ddsketch_state_psi(spark, f"{base}/state", "click", "purchase")
+
+
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-transition Markov chain
     (timeseries.markov_stationary): pico-unit-quantized power iteration
@@ -6100,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND12_WINDOW_MUST; growth capped ~6, VERDICT r10 item 10)
         "stat_bf_from_sketch": q_stat_bf_from_sketch,
         "streaming_bf": q_streaming_bf,
+        "streaming_psi": q_streaming_psi,
     }
     # reorder to the round-11 window contract: ROUND11_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
@@ -7593,6 +7623,7 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
         "streaming_ks": oracles.q_streaming_ks("click", "purchase", 0.01),
         "stat_bf_from_sketch": oracles.q_stat_bf_from_sketch(0.01),
         "streaming_bf": oracles.q_streaming_bf(0.01),
+        "streaming_psi": oracles.q_streaming_psi("click", "purchase", 0.01),
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim

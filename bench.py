@@ -61,9 +61,9 @@ ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
                    # (ivf_retrain_recall) — both fixed-overhead
                    # replays, not latency paths
                    "streaming_ks", "ivf_retrain_recall",
-                   # r11: the streaming BF micro-batch state loop —
-                   # same fixed-overhead replay class as streaming_ks
-                   "streaming_bf"}
+                   # r11: the streaming BF/PSI micro-batch state loops
+                   # — same fixed-overhead replay class as streaming_ks
+                   "streaming_bf", "streaming_psi"}
 
 # Fixed-overhead replays excluded from the suite "value" (VERDICT r7
 # item 6): their cost is micro-batch scheduler constants / in-query
@@ -197,8 +197,8 @@ BENCH_QUERIES = [
     # one-rep replays — see ONE_REP_QUERIES)
     "phrase_search_slop", "ivf_codebook_drift", "stat_tests_from_sketch",
     "ivf_retrain_recall", "streaming_ks",
-    # round-11 additions (streaming_bf is a one-rep replay)
-    "stat_bf_from_sketch", "streaming_bf",
+    # round-11 additions (streaming_bf/psi are one-rep replays)
+    "stat_bf_from_sketch", "streaming_bf", "streaming_psi",
 ]
 
 

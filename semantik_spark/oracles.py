@@ -5772,6 +5772,42 @@ SELECT g AS group_val, n, round(med::DOUBLE, 6) AS median,
 FROM pers, statss"""
 
 
+def q_streaming_psi(ga: str = "click", gb: str = "purchase",
+                    alpha: float = 0.01,
+                    threshold_milli: int = 200) -> str:
+    """Twin of streaming_psi: the state after all micro-batches equals
+    the batch DDSketch bucket table exactly, so the oracle folds the
+    +1-smoothed PSI over the batch buckets' cohort counts — union
+    bucket universe, 6-dp DECIMAL terms (ddsketch_state_psi's
+    corpus_drift_psi discipline)."""
+    from semantik_spark.operators.sketches import ddsketch_params
+
+    _, inv_lg, _ = ddsketch_params(alpha)
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('{ga}', '{gb}')),
+j AS (
+  SELECT CASE WHEN v > 0 THEN ceil(round(ln(v) * {inv_lg!r}, 9))::INT
+              ELSE -2147483648 END AS bucket,
+         sum(CASE WHEN g = '{ga}' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN g = '{gb}' THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb,
+               count(*)::BIGINT AS c FROM j),
+termed AS (
+  SELECT bucket, n_a, n_b,
+         round(((n_b + 1)::DOUBLE / (tb + c) - (n_a + 1)::DOUBLE / (ta + c))
+               * ln(((n_b + 1)::DOUBLE / (tb + c))
+                    / ((n_a + 1)::DOUBLE / (ta + c))), 6)::DECIMAL(12,6)
+           AS psi_term
+  FROM j, tot),
+agg AS (SELECT sum(psi_term)::DOUBLE AS psi_total FROM termed)
+SELECT bucket, n_a, n_b, psi_term::DOUBLE AS psi_term, psi_total,
+       psi_total > {threshold_milli / 1000.0!r} AS shifted
+FROM termed, agg"""
+
+
 def q_streaming_ks(ga: str = "click", gb: str = "purchase",
                    alpha: float = 0.01) -> str:
     """Twin of streaming_ks: the state after all micro-batches exactly

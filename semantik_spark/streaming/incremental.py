@@ -1155,6 +1155,63 @@ def ddsketch_state_bf(spark: SparkSession, state_path: str,
     return bf_from_value_counts(vl)
 
 
+def ddsketch_state_psi(spark: SparkSession, state_path: str,
+                       group_a: str, group_b: str,
+                       threshold_milli: int = 200) -> DataFrame:
+    """Population Stability Index between two cohorts' value
+    distributions, served from the streaming DDSketch state — the
+    banded-drift member of the incremental stat-serve family
+    (ddsketch_state_ks gives the sup-CDF shape verdict, _bf the
+    variance verdict; PSI gives the model-monitoring mass score with
+    its standard bands: <0.1 stable, 0.1–0.25 watch, >0.25 shifted).
+
+    Bins are the sketch's own log-buckets — the UNION of buckets the
+    state observed for either cohort (C = that count, deterministic
+    from the state); shares are +1-smoothed so one-sided buckets are
+    defined; terms round to 6 dp into DECIMAL before the sum
+    (corpus_drift_psi's exact discipline, pointed at sketch state).
+    ``threshold_milli``/1000 is the 'shifted' trigger, the
+    ivf_assignment_drift convention.
+
+    Output: one row per union bucket — bucket, n_a, n_b, psi_term,
+    psi_total (repeated), shifted. Runs on ~log(range)/alpha sketch
+    rows only; the stream is never rescanned."""
+    from pyspark.sql import Window
+
+    st = _served_state(spark, state_path)
+    j = (
+        st.where(F.col("g").isin([group_a, group_b]))
+        .groupBy("bucket")
+        .agg(F.sum(F.when(F.col("g") == group_a, F.col("n")).otherwise(0))
+             .cast("bigint").alias("n_a"),
+             F.sum(F.when(F.col("g") == group_b, F.col("n")).otherwise(0))
+             .cast("bigint").alias("n_b"))
+    )
+    w = Window.partitionBy()
+    c = F.count("*").over(w)
+    smoothed = j.select(
+        "bucket", "n_a", "n_b",
+        ((F.col("n_a") + 1).cast("double")
+         / (F.sum("n_a").over(w) + c).cast("double")).alias("_q"),
+        ((F.col("n_b") + 1).cast("double")
+         / (F.sum("n_b").over(w) + c).cast("double")).alias("_p"),
+    )
+    termed = smoothed.select(
+        "bucket", "n_a", "n_b",
+        F.round((F.col("_p") - F.col("_q"))
+                * F.log(F.col("_p") / F.col("_q")), 6)
+        .cast("decimal(12,6)").alias("psi_term"),
+    )
+    thr = F.lit(threshold_milli).cast("double") / 1000.0
+    return (
+        termed.select(
+            "bucket", "n_a", "n_b",
+            F.col("psi_term").cast("double").alias("psi_term"),
+            F.sum("psi_term").over(w).cast("double").alias("psi_total"))
+        .withColumn("shifted", F.col("psi_total") > thr)
+    )
+
+
 def streaming_contingency(stream: DataFrame, state_path: str,
                           checkpoint: str, row_col: str, col_col: str):
     """Streaming two-way contingency counts — the drift-test state

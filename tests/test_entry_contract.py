@@ -197,6 +197,7 @@ ROUND12_R5_CARRY: tuple = (
 ROUND12_WINDOW_MUST: tuple = (
     "stat_bf_from_sketch",
     "streaming_bf",
+    "streaming_psi",
 )
 
 

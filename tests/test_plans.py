@@ -1139,6 +1139,7 @@ def test_heavy_query_job_count_pins(spark):
         # sketch-table fold (19 warmed)
         ("stat_bf_from_sketch", 52),
         ("streaming_bf", 25),
+        ("streaming_psi", 12),
     ]
     for name, bound in pins:
         qs[name](spark, sf).count()  # warm: AQE stats settle
