@@ -1467,23 +1467,6 @@ def q_splade_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_splade_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 sparse-vector contract rows, flattened for verification:
-    doc_id, pos (position in the ascending-vocab_id array), vocab_id,
-    weight. Exercises doc_vectors' array-sort contract via posexplode —
-    arrays themselves aren't hashable by the driver's canonicalizer."""
-    sv = splade.doc_vectors(_t(spark, sf_dir, "documents"))
-    return sv.select(
-        "doc_id",
-        F.posexplode(F.arrays_zip("indices", "values")).alias("pos", "iv"),
-    ).select(
-        "doc_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.col("iv.indices").alias("vocab_id"),
-        F.col("iv.values").alias("weight"),
-    )
-
-
 def q_dense_mock_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search.mock_dense_search(
         _t(spark, sf_dir, "documents"), _queries_df(spark, SEARCH_QUERIES), k=10
@@ -1953,19 +1936,6 @@ def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) approximate distinct users per event
-    type, with the exact count and relative error alongside
-    (operators/sketches.py kmv_distinct — the bounded-state estimator a
-    100 TB engine needs where exact COUNT(DISTINCT) shuffles every
-    value)."""
-    from semantik_spark.operators import sketches
-
-    return sketches.kmv_distinct(
-        _events(spark, sf_dir), "event_type", "user_id", k=64, n_salts=32
-    )
-
-
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (operators/linkage.py, the
     Fellegi-Sunter machinery): a deterministic DIRTY copy of every 7th
@@ -2107,23 +2077,6 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantik_spark.operators.timeseries import acf_daily
 
     return acf_daily(_events(spark, sf_dir), lags=(1, 2, 7))
-
-
-def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct users per event type with the exact count
-    alongside (sketches.hll_distinct) — the register-table complement
-    to KMV: m 6-bit maxima per group instead of k exact hash values
-    (~10x smaller state for the same error, union-only algebra). The
-    layout is self-defined and deterministic (hash60 low bits pick the
-    register, binary-string length gives the rank), so the DuckDB twin
-    replays every register bit-for-bit; shard-merge == batch is pinned
-    in tests/test_sketches.py."""
-    from semantik_spark.operators import sketches
-
-    return sketches.hll_distinct(
-        _events(spark, sf_dir), "event_type", "user_id", p=8
-    ).select("event_type", "v_zero", "sum_scaled", "estimate_milli",
-             "n_exact", "rel_error")
 
 
 def q_approx_distinct_hll_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3092,30 +3045,6 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
-
-
-def q_knn_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF tuning curve: recall@5 at nprobe 1/2/4/8 against the
-    exhaustive top-5 — one codebook trained ONCE (cent_rows param),
-    four serve-time probe widths measured. The ANN twin of
-    dedup_lsh_recall: parameter choices get a curve, not a guess."""
-    from semantik_spark.operators import similarity
-    from semantik_spark.functions.caching import cache
-
-    corpus, queries = _emb_split(spark, sf_dir)
-    exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
-    cent = similarity.ivf_centroids(corpus, 16, "vec_id", "embedding")
-    cent = similarity.ivf_refine(corpus, cent, iters=1,
-                                 id_col="vec_id", vec_col="embedding")
-    out = None
-    for p in (1, 2, 4, 8):
-        approx = similarity.knn_ivf(corpus, queries, k=5, n_centroids=16,
-                                    nprobe=p, cent_rows=cent)
-        r = similarity.recall_at_k(exact, approx, f"nprobe={p}") \
-            .withColumn("nprobe", F.lit(p).cast("int")) \
-            .select("method", "nprobe", "n_hit", "n_exact", "recall")
-        out = r if out is None else out.unionByName(r)
-    return out
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4489,14 +4418,6 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                               alpha=0.02, quantiles=(0.25, 0.5, 0.9, 0.99))
 
 
-def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH recall vs exact n-gram Jaccard, bucketed by true
-    similarity — the S-curve quality report for the 16-hash/4-band
-    config every other dedup query relies on."""
-    return dedup.lsh_recall_report(_aug_docs(spark, sf_dir),
-                                   num_hashes=16, bands=4, n=3, threshold=0.5)
-
-
 def _url_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic messy-URL corpus derived from doc_ids (mixed-case
     schemes/hosts, userinfo, default and explicit ports, duplicate
@@ -4689,20 +4610,6 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("total_bal"),
         )
     )
-
-
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokens exceeding 2% of the corpus (m=50) via distributed
-    Misra-Gries candidates + exact recount (operators/frequency.py) —
-    output provably equals the plain GROUP BY/HAVING the oracle runs,
-    for any partitioning, while only candidate keys ever shuffle."""
-    from semantik_spark.functions.text import whitespace_tokens
-    from semantik_spark.operators.frequency import heavy_hitters
-
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(whitespace_tokens("text")).alias("token")
-    )
-    return heavy_hitters(toks, "token", m=50)
 
 
 def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5025,23 +4932,6 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_encode_words(top, vocab)
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training (tokenizer.bpe_train): 8
-    merges learned from the documents corpus via the published
-    word-frequency pre-aggregation (the loop runs on the distinct-word
-    table, corpus-size-independent). The oracle is a fully unrolled
-    8-round SQL replay of the training loop (oracles.bpe_ctes), so a
-    green row pins pair counting, the deterministic argmax tie-break,
-    AND the greedy non-overlapping merge rewrite. Engine-native: the
-    reference only estimates tokens as chars/4
-    (shared/chunking/unified/character_strategy.py:270)."""
-    from semantik_spark.operators.tokenizer import bpe_train
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges, _ = bpe_train(docs, num_merges=8)
-    return merges
-
-
 def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary encoding (tokenizer.encode_words): the top-30
     corpus words encoded by the Arrow-batched mapInPandas encoder with
@@ -5076,23 +4966,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_weights(docs, docs.where(F.col("lang") == "en"))
-
-
-def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch accuracy report over the document token stream
-    (Cormode & Muthukrishnan 2005): 4x256 cells, point estimates for
-    the 30 exact-heaviest tokens, overestimate >= 0 by the one-sided
-    CM guarantee (frequency.count_min_report). Completes the mergeable
-    sketch family (KMV distinct / DDSketch quantiles / MG heavy
-    hitters / Bloom membership) with point-frequency queries in
-    depth*width integers of state."""
-    from semantik_spark.functions.text import whitespace_tokens
-    from semantik_spark.operators.frequency import count_min_report
-
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(whitespace_tokens("text")).alias("term")
-    )
-    return count_min_report(toks, "term", depth=4, width=256, top=30)
 
 
 def q_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5712,86 +5585,98 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
     return wrapped
 
 
-# The round-11 driver window, authoritative ORDER (VERDICT r10 item 3):
+# The round-12 driver window, authoritative ORDER (VERDICT r11 item 1):
 # queries() returns these 50 first, then every other registered entry in
 # declaration order. tests/test_entry_contract.py asserts the window
-# exactly. Composition: the 5 round-10 additions (first-ever driver
-# rows), the 5 fixed-chunk queries whose rows changed under the
-# drop_contained_tail=True flip (behavior change ⇒ must sit inside the
-# window), the 2 non-empty-fixture fixes (same rule), then 38 of the
-# 46 r5 anchors (alphabetical; the remaining 8 — source_mix_temp,
-# splade_vocab, state_islands, text_boilerplate, text_readability,
-# value_correlation, weighted_sample, zipf_fit — head the r12 fill).
-ROUND11_WINDOW: tuple = (
-    # round-10 additions — first driver rows
-    "phrase_search_slop",
-    "ivf_codebook_drift",
-    "stat_tests_from_sketch",
-    "ivf_retrain_recall",
-    "streaming_ks",
-    # drop_contained_tail=True flip (r11): rows changed, re-pinned here
-    "chunk_fixed",
-    "chunk_collapse",
-    "ingest_index",
-    "gc_orphans",
-    "pipeline_config",
-    # non-empty-fixture fixes (VERDICT r10 item 6): rows changed
-    "customers_without_orders",
-    "sequential_patterns",
-    # 40 oldest anchors (last driver-green row CORRECTNESS_r05)
-    "approx_distinct_daily",
-    "artifact_roundtrip",
-    "customer_value_ranks",
-    "dedup_jaccard_prefix",
-    "discounted_revenue",
-    "doc_outliers",
-    "event_assoc",
-    "events_dedup_first",
-    "events_ewma",
-    "events_pivot",
-    "events_rolling",
-    "events_transitions",
-    "events_twap",
-    "funnel_latency",
-    "fuzzy_pairs",
-    "hard_negatives",
-    "hybrid_weighted",
-    "ivm_counters",
-    "kmv_set_ops",
-    "knn_pagerank",
-    "knn_triangles",
-    "large_orders",
-    "late_shipment_priority",
-    "length_bins",
-    "lm_bigram",
-    "local_supplier_revenue",
-    "multimodal_features",
-    "multimodal_frames",
-    "parts_supplier_count",
-    "priority_grouping_sets",
-    "profile_table",
-    "promo_revenue",
-    "purchase_attribution",
-    "returned_items",
-    "session_paths",
-    "shipping_priority",
-    "small_qty_revenue",
-    "source_mix",
+# exactly. Composition: the 3 round-11 additions (first-ever driver
+# rows, ROUND12_WINDOW_MUST), the 8 r5 anchors that did not fit the
+# round-11 window (ROUND12_R5_CARRY), then 39 of the 42 surviving r6
+# anchors (alphabetical; 6 of the original 48 were pruned as
+# near-redundant this round — see README "Registry pruning (round
+# 12)"). The remaining 3 r6 anchors — market_share,
+# nation_trade_volume, top_supplier — are the ROUND13_R6_TAIL: they
+# age to seven rounds ONCE (re-verified via tools/check_oracle.py at
+# sf0.001 + sf0.01 this round, runs in ORACLE_CHECKS.jsonl) and head
+# the round-13 window.
+ROUND12_WINDOW: tuple = (
+    # round-11 additions — first driver rows (ROUND12_WINDOW_MUST)
+    "stat_bf_from_sketch",
+    "streaming_bf",
+    "streaming_psi",
+    # the 8 r5 anchors carried past the round-11 window (ROUND12_R5_CARRY)
+    "source_mix_temp",
+    "splade_vocab",
+    "state_islands",
+    "text_boilerplate",
+    "text_readability",
+    "value_correlation",
+    "weighted_sample",
+    "zipf_fit",
+    # 39 of the 42 surviving r6 anchors (last driver row CORRECTNESS_r06)
+    "bloom_prune",
+    "bm25_postings",
+    "bm25_search",
+    "bpe_encode_words",
+    "corpus_drift_psi",
+    "corpus_overlap",
+    "customer_order_distribution",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dense_mock_search",
+    "dsir_weights",
+    "edit_distance_pairs",
+    "excess_qty_supplier",
+    "gopher_quality",
+    "hybrid_rrf",
+    "hyde_hybrid",
+    "idle_customer_balance",
+    "ir_metrics",
+    "ir_metrics_agg",
+    "knn_ivfpq",
+    "late_data_audit",
+    "leakage_safe_split",
+    "logreg_scores",
+    "min_cost_supplier",
+    "nation_year_profit",
+    "quantile_sketch",
+    "semdedup",
+    "sole_fault_supplier",
+    "sparse_vectors",
+    "splade_search",
+    "streaming_count_min",
+    "streaming_heavy_hitters",
+    "streaming_lsh_dedup",
+    "top_revenue_parts",
+    "url_domain_stats",
+    "winsorized_stats",
+)
+
+# The 3 r6 anchors that did NOT fit the round-12 window; they head the
+# round-13 fill (the one-time 7-round tail — see README).
+ROUND13_R6_TAIL: tuple = (
+    "market_share",
+    "nation_trade_volume",
+    "top_supplier",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 11 — VERDICT r10 item 3): the
+    # ORDERING CONTRACT (rotated for round 12 — VERDICT r11 item 1): the
     # correctness driver evaluates only the first 50 entries, and the
     # window's job is STALENESS ROTATION — first-ever driver rows for
     # queries added since the last rotation, behavior-changed entries,
-    # then the longest-unrefreshed anchors. ROUND11_WINDOW above is the
+    # then the longest-unrefreshed anchors. ROUND12_WINDOW above is the
     # authoritative order; the dict below keeps its historical (r10)
     # declaration order and is reordered at return. Window arithmetic:
-    # with 300 registered entries and a 50-slot window the refresh
-    # floor is a SIX-round cycle (300/50) — the window drains the
-    # oldest block each round (r11 takes 40 of 46 r5 anchors; r12
-    # takes the last 6 + the r6 block).
+    # with 295 registered entries (303 minus the 8 pruned round 12) and
+    # a 50-slot window the refresh floor is a SIX-round cycle — the
+    # window drains the oldest block each round (r11 took 38 of 46 r5
+    # anchors; r12 takes the remaining 8 + 39 of the 42 surviving r6
+    # anchors; the 3-entry ROUND13_R6_TAIL ages to seven rounds ONCE
+    # and heads the round-13 window).
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -5897,7 +5782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "good_turing": q_good_turing,
         "stupid_backoff": q_stupid_backoff,
-        "approx_distinct_kmv": q_approx_distinct_kmv,
         "chunk_collapse": q_chunk_collapse,
         "chunk_fixed": q_chunk_fixed,
         "corpus_shards": q_corpus_shards,
@@ -5959,7 +5843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_append_delete_replay": q_bm25_append_delete_replay,
         "knn_ivf_sampled": q_knn_ivf_sampled,
         "forecast_revenue": q_forecast_revenue,
-        "approx_distinct_hll": q_approx_distinct_hll,
         "interval_overlap": q_interval_overlap,
         "events_acf": q_events_acf,
         "wordpiece_merges": q_wordpiece_merges,
@@ -6027,12 +5910,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_quantized": q_knn_quantized,
         "quantile_sketch": q_quantile_sketch,
-        "dedup_lsh_recall": q_dedup_lsh_recall,
         "url_domain_stats": q_url_domain_stats,
         "customer_order_distribution": q_customer_order_distribution,
         "top_supplier": q_top_supplier,
         "idle_customer_balance": q_idle_customer_balance,
-        "heavy_hitters": q_heavy_hitters,
         "bloom_prune": q_bloom_prune,
         "winsorized_stats": q_winsorized_stats,
         "nation_trade_volume": q_nation_trade_volume,
@@ -6041,14 +5922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "pipeline_config": q_pipeline_config,
         "edit_distance_pairs": q_edit_distance_pairs,
-        "bpe_merges": q_bpe_merges,
         "bpe_encode_words": q_bpe_encode_words,
         "sole_fault_supplier": q_sole_fault_supplier,
         "nation_year_profit": q_nation_year_profit,
         "gopher_quality": q_gopher_quality,
         "knn_ivfpq": q_knn_ivfpq,
         "dsir_weights": q_dsir_weights,
-        "count_min_freq": q_count_min_freq,
         "streaming_count_min": q_streaming_count_min,
         "semdedup": q_semdedup,
         "logreg_scores": q_logreg_scores,
@@ -6059,7 +5938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_psi": q_corpus_drift_psi,
         "late_data_audit": q_late_data_audit,
         "leakage_safe_split": q_leakage_safe_split,
-        "knn_nprobe_sweep": q_knn_nprobe_sweep,
         "bm25_postings": q_bm25_postings,
         "bm25_search": q_bm25_search,
         "hybrid_rrf": q_hybrid_rrf,
@@ -6070,7 +5948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_mock_search": q_dense_mock_search,
         "sparse_vectors": q_sparse_vectors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "splade_vectors": q_splade_vectors,
         "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6131,10 +6008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bf": q_streaming_bf,
         "streaming_psi": q_streaming_psi,
     }
-    # reorder to the round-11 window contract: ROUND11_WINDOW first
+    # reorder to the round-12 window contract: ROUND12_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
-    window = set(ROUND11_WINDOW)
-    ordered = list(ROUND11_WINDOW) + [k for k in _q if k not in window]
+    window = set(ROUND12_WINDOW)
+    ordered = list(ROUND12_WINDOW) + [k for k in _q if k not in window]
     return {k: _fresh(_q[k]) for k in ordered}
 
 
@@ -6301,7 +6178,6 @@ SELECT sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(8,2))::DECIMAL(
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
-        "approx_distinct_hll": oracles.q_approx_distinct_hll(p=8),
         # row-form batch replay: a hash match proves the packed
         # shard->pack->merge->estimate algebra == batch registers
         "approx_distinct_hll_packed": oracles.q_approx_distinct_hll(p=8),
@@ -6441,7 +6317,6 @@ FROM agg CROSS JOIN (VALUES (1), (2), (7)) AS l(lag)""",
         "bm25_search": oracles.q_bm25_search(10),
         "splade_vocab": oracles.q_splade_vocab(),
         "splade_search": oracles.q_splade_search(k=10),
-        "splade_vectors": _ORACLE_SPLADE_VECTORS,
         "sparse_vectors": _ORACLE_SPARSE_VECTORS,
         "hyde_hybrid": oracles.q_hyde_hybrid(k=10, search_k=20),
         "extract_keywords": oracles.q_keywords(top_k=5),
@@ -6479,7 +6354,6 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_pq": oracles.q_knn_pq(5, 64, 8, 16, 20),
         "knn_recall": oracles.q_knn_recall(5),
         "doc_clusters": oracles.q_doc_clusters(16, 1),
-        "approx_distinct_kmv": oracles.q_approx_distinct_kmv(64),
         "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
         "cluster_keywords": oracles.q_cluster_keywords(8, 5),
         "doc_outliers": oracles.q_doc_outliers(16, 1, -1.0),
@@ -7229,7 +7103,6 @@ SELECT event_type, (ts::TIMESTAMP::DATE)::VARCHAR AS day,
 FROM events GROUP BY 1, 2""",
         # --- late round-5 additions (round-6 window heads) ---
         "quantile_sketch": oracles.q_quantile_sketch(0.02, (0.25, 0.5, 0.9, 0.99)),
-        "dedup_lsh_recall": oracles.q_lsh_recall(16, 4, 3, 0.5),
         "url_domain_stats": _ORACLE_URL_DOMAIN_STATS,
         "customer_order_distribution": """
 SELECT c_count, count(*)::BIGINT AS custdist FROM (
@@ -7261,16 +7134,6 @@ WHERE c_acctbal::DECIMAL(18,2) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
 GROUP BY n_name""",
-        "heavy_hitters": """
-WITH tok AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                            t -> length(t) > 0)) AS k
-  FROM documents
-), tot AS (SELECT count(*)::BIGINT AS n FROM tok)
-SELECT k AS token, count(*)::BIGINT AS n,
-       round(count(*)::DOUBLE / min(tot.n), 6) AS frac
-FROM tok CROSS JOIN tot
-GROUP BY k HAVING count(*) * 50 > min(tot.n)""",
         # the streaming MG state + exact recount provably equals the
         # plain batch GROUP BY/HAVING for any micro-batch split — the
         # oracle IS that batch recompute (m=80)
@@ -7301,7 +7164,6 @@ WITH n AS (
 )
 SELECT a.s AS name_a, b.s AS name_b, levenshtein(a.s, b.s)::INT AS dist
 FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
-        "bpe_merges": oracles.q_bpe_merges(8),
         # sampled trainer with sample >= vocab: same unrolled replay —
         # the driver-hash row IS the local==distributed proof
         "bpe_merges_sampled": oracles.q_bpe_merges(8),
@@ -7313,7 +7175,6 @@ FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
         # same training composition
         "knn_ivfpq_serve": oracles.q_knn_ivfpq(5, 64, 16, 4, 8, 16, 20, 1),
         "dsir_weights": oracles.q_dsir_weights(64, "lang = 'en'"),
-        "count_min_freq": oracles.q_count_min(4, 256, 30, full_report=True),
         "streaming_count_min": oracles.q_count_min(4, 256, 30, full_report=False),
         "semdedup": oracles.q_semdedup(0.95, 16, 1),
         "logreg_scores": oracles.q_logreg_scores(64, 3, 0.05, "n_chars > 311"),
@@ -7379,7 +7240,6 @@ SELECT (ts_us // 300000000) * 300000000 AS bucket_us,
 FROM ev JOIN fr USING (batch)
 GROUP BY bucket_us""",
         "leakage_safe_split": oracles.q_leakage_safe_split(2, 10, 16, 4, 3, 0.5),
-        "knn_nprobe_sweep": oracles.q_knn_nprobe_sweep(5, 16, (1, 2, 4, 8)),
         "knn_ivf_sample_sweep": oracles.q_knn_ivf_sample_sweep(
             5, 16, 4, (1, 3, 10)),
         "embedding_dbscan": oracles.q_embedding_dbscan(50_000, 4),
@@ -8180,13 +8040,6 @@ SELECT vec_id, len(v)::INT AS dim, round(scale, 6) AS scale,
        round(list_max(list_transform(range(len(v)),
              i -> abs(f32[i + 1] - v[i + 1]))), 10) AS f32_max_err
 FROM c"""
-
-_ORACLE_SPLADE_VECTORS = f"""
-WITH {oracles.splade_doc_ctes().lstrip()}
-SELECT doc_id,
-       (row_number() OVER (PARTITION BY doc_id ORDER BY vocab_id) - 1)::INT AS pos,
-       vocab_id, round(weight, 6) AS weight
-FROM sact"""
 
 _ORACLE_SPARSE_VECTORS = f"""
 WITH {oracles.bm25_ctes().lstrip()}

@@ -104,7 +104,6 @@ BENCH_QUERIES = [
     "events_props_json",
     "nb_classify",
     "doc_clusters",
-    "approx_distinct_kmv",
     "events_rolling",
     "value_correlation",
     "text_quality",
@@ -138,18 +137,16 @@ BENCH_QUERIES = [
     "parts_supplier_count", "small_qty_revenue", "large_orders",
     "discounted_revenue",
     # late round-5 additions
-    "quantile_sketch", "dedup_lsh_recall", "url_domain_stats",
+    "quantile_sketch", "url_domain_stats",
     "customer_order_distribution", "top_supplier", "idle_customer_balance",
-    "heavy_hitters", "bloom_prune", "winsorized_stats", "nation_trade_volume",
+    "bloom_prune", "winsorized_stats", "nation_trade_volume",
     # round-6 additions
     "min_cost_supplier", "excess_qty_supplier", "streaming_heavy_hitters",
-    "pipeline_config", "edit_distance_pairs", "bpe_merges",
-    "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
-    "gopher_quality", "knn_ivfpq", "dsir_weights", "count_min_freq",
-    "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
+    "pipeline_config", "edit_distance_pairs", "bpe_encode_words", "sole_fault_supplier", "nation_year_profit",
+    "gopher_quality", "knn_ivfpq", "dsir_weights", "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
     "streaming_lsh_dedup", "market_share", "top_revenue_parts",
     "corpus_overlap", "corpus_drift_psi", "late_data_audit",
-    "leakage_safe_split", "knn_nprobe_sweep", "scd2_orders",
+    "leakage_safe_split", "scd2_orders",
     "events_cusum", "compaction_plan", "knn_communities",
     "simhash_radius_recall", "cdc_dedup", "events_trend",
     "scd2_asof_join",
@@ -169,7 +166,7 @@ BENCH_QUERIES = [
     "events_concurrency",
     # round-8 additions
     "gdpr_delete_cascade", "bm25_append_delete_replay", "knn_ivf_sampled",
-    "forecast_revenue", "approx_distinct_hll", "interval_overlap",
+    "forecast_revenue", "interval_overlap",
     "events_acf", "wordpiece_merges", "wordpiece_encode",
     "record_linkage", "k_anonymity", "knn_link_prediction",
     "streaming_hll", "temporal_split", "knn_assortativity",
@@ -466,6 +463,20 @@ def main() -> None:
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
     counters: dict[str, dict] = {}
+    # Per-SECTION noise canaries (VERDICT r11 item 2): one front-of-
+    # suite canary cannot vouch for a section that runs 300+ queries
+    # later — r11's driver run moved serve walls +34% with byte-
+    # identical counters while the front canary IMPROVED. Every suite
+    # section now opens with its own canary rep, recorded here and in
+    # BENCH_DETAIL, and tools/compare_bench.py normalizes wall movers
+    # by the query's OWN section canary before flagging.
+    sections: dict[str, dict] = {}
+
+    def _open_section(name: str) -> None:
+        c = round(_bench_canary(spark, sf_dir), 3)
+        sections[name] = {"canary_sec": c, "queries": []}
+        print(f"# section {name}: canary {c:.3f}s", file=sys.stderr)
+
     pc = PlanCounters(spark)
     canary_start = _bench_canary(spark, sf_dir)
     # iteration filter: SPARK_GRAFT_ONLY="q1,q2" benches a subset (the
@@ -475,7 +486,28 @@ def main() -> None:
     # BENCH_DETAIL.json, so copy artifacts aside before iterating.
     only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
     bench_list = [q for q in BENCH_QUERIES if not only or q in only]
-    for name in bench_list:
+
+    # The serve block runs FIRST (the BASELINE.md latency gates deserve
+    # the quietest slot in the suite, right after warm-up — VERDICT r11
+    # item 2's alternative, adopted in addition to section canaries),
+    # then the skew stress, then the main registry sweep in 50-query
+    # sections.
+    if not only:
+        _open_section("serving")
+        before = set(med)
+        _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
+        sections["serving"]["queries"] = sorted(set(med) - before)
+        _open_section("skew")
+        before = set(med)
+        _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
+        sections["skew"]["queries"] = sorted(set(med) - before)
+
+    section_size = 50
+    cur_section = ""
+    for qi, name in enumerate(bench_list):
+        if qi % section_size == 0:
+            cur_section = f"main_{qi // section_size:02d}"
+            _open_section(cur_section)
         times = []
         n = 0
         reps = 1 if name in ONE_REP_QUERIES else REPS
@@ -494,10 +526,8 @@ def main() -> None:
         cx = (f"  [{c['jobs']} jobs, {c['shuffle_write_bytes'] / 1e6:.1f} MB shuffle]"
               if c else "")
         _record(name, times, med, lo, hi, extra=f"  ({n} rows){cx}")
+        sections[cur_section]["queries"].append(name)
 
-    if not only:
-        _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
-        _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
     # canary measured at both ends: the mean tracks the round's overall
     # contention level, the delta shows drift within the run
     canary_end = _bench_canary(spark, sf_dir)
@@ -518,12 +548,14 @@ def main() -> None:
         "replays": sorted(k for k in med if k in REPLAY_QUERIES),
         "reps": REPS,
         "sf": sf,
+        "section_canaries": {k: v["canary_sec"] for k, v in sections.items()},
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump({**line, "queries": med, "queries_min": lo,
-                   "queries_max": hi, "queries_counters": counters}, f, indent=1)
+                   "queries_max": hi, "queries_counters": counters,
+                   "sections": sections}, f, indent=1)
     print(f"# full spread detail written to {detail_path}", file=sys.stderr)
     # The full per-query line overflowed the driver's tail window three
     # rounds running (VERDICT r5 item 3: ~105 medians, clipped from the
@@ -547,6 +579,7 @@ def main() -> None:
             "ivf_ms_q": round(med.get("dense_ivf_serve", 0.0) * 1000 / nq, 1),
             "rerank_ms_q": round(med.get("rerank_search", 0.0) * 1000 / nq, 1),
             "noise_canary": med.get("noise_canary", 0.0),
+            "serve_canary": sections.get("serving", {}).get("canary_sec", 0.0),
         },
     }
     print(json.dumps(short))

@@ -86,7 +86,13 @@ def rerank(candidates: DataFrame, queries: DataFrame, docs: DataFrame, k: int = 
     # lineage is the full hybrid search — without materialization it
     # executes end-to-end twice (counter-proven r10: 45→82 jobs, 2×
     # shuffle). The set is bounded ≤ |queries|·candidate_k rows by the
-    # W3 clamp, so the checkpoint is tiny.
+    # W3 clamp, so the checkpoint is tiny. Known, accepted leak (the
+    # codebase-wide localCheckpoint convention, same as the terms
+    # checkpoint in bm25.py): the checkpoint RDD blocks are released by
+    # driver GC of the returned plan, not unpersisted here — the
+    # returned DataFrame is lazy, so there is no post-materialization
+    # hook inside this function; a long-lived session that loops rerank
+    # holds ≤ one tiny candidate block per live result plan.
     hits = candidates.select("query_id", "doc_id").localCheckpoint(eager=True)
     with_content = hydrate(hits, docs)
     with_q = with_content.join(

@@ -2715,29 +2715,6 @@ SELECT centroid_id, count(*)::BIGINT AS n_vectors, round(avg(cos), 6) AS avg_cos
 FROM assigned GROUP BY centroid_id"""
 
 
-def q_approx_distinct_kmv(k: int = 64) -> str:
-    """Twin of sketches.kmv_distinct: k smallest distinct hash60-based
-    values per group; estimate (k-1)/u_k, exact count alongside. The
-    salted two-phase Spark plan merges to exactly the global k-smallest
-    distinct hash set, which is what this single-pass SQL computes."""
-    h = hash60_expr("user_id")
-    space = float(2**60)
-    est = f"CASE WHEN sk.n_sketch < {k} THEN sk.n_sketch::DOUBLE ELSE {float(k - 1)} / sk.u_k END"
-    return f"""
-WITH base AS (
-  SELECT event_type AS g, user_id AS val,
-         ({h} + 1) / {space!r} AS u
-  FROM events),
-du AS (SELECT DISTINCT g, u FROM base),
-rk AS (SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u ASC) AS rn FROM du),
-sk AS (SELECT g, count(*) AS n_sketch, max(u) AS u_k FROM rk WHERE rn <= {k} GROUP BY g),
-ex AS (SELECT g, count(*) AS n_exact FROM du GROUP BY g)
-SELECT ex.g AS event_type, ex.n_exact::BIGINT AS n_exact, sk.n_sketch::INT AS n_sketch,
-       round({est}, 6) AS kmv_estimate,
-       round(abs({est} - ex.n_exact) / ex.n_exact, 6) AS rel_error
-FROM sk JOIN ex ON sk.g = ex.g"""
-
-
 def q_approx_distinct_hll(p: int = 8, with_exact: bool = True) -> str:
     """Twin of sketches.hll_distinct over (event_type, user_id): the
     deterministic-layout HyperLogLog — register j = hash60 mod m, rank
@@ -2910,7 +2887,7 @@ FROM totals t LEFT JOIN hits h USING (eval_id)"""
 
 
 def q_approx_distinct_daily(k: int = 64) -> str:
-    """Time-bucketed twin of q_approx_distinct_kmv: group =
+    """Time-bucketed KMV distinct (sketches.kmv_distinct): group =
     event_type || '|' || day. The day string comes from the naive
     timestamp's date — identical to Spark's to_date under the
     session-UTC pin."""
@@ -3550,30 +3527,6 @@ SELECT g AS event_type, round(q, 2) AS q,
        min(n_total)::BIGINT AS n, min(bucket)::INT AS bucket,
        round({coeff!r} * power({gamma!r}, min(bucket)), 6) AS estimate
 FROM r GROUP BY g, q"""
-
-
-def q_lsh_recall(num_hashes: int = 16, bands: int = 4, n: int = 3,
-                 threshold: float = 0.5) -> str:
-    """Twin of dedup.lsh_recall_report: exact-Jaccard pairs (inter CTE,
-    any shared shingle) vs LSH-found pairs (verified CTE), bucketed by
-    floor(jaccard*10) — same double multiply both engines."""
-    return f"""
-WITH {_minhash_verified_ctes(num_hashes, bands, n)},
-exact AS (
-  SELECT doc_a, doc_b, n_common::DOUBLE / (na + nb - n_common) AS j
-  FROM inter WHERE n_common::DOUBLE / (na + nb - n_common) >= {threshold}
-),
-found AS (
-  SELECT doc_a, doc_b, 1 AS hit FROM verified WHERE jaccard >= {threshold}
-),
-lab AS (
-  SELECT floor(e.j * 10)::INT AS b, coalesce(f.hit, 0) AS hit
-  FROM exact e LEFT JOIN found f USING (doc_a, doc_b)
-)
-SELECT b::DOUBLE / 10.0 AS jaccard_lo,
-       count(*)::BIGINT AS n_exact, sum(hit)::BIGINT AS n_found,
-       round(sum(hit)::DOUBLE / count(*), 6) AS recall
-FROM lab GROUP BY b"""
 
 
 # --- BPE tokenizer (operators/tokenizer.py) --------------------------------
@@ -4697,27 +4650,6 @@ SELECT doc_id, cluster_id, split, naive_split,
        (min(naive_split) OVER (PARTITION BY cluster_id)
         <> max(naive_split) OVER (PARTITION BY cluster_id)) AS naive_leak
 FROM tagged"""
-
-
-def q_knn_nprobe_sweep(k: int = 5, n_centroids: int = 16,
-                       nprobes: tuple = (1, 2, 4, 8)) -> str:
-    """IVF tuning curve: recall@k vs nprobe against the exhaustive
-    top-k — the measured accuracy/cost trade every IVF deployment
-    sizes nprobe with (twin of the dedup_lsh_recall harness, for ANN)."""
-    branches = []
-    for p in nprobes:
-        sub = q_knn_ivf(k=k, n_centroids=n_centroids, nprobe=p)
-        branches.append(f"""
-SELECT 'nprobe={p}' AS method, {p}::INT AS nprobe, n_hit, n_exact,
-       round(n_hit::DOUBLE / n_exact, 6) AS recall
-FROM (
-  SELECT (SELECT count(*)::BIGINT FROM bf b
-          JOIN ({sub}) a ON b.query_id = a.query_id AND b.vec_id = a.vec_id) AS n_hit,
-         (SELECT count(*)::BIGINT FROM bf) AS n_exact
-) s""")
-    return f"""
-WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
-{" UNION ALL ".join(branches)}"""
 
 
 def q_knn_ivf_sample_sweep(k: int = 5, n_centroids: int = 16,

@@ -449,14 +449,17 @@ def streaming_kmv(stream: DataFrame, state_path: str, checkpoint: str,
         # per-group memory on a high-cardinality batch; the window
         # keeps only k rows per group past the exchange and the final
         # collect_list is k-bounded by construction
-        # NULL values hash to NULL u — drop them BEFORE the window:
-        # NULLS FIRST under ascending order would hand a NULL rank 1
-        # in every group, stealing a k-slot from a real hash (the old
-        # collect_set dropped NULLs implicitly; the filter keeps that
-        # contract explicit)
-        d = (batch.select(F.col(group_col).alias("g"), u.alias("u"))
-             .where(F.col("u").isNotNull()).distinct())
-        wk = Window.partitionBy("g").orderBy("u")
+        # NULL values hash to NULL u — order them LAST in the window
+        # (plain ascending order is NULLS FIRST in Spark, which would
+        # hand a NULL rank 1 in every group, stealing a k-slot from a
+        # real hash). NULL rows are kept through the groupBy rather
+        # than filtered before it so a group whose batch values are
+        # ALL NULL still emits an empty-sketch state row (collect_list
+        # skips NULLs → us = []), served as n_sketch=0 / estimate 0 —
+        # the original collect_set contract; filtering pre-groupBy
+        # made such groups vanish from kmv_state_estimates entirely
+        d = batch.select(F.col(group_col).alias("g"), u.alias("u")).distinct()
+        wk = Window.partitionBy("g").orderBy(F.asc_nulls_last("u"))
         partial = (
             d.withColumn("_rn", F.row_number().over(wk))
             .where(F.col("_rn") <= k)

@@ -200,6 +200,42 @@ ROUND12_WINDOW_MUST: tuple = (
     "streaming_psi",
 )
 
+# Registry entries PRUNED in round 12 (VERDICT r11 item 1: shrink the
+# registry back toward 300 so the 6-round staleness floor holds).
+# Every prune is a single-purpose variant whose operator body stays
+# implemented, unit-tested, and oracle-gated through a surviving entry:
+#   knn_nprobe_sweep     — sweep-loop twin of knn_ivf_sample_sweep;
+#                          recall payoff now gated by ivf_retrain_recall
+#   heavy_hitters        — batch MG; streaming_heavy_hitters runs the
+#                          same mg_merge/mg_summarize body + recount
+#   count_min_freq       — batch CM; streaming_count_min replays the
+#                          same count_min_cells body cell-for-cell
+#   bpe_merges           — bpe_encode_words retrains the same 8 merges
+#                          and its oracle replays the full training
+#   splade_vectors       — splade_search consumes doc_vectors end-to-
+#                          end; vocab persistence gated by splade_vocab
+#   dedup_lsh_recall     — diagnostic S-curve over the same LSH body as
+#                          dedup_minhash_lsh + dedup_ngram_jaccard
+#   approx_distinct_hll  — row-form HLL whose algebra IS the oracle of
+#                          approx_distinct_hll_packed (bit-for-bit)
+#   approx_distinct_kmv  — kmv_distinct body gated by
+#                          approx_distinct_daily + kmv_set_ops
+PRUNED_ROUND12: tuple = (
+    "knn_nprobe_sweep",
+    "heavy_hitters",
+    "count_min_freq",
+    "bpe_merges",
+    "splade_vectors",
+    "dedup_lsh_recall",
+    "approx_distinct_hll",
+    "approx_distinct_kmv",
+)
+
+# Entries added AFTER the round-12 rotation: never driver-evaluated,
+# verified locally via tools/check_oracle.py (ORACLE_CHECKS.jsonl).
+# These MUST head the round-13 window, before ROUND13_R6_TAIL.
+ROUND13_WINDOW_MUST: tuple = ()
+
 
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
@@ -212,23 +248,38 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-11 window contract (README 'Correctness window rotation'):
-    the first 50 queries() entries ARE __spark_entry__.ROUND11_WINDOW,
+    """Round-12 window contract (README 'Correctness window rotation'):
+    the first 50 queries() entries ARE __spark_entry__.ROUND12_WINDOW,
     in order — the driver hash-checks exactly this slice."""
     window = list(entrymod.queries())[:50]
-    assert window == list(entrymod.ROUND11_WINDOW), (
-        "driver window diverged from ROUND11_WINDOW")
-    for must in ROUND11_WINDOW_MUST:
-        assert must in window, f"{must} fell out of the driver window"
+    assert window == list(entrymod.ROUND12_WINDOW), (
+        "driver window diverged from ROUND12_WINDOW")
+    # the 3 round-11 additions take their first driver row this round
+    # and MUST head the window, then the 8 carried r5 anchors
+    assert window[:3] == list(ROUND12_WINDOW_MUST)
+    assert window[3:11] == list(ROUND12_R5_CARRY)
     # past-boundary entries are behavior-anchored by earlier driver
-    # rounds (r6-r10 green rows) — they must stay registered
+    # rounds (r6-r11 green rows) — they must stay registered (minus the
+    # 8 near-redundant entries pruned in round 12, PRUNED_ROUND12)
     names = set(entrymod.queries())
+    pruned = set(PRUNED_ROUND12)
+    assert pruned.isdisjoint(names), "pruned query still registered"
     for must in (ROUND9_WINDOW_MUST + ROUND10_WINDOW_MUST
-                 + ROUND10_R5_FILL + ROUND12_R5_CARRY):
+                 + ROUND10_R5_FILL + ROUND12_R5_CARRY
+                 + ROUND11_WINDOW_MUST):
+        if must in pruned:
+            continue
         assert must in names, f"{must} (anchor) not registered"
-    # round-12 candidates (added this round, past the boundary):
+    # the one-time 7-round tail: the 3 r6 anchors that did not fit the
+    # round-12 window. They must stay registered, head the round-13
+    # window, and carry a fresh tools/check_oracle.py row this round.
+    tail = list(entrymod.ROUND13_R6_TAIL)
+    assert len(tail) == 3 and all(t in names for t in tail)
+    assert not set(tail) & set(window), (
+        "tail entries are by definition outside the r12 window")
+    # round-13 candidates (added this round, past the boundary):
     # registered, awaiting their first driver row next rotation
-    for must in ROUND12_WINDOW_MUST:
+    for must in ROUND13_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 
@@ -260,6 +311,36 @@ def test_scale_md_registry_index_matches_queries():
     assert listed == keys, (
         f"SCALE.md index drift: missing={sorted(keys - listed)[:10]} "
         f"stale={sorted(listed - keys)[:10]}")
+
+
+def test_readme_rotation_section_references_constants_not_lists():
+    """VERDICT r11 item 3: window/MUST lists must never be duplicated
+    in README prose (a copy drifted in r11 — streaming_psi was missing
+    from the ROUND12_WINDOW_MUST prose while the constant was right).
+    The rotation section must reference the authoritative constants,
+    must not enumerate any registered or pruned query name, and its
+    stated registry size must equal the live count."""
+    import re
+
+    text = open("/root/repo/README.md").read()
+    sec = text.split("## Correctness window rotation")[1].split("\n## ")[0]
+    for const in ("ROUND12_WINDOW", "ROUND12_WINDOW_MUST",
+                  "ROUND12_R5_CARRY", "ROUND13_WINDOW_MUST",
+                  "ROUND13_R6_TAIL", "PRUNED_ROUND12"):
+        assert const in sec, f"rotation prose lost its {const} reference"
+    keys = set(entrymod.queries()) | set(PRUNED_ROUND12)
+    tokens = set(re.findall(r"[a-z][a-z0-9_]{2,}", sec))
+    listed = sorted(tokens & keys)
+    assert listed == [], (
+        f"rotation prose enumerates query names (drift hazard): {listed}"
+        " — reference the constants instead")
+    m = re.search(r"with (\d+)\s*\nregistered entries|with (\d+) registered"
+                  r" entries", sec)
+    assert m, "rotation prose no longer states the registry size"
+    stated = int(m.group(1) or m.group(2))
+    assert stated == len(entrymod.queries()), (
+        f"rotation prose says {stated} entries, registry has "
+        f"{len(entrymod.queries())}")
 
 
 def test_readme_coverage_map_query_references_exist():

@@ -695,9 +695,14 @@ def test_count_min_report_broadcasts_cells_and_no_window(spark):
     the whole report is aggregations + broadcast joins — no global
     sort materialization (top-N is TakeOrdered), no window, no
     cartesian."""
-    import __spark_entry__ as e
+    from pyspark.sql import functions as F
 
-    plan = _plan(e.q_count_min_freq(spark, "/root/testdata/sf0.001"))
+    from semantik_spark.functions.text import whitespace_tokens
+    from semantik_spark.operators.frequency import count_min_report
+
+    toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select(F.explode(whitespace_tokens("text")).alias("term"))
+    plan = _plan(count_min_report(toks, "term", depth=4, width=256, top=30))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
@@ -1130,7 +1135,6 @@ def test_heavy_query_job_count_pins(spark):
         # silent re-doubling a CI failure) — and the remaining heavy
         # non-replay movers-in-waiting
         ("rerank_search", 50),
-        ("knn_nprobe_sweep", 50),
         ("logreg_scores", 54),
         ("incremental_clusters", 85),
         # round-11 additions: the exact-vs-sketch BF comparison runs

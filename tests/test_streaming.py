@@ -907,20 +907,21 @@ def test_read_state_propagates_error_on_existing_unreadable_state(spark, tmp_pat
 
 
 def test_streaming_kmv_null_values_never_steal_slots(spark, tmp_path):
-    """A NULL value hashes to NULL u; under ascending window order
-    NULLS sort FIRST, so an unfiltered NULL would take rank 1 in every
-    group and displace a real hash from the k-smallest state. The
-    batch partial must drop NULLs before ranking (the old collect_set
-    contract, kept explicit)."""
-    import glob
-    import os
-
+    """A NULL value hashes to NULL u; under plain ascending window
+    order NULLS sort FIRST, so an unhandled NULL would take rank 1 in
+    every group and displace a real hash from the k-smallest state.
+    NULLs rank LAST (asc_nulls_last) and collect_list skips them — AND
+    a group whose values are ALL NULL must still emit an empty-sketch
+    state row served as n_sketch=0 / estimate 0 (the original
+    collect_set contract; a pre-groupBy filter made such groups vanish
+    from kmv_state_estimates entirely)."""
     from semantik_spark.streaming.incremental import (
         kmv_state_estimates, stream_files, streaming_kmv,
     )
 
     base = str(tmp_path / "kmv")
-    rows = [("g", f"v{i}") for i in range(8)] + [("g", None)] * 3
+    rows = ([("g", f"v{i}") for i in range(8)] + [("g", None)] * 3
+            + [("allnull", None)] * 2)
     df = spark.createDataFrame(rows, "g string, v string")
     df.repartition(2).write.parquet(f"{base}/drop")
     q = streaming_kmv(
@@ -928,8 +929,12 @@ def test_streaming_kmv_null_values_never_steal_slots(spark, tmp_path):
                      fmt="parquet", max_files_per_trigger=1),
         f"{base}/state", f"{base}/ckpt", "g", "v", k=4)
     q.awaitTermination(120)
-    st = spark.read.parquet(f"{base}/state").collect()
-    assert len(st) == 1
-    us = st[0]["us"]
+    st = {r["g"]: r["us"] for r in spark.read.parquet(f"{base}/state").collect()}
+    assert set(st) == {"g", "allnull"}
     # k slots, all real hashes — no NULL leaked in, none displaced
-    assert len(us) == 4 and all(u is not None for u in us)
+    assert len(st["g"]) == 4 and all(u is not None for u in st["g"])
+    # the all-NULL group keeps its empty-sketch row
+    assert st["allnull"] == []
+    served = {r["group"]: (r["n_sketch"], r["kmv_estimate"])
+              for r in kmv_state_estimates(spark, f"{base}/state", k=4).collect()}
+    assert served["allnull"] == (0, 0.0)

@@ -29,7 +29,7 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, dict]]:
+def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
@@ -37,7 +37,16 @@ def load(path: str) -> tuple[dict[str, float], dict[str, dict]]:
     q = d.get("queries", {})
     times = {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
     counters = d.get("queries_counters", {})
-    return times, counters
+    # per-section canaries (VERDICT r11 item 2): query -> its own
+    # section's canary seconds, from bench.py's "sections" block
+    sec_canary: dict[str, float] = {}
+    for sec in d.get("sections", {}).values():
+        c = sec.get("canary_sec")
+        if not c:
+            continue
+        for name in sec.get("queries", []):
+            sec_canary[name] = float(c)
+    return times, counters, sec_canary
 
 
 def diff_counters(old_c: dict, new_c: dict) -> bool:
@@ -79,7 +88,8 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.3)
     args = ap.parse_args()
-    (old, old_counters), (new, new_counters) = load(args.old), load(args.new)
+    old, old_counters, old_sec = load(args.old)
+    new, new_counters, new_sec = load(args.new)
     had_counters = diff_counters(old_counters, new_counters)
     if not had_counters:
         print("# no plan counters in one or both runs - wall-clock only "
@@ -104,27 +114,44 @@ def main() -> None:
     else:
         print("# no canary in one or both runs - comparing raw times")
     shared = sorted(k for k in old if k in new and k != "noise_canary")
+    n_sectioned = sum(1 for k in shared if k in old_sec and k in new_sec)
+    if n_sectioned:
+        print(f"# per-section canaries present for {n_sectioned}/{len(shared)}"
+              f" shared metrics -> those normalize by their OWN section's"
+              f" canary (VERDICT r11 item 2); the rest use the global rule")
     worse, better = [], []
     for k in shared:
-        o, n = old[k], new[k] * deflate
+        o = old[k]
         if o <= 0.2:  # sub-noise-floor queries cannot regress meaningfully
             continue
-        r = n / o if o else 1.0
+        if k in old_sec and k in new_sec and old_sec[k] > 0 and new_sec[k] > 0:
+            # symmetric local normalization: each wall divided by the
+            # canary measured at the top of ITS OWN section, so a
+            # section-local contention episode (the r11 serve-block
+            # blind spot) cancels instead of flagging
+            r = (new[k] / new_sec[k]) / (o / old_sec[k])
+            n = o * r  # the section-normalized equivalent time
+            basis = "sec"
+        else:
+            n = new[k] * deflate
+            r = n / o if o else 1.0
+            basis = "glob"
         if r >= args.threshold:
-            worse.append((r, k, o, new[k], n))
+            worse.append((r, k, o, new[k], n, basis))
         elif r <= 1.0 / args.threshold:
-            better.append((r, k, o, new[k], n))
+            better.append((r, k, o, new[k], n, basis))
     print(f"# {len(shared)} shared metrics, threshold x{args.threshold}")
     if worse:
-        print("== REGRESSED (ratio, metric, old_s, new_raw_s, new_deflated_s):")
-        for r, k, o, nr, nd in sorted(worse, reverse=True):
-            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} (defl {nd:.3f})")
+        print("== REGRESSED (ratio, metric, old_s, new_raw_s, "
+              "new_normalized_s, basis):")
+        for r, k, o, nr, nd, b in sorted(worse, reverse=True):
+            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} (norm {nd:.3f}, {b})")
     else:
         print("== no regressions past threshold")
     if better:
         print("== improved:")
-        for r, k, o, nr, nd in sorted(better):
-            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} (defl {nd:.3f})")
+        for r, k, o, nr, nd, b in sorted(better):
+            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} (norm {nd:.3f}, {b})")
     only_new = sorted(k for k in new if k not in old and k != "noise_canary")
     if only_new:
         tot = sum(new[k] for k in only_new)
