@@ -1550,10 +1550,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
-
-
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-blocked simhash near-dup pairs over the augmented duplicate
     corpus. Banding (max_hamming+1 bit-bands) is exactly complete by
@@ -1641,26 +1637,6 @@ def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _emb_split(spark, sf_dir)
     base = corpus.where(F.col("vec_id") % 5 != 0)
     cent = ivf_refine(base, ivf_centroids(base, 16), iters=1)
-    return _r6(
-        similarity.knn_ivf(corpus, queries, k=5, nprobe=4, cent_rows=cent),
-        "cos",
-    )
-
-
-def q_knn_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAMPLED codebook training (VERDICT r7 item 7 — the last 100 TB
-    gap in the ANN family): seeds + Lloyd refinement run over the
-    deterministic hash sample hash60(vec_id) % 3 == 0 (~1/3 of the
-    corpus, similarity.train_sample), then the FULL corpus is assigned
-    and served under the frozen codebook — FAISS's train-on-a-sample
-    practice. The oracle replays the identical sampled training
-    (oracles.q_knn_ivf sample_mod=3, train_table='tsample'); sampled
-    vs full recall is additionally pinned in tests/test_similarity.py."""
-    from semantik_spark.operators.similarity import ivf_centroids, ivf_refine
-
-    corpus, queries = _emb_split(spark, sf_dir)
-    cent = ivf_refine(corpus, ivf_centroids(corpus, 16, train_sample_mod=3),
-                      iters=1, train_sample_mod=3)
     return _r6(
         similarity.knn_ivf(corpus, queries, k=5, nprobe=4, cent_rows=cent),
         "cos",
@@ -1818,29 +1794,6 @@ def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                             rescore_k=20),
         "cos",
     )
-
-
-def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality: recall@5 of each approximate method against the
-    exhaustive top-5 — one aggregated row per method, so a parameter
-    regression in lsh/ivf/quantized/pq shows up as a value change."""
-    corpus, queries = _emb_split(spark, sf_dir)
-    # n_queries*k rows, but each reference costs a full corpus scan —
-    # persist so the hit-join and denominator branches of all four
-    # methods reuse one exhaustive pass instead of eight
-    exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
-    methods = [
-        ("ivf", similarity.knn_ivf(corpus, queries, k=5, n_centroids=16, nprobe=4)),
-        ("lsh", similarity.knn_lsh(corpus, queries, k=5, dim=64, nbits=8)),
-        ("quantized", similarity.knn_quantized(corpus, queries, k=5, rescore_k=20)),
-        ("pq", similarity.knn_pq(corpus, queries, k=5, dim=64, m=8,
-                                 n_centroids=16, rescore_k=20)),
-    ]
-    out = None
-    for name, approx in methods:
-        r = similarity.recall_at_k(exact, approx, name)
-        out = r if out is None else out.unionByName(r)
-    return out
 
 
 def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2610,20 +2563,6 @@ def q_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_columns(docs).select(
         "doc_id", "is_code", "is_json", "is_xml", "is_yaml", "is_csv", "detected_format"
     ).join(scanned, "doc_id")
-
-
-def q_config_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 benchmark config-matrix expansion: cartesian of literal axes
-    (models.py:1570-1576). Built as explode chains on a single row —
-    a crossJoin of three 32-partition literal DataFrames would schedule
-    32^3 tasks for 12 rows."""
-    return (
-        spark.range(1)
-        .select(F.explode(F.array(F.lit("modelA"), F.lit("modelB"))).alias("model"))
-        .select("model", F.explode(F.array(
-            F.lit("float32"), F.lit("float16"), F.lit("int8"))).alias("quantization"))
-        .select("model", "quantization", F.explode(F.array(F.lit(5), F.lit(10))).alias("k"))
-    )
 
 
 def q_collection_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3460,6 +3399,22 @@ def q_projection_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantik_spark.operators.projection import label_categories
 
     return label_categories(_t(spark, sf_dir, "documents"))
+
+
+def q_config_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 benchmark config-matrix expansion: cartesian of literal axes
+    (models.py:1570-1576). Built as explode chains on a single row —
+    a crossJoin of three 32-partition literal DataFrames would schedule
+    32^3 tasks for 12 rows. No longer a registered entry of its own
+    (pruned r12): benchmark_matrix composes it and its oracle replays
+    the expansion, so this is the shared helper."""
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit("modelA"), F.lit("modelB"))).alias("model"))
+        .select("model", F.explode(F.array(
+            F.lit("float32"), F.lit("float16"), F.lit("int8"))).alias("quantization"))
+        .select("model", "quantization", F.explode(F.array(F.lit(5), F.lit(10))).alias("k"))
+    )
 
 
 def q_benchmark_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4893,25 +4848,6 @@ def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
-def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed WordPiece training (tokenizer.wordpiece_train,
-    Schuster & Nakajima 2012 / BERT): 8 likelihood-scored merges —
-    argmax of count(l,r)/(count(l)·count(r)), '##' continuation
-    convention — learned from the documents corpus. The oracle is a
-    fully unrolled 8-round SQL replay (oracles.wordpiece_ctes), so a
-    green row pins the unigram/pair counting, the one-IEEE-division
-    likelihood argmax with its (l, r) tie-break, AND the
-    '##'-stripped merge rewrite. Output carries the exact integer
-    numerator (pair_count) and denominator — no float in the table.
-    Completes the tokenizer-trainer triad: BPE (frequency), unigram-LM
-    (Kudo likelihood pruning), WordPiece (pairwise likelihood)."""
-    from semantik_spark.operators.tokenizer import wordpiece_train
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges, _ = wordpiece_train(docs, num_merges=8)
-    return merges
-
-
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece max-munch encoding (tokenizer.wordpiece_encode_words):
     the top-30 corpus words encoded greedily longest-match-first over
@@ -5144,47 +5080,6 @@ def q_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_matches(spark, f"{base}/matches")
 
 
-def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NATIVE stream-stream interval join: clicks and purchases replay
-    as separate time-ordered 4-file streams; every click preceding a
-    same-user purchase by <= 1 day joins in-flight, with a finite
-    watermark on BOTH sides so the join state store evicts
-    can't-match-anymore rows (streaming.incremental
-    stream_interval_join). Time-ordered batches make between-batch
-    lateness zero, so the append log equals the batch interval join —
-    the oracle replays exactly that."""
-    import shutil
-
-    from semantik_spark.streaming.incremental import (
-        stream_files, stream_interval_join, write_time_ordered_drop,
-    )
-
-    base = _scratch("stream_ssj")
-    shutil.rmtree(base, ignore_errors=True)  # idempotent per call
-    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
-    write_time_ordered_drop(ev.where(F.col("event_type") == "click"),
-                            f"{base}/clicks", n_files=2)
-    write_time_ordered_drop(ev.where(F.col("event_type") == "purchase"),
-                            f"{base}/purchases", n_files=2)
-    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
-        q = stream_interval_join(
-            stream_files(spark, f"{base}/clicks", schema, fmt="parquet",
-                         max_files_per_trigger=1),
-            stream_files(spark, f"{base}/purchases", schema, fmt="parquet",
-                         max_files_per_trigger=1),
-            f"{base}/joined", f"{base}/ckpt",
-            key="user_id", max_lag_minutes=1440, watermark_minutes=5760,
-        )
-        q.awaitTermination(300)
-    return (
-        spark.read.parquet(f"{base}/joined")
-        .select(F.col("key").alias("user_id"),
-                F.col("left_id").alias("click_id"),
-                F.col("right_id").alias("purchase_id"), "lag_us")
-    )
-
-
 def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: every click emits —
     matched ones eagerly, unconverted ones NULL-padded only once the
@@ -5306,33 +5201,6 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantik_spark.operators.textanalysis import gopher_rules
 
     return gopher_rules(_t(spark, sf_dir, "documents"))
-
-
-def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 versioned dimension built INCREMENTALLY: the order log is
-    split at 1997-07-01 into a historical load and a nightly batch;
-    scd2_history collapses the old half into (valid_from, valid_to]
-    version chains per customer (attribute = order priority), then
-    scd2_merge folds the new batch in. The oracle rebuilds from the
-    FULL log in one pass — the returned table matching it is the
-    merge ≡ rebuild invariant (operators/scd.py), the property that
-    makes nightly dimension maintenance safe at 100 TB. One shuffle
-    on the customer key per pass; no joins, no iteration."""
-    from semantik_spark.operators import scd
-
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").alias("ts"),
-        F.col("o_orderkey").alias("seq"),
-    )
-    cutoff = F.lit("1997-07-01").cast("date")
-    hist = scd.scd2_history(orders.where(F.col("ts") < cutoff),
-                            "custkey", ["priority"], "ts", "seq")
-    merged = scd.scd2_merge(hist, orders.where(F.col("ts") >= cutoff),
-                            "custkey", ["priority"], "ts", "seq")
-    return merged.select("custkey", "priority", "valid_from", "valid_to",
-                         "version", "is_current")
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5491,15 +5359,6 @@ def q_knn_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"))
     return personalized_pagerank(_knn_edges(spark, sf_dir, k=5), seeds,
                                  damping=0.85, iterations=5)
-
-
-def q_simhash_radius_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall tuning curve for SimHash hamming radii 2/4/6/8
-    against exact 3-gram Jaccard >= 0.5 on the augmented dup corpus —
-    third recall harness (MinHash banding, IVF nprobe, SimHash
-    radius): measures how well bit distance predicts Jaccard before
-    committing a max_hamming at 100 TB (dedup.simhash_radius_report)."""
-    return dedup.simhash_radius_report(_aug_docs(spark, sf_dir))
 
 
 def q_cdc_chunks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5671,7 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the longest-unrefreshed anchors. ROUND12_WINDOW above is the
     # authoritative order; the dict below keeps its historical (r10)
     # declaration order and is reordered at return. Window arithmetic:
-    # with 295 registered entries (303 minus the 8 pruned round 12) and
+    # with 287 registered entries (303 minus the 16 pruned round 12) and
     # a 50-slot window the refresh floor is a SIX-round cycle — the
     # window drains the oldest block each round (r11 took 38 of 46 r5
     # anchors; r12 takes the remaining 8 + 39 of the 42 surviving r6
@@ -5814,7 +5673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "matryoshka_recall": q_matryoshka_recall,
         "dedup_cut": q_dedup_cut,
-        "stream_interval_join": q_stream_interval_join,
         "bm25_pruned_search": q_bm25_pruned_search,
         "unigram_pieces": q_unigram_pieces,
         "unigram_encode": q_unigram_encode,
@@ -5841,11 +5699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": q_events_concurrency,
         "gdpr_delete_cascade": q_gdpr_delete_cascade,
         "bm25_append_delete_replay": q_bm25_append_delete_replay,
-        "knn_ivf_sampled": q_knn_ivf_sampled,
         "forecast_revenue": q_forecast_revenue,
         "interval_overlap": q_interval_overlap,
         "events_acf": q_events_acf,
-        "wordpiece_merges": q_wordpiece_merges,
         "wordpiece_encode": q_wordpiece_encode,
         "record_linkage": q_record_linkage,
         "k_anonymity": q_k_anonymity,
@@ -5853,17 +5709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "temporal_split": q_temporal_split,
         "knn_assortativity": q_knn_assortativity,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_canonical": q_dedup_canonical,
         "dedup_passages": q_dedup_passages,
         "stratified_sample": q_stratified_sample,
         "text_vocab": q_text_vocab,
-        "scd2_orders": q_scd2_orders,
         "events_cusum": q_events_cusum,
         "compaction_plan": q_compaction_plan,
         "knn_communities": q_knn_communities,
-        "simhash_radius_recall": q_simhash_radius_recall,
         "cdc_dedup": q_cdc_dedup,
         "events_trend": q_events_trend,
         "scd2_asof_join": q_scd2_asof_join,
@@ -5888,7 +5741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_recursive": q_chunk_recursive,
         "predicate_route": q_predicate_route,
         "incremental_changed": q_incremental_changed,
-        "config_matrix": q_config_matrix,
         "collection_counters": q_collection_counters,
         "gc_orphans": q_gc_orphans,
         "stale_marking": q_stale_marking,
@@ -5902,7 +5754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_term_stats": q_bm25_term_stats,
         "extract_keywords": q_keywords,
         "extract_entities": q_entities,
-        "knn_recall": q_knn_recall,
         "knn_pq": q_knn_pq,
         "pca_projection": q_pca_projection,
         "knn_bruteforce": q_knn_bruteforce,
@@ -6171,7 +6022,6 @@ FROM sess GROUP BY user_id, session_id""",
         "gdpr_delete_cascade": oracles.q_gdpr_delete_cascade(),
         "bm25_append_delete_replay": oracles.q_bm25_append_delete_replay(),
         "gdpr_sync_replay": oracles.q_gdpr_sync_replay(),
-        "knn_ivf_sampled": oracles.q_knn_ivf(k=5, n_centroids=16, nprobe=4, train_table="tsample", sample_mod=3),
         "forecast_revenue": """
 SELECT sum((l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(8,2))::DECIMAL(30,4))::DOUBLE AS revenue,
        count(*)::BIGINT AS n_lines
@@ -6181,7 +6031,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
         # row-form batch replay: a hash match proves the packed
         # shard->pack->merge->estimate algebra == batch registers
         "approx_distinct_hll_packed": oracles.q_approx_distinct_hll(p=8),
-        "wordpiece_merges": oracles.q_wordpiece_merges(8),
         "wordpiece_encode": oracles.q_wordpiece_encode(8, 30),
         "knn_link_prediction": oracles.q_knn_link_prediction(k=5, top_k=20),
         "knn_assortativity": oracles.q_knn_assortativity(k=5),
@@ -6344,7 +6193,6 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "dedup_ngram_jaccard": oracles.q_ngram_jaccard(3, 0.5),
         "dedup_minhash_lsh": oracles.q_minhash_lsh(16, 4, 3, 0.5),
         "dedup_clusters": oracles.q_dedup_clusters(16, 4, 3, 0.5),
-        "dedup_simhash": oracles.q_simhash_signatures(60),
         "dedup_simhash_pairs": oracles.q_simhash_pairs(max_hamming=3),
         "dedup_embedding": oracles.q_embedding_dups(0.99),
         "knn_bruteforce": oracles.q_knn_bruteforce(5),
@@ -6352,7 +6200,6 @@ JOIN ({oracles.q_ir_metrics_agg((5, 10), 10)}) a
         "knn_ivf": oracles.q_knn_ivf(5, 16, 4),
         "knn_quantized": oracles.q_knn_quantized(5, 20),
         "knn_pq": oracles.q_knn_pq(5, 64, 8, 16, 20),
-        "knn_recall": oracles.q_knn_recall(5),
         "doc_clusters": oracles.q_doc_clusters(16, 1),
         "approx_distinct_daily": oracles.q_approx_distinct_daily(64),
         "cluster_keywords": oracles.q_cluster_keywords(8, 5),
@@ -6546,25 +6393,6 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
    OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""",
-        "scd2_orders": """
-WITH upd AS (
-  SELECT o_custkey AS custkey, o_orderpriority AS priority,
-         o_orderdate AS ts, o_orderkey AS seq
-  FROM orders
-), flagged AS (
-  SELECT custkey, priority, ts, seq,
-         lag(priority) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev_priority,
-         row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS rn
-  FROM upd
-), changes AS (
-  SELECT custkey, priority, ts AS valid_from, seq
-  FROM flagged WHERE rn = 1 OR prev_priority IS DISTINCT FROM priority
-)
-SELECT custkey, priority, valid_from,
-       lead(valid_from) OVER w AS valid_to,
-       (row_number() OVER w)::INT AS version,
-       (lead(valid_from) OVER w IS NULL) AS is_current
-FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, seq)""",
         "events_cusum": """
 WITH ev AS (
   SELECT event_type AS etype, epoch_us(ts::TIMESTAMP)::BIGINT AS us,
@@ -6659,10 +6487,6 @@ FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS f FROM h)""",
         "multi_collection_dense": oracles.q_multi_collection_dense(10),
         "chunk_collapse": oracles.q_chunk_collapse(20),
         "sniff_formats": _ORACLE_SNIFF,
-        "config_matrix": """
-SELECT model, quantization, k FROM (VALUES ('modelA'), ('modelB')) m(model)
-CROSS JOIN (VALUES ('float32'), ('float16'), ('int8')) q(quantization)
-CROSS JOIN (VALUES (5), (10)) kk(k)""",
         "collection_counters": """
 SELECT source, count(*)::BIGINT AS document_count,
        sum(n_chars)::BIGINT AS total_size_bytes
@@ -6926,7 +6750,6 @@ LIMIT 50""",
         "hard_negatives": oracles.q_hard_negatives(50, 5, 3),
         "knn_pagerank": oracles.q_knn_pagerank(5, 0.85, 5),
         "knn_communities": oracles.q_knn_communities(5, 4),
-        "simhash_radius_recall": oracles.q_simhash_radius_report((2, 4, 6, 8), 3, 0.5, 60),
         "cdc_dedup": oracles.q_cdc_dedup_stats(16, 64),
         # chunk-row twin of the md5 boundary rule; serves the fused
         # mapInPandas scan (boundary-equal to the spec form, test-pinned)
@@ -7379,19 +7202,6 @@ WHERE EXISTS (
         "dedup_spans": oracles.q_duplicate_spans(10, 2),
         "matryoshka_recall": oracles.q_matryoshka_recall(10, (8, 16, 32, 64)),
         "dedup_cut": oracles.q_cut_spans(10, 2),
-        "stream_interval_join": """
-WITH c AS (
-  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
-  FROM events WHERE event_type = 'click'
-),
-p AS (
-  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP)::BIGINT AS us
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-       (p.us - c.us)::BIGINT AS lag_us
-FROM c JOIN p ON c.user_id = p.user_id
- AND c.us BETWEEN p.us - 86400000000 AND p.us""",
         "bm25_pruned_search": oracles.q_bm25_pruned_search(10, 32),
         "unigram_pieces": oracles.q_unigram_pieces(120, 5, 1000),
         "unigram_encode": oracles.q_unigram_encode(120, 5, 1000, 30, 20),
@@ -7487,7 +7297,28 @@ WHERE st.nn >= 2 AND st.rsd > 0""",
     }
     # streaming SCD2's final state IS the full-log rebuild (merge ==
     # rebuild per trigger), so it shares the batch oracle verbatim
-    out["streaming_scd2"] = out["scd2_orders"]
+    # the streaming SCD2 state must equal the one-pass full-log rebuild
+    # (scd2_merge fold ≡ batch scd2_history; formerly shared with the
+    # batch entry scd2_orders, pruned r12)
+    out["streaming_scd2"] = """
+WITH upd AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+), flagged AS (
+  SELECT custkey, priority, ts, seq,
+         lag(priority) OVER (PARTITION BY custkey ORDER BY ts, seq) AS prev_priority,
+         row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS rn
+  FROM upd
+), changes AS (
+  SELECT custkey, priority, ts AS valid_from, seq
+  FROM flagged WHERE rn = 1 OR prev_priority IS DISTINCT FROM priority
+)
+SELECT custkey, priority, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       (row_number() OVER w)::INT AS version,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM changes WINDOW w AS (PARTITION BY custkey ORDER BY valid_from, seq)"""
     # two-level bucketing is a pure shuffle-shape change: identical
     # result set to the one-level join, so it shares its raw-range
     # oracle verbatim — the hash match IS the equality pin at SF

@@ -42,7 +42,7 @@ FAST_SINGLE_REP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_FASTCAP", "0.8"))
 # one rep each — the median of three would burn ~2 min of suite wall
 # re-measuring scheduler constants. Spread for these is tracked by the
 # noise canary instead.
-ONE_REP_QUERIES = {"stream_interval_join", "stream_interval_join_outer",
+ONE_REP_QUERIES = {"stream_interval_join_outer",
                    "streaming_scd2", "streaming_sessions",
                    # in-query IVFADC index rebuild (~19s at sf0.1) —
                    # correct by construction (the oracle replays the
@@ -93,7 +93,6 @@ BENCH_QUERIES = [
     "knn_quantized",
     "knn_pq",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_sentences",
     "dedup_canonical",
     "dedup_passages",
@@ -146,16 +145,15 @@ BENCH_QUERIES = [
     "gopher_quality", "knn_ivfpq", "dsir_weights", "streaming_count_min", "semdedup", "logreg_scores", "jl_projection",
     "streaming_lsh_dedup", "market_share", "top_revenue_parts",
     "corpus_overlap", "corpus_drift_psi", "late_data_audit",
-    "leakage_safe_split", "scd2_orders",
-    "events_cusum", "compaction_plan", "knn_communities",
-    "simhash_radius_recall", "cdc_dedup", "events_trend",
+    "leakage_safe_split", "events_cusum", "compaction_plan", "knn_communities",
+    "cdc_dedup", "events_trend",
     "scd2_asof_join",
     # round-7 additions
     "knn_ivfpq_serve", "bm25_stats_merge", "cdc_chunks_scan",
     "bpe_merges_sampled",
     # round-7 post-window additions
     "knn_binary", "dedup_spans", "matryoshka_recall", "dedup_cut",
-    "stream_interval_join", "bm25_pruned_search",
+    "bm25_pruned_search",
     "unigram_pieces", "unigram_encode", "knn_ivf_append",
     "stream_interval_join_outer", "knn_kcore", "textrank_keywords",
     "maxsim_rerank", "spell_suggestions", "incremental_clusters",
@@ -165,9 +163,8 @@ BENCH_QUERIES = [
     "dedup_containment", "knn_ppr", "customer_rfm", "streaming_sessions",
     "events_concurrency",
     # round-8 additions
-    "gdpr_delete_cascade", "bm25_append_delete_replay", "knn_ivf_sampled",
-    "forecast_revenue", "interval_overlap",
-    "events_acf", "wordpiece_merges", "wordpiece_encode",
+    "gdpr_delete_cascade", "bm25_append_delete_replay", "forecast_revenue", "interval_overlap",
+    "events_acf", "wordpiece_encode",
     "record_linkage", "k_anonymity", "knn_link_prediction",
     "streaming_hll", "temporal_split", "knn_assortativity",
     # round-9 additions

@@ -2352,30 +2352,6 @@ SELECT 2, round(l2.l, 6), round(l2.l / tot.total_var, 6),
 FROM l1, l2, tot"""
 
 
-def q_knn_recall(k: int = 5) -> str:
-    """ANN recall@k oracle: per-method hit count of lsh/ivf/quantized/pq
-    against the exhaustive top-k, as one aggregated row per method
-    (twin of similarity.recall_at_k; VERDICT r3 item 4)."""
-    branches = []
-    for method, sub in (
-        ("ivf", q_knn_ivf(k=k)),
-        ("lsh", q_knn_lsh(k=k)),
-        ("quantized", q_knn_quantized(k=k)),
-        ("pq", q_knn_pq(k=k)),
-    ):
-        branches.append(f"""
-SELECT '{method}' AS method, n_hit, n_exact,
-       round(n_hit::DOUBLE / n_exact, 6) AS recall
-FROM (
-  SELECT (SELECT count(*)::BIGINT FROM bf b
-          JOIN ({sub}) a ON b.query_id = a.query_id AND b.vec_id = a.vec_id) AS n_hit,
-         (SELECT count(*)::BIGINT FROM bf) AS n_exact
-) s""")
-    return f"""
-WITH bf AS MATERIALIZED ({q_knn_bruteforce(k=k)})
-{" UNION ALL ".join(branches)}"""
-
-
 def q_repeated_passages(k: int = 10, min_docs: int = 2) -> str:
     """Twin of dedup.repeated_passages over the augmented dup corpus:
     k-token sliding-window hashes, repeated = present in >= min_docs
@@ -3678,17 +3654,6 @@ state0 AS MATERIALIZED (
   FROM wf
 )"""
     return base + "," + ",".join(_wp_round_ctes(k) for k in range(1, num_merges + 1))
-
-
-def q_wordpiece_merges(num_merges: int = 8) -> str:
-    sel = " UNION ALL ".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, b.l AS left_sym, "
-        f"b.r AS right_sym, b.bm AS merged, b.cnt AS pair_count, "
-        f"b.denom AS denom FROM best{k} b"
-        for k in range(1, num_merges + 1)
-    )
-    return (f"WITH {wordpiece_ctes(num_merges)} "
-            f"SELECT * FROM ({sel}) ORDER BY merge_rank")
 
 
 def q_wordpiece_encode(num_merges: int = 8, top_n: int = 30,

@@ -220,6 +220,32 @@ ROUND12_WINDOW_MUST: tuple = (
 #                          approx_distinct_hll_packed (bit-for-bit)
 #   approx_distinct_kmv  — kmv_distinct body gated by
 #                          approx_distinct_daily + kmv_set_ops
+#   -- second wave (same round): shrink the r7/r8 blocks so the
+#      round-13 window (3 MUSTs + 3 r6 tail + r7 block) and the
+#      round-14 window (r13 MUSTs + r8 block) fit 50 slots without a
+#      new tail --
+#   knn_recall           — recall@k harness over lsh/ivf/quantized/pq;
+#                          same class as the judge-named sweep pairs
+#                          (knn_ivf_sample_sweep + ivf_retrain_recall
+#                          keep the recall math oracle-gated)
+#   config_matrix        — benchmark_matrix composes the same expansion
+#                          helper and its oracle replays it
+#   scd2_orders          — streaming_scd2 carries the identical oracle
+#                          (merge fold ≡ full-log rebuild) and
+#                          scd2_asof_join gates scd2_history directly
+#   simhash_radius_recall— third recall harness (SimHash radii);
+#                          dedup_simhash_pairs keeps banding gated
+#   knn_ivf_sampled      — single-mod twin of knn_ivf_sample_sweep
+#                          (judge-named sweep pair)
+#   stream_interval_join — inner-join subset of
+#                          stream_interval_join_outer (same operator,
+#                          outer additionally gates NULL-padded
+#                          watermark emission)
+#   wordpiece_merges     — wordpiece_encode retrains the same 8 merges
+#                          and its oracle embeds the full unrolled
+#                          training replay
+#   dedup_simhash        — signature-table dump consumed end-to-end by
+#                          dedup_simhash_pairs
 PRUNED_ROUND12: tuple = (
     "knn_nprobe_sweep",
     "heavy_hitters",
@@ -229,6 +255,14 @@ PRUNED_ROUND12: tuple = (
     "dedup_lsh_recall",
     "approx_distinct_hll",
     "approx_distinct_kmv",
+    "knn_recall",
+    "config_matrix",
+    "scd2_orders",
+    "simhash_radius_recall",
+    "knn_ivf_sampled",
+    "stream_interval_join",
+    "wordpiece_merges",
+    "dedup_simhash",
 )
 
 # Entries added AFTER the round-12 rotation: never driver-evaluated,
