@@ -5444,6 +5444,210 @@ def _fresh(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
     return wrapped
 
 
+class _FakeImapClient:
+    """Deterministic in-memory imaplib-protocol stub for the S3 oracle
+    gate — implements exactly the ImapClient protocol surface
+    (sources/imap.py:40-41: select + uid search/fetch) over a fixed
+    uid→raw-bytes dict, so enumerate_mailbox runs its real parsing,
+    batching and cursor logic against replayable data."""
+
+    def __init__(self, messages: dict[int, bytes]) -> None:
+        self._messages = dict(messages)
+
+    def select(self, mailbox: str, readonly: bool = True):
+        return "OK", [str(len(self._messages)).encode()]
+
+    def uid(self, command: str, *args):
+        if command == "search":
+            criterion = args[-1]
+            uids = sorted(self._messages)
+            if criterion.startswith("UID "):
+                lo = int(criterion.split()[1].split(":")[0])
+                # real servers answer N:* with the LAST message even
+                # when N > max — reproduce that quirk so the connector's
+                # cursor guard is actually exercised
+                hit = [u for u in uids if u >= lo] or uids[-1:]
+            else:
+                hit = uids
+            return "OK", [" ".join(str(u) for u in hit).encode()]
+        if command == "fetch":
+            out = []
+            for u in (int(x) for x in args[0].split(",")):
+                raw = self._messages.get(u)
+                if raw is not None:
+                    out.append((f"{u} (UID {u} RFC822 {{{len(raw)}}}".encode(), raw))
+                    out.append(b")")
+            return "OK", out
+        raise ValueError(f"unsupported uid command {command}")
+
+
+def q_source_file_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+S1+S4 oracle gate (VERDICT r11 item 7): a deterministic
+    fixture tree derived from the documents table — nested dirs,
+    five extension classes, dot-prefixed hidden files — enumerated
+    through the real local connector with an extension allowlist and a
+    280-byte size cap. The manifest (name, ext, mime, size, sha256)
+    must equal the DuckDB replay of the same derivation + filters:
+    .log rows fall to the extension filter, hidden rows to the
+    dot-file rule, long docs to the size cap. The fixture write is a
+    bounded driver loop (|documents|/19 rows — the parse_routed
+    fixture discipline); enumeration itself is the distributed
+    binaryFile scan."""
+    import os
+    import shutil
+
+    from semantik_spark.sources.local import enumerate_files
+
+    root = os.path.join(_scratch("src_filters"), "tree")
+    shutil.rmtree(root, ignore_errors=True)
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 19 == 3)
+        .select("doc_id", "text")
+        .collect()
+    )
+    exts = {0: ".txt", 1: ".md", 2: ".json", 3: ".log", 4: ".txt"}
+    for r in rows:
+        d, c = r["doc_id"], r["doc_id"] % 5
+        name = ("." if c == 4 else "") + f"doc_{d}{exts[c]}"
+        sub = os.path.join(root, "a" if d % 2 == 0 else os.path.join("b", "sub"))
+        os.makedirs(sub, exist_ok=True)
+        with open(os.path.join(sub, name), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    out = enumerate_files(
+        spark, root, extensions=(".txt", ".md", ".json"), max_size_bytes=280
+    )
+    return out.select(
+        "file_name", "extension", "mime_type", "size_bytes", "content_hash"
+    )
+
+
+def q_source_git_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 oracle gate (VERDICT r11 item 7): a two-commit fixture repo
+    derived from the documents table, enumerated through the real git
+    connector (clone -> distributed binaryFile scan joined with the
+    broadcast ls-tree blob manifest, include-globs src/* docs/*), once
+    per commit into separate clones. The output anti-joins the two
+    manifests on blob-SHA change_hint — exactly the J4 change-detection
+    contract the hint exists for — so every row carries added/changed/
+    same plus the commit-B size and sha256. The DuckDB twin replays the
+    statuses from the doc_id arithmetic: a broken blob-SHA (collision,
+    stale manifest, glob leak) flips a status and fails the hash. Blob
+    SHAs depend only on content, so no commit-metadata pinning is
+    needed; notes/* files prove the exclude side of the glob filter."""
+    import os
+    import shutil
+    import subprocess
+
+    from semantik_spark.sources.git import enumerate_repo
+
+    base = _scratch("src_git")
+    repo = os.path.join(base, "fixture")
+    for p in ("work_a", "work_b", "fixture"):
+        shutil.rmtree(os.path.join(base, p), ignore_errors=True)
+    os.makedirs(repo)
+
+    def _git(*args: str) -> None:
+        subprocess.run(
+            ["git", "-c", "user.email=fixture@example.com",
+             "-c", "user.name=fixture", *args],
+            cwd=repo, check=True, capture_output=True, timeout=600,
+        )
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 23 == 1)
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def _write(rel: str, content: str) -> None:
+        full = os.path.join(repo, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as fh:
+            fh.write(content.encode("utf-8"))
+
+    paths = {0: "src/doc_{d}.py", 1: "docs/doc_{d}.md", 2: "notes/doc_{d}.txt"}
+    _git("init", "-q")
+    for r in rows:
+        _write(paths[r["doc_id"] % 3].format(d=r["doc_id"]), r["text"])
+    _git("add", "-A")
+    _git("commit", "-q", "-m", "commit A")
+    a = enumerate_repo(
+        spark, repo, os.path.join(base, "work_a"),
+        include_globs=("src/*", "docs/*"),
+    ).select("rel_path", F.col("change_hint").alias("hint_a"))
+    for r in rows:
+        d = r["doc_id"]
+        if d % 4 == 2:  # modified in commit B
+            _write(paths[d % 3].format(d=d), r["text"] + "\nrev2")
+        if d % 4 == 3:  # added in commit B (always under src/ -> included)
+            _write(f"src/new_{d}.py", "new " + r["text"])
+    _git("add", "-A")
+    _git("commit", "-q", "-m", "commit B")
+    b = enumerate_repo(
+        spark, repo, os.path.join(base, "work_b"),
+        include_globs=("src/*", "docs/*"),
+    )
+    status = (
+        F.when(F.col("hint_a").isNull(), F.lit("added"))
+        .when(F.col("hint_a") != F.col("change_hint"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        b.join(F.broadcast(a), "rel_path", "left")
+        .select("rel_path", status.alias("status"), "size_bytes", "content_hash")
+    )
+
+
+def q_source_imap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 oracle gate (VERDICT r11 item 7): a deterministic RFC822
+    mailbox derived from the documents table (uid = doc_id, fixed
+    header templates, body = first 200 chars) served by an in-memory
+    imaplib-protocol stub, synced through the real connector with
+    last_seen_uid = max(uid)/2 — so the output IS the incremental
+    slice, UID-range search, batched RFC822 fetch, cursor guard and
+    stdlib header decode included. Every fifth subject is a Q-encoded
+    word (=?utf-8?q?...?=) so C11 header decoding is value-checked;
+    size_bytes is the full raw-message byte length, which the DuckDB
+    twin reconstructs header-for-header."""
+    from datetime import datetime, timedelta, timezone
+    from email.utils import format_datetime
+
+    from semantik_spark.sources.imap import mailbox_documents
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 17 == 2)
+        .select("doc_id", "text")
+        .collect()
+    )
+    msgs: dict[int, bytes] = {}
+    for r in rows:
+        d = r["doc_id"]
+        subj = f"=?utf-8?q?Report_{d}?=" if d % 5 == 0 else f"Report {d}"
+        dt = datetime(1998, 1, 1, tzinfo=timezone.utc) + timedelta(minutes=d)
+        head = (
+            f"From: sender{d % 7}@example.com\r\n"
+            f"To: team@example.com\r\n"
+            f"Subject: {subj}\r\n"
+            f"Date: {format_datetime(dt)}\r\n"
+            f"MIME-Version: 1.0\r\n"
+            f"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        )
+        msgs[d] = head.encode("ascii") + r["text"][:200].encode("utf-8")
+    cursor = max(msgs) // 2
+    out = mailbox_documents(
+        spark, _FakeImapClient(msgs), "fixture.example.com",
+        last_seen_uid=cursor,
+    )
+    return out.select(
+        "uid", "size_bytes", "subject", "from_addr", "to_addr", "sent_at",
+        F.col("text").alias("body"), "parse_status",
+    )
+
+
+
 # The round-12 driver window, authoritative ORDER (VERDICT r11 item 1):
 # queries() returns these 50 first, then every other registered entry in
 # declaration order. tests/test_entry_contract.py asserts the window
@@ -5858,6 +6062,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_bf_from_sketch": q_stat_bf_from_sketch,
         "streaming_bf": q_streaming_bf,
         "streaming_psi": q_streaming_psi,
+        # --- round-12 additions (past the boundary; first driver row
+        # next rotation — tests/test_entry_contract.py
+        # ROUND13_WINDOW_MUST; growth capped at the r13 window's free
+        # slots, VERDICT r11 item 7: the source connectors get
+        # oracle-adjacent gates)
+        "source_file_filters": q_source_file_filters,
+        "source_git_sync": q_source_git_sync,
+        "source_imap_sync": q_source_imap_sync,
     }
     # reorder to the round-12 window contract: ROUND12_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
@@ -7453,6 +7665,80 @@ deltas AS (
 SELECT us, net,
        sum(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)::BIGINT AS concurrent
 FROM deltas"""
+    # --- round-12 additions: source-connector oracle gates ---
+    out["source_file_filters"] = """
+WITH sub AS (
+  SELECT doc_id AS d, text AS content
+  FROM documents WHERE doc_id % 19 = 3
+), f AS (
+  SELECT d, d % 5 AS c,
+         CASE d % 5 WHEN 0 THEN '.txt' WHEN 1 THEN '.md'
+              WHEN 2 THEN '.json' WHEN 3 THEN '.log' ELSE '.txt' END AS extension,
+         content
+  FROM sub
+)
+SELECT 'doc_' || d || extension AS file_name,
+       extension,
+       CASE extension WHEN '.txt' THEN 'text/plain'
+            WHEN '.md' THEN 'text/markdown'
+            ELSE 'application/json' END AS mime_type,
+       octet_length(encode(content))::BIGINT AS size_bytes,
+       sha256(content) AS content_hash
+FROM f
+WHERE c IN (0, 1, 2) AND octet_length(encode(content)) <= 280"""
+    out["source_git_sync"] = """
+WITH sub AS (
+  SELECT doc_id AS d, text FROM documents WHERE doc_id % 23 = 1
+), base AS (
+  SELECT CASE d % 3 WHEN 0 THEN 'src/doc_' || d || '.py'
+              ELSE 'docs/doc_' || d || '.md' END AS rel_path,
+         CASE WHEN d % 4 = 2 THEN 'changed' ELSE 'same' END AS status,
+         text || CASE WHEN d % 4 = 2
+                      THEN chr(10) || 'rev2' ELSE '' END AS content
+  FROM sub WHERE d % 3 <> 2
+), added AS (
+  SELECT 'src/new_' || d || '.py' AS rel_path, 'added' AS status,
+         'new ' || text AS content
+  FROM sub WHERE d % 4 = 3
+)
+SELECT rel_path, status,
+       octet_length(encode(content))::BIGINT AS size_bytes,
+       sha256(content) AS content_hash
+FROM (SELECT * FROM base UNION ALL SELECT * FROM added)"""
+    out["source_imap_sync"] = """
+WITH sub AS (
+  SELECT doc_id AS uid, substr(text, 1, 200) AS body,
+         TIMESTAMP '1998-01-01 00:00:00'
+           + doc_id * INTERVAL 1 MINUTE AS ts
+  FROM documents WHERE doc_id % 17 = 2
+), cur AS (
+  SELECT CAST(floor(max(uid) / 2) AS BIGINT) AS c FROM sub
+), msg AS (
+  SELECT uid, body, ts,
+         CASE WHEN uid % 5 = 0 THEN '=?utf-8?q?Report_' || uid || '?='
+              ELSE 'Report ' || uid END AS subj_hdr,
+         'sender' || (uid % 7) || '@example.com' AS from_addr
+  FROM sub
+)
+SELECT uid,
+       (octet_length(encode(
+          'From: ' || from_addr || chr(13) || chr(10) ||
+          'To: team@example.com' || chr(13) || chr(10) ||
+          'Subject: ' || subj_hdr || chr(13) || chr(10) ||
+          'Date: ' || strftime(ts, '%a, %d %b %Y %H:%M:%S') || ' +0000'
+                   || chr(13) || chr(10) ||
+          'MIME-Version: 1.0' || chr(13) || chr(10) ||
+          'Content-Type: text/plain; charset=utf-8'
+                   || chr(13) || chr(10) || chr(13) || chr(10)))
+        + octet_length(encode(body)))::BIGINT AS size_bytes,
+       'Report ' || uid AS subject,
+       from_addr,
+       'team@example.com' AS to_addr,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS sent_at,
+       body,
+       'parsed' AS parse_status
+FROM msg
+WHERE uid > (SELECT c FROM cur)"""
     return out
 
 

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "ivf_retrain_recall", "streaming_ks",
     # round-11 additions (streaming_bf/psi are one-rep replays)
     "stat_bf_from_sketch", "streaming_bf", "streaming_psi",
+    # round-12 additions (source-connector oracle gates)
+    "source_file_filters", "source_git_sync", "source_imap_sync",
 ]
 
 

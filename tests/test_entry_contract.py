@@ -267,8 +267,15 @@ PRUNED_ROUND12: tuple = (
 
 # Entries added AFTER the round-12 rotation: never driver-evaluated,
 # verified locally via tools/check_oracle.py (ORACLE_CHECKS.jsonl).
-# These MUST head the round-13 window, before ROUND13_R6_TAIL.
-ROUND13_WINDOW_MUST: tuple = ()
+# These MUST head the round-13 window, before ROUND13_R6_TAIL. Growth
+# is capped at 3 this round: the r13 window is exactly 3 MUSTs +
+# 3-entry r6 tail + the 44-entry r7 block.
+ROUND13_WINDOW_MUST: tuple = (
+    # VERDICT r11 item 7: the source connectors' oracle-adjacent gates
+    "source_file_filters",
+    "source_git_sync",
+    "source_imap_sync",
+)
 
 
 def test_every_query_has_an_oracle():
