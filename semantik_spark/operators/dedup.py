@@ -143,6 +143,12 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 3,
     denom = F.least("na", "nb")
     # threshold as an exact integer cross-multiplication: containment
     # >= t  <=>  n_common * SCALE >= t*SCALE * min(na, nb)
+    # Python round() here is half-EVEN, but it is quantization-safe
+    # (r12 audit): the DuckDB twin embeds the IDENTICAL Python-computed
+    # literal (oracles.q_containment builds t_scaled the same way), so
+    # both plans compare against the same integer — there is no
+    # engine-side rounding to diverge from. Do NOT route one side
+    # through quant.round_half_away without the other.
     t_scaled = int(round(threshold * 1_000_000))
     return (
         inter.where(F.col("n_common") * 1_000_000 >= t_scaled * denom)

@@ -690,6 +690,11 @@ def harmonic_centrality(edges: DataFrame, hops: int = 3, top_k: int = 20,
                     .select("u", "w", F.lit(t).alias("d")))
         best = cache(best.unionByName(new))
         frontier = new
+    # Python round() (half-EVEN) is quantization-safe here (r12 audit):
+    # the DuckDB twin embeds the IDENTICAL Python-computed weight
+    # literals (oracles.q_knn_harmonic renders round(1.0/d, 6) into its
+    # CASE arms), so both plans score with the same constants — keep
+    # the two sides' literal derivation in lockstep.
     weights = {d: round(1.0 / d, 6) for d in range(1, hops + 1)}
     wexpr = F.col("d").cast("double")
     for d, wgt in weights.items():
