@@ -187,7 +187,10 @@ def image_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 content = bytes(content) if content is not None else b""
                 fmt, w, h, c = decode_image_meta(content)
                 dg = hashlib.sha256(content).digest()
-                vec = [((dg[i] / 255.0) * 2 - 1) for i in range(feature_dim)]
+                # cycle the 32-byte digest: feature_dim > 32 must widen
+                # the stub vector, not IndexError the whole task (r12)
+                vec = [((dg[i % len(dg)] / 255.0) * 2 - 1)
+                       for i in range(feature_dim)]
                 norm = sum(x * x for x in vec) ** 0.5 or 1.0
                 rows.append({
                     "media_id": str(mid), "format": fmt, "width": w,

@@ -297,9 +297,17 @@ def market_concentration_hhi(lineitem: DataFrame, supplier: DataFrame,
     supplier/nation dims → nation-level groupBy over the
     SUPPLIER-bounded table. Nothing after the scan is corpus-sized.
     """
+    # widen to DECIMAL BEFORE the multiply/sum (the pricing_summary
+    # discipline, r12 review): sum(double)::DECIMAL was a knife-edge —
+    # engine-specific double accumulation order could flip the 2-dp
+    # cast at an exact half-cent; the decimal sum is exact and
+    # order-independent on both engines
     rev = (
         lineitem.groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(8,2)")
+                       - F.col("l_discount").cast("decimal(8,2)")))
+                   .cast("decimal(30,4)"))
              .cast("decimal(18,2)").alias("srev"))
     )
     base = (

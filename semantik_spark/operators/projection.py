@@ -554,7 +554,12 @@ def dbscan_projected(emb: DataFrame, eps_micro: int = 50_000,
             F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
             .when(F.col("_border_cl").isNotNull(), F.lit("border"))
             .otherwise(F.lit("noise")).alias("role"),
-            F.coalesce("_core_cl", "_border_cl").cast("bigint")
-            .alias("cluster_id"),
+            # cluster_id keeps the caller's id type: both label branches
+            # already carry it (the small path builds its frame with
+            # id_type, the distributed path propagates node ids), and a
+            # hardcoded BIGINT cast turned every STRING-keyed corpus's
+            # labels into NULL — the value the contract reserves for
+            # noise — while role still said core/border (r12 review)
+            F.coalesce("_core_cl", "_border_cl").alias("cluster_id"),
         )
     )

@@ -952,7 +952,11 @@ def theil_sen_daily(df: DataFrame, date_col: str = "o_orderdate",
     bounded grid first (the interval_overlap discipline).
     """
     daily = df.groupBy(F.col(date_col).alias("day")).agg(
-        F.sum(value_col).cast("decimal(18,2)").alias("rev"))
+        # widen each value to DECIMAL BEFORE the sum (r12 review, the
+        # pricing_summary discipline): sum(double)::DECIMAL was a
+        # half-cent knife-edge under engine-specific accumulation order
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("rev"))
     d0 = daily.agg(F.min("day").alias("d0"))
     idx = (
         daily.crossJoin(F.broadcast(d0))
@@ -1167,7 +1171,11 @@ def forecast_backtest_snaive(df: DataFrame, season: int = 7,
     calendar rows.
     """
     daily = df.groupBy(F.col(date_col).alias("day")).agg(
-        F.sum(value_col).cast("decimal(18,2)").alias("rev"))
+        # widen each value to DECIMAL BEFORE the sum (r12 review, the
+        # pricing_summary discipline): sum(double)::DECIMAL was a
+        # half-cent knife-edge under engine-specific accumulation order
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("rev"))
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     idx = (
         daily.crossJoin(F.broadcast(bounds))

@@ -5795,7 +5795,7 @@ def q_theil_sen_trend() -> str:
            "WHERE rn = floor((m+1)/2) OR rn = floor((m+2)/2)")
     return f"""
 WITH daily AS (
-  SELECT o_orderdate AS day, sum(o_totalprice)::DECIMAL(18,2) AS rev
+  SELECT o_orderdate AS day, sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS rev
   FROM orders GROUP BY 1),
 d0 AS (SELECT min(day) AS d0 FROM daily),
 idx AS (SELECT datediff('day', d0, day)::BIGINT AS i, rev FROM daily, d0),
@@ -6359,7 +6359,7 @@ def q_forecast_backtest(season: int = 7, holdout: int = 28) -> str:
     scaling by the train-period seasonal MAE."""
     return f"""
 WITH daily AS (
-  SELECT o_orderdate AS day, sum(o_totalprice)::DECIMAL(18,2) AS rev
+  SELECT o_orderdate AS day, sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS rev
   FROM orders GROUP BY 1),
 bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
 idx AS (

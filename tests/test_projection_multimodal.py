@@ -347,6 +347,40 @@ def test_dbscan_projected_textbook_fixture(spark):
         assert out[i]["role"] == "noise" and out[i]["cluster_id"] is None
 
 
+def test_dbscan_projected_string_ids_keep_cluster_labels(spark):
+    """r12 formula review: the output's cluster_id must keep the
+    CALLER's id type — a hardcoded BIGINT cast nulled every
+    string-keyed corpus's labels (NULL is the contract's noise value)
+    while role still said core, an inconsistent row no oracle sees
+    because the registry query is bigint-keyed."""
+    import math
+
+    from semantik_spark.operators.projection import (
+        _jl_signs, dbscan_projected)
+
+    s00 = _jl_signs(0, 64)[0]
+    s10 = _jl_signs(1, 64)[0]
+    step = 0.02
+
+    def vec(k: float):
+        return [k * step * math.sqrt(2.0)
+                / math.sqrt(s00 * s00 + s10 * s10)] + [0.0] * 63
+
+    rows = [(f"doc_{i}", vec(i * 0.5)) for i in range(6)] \
+        + [("doc_noise", vec(25))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = dbscan_projected(df, eps_micro=50_000, min_pts=4)
+    assert dict(res.dtypes)["cluster_id"] == "string"
+    out = {r["vec_id"]: r for r in res.collect()}
+    expect_cluster = min(f"doc_{i}" for i in range(6))  # min-label = doc_0
+    for i in range(6):
+        r = out[f"doc_{i}"]
+        assert r["role"] == "core"
+        assert r["cluster_id"] == expect_cluster, r
+    assert out["doc_noise"]["role"] == "noise"
+    assert out["doc_noise"]["cluster_id"] is None
+
+
 def test_dbscan_projected_no_cartesian(spark):
     from semantik_spark.operators.projection import dbscan_projected
 
