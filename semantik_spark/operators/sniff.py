@@ -113,7 +113,11 @@ def sniff_pdf(pdfs: DataFrame, uri_col: str = "uri",
         for pdf in batches:
             rows = []
             for u, c in zip(pdf["uri"], pdf["content"]):
-                raw = bytes(c)
+                # NULL binary degrades like the multimodal kernels'
+                # guard (r12 review) — bytes(None) would TypeError and
+                # kill the whole task; an empty blob is 0 pages/0 chars
+                # and sniffs as scanned, a filterable row
+                raw = bytes(c) if c is not None else b""
                 n_pages = len(re.findall(rb"/Type\s*/Page\b", raw))
                 try:
                     chars = len(_pdf_text(raw).strip())

@@ -70,6 +70,14 @@ def zorder_key(cols: list, bits: int = 16):
     b*len(cols)+i. Pure JVM bitwise expressions — one narrow
     projection, whole-stage-codegen'd."""
     n = len(cols)
+    if n * bits > 63:
+        # bit position n*bits-1 would land in the LONG sign bit: keys
+        # with it set sort NEGATIVE, silently breaking the curve order
+        # (r12 review). Fail fast; callers drop bits-per-column when
+        # interleaving more columns (4 cols -> bits <= 15).
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} interleaved"
+            " bits > 63 (long sign bit) — reduce bits or columns")
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

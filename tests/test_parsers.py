@@ -616,3 +616,19 @@ def test_rtf_fuzz_never_crashes_or_emits_surrogates():
         text.encode("utf-8")  # must be Arrow-encodable
 
     run()
+
+
+def test_sniff_pdf_null_content_degrades_not_fails(spark):
+    """r12 review: a NULL binary row must sniff as a scanned (0-page)
+    row, not TypeError the whole Arrow batch — the multimodal kernels'
+    NULL guard, applied to the PDF prober."""
+    from semantik_spark.operators.sniff import sniff_pdf
+
+    df = spark.createDataFrame(
+        [("a.pdf", None), ("b.pdf", b"%PDF-1.4 /Type /Page x")],
+        "uri string, content binary")
+    out = {r["uri"]: r for r in sniff_pdf(df).collect()}
+    assert out["a.pdf"]["n_pages"] == 0
+    assert out["a.pdf"]["text_chars"] == 0
+    assert out["a.pdf"]["is_scanned_pdf"] is True
+    assert out["b.pdf"]["n_pages"] == 1

@@ -1144,6 +1144,13 @@ def test_heavy_query_job_count_pins(spark):
         ("stat_bf_from_sketch", 52),
         ("streaming_bf", 25),
         ("streaming_psi", 12),
+        # round-12 additions (source-connector gates): each is a
+        # bounded fixture materialization (driver collect of the
+        # modulus subset) + one distributed enumerate — 4/7/7 warmed;
+        # a per-file action sneaking into an enumerate loop trips here
+        ("source_file_filters", 6),
+        ("source_git_sync", 10),
+        ("source_imap_sync", 10),
     ]
     for name, bound in pins:
         qs[name](spark, sf).count()  # warm: AQE stats settle

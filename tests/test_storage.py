@@ -119,3 +119,20 @@ class TestCompactionPlan:
                                target_bytes=1000, small_below=1000).collect()
         assert sum(r.n_files for r in plan) == 2  # 'big' untouched
         assert all(r.largest_file < 1000 for r in plan)
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """r12 review: interleaving n*bits > 63 would place the top bit in
+    the LONG sign bit — keys with it set sort negative and the curve
+    order silently breaks. The builder must fail fast instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from semantik_spark.operators.storage import zorder_key
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with _pytest.raises(ValueError, match="sign bit"):
+        zorder_key(cols, bits=16)  # 64 interleaved bits
+    # 4 cols x 15 bits = 60 — fine
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["a", "b", "c", "d"])
+    assert df.select(zorder_key(cols, bits=15).alias("z")).collect()[0]["z"] >= 0
