@@ -5548,9 +5548,12 @@ def q_source_git_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(repo)
 
     def _git(*args: str) -> None:
+        # core.autocrlf=false: the gate is hermetic across host git
+        # configs (ADVICE r12 — a CRLF-converting global gitconfig
+        # would change blob/working-tree bytes vs the written UTF-8)
         subprocess.run(
             ["git", "-c", "user.email=fixture@example.com",
-             "-c", "user.name=fixture", *args],
+             "-c", "user.name=fixture", "-c", "core.autocrlf=false", *args],
             cwd=repo, check=True, capture_output=True, timeout=600,
         )
 

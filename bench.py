@@ -454,6 +454,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # iteration filter: SPARK_GRAFT_ONLY="q1,q2" benches a subset (the
+    # suite is ~300 queries now, far past the quick-loop budget); the
+    # driver never sets it, so round artifacts stay full-suite. The
+    # subset run skips the serving/skew sections and overwrites
+    # BENCH_DETAIL.json, so copy artifacts aside before iterating.
+    only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
+
     # warm the JVM/parquet-footer caches with one tiny action so the
     # first measured query doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
@@ -465,25 +472,29 @@ def main() -> None:
     # the serving canary 1.7-2.6x the late-suite canary on a quiet
     # box). One throwaway build+serve on a 200-doc slice JITs those
     # code paths; it is excluded from every metric, and the section
-    # canary still reports any REAL box contention.
-    import shutil as _sh
-    import tempfile as _tf
+    # canary still reports any REAL box contention. SPARK_GRAFT_ONLY
+    # subset runs skip the serving section, so they skip this warm-up
+    # too (ADVICE r12) — no index-build tax on quick single-query loops.
+    if not only:
+        import shutil as _sh
+        import tempfile as _tf
 
-    from semantik_spark.operators import serving as _srv
-    from semantik_spark.oracles import SEARCH_QUERIES as _SQ
-    _wdir = _tf.mkdtemp(prefix="bench_warm_idx_")
-    try:
-        _wdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
-        _wq = spark.createDataFrame(_SQ, ["query_id", "query_text"])
-        _srv.build_index(_wdocs, _wdir)
-        _srv.bm25_serve(spark, _wdir, _wq, k=5).count()
-        _srv.dense_serve(spark, _wdir, _wq, k=5).count()
-        _srv.hybrid_serve(spark, _wdir, _wq, k=5, search_k=10).count()
-    finally:
-        _sh.rmtree(_wdir, ignore_errors=True)
-    from semantik_spark.functions.caching import release_all as _rel
-    _rel()
-    spark.catalog.clearCache()
+        from semantik_spark.operators import serving as _srv
+        from semantik_spark.oracles import SEARCH_QUERIES as _SQ
+        _wdir = _tf.mkdtemp(prefix="bench_warm_idx_")
+        try:
+            _wdocs = spark.read.parquet(
+                f"{sf_dir}/documents.parquet").limit(200)
+            _wq = spark.createDataFrame(_SQ, ["query_id", "query_text"])
+            _srv.build_index(_wdocs, _wdir)
+            _srv.bm25_serve(spark, _wdir, _wq, k=5).count()
+            _srv.dense_serve(spark, _wdir, _wq, k=5).count()
+            _srv.hybrid_serve(spark, _wdir, _wq, k=5, search_k=10).count()
+        finally:
+            _sh.rmtree(_wdir, ignore_errors=True)
+        from semantik_spark.functions.caching import release_all as _rel
+        _rel()
+        spark.catalog.clearCache()
 
     med: dict[str, float] = {}
     lo: dict[str, float] = {}
@@ -505,12 +516,6 @@ def main() -> None:
 
     pc = PlanCounters(spark)
     canary_start = _bench_canary(spark, sf_dir)
-    # iteration filter: SPARK_GRAFT_ONLY="q1,q2" benches a subset (the
-    # suite is ~300 queries now, far past the quick-loop budget); the
-    # driver never sets it, so round artifacts stay full-suite. The
-    # subset run skips the serving/skew sections and overwrites
-    # BENCH_DETAIL.json, so copy artifacts aside before iterating.
-    only = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
     bench_list = [q for q in BENCH_QUERIES if not only or q in only]
 
     # The serve block runs FIRST (the BASELINE.md latency gates deserve

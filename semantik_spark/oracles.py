@@ -6155,8 +6155,20 @@ def q_market_hhi() -> str:
     shares per nation, 9-dp DECIMAL share² accumulation, x10000 HHI."""
     return """
 WITH rev AS (
+  -- mirror the Spark derivation exactly (ADVICE r12: the r12 fix
+  -- widened only the Spark side; a double accumulation here kept the
+  -- half-cent knife-edge alive in the oracle): widen each VALUE to
+  -- DECIMAL before the multiply, sum exactly, then reduce scale once.
+  -- The explicit round() is load-bearing — DuckDB's decimal->decimal
+  -- scale-reduction cast TRUNCATES (1.2350::DEC(30,4)::DEC(18,2) =
+  -- 1.23, .1651 -> .16) while Spark's cast rounds HALF_UP; round()
+  -- is half-away on both engines and revenue is positive, so
+  -- round-then-cast == Spark's cast (sf0.001 supplier 0 sums to
+  -- ...678.1651 — a live case, not a hypothetical)
   SELECT l_suppkey,
-         (sum(l_extendedprice * (1 - l_discount)))::DECIMAL(18,2) AS srev
+         round(sum((l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(8,2) - l_discount::DECIMAL(8,2))
+                   )::DECIMAL(30,4)), 2)::DECIMAL(18,2) AS srev
   FROM lineitem GROUP BY l_suppkey),
 base AS (
   SELECT n.n_name, rev.srev

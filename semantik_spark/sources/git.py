@@ -34,8 +34,12 @@ class GitConnectorError(RuntimeError):
 
 
 def _run_git(args: list[str], cwd: str | None = None) -> str:
+    # -c core.autocrlf=false: working-tree bytes must equal blob bytes
+    # regardless of the host's global gitconfig — a CRLF-converting
+    # config would make size_bytes/content_hash environment-dependent
     proc = subprocess.run(
-        ["git", *args], cwd=cwd, capture_output=True, text=True, timeout=600
+        ["git", "-c", "core.autocrlf=false", *args],
+        cwd=cwd, capture_output=True, text=True, timeout=600,
     )
     if proc.returncode != 0:
         raise GitConnectorError(f"git {' '.join(args)} failed: {proc.stderr.strip()}")
