@@ -5651,10 +5651,10 @@ def q_source_imap_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# The round-12 driver window, authoritative ORDER (VERDICT r11 item 1):
-# queries() returns these 50 first, then every other registered entry in
-# declaration order. tests/test_entry_contract.py asserts the window
-# exactly. Composition: the 3 round-11 additions (first-ever driver
+# The round-12 driver window (HISTORICAL — superseded by ROUND13_WINDOW
+# below; kept as the committed record of the CORRECTNESS_r12 contract):
+# queries() returned these 50 first, then every other registered entry
+# in declaration order. Composition: the 3 round-11 additions (first-ever driver
 # rows, ROUND12_WINDOW_MUST), the 8 r5 anchors that did not fit the
 # round-11 window (ROUND12_R5_CARRY), then 39 of the 42 surviving r6
 # anchors (alphabetical; 6 of the original 48 were pruned as
@@ -5728,21 +5728,86 @@ ROUND13_R6_TAIL: tuple = (
     "top_supplier",
 )
 
+# The round-13 driver window, authoritative ORDER (VERDICT r12 item 1):
+# the 3 round-12 additions take their first-ever driver rows
+# (tests/test_entry_contract.py ROUND13_WINDOW_MUST — the real-connector
+# source gates), then the one-time 7-round ROUND13_R6_TAIL, then the
+# full 44-entry r7 block (every entry whose last driver row is
+# CORRECTNESS_r07, minus the 4 pruned round 12 — alphabetical). 3 + 3 +
+# 44 = exactly 50; this drains never-driver-verified entries to ZERO
+# and leaves r14 = r13 MUSTs + the 45-entry r8 block with 5 free slots.
+ROUND13_WINDOW: tuple = (
+    # round-12 additions — first driver rows (ROUND13_WINDOW_MUST)
+    "source_file_filters",
+    "source_git_sync",
+    "source_imap_sync",
+    # the one-time seven-round tail (ROUND13_R6_TAIL, README rotation)
+    "market_share",
+    "nation_trade_volume",
+    "top_supplier",
+    # the 44 r7-anchored entries (last driver row CORRECTNESS_r07)
+    "benchmark_mapping",
+    "benchmark_matrix",
+    "bm25_corpus_stats",
+    "bm25_stats_merge",
+    "bm25_term_stats",
+    "bpe_merges_sampled",
+    "cdc_chunks_scan",
+    "cdc_dedup",
+    "chunk_character",
+    "chunk_hierarchical",
+    "chunk_hybrid",
+    "chunk_markdown",
+    "chunk_recursive",
+    "chunk_semantic",
+    "collection_counters",
+    "compaction_plan",
+    "dataset_split",
+    "decontaminate",
+    "dedup_sentences",
+    "embedding_quantize",
+    "events_cusum",
+    "events_trend",
+    "extract_entities",
+    "extract_keywords",
+    "incremental_changed",
+    "jl_projection",
+    "knn_bruteforce",
+    "knn_communities",
+    "knn_ivf",
+    "knn_ivfpq_serve",
+    "knn_lsh",
+    "knn_pq",
+    "knn_quantized",
+    "lm_quality",
+    "pack_sequences",
+    "pca_projection",
+    "pii_redact",
+    "predicate_route",
+    "projection_labels",
+    "quality_sample",
+    "run_dead_letter",
+    "run_status_counts",
+    "scd2_asof_join",
+    "stale_marking",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 12 — VERDICT r11 item 1): the
+    # ORDERING CONTRACT (rotated for round 13 — VERDICT r12 item 1): the
     # correctness driver evaluates only the first 50 entries, and the
     # window's job is STALENESS ROTATION — first-ever driver rows for
     # queries added since the last rotation, behavior-changed entries,
-    # then the longest-unrefreshed anchors. ROUND12_WINDOW above is the
+    # then the longest-unrefreshed anchors. ROUND13_WINDOW above is the
     # authoritative order; the dict below keeps its historical (r10)
     # declaration order and is reordered at return. Window arithmetic:
-    # with 287 registered entries (303 minus the 16 pruned round 12) and
-    # a 50-slot window the refresh floor is a SIX-round cycle — the
-    # window drains the oldest block each round (r11 took 38 of 46 r5
-    # anchors; r12 takes the remaining 8 + 39 of the 42 surviving r6
-    # anchors; the 3-entry ROUND13_R6_TAIL ages to seven rounds ONCE
-    # and heads the round-13 window).
+    # with 290 registered entries and a 50-slot window the refresh
+    # floor is a SIX-round cycle — the window drains the oldest block
+    # each round (r12 took the 8-entry r5 remainder + 39 of the 42
+    # surviving r6 anchors; r13 = the 3 source-gate MUSTs + the
+    # 3-entry ROUND13_R6_TAIL, aging to seven rounds exactly once +
+    # the full 44-entry r7 block; r14 = r13 additions + the 45-entry
+    # r8 block, 5 slots free).
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -6074,10 +6139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_git_sync": q_source_git_sync,
         "source_imap_sync": q_source_imap_sync,
     }
-    # reorder to the round-12 window contract: ROUND12_WINDOW first
+    # reorder to the round-13 window contract: ROUND13_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
-    window = set(ROUND12_WINDOW)
-    ordered = list(ROUND12_WINDOW) + [k for k in _q if k not in window]
+    window = set(ROUND13_WINDOW)
+    ordered = list(ROUND13_WINDOW) + [k for k in _q if k not in window]
     return {k: _fresh(_q[k]) for k in ordered}
 
 

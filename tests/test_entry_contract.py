@@ -277,6 +277,13 @@ ROUND13_WINDOW_MUST: tuple = (
     "source_imap_sync",
 )
 
+# Entries added AFTER the round-13 rotation: never driver-evaluated,
+# verified locally via tools/check_oracle.py (ORACLE_CHECKS.jsonl).
+# These MUST head the round-14 window, before the 45-entry r8 block.
+# Growth is capped at 5 this round (the r14 window's free slots:
+# 50 - 45 r8 anchors = 5).
+ROUND14_WINDOW_MUST: tuple = ()
+
 
 def test_every_query_has_an_oracle():
     qs = entrymod.queries()
@@ -289,38 +296,43 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-12 window contract (README 'Correctness window rotation'):
-    the first 50 queries() entries ARE __spark_entry__.ROUND12_WINDOW,
+    """Round-13 window contract (README 'Correctness window rotation'):
+    the first 50 queries() entries ARE __spark_entry__.ROUND13_WINDOW,
     in order — the driver hash-checks exactly this slice."""
     window = list(entrymod.queries())[:50]
-    assert window == list(entrymod.ROUND12_WINDOW), (
-        "driver window diverged from ROUND12_WINDOW")
-    # the 3 round-11 additions take their first driver row this round
-    # and MUST head the window, then the 8 carried r5 anchors
-    assert window[:3] == list(ROUND12_WINDOW_MUST)
-    assert window[3:11] == list(ROUND12_R5_CARRY)
+    assert window == list(entrymod.ROUND13_WINDOW), (
+        "driver window diverged from ROUND13_WINDOW")
+    # the 3 round-12 additions (real-connector source gates) take their
+    # first driver row this round and MUST head the window, then the
+    # one-time seven-round r6 tail; the remaining 44 slots are the FULL
+    # r7 block (every entry whose last driver row is CORRECTNESS_r07,
+    # minus the 4 pruned round 12) — this drains never-driver-verified
+    # entries to zero
+    assert window[:3] == list(ROUND13_WINDOW_MUST)
+    assert window[3:6] == list(entrymod.ROUND13_R6_TAIL)
+    assert len(entrymod.ROUND13_WINDOW) == 50
     # past-boundary entries are behavior-anchored by earlier driver
-    # rounds (r6-r11 green rows) — they must stay registered (minus the
-    # 8 near-redundant entries pruned in round 12, PRUNED_ROUND12)
+    # rounds (r6-r12 green rows) — they must stay registered (minus the
+    # 16 near-redundant entries pruned in round 12, PRUNED_ROUND12)
     names = set(entrymod.queries())
     pruned = set(PRUNED_ROUND12)
     assert pruned.isdisjoint(names), "pruned query still registered"
     for must in (ROUND9_WINDOW_MUST + ROUND10_WINDOW_MUST
                  + ROUND10_R5_FILL + ROUND12_R5_CARRY
-                 + ROUND11_WINDOW_MUST):
+                 + ROUND11_WINDOW_MUST + ROUND12_WINDOW_MUST):
         if must in pruned:
             continue
         assert must in names, f"{must} (anchor) not registered"
-    # the one-time 7-round tail: the 3 r6 anchors that did not fit the
-    # round-12 window. They must stay registered, head the round-13
-    # window, and carry a fresh tools/check_oracle.py row this round.
-    tail = list(entrymod.ROUND13_R6_TAIL)
-    assert len(tail) == 3 and all(t in names for t in tail)
-    assert not set(tail) & set(window), (
-        "tail entries are by definition outside the r12 window")
-    # round-13 candidates (added this round, past the boundary):
-    # registered, awaiting their first driver row next rotation
-    for must in ROUND13_WINDOW_MUST:
+    # the r12 window anchors stay registered (they are the freshest
+    # driver-green rows and must not silently drop out)
+    for anchor in entrymod.ROUND12_WINDOW:
+        assert anchor in names, f"{anchor} (r12 anchor) not registered"
+    # round-14 candidates (added this round, past the boundary):
+    # registered, awaiting their first driver row next rotation;
+    # growth capped at the r14 window's 5 free slots
+    assert len(ROUND14_WINDOW_MUST) <= 5, (
+        "r13 registry growth exceeds the r14 window's free slots")
+    for must in ROUND14_WINDOW_MUST:
         assert must in names, f"{must} not registered"
 
 
@@ -365,9 +377,9 @@ def test_readme_rotation_section_references_constants_not_lists():
 
     text = open("/root/repo/README.md").read()
     sec = text.split("## Correctness window rotation")[1].split("\n## ")[0]
-    for const in ("ROUND12_WINDOW", "ROUND12_WINDOW_MUST",
-                  "ROUND12_R5_CARRY", "ROUND13_WINDOW_MUST",
-                  "ROUND13_R6_TAIL", "PRUNED_ROUND12"):
+    for const in ("ROUND13_WINDOW", "ROUND13_WINDOW_MUST",
+                  "ROUND13_R6_TAIL", "ROUND14_WINDOW_MUST",
+                  "PRUNED_ROUND12"):
         assert const in sec, f"rotation prose lost its {const} reference"
     keys = set(entrymod.queries()) | set(PRUNED_ROUND12)
     tokens = set(re.findall(r"[a-z][a-z0-9_]{2,}", sec))
