@@ -20,6 +20,19 @@ FIRST — they are functions of the physical plan at a fixed SF, immune
 to box contention. A wall-clock mover whose counters are unchanged is
 noise by definition; a counter diff is a real plan change regardless of
 what the wall-clock says.
+
+Mover attribution (VERDICT r12 item 2): every wall-clock regression is
+labeled with its evidence class, using the rep-MINIMUM
+(``queries_min``) as the contention-resistant signal — a transient
+burst inflates the median but not the min; a run-context change (suite
+reorder, cache-hermeticity change, cold-vs-warm placement) raises BOTH:
+
+  plan          counters changed — a real physical-plan move
+  contention    the query's own section canary rose with it — box load
+  context-shift min AND median up, counters unchanged, section canary
+                quiet — the measurement context changed (r12's hermetic
+                cache-release re-baselined ~13 walls this way)
+  burst         median up but min stable — transient noise within reps
 """
 
 from __future__ import annotations
@@ -29,7 +42,8 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict]:
+def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict,
+                             dict[str, float]]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
@@ -46,18 +60,23 @@ def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict]:
             continue
         for name in sec.get("queries", []):
             sec_canary[name] = float(c)
-    return times, counters, sec_canary
+    # rep minima (BENCH_DETAIL "queries_min") — the contention-
+    # resistant comparison basis (VERDICT r12 item 2)
+    mins = {k: float(v) for k, v in d.get("queries_min", {}).items()
+            if isinstance(v, (int, float))}
+    return times, counters, sec_canary, mins
 
 
-def diff_counters(old_c: dict, new_c: dict) -> bool:
-    """Diff plan counters; returns True when counters were comparable.
+def diff_counters(old_c: dict, new_c: dict) -> set[str] | None:
+    """Diff plan counters; returns the set of counter-changed query
+    names when counters were comparable, None otherwise.
 
     Jobs/stages are exactly deterministic for a fixed plan+SF (modulo
     AQE decisions, which are themselves data-determined); shuffle bytes
     vary only with compression jitter, so they get a 10% band."""
     shared = sorted(k for k in old_c if k in new_c)
     if not shared:
-        return False
+        return None
     movers = []
     for k in shared:
         o, n = old_c[k], new_c[k]
@@ -78,8 +97,8 @@ def diff_counters(old_c: dict, new_c: dict) -> bool:
             print(f"  {k}: {msg}")
     else:
         print("== no plan changes: every wall-clock mover below is "
-              "contention or data noise")
-    return True
+              "contention, context shift, or data noise")
+    return {k for k, _ in movers}
 
 
 def main() -> None:
@@ -88,12 +107,13 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.3)
     args = ap.parse_args()
-    old, old_counters, old_sec = load(args.old)
-    new, new_counters, new_sec = load(args.new)
-    had_counters = diff_counters(old_counters, new_counters)
-    if not had_counters:
+    old, old_counters, old_sec, old_min = load(args.old)
+    new, new_counters, new_sec, new_min = load(args.new)
+    plan_movers = diff_counters(old_counters, new_counters)
+    if plan_movers is None:
         print("# no plan counters in one or both runs - wall-clock only "
               "(counters require a bench.py run with SPARK_GRAFT_UI=1)")
+        plan_movers = set()
     c_old, c_new = old.get("noise_canary"), new.get("noise_canary")
     deflate = (c_old / c_new) if (c_old and c_new) else 1.0
     if deflate > 1.0:
@@ -119,6 +139,28 @@ def main() -> None:
         print(f"# per-section canaries present for {n_sectioned}/{len(shared)}"
               f" shared metrics -> those normalize by their OWN section's"
               f" canary (VERDICT r11 item 2); the rest use the global rule")
+    n_mins = sum(1 for k in shared if k in old_min and k in new_min)
+    if n_mins:
+        print(f"# rep minima present for {n_mins}/{len(shared)} shared "
+              f"metrics -> regressions are attributed (VERDICT r12 item 2: "
+              f"min+median up with quiet canary and unchanged counters = "
+              f"context shift, not contention)")
+
+    def _classify(k: str, med_ratio: float) -> str:
+        """Attribute a regression to {plan, contention, context-shift,
+        burst} per the doctrine in the module docstring."""
+        if k in plan_movers:
+            return "plan"
+        if (k in old_sec and k in new_sec and old_sec[k] > 0
+                and new_sec[k] / old_sec[k] >= args.threshold):
+            return "contention"
+        if k in old_min and k in new_min and old_min[k] > 0.05:
+            min_ratio = new_min[k] / old_min[k]
+            if min_ratio >= args.threshold:
+                return "context-shift"
+            return "burst"
+        return "unattributed"
+
     worse, better = [], []
     for k in shared:
         o = old[k]
@@ -137,15 +179,19 @@ def main() -> None:
             r = n / o if o else 1.0
             basis = "glob"
         if r >= args.threshold:
-            worse.append((r, k, o, new[k], n, basis))
+            worse.append((r, k, o, new[k], n, basis, _classify(k, r)))
         elif r <= 1.0 / args.threshold:
             better.append((r, k, o, new[k], n, basis))
     print(f"# {len(shared)} shared metrics, threshold x{args.threshold}")
     if worse:
         print("== REGRESSED (ratio, metric, old_s, new_raw_s, "
-              "new_normalized_s, basis):")
-        for r, k, o, nr, nd, b in sorted(worse, reverse=True):
-            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} (norm {nd:.3f}, {b})")
+              "new_normalized_s, basis, class):")
+        for r, k, o, nr, nd, b, cls in sorted(worse, reverse=True):
+            extra = ""
+            if k in old_min and k in new_min:
+                extra = f", min {old_min[k]:.3f}->{new_min[k]:.3f}"
+            print(f"  x{r:.2f}  {k}  {o:.3f} -> {nr:.3f} "
+                  f"(norm {nd:.3f}, {b}{extra}) [{cls}]")
     else:
         print("== no regressions past threshold")
     if better:
