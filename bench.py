@@ -509,10 +509,19 @@ def main() -> None:
     # by the query's OWN section canary before flagging.
     sections: dict[str, dict] = {}
 
-    def _open_section(name: str) -> None:
+    def _open_section(name: str, context: str) -> None:
+        # `context` names the MEASUREMENT CONTEXT the section's counters
+        # are captured in (VERDICT r12 item 3): the same code measures
+        # different counters cold vs warm (index_build: 39 jobs/1.8 MB
+        # cold-session vs 21/12 KB post-suite — FileIndex listing and
+        # broadcast-materialization jobs, AQE decisions differ with
+        # cache state). Recording it per section lets compare_bench
+        # flag a counter mover whose context changed (a suite reorder)
+        # as a re-baseline instead of a plan change — and vice versa.
         c = round(_bench_canary(spark, sf_dir), 3)
-        sections[name] = {"canary_sec": c, "queries": []}
-        print(f"# section {name}: canary {c:.3f}s", file=sys.stderr)
+        sections[name] = {"canary_sec": c, "queries": [], "context": context}
+        print(f"# section {name}: canary {c:.3f}s [{context}]",
+              file=sys.stderr)
 
     pc = PlanCounters(spark)
     canary_start = _bench_canary(spark, sf_dir)
@@ -524,11 +533,13 @@ def main() -> None:
     # then the skew stress, then the main registry sweep in 50-query
     # sections.
     if not only:
-        _open_section("serving")
+        _open_section("serving", "cold-session (serve-first, after the"
+                      " throwaway JIT warm-up; caches cleared at close)")
         before = set(med)
         _bench_serving(spark, sf_dir, med, lo, hi, pc, counters)
         sections["serving"]["queries"] = sorted(set(med) - before)
-        _open_section("skew")
+        _open_section("skew", "warm-session position 2, hermetic"
+                      " (post-serving; caches cleared at close)")
         before = set(med)
         _bench_skew(spark, sf_dir, med, lo, hi, pc, counters)
         sections["skew"]["queries"] = sorted(set(med) - before)
@@ -546,7 +557,10 @@ def main() -> None:
     for qi, name in enumerate(bench_list):
         if qi % section_size == 0:
             cur_section = f"main_{qi // section_size:02d}"
-            _open_section(cur_section)
+            _open_section(cur_section,
+                          f"warm-session, registry sweep slot"
+                          f" {qi // section_size} (after hermetic"
+                          f" serve/skew sections)")
         times = []
         n = 0
         reps = 1 if name in ONE_REP_QUERIES else REPS

@@ -82,6 +82,39 @@ def test_contention_when_section_canary_rises(tmp_path):
     assert "[contention]" in out
 
 
+def test_counter_mover_with_changed_context_is_annotated(tmp_path):
+    # VERDICT r12 item 3: the same code measures different counters
+    # cold vs warm (index_build 39 jobs cold-session, 21 post-suite).
+    # When a counter mover's section context differs between runs the
+    # diff must say so, so a suite reorder cannot masquerade as (or
+    # mask) a plan change.
+    sections_old = {"main_00": {"canary_sec": 0.2, "queries": ["q"],
+                                "context": "warm-session, slot 0"}}
+    sections_new = {"serving": {"canary_sec": 0.2, "queries": ["q"],
+                                "context": "cold-session (serve-first)"}}
+    old = _detail({"q": 1.0, "noise_canary": 0.2}, {"q": 0.95},
+                  {"q": COUNT}, sections_old)
+    new = _detail({"q": 1.1, "noise_canary": 0.2}, {"q": 1.0},
+                  {"q": {"jobs": 20, "stages": 20,
+                         "shuffle_write_bytes": 1000}}, sections_new)
+    out = _run(tmp_path, old, new)
+    assert "MEASUREMENT CONTEXT CHANGED" in out
+    assert "cold-session (serve-first)" in out
+
+
+def test_counter_mover_same_context_not_annotated(tmp_path):
+    sections = {"main_00": {"canary_sec": 0.2, "queries": ["q"],
+                            "context": "warm-session, slot 0"}}
+    old = _detail({"q": 1.0, "noise_canary": 0.2}, {"q": 0.95},
+                  {"q": COUNT}, sections)
+    new = _detail({"q": 1.1, "noise_canary": 0.2}, {"q": 1.0},
+                  {"q": {"jobs": 20, "stages": 20,
+                         "shuffle_write_bytes": 1000}}, sections)
+    out = _run(tmp_path, old, new)
+    assert "PLAN CHANGED" in out
+    assert "MEASUREMENT CONTEXT CHANGED" not in out
+
+
 def test_quiet_run_reports_no_regressions(tmp_path):
     old = _detail({"q": 1.0, "noise_canary": 0.2}, {"q": 0.95},
                   {"q": COUNT})

@@ -1001,7 +1001,15 @@ def test_serve_paths_job_count_pins(spark, tmp_path):
     shows up here as a counter diff, deterministically. Bounds are the
     measured warmed counts (bm25 9, dense 5, ivf 6, hybrid 13 — also
     recorded per-run in BENCH_DETAIL.json queries_counters); pinned as
-    <= so only regressions trip, never an optimization."""
+    <= so only regressions trip, never an optimization.
+
+    MEASUREMENT CONTEXT (VERDICT r12 item 3): warmed-in-process — each
+    path executes once unmeasured immediately before the pinned run in
+    the same session, so the pin is suite-order-invariant by
+    construction. NOT comparable to BENCH_DETAIL's serving-section
+    counters, which are captured cold-session (serve-first): the same
+    code measures extra FileIndex-listing/broadcast jobs cold (e.g.
+    index_build 39 cold vs 21 warmed)."""
     from semantik_spark.operators import serving
 
     docs = _mk_docs(spark)
@@ -1076,7 +1084,9 @@ def test_dedup_canonical_job_count_pin(spark):
     is plan-determined (measured 44 on BOTH the unit corpus and sf0.1
     — LSH chain + checkpointed pair table + CC rounds + ranking), so
     the regression net is this pin, not a wall number. <= so only
-    regressions trip."""
+    regressions trip. MEASUREMENT CONTEXT: warmed-in-process (the
+    unmeasured warming run precedes the pinned run in-session) —
+    suite-order-invariant by construction."""
     from semantik_spark.operators.dedup import canonical_docs
 
     rows = []
@@ -1108,7 +1118,12 @@ def test_heavy_query_job_count_pins(spark):
     counts are plan-determined at a fixed SF, so a refactor that adds
     a per-item action or an unexpected exchange trips the pin before
     any wall-clock number moves. Bounds = warmed sf0.001 counts +
-    small headroom; <= so only regressions trip."""
+    small headroom; <= so only regressions trip.
+
+    MEASUREMENT CONTEXT: warmed-in-process (one unmeasured warming run
+    immediately before each pinned run, same session) — suite-order-
+    invariant by construction; compare against bench.py counters only
+    within the same context (BENCH_DETAIL sections record theirs)."""
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
@@ -1168,7 +1183,11 @@ def test_ivfpq_index_build_job_count_pin(spark, tmp_path):
     item 7): write_ivfpq_index at the bench parameters is
     plan-determined (sampled coarse training + m sub-quantizer
     trainings + the assignment/encode passes) — 15 warmed jobs at
-    sf0.001; headroom to 20 so only a structural regression trips."""
+    sf0.001; headroom to 20 so only a structural regression trips.
+    MEASUREMENT CONTEXT: warmed-in-process (an unmeasured build runs
+    first in-session) — suite-order-invariant by construction; the
+    bench's cold-session index_build measures more (39: FileIndex
+    listing + broadcast-materialization jobs)."""
     from pyspark.sql import functions as F
 
     from semantik_spark.operators import serving

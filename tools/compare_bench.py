@@ -43,7 +43,7 @@ import sys
 
 
 def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict,
-                             dict[str, float]]:
+                             dict[str, float], dict[str, str]]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and isinstance(d["parsed"], dict):
@@ -52,28 +52,45 @@ def load(path: str) -> tuple[dict[str, float], dict[str, dict], dict,
     times = {k: float(v) for k, v in q.items() if isinstance(v, (int, float))}
     counters = d.get("queries_counters", {})
     # per-section canaries (VERDICT r11 item 2): query -> its own
-    # section's canary seconds, from bench.py's "sections" block
+    # section's canary seconds, from bench.py's "sections" block;
+    # per-section measurement context (VERDICT r12 item 3): query ->
+    # the context string its counters were captured in
     sec_canary: dict[str, float] = {}
+    sec_ctx: dict[str, str] = {}
     for sec in d.get("sections", {}).values():
         c = sec.get("canary_sec")
-        if not c:
-            continue
+        ctx = sec.get("context")
         for name in sec.get("queries", []):
-            sec_canary[name] = float(c)
+            if c:
+                sec_canary[name] = float(c)
+            if ctx:
+                sec_ctx[name] = ctx
     # rep minima (BENCH_DETAIL "queries_min") — the contention-
     # resistant comparison basis (VERDICT r12 item 2)
     mins = {k: float(v) for k, v in d.get("queries_min", {}).items()
             if isinstance(v, (int, float))}
-    return times, counters, sec_canary, mins
+    return times, counters, sec_canary, mins, sec_ctx
 
 
-def diff_counters(old_c: dict, new_c: dict) -> set[str] | None:
+def diff_counters(old_c: dict, new_c: dict,
+                  old_ctx: dict[str, str] | None = None,
+                  new_ctx: dict[str, str] | None = None) -> set[str] | None:
     """Diff plan counters; returns the set of counter-changed query
     names when counters were comparable, None otherwise.
 
     Jobs/stages are exactly deterministic for a fixed plan+SF (modulo
     AQE decisions, which are themselves data-determined); shuffle bytes
-    vary only with compression jitter, so they get a 10% band."""
+    vary only with compression jitter, so they get a 10% band.
+
+    Measurement context (VERDICT r12 item 3): counters depend on WHERE
+    in the suite they were captured — the same code measures 39 jobs /
+    1.8 MB cold-session and 21 jobs / 12 KB post-suite (index_build:
+    FileIndex listing + broadcast-materialization jobs, cache-dependent
+    AQE decisions). When both runs carry per-section ``context``
+    strings and a counter mover's context CHANGED between runs, the
+    mover is annotated as context-changed: re-probe both trees in ONE
+    context before calling it a plan change."""
+    old_ctx, new_ctx = old_ctx or {}, new_ctx or {}
     shared = sorted(k for k in old_c if k in new_c)
     if not shared:
         return None
@@ -88,6 +105,12 @@ def diff_counters(old_c: dict, new_c: dict) -> set[str] | None:
         if max(ob, nb) > 0 and min(ob, nb) / max(ob, nb) < 0.9:
             deltas.append(f"shuffle {ob / 1e6:.2f}->{nb / 1e6:.2f} MB")
         if deltas:
+            oc, nc = old_ctx.get(k), new_ctx.get(k)
+            if oc and nc and oc != nc:
+                deltas.append(
+                    f"MEASUREMENT CONTEXT CHANGED ['{oc}' -> '{nc}'] — "
+                    f"counter delta may be a context re-baseline, not a "
+                    f"plan change; re-probe both trees in one context")
             movers.append((k, "; ".join(deltas)))
     print(f"## PLAN COUNTERS ({len(shared)} shared queries) — the "
           f"contention-immune signal; diff these before wall-clock")
@@ -107,9 +130,10 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.3)
     args = ap.parse_args()
-    old, old_counters, old_sec, old_min = load(args.old)
-    new, new_counters, new_sec, new_min = load(args.new)
-    plan_movers = diff_counters(old_counters, new_counters)
+    old, old_counters, old_sec, old_min, old_ctx = load(args.old)
+    new, new_counters, new_sec, new_min, new_ctx = load(args.new)
+    plan_movers = diff_counters(old_counters, new_counters,
+                                old_ctx, new_ctx)
     if plan_movers is None:
         print("# no plan counters in one or both runs - wall-clock only "
               "(counters require a bench.py run with SPARK_GRAFT_UI=1)")
