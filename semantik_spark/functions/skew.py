@@ -47,7 +47,16 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
         if not others:
             raise ValueError("skewed side needs a non-key column to fingerprint")
         fingerprint_col = others[0]
-    probe = skewed.withColumn(_SALT, (hash60(F.col(fingerprint_col).cast("string")) % salt).cast("int"))
+    # NULL fingerprints must still land in a REAL salt bucket: hash60
+    # of NULL is NULL, and a NULL salt key silently DROPS the row from
+    # an inner join (and fabricates an unmatched row in a left join) —
+    # breaking the row-identity contract for any corpus with NULLs in
+    # the fingerprint column (r13 formula review). Coalesce to '' so
+    # NULL-fingerprint rows all hash to one deterministic bucket.
+    probe = skewed.withColumn(
+        _SALT,
+        (hash60(F.coalesce(F.col(fingerprint_col).cast("string"),
+                           F.lit(""))) % salt).cast("int"))
     build = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -41,6 +41,37 @@ SESSION_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
 
 
+def _fold_running_stats(pdfs: "Iterator[pd.DataFrame]", size_col: str,
+                        hash_col: str,
+                        init: tuple[int, int, Any]) -> tuple[int, int, Any]:
+    """Pure fold for running_source_stats — exposed for direct testing.
+
+    "Last hash" within one micro-batch is the hash of the row with the
+    MAXIMUM order key across ALL Arrow chunks of the group, not the
+    last chunk's maximum: the iterator's chunk boundaries are
+    Arrow-batch-size dependent (nondeterministic), so a per-chunk
+    `sort_values().iloc[-1]` that lets later chunks overwrite earlier
+    ones would make the emitted hash depend on how the group happened
+    to be chunked (r13 formula review — the claim of determinism held
+    only for single-chunk groups)."""
+    n_docs, total_bytes, last_hash = init
+    best: tuple[Any, Any] | None = None  # (order_value, hash) this batch
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        total_bytes += int(pdf[size_col].fillna(0).sum())
+        if len(pdf) and hash_col in pdf.columns:
+            order_col = "doc_id" if "doc_id" in pdf.columns else hash_col
+            chunk = pdf[[order_col, hash_col]].dropna(subset=[order_col])
+            if len(chunk):
+                row = chunk.loc[chunk[order_col].idxmax()]
+                cand = (row[order_col], row[hash_col])
+                if best is None or cand[0] > best[0]:
+                    best = cand
+    if best is not None:
+        last_hash = best[1]
+    return n_docs, total_bytes, last_hash
+
+
 def running_source_stats(docs: DataFrame, key_col: str = "source",
                          size_col: str = "n_chars", hash_col: str = "content_hash") -> DataFrame:
     """Per-source running ingest counters, updated every micro-batch.
@@ -52,19 +83,9 @@ def running_source_stats(docs: DataFrame, key_col: str = "source",
 
     def update(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            n_docs, total_bytes, last_hash = state.get
-        else:
-            n_docs, total_bytes, last_hash = 0, 0, None
-        for pdf in pdfs:
-            n_docs += len(pdf)
-            total_bytes += int(pdf[size_col].fillna(0).sum())
-            if len(pdf) and hash_col in pdf.columns:
-                # row order inside a micro-batch group is partition-order
-                # dependent — sort on a stable column so "last hash" is
-                # deterministic across runs
-                order_col = "doc_id" if "doc_id" in pdf.columns else hash_col
-                last_hash = pdf.sort_values(order_col)[hash_col].iloc[-1]
+        init = state.get if state.exists else (0, 0, None)
+        n_docs, total_bytes, last_hash = _fold_running_stats(
+            pdfs, size_col, hash_col, init)
         state.update((n_docs, total_bytes, last_hash))
         yield pd.DataFrame([{
             "source": key[0], "n_docs": n_docs,

@@ -179,17 +179,21 @@ def test_salted_join_matches_plain_join(spark):
     skewed = spark.range(500).select(
         # 90% of rows share key 'hot'
         F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
-        F.col("id").alias("payload"),
+        # NULL fingerprints every 50th row (r13 formula review: a NULL
+        # salt key silently dropped these rows from the inner join)
+        F.when(F.col("id") % 50 == 0, F.lit(None)).otherwise(F.col("id"))
+        .alias("payload"),
     )
     dim = spark.createDataFrame(
         [("hot", "H"), ("k3", "A"), ("missing", "Z")], ["k", "label"]
     )
-    plain = sorted(skewed.join(dim, "k").select("k", "payload", "label").collect())
-    salted = sorted(salted_join(skewed, dim, "k", salt=8).select("k", "payload", "label").collect())
+    key = lambda r: tuple(map(str, r))  # noqa: E731 — None-safe sort
+    plain = sorted(skewed.join(dim, "k").select("k", "payload", "label").collect(), key=key)
+    salted = sorted(salted_join(skewed, dim, "k", salt=8).select("k", "payload", "label").collect(), key=key)
     assert plain == salted
-    left_plain = sorted(skewed.join(dim, "k", "left").select("k", "payload", "label").collect())
+    left_plain = sorted(skewed.join(dim, "k", "left").select("k", "payload", "label").collect(), key=key)
     left_salted = sorted(salted_join(skewed, dim, "k", salt=8, how="left")
-                         .select("k", "payload", "label").collect())
+                         .select("k", "payload", "label").collect(), key=key)
     assert left_plain == left_salted
     # the hot key really is spread across multiple salt values
     from semantik_spark.functions.hashing import hash60

@@ -113,3 +113,27 @@ def test_session_tracker_closes_on_gap_and_timeout(spark, tmp_path):
     assert len(timed_out) == 1
     assert timed_out[0]["n_events"] == 1
     assert timed_out[0]["session_start_us"] == timed_out[0]["session_end_us"]
+
+
+def test_fold_running_stats_last_hash_is_chunk_order_invariant():
+    """r13 formula review: "last hash" must be the hash at the MAXIMUM
+    doc_id across ALL Arrow chunks of the group, not the last chunk's
+    maximum — chunk boundaries are Arrow-batch-size dependent, so a
+    per-chunk overwrite made the emitted hash depend on how the group
+    happened to be chunked."""
+    import pandas as pd
+
+    from semantik_spark.streaming.stateful import _fold_running_stats
+
+    a = pd.DataFrame({"doc_id": [5, 9], "n_chars": [10, 20],
+                      "content_hash": ["h5", "h9"]})
+    b = pd.DataFrame({"doc_id": [7, 2], "n_chars": [30, 40],
+                      "content_hash": ["h7", "h2"]})
+    for chunks in ([a, b], [b, a]):
+        n, tot, last = _fold_running_stats(
+            iter(chunks), "n_chars", "content_hash", (0, 0, None))
+        assert (n, tot, last) == (4, 100, "h9"), chunks
+    # an empty batch keeps the prior state's hash
+    n, tot, last = _fold_running_stats(
+        iter([]), "n_chars", "content_hash", (3, 7, "prev"))
+    assert (n, tot, last) == (3, 7, "prev")
