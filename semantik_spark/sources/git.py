@@ -67,11 +67,18 @@ def clone_or_fetch(repo_url: str, workdir: str, ref: str | None = None,
 def blob_manifest(spark: SparkSession, checkout: str) -> DataFrame:
     """rel_path, blob_sha for every tracked file at HEAD (ls-tree -r) —
     the change_hint source (git.py:585-604). Driver-side git call; the
-    output is one row per file and becomes a broadcastable DataFrame."""
-    out = _run_git(["ls-tree", "-r", "HEAD"], cwd=checkout)
+    output is one row per file and becomes a broadcastable DataFrame.
+
+    ``-z`` is load-bearing (r13 formula review): without it git C-quotes
+    any path with non-ASCII/special characters (``"caf\\303\\251.md"``),
+    which can never equi-join the scan's rel_path — the file would get
+    a NULL change_hint and be re-ingested as "added" on EVERY sync."""
+    out = _run_git(["ls-tree", "-r", "-z", "HEAD"], cwd=checkout)
     rows = []
-    for line in out.splitlines():
+    for line in out.split("\0"):
         # "<mode> blob <sha>\t<path>"
+        if not line:
+            continue
         meta, path = line.split("\t", 1)
         mode, kind, sha = meta.split()
         if kind == "blob":

@@ -119,8 +119,9 @@ def parse_text(files: DataFrame) -> DataFrame:
       2. No BOM → binary sniff: a NUL byte anywhere, or >30%
          non-printable bytes in the first 8 KiB (tab/LF/CR excluded),
          rejects the row as binary_rejected (text.py:34-58).
-      3. Else the charset fallback chain (text.py:22-58): UTF-8 first;
-         if the decode produced replacement chars (invalid UTF-8), fall
+      3. Else the charset fallback chain (text.py:22-58): UTF-8 first
+         (validity via is_valid_utf8 over the zero-copy binary→string
+         cast — never a throwing ANSI decode); invalid UTF-8 falls
          back to Latin-1, which maps every byte — same terminal
          fallback as the reference's encoding list. The chosen charset
          is surfaced in the ``encoding`` column.
@@ -146,11 +147,34 @@ def parse_text(files: DataFrame) -> DataFrame:
         F.contains(c, F.lit(b"\x00"))
         | ((F.length(head) > 0) & (nonprint / F.length(head) > 0.30))
     )
-    utf8 = F.decode(c, "UTF-8")
-    utf8_bad = F.contains(utf8, F.lit("�"))
+    # Invalid-UTF-8 handling (r13 formula review): Spark 4's ANSI-mode
+    # decode(_, 'UTF-8') THROWS on malformed bytes, so the old
+    # decode-then-scan-for-'�' chain crashed the WHOLE SCAN on the
+    # first Latin-1 file instead of falling back — the fallback path
+    # was unreachable. The validity test is is_valid_utf8 over the
+    # zero-copy binary→string cast (a Spark string is raw bytes; the
+    # cast does not validate), and the valid path returns that cast
+    # directly — no decode call that can throw, and a document
+    # legitimately CONTAINING U+FFFD stays utf-8 (a '�' scan would
+    # have silently garbled it via the Latin-1 branch).
+    utf8 = c.cast("string")
+    utf8_bad = ~F.expr("is_valid_utf8(cast(content as string))")
+    # UTF-16 guard: an odd byte length is certainly-truncated UTF-16 —
+    # ANSI decode would throw, so route it to the Latin-1 terminal
+    # fallback (the reference's Python chain does the same on
+    # UnicodeDecodeError). An even-length unpaired-surrogate stream
+    # can still throw; that residual matches the reference's behavior
+    # of treating a BOM as authoritative.
+    even16 = F.length(c) % 2 == 0
+    tail8 = F.expr("cast(substring(content, 4) as string)")
+    tail8_ok = F.expr("is_valid_utf8(cast(substring(content, 4) as string))")
     decoded = (
-        F.when(is16, F.decode(c, "UTF-16"))  # JVM charset consumes the BOM
-        .when(is8sig, F.decode(F.expr("substring(content, 4)"), "UTF-8"))
+        F.when(is16 & even16, F.decode(c, "UTF-16"))  # charset eats the BOM
+        .when(is16, F.decode(c, "ISO-8859-1"))
+        .when(is8sig & tail8_ok, tail8)
+        # invalid tail after a UTF-8 BOM: Latin-1 over ALL bytes,
+        # mirroring the reference's next-encoding-in-chain fallback
+        .when(is8sig, F.decode(c, "ISO-8859-1"))
         .when(utf8_bad, F.decode(c, "ISO-8859-1"))  # terminal fallback
         .otherwise(utf8)
     )
@@ -159,8 +183,10 @@ def parse_text(files: DataFrame) -> DataFrame:
     ).withColumn(
         "encoding",
         F.when(~is_text | is_binary | is32, F.lit(None).cast("string"))
-        .when(is16, F.lit("utf-16"))
-        .when(is8sig, F.lit("utf-8-sig"))
+        .when(is16 & even16, F.lit("utf-16"))
+        .when(is16, F.lit("latin-1"))
+        .when(is8sig & tail8_ok, F.lit("utf-8-sig"))
+        .when(is8sig, F.lit("latin-1"))
         .when(utf8_bad, F.lit("latin-1"))
         .otherwise(F.lit("utf-8")),
     ).withColumn(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import subprocess
 
 import pytest
@@ -77,3 +78,31 @@ def test_clone_or_fetch_idempotent(origin, tmp_path):
     p1 = clone_or_fetch(origin, w)
     p2 = clone_or_fetch(origin, w)
     assert p1 == p2
+
+
+def test_blob_manifest_handles_non_ascii_paths(spark, tmp_path):
+    """r13 formula review: ls-tree without -z C-quotes special-char
+    paths ("caf\\303\\251.md"), which can never equi-join the scan's
+    rel_path — the file would re-ingest as 'added' on every sync."""
+    import subprocess
+
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+
+    def g(*args):
+        subprocess.run(["git", "-c", "user.email=t@e.c", "-c", "user.name=t",
+                        "-c", "core.autocrlf=false", *args],
+                       cwd=repo, check=True, capture_output=True)
+
+    g("init", "-q")
+    with open(os.path.join(repo, "café résumé.md"), "w", encoding="utf-8") as f:
+        f.write("non-ascii path")
+    g("add", "-A")
+    g("commit", "-q", "-m", "c")
+    from semantik_spark.sources.git import blob_manifest, enumerate_repo
+
+    man = {r["rel_path"]: r["blob_sha"] for r in blob_manifest(spark, repo).collect()}
+    assert "café résumé.md" in man and len(man["café résumé.md"]) == 40
+    out = enumerate_repo(spark, repo, str(tmp_path / "work")).collect()
+    hints = {r["rel_path"]: r["change_hint"] for r in out}
+    assert hints.get("café résumé.md") == man["café résumé.md"]

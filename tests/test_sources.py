@@ -92,3 +92,29 @@ def test_parse_text_encoding_chain(spark):
     assert out["u32.txt"].text is None
     assert out["nul.txt"].parse_status == "binary_rejected"
     assert out["hi.txt"].parse_status == "binary_rejected"
+
+
+def test_parse_text_legit_replacement_char_stays_utf8(spark):
+    """r13 formula review: invalid-UTF-8 detection is the encode
+    round-trip, not a replacement-char scan — a document legitimately
+    CONTAINING U+FFFD (web-crawl text lossily decoded upstream) must
+    stay utf-8, not get re-decoded as Latin-1 (which garbles every
+    multi-byte char)."""
+    from semantik_spark.sources.local import parse_text
+
+    legit = "prefix � héllo"  # valid UTF-8 containing U+FFFD
+    rows = [
+        ("legit.txt", ".txt", legit.encode("utf-8")),
+        ("bad.txt", ".txt", b"caf\xe9 latin1"),  # invalid UTF-8
+        # odd-length UTF-16 (truncated): ANSI decode would throw —
+        # must degrade to the Latin-1 terminal fallback, not crash
+        ("trunc16.txt", ".txt", "héllo".encode("utf-16")[:-1]),
+    ]
+    df = spark.createDataFrame(rows, "uri string, extension string, content binary")
+    out = {r["uri"]: r for r in parse_text(df).collect()}
+    assert out["legit.txt"].encoding == "utf-8"
+    assert out["legit.txt"].text == legit
+    assert out["bad.txt"].encoding == "latin-1"
+    assert out["bad.txt"].text == "café latin1"
+    assert out["trunc16.txt"].encoding == "latin-1"
+    assert out["trunc16.txt"].parse_status == "parsed"
