@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from semantik_spark.config import BM25_B, BM25_K1
 from semantik_spark.functions.text import bm25_tokens
+from semantik_spark.functions.caching import cache
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -289,7 +290,7 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
 
     tok = tokenized if tokenized is not None \
-        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+        else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = postings(tok, terms, stats)
@@ -337,7 +338,7 @@ def pruned_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     ``keep`` from measured recall (the pruning analogue of the IVF
     nprobe sweep)."""
     tok = tokenized if tokenized is not None \
-        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+        else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = pruned_postings(postings(tok, terms, stats), keep=keep)
@@ -383,10 +384,10 @@ def rocchio_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
 
     tok = tokenized if tokenized is not None \
-        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+        else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
-    post = postings(tok, terms, stats).persist()
+    post = cache(postings(tok, terms, stats))
     enc = encode_queries(queries, terms)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     fb = (
@@ -453,7 +454,7 @@ def lm_dirichlet_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.sql import Window
 
     tok = tokenized if tokenized is not None \
-        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+        else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     tf = (
         tok.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "doc_len", "term")
@@ -524,7 +525,7 @@ def more_like_this(docs: DataFrame, seed_pred, k: int = 10, top_terms: int = 16,
     from pyspark.sql import Window
 
     tok = tokenized if tokenized is not None \
-        else tokenize(docs, id_col=id_col, text_col=text_col).persist()
+        else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     stats = corpus_stats(tok)
     post = postings(tok, term_stats(tok, stats), stats)
     wt = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))

@@ -246,10 +246,10 @@ def textrank_sentences(docs: DataFrame, top_k: int = 3,
         F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("sid", "seg"),
     ).select("doc_id", "sid", F.trim("seg").alias("sentence")) \
         .where(F.length("sentence") > 0)
-    stok = segs.select(
+    stok = cache(segs.select(
         "doc_id", "sid",
         F.array_distinct(bm25_tokens("sentence")).alias("toks"),
-    ).persist()
+    ))
     lens = stok.select("doc_id", "sid",
                        F.size("toks").cast("bigint").alias("sl"))
     terms = stok.select("doc_id", "sid", F.explode("toks").alias("term"))

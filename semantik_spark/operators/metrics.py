@@ -62,6 +62,9 @@ def evaluate(retrieved: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] =
     newer evaluate() call simply recomputes."""
     while _live_caches:
         _live_caches.pop().unpersist()
+    # metrics manages its own release cycle (_live_caches, released at
+    # the next evaluate() call) instead of the session-wide cache()
+    # registry — keep it self-contained
     qrels = qrels.persist()
     _live_caches.append(qrels)
     j = (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from semantik_spark.config import RRF_K
 from semantik_spark.functions.vectors import cosine, mock_embedding
 from semantik_spark.operators import bm25
+from semantik_spark.functions.caching import cache
 
 
 def _topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
@@ -179,7 +180,7 @@ def maxsim_rerank(docs: DataFrame, queries: DataFrame, k: int = 5,
     Cost per candidate is query_tokens × doc_tokens dots of dim 8 —
     Column expressions end to end, no UDF.
     """
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     cand = bm25.search(docs, queries, k=first_k, tokenized=tok) \
         .select("query_id", "doc_id")
     demb = tok.select(
@@ -341,7 +342,7 @@ def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql import Window
 
     # ONE tokenize pass shared between retrieval and snippet slicing
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     top = bm25.search(docs, queries, k=k, id_col=id_col,
                       text_col=text_col, tokenized=tok)
     # only the retrieved docs' token streams move forward
@@ -690,7 +691,7 @@ def boolean_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     negative terms' postings. Two groupBys ((query,doc) hit fold +
     nothing else), no corpus × query blow-up anywhere.
     """
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     stats = bm25.corpus_stats(tok)
     terms = bm25.term_stats(tok, stats)
     post = bm25.postings(tok, terms, stats)
@@ -771,7 +772,7 @@ def ltr_features(docs: DataFrame, queries: DataFrame, k: int = 20,
     dense branch already does. Ranks tie-break on doc_id; every float
     rounds at 6 dp.
     """
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     stats = bm25.corpus_stats(tok)
     terms = bm25.term_stats(tok, stats)
     post = bm25.postings(tok, terms, stats)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from semantik_spark.functions.vectors import mock_embedding
 from semantik_spark.operators import bm25, search
 from semantik_spark.plans.predicates import compile_predicate
+from semantik_spark.functions.caching import cache
 
 
 def build_sparse(docs: DataFrame, path: str,
@@ -43,7 +44,7 @@ def build_sparse(docs: DataFrame, path: str,
     corpus-global: an exact refresh after document changes must rerun
     this whole pass, while the dense half can stay append-only (see
     streaming.incremental.incremental_index)."""
-    tok = bm25.tokenize(docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     stats = bm25.corpus_stats(tok)
     terms = bm25.term_stats(tok, stats)
     post = bm25.postings(tok, terms, stats)
@@ -167,7 +168,7 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
         last = _bm25_last_batch(path)
         if last is not None and batch_id <= last:
             return  # checkpoint replay of an already-merged batch
-    tok = bm25.tokenize(delta_docs, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(delta_docs, id_col=id_col, text_col=text_col))
     old_c = _bm25_state_read(spark, path, "corpus")
     old_t = _bm25_state_read(spark, path, "terms")
     if old_c is not None and old_t is not None:
@@ -952,7 +953,7 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
     ids = ids.localCheckpoint()
     live_deleted = deleted_docs.join(
         ids, deleted_docs[id_col] == F.col("_del_id"), "left_semi")
-    tok = bm25.tokenize(live_deleted, id_col=id_col, text_col=text_col).persist()
+    tok = cache(bm25.tokenize(live_deleted, id_col=id_col, text_col=text_col))
     new_c = bm25.retract_corpus_state(
         _bm25_state_read(spark, path, "corpus"), tok).localCheckpoint()
     new_t = bm25.retract_term_state(

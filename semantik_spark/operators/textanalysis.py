@@ -21,6 +21,7 @@ from semantik_spark.functions.text import (
     whitespace_tokens,
 )
 from semantik_spark.functions.vectors import _bind
+from semantik_spark.functions.caching import cache
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
@@ -322,8 +323,8 @@ def collocations(docs: DataFrame, min_count: int = 5, top_k: int = 50,
     the same doubles."""
     from semantik_spark.functions.text import whitespace_tokens
 
-    tok = docs.select(F.col(id_col).alias("doc_id"),
-                      whitespace_tokens(text_col).alias("toks")).persist()
+    tok = cache(docs.select(F.col(id_col).alias("doc_id"),
+                            whitespace_tokens(text_col).alias("toks")))
     uni = (
         tok.select(F.explode("toks").alias("w"))
         .groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
@@ -449,14 +450,13 @@ def bigram_logprob(docs: DataFrame, alpha: float = 0.5,
         sz >= 2,
         F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    dbg = (
+    dbg = cache(
         tok.select("doc_id", F.explode(pairs).alias("p"))
         .select(
             "doc_id",
             F.col("p.a").alias("wa"),
             F.concat_ws(" ", "p.a", "p.b").alias("gram"),
         )
-        .persist()
     )
     bgc = dbg.groupBy("gram").agg(
         F.first("wa").alias("wa"),  # gram determines wa
@@ -800,19 +800,18 @@ def kneser_ney_logprob(docs: DataFrame, discount: float = 0.75,
         sz >= 2,
         F.transform(zipped, lambda s: F.struct(s["0"].alias("a"), s["1"].alias("b"))),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    dbg = (
+    dbg = cache(
         tok.select("doc_id", F.explode(pairs).alias("p"))
         .select(
             "doc_id",
             F.col("p.a").alias("wa"), F.col("p.b").alias("wb"),
             F.concat_ws(" ", "p.a", "p.b").alias("gram"),
         )
-        .persist()
     )
-    bgc = dbg.groupBy("gram").agg(
+    bgc = cache(dbg.groupBy("gram").agg(
         F.first("wa").alias("wa"), F.first("wb").alias("wb"),
         F.count("*").cast("bigint").alias("c12"),
-    ).persist()
+    ))
     fw = bgc.groupBy("wa").agg(
         F.sum("c12").cast("bigint").alias("ctx1"),
         F.count("*").cast("bigint").alias("n1p_fw"),
@@ -968,7 +967,7 @@ def stupid_backoff_score(train_docs: DataFrame, score_docs: DataFrame,
         )).otherwise(F.array().cast("array<string>"))
         return tok.select("doc_id", F.explode(g).alias(out))
 
-    tr = toks(train_docs).persist()
+    tr = cache(toks(train_docs))
     c1 = grams(tr, 1, "g").groupBy("g").agg(
         F.count("*").cast("bigint").alias("c1"))
     c2 = grams(tr, 2, "g").groupBy("g").agg(
@@ -1085,8 +1084,8 @@ def heaps_law(docs: DataFrame, buckets: int = 32, n: int = 1,
         base = F.when(sz >= n, F.transform(
             zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
         )).otherwise(F.array().cast("array<string>"))
-    tok = docs.select(F.col(id_col).alias("doc_id"),
-                      base.alias("toks")).persist()
+    tok = cache(docs.select(F.col(id_col).alias("doc_id"),
+                            base.alias("toks")))
     per_doc = tok.select("doc_id", F.size("toks").cast("bigint").alias("nt"))
     bounds = per_doc.agg(F.min("doc_id").alias("lo"),
                          F.max("doc_id").alias("hi"))
@@ -1157,8 +1156,8 @@ def burrows_delta(docs: DataFrame, n_words: int = 30, probes: int = 4,
     """
     from semantik_spark.functions.text import whitespace_tokens
 
-    tok = docs.select(F.col(id_col).alias("doc_id"),
-                      whitespace_tokens(text_col).alias("toks")).persist()
+    tok = cache(docs.select(F.col(id_col).alias("doc_id"),
+                            whitespace_tokens(text_col).alias("toks")))
     lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("dl")) \
         .where(F.col("dl") > 0)
     cnt = (
