@@ -312,6 +312,15 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     bucket) once and each query touches L*(nbits+1) buckets; candidate
     growth is the recall price, the join never degenerates to a scan.
     """
+    if probe_hamming > 1:
+        # only the 1-bit flip neighborhood is generated below — a
+        # larger radius would silently under-probe (return hamming-1
+        # recall while claiming hamming-2), so fail fast instead
+        # (the zorder_key discipline, r13 formula review)
+        raise ValueError(
+            f"knn_lsh supports probe_hamming 0 or 1, got {probe_hamming}; "
+            f"for wider probing raise n_tables (recall amplification) "
+            f"instead")
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     c_tab = c.select(
         "vec_id", "v",

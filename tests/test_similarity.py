@@ -683,3 +683,18 @@ def test_assignment_drift_accepts_precomputed_ref_histogram(spark):
         similarity.ivf_assignment_drift(base, cur, cent, ref_hist=hist)
     with _pytest.raises(ValueError, match="exactly one"):
         similarity.ivf_assignment_drift(None, cur, cent)
+
+
+def test_knn_lsh_rejects_unimplemented_probe_radius(spark):
+    """r13 formula review: probe_hamming > 1 would silently under-probe
+    (only the 1-bit flip neighborhood is generated) — must fail fast."""
+    import pytest
+
+    from semantik_spark.operators.similarity import knn_lsh
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame(
+        [("q1", [0.1] * 8)], "query_id string, query_vec array<double>")
+    with pytest.raises(ValueError, match="probe_hamming"):
+        knn_lsh(emb, q, dim=8, probe_hamming=2)
