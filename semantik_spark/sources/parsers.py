@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+_NULL_STATUS = "error: NullContent"
+
+
+def _as_bytes(c) -> bytes | None:
+    """NULL-binary guard shared by every mapInPandas kernel (r13
+    formula review; the sniff_pdf/multimodal r12 defect class):
+    bytes(None) raises TypeError inside the Arrow batch — in the
+    kernels that convert OUTSIDE their try block it killed the WHOLE
+    task for one NULL row. A NULL content row must degrade to its
+    family's dead-letter row (parse_status 'error: NullContent')."""
+    return None if c is None else bytes(c)
+
+
 # extension → ordered parser candidates (registry.py:74-215 semantics:
 # try in order, fall through on failure)
 PARSER_REGISTRY: dict[str, tuple[str, ...]] = {
@@ -103,11 +116,14 @@ def _decode_header(raw: str | None) -> str:
     return "".join(parts)
 
 
-def _eml_to_row(uri: str, raw: bytes) -> dict:
+def _eml_to_row(uri: str, raw: bytes | None) -> dict:
     import email
     import email.policy
     import email.utils
 
+    if raw is None:
+        return {"uri": uri, "subject": "", "from_addr": "", "to_addr": "",
+                "sent_at": "", "text": "", "parse_status": _NULL_STATUS}
     try:
         msg = email.message_from_bytes(raw, policy=email.policy.default)
         texts: list[str] = []
@@ -149,7 +165,7 @@ def parse_email(files: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([
-                _eml_to_row(u, bytes(c)) for u, c in zip(pdf["uri"], pdf["content"])
+                _eml_to_row(u, _as_bytes(c)) for u, c in zip(pdf["uri"], pdf["content"])
             ], columns=["uri", "subject", "from_addr", "to_addr",
                         "sent_at", "text", "parse_status"])
 
@@ -203,6 +219,9 @@ def _html_to_row(uri: str, raw: bytes) -> dict:
             elif not self._skip:
                 self.parts.append(data)
 
+    if raw is None:
+        return {"uri": uri, "title": "", "text": "",
+                "parse_status": _NULL_STATUS}
     try:
         p = Extract()
         p.feed(raw.decode("utf-8", errors="replace"))
@@ -225,7 +244,7 @@ def parse_html(files: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([
-                _html_to_row(u, bytes(c)) for u, c in zip(pdf["uri"], pdf["content"])
+                _html_to_row(u, _as_bytes(c)) for u, c in zip(pdf["uri"], pdf["content"])
             ], columns=["uri", "title", "text", "parse_status"])
 
     return src.mapInPandas(run, schema=_HTML_SCHEMA)
@@ -313,8 +332,13 @@ def parse_pdf(files: DataFrame) -> DataFrame:
         rows = []
         for pdf in batches:
             for u, c in zip(pdf["uri"], pdf["content"]):
+                b = _as_bytes(c)
+                if b is None:
+                    rows.append({"uri": u, "text": "",
+                                 "parse_status": _NULL_STATUS})
+                    continue
                 try:
-                    text = _pdf_text(bytes(c))
+                    text = _pdf_text(b)
                     status = "ok" if text else "empty"
                 except Exception as exc:  # noqa: BLE001
                     text, status = "", f"error: {type(exc).__name__}"
@@ -432,10 +456,12 @@ def _epub_text(zf) -> str:
     return "\n".join(lines)
 
 
-def _office_to_row(uri: str, raw: bytes, ext: str) -> dict:
+def _office_to_row(uri: str, raw: bytes | None, ext: str) -> dict:
     import io
     import zipfile
 
+    if raw is None:
+        return {"uri": uri, "text": "", "parse_status": _NULL_STATUS}
     try:
         with zipfile.ZipFile(io.BytesIO(raw)) as zf:
             if ext == ".docx":
@@ -463,7 +489,7 @@ def parse_office(files: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([
-                _office_to_row(u, bytes(c), e)
+                _office_to_row(u, _as_bytes(c), e)
                 for u, e, c in zip(pdf["uri"], pdf["extension"], pdf["content"])
             ], columns=["uri", "text", "parse_status"])
 
@@ -505,6 +531,8 @@ def _structured_to_row(uri: str, raw: bytes, ext: str) -> dict:
     import json
     import xml.etree.ElementTree as ET
 
+    if raw is None:
+        return {"uri": uri, "text": "", "parse_status": _NULL_STATUS}
     decoded = raw.decode("utf-8", errors="replace")
     try:
         if ext == ".json":
@@ -535,7 +563,7 @@ def parse_structured(files: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([
-                _structured_to_row(u, bytes(c), e)
+                _structured_to_row(u, _as_bytes(c), e)
                 for u, e, c in zip(pdf["uri"], pdf["extension"], pdf["content"])
             ], columns=["uri", "text", "parse_status"])
 
@@ -770,8 +798,13 @@ def parse_ole(files: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for u, e, c in zip(pdf["uri"], pdf["extension"], pdf["content"]):
+                b = _as_bytes(c)
+                if b is None:
+                    rows.append({"uri": u, "text": "",
+                                 "parse_status": _NULL_STATUS})
+                    continue
                 try:
-                    streams = _cfb_streams(bytes(c))
+                    streams = _cfb_streams(b)
                     text = _doc_text(streams) if e == ".doc" else _ppt_text(streams)
                     status = "ok" if text else "empty"
                 except Exception as exc:  # noqa: BLE001
@@ -900,8 +933,16 @@ def parse_msg(files: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for u, c in zip(pdf["uri"], pdf["content"]):
+                b = _as_bytes(c)
+                if b is None:
+                    rows.append({
+                        "uri": u, "subject": "", "from_addr": "",
+                        "to_addr": "", "sent_at": "", "text": "",
+                        "parse_status": _NULL_STATUS,
+                    })
+                    continue
                 try:
-                    st = _cfb_streams(bytes(c))
+                    st = _cfb_streams(b)
                     sender = _msg_prop(st, "0C1A") or _msg_prop(st, "0C1F")
                     rows.append({
                         "uri": u,
@@ -1024,8 +1065,13 @@ def parse_rtf(files: DataFrame) -> DataFrame:
         rows = []
         for pdf in batches:
             for u, c in zip(pdf["uri"], pdf["content"]):
+                b = _as_bytes(c)
+                if b is None:
+                    rows.append({"uri": u, "text": "",
+                                 "parse_status": _NULL_STATUS})
+                    continue
                 try:
-                    text = _rtf_to_text(bytes(c))
+                    text = _rtf_to_text(b)
                     status = "ok" if text else "empty"
                 except Exception as exc:  # noqa: BLE001
                     text, status = "", f"error: {type(exc).__name__}"

@@ -632,3 +632,31 @@ def test_sniff_pdf_null_content_degrades_not_fails(spark):
     assert out["a.pdf"]["text_chars"] == 0
     assert out["a.pdf"]["is_scanned_pdf"] is True
     assert out["b.pdf"]["n_pages"] == 1
+
+
+def test_all_parser_kernels_survive_null_content(spark):
+    """r13 formula review (the sniff_pdf/multimodal r12 defect class):
+    bytes(None) in a mapInPandas kernel kills the whole Arrow task —
+    every parser family must degrade a NULL content row to its
+    dead-letter row (parse_status 'error: NullContent') instead."""
+    from semantik_spark.sources.parsers import (
+        parse_email, parse_html, parse_msg, parse_office, parse_ole,
+        parse_pdf, parse_rtf, parse_structured,
+    )
+
+    def nulled(ext):
+        return spark.createDataFrame(
+            [(f"u{ext}", ext, None), (f"ok{ext}", ext, b"plain body")],
+            "uri string, extension string, content binary")
+
+    cases = [
+        (parse_email, ".eml"), (parse_html, ".html"), (parse_pdf, ".pdf"),
+        (parse_office, ".docx"), (parse_structured, ".json"),
+        (parse_ole, ".doc"), (parse_msg, ".msg"), (parse_rtf, ".rtf"),
+    ]
+    for fn, ext in cases:
+        out = {r["uri"]: r["parse_status"] for r in fn(nulled(ext)).collect()}
+        assert out[f"u{ext}"] == "error: NullContent", (ext, out)
+        # the non-null row still parses (status is family-specific but
+        # never the null marker and never a crash)
+        assert out[f"ok{ext}"] != "error: NullContent", (ext, out)
