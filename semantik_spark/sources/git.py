@@ -57,6 +57,16 @@ def clone_or_fetch(repo_url: str, workdir: str, ref: str | None = None,
         _run_git(["reset", "--hard", target if ref is None else f"origin/{ref}"],
                  cwd=dest)
     else:
+        # crash recovery (r13; reference re-clone semantics
+        # git.py:471-555): a sync killed mid-clone leaves dest without
+        # .git — `git clone` into a non-empty dir fails PERMANENTLY, so
+        # every retry of the sync would fail too. Remove the partial
+        # checkout and re-clone; the blob-SHA change_hint anti-join
+        # downstream keeps re-ingestion exactly-once regardless.
+        if os.path.isdir(dest):
+            import shutil
+
+            shutil.rmtree(dest)
         args = ["clone", "--depth", str(depth)]
         if ref:
             args += ["--branch", ref]

@@ -106,3 +106,51 @@ def test_blob_manifest_handles_non_ascii_paths(spark, tmp_path):
     out = enumerate_repo(spark, repo, str(tmp_path / "work")).collect()
     hints = {r["rel_path"]: r["change_hint"] for r in out}
     assert hints.get("café résumé.md") == man["café résumé.md"]
+
+
+def test_crashed_partial_clone_recovers_and_change_hints_stay_exact(spark, tmp_path):
+    """VERDICT r12 item 5: a sync killed mid-clone leaves the workdir
+    checkout WITHOUT .git — `git clone` into a non-empty dir fails
+    permanently, so before the r13 fix every retry failed too. The
+    retry must re-clone cleanly, and the blob-SHA change-hint anti-join
+    must keep re-ingestion exactly-once across the crash."""
+    repo = str(tmp_path / "origin")
+    os.makedirs(repo)
+
+    def g(*args):
+        subprocess.run(["git", "-c", "user.email=t@e.c", "-c", "user.name=t",
+                        "-c", "core.autocrlf=false", *args],
+                       cwd=repo, check=True, capture_output=True)
+
+    g("init", "-q")
+    for n in ("a.txt", "b.txt"):
+        with open(os.path.join(repo, n), "w") as f:
+            f.write(f"content {n}")
+    g("add", "-A")
+    g("commit", "-q", "-m", "A")
+
+    workdir = str(tmp_path / "work")
+    # simulate the killed clone: dest exists, partial payload, no .git
+    import re as _re
+
+    dest = os.path.join(workdir, _re.sub(r"[^A-Za-z0-9_.-]", "_", repo))
+    os.makedirs(dest)
+    with open(os.path.join(dest, "a.txt"), "w") as f:
+        f.write("partial torn write")
+
+    first = enumerate_repo(spark, repo, workdir)
+    cat = first.select("rel_path", "change_hint").collect()
+    assert {r["rel_path"] for r in cat} == {"a.txt", "b.txt"}
+    assert all(len(r["change_hint"]) == 40 for r in cat)
+
+    # second sync after one file changes: change detection must emit
+    # exactly the changed file, once — nothing re-ingested from the
+    # crash recovery
+    with open(os.path.join(repo, "b.txt"), "w") as f:
+        f.write("content b.txt v2")
+    g("add", "-A")
+    g("commit", "-q", "-m", "B")
+    second = enumerate_repo(spark, repo, workdir)
+    delta = changed_files(second, first.select("rel_path", "change_hint"))
+    rows = [r["rel_path"] for r in delta.collect()]
+    assert rows == ["b.txt"], rows
