@@ -112,3 +112,87 @@ def test_hyde_real_generator_expands_queries(spark):
     row = expand_queries(qdf, generator=gen).collect()[0]
     assert row["dense_query_text"].startswith("what is bm25 ")
     assert len(row["dense_query_text"]) > len("what is bm25 ")
+
+
+def test_real_udfs_route_through_mock_tested_builders_by_identity(monkeypatch):
+    """VERDICT r12 item 6: the real-model wiring must round-trip through
+    the SAME builders the numpy-mock tests exercise — by identity, not
+    by copy — so a future torch image is a drop-in. Each real_*_udf is
+    asserted to call its model_udfs builder exactly once with the
+    factory produced by its realmodels factory and the caller's
+    batch_size / instruction passed through verbatim."""
+    from semantik_spark.functions import model_udfs, realmodels
+
+    calls: dict[str, dict] = {}
+
+    def recorder(name):
+        def rec(factory, **kw):
+            calls[name] = {"factory": factory, **kw}
+            return "udf-sentinel-" + name
+        return rec
+
+    monkeypatch.setattr(model_udfs, "dense_embedding_udf", recorder("dense"))
+    monkeypatch.setattr(model_udfs, "splade_encode_udf", recorder("splade"))
+    monkeypatch.setattr(model_udfs, "cross_encoder_udf", recorder("rerank"))
+
+    sentinels = {}
+
+    def fake_factory(name):
+        def mk(*a, **kw):
+            sentinels[name] = object()
+            return sentinels[name]
+        return mk
+
+    monkeypatch.setattr(realmodels, "dense_model_factory", fake_factory("dense"))
+    monkeypatch.setattr(realmodels, "splade_model_factory", fake_factory("splade"))
+    monkeypatch.setattr(realmodels, "reranker_model_factory", fake_factory("rerank"))
+
+    out = realmodels.real_dense_udf(batch_size=7, instruction="answer tersely")
+    assert out == "udf-sentinel-dense"
+    assert calls["dense"]["factory"] is sentinels["dense"]
+    assert calls["dense"]["batch_size"] == 7
+    assert calls["dense"]["instruction"] == "answer tersely"
+
+    assert realmodels.real_splade_udf(batch_size=5) == "udf-sentinel-splade"
+    assert calls["splade"]["factory"] is sentinels["splade"]
+    assert calls["splade"]["batch_size"] == 5
+
+    assert realmodels.real_rerank_udf(batch_size=3) == "udf-sentinel-rerank"
+    assert calls["rerank"]["factory"] is sentinels["rerank"]
+    assert calls["rerank"]["batch_size"] == 3
+
+
+def test_model_factories_construct_models_with_verbatim_args(monkeypatch):
+    """The factory closures must hand the model classes the caller's
+    exact (model_name, device, [max_length]) — a silently dropped or
+    reordered arg would only surface in a torch image. Driver-side
+    probe: availability forced True, model classes replaced with
+    recorders."""
+    from semantik_spark.functions import realmodels
+
+    built: dict[str, tuple] = {}
+
+    class FakeDense:
+        def __init__(self, model_name, device):
+            built["dense"] = (model_name, device)
+
+    class FakeSplade:
+        def __init__(self, model_name, device, max_length):
+            built["splade"] = (model_name, device, max_length)
+
+    class FakeRerank:
+        def __init__(self, model_name, device):
+            built["rerank"] = (model_name, device)
+
+    monkeypatch.setattr(realmodels, "sentence_transformers_available", lambda: True)
+    monkeypatch.setattr(realmodels, "transformers_available", lambda: True)
+    monkeypatch.setattr(realmodels, "_DenseModel", FakeDense)
+    monkeypatch.setattr(realmodels, "_SpladeModel", FakeSplade)
+    monkeypatch.setattr(realmodels, "_RerankModel", FakeRerank)
+
+    realmodels.dense_model_factory("my/model", device="cpu")()
+    assert built["dense"] == ("my/model", "cpu")
+    realmodels.splade_model_factory("sp/model", device="cpu", max_length=128)()
+    assert built["splade"] == ("sp/model", "cpu", 128)
+    realmodels.reranker_model_factory("rr/model", device="cpu")()
+    assert built["rerank"] == ("rr/model", "cpu")
