@@ -2300,8 +2300,11 @@ def q_curated_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
     g = gopher_rules(aug).select(
         "doc_id", F.col("reason").alias("gopher_reason"))
-    cal = calibrate_scores(quality_features(aug).join(srcs, "doc_id"))
-    can = dedup.canonical_docs(aug, quality_features(aug)).select(
+    # quality_features feeds BOTH the calibration gate and canonical
+    # selection — compute the per-doc feature scan once and share it
+    qf = cache(quality_features(aug))
+    cal = calibrate_scores(qf.join(srcs, "doc_id"))
+    can = dedup.canonical_docs(aug, qf).select(
         "doc_id", "cluster_id", "is_canonical")
     reason = (
         F.when(F.col("gopher_reason") != "ok",
@@ -4861,8 +4864,11 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_train, wordpiece_vocab)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges, _ = wordpiece_train(docs, num_merges=8)
-    wf = word_frequencies(docs)
+    # ONE corpus word-frequency pass shared between training, the vocab
+    # build, and the top-30 selection (training used to run its own
+    # identical scan); localCheckpoint because wf feeds three consumers
+    wf = word_frequencies(docs).localCheckpoint()
+    merges, _ = wordpiece_train(docs, num_merges=8, wordfreq=wf)
     vocab = wordpiece_vocab(_wp_initial_state(wf), merges)
     top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(30).select("word")
     return wordpiece_encode_words(top, vocab)
@@ -4880,10 +4886,13 @@ def q_bpe_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     word_frequencies)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges_df, _ = bpe_train(docs, num_merges=8)
+    # ONE corpus word-frequency pass shared between training and the
+    # top-30 selection (training used to run its own identical scan)
+    wf = word_frequencies(docs).localCheckpoint()
+    merges_df, _ = bpe_train(docs, num_merges=8, wordfreq=wf)
     mlist = [(r["left_sym"], r["right_sym"])
              for r in merges_df.orderBy("merge_rank").collect()]
-    top = word_frequencies(docs).orderBy(F.desc("freq"), F.asc("word")).limit(30)
+    top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(30)
     return encode_words(top, mlist).select(
         "word",
         "freq",

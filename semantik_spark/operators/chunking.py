@@ -627,10 +627,15 @@ def content_defined_chunks(docs: DataFrame, window: int = 16,
     same expected chunk length).
     """
     from semantik_spark.functions.hashing import hash60
+    from semantik_spark.functions.parallel import spread
 
-    d = docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"),
-                    F.length(text_col).alias("len"))
+    # the anchor scan below costs one md5 per character position — for
+    # a single-file input (one scan task) the whole corpus would hash
+    # on one core; spread() unlocks an N-way stage and is a no-op once
+    # the scan already carries >= cores partitions (production scale)
+    d = spread(docs.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text"),
+                           F.length(text_col).alias("len")), "doc_id")
     anch = (
         d.where(F.col("len") >= window)
         .select("doc_id", "text", "len",
@@ -792,8 +797,13 @@ def content_defined_chunks_scan(docs: DataFrame, window: int = 16,
     # form content_defined_chunks): a hard bigint cast aborts under
     # ANSI for string ids and changes the output schema vs the twin
     id_type = docs.schema[id_col].dataType.simpleString()
-    d = docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text"))
+    from semantik_spark.functions.parallel import spread
+
+    # the Python kernel is O(doc chars) per row — spread a single-task
+    # scan across the session's cores (no-op at production partition
+    # counts); only (doc_id, text) crosses the Python boundary
+    d = spread(docs.select(F.col(id_col).alias("doc_id"),
+                           F.col(text_col).alias("text")), "doc_id")
     return d.mapInPandas(
         run,
         f"doc_id {id_type}, chunk_index int, chunk_start int, "

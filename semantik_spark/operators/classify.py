@@ -187,11 +187,19 @@ def logreg_hashed_scores(docs: DataFrame, label: F.Column,
         .agg(F.count("*").cast("bigint").alias("x"))
     )
     from semantik_spark.functions.caching import cache
-    feats = cache(feats)
     # zero-token docs keep margin = bias: labels come from the full
     # docs frame, not from the exploded feature rows
     ydf = cache(docs.select(F.col(id_col).alias("doc_id"),
                             label.cast("int").alias("y")))
+    # sentinel bucket -1 with x=1 for EVERY labeled doc: its per-bucket
+    # "gradient" Σ(p−y)·1 IS the bias gradient, so each iteration runs
+    # ONE aggregation+collect instead of two (the bias sum used to
+    # recompute the whole margin pipeline a second time per step).
+    # margins() is unaffected: its weights join is INNER on buckets
+    # 0..buckets-1, so sentinel rows never reach the dot product.
+    feats = cache(feats.unionByName(
+        ydf.select("doc_id", F.lit(-1).cast("int").alias("bucket"),
+                   F.lit(1).cast("bigint").alias("x"))))
     n_docs = ydf.count()
 
     from semantik_spark.functions.quant import round_half_away
@@ -238,6 +246,9 @@ def logreg_hashed_scores(docs: DataFrame, label: F.Column,
     # to margins(), which is empty for an empty input
     for _ in range(iters if n_docs > 0 else 0):
         m = margins()
+        # one aggregation serves every bucket gradient AND the bias
+        # gradient (sentinel bucket -1, x=1 per doc: Σ(p−y)·1 ≡ Σ(p−y),
+        # exact decimal arithmetic either way)
         gb = (
             feats.join(m.select("doc_id", "y", "p"), "doc_id")
             .groupBy("bucket")
@@ -245,10 +256,8 @@ def logreg_hashed_scores(docs: DataFrame, label: F.Column,
                  .cast("decimal(24,6)").alias("g"))
             .collect()
         )
-        gbias = m.select(
-            F.sum(F.col("p") - F.col("y")).cast("decimal(24,6)").alias("g")
-        ).collect()[0]["g"]
         grads = {int(r["bucket"]): r["g"] for r in gb}
+        gbias = grads.pop(-1, Decimal("0"))
         for b in range(buckets):
             g = grads.get(b, Decimal("0")) or Decimal("0")
             w[b] = q6(float(w[b]) - lr * float(g) / n_docs)

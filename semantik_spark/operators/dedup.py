@@ -854,9 +854,17 @@ def duplicate_spans(docs: DataFrame, k: int = 10, min_docs: int = 2,
     plus one window+groupBy partitioned by doc_id over DUP windows only
     — the output side, orders of magnitude smaller than the corpus.
     """
-    tok = docs.select(
+    from semantik_spark.functions.parallel import spread
+
+    # window construction concatenates k tokens per position — O(tokens
+    # × k) string work that a single-file scan would run on one core;
+    # spread() unlocks an N-way stage (no-op at production partition
+    # counts). wh then feeds BOTH the dup-hash aggregate and the join
+    # back — cache the narrow (doc_id, start, h) table so the window
+    # build runs once.
+    tok = spread(docs.select(
         F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
-    )
+    ), "doc_id")
     n = F.size("_toks")
     width = n - F.lit(k) + 1
     windows = F.when(
@@ -864,9 +872,9 @@ def duplicate_spans(docs: DataFrame, k: int = 10, min_docs: int = 2,
         F.transform(F.sequence(F.lit(1), width),
                     lambda i: F.concat_ws(" ", F.slice("_toks", i, k))),
     ).otherwise(F.array().cast("array<string>"))
-    wh = tok.select(
+    wh = cache(tok.select(
         "doc_id", F.posexplode(windows).alias("pos", "w")
-    ).select("doc_id", (F.col("pos") + 1).alias("start"), hash60("w").alias("h"))
+    ).select("doc_id", (F.col("pos") + 1).alias("start"), hash60("w").alias("h")))
     dup_h = (
         wh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -990,9 +998,14 @@ def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
     for Lee et al.'s suffix array. The repeated-hash set is a small
     fraction of windows; AQE broadcasts it for the join back.
     """
-    tok = docs.select(
+    from semantik_spark.functions.parallel import spread
+
+    # same shape as duplicate_spans: spread the O(tokens × k) window
+    # build across cores, cache the narrow (doc_id, h) table that
+    # feeds both the dup-hash aggregate and the per-doc join
+    tok = spread(docs.select(
         F.col(id_col).alias("doc_id"), whitespace_tokens(text_col).alias("_toks")
-    )
+    ), "doc_id")
     n = F.size("_toks")
     width = n - F.lit(k) + 1
     windows = F.when(
@@ -1000,8 +1013,8 @@ def repeated_passages(docs: DataFrame, k: int = 10, min_docs: int = 2,
         F.transform(F.sequence(F.lit(1), width),
                     lambda i: F.concat_ws(" ", F.slice("_toks", i, k))),
     ).otherwise(F.array().cast("array<string>"))
-    wh = tok.select("doc_id", F.explode(windows).alias("w")) \
-            .select("doc_id", hash60("w").alias("h"))
+    wh = cache(tok.select("doc_id", F.explode(windows).alias("w"))
+               .select("doc_id", hash60("w").alias("h")))
     dup = (
         wh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

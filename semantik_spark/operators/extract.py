@@ -181,7 +181,7 @@ def textrank_keywords(docs: DataFrame, top_k: int = 20, damping: float = 0.85,
     ranks = nodes.select("id", F.round(F.lit(1.0 / n), 9).alias("pr"))
     base = (1.0 - damping) / n
     ed = adj.join(outw, "src")
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ed.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -200,6 +200,15 @@ def textrank_keywords(docs: DataFrame, top_k: int = 20, damping: float = 0.85,
                 9,
             ).alias("pr"),
         )
+        if it < iterations - 1:
+            # materialize the non-final rounds: the rank table is |V|
+            # (vocabulary) rows, and without the checkpoint the rounds
+            # nest into one plan whose every iteration re-plans (and
+            # under AQE re-runs) the full join chain below it — rounds
+            # are pure functions of the previous round's quantized
+            # ranks, so values are identical. The final round stays
+            # lazy so the returned plan still reads the cached adj.
+            ranks = ranks.localCheckpoint()
     w_rank = Window.orderBy(F.desc("score"), F.asc("word"))
     return (
         ranks.select(F.col("id").alias("word"),

@@ -199,9 +199,16 @@ def rank_correlation_tau(docs: DataFrame, queries: DataFrame, k: int = 20,
     """
     from semantik_spark.operators.search import ltr_features
 
+    # feats is consumed THREE times (both sides of the pair self-join +
+    # the per-query candidate count) — localCheckpoint materializes the
+    # whole ltr_features pipeline once and truncates its ~240-Exchange
+    # plan subtree to a leaf, instead of planning and running the
+    # corpus-side search three times. The table is query-bounded
+    # (|queries|·2k rows), so the checkpoint is tiny at any corpus size.
     feats = ltr_features(docs, queries, k=k, id_col=id_col,
                          text_col=text_col) \
-        .select("query_id", "doc_id", "bm25_rank", "dense_rank")
+        .select("query_id", "doc_id", "bm25_rank", "dense_rank") \
+        .localCheckpoint()
     a, b = feats.alias("a"), feats.alias("b")
     pairs = (
         a.join(b, (F.col("a.query_id") == F.col("b.query_id"))

@@ -34,6 +34,12 @@ def profile_columns(df: DataFrame, columns: list[str],
     min/max/avg are cast to double so every profiled column shares one
     output schema; avg is rounded to 6 dp for engine portability.
     """
+    # NOT spread() (r13 optimization pass): avg_val is a DOUBLE mean,
+    # and a repartition changes its accumulation order — measured at
+    # sf0.01, one column's 6-dp avg moved by 1e-6 against the oracle.
+    # The parallelism win (2.5s → 2.1s local) is not worth an
+    # order-dependent float aggregate; the exact-integer operators
+    # (CDC, span dedup) keep their spread.
     total = F.count(F.lit(1))
     aggs = [total.alias("__n_rows")]
     for c in columns:

@@ -54,11 +54,15 @@ def item_item_cosine(events: DataFrame, top_k: int = 50,
         .agg(F.max(ts_col).alias("last_ts"))
     )
     w = Window.partitionBy("u").orderBy(F.desc("last_ts"), F.asc("item"))
+    # hist feeds three consumers (per-item counts + both sides of the
+    # co-occurrence self-join) — materialize the bounded (user,
+    # ≤max_items) table once instead of re-running the interaction
+    # window per consumer
     hist = (
         inter.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_items_per_user)
         .select("u", "item")
-    )
+    ).localCheckpoint()
     n_items = hist.groupBy("item").agg(
         F.count("*").cast("bigint").alias("n_users"))
     a, b = hist.alias("a"), hist.alias("b")

@@ -343,8 +343,12 @@ def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
 
     # ONE tokenize pass shared between retrieval and snippet slicing
     tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
+    # top is consumed twice (the retrieved-doc filter and the hit
+    # table) and it is k-bounded — localCheckpoint materializes the
+    # whole BM25 retrieval once and truncates its plan subtree to a
+    # leaf instead of planning/running the postings chain per consumer
     top = bm25.search(docs, queries, k=k, id_col=id_col,
-                      text_col=text_col, tokenized=tok)
+                      text_col=text_col, tokenized=tok).localCheckpoint()
     # only the retrieved docs' token streams move forward
     dtok = (
         tok.join(top.select("doc_id").distinct(), "doc_id")
@@ -357,12 +361,15 @@ def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
         .select(F.col("doc_id").alias("query_id"),
                 F.explode("tokens").alias("term")).distinct()
     )
+    # hits feeds BOTH sides of the window self-join below — materialize
+    # it once (bounded by the retrieved docs' total query-term tf, never
+    # corpus-scale) so the posexplode + semi-join subtree runs once
     hits = (
         top.select("query_id", "doc_id", "rank")
         .join(pos, "doc_id")
         .join(qterms, ["query_id", "term"], "left_semi")
         .select("query_id", "doc_id", "rank", "p", "term")
-    )
+    ).localCheckpoint()
     a = hits.select("query_id", "doc_id", "rank", F.col("p").alias("start"))
     b = hits.select("query_id", "doc_id",
                     F.col("p").alias("p2"), F.col("term").alias("t2"))
@@ -774,7 +781,19 @@ def ltr_features(docs: DataFrame, queries: DataFrame, k: int = 20,
     """
     tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
     stats = bm25.corpus_stats(tok)
-    terms = bm25.term_stats(tok, stats)
+    # terms feeds three consumers (postings, query encoding, the idf
+    # join in hits) and the embedding table feeds two (the dense
+    # branch, the candidate cosine) — caching them collapses those
+    # repeated corpus-side subtrees to one execution +
+    # InMemoryTableScan each (the uncached plan carried ~240 Exchange
+    # nodes and ran the vocab aggregation three times).
+    terms = cache(bm25.term_stats(tok, stats))
+    # post is consumed twice (BM25 scoring + hits) but NOT cached:
+    # measured at sf0.1, persisting the corpus-sized postings table
+    # costs more wall than the second aggregation over the cached tok
+    # saves (6.1s vs 4.4s median noop) — the recompute is map-side
+    # work over an InMemoryTableScan, while the persist serializes
+    # every posting row once more
     post = bm25.postings(tok, terms, stats)
     enc = bm25.encode_queries(queries, terms)
     scored = bm25.score(post, enc)
@@ -784,8 +803,16 @@ def ltr_features(docs: DataFrame, queries: DataFrame, k: int = 20,
         scored.withColumn("bm25_rank", F.row_number().over(wb))
         .where(F.col("bm25_rank") <= k)
     )
-    dtop = mock_dense_search(docs, queries, k=k, id_col=id_col,
-                             text_col=text_col)
+    emb = cache(docs.select(F.col(id_col).alias("doc_id"),
+                            mock_embedding(text_col).alias("e")))
+    # the dense branch scores against the SAME cached embedding table
+    # the candidate cosine below reads (mock_dense_search would rebuild
+    # an identical mock_embedding scan of the corpus from scratch)
+    dtop = dense_search(
+        emb.select("doc_id", F.col("e").alias("embedding")),
+        queries.select(F.col("query_id"),
+                       mock_embedding("query_text").alias("query_vec")),
+        k)
     cand = (
         btop.select("query_id", "doc_id")
         .unionByName(dtop.select("query_id", "doc_id"))
@@ -801,8 +828,6 @@ def ltr_features(docs: DataFrame, queries: DataFrame, k: int = 20,
     )
     qv = queries.select(F.col("query_id"),
                         mock_embedding("query_text").alias("qe"))
-    emb = docs.select(F.col(id_col).alias("doc_id"),
-                      mock_embedding(text_col).alias("e"))
     cos = (
         cand.join(emb, "doc_id")
         .join(F.broadcast(qv), "query_id")

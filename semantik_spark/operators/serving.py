@@ -45,8 +45,17 @@ def build_sparse(docs: DataFrame, path: str,
     this whole pass, while the dense half can stay append-only (see
     streaming.incremental.incremental_index)."""
     tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
-    stats = bm25.corpus_stats(tok)
-    terms = bm25.term_stats(tok, stats)
+    # derive the SERVING tables from the mergeable state instead of
+    # aggregating tok twice: term_state (the vocab explode+groupBy —
+    # the one corpus-sized aggregation here) used to run once inside
+    # term_stats and AGAIN for the state write below; corpus_state ∘
+    # stats_from_state is corpus_stats bit-for-bit (exact integer sums,
+    # one double division — the retraction path already pins
+    # state-derived == recomputed)
+    cstate = bm25.corpus_state(tok)
+    tstate = cache(bm25.term_state(tok))
+    stats = bm25.stats_from_state(cstate)
+    terms = bm25.term_stats_from_state(tstate, stats)
     post = bm25.postings(tok, terms, stats)
     terms.write.mode("overwrite").parquet(f"{path}/terms")
     # the persisted postings drop term_id: appended batches are scored
@@ -59,10 +68,8 @@ def build_sparse(docs: DataFrame, path: str,
     # merge_sparse_append continues from this exact rebuild — via the
     # atomic whole-directory swap, never two in-place overwrites
     def _write_state(tmp: str) -> None:
-        bm25.corpus_state(tok).write.mode("overwrite") \
-            .parquet(f"{tmp}/corpus")
-        bm25.term_state(tok).write.mode("overwrite") \
-            .parquet(f"{tmp}/terms")
+        cstate.write.mode("overwrite").parquet(f"{tmp}/corpus")
+        tstate.write.mode("overwrite").parquet(f"{tmp}/terms")
 
     _bm25_state_swap(path, _write_state)
     tok.unpersist()

@@ -397,9 +397,14 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
         "_sid",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
     )
+    # baskets feeds FOUR consumers (the basket count, the per-item
+    # counts, and both sides of the pair self-join) — materialize it
+    # once so the sessionize window chain over the raw events runs one
+    # time, not once per consumer; the basket table is sessions×types
+    # rows, far smaller than the event stream
     baskets = sess.select(
         F.col(user_col).alias("u"), F.col("_sid").alias("s"), F.col(type_col).alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     n_baskets = baskets.select("u", "s").distinct().agg(
         F.count("*").cast("double").alias("n_baskets")
     )
@@ -958,11 +963,20 @@ def theil_sen_daily(df: DataFrame, date_col: str = "o_orderdate",
         F.sum(F.col(value_col).cast("decimal(18,2)"))
         .cast("decimal(18,2)").alias("rev"))
     d0 = daily.agg(F.min("day").alias("d0"))
+    # idx feeds three consumers (both sides of the pair join + the
+    # residual pass) — materialize the calendar-bounded day table once
+    # instead of re-running the daily aggregation per consumer
     idx = (
         daily.crossJoin(F.broadcast(d0))
         .select(F.datediff("day", "d0").cast("bigint").alias("i"), "rev")
-    )
-    a, b = idx.alias("a"), idx.alias("b")
+    ).localCheckpoint()
+    # the pair enumeration is days² rows from a days-sized input: spread
+    # the stream side over the configured shuffle parallelism (the day
+    # table is calendar-bounded, so this exchange is always tiny) and
+    # broadcast the build side, so the quadratic fan-out runs on every
+    # core instead of inheriting the 1-partition day aggregate
+    n_par = idx.sparkSession.sparkContext.defaultParallelism
+    a, b = idx.repartition(n_par, "i").alias("a"), F.broadcast(idx).alias("b")
     slopes = (
         a.join(b, F.col("a.i") < F.col("b.i"))
         .select(((F.col("b.rev") - F.col("a.rev")).cast("double")

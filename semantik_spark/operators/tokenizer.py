@@ -152,7 +152,8 @@ def _apply_merge(state: DataFrame, left: str, right: str,
 
 
 def bpe_train(docs: DataFrame, num_merges: int = 8,
-              text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+              text_col: str = "text",
+              wordfreq: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns ``(merges, state)``:
@@ -182,7 +183,11 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
     test-pinned), and the unchanged DISTRIBUTED encoder.
     """
     spark = docs.sparkSession
-    state = _initial_state(word_frequencies(docs, text_col))
+    # ``wordfreq``: reuse a caller-held word-frequency table instead of
+    # re-running the one corpus-sized pass (see wordpiece_train)
+    if wordfreq is None:
+        wordfreq = word_frequencies(docs, text_col)
+    state = _initial_state(wordfreq)
     state = state.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
@@ -631,7 +636,8 @@ def _wp_merged(left: str, right: str) -> str:
 
 
 def wordpiece_train(docs: DataFrame, num_merges: int = 8,
-                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                    text_col: str = "text",
+                    wordfreq: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` WordPiece merges. Same round structure as
     ``bpe_train`` (one pair-count aggregation, one 1-row argmax
     collect, one window rewrite per round — see its at-scale note; the
@@ -657,8 +663,12 @@ def wordpiece_train(docs: DataFrame, num_merges: int = 8,
     training symbolization).
     """
     spark = docs.sparkSession
-    state = _wp_initial_state(
-        word_frequencies(docs, text_col)).localCheckpoint(eager=True)
+    # ``wordfreq``: callers that already hold the word-frequency table
+    # (the one corpus-sized pass) can hand it in instead of paying a
+    # second identical corpus scan
+    if wordfreq is None:
+        wordfreq = word_frequencies(docs, text_col)
+    state = _wp_initial_state(wordfreq).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int, int]] = []
     for rank in range(1, num_merges + 1):
         uni = (
