@@ -291,6 +291,13 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
+    # terms/stats deliberately NOT persisted here (r13 measurement):
+    # the two terms subtrees (postings + query encoding) are
+    # independent stages of ONE job and run concurrently over the
+    # cached tok, so the duplicate vocab aggregation costs little wall
+    # — while a persist serializes materialize-then-read and measured
+    # +13-22% on every search-shaped query. rocchio_search (3+
+    # consumers, two scoring passes) is where the persist wins.
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = postings(tok, terms, stats)
@@ -339,6 +346,7 @@ def pruned_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     nprobe sweep)."""
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
+    # terms/stats not persisted — same trade as search() (see there)
     stats = corpus_stats(tok)
     terms = term_stats(tok, stats)
     post = pruned_postings(postings(tok, terms, stats), keep=keep)
@@ -385,8 +393,11 @@ def rocchio_search(docs: DataFrame, queries: DataFrame, k: int = 10,
 
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
-    stats = corpus_stats(tok)
-    terms = term_stats(tok, stats)
+    # terms feeds postings + BOTH query encodings; stats feeds terms +
+    # postings — same two-consumer sharing as search() (see its
+    # comment). post was already persisted across the two passes.
+    stats = cache(corpus_stats(tok))
+    terms = cache(term_stats(tok, stats))
     post = cache(postings(tok, terms, stats))
     enc = encode_queries(queries, terms)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -864,7 +864,11 @@ def embedding_outliers(corpus: DataFrame, n_centroids: int = 16,
                                id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
     best = F.array_max(_nearest_centroids("v"))
-    assigned = (
+    # assigned feeds BOTH the per-cluster moment groupBy and the final
+    # flagging join — persist it so the n_centroids-cosines-per-vector
+    # assignment scan runs once, not twice (r13: the two consumers are
+    # separate subtrees of one plan; Spark does not share them)
+    assigned = cache(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
         .crossJoin(codebook)
         .select(

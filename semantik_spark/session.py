@@ -24,6 +24,16 @@ def get_spark(app_name: str = "semantik_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE (incl. partition coalescing) apply when materializing
+        # persisted DataFrames: without this, every cache() site
+        # materializes with the full static shuffle-partition count —
+        # measured locally, the operator caches then cost MORE in tiny-
+        # partition scheduling overhead than the recompute they save
+        # (e.g. gdpr_delete_cascade 93 -> 480 tasks). Scale-adaptive by
+        # construction: AQE coalesces by target bytes, so big cached
+        # frames keep their parallelism.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
