@@ -1110,7 +1110,17 @@ def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = docs.repartition(n_part, id_col)
-    s = shingle_sets(docs, n, id_col, text_col)
+    # ONE tokenize+shingle corpus pass: the cached array table feeds
+    # the prefix ranking AND both verification join sides (was three
+    # independent corpus passes — shingle_sets once, shingle_arrays
+    # re-planned per join side). n_shingles = size of the cached
+    # distinct array ≡ shingle_sets' per-doc exploded-row count.
+    arr = cache(shingle_arrays(docs, n, id_col, text_col)
+                .select("doc_id", "shingles"))
+    s = arr.select(
+        "doc_id", F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
     # global document frequency per shingle as a window, rarest-first
     # prefix rank per doc — two window shuffles, zero joins
     s = s.withColumn(
@@ -1131,7 +1141,6 @@ def jaccard_prefix_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arr = shingle_arrays(docs, n, id_col, text_col).select("doc_id", "shingles")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(arr.select(F.col("doc_id").alias("doc_a"),
