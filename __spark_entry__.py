@@ -574,10 +574,13 @@ def q_knn_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine graph: Q = Σ e_cc/m - Σ dout·din/m² with DECIMAL-widened
     products — the external-validation score tying the clustering
     family to the graph family."""
-    from semantik_spark.operators.graph import knn_graph_edges, label_modularity
+    from semantik_spark.operators.graph import label_modularity
 
     emb = _t(spark, sf_dir, "embeddings")
-    edges = knn_graph_edges(emb, k=5)
+    # the SAME memoized 5-NN edge table every other knn_* graph query
+    # shares (this was the one direct knn_graph_edges call — it re-ran
+    # the all-pairs scoring the memo exists to amortize, ~19 s at sf0.1)
+    edges = _knn_edges(spark, sf_dir, k=5)
     return label_modularity(
         edges, emb.select("vec_id", "label"),
         node_col="vec_id", label_col="label")
@@ -3036,8 +3039,14 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from semantik_spark.functions.text import word_shingles
     from semantik_spark.operators.sketches import kmv_set_ops
 
+    from semantik_spark.functions.parallel import spread
+
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
+    # spread before the shingle explode: the single-file scan otherwise
+    # runs the per-shingle md5 hashing in one task (guide §2.5); KMV
+    # keeps the k SMALLEST hashes — a set property, placement-free
+    sh = spread(docs.select("source", "text"), "source", "text") \
+        .select("source", F.explode(word_shingles("text", 3)).alias("shingle"))
     return kmv_set_ops(sh, "source", "shingle", k=64)
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.functions.caching import cache
+from semantik_spark.functions.parallel import spread
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85, iterations: int = 5,
@@ -90,8 +91,15 @@ def knn_graph_edges(emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     # cost, without touching any float. cos = dot/(na·nb) keeps the
     # exact operation order of functions.vectors.cosine, so ranking
     # stays bit-comparable to the DuckDB oracle.
-    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va")) \
-           .withColumn("na", norm("va"))
+    # spread() the probe side before the broadcast pair loop: the
+    # single-file scan otherwise fuses with the |V|²/2 cosine stage on
+    # ONE task (guide §2.5) — repartition-safe, the pair cosines and
+    # the deterministic (cos DESC, dst ASC) rank don't depend on row
+    # placement. No-op once the scan carries >= cores partitions.
+    a = spread(
+        emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va")),
+        "src",
+    ).withColumn("na", norm("va"))
     b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb")) \
            .withColumn("nb", norm("vb"))
     nn = F.col("na") * F.col("nb")

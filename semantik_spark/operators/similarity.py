@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from semantik_spark.functions.caching import cache
+from semantik_spark.functions.parallel import spread
 from semantik_spark.functions.quant import round_half_away
 from semantik_spark.functions.vectors import cosine
 
@@ -45,8 +46,17 @@ from semantik_spark.functions.vectors import cosine
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    query_id_col: str = "query_id", query_vec_col: str = "query_vec") -> DataFrame:
-    """Exact cosine top-k: query_id, vec_id, cos, rank (ties → vec_id)."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    """Exact cosine top-k: query_id, vec_id, cos, rank (ties → vec_id).
+
+    spread() before the broadcast fan-out (here and in the other
+    scan-side kernels below): the single-file scan otherwise fuses
+    with the |corpus|×|queries| scoring stage on ONE task (guide
+    §2.5). Repartition-safe: scores are per-row expressions and the
+    top-k windows break ties deterministically — row placement can
+    never change a value or a rank. No-op at production partition
+    counts."""
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id", cosine("v", "qv").alias("cos")
@@ -207,7 +217,13 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
             cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
                                    id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread AFTER training (ivf_centroids/ivf_refine consume the raw
+    # corpus above — their double-sum Lloyd means are accumulation-
+    # order-sensitive and must not be repartitioned); the assignment +
+    # probed-cell scoring below are per-row ops with deterministic
+    # ranks, so spreading them is value-neutral (see knn_bruteforce)
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     assigned = c.crossJoin(codebook).withColumn(
         "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
     ).drop("cents")
@@ -239,7 +255,9 @@ def knn_quantized(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from semantik_spark.functions.vectors import dequantize_int8, quantize_int8
 
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread: see knn_bruteforce (per-row quantize + cosine, safe)
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     deq = c.withColumn("q", quantize_int8("v")).select(
         "vec_id", dequantize_int8(F.col("q")).alias("dv")
     )
@@ -321,7 +339,9 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
             f"knn_lsh supports probe_hamming 0 or 1, got {probe_hamming}; "
             f"for wider probing raise n_tables (recall amplification) "
             f"instead")
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread: see knn_bruteforce (per-row signatures + cosines, safe)
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     c_tab = c.select(
         "vec_id", "v",
         F.explode(F.array(*[
@@ -570,7 +590,9 @@ def knn_binary(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bounded by |queries|·|corpus-partition| partial top-k under AQE.
     """
     n_words = (dim + 31) // 32
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread: see knn_bruteforce (hamming is exact integers, safe)
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     ccodes = c.select(
         "vec_id",
         *[binary_code("v", dim, w).alias(f"c{w}") for w in range(n_words)],
@@ -625,7 +647,9 @@ def matryoshka_recall(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the corpus side stays a scan of the embedding column only.
     """
     full = max(dims)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread: see knn_bruteforce (per-row sliced cosines, safe)
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv"))
     scored = (
         c.crossJoin(F.broadcast(q))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.parallel import spread
+
 # Truncation depth of the Kolmogorov asymptotic series
 # Q(λ) = 2 Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²): at j = 40 the dropped tail
 # is < exp(-3200 λ²) — below 1e-9 for any λ the two-sided test can
@@ -506,8 +508,13 @@ def poisson_bootstrap_mean(df: DataFrame, value_col: str, key_col: str,
     for k in range(len(_POIS1_CDF9) - 1, -1, -1):
         w = F.when(u < F.lit(_POIS1_CDF9[k]), F.lit(k)).otherwise(w)
     v = F.round(F.col(value_col), 6).cast("decimal(18,6)")
-    base = df.select(F.col(key_col), v.alias("v")).crossJoin(
-        F.broadcast(reps))
+    # spread() before the ×B broadcast fan-out: the single-file scan
+    # stage otherwise fuses with the crossJoin + weight ladder, so ONE
+    # task computes |rows|×B md5 draws (measured 74 s at sf0.1 on 32
+    # cores — guide §2.5 input skew). Repartition-safe: the replicate
+    # aggregates are exact bigint×DECIMAL sums, order never matters.
+    base = spread(df.select(F.col(key_col), v.alias("v")), key_col) \
+        .crossJoin(F.broadcast(reps))
     repmeans = (
         base.select("b", w.cast("bigint").alias("w"), "v")
         .groupBy("b")

@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import cache
 from semantik_spark.functions.hashing import hash60
+from semantik_spark.functions.parallel import spread
 from semantik_spark.functions.text import raw_tokens
 
 
@@ -493,10 +495,19 @@ def dsir_weights(docs: DataFrame, target: DataFrame, buckets: int = 64,
         )
         return F.concat(uni, bi)
 
-    raw_feats = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(gram_col(text_col)).alias("g"),
-    ).select("doc_id", F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+    # spread() before the gram explode (the single-file scan otherwise
+    # runs the per-gram md5 hashing in ONE task — guide §2.5), and
+    # cache the narrow (doc_id, bucket) table: it feeds BOTH the raw
+    # bucket distribution and the per-doc weight sums, which otherwise
+    # re-ran the whole explode+hash corpus pass each (guide §5).
+    raw_feats = cache(
+        spread(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            "doc_id",
+        )
+        .select("doc_id", F.explode(gram_col(text_col)).alias("g"))
+        .select("doc_id", F.pmod(hash60("g"), F.lit(buckets)).alias("bucket"))
+    )
     # the target's id is never used, so its schema needs ONLY a text
     # column (decontaminate's eval_text_col pattern) — previously the
     # docs id_col name was imposed on the target frame too
