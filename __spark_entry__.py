@@ -726,8 +726,15 @@ def q_stat_bf_from_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rep.alias("v"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    e = brown_forsythe(ev, "event_type", "value")
-    s = bf_from_value_counts(vl)
+    # e and s each feed the median/mad join AND the F-stat row —
+    # without persisting, the full exact-BF and sketch-BF pipelines
+    # (two event-table scans each) re-ran per consumer (r13: 44 → 37
+    # jobs, wall −13% at sf0.1 — the rest of the job count is the BF
+    # pipelines' own internal structure, materialized once under the
+    # cache). Both are tiny per-group result tables; caching reuses the
+    # already-computed values, it cannot change them.
+    e = cache(brown_forsythe(ev, "event_type", "value"))
+    s = cache(bf_from_value_counts(vl))
 
     def cmp(test_col, e_col, s_col, tol: float):
         # both stats are already 6-dp, so abs_err is an exact multiple
