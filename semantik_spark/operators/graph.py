@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from semantik_spark.functions.caching import cache
+from semantik_spark.functions.caching import cache, checkpoint
 from semantik_spark.functions.parallel import spread
 
 
@@ -267,7 +267,7 @@ def kcore_numbers(edges: DataFrame, rounds: int = 8,
             .agg(F.max(F.least("rn", "nb_est")).cast("bigint").alias("est"))
         )
         if t % 3 == 2:
-            est = est.localCheckpoint()
+            est = checkpoint(est)
     return (
         degrees.select(F.col("src").alias("id"),
                        F.col("est").alias("degree"))

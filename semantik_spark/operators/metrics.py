@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import checkpoint
+
 # cached frames from the most recent evaluate() call, released on the
 # next call (see evaluate docstring)
 _live_caches: list[DataFrame] = []
@@ -205,10 +207,9 @@ def rank_correlation_tau(docs: DataFrame, queries: DataFrame, k: int = 20,
     # plan subtree to a leaf, instead of planning and running the
     # corpus-side search three times. The table is query-bounded
     # (|queries|·2k rows), so the checkpoint is tiny at any corpus size.
-    feats = ltr_features(docs, queries, k=k, id_col=id_col,
-                         text_col=text_col) \
-        .select("query_id", "doc_id", "bm25_rank", "dense_rank") \
-        .localCheckpoint()
+    feats = checkpoint(ltr_features(docs, queries, k=k, id_col=id_col,
+                                    text_col=text_col)
+                       .select("query_id", "doc_id", "bm25_rank", "dense_rank"))
     a, b = feats.alias("a"), feats.alias("b")
     pairs = (
         a.join(b, (F.col("a.query_id") == F.col("b.query_id"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import checkpoint
+
 
 def item_item_cosine(events: DataFrame, top_k: int = 50,
                      max_items_per_user: int = 50,
@@ -62,7 +64,8 @@ def item_item_cosine(events: DataFrame, top_k: int = 50,
         inter.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_items_per_user)
         .select("u", "item")
-    ).localCheckpoint()
+    )
+    hist = checkpoint(hist)
     n_items = hist.groupBy("item").agg(
         F.count("*").cast("bigint").alias("n_users"))
     a, b = hist.alias("a"), hist.alias("b")

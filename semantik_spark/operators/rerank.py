@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import checkpoint
+
 from semantik_spark.config import (
     RERANK_CANDIDATE_MAX,
     RERANK_CANDIDATE_MIN,
@@ -86,14 +88,11 @@ def rerank(candidates: DataFrame, queries: DataFrame, docs: DataFrame, k: int = 
     # lineage is the full hybrid search — without materialization it
     # executes end-to-end twice (counter-proven r10: 45→82 jobs, 2×
     # shuffle). The set is bounded ≤ |queries|·candidate_k rows by the
-    # W3 clamp, so the checkpoint is tiny. Known, accepted leak (the
-    # codebase-wide localCheckpoint convention, same as the terms
-    # checkpoint in bm25.py): the checkpoint RDD blocks are released by
-    # driver GC of the returned plan, not unpersisted here — the
-    # returned DataFrame is lazy, so there is no post-materialization
-    # hook inside this function; a long-lived session that loops rerank
-    # holds ≤ one tiny candidate block per live result plan.
-    hits = candidates.select("query_id", "doc_id").localCheckpoint(eager=True)
+    # W3 clamp, so the checkpoint is tiny. The blocks are registered in
+    # the caching registry (functions/caching.py checkpoint, r14 —
+    # ADVICE r13) and released deterministically at the next query's
+    # release_all(), the same lifecycle as every operator cache().
+    hits = checkpoint(candidates.select("query_id", "doc_id"), eager=True)
     with_content = hydrate(hits, docs)
     with_q = with_content.join(
         F.broadcast(queries.select("query_id", "query_text")), "query_id"

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from semantik_spark.config import RRF_K
 from semantik_spark.functions.vectors import cosine, mock_embedding
 from semantik_spark.operators import bm25
-from semantik_spark.functions.caching import cache
+from semantik_spark.functions.caching import cache, checkpoint
 
 
 def _topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
@@ -347,8 +347,8 @@ def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
     # table) and it is k-bounded — localCheckpoint materializes the
     # whole BM25 retrieval once and truncates its plan subtree to a
     # leaf instead of planning/running the postings chain per consumer
-    top = bm25.search(docs, queries, k=k, id_col=id_col,
-                      text_col=text_col, tokenized=tok).localCheckpoint()
+    top = checkpoint(bm25.search(docs, queries, k=k, id_col=id_col,
+                                 text_col=text_col, tokenized=tok))
     # only the retrieved docs' token streams move forward
     dtok = (
         tok.join(top.select("doc_id").distinct(), "doc_id")
@@ -369,7 +369,8 @@ def best_window_snippets(docs: DataFrame, queries: DataFrame, k: int = 5,
         .join(pos, "doc_id")
         .join(qterms, ["query_id", "term"], "left_semi")
         .select("query_id", "doc_id", "rank", "p", "term")
-    ).localCheckpoint()
+    )
+    hits = checkpoint(hits)
     a = hits.select("query_id", "doc_id", "rank", F.col("p").alias("start"))
     b = hits.select("query_id", "doc_id",
                     F.col("p").alias("p2"), F.col("term").alias("t2"))

@@ -47,6 +47,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
                                StructType)
 
+from semantik_spark.functions.caching import checkpoint
+
 #: end-of-word marker appended as a final symbol (Sennrich et al. 2016)
 EOW = "</w>"
 
@@ -188,7 +190,7 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
     if wordfreq is None:
         wordfreq = word_frequencies(docs, text_col)
     state = _initial_state(wordfreq)
-    state = state.localCheckpoint(eager=True)
+    state = checkpoint(state, eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         best = (
@@ -201,7 +203,7 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
             break
         l, r, cnt = best[0]["left"], best[0]["right"], int(best[0]["cnt"])
         merges.append((rank, l, r, l + r, cnt))
-        state = _apply_merge(state, l, r).localCheckpoint(eager=True)
+        state = checkpoint(_apply_merge(state, l, r), eager=True)
     schema = StructType([
         StructField("merge_rank", LongType()),
         StructField("left_sym", StringType()),
@@ -668,7 +670,7 @@ def wordpiece_train(docs: DataFrame, num_merges: int = 8,
     # second identical corpus scan
     if wordfreq is None:
         wordfreq = word_frequencies(docs, text_col)
-    state = _wp_initial_state(wordfreq).localCheckpoint(eager=True)
+    state = checkpoint(_wp_initial_state(wordfreq), eager=True)
     merges: list[tuple[int, str, str, str, int, int]] = []
     for rank in range(1, num_merges + 1):
         uni = (
@@ -697,7 +699,7 @@ def wordpiece_train(docs: DataFrame, num_merges: int = 8,
         l, r = best[0]["left"], best[0]["right"]
         m = _wp_merged(l, r)
         merges.append((rank, l, r, m, int(best[0]["cnt"]), int(best[0]["denom"])))
-        state = _apply_merge(state, l, r, merged=m).localCheckpoint(eager=True)
+        state = checkpoint(_apply_merge(state, l, r, merged=m), eager=True)
     schema = StructType([
         StructField("merge_rank", LongType()),
         StructField("left_sym", StringType()),

@@ -19,6 +19,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import checkpoint as _ckpt
+
 
 def stream_files(spark: SparkSession, root: str, schema: str,
                  fmt: str = "json", max_files_per_trigger: int | None = None) -> DataFrame:
@@ -184,9 +186,9 @@ def incremental_index(stream: DataFrame, idx_dir: str, catalog_path: str,
         except Exception:  # first batch: no catalog yet
             changed = hashed
             n_updates = 0
-        changed = changed.withColumn(
+        changed = _ckpt(changed.withColumn(
             "_batch_id", F.lit(batch_id).cast("bigint")
-        ).localCheckpoint()  # one evaluation, three sinks
+        ))  # one evaluation, three sinks
         # SINK ORDER: the catalog append is the batch's idempotence
         # fence (the change-detection anti-join keys on it), so it
         # commits LAST. A crash before it means the replay re-detects
@@ -824,7 +826,7 @@ def streaming_lsh_dedup(stream: DataFrame, state_path: str, checkpoint: str,
             ])).alias("bk"),
         ).select("doc_id", "sig", "bk.band", "bk.band_key")
         # one compute for 3 uses (self-join sides + state append)
-        banded = banded.localCheckpoint()
+        banded = _ckpt(banded)
 
         a, b = banded.alias("a"), banded.alias("b")
         in_batch = (
