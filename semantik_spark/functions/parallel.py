@@ -26,7 +26,16 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     physical plan currently has fewer partitions. ``key_cols``: hash-
     partition on these columns (deterministic row placement under
     retries); without keys, round-robin (Spark's sort-before-repartition
-    keeps that deterministic too)."""
+    keeps that deterministic too).
+
+    PRECONDITION (ADVICE r13): ``df`` must be a raw scan or a narrow
+    select/filter over one — the partition probe accesses ``df.rdd``,
+    and under AQE that materializes any shuffle/broadcast query stages
+    in the plan at operator-CONSTRUCTION time (jobs run before the real
+    action, and their work is redone by it). Callers holding a derived
+    frame (cached, joined, aggregated) must not route it through
+    spread(); they either spread the upstream scan instead or accept
+    the input's parallelism (see pq_codebooks(spread_input=False))."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from semantik_spark.functions.caching import cache
+from semantik_spark.functions.caching import cache, checkpoint
 from semantik_spark.functions.hashing import content_hash, hash60
 from semantik_spark.functions.text import shingles_from_tokens, whitespace_tokens
 
@@ -468,7 +468,7 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     # checkpoint pays a dedicated job per cut. eager=False gives both:
     # the returned plan is already a leaf (LogicalRDD), and the blocks
     # materialize inside round 1's counts job below.
-    sym = sym.localCheckpoint(eager=False)
+    sym = checkpoint(sym, eager=False)
     # Round 1 FUSED into label construction (r6 perf): with identity
     # labels, neighbor-min is simply min(node, min over neighbors) —
     # one aggregation over sym, no join, no separate identity-label
@@ -476,8 +476,8 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
-        .localCheckpoint(eager=False)
     )
+    labels = checkpoint(labels, eager=False)
     CC_LAST_ROUNDS = 1
     CC_LAST_JUMPS = 0
     # ONE job for round 1: materializes the sym + labels checkpoints
@@ -512,9 +512,9 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
             CC_LAST_JUMPS > 0 or changed > CC_JUMP_RATIO * prev_changed
         )
         if not do_jump:
-            new_labels = cand.select(
+            new_labels = checkpoint(cand.select(
                 "node", F.col("_cand").alias("label"), F.col("_old")
-            ).localCheckpoint(eager=False)
+            ), eager=False)
         else:
             # pointer jump: follow the candidate label one hop through
             # the CURRENT label table — label(label(v)) — so long
@@ -528,8 +528,8 @@ def connected_components(edges: DataFrame, node_a: str = "doc_a",
                     F.least(F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))).alias("label"),
                     F.col("_old"),
                 )
-                .localCheckpoint(eager=False)
             )
+            new_labels = checkpoint(new_labels, eager=False)
         prev_changed = changed
         # the round's ONLY job: materializes new_labels' checkpoint and
         # counts churn in one pass
@@ -811,8 +811,8 @@ def canonical_docs(docs: DataFrame, quality: DataFrame,
     # chain once and the union reads a leaf. Measured 3.3s -> 2.6s
     # clean median at sf0.1 (the same pattern incremental_components
     # callers already use).
-    pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, threshold,
-                              id_col, "text").localCheckpoint()
+    pairs = checkpoint(minhash_lsh_pairs(docs, num_hashes, bands, n, threshold,
+                                         id_col, "text"))
     cc = connected_components(pairs, edges_canonical=True)
     clusters = cc.select(F.col("node").alias("doc_id"),
                          F.col("component").alias("cluster_id"))
@@ -1299,8 +1299,13 @@ def semdedup(emb: DataFrame, threshold: float = 0.95, n_centroids: int = 16,
         cent_rows = ivf_refine(v, cent_rows, iters=refine_iters,
                                id_col="vec_id", vec_col="v")
     codebook = F.broadcast(_codebook_df(emb.sparkSession, cent_rows))
+    # spread (r14): the per-row assignment (n_centroids cosines/vector)
+    # otherwise runs in one task over the one-file scan; centroid_id is
+    # per-row deterministic and the duplicate test below is an exact
+    # threshold + distinct — placement-free
+    from semantik_spark.functions.parallel import spread
     assigned = cache(
-        v.crossJoin(codebook).withColumn(
+        spread(v, "vec_id").crossJoin(codebook).withColumn(
             "centroid_id", -F.array_max(_nearest_centroids("v"))["negcid"]
         ).drop("cents")
     )
@@ -1428,6 +1433,6 @@ def incremental_components(spark, state_path: str,
         _ = old.head(1)
     except Exception:
         old = None
-    new_state = merge_components(old, new_edges).localCheckpoint()
+    new_state = checkpoint(merge_components(old, new_edges))
     new_state.write.mode("overwrite").parquet(state_path)
     return spark.read.parquet(state_path)

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from semantik_spark.functions.vectors import mock_embedding
 from semantik_spark.operators import bm25, search
 from semantik_spark.plans.predicates import compile_predicate
-from semantik_spark.functions.caching import cache
+from semantik_spark.functions.caching import cache, checkpoint
+from semantik_spark.functions.parallel import spread
 
 
 def build_sparse(docs: DataFrame, path: str,
@@ -186,8 +187,8 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
         new_t = bm25.term_state(tok)
     # localCheckpoint before the swap: the merged plans read the very
     # files being replaced; cutting lineage materializes them first
-    new_c = new_c.localCheckpoint()
-    new_t = new_t.localCheckpoint()
+    new_c = checkpoint(new_c)
+    new_t = checkpoint(new_t)
 
     def _write_state(tmp: str) -> None:
         new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
@@ -205,7 +206,7 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
     # postings append goes through _replace_batch_postings (leftover
     # files from a crashed attempt are removed before the re-append).
     stats = bm25.stats_from_state(new_c)
-    terms = bm25.term_stats_from_state(new_t, stats).localCheckpoint()
+    terms = checkpoint(bm25.term_stats_from_state(new_t, stats))
     # term_id dropped from the persisted rows (see build_sparse): the
     # grown vocabulary re-ranks ids, so a stored id column would mix
     # id spaces between this batch and earlier generations
@@ -429,6 +430,10 @@ def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
                                train_sample_mod=train_sample_mod)
     spark = docs.sparkSession
     codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    # NO spread before the partitionBy write (r14, measured): a spread
+    # multiplies the per-cell file count by the partition count (the
+    # guide §6 small-files trap measured on write_ivfpq_index) and the
+    # embed+assign map is not compute-bound locally
     assigned = emb.crossJoin(codebook).withColumn(
         "centroid_id", -F.array_max(_nearest_centroids("embedding"))["negcid"]
     ).drop("cents")
@@ -669,6 +674,12 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
     codebook = F.broadcast(_codebook_df(spark, cent_rows))
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
+    # NO spread of the encode/write path (r14, measured): spreading it
+    # wrote ~500 small files into ivfpq_codes (32 partitions ×
+    # partitionBy(cell) — the guide §6 small-files trap) and
+    # knn_ivfpq_serve regressed 8.4 → 20.9 s median. At production
+    # partition counts the repartition is a no-op anyway; the training
+    # sums' scale safety is the order-margin audit's proof.
     # coarse assign + residual in one pass — same expression as
     # similarity.knn_ivfpq so the stored cell is the one it would pick
     best = F.array_max(F.transform(
@@ -957,22 +968,22 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
         tombs = spark.read.parquet(f"{path}/tombstones") \
             .select(F.col("doc_id").alias("_del_id"))
         ids = ids.join(tombs, "_del_id", "left_anti")
-    ids = ids.localCheckpoint()
+    ids = checkpoint(ids)
     live_deleted = deleted_docs.join(
         ids, deleted_docs[id_col] == F.col("_del_id"), "left_semi")
     tok = cache(bm25.tokenize(live_deleted, id_col=id_col, text_col=text_col))
-    new_c = bm25.retract_corpus_state(
-        _bm25_state_read(spark, path, "corpus"), tok).localCheckpoint()
-    new_t = bm25.retract_term_state(
-        _bm25_state_read(spark, path, "terms"), tok).localCheckpoint()
+    new_c = checkpoint(bm25.retract_corpus_state(
+        _bm25_state_read(spark, path, "corpus"), tok))
+    new_t = checkpoint(bm25.retract_term_state(
+        _bm25_state_read(spark, path, "terms"), tok))
 
     def _write_state(tmp: str) -> None:
         new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
         new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
 
     _bm25_state_swap(path, _write_state)
-    terms = bm25.term_stats_from_state(
-        new_t, bm25.stats_from_state(new_c)).localCheckpoint()
+    terms = checkpoint(bm25.term_stats_from_state(
+        new_t, bm25.stats_from_state(new_c)))
     terms.write.mode("overwrite").parquet(f"{path}/terms")
     # the cascade reaches EVERY artifact that exists under the index
     # root — the flat tables, the partitioned ANN layouts, the pruned
@@ -991,9 +1002,9 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
             continue
         tbl = spark.read.parquet(p)
         key = "doc_id" if "doc_id" in tbl.columns else "vec_id"
-        kept = tbl.join(
+        kept = checkpoint(tbl.join(
             ids, F.col(key) == F.col("_del_id"), "left_anti"
-        ).localCheckpoint()
+        ))
         w = kept.write.mode("overwrite")
         if part is not None and part in kept.columns:
             w = w.partitionBy(part)

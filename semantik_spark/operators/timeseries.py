@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from semantik_spark.functions.caching import checkpoint
+
 
 def asof_join(
     left: DataFrame,
@@ -404,7 +406,8 @@ def session_associations(events: DataFrame, gap_minutes: int = 30,
     # rows, far smaller than the event stream
     baskets = sess.select(
         F.col(user_col).alias("u"), F.col("_sid").alias("s"), F.col(type_col).alias("item")
-    ).distinct().localCheckpoint()
+    ).distinct()
+    baskets = checkpoint(baskets)
     n_baskets = baskets.select("u", "s").distinct().agg(
         F.count("*").cast("double").alias("n_baskets")
     )
@@ -969,14 +972,18 @@ def theil_sen_daily(df: DataFrame, date_col: str = "o_orderdate",
     idx = (
         daily.crossJoin(F.broadcast(d0))
         .select(F.datediff("day", "d0").cast("bigint").alias("i"), "rev")
-    ).localCheckpoint()
+    )
+    idx = checkpoint(idx)
     # the pair enumeration is days² rows from a days-sized input: spread
-    # the stream side over the configured shuffle parallelism (the day
-    # table is calendar-bounded, so this exchange is always tiny) and
-    # broadcast the build side, so the quadratic fan-out runs on every
-    # core instead of inheriting the 1-partition day aggregate
-    n_par = idx.sparkSession.sparkContext.defaultParallelism
-    a, b = idx.repartition(n_par, "i").alias("a"), F.broadcast(idx).alias("b")
+    # the stream side up to the session default parallelism (the day
+    # table is calendar-bounded, so this exchange is always tiny — and
+    # spread() is a no-op when the checkpointed table is already wide,
+    # the documented scale-adaptive contract; ADVICE r13) and broadcast
+    # the build side, so the quadratic fan-out runs on every core
+    # instead of inheriting the 1-partition day aggregate. idx is a
+    # checkpointed LEAF, so spread()'s partition probe runs no jobs.
+    from semantik_spark.functions.parallel import spread
+    a, b = spread(idx, "i").alias("a"), F.broadcast(idx).alias("b")
     slopes = (
         a.join(b, F.col("a.i") < F.col("b.i"))
         .select(((F.col("b.rev") - F.col("a.rev")).cast("double")

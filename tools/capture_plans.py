@@ -2,12 +2,26 @@
 
 Usage:
     python tools/capture_plans.py <out_suffix> [query ...]
+    SPARK_GRAFT_PLANS_DIR=plans/r14 python tools/capture_plans.py ...
 
-Writes plans/r13/<query>_<out_suffix>.txt for each named query (or every
-BENCH query when none are named). Plans are captured WITHOUT executing
-the query (initial plan, AdaptiveSparkPlan isFinalPlan=false) — the
-judge checks plan-shape claims (Exchange count, join strategy,
-PushedFilters, BatchEvalPython nodes) against these files.
+Writes plans/<dir>/<query>_<out_suffix>.txt for each named query (or
+every BENCH query when none are named). The RETURNED plan is captured
+without running its action (initial plan, AdaptiveSparkPlan
+isFinalPlan=false) — the judge checks plan-shape claims (Exchange
+count, join strategy, PushedFilters, BatchEvalPython nodes) against
+these files.
+
+CAVEAT (ADVICE r13): several query builders run EAGER work at
+plan-BUILD time — driver training collects (ivf/bpe/logreg) and eager
+localCheckpoints (rank_tau, search_snippets, item_item_cf, event_assoc,
+theil_sen, rerank_search) — so "captured without executing" applies to
+the returned plan only, and a checkpointed subtree prints as a leaf
+(ExistingRDD / Scan ExistingRDD). When comparing before/after pairs
+across a change that ADDS a checkpoint, the Exchange-count drop partly
+reflects plan TRUNCATION (the exchanges moved into the eager build),
+not elimination — judge such changes by runtime counters (bench.py
+jobs/shuffle deltas), and read the per-file header line this tool now
+writes, which flags plans containing checkpoint leaves.
 """
 
 from __future__ import annotations
@@ -27,8 +41,10 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "plans", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     qs = entrymod.queries()
@@ -44,6 +60,16 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             text = buf.getvalue()
+            # header flag (ADVICE r13): a checkpointed subtree prints
+            # as a leaf, so Exchange counts partly reflect truncation —
+            # say so in the artifact itself
+            n_leaf = text.count("ExistingRDD")
+            if n_leaf:
+                text = (f"# NOTE: plan contains {n_leaf} checkpoint "
+                        "leaf(s) (Scan ExistingRDD) — subtree(s) were "
+                        "materialized eagerly at build time; Exchange "
+                        "counts exclude the truncated subtree(s)\n"
+                        + text)
         except Exception as e:  # plan build failed — record why
             text = f"PLAN CAPTURE FAILED: {e!r}\n"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
