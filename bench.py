@@ -74,6 +74,26 @@ ONE_REP_QUERIES = {"stream_interval_join_outer",
 # explicit, like the noise canary already is.
 REPLAY_QUERIES = ONE_REP_QUERIES
 
+# r14 (VERDICT r13 item 2), ADDITIONS-ONLY: a noop-sink series for the
+# queries whose .count() timing prunes most of their real compute
+# (guide §1.4 — count() lets the optimizer drop whole expression
+# subtrees: poisson_bootstrap counted 0.7 s while its noop/serving
+# cost was 74 s before the r13 fix and ~4.5 s after; the driver bench
+# could not see that win). Each runs ONCE through
+# df.write.format("noop") — every column of every row computed — and
+# is recorded as "<name>_noop" in "queries". The existing .count()
+# series is unchanged (same queries, same reps, same medians) and the
+# suite "value" still sums ONLY the count series, so round-over-round
+# totals stay comparable; the noop entries are excluded like replays
+# and listed under "noop_series" in the output line.
+NOOP_SINK_QUERIES = [
+    "poisson_bootstrap",
+    "knn_bruteforce", "knn_quantized", "knn_binary", "knn_lsh",
+    "knn_ivf", "knn_pq", "knn_ivfpq", "matryoshka_recall",
+    "semdedup", "cdc_dedup", "cdc_chunks_scan",
+    "dsir_weights", "corpus_overlap",
+]
+
 BENCH_QUERIES = [
     "pricing_summary",
     "join_revenue",
@@ -581,6 +601,25 @@ def main() -> None:
         _record(name, times, med, lo, hi, extra=f"  ({n} rows){cx}")
         sections[cur_section]["queries"].append(name)
 
+    # r14 noop-sink series (see NOOP_SINK_QUERIES): one rep each, after
+    # the count series so it cannot perturb the comparable medians
+    noop_list = [q for q in NOOP_SINK_QUERIES if not only or q in only]
+    if noop_list:
+        _open_section("noop", "warm-session, post-suite noop-sink series"
+                      " (single rep; full-column materialization)")
+        for name in noop_list:
+            snap = pc.snapshot()
+            spark.sparkContext.setJobDescription(f"noop:{name}")
+            dt, _ = _timed(lambda: (
+                qs[name](spark, sf_dir).write.format("noop")
+                .mode("overwrite").save(), 0)[1])
+            spark.sparkContext.setJobDescription(None)
+            c = pc.delta(snap)
+            if c:
+                counters[f"{name}_noop"] = c
+            _record(f"{name}_noop", [dt], med, lo, hi)
+            sections["noop"]["queries"].append(f"{name}_noop")
+
     # canary measured at both ends: the mean tracks the round's overall
     # contention level, the delta shows drift within the run
     canary_end = _bench_canary(spark, sf_dir)
@@ -591,7 +630,8 @@ def main() -> None:
     print(f"# noise_canary: {canary:.3f}s (start {canary_start:.3f}s, "
           f"end {canary_end:.3f}s)", file=sys.stderr)
 
-    excluded = REPLAY_QUERIES | {"noise_canary"}
+    excluded = REPLAY_QUERIES | {"noise_canary"} \
+        | {k for k in med if k.endswith("_noop")}
     total = round(sum(v for k, v in med.items() if k not in excluded), 3)
     line = {
         "metric": "suite_wall_sec_median_of_%d" % REPS,
@@ -599,6 +639,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in med.items()},
         "replays": sorted(k for k in med if k in REPLAY_QUERIES),
+        "noop_series": sorted(k for k in med if k.endswith("_noop")),
         "reps": REPS,
         "sf": sf,
         "section_canaries": {k: v["canary_sec"] for k, v in sections.items()},
