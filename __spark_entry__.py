@@ -429,7 +429,13 @@ def q_bm25_append_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = cache(bm25.tokenize(_t(spark, sf_dir, "documents")))
+    # spread before tokenize (r14): the regex tokenize feeding the
+    # cache otherwise materializes in ONE task over the one-file scan;
+    # tokens/tf/idf are per-row + exact-integer — placement-free
+    from semantik_spark.functions.parallel import spread
+
+    tok = cache(bm25.tokenize(spread(_t(spark, sf_dir, "documents"),
+                                     "doc_id")))
     stats = bm25.corpus_stats(tok)
     post = bm25.postings(tok, bm25.term_stats(tok, stats), stats)
     return post.select("doc_id", "term", "tf", F.round("weight", 6).alias("weight"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from semantik_spark.config import BM25_B, BM25_K1
 from semantik_spark.functions.text import bm25_tokens
 from semantik_spark.functions.caching import cache
+from semantik_spark.functions.parallel import spread
 
 
 def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -289,6 +290,13 @@ def search(docs: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
+    # NO spread before the corpus tokenize here (r14, measured): only
+    # top-k rows survive this query, so the tokenize is not the
+    # dominant cost and 32-way tiny-task stages cost more than they
+    # parallelize — bm25_search measured 3.56 -> 4.76 s median with the
+    # spread (interleaved 5-rep noop, sf0.1; tasks 68 -> 687). The
+    # full-postings paths (q_bm25_postings, serving.build_sparse),
+    # where the tf explode IS the cost, do spread — measured -45%.
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     # terms/stats deliberately NOT persisted here (r13 measurement):
@@ -344,6 +352,13 @@ def pruned_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     (cut term contributions), ranks shift accordingly. Callers choose
     ``keep`` from measured recall (the pruning analogue of the IVF
     nprobe sweep)."""
+    # NO spread before the corpus tokenize here (r14, measured): only
+    # top-k rows survive this query, so the tokenize is not the
+    # dominant cost and 32-way tiny-task stages cost more than they
+    # parallelize — bm25_search measured 3.56 -> 4.76 s median with the
+    # spread (interleaved 5-rep noop, sf0.1; tasks 68 -> 687). The
+    # full-postings paths (q_bm25_postings, serving.build_sparse),
+    # where the tf explode IS the cost, do spread — measured -45%.
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     # terms/stats not persisted — same trade as search() (see there)
@@ -391,6 +406,13 @@ def rocchio_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
+    # NO spread before the corpus tokenize here (r14, measured): only
+    # top-k rows survive this query, so the tokenize is not the
+    # dominant cost and 32-way tiny-task stages cost more than they
+    # parallelize — bm25_search measured 3.56 -> 4.76 s median with the
+    # spread (interleaved 5-rep noop, sf0.1; tasks 68 -> 687). The
+    # full-postings paths (q_bm25_postings, serving.build_sparse),
+    # where the tf explode IS the cost, do spread — measured -45%.
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     # terms feeds postings + BOTH query encodings; stats feeds terms +
@@ -464,6 +486,13 @@ def lm_dirichlet_search(docs: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
+    # NO spread before the corpus tokenize here (r14, measured): only
+    # top-k rows survive this query, so the tokenize is not the
+    # dominant cost and 32-way tiny-task stages cost more than they
+    # parallelize — bm25_search measured 3.56 -> 4.76 s median with the
+    # spread (interleaved 5-rep noop, sf0.1; tasks 68 -> 687). The
+    # full-postings paths (q_bm25_postings, serving.build_sparse),
+    # where the tf explode IS the cost, do spread — measured -45%.
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     tf = (
@@ -535,6 +564,13 @@ def more_like_this(docs: DataFrame, seed_pred, k: int = 10, top_terms: int = 16,
     """
     from pyspark.sql import Window
 
+    # NO spread before the corpus tokenize here (r14, measured): only
+    # top-k rows survive this query, so the tokenize is not the
+    # dominant cost and 32-way tiny-task stages cost more than they
+    # parallelize — bm25_search measured 3.56 -> 4.76 s median with the
+    # spread (interleaved 5-rep noop, sf0.1; tasks 68 -> 687). The
+    # full-postings paths (q_bm25_postings, serving.build_sparse),
+    # where the tf explode IS the cost, do spread — measured -45%.
     tok = tokenized if tokenized is not None \
         else cache(tokenize(docs, id_col=id_col, text_col=text_col))
     stats = corpus_stats(tok)

@@ -45,7 +45,14 @@ def build_sparse(docs: DataFrame, path: str,
     corpus-global: an exact refresh after document changes must rerun
     this whole pass, while the dense half can stay append-only (see
     streaming.incremental.incremental_index)."""
-    tok = cache(bm25.tokenize(docs, id_col=id_col, text_col=text_col))
+    # spread before tokenize (r14, VERDICT r13 item 4): the regex
+    # tokenize + the postings tf explode otherwise fuse into ONE task
+    # over the one-file scan — the single-task stage the whole sparse
+    # build inherits. Tokens/tf are per-row and exact-integer, idf is
+    # per-term from integer df — placement-free; no-op at production
+    # partition counts (functions/parallel.py).
+    tok = cache(bm25.tokenize(spread(docs, id_col), id_col=id_col,
+                              text_col=text_col))
     # derive the SERVING tables from the mergeable state instead of
     # aggregating tok twice: term_state (the vocab explode+groupBy —
     # the one corpus-sized aggregation here) used to run once inside
