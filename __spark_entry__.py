@@ -5759,14 +5759,13 @@ ROUND13_R6_TAIL: tuple = (
     "top_supplier",
 )
 
-# The round-13 driver window, authoritative ORDER (VERDICT r12 item 1):
-# the 3 round-12 additions take their first-ever driver rows
-# (tests/test_entry_contract.py ROUND13_WINDOW_MUST — the real-connector
-# source gates), then the one-time 7-round ROUND13_R6_TAIL, then the
-# full 44-entry r7 block (every entry whose last driver row is
-# CORRECTNESS_r07, minus the 4 pruned round 12 — alphabetical). 3 + 3 +
-# 44 = exactly 50; this drains never-driver-verified entries to ZERO
-# and leaves r14 = r13 MUSTs + the 45-entry r8 block with 5 free slots.
+# The round-13 driver window (HISTORICAL — superseded by ROUND14_WINDOW
+# below; kept verbatim for the rotation audit trail, like
+# ROUND12_WINDOW above): the 3 round-12 additions took their first-ever
+# driver rows (tests/test_entry_contract.py ROUND13_WINDOW_MUST — the
+# real-connector source gates), then the one-time 7-round
+# ROUND13_R6_TAIL, then the full 44-entry r7 block. This drained
+# never-driver-verified entries to ZERO.
 ROUND13_WINDOW: tuple = (
     # round-12 additions — first driver rows (ROUND13_WINDOW_MUST)
     "source_file_filters",
@@ -5824,21 +5823,92 @@ ROUND13_WINDOW: tuple = (
 )
 
 
+# The round-14 driver window, authoritative ORDER: no queries were added
+# in round 13/14 (both optimization rounds — ROUND14_WINDOW_MUST in
+# tests/test_entry_contract.py is empty), so the 5 free slots
+# (50 − 45 r8 anchors) go to the entries this round's optimization work
+# touched most deeply, all r9-anchored (their last driver row is
+# CORRECTNESS_r09) — the rotation contract's "behavior-changed first"
+# slot applied to internals-changed-results-identical entries:
+# doc_clusters (cluster_profile assignment spread + the avg_cos
+# order-margin proof), knn_ivf_sample_sweep (3 trainings under the
+# order-free-proof), search_snippets + rerank_search (checkpoint
+# registry), theil_sen_trend (spread()-helper routing). Then the FULL
+# 45-entry r8 block (every registered entry whose last driver row is
+# CORRECTNESS_r08), alphabetical. 5 + 45 = exactly 50; the oldest
+# anchor after this round is r9.
+ROUND14_WINDOW: tuple = (
+    # optimization-touched r9 anchors (first slots, oldest-refresh tier)
+    "doc_clusters",
+    "knn_ivf_sample_sweep",
+    "search_snippets",
+    "rerank_search",
+    "theil_sen_trend",
+    # the 45 r8-anchored entries (last driver row CORRECTNESS_r08)
+    "bm25_append_delete_replay",
+    "bm25_pruned_search",
+    "bpe_fertility",
+    "curated_manifest",
+    "customer_rfm",
+    "dedup_canonical",
+    "dedup_containment",
+    "dedup_cut",
+    "dedup_embedding",
+    "dedup_passages",
+    "dedup_spans",
+    "events_acf",
+    "events_concurrency",
+    "events_mad_outliers",
+    "events_seasonal",
+    "forecast_revenue",
+    "gdpr_delete_cascade",
+    "incremental_clusters",
+    "interval_overlap",
+    "k_anonymity",
+    "knn_assortativity",
+    "knn_binary",
+    "knn_ivf_append",
+    "knn_kcore",
+    "knn_link_prediction",
+    "knn_ppr",
+    "matryoshka_recall",
+    "maxsim_rerank",
+    "quality_calibrated",
+    "record_linkage",
+    "spell_suggestions",
+    "stratified_sample",
+    "stream_interval_join_outer",
+    "streaming_hll",
+    "streaming_scd2",
+    "streaming_sessions",
+    "temporal_split",
+    "text_entropy",
+    "text_vocab",
+    "textrank_keywords",
+    "unigram_em_encode",
+    "unigram_encode",
+    "unigram_pieces",
+    "value_band_pairs",
+    "wordpiece_encode",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (rotated for round 13 — VERDICT r12 item 1): the
-    # correctness driver evaluates only the first 50 entries, and the
-    # window's job is STALENESS ROTATION — first-ever driver rows for
-    # queries added since the last rotation, behavior-changed entries,
-    # then the longest-unrefreshed anchors. ROUND13_WINDOW above is the
+    # ORDERING CONTRACT (rotated for round 14): the correctness driver
+    # evaluates only the first 50 entries, and the window's job is
+    # STALENESS ROTATION — first-ever driver rows for queries added
+    # since the last rotation, behavior-changed entries, then the
+    # longest-unrefreshed anchors. ROUND14_WINDOW above is the
     # authoritative order; the dict below keeps its historical (r10)
     # declaration order and is reordered at return. Window arithmetic:
     # with 290 registered entries and a 50-slot window the refresh
     # floor is a SIX-round cycle — the window drains the oldest block
     # each round (r12 took the 8-entry r5 remainder + 39 of the 42
     # surviving r6 anchors; r13 = the 3 source-gate MUSTs + the
-    # 3-entry ROUND13_R6_TAIL, aging to seven rounds exactly once +
-    # the full 44-entry r7 block; r14 = r13 additions + the 45-entry
-    # r8 block, 5 slots free).
+    # 3-entry ROUND13_R6_TAIL + the full 44-entry r7 block, draining
+    # never-driver-verified entries to zero; r14 = no new queries
+    # (optimization rounds), so the full 45-entry r8 block + 5
+    # optimization-touched r9 anchors in the free slots).
     #
     # The past-boundary anchoring contract is BEHAVIOR-anchored, not
     # byte-anchored (VERDICT r4 "what's wrong" #3): an entry past the
@@ -6170,10 +6240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_git_sync": q_source_git_sync,
         "source_imap_sync": q_source_imap_sync,
     }
-    # reorder to the round-13 window contract: ROUND13_WINDOW first
+    # reorder to the round-14 window contract: ROUND14_WINDOW first
     # (the driver hash-checks exactly these 50), then declaration order
-    window = set(ROUND13_WINDOW)
-    ordered = list(ROUND13_WINDOW) + [k for k in _q if k not in window]
+    window = set(ROUND14_WINDOW)
+    ordered = list(ROUND14_WINDOW) + [k for k in _q if k not in window]
     return {k: _fresh(_q[k]) for k in ordered}
 
 

@@ -296,21 +296,27 @@ def test_every_query_has_an_oracle():
 
 
 def test_window_holds_rotation_invariants():
-    """Round-13 window contract (README 'Correctness window rotation'):
-    the first 50 queries() entries ARE __spark_entry__.ROUND13_WINDOW,
+    """Round-14 window contract (README 'Correctness window rotation'):
+    the first 50 queries() entries ARE __spark_entry__.ROUND14_WINDOW,
     in order — the driver hash-checks exactly this slice."""
     window = list(entrymod.queries())[:50]
-    assert window == list(entrymod.ROUND13_WINDOW), (
-        "driver window diverged from ROUND13_WINDOW")
-    # the 3 round-12 additions (real-connector source gates) take their
-    # first driver row this round and MUST head the window, then the
-    # one-time seven-round r6 tail; the remaining 44 slots are the FULL
-    # r7 block (every entry whose last driver row is CORRECTNESS_r07,
-    # minus the 4 pruned round 12) — this drains never-driver-verified
-    # entries to zero
-    assert window[:3] == list(ROUND13_WINDOW_MUST)
-    assert window[3:6] == list(entrymod.ROUND13_R6_TAIL)
-    assert len(entrymod.ROUND13_WINDOW) == 50
+    assert window == list(entrymod.ROUND14_WINDOW), (
+        "driver window diverged from ROUND14_WINDOW")
+    # no queries were added in r13/r14 (optimization rounds —
+    # ROUND14_WINDOW_MUST is empty), so the 5 free slots go to the
+    # optimization-touched r9 anchors, then the FULL 45-entry r8 block
+    # (every registered entry whose last driver row is CORRECTNESS_r08,
+    # alphabetical) — the oldest anchor after this round is r9
+    assert list(ROUND14_WINDOW_MUST) == []
+    assert len(entrymod.ROUND14_WINDOW) == 50
+    assert window[:5] == ["doc_clusters", "knn_ivf_sample_sweep",
+                          "search_snippets", "rerank_search",
+                          "theil_sen_trend"]
+    assert window[5:] == sorted(window[5:]), "r8 block must be alphabetical"
+    # the r13 window anchors stay registered (freshest driver-green rows)
+    for anchor in entrymod.ROUND13_WINDOW:
+        assert anchor in set(entrymod.queries()), (
+            f"{anchor} (r13 anchor) not registered")
     # past-boundary entries are behavior-anchored by earlier driver
     # rounds (r6-r12 green rows) — they must stay registered (minus the
     # 16 near-redundant entries pruned in round 12, PRUNED_ROUND12)
@@ -377,9 +383,9 @@ def test_readme_rotation_section_references_constants_not_lists():
 
     text = open("/root/repo/README.md").read()
     sec = text.split("## Correctness window rotation")[1].split("\n## ")[0]
-    for const in ("ROUND13_WINDOW", "ROUND13_WINDOW_MUST",
-                  "ROUND13_R6_TAIL", "ROUND14_WINDOW_MUST",
-                  "PRUNED_ROUND12"):
+    for const in ("ROUND14_WINDOW", "ROUND13_WINDOW",
+                  "ROUND13_WINDOW_MUST", "ROUND13_R6_TAIL",
+                  "ROUND14_WINDOW_MUST", "PRUNED_ROUND12"):
         assert const in sec, f"rotation prose lost its {const} reference"
     keys = set(entrymod.queries()) | set(PRUNED_ROUND12)
     tokens = set(re.findall(r"[a-z][a-z0-9_]{2,}", sec))
