@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from semantik_spark import oracles
 from semantik_spark.functions.caching import cache, release_all
 from semantik_spark.functions.hashing import content_hash, hash60
+from semantik_spark.functions.parallel import concurrently
 from semantik_spark.operators import bm25, chunking, dedup, extract, hyde, metrics, rerank, search, similarity, splade, textanalysis, timeseries
 from semantik_spark.operators.sniff import sniff_columns
 from semantik_spark.oracles import IR_QUERY_TERMS, SEARCH_QUERIES
@@ -362,16 +363,24 @@ def q_gdpr_sync_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)  # idempotent per call
     slices = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
     serving.build_index(slices[0], base)
-    serving.merge_sparse_append(slices[1], base)
-    serving.merge_dense_append(slices[1], base)
+    # the sparse merge and the dense append of one batch touch disjoint
+    # artifacts (bm25_state/postings/terms vs dense/) — overlap them
+    # (guide §2.6); batches themselves stay sequential (each sparse
+    # merge folds the previous state)
+    concurrently(
+        lambda: serving.merge_sparse_append(slices[1], base),
+        lambda: serving.merge_dense_append(slices[1], base),
+    )
     # erasure request lands mid-stream: purge what is indexed, suppress
     # forward
     serving.delete_from_index(
         spark, base,
         docs.where((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 3)))
     last = slices[2].where(F.col("doc_id") % 7 != 3)
-    serving.merge_sparse_append(last, base)
-    serving.merge_dense_append(last, base)
+    concurrently(
+        lambda: serving.merge_sparse_append(last, base),
+        lambda: serving.merge_dense_append(last, base),
+    )
     terms = spark.read.parquet(f"{base}/terms")
     stats = bm25.stats_from_state(spark.read.parquet(f"{base}/bm25_state/corpus"))
     dense_rows = spark.read.parquet(f"{base}/dense").agg(

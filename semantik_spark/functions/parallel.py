@@ -18,7 +18,47 @@ input once (KB-MB) to unlock an N-way compute stage.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
+
+
+def concurrently(*thunks, max_workers: int = 4) -> list:
+    """Run independent Spark ACTIONS (writes, eager checkpoints) from a
+    small driver thread pool and return their results in call order
+    (guide §2.6, overlap independent jobs: actions are only sequential
+    because driver code calls them sequentially; submitting independent
+    ones together lets the next job's tasks back-fill executors freed by
+    the current job's tail, and overlaps the per-job fixed costs —
+    planning, file-commit, scheduling — that dominate the index
+    build/maintenance paths, whose artifact writes move only KB-MB).
+
+    ONLY for actions that are independent AND unordered-safe: different
+    output paths, no read-what-another-writes, and no crash-ordering
+    contract between them (a replay-marker commit point or an
+    idempotence fence like tombstones-last must stay OUTSIDE the pool,
+    sequenced after it). Exceptions propagate — the first failing
+    thunk's error is re-raised after all threads finish, so no write is
+    silently skipped. 2-4 in flight is plenty (guide §2.6); FIFO
+    scheduling gives back-fill behaviour at any cluster scale, so this
+    is placement-free — it changes WHEN jobs are submitted, never what
+    any of them computes.
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — collect, re-raise below
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+        return results
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

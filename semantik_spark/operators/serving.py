@@ -35,7 +35,7 @@ from semantik_spark.functions.vectors import mock_embedding
 from semantik_spark.operators import bm25, search
 from semantik_spark.plans.predicates import compile_predicate
 from semantik_spark.functions.caching import cache, checkpoint
-from semantik_spark.functions.parallel import spread
+from semantik_spark.functions.parallel import concurrently, spread
 
 
 def build_sparse(docs: DataFrame, path: str,
@@ -65,21 +65,33 @@ def build_sparse(docs: DataFrame, path: str,
     stats = bm25.stats_from_state(cstate)
     terms = bm25.term_stats_from_state(tstate, stats)
     post = bm25.postings(tok, terms, stats)
-    terms.write.mode("overwrite").parquet(f"{path}/terms")
-    # the persisted postings drop term_id: appended batches are scored
-    # under a GROWN vocabulary whose rank-based ids shift, so a stored
-    # id column would mix id spaces across append generations — the
-    # terms table is the single id authority; join on the term string
-    post.drop("term_id").write.mode("overwrite").parquet(f"{path}/postings")
 
     # reset the mergeable stats state so a later APPEND-path
     # merge_sparse_append continues from this exact rebuild — via the
     # atomic whole-directory swap, never two in-place overwrites
     def _write_state(tmp: str) -> None:
-        cstate.write.mode("overwrite").parquet(f"{tmp}/corpus")
-        tstate.write.mode("overwrite").parquet(f"{tmp}/terms")
+        concurrently(
+            lambda: cstate.write.mode("overwrite").parquet(f"{tmp}/corpus"),
+            lambda: tstate.write.mode("overwrite").parquet(f"{tmp}/terms"),
+        )
 
-    _bm25_state_swap(path, _write_state)
+    # terms/, postings/ and the state swap are four independent writes
+    # over the shared cached tok/tstate (different paths, nothing reads
+    # what another writes, and a full rebuild has no inter-artifact
+    # crash-ordering contract — only the state swap itself must publish
+    # corpus+terms together, which the directory rename guarantees
+    # regardless of internal write order) — overlap them (guide §2.6;
+    # this path's jobs move KB-MB, its wall is per-job fixed cost).
+    # the persisted postings drop term_id: appended batches are scored
+    # under a GROWN vocabulary whose rank-based ids shift, so a stored
+    # id column would mix id spaces across append generations — the
+    # terms table is the single id authority; join on the term string
+    concurrently(
+        lambda: terms.write.mode("overwrite").parquet(f"{path}/terms"),
+        lambda: post.drop("term_id").write.mode("overwrite")
+                    .parquet(f"{path}/postings"),
+        lambda: _bm25_state_swap(path, _write_state),
+    )
     tok.unpersist()
 
 
@@ -193,13 +205,18 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
         new_c = bm25.corpus_state(tok)
         new_t = bm25.term_state(tok)
     # localCheckpoint before the swap: the merged plans read the very
-    # files being replaced; cutting lineage materializes them first
-    new_c = checkpoint(new_c)
-    new_t = checkpoint(new_t)
+    # files being replaced; cutting lineage materializes them first.
+    # The two merges are independent aggregations over the shared
+    # cached tok — overlap their materialization (§2.6).
+    merged_c, merged_t = new_c, new_t
+    new_c, new_t = concurrently(
+        lambda: checkpoint(merged_c), lambda: checkpoint(merged_t))
 
     def _write_state(tmp: str) -> None:
-        new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
-        new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
+        concurrently(
+            lambda: new_c.write.mode("overwrite").parquet(f"{tmp}/corpus"),
+            lambda: new_t.write.mode("overwrite").parquet(f"{tmp}/terms"),
+        )
 
     # postings + terms are written BEFORE the state swap: the swap
     # publishes the _last_batch replay marker, so it must be the SINGLE
@@ -218,12 +235,23 @@ def merge_sparse_append(delta_docs: DataFrame, path: str,
     # grown vocabulary re-ranks ids, so a stored id column would mix
     # id spaces between this batch and earlier generations
     post = bm25.postings(tok, terms, stats).drop("term_id")
-    if batch_id is None:
-        # non-streaming caller: no replay semantics, plain append
-        post.write.mode("append").parquet(f"{path}/postings")
-    else:
-        _replace_batch_postings(post, path, batch_id)
-    terms.write.mode("overwrite").parquet(f"{path}/terms")
+
+    def _write_postings() -> None:
+        if batch_id is None:
+            # non-streaming caller: no replay semantics, plain append
+            post.write.mode("append").parquet(f"{path}/postings")
+        else:
+            _replace_batch_postings(post, path, batch_id)
+
+    # postings + terms are both idempotent pre-swap writes to disjoint
+    # paths (terms reads only the checkpointed state) — overlap them
+    # (§2.6); the state swap stays strictly AFTER both, outside the
+    # pool, because it publishes the _last_batch marker and must remain
+    # the single commit point (see the ordering comment above).
+    concurrently(
+        _write_postings,
+        lambda: terms.write.mode("overwrite").parquet(f"{path}/terms"),
+    )
     _bm25_state_swap(path, _write_state, batch_id=batch_id)
     tok.unpersist()
 
@@ -282,11 +310,16 @@ def build_index(docs: DataFrame, path: str,
     its predicate into the parquet scan instead of joining the catalog
     per query — the reference's Qdrant payload-index trade
     (models.py:419-472 payload, dense_search.py:88-98 filters)."""
-    build_sparse(docs, path, id_col=id_col, text_col=text_col)
-    docs.select(
-        F.col(id_col).alias("doc_id"), mock_embedding(text_col).alias("embedding"),
-        *payload_cols,
-    ).write.mode("overwrite").parquet(f"{path}/dense")
+    # the sparse build and the dense write are independent passes over
+    # ``docs`` writing disjoint artifact dirs — overlap them (§2.6)
+    concurrently(
+        lambda: build_sparse(docs, path, id_col=id_col, text_col=text_col),
+        lambda: docs.select(
+            F.col(id_col).alias("doc_id"),
+            mock_embedding(text_col).alias("embedding"),
+            *payload_cols,
+        ).write.mode("overwrite").parquet(f"{path}/dense"),
+    )
 
 
 def bm25_serve(spark: SparkSession, path: str, queries: DataFrame,
@@ -979,19 +1012,28 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
     live_deleted = deleted_docs.join(
         ids, deleted_docs[id_col] == F.col("_del_id"), "left_semi")
     tok = cache(bm25.tokenize(live_deleted, id_col=id_col, text_col=text_col))
-    new_c = checkpoint(bm25.retract_corpus_state(
-        _bm25_state_read(spark, path, "corpus"), tok))
-    new_t = checkpoint(bm25.retract_term_state(
-        _bm25_state_read(spark, path, "terms"), tok))
+    # the two retractions are independent aggregations over the shared
+    # cached tok — overlap their materialization (guide §2.6)
+    new_c, new_t = concurrently(
+        lambda: checkpoint(bm25.retract_corpus_state(
+            _bm25_state_read(spark, path, "corpus"), tok)),
+        lambda: checkpoint(bm25.retract_term_state(
+            _bm25_state_read(spark, path, "terms"), tok)),
+    )
 
     def _write_state(tmp: str) -> None:
-        new_c.write.mode("overwrite").parquet(f"{tmp}/corpus")
-        new_t.write.mode("overwrite").parquet(f"{tmp}/terms")
+        concurrently(
+            lambda: new_c.write.mode("overwrite").parquet(f"{tmp}/corpus"),
+            lambda: new_t.write.mode("overwrite").parquet(f"{tmp}/terms"),
+        )
 
-    _bm25_state_swap(path, _write_state)
-    terms = checkpoint(bm25.term_stats_from_state(
-        new_t, bm25.stats_from_state(new_c)))
-    terms.write.mode("overwrite").parquet(f"{path}/terms")
+    def _rebuild_terms() -> None:
+        # reads only the CHECKPOINTED retracted state, never the files
+        # the swap replaces — independent of the swap and the rewrites
+        terms = checkpoint(bm25.term_stats_from_state(
+            new_t, bm25.stats_from_state(new_c)))
+        terms.write.mode("overwrite").parquet(f"{path}/terms")
+
     # the cascade reaches EVERY artifact that exists under the index
     # root — the flat tables, the partitioned ANN layouts, the pruned
     # postings, and the streaming dense log — not just dense/postings:
@@ -1003,19 +1045,36 @@ def delete_from_index(spark: SparkSession, path: str, deleted_docs: DataFrame,
         ("ivfpq_codes", "centroid_id"), ("ivfpq_full", None),
         ("dense_log", None),
     )
-    for sub, part in artifacts:
-        p = f"{path}/{sub}"
-        if not os.path.exists(p):
-            continue
-        tbl = spark.read.parquet(p)
-        key = "doc_id" if "doc_id" in tbl.columns else "vec_id"
-        kept = checkpoint(tbl.join(
-            ids, F.col(key) == F.col("_del_id"), "left_anti"
-        ))
-        w = kept.write.mode("overwrite")
-        if part is not None and part in kept.columns:
-            w = w.partitionBy(part)
-        w.parquet(p)
+
+    def _rewrite(sub: str, part: str | None):
+        def run() -> None:
+            p = f"{path}/{sub}"
+            tbl = spark.read.parquet(p)
+            key = "doc_id" if "doc_id" in tbl.columns else "vec_id"
+            # checkpoint materializes the anti-join BEFORE the write
+            # overwrites the very files it reads (self-overwrite)
+            kept = checkpoint(tbl.join(
+                ids, F.col(key) == F.col("_del_id"), "left_anti"
+            ))
+            w = kept.write.mode("overwrite")
+            if part is not None and part in kept.columns:
+                w = w.partitionBy(part)
+            w.parquet(p)
+        return run
+
+    # state swap, terms rebuild and the per-artifact rewrites are
+    # mutually independent (disjoint paths; every input they share —
+    # ids, new_c, new_t — is already checkpointed), so overlap them
+    # (§2.6). The tombstones append stays strictly LAST, outside the
+    # pool: it is the idempotence fence — a retried cascade filters ids
+    # through the tombstones, so they may only record docs whose
+    # rewrites all completed.
+    concurrently(
+        lambda: _bm25_state_swap(path, _write_state),
+        _rebuild_terms,
+        *[_rewrite(sub, part) for sub, part in artifacts
+          if os.path.exists(f"{path}/{sub}")],
+    )
     ids.select(F.col("_del_id").alias("doc_id")).write.mode("append") \
         .parquet(f"{path}/tombstones")
     tok.unpersist()

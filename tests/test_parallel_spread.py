@@ -75,3 +75,65 @@ def test_poisson_bootstrap_placement_free(spark):
     b = poisson_bootstrap_mean(df.repartition(16, "k"), "v", "k",
                                replicates=20).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_concurrently_returns_in_call_order():
+    """Results come back in submission order regardless of completion
+    order (the serving paths unpack them positionally)."""
+    import time
+
+    from semantik_spark.functions.parallel import concurrently
+
+    def slow():
+        time.sleep(0.2)
+        return "slow"
+
+    assert concurrently(slow, lambda: "fast") == ["slow", "fast"]
+    assert concurrently(lambda: 42) == [42]
+
+
+def test_concurrently_propagates_first_error():
+    """A failing thunk must fail the whole group — a silently skipped
+    artifact write would corrupt an index build — and the others still
+    run to completion first (no half-cancelled pool)."""
+    import pytest
+
+    from semantik_spark.functions.parallel import concurrently
+
+    ran = []
+
+    def ok():
+        ran.append("ok")
+
+    def boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        concurrently(boom, ok)
+    assert ran == ["ok"]
+
+
+def test_build_index_concurrent_writes_equal_artifacts(spark, tmp_path):
+    """build_index's overlapped artifact writes (§2.6) produce exactly
+    the artifacts the sequential order did: terms==state-derived terms,
+    postings join cleanly, dense row count matches the corpus."""
+    from semantik_spark.operators import serving
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id").cast("string"),
+                 F.lit(" gamma")).alias("text"),
+    )
+    idx = str(tmp_path / "idx")
+    serving.build_index(docs, idx)
+    terms = spark.read.parquet(f"{idx}/terms")
+    post = spark.read.parquet(f"{idx}/postings")
+    dense = spark.read.parquet(f"{idx}/dense")
+    state_t = spark.read.parquet(f"{idx}/bm25_state/terms")
+    assert dense.count() == 40
+    # vocabulary agrees across the concurrently-written artifacts
+    vocab_terms = {r["term"] for r in terms.select("term").collect()}
+    vocab_state = {r["term"] for r in state_t.select("term").collect()}
+    vocab_post = {r["term"] for r in post.select("term").distinct().collect()}
+    assert vocab_terms == vocab_state
+    assert vocab_post <= vocab_terms
