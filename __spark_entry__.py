@@ -1682,12 +1682,21 @@ def q_knn_ivf_sample_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, queries = _emb_split(spark, sf_dir)
     exact = cache(similarity.knn_bruteforce(corpus, queries, k=5))
-    out = None
-    for mod in (1, 3, 10):
-        smod = None if mod == 1 else mod
-        cent = similarity.ivf_refine(
+
+    def _train(smod: int | None):
+        return lambda: similarity.ivf_refine(
             corpus, similarity.ivf_centroids(corpus, 16, train_sample_mod=smod),
             iters=1, train_sample_mod=smod)
+
+    # the three sampled trainings are INDEPENDENT driver-interactive
+    # loops (seed collect + Lloyd collect each) — overlap them (guide
+    # §2.6) so the sweep's wall is max(training) not sum; each codebook
+    # is bit-identical to its sequential run (separate inputs, no
+    # shared state), and the serve/recall plan below is built in mod
+    # order from the in-call-order results
+    cents = concurrently(*[_train(None if m == 1 else m) for m in (1, 3, 10)])
+    out = None
+    for mod, cent in zip((1, 3, 10), cents):
         approx = similarity.knn_ivf(corpus, queries, k=5, nprobe=4,
                                     cent_rows=cent)
         r = similarity.recall_at_k(exact, approx, f"sample_mod={mod}") \
@@ -1758,10 +1767,17 @@ def q_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.transform("query_vec", lambda x: F.abs(x)).alias("query_vec"))
     exact = cache(similarity.knn_bruteforce(combined, queries, k=5))
+
+    def _train(train_df):
+        return lambda: similarity.ivf_refine(
+            train_df, similarity.ivf_centroids(train_df, 16), iters=1)
+
+    # stale (base) and fresh (combined) trainings are independent —
+    # overlap their driver-interactive loops (guide §2.6); codebooks
+    # bit-identical to the sequential runs, plan order preserved
+    cents = concurrently(_train(base), _train(combined))
     out = None
-    for label, train in (("stale", base), ("fresh", combined)):
-        cent = similarity.ivf_refine(
-            train, similarity.ivf_centroids(train, 16), iters=1)
+    for (label, _), cent in zip((("stale", base), ("fresh", combined)), cents):
         approx = similarity.knn_ivf(combined, queries, k=5, nprobe=4,
                                     cent_rows=cent)
         r = similarity.recall_at_k(exact, approx, label)
