@@ -477,12 +477,16 @@ def build_dense_ivf(docs: DataFrame, path: str, n_centroids: int = 16,
     assigned = emb.crossJoin(codebook).withColumn(
         "centroid_id", -F.array_max(_nearest_centroids("embedding"))["negcid"]
     ).drop("cents")
-    assigned.write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/dense_ivf")
-    spark.createDataFrame(
-        [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
-        "cid bigint, cv array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    # the cell-partitioned table and the tiny codebook sidecar are
+    # independent writes — overlap them (§2.6)
+    concurrently(
+        lambda: assigned.write.mode("overwrite").partitionBy("centroid_id")
+                        .parquet(f"{path}/dense_ivf"),
+        lambda: spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
+            "cid bigint, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebook"),
+    )
 
 
 def ivf_append(spark: SparkSession, path: str, new_docs: DataFrame,
@@ -758,14 +762,6 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
         "vec_id", "centroid_id",
         F.array(*[code_at(s) for s in range(m)]).alias("codes"),
     )
-    codes.write.mode("overwrite").partitionBy("centroid_id") \
-        .parquet(f"{path}/ivfpq_codes")
-    c.select("vec_id", "v").write.mode("overwrite") \
-        .parquet(f"{path}/ivfpq_full")
-    spark.createDataFrame(
-        [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
-        "cid bigint, cv array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/ivfpq_codebook")
     by_s: dict[int, list] = {}
     for b in book:
         by_s.setdefault(int(b["s"]), []).append((int(b["cid"]), b["cv"]))
@@ -773,9 +769,23 @@ def write_ivfpq_index(corpus: DataFrame, path: str, dim: int = 64,
     for s, lst in sorted(by_s.items()):
         for pos, (cid, cv) in enumerate(sorted(lst, key=lambda t: t[0])):
             pq_rows.append((s, pos, cid, [float(x) for x in cv]))
-    spark.createDataFrame(
-        pq_rows, "s int, pos int, cid bigint, cv array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/ivfpq_pq")
+    # the four artifacts are independent (codes reads the cached
+    # assignment, full the raw scan, both codebooks are driver-local) —
+    # overlap the writes (guide §2.6): the full-precision write
+    # back-fills the codes write's encode tail
+    concurrently(
+        lambda: codes.write.mode("overwrite").partitionBy("centroid_id")
+                     .parquet(f"{path}/ivfpq_codes"),
+        lambda: c.select("vec_id", "v").write.mode("overwrite")
+                 .parquet(f"{path}/ivfpq_full"),
+        lambda: spark.createDataFrame(
+            [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
+            "cid bigint, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/ivfpq_codebook"),
+        lambda: spark.createDataFrame(
+            pq_rows, "s int, pos int, cid bigint, cv array<double>"
+        ).write.mode("overwrite").parquet(f"{path}/ivfpq_pq"),
+    )
 
 
 def ivfpq_serve(spark: SparkSession, path: str, queries: DataFrame,
